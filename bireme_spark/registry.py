@@ -1,0 +1,44 @@
+"""Central registry: every implemented operator/query (SURVEY.md §2)
+maps a name → (spark_callable, oracle_sql | None).
+
+``__spark_entry__.py`` re-exports this for the driver; tests iterate
+it to run the same DuckDB-oracle comparison locally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _load() -> None:
+    if _QUERIES:
+        return
+    from bireme_spark.queries import tpch
+
+    _QUERIES.update(tpch.QUERIES)
+    _ORACLE.update(tpch.ORACLE)
+
+    for mod_name in ("events", "cdc", "textops", "dedup", "ann", "multimodal"):
+        try:
+            mod = __import__(f"bireme_spark.queries.{mod_name}", fromlist=["QUERIES", "ORACLE"])
+        except ImportError:
+            continue
+        _QUERIES.update(getattr(mod, "QUERIES", {}))
+        _ORACLE.update(getattr(mod, "ORACLE", {}))
+
+
+def queries() -> dict[str, QueryFn]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLE)

@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate: runs every
+``queries()`` entry from ``__spark_entry__.py`` against its
+``oracle_sql()`` twin via DuckDB and reports per-query MATCH/MISMATCH.
+
+Usage: python scripts/driver_sim.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    return v
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = mod.entry(spark)
+    n = df.count()
+    print(f"entry(): {n} rows")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    fails = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {e}")
+            fails.append(name)
+            continue
+        if name not in osql:
+            print(f"{name}: rows-only, {len(sdf)} rows")
+            continue
+        try:
+            ddf = con.execute(osql[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ORACLE ERROR {e}")
+            fails.append(name)
+            continue
+        sc, dc = sorted(sdf.columns), sorted(ddf.columns)
+        if sc != dc:
+            print(f"{name}: COLUMN MISMATCH spark={sc} duck={dc}")
+            fails.append(name)
+            continue
+        if len(sdf) != len(ddf):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(sdf)} duck={len(ddf)}")
+            fails.append(name)
+            continue
+        a = sorted(
+            ([str(norm(v)) for v in r] for r in sdf[sc].itertuples(index=False)), key=repr
+        )
+        b = sorted(
+            ([str(norm(v)) for v in r] for r in ddf[dc].itertuples(index=False)), key=repr
+        )
+        if a != b:
+            bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            print(f"{name}: VALUE MISMATCH at sorted row {bad}:\n  spark={a[bad]}\n  duck ={b[bad]}")
+            fails.append(name)
+        else:
+            print(f"{name}: MATCH ({len(sdf)} rows)")
+    print("FAILED:", fails if fails else "none")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,27 @@
+"""Every registered query vs its DuckDB oracle — the same gate the
+driver runs (row count + schema + order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bireme_spark import registry
+from tests.oracle_util import compare, duck_con
+
+
+def _cases():
+    qs = registry.queries()
+    oracle = registry.oracle_sql()
+    return [(name, qs[name], oracle.get(name)) for name in sorted(qs)]
+
+
+@pytest.mark.parametrize("name,fn,sql", _cases(), ids=[c[0] for c in _cases()])
+def test_query_matches_oracle(spark, sf_dir, name, fn, sql):
+    df = fn(spark, sf_dir)
+    rows = df.limit(1).count()
+    if sql is None:
+        assert rows >= 0  # rows-only check, mirrors the driver's weaker gate
+        return
+    con = duck_con(sf_dir)
+    ok, msg = compare(df, con, sql)
+    assert ok, f"{name}: {msg}"
