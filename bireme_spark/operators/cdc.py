@@ -1,0 +1,174 @@
+"""CDC batch operators: compaction, apply (merge), snapshot, offset
+dedup — the Spark-first re-expression of bireme's row-merge + load
+path.
+
+Reference semantics (studied, not copied):
+
+- ``RowCache.java:158-216`` (RowBatchMerger): fold a batch of change
+  rows in arrival order into a LoadTask with a *delete set* (keys
+  seen as DELETE or UPDATE, incl. old PK on PK-change) and an
+  *insert set* (last tuple per key unless the last op is DELETE).
+- ``ChangeLoader.java:205-330``: apply = DELETE (delete set ∪, in
+  pessimistic mode, insert keys) then COPY the insert set.
+
+The reference folds sequentially per pipeline thread; here the fold
+is a distributed aggregation: ``max_by`` over the (produce_time, seq)
+ordering gives the last-write per key with map-side partial
+aggregation — one shuffle on the PK hash, no driver-side loop, and
+AQE handles skewed keys. At 100 TB the same plan holds: the changelog
+shuffles once on PK; the base-table anti-join co-partitions on the
+same key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Canonical ChangeRow op codes (Row.java RowType INSERT/UPDATE/DELETE).
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+
+def _ord_struct(order_cols: Sequence[str]):
+    return F.struct(*[F.col(c) for c in order_cols])
+
+
+def compact(
+    changes: DataFrame,
+    key_cols: Sequence[str] = ("key",),
+    order_cols: Sequence[str] = ("produce_time_ms", "seq"),
+    op_col: str = "op",
+    payload_cols: Sequence[str] | None = None,
+    old_key_col: str | None = None,
+) -> DataFrame:
+    """Fold a change batch into delete/insert membership per key.
+
+    Returns one row per key:
+    ``key_cols..., final_op, in_delete, in_insert, payload_cols...``
+    where ``payload_cols`` carry the *last* tuple per key (null for
+    keys whose final op is DELETE, mirroring LoadTask.insert).
+
+    ``old_key_col``: when an UPDATE changes the PK, bireme deletes the
+    old key and inserts the new one (``RowCache.java:194-205``). Rows
+    for old keys are unioned in as synthetic deletes before folding.
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c
+            for c in changes.columns
+            if c not in set(key_cols) | set(order_cols) | {op_col, old_key_col}
+        ]
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+
+    work = changes
+    if old_key_col is not None:
+        # Synthetic DELETE for the pre-update PK; ordered just before
+        # the UPDATE row itself (same order cols).
+        old = (
+            changes.where(F.col(old_key_col).isNotNull())
+            .withColumn(key_cols[0], F.col(old_key_col))
+            .withColumn(op_col, F.lit(OP_DELETE))
+        )
+        work = changes.unionByName(old)
+    work = work.drop(*( [old_key_col] if old_key_col and old_key_col in work.columns else [] ))
+
+    last = F.max_by(
+        F.struct(F.col(op_col).alias("_op"), *[F.col(c).alias(c) for c in payload_cols]),
+        _ord_struct(order_cols),
+    ).alias("_last")
+    folded = work.groupBy(*key_cols).agg(
+        last,
+        F.max(
+            F.when(F.col(op_col).isin(OP_UPDATE, OP_DELETE), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_del_flag"),
+    )
+    final_op = F.col("_last._op")
+    out = folded.select(
+        *key_cols,
+        final_op.alias("final_op"),
+        (F.col("_del_flag") == 1).alias("in_delete"),
+        (final_op != OP_DELETE).alias("in_insert"),
+        *[
+            F.when(final_op != OP_DELETE, F.col(f"_last.{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )
+    return out
+
+
+def apply_changes(
+    base: DataFrame,
+    compacted: DataFrame,
+    base_key_cols: Sequence[str],
+    compact_key_cols: Sequence[str] | None = None,
+    payload_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """DELETE + COPY merge (ChangeLoader.executeTask semantics): drop
+    every base row whose key appears in the compacted batch (delete
+    set ∪ insert keys — bireme's pessimistic-safe superset), then
+    append the insert set.
+
+    ``payload_map`` maps base column → compacted payload column; keys
+    map positionally from ``base_key_cols`` to ``compact_key_cols``.
+    Scale: both sides hash-partition on the PK for the anti-join; the
+    appended insert set is already compacted (unique per key).
+    """
+    if compact_key_cols is None:
+        compact_key_cols = list(compacted.columns[: len(base_key_cols)])
+    cond = None
+    for b, c in zip(base_key_cols, compact_key_cols):
+        clause = base[b] == compacted[c]
+        cond = clause if cond is None else cond & clause
+    survivors = base.join(compacted, cond, "left_anti")
+
+    if payload_map is None:
+        payload_map = {c: c for c in base.columns if c not in base_key_cols}
+    inserts = compacted.where(F.col("in_insert")).select(
+        *[
+            F.col(ck).cast(base.schema[bk].dataType).alias(bk)
+            for bk, ck in zip(base_key_cols, compact_key_cols)
+        ],
+        *[
+            F.col(src).cast(base.schema[dst].dataType).alias(dst)
+            for dst, src in payload_map.items()
+        ],
+    )
+    return survivors.select(*base.columns).unionByName(inserts.select(*base.columns))
+
+
+def snapshot(
+    changes: DataFrame,
+    key_cols: Sequence[str] = ("key",),
+    order_cols: Sequence[str] = ("produce_time_ms", "seq"),
+    op_col: str = "op",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Changelog → current state: last write per key, dropping keys
+    whose final op is DELETE. Single hash-aggregation, no window sort."""
+    c = compact(changes, key_cols, order_cols, op_col, payload_cols)
+    return c.where(F.col("in_insert")).drop("final_op", "in_delete", "in_insert")
+
+
+def dedup_offsets(
+    changes: DataFrame,
+    identity_cols: Sequence[str] = ("source", "kafka_partition", "kafka_offset"),
+) -> DataFrame:
+    """Exactly-once replay protection: a Kafka re-read after a crash
+    re-delivers (topic, partition, offset) rows (bireme relies on
+    commitSync bookkeeping, ``KafkaPipeLine.java:141-182``); here we
+    keep the first-arriving row per offset identity via min_by over
+    the full row — deterministic, partial-aggregatable."""
+    other = [c for c in changes.columns if c not in identity_cols]
+    first = F.min_by(F.struct(*[F.col(c).alias(c) for c in other]), _ord_struct(list(other))).alias(
+        "_first"
+    )
+    return (
+        changes.groupBy(*identity_cols)
+        .agg(first)
+        .select(*identity_cols, *[F.col(f"_first.{c}").alias(c) for c in other])
+    )

@@ -1,0 +1,445 @@
+"""Driver-facing CDC queries (SURVEY.md §2.A).
+
+Each query derives a deterministic CDC changelog from the ``orders``
+table (so the DuckDB oracle can derive the identical changelog in
+SQL), runs the real operator from :mod:`bireme_spark.operators.cdc` /
+:mod:`bireme_spark.sources`, and emits flat, fully-aliased columns.
+
+Changelog spec (mirrors a Maxwell pipeline feeding bireme):
+- every order row       → INSERT at o_orderdate          (seq = k*10+1)
+- orderkey % 3 == 0     → UPDATE a day later, price+10   (seq = k*10+2)
+- orderkey % 5 == 0     → DELETE two days later          (seq = k*10+3)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from bireme_spark.functions.decoders import (
+    decode_bit,
+    decode_debezium_date,
+    decode_debezium_numeric,
+    decode_debezium_timestamp,
+)
+from bireme_spark.operators.cdc import apply_changes, compact, dedup_offsets, snapshot
+from bireme_spark.operators.mapping import apply_table_mapping
+from bireme_spark.sources.debezium import parse_debezium
+from bireme_spark.sources.maxwell import parse_maxwell
+from bireme_spark.sources.tables import load_table
+
+DAY_MS = 86_400_000
+
+
+def build_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ChangeRow frame derived from orders."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("base_ms"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        "o_orderstatus",
+    )
+    ins = o.select(
+        F.lit("maxwell").alias("source"),
+        F.lit("maxwell.testdb.orders").alias("origin_table"),
+        F.lit("I").alias("op"),
+        F.col("base_ms").alias("produce_time_ms"),
+        (F.col("o_orderkey") * 10 + 1).alias("seq"),
+        "key",
+        F.col("price").alias("o_totalprice"),
+        "o_orderstatus",
+        (F.col("o_orderkey") % 8).cast("int").alias("kafka_partition"),
+    )
+    upd = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.lit("maxwell").alias("source"),
+        F.lit("maxwell.testdb.orders").alias("origin_table"),
+        F.lit("U").alias("op"),
+        (F.col("base_ms") + DAY_MS).alias("produce_time_ms"),
+        (F.col("o_orderkey") * 10 + 2).alias("seq"),
+        "key",
+        (F.col("price") + F.lit(10).cast("decimal(12,2)")).cast("decimal(12,2)").alias(
+            "o_totalprice"
+        ),
+        "o_orderstatus",
+        (F.col("o_orderkey") % 8).cast("int").alias("kafka_partition"),
+    )
+    dele = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.lit("maxwell").alias("source"),
+        F.lit("maxwell.testdb.orders").alias("origin_table"),
+        F.lit("D").alias("op"),
+        (F.col("base_ms") + 2 * DAY_MS).alias("produce_time_ms"),
+        (F.col("o_orderkey") * 10 + 3).alias("seq"),
+        "key",
+        F.lit(None).cast("decimal(12,2)").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        (F.col("o_orderkey") % 8).cast("int").alias("kafka_partition"),
+    )
+    return ins.unionByName(upd).unionByName(dele)
+
+
+CHANGELOG_SQL = """
+changelog AS (
+  SELECT 'maxwell' AS source, 'maxwell.testdb.orders' AS origin_table,
+         'I' AS op, epoch_ms(o_orderdate) AS produce_time_ms,
+         o_orderkey * 10 + 1 AS seq, CAST(o_orderkey AS VARCHAR) AS key,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, o_orderstatus,
+         CAST(o_orderkey % 8 AS INTEGER) AS kafka_partition
+  FROM orders
+  UNION ALL
+  SELECT 'maxwell', 'maxwell.testdb.orders', 'U',
+         epoch_ms(o_orderdate) + 86400000, o_orderkey * 10 + 2,
+         CAST(o_orderkey AS VARCHAR),
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2)), o_orderstatus,
+         CAST(o_orderkey % 8 AS INTEGER)
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'maxwell', 'maxwell.testdb.orders', 'D',
+         epoch_ms(o_orderdate) + 172800000, o_orderkey * 10 + 3,
+         CAST(o_orderkey AS VARCHAR),
+         CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS VARCHAR),
+         CAST(o_orderkey % 8 AS INTEGER)
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+"""
+
+
+def cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RowBatchMerger fold: delete-set / insert-set membership per key."""
+    ch = build_changelog(spark, sf_dir)
+    c = compact(
+        ch,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    )
+    return c.select(
+        "key",
+        "final_op",
+        "in_delete",
+        "in_insert",
+        F.col("o_totalprice").cast("double").alias("last_totalprice"),
+        F.col("o_orderstatus").alias("last_status"),
+    )
+
+
+CDC_COMPACT_SQL = f"""
+WITH {CHANGELOG_SQL}
+SELECT key, op AS final_op,
+       del_flag = 1 AS in_delete,
+       op <> 'D' AS in_insert,
+       CASE WHEN op <> 'D' THEN CAST(o_totalprice AS DOUBLE) END AS last_totalprice,
+       CASE WHEN op <> 'D' THEN o_orderstatus END AS last_status
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY produce_time_ms DESC, seq DESC) AS rn,
+         MAX(CASE WHEN op IN ('U','D') THEN 1 ELSE 0 END) OVER (PARTITION BY key) AS del_flag
+  FROM changelog
+) t
+WHERE rn = 1
+"""
+
+
+def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current state (last write per key, deletes folded)."""
+    ch = build_changelog(spark, sf_dir)
+    s = snapshot(
+        ch,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    )
+    return s.select(
+        "key",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+CDC_SNAPSHOT_SQL = f"""
+WITH {CHANGELOG_SQL}
+SELECT key, CAST(o_totalprice AS DOUBLE) AS totalprice, o_orderstatus AS status
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY produce_time_ms DESC, seq DESC) AS rn
+  FROM changelog
+) t
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE+COPY merge of the update/delete tail of the changelog
+    onto the already-synced orders table."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    ch = build_changelog(spark, sf_dir).where(F.col("op") != "I")
+    c = compact(
+        ch,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    )
+    applied = apply_changes(
+        base,
+        c,
+        base_key_cols=("o_orderkey",),
+        compact_key_cols=("key",),
+        payload_map={"o_totalprice": "o_totalprice", "o_orderstatus": "o_orderstatus"},
+    )
+    return applied.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+CDC_APPLY_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2)) AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderstatus
+FROM orders
+WHERE o_orderkey % 5 <> 0
+"""
+
+
+def maxwell_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: build Maxwell JSON envelopes from orders, parse
+    them with the real parser, emit flat columns. The oracle computes
+    the expected output directly from orders, so the whole
+    JSON-encode → from_json → normalize path is value-checked."""
+    o = load_table(spark, sf_dir, "orders")
+    op_type = (
+        F.when(F.col("o_orderkey") % 5 == 0, "delete")
+        .when(F.col("o_orderkey") % 3 == 0, "update")
+        .otherwise("insert")
+    )
+    data = F.struct(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+    )
+    old = F.when(
+        op_type == "update",
+        F.struct(
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+            (F.col("o_totalprice") - 1).alias("o_totalprice"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+        ),
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            op_type.alias("type"),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+            data.alias("data"),
+            old.alias("old"),
+        )
+    )
+    raw = o.select(envelope.alias("value"))
+    data_schema = (
+        StructType()
+        .add("o_orderkey", "long")
+        .add("o_totalprice", "double")
+        .add("o_orderstatus", "string")
+    )
+    parsed = parse_maxwell(raw, "value", data_schema, key_fields=("o_orderkey",))
+    return parsed.select(
+        "origin_table",
+        "op",
+        "produce_time_ms",
+        "key",
+        F.col("data.o_totalprice").alias("totalprice"),
+        F.col("old.o_totalprice").alias("old_totalprice"),
+    )
+
+
+MAXWELL_PARSE_SQL = """
+SELECT 'maxwell.testdb.orders' AS origin_table,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+            WHEN o_orderkey % 3 = 0 THEN 'U'
+            ELSE 'I' END AS op,
+       epoch_ms(o_orderdate) AS produce_time_ms,
+       CAST(o_orderkey AS VARCHAR) AS key,
+       o_totalprice AS totalprice,
+       CASE WHEN o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0
+            THEN o_totalprice - 1 END AS old_totalprice
+FROM orders
+"""
+
+
+def debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: Debezium payload envelopes built from orders →
+    parse_debezium → flat columns (op c/r/u/d mapping, before/after
+    selection per DebeziumRecord)."""
+    o = load_table(spark, sf_dir, "orders")
+    op_char = (
+        F.when(F.col("o_orderkey") % 5 == 0, "d")
+        .when(F.col("o_orderkey") % 3 == 0, "u")
+        .when(F.col("o_orderkey") % 7 == 0, "r")
+        .otherwise("c")
+    )
+    row_struct = F.struct(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+    before = F.when(op_char == "d", row_struct)
+    after = F.when(op_char != "d", row_struct)
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                op_char.alias("op"),
+                (F.unix_timestamp("o_orderdate") * 1000).alias("ts_ms"),
+                before.alias("before"),
+                after.alias("after"),
+            ).alias("payload")
+        )
+    )
+    raw = o.select(envelope.alias("value"))
+    data_schema = StructType().add("o_orderkey", "long").add("o_totalprice", "double")
+    parsed = parse_debezium(raw, "value", data_schema, key_fields=("o_orderkey",))
+    return parsed.select(
+        "op",
+        "produce_time_ms",
+        "key",
+        F.col("data.o_totalprice").alias("totalprice"),
+    )
+
+
+DEBEZIUM_PARSE_SQL = """
+SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+            WHEN o_orderkey % 3 = 0 THEN 'U'
+            ELSE 'I' END AS op,
+       epoch_ms(o_orderdate) AS produce_time_ms,
+       CAST(o_orderkey AS VARCHAR) AS key,
+       o_totalprice AS totalprice
+FROM orders
+"""
+
+
+def table_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route a mixed-origin changelog through the table map; unmapped
+    origins are dropped (bireme filter())."""
+    o = load_table(spark, sf_dir, "orders")
+    origin = (
+        F.when(F.col("o_orderkey") % 3 == 0, "maxwell.testdb.orders")
+        .when(F.col("o_orderkey") % 3 == 1, "maxwell.testdb.customer")
+        .otherwise("maxwell.testdb.junk")
+    )
+    df = o.select(F.col("o_orderkey"), origin.alias("origin_table"))
+    mapped = apply_table_mapping(
+        df,
+        {
+            "maxwell.testdb.orders": "public.orders_t",
+            "maxwell.testdb.customer": "public.customer_t",
+        },
+    )
+    return mapped.select("o_orderkey", "origin_table", "mapped_table")
+
+
+TABLE_MAPPING_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'maxwell.testdb.orders'
+            ELSE 'maxwell.testdb.customer' END AS origin_table,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'public.orders_t'
+            ELSE 'public.customer_t' END AS mapped_table
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+
+def type_decoders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format decoders over deterministically encoded columns:
+    bit (int→bitstring), debezium date (epoch days), debezium
+    timestamp (epoch µs), debezium numeric (base64 big-endian
+    unscaled + scale 2)."""
+    o = load_table(spark, sf_dir, "orders")
+    enc = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 64).cast("int").alias("bit_src"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day_src"),
+        (F.unix_timestamp("o_orderdate") * 1_000_000).alias("us_src"),
+        # 2-byte big-endian two's-complement of v ∈ [-10000, 9999]
+        ((F.col("o_orderkey") * 37) % 20000 - 10000).cast("long").alias("num_v"),
+    ).withColumn(
+        "num_b64",
+        F.base64(
+            F.unhex(
+                F.lpad(
+                    F.conv(
+                        (
+                            F.when(F.col("num_v") < 0, F.col("num_v") + 65536).otherwise(
+                                F.col("num_v")
+                            )
+                        ).cast("string"),
+                        10,
+                        16,
+                    ),
+                    4,
+                    "0",
+                )
+            )
+        ),
+    )
+    return enc.select(
+        "o_orderkey",
+        decode_bit(F.col("bit_src"), 8).alias("bits"),
+        decode_debezium_date(F.col("day_src")).cast("string").alias("decoded_date"),
+        decode_debezium_timestamp(F.col("us_src")).alias("decoded_ts"),
+        decode_debezium_numeric(F.col("num_b64"), 2).cast("string").alias("decoded_numeric"),
+    )
+
+
+TYPE_DECODERS_SQL = """
+SELECT o_orderkey,
+       lpad(bin(CAST(o_orderkey % 64 AS INTEGER)), 8, '0') AS bits,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS decoded_date,
+       o_orderdate AS decoded_ts,
+       CAST(CAST(((o_orderkey * 37) % 20000 - 10000) AS DECIMAL(20,0)) / 100 AS DECIMAL(20,2))::VARCHAR AS decoded_numeric
+FROM orders
+"""
+
+
+def cdc_dedup_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay protection: changelog with deterministic duplicate
+    deliveries (every orderkey % 7 == 0 row delivered twice) →
+    exactly-once via offset-identity dedup."""
+    ch = build_changelog(spark, sf_dir)
+    replayed = ch.unionByName(ch.where(F.col("key").cast("bigint") % 7 == 0))
+    deduped = dedup_offsets(
+        replayed, identity_cols=("source", "kafka_partition", "seq")
+    )
+    return deduped.select("source", "kafka_partition", "seq", "key", "op").orderBy("seq")
+
+
+CDC_DEDUP_SQL = f"""
+WITH {CHANGELOG_SQL}
+SELECT DISTINCT source, kafka_partition, seq, key, op FROM changelog
+"""
+
+
+QUERIES = {
+    "cdc_compact": cdc_compact,
+    "cdc_snapshot": cdc_snapshot,
+    "cdc_apply": cdc_apply,
+    "maxwell_parse": maxwell_parse,
+    "debezium_parse": debezium_parse,
+    "table_mapping": table_mapping,
+    "type_decoders": type_decoders,
+    "cdc_dedup_offsets": cdc_dedup_offsets,
+}
+
+ORACLE = {
+    "cdc_compact": CDC_COMPACT_SQL,
+    "cdc_snapshot": CDC_SNAPSHOT_SQL,
+    "cdc_apply": CDC_APPLY_SQL,
+    "maxwell_parse": MAXWELL_PARSE_SQL,
+    "debezium_parse": DEBEZIUM_PARSE_SQL,
+    "table_mapping": TABLE_MAPPING_SQL,
+    "type_decoders": TYPE_DECODERS_SQL,
+    "cdc_dedup_offsets": CDC_DEDUP_SQL,
+}

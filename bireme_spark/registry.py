@@ -17,6 +17,21 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 
 
+def _tz_safe(fn: QueryFn) -> QueryFn:
+    """Force a UTC session timezone before running a query: the
+    driver's SparkSession may default to a local zone, which would
+    skew unix_timestamp/year/date math vs the DuckDB oracle's naive
+    (UTC) timestamps."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def _load() -> None:
     if _QUERIES:
         return
@@ -25,13 +40,15 @@ def _load() -> None:
     _QUERIES.update(tpch.QUERIES)
     _ORACLE.update(tpch.ORACLE)
 
-    for mod_name in ("events", "cdc", "textops", "dedup", "ann", "multimodal"):
+    for mod_name in ("events", "cdc", "textops", "dedup", "ann", "multimodal", "streaming"):
         try:
             mod = __import__(f"bireme_spark.queries.{mod_name}", fromlist=["QUERIES", "ORACLE"])
         except ImportError:
             continue
         _QUERIES.update(getattr(mod, "QUERIES", {}))
         _ORACLE.update(getattr(mod, "ORACLE", {}))
+    for name, fn in list(_QUERIES.items()):
+        _QUERIES[name] = _tz_safe(fn)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,169 @@
+"""Unit tests for CDC operators against hand-built fixtures —
+mirrors the reference's integration-test flows (RowBatchMerger fold
+order, PK-change old-key deletes, DELETE+COPY apply)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from bireme_spark.operators.cdc import apply_changes, compact, dedup_offsets, snapshot
+from bireme_spark.sources.debezium import parse_debezium
+from bireme_spark.sources.maxwell import parse_maxwell
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, op string, produce_time_ms long, seq long, val string"
+    )
+
+
+class TestCompact:
+    def test_insert_then_delete_removes_from_insert_set(self, spark):
+        # RowCache.java:185-191 — DELETE drops a same-batch INSERT.
+        df = _changes(spark, [("k1", "I", 1, 1, "a"), ("k1", "D", 2, 2, None)])
+        out = compact(df, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.final_op == "D" and r.in_delete and not r.in_insert and r.val is None
+
+    def test_delete_then_reinsert_keeps_both_sets(self, spark):
+        df = _changes(spark, [("k1", "D", 1, 1, None), ("k1", "I", 2, 2, "new")])
+        r = compact(df, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",)).collect()[0]
+        assert r.final_op == "I" and r.in_delete and r.in_insert and r.val == "new"
+
+    def test_update_wins_by_time_not_arrival(self, spark):
+        # Later produce_time wins even if it arrives first in the frame.
+        df = _changes(spark, [("k1", "U", 9, 9, "late"), ("k1", "I", 1, 1, "early")])
+        r = compact(df, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",)).collect()[0]
+        assert r.val == "late" and r.in_delete  # update ⇒ delete-set membership
+
+    def test_pk_change_deletes_old_key(self, spark):
+        # MaxwellPipeLine.java:104-112 + RowCache.java:194-199: an
+        # UPDATE that changes the PK deletes the old key and inserts
+        # the new one.
+        df = spark.createDataFrame(
+            [("k2", "U", 2, 2, "moved", "k1"), ("k1", "I", 1, 1, "orig", None)],
+            "key string, op string, produce_time_ms long, seq long, val string, old_key string",
+        )
+        out = {
+            r.key: r
+            for r in compact(
+                df,
+                ("key",),
+                ("produce_time_ms", "seq"),
+                payload_cols=("val",),
+                old_key_col="old_key",
+            ).collect()
+        }
+        assert out["k1"].in_delete and not out["k1"].in_insert
+        assert out["k2"].in_insert and out["k2"].val == "moved"
+
+    def test_insert_only_key_not_in_delete_set(self, spark):
+        df = _changes(spark, [("k1", "I", 1, 1, "a")])
+        r = compact(df, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",)).collect()[0]
+        assert not r.in_delete and r.in_insert
+
+
+class TestApply:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+        )
+
+    def test_apply_upsert_and_delete(self, spark):
+        base = self._base(spark)
+        ch = _changes(
+            spark,
+            [("2", "U", 1, 1, "b2"), ("3", "D", 1, 2, None), ("9", "I", 1, 3, "i")],
+        )
+        c = compact(ch, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",))
+        out = {
+            r.id: r.val
+            for r in apply_changes(
+                base, c, base_key_cols=("id",), compact_key_cols=("key",)
+            ).collect()
+        }
+        assert out == {1: "a", 2: "b2", 9: "i"}
+
+    def test_apply_idempotent(self, spark):
+        # Re-applying the same compacted batch yields the same state
+        # (bireme's DELETE+COPY is naturally idempotent per batch).
+        base = self._base(spark)
+        ch = _changes(spark, [("2", "U", 1, 1, "b2")])
+        c = compact(ch, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",))
+        once = apply_changes(base, c, ("id",), ("key",))
+        twice = apply_changes(once, c, ("id",), ("key",))
+        assert sorted((r.id, r.val) for r in twice.collect()) == sorted(
+            (r.id, r.val) for r in once.collect()
+        )
+
+
+class TestParsers:
+    def test_maxwell_update_with_pk_change(self, spark):
+        js = (
+            '{"database":"db","table":"t","type":"update","ts":100,'
+            '"data":{"id":7,"v":"new"},"old":{"id":3}}'
+        )
+        schema = StructType().add("id", "long").add("v", "string")
+        df = spark.createDataFrame([(js,)], "value string")
+        r = parse_maxwell(df, "value", schema, key_fields=("id",)).collect()[0]
+        assert r.op == "U" and r.key == "7" and r.old_key == "3"
+        assert r.produce_time_ms == 100_000 and r.origin_table == "maxwell.db.t"
+
+    def test_maxwell_update_without_pk_change_has_null_old_key(self, spark):
+        js = (
+            '{"database":"db","table":"t","type":"update","ts":100,'
+            '"data":{"id":7,"v":"new"},"old":{"v":"old"}}'
+        )
+        schema = StructType().add("id", "long").add("v", "string")
+        df = spark.createDataFrame([(js,)], "value string")
+        r = parse_maxwell(df, "value", schema, key_fields=("id",)).collect()[0]
+        assert r.op == "U" and r.key == "7" and r.old_key is None
+
+    def test_debezium_delete_reads_before(self, spark):
+        js = '{"payload":{"op":"d","ts_ms":5,"before":{"id":1,"v":"x"},"after":null}}'
+        schema = StructType().add("id", "long").add("v", "string")
+        df = spark.createDataFrame([(js,)], "value string")
+        r = parse_debezium(df, "value", schema, key_fields=("id",)).collect()[0]
+        assert r.op == "D" and r.key == "1" and r.data.v == "x"
+
+    def test_debezium_snapshot_read_maps_to_insert(self, spark):
+        js = '{"payload":{"op":"r","ts_ms":5,"before":null,"after":{"id":2,"v":"y"}}}'
+        schema = StructType().add("id", "long").add("v", "string")
+        df = spark.createDataFrame([(js,)], "value string")
+        r = parse_debezium(df, "value", schema, key_fields=("id",)).collect()[0]
+        assert r.op == "I" and r.key == "2"
+
+    def test_debezium_tombstone_dropped(self, spark):
+        # Kafka log-compaction tombstones have no payload
+        # (DebeziumPipeLine.java:91-95).
+        js = '{"payload":null}'
+        schema = StructType().add("id", "long")
+        df = spark.createDataFrame([(js,)], "value string")
+        assert parse_debezium(df, "value", schema, key_fields=("id",)).count() == 0
+
+
+class TestDedupOffsets:
+    def test_replayed_offsets_collapse(self, spark):
+        df = spark.createDataFrame(
+            [("s", 0, 1, "a"), ("s", 0, 1, "a"), ("s", 0, 2, "b"), ("s", 1, 1, "c")],
+            "source string, kafka_partition int, kafka_offset long, v string",
+        )
+        out = dedup_offsets(df).collect()
+        assert len(out) == 3
+
+
+class TestSnapshot:
+    def test_snapshot_drops_deleted_keys(self, spark):
+        df = _changes(
+            spark,
+            [
+                ("k1", "I", 1, 1, "a"),
+                ("k2", "I", 1, 2, "b"),
+                ("k2", "D", 2, 3, None),
+                ("k1", "U", 3, 4, "a2"),
+            ],
+        )
+        out = snapshot(df, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",)).collect()
+        assert {(r.key, r.val) for r in out} == {("k1", "a2")}
