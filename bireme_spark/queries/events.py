@@ -1,0 +1,191 @@
+"""Event-stream analytics queries (SURVEY.md §2.B): sessionization,
+time windows, top-k, as-of join, pivot — the batch twins of the
+streaming operators (same plans run under Structured Streaming with
+watermarks; see bireme_spark/streaming)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bireme_spark.operators.windows import asof_join, sessionize
+from bireme_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min) per user; one shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", 1800, tiebreak_cols=("event_id",))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH numbered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM numbered
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (F.window — the exact
+    construct the streaming path uses with a watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_topk_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 users per event type by activity (rank window over
+    a pre-aggregated frame — aggregation shrinks before the sort)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .orderBy("event_type", "rank")
+    )
+
+
+EVENTS_TOPK_SQL = """
+SELECT event_type, user_id, n, rank
+FROM (
+  SELECT event_type, user_id, COUNT(*) AS n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY COUNT(*) DESC, user_id ASC) AS INTEGER) AS rank
+  FROM events
+  GROUP BY event_type, user_id
+) t
+WHERE rank <= 5
+ORDER BY event_type, rank
+"""
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's most
+    recent order at-or-before the event time (union-timeline + one
+    ordered window — no range-explosion join)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    joined = asof_join(
+        e.select("user_id", "event_id", "ts"),
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=("o_orderdate", "o_orderkey"),
+    )
+    return joined.select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate").orderBy(
+        "event_id"
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC NULLS LAST,
+                                     o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  WHERE e.event_type = 'purchase'
+) t
+WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type count matrix via pivot."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "events_sessionize": events_sessionize,
+    "events_tumbling_window": events_tumbling_window,
+    "events_topk_by_type": events_topk_by_type,
+    "asof_join": asof_join_events_orders,
+    "pivot_event_types": pivot_event_types,
+}
+
+ORACLE = {
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_tumbling_window": EVENTS_TUMBLING_SQL,
+    "events_topk_by_type": EVENTS_TOPK_SQL,
+    "asof_join": ASOF_JOIN_SQL,
+    "pivot_event_types": PIVOT_SQL,
+}

@@ -25,6 +25,8 @@ def _tz_safe(fn: QueryFn) -> QueryFn:
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS); see sources/tables.py
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")

@@ -26,6 +26,7 @@ def get_spark(app_name: str = "bireme-spark", shuffle_partitions: int | None = N
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -38,6 +39,7 @@ def tune(spark: SparkSession) -> SparkSession:
     """Apply engine defaults to an externally provided session (the
     driver hands us its own SparkSession in ``__spark_entry__``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -8,6 +8,7 @@ Greenplum; here they are parquet directories readable by
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,7 +29,16 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
+    # the nanosAsLong legacy conf (set in registry/session defaults).
+    # Truncate ns → µs with integer division (ns values exceed double
+    # precision; DuckDB's TIMESTAMP does the same µs truncation).
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
