@@ -1,0 +1,137 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- ``bruteforce_topk`` — exact top-k cosine: broadcast the (small)
+  query set against the corpus scan; one linear pass, per-query heap
+  via window rank. At 100 TB the corpus side stays partitioned and
+  is read once; no shuffle of the corpus.
+- ``lsh_topk`` — scale path: L random-hyperplane hash tables of m
+  bits each; corpus and queries bucket by (table, signature); the
+  candidate join happens only inside buckets; candidates are
+  reranked with the exact cosine. Recall is property-tested against
+  brute force (tests/test_ann.py) instead of a SQL oracle — bucket
+  membership is hash-seed-dependent.
+
+Hyperplanes are deterministic (seeded RNG) literal arrays — tiny
+(L·m·dim doubles), shipped in the plan itself, no side files.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bireme_spark.operators.dedup import cosine
+
+
+def bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors (excluding self) per query row."""
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, tables: int, bits: int, seed: int = 42) -> list[list[list[float]]]:
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(tables)
+    ]
+
+
+def _signature(vec_col, planes: list[list[float]]):
+    """m-bit signature: bit_j = sign(v · h_j)."""
+    sig = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda p, q: p.cast("double") * q,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(F.shiftleft(F.when(dot >= 0, 1).otherwise(0).cast("bigint"), j))
+    return sig
+
+
+def lsh_bucketed(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, tables: int, bits: int, seed: int = 42
+) -> DataFrame:
+    """One row per (id, table, signature) — the bucket assignment."""
+    planes = _hyperplanes(dim, tables, bits, seed)
+    sigs = F.array(*[_signature(F.col(vec_col), planes[t]) for t in range(tables)])
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("table_id", "bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    tables: int = 8,
+    bits: int = 6,
+    seed: int = 42,
+    query_id_col: str | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates from shared (table, bucket),
+    exact cosine rerank, per-query rank window.
+
+    ``multiprobe``: the query side also probes every bucket at
+    Hamming distance 1 from its signature (bits+1 probes per table).
+    The corpus keeps exactly one bucket per table, so the index size
+    is unchanged — multi-probe boosts recall by ~2-4× at the cost of
+    a slightly wider candidate join, the standard trade at scale."""
+    qid = query_id_col or id_col
+    cb = lsh_bucketed(corpus, id_col, vec_col, dim, tables, bits, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "table_id", "bucket"
+    )
+    qb = lsh_bucketed(queries, qid, vec_col, dim, tables, bits, seed).select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"), "table_id", "bucket"
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+        )
+        qb = qb.select(
+            "query_id", "qv", "table_id", F.explode(probes).alias("bucket")
+        )
+    cand = (
+        cb.join(qb, ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

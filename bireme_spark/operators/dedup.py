@@ -1,0 +1,265 @@
+"""Corpus deduplication operators for training-data pipelines.
+
+Five dedup strategies, each picked for a different scale/accuracy
+point (SURVEY.md §2.C):
+
+- ``exact_dedup``          — content-hash groupBy (one shuffle on the
+  hash; the canonical id is ``min`` — partial-aggregatable).
+- ``ngram_jaccard_pairs``  — exact Jaccard over word n-gram shingles
+  via an inverted-index self-join: explode shingles → join docs that
+  *share* a shingle → count common. Never a cartesian product: cost
+  is Σ bucket², and ``max_df`` drops stop-shingles that would create
+  hot buckets at 100 TB.
+- ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash+LSH:
+  k min-hashes per doc (k JVM xxhash64 aggregates, no Python), band
+  bucketing, candidate join inside buckets only, signature-estimated
+  Jaccard filter.
+- ``simhash_pairs``        — 64-bit SimHash (token-hash bit votes),
+  16-bit band blocking, Hamming ≤ r verification via bit_count(xor).
+- ``embedding_cosine_pairs`` — exact cosine near-dup baseline (the
+  O(n²) exact variant; the scale path is the LSH-pruned ANN in
+  operators/ann.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Canonical-id assignment per exact content hash (sha256)."""
+    h = F.sha2(F.col(content_col), 256)
+    hashed = df.select(F.col(id_col), h.alias("content_hash"))
+    canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        hashed.join(canon, "content_hash")
+        .select(
+            id_col,
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM higher-order
+    fns; one row per (doc, shingle))."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tau: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (≥ tau) via inverted index.
+
+    ``max_df``: drop shingles occurring in more than this many docs
+    before the self-join — the standard hot-bucket guard at scale
+    (slightly under-counts common-shingle overlap; exact when None).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_df).select("shingle")
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= tau).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per document: k = num_hashes independent
+    hash families h_i(s) = xxhash64(i ⊕ shingle); the signature is
+    the per-family min over the doc's shingles. All k mins are JVM
+    aggregates computed in one groupBy pass (no Python, map-side
+    partial agg)."""
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    tau: float = 0.6,
+) -> DataFrame:
+    """LSH candidate generation + signature-estimated Jaccard filter.
+
+    Bands of r = num_hashes/bands rows: docs agreeing on any full band
+    collide. The candidate join happens only inside (band, band_hash)
+    buckets — at corpus scale this is the only join that matters, and
+    it shuffles on the bucket key, never pairing across buckets.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        "signature",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.col("signature")[i].cast("string") for i in range(b * r, (b + 1) * r)
+                    ]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+    )
+    return est.where(F.col("est_jaccard") >= tau).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: every token votes ±1 on each bit
+    of its xxhash64; the sign of the per-bit sum is the fingerprint
+    bit. 64 conditional sums in one groupBy — all JVM."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).withColumn("th", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    bits = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, i)
+        bits = term if bits is None else bits.bitwiseOR(term)
+    return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, blocked on
+    16-bit bands (a pair within Hamming ≤ 3 shares at least one of 4
+    bands; wider radii trade recall, standard SimHash blocking)."""
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cosine(vec_a, vec_b):
+    """Exact cosine of two array<numeric> columns — JVM zip_with +
+    aggregate folds (deterministic left-to-right double math)."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+    return dot(vec_a, vec_b) / (norm(vec_a) * norm(vec_b))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, tau: float
+) -> DataFrame:
+    """Exact near-dup pairs by embedding cosine ≥ tau. O(n²) baseline
+    (self-join on id<); the 100 TB path buckets with LSH first
+    (operators/ann.py) and reranks exactly."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,67 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, processed by Arrow-batched ``mapInPandas``.
+
+At 100 TB the pattern is: media bytes live in a ``binary`` column
+(or object-store pointers), metadata in a sibling struct; decode /
+resize / frame-sample runs as vectorized Pandas stages over
+``mapInPandas`` so each Arrow batch crosses the JVM↔Python boundary
+once. The Spark-side plumbing here (schema, batching, partitioning)
+is real and tested; the actual image/audio codec step is stubbed
+(``decode_media``) because codec libs aren't in this container —
+swap the stub body for PIL/ffmpeg calls in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = "doc_id long, n_bytes int, head_byte int, mean_byte double"
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pack content into an opaque binary column + typed metadata
+    struct — the storage layout multimodal rows use."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).alias("n_bytes"),
+        F.lit("stub-v1").alias("codec"),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), payload.alias("payload"), meta.alias("meta"))
+
+
+def decode_media(payload: bytes, mode: str = "bytes"):
+    """STUB: real media decode. ``mode='bytes'`` returns the raw
+    buffer; image/audio/video modes require codec libs not present
+    in this environment."""
+    if mode == "bytes":
+        return payload
+    raise NotImplementedError(
+        f"decode_media(mode={mode!r}) is a stub — plug in PIL/av/ffmpeg here"
+    )
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """Vectorized per-batch feature extraction over the binary column
+    (Arrow-batched mapInPandas; one Python crossing per batch)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            buf = pdf["payload"].map(lambda b: decode_media(bytes(b), "bytes"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": buf.map(len).astype("int32"),
+                    "head_byte": buf.map(lambda b: b[0] if b else -1).astype("int32"),
+                    "mean_byte": buf.map(
+                        lambda b: float(sum(b)) / len(b) if b else 0.0
+                    ),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=DECODE_SCHEMA)

@@ -1,0 +1,71 @@
+"""Similarity-search queries over the embeddings table
+(SURVEY.md §2.C): exact brute-force top-k (oracle-checked) and the
+LSH-bucketed approximate variant (rows-only; recall property-tested
+in tests/test_ann.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bireme_spark.operators.ann import bruteforce_topk, lsh_topk
+from bireme_spark.sources.tables import load_table
+
+EMBED_DIM = 64
+N_QUERIES = 10
+K = 5
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return bruteforce_topk(e, q, "vec_id", "embedding", k=K).orderBy("query_id", "rank")
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding AS cv
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         SUM(x * y) AS dot, SUM(x * x) AS nq, SUM(y * y) AS nc
+  FROM (SELECT query_id, neighbor_id,
+               CAST(unnest(qv) AS DOUBLE) AS x,
+               CAST(unnest(cv) AS DOUBLE) AS y
+        FROM pairs) z
+  GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM dots
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only for the driver; recall vs brute force is
+    property-tested (bucket membership depends on hash seeds)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return lsh_topk(e, q, "vec_id", "embedding", dim=EMBED_DIM, k=K, tables=8, bits=6)
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLE = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+}

@@ -1,0 +1,128 @@
+"""Deduplication queries over the documents/embeddings corpus
+(SURVEY.md §2.C). Exact variants are oracle-checked; the
+hash-seed-dependent LSH variants are rows-only here and
+property-tested in tests/test_dedup.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bireme_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bireme_spark.sources.tables import load_table
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic copies (every 50th doc re-inserted
+    with a shifted id) so exact dedup has real duplicates to find."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_with_dupes(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+FROM corpus
+ORDER BY doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.8).orderBy("id_a", "id_b")
+
+
+DEDUP_NGRAM_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i) t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, "vec_id", "embedding", tau=0.45).orderBy("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT id_a, id_b,
+         SUM(x * y) AS dot, SUM(x * x) AS na, SUM(y * y) AS nb
+  FROM (SELECT id_a, id_b,
+               CAST(unnest(va) AS DOUBLE) AS x,
+               CAST(unnest(vb) AS DOUBLE) AS y
+        FROM pairs) z
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+FROM dots
+WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only for the driver (bucket membership is hash-seed
+    dependent); recall vs exact Jaccard is property-tested."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=64, bands=16, tau=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only for the driver (fingerprint is hash-dependent)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+}

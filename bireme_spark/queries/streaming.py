@@ -1,0 +1,104 @@
+"""Driver-facing streaming query (rows-only): the full Structured
+Streaming CDC pipeline run end-to-end on Maxwell envelopes derived
+from orders — file source (Kafka replay path), two micro-batches
+(inserts, then updates+deletes), foreachBatch DELETE+COPY merge into
+a versioned parquet target. Returns the final synced state.
+
+tests/test_streaming.py asserts this equals the batch cdc snapshot;
+the driver records the weaker rows-only check (no stable SQL oracle
+for a multi-batch streaming run)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from bireme_spark.config import PipelineConfig, SourceConfig
+from bireme_spark.sources.tables import load_table
+from bireme_spark.streaming.pipeline import read_state, run_cdc_pipeline
+
+DATA_SCHEMA = (
+    StructType()
+    .add("o_orderkey", "long")
+    .add("o_totalprice", "double")
+    .add("o_orderstatus", "string")
+)
+
+
+def _maxwell_json(o: DataFrame, op: str, ts_shift_days: int, price_shift: float) -> DataFrame:
+    data = F.struct(
+        F.col("o_orderkey"),
+        (F.col("o_totalprice") + F.lit(price_shift)).alias("o_totalprice"),
+        F.col("o_orderstatus"),
+    )
+    return o.select(
+        F.to_json(
+            F.struct(
+                F.lit("testdb").alias("database"),
+                F.lit("orders").alias("table"),
+                F.lit(op).alias("type"),
+                (F.unix_timestamp("o_orderdate") + ts_shift_days * 86400).alias("ts"),
+                data.alias("data"),
+            )
+        ).alias("value")
+    )
+
+
+def streaming_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="bireme_stream_")
+    input_dir = f"{work}/input"
+    try:
+        o = load_table(spark, sf_dir, "orders").limit(2000).cache()
+        o.count()
+
+        # micro-batch 1: snapshot inserts
+        _maxwell_json(o, "insert", 0, 0.0).coalesce(1).write.mode("append").text(input_dir)
+        time.sleep(1.1)  # distinct mtimes → file source keeps batch order
+        # micro-batch 2: updates (every 3rd) then deletes (every 5th)
+        upd = _maxwell_json(o.where(F.col("o_orderkey") % 3 == 0), "update", 1, 10.0)
+        dele = _maxwell_json(o.where(F.col("o_orderkey") % 5 == 0), "delete", 2, 0.0)
+        upd.unionByName(dele).coalesce(1).write.mode("append").text(input_dir)
+
+        cfg = PipelineConfig(
+            sources=[
+                SourceConfig(
+                    name="maxwell",
+                    kind="file",
+                    path=input_dir,
+                    table_map={"maxwell.testdb.orders": "public.orders"},
+                )
+            ],
+            target_dir=f"{work}/target",
+            checkpoint_dir=f"{work}/ckpt",
+            max_events_per_trigger=1,  # one file per micro-batch
+        )
+        q = run_cdc_pipeline(
+            spark,
+            cfg,
+            DATA_SCHEMA,
+            key_fields=("o_orderkey",),
+            base_columns=("o_orderkey", "o_totalprice", "o_orderstatus"),
+            available_now=True,
+        )
+        q.awaitTermination(300)
+        state = read_state(spark, cfg.target_dir)
+        assert state is not None, "pipeline produced no state"
+        rows = state.select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderstatus",
+        ).collect()
+        out = spark.createDataFrame(rows, "o_orderkey bigint, o_totalprice double, o_orderstatus string")
+        return out.orderBy("o_orderkey")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES = {"streaming_cdc_pipeline": streaming_cdc_pipeline}
+ORACLE: dict[str, str] = {}

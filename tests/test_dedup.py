@@ -1,0 +1,93 @@
+"""Property tests for hash-based dedup (the rows-only operators):
+MinHash estimates track true Jaccard, LSH recall over exact pairs,
+SimHash Hamming separates near-dups from random pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bireme_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from bireme_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+class TestMinhash:
+    def test_signature_length_and_determinism(self, spark, sf_dir):
+        d = _docs(spark, sf_dir).limit(20)
+        s1 = {r.doc_id: r.signature for r in minhash_signatures(d, "doc_id", "text").collect()}
+        s2 = {r.doc_id: r.signature for r in minhash_signatures(d, "doc_id", "text").collect()}
+        assert s1 == s2
+        assert all(len(sig) == 64 for sig in s1.values())
+
+    def test_estimate_tracks_true_jaccard(self, spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        true_pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", tau=0.8).collect()
+        }
+        assert true_pairs, "fixture should contain near-dup pairs"
+        est_pairs = {
+            (r.id_a, r.id_b): r.est_jaccard
+            for r in minhash_lsh_pairs(d, "doc_id", "text", tau=0.0).collect()
+        }
+        errs = [
+            abs(est_pairs[p] - true_pairs[p]) for p in true_pairs if p in est_pairs
+        ]
+        assert errs and sum(errs) / len(errs) < 0.15  # 64 hashes ⇒ σ ≈ 0.06
+
+    def test_lsh_recall_over_exact_pairs(self, spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        true_pairs = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", tau=0.8).collect()
+        }
+        cand = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(d, "doc_id", "text", tau=0.5).collect()
+        }
+        recall = len(true_pairs & cand) / len(true_pairs)
+        assert recall >= 0.9, f"LSH recall {recall} too low ({len(true_pairs)} true pairs)"
+
+
+class TestSimhash:
+    def test_near_dups_have_smaller_hamming(self, spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        sh = {r.doc_id: r.simhash for r in simhash(d, "doc_id", "text").collect()}
+        near = [
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", tau=0.8).collect()
+        ]
+        ids = sorted(sh)
+
+        def ham(a, b):
+            return bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+
+        near_avg = sum(ham(a, b) for a, b in near) / len(near)
+        rand_pairs = [(ids[i], ids[-(i + 1)]) for i in range(50) if ids[i] != ids[-(i + 1)]]
+        rand_avg = sum(ham(a, b) for a, b in rand_pairs) / len(rand_pairs)
+        assert near_avg < rand_avg / 2, (near_avg, rand_avg)
+
+    def test_simhash_pairs_subset_of_low_hamming(self, spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        for r in simhash_pairs(d, "doc_id", "text", max_hamming=8).collect():
+            assert r.hamming <= 8
+
+
+class TestExactDedup:
+    def test_synthetic_duplicates_found(self, spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        dup = d.limit(5).select((F.col("doc_id") + 777_000).alias("doc_id"), "text")
+        out = exact_dedup(d.unionByName(dup), "doc_id", "text")
+        dups = out.where(F.col("is_duplicate")).collect()
+        assert len(dups) == 5
+        assert all(r.doc_id >= 777_000 for r in dups)
