@@ -42,7 +42,16 @@ def _load() -> None:
     _QUERIES.update(tpch.QUERIES)
     _ORACLE.update(tpch.ORACLE)
 
-    for mod_name in ("events", "cdc", "textops", "dedup", "ann", "multimodal", "streaming"):
+    for mod_name in (
+        "tpch_deep",
+        "events",
+        "cdc",
+        "textops",
+        "dedup",
+        "ann",
+        "multimodal",
+        "streaming",
+    ):
         try:
             mod = __import__(f"bireme_spark.queries.{mod_name}", fromlist=["QUERIES", "ORACLE"])
         except ImportError:

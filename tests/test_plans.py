@@ -1,0 +1,110 @@
+"""Plan-shape assertions (SURVEY.md §5): the physical plans we'd
+want on a 1000-executor cluster, asserted at test scale. Catching a
+regression here (a lost broadcast, a filter that stopped pushing
+down, an accidental cartesian product) matters more at 100 TB than
+any constant-factor tweak.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bireme_spark import registry
+from tests.conftest import SF_DIR
+
+
+def _physical_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF_DIR)
+    return _physical_plan(df)
+
+
+# Queries whose dimension joins must be broadcast (no shuffle of the
+# fact side on a dim key).
+BROADCAST_QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q19_discounted_revenue",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_QUERIES)
+def test_dim_joins_are_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+# Scan-heavy queries whose filters must reach the parquet reader.
+PUSHDOWN_QUERIES = ["q1_pricing_summary", "q6_forecast_revenue", "q14_promo_effect"]
+
+
+@pytest.mark.parametrize("name", PUSHDOWN_QUERIES)
+def test_filters_pushed_to_scan(spark, name):
+    plan = _plan(spark, name)
+    assert "PushedFilters: [" in plan
+    # at least one concrete pushed predicate (not an empty list)
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "PushedFilters: []" not in ln
+    ]
+    assert pushed, f"{name}: PushedFilters list is empty"
+
+
+def test_q6_prunes_columns(spark):
+    """q6 touches 4 lineitem columns; the scan must not read the
+    full 11-column schema."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    line = schema_lines[0]
+    assert "l_returnflag" not in line and "l_orderkey" not in line
+
+
+NO_CARTESIAN = [
+    "q2_min_cost_supplier",
+    "q5_local_supplier",
+    "q13_customer_distribution",
+    "q16_part_supplier_relation",
+    "q17_small_quantity_revenue",
+    "q21_late_sole_supplier",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_products(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+def test_whole_stage_codegen_on_flagship(spark):
+    """q1's agg pipeline must be inside whole-stage codegen (JVM,
+    vectorized) — a Python UDF in the hot path would break this."""
+    # AQE wraps everything in AdaptiveSparkPlan and defers codegen
+    # until execution — disable it for a static compiled plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.queries()["q1_pricing_summary"](spark, SF_DIR)
+        codegen = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+        assert "WholeStageCodegen subtrees" in codegen and "Found 0" not in codegen
+        plan = _physical_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_anti_join_for_q22(spark):
+    plan = _plan(spark, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_semi_join_for_q4(spark):
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
