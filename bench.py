@@ -50,12 +50,23 @@ def main() -> int:
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            # Drop persisted intermediates so each run is isolated (no
+            # cross-run cache hits, no executor-memory pressure from
+            # stale blocks).
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        # min over repeats: the box is shared, so single runs carry
+        # multi-second external noise; the min is the real cost.
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -45,19 +45,26 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (JVM higher-order
     fns; one row per (doc, shingle))."""
+    # Split the text ONCE into a named column before the n-gram
+    # lambda. Inlining split() inside the transform() lambda makes
+    # codegen re-split the text for every sequence index — O(words²)
+    # per document; the separate projection (kept by CollapseProject
+    # because __ws is referenced more than once) makes it O(words).
+    # Distinctness is PER DOCUMENT (Jaccard is over shingle sets), so
+    # array_distinct before the explode does it map-side — no shuffle
+    # at all, vs a full (doc, shingle) distinct of the exploded rows.
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        f"array_distinct(transform(sequence(1, greatest(size(__ws) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(__ws, i, {n}))))"
     )
-    # The corpus often arrives as few large files; the explode is
-    # CPU-bound, so spread rows across all cores before fanning out
-    # (explicit count — AQE would coalesce a byte-size-based estimate
-    # of the small pre-explode input back to one partition).
+    # The corpus often arrives as few large files (this scan is a
+    # single partition at test scale); shingling is CPU-bound, so
+    # round-robin the rows across all cores before fanning out.
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(par, F.col(id_col))
+        df.repartition(par)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
         .select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
     )
 
 
@@ -75,32 +82,41 @@ def ngram_jaccard_pairs(
     before the self-join — the standard hot-bucket guard at scale
     (slightly under-counts common-shingle overlap; exact when None).
     """
-    # Persisted: the size aggregate and both inverted-index branches
-    # all scan the shingle set.
-    sh = shingles(df, id_col, text_col, n).persist()
-    if max_df is not None:
-        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_df).select("shingle")
-        sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    from pyspark.sql import Window
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh = shingles(df, id_col, text_col, n)
+    # Document frequency per shingle as a window count — one shuffle
+    # on `shingle`, no separate groupBy+join. df=1 shingles can never
+    # produce a cross-doc pair, so pruning them is free exactness:
+    # in a real corpus MOST shingles are unique, which shrinks the
+    # self-join input (and its Σ bucket² cost) by ~an order of
+    # magnitude. max_df is the hot-bucket guard on the same column.
+    ann = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    if max_df is not None:
+        ann = ann.where(F.col("df") <= max_df)
+    # Per-doc shingle-set size, attached to the rows themselves (one
+    # shuffle on id) so the pair aggregation below can carry both
+    # sizes through — no post-hoc joins against a sizes table.
+    ann = ann.withColumn("n_doc", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    # Persisted: the a and b sides of the self-join both scan this.
+    joinable = ann.where(F.col("df") >= 2).select(id_col, "shingle", "n_doc").persist()
+
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_doc").alias("n_a"))
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_doc").alias("n_b"))
     common = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    jac = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
         )
+    )
+    jac = common.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
     )
     return jac.where(F.col("jaccard") >= tau).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -158,9 +174,9 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.col("signature")[i].cast("string") for i in range(b * r, (b + 1) * r)
-                    ]))
+                    # multi-arg xxhash64 over the band's bigint slots:
+                    # no string materialization per band
+                    F.xxhash64(*[F.col("signature")[i] for i in range(b * r, (b + 1) * r)])
                     for b in range(bands)
                 ]
             )

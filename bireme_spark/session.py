@@ -29,7 +29,10 @@ def get_spark(app_name: str = "bireme-spark", shuffle_partitions: int | None = N
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] puts all 32 executor threads in the driver JVM —
+        # size the heap for them (the test box has 128 GiB; a real
+        # cluster sets executor memory instead).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
