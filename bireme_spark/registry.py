@@ -44,6 +44,7 @@ def _load() -> None:
 
     for mod_name in (
         "tpch_deep",
+        "corpus",
         "events",
         "cdc",
         "textops",
