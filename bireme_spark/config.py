@@ -36,6 +36,12 @@ class PipelineConfig:
     checkpoint_dir: str
     trigger_interval: str = "10 seconds"  # bireme merge_interval default 10s
     max_events_per_trigger: int | None = 50_000  # bireme batch_size-ish
+    # JDBC warehouse target (the Greenplum role; versioned parquet is
+    # the dependency-free default). When set, the pipeline merges via
+    # sinks.jdbc.JdbcMergeSink instead of parquet versions.
+    target_jdbc_url: str | None = None
+    target_table: str | None = None
+    jdbc_properties: dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def from_properties(cls, props: dict[str, str]) -> "PipelineConfig":

@@ -120,6 +120,20 @@ def run_cdc_pipeline(
             payload_cols=tuple(payload_cols),
             old_key_col="old_key",
         )
+        if config.target_jdbc_url:
+            # Greenplum/warehouse path: DELETE+COPY merge through the
+            # staged-key JDBC transaction (ChangeLoader semantics).
+            from bireme_spark.sinks.jdbc import JdbcMergeSink
+
+            sink = JdbcMergeSink(
+                url=config.target_jdbc_url,
+                target_table=config.target_table or "public.target",
+                key_cols=("key",),
+                payload_cols=("key", *payload_cols),
+                properties=config.jdbc_properties,
+            )
+            sink(compacted.withColumnRenamed("final_op", "op"), batch_id)
+            return
         bspark = batch_df.sparkSession
         base = read_state(bspark, config.target_dir)
         if base is None:
