@@ -20,6 +20,9 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -124,6 +127,127 @@ def lsh_topk(
         )
     cand = (
         cb.join(qb, ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _collect_centroids(df: DataFrame, vec_col: str, cell_col: str, ncells: int, dim: int):
+    """cell → mean vector, computed distributed (posexplode + groupBy
+    — no driver math); only the ncells×dim model comes back."""
+    means = (
+        df.select(F.col(cell_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy(cell_col, "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(cell_col, F.col("pm.m").alias("centroid"))
+        .collect()
+    )
+    cents = [[0.0] * dim for _ in range(ncells)]
+    for row in means:
+        cents[row[cell_col]] = list(row["centroid"])
+    return cents
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    ncells: int = 16,
+    refine_iters: int = 1,
+):
+    """IVF index build: deterministic seeds (the ncells lowest-id
+    vectors) + ``refine_iters`` distributed Lloyd passes. Returns
+    (centroids, assigned) where ``assigned`` adds a ``cell`` column.
+
+    Scale: assignment is one Arrow-batched numpy matmul per batch
+    (vectorized Pandas UDF); each Lloyd pass is one shuffle of
+    (cell, pos) partial sums. The centroid model (ncells×dim floats)
+    is the ONLY thing collected — it rides back out in the UDF
+    closure, an explicit tiny broadcast.
+    """
+    seeds = corpus.orderBy(id_col).limit(ncells).select(vec_col).collect()
+    cents = [list(r[vec_col]) for r in seeds]
+
+    for it in range(refine_iters + 1):
+        assigned = corpus.withColumn("cell", _nearest_cell_udf(cents)(F.col(vec_col)))
+        if it == refine_iters:
+            return cents, assigned
+        cents = _collect_centroids(assigned, vec_col, "cell", ncells, dim)
+
+
+def _nearest_cell_udf(centroids):
+    """Vectorized nearest-centroid (cosine) assignment."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def _probe_cells_udf(centroids, nprobe: int):
+    """Vectorized top-nprobe nearest cells per query vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    return probe
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    ncells: int = 16,
+    nprobe: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into ncells Voronoi
+    cells; each query probes its nprobe nearest cells; exact cosine
+    rerank inside the probed cells only. The inverted-file analogue
+    of FAISS IndexIVFFlat, as one bucket join — candidates shuffle on
+    ``cell``, never across cells."""
+    qid = query_id_col or id_col
+    cents, assigned = ivf_index(corpus, id_col, vec_col, dim, ncells)
+    cb = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    qb = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_probe_cells_udf(cents, nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        cb.join(qb, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
         .distinct()

@@ -69,3 +69,16 @@ QUERIES = {
 ORACLE = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
 }
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only for the driver (cell membership depends on the
+    centroid model); recall vs brute force is property-tested."""
+    from bireme_spark.operators.ann import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(e, q, "vec_id", "embedding", dim=EMBED_DIM, k=K, ncells=16, nprobe=4)
+
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk
