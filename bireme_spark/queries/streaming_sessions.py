@@ -1,0 +1,95 @@
+"""Oracle-checked streaming stateful sessionization: the events table
+replayed as a 3-batch file stream (time-split halves + a watermark
+flush sentinel) through ``applyInPandasWithState``; the closed
+sessions must equal the batch/SQL gap-sessionization of the same
+events — a strong end-to-end check that custom streaming state
+reproduces batch semantics."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bireme_spark.sources.tables import load_table
+from bireme_spark.streaming.sessionize import streaming_sessionize
+
+GAP_SECONDS = 1800
+_SENTINEL = -1
+
+
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    work = tempfile.mkdtemp(prefix="bireme_sess_")
+    src = f"{work}/in"
+    try:
+        median = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("m")).first().m
+        flush_ts = ev.agg((F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("f")).first().f
+        # Time-split batches: with watermark 0s nothing in batch 2 is
+        # late relative to batch 1's max event time.
+        ev.where(F.col("ts") <= median).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes keep file-source batch order
+        ev.where(F.col("ts") > median).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+        spark.createDataFrame([(_SENTINEL, flush_ts)], "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = f"sess_out_{int(time.time() * 1000)}"
+        q = (
+            streaming_sessionize(stream, gap_seconds=GAP_SECONDS, watermark="0 seconds")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = (
+            spark.table(name)
+            .where(F.col("user_id") != _SENTINEL)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .collect()
+        )
+        out = spark.createDataFrame(
+            rows, "user_id long, session_start timestamp, session_end timestamp, n_events long"
+        )
+        return out.orderBy("user_id", "session_start")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+QUERIES = {"streaming_sessionize": streaming_sessionize_events}
+ORACLE = {"streaming_sessionize": STREAMING_SESSIONIZE_SQL}

@@ -52,6 +52,7 @@ def _load() -> None:
         "ann",
         "multimodal",
         "streaming",
+        "streaming_sessions",
     ):
         try:
             mod = __import__(f"bireme_spark.queries.{mod_name}", fromlist=["QUERIES", "ORACLE"])
