@@ -93,3 +93,76 @@ ORDER BY user_id, session_start
 
 QUERIES = {"streaming_sessionize": streaming_sessionize_events}
 ORACLE = {"streaming_sessionize": STREAMING_SESSIONIZE_SQL}
+
+
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-finalized tumbling-window aggregation: the events
+    table replayed as ordered micro-batches through a 1-hour
+    ``F.window`` groupBy in append mode — windows emit only when the
+    watermark passes their end, and the flush sentinel finalizes the
+    tail. Hash-matches batch SQL date_trunc aggregation."""
+    from bireme_spark.streaming.replay import read_replay, replay_to_files
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="bireme_tumble_")
+    src = f"{work}/in"
+    try:
+        flush_ts = ev.agg((F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("f")).first().f
+        replay_to_files(
+            ev, "ts", src,
+            sentinel_row=[flush_ts, "__flush", 0.0],
+            sentinel_schema="ts timestamp, event_type string, value double",
+        )
+        stream = read_replay(spark, src, "ts timestamp, event_type string, value double")
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                # DECIMAL-exact sum: double addition is order-dependent
+                # and the micro-batch partial-agg order differs from
+                # the oracle's scan order (functions/money.py rationale)
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        name = f"tumble_out_{int(time.time() * 1000)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = (
+            spark.table(name)
+            .where(F.col("event_type") != "__flush")
+            .collect()
+        )
+        out = spark.createDataFrame(
+            rows, "window_start timestamp, event_type string, n_events long, total_value double"
+        )
+        return out.orderBy("window_start", "event_type")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+QUERIES["streaming_tumbling_window"] = streaming_tumbling_window
+ORACLE["streaming_tumbling_window"] = STREAMING_TUMBLING_SQL

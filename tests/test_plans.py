@@ -66,19 +66,17 @@ def test_q6_prunes_columns(spark):
     assert "l_returnflag" not in line and "l_orderkey" not in line
 
 
-NO_CARTESIAN = [
-    "q2_min_cost_supplier",
-    "q5_local_supplier",
-    "q13_customer_distribution",
-    "q16_part_supplier_relation",
-    "q17_small_quantity_revenue",
-    "q21_late_sole_supplier",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-]
+# Intentional cross joins (explicit O(n²) exact baselines) and
+# queries that execute work eagerly when built (streaming replays).
+CARTESIAN_OK = {"dedup_embedding_cosine", "ann_bruteforce_topk"}
+EAGER = {"streaming_cdc_pipeline", "streaming_sessionize", "ann_ivf_topk"}
 
 
-@pytest.mark.parametrize("name", NO_CARTESIAN)
+def _all_plan_checkable():
+    return sorted(set(registry.queries()) - CARTESIAN_OK - EAGER)
+
+
+@pytest.mark.parametrize("name", _all_plan_checkable())
 def test_no_cartesian_products(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
