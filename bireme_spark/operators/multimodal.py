@@ -65,3 +65,63 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int, codec string"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, n_frame_bytes int"
+FRAME_SIZE = 256  # stub frame stride (stands in for decoded frame size)
+
+
+def resize_media(binary_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage plumbing: Arrow-batched mapInPandas rewriting the
+    payload to the target geometry. STUB transform — a real deploy
+    swaps the body for PIL/libvips; the batch shape, output schema,
+    and metadata contract are the production ones."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            buf = pdf["payload"].map(
+                # deterministic fake resample: truncate / zero-pad to
+                # the target pixel budget
+                lambda b: bytes(b)[:target].ljust(target, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": buf,
+                    "width": width,
+                    "height": height,
+                    "codec": "stub-resize-v1",
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: one input row fans out to one row per
+    kept frame (the explode happens inside the Arrow batch, so the
+    JVM sees only the sampled frames). STUB framing — fixed-stride
+    byte windows stand in for codec-decoded frames."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + FRAME_SIZE - 1) // FRAME_SIZE
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * FRAME_SIZE : (i + 1) * FRAME_SIZE])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_frame_bytes": pd.Series([len(f) for f in frames], dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)

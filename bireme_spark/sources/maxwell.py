@@ -89,4 +89,9 @@ def parse_maxwell(
         F.col("_env.data").alias("data"),
         F.col("_env.old").alias("old"),
     )
-    return out
+    # Only DML rows become ChangeRows: the reference's type switch
+    # (MaxwellPipeLine.java:141-153) has no branch for bootstrap-*/ddl
+    # messages, so they never reach the merge — drop them here (op is
+    # null for unmapped types, and for unparseable JSON the whole
+    # envelope struct is null).
+    return out.where(F.col("op").isNotNull())

@@ -167,3 +167,23 @@ class TestSnapshot:
         )
         out = snapshot(df, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",)).collect()
         assert {(r.key, r.val) for r in out} == {("k1", "a2")}
+
+
+class TestNonDmlMessages:
+    def test_maxwell_bootstrap_and_ddl_dropped(self, spark):
+        from pyspark.sql.types import StructType
+
+        from bireme_spark.sources.maxwell import parse_maxwell
+
+        schema = StructType().add("id", "long").add("v", "string")
+        rows = [
+            ('{"database":"d","table":"t","type":"insert","ts":1,"data":{"id":1,"v":"a"}}',),
+            ('{"database":"d","table":"t","type":"bootstrap-start","ts":1,"data":{}}',),
+            ('{"database":"d","table":"t","type":"bootstrap-insert","ts":1,"data":{"id":2,"v":"b"}}',),
+            ('{"database":"d","table":"t","type":"ddl","ts":2}',),
+            ("not json at all",),
+        ]
+        df = spark.createDataFrame(rows, "value string")
+        out = parse_maxwell(df, "value", schema, ("id",)).collect()
+        assert [r.op for r in out] == ["I"]
+        assert out[0].key == "1"
