@@ -298,3 +298,62 @@ def embedding_cosine_pairs(
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph via iterative min-label propagation — the
+    step that turns pairwise similarity into dedup groups (keep one
+    doc per component).
+
+    Each iteration is one groupBy shuffle (label = min over
+    neighborhood); the loop runs on the driver but every pass is
+    fully distributed, converging in O(component diameter) rounds —
+    near-dup clusters are shallow in practice. Returns (id, component)
+    with component = min doc id in the cluster.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # self-edges keep isolated-after-filter nodes and their own label
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # candidate label per node: min(own, min over neighbors')
+        neighbor = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor, labels.id == neighbor.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -126,3 +126,55 @@ ORACLE = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
 }
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact n-gram Jaccard pairs (τ=0.8) folded
+    into connected components — each doc labeled with the min doc_id
+    of its duplicate cluster."""
+    from bireme_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.8)
+    return connected_components(pairs).orderBy("id")
+
+
+DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE pairs AS (
+  -- exact n-gram Jaccard >= 0.8 pairs (same as dedup_ngram_jaccard)
+  SELECT id_a, id_b FROM (
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i) t
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b
+    FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+  )
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT id, CAST(LEAST(id, MIN(dst)) AS BIGINT) AS component
+FROM (SELECT src AS id, dst FROM reach
+      UNION ALL
+      SELECT DISTINCT src AS id, src AS dst FROM edges) t
+GROUP BY id
+ORDER BY id
+"""
+
+QUERIES["dedup_components"] = dedup_components
+ORACLE["dedup_components"] = DEDUP_COMPONENTS_SQL
