@@ -159,7 +159,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = supplied.groupBy("l_partkey").agg(
         F.sum(money("l_extendedprice")).alias("pv")  # exact decimal
     )
-    total = per_part.agg((F.sum("pv").cast("double") * F.lit(0.001)).alias("threshold"))
+    # Scale-relative threshold (TPC-H Q11 divides its fraction by SF
+    # for the same reason): 2x the mean per-part value, so the result
+    # set stays meaningful at every corpus size.
+    total = per_part.agg(
+        (F.sum("pv").cast("double") * F.lit(2.0) / F.count(F.lit(1))).alias("threshold")
+    )
     return (
         per_part.join(broadcast(total))
         .where(F.col("pv").cast("double") > F.col("threshold"))
@@ -176,11 +181,13 @@ JOIN nation   ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_3'
 GROUP BY l_partkey
 HAVING CAST(SUM({PRICE_SQL}) AS DOUBLE) > (
-  SELECT CAST(SUM({PRICE_SQL}) AS DOUBLE) * 0.001
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation   ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_3')
+  SELECT CAST(SUM(pv) AS DOUBLE) * 2.0 / COUNT(*)
+  FROM (SELECT CAST(SUM({PRICE_SQL}) AS DECIMAL(38,2)) AS pv
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey) t)
 ORDER BY part_value DESC, l_partkey
 """
 
