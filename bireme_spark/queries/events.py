@@ -189,3 +189,35 @@ ORACLE = {
     "asof_join": ASOF_JOIN_SQL,
     "pivot_event_types": PIVOT_SQL,
 }
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type latency/value distribution: exact p50/p90/p99
+    (SQL PERCENTILE is a single-shuffle sort-based aggregate; the
+    approx_percentile twin is the sketch path at 100 TB — same plan
+    shape, mergeable partial sketches)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PERCENTILES_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_value_percentiles"] = events_value_percentiles
+ORACLE["events_value_percentiles"] = EVENTS_PERCENTILES_SQL
