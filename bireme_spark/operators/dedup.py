@@ -28,17 +28,21 @@ from pyspark.sql import functions as F
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
-    """Canonical-id assignment per exact content hash (sha256)."""
+    """Canonical-id assignment per exact content hash (sha256).
+
+    One shuffle: the canonical id is a min window over the hash
+    partition (vs groupBy+join back, which shuffles twice). The hash
+    — not the content — is the shuffle key, so row width stays small
+    even for multi-MB documents."""
+    from pyspark.sql import Window
+
     h = F.sha2(F.col(content_col), 256)
     hashed = df.select(F.col(id_col), h.alias("content_hash"))
-    canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
-    return (
-        hashed.join(canon, "content_hash")
-        .select(
-            id_col,
-            "canonical_id",
-            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
-        )
+    canon = F.min(id_col).over(Window.partitionBy("content_hash"))
+    return hashed.select(
+        id_col,
+        canon.alias("canonical_id"),
+        (F.col(id_col) != canon).alias("is_duplicate"),
     )
 
 
