@@ -154,6 +154,42 @@ def snapshot(
     return c.where(F.col("in_insert")).drop("final_op", "in_delete", "in_insert")
 
 
+def scd2(
+    changes: DataFrame,
+    key_cols: Sequence[str] = ("key",),
+    order_cols: Sequence[str] = ("produce_time_ms", "seq"),
+    op_col: str = "op",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Changelog → SCD Type-2 history: every non-delete change becomes
+    a version row valid over [valid_from, valid_to); ``valid_to`` is
+    the next change's time for the same key (any op, including the
+    closing DELETE), null while current.
+
+    Where ``apply_changes`` mirrors bireme's overwrite merge
+    (``ChangeLoader.java:205-330``), this keeps the full history the
+    warehouse side of such a sync typically materializes. One shuffle
+    on the PK hash (same partitioning as compact/apply — at 100 TB the
+    window sorts within each PK partition, no extra exchange).
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c for c in changes.columns if c not in set(key_cols) | set(order_cols) | {op_col}
+        ]
+    from pyspark.sql import Window
+
+    ts_col = order_cols[0]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    versioned = changes.withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+    return versioned.where(F.col(op_col) != OP_DELETE).select(
+        *key_cols,
+        *payload_cols,
+        F.col(ts_col).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
 def dedup_offsets(
     changes: DataFrame,
     identity_cols: Sequence[str] = ("source", "kafka_partition", "kafka_offset"),

@@ -23,7 +23,7 @@ from bireme_spark.functions.decoders import (
     decode_debezium_numeric,
     decode_debezium_timestamp,
 )
-from bireme_spark.operators.cdc import apply_changes, compact, dedup_offsets, snapshot
+from bireme_spark.operators.cdc import apply_changes, compact, dedup_offsets, scd2, snapshot
 from bireme_spark.operators.mapping import apply_table_mapping
 from bireme_spark.sources.debezium import parse_debezium
 from bireme_spark.sources.maxwell import parse_maxwell
@@ -404,6 +404,41 @@ FROM orders
 """
 
 
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD Type-2 version history (valid_from/valid_to
+    intervals, deletes close the last version)."""
+    ch = build_changelog(spark, sf_dir)
+    h = scd2(
+        ch,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    )
+    return h.select(
+        "key",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+CDC_SCD2_SQL = f"""
+WITH {CHANGELOG_SQL}
+SELECT key, CAST(o_totalprice AS DOUBLE) AS totalprice,
+       o_orderstatus AS status,
+       produce_time_ms AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM (
+  SELECT *, LEAD(produce_time_ms) OVER (
+    PARTITION BY key ORDER BY produce_time_ms, seq) AS valid_to
+  FROM changelog
+) t
+WHERE op <> 'D'
+"""
+
+
 def cdc_dedup_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay protection: changelog with deterministic duplicate
     deliveries (every orderkey % 7 == 0 row delivered twice) →
@@ -431,6 +466,7 @@ QUERIES = {
     "table_mapping": table_mapping,
     "type_decoders": type_decoders,
     "cdc_dedup_offsets": cdc_dedup_offsets,
+    "cdc_scd2": cdc_scd2,
 }
 
 ORACLE = {
@@ -442,4 +478,5 @@ ORACLE = {
     "table_mapping": TABLE_MAPPING_SQL,
     "type_decoders": TYPE_DECODERS_SQL,
     "cdc_dedup_offsets": CDC_DEDUP_SQL,
+    "cdc_scd2": CDC_SCD2_SQL,
 }

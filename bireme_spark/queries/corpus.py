@@ -79,12 +79,119 @@ ORDER BY doc_id
 """
 
 
+_CHUNK = 64
+_STRIDE = 48
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking for training-data prep: 64-token chunks
+    every 48 tokens (16-token overlap). Trailing windows that would
+    add no new tokens beyond the previous chunk are suppressed.
+
+    Pure map-side fan-out: one projected token array, explode of a
+    `sequence()` of start offsets, slice per chunk — no shuffle, so at
+    100 TB it scales with the scan. (Compare a join against a
+    generated offsets table, which would shuffle everything.)"""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    e = t.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(_STRIDE))
+        ).alias("start"),
+    ).where((F.col("start") == 0) | (F.col("start") + (_CHUNK - _STRIDE) < F.col("n")))
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(_CHUNK))
+    return e.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, {_STRIDE})) AS s FROM t
+)
+SELECT doc_id,
+       CAST(s / {_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(s AS INTEGER) AS start_tok,
+       CAST(len(toks[s+1:s+{_CHUNK}]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[s+1:s+{_CHUNK}], ' ') AS chunk_text
+FROM e
+WHERE s = 0 OR s + {_CHUNK - _STRIDE} < n
+"""
+
+
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retention pipeline — the composition a real corpus
+    build runs: language gate (heuristic lang-id) → quality threshold
+    → exact dedup by content hash (keep lowest doc_id). Filters are
+    map-side and reach the scan; the only shuffle is the dedup window
+    on md5(text), which at 100 TB is the same single PK-hash exchange
+    as `dedup_exact`."""
+    from bireme_spark.functions.text import lang_id, quality_score, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        d.withColumn("quality", quality_score(F.col("text")))
+        .where((lang_id(F.col("text")) == "en") & (F.col("quality") >= 0.08))
+        .withColumn("content_hash", F.md5(F.col("text")))
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.round("quality", 6).alias("quality"),
+        )
+    )
+
+
+CORPUS_FILTER_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         least(1.0, len(string_split(text, ' ')) / 400.0)
+           * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+                  / len(string_split(text, ' '))) AS quality,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+), kept AS (
+  SELECT *, md5(text) AS content_hash FROM scored
+  WHERE stop_ratio > 0.03 AND quality >= 0.08
+)
+SELECT doc_id, source, lang, n_tokens, ROUND(quality, 6) AS quality
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM kept) t
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "corpus_stats": corpus_stats,
     "corpus_sample_systematic": corpus_sample_systematic,
+    "doc_chunking": doc_chunking,
+    "corpus_filter_pipeline": corpus_filter_pipeline,
 }
 
 ORACLE = {
     "corpus_stats": CORPUS_STATS_SQL,
     "corpus_sample_systematic": CORPUS_SAMPLE_SQL,
+    "doc_chunking": DOC_CHUNKING_SQL,
+    "corpus_filter_pipeline": CORPUS_FILTER_SQL,
 }

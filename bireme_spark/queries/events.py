@@ -84,6 +84,46 @@ ORDER BY 1, 2
 """
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour window every 30 minutes, per
+    event type. F.window with a slide duration fans each event into
+    its two covering windows map-side (no pre-shuffle explode), then
+    one hash aggregation — the same operator Structured Streaming uses
+    with a watermark, so the batch and streaming plans agree."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH fanned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM fanned
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def events_topk_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 users per event type by activity (rank window over
     a pre-aggregated frame — aggregation shrinks before the sort)."""
@@ -174,19 +214,61 @@ ORDER BY user_id
 """
 
 
+def unpivot_event_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot's inverse: per-type aggregate measures melted to long
+    (event_type, measure, value) rows via DataFrame.unpivot — the
+    melt happens map-side after the aggregation shrinks the frame, so
+    the only shuffle is the groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    return agg.unpivot(
+        ids=["event_type"],
+        values=["n_events", "total_value", "n_users"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("event_type", "measure")
+
+
+UNPIVOT_SQL = """
+WITH a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+  FROM events GROUP BY event_type
+)
+SELECT event_type, measure, value FROM (
+  SELECT event_type, 'n_events' AS measure, n_events AS value FROM a
+  UNION ALL
+  SELECT event_type, 'total_value', total_value FROM a
+  UNION ALL
+  SELECT event_type, 'n_users', n_users FROM a
+) u
+ORDER BY event_type, measure
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_tumbling_window": events_tumbling_window,
+    "events_sliding_window": events_sliding_window,
     "events_topk_by_type": events_topk_by_type,
     "asof_join": asof_join_events_orders,
     "pivot_event_types": pivot_event_types,
+    "unpivot_event_measures": unpivot_event_measures,
 }
 
 ORACLE = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
+    "events_sliding_window": EVENTS_SLIDING_SQL,
     "events_topk_by_type": EVENTS_TOPK_SQL,
     "asof_join": ASOF_JOIN_SQL,
+    "unpivot_event_measures": UNPIVOT_SQL,
     "pivot_event_types": PIVOT_SQL,
 }
 

@@ -91,11 +91,92 @@ FROM documents
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of duplicate tokens /
+    bigrams / trigrams per document (Rae et al. 2021 §A1.1 use
+    duplicate n-gram fractions as a quality filter).
+
+    Entirely map-side JVM: n-grams are built with slice+zip_with over
+    a single projected token array — no explode, no shuffle, so the
+    plan is a pure scan→project at any corpus scale. The token array
+    is projected to a named column once (never re-split inside a
+    lambda)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    nm1 = F.greatest(F.col("n") - 1, F.lit(0))
+    nm2 = F.greatest(F.col("n") - 2, F.lit(0))
+    g = t.withColumn(
+        "bigrams",
+        F.zip_with(
+            F.slice("toks", F.lit(1), nm1),
+            F.slice("toks", F.lit(2), nm1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).withColumn(
+        "trigrams",
+        F.zip_with(
+            F.slice("bigrams", F.lit(1), nm2),
+            F.slice("toks", F.lit(3), nm2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+
+    def dup_frac(arr: str):
+        n = F.size(arr)
+        return F.when(
+            n > 0, F.round((n - F.size(F.array_distinct(arr))) / n.cast("double"), 6)
+        )
+
+    return g.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tokens"),
+        dup_frac("toks").alias("dup_token_frac"),
+        dup_frac("bigrams").alias("dup_bigram_frac"),
+        dup_frac("trigrams").alias("dup_trigram_frac"),
+        (
+            (F.coalesce(dup_frac("toks"), F.lit(0.0)) > 0.6)
+            | (F.coalesce(dup_frac("bigrams"), F.lit(0.0)) > 0.2)
+        ).alias("repetitive"),
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id, n, toks,
+         list_transform(list_zip(toks[1:n-1], toks[2:n]),
+                        s -> s[1] || ' ' || s[2]) AS bigrams,
+         list_transform(list_zip(toks[1:n-2], toks[2:n-1], toks[3:n]),
+                        s -> s[1] || ' ' || s[2] || ' ' || s[3]) AS trigrams
+  FROM t
+), f AS (
+  SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         ROUND((n - len(list_distinct(toks)))
+               / CAST(NULLIF(n, 0) AS DOUBLE), 6) AS dup_token_frac,
+         ROUND((len(bigrams) - len(list_distinct(bigrams)))
+               / CAST(NULLIF(len(bigrams), 0) AS DOUBLE), 6) AS dup_bigram_frac,
+         ROUND((len(trigrams) - len(list_distinct(trigrams)))
+               / CAST(NULLIF(len(trigrams), 0) AS DOUBLE), 6) AS dup_trigram_frac
+  FROM g
+)
+SELECT *,
+       (COALESCE(dup_token_frac, 0) > 0.6 OR COALESCE(dup_bigram_frac, 0) > 0.2)
+         AS repetitive
+FROM f
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "text_repetition": text_repetition,
 }
 
 ORACLE = {
@@ -103,4 +184,5 @@ ORACLE = {
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
 }

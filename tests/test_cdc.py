@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from bireme_spark.operators.cdc import apply_changes, compact, dedup_offsets, snapshot
+from bireme_spark.operators.cdc import apply_changes, compact, dedup_offsets, scd2, snapshot
 from bireme_spark.sources.debezium import parse_debezium
 from bireme_spark.sources.maxwell import parse_maxwell
 
@@ -187,3 +187,43 @@ class TestNonDmlMessages:
         out = parse_maxwell(df, "value", schema, ("id",)).collect()
         assert [r.op for r in out] == ["I"]
         assert out[0].key == "1"
+
+
+class TestScd2:
+    def test_versions_tile_and_delete_closes(self, spark):
+        df = _changes(
+            spark,
+            [
+                ("k1", "I", 10, 1, "a"),
+                ("k1", "U", 20, 2, "b"),
+                ("k1", "D", 30, 3, None),
+                ("k2", "I", 15, 4, "x"),
+            ],
+        )
+        out = scd2(df, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",)).collect()
+        k1 = sorted([r for r in out if r.key == "k1"], key=lambda r: r.valid_from)
+        # D emits no row but closes the last version.
+        assert [(r.val, r.valid_from, r.valid_to, r.is_current) for r in k1] == [
+            ("a", 10, 20, False),
+            ("b", 20, 30, False),
+        ]
+        (k2,) = [r for r in out if r.key == "k2"]
+        assert k2.valid_to is None and k2.is_current and k2.val == "x"
+
+    def test_intervals_never_overlap(self, spark):
+        rows = [("k", "I", 1, 1, "v0")] + [
+            ("k", "U", t, t, f"v{t}") for t in range(2, 12)
+        ]
+        out = scd2(
+            spark.createDataFrame(
+                rows, "key string, op string, produce_time_ms long, seq long, val string"
+            ),
+            ("key",),
+            ("produce_time_ms", "seq"),
+            payload_cols=("val",),
+        ).collect()
+        ordered = sorted(out, key=lambda r: r.valid_from)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.valid_to == b.valid_from  # tiles exactly, no gaps/overlap
+        assert sum(r.is_current for r in ordered) == 1
+        assert ordered[-1].valid_to is None
