@@ -26,7 +26,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bireme_spark.operators.dedup import cosine
+def _dot(x, y):
+    """Deterministic left-to-right dot fold (same arithmetic as
+    operators.dedup.cosine's inner fold)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def bruteforce_topk(
@@ -39,12 +46,27 @@ def bruteforce_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors (excluding self) per query row."""
     qid = query_id_col or id_col
-    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Precompute each side's norm ONCE per row (2 folds per corpus row
+    # + 2 per query row) instead of per pair (3 folds/pair) — the dot
+    # fold and the division keep the exact same double arithmetic, so
+    # results are bit-identical to the naive form.
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -112,26 +134,40 @@ def lsh_topk(
     is unchanged — multi-probe boosts recall by ~2-4× at the cost of
     a slightly wider candidate join, the standard trade at scale."""
     qid = query_id_col or id_col
+    # Norms ride along as one double per row — 3× less fold math per
+    # candidate pair than recomputing both norms inside the rerank,
+    # and 64× smaller than the vector they summarize.
     cb = lsh_bucketed(corpus, id_col, vec_col, dim, tables, bits, seed).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "table_id", "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
+        "table_id",
+        "bucket",
     )
     qb = lsh_bucketed(queries, qid, vec_col, dim, tables, bits, seed).select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"), "table_id", "bucket"
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
+        "table_id",
+        "bucket",
     )
     if multiprobe:
         probes = F.array(
             F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
         )
         qb = qb.select(
-            "query_id", "qv", "table_id", F.explode(probes).alias("bucket")
+            "query_id", "qv", "qn", "table_id", F.explode(probes).alias("bucket")
         )
     cand = (
         cb.join(qb, ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
         .distinct()
     )
-    scored = cand.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -239,20 +275,27 @@ def ivf_topk(
     qid = query_id_col or id_col
     cents, assigned = ivf_index(corpus, id_col, vec_col, dim, ncells)
     cb = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
+        "cell",
     )
     qb = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
         F.explode(_probe_cells_udf(cents, nprobe)(F.col(vec_col))).alias("cell"),
     )
     cand = (
         cb.join(qb, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
         .distinct()
     )
-    scored = cand.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -16,10 +16,22 @@ N_QUERIES = 10
 K = 5
 
 
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan, spread across cores: the test parquet is a
+    single row group (one scan partition), which would serialize all
+    per-pair cosine math. At real scale the scan itself yields many
+    partitions (maxPartitionBytes) and this explicit spread is a
+    cheap narrow-ish reshuffle of id+vec only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.repartition(spark.sparkContext.defaultParallelism)
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERIES)
-    return bruteforce_topk(e, q, "vec_id", "embedding", k=K).orderBy("query_id", "rank")
+    return bruteforce_topk(_corpus(spark, sf_dir), q, "vec_id", "embedding", k=K).orderBy(
+        "query_id", "rank"
+    )
 
 
 ANN_BRUTEFORCE_SQL = f"""
@@ -58,7 +70,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested (bucket membership depends on hash seeds)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERIES)
-    return lsh_topk(e, q, "vec_id", "embedding", dim=EMBED_DIM, k=K, tables=8, bits=6)
+    return lsh_topk(
+        _corpus(spark, sf_dir), q, "vec_id", "embedding", dim=EMBED_DIM, k=K, tables=8, bits=6
+    )
 
 
 QUERIES = {
@@ -78,7 +92,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERIES)
-    return ivf_topk(e, q, "vec_id", "embedding", dim=EMBED_DIM, k=K, ncells=16, nprobe=4)
+    return ivf_topk(
+        _corpus(spark, sf_dir), q, "vec_id", "embedding", dim=EMBED_DIM, k=K, ncells=16, nprobe=4
+    )
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk
