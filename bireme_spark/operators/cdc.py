@@ -154,6 +154,68 @@ def snapshot(
     return c.where(F.col("in_insert")).drop("final_op", "in_delete", "in_insert")
 
 
+def incremental_sum_agg(
+    base: DataFrame,
+    compacted: DataFrame,
+    base_key: str,
+    compact_key: str,
+    group_col: str,
+    value_col: str,
+    payload_group_col: str | None = None,
+    payload_value_col: str | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for a (group, SUM(value), COUNT)
+    aggregate under a compacted changelog: instead of re-aggregating
+    the merged base (ChangeLoader applies then Greenplum rescans),
+    fold per-key deltas into the existing aggregate — remove each
+    changed key's old contribution, add the new one.
+
+    Returns ``(group_col, total, n)`` equal to aggregating
+    ``apply_changes(base, compacted)`` — but the base is scanned once
+    for old values and never re-aggregated: at 100 TB the work is
+    sized by the changelog (join on PK + one tiny group shuffle), not
+    the fact table. Sum inputs should be DECIMAL for exactness.
+    """
+    pg = payload_group_col or group_col
+    pv = payload_value_col or value_col
+    base_agg = base.groupBy(group_col).agg(
+        F.sum(value_col).alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    old = base.select(
+        F.col(base_key).alias("_bk"),
+        F.col(group_col).alias("_og"),
+        F.col(value_col).alias("_ov"),
+    )
+    keyed = compacted.withColumn("_ck", F.col(compact_key).cast(base.schema[base_key].dataType))
+    # every compacted key that existed in base loses its old contribution
+    removes = keyed.join(old, keyed["_ck"] == old["_bk"]).select(
+        F.col("_og").alias(group_col),
+        (-F.col("_ov")).alias("_d"),
+        F.lit(-1).cast("bigint").alias("_dn"),
+    )
+    # every key whose final op is not DELETE gains its new contribution
+    adds = keyed.where(F.col("in_insert")).select(
+        F.col(pg).alias(group_col),
+        F.col(pv).alias("_d"),
+        F.lit(1).cast("bigint").alias("_dn"),
+    )
+    delta = (
+        removes.unionByName(adds)
+        .groupBy(group_col)
+        .agg(F.sum("_d").alias("_dsum"), F.sum("_dn").alias("_dn"))
+    )
+    zero = F.lit(0).cast(base.schema[value_col].dataType)
+    return (
+        base_agg.join(delta, group_col, "full_outer")
+        .select(
+            group_col,
+            (F.coalesce(F.col("_sum"), zero) + F.coalesce(F.col("_dsum"), zero)).alias("total"),
+            (F.coalesce(F.col("_n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+
+
 def scd2(
     changes: DataFrame,
     key_cols: Sequence[str] = ("key",),

@@ -23,7 +23,14 @@ from bireme_spark.functions.decoders import (
     decode_debezium_numeric,
     decode_debezium_timestamp,
 )
-from bireme_spark.operators.cdc import apply_changes, compact, dedup_offsets, scd2, snapshot
+from bireme_spark.operators.cdc import (
+    apply_changes,
+    compact,
+    dedup_offsets,
+    incremental_sum_agg,
+    scd2,
+    snapshot,
+)
 from bireme_spark.operators.mapping import apply_table_mapping
 from bireme_spark.sources.debezium import parse_debezium
 from bireme_spark.sources.maxwell import parse_maxwell
@@ -404,6 +411,114 @@ FROM orders
 """
 
 
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of SUM(totalprice)/COUNT per order
+    status under the changelog's update/delete tail — equals a full
+    re-aggregation of the applied table, computed without one."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    ch = build_changelog(spark, sf_dir).where(F.col("op") != "I")
+    c = compact(
+        ch,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    )
+    out = incremental_sum_agg(
+        base,
+        c,
+        base_key="o_orderkey",
+        compact_key="key",
+        group_col="o_orderstatus",
+        value_col="price",
+        payload_group_col="o_orderstatus",
+        payload_value_col="o_totalprice",
+    )
+    return out.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("total").cast("double").alias("total_price"),
+        F.col("n").alias("n_orders"),
+    )
+
+
+CDC_INCREMENTAL_AGG_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 0
+                     THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderkey % 5 <> 0
+GROUP BY 1
+"""
+
+
+def cdc_unified_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispatcher role (``Dispatcher.java``): two concurrently-fed
+    provider pipelines — Maxwell for even order keys, Debezium for odd
+    — each parsed by its real envelope parser, normalized to the one
+    canonical ChangeRow shape, and unioned into a single changelog."""
+    o = load_table(spark, sf_dir, "orders")
+    op3 = F.col("o_orderkey") % 3 == 0
+    op5 = F.col("o_orderkey") % 5 == 0
+    data_schema = StructType().add("o_orderkey", "long").add("o_totalprice", "double")
+    row_struct = F.struct(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+
+    mx_type = F.when(op5, "delete").when(op3, "update").otherwise("insert")
+    mx_raw = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.to_json(
+            F.struct(
+                F.lit("testdb").alias("database"),
+                F.lit("orders").alias("table"),
+                mx_type.alias("type"),
+                F.unix_timestamp("o_orderdate").alias("ts"),
+                row_struct.alias("data"),
+                F.lit(None).cast(data_schema).alias("old"),
+            )
+        ).alias("value")
+    )
+    mx = parse_maxwell(mx_raw, "value", data_schema, key_fields=("o_orderkey",))
+
+    dz_op = F.when(op5, "d").when(op3, "u").otherwise("c")
+    dz_raw = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    dz_op.alias("op"),
+                    (F.unix_timestamp("o_orderdate") * 1000).alias("ts_ms"),
+                    F.when(dz_op == "d", row_struct).alias("before"),
+                    F.when(dz_op != "d", row_struct).alias("after"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+    dz = parse_debezium(dz_raw, "value", data_schema, key_fields=("o_orderkey",))
+
+    cols = ["source", "op", "produce_time_ms", "key"]
+    unified = mx.select(*cols, F.col("data.o_totalprice").alias("totalprice")).unionByName(
+        dz.select(*cols, F.col("data.o_totalprice").alias("totalprice"))
+    )
+    return unified
+
+
+CDC_UNIFIED_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'maxwell' ELSE 'debezium' END AS source,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+            WHEN o_orderkey % 3 = 0 THEN 'U'
+            ELSE 'I' END AS op,
+       epoch_ms(o_orderdate) AS produce_time_ms,
+       CAST(o_orderkey AS VARCHAR) AS key,
+       o_totalprice AS totalprice
+FROM orders
+"""
+
+
 def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog → SCD Type-2 version history (valid_from/valid_to
     intervals, deletes close the last version)."""
@@ -467,6 +582,8 @@ QUERIES = {
     "type_decoders": type_decoders,
     "cdc_dedup_offsets": cdc_dedup_offsets,
     "cdc_scd2": cdc_scd2,
+    "cdc_incremental_agg": cdc_incremental_agg,
+    "cdc_unified_ingest": cdc_unified_ingest,
 }
 
 ORACLE = {
@@ -479,4 +596,6 @@ ORACLE = {
     "type_decoders": TYPE_DECODERS_SQL,
     "cdc_dedup_offsets": CDC_DEDUP_SQL,
     "cdc_scd2": CDC_SCD2_SQL,
+    "cdc_incremental_agg": CDC_INCREMENTAL_AGG_SQL,
+    "cdc_unified_ingest": CDC_UNIFIED_SQL,
 }

@@ -100,5 +100,85 @@ def streaming_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-QUERIES = {"streaming_cdc_pipeline": streaming_cdc_pipeline}
-ORACLE: dict[str, str] = {}
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: each purchase event joins the
+    same user's click events from the preceding 30 minutes. Both sides
+    carry a 1-hour watermark + the event-time range constraint, so
+    state for either side is dropped once the watermark passes —
+    bounded state at any stream length (the unbounded-state join is
+    the classic streaming OOM). availableNow replay of a single file
+    makes the append-mode result equal the batch interval join, which
+    is exactly the DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="bireme_ssj_")
+    try:
+        e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+        e.where(F.col("event_type").isin("purchase", "click")).coalesce(1).write.parquet(
+            f"{work}/in"
+        )
+        schema = spark.read.parquet(f"{work}/in").schema
+        stream = spark.readStream.schema(schema).parquet(f"{work}/in")
+        p = (
+            stream.where(F.col("event_type") == "purchase")
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        c = (
+            stream.where(F.col("event_type") == "click")
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        joined = p.join(
+            c,
+            F.expr(
+                "p_user = user_id AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"
+                " AND click_ts <= purchase_ts"
+            ),
+        ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
+        name = f"ssj_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.table(name).collect()
+        out = spark.createDataFrame(
+            rows,
+            "user_id bigint, purchase_id bigint, click_id bigint,"
+            " purchase_ts timestamp, click_ts timestamp",
+        )
+        return out.orderBy("purchase_id", "click_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAM_JOIN_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+"""
+
+
+QUERIES = {
+    "streaming_cdc_pipeline": streaming_cdc_pipeline,
+    "streaming_stream_join": streaming_stream_join,
+}
+ORACLE: dict[str, str] = {"streaming_stream_join": STREAM_JOIN_SQL}
