@@ -182,11 +182,62 @@ WHERE rn = 1
 """
 
 
+_TOKEN_BUDGET = 800
+
+
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: per source stratum, rank
+    docs by quality (best first) and keep docs while the running token
+    total stays under the budget — how a training mix allocates a
+    fixed token count across sources. One window per stratum (ordered
+    cumsum), no global sort; each stratum fills independently, which
+    is exactly the distributed behavior wanted at 100 TB."""
+    from bireme_spark.functions.text import quality_score, token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "quality", F.col("cum_tokens").cast("bigint").alias("cum_tokens"))
+    )
+
+
+CORPUS_TOKEN_BUDGET_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         ROUND(least(1.0, len(string_split(text, ' ')) / 400.0)
+           * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+                  / len(string_split(text, ' '))), 6) AS quality
+  FROM documents
+), ranked AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, quality, cum_tokens
+FROM ranked
+WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     "corpus_stats": corpus_stats,
     "corpus_sample_systematic": corpus_sample_systematic,
     "doc_chunking": doc_chunking,
     "corpus_filter_pipeline": corpus_filter_pipeline,
+    "corpus_token_budget_select": corpus_token_budget_select,
 }
 
 ORACLE = {
@@ -194,4 +245,5 @@ ORACLE = {
     "corpus_sample_systematic": CORPUS_SAMPLE_SQL,
     "doc_chunking": DOC_CHUNKING_SQL,
     "corpus_filter_pipeline": CORPUS_FILTER_SQL,
+    "corpus_token_budget_select": CORPUS_TOKEN_BUDGET_SQL,
 }

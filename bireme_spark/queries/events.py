@@ -214,6 +214,48 @@ ORDER BY user_id
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: one
+    aggregation pass computes each user's first time per step
+    (conditional MIN — no per-step scans or joins), then counts users
+    completing each ordered prefix. Two tiny shuffles regardless of
+    event volume."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    step1 = F.col("t_signup").isNotNull()
+    step2 = step1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+    step3 = step2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    return first.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(step1.cast("bigint")).alias("n_signup"),
+        F.sum(step2.cast("bigint")).alias("n_signup_click"),
+        F.sum(step3.cast("bigint")).alias("n_full_funnel"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH first AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM first
+"""
+
+
 def unpivot_event_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot's inverse: per-type aggregate measures melted to long
     (event_type, measure, value) rows via DataFrame.unpivot — the
@@ -260,6 +302,7 @@ QUERIES = {
     "asof_join": asof_join_events_orders,
     "pivot_event_types": pivot_event_types,
     "unpivot_event_measures": unpivot_event_measures,
+    "events_funnel": events_funnel,
 }
 
 ORACLE = {
@@ -269,6 +312,7 @@ ORACLE = {
     "events_topk_by_type": EVENTS_TOPK_SQL,
     "asof_join": ASOF_JOIN_SQL,
     "unpivot_event_measures": UNPIVOT_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
     "pivot_event_types": PIVOT_SQL,
 }
 
