@@ -572,7 +572,11 @@ SELECT DISTINCT source, kafka_partition, seq, key, op FROM changelog
 """
 
 
+# cdc_unified_ingest leads: it was the first entry missing from the
+# round-1 driver artifact (which recorded exactly 50 rows), so it runs
+# before the already-covered cdc entries in case the driver budget-cuts.
 QUERIES = {
+    "cdc_unified_ingest": cdc_unified_ingest,
     "cdc_compact": cdc_compact,
     "cdc_snapshot": cdc_snapshot,
     "cdc_apply": cdc_apply,
@@ -583,7 +587,6 @@ QUERIES = {
     "cdc_dedup_offsets": cdc_dedup_offsets,
     "cdc_scd2": cdc_scd2,
     "cdc_incremental_agg": cdc_incremental_agg,
-    "cdc_unified_ingest": cdc_unified_ingest,
 }
 
 ORACLE = {

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import shutil
 import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,17 +52,23 @@ def streaming_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     work = tempfile.mkdtemp(prefix="bireme_stream_")
     input_dir = f"{work}/input"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         o = load_table(spark, sf_dir, "orders").limit(2000).cache()
         o.count()
 
+        from bireme_spark.streaming.replay import stamp_batch_mtime
+
         # micro-batch 1: snapshot inserts
+        seen: set[str] = set()
         _maxwell_json(o, "insert", 0, 0.0).coalesce(1).write.mode("append").text(input_dir)
-        time.sleep(1.1)  # distinct mtimes → file source keeps batch order
+        stamp_batch_mtime(input_dir, 0, seen)  # mtime slots keep batch order, no sleep
         # micro-batch 2: updates (every 3rd) then deletes (every 5th)
         upd = _maxwell_json(o.where(F.col("o_orderkey") % 3 == 0), "update", 1, 10.0)
         dele = _maxwell_json(o.where(F.col("o_orderkey") % 5 == 0), "delete", 2, 0.0)
         upd.unionByName(dele).coalesce(1).write.mode("append").text(input_dir)
+        stamp_batch_mtime(input_dir, 1, seen)
 
         cfg = PipelineConfig(
             sources=[
@@ -97,6 +102,7 @@ def streaming_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.createDataFrame(rows, "o_orderkey bigint, o_totalprice double, o_orderstatus string")
         return out.orderBy("o_orderkey")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -113,6 +119,8 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     work = tempfile.mkdtemp(prefix="bireme_ssj_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
         e.where(F.col("event_type").isin("purchase", "click")).coalesce(1).write.parquet(
@@ -163,6 +171,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.orderBy("purchase_id", "click_id")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 

@@ -23,27 +23,25 @@ _SENTINEL = -1
 
 def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from bireme_spark.streaming.replay import read_replay, replay_to_files
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     work = tempfile.mkdtemp(prefix="bireme_sess_")
     src = f"{work}/in"
+    # State-store tasks scale with shuffle partitions and the result
+    # doesn't: run the replay with few state partitions, then restore.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        median = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("m")).first().m
         flush_ts = ev.agg((F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("f")).first().f
         # Time-split batches: with watermark 0s nothing in batch 2 is
         # late relative to batch 1's max event time.
-        ev.where(F.col("ts") <= median).coalesce(1).write.mode("append").parquet(src)
-        time.sleep(1.1)  # distinct mtimes keep file-source batch order
-        ev.where(F.col("ts") > median).coalesce(1).write.mode("append").parquet(src)
-        time.sleep(1.1)
-        spark.createDataFrame([(_SENTINEL, flush_ts)], "user_id long, ts timestamp").coalesce(
-            1
-        ).write.mode("append").parquet(src)
-
-        stream = (
-            spark.readStream.schema("user_id long, ts timestamp")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+        replay_to_files(
+            ev, "ts", src,
+            sentinel_row=[_SENTINEL, flush_ts],
+            sentinel_schema="user_id long, ts timestamp",
         )
+        stream = read_replay(spark, src, "user_id long, ts timestamp")
         name = f"sess_out_{int(time.time() * 1000)}"
         q = (
             streaming_sessionize(stream, gap_seconds=GAP_SECONDS, watermark="0 seconds")
@@ -66,6 +64,7 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.orderBy("user_id", "session_start")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -107,6 +106,8 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     work = tempfile.mkdtemp(prefix="bireme_tumble_")
     src = f"{work}/in"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         flush_ts = ev.agg((F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("f")).first().f
         replay_to_files(
@@ -152,6 +153,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.orderBy("window_start", "event_type")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 

@@ -11,10 +11,28 @@ against batch SQL over the same rows."""
 
 from __future__ import annotations
 
-import time
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Any fixed past epoch: batch i's files get mtime _MTIME_BASE + i, so
+# the file source (which orders files by modification time) replays
+# batches in write order without real sleeps between writes.
+_MTIME_BASE = 946_684_800  # 2000-01-01T00:00:00Z
+
+
+def stamp_batch_mtime(src_dir: str, batch_idx: int, seen: set[str]) -> None:
+    """Give every not-yet-stamped file in ``src_dir`` the mtime slot
+    for ``batch_idx``. Replaces the old ``time.sleep(1.1)`` between
+    writes — same ordering guarantee, zero wall-clock cost."""
+    t = _MTIME_BASE + batch_idx
+    for name in os.listdir(src_dir):
+        p = os.path.join(src_dir, name)
+        if p in seen or not os.path.isfile(p):
+            continue
+        os.utime(p, (t, t))
+        seen.add(p)
 
 
 def replay_to_files(
@@ -33,19 +51,21 @@ def replay_to_files(
     ).first()
     cuts = [bounds[f"q{i}"] for i in range(len(qs))]
     lo = None
-    for cut in [*cuts, None]:
+    seen: set[str] = set()
+    for i, cut in enumerate([*cuts, None]):
         part = df
         if lo is not None:
             part = part.where(F.col(ts_col) > F.lit(lo))
         if cut is not None:
             part = part.where(F.col(ts_col) <= F.lit(cut))
         part.coalesce(1).write.mode("append").parquet(src_dir)
-        time.sleep(1.1)  # distinct mtimes keep file-source batch order
+        stamp_batch_mtime(src_dir, i, seen)
         lo = cut
     if sentinel_row is not None:
         spark.createDataFrame([tuple(sentinel_row)], sentinel_schema).coalesce(1).write.mode(
             "append"
         ).parquet(src_dir)
+        stamp_batch_mtime(src_dir, halves, seen)
 
 
 def read_replay(spark: SparkSession, src_dir: str, schema: str):

@@ -50,13 +50,15 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _close_session(user_id: int, start_us: int, end_us: int, n: int) -> pd.DataFrame:
+def _close_frame(user_id: int, closes: list[tuple[int, int, int]]) -> pd.DataFrame:
+    """One DataFrame for all of a group's closed sessions — per-close
+    1-row frames would churn thousands of pandas objects per batch."""
     return pd.DataFrame(
         {
-            "user_id": [user_id],
-            "session_start": [pd.Timestamp(start_us, unit="us")],
-            "session_end": [pd.Timestamp(end_us, unit="us")],
-            "n_events": [n],
+            "user_id": [user_id] * len(closes),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closes],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closes],
+            "n_events": [n for _, _, n in closes],
         }
     )
 
@@ -75,21 +77,41 @@ def make_session_fn(gap_seconds: int):
         if state.hasTimedOut:
             start_us, end_us, n = state.get
             state.remove()
-            yield _close_session(user_id, start_us, end_us, n)
+            yield _close_frame(user_id, [(start_us, end_us, n)])
             return
 
         ts = pd.concat(list(pdfs))["ts"]
         us = (ts.astype("int64") // 1_000).sort_values().to_numpy()
+        out: list[tuple[int, int, int]] = []
         if state.exists:
             start_us, end_us, n = state.get
+            # In-watermark events can still sort before the open
+            # session's recorded start (out-of-order arrival). Chain
+            # them exactly like the batch sessionizer: gap-split the
+            # early events, then either merge the last early run into
+            # the open session (gap bridged) or close it separately.
+            pre = us[us < start_us]
+            us = us[us >= start_us]
+            if len(pre):
+                c_start, c_end, c_n = int(pre[0]), int(pre[0]), 0
+                for t in pre:
+                    t = int(t)
+                    if c_n > 0 and t - c_end > gap_us:
+                        out.append((c_start, c_end, c_n))
+                        c_start, c_n = t, 0
+                    c_end = max(c_end, t)
+                    c_n += 1
+                if start_us - c_end <= gap_us:
+                    start_us, n = c_start, n + c_n
+                else:
+                    out.append((c_start, c_end, c_n))
         else:
             start_us, end_us, n = int(us[0]), int(us[0]), 0
 
-        out = []
         for t in us:
             t = int(t)
             if n > 0 and t - end_us > gap_us:
-                out.append(_close_session(user_id, start_us, end_us, n))
+                out.append((start_us, end_us, n))
                 start_us, n = t, 0
             end_us = max(end_us, t)
             n += 1
@@ -99,15 +121,15 @@ def make_session_fn(gap_seconds: int):
             # The watermark already passed this session's close time
             # (any further events for it would be dropped as late) —
             # close it now; a timeout in the past is rejected.
-            out.append(_close_session(user_id, start_us, end_us, n))
+            out.append((start_us, end_us, n))
             state.remove()
         else:
             state.update((start_us, end_us, n))
             # timeout API is ms-granular; round up so it never fires
             # before the µs-exact deadline
             state.setTimeoutTimestamp(-(-deadline_us // 1000))
-        for df in out:
-            yield df
+        if out:
+            yield _close_frame(user_id, out)
 
     return fn
 

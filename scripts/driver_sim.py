@@ -53,19 +53,25 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+    import time
+
     qs, osql = mod.queries(), mod.oracle_sql()
     fails = []
-    for name, fn in sorted(qs.items()):
+    t_total = time.monotonic()
+    # registry insertion order — the real driver appears to iterate this way
+    for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {e}")
             fails.append(name)
             continue
+        dt = time.monotonic() - t0
         if name not in osql:
-            print(f"{name}: rows-only, {len(sdf)} rows")
+            print(f"{name}: rows-only, {len(sdf)} rows [{dt:.2f}s]")
             continue
         try:
             ddf = con.execute(osql[name]).fetchdf()
@@ -93,7 +99,8 @@ def main() -> int:
             print(f"{name}: VALUE MISMATCH at sorted row {bad}:\n  spark={a[bad]}\n  duck ={b[bad]}")
             fails.append(name)
         else:
-            print(f"{name}: MATCH ({len(sdf)} rows)")
+            print(f"{name}: MATCH ({len(sdf)} rows) [{dt:.2f}s]")
+    print(f"TOTAL WALL: {time.monotonic() - t_total:.1f}s")
     print("FAILED:", fails if fails else "none")
     return 1 if fails else 0
 
