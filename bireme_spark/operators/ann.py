@@ -84,21 +84,30 @@ def _hyperplanes(dim: int, tables: int, bits: int, seed: int = 42) -> list[list[
     ]
 
 
-def _signature(vec_col, planes: list[list[float]]):
-    """m-bit signature: bit_j = sign(v · h_j)."""
-    sig = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda p, q: p.cast("double") * q,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig.bitwiseOR(F.shiftleft(F.when(dot >= 0, 1).otherwise(0).cast("bigint"), j))
-    return sig
+def _signatures_udf(planes: list[list[list[float]]]):
+    """All per-table m-bit signatures (bit_j = sign(v · h_j)) in ONE
+    Arrow-batched numpy matmul: (batch × dim) @ (dim × tables·bits).
+
+    The earlier JVM formulation built tables·bits literal-array fold
+    expressions (thousands of plan literals) — codegen compile time
+    alone dominated small runs, and scalar fold math loses to BLAS at
+    any batch size. The hyperplane model is tiny (tables·bits·dim
+    doubles) and rides in the UDF closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.asarray(planes, dtype=np.float64)  # (tables, bits, dim)
+    tables, bits, dim = H.shape
+    Hf = H.reshape(tables * bits, dim)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def sigs(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        B = (M @ Hf.T) >= 0  # (n, tables*bits)
+        S = (B.reshape(len(M), tables, bits) * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(S))
+
+    return sigs
 
 
 def lsh_bucketed(
@@ -106,9 +115,10 @@ def lsh_bucketed(
 ) -> DataFrame:
     """One row per (id, table, signature) — the bucket assignment."""
     planes = _hyperplanes(dim, tables, bits, seed)
-    sigs = F.array(*[_signature(F.col(vec_col), planes[t]) for t in range(tables)])
     return df.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("table_id", "bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(_signatures_udf(planes)(F.col(vec_col))).alias("table_id", "bucket"),
     )
 
 

@@ -291,14 +291,59 @@ def cosine(vec_a, vec_b):
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, tau: float
 ) -> DataFrame:
-    """Exact near-dup pairs by embedding cosine ≥ tau. O(n²) baseline
-    (self-join on id<); the 100 TB path buckets with LSH first
-    (operators/ann.py) and reranks exactly."""
+    """Exact near-dup pairs by embedding cosine ≥ tau. O(n²) — the
+    TEST-ONLY reference implementation (recall oracle for the
+    bucketed variant below); never registered as a driver query."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    dim: int,
+    tables: int = 8,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ tau, the 100 TB plan:
+    hyperplane-LSH candidate generation + exact cosine rerank — no
+    cartesian product anywhere.
+
+    Candidates are id pairs sharing any (table, bucket); the bucket
+    self-join carries ids only (vectors join back after the pair
+    distinct, as in minhash_lsh_pairs). Rerank is the exact fold from
+    :func:`cosine`, so every emitted pair is exact; recall is the LSH
+    collision probability (1 - (1 - p^bits)^tables with
+    p = 1 - θ/π) — property-tested against the crossJoin reference.
+    Two vectors that are positive scalar multiples hash to identical
+    signatures, so exact-duplicate (cosine = 1) pairs are recalled
+    deterministically."""
+    from bireme_spark.operators.ann import lsh_bucketed
+
+    bk = lsh_bucketed(df, id_col, vec_col, dim, tables, bits, seed).select(
+        F.col(id_col), "table_id", "bucket"
+    )
+    a = bk.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+    b = bk.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a")
+        .join(df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b")
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )

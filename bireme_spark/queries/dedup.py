@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bireme_spark.operators.dedup import (
-    embedding_cosine_pairs,
+    embedding_cosine_pairs_lsh,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -73,15 +73,42 @@ ORDER BY id_a, id_b
 """
 
 
+def _embeddings_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic near-dup copies: every 20th vector
+    re-inserted (shifted id) as a positive scalar multiple — cosine
+    with its original is exactly 1.0, while the max cosine between
+    any two DISTINCT base vectors is ≈0.6 at sf0.1 (measured), so at
+    τ=0.8 the qualifying pairs are exactly the planted ones and the
+    LSH recall is deterministic (scalar multiples share every
+    hyperplane signature)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    # union widens array<float> ∪ array<double> → array<double>
+    return e.unionByName(copies)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(e, "vec_id", "embedding", tau=0.45).orderBy("id_a", "id_b")
+    corpus = _embeddings_with_dupes(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return embedding_cosine_pairs_lsh(
+        corpus, "vec_id", "embedding", tau=0.8, dim=64
+    ).orderBy("id_a", "id_b")
 
 
 DEDUP_EMBEDDING_SQL = """
-WITH pairs AS (
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> x * 1.25)
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
-  FROM embeddings a, embeddings b
+  FROM corpus a, corpus b
   WHERE a.vec_id < b.vec_id
 ),
 dots AS (
@@ -95,7 +122,7 @@ dots AS (
 )
 SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
 FROM dots
-WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.45
+WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.8
 ORDER BY id_a, id_b
 """
 

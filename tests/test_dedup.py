@@ -91,3 +91,62 @@ class TestExactDedup:
         dups = out.where(F.col("is_duplicate")).collect()
         assert len(dups) == 5
         assert all(r.doc_id >= 777_000 for r in dups)
+
+
+class TestEmbeddingCosineLsh:
+    def test_lsh_equals_crossjoin_on_registered_corpus(self, spark, sf_dir):
+        """The driver query's corpus (planted scalar-multiple dups,
+        τ=0.8): the bucketed plan must return the EXACT pair set of
+        the O(n²) reference — scalar multiples share every hyperplane
+        signature, so recall is deterministic, not probabilistic."""
+        from bireme_spark.operators.dedup import (
+            embedding_cosine_pairs,
+            embedding_cosine_pairs_lsh,
+        )
+        from bireme_spark.queries.dedup import _embeddings_with_dupes
+
+        corpus = _embeddings_with_dupes(spark, sf_dir)
+        exact = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_cosine_pairs(corpus, "vec_id", "embedding", tau=0.8).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_cosine_pairs_lsh(
+                corpus, "vec_id", "embedding", tau=0.8, dim=64
+            ).collect()
+        }
+        assert exact, "corpus must contain planted near-dup pairs"
+        assert lsh == exact
+
+    def test_lsh_recall_on_noisy_neighbors(self, spark, sf_dir):
+        """Honest approximate case: noisy (not scalar-multiple)
+        near-dups at cosine ≈0.97–0.99; LSH candidates must recover
+        ≥90% of what the exact crossJoin finds at τ=0.9."""
+        from bireme_spark.operators.dedup import (
+            embedding_cosine_pairs,
+            embedding_cosine_pairs_lsh,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings").limit(200).select("vec_id", "embedding")
+        # deterministic per-element perturbation, small vs vector norm
+        noisy = e.select(
+            (F.col("vec_id") + 500_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.05) * F.sin(x * F.lit(37.0))
+            ).alias("embedding"),
+        )
+        corpus = e.unionByName(noisy)
+        exact = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(corpus, "vec_id", "embedding", tau=0.9).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs_lsh(
+                corpus, "vec_id", "embedding", tau=0.9, dim=64
+            ).collect()
+        }
+        assert exact, "perturbed copies should form near-dup pairs"
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} exact pairs"

@@ -66,9 +66,9 @@ def test_q6_prunes_columns(spark):
     assert "l_returnflag" not in line and "l_orderkey" not in line
 
 
-# Intentional cross joins (explicit O(n²) exact baselines) and
+# Intentional cross joins (broadcast query-side of exact top-k) and
 # queries that execute work eagerly when built (streaming replays).
-CARTESIAN_OK = {"dedup_embedding_cosine", "ann_bruteforce_topk"}
+CARTESIAN_OK = {"ann_bruteforce_topk"}
 EAGER = {"streaming_cdc_pipeline", "streaming_sessionize", "ann_ivf_topk"}
 
 
