@@ -42,6 +42,10 @@ class PipelineConfig:
     target_jdbc_url: str | None = None
     target_table: str | None = None
     jdbc_properties: dict[str, str] = field(default_factory=dict)
+    # PK-hash bucket count of the parquet sink layout: a micro-batch
+    # rewrites only the buckets containing changed keys. Size so one
+    # bucket ≈ a comfortable rewrite unit at the target scale.
+    num_buckets: int = 16
 
     @classmethod
     def from_properties(cls, props: dict[str, str]) -> "PipelineConfig":
@@ -71,4 +75,5 @@ class PipelineConfig:
             checkpoint_dir=props["checkpoint.dir"],
             trigger_interval=props.get("merge.interval", "10 seconds"),
             max_events_per_trigger=int(props["batch.size"]) if "batch.size" in props else None,
+            num_buckets=int(props.get("target.buckets", 16)),
         )

@@ -82,6 +82,7 @@ def streaming_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             target_dir=f"{work}/target",
             checkpoint_dir=f"{work}/ckpt",
             max_events_per_trigger=1,  # one file per micro-batch
+            num_buckets=4,  # tiny replay: fewer bucket files per batch
         )
         q = run_cdc_pipeline(
             spark,

@@ -14,11 +14,29 @@ anti-join merge are exactly the batch operators
 (operators/cdc.compact / apply_changes), so batch and streaming
 semantics provably agree (tested in tests/test_streaming.py).
 
-State layout: the target table is a versioned parquet dir
-(``<target>/v=<n>``) — each batch reads the latest version, merges,
-writes the next. On a cluster you'd swap this sink for Delta/Iceberg
-MERGE or a Greenplum/JDBC DELETE+COPY writer; versioned parquet keeps
-the test environment dependency-free while exercising the same plan.
+State layout — PK-hash-bucketed versioned parquet:
+
+    <target>/bucket=<b>/v=<n>/part-*.parquet
+
+A micro-batch rewrites ONLY the buckets whose keys changed: the
+changed-bucket set comes off the compacted batch (≤ num_buckets
+values), the base read prunes to those buckets' latest versions, and
+the merge writes each changed bucket's next version. Unchanged
+buckets are never read or written — per-trigger write amplification
+is O(|changed buckets|), not O(|base|). On a cluster you'd swap this
+sink for Delta/Iceberg MERGE (same bucket-pruned plan with atomic
+commit) or a Greenplum/JDBC DELETE+COPY writer; versioned bucket dirs
+keep the test environment dependency-free while exercising the same
+incremental plan.
+
+Ordering: within a batch, same-key changes fold by
+``(produce_time_ms, src_partition, src_offset)``. Maxwell's produce
+time is seconds-granular, so the Kafka (partition, offset) pair — the
+order the reference consumes in — is the real tiebreaker; CDC topics
+are keyed by PK, so per-key order is total. The file/replay source
+has no broker offsets; it falls back to ``monotonically_increasing_id``
+(deterministic for a fixed file list, the test/replay case).
+
 Kafka ingestion follows the same ``readStream.format("kafka")``
 options bireme's consumer config maps to (``KafkaPipeLine.java:
 190-208``); the file source is the test/replay path.
@@ -27,6 +45,7 @@ options bireme's consumer config maps to (``KafkaPipeLine.java:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,30 +59,72 @@ from bireme_spark.sources.debezium import parse_debezium
 from bireme_spark.sources.maxwell import parse_maxwell
 
 
-def _latest_version(target_dir: str) -> int | None:
-    if not os.path.isdir(target_dir):
+def _latest_version(bucket_dir: str) -> int | None:
+    if not os.path.isdir(bucket_dir):
         return None
     versions = [
         int(d.split("=", 1)[1])
-        for d in os.listdir(target_dir)
+        for d in os.listdir(bucket_dir)
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     ]
     return max(versions) if versions else None
 
 
+def _bucket_ids(target_dir: str) -> list[int]:
+    if not os.path.isdir(target_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(target_dir)
+        if d.startswith("bucket=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def _latest_paths(target_dir: str, buckets: Sequence[int] | None = None) -> list[str]:
+    paths = []
+    for b in _bucket_ids(target_dir):
+        if buckets is not None and b not in buckets:
+            continue
+        v = _latest_version(f"{target_dir}/bucket={b}")
+        if v is not None:
+            paths.append(f"{target_dir}/bucket={b}/v={v}")
+    return paths
+
+
+def _bucket_col(key_col, num_buckets: int):
+    """PK-hash bucket: hash the STRING form of the key so base rows
+    (typed PK) and changelog rows (concatenated string key) agree."""
+    return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(num_buckets)).cast("int")
+
+
 def read_state(spark: SparkSession, target_dir: str) -> DataFrame | None:
-    v = _latest_version(target_dir)
-    if v is None:
+    """Latest synced state: union of every bucket's latest version."""
+    paths = _latest_paths(target_dir)
+    if not paths:
         return None
-    return spark.read.parquet(f"{target_dir}/v={v}")
+    return (
+        spark.read.option("basePath", target_dir).parquet(*paths).drop("bucket", "v")
+    )
 
 
 def _open_stream(spark: SparkSession, source: SourceConfig, max_files: int | None):
+    """Envelope stream with provenance order columns
+    ``(src_partition, src_offset)`` — Kafka's real consume order; the
+    file source substitutes a deterministic per-batch row id."""
     if source.kind == "file" or source.path:
         reader = spark.readStream.format("text")
         if max_files:
             reader = reader.option("maxFilesPerTrigger", max_files)
-        return reader.load(source.path).withColumnRenamed("value", "value")
+        # File replay's offset twin: file mtime orders across files
+        # (the replay batch order); within a file the text source has
+        # no row index (_metadata.row_index is parquet-only), so
+        # src_offset stays null and merge_batch falls back to a
+        # batch-local id — the documented file-source fallback.
+        return reader.load(source.path).select(
+            F.col("value"),
+            F.unix_millis(F.col("_metadata.file_modification_time")).alias("src_partition"),
+            F.lit(None).cast("long").alias("src_offset"),
+        )
     # Kafka path (bireme's consumer settings, KafkaPipeLine.java:190-208).
     reader = (
         spark.readStream.format("kafka")
@@ -72,7 +133,11 @@ def _open_stream(spark: SparkSession, source: SourceConfig, max_files: int | Non
         .option("kafka.group.id", source.kafka_groupid)
         .option("startingOffsets", "earliest")
     )
-    return reader.load().selectExpr("CAST(value AS STRING) AS value")
+    return reader.load().selectExpr(
+        "CAST(value AS STRING) AS value",
+        "partition AS src_partition",
+        "offset AS src_offset",
+    )
 
 
 def run_cdc_pipeline(
@@ -101,6 +166,7 @@ def run_cdc_pipeline(
 
     key_col = key_fields[0]
     payload_cols = [f.name for f in data_schema.fields if f.name not in key_fields]
+    nb = config.num_buckets
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -109,14 +175,19 @@ def run_cdc_pipeline(
             F.col("key"),
             F.col("op"),
             F.col("produce_time_ms"),
-            F.monotonically_increasing_id().alias("seq"),
+            F.col("src_partition"),
+            # Kafka: the real broker offset. File: batch-local row id
+            # (deterministic for a fixed file list read order).
+            F.coalesce(F.col("src_offset"), F.monotonically_increasing_id()).alias(
+                "src_offset"
+            ),
             F.col("old_key") if "old_key" in batch_df.columns else F.lit(None).cast("string").alias("old_key"),
             *[F.col(f"data.{c}").alias(c) for c in payload_cols],
         )
         compacted = compact(
             changes,
             key_cols=("key",),
-            order_cols=("produce_time_ms", "seq"),
+            order_cols=("produce_time_ms", "src_partition", "src_offset"),
             payload_cols=tuple(payload_cols),
             old_key_col="old_key",
         )
@@ -135,10 +206,22 @@ def run_cdc_pipeline(
             sink(compacted.withColumnRenamed("final_op", "op"), batch_id)
             return
         bspark = batch_df.sparkSession
-        base = read_state(bspark, config.target_dir)
-        if base is None:
+        compacted = compacted.withColumn("bucket", _bucket_col("key", nb))
+        changed = sorted(r.bucket for r in compacted.select("bucket").distinct().collect())
+
+        base_paths = _latest_paths(config.target_dir, changed)
+        if base_paths:
+            base = (
+                bspark.read.option("basePath", config.target_dir)
+                .parquet(*base_paths)
+                .drop("bucket", "v")
+            )
+        else:
             base = bspark.createDataFrame(
-                [], ", ".join(f"{c} {_ddl(data_schema, c, key_fields, key_col)}" for c in base_columns)
+                [],
+                ", ".join(
+                    f"{c} {_ddl(data_schema, c, key_fields, key_col)}" for c in base_columns
+                ),
             )
         merged = apply_changes(
             base,
@@ -146,9 +229,30 @@ def run_cdc_pipeline(
             base_key_cols=(base_columns[0],),
             compact_key_cols=("key",),
             payload_map={c: c for c in base_columns[1:]},
-        )
-        next_v = (_latest_version(config.target_dir) or 0) + 1
-        merged.write.mode("overwrite").parquet(f"{config.target_dir}/v={next_v}")
+        ).withColumn("bucket", _bucket_col(base_columns[0], nb))
+
+        # One job writes every changed bucket's rows; renames slot each
+        # bucket dir in as its next version (empty buckets — all keys
+        # deleted — get an explicit empty version so stale state clears).
+        staging = f"{config.target_dir}/.staging-{batch_id}"
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+        for b in changed:
+            bdir = f"{config.target_dir}/bucket={b}"
+            prev = _latest_version(bdir)
+            next_v = (prev or 0) + 1
+            os.makedirs(bdir, exist_ok=True)
+            src = f"{staging}/bucket={b}"
+            if os.path.isdir(src):
+                os.rename(src, f"{bdir}/v={next_v}")
+            else:
+                empty = bspark.createDataFrame([], merged.drop("bucket").schema)
+                empty.write.parquet(f"{bdir}/v={next_v}")
+            # retain only (prev, next): readers in flight keep prev,
+            # older versions are garbage
+            for d in os.listdir(bdir):
+                if d.startswith("v=") and int(d.split("=", 1)[1]) < (prev or next_v):
+                    shutil.rmtree(f"{bdir}/{d}", ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
 
     writer = (
         parsed.writeStream.foreachBatch(merge_batch)

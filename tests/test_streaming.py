@@ -38,3 +38,139 @@ def test_streaming_equals_batch_snapshot(spark, sf_dir):
     state = listener.state()["source"]
     assert state, "listener recorded no queries"
     assert sum(s.get("total_rows", 0) for s in state.values()) > 0
+
+
+def _run_two_batch_pipeline(spark, tmp_path, keys_b1, keys_b2):
+    """Two-micro-batch Maxwell replay over a tiny keyed table; returns
+    the pipeline config (target layout inspected by callers)."""
+    import json as _json
+
+    from bireme_spark.config import PipelineConfig, SourceConfig
+    from bireme_spark.streaming.pipeline import run_cdc_pipeline
+    from bireme_spark.streaming.replay import stamp_batch_mtime
+    from pyspark.sql.types import StructType
+
+    src = str(tmp_path / "in")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+
+    def envelope(k, price, op, ts):
+        return _json.dumps(
+            {
+                "database": "testdb",
+                "table": "t",
+                "type": op,
+                "ts": ts,
+                "data": {"k": k, "price": price},
+            }
+        )
+
+    seen: set[str] = set()
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(envelope(k, float(k), "insert", 1000) for k in keys_b1))
+    stamp_batch_mtime(src, 0, seen)
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(envelope(k, float(k) + 0.5, "update", 2000) for k in keys_b2))
+    stamp_batch_mtime(src, 1, seen)
+
+    cfg = PipelineConfig(
+        sources=[SourceConfig(name="maxwell", kind="file", path=src)],
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_events_per_trigger=1,
+        num_buckets=8,
+    )
+    schema = StructType().add("k", "long").add("price", "double")
+    q = run_cdc_pipeline(
+        spark, cfg, schema, key_fields=("k",), base_columns=("k", "price"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    return cfg
+
+
+def test_incremental_sink_rewrites_only_changed_buckets(spark, tmp_path):
+    """Batch 2 touches a strict subset of keys: exactly the buckets
+    containing those keys get a second version; untouched buckets
+    keep v=1 — O(|changed buckets|) write amplification, not O(base)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bireme_spark.streaming.pipeline import _bucket_col, read_state
+
+    keys = list(range(1, 41))
+    upd = [1, 2, 3]
+    cfg = _run_two_batch_pipeline(spark, tmp_path, keys, upd)
+
+    expected_changed = {
+        r.b
+        for r in spark.createDataFrame([(str(k),) for k in upd], "key string")
+        .select(_bucket_col("key", cfg.num_buckets).alias("b"))
+        .collect()
+    }
+    versions = {}
+    for d in os.listdir(cfg.target_dir):
+        if d.startswith("bucket="):
+            b = int(d.split("=")[1])
+            versions[b] = {
+                int(v.split("=")[1])
+                for v in os.listdir(f"{cfg.target_dir}/{d}")
+                if v.startswith("v=")
+            }
+    two_versions = {b for b, vs in versions.items() if max(vs) == 2}
+    one_version = {b for b, vs in versions.items() if max(vs) == 1}
+    assert two_versions == expected_changed
+    assert one_version and one_version.isdisjoint(expected_changed)
+
+    state = {(r.k, r.price) for r in read_state(spark, cfg.target_dir).collect()}
+    assert state == {(k, float(k) + (0.5 if k in upd else 0.0)) for k in keys}
+
+
+def test_same_timestamp_fold_is_deterministic(spark, tmp_path):
+    """Two same-key changes in one batch with the SAME seconds-level
+    produce time must fold by file/offset order every run (ADVICE:
+    monotonic-id tiebreak was partition-layout-dependent)."""
+    import json as _json
+    import os
+
+    from bireme_spark.config import PipelineConfig, SourceConfig
+    from bireme_spark.streaming.pipeline import read_state, run_cdc_pipeline
+    from pyspark.sql.types import StructType
+
+    for run in range(2):
+        work = tmp_path / f"run{run}"
+        src = str(work / "in")
+        os.makedirs(src)
+        rows = []
+        # 100 keys × 2 same-second updates each, later line wins
+        for k in range(100):
+            for price in (1.0, 2.0):
+                rows.append(
+                    _json.dumps(
+                        {
+                            "database": "testdb",
+                            "table": "t",
+                            "type": "insert" if price == 1.0 else "update",
+                            "ts": 1000,
+                            "data": {"k": k, "price": price},
+                        }
+                    )
+                )
+        with open(f"{src}/b.json", "w") as f:
+            f.write("\n".join(rows))
+        cfg = PipelineConfig(
+            sources=[SourceConfig(name="maxwell", kind="file", path=src)],
+            target_dir=str(work / "target"),
+            checkpoint_dir=str(work / "ckpt"),
+            num_buckets=4,
+        )
+        schema = StructType().add("k", "long").add("price", "double")
+        q = run_cdc_pipeline(
+            spark, cfg, schema, key_fields=("k",), base_columns=("k", "price"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        state = {(r.k, r.price) for r in read_state(spark, cfg.target_dir).collect()}
+        assert state == {(k, 2.0) for k in range(100)}, f"run {run}"
