@@ -49,13 +49,18 @@ def delete_sql(target_table: str, staging_table: str, key_cols: Sequence[str]) -
     — the exact merge-delete shape of ``ChangeLoader.java:359``, with
     the staging table carrying BOTH delete-keys and upsert-keys (an
     upsert is delete+insert, ``executeTask:212-229``)."""
+    # The staging table was created UNQUOTED by Spark's JDBC writer
+    # (df.write.jdbc passes dbtable through raw), so every dialect
+    # case-folds it the same way on reference — quoting it here would
+    # mismatch Derby (upper-fold) vs Postgres (lower-fold). Its name
+    # is internally generated ([a-z0-9_]), never user input.
     on = " AND ".join(
-        f"{_qident(target_table)}.{_qident(k)} = {_qident(staging_table)}.{_qident(k)}"
+        f"{_qident(target_table)}.{_qident(k)} = {staging_table}.{_qident(k)}"
         for k in key_cols
     )
     return (
         f"DELETE FROM {_qident(target_table)} WHERE EXISTS "
-        f"(SELECT 1 FROM {_qident(staging_table)} WHERE {on})"
+        f"(SELECT 1 FROM {staging_table} WHERE {on})"
     )
 
 
@@ -69,13 +74,17 @@ def insert_sql(
     cols = ", ".join(_qident(c) for c in payload_cols)
     return (
         f"INSERT INTO {_qident(target_table)} ({cols}) "
-        f"SELECT {cols} FROM {_qident(staging_table)} "
+        f"SELECT {cols} FROM {staging_table} "
         f"WHERE {_qident(op_col)} <> 'D'"
     )
 
 
-def drop_sql(staging_table: str) -> str:
-    return f"DROP TABLE IF EXISTS {_qident(staging_table)}"
+def drop_sql(staging_table: str, if_exists: bool = True) -> str:
+    # Derby has no DROP TABLE IF EXISTS; the sink passes if_exists
+    # per-dialect (the staging table always exists at this point in
+    # the transaction, so plain DROP is safe there).
+    opt = "IF EXISTS " if if_exists else ""
+    return f"DROP TABLE {opt}{staging_table}"
 
 
 @dataclass
@@ -100,7 +109,7 @@ class JdbcMergeSink:
         return [
             delete_sql(self.target_table, staging, self.key_cols),
             insert_sql(self.target_table, staging, self.payload_cols, self.op_col),
-            drop_sql(staging),
+            drop_sql(staging, if_exists="derby" not in self.url),
         ]
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -135,3 +144,41 @@ class JdbcMergeSink:
             raise
         finally:
             conn.close()
+
+
+def get_primary_keys(
+    spark, url: str, table: str, properties: dict | None = None
+) -> list[str]:
+    """Primary-key columns of a JDBC table, in key order — the twin of
+    the reference's ``GetPrimaryKeys.java:28-95`` (which queries
+    ``information_schema`` so users never hand-type key lists). Uses
+    JDBC ``DatabaseMetaData.getPrimaryKeys``, which is portable across
+    Postgres/Greenplum/Derby; feed the result to ``PipelineConfig`` /
+    ``run_cdc_pipeline(key_fields=...)``.
+
+    ``table`` may be schema-qualified. Unquoted identifiers are looked
+    up as stored; case-folded variants (Derby upper, Postgres lower)
+    are retried automatically."""
+    jvm = spark._sc._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, str(v))
+    schema, _, name = table.rpartition(".")
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        md = conn.getMetaData()
+        for s, t in (
+            (schema or None, name),
+            ((schema or "").upper() or None, name.upper()),
+            ((schema or "").lower() or None, name.lower()),
+        ):
+            rs = md.getPrimaryKeys(None, s, t)
+            keys = []
+            while rs.next():
+                keys.append((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+            rs.close()
+            if keys:
+                return [c for _, c in sorted(keys)]
+        return []
+    finally:
+        conn.close()

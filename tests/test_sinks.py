@@ -22,22 +22,23 @@ def test_delete_sql_composite_key():
     sql = delete_sql("public.t", "t_stage", ("k1", "k2"))
     assert sql == (
         'DELETE FROM "public"."t" WHERE EXISTS '
-        '(SELECT 1 FROM "t_stage" WHERE "public"."t"."k1" = "t_stage"."k1" '
-        'AND "public"."t"."k2" = "t_stage"."k2")'
+        '(SELECT 1 FROM t_stage WHERE "public"."t"."k1" = t_stage."k1" '
+        'AND "public"."t"."k2" = t_stage."k2")'
     )
 
 
 def test_insert_sql_excludes_deletes():
     sql = insert_sql("t", "t_stage", ("id", "val"))
     assert sql == (
-        'INSERT INTO "t" ("id", "val") SELECT "id", "val" FROM "t_stage" '
+        'INSERT INTO "t" ("id", "val") SELECT "id", "val" FROM t_stage '
         "WHERE \"op\" <> 'D'"
     )
 
 
 def test_identifier_quoting_resists_injection():
-    sql = drop_sql('x"; DROP TABLE users; --')
-    assert sql == 'DROP TABLE IF EXISTS "x""; DROP TABLE users; --"'
+    # user-controlled identifiers (target table, columns) are quoted
+    sql = delete_sql('x"; DROP TABLE users; --', "s", ("k",))
+    assert 'DELETE FROM "x""; DROP TABLE users; --"' in sql
 
 
 def test_merge_statement_order():
@@ -51,3 +52,118 @@ def test_merge_statement_order():
     assert [s.split()[0] for s in stmts] == ["DELETE", "INSERT", "DROP"]
     # upsert = delete-then-insert: the DELETE must come first
     assert "EXISTS" in stmts[0] and "<> 'D'" in stmts[1]
+
+
+# ---------------------------------------------------------------------------
+# Live transaction path against embedded Derby (on Spark's classpath for the
+# Hive metastore) — the in-process stand-in for the Greenplum target the
+# reference's ChangeLoader.java:206-290 talks to.
+# ---------------------------------------------------------------------------
+
+
+def _derby_exec(spark, url, *statements):
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        for s in statements:
+            stmt.execute(s)
+    finally:
+        conn.close()
+
+
+def _derby_rows(spark, url, sql):
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.createStatement().executeQuery(sql)
+        n = rs.getMetaData().getColumnCount()
+        out = []
+        while rs.next():
+            out.append(tuple(rs.getObject(i + 1) for i in range(n)))
+        return out
+    finally:
+        conn.close()
+
+
+def test_merge_transaction_commits_against_derby(spark):
+    """Stage-write → DELETE+INSERT+DROP in one transaction: upserts
+    replace, deletes remove, untouched rows survive."""
+    url = "jdbc:derby:memory:sinkdb;create=true"
+    _derby_exec(
+        spark,
+        url,
+        'CREATE TABLE "target" ("key" VARCHAR(64) PRIMARY KEY, "price" DOUBLE)',
+        "INSERT INTO \"target\" VALUES ('1', 10.0), ('2', 20.0), ('3', 30.0)",
+    )
+    batch = spark.createDataFrame(
+        [("2", 21.0, "U"), ("3", None, "D"), ("4", 40.0, "I")],
+        "key string, price double, op string",
+    )
+    sink = JdbcMergeSink(
+        url=url,
+        target_table="target",
+        key_cols=("key",),
+        payload_cols=("key", "price"),
+        # Derby can't compare CLOBs (Spark's default Derby mapping for
+        # strings) — type the staged key explicitly
+        properties={"createTableColumnTypes": "key VARCHAR(64), op VARCHAR(1)"},
+    )
+    sink(batch, batch_id=1)
+
+    rows = dict(_derby_rows(spark, url, 'SELECT "key", "price" FROM "target"'))
+    assert rows == {"1": 10.0, "2": 21.0, "4": 40.0}
+    # staging table dropped by the transaction's last statement
+    from bireme_spark.sinks.jdbc import staging_table_name
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="does not exist"):
+        _derby_rows(spark, url, f'SELECT * FROM "{staging_table_name("target", 1)}"')
+
+
+def test_merge_transaction_rolls_back_on_error(spark):
+    """A failing INSERT (check-constraint violation) must roll back
+    the already-executed DELETE — target state is untouched."""
+    url = "jdbc:derby:memory:rollbackdb;create=true"
+    _derby_exec(
+        spark,
+        url,
+        'CREATE TABLE "target" ("key" VARCHAR(64) PRIMARY KEY,'
+        ' "price" DOUBLE CHECK ("price" >= 0))',
+        "INSERT INTO \"target\" VALUES ('1', 10.0), ('2', 20.0)",
+    )
+    batch = spark.createDataFrame(
+        [("1", -5.0, "U")], "key string, price double, op string"
+    )
+    sink = JdbcMergeSink(
+        url=url,
+        target_table="target",
+        key_cols=("key",),
+        payload_cols=("key", "price"),
+        properties={"createTableColumnTypes": "key VARCHAR(64), op VARCHAR(1)"},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sink(batch, batch_id=2)
+
+    rows = dict(_derby_rows(spark, url, 'SELECT "key", "price" FROM "target"'))
+    assert rows == {"1": 10.0, "2": 20.0}, "DELETE must have been rolled back"
+
+
+def test_get_primary_keys_discovery(spark):
+    """GetPrimaryKeys.java twin: composite PK comes back in key order
+    and feeds key_fields without hand-typing."""
+    from bireme_spark.sinks.jdbc import get_primary_keys
+
+    url = "jdbc:derby:memory:pkdb;create=true"
+    _derby_exec(
+        spark,
+        url,
+        "CREATE TABLE orders (o_orderkey BIGINT NOT NULL,"
+        " o_line INT NOT NULL, o_price DOUBLE,"
+        " PRIMARY KEY (o_orderkey, o_line))",
+    )
+    assert get_primary_keys(spark, url, "orders") == ["O_ORDERKEY", "O_LINE"]
+    assert get_primary_keys(spark, url, "no_such_table") == []
