@@ -15,7 +15,31 @@ Bireme's knobs map onto Structured Streaming options:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
+
+
+def load_properties(path: str) -> dict[str, str]:
+    """Parse a Java ``.properties`` file (the reference's config
+    format, ``Config.java:60-300``): ``#``/``!`` comments, ``=`` or
+    ``:`` separators, backslash line continuations, trimmed values."""
+    props: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        pending = ""
+        for raw in f:
+            line = pending + raw.strip()
+            pending = ""
+            if not line or line[0] in "#!":
+                continue
+            if line.endswith("\\"):
+                pending = line[:-1]
+                continue
+            for sep in ("=", ":"):
+                if sep in line:
+                    k, _, v = line.partition(sep)
+                    props[k.strip()] = v.strip()
+                    break
+    return props
 
 
 @dataclass
@@ -46,11 +70,19 @@ class PipelineConfig:
     # rewrites only the buckets containing changed keys. Size so one
     # bucket ≈ a comfortable rewrite unit at the target scale.
     num_buckets: int = 16
+    # StateServer twin (state.server.addr/port in the reference etc)
+    state_server_addr: str | None = None
+    state_server_port: int | None = None
 
     @classmethod
     def from_properties(cls, props: dict[str, str]) -> "PipelineConfig":
-        """Parse the flat properties format bireme uses."""
-        names = [s.strip() for s in props.get("data.source", "").split(",") if s.strip()]
+        """Parse the flat properties format bireme uses — accepts both
+        the reference's own spellings (``data_source``, millisecond
+        ``merge.interval``, ``merge.batch.size``, ``target.url/user/
+        passwd``, ``state.server.*``; ``Config.java:60-300``) and this
+        repo's file-sink keys (``target.dir``, ``checkpoint.dir``)."""
+        src_list = props.get("data_source", props.get("data.source", ""))
+        names = [s.strip() for s in src_list.split(",") if s.strip()]
         sources = []
         for n in names:
             table_map = {
@@ -69,11 +101,43 @@ class PipelineConfig:
                     table_map=table_map,
                 )
             )
+        interval = props.get("merge.interval", "10 seconds")
+        if interval.isdigit():  # reference units: milliseconds
+            interval = f"{interval} milliseconds"
+        batch = props.get("merge.batch.size", props.get("batch.size"))
+        jdbc_props = {}
+        if "target.user" in props:
+            jdbc_props["user"] = props["target.user"]
+        if "target.passwd" in props:
+            jdbc_props["password"] = props["target.passwd"]
         return cls(
             sources=sources,
-            target_dir=props["target.dir"],
-            checkpoint_dir=props["checkpoint.dir"],
-            trigger_interval=props.get("merge.interval", "10 seconds"),
-            max_events_per_trigger=int(props["batch.size"]) if "batch.size" in props else None,
+            target_dir=props.get("target.dir", ""),
+            checkpoint_dir=props.get("checkpoint.dir", ""),
+            trigger_interval=interval,
+            max_events_per_trigger=int(batch) if batch else None,
+            target_jdbc_url=props.get("target.url"),
+            jdbc_properties=jdbc_props,
             num_buckets=int(props.get("target.buckets", 16)),
+            state_server_addr=props.get("state.server.addr"),
+            state_server_port=(
+                int(props["state.server.port"]) if "state.server.port" in props else None
+            ),
         )
+
+    @classmethod
+    def from_properties_file(cls, config_path: str) -> "PipelineConfig":
+        """Load a reference-style deployment: ``config.properties``
+        plus one ``<source>.properties`` table-map file per data
+        source in the same directory (``Config.java`` reads exactly
+        this pair; the map lines are ``src.db_table = tgt.table``)."""
+        props = load_properties(config_path)
+        cfg = cls.from_properties(props)
+        etc = os.path.dirname(os.path.abspath(config_path))
+        for src in cfg.sources:
+            map_path = os.path.join(etc, f"{src.name}.properties")
+            if not src.table_map and os.path.isfile(map_path):
+                src.table_map = {
+                    f"{src.name}.{k}": v for k, v in load_properties(map_path).items()
+                }
+        return cfg
