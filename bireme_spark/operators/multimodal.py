@@ -36,14 +36,56 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def decode_media(payload: bytes, mode: str = "bytes"):
-    """STUB: real media decode. ``mode='bytes'`` returns the raw
-    buffer; image/audio/video modes require codec libs not present
-    in this environment."""
+    """Media decode. ``mode='bytes'`` returns the raw buffer;
+    ``mode='image'`` is a REAL pure-python decode (PNG via stdlib
+    zlib, BMP via struct — :mod:`bireme_spark.functions.imagecodec`)
+    returning ``(width, height, channels, pixels, format)``.
+    Audio/video modes still require codec libs not present in this
+    container and stay stubbed."""
     if mode == "bytes":
         return payload
+    if mode == "image":
+        from bireme_spark.functions.imagecodec import decode_image
+
+        return decode_image(bytes(payload))
     raise NotImplementedError(
-        f"decode_media(mode={mode!r}) is a stub — plug in PIL/av/ffmpeg here"
+        f"decode_media(mode={mode!r}) is a stub — plug in av/ffmpeg here"
     )
+
+
+IMAGE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, mean_pixel double, format string"
+)
+
+
+def extract_image_features(binary_df: DataFrame) -> DataFrame:
+    """REAL image-decode stage: each Arrow batch's payloads run
+    through the pure-python PNG/BMP codec; emits geometry + pixel
+    stats. Same mapInPandas shape a PIL/libvips deployment uses."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, chs, means, fmts = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, pix, fmt = decode_media(bytes(payload), "image")
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                means.append(sum(pix) / len(pix))
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "mean_pixel": means,
+                    "format": fmts,
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=IMAGE_SCHEMA)
 
 
 def extract_features(binary_df: DataFrame) -> DataFrame:

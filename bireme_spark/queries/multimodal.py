@@ -63,3 +63,72 @@ ORDER BY doc_id, frame_idx
 
 QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 ORACLE["multimodal_frame_sample"] = FRAME_SAMPLE_SQL
+
+
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec end-to-end: per doc_id a deterministic synthetic
+    image (BMP for even ids, PNG for odd; pixel value at (x, y,
+    channel c) = (x + y + doc_id + 37c) mod 256) is ENCODED in one
+    mapInPandas stage and DECODED by the pure-python codec in the
+    next; the oracle predicts the decoded geometry and mean pixel in
+    closed form — if either the encoder or the decoder is wrong, the
+    stats won't match."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import encode_bmp, encode_png
+    from bireme_spark.operators.multimodal import extract_image_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                pix = bytes(
+                    (x + y + doc_id + 37 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                enc = encode_bmp(w, h, pix) if doc_id % 2 == 0 else encode_png(w, h, pix)
+                ids.append(doc_id)
+                payloads.append(enc)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
+    feats = extract_image_features(packed)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "format",
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_IMAGE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       ROUND(AVG(CAST((x.x + y.y + d.doc_id + 37 * c.c) % 256 AS DOUBLE)), 6) AS mean_pixel,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format
+FROM dims d
+CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x
+CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y
+CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+GROUP BY d.doc_id, d.w, d.h
+ORDER BY doc_id
+"""
+
+QUERIES["multimodal_image_decode"] = multimodal_image_decode
+ORACLE["multimodal_image_decode"] = MULTIMODAL_IMAGE_SQL
