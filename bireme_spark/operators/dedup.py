@@ -23,8 +23,26 @@ point (SURVEY.md §2.C):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _attach_persisted(df: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    """Tag the result with the intermediates it pins in the block
+    manager. A long-lived session should call :func:`release_persisted`
+    once the result is materialized — cached blocks otherwise
+    accumulate across queries (bench.py clearCache()s as a blunter
+    fallback)."""
+    df._bireme_persisted = handles
+    return df
+
+
+def release_persisted(df: DataFrame) -> None:
+    """Unpersist the intermediates a pair-mining result pinned."""
+    for h in getattr(df, "_bireme_persisted", []):
+        h.unpersist()
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -122,9 +140,10 @@ def ngram_jaccard_pairs(
         F.col("n_common").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
     )
-    return jac.where(F.col("jaccard") >= tau).select(
+    out = jac.where(F.col("jaccard") >= tau).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+    return _attach_persisted(out, [joinable])
 
 
 def minhash_signatures(
@@ -208,9 +227,10 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(num_hashes)),
     )
-    return est.where(F.col("est_jaccard") >= tau).select(
+    out = est.where(F.col("est_jaccard") >= tau).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
+    return _attach_persisted(out, [sig])
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -267,11 +287,12 @@ def simhash_pairs(
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _attach_persisted(out, [sh])
 
 
 def cosine(vec_a, vec_b):
@@ -376,6 +397,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    changed = 1
     for _ in range(max_iters):
         # candidate label per node: min(own, min over neighbors')
         neighbor = (
@@ -405,4 +427,14 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    if changed != 0:
+        # exhausting the loop silently would return stale labels for
+        # components whose diameter exceeds max_iters
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} iterations; "
+            "labels may be stale — raise max_iters (rounds needed ≈ max component "
+            "diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return _attach_persisted(labels, [labels])

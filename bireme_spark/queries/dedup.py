@@ -48,7 +48,13 @@ ORDER BY doc_id
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.8).orderBy("id_a", "id_b")
+    # max_df: the hot-bucket guard a 100 TB run MUST set. 100 is ~4×
+    # the max observed shingle df at sf0.1 (25; sf0.01: 7), so the
+    # result stays exact vs the guard-free oracle at test scale while
+    # the guard itself is exercised in the registered plan.
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.8, max_df=100).orderBy(
+        "id_a", "id_b"
+    )
 
 
 DEDUP_NGRAM_SQL = """

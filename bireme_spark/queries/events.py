@@ -32,7 +32,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SESSIONIZE_SQL = """
 WITH numbered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN lag(epoch(ts)) OVER w IS NULL
                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
               THEN 1 ELSE 0 END AS new_session
@@ -40,8 +40,11 @@ WITH numbered AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessioned AS (
+  -- the running sum MUST use the same (ts, event_id) total order as
+  -- the lag window above: with two equal-ts events per user a
+  -- ts-only ROWS frame is order-ambiguous
   SELECT user_id, ts, value,
-         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM numbered
 )

@@ -93,6 +93,48 @@ class TestExactDedup:
         assert all(r.doc_id >= 777_000 for r in dups)
 
 
+class TestMaxDfGuard:
+    def test_hot_shingle_bounds_candidates_and_keeps_tau_pairs(self, spark):
+        """Stop-shingle-heavy fixture: 60 docs share one boilerplate
+        shingle (a 60²-pair hot bucket); two near-dup doc pairs share
+        rare shingles. With max_df the hot bucket is dropped — the
+        τ-qualifying pairs survive with identical jaccard, and the
+        candidate-pair count collapses from Σbucket² to the rare ones."""
+        boiler = "terms of service apply"
+        docs = []
+        for i in range(60):
+            docs.append((i, f"{boiler} unique{i} filler{i} body{i} tail{i}"))
+        # two τ≥0.8 pairs built from rare (df=2) shingles only
+        docs.append((100, "alpha beta gamma delta epsilon zeta eta"))
+        docs.append((101, "alpha beta gamma delta epsilon zeta eta"))
+        docs.append((200, "one two three four five six seven eight"))
+        docs.append((201, "one two three four five six seven eight"))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+
+        guarded = ngram_jaccard_pairs(d, "doc_id", "text", tau=0.8, max_df=10)
+        got = {(r.id_a, r.id_b): r.jaccard for r in guarded.collect()}
+        assert set(got) == {(100, 101), (200, 201)}
+        assert all(j == 1.0 for j in got.values())
+
+        # unguarded: the boilerplate shingle alone creates 60·59/2
+        # candidate pairs (none qualify, but all are paired & counted)
+        unguarded = ngram_jaccard_pairs(d, "doc_id", "text", tau=0.0, max_df=None)
+        guarded_all = ngram_jaccard_pairs(d, "doc_id", "text", tau=0.0, max_df=10)
+        assert unguarded.count() >= 60 * 59 / 2
+        assert guarded_all.count() < 100
+
+    def test_release_persisted_frees_cache(self, spark, sf_dir):
+        from bireme_spark.operators.dedup import release_persisted
+
+        d = _docs(spark, sf_dir).limit(50)
+        out = ngram_jaccard_pairs(d, "doc_id", "text", tau=0.8)
+        out.count()
+        handles = out._bireme_persisted
+        assert handles and all(h.storageLevel.useMemory for h in handles)
+        release_persisted(out)
+        assert all(not h.storageLevel.useMemory for h in handles)
+
+
 class TestEmbeddingCosineLsh:
     def test_lsh_equals_crossjoin_on_registered_corpus(self, spark, sf_dir):
         """The driver query's corpus (planted scalar-multiple dups,
