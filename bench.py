@@ -28,10 +28,30 @@ HEADLINE = [
     "asof_join",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "text_quality_score",
     "doc_fingerprint",
+    "multimodal_image_decode",
 ]
+
+
+def _baseline_floors() -> dict[str, float]:
+    """Per-query floors from BASELINE.md's markdown table."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    floors: dict[str, float] = {}
+    try:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = [p.strip() for p in line.strip().strip("|").split("|")]
+                if len(parts) == 2 and parts[0] in set(HEADLINE):
+                    try:
+                        floors[parts[0]] = float(parts[1])
+                    except ValueError:
+                        pass
+    except OSError:
+        pass
+    return floors
 
 
 def main() -> int:
@@ -74,6 +94,16 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # regression check vs the BASELINE.md floor (min-of-N already
+    # absorbs most shared-box noise; 2x is the gate's own threshold)
+    floors = _baseline_floors()
+    regressions = {
+        name: {"now": t, "floor": floors[name]}
+        for name, t in timings.items()
+        if name in floors and t > 2.0 * floors[name]
+    }
+    for name, r in regressions.items():
+        print(f"# REGRESSION {name}: {r['now']}s > 2x floor {r['floor']}s", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -83,6 +113,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": int(cpus),
+                "regressions": regressions,
             }
         )
     )

@@ -572,11 +572,52 @@ SELECT DISTINCT source, kafka_partition, seq, key, op FROM changelog
 """
 
 
-# cdc_unified_ingest leads: it was the first entry missing from the
-# round-1 driver artifact (which recorded exactly 50 rows), so it runs
-# before the already-covered cdc entries in case the driver budget-cuts.
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync-verification checksum of the orders table — the
+    ``sqlCheckSum.py``/``compare.py`` twin (reference bireme_tpcc_test):
+    after a sync run, source and target agree iff (n_rows, checksum)
+    agree. Order-insensitive modular md5 sum, so it distributes with
+    map-side partial aggregation instead of the reference's
+    single-cursor ORDER BY stream."""
+    from bireme_spark.operators.checksum import table_checksum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return table_checksum(o)
+
+
+TABLE_CHECKSUM_SQL = """
+WITH t AS (
+  SELECT concat_ws(chr(31),
+    COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || '<NULL>'),
+    COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(0) || '<NULL>'),
+    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || '<NULL>'),
+    COALESCE(o_orderpriority, chr(0) || '<NULL>'),
+    COALESCE(o_orderstatus, chr(0) || '<NULL>'),
+    COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), chr(0) || '<NULL>')
+  ) AS r
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(md5_number_lower(r) AS HUGEINT))
+            % CAST('18446744073709551616' AS HUGEINT) AS VARCHAR) AS checksum
+FROM t
+"""
+
+
+# cdc_unified_ingest + table_checksum lead: they had no row in the
+# round-1 driver artifact (which recorded exactly 50 entries), so they
+# run before the already-covered cdc entries in case the driver
+# budget-cuts.
 QUERIES = {
     "cdc_unified_ingest": cdc_unified_ingest,
+    "table_checksum": table_checksum_orders,
     "cdc_compact": cdc_compact,
     "cdc_snapshot": cdc_snapshot,
     "cdc_apply": cdc_apply,
@@ -590,6 +631,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "table_checksum": TABLE_CHECKSUM_SQL,
     "cdc_compact": CDC_COMPACT_SQL,
     "cdc_snapshot": CDC_SNAPSHOT_SQL,
     "cdc_apply": CDC_APPLY_SQL,

@@ -227,3 +227,35 @@ class TestScd2:
             assert a.valid_to == b.valid_from  # tiles exactly, no gaps/overlap
         assert sum(r.is_current for r in ordered) == 1
         assert ordered[-1].valid_to is None
+
+
+class TestTableChecksum:
+    """sqlCheckSum.py twin: order-insensitive distributed checksum."""
+
+    def test_invariant_under_layout_and_sensitive_to_data(self, spark):
+        from pyspark.sql import functions as F
+
+        from bireme_spark.operators.checksum import table_checksum
+
+        df = spark.createDataFrame(
+            [(i, f"name{i}", None if i % 7 == 0 else i * 1.5) for i in range(500)],
+            "id long, name string, score double",
+        ).select("id", "name", F.col("score").cast("decimal(10,2)").alias("score"))
+        base = table_checksum(df).first()
+        shuffled = table_checksum(df.repartition(13).sortWithinPartitions("name")).first()
+        assert (base.n_rows, base.checksum) == (shuffled.n_rows, shuffled.checksum)
+
+        tweaked = df.withColumn(
+            "score",
+            F.when(F.col("id") == 250, F.lit(9.99).cast("decimal(10,2)")).otherwise(
+                F.col("score")
+            ),
+        )
+        assert table_checksum(tweaked).first().checksum != base.checksum
+
+    def test_null_vs_empty_string_distinct(self, spark):
+        from bireme_spark.operators.checksum import table_checksum
+
+        a = spark.createDataFrame([(1, None)], "id long, s string")
+        b = spark.createDataFrame([(1, "")], "id long, s string")
+        assert table_checksum(a).first().checksum != table_checksum(b).first().checksum
