@@ -13,6 +13,7 @@ swap the stub body for PIL/ffmpeg calls in production.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,15 +40,21 @@ def decode_media(payload: bytes, mode: str = "bytes"):
     """Media decode. ``mode='bytes'`` returns the raw buffer;
     ``mode='image'`` is a REAL pure-python decode (PNG via stdlib
     zlib, BMP via struct — :mod:`bireme_spark.functions.imagecodec`)
-    returning ``(width, height, channels, pixels, format)``.
-    Audio/video modes still require codec libs not present in this
-    container and stay stubbed."""
+    returning ``(width, height, channels, pixels, format)``;
+    ``mode='audio'`` is a REAL pure-python RIFF/WAVE PCM16 decode
+    (:mod:`bireme_spark.functions.audiocodec`) returning
+    ``(sample_rate, n_channels, samples)``. Video still requires
+    codec libs not present in this container and stays stubbed."""
     if mode == "bytes":
         return payload
     if mode == "image":
         from bireme_spark.functions.imagecodec import decode_image
 
         return decode_image(bytes(payload))
+    if mode == "audio":
+        from bireme_spark.functions.audiocodec import decode_wav
+
+        return decode_wav(bytes(payload))
     raise NotImplementedError(
         f"decode_media(mode={mode!r}) is a stub — plug in av/ffmpeg here"
     )
@@ -86,6 +93,48 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(batches, schema=IMAGE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples int,"
+    " peak int, mean_sample double, rms double"
+)
+
+
+def extract_audio_features(binary_df: DataFrame) -> DataFrame:
+    """REAL audio-decode stage: each Arrow batch's payloads run
+    through the pure-python WAV/PCM16 codec; emits rate/geometry +
+    amplitude stats. Same mapInPandas shape an ffmpeg/soundfile
+    deployment uses."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, chans, counts, peaks, means, rmss = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, nch, samples = decode_media(bytes(payload), "audio")
+                n = len(samples)
+                ids.append(doc_id)
+                rates.append(rate)
+                chans.append(nch)
+                counts.append(n)
+                peaks.append(max((abs(s) for s in samples), default=0))
+                # int sums are exact; the single float division matches
+                # the oracle's AVG over the same exact integer sums
+                means.append(sum(samples) / n if n else 0.0)
+                rmss.append(math.sqrt(sum(s * s for s in samples) / n) if n else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_channels": pd.Series(chans, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                    "mean_sample": means,
+                    "rms": rmss,
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 def extract_features(binary_df: DataFrame) -> DataFrame:

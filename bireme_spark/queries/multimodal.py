@@ -132,3 +132,72 @@ ORDER BY doc_id
 
 QUERIES["multimodal_image_decode"] = multimodal_image_decode
 ORACLE["multimodal_image_decode"] = MULTIMODAL_IMAGE_SQL
+
+
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: per doc_id a deterministic
+    synthetic PCM16 clip (rate = 8000·(1 + doc_id%3), n = 64 +
+    doc_id%64 samples, sample[i] = (doc_id·31 + i·7) mod 2048 −
+    1024) is ENCODED to RIFF/WAVE bytes in one mapInPandas stage and
+    DECODED by the pure-python WAV parser in the next; the oracle
+    predicts rate/length/amplitude stats in closed form — a bug in
+    either the encoder or the decoder breaks the match. All sums are
+    exact integers; the single float division + sqrt is the same
+    IEEE op on both sides."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import encode_wav
+    from bireme_spark.operators.multimodal import extract_audio_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                samples = [(doc_id * 31 + i * 7) % 2048 - 1024 for i in range(n)]
+                ids.append(doc_id)
+                payloads.append(encode_wav(8000 * (1 + doc_id % 3), samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
+    feats = extract_audio_features(packed)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "peak",
+        F.round("mean_sample", 6).alias("mean_sample"),
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH clips AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+), samples AS (
+  SELECT c.doc_id, c.n,
+         (c.doc_id * 31 + i.i * 7) % 2048 - 1024 AS v
+  FROM clips c
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, c.n - 1)) AS i) i
+)
+SELECT doc_id,
+       CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(MAX(abs(v)) AS INTEGER) AS peak,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_sample,
+       ROUND(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms
+FROM samples
+GROUP BY doc_id, n
+ORDER BY doc_id
+"""
+
+QUERIES["multimodal_audio_decode"] = multimodal_audio_decode
+ORACLE["multimodal_audio_decode"] = MULTIMODAL_AUDIO_SQL

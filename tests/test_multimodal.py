@@ -158,3 +158,48 @@ class TestImageCodec:
             decode_media(b"\x00\x01\x02", "image")
         with _pytest.raises(NotImplementedError):
             decode_media(b"anything", "video")
+
+
+class TestWavCodec:
+    """RIFF/WAVE PCM16 roundtrip (functions/audiocodec.py)."""
+
+    def test_roundtrip_mono(self):
+        from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+        samples = [((i * 37) % 2048) - 1024 for i in range(129)]  # odd length
+        rate, nch, back = decode_wav(encode_wav(16000, samples))
+        assert (rate, nch, back) == (16000, 1, samples)
+
+    def test_roundtrip_stereo_and_extremes(self):
+        from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+        samples = [-32768, 32767, 0, -1, 1, 12345]  # 3 frames x 2ch
+        rate, nch, back = decode_wav(encode_wav(44100, samples, n_channels=2))
+        assert (rate, nch, back) == (44100, 2, samples)
+
+    def test_skips_extra_chunks(self):
+        import struct
+
+        from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+        wav = bytearray(encode_wav(8000, [5, -5, 7]))
+        # splice a LIST chunk (odd length -> pad byte) before fmt
+        extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        spliced = bytes(wav[:12]) + extra + bytes(wav[12:])
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        assert decode_wav(spliced) == (8000, 1, [5, -5, 7])
+
+    def test_non_pcm_raises(self):
+        import struct
+
+        import pytest as _pytest
+
+        from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+        wav = bytearray(encode_wav(8000, [1, 2]))
+        # fmt chunk starts at byte 20; set audio_format=3 (IEEE float)
+        wav[20:22] = struct.pack("<H", 3)
+        with _pytest.raises(NotImplementedError):
+            decode_wav(bytes(wav))
+        with _pytest.raises(ValueError):
+            decode_wav(b"not a wav")
