@@ -63,6 +63,27 @@ def lang_id(col: Column, threshold: float = 0.03) -> Column:
     return F.when(stopword_ratio(col) > threshold, "en").otherwise("unk")
 
 
+# PII patterns kept to the Java-regex ∩ RE2 common dialect so the
+# exact same strings run in Spark and the DuckDB oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails → <EMAIL>, then phones → <PHONE>, then IPv4 →
+    <IP> (email first: its local part can contain digits a phone
+    pattern would chew on). Pure JVM regexp_replace — codegen'd,
+    linear scan, no UDF."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")
+
+
 def fingerprint(col: Column) -> Column:
     """Karp–Rabin rolling hash over the character stream:
     fold(acc → acc·31 + ascii(c) mod 1e9+7). A single JVM ``aggregate``

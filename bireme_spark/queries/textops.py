@@ -171,15 +171,76 @@ FROM f
 """
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (email / phone / IPv4), the pre-training
+    redaction step every public-web corpus pipeline runs (e.g. C4 /
+    CCNet postprocessing). Deterministic synthetic PII is injected
+    per doc_id (the corpus itself is PII-free word soup), then
+    counted and redacted with pure-JVM regexp expressions — the
+    oracle builds the identical augmented text and patterns, so
+    counts AND the full redacted string must hash-match."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 != 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" call +1 555 "), F.lpad((did % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0.1")),
+    ).otherwise(F.lit(""))
+    t = d.select("doc_id", F.concat(F.col("text"), email, phone, ip).alias("aug"))
+    return t.select(
+        "doc_id",
+        T.pii_count(F.col("aug"), T.PII_EMAIL).alias("n_emails"),
+        T.pii_count(F.col("aug"), T.PII_PHONE).alias("n_phones"),
+        T.pii_count(F.col("aug"), T.PII_IPV4).alias("n_ips"),
+        T.redact_pii(F.col("aug")).alias("redacted"),
+    )
+
+
+TEXT_PII_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 <> 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+            ELSE '' END AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{T.PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{T.PII_PHONE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(aug, '{T.PII_IPV4}')) AS INTEGER) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(aug,
+         '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+         '{T.PII_PHONE}', '<PHONE>', 'g'),
+         '{T.PII_IPV4}', '<IP>', 'g') AS redacted
+FROM t
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "text_repetition": text_repetition,
+    "text_pii_redact": text_pii_redact,
 }
 
 ORACLE = {
+    "text_pii_redact": TEXT_PII_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
