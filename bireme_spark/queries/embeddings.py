@@ -1,0 +1,114 @@
+"""Embedding-column utility ops (SURVEY.md §2.C): L2 stats + int8
+quantization — the compression pass an embedding store runs before
+ANN serving (scalar quantization a la FAISS SQ8: per-vector scale =
+max|x|/127, codes = round(x/scale)).
+
+All math is JVM higher-order expressions over the array column
+(transform / zip_with / aggregate) — no UDF, no shuffle; the plan is
+a pure scan→project that scales linearly. Sums fold sequentially in
+array order on both engines (F.aggregate ↔ list_reduce), so doubles
+are bit-identical and the oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bireme_spark.sources.tables import load_table
+
+
+def _fold_sum(arr):
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # each stage's scalar is projected to a named column before the
+    # next lambda uses it (never recomputed per array element)
+    t = e.select(
+        "vec_id",
+        "embedding",
+        _fold_sum(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
+        ).alias("sq"),
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+        ).alias("mx"),
+    )
+    s = t.select(
+        "vec_id",
+        "embedding",
+        "sq",
+        (F.greatest(F.col("mx"), F.lit(1e-12)) / F.lit(127.0)).alias("scale"),
+    )
+    q = s.withColumn(
+        "q",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+        ),
+    )
+    err = q.withColumn(
+        "err",
+        _fold_sum(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("q"),
+                lambda x, qi: (x.cast("double") - qi.cast("double") * F.col("scale"))
+                * (x.cast("double") - qi.cast("double") * F.col("scale")),
+            )
+        ),
+    )
+    return err.select(
+        "vec_id",
+        F.round(F.sqrt("sq"), 6).alias("l2_norm"),
+        F.round("scale", 9).alias("q_scale"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("q_checksum"),
+        F.round(F.sqrt("err") / F.sqrt("sq"), 6).alias("recon_rel_err"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH t AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(0.0,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (a, x) -> a + x) AS sq,
+         list_reduce(list_prepend(0.0,
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (a, x) -> greatest(a, x)) AS mx
+  FROM embeddings
+), s AS (
+  SELECT vec_id, embedding, sq, greatest(mx, 1e-12) / 127.0 AS scale FROM t
+), qz AS (
+  SELECT vec_id, embedding, sq, scale,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)) AS q
+  FROM s
+), e AS (
+  SELECT vec_id, sq, scale, q,
+         list_reduce(list_prepend(0.0,
+           list_transform(list_zip(embedding, q),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)
+                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))),
+           (a, x) -> a + x) AS err
+  FROM qz
+)
+SELECT vec_id,
+       ROUND(sqrt(sq), 6) AS l2_norm,
+       ROUND(scale, 9) AS q_scale,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(q, x -> CAST(x AS BIGINT))), (a, x) -> a + x)
+            AS BIGINT) AS q_checksum,
+       ROUND(sqrt(err) / sqrt(sq), 6) AS recon_rel_err
+FROM e
+"""
+
+
+QUERIES = {"embedding_quantize": embedding_quantize}
+ORACLE = {"embedding_quantize": EMBEDDING_QUANTIZE_SQL}

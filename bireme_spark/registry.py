@@ -45,6 +45,7 @@ def _load() -> None:
     # the tail; the round-1-green relational queries follow.
     for mod_name in (
         "textops",
+        "embeddings",
         "dedup",
         "ann",
         "multimodal",
