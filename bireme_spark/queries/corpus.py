@@ -232,8 +232,82 @@ WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
 """
 
 
+_BENCH_MOD, _BENCH_REM = 50, 7  # every 50th doc plays the eval set
+_CONTAM_N = 3
+
+
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which training documents
+    contain n-grams from the held-out eval set (the decontamination
+    pass of GPT-3 §C / PaLM §7 pipelines — n-gram collision against
+    the benchmark). A deterministic 1-in-50 document slice plays the
+    benchmark.
+
+    Scale plan: the benchmark shingle set is tiny next to a 100 TB
+    corpus, so it is broadcast — the training side is a map-side
+    hash-probe on its exploded shingles (one shuffle on doc_id for
+    the per-doc counts, none for the join). Shingling itself is
+    map-side distinct arrays (operators/dedup.shingles)."""
+    from bireme_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", n=_CONTAM_N)
+    is_bench = (F.col("doc_id") % _BENCH_MOD) == _BENCH_REM
+    bench = sh.where(is_bench).select("shingle").distinct()
+    train = sh.where(~is_bench)
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("int").alias("n_shingles"),
+            F.col("n_contaminated").cast("int").alias("n_contaminated"),
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
+            ).alias("contaminated_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - {_CONTAM_N - 1}, 0)),
+           i -> array_to_string(w[i:i+{_CONTAM_N - 1}], ' ')))) AS shingle
+  FROM toks
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = {_BENCH_REM}
+), train AS (
+  SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+), hit AS (
+  SELECT t.doc_id, COUNT(*) AS n_contaminated
+  FROM train t JOIN bench b USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS INTEGER) AS n_shingles,
+       CAST(h.n_contaminated AS INTEGER) AS n_contaminated,
+       ROUND(h.n_contaminated / CAST(t.n_shingles AS DOUBLE), 6)
+         AS contaminated_frac
+FROM tot t JOIN hit h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_stats": corpus_stats,
+    "corpus_contamination": corpus_contamination,
     "corpus_sample_systematic": corpus_sample_systematic,
     "doc_chunking": doc_chunking,
     "corpus_filter_pipeline": corpus_filter_pipeline,
@@ -242,6 +316,7 @@ QUERIES = {
 
 ORACLE = {
     "corpus_stats": CORPUS_STATS_SQL,
+    "corpus_contamination": CORPUS_CONTAMINATION_SQL,
     "corpus_sample_systematic": CORPUS_SAMPLE_SQL,
     "doc_chunking": DOC_CHUNKING_SQL,
     "corpus_filter_pipeline": CORPUS_FILTER_SQL,
