@@ -350,3 +350,30 @@ ORDER BY event_type
 
 QUERIES["events_value_percentiles"] = events_value_percentiles
 ORACLE["events_value_percentiles"] = EVENTS_PERCENTILES_SQL
+
+
+def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path at 100 TB: HyperLogLog++ distinct users
+    (approx_count_distinct, rsd 2%) and KLL-style approx percentiles
+    (percentile_approx) per event type. Both sketches are MERGEABLE
+    partial aggregates — map-side partials, constant-size state, one
+    shuffle — which is the whole point vs their exact twins (exact
+    distinct shuffles every user_id; exact percentile sorts values).
+
+    Rows-only at the gate: sketch estimates are engine-specific, so
+    there is no cross-engine oracle; tests/test_sketches.py bounds
+    the error against the exact aggregates instead."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_approx_sketches"] = events_approx_sketches  # rows-only
