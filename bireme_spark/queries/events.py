@@ -377,3 +377,83 @@ def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["events_approx_sketches"] = events_approx_sketches  # rows-only
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column
+    with a typed ``from_json`` (schema'd parse → codegen'd struct
+    field access, pushdown-friendly — never string-hack JSON with
+    regex) and aggregate the extracted field per event type."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_parsed"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS n_parsed,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_json_extract"] = events_json_extract
+ORACLE["events_json_extract"] = EVENTS_JSON_SQL
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week, counted by how many distinct users of that cohort return
+    in each later week. Two shuffles total: one on user_id
+    collecting each user's distinct active weeks (collect_set is a
+    partial-aggregatable set, bounded by weeks-per-user), one on the
+    (cohort, offset) cells — the per-cell rows are already unique
+    per user, so the final count needs no distinct."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    per_user = e.groupBy("user_id").agg(F.sort_array(F.collect_set(wk)).alias("weeks"))
+    x = per_user.select(
+        F.col("weeks")[0].alias("cohort_week"),
+        F.explode("weeks").alias("act_week"),
+    )
+    return (
+        x.groupBy(
+            F.col("cohort_week"),
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH acts AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+), first AS (
+  SELECT user_id, MIN(act_week) AS cohort_week FROM acts GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM acts a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["events_retention_cohorts"] = events_retention_cohorts
+ORACLE["events_retention_cohorts"] = EVENTS_RETENTION_SQL
