@@ -232,6 +232,112 @@ WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
 """
 
 
+_PACK_LEN = 512  # training sequence length (tokens)
+
+
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are laid end-to-end
+    (separator-free) into fixed ``_PACK_LEN``-token sequences, in
+    deterministic doc_id order WITHIN each source stream — each
+    packer works one stream, so the window sort is per-stratum, not
+    global (a single global ordering would serialize the corpus
+    through one partition at 100 TB). Emits each doc's span of pack
+    sequences: a doc crossing a boundary is split across packs, the
+    standard pretraining layout (GPT-style packed batches)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / _PACK_LEN).cast("int").alias("first_pack"),
+        F.floor((cum - 1) / _PACK_LEN).cast("int").alias("last_pack"),
+        (F.floor((cum - 1) / _PACK_LEN) - F.floor((cum - F.col("n_tokens")) / _PACK_LEN) + 1)
+        .cast("int")
+        .alias("n_packs_spanned"),
+    ).orderBy("source", "doc_id")
+
+
+DOC_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(FLOOR((cum - n_tokens) / {_PACK_LEN}) AS INTEGER) AS first_pack,
+       CAST(FLOOR((cum - 1) / {_PACK_LEN}) AS INTEGER) AS last_pack,
+       CAST(FLOOR((cum - 1) / {_PACK_LEN})
+            - FLOOR((cum - n_tokens) / {_PACK_LEN}) + 1 AS INTEGER) AS n_packs_spanned
+FROM c
+ORDER BY source, doc_id
+"""
+
+
+_MIX_ALPHA_TARGET = 0.25  # overall downsample rate
+_MIX_MOD = 100  # doc_ids are dense, so id mod 100 is uniform at any scale
+
+
+def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (α = 0.5): per-source sampling
+    weight ∝ √n_s (mT5/UL2-style upweighting of small sources), with
+    an overall 25% token... doc budget. Selection is a deterministic
+    map-side rate filter — keep doc iff doc_id mod 100 falls under
+    the source's keep-rate — NOT a per-source rank window: the counts
+    aggregate is tiny and broadcast back, so the plan is one
+    partial-agg shuffle of |sources| rows plus a pure scan filter.
+    Reproducible across runs/engines, no RNG."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n_total"), F.sum(F.sqrt("n_s")).alias("sum_sqrt")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(_MIX_ALPHA_TARGET)
+            * F.col("n_total")
+            * (F.sqrt("n_s") / F.col("sum_sqrt"))
+            / F.col("n_s"),
+        ).alias("keep_rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(
+            F.pmod(F.col("doc_id"), F.lit(_MIX_MOD))
+            < F.floor(F.col("keep_rate") * _MIX_MOD)
+        )
+        .select("doc_id", "source", F.round("keep_rate", 6).alias("keep_rate"))
+        .orderBy("source", "doc_id")
+    )
+
+
+CORPUS_MIX_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_s) AS n_total, SUM(sqrt(n_s)) AS sum_sqrt FROM counts
+), rates AS (
+  SELECT source,
+         LEAST(1.0, {_MIX_ALPHA_TARGET} * n_total * (sqrt(n_s) / sum_sqrt) / n_s)
+           AS keep_rate
+  FROM counts, tot
+)
+SELECT d.doc_id, d.source, ROUND(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN rates r USING (source)
+WHERE d.doc_id % {_MIX_MOD} < FLOOR(r.keep_rate * {_MIX_MOD})
+ORDER BY source, doc_id
+"""
+
+
 _BENCH_MOD, _BENCH_REM = 50, 7  # every 50th doc plays the eval set
 _CONTAM_N = 3
 
@@ -308,6 +414,8 @@ ORDER BY doc_id
 QUERIES = {
     "corpus_stats": corpus_stats,
     "corpus_contamination": corpus_contamination,
+    "doc_packing": doc_packing,
+    "corpus_mix_sampling": corpus_mix_sampling,
     "corpus_sample_systematic": corpus_sample_systematic,
     "doc_chunking": doc_chunking,
     "corpus_filter_pipeline": corpus_filter_pipeline,
@@ -317,6 +425,8 @@ QUERIES = {
 ORACLE = {
     "corpus_stats": CORPUS_STATS_SQL,
     "corpus_contamination": CORPUS_CONTAMINATION_SQL,
+    "doc_packing": DOC_PACKING_SQL,
+    "corpus_mix_sampling": CORPUS_MIX_SQL,
     "corpus_sample_systematic": CORPUS_SAMPLE_SQL,
     "doc_chunking": DOC_CHUNKING_SQL,
     "corpus_filter_pipeline": CORPUS_FILTER_SQL,
