@@ -592,6 +592,96 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(o)
 
 
+def jdbc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangeLoader.java:206-290 twin run LIVE: a deterministic
+    orders subset is loaded into an embedded Derby warehouse through
+    Spark's parallel JDBC writer, a compacted changelog (updates +10
+    on key%3, deletes on key%5) is merged by ``JdbcMergeSink`` —
+    stage-write, DELETE, INSERT, DROP in one transaction — and the
+    synced table is read back over JDBC. The oracle predicts the
+    final warehouse state from orders directly, so the whole
+    stage/merge/transaction path is value-checked, not just the SQL
+    builders."""
+    import uuid
+
+    from bireme_spark.sinks.jdbc import JdbcMergeSink
+
+    url = f"jdbc:derby:memory:gate{uuid.uuid4().hex[:8]};create=true"
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    (
+        base.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", '"target"')  # quoted: Derby upper-folds raw names, the sink quotes
+        .option(
+            "createTableColumnTypes",
+            "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus VARCHAR(8)",
+        )
+        .save()
+    )
+
+    upd = base.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") + 10)
+        .cast("decimal(12,2)")
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderstatus",
+        F.lit("U").alias("op"),
+    )
+    # Delete rows carry dummy (non-NULL) payload: insert_sql skips
+    # op='D' rows so the values never land, and Derby's JDBC driver
+    # rejects setNull(CLOB) — Spark's Derby dialect maps StringType
+    # to CLOB — against the VARCHAR-typed staging column. (Postgres/
+    # Greenplum dialects take NULL payloads fine.)
+    dele = base.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit("").alias("o_orderstatus"),
+        F.lit("D").alias("op"),
+    )
+    # delete-then-update on the same key can't happen here (a key is
+    # U xor D: %5 wins below like RowBatchMerger last-write-wins)
+    changes = dele.unionByName(upd.where(F.col("o_orderkey") % 5 != 0))
+
+    sink = JdbcMergeSink(
+        url=url,
+        target_table="target",
+        key_cols=("o_orderkey",),
+        payload_cols=("o_orderkey", "o_totalprice", "o_orderstatus"),
+        properties={
+            "createTableColumnTypes": (
+                "o_orderkey BIGINT, o_totalprice DOUBLE,"
+                " o_orderstatus VARCHAR(8), op VARCHAR(1)"
+            )
+        },
+    )
+    sink(changes, batch_id=0)
+
+    synced = spark.read.jdbc(url, '"target"')
+    return synced.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    ).orderBy("o_orderkey")
+
+
+JDBC_MERGE_APPLY_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2)) AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderstatus
+FROM orders
+WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+ORDER BY o_orderkey
+"""
+
+
 TABLE_CHECKSUM_SQL = """
 WITH t AS (
   SELECT concat_ws(chr(31),
@@ -618,6 +708,7 @@ FROM t
 QUERIES = {
     "cdc_unified_ingest": cdc_unified_ingest,
     "table_checksum": table_checksum_orders,
+    "jdbc_merge_apply": jdbc_merge_apply,
     "cdc_compact": cdc_compact,
     "cdc_snapshot": cdc_snapshot,
     "cdc_apply": cdc_apply,
@@ -632,6 +723,7 @@ QUERIES = {
 
 ORACLE = {
     "table_checksum": TABLE_CHECKSUM_SQL,
+    "jdbc_merge_apply": JDBC_MERGE_APPLY_SQL,
     "cdc_compact": CDC_COMPACT_SQL,
     "cdc_snapshot": CDC_SNAPSHOT_SQL,
     "cdc_apply": CDC_APPLY_SQL,

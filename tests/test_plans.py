@@ -98,6 +98,44 @@ def test_whole_stage_codegen_on_flagship(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_contamination_bench_set_is_broadcast(spark):
+    """The benchmark shingle set must broadcast — a shuffled join of
+    the 100 TB training side on `shingle` would be the bottleneck."""
+    plan = _plan(spark, "corpus_contamination")
+    assert "BroadcastHashJoin" in plan
+    # the only shingle-keyed exchange allowed is the benchmark set's
+    # own distinct (tiny side); the training side must never shuffle
+    # on shingle — it probes the broadcast map-side
+    assert plan.count("hashpartitioning(shingle") <= 1
+
+
+def test_mix_sampling_rates_are_broadcast_and_scan_stays_pruned(spark):
+    """corpus_mix_sampling: per-source rates join via broadcast (the
+    rate table is |sources| rows); the documents scan reads only the
+    id/source columns — text must be pruned out."""
+    plan = _plan(spark, "corpus_mix_sampling")
+    assert "BroadcastHashJoin" in plan
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines and all("text" not in ln for ln in schema_lines)
+
+
+def test_packing_shuffles_once_per_stratum_window(spark):
+    """doc_packing: exactly one exchange (the per-source window);
+    packing must not add a global sort-by-all-rows exchange
+    (rangepartitioning across the whole corpus) beyond the final
+    display orderBy."""
+    plan = _plan(spark, "doc_packing")
+    assert plan.count("hashpartitioning(source") <= 1
+
+
+def test_quantize_has_no_exchange_or_python(spark):
+    """embedding_quantize is a pure scan→project: no shuffle, no
+    Python in the data path."""
+    plan = _plan(spark, "embedding_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_anti_join_for_q22(spark):
     plan = _plan(spark, "q22_global_sales_opportunity")
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
