@@ -398,7 +398,7 @@ def connected_components(
         .persist()
     )
     changed = 1
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # candidate label per node: min(own, min over neighbors')
         neighbor = (
             edges.join(labels, edges.dst == labels.id)
@@ -426,6 +426,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        # persist() caches results but the logical plan still grows by
+        # one join per round — at high-diameter graphs the planner
+        # itself becomes the bottleneck (and lineage recovery would
+        # replay every round). Truncate it periodically.
+        if (it + 1) % 5 == 0:
+            cp = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = cp
     edges.unpersist()
     if changed != 0:
         # exhausting the loop silently would return stale labels for
