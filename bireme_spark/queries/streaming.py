@@ -95,16 +95,17 @@ def streaming_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         state = read_state(spark, cfg.target_dir)
         assert state is not None, "pipeline produced no state"
-        rows = state.select(
+        # Lazy read of the parquet state — no driver materialization;
+        # the target dir outlives this call (input/ckpt are cleaned).
+        return state.select(
             F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
             "o_orderstatus",
-        ).collect()
-        out = spark.createDataFrame(rows, "o_orderkey bigint, o_totalprice double, o_orderstatus string")
-        return out.orderBy("o_orderkey")
+        ).orderBy("o_orderkey")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(input_dir, ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
 
 
 def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +118,6 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the append-mode result equal the batch interval join, which
     is exactly the DuckDB oracle."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    import uuid
 
     work = tempfile.mkdtemp(prefix="bireme_ssj_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -154,26 +154,26 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AND click_ts <= purchase_ts"
             ),
         ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
-        name = f"ssj_{uuid.uuid4().hex[:8]}"
+        # parquet sink + lazy read-back — the memory sink would pull
+        # every joined row onto the driver
         q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
+            joined.writeStream.format("parquet")
+            .option("path", f"{work}/out")
             .outputMode("append")
             .trigger(availableNow=True)
             .option("checkpointLocation", f"{work}/ckpt")
             .start()
         )
         q.awaitTermination(300)
-        rows = spark.table(name).collect()
-        out = spark.createDataFrame(
-            rows,
-            "user_id bigint, purchase_id bigint, click_id bigint,"
-            " purchase_ts timestamp, click_ts timestamp",
+        return (
+            spark.read.parquet(f"{work}/out")
+            .select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
+            .orderBy("purchase_id", "click_id")
         )
-        return out.orderBy("purchase_id", "click_id")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
 
 
 STREAM_JOIN_SQL = """

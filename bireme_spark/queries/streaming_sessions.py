@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import shutil
 import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,30 +41,31 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             sentinel_schema="user_id long, ts timestamp",
         )
         stream = read_replay(spark, src, "user_id long, ts timestamp")
-        name = f"sess_out_{int(time.time() * 1000)}"
+        # Parquet sink + read-back, NOT a memory sink: the memory
+        # format materializes every row on the driver, which is
+        # exactly what a 100 TB pipeline can't do. The output dir
+        # outlives this call (the returned frame is lazy); only the
+        # replay input and checkpoint are cleaned up.
         q = (
             streaming_sessionize(stream, gap_seconds=GAP_SECONDS, watermark="0 seconds")
-            .writeStream.format("memory")
-            .queryName(name)
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
             .outputMode("append")
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-        rows = (
-            spark.table(name)
+        return (
+            spark.read.parquet(f"{work}/out")
             .where(F.col("user_id") != _SENTINEL)
             .select("user_id", "session_start", "session_end", "n_events")
-            .collect()
+            .orderBy("user_id", "session_start")
         )
-        out = spark.createDataFrame(
-            rows, "user_id long, session_start timestamp, session_end timestamp, n_events long"
-        )
-        return out.orderBy("user_id", "session_start")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
 
 
 STREAMING_SESSIONIZE_SQL = f"""
@@ -133,28 +133,25 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value",
             )
         )
-        name = f"tumble_out_{int(time.time() * 1000)}"
+        # parquet sink + lazy read-back (see streaming_sessionize_events)
         q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
+            agg.writeStream.format("parquet")
+            .option("path", f"{work}/out")
             .outputMode("append")
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-        rows = (
-            spark.table(name)
+        return (
+            spark.read.parquet(f"{work}/out")
             .where(F.col("event_type") != "__flush")
-            .collect()
+            .orderBy("window_start", "event_type")
         )
-        out = spark.createDataFrame(
-            rows, "window_start timestamp, event_type string, n_events long, total_value double"
-        )
-        return out.orderBy("window_start", "event_type")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
 
 
 STREAMING_TUMBLING_SQL = """
