@@ -110,5 +110,46 @@ FROM e
 """
 
 
-QUERIES = {"embedding_quantize": embedding_quantize}
-ORACLE = {"embedding_quantize": EMBEDDING_QUANTIZE_SQL}
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long (label, pos, value) form — the
+    class-prototype computation behind IVF seeding, label-balanced
+    sampling and embedding-drift monitoring.
+
+    posexplode fans each vector into dim rows MAP-SIDE (no shuffle),
+    then one hash aggregation on (label, pos) with partial map-side
+    combine does the whole reduction — the classic long-format vector
+    mean, linear in corpus size and embarrassingly parallel over
+    input partitions. Long output (not re-assembled arrays) keeps the
+    result directly comparable and joinable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH flat AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT label, pos, COUNT(*) AS n, ROUND(AVG(x), 6) AS centroid
+FROM flat GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "embedding_quantize": embedding_quantize,
+    "embedding_centroids": embedding_centroids,
+}
+ORACLE = {
+    "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+    "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
+}

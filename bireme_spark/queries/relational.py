@@ -1,0 +1,104 @@
+"""Relational extensions beyond plain GROUP BY: explicit GROUPING
+SETS with grouping ids, and non-equi (range/banded) joins — the two
+warehouse idioms not already covered by the rollup/cube and equi-join
+queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bireme_spark.functions.money import dsum, money
+from bireme_spark.sources.tables import load_table
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts/value by GROUPING SETS ((year), (year, priority),
+    ()) with an explicit grouping id to disambiguate aggregated-away
+    NULLs from data NULLs. Single hash-aggregate pass (Spark Expand +
+    one shuffle), same as rollup/cube."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").alias("order_year")
+    p = F.col("o_orderpriority")
+    return (
+        o.select(y, p, "o_totalprice")
+        .groupingSets(
+            [["order_year"], ["order_year", "o_orderpriority"], []],
+            "order_year",
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.grouping("order_year") * 2 + F.grouping("o_orderpriority")
+            ).cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "total_value"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (year(o_orderdate), o_orderpriority), ())
+ORDER BY gid, order_year NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (non-equi range) join: classify lineitems into quantity
+    bands with lo < qty <= hi and aggregate revenue per band. The band
+    table is tiny, so the right plan is a broadcast nested-loop join
+    with the range predicate — the fact side streams through
+    map-side, never shuffles on the band key; the only exchange is
+    the final 4-group aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice", "l_discount")
+    bands = spark.createDataFrame(
+        [(1, "low", 0.0, 10.0), (2, "mid", 10.0, 25.0), (3, "high", 25.0, 40.0), (4, "bulk", 40.0, 50.0)],
+        "band_id int, band string, lo double, hi double",
+    )
+    disc = money("l_extendedprice") * (F.lit(1).cast("decimal(5,2)") - F.col("l_discount").cast("decimal(5,2)"))
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") > F.col("lo")) & (F.col("l_quantity") <= F.col("hi")),
+        )
+        .groupBy("band_id", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(disc, "revenue"),
+        )
+        .orderBy("band_id")
+    )
+
+
+RANGE_BAND_JOIN_SQL = """
+SELECT band_id, band, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN (VALUES (1, 'low', 0.0, 10.0), (2, 'mid', 10.0, 25.0),
+             (3, 'high', 25.0, 40.0), (4, 'bulk', 40.0, 50.0)) AS bands(band_id, band, lo, hi)
+  ON l_quantity > lo AND l_quantity <= hi
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "grouping_sets_agg": grouping_sets_agg,
+    "range_band_join": range_band_join,
+}
+
+ORACLE = {
+    "grouping_sets_agg": GROUPING_SETS_SQL,
+    "range_band_join": RANGE_BAND_JOIN_SQL,
+}

@@ -1,0 +1,152 @@
+"""Corpus vocabulary / term-weighting ops: top-k vocabulary with
+cumulative coverage, and per-document TF-IDF keyword extraction —
+the tokenizer-vocab and relevance-scoring passes of a training-data
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bireme_spark.sources.tables import load_table
+
+VOCAB_K = 200
+TFIDF_K = 3
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K vocabulary by corpus frequency with cumulative coverage
+    share (what fraction of all tokens the first r vocab entries
+    explain — the curve a tokenizer-vocab-size decision reads).
+
+    Scale shape: tokens explode map-side from a projected token
+    array; one (token) hash-agg with map-side combine produces the
+    term counts; the top-K selection is TakeOrdered (per-partition
+    top-K then a K-row driver merge — never a global sort exchange).
+    Only the K selected rows pass through the single-partition
+    ranking window, which is safe because K is a constant; the
+    corpus-total token count joins back as a broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    topk = counts.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_K)
+    w = Window.orderBy(F.col("cnt").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        topk.withColumn("rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token")))
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            F.round(F.col("cum_cnt").cast("double") / F.col("total_tokens"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1
+), topk AS (
+  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {VOCAB_K}
+), ranked AS (
+  SELECT token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+  FROM topk
+)
+SELECT rank, token, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cum_cnt AS DOUBLE)
+             / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM counts), 6) AS cum_share
+FROM ranked ORDER BY rank
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1, the sklearn formulation).
+
+    Scale shape: term frequencies come from one (doc, token)
+    hash-agg over the map-side token explode; document frequencies
+    reuse that aggregate (count per token — a second, smaller
+    shuffle); N is a broadcast scalar. The df table joins back on
+    token (shuffle join on both sides' natural key), then a per-doc
+    window takes the top k. Ranking compares ROUNDED tfidf (6dp,
+    token tiebreak) so both engines rank identically even at double
+    ulp differences."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "rank", "token", "tf", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+         ROUND(tf.tf * (LN((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token, tf, tfidf
+FROM ranked WHERE rank <= {TFIDF_K}
+ORDER BY doc_id, rank
+"""
+
+
+QUERIES = {
+    "vocab_coverage": vocab_coverage,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+
+ORACLE = {
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+}

@@ -1,0 +1,190 @@
+"""Time-series warehouse queries over the events stream: gap filling
+(dense calendar grid + LOCF), fixed-width histograms, and z-score
+anomaly detection. These are the "served" analytics a bireme user
+runs over synced event tables (the reference keeps the warehouse
+current — `ChangeLoader.java:205-330` — and the warehouse answers
+exactly this class of query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bireme_spark.functions.money import dsum
+from bireme_spark.sources.tables import load_table
+
+_BUCKET = "15 minutes"
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type 15-minute series: every bucket between a type's
+    first and last event exists, empty buckets carry n_events=0 and
+    the last observed bucket value (LOCF).
+
+    Scale shape: the raw stream is aggregated FIRST (one shuffle on
+    (event_type, bucket), map-side combine), so the grid generation,
+    join and LOCF window all run on series-sized data (|types| ×
+    |buckets|), never on raw events. The LOCF window partitions by
+    the series key — parallelism is the number of series, which is
+    the natural layout for per-series post-processing."""
+    e = load_table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", _BUCKET).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(12,2)"), "bucket_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "bucket_value")
+    )
+    grid = (
+        agg.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr(f"sequence(lo, hi, interval {_BUCKET})")).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(F.last("bucket_value", ignorenulls=True).over(w), 6).alias("locf_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH agg AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS bucket_value
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+  FROM (SELECT event_type, MIN(bucket) lo, MAX(bucket) hi FROM agg GROUP BY 1)
+)
+SELECT g.event_type, g.bucket,
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       ROUND(last_value(a.bucket_value IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS locf_value
+FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.bucket = g.bucket
+ORDER BY 1, 2
+"""
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (20 buckets of 25
+    over [0, 500)). Pure scan → map-side bucket id → one hash
+    aggregation; bucket edges are computed from the id, so nothing
+    but (type, bucket) ever shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 25), F.lit(0)), F.lit(19))
+    return (
+        e.groupBy("event_type", bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("lo"),
+            ((F.col("bucket") + 1) * 25.0).alias("hi"),
+            "n",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+EVENTS_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(LEAST(GREATEST(FLOOR(value / 25), 0), 19) AS INTEGER) AS bucket,
+       CAST(LEAST(GREATEST(FLOOR(value / 25), 0), 19) * 25.0 AS DOUBLE) AS lo,
+       CAST((LEAST(GREATEST(FLOOR(value / 25), 0), 19) + 1) * 25.0 AS DOUBLE) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2
+"""
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly counts (|z| > 3 against the type's
+    own mean/stddev).
+
+    Exactness: mean and variance come from DECIMAL-exact sums of
+    value and value² (shuffle-order-independent), converted to
+    double only for the final arithmetic — so both engines compute
+    bit-identical mean/std, and every per-row z comparison agrees.
+    Plan: one aggregation shuffle for the stats, then the 5-row
+    stats table broadcasts back onto the scan."""
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(12,2)")
+    stats = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("s1"),
+            F.sum(dec * dec).cast("double").alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("s1") / F.col("n")).alias("mean"),
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+            ).alias("std"),
+        )
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("mean"), 6).alias("mean"),
+            F.round(F.max("std"), 6).alias("std"),
+            F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type, n, s1 / n AS mean,
+         SQRT((s2 - s1 * s1 / n) / (n - 1)) AS std
+  FROM stats
+)
+SELECT e.event_type, CAST(MAX(m.n) AS BIGINT) AS n,
+       ROUND(MAX(m.mean), 6) AS mean, ROUND(MAX(m.std), 6) AS std,
+       CAST(SUM(CASE WHEN ABS((e.value - m.mean) / m.std) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM events e JOIN m USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "events_gap_fill": events_gap_fill,
+    "events_histogram": events_histogram,
+    "events_anomaly_zscore": events_anomaly_zscore,
+}
+
+ORACLE = {
+    "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "events_histogram": EVENTS_HISTOGRAM_SQL,
+    "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
+}

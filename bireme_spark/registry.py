@@ -49,6 +49,9 @@ def _load() -> None:
         "dedup",
         "ann",
         "multimodal",
+        "timeseries",
+        "relational",
+        "terms",
         "streaming_sessions",
         "streaming",
         "cdc",

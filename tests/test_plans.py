@@ -136,6 +136,38 @@ def test_quantize_has_no_exchange_or_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_range_band_join_is_broadcast_nested_loop(spark):
+    """The band table must broadcast with the range predicate — a
+    shuffled or cartesian plan over the fact side would be the 100 TB
+    bottleneck."""
+    plan = _plan(spark, "range_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_stats_join_back_is_broadcast(spark):
+    """events_anomaly_zscore: the |types|-row stats table broadcasts
+    back onto the scan (the raw stream must not shuffle twice)."""
+    plan = _plan(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_prunes_scan(spark):
+    """events_gap_fill touches ts/event_type/value only — props (the
+    wide JSON column) must be pruned from the scan."""
+    plan = _plan(spark, "events_gap_fill")
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines and all("props" not in ln for ln in schema_lines)
+
+
+def test_vocab_topk_has_no_global_sort_of_counts(spark):
+    """vocab_coverage: the top-K must be TakeOrdered (per-partition
+    top-K + K-row merge), never a rangepartitioning exchange over the
+    full term-count table."""
+    plan = _plan(spark, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_anti_join_for_q22(spark):
     plan = _plan(spark, "q22_global_sales_opportunity")
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
