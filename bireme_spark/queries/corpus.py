@@ -411,7 +411,42 @@ ORDER BY doc_id
 """
 
 
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by doc_id residue
+    — re-runs assign every document identically, the property a
+    100 TB pipeline needs so shards can be re-materialized) with
+    per-split per-source doc/token counts for leakage auditing.
+
+    Map-side split label + one hash aggregation; no RNG, no shuffle
+    beyond the stats groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    r = F.col("doc_id") % 10
+    split = (
+        F.when(r <= 7, "train").when(r == 8, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "source", token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+CORPUS_SPLIT_SQL = """
+SELECT CASE WHEN doc_id % 10 <= 7 THEN 'train'
+            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+       source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "corpus_train_val_split": corpus_train_val_split,
     "corpus_stats": corpus_stats,
     "corpus_contamination": corpus_contamination,
     "doc_packing": doc_packing,
@@ -423,6 +458,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_train_val_split": CORPUS_SPLIT_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
     "corpus_contamination": CORPUS_CONTAMINATION_SQL,
     "doc_packing": DOC_PACKING_SQL,

@@ -176,6 +176,80 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup — the Spark-native twin of the
+    reference's at-least-once Kafka delivery dedup (bireme drops
+    redelivered rows by (partition, offset); `KafkaPipeLine.java`).
+    A deterministic subset of events is re-delivered (every 3rd id
+    duplicated), then `dropDuplicatesWithinWatermark` on event_id
+    removes the redeliveries with BOUNDED state: unlike plain
+    dropDuplicates (state grows with every key ever seen — the
+    classic unbounded-state leak), keys are evicted once the
+    watermark passes their event time, so state is O(events within
+    the watermark window) at any stream length.
+
+    The deduped stream goes to a parquet sink (no driver
+    materialization); the returned frame aggregates the sink
+    batch-side, and the oracle is the same aggregate over the
+    original events — redeliveries must vanish exactly."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    work = tempfile.mkdtemp(prefix="bireme_sdd_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        from bireme_spark.streaming.replay import read_replay, replay_to_files
+
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        # at-least-once simulation: every 3rd event arrives twice
+        # (identical payload, same event time → same replay batch,
+        # always within the watermark of its twin)
+        feed = e.unionAll(e.where(F.col("event_id") % 3 == 0))
+        replay_to_files(feed, "ts", f"{work}/in", halves=2)
+        stream = read_replay(
+            spark,
+            f"{work}/in",
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.read.parquet(f"{work}/out")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 STREAM_JOIN_SQL = """
 SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
        p.ts AS purchase_ts, c.ts AS click_ts
@@ -188,7 +262,11 @@ ORDER BY purchase_id, click_id
 
 
 QUERIES = {
+    "streaming_dedup": streaming_dedup,
     "streaming_cdc_pipeline": streaming_cdc_pipeline,
     "streaming_stream_join": streaming_stream_join,
 }
-ORACLE: dict[str, str] = {"streaming_stream_join": STREAM_JOIN_SQL}
+ORACLE: dict[str, str] = {
+    "streaming_dedup": STREAMING_DEDUP_SQL,
+    "streaming_stream_join": STREAM_JOIN_SQL,
+}

@@ -141,12 +141,81 @@ ORDER BY doc_id, rank
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score: per-document average
+    negative log-probability under the corpus's own unigram model
+    (high = unusual token mix; the cheap stand-in for the KenLM
+    perplexity filter of Wenzek et al. 2019).
+
+    Scale shape: one (doc, token) tf aggregation feeds both the
+    unigram model (token-level re-agg) and the per-doc scoring join —
+    the raw corpus is tokenized exactly once. The model join is on
+    token (both sides shuffle on their natural key); the corpus total
+    is a broadcast scalar. Per-doc sums of tf·ln(p) are double —
+    both engines agg the same ~6dp-rounded terms, and the final score
+    rounds at 6dp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total_tokens"))
+    scored = (
+        tf.join(model, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            # per-term contribution rounded BEFORE the per-doc sum so
+            # both engines add identical addends (ln ulp differences
+            # can't leak into the sum)
+            F.round(
+                F.col("tf") * -F.log(F.col("cnt") / F.col("total_tokens")), 6
+            )
+            .cast("decimal(18,6)")  # exact sum — shuffle-order-proof
+            .alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(F.sum("nll").cast("double") / F.sum("tf"), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+), model AS (
+  SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1
+), total AS (
+  SELECT SUM(cnt) AS total_tokens FROM model
+), scored AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(ROUND(tf.tf * -LN(CAST(model.cnt AS DOUBLE) / total.total_tokens), 6)
+              AS DECIMAL(18,6)) AS nll
+  FROM tf JOIN model USING (token) CROSS JOIN total
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
     "tfidf_top_terms": tfidf_top_terms,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 ORACLE = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
 }
