@@ -705,7 +705,73 @@ FROM t
 # round-1 driver artifact (which recorded exactly 50 entries), so they
 # run before the already-covered cdc entries in case the driver
 # budget-cuts.
+def cdc_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync-lag monitoring — the batch twin of the reference's
+    StateServer report (`StateServer.java:120-210` serves per-source
+    produce/complete state; `LoadState` tracks produceTime per
+    table). For each (table, op) of the change feed: event count and
+    exact lag distribution (seconds behind the newest change in the
+    feed — the "how far behind is the warehouse" number an operator
+    pages on).
+
+    One aggregation shuffle on the small (table, op) key space; the
+    global high-water mark is a broadcast scalar. Lag values are
+    integer seconds, so min/max/avg and exact percentiles are
+    engine-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    op_type = (
+        F.when(F.col("o_orderkey") % 5 == 0, "delete")
+        .when(F.col("o_orderkey") % 3 == 0, "update")
+        .otherwise("insert")
+    )
+    feed = o.select(
+        F.lit("public.orders").alias("target_table"),
+        op_type.alias("op"),
+        F.unix_timestamp("o_orderdate").alias("produce_ts"),
+    )
+    hwm = feed.agg(F.max("produce_ts").alias("hwm"))
+    return (
+        feed.crossJoin(F.broadcast(hwm))
+        .select("target_table", "op", (F.col("hwm") - F.col("produce_ts")).alias("lag_s"))
+        .groupBy("target_table", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.min("lag_s").alias("min_lag_s"),
+            F.max("lag_s").alias("max_lag_s"),
+            F.round(F.avg("lag_s"), 6).alias("avg_lag_s"),
+            F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_lag_s"),
+            F.round(F.expr("percentile(lag_s, 0.95)"), 6).alias("p95_lag_s"),
+        )
+        .orderBy("target_table", "op")
+    )
+
+
+CDC_LAG_METRICS_SQL = """
+WITH feed AS (
+  SELECT 'public.orders' AS target_table,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'delete'
+              WHEN o_orderkey % 3 = 0 THEN 'update'
+              ELSE 'insert' END AS op,
+         epoch(o_orderdate) AS produce_ts
+  FROM orders
+), lagd AS (
+  SELECT target_table, op,
+         (SELECT MAX(produce_ts) FROM feed) - produce_ts AS lag_s
+  FROM feed
+)
+SELECT target_table, op, COUNT(*) AS n_changes,
+       CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+       CAST(MAX(lag_s) AS BIGINT) AS max_lag_s,
+       ROUND(AVG(lag_s), 6) AS avg_lag_s,
+       ROUND(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
+       ROUND(quantile_cont(lag_s, 0.95), 6) AS p95_lag_s
+FROM lagd
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "cdc_lag_metrics": cdc_lag_metrics,
     "cdc_unified_ingest": cdc_unified_ingest,
     "table_checksum": table_checksum_orders,
     "jdbc_merge_apply": jdbc_merge_apply,
@@ -722,6 +788,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_lag_metrics": CDC_LAG_METRICS_SQL,
     "table_checksum": TABLE_CHECKSUM_SQL,
     "jdbc_merge_apply": JDBC_MERGE_APPLY_SQL,
     "cdc_compact": CDC_COMPACT_SQL,
