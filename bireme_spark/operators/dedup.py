@@ -374,75 +374,103 @@ def connected_components(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iters: int = 20
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
-    near-dup pair graph via iterative min-label propagation — the
-    step that turns pairwise similarity into dedup groups (keep one
-    doc per component).
+    near-dup pair graph via alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the step that turns pairwise similarity
+    into dedup groups (keep one doc per component).
 
-    Each iteration is one groupBy shuffle (label = min over
-    neighborhood); the loop runs on the driver but every pass is
-    fully distributed, converging in O(component diameter) rounds —
-    near-dup clusters are shallow in practice. Returns (id, component)
-    with component = min doc id in the cluster.
+    Unlike min-label propagation (O(component diameter) rounds — a
+    10⁶-node chain needs 10⁶ shuffles), star contraction halves tree
+    heights every round and converges in O(log n) rounds on ANY
+    graph shape, so a pathological near-dup chain can't stall the
+    pipeline. Each round is two grouped aggregations + joins on the
+    edge list (fully distributed; the driver only checks the
+    convergence fingerprint), lineage is truncated with a per-round
+    localCheckpoint, and convergence is detected by an
+    order-insensitive (count, hash-sum) fingerprint of the edge set.
+
+    Returns (id, component) with component = min doc id in the
+    cluster — star roots are neighborhood minima, so the fixed point
+    is exactly the min-id rooted star forest.
     """
+    # ordered edge list (big, small); self-edges dropped
+    a, b = F.col(a_col), F.col(b_col)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.where(a != b)
+        .select(F.greatest(a, b).alias("src"), F.least(a, b).alias("dst"))
         .distinct()
         .persist()
     )
-    # self-edges keep isolated-after-filter nodes and their own label
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .persist()
-    )
-    changed = 1
+    node_ids = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct().persist()
+    node_ids.count()
+
+    prev_fp = None
+    converged = False
     for it in range(max_iters):
-        # candidate label per node: min(own, min over neighbors')
-        neighbor = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("n_comp"))
+        # ---- large-star: for every node u, attach all strictly
+        # larger neighbors to m = min(N(u) ∪ {u}).
+        und = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        new_labels = (
-            labels.join(neighbor, labels.id == neighbor.src, "left")
+        mins = und.groupBy("src").agg(F.min("dst").alias("mn"))
+        large = (
+            und.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
             .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
+                F.col("dst").alias("src"),
+                F.least(F.col("mn"), F.col("src")).alias("dst"),
             )
-            .persist()
+            .distinct()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # ---- small-star: key every (big, small) edge by its big
+        # endpoint; attach the big node and all its smaller
+        # neighbors to the neighborhood min.
+        smins = large.groupBy("src").agg(F.min("dst").alias("mn"))
+        joined = large.join(smins, "src")
+        small = (
+            joined.select(F.col("src"), F.col("mn").alias("dst"))
+            .unionByName(
+                joined.where(F.col("dst") != F.col("mn")).select(
+                    F.col("dst").alias("src"), F.col("mn").alias("dst")
+                )
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        # Checkpoint EVERY round: each round's plan references the
+        # previous edge set four times (two unions × join back), so
+        # un-truncated lineage grows ~4× per round and the planner —
+        # not the data — becomes the bottleneck within a few rounds.
+        new_edges = small.localCheckpoint(eager=True)
+        # one action on the materialized rdd: size + order-insensitive
+        # content fingerprint (decimal sum — no ANSI long-overflow)
+        row = new_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("chk"),
+        ).first()
+        fp = (row["n"], row["chk"])
+        edges.unpersist()
+        edges = new_edges
+        if fp == prev_fp:
+            converged = True
             break
-        # persist() caches results but the logical plan still grows by
-        # one join per round — at high-diameter graphs the planner
-        # itself becomes the bottleneck (and lineage recovery would
-        # replay every round). Truncate it periodically.
-        if (it + 1) % 5 == 0:
-            cp = labels.localCheckpoint(eager=True)
-            labels.unpersist()
-            labels = cp
-    edges.unpersist()
-    if changed != 0:
-        # exhausting the loop silently would return stale labels for
-        # components whose diameter exceeds max_iters
+        prev_fp = fp
+    if not converged:
+        # exhausting the loop silently would return stale labels
         warnings.warn(
-            f"connected_components: not converged after {max_iters} iterations; "
-            "labels may be stale — raise max_iters (rounds needed ≈ max component "
-            "diameter)",
+            f"connected_components: not converged after {max_iters} rounds; "
+            "labels may be stale — raise max_iters (rounds needed ≈ log₂ of "
+            "the largest component)",
             RuntimeWarning,
             stacklevel=2,
         )
-    return _attach_persisted(labels, [labels])
+    # converged star forest: every non-root points at its root
+    labels = (
+        node_ids.join(edges.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.coalesce(F.col("dst"), F.col("id")).alias("component"))
+        .persist()
+    )
+    node_ids.unpersist()
+    return _attach_persisted(labels, [labels, edges])

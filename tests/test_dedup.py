@@ -192,3 +192,38 @@ class TestEmbeddingCosineLsh:
         assert exact, "perturbed copies should form near-dup pairs"
         recall = len(exact & lsh) / len(exact)
         assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} exact pairs"
+
+
+class TestConnectedComponents:
+    """Star-contraction correctness: the cases min-label propagation
+    handled, plus the adversarial deep-diameter graph it could not
+    (a chain's diameter ≫ round budget; star contraction is
+    O(log n) rounds on any shape)."""
+
+    def test_chain_converges_in_logarithmic_rounds(self, spark):
+        import warnings
+
+        from bireme_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)  # no stale-label warn
+            rows = connected_components(pairs, max_iters=20).collect()
+        assert len(rows) == 201
+        assert all(r.component == 0 for r in rows)
+
+    def test_multiple_components_min_rooted(self, spark):
+        from bireme_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (12, 10), (50, 60), (60, 55), (7, 3)],
+            "id_a long, id_b long",
+        )
+        got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+        assert got == {
+            (10, 10), (11, 10), (12, 10),
+            (50, 50), (55, 50), (60, 50),
+            (3, 3), (7, 3),
+        }
