@@ -5,10 +5,13 @@ At 100 TB the pattern is: media bytes live in a ``binary`` column
 (or object-store pointers), metadata in a sibling struct; decode /
 resize / frame-sample runs as vectorized Pandas stages over
 ``mapInPandas`` so each Arrow batch crosses the JVM↔Python boundary
-once. The Spark-side plumbing here (schema, batching, partitioning)
-is real and tested; the actual image/audio codec step is stubbed
-(``decode_media``) because codec libs aren't in this container —
-swap the stub body for PIL/ffmpeg calls in production.
+once. The Spark-side plumbing (schema, batching, partitioning) AND
+the codecs are real: pure-python PNG/BMP, RIFF/WAVE PCM16 and
+Y4M/YUV420 decoders (``functions/{image,audio,video}codec.py``).
+Only compressed containers (JPEG, MP3, MP4) need native libs absent
+from this container — their branches raise from the codec, and a
+production deploy swaps in PIL/ffmpeg bodies behind the same
+``decode_media`` seam.
 """
 
 from __future__ import annotations
@@ -43,8 +46,12 @@ def decode_media(payload: bytes, mode: str = "bytes"):
     returning ``(width, height, channels, pixels, format)``;
     ``mode='audio'`` is a REAL pure-python RIFF/WAVE PCM16 decode
     (:mod:`bireme_spark.functions.audiocodec`) returning
-    ``(sample_rate, n_channels, samples)``. Video still requires
-    codec libs not present in this container and stays stubbed."""
+    ``(sample_rate, n_channels, samples)``; ``mode='video'`` is a
+    REAL pure-python Y4M/YUV420 decode
+    (:mod:`bireme_spark.functions.videocodec`) returning
+    ``(width, height, (fps_num, fps_den), frames)``. Compressed
+    video containers (mp4/webm) still require ffmpeg-class libs and
+    raise from the codec itself."""
     if mode == "bytes":
         return payload
     if mode == "image":
@@ -55,6 +62,10 @@ def decode_media(payload: bytes, mode: str = "bytes"):
         from bireme_spark.functions.audiocodec import decode_wav
 
         return decode_wav(bytes(payload))
+    if mode == "video":
+        from bireme_spark.functions.videocodec import decode_y4m
+
+        return decode_y4m(bytes(payload))
     raise NotImplementedError(
         f"decode_media(mode={mode!r}) is a stub — plug in av/ffmpeg here"
     )
@@ -135,6 +146,49 @@ def extract_audio_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int,"
+    " fps_num int, fps_den int, peak_luma int, mean_luma double"
+)
+
+
+def extract_video_features(binary_df: DataFrame) -> DataFrame:
+    """REAL video-decode stage: each Arrow batch's payloads run
+    through the pure-python Y4M/YUV420 codec; emits geometry, frame
+    count, frame rate and luma stats. Same mapInPandas shape an
+    ffmpeg/PyAV deployment uses — only the codec body changes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, nfs, fns, fds, peaks, means = [], [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, (fn, fd), frames = decode_media(bytes(payload), "video")
+                luma_sum = sum(sum(y) for y, _, _ in frames)  # exact int
+                n_px = w * h * len(frames)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                nfs.append(len(frames))
+                fns.append(fn)
+                fds.append(fd)
+                peaks.append(max((max(y) for y, _, _ in frames), default=0))
+                means.append(luma_sum / n_px if n_px else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "fps_num": pd.Series(fns, dtype="int32"),
+                    "fps_den": pd.Series(fds, dtype="int32"),
+                    "peak_luma": pd.Series(peaks, dtype="int32"),
+                    "mean_luma": means,
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=VIDEO_SCHEMA)
 
 
 def extract_features(binary_df: DataFrame) -> DataFrame:

@@ -201,3 +201,87 @@ ORDER BY doc_id
 
 QUERIES["multimodal_audio_decode"] = multimodal_audio_decode
 ORACLE["multimodal_audio_decode"] = MULTIMODAL_AUDIO_SQL
+
+
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end-to-end: per doc_id a deterministic
+    synthetic YUV420 clip (w = 8 + 2·(doc_id%5), h = 6 + 2·(doc_id%4),
+    n_frames = 3 + doc_id%4, Y[f][i] = (doc_id·17 + f·11 + i·5) mod
+    256, chroma planes mid-gray) is ENCODED to a Y4M stream in one
+    mapInPandas stage and DECODED by the pure-python Y4M parser in
+    the next; the oracle predicts geometry/fps/luma stats in closed
+    form — a bug in either the encoder or the decoder breaks the
+    match. Luma sums are exact integers; the single float division
+    is the same IEEE op on both sides."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.videocodec import encode_y4m
+    from bireme_spark.operators.multimodal import extract_video_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + 2 * (doc_id % 5), 6 + 2 * (doc_id % 4)
+                clen = (w // 2) * (h // 2)
+                frames = [
+                    (
+                        bytes((doc_id * 17 + f * 11 + i * 5) % 256 for i in range(w * h)),
+                        bytes([128]) * clen,
+                        bytes([128]) * clen,
+                    )
+                    for f in range(3 + doc_id % 4)
+                ]
+                ids.append(doc_id)
+                payloads.append(encode_y4m(w, h, frames, fps=(30, 1)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
+    feats = extract_video_features(packed)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "fps_num",
+        "fps_den",
+        "peak_luma",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_VIDEO_SQL = """
+WITH clips AS (
+  SELECT doc_id,
+         8 + 2 * (doc_id % 5) AS w,
+         6 + 2 * (doc_id % 4) AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents
+), luma AS (
+  SELECT c.doc_id, c.w, c.h, c.nf,
+         (c.doc_id * 17 + f.f * 11 + i.i * 5) % 256 AS y
+  FROM clips c
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, c.nf - 1)) AS f) f
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, c.w * c.h - 1)) AS i) i
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(30 AS INTEGER) AS fps_num,
+       CAST(1 AS INTEGER) AS fps_den,
+       CAST(MAX(y) AS INTEGER) AS peak_luma,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mean_luma
+FROM luma
+GROUP BY doc_id, w, h, nf
+ORDER BY doc_id
+"""
+
+QUERIES["multimodal_video_decode"] = multimodal_video_decode
+ORACLE["multimodal_video_decode"] = MULTIMODAL_VIDEO_SQL

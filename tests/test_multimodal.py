@@ -203,3 +203,53 @@ class TestWavCodec:
             decode_wav(bytes(wav))
         with _pytest.raises(ValueError):
             decode_wav(b"not a wav")
+
+
+class TestY4mCodec:
+    """Pure-python Y4M/YUV420 codec round-trips."""
+
+    def test_roundtrip_geometries_and_fps(self):
+        from bireme_spark.functions.videocodec import decode_y4m, encode_y4m
+
+        for w, h, nf in [(2, 2, 1), (8, 6, 3), (16, 12, 5)]:
+            clen = (w // 2) * (h // 2)
+            frames = [
+                (
+                    bytes((f * 7 + i) % 256 for i in range(w * h)),
+                    bytes((f + i) % 256 for i in range(clen)),
+                    bytes((f * 3 + i) % 256 for i in range(clen)),
+                )
+                for f in range(nf)
+            ]
+            data = encode_y4m(w, h, frames, fps=(30000, 1001))
+            rw, rh, fps, rframes = decode_y4m(data)
+            assert (rw, rh, fps) == (w, h, (30000, 1001))
+            assert rframes == frames
+
+    def test_odd_dimensions_rejected(self):
+        import pytest
+
+        from bireme_spark.functions.videocodec import encode_y4m
+
+        with pytest.raises(ValueError):
+            encode_y4m(3, 2, [])
+
+    def test_non_y4m_and_unsupported_colorspace_raise(self):
+        import pytest
+
+        from bireme_spark.functions.videocodec import decode_y4m
+
+        with pytest.raises(NotImplementedError):
+            decode_y4m(b"\x00\x01\x02 definitely not y4m")
+        with pytest.raises(NotImplementedError):
+            decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C444\n")
+
+    def test_truncated_frame_raises(self):
+        import pytest
+
+        from bireme_spark.functions.videocodec import decode_y4m, encode_y4m
+
+        frames = [(bytes(4), bytes(1), bytes(1))]
+        data = encode_y4m(2, 2, frames)
+        with pytest.raises(ValueError):
+            decode_y4m(data[:-2])
