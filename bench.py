@@ -33,6 +33,15 @@ HEADLINE = [
     "text_quality_score",
     "doc_fingerprint",
     "multimodal_image_decode",
+    # round-2 additions — first bench run records their floor
+    "events_gap_fill",
+    "grouping_sets_agg",
+    "range_band_join",
+    "tfidf_top_terms",
+    "text_unigram_logprob",
+    "embedding_centroids",
+    "dedup_components",
+    "multimodal_video_decode",
 ]
 
 

@@ -385,9 +385,23 @@ def connected_components(
     graph shape, so a pathological near-dup chain can't stall the
     pipeline. Each round is two grouped aggregations + joins on the
     edge list (fully distributed; the driver only checks the
-    convergence fingerprint), lineage is truncated with a per-round
-    localCheckpoint, and convergence is detected by an
-    order-insensitive (count, hash-sum) fingerprint of the edge set.
+    convergence probe), lineage is truncated with a per-round
+    localCheckpoint.
+
+    Convergence is detected by a per-node degree probe over the new
+    edge set: the iteration's fixed point is exactly a min-rooted
+    star forest, i.e. no node both has a parent and has children
+    (in-degree and out-degree both > 0) and no node has two parents
+    (out-degree > 1). The probe sees the fixed point the round it is
+    PRODUCED — one round earlier than comparing successive edge-set
+    fingerprints, which must run an extra identical round to observe
+    "nothing changed".
+
+    The loop's shuffle partitioning is sized from the measured edge
+    count (~2M edges per partition, floor 8): the near-dup edge list
+    is orders of magnitude smaller than the corpus that produced it,
+    so inheriting the corpus-sized shuffle width just schedules empty
+    tasks every round; at 100 TB the same formula widens back out.
 
     Returns (id, component) with component = min doc id in the
     cluster — star roots are neighborhood minima, so the fixed point
@@ -404,59 +418,83 @@ def connected_components(
     node_ids = edges.select(F.col("src").alias("id")).unionByName(
         edges.select(F.col("dst").alias("id"))
     ).distinct().persist()
+    n_edges = edges.count()
     node_ids.count()
 
-    prev_fp = None
-    converged = False
-    for it in range(max_iters):
-        # ---- large-star: for every node u, attach all strictly
-        # larger neighbors to m = min(N(u) ∪ {u}).
-        und = edges.select("src", "dst").unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        mins = und.groupBy("src").agg(F.min("dst").alias("mn"))
-        large = (
-            und.join(mins, "src")
-            .where(F.col("dst") > F.col("src"))
-            .select(
-                F.col("dst").alias("src"),
-                F.least(F.col("mn"), F.col("src")).alias("dst"),
+    spark = pairs.sparkSession
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(8, min(int(orig_parts), n_edges // 2_000_000 + 1))
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        for it in range(max_iters):
+            # ---- large-star: for every node u, attach all strictly
+            # larger neighbors to m = min(N(u) ∪ {u}).
+            und = edges.select("src", "dst").unionByName(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            .distinct()
-        )
-        # ---- small-star: key every (big, small) edge by its big
-        # endpoint; attach the big node and all its smaller
-        # neighbors to the neighborhood min.
-        smins = large.groupBy("src").agg(F.min("dst").alias("mn"))
-        joined = large.join(smins, "src")
-        small = (
-            joined.select(F.col("src"), F.col("mn").alias("dst"))
-            .unionByName(
-                joined.where(F.col("dst") != F.col("mn")).select(
-                    F.col("dst").alias("src"), F.col("mn").alias("dst")
+            mins = und.groupBy("src").agg(F.min("dst").alias("mn"))
+            large = (
+                und.join(mins, "src")
+                .where(F.col("dst") > F.col("src"))
+                .select(
+                    F.col("dst").alias("src"),
+                    F.least(F.col("mn"), F.col("src")).alias("dst"),
                 )
+                .distinct()
             )
-            .where(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        # Checkpoint EVERY round: each round's plan references the
-        # previous edge set four times (two unions × join back), so
-        # un-truncated lineage grows ~4× per round and the planner —
-        # not the data — becomes the bottleneck within a few rounds.
-        new_edges = small.localCheckpoint(eager=True)
-        # one action on the materialized rdd: size + order-insensitive
-        # content fingerprint (decimal sum — no ANSI long-overflow)
-        row = new_edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("chk"),
-        ).first()
-        fp = (row["n"], row["chk"])
-        edges.unpersist()
-        edges = new_edges
-        if fp == prev_fp:
-            converged = True
-            break
-        prev_fp = fp
+            # ---- small-star: key every (big, small) edge by its big
+            # endpoint; attach the big node and all its smaller
+            # neighbors to the neighborhood min.
+            smins = large.groupBy("src").agg(F.min("dst").alias("mn"))
+            joined = large.join(smins, "src")
+            small = (
+                joined.select(F.col("src"), F.col("mn").alias("dst"))
+                .unionByName(
+                    joined.where(F.col("dst") != F.col("mn")).select(
+                        F.col("dst").alias("src"), F.col("mn").alias("dst")
+                    )
+                )
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            # Checkpoint EVERY round: each round's plan references the
+            # previous edge set four times (two unions × join back), so
+            # un-truncated lineage grows ~4× per round and the planner —
+            # not the data — becomes the bottleneck within a few rounds.
+            new_edges = small.localCheckpoint(eager=True)
+            # one probe action on the materialized rdd: per-node
+            # degrees → star-forest test (see docstring)
+            deg = (
+                new_edges.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("src").alias("node"),
+                                F.lit(1).alias("outd"),
+                                F.lit(0).alias("ind"),
+                            ),
+                            F.struct(
+                                F.col("dst").alias("node"),
+                                F.lit(0).alias("outd"),
+                                F.lit(1).alias("ind"),
+                            ),
+                        )
+                    ).alias("x")
+                )
+                .groupBy("x.node")
+                .agg(F.sum("x.outd").alias("outd"), F.sum("x.ind").alias("ind"))
+            )
+            violations = deg.where(
+                (F.col("outd") > 1) | ((F.col("outd") > 0) & (F.col("ind") > 0))
+            ).count()
+            edges.unpersist()
+            edges = new_edges
+            if violations == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
     if not converged:
         # exhausting the loop silently would return stale labels
         warnings.warn(
