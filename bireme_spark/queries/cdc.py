@@ -770,7 +770,45 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot: the synced table's state AS OF a cutoff
+    timestamp, reconstructed from the changelog (the warehouse-side
+    time travel a bireme changelog makes possible — the reference
+    keeps only latest state, `ChangeLoader.java:205-330`; retaining
+    the log upgrades it to any-point recovery).
+
+    Plan shape is identical to `cdc_snapshot` — the cutoff is a
+    pushed-down scan predicate on produce_time_ms, then one PK-hash
+    shuffle for the max_by fold. At 100 TB the changelog is
+    date-partitioned so the cutoff prunes partitions outright."""
+    cutoff_ms = 802_224_000_000  # 1995-06-04 UTC, mid-range of o_orderdate
+    ch = build_changelog(spark, sf_dir).where(F.col("produce_time_ms") <= cutoff_ms)
+    s = snapshot(
+        ch,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    )
+    return s.select(
+        "key",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+CDC_TIME_TRAVEL_SQL = f"""
+WITH {CHANGELOG_SQL}
+SELECT key, CAST(o_totalprice AS DOUBLE) AS totalprice, o_orderstatus AS status
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY produce_time_ms DESC, seq DESC) AS rn
+  FROM changelog WHERE produce_time_ms <= 802224000000
+) t
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
 QUERIES = {
+    "cdc_time_travel": cdc_time_travel,
     "cdc_lag_metrics": cdc_lag_metrics,
     "cdc_unified_ingest": cdc_unified_ingest,
     "table_checksum": table_checksum_orders,
@@ -788,6 +826,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
     "cdc_lag_metrics": CDC_LAG_METRICS_SQL,
     "table_checksum": TABLE_CHECKSUM_SQL,
     "jdbc_merge_apply": JDBC_MERGE_APPLY_SQL,

@@ -457,3 +457,106 @@ ORDER BY 1, 2
 
 QUERIES["events_retention_cohorts"] = events_retention_cohorts
 ORACLE["events_retention_cohorts"] = EVENTS_RETENTION_SQL
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Markov transition matrix: for every ordered
+    (prev_type → next_type) step in a user's timeline, the global
+    count and the row-normalized transition probability.
+
+    Plan shape: ONE shuffle on user_id for the lag window (the same
+    partitioning any per-user sequence feature reuses), then a hash
+    aggregation whose key space is |types|² — tiny — so the
+    normalization window runs on a handful of rows. Ties on ts are
+    broken by event_id so both engines see identical sequences."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(norm), 6).alias("prob"),
+    ).orderBy("prev_type", "next_type")
+
+
+EVENTS_TRANSITION_SQL = """
+WITH steps AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+       ROUND(n_transitions / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS prob
+FROM counts
+ORDER BY 1, 2
+"""
+
+QUERIES["events_transition_matrix"] = events_transition_matrix
+ORACLE["events_transition_matrix"] = EVENTS_TRANSITION_SQL
+
+
+def events_attribution_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition attribution over a salted big-big join: every event
+    joins to its user's FIRST event (the acquisition touchpoint), then
+    rolls up to an acquisition_type × event_type matrix with per-user
+    reach.
+
+    The user_id join is the canonical skewed big-big shape at 100 TB
+    (hot users own outsized event shares; the firsts side is |users|
+    rows — far beyond broadcast). `salted_join` spreads each hot user
+    over 8 reducers; the result is provably identical to the plain
+    join (the oracle IS the plain join). Firsts are computed with one
+    min_by-struct aggregation — no window sort — and ties on ts break
+    by event_id so both engines agree."""
+    from bireme_spark.operators.joins import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).getField("event_type").alias(
+            "acq_type"
+        )
+    )
+    joined = salted_join(e, firsts, ["user_id"], n_salts=8)
+    return (
+        joined.groupBy("acq_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("acq_type", "event_type")
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, event_type AS acq_type
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+  ) t WHERE rn = 1
+)
+SELECT f.acq_type, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["events_attribution_salted"] = events_attribution_salted
+ORACLE["events_attribution_salted"] = EVENTS_ATTRIBUTION_SQL

@@ -1,0 +1,57 @@
+"""salted_join: result equivalence with the plain join + actual
+key-spreading behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bireme_spark.operators.joins import salted_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    # skewed fact: user 1 owns 80% of rows
+    rows = [(1, i, "click" if i % 3 else "buy") for i in range(80)]
+    rows += [(u, 100 + u, "click") for u in range(2, 22)]
+    fact = spark.createDataFrame(rows, "user_id int, event_id int, event_type string")
+    dim = spark.createDataFrame(
+        [(u, f"seg{u % 3}") for u in range(1, 22)], "user_id int, segment string"
+    )
+    return fact, dim
+
+
+def test_salted_join_equals_plain_join(spark, frames):
+    fact, dim = frames
+    plain = fact.join(dim, "user_id").orderBy("event_id").collect()
+    salted = salted_join(fact, dim, ["user_id"], n_salts=8).orderBy("event_id").collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+
+def test_salted_join_left_outer(spark, frames):
+    fact, dim = frames
+    dim_missing = dim.where(F.col("user_id") != 1)  # hot key unmatched
+    plain = fact.join(dim_missing, "user_id", "left").collect()
+    salted = salted_join(fact, dim_missing, ["user_id"], n_salts=4, how="left").collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+
+def test_salt_actually_spreads_hot_key(spark, frames):
+    fact, _ = frames
+    n_salts = 8
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    spread = (
+        fact.where(F.col("user_id") == 1)
+        .select(salt.alias("s"))
+        .distinct()
+        .count()
+    )
+    # 80 rows across 8 salts: all (or nearly all) buckets hit
+    assert spread >= 6
+
+
+def test_salt_is_deterministic(spark, frames):
+    fact, dim = frames
+    a = salted_join(fact, dim, ["user_id"]).orderBy("event_id", "segment").collect()
+    b = salted_join(fact, dim, ["user_id"]).orderBy("event_id", "segment").collect()
+    assert a == b
