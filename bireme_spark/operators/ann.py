@@ -312,3 +312,182 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    refine_iters: int = 1,
+):
+    """Product-quantization codebooks (FAISS IndexPQ twin): the vector
+    is split into ``m`` subspaces of dim/m; each subspace gets its own
+    ksub-centroid k-means codebook.
+
+    Training mirrors :func:`ivf_index`: deterministic seeds (the ksub
+    lowest-id rows' subvectors), then ``refine_iters`` distributed
+    Lloyd passes — assignment is one Arrow-batched numpy pass per
+    batch computing ALL m codes at once, the centroid update is one
+    (sub, code, pos) partial-mean shuffle. Only the m×ksub×(dim/m)
+    codebook (== dim×ksub floats, ~4 KB here) crosses the driver.
+
+    Vectors are L2-normalized before encoding, so ADC inner products
+    approximate cosine directly.
+    """
+    dsub = dim // m
+    seeds = corpus.orderBy(id_col).limit(ksub).select(vec_col).collect()
+
+    def _norm(v):
+        a = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(a)
+        return a / n if n > 0 else a
+
+    sv = np.stack([_norm(r[vec_col]) for r in seeds])  # (ksub, dim)
+    books = np.stack([sv[:, s * dsub : (s + 1) * dsub] for s in range(m)])  # (m, ksub, dsub)
+
+    # norm projected to a named column FIRST — inlining the fold in the
+    # transform lambda would re-evaluate it once per element
+    normed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
+    ).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias("nv"),
+    )
+
+    for _ in range(refine_iters):
+        coded = normed.withColumn("codes", _pq_codes_udf(books)(F.col("nv")))
+        means = (
+            coded.select("codes", F.posexplode("nv").alias("pos", "x"))
+            .withColumn("sub", (F.col("pos") / dsub).cast("int"))
+            .withColumn("code", F.element_at("codes", F.col("sub") + 1))
+            .groupBy("sub", "code", F.col("pos").alias("p"))
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )
+        for row in means:
+            books[row["sub"], row["code"], row["p"] - row["sub"] * dsub] = row["mval"]
+    return books, normed
+
+
+def _pq_codes_udf(books):
+    """All m subspace codes per vector in one Arrow batch: for each
+    subspace s, argmin_j ||x_s − c_{s,j}||²."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+    Bsq = (B * B).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64).reshape(len(v), m, dsub)
+        # ||x−c||² = ||x||² − 2x·c + ||c||²; ||x||² is constant per argmin
+        out = np.empty((len(v), m), dtype=np.int32)
+        for s in range(m):
+            d = Bsq[s][None, :] - 2.0 * (X[:, s, :] @ B[s].T)
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return codes
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """PQ approximate top-k with exact rerank.
+
+    Scale shape: the corpus is scanned ONCE as m-byte codes (32×
+    smaller than the float vectors — at 100 TB the code table is the
+    only thing re-read per query wave). ADC scoring runs inside
+    mapInPandas: per Arrow batch, scores for all queries are ONE
+    numpy gather over the per-query lookup tables (built driver-side
+    from the tiny query set — same contract as bruteforce's broadcast
+    query side), and only each batch's per-query top-(rerank·k)
+    survive, so the shuffle after the scan carries candidate IDs, not
+    vectors, and is bounded by batches × queries × rerank·k rows.
+    Candidates then join back to the corpus for the exact cosine and
+    a final per-query rank window — emitted scores are exact; PQ only
+    decides WHICH pairs get the exact math (same structure as
+    lsh_topk / embedding_cosine_pairs_lsh).
+    """
+    qid = query_id_col or id_col
+    books, normed = pq_train(corpus, id_col, vec_col, dim, m=m, ksub=ksub)
+    coded = normed.withColumn("codes", _pq_codes_udf(books)(F.col("nv"))).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+
+    qrows = queries.select(F.col(qid).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    B = np.asarray(books, dtype=np.float64)
+    # LUT[q, s, j] = q_s · c_{s,j}  → ADC score = Σ_s LUT[q, s, code_s]
+    LUT = np.einsum("qsd,sjd->qsj", Q.reshape(len(Q), m, dsub), B)
+    keep = rerank * k
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            # (nq, n): one LUT gather per subspace
+            scores = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for s in range(m):
+                scores += LUT[:, s, codes[:, s]]
+            nkeep = min(keep, scores.shape[1])
+            top = np.argpartition(-scores, nkeep - 1, axis=1)[:, :nkeep]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, nkeep),
+                    "neighbor_id": ids[top].ravel(),
+                }
+            )
+
+    cand = (
+        coded.mapInPandas(gen, schema="query_id long, neighbor_id long")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .distinct()
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
+    )
+    qv = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

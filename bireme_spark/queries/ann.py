@@ -98,3 +98,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only for the driver (codes depend on the trained
+    codebooks); recall vs brute force is property-tested. Emitted
+    cosines are EXACT — PQ/ADC only selects the rerank candidates."""
+    from bireme_spark.operators.ann import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return pq_topk(
+        _corpus(spark, sf_dir), q, "vec_id", "embedding", dim=EMBED_DIM, k=K, m=8, ksub=16,
+        rerank=8,
+    )
+
+
+QUERIES["ann_pq_topk"] = ann_pq_topk

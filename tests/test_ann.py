@@ -69,3 +69,42 @@ def test_ivf_cells_partition_corpus(spark, sf_dir):
     counts = assigned.groupBy("cell").count().collect()
     assert sum(r["count"] for r in counts) == e.count()
     assert all(0 <= r["cell"] < 8 for r in counts)
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ/ADC candidate gen + exact rerank: with rerank=4×k the
+    shortlist must recover most exact neighbors, and every emitted
+    cosine must equal the exact one (rerank IS exact)."""
+    from bireme_spark.operators.ann import bruteforce_topk, pq_topk
+    from bireme_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact_rows = bruteforce_topk(e, q, "vec_id", "embedding", k=5).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact_rows}
+    approx_rows = pq_topk(
+        e, q, "vec_id", "embedding", dim=64, k=5, m=8, ksub=16, rerank=8
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} too low"
+    for r in approx_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert abs(r.cosine - exact_cos[key]) < 1e-9
+
+
+def test_pq_codes_shape(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from bireme_spark.operators.ann import _pq_codes_udf, pq_train
+    from bireme_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books, normed = pq_train(e, "vec_id", "embedding", 64, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    codes = normed.select(_pq_codes_udf(books)(F2.col("nv")).alias("c")).head(20)
+    for r in codes:
+        assert len(r["c"]) == 8
+        assert all(0 <= c < 16 for c in r["c"])
