@@ -512,3 +512,50 @@ def connected_components(
     )
     node_ids.unpersist()
     return _attach_persisted(labels, [labels, edges])
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    tau: float,
+    ncells: int = 16,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then prune within each cluster any
+    item whose cosine to a LOWER-id cluster-mate is ≥ tau. Returns
+    (id, kept) for every input row.
+
+    This is the embedding twin of exact_dedup: clustering bounds the
+    pair search to cluster cohabitants, so the self-join is per-cell
+    (Σ s² over cluster sizes), never corpus². At 100 TB, ncells grows
+    with the corpus (target cluster size stays constant), the cell
+    join shuffles on `cell`, and the centroid model — the only
+    driver-side data — stays ncells×dim.
+
+    Pruning rule: min-id-wins per qualifying pair (the parallel,
+    order-free variant; true greedy kept-set pruning is sequential
+    within a cluster and changes results only for chains a~b~c where
+    a≁c — rare at high tau).
+    """
+    from bireme_spark.operators.ann import ivf_index
+
+    _, assigned = ivf_index(df, id_col, vec_col, dim, ncells=ncells)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    removed = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= tau)
+        .select(F.col("id_b").alias("rid"))
+        .distinct()
+    )
+    return df.select(F.col(id_col)).join(
+        removed, df[id_col] == F.col("rid"), "left"
+    ).select(F.col(id_col), F.col("rid").isNull().alias("kept"))

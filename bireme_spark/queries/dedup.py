@@ -211,3 +211,38 @@ ORDER BY id
 
 QUERIES["dedup_components"] = dedup_components
 ORACLE["dedup_components"] = DEDUP_COMPONENTS_SQL
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-duplicate embedding corpus: k-means
+    cells bound the pair search, within-cell cosine ≥ τ prunes the
+    higher id. Planted scalar-multiple copies have cosine exactly 1.0
+    to their originals and share every centroid argmax (cosine to all
+    centroids identical), so they are ALWAYS co-clustered and pruned
+    — while the max cosine between distinct base vectors (≈0.6) stays
+    under τ=0.8. The keep/remove set is therefore deterministic and
+    the oracle is closed-form, even though cell ids themselves depend
+    on the trained model."""
+    from bireme_spark.operators.dedup import semantic_dedup
+
+    corpus = _embeddings_with_dupes(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return semantic_dedup(corpus, "vec_id", "embedding", dim=64, tau=0.8, ncells=16).orderBy(
+        "vec_id"
+    )
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH corpus AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT vec_id, vec_id < 1000000 AS kept
+FROM corpus
+ORDER BY vec_id
+"""
+
+QUERIES["dedup_semantic"] = dedup_semantic
+ORACLE["dedup_semantic"] = DEDUP_SEMANTIC_SQL

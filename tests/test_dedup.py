@@ -227,3 +227,38 @@ class TestConnectedComponents:
             (50, 50), (55, 50), (60, 50),
             (3, 3), (7, 3),
         }
+
+
+def test_semantic_dedup_sound_and_complete_within_cells(spark, sf_dir):
+    """Every removed vector has a kept lower-id τ-neighbor in its
+    cell; no two kept vectors in one cell are τ-close."""
+    from pyspark.sql import functions as F
+
+    from bireme_spark.operators.ann import ivf_index
+    from bireme_spark.operators.dedup import cosine, semantic_dedup
+    from bireme_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tau = 0.5
+    out = semantic_dedup(e, "vec_id", "embedding", dim=64, tau=tau, ncells=8)
+    # recompute the same deterministic clustering (seeds + Lloyd are
+    # deterministic) and all within-cell pairs
+    _, assigned = ivf_index(e, "vec_id", "embedding", dim=64, ncells=8)
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cell")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b", "cos")
+        .collect()
+    )
+    kept = {r.vec_id for r in out.collect() if r.kept}
+    removed = {r.vec_id for r in out.collect() if not r.kept}
+    close = [(r.id_a, r.id_b) for r in pairs if r.cos >= tau]
+    # soundness: each removed id has SOME lower-id τ-neighbor in-cell
+    for rid in removed:
+        assert any(b2 == rid for _, b2 in close), rid
+    # completeness: no τ-close pair survives with both sides kept
+    for a2, b2 in close:
+        assert not (a2 in kept and b2 in kept), (a2, b2)
