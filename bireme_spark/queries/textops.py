@@ -247,3 +247,147 @@ ORACLE = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
 }
+
+
+def text_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fractions: per doc, the share of
+    its distinct 8-gram shingles that also occur in at least one
+    OTHER document — the n-gram-granularity form of exact substring
+    dedup (Lee et al. 2022, arXiv:2107.06499; the suffix-array pass
+    there finds char-exact spans, this finds word-8-gram-exact ones).
+    Docs with a high shared fraction are boilerplate/mirror
+    candidates that near-dup *pair* mining misses when no single
+    partner passes τ.
+
+    Plan: one shingle shuffle (the inverted index the Jaccard miner
+    already uses) annotated with a doc-frequency window, then one
+    doc_id aggregation. No self-join at all — cost is linear in total
+    shingles, so this runs BEFORE pair mining at 100 TB to shrink the
+    candidate space."""
+    from pyspark.sql import Window
+
+    from bireme_spark.operators.dedup import shingles
+
+    sh = shingles(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=8)
+    ann = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    return (
+        ann.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("bigint")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_CROSSDOC_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i) t
+),
+ann AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS df FROM sh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM ann
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["text_crossdoc_spans"] = text_crossdoc_spans
+ORACLE["text_crossdoc_spans"] = TEXT_CROSSDOC_SQL
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, §A1.1.1) as
+    one map-side pass: per-doc word count, mean word length,
+    symbol-to-word ratio, alphabetic-word fraction and stopword
+    presence, each with its pass flag and the conjunctive keep.
+
+    All JVM higher-order / regexp expressions inside whole-stage
+    codegen — no shuffle at all except the final presentation sort;
+    at 100 TB this is a pure scan whose output feeds the retention
+    filter directly (compare corpus_filter_pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    d = d.select("doc_id", "text", ws.alias("ws")).select(
+        "doc_id",
+        "text",
+        "ws",
+        F.size("ws").alias("n_words"),
+        (F.length(F.regexp_replace(F.col("text"), " ", "")) / F.size("ws")).alias(
+            "mean_word_len"
+        ),
+        (
+            (
+                F.regexp_count(F.col("text"), F.lit("#"))
+                + F.regexp_count(F.col("text"), F.lit("\\.\\.\\."))
+            )
+            / F.size("ws")
+        ).alias("symbol_ratio"),
+        (
+            F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]"))) / F.size("ws")
+        ).alias("alpha_frac"),
+        F.size(
+            F.array_intersect(
+                F.col("ws"),
+                F.array(*[F.lit(s) for s in ("the", "be", "to", "of", "and", "that", "have", "with")]),
+            )
+        ).alias("n_stop_present"),
+    )
+    passes = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("n_stop_present") >= 2)
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        "n_stop_present",
+        passes.alias("keep"),
+    ).orderBy("doc_id")
+
+
+TEXT_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         length(replace(text, ' ', '')) * 1.0 / len(ws) AS mean_word_len,
+         (length(text) - length(replace(text, '#', ''))
+          + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)) * 1.0 / len(ws)
+           AS symbol_ratio,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(ws) AS alpha_frac,
+         len(list_intersect(ws, ['the','be','to','of','and','that','have','with']))
+           AS n_stop_present
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(alpha_frac, 6) AS alpha_frac,
+       CAST(n_stop_present AS INTEGER) AS n_stop_present,
+       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND symbol_ratio < 0.1 AND alpha_frac >= 0.8 AND n_stop_present >= 2 AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+QUERIES["text_gopher_rules"] = text_gopher_rules
+ORACLE["text_gopher_rules"] = TEXT_GOPHER_SQL
