@@ -87,6 +87,7 @@ def _load() -> None:
         "ann",
         "multimodal",
         "timeseries",
+        "maintenance",
         "relational",
         "terms",
         "streaming_sessions",
