@@ -153,3 +153,93 @@ ORACLE = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
 }
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embedding dimensions — the input
+    every linear compressor (PCA/OPQ rotation) starts from. Upper
+    triangle only: (i, j, cov) for i ≤ j.
+
+    Plan: posexplode each vector once, self-pair the (row, pos, x)
+    stream per row via a join on vec_id restricted to pos_i ≤ pos_j,
+    then ONE hash aggregation keyed by (pos_i, pos_j) — d²/2 cells
+    regardless of corpus size, with map-side partial combine. Sums
+    are DECIMAL-exact so the result is shuffle-order-independent and
+    the DuckDB oracle hash-matches bit-for-bit. At 100 TB this is the
+    textbook gram-matrix pattern: the only thing that crosses the
+    network is d²/2 partial sums per task."""
+    from bireme_spark.functions.money import dsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos", F.col("x").cast("decimal(18,9)").alias("x")
+    )
+    a = ex.select("vec_id", F.col("pos").alias("pos_i"), F.col("x").alias("xi"))
+    b = ex.select("vec_id", F.col("pos").alias("pos_j"), F.col("x").alias("xj"))
+    pairs = a.join(b, "vec_id").where(F.col("pos_i") <= F.col("pos_j"))
+    n = e.count()
+    stats = pairs.groupBy("pos_i", "pos_j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        F.sum("xi").alias("sx"),
+        F.sum("xj").alias("sy"),
+    )
+    cov = (
+        (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / n)
+        / (n - 1)
+    )
+    return stats.select(
+        "pos_i", "pos_j", F.round(cov, 9).alias("cov")
+    ).orderBy("pos_i", "pos_j")
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH ex AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DECIMAL(18,9)) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+), n AS (SELECT COUNT(*) AS n FROM embeddings),
+stats AS (
+  SELECT a.pos AS pos_i, b.pos AS pos_j,
+         SUM(a.x * b.x) AS sxy, SUM(a.x) AS sx, SUM(b.x) AS sy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+  GROUP BY 1, 2
+)
+SELECT pos_i, pos_j,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n.n)
+             / (n.n - 1), 9) AS cov
+FROM stats, n
+ORDER BY 1, 2
+"""
+
+QUERIES["embedding_covariance"] = embedding_covariance
+ORACLE["embedding_covariance"] = EMBEDDING_COVARIANCE_SQL
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum of the embedding space (rows-only: eigensolve is
+    driver-side numpy on the d×d model — LAPACK rounding differs from
+    any SQL oracle). The covariance itself is the distributed,
+    DECIMAL-exact aggregate above; only the d² matrix crosses the
+    driver, so the pattern holds at any corpus size. Output: top-16
+    (component, eigenvalue, var_explained, cum_var_explained)."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = max(r["pos_j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["pos_i"], r["pos_j"]] = r["cov"]
+        C[r["pos_j"], r["pos_i"]] = r["cov"]
+    ev = np.linalg.eigvalsh(C)[::-1]
+    total = float(ev.sum())
+    top = 16
+    rows = []
+    cum = 0.0
+    for i in range(top):
+        cum += float(ev[i])
+        rows.append((i, round(float(ev[i]), 9), round(float(ev[i]) / total, 6), round(cum / total, 6)))
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, var_explained double, cum_var_explained double"
+    )
+
+
+QUERIES["embedding_pca"] = embedding_pca
