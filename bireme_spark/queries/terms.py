@@ -219,3 +219,92 @@ ORACLE = {
     "tfidf_top_terms": TFIDF_SQL,
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
 }
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with add-α smoothing: per-doc average
+    negative log P(w2|w1), P = (c(w1,w2)+α)/(c(w1·)+α·V) — one step up
+    the Markov ladder from text_unigram_logprob, catching scrambled
+    or stitched text whose unigram mix looks normal.
+
+    Scale shape mirrors the unigram scorer: bigrams are generated
+    map-side from the split array (no self-join), ONE (doc,w1,w2)
+    aggregation feeds both the model re-aggs and the scoring join;
+    context counts come from the bigram counts themselves (no second
+    corpus pass); V and α·V ride in a broadcast scalar. Per-term
+    contributions are rounded then DECIMAL-summed, so the per-doc
+    fold is shuffle-order-proof."""
+    alpha = 0.5
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id", F.split("text", " ").alias("__ws")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(__ws) - 2, -1)),"
+                " i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2").where((F.col("w1") != "") & (F.col("w2") != ""))
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = model.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        tf.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.col("tf")
+                * -F.log(
+                    (F.col("c12") + F.lit(alpha))
+                    / (F.col("c1") + F.lit(alpha) * F.col("v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum("nll").cast("double") / F.sum("tf"), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i) t
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+), tf AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+), model AS (
+  SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, SUM(c12) AS c1 FROM model GROUP BY 1
+), vocab AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM model
+), scored AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(ROUND(tf.tf * -LN((model.c12 + 0.5) / (ctx.c1 + 0.5 * vocab.v)), 6)
+              AS DECIMAL(18,6)) AS nll
+  FROM tf JOIN model USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["text_bigram_logprob"] = text_bigram_logprob
+ORACLE["text_bigram_logprob"] = BIGRAM_LOGPROB_SQL
