@@ -140,6 +140,37 @@ def _open_stream(spark: SparkSession, source: SourceConfig, max_files: int | Non
     )
 
 
+def _write_changed_buckets(
+    bspark: SparkSession,
+    target_dir: str,
+    merged: DataFrame,
+    changed: Sequence[int],
+    batch_id: int,
+) -> None:
+    """One job writes every changed bucket's rows; renames slot each
+    bucket dir in as its next version (empty buckets — all keys
+    deleted — get an explicit empty version so stale state clears).
+    Retention keeps only (prev, next): readers in flight keep prev,
+    older versions are garbage."""
+    staging = f"{target_dir}/.staging-{batch_id}"
+    merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    for b in changed:
+        bdir = f"{target_dir}/bucket={b}"
+        prev = _latest_version(bdir)
+        next_v = (prev or 0) + 1
+        os.makedirs(bdir, exist_ok=True)
+        src = f"{staging}/bucket={b}"
+        if os.path.isdir(src):
+            os.rename(src, f"{bdir}/v={next_v}")
+        else:
+            empty = bspark.createDataFrame([], merged.drop("bucket").schema)
+            empty.write.parquet(f"{bdir}/v={next_v}")
+        for d in os.listdir(bdir):
+            if d.startswith("v=") and int(d.split("=", 1)[1]) < (prev or next_v):
+                shutil.rmtree(f"{bdir}/{d}", ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def run_cdc_pipeline(
     spark: SparkSession,
     config: PipelineConfig,
@@ -230,29 +261,7 @@ def run_cdc_pipeline(
             compact_key_cols=("key",),
             payload_map={c: c for c in base_columns[1:]},
         ).withColumn("bucket", _bucket_col(base_columns[0], nb))
-
-        # One job writes every changed bucket's rows; renames slot each
-        # bucket dir in as its next version (empty buckets — all keys
-        # deleted — get an explicit empty version so stale state clears).
-        staging = f"{config.target_dir}/.staging-{batch_id}"
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
-        for b in changed:
-            bdir = f"{config.target_dir}/bucket={b}"
-            prev = _latest_version(bdir)
-            next_v = (prev or 0) + 1
-            os.makedirs(bdir, exist_ok=True)
-            src = f"{staging}/bucket={b}"
-            if os.path.isdir(src):
-                os.rename(src, f"{bdir}/v={next_v}")
-            else:
-                empty = bspark.createDataFrame([], merged.drop("bucket").schema)
-                empty.write.parquet(f"{bdir}/v={next_v}")
-            # retain only (prev, next): readers in flight keep prev,
-            # older versions are garbage
-            for d in os.listdir(bdir):
-                if d.startswith("v=") and int(d.split("=", 1)[1]) < (prev or next_v):
-                    shutil.rmtree(f"{bdir}/{d}", ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+        _write_changed_buckets(bspark, config.target_dir, merged, changed, batch_id)
 
     writer = (
         parsed.writeStream.foreachBatch(merge_batch)
@@ -271,3 +280,110 @@ def _ddl(schema: StructType, col: str, key_fields: Sequence[str], key_col: str) 
         return schema[col].dataType.simpleString()
     # key column of the base table keeps the parsed-string key type
     return "string"
+
+
+def run_scd2_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    data_schema: StructType,
+    key_fields: Sequence[str],
+    available_now: bool = False,
+):
+    """Streaming SCD Type-2 maintenance: where ``run_cdc_pipeline``
+    keeps only latest state (bireme's overwrite merge), this sink
+    accretes the full version history incrementally — each micro-batch
+    appends its own version rows (the batch `scd2` fold) and closes
+    the previously-open version of every key the batch touches, with
+    the SAME bucket-pruned write path: only buckets containing
+    changed keys are read or rewritten, so per-trigger cost is
+    O(batch + touched history), never O(|history|).
+
+    Across batches the result provably equals the one-shot batch
+    ``scd2`` over the concatenated changelog: within a batch the lead
+    window closes versions, and the batch's first change per key
+    closes the base's open version at exactly the timestamp lead()
+    would have seen (tested; the gate query hash-matches the batch
+    oracle).
+    """
+    source = config.sources[0]
+    raw = _open_stream(spark, source, config.max_events_per_trigger)
+    if source.kind == "debezium":
+        parsed = parse_debezium(raw, "value", data_schema, key_fields, source=source.name)
+    else:
+        parsed = parse_maxwell(raw, "value", data_schema, key_fields, source=source.name)
+    if source.table_map:
+        parsed = apply_table_mapping(parsed, source.table_map)
+
+    from bireme_spark.operators.cdc import scd2
+
+    payload_cols = [f.name for f in data_schema.fields if f.name not in key_fields]
+    nb = config.num_buckets
+    hist_schema = (
+        "key string, "
+        + ", ".join(f"{c} {data_schema[c].dataType.simpleString()}" for c in payload_cols)
+        + ", valid_from long, valid_to long, is_current boolean"
+    )
+
+    def scd2_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bspark = batch_df.sparkSession
+        changes = batch_df.select(
+            "key",
+            "op",
+            "produce_time_ms",
+            "src_partition",
+            F.coalesce(F.col("src_offset"), F.monotonically_increasing_id()).alias(
+                "src_offset"
+            ),
+            *[F.col(f"data.{c}").alias(c) for c in payload_cols],
+        )
+        hist = scd2(
+            changes,
+            key_cols=("key",),
+            order_cols=("produce_time_ms", "src_partition", "src_offset"),
+            payload_cols=tuple(payload_cols),
+        ).select(
+            "key", *payload_cols, "valid_from", "valid_to", "is_current"
+        )
+        firsts = changes.groupBy("key").agg(F.min("produce_time_ms").alias("first_ts"))
+        firsts = firsts.withColumn("bucket", _bucket_col("key", nb))
+        changed = sorted(r.bucket for r in firsts.select("bucket").distinct().collect())
+
+        base_paths = _latest_paths(config.target_dir, changed)
+        if base_paths:
+            base = (
+                bspark.read.option("basePath", config.target_dir)
+                .parquet(*base_paths)
+                .drop("bucket", "v")
+            )
+        else:
+            base = bspark.createDataFrame([], hist_schema)
+        # close the open version of every touched key at the batch's
+        # first change time; untouched keys in the bucket pass through
+        closing = F.col("is_current") & F.col("first_ts").isNotNull()
+        closed = (
+            base.join(firsts.select("key", "first_ts"), "key", "left")
+            .select(
+                "key",
+                *payload_cols,
+                "valid_from",
+                F.when(closing, F.col("first_ts")).otherwise(F.col("valid_to")).alias(
+                    "valid_to"
+                ),
+                (F.col("is_current") & F.col("first_ts").isNull()).alias("is_current"),
+            )
+        )
+        merged = closed.unionByName(hist).withColumn("bucket", _bucket_col("key", nb))
+        _write_changed_buckets(bspark, config.target_dir, merged, changed, batch_id)
+
+    writer = (
+        parsed.writeStream.foreachBatch(scd2_batch)
+        .option("checkpointLocation", config.checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=config.trigger_interval)
+    return writer.start()
