@@ -25,7 +25,9 @@ def _tz_safe(fn: QueryFn) -> QueryFn:
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS); see sources/tables.py
+        # events.parquet carries TIMESTAMP(NANOS); honored on PySpark ≤4.0
+        # only — 4.1.x reads TIMESTAMP_NTZ regardless and load_table
+        # normalizes either shape (see sources/tables.py).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return fn(spark, sf_dir)
 

@@ -26,6 +26,10 @@ def get_spark(app_name: str = "bireme-spark", shuffle_partitions: int | None = N
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark ≤4.0 honors nanosAsLong for parquet TIMESTAMP(NANOS);
+        # 4.1.x ignores it and reads TIMESTAMP_NTZ. load_table normalizes
+        # BOTH shapes to session-tz TIMESTAMP, so keeping the conf is a
+        # harmless back-compat no-op on 4.1.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -30,14 +30,24 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
-    # the nanosAsLong legacy conf (set in registry/session defaults).
-    # Truncate ns → µs with integer division (ns values exceed double
-    # precision; DuckDB's TIMESTAMP does the same µs truncation).
-    from pyspark.sql.types import LongType
+    # events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces it has
+    # shifted across releases, so normalize every variant to a session-tz
+    # TIMESTAMP (LTZ) — watermarks/windows require LTZ event time:
+    #   * LongType       — legacy nanosAsLong conf honored (old PySpark):
+    #                      ns → µs integer division (ns exceeds double
+    #                      precision; DuckDB truncates to µs the same way).
+    #   * TimestampNTZType — PySpark 4.1.x default read of TIMESTAMP(NANOS):
+    #                      µs-truncated naive value; cast reinterprets it in
+    #                      the session zone (forced UTC), matching DuckDB's
+    #                      naive-UTC TIMESTAMP exactly.
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -57,6 +57,27 @@ def test_reference_etc_round_trips():
     assert names["maxwell1"].table_map == {"maxwell1.demo.table1": "public.table1"}
 
 
+def test_events_ts_loads_as_session_tz_timestamp(spark, sf_dir):
+    """NTZ hygiene guard (round-3 regression): events.ts is parquet
+    TIMESTAMP(NANOS); PySpark ≤4.0 surfaced it as LongType under
+    nanosAsLong, 4.1.x as TIMESTAMP_NTZ. Every ts consumer
+    (withWatermark, window, sessionize, gap_fill, asof) requires
+    session-tz TIMESTAMP — assert load_table always delivers it, so
+    the next PySpark bump can't silently flip timestamp semantics."""
+    from pyspark.sql.types import TimestampType
+
+    from bireme_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType), df.schema["ts"].dataType
+    # and the value stream is µs-truncated UTC wall time (what DuckDB's
+    # naive TIMESTAMP sees): spot-check one deterministic row
+    row = df.orderBy("event_id").select("ts").first()
+    assert row.ts.year >= 2020
+    # a watermark must now be accepted (the exact round-3 failure mode)
+    df.withWatermark("ts", "1 hour")
+
+
 def test_state_server_serves_listener_state():
     from bireme_spark.streaming.state_server import StateServer
     from bireme_spark.streaming.stats import PipelineStatListener
