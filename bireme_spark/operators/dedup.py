@@ -425,6 +425,7 @@ def connected_components(
     orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(8, min(int(orig_parts), n_edges // 2_000_000 + 1))
 
+    converged = False
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         for it in range(max_iters):

@@ -168,7 +168,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bireme_spark.operators.dedup import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.8)
+    # same max_df hot-shingle guard as dedup_ngram_jaccard: exact at
+    # test scale (max observed df ≈ 25 at sf0.1), and keeps the pair
+    # mining Σ bucket² bounded when one shingle goes hot at 100 TB
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.8, max_df=100)
     return connected_components(pairs).orderBy("id")
 
 

@@ -51,27 +51,41 @@ _SLOW = frozenset(
 )
 
 
-def _prior_green() -> frozenset[str]:
-    """Names that already have a green row in a prior round's driver
-    artifact (the artifact is budget-bounded — r01 stopped at exactly
-    50 entries — so queries WITHOUT a row yet must run first to earn
-    one)."""
+def _recorded_rounds() -> dict[str, int]:
+    """name → latest round number whose driver artifact has a green
+    row for the query (oracle-green, or rows-only-by-design with
+    rows). The artifact is budget-bounded — r01 stopped at exactly 50
+    entries — so queries WITHOUT any row must run first to earn one,
+    and recorded queries re-run stalest-first for regression cover."""
     import json
     import pathlib
+    import re
 
-    names: set[str] = set()
+    last: dict[str, int] = {}
     root = pathlib.Path(__file__).resolve().parent.parent
     for art in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", art.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(art.read_text())
         except (OSError, ValueError):
             continue
-        names.update(
-            n
-            for n, r in rows.items()
-            if isinstance(r, dict) and r.get("rows_match") is not False and not r.get("err")
-        )
-    return frozenset(names)
+        for n, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            err = r.get("err")
+            if not err and r.get("rows_match") is not False:
+                green = True  # oracle-green row
+            elif err == "no_oracle" and (r.get("spark_rows") or 0) > 0:
+                # rows-only-by-design query that produced rows: it IS
+                # recorded — re-running it every round would burn gate
+                # budget that should re-confirm older oracle queries
+                green = True
+            else:
+                green = False
+            if green:
+                last[n] = max(last.get(n, 0), rnd)
+    return last
 
 
 def _load() -> None:
@@ -106,12 +120,14 @@ def _load() -> None:
             continue
         _QUERIES.update(getattr(mod, "QUERIES", {}))
         _ORACLE.update(getattr(mod, "ORACLE", {}))
-    green = _prior_green()
+    recorded = _recorded_rounds()
 
-    def _rank(name: str) -> int:
-        if name not in green:
-            return 0 if name not in _SLOW else 1
-        return 2
+    def _rank(name: str) -> tuple[int, int, int]:
+        if name not in recorded:
+            return (0, 0, 0) if name not in _SLOW else (1, 0, 0)
+        # recorded: stalest green row first; cheap before slow at
+        # equal staleness (the driver budget is wall-clock-sensitive)
+        return (2, recorded[name], 1 if name in _SLOW else 0)
 
     ordered = sorted(_QUERIES, key=_rank)  # stable: module order within rank
     reordered = {name: _tz_safe(_QUERIES[name]) for name in ordered}

@@ -214,6 +214,26 @@ class TestConnectedComponents:
         assert len(rows) == 201
         assert all(r.component == 0 for r in rows)
 
+    def test_non_convergence_warns_not_crashes(self, spark):
+        """max_iters exhausted on a 4-node chain must raise the
+        stale-label RuntimeWarning — round 3 had a latent NameError on
+        this path (``converged`` only assigned on the break branch)."""
+        import warnings
+
+        from bireme_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            rows = connected_components(pairs, max_iters=1).collect()
+        assert any(
+            issubclass(w.category, RuntimeWarning) and "not converged" in str(w.message)
+            for w in caught
+        )
+        assert len(rows) == 4  # labels still returned (possibly stale)
+
     def test_multiple_components_min_rooted(self, spark):
         from bireme_spark.operators.dedup import connected_components
 
