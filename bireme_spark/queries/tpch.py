@@ -4,10 +4,14 @@ in sync; Greenplum answers the SQL — here Spark does both),
 re-expressed as native Spark DataFrame plans.
 
 Every query is declarative (no UDFs, no collect): Catalyst gets full
-predicate pushdown / column pruning / join reordering, and small
-dimensions are explicitly ``broadcast()`` so the fact-table join
-never shuffles the big side on a dim key. Adapted to the test schema
-(no partsupp / commitdate / shipmode columns).
+predicate pushdown / column pruning / join reordering. Only the
+fixed-cardinality dimensions (nation=25, region=5 — constant at ANY
+fact scale) carry explicit ``broadcast()`` hints; customer/supplier/
+part grow linearly with SF (TBs at a 100 TB fact scale), so their
+join strategy is left to ``autoBroadcastJoinThreshold`` + AQE, which
+broadcasts them while small and degrades to shuffle joins when they
+outgrow executor memory. Adapted to the test schema (no partsupp /
+commitdate / shipmode columns).
 
 Money aggregates use exact DECIMAL arithmetic on both the Spark and
 the DuckDB-oracle side (see :mod:`bireme_spark.functions.money`) so
@@ -75,13 +79,14 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 unshipped orders by revenue: broadcast customer dim;
-    the only shuffle is lineitem↔orders on orderkey."""
+    """Top-10 unshipped orders by revenue: customer joins by
+    threshold/AQE choice (broadcast while it fits, shuffle at scale);
+    the required shuffle is lineitem↔orders on orderkey."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
     return (
-        l.join(o.join(broadcast(c), o.o_custkey == c.c_custkey), l.l_orderkey == o.o_orderkey)
+        l.join(o.join(c, o.o_custkey == c.c_custkey), l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(disc_price(), "revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -135,8 +140,9 @@ ORDER BY o_orderpriority
 
 
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier volume: 6-way star join; every dimension
-    broadcast, lineitem↔orders is the only shuffle."""
+    """Local-supplier volume: 6-way star join; nation/region carry
+    broadcast hints (fixed cardinality), customer/supplier by
+    threshold/AQE; lineitem↔orders is the unavoidable shuffle."""
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -147,9 +153,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = _t(spark, sf_dir, "lineitem")
     return (
-        l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -213,9 +219,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     pairs = (
-        l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n1), s.s_nationkey == F.col("s_nk"))
         .join(broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .where(
@@ -265,8 +271,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(2,1)"
     )
     return (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate"))
@@ -304,7 +310,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(disc_price(), "revenue"))
@@ -372,7 +378,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(
         F.lit(0).cast("decimal(17,4)")
     )
-    return l.join(broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         (
             F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price()).cast("double")
         ).alias("promo_revenue")
@@ -403,7 +409,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
@@ -428,7 +434,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction below the join where possible."""
     p = _t(spark, sf_dir, "part")
     l = _t(spark, sf_dir, "lineitem")
-    j = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 20)))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 30)))
@@ -453,7 +459,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
     return (
-        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate"))
         .rollup("n_name", "o_year")
@@ -535,7 +541,7 @@ def window_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")

@@ -37,7 +37,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-cost supplier per part (TPC-H Q2 shape; adapted: the
     part↔supplier relation comes from distinct lineitem pairs since
     the schema has no partsupp, and 'cost' is s_acctbal minimized).
-    Correlated-min subquery → per-part min + re-join; dims broadcast."""
+    Correlated-min subquery → per-part min + re-join; nation/region
+    broadcast-hinted, part/supplier by threshold/AQE."""
     p = _t(spark, sf_dir, "part").where((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -46,8 +47,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = (
         l.select(F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey"))
         .distinct()
-        .join(broadcast(p), F.col("ps_partkey") == p.p_partkey)
-        .join(broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(p, F.col("ps_partkey") == p.p_partkey)
+        .join(s, F.col("ps_suppkey") == s.s_suppkey)
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -84,8 +85,9 @@ LIMIT 100
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share (TPC-H Q8): NATION_1 supplier revenue
     share within AMERICA-region customers per order year. Conditional
-    sum over a 7-way star join — all dims broadcast, single fact
-    shuffle on orderkey."""
+    sum over a 7-way star join — nation/region broadcast-hinted,
+    the SF-scaling dims by threshold/AQE; single fact shuffle on
+    orderkey."""
     p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
     s = _t(spark, sf_dir, "supplier")
     l = _t(spark, sf_dir, "lineitem")
@@ -104,10 +106,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = disc_price()
     nat = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0).cast("decimal(17,4)"))
     return (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n1), c.c_nationkey == F.col("c_nk"))
         .join(broadcast(r), F.col("c_rk") == r.r_regionkey)
         .join(broadcast(n2), s.s_nationkey == F.col("s_nk"))
@@ -153,7 +155,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     l = _t(spark, sf_dir, "lineitem")
-    supplied = l.join(broadcast(s), l.l_suppkey == s.s_suppkey).join(
+    supplied = l.join(s, l.l_suppkey == s.s_suppkey).join(
         broadcast(n), s.s_nationkey == n.n_nationkey
     )
     per_part = supplied.groupBy("l_partkey").agg(
@@ -237,7 +239,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.join(broadcast(mx), rev.total_revenue == F.col("max_revenue"))
-        .join(broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -270,8 +272,8 @@ def q16_part_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).distinct()
     return (
-        ps.join(broadcast(s_bad), ps.ps_suppkey == s_bad.s_suppkey, "left_anti")
-        .join(broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        ps.join(s_bad, ps.ps_suppkey == s_bad.s_suppkey, "left_anti")
+        .join(p, F.col("ps_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -292,17 +294,18 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (TPC-H Q17): lines with quantity
     below 20% of their part's average. The correlated per-part AVG is
-    one extra aggregate on the fact table, broadcast back — at scale
-    the per-part average table is ~|part| rows, far smaller than the
-    fact, so the second join stays broadcast."""
+    one extra aggregate on the fact table joined back on the same
+    partkey the main join already shuffled on — the per-part average
+    table is ~|part| rows (SF-scaling, so no forced broadcast; AQE
+    broadcasts it while it fits)."""
     p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
     l = _t(spark, sf_dir, "lineitem")
-    lp = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    lp = l.join(p, l.l_partkey == p.p_partkey)
     avg_q = lp.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     return (
-        lp.join(broadcast(avg_q), lp.l_partkey == F.col("ap_partkey"))
+        lp.join(avg_q, lp.l_partkey == F.col("ap_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -331,7 +334,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
     heavy = (
-        l.join(broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .where(F.col("total_qty") > 50)
@@ -389,7 +392,7 @@ def q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole.join(broadcast(s.join(broadcast(n), s.s_nationkey == n.n_nationkey)),
+        sole.join(s.join(broadcast(n), s.s_nationkey == n.n_nationkey),
                   sole.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -23,9 +23,13 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimensions we always broadcast in joins (≤ a few MB even at
-# 100 TB fact scale — nation/region are fixed-cardinality).
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+# The only dimensions safe to ALWAYS broadcast: nation (25 rows) and
+# region (5) are fixed-cardinality at any fact scale. customer/
+# supplier/part grow linearly with SF (customer = 150k×SF rows — TBs
+# at 100 TB fact scale), so they get NO forced hint; the
+# autoBroadcastJoinThreshold + AQE picks broadcast while they fit and
+# shuffle joins when they don't.
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -41,6 +41,30 @@ def test_dim_joins_are_broadcast(spark, name):
     assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
 
 
+def test_no_forced_broadcast_of_scaling_dims(spark):
+    """customer/supplier/part grow linearly with SF (customer =
+    150k×SF rows — TBs at 100 TB fact scale); a forced broadcast()
+    hint would OOM executors there. With the auto threshold disabled,
+    the only surviving broadcasts must be the fixed-cardinality
+    nation/region hints — the customer join has to degrade to a
+    shuffle join."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "q10_returned_items")
+        assert "SortMergeJoin" in plan, "customer join did not degrade to shuffle"
+        # exactly one hinted broadcast survives: nation (formatted
+        # plans list every operator twice — tree + details — so count
+        # unique operator ids, "BroadcastExchange (N)")
+        import re
+
+        hinted = set(re.findall(r"BroadcastExchange \((\d+)\)", plan))
+        assert len(hinted) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 # Scan-heavy queries whose filters must reach the parquet reader.
 PUSHDOWN_QUERIES = ["q1_pricing_summary", "q6_forecast_revenue", "q14_promo_effect"]
 
