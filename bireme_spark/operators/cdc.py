@@ -107,11 +107,24 @@ def apply_changes(
     base_key_cols: Sequence[str],
     compact_key_cols: Sequence[str] | None = None,
     payload_map: dict[str, str] | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """DELETE + COPY merge (ChangeLoader.executeTask semantics): drop
     every base row whose key appears in the compacted batch (delete
     set ∪ insert keys — bireme's pessimistic-safe superset), then
     append the insert set.
+
+    ``mode`` mirrors the reference's adaptive loader
+    (``ChangeLoader.java:212-222``): in *optimistic* mode a batch with
+    no deletes and no (key-)updates skips the DELETE phase entirely —
+    the common append-heavy-sync case pays zero anti-join. ``auto``
+    (default) probes the compacted batch's ``in_delete`` flags (one
+    early-exit scan of the batch — orders of magnitude smaller than
+    the base side the anti-join would shuffle) and picks the fast path
+    exactly when it is safe by CDC semantics: ``in_delete`` covers
+    DELETE *and* UPDATE ops, so a false-free batch is pure-insert.
+    ``"pessimistic"`` forces the anti-join (redelivery-proof);
+    ``"optimistic"`` forces the skip without probing.
 
     ``payload_map`` maps base column → compacted payload column; keys
     map positionally from ``base_key_cols`` to ``compact_key_cols``.
@@ -120,11 +133,20 @@ def apply_changes(
     """
     if compact_key_cols is None:
         compact_key_cols = list(compacted.columns[: len(base_key_cols)])
-    cond = None
-    for b, c in zip(base_key_cols, compact_key_cols):
-        clause = base[b] == compacted[c]
-        cond = clause if cond is None else cond & clause
-    survivors = base.join(compacted, cond, "left_anti")
+    if mode == "auto":
+        optimistic = compacted.where(F.col("in_delete")).isEmpty()
+    elif mode in ("optimistic", "pessimistic"):
+        optimistic = mode == "optimistic"
+    else:  # pragma: no cover - guard
+        raise ValueError(f"apply_changes: unknown mode {mode!r}")
+    if optimistic:
+        survivors = base
+    else:
+        cond = None
+        for b, c in zip(base_key_cols, compact_key_cols):
+            clause = base[b] == compacted[c]
+            cond = clause if cond is None else cond & clause
+        survivors = base.join(compacted, cond, "left_anti")
 
     if payload_map is None:
         payload_map = {c: c for c in base.columns if c not in base_key_cols}

@@ -807,11 +807,88 @@ WHERE rn = 1 AND op <> 'D'
 """
 
 
+def jdbc_merge_sink_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JdbcMergeSink SQL builders (`sinks/jdbc.py`, the
+    ChangeLoader.java:247-290 DELETE+COPY transaction) exercised as a
+    gate query: the staged statement plan for one compacted batch of
+    the same deterministic changes `jdbc_merge_apply` runs live, plus
+    how many staged rows each statement touches. The oracle pins the
+    EXACT statement text (hand-written, not builder-derived) and the
+    batch-derived counts, so a builder regression — quoting, key
+    predicate, op filter — hash-mismatches immediately.
+
+    Statement semantics (ChangeLoader executeTask): the staging table
+    carries delete-keys AND upsert-keys, so the DELETE touches every
+    staged row; the INSERT re-inserts only the op<>'D' survivors; the
+    DROP releases the stage. All counts are computed distributed (one
+    partial-agg scan of the batch); the 3-row statement frame joins
+    the 1-row stats by broadcast."""
+    from bireme_spark.sinks.jdbc import JdbcMergeSink, staging_table_name
+
+    sink = JdbcMergeSink(
+        url="jdbc:postgresql://warehouse:5432/analytics",
+        target_table="target",
+        key_cols=("o_orderkey",),
+        payload_cols=("o_orderkey", "o_totalprice", "o_orderstatus"),
+    )
+    stmts = sink.merge_statements(staging_table_name("target", 0))
+    key = F.col("o_orderkey")
+    stats = (
+        load_table(spark, sf_dir, "orders")
+        .where(key % 7 == 0)
+        .agg(
+            F.sum(F.when((key % 5 == 0) | (key % 3 == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_staged"),
+            F.sum(F.when((key % 5 != 0) & (key % 3 == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_insert"),
+        )
+    )
+    plan = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(stmts)], "seq int, statement string"
+    )
+    return (
+        plan.crossJoin(F.broadcast(stats))
+        .select(
+            "seq",
+            "statement",
+            F.when(F.col("seq") == 1, F.col("n_staged"))
+            .when(F.col("seq") == 2, F.col("n_insert"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("staged_rows"),
+        )
+        .orderBy("seq")
+    )
+
+
+JDBC_MERGE_SINK_SQL = """
+WITH stats AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderkey % 5 = 0 OR o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_staged,
+    CAST(SUM(CASE WHEN o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_insert
+  FROM orders WHERE o_orderkey % 7 = 0
+), stmts(seq, statement) AS (
+  VALUES
+    (1, 'DELETE FROM "target" WHERE EXISTS (SELECT 1 FROM target__stage_0 WHERE "target"."o_orderkey" = target__stage_0."o_orderkey")'),
+    (2, 'INSERT INTO "target" ("o_orderkey", "o_totalprice", "o_orderstatus") SELECT "o_orderkey", "o_totalprice", "o_orderstatus" FROM target__stage_0 WHERE "op" <> ''D'''),
+    (3, 'DROP TABLE IF EXISTS target__stage_0')
+)
+SELECT s.seq, s.statement,
+       CASE s.seq WHEN 1 THEN stats.n_staged
+                  WHEN 2 THEN stats.n_insert
+                  ELSE CAST(0 AS BIGINT) END AS staged_rows
+FROM stmts s, stats
+ORDER BY s.seq
+"""
+
+
 QUERIES = {
     "cdc_time_travel": cdc_time_travel,
     "cdc_lag_metrics": cdc_lag_metrics,
     "cdc_unified_ingest": cdc_unified_ingest,
     "table_checksum": table_checksum_orders,
+    "jdbc_merge_sink": jdbc_merge_sink_plan,
     "jdbc_merge_apply": jdbc_merge_apply,
     "cdc_compact": cdc_compact,
     "cdc_snapshot": cdc_snapshot,
@@ -829,6 +906,7 @@ ORACLE = {
     "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
     "cdc_lag_metrics": CDC_LAG_METRICS_SQL,
     "table_checksum": TABLE_CHECKSUM_SQL,
+    "jdbc_merge_sink": JDBC_MERGE_SINK_SQL,
     "jdbc_merge_apply": JDBC_MERGE_APPLY_SQL,
     "cdc_compact": CDC_COMPACT_SQL,
     "cdc_snapshot": CDC_SNAPSHOT_SQL,

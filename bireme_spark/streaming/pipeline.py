@@ -107,6 +107,48 @@ def read_state(spark: SparkSession, target_dir: str) -> DataFrame | None:
     )
 
 
+def kafka_reader_options(source: SourceConfig, max_events: int | None = None) -> dict[str, str]:
+    """Structured-Streaming option dict for a bireme Kafka source —
+    the twin of the reference consumer config (``KafkaPipeLine.java:
+    198-207`` createConsumer), mapped knob-for-knob:
+
+    | reference (consumer props)      | Spark kafka source option      |
+    | ------------------------------- | ------------------------------ |
+    | bootstrap.servers               | kafka.bootstrap.servers        |
+    | group.id                        | kafka.group.id                 |
+    | auto.offset.reset = earliest    | startingOffsets = earliest     |
+    | session.timeout.ms = 60000      | kafka.session.timeout.ms       |
+    | enable.auto.commit = false      | (implicit: the source NEVER    |
+    |                                 | auto-commits — progress lives  |
+    |                                 | in the checkpoint, committed   |
+    |                                 | after the batch is applied,    |
+    |                                 | bireme's commit-after-load)    |
+    | batch_size (RowCache)           | maxOffsetsPerTrigger           |
+
+    ``failOnDataLoss=false`` mirrors the reference's tolerance of
+    expired offsets on reconnect (it resumes from earliest retained).
+    Pure function so the wiring is unit-testable without a broker —
+    the sandbox has none, which is the documented seam: on a real
+    deployment ``_open_stream`` feeds these straight into
+    ``readStream.format("kafka")``.
+    """
+    if not source.kafka_server or not source.kafka_topic:
+        raise ValueError(
+            f"source {source.name!r}: kafka transport needs kafka_server + kafka_topic"
+        )
+    opts = {
+        "kafka.bootstrap.servers": source.kafka_server,
+        "subscribe": source.kafka_topic,
+        "kafka.group.id": source.kafka_groupid,
+        "kafka.session.timeout.ms": "60000",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    if max_events:
+        opts["maxOffsetsPerTrigger"] = str(max_events)
+    return opts
+
+
 def _open_stream(spark: SparkSession, source: SourceConfig, max_files: int | None):
     """Envelope stream with provenance order columns
     ``(src_partition, src_offset)`` — Kafka's real consume order; the
@@ -125,14 +167,12 @@ def _open_stream(spark: SparkSession, source: SourceConfig, max_files: int | Non
             F.unix_millis(F.col("_metadata.file_modification_time")).alias("src_partition"),
             F.lit(None).cast("long").alias("src_offset"),
         )
-    # Kafka path (bireme's consumer settings, KafkaPipeLine.java:190-208).
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", source.kafka_server)
-        .option("subscribe", source.kafka_topic)
-        .option("kafka.group.id", source.kafka_groupid)
-        .option("startingOffsets", "earliest")
-    )
+    # Kafka transport (no path configured): bireme's consumer
+    # settings via the unit-tested option builder. max_files doubles
+    # as the per-trigger row cap (batch_size twin) on this path.
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(source, max_files).items():
+        reader = reader.option(k, v)
     return reader.load().selectExpr(
         "CAST(value AS STRING) AS value",
         "partition AS src_partition",

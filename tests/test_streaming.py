@@ -174,3 +174,58 @@ def test_same_timestamp_fold_is_deterministic(spark, tmp_path):
         q.awaitTermination(120)
         state = {(r.k, r.price) for r in read_state(spark, cfg.target_dir).collect()}
         assert state == {(k, 2.0) for k in range(100)}, f"run {run}"
+
+
+def test_kafka_reader_options_mirror_reference_consumer():
+    """KafkaPipeLine.java:198-207 createConsumer props, knob-for-knob
+    (no broker in the sandbox — the option dict IS the testable seam;
+    a deployment feeds it into readStream.format("kafka"))."""
+    import pytest
+
+    from bireme_spark.config import SourceConfig
+    from bireme_spark.streaming.pipeline import kafka_reader_options
+
+    src = SourceConfig(
+        name="maxwell1",
+        kind="maxwell",
+        kafka_server="127.0.0.1:9092",
+        kafka_topic="topic_name1",
+        kafka_groupid="bireme",
+    )
+    opts = kafka_reader_options(src, max_events=50_000)
+    assert opts == {
+        "kafka.bootstrap.servers": "127.0.0.1:9092",  # bootstrap.servers
+        "subscribe": "topic_name1",                   # consumer.subscribe(topic)
+        "kafka.group.id": "bireme",                   # group.id
+        "kafka.session.timeout.ms": "60000",          # session.timeout.ms
+        "startingOffsets": "earliest",                # auto.offset.reset
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "50000",              # RowCache batch_size
+    }
+    # no per-trigger cap configured -> option absent (unbounded trigger)
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options(src)
+    # transport misconfiguration fails fast, not at stream start
+    with pytest.raises(ValueError, match="kafka_server"):
+        kafka_reader_options(SourceConfig(name="bad", kind="maxwell"))
+
+
+def test_reference_etc_config_builds_kafka_options():
+    """End-to-end config seam: the reference's own config.properties
+    (when present) parses into SourceConfigs whose Kafka option dicts
+    are ready for readStream."""
+    import os
+
+    import pytest
+
+    from bireme_spark.config import PipelineConfig
+    from bireme_spark.streaming.pipeline import kafka_reader_options
+
+    path = "/root/reference/etc/config.properties"
+    if not os.path.isfile(path):
+        pytest.skip("reference etc not present")
+    cfg = PipelineConfig.from_properties_file(path)
+    by_name = {s.name: s for s in cfg.sources}
+    opts = kafka_reader_options(by_name["maxwell1"], cfg.max_events_per_trigger)
+    assert opts["kafka.bootstrap.servers"] == "127.0.0.1:9092"
+    assert opts["subscribe"] == "topic_name1"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
