@@ -370,8 +370,62 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """Per-partition union-find pre-contraction: each partition folds
+    ITS slice of the edge list into a min-rooted star forest in one
+    Arrow-batched pass — no shuffle, no driver data. The output has
+    the same global connectivity (a local union is a valid union),
+    but every intra-partition chain collapses to height 1, so the
+    global star loop only has to stitch across partitions:
+    O(log #partition-spanning merges) rounds instead of
+    O(log component diameter). This is the classic big-graph CC
+    accelerator (e.g. Kiveris et al. §6 "optimizations": contract
+    locally, iterate globally).
+
+    Memory: a partition's edges fit by construction — the caller
+    sizes partitions at ~2M edges (~32 MB of id pairs); the
+    union-find dict is O(nodes-in-partition). Python is acceptable
+    here because the edge list is the *pair* set, orders of magnitude
+    smaller than the corpus that produced it (the corpus-sized work
+    stayed JVM-side upstream)."""
+
+    def contract(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                rs, rd = find(int(s)), find(int(d))
+                if rs != rd:
+                    # union by min id — roots stay component minima
+                    lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                    parent[hi] = lo
+        out_src, out_dst = [], []
+        for node in list(parent):
+            root = find(node)
+            if node != root:
+                out_src.append(node)
+                out_dst.append(root)
+        yield pd.DataFrame({"src": out_src, "dst": out_dst})
+
+    return edges.mapInPandas(contract, "src long, dst long")
+
+
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iters: int = 20
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+    pre_contract: bool = True,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     near-dup pair graph via alternating large-star / small-star
@@ -403,23 +457,62 @@ def connected_components(
     so inheriting the corpus-sized shuffle width just schedules empty
     tasks every round; at 100 TB the same formula widens back out.
 
+    ``pre_contract`` (default on) runs the per-partition union-find
+    pass (``_local_contract``) before the loop: intra-partition
+    chains collapse in one narrow stage, so the loop only stitches
+    components that span partitions — at test scale this cuts the
+    round count (and most of the fixed per-round job overhead); at
+    100 TB it cuts the shuffled edge volume of every round.
+
     Returns (id, component) with component = min doc id in the
     cluster — star roots are neighborhood minima, so the fixed point
     is exactly the min-id rooted star forest.
     """
-    # ordered edge list (big, small); self-edges dropped
+    def _violations(df: DataFrame) -> int:
+        """Star-forest probe: 0 iff no node has two parents or both a
+        parent and children (see docstring)."""
+        deg = (
+            df.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("src").alias("node"),
+                            F.lit(1).alias("outd"),
+                            F.lit(0).alias("ind"),
+                        ),
+                        F.struct(
+                            F.col("dst").alias("node"),
+                            F.lit(0).alias("outd"),
+                            F.lit(1).alias("ind"),
+                        ),
+                    )
+                ).alias("x")
+            )
+            .groupBy("x.node")
+            .agg(F.sum("x.outd").alias("outd"), F.sum("x.ind").alias("ind"))
+        )
+        return deg.where(
+            (F.col("outd") > 1) | ((F.col("outd") > 0) & (F.col("ind") > 0))
+        ).count()
+
+    # ordered edge list (big, small); self-edges dropped. With the
+    # contraction pre-pass the explicit .distinct() shuffle is skipped
+    # — union-find absorbs duplicate edges for free.
     a, b = F.col(a_col), F.col(b_col)
-    edges = (
-        pairs.where(a != b)
-        .select(F.greatest(a, b).alias("src"), F.least(a, b).alias("dst"))
-        .distinct()
-        .persist()
+    edges = pairs.where(a != b).select(
+        F.greatest(a, b).alias("src"), F.least(a, b).alias("dst")
     )
-    node_ids = edges.select(F.col("src").alias("id")).unionByName(
-        edges.select(F.col("dst").alias("id"))
-    ).distinct().persist()
+    if not pre_contract:
+        edges = edges.distinct()
+    edges = edges.persist()
+    node_ids = None
+    if not pre_contract:
+        node_ids = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
+        ).distinct().persist()
     n_edges = edges.count()
-    node_ids.count()
+    if node_ids is not None:
+        node_ids.count()
 
     spark = pairs.sparkSession
     orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -428,7 +521,38 @@ def connected_components(
     converged = False
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        for it in range(max_iters):
+        if pre_contract and n_edges:
+            # Collapse intra-partition structure first (see
+            # _local_contract); the loop then only stitches across
+            # partitions. Partition count scales with the edge count
+            # (~2M edges ≈ 32 MB of id pairs per partition, floor 1):
+            # below the threshold ONE partition contracts the whole
+            # graph and the probe below skips the loop outright;
+            # above it, contraction is genuinely distributed and the
+            # star loop does the cross-partition stitching. coalesce,
+            # not repartition: narrow, no shuffle, and fewer/fuller
+            # partitions contract more.
+            cparts = max(1, n_edges // 2_000_000 + 1)
+            contracted = _local_contract(edges.coalesce(cparts)).localCheckpoint(
+                eager=True
+            )
+            edges.unpersist()
+            edges = contracted
+            # the contracted node set provably equals the original
+            # (every edge endpoint survives as a child src or a root
+            # dst), so the label universe reads the checkpoint —
+            # no second pass over the mined pairs
+            node_ids = edges.select(F.col("src").alias("id")).unionByName(
+                edges.select(F.col("dst").alias("id"))
+            ).distinct()
+            # per-partition star forests may already be the global
+            # fixed point (always true when cparts == 1)
+            if _violations(edges) == 0:
+                converged = True
+        elif pre_contract:  # no edges at all: empty universe
+            node_ids = edges.select(F.col("src").alias("id"))
+            converged = True
+        for it in range(max_iters if not converged else 0):
             # ---- large-star: for every node u, attach all strictly
             # larger neighbors to m = min(N(u) ∪ {u}).
             und = edges.select("src", "dst").unionByName(
@@ -466,29 +590,7 @@ def connected_components(
             new_edges = small.localCheckpoint(eager=True)
             # one probe action on the materialized rdd: per-node
             # degrees → star-forest test (see docstring)
-            deg = (
-                new_edges.select(
-                    F.explode(
-                        F.array(
-                            F.struct(
-                                F.col("src").alias("node"),
-                                F.lit(1).alias("outd"),
-                                F.lit(0).alias("ind"),
-                            ),
-                            F.struct(
-                                F.col("dst").alias("node"),
-                                F.lit(0).alias("outd"),
-                                F.lit(1).alias("ind"),
-                            ),
-                        )
-                    ).alias("x")
-                )
-                .groupBy("x.node")
-                .agg(F.sum("x.outd").alias("outd"), F.sum("x.ind").alias("ind"))
-            )
-            violations = deg.where(
-                (F.col("outd") > 1) | ((F.col("outd") > 0) & (F.col("ind") > 0))
-            ).count()
+            violations = _violations(new_edges)
             edges.unpersist()
             edges = new_edges
             if violations == 0:
@@ -505,13 +607,17 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    # converged star forest: every non-root points at its root
+    # converged star forest: every non-root points at its root.
+    # (pre_contract path: node_ids is a lazy view over the contracted
+    # checkpoint — one evaluation inside this single labels job;
+    # legacy path: it is the persisted pre-loop universe.)
     labels = (
         node_ids.join(edges.withColumnRenamed("src", "id"), "id", "left")
         .select("id", F.coalesce(F.col("dst"), F.col("id")).alias("component"))
         .persist()
     )
-    node_ids.unpersist()
+    if not pre_contract:
+        node_ids.unpersist()
     return _attach_persisted(labels, [labels, edges])
 
 

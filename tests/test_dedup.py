@@ -225,14 +225,48 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame(
             [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
         )
+        # pre_contract=False: the pre-pass would collapse this chain
+        # in one partition and converge round 1 — the point here is
+        # the LOOP's exhaustion path
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
-            rows = connected_components(pairs, max_iters=1).collect()
+            rows = connected_components(pairs, max_iters=1, pre_contract=False).collect()
         assert any(
             issubclass(w.category, RuntimeWarning) and "not converged" in str(w.message)
             for w in caught
         )
         assert len(rows) == 4  # labels still returned (possibly stale)
+
+    def test_pre_contraction_preserves_components(self, spark):
+        """Local union-find + global stitch ≡ pure star loop on a
+        graph FORCED to span partitions (repartition(8) scatters the
+        edges), including chains that cross partition boundaries."""
+        import random
+
+        from bireme_spark.operators.dedup import connected_components
+
+        rng = random.Random(7)
+        edges = []
+        # 10 chains of length 12 with shuffled ids + some extra intra-
+        # component edges — components = {120k..120k+12} over permuted ids
+        ids = list(range(200))
+        rng.shuffle(ids)
+        for comp in range(10):
+            members = ids[comp * 13 : comp * 13 + 13]
+            for x, y in zip(members, members[1:]):
+                edges.append((x, y))
+            edges.append((members[0], members[-1]))
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long").repartition(8)
+        fast = {
+            (r.id, r.component)
+            for r in connected_components(pairs, pre_contract=True).collect()
+        }
+        slow = {
+            (r.id, r.component)
+            for r in connected_components(pairs, pre_contract=False).collect()
+        }
+        assert fast == slow
+        assert len({c for _, c in fast}) == 10
 
     def test_multiple_components_min_rooted(self, spark):
         from bireme_spark.operators.dedup import connected_components
