@@ -102,8 +102,11 @@ def main() -> int:
         # attempts — a real regression stays flagged, a noise burst
         # (observed 2-4x with no code change) usually clears.
         floor = _baseline_floors().get(name)
+        # Sub-second queries are the most noise-fragile (one scheduler
+        # hiccup is 3x their floor): give them a deeper retry budget.
+        max_extra = 4 if (floor or 1.0) < 1.0 else 2
         extra = 0
-        while floor is not None and best > 2.0 * floor and extra < 2:
+        while floor is not None and best > 2.0 * floor and extra < max_extra:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()

@@ -807,6 +807,92 @@ WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift sync: the source table gains a column mid-stream
+    (``ALTER TABLE orders ADD o_orderpriority``). Era-1 Maxwell
+    envelopes (the initial snapshot insert of every key) carry the
+    old two-column payload; era-2 envelopes (an update of every 4th
+    key, a day later) carry the widened payload. ONE ``parse_maxwell``
+    pass with the EVOLVED schema handles both eras — ``from_json``
+    reads absent fields as NULL, so there is no re-parse, no backfill
+    job, and no pipeline restart. (The reference must edit the target
+    DDL and bounce the loader: its staging/temp-table DDL is fixed at
+    startup — ``ChangeLoader.java:460`` getTemporaryTableName /
+    Config-time table definitions.) The snapshot fold then yields the
+    unified current state: updated keys carry the new column, pre-DDL
+    rows read NULL for it.
+
+    Plan: envelope build + parse are one narrow projection pass; the
+    snapshot fold is the usual single PK-hash shuffle (max_by) — drift
+    adds zero extra shuffles at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    era1 = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("testdb").alias("database"),
+                F.lit("orders").alias("table"),
+                F.lit("insert").alias("type"),
+                F.unix_timestamp("o_orderdate").alias("ts"),
+                F.struct(
+                    F.col("o_orderkey"), F.col("o_totalprice")
+                ).alias("data"),
+            )
+        ).alias("value")
+    )
+    era2 = o.where(F.col("o_orderkey") % 4 == 0).select(
+        F.to_json(
+            F.struct(
+                F.lit("testdb").alias("database"),
+                F.lit("orders").alias("table"),
+                F.lit("update").alias("type"),
+                (F.unix_timestamp("o_orderdate") + 86_400).alias("ts"),
+                F.struct(
+                    F.col("o_orderkey"),
+                    (F.col("o_totalprice") + F.lit(5.0)).alias("o_totalprice"),
+                    F.col("o_orderpriority"),
+                ).alias("data"),
+            )
+        ).alias("value")
+    )
+    evolved = (
+        StructType()
+        .add("o_orderkey", "long")
+        .add("o_totalprice", "double")
+        .add("o_orderpriority", "string")
+    )
+    parsed = parse_maxwell(
+        era1.unionByName(era2), "value", evolved, key_fields=("o_orderkey",)
+    )
+    changes = parsed.select(
+        "key",
+        "op",
+        "produce_time_ms",
+        F.col("data.o_totalprice").alias("o_totalprice"),
+        F.col("data.o_orderpriority").alias("o_orderpriority"),
+    )
+    snap = snapshot(
+        changes,
+        key_cols=("key",),
+        order_cols=("produce_time_ms",),
+        payload_cols=("o_totalprice", "o_orderpriority"),
+    )
+    return snap.select(
+        F.col("key").cast("bigint").alias("o_orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+    ).orderBy("o_orderkey")
+
+
+CDC_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 5.0
+            ELSE o_totalprice END AS totalprice,
+       CASE WHEN o_orderkey % 4 = 0 THEN o_orderpriority END AS priority
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def jdbc_merge_sink_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JdbcMergeSink SQL builders (`sinks/jdbc.py`, the
     ChangeLoader.java:247-290 DELETE+COPY transaction) exercised as a
@@ -888,6 +974,7 @@ QUERIES = {
     "cdc_lag_metrics": cdc_lag_metrics,
     "cdc_unified_ingest": cdc_unified_ingest,
     "table_checksum": table_checksum_orders,
+    "cdc_schema_evolution": cdc_schema_evolution,
     "jdbc_merge_sink": jdbc_merge_sink_plan,
     "jdbc_merge_apply": jdbc_merge_apply,
     "cdc_compact": cdc_compact,
@@ -906,6 +993,7 @@ ORACLE = {
     "cdc_time_travel": CDC_TIME_TRAVEL_SQL,
     "cdc_lag_metrics": CDC_LAG_METRICS_SQL,
     "table_checksum": TABLE_CHECKSUM_SQL,
+    "cdc_schema_evolution": CDC_SCHEMA_EVOLUTION_SQL,
     "jdbc_merge_sink": JDBC_MERGE_SINK_SQL,
     "jdbc_merge_apply": JDBC_MERGE_APPLY_SQL,
     "cdc_compact": CDC_COMPACT_SQL,
