@@ -118,12 +118,24 @@ def apply_changes(
     (``ChangeLoader.java:212-222``): in *optimistic* mode a batch with
     no deletes and no (key-)updates skips the DELETE phase entirely —
     the common append-heavy-sync case pays zero anti-join. ``auto``
-    (default) probes the compacted batch's ``in_delete`` flags (one
-    early-exit scan of the batch — orders of magnitude smaller than
-    the base side the anti-join would shuffle) and picks the fast path
-    exactly when it is safe by CDC semantics: ``in_delete`` covers
-    DELETE *and* UPDATE ops, so a false-free batch is pure-insert.
-    ``"pessimistic"`` forces the anti-join (redelivery-proof);
+    (default) probes the compacted batch's ``in_delete`` flags and
+    picks the fast path when the batch is pure-insert (``in_delete``
+    covers DELETE *and* UPDATE ops). Two caveats the caller owns:
+
+    * The probe is a Spark ACTION at plan-construction time — it runs
+      the compaction aggregation once. Callers should ``persist()``
+      ``compacted`` first (or pass an explicit mode) so the real merge
+      reuses it instead of recomputing.
+    * The skip assumes insert keys are NEW. If the same batch may be
+      re-applied (foreachBatch retry after a partial sink write) or
+      the source can re-deliver an INSERT for an existing key, use
+      ``"pessimistic"``: the unconditional anti-join is what makes
+      DELETE+COPY idempotent per batch. (The reference recovers from a
+      wrong optimistic guess via PK-constraint errors + retry —
+      ``ChangeLoader.java:283-290``; a constraint-free sink like
+      parquet corrupts silently instead, so the streaming pipeline
+      here always passes pessimistic.)
+
     ``"optimistic"`` forces the skip without probing.
 
     ``payload_map`` maps base column → compacted payload column; keys

@@ -533,9 +533,13 @@ def connected_components(
             # not repartition: narrow, no shuffle, and fewer/fuller
             # partitions contract more.
             cparts = max(1, n_edges // 2_000_000 + 1)
-            contracted = _local_contract(edges.coalesce(cparts)).localCheckpoint(
-                eager=True
-            )
+            # coalesce when narrowing (no shuffle); repartition when
+            # the inherited partitioning is COARSER than the ~2M-edge
+            # memory bound — coalesce cannot widen, and an unbounded
+            # partition would blow the per-task union-find dict
+            cur_parts = edges.rdd.getNumPartitions()
+            sized = edges.coalesce(cparts) if cparts <= cur_parts else edges.repartition(cparts)
+            contracted = _local_contract(sized).localCheckpoint(eager=True)
             edges.unpersist()
             edges = contracted
             # the contracted node set provably equals the original

@@ -194,6 +194,10 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_key_cols=("o_orderkey",),
         compact_key_cols=("key",),
         payload_map={"o_totalprice": "o_totalprice", "o_orderstatus": "o_orderstatus"},
+        # explicit: the U/D batch always anti-joins, and skipping the
+        # auto probe keeps query construction lazy (no eager
+        # compaction job inside bench/plan tests)
+        mode="pessimistic",
     )
     return applied.select(
         "o_orderkey",

@@ -300,6 +300,12 @@ def run_cdc_pipeline(
             base_key_cols=(base_columns[0],),
             compact_key_cols=("key",),
             payload_map={c: c for c in base_columns[1:]},
+            # pessimistic ALWAYS: a foreachBatch retry after a partial
+            # bucket write re-applies the same batch against state that
+            # already contains its inserts — only the unconditional
+            # anti-join keeps that idempotent (parquet has no PK
+            # constraint to catch a wrong optimistic guess).
+            mode="pessimistic",
         ).withColumn("bucket", _bucket_col(base_columns[0], nb))
         _write_changed_buckets(bspark, config.target_dir, merged, changed, batch_id)
 

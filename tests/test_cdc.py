@@ -129,6 +129,21 @@ class TestApply:
             (r.id, r.val) for r in once.collect()
         )
 
+    def test_pure_insert_reapply_idempotent_only_pessimistic(self, spark):
+        """The retry contract the streaming pipeline relies on: for a
+        PURE-INSERT batch, only pessimistic mode keeps re-apply
+        idempotent (auto's optimistic skip assumes fresh keys, so the
+        pipeline — which can re-run a batch after a partial sink
+        write — always passes mode='pessimistic')."""
+        base = self._base(spark)
+        ch = _changes(spark, [("9", "I", 1, 1, "i")])
+        c = compact(ch, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",))
+        once = apply_changes(base, c, ("id",), ("key",), mode="pessimistic")
+        twice = apply_changes(once, c, ("id",), ("key",), mode="pessimistic")
+        assert sorted((r.id, r.val) for r in twice.collect()) == sorted(
+            (r.id, r.val) for r in once.collect()
+        )
+
 
 class TestParsers:
     def test_maxwell_update_with_pk_change(self, spark):
