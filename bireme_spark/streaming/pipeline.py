@@ -14,14 +14,20 @@ anti-join merge are exactly the batch operators
 (operators/cdc.compact / apply_changes), so batch and streaming
 semantics provably agree (tested in tests/test_streaming.py).
 
-State layout — PK-hash-bucketed versioned parquet:
+State layout — PK-hash-bucketed versioned parquet with an atomic
+manifest commit:
 
     <target>/bucket=<b>/v=<n>/part-*.parquet
+    <target>/_manifest.json        ← bucket→version map, os.replace'd
+                                     once per batch (the commit point)
 
 A micro-batch rewrites ONLY the buckets whose keys changed: the
 changed-bucket set comes off the compacted batch (≤ num_buckets
-values), the base read prunes to those buckets' latest versions, and
-the merge writes each changed bucket's next version. Unchanged
+values), the base read prunes to those buckets' committed versions,
+and the merge stages each changed bucket's next version — then one
+manifest replace flips all of them atomically (readers see the whole
+batch or none of it; a crash mid-batch leaves only invisible orphan
+dirs that the retry skips past and later retention reaps). Unchanged
 buckets are never read or written — per-trigger write amplification
 is O(|changed buckets|), not O(|base|). On a cluster you'd swap this
 sink for Delta/Iceberg MERGE (same bucket-pruned plan with atomic
@@ -80,7 +86,54 @@ def _bucket_ids(target_dir: str) -> list[int]:
     )
 
 
+_MANIFEST = "_manifest.json"
+
+
+def _read_manifest(target_dir: str) -> dict[int, int] | None:
+    """Committed bucket→version map, or None for a legacy/new target."""
+    import json
+
+    path = os.path.join(target_dir, _MANIFEST)
+    try:
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        return {int(k): int(v) for k, v in doc.get("versions", {}).items()}
+    except (OSError, ValueError):
+        return None
+
+
+def _write_manifest(target_dir: str, versions: dict[int, int], batch_id: int) -> None:
+    """THE commit point of a micro-batch: the bucket version dirs are
+    staged first, then this single ``os.replace`` (atomic on POSIX)
+    flips every bucket at once. Readers see the whole batch or none
+    of it — per-bucket renames alone expose mixed versions to a
+    reader that lands mid-batch, and a crash between renames would
+    otherwise make the half-written state look current."""
+    import json
+
+    os.makedirs(target_dir, exist_ok=True)
+    tmp = os.path.join(target_dir, f".{_MANIFEST}.tmp-{batch_id}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {"committed_batch": batch_id, "versions": {str(k): v for k, v in versions.items()}},
+            f,
+        )
+    os.replace(tmp, os.path.join(target_dir, _MANIFEST))
+
+
 def _latest_paths(target_dir: str, buckets: Sequence[int] | None = None) -> list[str]:
+    """Paths of the COMMITTED version of each bucket: the manifest
+    when present (crash-consistent snapshot), else the max version
+    dir (legacy layout). An orphan v-dir from a crashed batch is
+    invisible until a later batch supersedes and reaps it."""
+    manifest = _read_manifest(target_dir)
+    if manifest is not None:
+        return [
+            f"{target_dir}/bucket={b}/v={v}"
+            for b, v in sorted(manifest.items())
+            if (buckets is None or b in buckets)
+            and os.path.isdir(f"{target_dir}/bucket={b}/v={v}")
+        ]
     paths = []
     for b in _bucket_ids(target_dir):
         if buckets is not None and b not in buckets:
@@ -189,15 +242,31 @@ def _write_changed_buckets(
 ) -> None:
     """One job writes every changed bucket's rows; renames slot each
     bucket dir in as its next version (empty buckets — all keys
-    deleted — get an explicit empty version so stale state clears).
-    Retention keeps only (prev, next): readers in flight keep prev,
-    older versions are garbage."""
+    deleted — get an explicit empty version so stale state clears);
+    then ONE atomic manifest replace commits the whole batch
+    (``_write_manifest``). Retention keeps (committed, next): readers
+    holding the old manifest keep their snapshot, anything older —
+    including orphan versions from a crashed batch that never reached
+    its manifest commit — is garbage.
+
+    Crash/retry safety: a batch that dies after some renames leaves
+    orphan v-dirs but the manifest still points at the committed
+    state, so the foreachBatch re-run reads the SAME base it read the
+    first time (``next_v`` skips past orphans to avoid collisions)."""
+    versions = _read_manifest(target_dir)
+    if versions is None:  # legacy target: adopt the visible dirs
+        versions = {
+            b: v
+            for b in _bucket_ids(target_dir)
+            if (v := _latest_version(f"{target_dir}/bucket={b}")) is not None
+        }
     staging = f"{target_dir}/.staging-{batch_id}"
     merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
     for b in changed:
         bdir = f"{target_dir}/bucket={b}"
-        prev = _latest_version(bdir)
-        next_v = (prev or 0) + 1
+        committed = versions.get(b)
+        # past any orphan dirs a crashed attempt left behind
+        next_v = max(_latest_version(bdir) or 0, committed or 0) + 1
         os.makedirs(bdir, exist_ok=True)
         src = f"{staging}/bucket={b}"
         if os.path.isdir(src):
@@ -206,8 +275,10 @@ def _write_changed_buckets(
             empty = bspark.createDataFrame([], merged.drop("bucket").schema)
             empty.write.parquet(f"{bdir}/v={next_v}")
         for d in os.listdir(bdir):
-            if d.startswith("v=") and int(d.split("=", 1)[1]) < (prev or next_v):
+            if d.startswith("v=") and int(d.split("=", 1)[1]) < (committed or next_v):
                 shutil.rmtree(f"{bdir}/{d}", ignore_errors=True)
+        versions[b] = next_v
+    _write_manifest(target_dir, versions, batch_id)
     shutil.rmtree(staging, ignore_errors=True)
 
 

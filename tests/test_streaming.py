@@ -229,3 +229,51 @@ def test_reference_etc_config_builds_kafka_options():
     assert opts["kafka.bootstrap.servers"] == "127.0.0.1:9092"
     assert opts["subscribe"] == "topic_name1"
     assert opts["maxOffsetsPerTrigger"] == "50000"
+
+
+def test_manifest_commit_is_atomic_and_crash_safe(spark, tmp_path):
+    """The versioned-parquet sink's commit point is the single
+    manifest replace: a crashed batch that renamed some bucket dirs
+    but died before its manifest write must be invisible to readers,
+    and the retry must (a) read the committed base, (b) version past
+    the orphan dirs, (c) reap them once superseded."""
+    from bireme_spark.streaming.pipeline import (
+        _latest_paths,
+        _read_manifest,
+        _write_changed_buckets,
+        read_state,
+    )
+
+    target = str(tmp_path / "target")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string").withColumn(
+        "bucket", F.lit(0)
+    )
+    _write_changed_buckets(spark, target, b0, [0], batch_id=0)
+    assert _read_manifest(target) == {0: 1}
+    assert {(r.k, r.val) for r in read_state(spark, target).collect()} == {(1, "a"), (2, "b")}
+
+    # crash simulation: a later attempt staged bucket 0 at v=2 (with
+    # rows that must NOT appear) but died before the manifest commit
+    orphan = spark.createDataFrame([(9, "ORPHAN")], "k long, val string")
+    orphan.write.parquet(f"{target}/bucket=0/v=2")
+    assert _latest_paths(target) == [f"{target}/bucket=0/v=1"]
+    assert {(r.k, r.val) for r in read_state(spark, target).collect()} == {(1, "a"), (2, "b")}
+
+    # retry of the batch: versions past the orphan, commits v=3
+    b1 = spark.createDataFrame([(1, "a2"), (2, "b")], "k long, val string").withColumn(
+        "bucket", F.lit(0)
+    )
+    _write_changed_buckets(spark, target, b1, [0], batch_id=1)
+    assert _read_manifest(target) == {0: 3}
+    assert {(r.k, r.val) for r in read_state(spark, target).collect()} == {(1, "a2"), (2, "b")}
+
+    # one more batch: retention reaps everything below the old commit,
+    # including the orphan
+    b2 = spark.createDataFrame([(1, "a3")], "k long, val string").withColumn(
+        "bucket", F.lit(0)
+    )
+    _write_changed_buckets(spark, target, b2, [0], batch_id=2)
+    import os
+
+    left = sorted(os.listdir(f"{target}/bucket=0"))
+    assert "v=2" not in left and "v=1" not in left, left
