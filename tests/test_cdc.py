@@ -305,3 +305,64 @@ class TestTableChecksum:
         a = spark.createDataFrame([(1, None)], "id long, s string")
         b = spark.createDataFrame([(1, "")], "id long, s string")
         assert table_checksum(a).first().checksum != table_checksum(b).first().checksum
+
+
+class TestCompactProperties:
+    """Property check: the distributed max_by fold ≡ a sequential
+    RowBatchMerger (RowCache.java:158-216) replay of the same batch in
+    arrival order, on randomized changelogs (random ops over a small
+    key space with produce-time ties broken by seq, exactly the Kafka
+    ordering contract)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # key (hot, collides)
+            st.sampled_from(["I", "U", "D"]),
+            st.text(alphabet="abc", min_size=0, max_size=2),  # payload
+        ),
+        min_size=0,
+        max_size=25,
+    )
+
+    @given(rows)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fold_matches_sequential_replay(self, spark, batch):
+        data = [
+            (str(k), op, i // 3, i, v if op != "D" else None)
+            for i, (k, op, v) in enumerate(batch)
+        ]
+        df = spark.createDataFrame(
+            data, "key string, op string, produce_time_ms long, seq long, val string"
+        )
+        got = {
+            r.key: (r.final_op, r.in_delete, r.in_insert, r.val)
+            for r in compact(
+                df, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",)
+            ).collect()
+        }
+        # sequential replay in arrival order
+        state: dict[str, tuple] = {}
+        seen_del: dict[str, bool] = {}
+        for key, op, _t, _s, val in data:
+            state[key] = (op, val)
+            seen_del[key] = seen_del.get(key, False) or op in ("U", "D")
+        want = {
+            k: (op, seen_del[k], op != "D", val if op != "D" else None)
+            for k, (op, val) in state.items()
+        }
+        assert got == want
+        # snapshot = the insert set of the fold
+        snap = {
+            r.key: r.val
+            for r in snapshot(
+                df, ("key",), ("produce_time_ms", "seq"), payload_cols=("val",)
+            ).collect()
+        }
+        assert snap == {k: v for k, (op, _d, ins, v) in want.items() if ins}
