@@ -192,6 +192,15 @@ def test_vocab_topk_has_no_global_sort_of_counts(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_schema_evolution_single_pk_shuffle(spark):
+    """cdc_schema_evolution: both envelope eras parse in one narrow
+    projection pass and the snapshot fold is the usual single PK-hash
+    exchange — schema drift must add ZERO extra shuffles."""
+    plan = _plan(spark, "cdc_schema_evolution")
+    assert plan.count("hashpartitioning(key") <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_anti_join_for_q22(spark):
     plan = _plan(spark, "q22_global_sales_opportunity")
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
