@@ -40,32 +40,32 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def decode_media(payload: bytes, mode: str = "bytes"):
-    """Media decode. ``mode='bytes'`` returns the raw buffer;
-    ``mode='image'`` is a REAL pure-python decode (PNG via stdlib
-    zlib, BMP via struct — :mod:`bireme_spark.functions.imagecodec`)
-    returning ``(width, height, channels, pixels, format)``;
-    ``mode='audio'`` is a REAL pure-python RIFF/WAVE PCM16 decode
-    (:mod:`bireme_spark.functions.audiocodec`) returning
-    ``(sample_rate, n_channels, samples)``; ``mode='video'`` is a
-    REAL pure-python Y4M/YUV420 decode
-    (:mod:`bireme_spark.functions.videocodec`) returning
-    ``(width, height, (fps_num, fps_den), frames)``. Compressed
-    video containers (mp4/webm) still require ffmpeg-class libs and
-    raise from the codec itself."""
+    """Media decode behind the native-backend seam
+    (:mod:`bireme_spark.functions.native`): PIL / libsndfile / ffmpeg
+    bodies are used automatically when installed (the 10–100× faster
+    production path, which also unlocks JPEG/MP3/MP4), else the REAL
+    pure-python codecs — PNG/BMP via stdlib zlib+struct
+    (:mod:`..functions.imagecodec`), RIFF/WAVE PCM16
+    (:mod:`..functions.audiocodec`), Y4M/YUV420
+    (:mod:`..functions.videocodec`). Return contracts are identical
+    across backends: ``image`` → (width, height, channels, pixels,
+    format); ``audio`` → (sample_rate, n_channels, samples);
+    ``video`` → (width, height, (fps_num, fps_den), frames).
+    Compressed containers on the pure path raise from the codec."""
     if mode == "bytes":
         return payload
     if mode == "image":
-        from bireme_spark.functions.imagecodec import decode_image
+        from bireme_spark.functions.native import decode_image_any
 
-        return decode_image(bytes(payload))
+        return decode_image_any(bytes(payload))
     if mode == "audio":
-        from bireme_spark.functions.audiocodec import decode_wav
+        from bireme_spark.functions.native import decode_audio_any
 
-        return decode_wav(bytes(payload))
+        return decode_audio_any(bytes(payload))
     if mode == "video":
-        from bireme_spark.functions.videocodec import decode_y4m
+        from bireme_spark.functions.native import decode_video_any
 
-        return decode_y4m(bytes(payload))
+        return decode_video_any(bytes(payload))
     raise NotImplementedError(
         f"decode_media(mode={mode!r}) is a stub — plug in av/ffmpeg here"
     )
