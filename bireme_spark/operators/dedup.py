@@ -426,6 +426,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iters: int = 20,
     pre_contract: bool = True,
+    edges_per_partition: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     near-dup pair graph via alternating large-star / small-star
@@ -516,7 +517,7 @@ def connected_components(
 
     spark = pairs.sparkSession
     orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(8, min(int(orig_parts), n_edges // 2_000_000 + 1))
+    loop_parts = max(8, min(int(orig_parts), n_edges // edges_per_partition + 1))
 
     converged = False
     try:
@@ -532,7 +533,7 @@ def connected_components(
             # star loop does the cross-partition stitching. coalesce,
             # not repartition: narrow, no shuffle, and fewer/fuller
             # partitions contract more.
-            cparts = max(1, n_edges // 2_000_000 + 1)
+            cparts = max(1, n_edges // edges_per_partition + 1)
             # coalesce when narrowing (no shuffle); repartition when
             # the inherited partitioning is COARSER than the ~2M-edge
             # memory bound — coalesce cannot widen, and an unbounded

@@ -268,6 +268,21 @@ class TestConnectedComponents:
         assert fast == slow
         assert len({c for _, c in fast}) == 10
 
+    def test_pre_contraction_repartitions_when_bound_exceeded(self, spark):
+        """The ~edges_per_partition memory bound must hold even when
+        the inherited partitioning is coarser than the target width:
+        coalesce cannot widen, so the sizing falls back to
+        repartition. Forced here with a tiny bound (3 edges/partition
+        on a 1-partition input) — the scale path at test size."""
+        from bireme_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        ).coalesce(1)
+        rows = connected_components(pairs, edges_per_partition=3).collect()
+        assert len(rows) == 31
+        assert all(r.component == 0 for r in rows)
+
     def test_multiple_components_min_rooted(self, spark):
         from bireme_spark.operators.dedup import connected_components
 
