@@ -186,6 +186,73 @@ def lsh_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    tables: int = 8,
+    bits: int = 6,
+    seed: int = 42,
+    mutual: bool = False,
+) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus — every vector is
+    simultaneously query and neighbor (the structure clustering,
+    SemDeDup-style cell refinement, and diversity sampling consume).
+    The self-join sibling of :func:`lsh_topk`:
+
+    - candidates are id pairs sharing any (table, bucket) — an
+      ID-ONLY bucket self-join; vectors and norms join back after the
+      pair distinct, so the wide rows never enter the candidate
+      shuffle (same discipline as the dedup LSH operators);
+    - exact cosine rerank, so every emitted edge weight is exact;
+      recall is the LSH collision probability and positive scalar
+      multiples collide deterministically (property-tested);
+    - per-node top-k by rank window (never a global sort).
+
+    ``mutual=True`` keeps only edges present in BOTH directions (the
+    mutual-kNN graph) via a self semi-join on the reversed edge.
+
+    Scale: Σ bucket² candidate cost like every LSH op here — no
+    cartesian; the rank window shuffles on ``src`` only.
+    """
+    bk = lsh_bucketed(corpus, id_col, vec_col, dim, tables, bits, seed).select(
+        F.col(id_col), "table_id", "bucket"
+    )
+    a = bk.select(F.col(id_col).alias("src"), "table_id", "bucket")
+    b = bk.select(F.col(id_col).alias("dst"), "table_id", "bucket")
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    vec = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
+    )
+    scored = (
+        cand.join(vec.select(F.col("_vid").alias("src"), F.col("_v").alias("sv"), F.col("_n").alias("sn")), "src")
+        .join(vec.select(F.col("_vid").alias("dst"), F.col("_v").alias("dv"), F.col("_n").alias("dn")), "dst")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn")), 6),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank", "cosine")
+    )
+    if mutual:
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges = edges.join(rev, ["src", "dst"], "left_semi")
+    return edges
+
+
 def _collect_centroids(df: DataFrame, vec_col: str, cell_col: str, ncells: int, dim: int):
     """cell → mean vector, computed distributed (posexplode + groupBy
     — no driver math); only the ncells×dim model comes back."""

@@ -115,3 +115,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_pq_topk"] = ann_pq_topk
+
+
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the whole embeddings corpus (every
+    vector is query AND neighbor) — the structure clustering /
+    diversity-sampling pipelines consume. Rows-only for the driver
+    (bucket collisions depend on hash seeds); edge exactness, planted-
+    duplicate recall, and degree bounds are property-tested
+    (tests/test_ann.py)."""
+    from bireme_spark.operators.ann import knn_graph
+
+    return knn_graph(
+        _corpus(spark, sf_dir), "vec_id", "embedding", dim=EMBED_DIM, k=K, tables=8, bits=6
+    )
+
+
+QUERIES["ann_knn_graph"] = ann_knn_graph

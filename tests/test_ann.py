@@ -108,3 +108,66 @@ def test_pq_codes_shape(spark, sf_dir):
     for r in codes:
         assert len(r["c"]) == 8
         assert all(0 <= c < 16 for c in r["c"])
+
+
+class TestKnnGraph:
+    """ann_knn_graph properties: exact edge weights, deterministic
+    recall of planted scalar-multiple duplicates (identical LSH
+    signatures), per-node degree ≤ k, and mutual filtering."""
+
+    def _graph(self, spark, sf_dir, **kw):
+        from bireme_spark.operators.ann import knn_graph
+
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(300)
+        copies = e.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+        corpus = e.unionByName(copies)
+        return corpus, knn_graph(corpus, "vec_id", "embedding", dim=64, k=3, **kw)
+
+    def test_degree_bound_and_rank_contiguity(self, spark, sf_dir):
+        _, g = self._graph(spark, sf_dir)
+        per = g.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg"), F.max("rank").alias("mx")
+        )
+        bad = per.where((F.col("deg") > 3) | (F.col("deg") != F.col("mx"))).count()
+        assert bad == 0
+
+    def test_planted_duplicates_are_top1(self, spark, sf_dir):
+        """A scalar multiple shares every hyperplane signature with
+        its original, so the pair ALWAYS collides; cosine 1.0 makes
+        it rank 1 on both endpoints."""
+        _, g = self._graph(spark, sf_dir)
+        tops = {
+            r.src: (r.dst, r.cosine)
+            for r in g.where(F.col("rank") == 1).collect()
+        }
+        for vid in [0, 25, 50, 75, 100]:
+            assert tops[vid + 1_000_000] == (vid, 1.0)
+            assert tops[vid] == (vid + 1_000_000, 1.0)
+
+    def test_edge_weights_are_exact_cosine(self, spark, sf_dir):
+        from bireme_spark.operators.dedup import cosine as exact_cosine
+
+        corpus, g = self._graph(spark, sf_dir)
+        v = corpus.select(F.col("vec_id"), F.col("embedding"))
+        checked = (
+            g.limit(50)
+            .join(v.select(F.col("vec_id").alias("src"), F.col("embedding").alias("sv")), "src")
+            .join(v.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("dv")), "dst")
+            .withColumn("exact", F.round(exact_cosine(F.col("sv"), F.col("dv")), 6))
+        )
+        assert checked.where(F.col("cosine") != F.col("exact")).count() == 0
+
+    def test_mutual_graph_is_symmetric_subset(self, spark, sf_dir):
+        _, g = self._graph(spark, sf_dir)
+        from bireme_spark.operators.ann import knn_graph
+
+        corpus, _ = self._graph(spark, sf_dir)
+        m = knn_graph(corpus, "vec_id", "embedding", dim=64, k=3, mutual=True)
+        edges = {(r.src, r.dst) for r in m.collect()}
+        assert edges  # planted pairs guarantee mutual rank-1 edges
+        assert all((d, s) in edges for s, d in edges)
+        full = {(r.src, r.dst) for r in g.collect()}
+        assert edges <= full
