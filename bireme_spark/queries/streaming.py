@@ -108,6 +108,93 @@ def streaming_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
 
 
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2 maintenance run end-to-end
+    (``run_scd2_pipeline``): Maxwell envelopes derived from the WHOLE
+    orders table replay as two micro-batches (snapshot inserts; then
+    updates on key%3 a day later + deletes on key%5 two days later),
+    the foreachBatch sink accretes version history incrementally
+    (bucket-pruned: only touched buckets are read/rewritten), and the
+    final history must hash-match the one-shot batch SCD2 SQL over
+    the concatenated changelog — the incremental-equals-batch
+    equivalence claim, value-checked."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="bireme_scd2_")
+    input_dir = f"{work}/input"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        from bireme_spark.streaming.pipeline import run_scd2_pipeline
+        from bireme_spark.streaming.replay import stamp_batch_mtime
+
+        o = load_table(spark, sf_dir, "orders").cache()
+        o.count()
+        seen: set[str] = set()
+        _maxwell_json(o, "insert", 0, 0.0).coalesce(1).write.mode("append").text(input_dir)
+        stamp_batch_mtime(input_dir, 0, seen)
+        upd = _maxwell_json(o.where(F.col("o_orderkey") % 3 == 0), "update", 1, 10.0)
+        dele = _maxwell_json(o.where(F.col("o_orderkey") % 5 == 0), "delete", 2, 0.0)
+        upd.unionByName(dele).coalesce(1).write.mode("append").text(input_dir)
+        stamp_batch_mtime(input_dir, 1, seen)
+
+        cfg = PipelineConfig(
+            sources=[
+                SourceConfig(
+                    name="maxwell",
+                    kind="file",
+                    path=input_dir,
+                    table_map={"maxwell.testdb.orders": "public.orders"},
+                )
+            ],
+            target_dir=f"{work}/target",
+            checkpoint_dir=f"{work}/ckpt",
+            max_events_per_trigger=1,
+            num_buckets=4,
+        )
+        q = run_scd2_pipeline(
+            spark, cfg, DATA_SCHEMA, key_fields=("o_orderkey",), available_now=True
+        )
+        q.awaitTermination(300)
+        hist = read_state(spark, cfg.target_dir)
+        assert hist is not None, "scd2 pipeline produced no history"
+        return hist.select(
+            F.col("key").cast("bigint").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("valid_from").cast("bigint").alias("valid_from"),
+            F.col("valid_to").cast("bigint").alias("valid_to"),
+            "is_current",
+        ).orderBy("o_orderkey", "valid_from")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(input_dir, ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+
+
+STREAMING_SCD2_SQL = """
+WITH changelog AS (
+  SELECT o_orderkey, 'I' AS op, epoch_ms(o_orderdate) AS t,
+         o_totalprice AS price, o_orderstatus AS status
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', epoch_ms(o_orderdate) + 86400000,
+         o_totalprice + 10.0, o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', epoch_ms(o_orderdate) + 172800000, NULL, NULL
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderkey, price AS totalprice, status,
+       t AS valid_from, valid_to, valid_to IS NULL AS is_current
+FROM (
+  SELECT *, LEAD(t) OVER (PARTITION BY o_orderkey ORDER BY t) AS valid_to
+  FROM changelog
+) v
+WHERE op <> 'D'
+ORDER BY o_orderkey, valid_from
+"""
+
+
 def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join: each purchase event joins the
     same user's click events from the preceding 30 minutes. Both sides
@@ -264,9 +351,11 @@ ORDER BY purchase_id, click_id
 QUERIES = {
     "streaming_dedup": streaming_dedup,
     "streaming_cdc_pipeline": streaming_cdc_pipeline,
+    "streaming_scd2": streaming_scd2,
     "streaming_stream_join": streaming_stream_join,
 }
 ORACLE: dict[str, str] = {
     "streaming_dedup": STREAMING_DEDUP_SQL,
+    "streaming_scd2": STREAMING_SCD2_SQL,
     "streaming_stream_join": STREAM_JOIN_SQL,
 }

@@ -45,6 +45,7 @@ _SLOW = frozenset(
         "streaming_tumbling_window",
         "streaming_dedup",
         "streaming_cdc_pipeline",
+        "streaming_scd2",
         "streaming_stream_join",
         "jdbc_merge_apply",
     }
