@@ -78,6 +78,18 @@ def test_events_ts_loads_as_session_tz_timestamp(spark, sf_dir):
     df.withWatermark("ts", "1 hour")
 
 
+def test_register_views_enables_spark_sql(spark, sf_dir):
+    """register_views: the spark.sql entry path over the warehouse
+    tables (same loader fixups — events.ts arrives as TIMESTAMP)."""
+    from bireme_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "nation", "events")
+    n = spark.sql("SELECT COUNT(*) AS n FROM nation").first().n
+    assert n == 25
+    t = spark.sql("SELECT typeof(ts) AS t FROM events LIMIT 1").first().t
+    assert t == "timestamp"
+
+
 def test_state_server_serves_listener_state():
     from bireme_spark.streaming.state_server import StateServer
     from bireme_spark.streaming.stats import PipelineStatListener
