@@ -146,6 +146,77 @@ def ngram_jaccard_pairs(
     return _attach_persisted(out, [joinable])
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tau: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ tau —
+    the asymmetric sibling of :func:`ngram_jaccard_pairs` for
+    doc-inside-doc detection (quotes, partial copies, boilerplate
+    wrappers around a duplicated core). A short doc fully quoted
+    inside a long one scores C≈1 while Jaccard ≈ |A|/|B| stays far
+    under any dedup threshold, so Jaccard-only pipelines keep exactly
+    the near-dups containment catches.
+
+    Same inverted-index plan as the Jaccard miner (df=1 pruning,
+    ``max_df`` hot-shingle guard, Σ bucket² never corpus²); emits one
+    row per DIRECTED pair (id_a contained-in id_b ordered by id, both
+    directions evaluated from the same undirected overlap count).
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    ann = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    if max_df is not None:
+        ann = ann.where(F.col("df") <= max_df)
+    ann = ann.withColumn("n_doc", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    joinable = ann.where(F.col("df") >= 2).select(id_col, "shingle", "n_doc").persist()
+
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_doc").alias("n_a"))
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_doc").alias("n_b"))
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    # both directions from the one undirected count — no second join
+    directed = common.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("inner_id"),
+                    F.col("id_b").alias("outer_id"),
+                    (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_b").alias("inner_id"),
+                    F.col("id_a").alias("outer_id"),
+                    (F.col("n_common").cast("double") / F.col("n_b").cast("double")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("d"),
+    ).select("d.inner_id", "d.outer_id", "d.containment")
+    out = directed.where(F.col("containment") >= tau).select(
+        "inner_id", "outer_id", F.round("containment", 6).alias("containment")
+    )
+    return _attach_persisted(out, [joinable])
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:

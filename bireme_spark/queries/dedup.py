@@ -79,6 +79,58 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric doc-inside-doc detection: every 40th doc's 20-word
+    prefix is planted as a short standalone doc — its shingle set is a
+    subset of the original's, so containment(short→long) is exactly
+    1.0 while Jaccard stays ≈ |short|/|long| (far under any dedup τ).
+    The miner must surface exactly the τ≥0.9 directed pairs the
+    guard-free SQL oracle computes."""
+    from bireme_spark.operators.dedup import ngram_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shorts = d.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20)).alias("text"),
+    )
+    corpus = d.unionByName(shorts)
+    return ngram_containment_pairs(
+        corpus, "doc_id", "text", n=3, tau=0.9, max_df=100
+    ).orderBy("inner_id", "outer_id")
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[1:20], ' ')
+  FROM documents WHERE doc_id % 40 = 0
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i) t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT id_a AS inner_id, id_b AS outer_id, c * 1.0 / sa.n AS containment
+  FROM common JOIN sizes sa ON sa.doc_id = id_a
+  UNION ALL
+  SELECT id_b, id_a, c * 1.0 / sb.n
+  FROM common JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT inner_id, outer_id, ROUND(containment, 6) AS containment
+FROM directed
+WHERE containment >= 0.9
+ORDER BY inner_id, outer_id
+"""
+
+
 def _embeddings_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ deterministic near-dup copies: every 20th vector
     re-inserted (shifted id) as a positive scalar multiple — cosine
@@ -149,6 +201,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -157,6 +210,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_ngram_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
 }
 

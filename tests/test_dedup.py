@@ -331,3 +331,18 @@ def test_semantic_dedup_sound_and_complete_within_cells(spark, sf_dir):
     # completeness: no τ-close pair survives with both sides kept
     for a2, b2 in close:
         assert not (a2 in kept and b2 in kept), (a2, b2)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment = 1.0
+    but Jaccard ≈ |A|/|B| — the asymmetric miner exists precisely for
+    pairs the symmetric one structurally cannot flag."""
+    from bireme_spark.operators.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    long_words = " ".join(f"w{i}" for i in range(120))
+    short_words = " ".join(f"w{i}" for i in range(20))  # prefix quote
+    df = spark.createDataFrame([(1, long_words), (2, short_words)], "doc_id long, text string")
+    cont = ngram_containment_pairs(df, "doc_id", "text", n=3, tau=0.9).collect()
+    assert [(r.inner_id, r.outer_id, r.containment) for r in cont] == [(2, 1, 1.0)]
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, tau=0.5).collect()
+    assert jac == []  # 18/118 ≈ 0.15 — invisible to Jaccard
