@@ -15,3 +15,32 @@ def test_pca_spectrum_properties(spark, sf_dir):
     # top-16 of 64 near-isotropic dims: each var_explained ≈ ev/trace
     for r in rows:
         assert abs(r.var_explained - r.eigenvalue / trace) < 1e-3
+
+
+class TestPcaProjection:
+    """embedding_pca_project invariants (rows-only op): projected
+    dimension, variance spectrum equals the top eigenvalues, and the
+    spectrum is non-increasing — LAPACK signs can flip, variances
+    cannot."""
+
+    def test_projection_spectrum_matches_eigenvalues(self, spark, sf_dir):
+        import numpy as np
+
+        from bireme_spark.queries.embeddings import embedding_pca, embedding_pca_project
+
+        proj = embedding_pca_project(spark, sf_dir, top=8).collect()
+        assert all(len(r.pca) == 8 for r in proj)
+        P = np.array([r.pca for r in proj])
+        var = P.var(axis=0, ddof=1)
+        assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7))
+        ev = {r.component: r.eigenvalue for r in embedding_pca(spark, sf_dir).collect()}
+        for i in range(8):
+            assert abs(var[i] - ev[i]) <= 1e-4 * max(1.0, ev[i]), (i, var[i], ev[i])
+
+    def test_projection_is_centered(self, spark, sf_dir):
+        import numpy as np
+
+        from bireme_spark.queries.embeddings import embedding_pca_project
+
+        P = np.array([r.pca for r in embedding_pca_project(spark, sf_dir, top=4).collect()])
+        assert np.abs(P.mean(axis=0)).max() < 1e-6
