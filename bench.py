@@ -42,6 +42,9 @@ HEADLINE = [
     "embedding_centroids",
     "dedup_components",
     "multimodal_video_decode",
+    # round-4 additions — first bench run records their floor
+    "dedup_ngram_containment",
+    "ann_knn_graph",
 ]
 
 
