@@ -445,7 +445,54 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + shard layout: every doc gets a
+    pseudorandom but REPRODUCIBLE position from md5(seed ‖ doc_id) —
+    the same permutation on any engine at any cluster size — and a
+    shard from the hash's first nibble (16 shards). This is how a
+    100 TB trainer writes a shuffled epoch WITHOUT a global sort:
+    shard = hash bucket (one shuffle), order within shard = local
+    sort by the hash — per-shard O((N/shards)·log) sorts; a writer
+    runs ``partitionBy(shard) + sortWithinPartitions(hx)``. A new
+    seed ("epoch-1") is a fresh independent permutation; re-running
+    the same seed re-materializes byte-identical shards (the
+    resume/debug property RNG-based shuffles lack). The md5 hex is
+    engine-portable, so the full layout is oracle-checked, not just
+    row counts."""
+    seed = "epoch-0"
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
+    h = d.select("doc_id", hx.alias("hx"))
+    shard = F.expr("CAST(locate(substring(hx, 1, 1), '0123456789abcdef') - 1 AS INT)")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.substring("hx", 1, 1)).orderBy("hx", "doc_id")
+    return (
+        h.select(
+            "doc_id",
+            shard.alias("shard"),
+            F.row_number().over(w).alias("pos_in_shard"),
+        )
+        .orderBy("shard", "pos_in_shard")
+    )
+
+
+CORPUS_SHUFFLE_SHARD_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(concat('epoch-0:', CAST(doc_id AS VARCHAR))) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id)
+            AS INTEGER) AS pos_in_shard
+FROM h
+ORDER BY shard, pos_in_shard
+"""
+
+
 QUERIES = {
+    "corpus_shuffle_shard": corpus_shuffle_shard,
     "corpus_train_val_split": corpus_train_val_split,
     "corpus_stats": corpus_stats,
     "corpus_contamination": corpus_contamination,
@@ -458,6 +505,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_shuffle_shard": CORPUS_SHUFFLE_SHARD_SQL,
     "corpus_train_val_split": CORPUS_SPLIT_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
     "corpus_contamination": CORPUS_CONTAMINATION_SQL,
