@@ -61,6 +61,15 @@ def decode_image_any(data: bytes) -> tuple[int, int, int, bytes, str]:
 
         im = PIL.Image.open(io.BytesIO(data))
         im.load()
+        # Normalize palette/exotic modes to real color samples so the
+        # return contract matches the pure codec (which only ever
+        # yields gray/RGB/alpha channel bytes — a mode-P image's
+        # tobytes() would be palette INDICES, not colors)
+        mode = getattr(im, "mode", "RGB")
+        if mode in ("P", "PA"):
+            im = im.convert("RGBA" if mode == "PA" or "transparency" in im.info else "RGB")
+        elif mode not in ("1", "L", "LA", "RGB", "RGBA", "I;16", "I", "F"):
+            im = im.convert("RGB")
         return (
             im.size[0],
             im.size[1],
@@ -98,8 +107,15 @@ def decode_video_any(
 
         frames: list[tuple[bytes, bytes, bytes]] = []
         with av.open(io.BytesIO(data)) as container:
+            if not container.streams.video:
+                # match the pure codec's error contract (ValueError,
+                # not IndexError) for undecodable input
+                raise ValueError("container has no video stream")
             stream = container.streams.video[0]
+            # VFR / raw streams can report no average rate — keep the
+            # (num, den) contract with an explicit unknown marker
             rate = stream.average_rate
+            fps = (rate.numerator, rate.denominator) if rate else (0, 1)
             for frame in container.decode(stream):
                 yuv = frame.reformat(format="yuv420p")
                 p = yuv.planes
@@ -107,7 +123,7 @@ def decode_video_any(
             return (
                 stream.codec_context.width,
                 stream.codec_context.height,
-                (rate.numerator, rate.denominator),
+                fps,
                 frames,
             )
     from bireme_spark.functions.videocodec import decode_y4m

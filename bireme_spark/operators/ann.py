@@ -217,8 +217,15 @@ def knn_graph(
     Scale: Σ bucket² candidate cost like every LSH op here — no
     cartesian; the rank window shuffles on ``src`` only.
     """
-    bk = lsh_bucketed(corpus, id_col, vec_col, dim, tables, bits, seed).select(
-        F.col(id_col), "table_id", "bucket"
+    # Persisted: both sides of the bucket self-join scan the bucket
+    # assignment (different aliases defeat ReuseExchange), and without
+    # the cache the Pandas-UDF signature matmul — a full corpus pass —
+    # runs once PER SIDE. Same discipline as ngram_jaccard_pairs'
+    # joinable handle.
+    bk = (
+        lsh_bucketed(corpus, id_col, vec_col, dim, tables, bits, seed)
+        .select(F.col(id_col), "table_id", "bucket")
+        .persist()
     )
     a = bk.select(F.col(id_col).alias("src"), "table_id", "bucket")
     b = bk.select(F.col(id_col).alias("dst"), "table_id", "bucket")
@@ -232,7 +239,7 @@ def knn_graph(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_v"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
-    )
+    ).persist()  # scanned by both the src and dst join-backs
     scored = (
         cand.join(vec.select(F.col("_vid").alias("src"), F.col("_v").alias("sv"), F.col("_n").alias("sn")), "src")
         .join(vec.select(F.col("_vid").alias("dst"), F.col("_v").alias("dv"), F.col("_n").alias("dn")), "dst")
@@ -247,10 +254,17 @@ def knn_graph(
         .where(F.col("rank") <= k)
         .select("src", "dst", "rank", "cosine")
     )
+    handles = [bk, vec]
     if mutual:
+        # persist before the semi-join: rev re-reads the full edge
+        # pipeline otherwise (candidate join + rerank + window, twice)
+        edges = edges.persist()
+        handles.append(edges)
         rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         edges = edges.join(rev, ["src", "dst"], "left_semi")
-    return edges
+    from bireme_spark.operators.dedup import _attach_persisted
+
+    return _attach_persisted(edges, handles)
 
 
 def _collect_centroids(df: DataFrame, vec_col: str, cell_col: str, ncells: int, dim: int):

@@ -90,36 +90,45 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_common(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    tau: float = 0.8,
-    max_df: int | None = None,
-) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs (≥ tau) via inverted index.
+    n: int,
+    max_df: int | None,
+    full_sizes: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index core of the exact set-overlap miners:
+    (id_a, id_b, n_common, n_a, n_b) per candidate pair + the
+    persisted joinable handle.
 
-    ``max_df``: drop shingles occurring in more than this many docs
-    before the self-join — the standard hot-bucket guard at scale
-    (slightly under-counts common-shingle overlap; exact when None).
-    """
+    Document frequency per shingle is a window count — one shuffle on
+    ``shingle``, no separate groupBy+join. df=1 shingles can never
+    produce a cross-doc pair, so pruning them is free exactness: in a
+    real corpus MOST shingles are unique, which shrinks the self-join
+    input (and its Σ bucket² cost) by ~an order of magnitude.
+    ``max_df`` is the hot-bucket guard on the same column.
+
+    ``full_sizes`` decides whether per-doc set sizes are counted
+    BEFORE the max_df guard (containment: |A| must stay the full set —
+    shrinking the denominator would INFLATE scores into false
+    positives) or after (Jaccard: guarded sizes keep the estimate
+    conservative — both |A∩B| and the sizes drop together)."""
     from pyspark.sql import Window
 
     sh = shingles(df, id_col, text_col, n)
-    # Document frequency per shingle as a window count — one shuffle
-    # on `shingle`, no separate groupBy+join. df=1 shingles can never
-    # produce a cross-doc pair, so pruning them is free exactness:
-    # in a real corpus MOST shingles are unique, which shrinks the
-    # self-join input (and its Σ bucket² cost) by ~an order of
-    # magnitude. max_df is the hot-bucket guard on the same column.
     ann = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-    if max_df is not None:
-        ann = ann.where(F.col("df") <= max_df)
-    # Per-doc shingle-set size, attached to the rows themselves (one
-    # shuffle on id) so the pair aggregation below can carry both
-    # sizes through — no post-hoc joins against a sizes table.
-    ann = ann.withColumn("n_doc", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    size_over_id = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    if full_sizes:
+        ann = ann.withColumn("n_doc", size_over_id)
+        if max_df is not None:
+            ann = ann.where(F.col("df") <= max_df)
+    else:
+        if max_df is not None:
+            ann = ann.where(F.col("df") <= max_df)
+        # sizes attached to the rows themselves (one shuffle on id) so
+        # the pair aggregation carries both through — no post-hoc joins
+        ann = ann.withColumn("n_doc", size_over_id)
     # Persisted: the a and b sides of the self-join both scan this.
     joinable = ann.where(F.col("df") >= 2).select(id_col, "shingle", "n_doc").persist()
 
@@ -135,6 +144,24 @@ def ngram_jaccard_pairs(
             F.first("n_b").alias("n_b"),
         )
     )
+    return common, joinable
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tau: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (≥ tau) via inverted index.
+
+    ``max_df``: drop shingles occurring in more than this many docs
+    before the self-join — the standard hot-bucket guard at scale
+    (slightly under-counts common-shingle overlap; exact when None).
+    """
+    common, joinable = _shingle_common(df, id_col, text_col, n, max_df, full_sizes=False)
     jac = common.withColumn(
         "jaccard",
         F.col("n_common").cast("double")
@@ -163,31 +190,17 @@ def ngram_containment_pairs(
     the near-dups containment catches.
 
     Same inverted-index plan as the Jaccard miner (df=1 pruning,
-    ``max_df`` hot-shingle guard, Σ bucket² never corpus²); emits one
-    row per DIRECTED pair (id_a contained-in id_b ordered by id, both
-    directions evaluated from the same undirected overlap count).
+    ``max_df`` hot-shingle guard, Σ bucket² never corpus²), with one
+    deliberate difference: per-doc sizes are counted BEFORE the guard
+    (``full_sizes=True``) so |A| is the true set size — dropping a hot
+    shingle from the denominator but not the numerator would INFLATE
+    containment and mint false positives; with full sizes the guard
+    only ever under-counts (conservative, exact when no shingle
+    exceeds max_df — the gate-scale case). Emits one row per DIRECTED
+    pair, both directions evaluated from the same undirected overlap
+    count.
     """
-    from pyspark.sql import Window
-
-    sh = shingles(df, id_col, text_col, n)
-    ann = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-    if max_df is not None:
-        ann = ann.where(F.col("df") <= max_df)
-    ann = ann.withColumn("n_doc", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-    joinable = ann.where(F.col("df") >= 2).select(id_col, "shingle", "n_doc").persist()
-
-    a = joinable.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_doc").alias("n_a"))
-    b = joinable.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_doc").alias("n_b"))
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
-    )
+    common, joinable = _shingle_common(df, id_col, text_col, n, max_df, full_sizes=True)
     # both directions from the one undirected count — no second join
     directed = common.select(
         "id_a",

@@ -69,6 +69,7 @@ def streaming_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dele = _maxwell_json(o.where(F.col("o_orderkey") % 5 == 0), "delete", 2, 0.0)
         upd.unionByName(dele).coalesce(1).write.mode("append").text(input_dir)
         stamp_batch_mtime(input_dir, 1, seen)
+        o.unpersist()  # envelopes written; don't pin across the stream run
 
         cfg = PipelineConfig(
             sources=[
@@ -136,6 +137,9 @@ def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dele = _maxwell_json(o.where(F.col("o_orderkey") % 5 == 0), "delete", 2, 0.0)
         upd.unionByName(dele).coalesce(1).write.mode("append").text(input_dir)
         stamp_batch_mtime(input_dir, 1, seen)
+        # envelope files are written — release the cached table before
+        # the (long) stream run instead of pinning it for the session
+        o.unpersist()
 
         cfg = PipelineConfig(
             sources=[

@@ -90,16 +90,30 @@ _MANIFEST = "_manifest.json"
 
 
 def _read_manifest(target_dir: str) -> dict[int, int] | None:
-    """Committed bucket→version map, or None for a legacy/new target."""
+    """Committed bucket→version map; None ONLY when no manifest file
+    exists (legacy/new target — max-version-dir fallback is then
+    safe: nothing was ever committed through a manifest). A manifest
+    that EXISTS but cannot be parsed raises: silently downgrading to
+    the dir scan would adopt uncommitted orphan v-dirs as committed
+    state — the exact exposure the manifest prevents."""
     import json
 
     path = os.path.join(target_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return None
     try:
         with open(path, encoding="utf-8") as f:
             doc = json.load(f)
-        return {int(k): int(v) for k, v in doc.get("versions", {}).items()}
-    except (OSError, ValueError):
-        return None
+        versions = doc["versions"] if isinstance(doc, dict) else None
+        if not isinstance(versions, dict):
+            raise ValueError("manifest body is not {versions: {...}}")
+        return {int(k): int(v) for k, v in versions.items()}
+    except (OSError, ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"corrupt sink manifest {path!r}: {e} — refusing to fall back to "
+            "the version-dir scan (it could surface uncommitted batches); "
+            "restore the manifest or delete it to re-adopt the visible dirs"
+        ) from e
 
 
 def _write_manifest(target_dir: str, versions: dict[int, int], batch_id: int) -> None:
@@ -476,9 +490,22 @@ def run_scd2_pipeline(
             )
         else:
             base = bspark.createDataFrame([], hist_schema)
-        # close the open version of every touched key at the batch's
-        # first change time; untouched keys in the bucket pass through
-        closing = F.col("is_current") & F.col("first_ts").isNotNull()
+        # Close the open version of every touched key at the batch's
+        # first change time; untouched keys in the bucket pass through.
+        # RETRY IDEMPOTENCY (the post-manifest-commit, pre-checkpoint-
+        # commit window: Structured Streaming re-runs the batch against
+        # state that already contains it):
+        #  * only close versions that OPENED BEFORE this batch
+        #    (valid_from < first_ts) — a replay sees the batch's own
+        #    open version (valid_from ≥ first_ts) and leaves it alone;
+        #  * anti-join the batch's version rows against the base on the
+        #    SCD2 version identity (key, valid_from) so already-applied
+        #    rows are not appended twice.
+        closing = (
+            F.col("is_current")
+            & F.col("first_ts").isNotNull()
+            & (F.col("valid_from") < F.col("first_ts"))
+        )
         closed = (
             base.join(firsts.select("key", "first_ts"), "key", "left")
             .select(
@@ -488,10 +515,15 @@ def run_scd2_pipeline(
                 F.when(closing, F.col("first_ts")).otherwise(F.col("valid_to")).alias(
                     "valid_to"
                 ),
-                (F.col("is_current") & F.col("first_ts").isNull()).alias("is_current"),
+                (F.col("is_current") & (F.col("first_ts").isNull() | ~closing)).alias(
+                    "is_current"
+                ),
             )
         )
-        merged = closed.unionByName(hist).withColumn("bucket", _bucket_col("key", nb))
+        fresh = hist.join(
+            base.select("key", "valid_from"), ["key", "valid_from"], "left_anti"
+        )
+        merged = closed.unionByName(fresh).withColumn("bucket", _bucket_col("key", nb))
         _write_changed_buckets(bspark, config.target_dir, merged, changed, batch_id)
 
     writer = (

@@ -346,3 +346,30 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert [(r.inner_id, r.outer_id, r.containment) for r in cont] == [(2, 1, 1.0)]
     jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, tau=0.5).collect()
     assert jac == []  # 18/118 ≈ 0.15 — invisible to Jaccard
+
+
+def test_containment_denominator_survives_max_df_guard(spark):
+    """Hot-shingle guard must not inflate containment: doc A shares 8
+    of its 10 shingles with B plus holds a boilerplate shingle that
+    breaches max_df. True C(A→B) < τ; a guard that also shrank |A|
+    would report 8/9 or 8/8 and emit a false positive."""
+    from bireme_spark.operators.dedup import ngram_containment_pairs
+
+    # 12-word docs → 10 trigram shingles each. A and B share their
+    # first 10 words (8 shingles); A's tail contains the boilerplate
+    # trigram that 30 filler docs also carry (df ≈ 31 > max_df).
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = [
+        (1, f"{shared} hot stop word"),
+        (2, f"{shared} aa bb cc"),
+    ]
+    docs += [(100 + i, f"x{i} y{i} hot stop word z{i}") for i in range(30)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in ngram_containment_pairs(d, "doc_id", "text", n=3, tau=0.85, max_df=10).collect()
+    }
+    # A(1) has 12 shingles total, 8 shared with B(2): C = 8/12 = 0.67
+    # — nothing may reach τ=0.85 even though the guard dropped A's
+    # hot shingles from the joinable set
+    assert got == {}, got

@@ -285,6 +285,8 @@ class TestNativeBackendSeam:
         class _FakeIm:
             size = (640, 480)
             format = "JPEG"
+            mode = "RGB"
+            info: dict = {}
 
             def load(self):
                 pass
@@ -309,3 +311,45 @@ class TestNativeBackendSeam:
         w, h, ch, pix, fmt = native.decode_image_any(b"\xff\xd8\xff\xe0 fake jpeg")
         assert (w, h, ch, fmt) == (640, 480, 3, "jpeg")
         assert len(pix) == 640 * 480 * 3
+
+    def test_fake_pil_palette_mode_converts_to_color(self, monkeypatch):
+        """Mode-P images must come back as color samples, not palette
+        indices — the contract normalization the PIL path applies."""
+        import sys
+        import types
+
+        converted = []
+
+        class _FakeRGB:
+            size = (4, 2)
+            format = "PNG"
+            mode = "RGB"
+            info: dict = {}
+
+            def load(self):
+                pass
+
+            def getbands(self):
+                return ("R", "G", "B")
+
+            def tobytes(self):
+                return b"\x01" * (4 * 2 * 3)
+
+        class _FakeP(_FakeRGB):
+            mode = "P"
+
+            def convert(self, mode):
+                converted.append(mode)
+                return _FakeRGB()
+
+        fake_image_mod = types.SimpleNamespace(open=lambda buf: _FakeP())
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image_mod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+        from bireme_spark.functions import native
+
+        w, h, ch, pix, fmt = native.decode_image_any(b"\x89PNG fake palette")
+        assert converted == ["RGB"]
+        assert (w, h, ch) == (4, 2, 3) and len(pix) == 24

@@ -277,3 +277,91 @@ def test_manifest_commit_is_atomic_and_crash_safe(spark, tmp_path):
 
     left = sorted(os.listdir(f"{target}/bucket=0"))
     assert "v=2" not in left and "v=1" not in left, left
+
+
+def test_scd2_pipeline_batch_replay_is_idempotent(spark, tmp_path):
+    """The post-manifest-commit / pre-checkpoint-commit retry window:
+    re-running the SAME batches against already-committed SCD2 state
+    (simulated by deleting the streaming checkpoint and replaying the
+    whole input) must leave the history byte-identical — versions are
+    neither re-closed at their own valid_from nor appended twice."""
+    import json
+    import shutil as sh
+
+    from pyspark.sql.types import StructType
+
+    from bireme_spark.config import PipelineConfig, SourceConfig
+    from bireme_spark.streaming.pipeline import read_state, run_scd2_pipeline
+    from bireme_spark.streaming.replay import stamp_batch_mtime
+
+    def env(op, k, price, ts):
+        return json.dumps(
+            {"database": "d", "table": "t", "type": op, "ts": ts,
+             "data": {"k": k, "price": price}}
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    seen: set[str] = set()
+    (src / "b0.txt").write_text("\n".join(env("insert", k, 1.0, 100 + k) for k in range(20)))
+    stamp_batch_mtime(str(src), 0, seen)
+    (src / "b1.txt").write_text(
+        "\n".join(env("update", k, 2.0, 200 + k) for k in range(0, 20, 2))
+    )
+    stamp_batch_mtime(str(src), 1, seen)
+
+    cfg = PipelineConfig(
+        sources=[SourceConfig(name="m", kind="file", path=str(src))],
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_events_per_trigger=1,
+        num_buckets=2,
+    )
+    schema = StructType().add("k", "long").add("price", "double")
+
+    def run():
+        q = run_scd2_pipeline(spark, cfg, schema, key_fields=("k",), available_now=True)
+        q.awaitTermination(120)
+        return sorted(
+            (r.key, r.price, r.valid_from, r.valid_to, r.is_current)
+            for r in read_state(spark, cfg.target_dir).collect()
+        )
+
+    first = run()
+    # full replay against committed state = the retry window writ large
+    sh.rmtree(cfg.checkpoint_dir)
+    second = run()
+    assert second == first
+    # sanity: updated keys have a closed insert version + open update
+    by_key = [row for row in first if row[0] == "0"]
+    assert len(by_key) == 2
+    closed, opened = sorted(by_key, key=lambda r: r[2])
+    assert closed[4] is False and closed[3] == opened[2] and opened[4] is True
+
+
+def test_corrupt_manifest_raises_not_falls_back(spark, tmp_path):
+    """A manifest that EXISTS but is unreadable must fail loudly:
+    silently downgrading to the max-version dir scan would adopt
+    uncommitted orphan versions as committed state."""
+    import pytest
+
+    from bireme_spark.streaming.pipeline import _latest_paths, _write_changed_buckets
+
+    target = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "a")], "k long, val string").withColumn(
+        "bucket", F.lit(0)
+    )
+    _write_changed_buckets(spark, target, b0, [0], batch_id=0)
+    # orphan from a crashed batch + corrupted manifest
+    spark.createDataFrame([(9, "ORPHAN")], "k long, val string").write.parquet(
+        f"{target}/bucket=0/v=2"
+    )
+    with open(f"{target}/_manifest.json", "w") as f:
+        f.write("{truncated")
+    with pytest.raises(Exception, match="corrupt sink manifest"):
+        _latest_paths(target)
+    # missing manifest (legacy layout) still falls back to the dir scan
+    import os
+
+    os.remove(f"{target}/_manifest.json")
+    assert _latest_paths(target) == [f"{target}/bucket=0/v=2"]
