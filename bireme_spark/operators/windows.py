@@ -52,6 +52,97 @@ def sessionize(
     ).drop("_new_session")
 
 
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    direction: str = "nearest",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """pandas ``merge_asof`` semantics, distributed: for each left row
+    attach the right row with the nearest ``right_ts`` — ``backward``
+    (≤ left_ts), ``forward`` (≥ left_ts), or ``nearest`` (either side,
+    ties to backward) — optionally only within ``tolerance_seconds``.
+    The kdb ``aj`` / QuestDB ASOF / feature-store point-in-time
+    lookup surface.
+
+    Same scalable shape as :func:`asof_join`: union both sides into
+    one timeline, ONE shuffle on the key, then ordered window carries
+    (a backward ``last(ignorenulls)`` and/or a forward
+    ``first(ignorenulls)`` — two local sorts over the same hash
+    partitioning, never a range-explosion join). Within equal
+    timestamps the LEAST payload tuple wins on both sides, so results
+    are deterministic and oracle-reproducible.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join_directional: bad direction {direction!r}")
+    lcols = left.columns
+    pay = F.struct(
+        _epoch(right, right_ts).alias("_mt"), *[F.col(c) for c in right_payload]
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        _epoch(right, right_ts).alias("_t"),
+        F.lit(True).alias("_isr"),
+        pay.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        _epoch(left, left_ts).alias("_t"),
+        F.lit(False).alias("_isr"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in lcols if c != on],
+    )
+    timeline = r.unionByName(l)
+    side = F.col("_isr").cast("int")
+    cur = timeline
+    if direction in ("backward", "nearest"):
+        # right(1) before left(0) at equal ts (ties count as backward);
+        # payload DESC so last() lands on the LEAST payload tuple
+        wb = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t"), (1 - side), F.col("_payload").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cur = cur.withColumn("_b", F.last("_payload", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        # left(0) before right(1) at equal ts... but equal-ts rights
+        # must still be visible forward — order right AFTER left and
+        # take the first following payload (ASC → least tuple)
+        wf = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t"), side, F.col("_payload").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        cur = cur.withColumn("_f", F.first("_payload", ignorenulls=True).over(wf))
+    tol = float("inf") if tolerance_seconds is None else float(tolerance_seconds)
+    b = F.col("_b") if direction in ("backward", "nearest") else F.lit(None)
+    f = F.col("_f") if direction in ("forward", "nearest") else F.lit(None)
+    b_ok = b.isNotNull() & ((F.col("_t") - b["_mt"]) <= F.lit(tol))
+    f_ok = f.isNotNull() & ((f["_mt"] - F.col("_t")) <= F.lit(tol))
+    if direction == "backward":
+        chosen = F.when(b_ok, b)
+    elif direction == "forward":
+        chosen = F.when(f_ok, f)
+    else:
+        b_dist = F.col("_t") - b["_mt"]
+        f_dist = f["_mt"] - F.col("_t")
+        chosen = (
+            F.when(b_ok & (~f_ok | (b_dist <= f_dist)), b)  # tie → backward
+            .when(f_ok, f)
+        )
+    out = cur.where(~F.col("_isr")).withColumn("_m", chosen)
+    return out.select(
+        F.col("_k").alias(on),
+        *[F.col(c) for c in lcols if c != on],
+        *[F.col(f"_m.{c}").alias(c) for c in right_payload],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

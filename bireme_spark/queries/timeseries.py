@@ -177,13 +177,67 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional as-of with tolerance (pandas merge_asof / kdb aj
+    surface): each purchase attaches the NEAREST click of the same
+    user within ±30 minutes — either side, equal distance resolves
+    backward, no match leaves nulls. One shuffle on user_id, two
+    ordered window carries (operators/windows.asof_join_directional);
+    the oracle is a correlated nearest-neighbor subquery with the
+    identical distance/side/id tie-break chain."""
+    from bireme_spark.operators.windows import asof_join_directional
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    out = asof_join_directional(
+        p,
+        c,
+        on="user_id",
+        left_ts="pts",
+        right_ts="cts",
+        right_payload=("click_id",),
+        direction="nearest",
+        tolerance_seconds=1800,
+    )
+    return out.select("user_id", "purchase_id", "click_id").orderBy("purchase_id")
+
+
+ASOF_NEAREST_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id,
+       (SELECT c.click_id FROM c
+         WHERE c.user_id = p.user_id
+           AND abs(epoch(c.cts) - epoch(p.pts)) <= 1800
+         ORDER BY abs(epoch(c.cts) - epoch(p.pts)),
+                  CASE WHEN c.cts <= p.pts THEN 0 ELSE 1 END,
+                  c.click_id
+         LIMIT 1) AS click_id
+FROM p
+ORDER BY purchase_id
+"""
+
+
 QUERIES = {
+    "asof_join_nearest": asof_join_nearest,
     "events_gap_fill": events_gap_fill,
     "events_histogram": events_histogram,
     "events_anomaly_zscore": events_anomaly_zscore,
 }
 
 ORACLE = {
+    "asof_join_nearest": ASOF_NEAREST_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "events_histogram": EVENTS_HISTOGRAM_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,

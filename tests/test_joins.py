@@ -55,3 +55,65 @@ def test_salt_is_deterministic(spark, frames):
     a = salted_join(fact, dim, ["user_id"]).orderBy("event_id", "segment").collect()
     b = salted_join(fact, dim, ["user_id"]).orderBy("event_id", "segment").collect()
     assert a == b
+
+
+class TestAsofDirectional:
+    """asof_join_directional ≡ pandas.merge_asof on randomized frames
+    (float timestamps → ties measure-zero, so tie-rule differences
+    can't blur the comparison), across all three directions with and
+    without tolerance."""
+
+    def _frames(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        left = [
+            (k, round(rng.random() * 100, 6))
+            for k in ("a", "b", "c")
+            for _ in range(25)
+        ]
+        right = [
+            (k, round(rng.random() * 100, 6), rng.randrange(1000))
+            for k in ("a", "b", "c")
+            for _ in range(20)
+        ]
+        return left, right
+
+    def test_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+
+        from bireme_spark.operators.windows import asof_join_directional
+
+        left, right = self._frames(11)
+        ldf = spark.createDataFrame(left, "k string, lt double")
+        rdf = spark.createDataFrame(right, "k string, rt double, v long")
+        lp = pd.DataFrame(left, columns=["k", "lt"]).sort_values("lt")
+        rp = pd.DataFrame(right, columns=["k", "rt", "v"]).sort_values("rt")
+        for direction in ("backward", "forward", "nearest"):
+            for tol in (None, 7.5):
+                got = {
+                    (r.k, r.lt): r.v
+                    for r in asof_join_directional(
+                        ldf, rdf, "k", "lt", "rt", ("v",),
+                        direction=direction, tolerance_seconds=tol,
+                    ).collect()
+                }
+                want_df = pd.merge_asof(
+                    lp, rp, left_on="lt", right_on="rt", by="k",
+                    direction=direction,
+                    tolerance=tol,
+                )
+                want = {
+                    (r.k, r.lt): (None if pd.isna(r.v) else int(r.v))
+                    for r in want_df.itertuples()
+                }
+                assert got == want, (direction, tol)
+
+    def test_bad_direction_raises(self, spark):
+        import pytest
+
+        from bireme_spark.operators.windows import asof_join_directional
+
+        ldf = spark.createDataFrame([("a", 1.0)], "k string, lt double")
+        with pytest.raises(ValueError, match="direction"):
+            asof_join_directional(ldf, ldf, "k", "lt", "lt", (), direction="sideways")
