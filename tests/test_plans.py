@@ -201,6 +201,21 @@ def test_schema_evolution_single_pk_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_nearest_single_key_shuffle(spark):
+    """asof_join_directional: the backward and forward window carries
+    must SHARE one hashpartitioning(_k) exchange (two local sorts,
+    one shuffle); the only other exchange is the display orderBy.
+    A second key shuffle or a range-explosion join here would be the
+    100 TB bottleneck."""
+    import re
+
+    plan = _plan(spark, "asof_join_nearest")
+    exchanges = set(re.findall(r"Exchange \((\d+)\)", plan))
+    assert len(exchanges) <= 2, plan
+    assert "hashpartitioning(_k" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_anti_join_for_q22(spark):
     plan = _plan(spark, "q22_global_sales_opportunity")
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
