@@ -267,6 +267,117 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
 
 
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join — the hard half of
+    streaming joins: a purchase with no qualifying click can only
+    emit (with nulls) once the watermark PROVES no matching click can
+    still arrive, i.e. state eviction is the null-emission trigger.
+    The replay is time-split (no late rows), a far-future sentinel
+    click pushes the final watermark past every real purchase, and
+    Spark's no-data micro-batch then flushes all unmatched state — so
+    the append-mode result equals the batch LEFT JOIN oracle exactly.
+    Without the outer join, pipelines LOSE every conversion-less
+    purchase (the rows funnel analyses need most)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    work = tempfile.mkdtemp(prefix="bireme_ssjo_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        from bireme_spark.streaming.replay import (
+            read_replay,
+            replay_to_files,
+            stamp_batch_mtime,
+        )
+
+        e = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "event_type", "ts"
+        ).where(F.col("event_type").isin("purchase", "click"))
+        flush_ts = e.agg((F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("f")).first().f
+        replay_to_files(e, "ts", f"{work}/in", halves=2)
+        # Sentinels on BOTH sides: the global watermark is the MIN of
+        # the per-input watermarks, and each side's watermark only
+        # advances on its own filtered events — a click-only sentinel
+        # would leave the purchase watermark at max(purchase)-1h and
+        # strand the tail purchases' unmatched state forever.
+        import os
+
+        pre = {
+            os.path.join(f"{work}/in", f) for f in os.listdir(f"{work}/in")
+        }
+        sent = spark.createDataFrame(
+            [(-1, -1, "purchase", flush_ts), (-1, -2, "click", flush_ts)],
+            "user_id long, event_id long, event_type string, ts timestamp",
+        )
+        sent.coalesce(1).write.mode("append").parquet(f"{work}/in")
+        stamp_batch_mtime(f"{work}/in", 2, pre)
+        stream = read_replay(
+            spark, f"{work}/in", "user_id long, event_id long, event_type string, ts timestamp"
+        )
+        p = (
+            stream.where(F.col("event_type") == "purchase")
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        c = (
+            stream.where(F.col("event_type") == "click")
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        joined = p.join(
+            c,
+            F.expr(
+                "p_user = c_user AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"
+                " AND click_ts <= purchase_ts"
+            ),
+            "leftOuter",
+        ).select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            "purchase_ts",
+            "click_ts",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.read.parquet(f"{work}/out")
+            .where(F.col("user_id") >= 0)  # drop the flush sentinels
+            .select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
+            .orderBy("purchase_id", "click_id")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+
+
+STREAM_JOIN_OUTER_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+ORDER BY purchase_id, click_id
+"""
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup — the Spark-native twin of the
     reference's at-least-once Kafka delivery dedup (bireme drops
@@ -357,9 +468,11 @@ QUERIES = {
     "streaming_cdc_pipeline": streaming_cdc_pipeline,
     "streaming_scd2": streaming_scd2,
     "streaming_stream_join": streaming_stream_join,
+    "streaming_stream_join_outer": streaming_stream_join_outer,
 }
 ORACLE: dict[str, str] = {
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "streaming_scd2": STREAMING_SCD2_SQL,
     "streaming_stream_join": STREAM_JOIN_SQL,
+    "streaming_stream_join_outer": STREAM_JOIN_OUTER_SQL,
 }

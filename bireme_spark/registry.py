@@ -47,6 +47,7 @@ _SLOW = frozenset(
         "streaming_cdc_pipeline",
         "streaming_scd2",
         "streaming_stream_join",
+        "streaming_stream_join_outer",
         "jdbc_merge_apply",
     }
 )
