@@ -165,3 +165,81 @@ ORDER BY window_start, event_type
 
 QUERIES["streaming_tumbling_window"] = streaming_tumbling_window
 ORACLE["streaming_tumbling_window"] = STREAMING_TUMBLING_SQL
+
+
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-finalized HOPPING-window aggregation (1-hour window
+    sliding every 30 minutes): each event fans into its two covering
+    windows map-side, overlapping windows finalize independently as
+    the watermark passes each window END — strictly harder eviction
+    bookkeeping than tumbling (at any watermark two windows per key
+    are still open). Append-mode replay + flush sentinel must
+    hash-match the batch hopping aggregation exactly."""
+    from bireme_spark.streaming.replay import read_replay, replay_to_files
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="bireme_slide_")
+    src = f"{work}/in"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        flush_ts = ev.agg((F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("f")).first().f
+        replay_to_files(
+            ev, "ts", src,
+            sentinel_row=[flush_ts, "__flush", 0.0],
+            sentinel_schema="ts timestamp, event_type string, value double",
+        )
+        stream = read_replay(spark, src, "ts timestamp, event_type string, value double")
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.read.parquet(f"{work}/out")
+            .where(F.col("event_type") != "__flush")
+            .orderBy("window_start", "event_type")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+
+
+STREAMING_SLIDING_SQL = """
+WITH fanned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM fanned
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["streaming_sliding_window"] = streaming_sliding_window
+ORACLE["streaming_sliding_window"] = STREAMING_SLIDING_SQL

@@ -43,6 +43,7 @@ _SLOW = frozenset(
     {
         "streaming_sessionize",
         "streaming_tumbling_window",
+        "streaming_sliding_window",
         "streaming_dedup",
         "streaming_cdc_pipeline",
         "streaming_scd2",
