@@ -366,3 +366,37 @@ class TestCompactProperties:
             ).collect()
         }
         assert snap == {k: v for k, (op, _d, ins, v) in want.items() if ins}
+
+
+def test_partitioned_changelog_prunes_time_travel_scan(spark, sf_dir, tmp_path):
+    """The cdc_time_travel docstring claims 'at 100 TB the changelog
+    is date-partitioned so the cutoff prunes partitions outright' —
+    prove it: write the changelog partitioned by produce date, read
+    with the cutoff predicate, and assert the scan's partition filters
+    eliminated the out-of-range directories."""
+    from bireme_spark.queries.cdc import build_changelog
+
+    ch = build_changelog(spark, sf_dir).withColumn(
+        "produce_date", F.to_date(F.timestamp_millis(F.col("produce_time_ms")))
+    )
+    path = str(tmp_path / "changelog")
+    ch.write.partitionBy("produce_date").parquet(path)
+
+    cutoff_ms = 802_224_000_000  # 1995-06-04 — mid-range
+    cutoff_date = "1995-06-04"
+    back = spark.read.parquet(path).where(F.col("produce_date") <= F.lit(cutoff_date))
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # the filter must actually reference the partition column
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "produce_date" in pf and "PartitionFilters: []" not in pf
+    # and the pruned read returns exactly the cutoff subset
+    n_pruned = back.count()
+    n_full = spark.read.parquet(path).count()
+    n_expected = build_changelog(spark, sf_dir).where(
+        F.col("produce_time_ms") <= cutoff_ms + 86_399_999  # whole cutoff day
+    ).count()
+    assert n_pruned < n_full
+    assert n_pruned == n_expected
