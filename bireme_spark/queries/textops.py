@@ -230,7 +230,40 @@ FROM t
 """
 
 
+
+def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation over the corpus: confusion matrix of the
+    language-ID heuristic against the ground-truth ``lang`` column,
+    plus per-cell corpus share — the acceptance gate a data pipeline
+    runs before trusting a filter model at 100 TB. One small-key
+    aggregation on top of the map-side predictor (|langs|² cells
+    cross the shuffle, never rows)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("lang", T.lang_id(F.col("text")).alias("predicted_lang"))
+    cells = pred.groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # corpus total as a global window over the AGGREGATED cells
+    # (≤ |langs|² rows — a safe single-partition window at any corpus
+    # size; no driver-side count, query stays lazy/declarative)
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return cells.withColumn(
+        "share", F.round(F.col("n_docs") / total.cast("double"), 6)
+    ).orderBy("lang", "predicted_lang")
+
+
+TEXT_LANG_ID_EVAL_SQL = f"""
+WITH pred AS ({TEXT_LANG_ID_SQL}),
+tot AS (SELECT COUNT(*) AS n FROM pred)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs,
+       ROUND(COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS share
+FROM pred
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
 QUERIES = {
+    "text_lang_id_eval": text_lang_id_eval,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -240,6 +273,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_lang_id_eval": TEXT_LANG_ID_EVAL_SQL,
     "text_pii_redact": TEXT_PII_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
