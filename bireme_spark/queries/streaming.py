@@ -267,6 +267,147 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
 
 
+def cdc_multi_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-database sync through ONE stream — bireme's deployment
+    shape (a pipeline consumes a database's binlog topic and routes
+    every table through its own cache/loader): orders AND customer
+    envelopes interleave in the same two micro-batches; the
+    multi-table pipeline routes by envelope (database, table), parses
+    each table with its own schema, and merges into per-table
+    bucket-versioned targets. The oracle predicts both final states
+    from the base tables directly."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="bireme_multi_")
+    input_dir = f"{work}/input"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        from bireme_spark.streaming.pipeline import (
+            TableSpec,
+            run_multi_table_pipeline,
+        )
+        from bireme_spark.streaming.replay import stamp_batch_mtime
+
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 7 == 0)
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                F.unix_timestamp("o_orderdate").alias("base_ts"),
+            )
+        )
+        c = (
+            load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 11 == 0)
+            .select(
+                "c_custkey",
+                "c_acctbal",
+                (F.lit(1_000_000_000) + F.col("c_custkey")).alias("base_ts"),
+            )
+        )
+
+        def env(df: DataFrame, table: str, op: str, data, ts_shift: int) -> DataFrame:
+            return df.select(
+                F.to_json(
+                    F.struct(
+                        F.lit("testdb").alias("database"),
+                        F.lit(table).alias("table"),
+                        F.lit(op).alias("type"),
+                        (F.col("base_ts") + ts_shift).alias("ts"),
+                        data.alias("data"),
+                    )
+                ).alias("value")
+            )
+
+        o_data = F.struct(F.col("o_orderkey"), F.col("o_totalprice"))
+        c_data = F.struct(F.col("c_custkey"), F.col("c_acctbal"))
+        seen: set[str] = set()
+        b1 = env(o, "orders", "insert", o_data, 0).unionByName(
+            env(c, "customer", "insert", c_data, 0)
+        )
+        b1.coalesce(1).write.mode("append").text(input_dir)
+        stamp_batch_mtime(input_dir, 0, seen)
+        o_upd = F.struct(
+            F.col("o_orderkey"), (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice")
+        )
+        o_del = F.struct(
+            F.col("o_orderkey"), F.lit(None).cast("double").alias("o_totalprice")
+        )
+        c_upd = F.struct(
+            F.col("c_custkey"), (F.col("c_acctbal") + F.lit(5.0)).alias("c_acctbal")
+        )
+        b2 = (
+            env(o.where(F.col("o_orderkey") % 3 == 0), "orders", "update", o_upd, 86_400)
+            .unionByName(
+                env(o.where(F.col("o_orderkey") % 5 == 0), "orders", "delete", o_del, 172_800)
+            )
+            .unionByName(
+                env(c.where(F.col("c_custkey") % 2 == 0), "customer", "update", c_upd, 86_400)
+            )
+        )
+        b2.coalesce(1).write.mode("append").text(input_dir)
+        stamp_batch_mtime(input_dir, 1, seen)
+
+        table_map = {
+            "maxwell.testdb.orders": "public.orders",
+            "maxwell.testdb.customer": "public.customer",
+        }
+        cfg = PipelineConfig(
+            sources=[
+                SourceConfig(name="maxwell", kind="file", path=input_dir, table_map=table_map)
+            ],
+            target_dir=f"{work}/target",
+            checkpoint_dir=f"{work}/ckpt",
+            max_events_per_trigger=1,
+            num_buckets=4,
+        )
+        specs = {
+            "public.orders": TableSpec(
+                StructType().add("o_orderkey", "long").add("o_totalprice", "double"),
+                ("o_orderkey",),
+                ("o_orderkey", "o_totalprice"),
+            ),
+            "public.customer": TableSpec(
+                StructType().add("c_custkey", "long").add("c_acctbal", "double"),
+                ("c_custkey",),
+                ("c_custkey", "c_acctbal"),
+            ),
+        }
+        q = run_multi_table_pipeline(spark, cfg, specs, available_now=True)
+        q.awaitTermination(300)
+        so = read_state(spark, f"{cfg.target_dir}/public.orders")
+        sc = read_state(spark, f"{cfg.target_dir}/public.customer")
+        assert so is not None and sc is not None, "multi-table sync produced no state"
+        orders_out = so.select(
+            F.lit("public.orders").alias("target_table"),
+            F.col("o_orderkey").cast("bigint").alias("key"),
+            F.col("o_totalprice").cast("double").alias("val"),
+        )
+        cust_out = sc.select(
+            F.lit("public.customer").alias("target_table"),
+            F.col("c_custkey").cast("bigint").alias("key"),
+            F.col("c_acctbal").cast("double").alias("val"),
+        )
+        return orders_out.unionByName(cust_out).orderBy("target_table", "key")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(input_dir, ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+
+
+CDC_MULTI_TABLE_SQL = """
+SELECT 'public.customer' AS target_table, c_custkey AS key,
+       CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 5.0 ELSE c_acctbal END AS val
+FROM customer WHERE c_custkey % 11 = 0
+UNION ALL
+SELECT 'public.orders', o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+ORDER BY 1, 2
+"""
+
+
 def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked LEFT OUTER stream-stream join — the hard half of
     streaming joins: a purchase with no qualifying click can only
@@ -469,8 +610,10 @@ QUERIES = {
     "streaming_scd2": streaming_scd2,
     "streaming_stream_join": streaming_stream_join,
     "streaming_stream_join_outer": streaming_stream_join_outer,
+    "cdc_multi_table_sync": cdc_multi_table_sync,
 }
 ORACLE: dict[str, str] = {
+    "cdc_multi_table_sync": CDC_MULTI_TABLE_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "streaming_scd2": STREAMING_SCD2_SQL,
     "streaming_stream_join": STREAM_JOIN_SQL,

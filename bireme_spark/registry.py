@@ -49,6 +49,7 @@ _SLOW = frozenset(
         "streaming_scd2",
         "streaming_stream_join",
         "streaming_stream_join_outer",
+        "cdc_multi_table_sync",
         "jdbc_merge_apply",
     }
 )

@@ -327,26 +327,7 @@ def run_cdc_pipeline(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        changes = batch_df.select(
-            F.col("key"),
-            F.col("op"),
-            F.col("produce_time_ms"),
-            F.col("src_partition"),
-            # Kafka: the real broker offset. File: batch-local row id
-            # (deterministic for a fixed file list read order).
-            F.coalesce(F.col("src_offset"), F.monotonically_increasing_id()).alias(
-                "src_offset"
-            ),
-            F.col("old_key") if "old_key" in batch_df.columns else F.lit(None).cast("string").alias("old_key"),
-            *[F.col(f"data.{c}").alias(c) for c in payload_cols],
-        )
-        compacted = compact(
-            changes,
-            key_cols=("key",),
-            order_cols=("produce_time_ms", "src_partition", "src_offset"),
-            payload_cols=tuple(payload_cols),
-            old_key_col="old_key",
-        )
+        compacted = _compact_parsed(batch_df, payload_cols)
         if config.target_jdbc_url:
             # Greenplum/warehouse path: DELETE+COPY merge through the
             # staged-key JDBC transaction (ChangeLoader semantics).
@@ -361,38 +342,16 @@ def run_cdc_pipeline(
             )
             sink(compacted.withColumnRenamed("final_op", "op"), batch_id)
             return
-        bspark = batch_df.sparkSession
-        compacted = compacted.withColumn("bucket", _bucket_col("key", nb))
-        changed = sorted(r.bucket for r in compacted.select("bucket").distinct().collect())
-
-        base_paths = _latest_paths(config.target_dir, changed)
-        if base_paths:
-            base = (
-                bspark.read.option("basePath", config.target_dir)
-                .parquet(*base_paths)
-                .drop("bucket", "v")
-            )
-        else:
-            base = bspark.createDataFrame(
-                [],
-                ", ".join(
-                    f"{c} {_ddl(data_schema, c, key_fields, key_col)}" for c in base_columns
-                ),
-            )
-        merged = apply_changes(
-            base,
+        _merge_compacted_versioned(
+            batch_df.sparkSession,
+            config.target_dir,
             compacted,
-            base_key_cols=(base_columns[0],),
-            compact_key_cols=("key",),
-            payload_map={c: c for c in base_columns[1:]},
-            # pessimistic ALWAYS: a foreachBatch retry after a partial
-            # bucket write re-applies the same batch against state that
-            # already contains its inserts — only the unconditional
-            # anti-join keeps that idempotent (parquet has no PK
-            # constraint to catch a wrong optimistic guess).
-            mode="pessimistic",
-        ).withColumn("bucket", _bucket_col(base_columns[0], nb))
-        _write_changed_buckets(bspark, config.target_dir, merged, changed, batch_id)
+            data_schema,
+            key_fields,
+            base_columns,
+            nb,
+            batch_id,
+        )
 
     writer = (
         parsed.writeStream.foreachBatch(merge_batch)
@@ -411,6 +370,174 @@ def _ddl(schema: StructType, col: str, key_fields: Sequence[str], key_col: str) 
         return schema[col].dataType.simpleString()
     # key column of the base table keeps the parsed-string key type
     return "string"
+
+
+def _compact_parsed(batch_df: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
+    """Parsed ChangeRow micro-batch → compacted delete/insert sets
+    (the per-batch RowBatchMerger fold, shared by every sink)."""
+    changes = batch_df.select(
+        F.col("key"),
+        F.col("op"),
+        F.col("produce_time_ms"),
+        F.col("src_partition"),
+        # Kafka: the real broker offset. File: batch-local row id
+        # (deterministic for a fixed file list read order).
+        F.coalesce(F.col("src_offset"), F.monotonically_increasing_id()).alias("src_offset"),
+        F.col("old_key")
+        if "old_key" in batch_df.columns
+        else F.lit(None).cast("string").alias("old_key"),
+        *[F.col(f"data.{c}").alias(c) for c in payload_cols],
+    )
+    return compact(
+        changes,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "src_partition", "src_offset"),
+        payload_cols=tuple(payload_cols),
+        old_key_col="old_key",
+    )
+
+
+def _merge_compacted_versioned(
+    bspark: SparkSession,
+    target_dir: str,
+    compacted: DataFrame,
+    data_schema: StructType,
+    key_fields: Sequence[str],
+    base_columns: Sequence[str],
+    nb: int,
+    batch_id: int,
+) -> None:
+    """Merge one table's compacted batch into its bucket-versioned
+    parquet state (changed-bucket pruning + atomic manifest commit)."""
+    key_col = key_fields[0]
+    compacted = compacted.withColumn("bucket", _bucket_col("key", nb))
+    changed = sorted(r.bucket for r in compacted.select("bucket").distinct().collect())
+
+    base_paths = _latest_paths(target_dir, changed)
+    if base_paths:
+        base = (
+            bspark.read.option("basePath", target_dir).parquet(*base_paths).drop("bucket", "v")
+        )
+    else:
+        base = bspark.createDataFrame(
+            [],
+            ", ".join(f"{c} {_ddl(data_schema, c, key_fields, key_col)}" for c in base_columns),
+        )
+    merged = apply_changes(
+        base,
+        compacted,
+        base_key_cols=(base_columns[0],),
+        compact_key_cols=("key",),
+        payload_map={c: c for c in base_columns[1:]},
+        # pessimistic ALWAYS: a foreachBatch retry after a partial
+        # bucket write re-applies the same batch against state that
+        # already contains its inserts — only the unconditional
+        # anti-join keeps that idempotent (parquet has no PK
+        # constraint to catch a wrong optimistic guess).
+        mode="pessimistic",
+    ).withColumn("bucket", _bucket_col(base_columns[0], nb))
+    _write_changed_buckets(bspark, target_dir, merged, changed, batch_id)
+
+
+class TableSpec:
+    """Per-table sync spec for the multi-table pipeline."""
+
+    def __init__(
+        self,
+        data_schema: StructType,
+        key_fields: Sequence[str],
+        base_columns: Sequence[str],
+    ) -> None:
+        self.data_schema = data_schema
+        self.key_fields = tuple(key_fields)
+        self.base_columns = tuple(base_columns)
+
+
+def run_multi_table_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    tables: dict[str, TableSpec],
+    available_now: bool = False,
+):
+    """ONE streaming query syncs EVERY mapped table of a source —
+    bireme's actual deployment shape (a pipeline consumes a whole
+    database's binlog topic; Transformers route each change to its
+    table's RowCache/loader — ``PipeLine.java`` / per-table caches in
+    ``RowCache.java``). ``tables`` maps the mapped target name (the
+    table_map right-hand side) to its :class:`TableSpec`; each target
+    syncs into ``<target_dir>/<target>/`` with the same changed-bucket
+    pruning + atomic manifest commit as the single-table pipeline.
+
+    Routing happens BEFORE JSON payload typing: the envelope's
+    database/table fields are extracted with ``get_json_object`` (one
+    cheap JVM projection) so each table's ``from_json`` parse runs
+    only over its own rows — N small typed parses, not N full-batch
+    parses. The raw batch is persisted across the per-table loop and
+    released after.
+    """
+    source = config.sources[0]
+    raw = _open_stream(spark, source, config.max_events_per_trigger)
+    # origin ("maxwell.db.table") → mapped target, inverted for routing
+    mapping = source.table_map or {}
+    by_target: dict[str, str] = {}
+    for origin, target in mapping.items():
+        by_target[target] = origin
+
+    def multi_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            for target, spec in tables.items():
+                origin = by_target.get(target)
+                if origin is None:
+                    continue
+                # origin = "<source>.<database>.<table>"
+                _, db, tbl = origin.split(".", 2)
+                sub = batch_df.where(
+                    (F.get_json_object("value", "$.database") == db)
+                    & (F.get_json_object("value", "$.table") == tbl)
+                )
+                if source.kind == "debezium":
+                    parsed = parse_debezium(
+                        sub, "value", spec.data_schema, spec.key_fields, source=source.name
+                    )
+                else:
+                    parsed = parse_maxwell(
+                        sub, "value", spec.data_schema, spec.key_fields, source=source.name
+                    )
+                parsed = apply_table_mapping(parsed, mapping)
+                if parsed.isEmpty():
+                    continue
+                payload_cols = [
+                    f.name
+                    for f in spec.data_schema.fields
+                    if f.name not in spec.key_fields
+                ]
+                compacted = _compact_parsed(parsed, payload_cols)
+                _merge_compacted_versioned(
+                    batch_df.sparkSession,
+                    f"{config.target_dir}/{target}",
+                    compacted,
+                    spec.data_schema,
+                    spec.key_fields,
+                    spec.base_columns,
+                    config.num_buckets,
+                    batch_id,
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        raw.writeStream.foreachBatch(multi_batch)
+        .option("checkpointLocation", config.checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=config.trigger_interval)
+    return writer.start()
 
 
 def run_scd2_pipeline(
