@@ -17,7 +17,7 @@ semantics provably agree (tested in tests/test_streaming.py).
 State layout — PK-hash-bucketed versioned parquet with an atomic
 manifest commit:
 
-    <target>/bucket=<b>/v=<n>/part-*.parquet
+    <target>/_sb=<b>/_sv=<n>/part-*.parquet
     <target>/_manifest.json        ← bucket→version map, os.replace'd
                                      once per batch (the commit point)
 
@@ -71,7 +71,7 @@ def _latest_version(bucket_dir: str) -> int | None:
     versions = [
         int(d.split("=", 1)[1])
         for d in os.listdir(bucket_dir)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        if d.startswith("_sv=") and d.split("=", 1)[1].isdigit()
     ]
     return max(versions) if versions else None
 
@@ -82,7 +82,7 @@ def _bucket_ids(target_dir: str) -> list[int]:
     return sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(target_dir)
-        if d.startswith("bucket=") and d.split("=", 1)[1].isdigit()
+        if d.startswith("_sb=") and d.split("=", 1)[1].isdigit()
     )
 
 
@@ -143,18 +143,18 @@ def _latest_paths(target_dir: str, buckets: Sequence[int] | None = None) -> list
     manifest = _read_manifest(target_dir)
     if manifest is not None:
         return [
-            f"{target_dir}/bucket={b}/v={v}"
+            f"{target_dir}/_sb={b}/_sv={v}"
             for b, v in sorted(manifest.items())
             if (buckets is None or b in buckets)
-            and os.path.isdir(f"{target_dir}/bucket={b}/v={v}")
+            and os.path.isdir(f"{target_dir}/_sb={b}/_sv={v}")
         ]
     paths = []
     for b in _bucket_ids(target_dir):
         if buckets is not None and b not in buckets:
             continue
-        v = _latest_version(f"{target_dir}/bucket={b}")
+        v = _latest_version(f"{target_dir}/_sb={b}")
         if v is not None:
-            paths.append(f"{target_dir}/bucket={b}/v={v}")
+            paths.append(f"{target_dir}/_sb={b}/_sv={v}")
     return paths
 
 
@@ -170,7 +170,7 @@ def read_state(spark: SparkSession, target_dir: str) -> DataFrame | None:
     if not paths:
         return None
     return (
-        spark.read.option("basePath", target_dir).parquet(*paths).drop("bucket", "v")
+        spark.read.option("basePath", target_dir).parquet(*paths).drop("_sb", "_sv")
     )
 
 
@@ -272,24 +272,24 @@ def _write_changed_buckets(
         versions = {
             b: v
             for b in _bucket_ids(target_dir)
-            if (v := _latest_version(f"{target_dir}/bucket={b}")) is not None
+            if (v := _latest_version(f"{target_dir}/_sb={b}")) is not None
         }
     staging = f"{target_dir}/.staging-{batch_id}"
-    merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    merged.write.partitionBy("_sb").mode("overwrite").parquet(staging)
     for b in changed:
-        bdir = f"{target_dir}/bucket={b}"
+        bdir = f"{target_dir}/_sb={b}"
         committed = versions.get(b)
         # past any orphan dirs a crashed attempt left behind
         next_v = max(_latest_version(bdir) or 0, committed or 0) + 1
         os.makedirs(bdir, exist_ok=True)
-        src = f"{staging}/bucket={b}"
+        src = f"{staging}/_sb={b}"
         if os.path.isdir(src):
-            os.rename(src, f"{bdir}/v={next_v}")
+            os.rename(src, f"{bdir}/_sv={next_v}")
         else:
-            empty = bspark.createDataFrame([], merged.drop("bucket").schema)
-            empty.write.parquet(f"{bdir}/v={next_v}")
+            empty = bspark.createDataFrame([], merged.drop("_sb").schema)
+            empty.write.parquet(f"{bdir}/_sv={next_v}")
         for d in os.listdir(bdir):
-            if d.startswith("v=") and int(d.split("=", 1)[1]) < (committed or next_v):
+            if d.startswith("_sv=") and int(d.split("=", 1)[1]) < (committed or next_v):
                 shutil.rmtree(f"{bdir}/{d}", ignore_errors=True)
         versions[b] = next_v
     _write_manifest(target_dir, versions, batch_id)
@@ -410,13 +410,13 @@ def _merge_compacted_versioned(
     """Merge one table's compacted batch into its bucket-versioned
     parquet state (changed-bucket pruning + atomic manifest commit)."""
     key_col = key_fields[0]
-    compacted = compacted.withColumn("bucket", _bucket_col("key", nb))
-    changed = sorted(r.bucket for r in compacted.select("bucket").distinct().collect())
+    compacted = compacted.withColumn("_sb", _bucket_col("key", nb))
+    changed = sorted(r._sb for r in compacted.select("_sb").distinct().collect())
 
     base_paths = _latest_paths(target_dir, changed)
     if base_paths:
         base = (
-            bspark.read.option("basePath", target_dir).parquet(*base_paths).drop("bucket", "v")
+            bspark.read.option("basePath", target_dir).parquet(*base_paths).drop("_sb", "_sv")
         )
     else:
         base = bspark.createDataFrame(
@@ -435,7 +435,7 @@ def _merge_compacted_versioned(
         # anti-join keeps that idempotent (parquet has no PK
         # constraint to catch a wrong optimistic guess).
         mode="pessimistic",
-    ).withColumn("bucket", _bucket_col(base_columns[0], nb))
+    ).withColumn("_sb", _bucket_col(base_columns[0], nb))
     _write_changed_buckets(bspark, target_dir, merged, changed, batch_id)
 
 
@@ -469,11 +469,14 @@ def run_multi_table_pipeline(
     pruning + atomic manifest commit as the single-table pipeline.
 
     Routing happens BEFORE JSON payload typing: the envelope's
-    database/table fields are extracted with ``get_json_object`` (one
-    cheap JVM projection) so each table's ``from_json`` parse runs
-    only over its own rows — N small typed parses, not N full-batch
-    parses. The raw batch is persisted across the per-table loop and
-    released after.
+    database/table fields — Maxwell's top-level ``database``/``table``,
+    Debezium's ``payload.source.db``/``payload.source.table`` — are
+    extracted with ``get_json_object`` (one cheap JVM projection) so
+    each table's ``from_json`` parse runs only over its own rows — N
+    small typed parses, not N full-batch parses. Unmapped tables are
+    dropped by construction (no mapping entry → no parse), which is
+    exactly bireme's filter() semantics. The raw batch is persisted
+    across the per-table loop and released after.
     """
     source = config.sources[0]
     raw = _open_stream(spark, source, config.max_events_per_trigger)
@@ -494,9 +497,13 @@ def run_multi_table_pipeline(
                     continue
                 # origin = "<source>.<database>.<table>"
                 _, db, tbl = origin.split(".", 2)
+                if source.kind == "debezium":
+                    db_path, tbl_path = "$.payload.source.db", "$.payload.source.table"
+                else:
+                    db_path, tbl_path = "$.database", "$.table"
                 sub = batch_df.where(
-                    (F.get_json_object("value", "$.database") == db)
-                    & (F.get_json_object("value", "$.table") == tbl)
+                    (F.get_json_object("value", db_path) == db)
+                    & (F.get_json_object("value", tbl_path) == tbl)
                 )
                 if source.kind == "debezium":
                     parsed = parse_debezium(
@@ -506,7 +513,8 @@ def run_multi_table_pipeline(
                     parsed = parse_maxwell(
                         sub, "value", spec.data_schema, spec.key_fields, source=source.name
                     )
-                parsed = apply_table_mapping(parsed, mapping)
+                # routing already happened on the raw envelope; tables
+                # without a mapping entry were never parsed at all
                 if parsed.isEmpty():
                     continue
                 payload_cols = [
@@ -605,15 +613,15 @@ def run_scd2_pipeline(
             "key", *payload_cols, "valid_from", "valid_to", "is_current"
         )
         firsts = changes.groupBy("key").agg(F.min("produce_time_ms").alias("first_ts"))
-        firsts = firsts.withColumn("bucket", _bucket_col("key", nb))
-        changed = sorted(r.bucket for r in firsts.select("bucket").distinct().collect())
+        firsts = firsts.withColumn("_sb", _bucket_col("key", nb))
+        changed = sorted(r._sb for r in firsts.select("_sb").distinct().collect())
 
         base_paths = _latest_paths(config.target_dir, changed)
         if base_paths:
             base = (
                 bspark.read.option("basePath", config.target_dir)
                 .parquet(*base_paths)
-                .drop("bucket", "v")
+                .drop("_sb", "_sv")
             )
         else:
             base = bspark.createDataFrame([], hist_schema)
@@ -650,7 +658,7 @@ def run_scd2_pipeline(
         fresh = hist.join(
             base.select("key", "valid_from"), ["key", "valid_from"], "left_anti"
         )
-        merged = closed.unionByName(fresh).withColumn("bucket", _bucket_col("key", nb))
+        merged = closed.unionByName(fresh).withColumn("_sb", _bucket_col("key", nb))
         _write_changed_buckets(bspark, config.target_dir, merged, changed, batch_id)
 
     writer = (

@@ -112,12 +112,12 @@ def test_incremental_sink_rewrites_only_changed_buckets(spark, tmp_path):
     }
     versions = {}
     for d in os.listdir(cfg.target_dir):
-        if d.startswith("bucket="):
+        if d.startswith("_sb="):
             b = int(d.split("=")[1])
             versions[b] = {
                 int(v.split("=")[1])
                 for v in os.listdir(f"{cfg.target_dir}/{d}")
-                if v.startswith("v=")
+                if v.startswith("_sv=")
             }
     two_versions = {b for b, vs in versions.items() if max(vs) == 2}
     one_version = {b for b, vs in versions.items() if max(vs) == 1}
@@ -246,7 +246,7 @@ def test_manifest_commit_is_atomic_and_crash_safe(spark, tmp_path):
 
     target = str(tmp_path / "target")
     b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string").withColumn(
-        "bucket", F.lit(0)
+        "_sb", F.lit(0)
     )
     _write_changed_buckets(spark, target, b0, [0], batch_id=0)
     assert _read_manifest(target) == {0: 1}
@@ -255,13 +255,13 @@ def test_manifest_commit_is_atomic_and_crash_safe(spark, tmp_path):
     # crash simulation: a later attempt staged bucket 0 at v=2 (with
     # rows that must NOT appear) but died before the manifest commit
     orphan = spark.createDataFrame([(9, "ORPHAN")], "k long, val string")
-    orphan.write.parquet(f"{target}/bucket=0/v=2")
-    assert _latest_paths(target) == [f"{target}/bucket=0/v=1"]
+    orphan.write.parquet(f"{target}/_sb=0/_sv=2")
+    assert _latest_paths(target) == [f"{target}/_sb=0/_sv=1"]
     assert {(r.k, r.val) for r in read_state(spark, target).collect()} == {(1, "a"), (2, "b")}
 
     # retry of the batch: versions past the orphan, commits v=3
     b1 = spark.createDataFrame([(1, "a2"), (2, "b")], "k long, val string").withColumn(
-        "bucket", F.lit(0)
+        "_sb", F.lit(0)
     )
     _write_changed_buckets(spark, target, b1, [0], batch_id=1)
     assert _read_manifest(target) == {0: 3}
@@ -270,12 +270,12 @@ def test_manifest_commit_is_atomic_and_crash_safe(spark, tmp_path):
     # one more batch: retention reaps everything below the old commit,
     # including the orphan
     b2 = spark.createDataFrame([(1, "a3")], "k long, val string").withColumn(
-        "bucket", F.lit(0)
+        "_sb", F.lit(0)
     )
     _write_changed_buckets(spark, target, b2, [0], batch_id=2)
     import os
 
-    left = sorted(os.listdir(f"{target}/bucket=0"))
+    left = sorted(os.listdir(f"{target}/_sb=0"))
     assert "v=2" not in left and "v=1" not in left, left
 
 
@@ -349,12 +349,12 @@ def test_corrupt_manifest_raises_not_falls_back(spark, tmp_path):
 
     target = str(tmp_path / "t")
     b0 = spark.createDataFrame([(1, "a")], "k long, val string").withColumn(
-        "bucket", F.lit(0)
+        "_sb", F.lit(0)
     )
     _write_changed_buckets(spark, target, b0, [0], batch_id=0)
     # orphan from a crashed batch + corrupted manifest
     spark.createDataFrame([(9, "ORPHAN")], "k long, val string").write.parquet(
-        f"{target}/bucket=0/v=2"
+        f"{target}/_sb=0/_sv=2"
     )
     with open(f"{target}/_manifest.json", "w") as f:
         f.write("{truncated")
@@ -364,4 +364,77 @@ def test_corrupt_manifest_raises_not_falls_back(spark, tmp_path):
     import os
 
     os.remove(f"{target}/_manifest.json")
-    assert _latest_paths(target) == [f"{target}/bucket=0/v=2"]
+    assert _latest_paths(target) == [f"{target}/_sb=0/_sv=2"]
+
+
+def test_multi_table_pipeline_debezium_envelopes(spark, tmp_path):
+    """Whole-database sync with DEBEZIUM envelopes: routing reads
+    payload.source.db/table (the real Debezium shape), each table
+    parses with its own schema, deletes read their tuple from
+    `before` — two tables land in their own versioned targets."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from bireme_spark.config import PipelineConfig, SourceConfig
+    from bireme_spark.streaming.pipeline import (
+        TableSpec,
+        read_state,
+        run_multi_table_pipeline,
+    )
+    from bireme_spark.streaming.replay import stamp_batch_mtime
+
+    def env(db, table, op, ts, before, after):
+        return json.dumps(
+            {
+                "payload": {
+                    "op": op,
+                    "ts_ms": ts,
+                    "before": before,
+                    "after": after,
+                    "source": {"db": db, "table": table},
+                }
+            }
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    seen: set[str] = set()
+    b0 = [env("d", "t1", "r", 1000 + i, None, {"k": i, "v": 1.0}) for i in range(10)]
+    b0 += [env("d", "t2", "c", 1000 + i, None, {"id": i, "x": "a"}) for i in range(5)]
+    (src / "b0.txt").write_text("\n".join(b0))
+    stamp_batch_mtime(str(src), 0, seen)
+    b1 = [env("d", "t1", "u", 2000 + i, {"k": i, "v": 1.0}, {"k": i, "v": 9.0}) for i in (0, 2)]
+    b1 += [env("d", "t2", "d", 2000, {"id": 4, "x": "a"}, None)]
+    (src / "b1.txt").write_text("\n".join(b1))
+    stamp_batch_mtime(str(src), 1, seen)
+
+    cfg = PipelineConfig(
+        sources=[
+            SourceConfig(
+                name="dbz",
+                kind="debezium",
+                path=str(src),
+                table_map={"dbz.d.t1": "public.t1", "dbz.d.t2": "public.t2"},
+            )
+        ],
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_events_per_trigger=1,
+        num_buckets=2,
+    )
+    specs = {
+        "public.t1": TableSpec(
+            StructType().add("k", "long").add("v", "double"), ("k",), ("k", "v")
+        ),
+        "public.t2": TableSpec(
+            StructType().add("id", "long").add("x", "string"), ("id",), ("id", "x")
+        ),
+    }
+    q = run_multi_table_pipeline(spark, cfg, specs, available_now=True)
+    q.awaitTermination(120)
+
+    t1 = {(r.k, r.v) for r in read_state(spark, f"{cfg.target_dir}/public.t1").collect()}
+    assert t1 == {(i, 9.0 if i in (0, 2) else 1.0) for i in range(10)}
+    t2 = {(r.id, r.x) for r in read_state(spark, f"{cfg.target_dir}/public.t2").collect()}
+    assert t2 == {(i, "a") for i in range(4)}  # id=4 deleted via `before`
