@@ -306,6 +306,9 @@ def cdc_multi_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(1_000_000_000) + F.col("c_custkey")).alias("base_ts"),
             )
         )
+        # both base frames feed multiple envelope projections
+        o, c = o.cache(), c.cache()
+        o.count(), c.count()
 
         def env(df: DataFrame, table: str, op: str, data, ts_shift: int) -> DataFrame:
             return df.select(
@@ -348,6 +351,7 @@ def cdc_multi_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         b2.coalesce(1).write.mode("append").text(input_dir)
         stamp_batch_mtime(input_dir, 1, seen)
+        o.unpersist(), c.unpersist()  # envelopes written
 
         table_map = {
             "maxwell.testdb.orders": "public.orders",

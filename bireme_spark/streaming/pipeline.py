@@ -65,13 +65,29 @@ from bireme_spark.sources.debezium import parse_debezium
 from bireme_spark.sources.maxwell import parse_maxwell
 
 
+# Reserved layout dir prefixes. Writes use _sb=/_sv= (collision-proof:
+# user tables may have columns named "bucket"/"v"); reads ALSO accept
+# the pre-rename names so an existing target is never read as empty,
+# and the writer migrates legacy dirs in place before its first merge.
+_LEGACY_BUCKET, _LEGACY_VERSION = "bucket", "v"
+
+
+def _dir_int(d: str, names: tuple[str, ...]) -> int | None:
+    for n in names:
+        if d.startswith(n + "="):
+            s = d.split("=", 1)[1]
+            if s.isdigit():
+                return int(s)
+    return None
+
+
 def _latest_version(bucket_dir: str) -> int | None:
     if not os.path.isdir(bucket_dir):
         return None
     versions = [
-        int(d.split("=", 1)[1])
+        v
         for d in os.listdir(bucket_dir)
-        if d.startswith("_sv=") and d.split("=", 1)[1].isdigit()
+        if (v := _dir_int(d, ("_sv", _LEGACY_VERSION))) is not None
     ]
     return max(versions) if versions else None
 
@@ -80,10 +96,43 @@ def _bucket_ids(target_dir: str) -> list[int]:
     if not os.path.isdir(target_dir):
         return []
     return sorted(
-        int(d.split("=", 1)[1])
+        b
         for d in os.listdir(target_dir)
-        if d.startswith("_sb=") and d.split("=", 1)[1].isdigit()
+        if (b := _dir_int(d, ("_sb", _LEGACY_BUCKET))) is not None
     )
+
+
+def _bucket_dir(target_dir: str, b: int) -> str:
+    legacy = f"{target_dir}/{_LEGACY_BUCKET}={b}"
+    new = f"{target_dir}/_sb={b}"
+    return legacy if os.path.isdir(legacy) and not os.path.isdir(new) else new
+
+
+def _version_dir(bucket_dir: str, v: int) -> str:
+    legacy = f"{bucket_dir}/{_LEGACY_VERSION}={v}"
+    new = f"{bucket_dir}/_sv={v}"
+    return legacy if os.path.isdir(legacy) and not os.path.isdir(new) else new
+
+
+def _migrate_legacy_layout(target_dir: str) -> None:
+    """One-time in-place rename of pre-rename layout dirs
+    (bucket=/v= → _sb=/_sv=). Metadata-only and idempotent; called by
+    the single writer before a merge so post-upgrade state is uniform
+    (read paths tolerate both conventions regardless)."""
+    if not os.path.isdir(target_dir):
+        return
+    for d in list(os.listdir(target_dir)):
+        b = _dir_int(d, (_LEGACY_BUCKET,))
+        if b is not None:
+            os.rename(os.path.join(target_dir, d), os.path.join(target_dir, f"_sb={b}"))
+    for b in _bucket_ids(target_dir):
+        bdir = f"{target_dir}/_sb={b}"
+        if not os.path.isdir(bdir):
+            continue
+        for d in list(os.listdir(bdir)):
+            v = _dir_int(d, (_LEGACY_VERSION,))
+            if v is not None:
+                os.rename(os.path.join(bdir, d), os.path.join(bdir, f"_sv={v}"))
 
 
 _MANIFEST = "_manifest.json"
@@ -142,19 +191,22 @@ def _latest_paths(target_dir: str, buckets: Sequence[int] | None = None) -> list
     invisible until a later batch supersedes and reaps it."""
     manifest = _read_manifest(target_dir)
     if manifest is not None:
-        return [
-            f"{target_dir}/_sb={b}/_sv={v}"
-            for b, v in sorted(manifest.items())
-            if (buckets is None or b in buckets)
-            and os.path.isdir(f"{target_dir}/_sb={b}/_sv={v}")
-        ]
+        out = []
+        for b, v in sorted(manifest.items()):
+            if buckets is not None and b not in buckets:
+                continue
+            p = _version_dir(_bucket_dir(target_dir, b), v)
+            if os.path.isdir(p):
+                out.append(p)
+        return out
     paths = []
     for b in _bucket_ids(target_dir):
         if buckets is not None and b not in buckets:
             continue
-        v = _latest_version(f"{target_dir}/_sb={b}")
+        bdir = _bucket_dir(target_dir, b)
+        v = _latest_version(bdir)
         if v is not None:
-            paths.append(f"{target_dir}/_sb={b}/_sv={v}")
+            paths.append(_version_dir(bdir, v))
     return paths
 
 
@@ -169,9 +221,12 @@ def read_state(spark: SparkSession, target_dir: str) -> DataFrame | None:
     paths = _latest_paths(target_dir)
     if not paths:
         return None
-    return (
-        spark.read.option("basePath", target_dir).parquet(*paths).drop("_sb", "_sv")
-    )
+    # drop whichever partition columns the dir convention injected —
+    # NEVER the legacy names on a new-layout target, where "v" could
+    # legitimately be a user data column
+    legacy = any(f"/{_LEGACY_BUCKET}=" in p for p in paths)
+    drop_cols = (_LEGACY_BUCKET, _LEGACY_VERSION) if legacy else ("_sb", "_sv")
+    return spark.read.option("basePath", target_dir).parquet(*paths).drop(*drop_cols)
 
 
 def kafka_reader_options(source: SourceConfig, max_events: int | None = None) -> dict[str, str]:
@@ -267,6 +322,7 @@ def _write_changed_buckets(
     orphan v-dirs but the manifest still points at the committed
     state, so the foreachBatch re-run reads the SAME base it read the
     first time (``next_v`` skips past orphans to avoid collisions)."""
+    _migrate_legacy_layout(target_dir)  # idempotent; writer-side only
     versions = _read_manifest(target_dir)
     if versions is None:  # legacy target: adopt the visible dirs
         versions = {
@@ -409,6 +465,7 @@ def _merge_compacted_versioned(
 ) -> None:
     """Merge one table's compacted batch into its bucket-versioned
     parquet state (changed-bucket pruning + atomic manifest commit)."""
+    _migrate_legacy_layout(target_dir)  # before the base read
     key_col = key_fields[0]
     compacted = compacted.withColumn("_sb", _bucket_col("key", nb))
     changed = sorted(r._sb for r in compacted.select("_sb").distinct().collect())
@@ -480,11 +537,13 @@ def run_multi_table_pipeline(
     """
     source = config.sources[0]
     raw = _open_stream(spark, source, config.max_events_per_trigger)
-    # origin ("maxwell.db.table") → mapped target, inverted for routing
+    # target → ALL of its origins ("maxwell.db.table"): bireme's
+    # table_map is many-to-one (sharded sources consolidate into one
+    # target table), so routing must OR across every mapped origin
     mapping = source.table_map or {}
-    by_target: dict[str, str] = {}
+    by_target: dict[str, list[str]] = {}
     for origin, target in mapping.items():
-        by_target[target] = origin
+        by_target.setdefault(target, []).append(origin)
 
     def multi_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -492,19 +551,22 @@ def run_multi_table_pipeline(
         batch_df = batch_df.persist()
         try:
             for target, spec in tables.items():
-                origin = by_target.get(target)
-                if origin is None:
+                origins = by_target.get(target)
+                if not origins:
                     continue
-                # origin = "<source>.<database>.<table>"
-                _, db, tbl = origin.split(".", 2)
                 if source.kind == "debezium":
                     db_path, tbl_path = "$.payload.source.db", "$.payload.source.table"
                 else:
                     db_path, tbl_path = "$.database", "$.table"
-                sub = batch_df.where(
-                    (F.get_json_object("value", db_path) == db)
-                    & (F.get_json_object("value", tbl_path) == tbl)
-                )
+                cond = None
+                for origin in origins:
+                    # origin = "<source>.<database>.<table>"
+                    _, db, tbl = origin.split(".", 2)
+                    c = (F.get_json_object("value", db_path) == db) & (
+                        F.get_json_object("value", tbl_path) == tbl
+                    )
+                    cond = c if cond is None else cond | c
+                sub = batch_df.where(cond)
                 if source.kind == "debezium":
                     parsed = parse_debezium(
                         sub, "value", spec.data_schema, spec.key_fields, source=source.name
@@ -616,6 +678,7 @@ def run_scd2_pipeline(
         firsts = firsts.withColumn("_sb", _bucket_col("key", nb))
         changed = sorted(r._sb for r in firsts.select("_sb").distinct().collect())
 
+        _migrate_legacy_layout(config.target_dir)  # before the base read
         base_paths = _latest_paths(config.target_dir, changed)
         if base_paths:
             base = (

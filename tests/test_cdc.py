@@ -385,9 +385,9 @@ def test_partitioned_changelog_prunes_time_travel_scan(spark, sf_dir, tmp_path):
     cutoff_ms = 802_224_000_000  # 1995-06-04 — mid-range
     cutoff_date = "1995-06-04"
     back = spark.read.parquet(path).where(F.col("produce_date") <= F.lit(cutoff_date))
-    plan = back._sc._jvm.PythonSQLUtils.explainString(
-        back._jdf.queryExecution(), "formatted"
-    )
+    from tests.test_plans import _physical_plan
+
+    plan = _physical_plan(back)
     assert "PartitionFilters" in plan
     # the filter must actually reference the partition column
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]

@@ -276,7 +276,7 @@ def test_manifest_commit_is_atomic_and_crash_safe(spark, tmp_path):
     import os
 
     left = sorted(os.listdir(f"{target}/_sb=0"))
-    assert "v=2" not in left and "v=1" not in left, left
+    assert "_sv=2" not in left and "_sv=1" not in left, left
 
 
 def test_scd2_pipeline_batch_replay_is_idempotent(spark, tmp_path):
@@ -438,3 +438,54 @@ def test_multi_table_pipeline_debezium_envelopes(spark, tmp_path):
     assert t1 == {(i, 9.0 if i in (0, 2) else 1.0) for i in range(10)}
     t2 = {(r.id, r.x) for r in read_state(spark, f"{cfg.target_dir}/public.t2").collect()}
     assert t2 == {(i, "a") for i in range(4)}  # id=4 deleted via `before`
+
+
+def test_multi_table_pipeline_consolidates_sharded_origins(spark, tmp_path):
+    """Many-to-one table_map (sharded source tables t_0/t_1 → one
+    target): BOTH origins' changes must land — routing ORs across
+    every mapped origin, not just one."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from bireme_spark.config import PipelineConfig, SourceConfig
+    from bireme_spark.streaming.pipeline import (
+        TableSpec,
+        read_state,
+        run_multi_table_pipeline,
+    )
+    from bireme_spark.streaming.replay import stamp_batch_mtime
+
+    def env(table, k, v, ts):
+        return json.dumps(
+            {"database": "d", "table": table, "type": "insert", "ts": ts,
+             "data": {"k": k, "v": v}}
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    seen: set[str] = set()
+    rows = [env("t_0", k, 1.0, 100 + k) for k in range(5)]
+    rows += [env("t_1", k, 2.0, 200 + k) for k in range(10, 15)]
+    (src / "b0.txt").write_text("\n".join(rows))
+    stamp_batch_mtime(str(src), 0, seen)
+
+    cfg = PipelineConfig(
+        sources=[
+            SourceConfig(
+                name="m",
+                kind="file",
+                path=str(src),
+                table_map={"m.d.t_0": "public.t", "m.d.t_1": "public.t"},
+            )
+        ],
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_events_per_trigger=1,
+        num_buckets=2,
+    )
+    spec = TableSpec(StructType().add("k", "long").add("v", "double"), ("k",), ("k", "v"))
+    q = run_multi_table_pipeline(spark, cfg, {"public.t": spec}, available_now=True)
+    q.awaitTermination(120)
+    got = {(r.k, r.v) for r in read_state(spark, f"{cfg.target_dir}/public.t").collect()}
+    assert got == {(k, 1.0) for k in range(5)} | {(k, 2.0) for k in range(10, 15)}
