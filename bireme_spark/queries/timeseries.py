@@ -177,6 +177,61 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly counts via median absolute deviation:
+    |x − median| > 3 · 1.4826 · MAD. Unlike the z-score sibling, a few
+    extreme outliers cannot inflate the threshold and mask each other
+    (the breakdown point of mean/std is 0; MAD's is 50%) — the filter
+    monitoring pipelines actually deploy on heavy-tailed metrics.
+
+    Two stats passes (exact median, then median of |x − med|), each a
+    per-type aggregation with the tiny |types|-row result broadcast
+    back — the raw stream shuffles only into per-type percentile
+    aggs, never row-to-row."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .select("event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        .groupBy("event_type")
+        .agg(F.max("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad"))
+    )
+    thresh = F.lit(3 * 1.4826) * F.col("mad")
+    return (
+        e.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(F.when(F.abs(F.col("value") - F.col("med")) > thresh, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ANOMALY_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, MAX(m.med) AS med,
+         quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1
+)
+SELECT e.event_type,
+       ROUND(MAX(d.med), 6) AS med, ROUND(MAX(d.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN ABS(e.value - d.med) > 3 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM events e JOIN dev d USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional as-of with tolerance (pandas merge_asof / kdb aj
     surface): each purchase attaches the NEAREST click of the same
@@ -231,6 +286,7 @@ ORDER BY purchase_id
 
 QUERIES = {
     "asof_join_nearest": asof_join_nearest,
+    "events_anomaly_mad": events_anomaly_mad,
     "events_gap_fill": events_gap_fill,
     "events_histogram": events_histogram,
     "events_anomaly_zscore": events_anomaly_zscore,
@@ -238,6 +294,7 @@ QUERIES = {
 
 ORACLE = {
     "asof_join_nearest": ASOF_NEAREST_SQL,
+    "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "events_histogram": EVENTS_HISTOGRAM_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
