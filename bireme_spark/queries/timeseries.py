@@ -177,6 +177,38 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap per event type —
+    the ops-dashboard rollup over a synced event table. Pure integer
+    aggregation on derived calendar keys (≤ |types|·168 cells), one
+    map-side-combined shuffle; DECIMAL-exact value sums."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(12,2)"), "total_value"),
+        )
+        .orderBy("event_type", "dow", "hour")
+    )
+
+
+EVENTS_HEATMAP_SQL = """
+SELECT event_type,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type anomaly counts via median absolute deviation:
     |x − median| > 3 · 1.4826 · MAD. Unlike the z-score sibling, a few
@@ -287,6 +319,7 @@ ORDER BY purchase_id
 QUERIES = {
     "asof_join_nearest": asof_join_nearest,
     "events_anomaly_mad": events_anomaly_mad,
+    "events_heatmap": events_heatmap,
     "events_gap_fill": events_gap_fill,
     "events_histogram": events_histogram,
     "events_anomaly_zscore": events_anomaly_zscore,
@@ -295,6 +328,7 @@ QUERIES = {
 ORACLE = {
     "asof_join_nearest": ASOF_NEAREST_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
+    "events_heatmap": EVENTS_HEATMAP_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "events_histogram": EVENTS_HISTOGRAM_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
