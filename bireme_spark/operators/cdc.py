@@ -304,3 +304,86 @@ def dedup_offsets(
         .agg(first)
         .select(*identity_cols, *[F.col(f"_first.{c}").alias(c) for c in other])
     )
+
+
+def merge_into(
+    base: DataFrame,
+    source: DataFrame,
+    base_key_cols: Sequence[str],
+    source_key_cols: Sequence[str],
+    matched_delete=None,
+    matched_update: dict[str, object] | None = None,
+    matched_update_cond=None,
+    not_matched_insert: dict[str, object] | None = None,
+    not_matched_insert_cond=None,
+) -> DataFrame:
+    """General MERGE INTO (Delta/Iceberg/ANSI MERGE semantics) as ONE
+    full-outer PK join — the warehouse-side generalization of bireme's
+    DELETE+COPY (``ChangeLoader.java:205-330``), which only expresses
+    "delete every changed key, re-insert survivors". MERGE keeps the
+    untouched base row co-resident in the same shuffle, so conditional
+    clauses can compare old vs new values:
+
+    * ``matched_delete``       — Column over base+source; matched rows
+                                 satisfying it are dropped.
+    * ``matched_update``       — {base_col: Column} applied to matched
+                                 rows (optionally gated by
+                                 ``matched_update_cond``, e.g. "only if
+                                 source price > target price"); other
+                                 matched rows pass through unchanged.
+    * ``not_matched_insert``   — {base_col: Column} building new rows
+                                 from source-only keys (optionally
+                                 gated by ``not_matched_insert_cond``).
+
+    Condition/value Columns may reference both sides via the fixed
+    aliases ``t`` (target/base) and ``s`` (source).
+
+    Caller contract: ``source`` must be unique per key (run
+    :func:`compact` first) — ANSI MERGE raises on multi-match;
+    here the join would fan out instead, so compaction is mandatory.
+
+    Scale: one full-outer shuffle join on the PK hash (both sides
+    partition once; AQE skew-split handles hot keys). No second pass
+    over the base, unlike DELETE+COPY's anti-join ∪ append — at 100 TB
+    this halves the fact-table traffic for mixed batches.
+    """
+    t = base.alias("t")
+    s = source.alias("s")
+    cond = None
+    for bk, sk in zip(base_key_cols, source_key_cols):
+        clause = F.col(f"t.{bk}") == F.col(f"s.{sk}")
+        cond = clause if cond is None else cond & clause
+    joined = t.join(s, cond, "full_outer")
+
+    # matched ⇔ both sides' key present (keys are non-null by contract)
+    matched = F.col(f"t.{base_key_cols[0]}").isNotNull() & F.col(
+        f"s.{source_key_cols[0]}"
+    ).isNotNull()
+    source_only = F.col(f"t.{base_key_cols[0]}").isNull()
+
+    drop = matched & matched_delete if matched_delete is not None else F.lit(False)
+    if not_matched_insert is not None:
+        ins_ok = source_only & (
+            not_matched_insert_cond if not_matched_insert_cond is not None else F.lit(True)
+        )
+    else:
+        ins_ok = F.lit(False)
+    kept = joined.where(~drop & (~source_only | ins_ok))
+
+    upd = matched
+    if matched_update_cond is not None:
+        upd = upd & matched_update_cond
+    matched_update = matched_update or {}
+    not_matched_insert = not_matched_insert or {}
+    out_cols = []
+    for c in base.columns:
+        col = F.col(f"t.{c}")
+        if c in matched_update:
+            col = F.when(upd, matched_update[c]).otherwise(col)
+        if c in not_matched_insert:
+            col = F.when(source_only, not_matched_insert[c]).otherwise(col)
+        elif c in dict(zip(base_key_cols, source_key_cols)):
+            sk = dict(zip(base_key_cols, source_key_cols))[c]
+            col = F.when(source_only, F.col(f"s.{sk}")).otherwise(col)
+        out_cols.append(col.cast(base.schema[c].dataType).alias(c))
+    return kept.select(*out_cols)

@@ -113,6 +113,7 @@ def _load() -> None:
         "streaming_sessions",
         "streaming",
         "cdc",
+        "merge",
         "tpch",
         "events",
         "corpus",

@@ -400,3 +400,69 @@ def test_partitioned_changelog_prunes_time_travel_scan(spark, sf_dir, tmp_path):
     ).count()
     assert n_pruned < n_full
     assert n_pruned == n_expected
+
+
+class TestMergeInto:
+    """merge_into: one full-outer PK join, every clause conditional."""
+
+    def _frames(self, spark):
+        from pyspark.sql import Row
+
+        base = spark.createDataFrame(
+            [Row(k=1, price=100.0, st="O"), Row(k=2, price=100.0, st="O"),
+             Row(k=3, price=100.0, st="O"), Row(k=4, price=100.0, st="O")]
+        )
+        src = spark.createDataFrame(
+            [
+                Row(key=1, op="D", new_price=0.0, new_st="X"),    # matched delete
+                Row(key=2, op="U", new_price=50.0, new_st="X"),   # update cond FALSE (lower)
+                Row(key=3, op="U", new_price=150.0, new_st="X"),  # update cond TRUE
+                Row(key=5, op="I", new_price=70.0, new_st="N"),   # not-matched insert
+                Row(key=6, op="D", new_price=0.0, new_st="X"),    # not-matched delete: no-op
+            ]
+        )
+        return base, src
+
+    def _merge(self, base, src):
+        from bireme_spark.operators.cdc import merge_into
+
+        return merge_into(
+            base,
+            src,
+            base_key_cols=("k",),
+            source_key_cols=("key",),
+            matched_delete=F.col("s.op") == "D",
+            matched_update={"price": F.col("s.new_price")},
+            matched_update_cond=(F.col("s.op") == "U")
+            & (F.col("s.new_price") > F.col("t.price")),
+            not_matched_insert={
+                "k": F.col("s.key"),
+                "price": F.col("s.new_price"),
+                "st": F.col("s.new_st"),
+            },
+            not_matched_insert_cond=F.col("s.op") != "D",
+        )
+
+    def test_all_clause_branches(self, spark):
+        base, src = self._frames(spark)
+        got = {r.k: (r.price, r.st) for r in self._merge(base, src).collect()}
+        assert got == {
+            2: (100.0, "O"),  # conditional update skipped (stale decrease)
+            3: (150.0, "O"),  # conditional update applied
+            4: (100.0, "O"),  # untouched base row passes through
+            5: (70.0, "N"),   # inserted from source
+        }  # 1 deleted; 6's not-matched delete is a no-op
+
+    def test_no_clauses_is_identity_for_matched(self, spark):
+        from bireme_spark.operators.cdc import merge_into
+
+        base, src = self._frames(spark)
+        out = merge_into(base, src, ("k",), ("key",))
+        # no clauses: matched and base-only rows pass through, source-only dropped
+        assert {r.k for r in out.collect()} == {1, 2, 3, 4}
+
+    def test_plan_is_single_join_no_second_base_pass(self, spark):
+        base, src = self._frames(spark)
+        plan = self._merge(base, src)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Join FullOuter") == 1
+        assert "Join LeftAnti" not in plan
