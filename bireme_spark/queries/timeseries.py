@@ -316,7 +316,89 @@ ORDER BY purchase_id
 """
 
 
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type on the daily-count
+    series: the day maximizing |S_i|, S_i = Σ_{j≤i}(x_j − mean), is
+    the classic single-changepoint estimator (Page 1954 / binary
+    segmentation's first split).
+
+    Exactness: with integer daily counts, n·S_i = n·Σ_{j≤i}x_j − i·Σx
+    is INTEGER — computing the scaled statistic avoids float means
+    entirely, so the argmax and magnitude are bit-identical across
+    engines (no rounding discipline needed).
+
+    Scale: the raw stream collapses in ONE (type, day) hash agg with
+    map-side combine; every later step (totals join, cumulative
+    window, argmax) runs on series-sized data (|types| × days rows).
+    At 100 TB the per-type window sorts ≤ days rows — trivial."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("nd")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        daily.join(tot, "event_type")
+        .withColumn("cs", F.sum("c").over(w))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("sv", F.col("nd") * F.col("cs") - F.col("i") * F.col("total"))
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("sv")).desc(), F.col("day").asc()
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            # string day: DuckDB DATE round-trips through pandas as a
+            # midnight datetime, so a raw DATE column hash-mismatches
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            F.abs(F.col("sv")).cast("bigint").alias("cusum_abs"),
+            F.col("nd").cast("int").alias("n_days"),
+            F.col("total").cast("bigint").alias("total_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS nd
+  FROM daily GROUP BY 1
+),
+cum AS (
+  SELECT d.event_type, d.day,
+         CAST(SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS cs,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i,
+         t.total, t.nd
+  FROM daily d JOIN tot t USING (event_type)
+),
+s AS (
+  SELECT event_type, day, nd * cs - i * total AS sv, nd, total FROM cum
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(sv) DESC, day ASC) AS rn
+  FROM s
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+       CAST(ABS(sv) AS BIGINT) AS cusum_abs,
+       CAST(nd AS INTEGER) AS n_days,
+       CAST(total AS BIGINT) AS total_events
+FROM r WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_changepoint": events_changepoint,
     "asof_join_nearest": asof_join_nearest,
     "events_anomaly_mad": events_anomaly_mad,
     "events_heatmap": events_heatmap,
@@ -326,6 +408,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_changepoint": EVENTS_CHANGEPOINT_SQL,
     "asof_join_nearest": ASOF_NEAREST_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
     "events_heatmap": EVENTS_HEATMAP_SQL,
