@@ -491,7 +491,127 @@ ORDER BY shard, pos_in_shard
 """
 
 
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., arXiv:2302.03169): rank raw
+    documents by importance weight log(p_target/p_raw) under hashed
+    bigram-feature unigram models, where the target distribution is
+    the ``lang='en'`` slice (the "high-quality domain" proxy). The
+    top-100 by weight are the docs a training mix should up-sample.
+
+    Determinism/portability: features hash via md5 (identical in both
+    engines) into 256 buckets; the per-bucket log-ratio is rounded to
+    6dp BEFORE the per-doc multiply-sum, and contributions are
+    DECIMAL-summed, so doc weights are bit-identical; top-100 ties
+    break by doc_id.
+
+    Scale shape: the corpus is tokenized ONCE into (doc, bucket, tf) —
+    one shuffle; both models (raw + target) are 256-row re-aggs of
+    that frame; the ratio table is broadcast back onto it (no second
+    corpus shuffle); final selection is a TakeOrdered top-k, no global
+    sort exchange. At 100 TB only the 256-row model and the top-k
+    cross the driver."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    bg = d.where(F.size("toks") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i]))")
+        ).alias("bg"),
+    )
+    feats = bg.select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("bg"), 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    fd = feats.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    raw_m = fd.groupBy("bucket").agg(F.sum("tf").alias("cr"))
+    tgt_m = fd.where(F.col("lang") == "en").groupBy("bucket").agg(F.sum("tf").alias("ct"))
+    # target ⊆ raw, so the raw model covers every occupied bucket;
+    # +1/(N+256) add-one smoothing keeps empty target buckets finite
+    model = (
+        raw_m.join(tgt_m, "bucket", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(raw_m.agg(F.sum("cr").alias("R"))))
+        .crossJoin(F.broadcast(tgt_m.agg(F.sum("ct").alias("T"))))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.col("ct") + 1) / (F.col("T") + 256))
+                    / ((F.col("cr") + 1) / (F.col("R") + 256))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("ratio"),
+        )
+    )
+    scored = (
+        fd.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("ratio")).alias("w"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("n_feats").cast("bigint").alias("n_feats"),
+            F.round(F.col("w").cast("double"), 6).alias("dsir_weight"),
+        )
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+CORPUS_DSIR_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM d WHERE len(toks) >= 2
+),
+feats AS (
+  SELECT doc_id, lang,
+         16 * (strpos('0123456789abcdef', substr(md5(bg), 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(md5(bg), 2, 1)) - 1) AS bucket
+  FROM bg
+),
+fd AS (
+  SELECT doc_id, lang, bucket, COUNT(*) AS tf FROM feats GROUP BY 1, 2, 3
+),
+raw_m AS (SELECT bucket, SUM(tf) AS cr FROM fd GROUP BY 1),
+tgt_m AS (SELECT bucket, SUM(tf) AS ct FROM fd WHERE lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT (SELECT SUM(cr) FROM raw_m) AS R, (SELECT SUM(ct) FROM tgt_m) AS T
+),
+model AS (
+  SELECT raw_m.bucket,
+         CAST(ROUND(LN(((COALESCE(tgt_m.ct, 0) + 1) / (tot.T + 256.0))
+                       / ((raw_m.cr + 1) / (tot.R + 256.0))), 6)
+              AS DECIMAL(18,6)) AS ratio
+  FROM raw_m LEFT JOIN tgt_m USING (bucket) CROSS JOIN tot
+),
+scored AS (
+  SELECT fd.doc_id, SUM(fd.tf) AS n_feats, SUM(fd.tf * model.ratio) AS w
+  FROM fd JOIN model USING (bucket) GROUP BY 1
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       ROUND(CAST(w AS DOUBLE), 6) AS dsir_weight
+FROM scored
+ORDER BY dsir_weight DESC, doc_id
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "corpus_dsir_select": corpus_dsir_select,
     "corpus_shuffle_shard": corpus_shuffle_shard,
     "corpus_train_val_split": corpus_train_val_split,
     "corpus_stats": corpus_stats,
@@ -505,6 +625,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_dsir_select": CORPUS_DSIR_SQL,
     "corpus_shuffle_shard": CORPUS_SHUFFLE_SHARD_SQL,
     "corpus_train_val_split": CORPUS_SPLIT_SQL,
     "corpus_stats": CORPUS_STATS_SQL,

@@ -308,3 +308,140 @@ FROM scored GROUP BY 1 ORDER BY 1
 
 QUERIES["text_bigram_logprob"] = text_bigram_logprob
 ORACLE["text_bigram_logprob"] = BIGRAM_LOGPROB_SQL
+
+
+_BPE_ROUNDS = 3
+_BPE_TOPK = 10
+
+
+def tokenizer_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — the merge-candidate loop
+    (Sennrich et al. 2015). Each round counts adjacent symbol pairs
+    over the current word segmentation (weighted by word frequency),
+    emits the top-10 candidates, and applies the #1 merge before the
+    next round. Three rounds are materialized.
+
+    Merge semantics: greedy leftmost non-overlapping replace within
+    each word — for immediately repeated symbols ("l l l") only the
+    first pair merges per scan, exactly what per-word scanning BPE
+    implementations do; both engines' replace() share that contract,
+    so counts are integer-exact and hash-identical.
+
+    Scale shape: the corpus collapses to the word-frequency table in
+    ONE token shuffle; every later round runs on vocab-sized data
+    (distinct words), never re-touching the corpus — the property
+    that makes BPE training tractable at 100 TB. The only driver-side
+    data is the merge table itself (one pair per round: the model, as
+    in the IVF/PQ centroid collects)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "seq",
+            F.concat_ws(
+                " ",
+                F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+            ),
+        )
+        .select("cnt", "seq")
+    )
+    base_words = words.persist()
+    words = base_words
+    try:
+        out = None
+        for rnd in range(1, _BPE_ROUNDS + 1):
+            # single-symbol words carry no pairs — and Spark's
+            # sequence(1, 0) counts DOWN, so they must not reach it
+            sp = words.select("cnt", F.split("seq", " ").alias("sp")).where(
+                F.size("sp") >= 2
+            )
+            pairs = sp.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sp)-1), i -> concat(sp[i-1], ' ', sp[i]))"
+                    )
+                ).alias("pair"),
+            )
+            counted = pairs.groupBy("pair").agg(F.sum("cnt").alias("cnt"))
+            w_rank = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            top = (
+                counted.withColumn("rnk", F.row_number().over(w_rank))
+                .where(F.col("rnk") <= _BPE_TOPK)
+                .select(
+                    F.lit(rnd).alias("rnd"),
+                    "pair",
+                    F.col("cnt").cast("bigint").alias("cnt"),
+                    F.col("rnk").cast("int").alias("rnk"),
+                )
+            )
+            out = top if out is None else out.unionByName(top)
+            if rnd < _BPE_ROUNDS:
+                # the merge table is THE model — one pair crosses the driver
+                best = counted.orderBy(F.col("cnt").desc(), F.col("pair").asc()).first()
+                merged = best["pair"].replace(" ", "")
+                words = words.select(
+                    "cnt",
+                    F.trim(
+                        F.replace(
+                            F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                            F.lit(" " + best["pair"] + " "),
+                            F.lit(" " + merged + " "),
+                        )
+                    ).alias("seq"),
+                )
+        return out.orderBy("rnd", "rnk")
+    finally:
+        base_words.unpersist()
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One BPE round: pair counts p{i} over segmentation s{i-1}, top-1
+    merge t{i}, next segmentation s{i}."""
+    return f"""
+p{i} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT cnt,
+           unnest(list_transform(generate_series(1, len(sp) - 1),
+                                 j -> sp[j] || ' ' || sp[j+1])) AS pair
+    FROM (SELECT cnt, string_split(seq, ' ') AS sp FROM s{i - 1})
+  ) GROUP BY 1
+),
+t{i} AS (SELECT pair FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
+s{i} AS (
+  SELECT cnt,
+         trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT pair FROM t{i}) || ' ',
+                      ' ' || replace((SELECT pair FROM t{i}), ' ', '') || ' ')) AS seq
+  FROM s{i - 1}
+)"""
+
+
+TOKENIZER_BPE_SQL = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+s0 AS (
+  SELECT cnt,
+         array_to_string(list_transform(generate_series(1, length(w)),
+                                        i -> substr(w, i, 1)), ' ') AS seq
+  FROM words
+),{",".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))}
+SELECT CAST(rnd AS INTEGER) AS rnd, pair, cnt, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  {" UNION ALL ".join(
+    f"SELECT {i} AS rnd, pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk FROM p{i}"
+    for i in range(1, _BPE_ROUNDS + 1)
+  )}
+)
+WHERE rnk <= {_BPE_TOPK}
+ORDER BY rnd, rnk
+"""
+
+QUERIES["tokenizer_bpe_pairs"] = tokenizer_bpe_pairs
+ORACLE["tokenizer_bpe_pairs"] = TOKENIZER_BPE_SQL
