@@ -425,3 +425,84 @@ ORDER BY doc_id
 
 QUERIES["text_gopher_rules"] = text_gopher_rules
 ORACLE["text_gopher_rules"] = TEXT_GOPHER_SQL
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality classifier (GPT-3 §2.2 / LLaMA pattern): train a
+    logistic-regression filter on cheap per-doc features against the
+    Gopher keep flag as the curated label (classifier distillation of
+    the rule battery), then score every document.
+
+    *rows-only*: the iterative float GD is not SQL-expressible; the
+    trainer is property-tested instead (tests/test_classifier.py:
+    deterministic re-train, loss decrease, planted-separable
+    accuracy).
+
+    Scale shape: features are one column-pruned map-side projection,
+    persisted once; each of the 15 GD iterations is one scalar agg
+    whose d+1 DECIMAL gradient sums are the only driver data
+    (operators/classifier.py). Scoring is a pure JVM sigmoid expr over
+    the same frame — no Python, no extra shuffle."""
+    from bireme_spark.operators.classifier import logreg_score, logreg_train
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    feats = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        (F.size("ws") / 100.0).alias("f_nwords"),
+        (F.length(F.regexp_replace(F.col("text"), " ", "")) / F.size("ws") / 10.0).alias(
+            "f_wordlen"
+        ),
+        (F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]"))) / F.size("ws")).alias(
+            "f_alpha"
+        ),
+        (
+            F.size(
+                F.array_intersect(
+                    F.col("ws"),
+                    F.array(
+                        *[
+                            F.lit(s)
+                            for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+                        ]
+                    ),
+                )
+            )
+            / F.lit(8.0)
+        ).alias("f_stop"),
+        (
+            F.size("ws").between(50, 100_000)
+            & (F.length(F.regexp_replace(F.col("text"), " ", "")) / F.size("ws")).between(
+                3.0, 10.0
+            )
+            & (
+                F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]"))) / F.size("ws")
+                >= 0.8
+            )
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    cols = ["f_nwords", "f_wordlen", "f_alpha", "f_stop"]
+    feats = feats.persist()
+    try:
+        w = logreg_train(feats, cols, "label", iters=15, lr=1.0)
+        score = logreg_score(feats, cols, w)
+        return (
+            feats.select(
+                "doc_id",
+                F.col("label"),
+                F.round(score, 6).alias("score"),
+                (score >= 0.5).cast("int").alias("pred"),
+            )
+            .orderBy("doc_id")
+        )
+    finally:
+        feats.unpersist()
+
+
+QUERIES["quality_classifier"] = quality_classifier
