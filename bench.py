@@ -45,6 +45,10 @@ HEADLINE = [
     # round-4 additions — first bench run records their floor
     "dedup_ngram_containment",
     "ann_knn_graph",
+    "cdc_merge_into",
+    "events_changepoint",
+    "corpus_dsir_select",
+    "tokenizer_bpe_pairs",
 ]
 
 
