@@ -510,6 +510,11 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle); final selection is a TakeOrdered top-k, no global
     sort exchange. At 100 TB only the 256-row model and the top-k
     cross the driver."""
+    # NO repartition here: the (doc,bucket,tf) aggregate below is
+    # consumed three times (raw model, target model, scoring join) and
+    # identical subplans become one ReusedExchange — a prepended
+    # round-robin shuffle costs more than the light tokenize saves
+    # (interleaved A/B at sf0.1: 2.06s vs 2.90s min-of-4)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("toks")
     )
