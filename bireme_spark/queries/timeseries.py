@@ -397,7 +397,109 @@ ORDER BY event_type
 """
 
 
+_ACF_MAX_LAG = 7
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series per
+    type (the ACF a seasonality/forecasting pass reads; lag-7 spikes
+    = weekly cycle).
+
+    Exactness: on the dense per-type day grid (0-filled gaps), with
+    integer counts x_t and S = Σx over n grid days, the n-scaled
+    deviations n·x_t − S are INTEGERS, so numerator
+    N_k = Σ(n·x_t−S)(n·x_{t+k}−S) and denominator D = Σ(n·x_t−S)² are
+    exact and acf = round(N_k/D, 6) is engine-identical — the same
+    no-float-mean trick as events_changepoint.
+
+    Scale: one (type,day) map-side-combined agg collapses the raw
+    stream; the dense grid, totals join, ×7 lag fan-out and final
+    (type,lag) agg all run on series-sized data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("event_type"), F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    series = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    tot = series.groupBy("event_type").agg(
+        F.sum("x").alias("S"), F.count(F.lit(1)).alias("n")
+    )
+    dev = series.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("x") - F.col("S")).alias("d"),
+    )
+    denom = dev.groupBy("event_type").agg(F.sum(F.col("d") * F.col("d")).alias("D"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    lagged = dev.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", F.date_add("day", F.col("lag")).alias("day"),
+        F.col("d").alias("d_prev"),
+    )
+    pairs = dev.join(lagged, ["event_type", "day"]).groupBy("event_type", "lag").agg(
+        F.sum(F.col("d") * F.col("d_prev")).alias("N")
+    )
+    return (
+        pairs.join(denom, "event_type")
+        .select(
+            "event_type",
+            "lag",
+            F.round(F.col("N").cast("double") / F.col("D"), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+EVENTS_ACF_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+series AS (
+  SELECT g.event_type, g.day, COALESCE(d.c, 0) AS x
+  FROM grid g LEFT JOIN daily d USING (event_type, day)
+),
+tot AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) AS S, COUNT(*) AS n
+  FROM series GROUP BY 1
+),
+dev AS (
+  SELECT s.event_type, s.day, t.n * s.x - t.S AS d
+  FROM series s JOIN tot t USING (event_type)
+),
+denom AS (
+  SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS D FROM dev GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type, l.lag, CAST(SUM(a.d * b.d) AS BIGINT) AS N
+  FROM dev a
+  CROSS JOIN (SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS INTEGER) AS lag) l
+  JOIN dev b ON b.event_type = a.event_type AND b.day = a.day + l.lag * INTERVAL 1 DAY
+  GROUP BY 1, 2
+)
+SELECT p.event_type, p.lag,
+       ROUND(CAST(p.N AS DOUBLE) / dn.D, 6) AS acf
+FROM pairs p JOIN denom dn USING (event_type)
+ORDER BY event_type, lag
+"""
+
+
 QUERIES = {
+    "events_autocorrelation": events_autocorrelation,
     "events_changepoint": events_changepoint,
     "asof_join_nearest": asof_join_nearest,
     "events_anomaly_mad": events_anomaly_mad,
@@ -408,6 +510,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_autocorrelation": EVENTS_ACF_SQL,
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
     "asof_join_nearest": ASOF_NEAREST_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
