@@ -215,6 +215,55 @@ ORACLE = {
 }
 
 
+def corpus_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FUZZY dedup — the composition a production corpus
+    build actually runs (the MinHash path of Penedo et al.'s
+    RefinedWeb / Lee et al. 2107.06499 pipelines): MinHash-LSH
+    near-dup pairs → connected components → keep the min-doc_id
+    canonical per cluster → per-source retention report.
+
+    The exact-hash sibling is `corpus_filter_pipeline`; this one
+    removes NEAR duplicates. *rows-only*: collision sets depend on the
+    minhash seed family (deterministic across runs/partitionings, but
+    not SQL-expressible); the composing operators are each
+    property-tested, and the pipeline itself is tested end-to-end
+    with planted near-dups (tests/test_dedup.py).
+
+    Scale: every stage is the bucketed/star-contraction design of its
+    operator — the extra work over the pieces is ONE |clusters|-sized
+    anti-join + a |sources|-row agg."""
+    from bireme_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=64, bands=16, tau=0.6)
+    comp = connected_components(pairs)
+    # non-canonical members (label ≠ own id) are the removals;
+    # everything else (incl. docs in no pair at all) is retained
+    drops = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = d.join(drops, "doc_id", "left_anti")
+    stats = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+    return stats.orderBy("source")
+
+
+QUERIES["corpus_fuzzy_dedup_pipeline"] = corpus_fuzzy_dedup_pipeline
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact n-gram Jaccard pairs (τ=0.8) folded
     into connected components — each doc labeled with the min doc_id

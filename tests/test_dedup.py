@@ -373,3 +373,39 @@ def test_containment_denominator_survives_max_df_guard(spark):
     # — nothing may reach τ=0.85 even though the guard dropped A's
     # hot shingles from the joinable set
     assert got == {}, got
+
+
+class TestFuzzyDedupPipeline:
+    """End-to-end minhash→components→canonical-keep pipeline."""
+
+    def test_planted_near_dups_are_removed(self, spark, sf_dir):
+        from bireme_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+        d = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "source")
+            .limit(50)
+        )
+        # plant: a verbatim copy and a one-token edit of doc 0
+        base = d.where(F.col("doc_id") == 0).select("text").collect()[0][0]
+        extra = spark.createDataFrame(
+            [(100000, base, "planted"), (100001, base + " tail", "planted")],
+            "doc_id long, text string, source string",
+        )
+        corpus = d.unionByName(extra)
+        pairs = minhash_lsh_pairs(corpus, "doc_id", "text", tau=0.6)
+        comp = connected_components(pairs)
+        drops = {
+            r.id for r in comp.where(F.col("id") != F.col("component")).collect()
+        }
+        # both planted dups fold into doc 0's cluster and are dropped
+        assert 100000 in drops and 100001 in drops and 0 not in drops
+
+    def test_gate_query_conserves_docs(self, spark, sf_dir):
+        from bireme_spark.queries.dedup import corpus_fuzzy_dedup_pipeline
+
+        rows = corpus_fuzzy_dedup_pipeline(spark, sf_dir).collect()
+        total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert sum(r.n_docs for r in rows) == total
+        assert all(r.n_kept + r.n_removed == r.n_docs for r in rows)
+        assert all(r.n_kept >= 1 for r in rows)
