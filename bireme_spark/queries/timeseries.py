@@ -498,7 +498,128 @@ ORDER BY event_type, lag
 """
 
 
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue per event type via a RANGE-frame window
+    (rangeBetween −6..0 days over the integer day number) — the frame
+    handles calendar gaps natively, no dense grid needed: a missing
+    day simply contributes nothing and the in-window day count says
+    how many days the average divides by.
+
+    DECIMAL-exact: daily revenue stays DECIMAL through the rolling
+    sum; only the final surfaced columns cast to double (money.py
+    discipline). One (type,day) raw agg, then a per-type window over
+    series-sized data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("event_type"), F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("rev_d")
+    )
+    dn = F.unix_date(F.col("day"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(dn)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("rev_d").cast("double").alias("revenue"),
+            F.sum("rev_d").over(w).cast("double").alias("rev_7d"),
+            F.count(F.lit(1)).over(w).cast("int").alias("days_in_window"),
+            F.round(
+                F.sum("rev_d").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+            ).alias("avg_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_ROLLING_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(12,2))) AS rev_d
+  FROM events GROUP BY 1, 2
+),
+dn AS (
+  SELECT *, day - DATE '1970-01-01' AS day_num FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev_d AS DOUBLE) AS revenue,
+       CAST(SUM(rev_d) OVER w AS DOUBLE) AS rev_7d,
+       CAST(COUNT(*) OVER w AS INTEGER) AS days_in_window,
+       ROUND(CAST(SUM(rev_d) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS avg_7d
+FROM dn
+WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user over the event
+    stream (the TimescaleDB ``time_weight('LOCF')`` hypertable
+    aggregate): each reading holds until the next one, so its weight
+    is the µs interval it was in force; twa = Σ value·Δt / Σ Δt.
+    Irregular sampling is exactly why plain AVG is wrong here.
+
+    Exactness: Δt in integer microseconds (unix_micros of the nanos-
+    truncated LTZ timestamps), value as DECIMAL(12,2) — the weighted
+    sum is an exact DECIMAL product-sum; ties on ts break by
+    event_id in the ordering window on both engines.
+
+    Scale: ONE shuffle on the series key (user_id); the lead window
+    sorts within each user partition — the same partitioning every
+    hypertable op here uses."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .withColumn("next_us", F.unix_micros(F.lead("ts").over(w)))
+        .where(F.col("next_us").isNotNull())
+        .select(
+            "user_id",
+            "v",
+            (F.col("next_us") - F.unix_micros(F.col("ts"))).alias("dt_us"),
+        )
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("v") * F.col("dt_us")).cast("double") / F.sum("dt_us"), 6
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(v * dt_us) AS DOUBLE) / SUM(dt_us), 6) AS twa
+FROM iv WHERE dt_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "events_rolling_7d": events_rolling_7d,
+    "time_weighted_average": time_weighted_average,
     "events_autocorrelation": events_autocorrelation,
     "events_changepoint": events_changepoint,
     "asof_join_nearest": asof_join_nearest,
@@ -510,6 +631,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_rolling_7d": EVENTS_ROLLING_SQL,
+    "time_weighted_average": TIME_WEIGHTED_AVG_SQL,
     "events_autocorrelation": EVENTS_ACF_SQL,
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
     "asof_join_nearest": ASOF_NEAREST_SQL,
