@@ -102,3 +102,96 @@ ORACLE = {
     "grouping_sets_agg": GROUPING_SETS_SQL,
     "range_band_join": RANGE_BAND_JOIN_SQL,
 }
+
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOPK = 50
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair mining with lift over order baskets (the Apriori
+    pair pass): parts co-purchased in the same order, scored by
+    lift = N·c(a,b) / (n(a)·n(b)).
+
+    Exactness: all counts are integers, so the lift numerator and
+    denominator are exact and round(·, 6) is engine-identical; top-50
+    ranks by (pair-count desc, part ids) — fully deterministic.
+
+    Scale: the ONLY corpus-sized shuffle is on l_orderkey; the pair
+    fan-out inside an order is bounded by basket size (≤ C(7,2) = 21
+    in TPC-H, enforced ≤ C(basket,2) generally — never parts²). The
+    per-part support table re-aggregates the same distinct frame, and
+    the final selection is TakeOrdered. A hot part never explodes:
+    pairs form per-basket, not per-part."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pk_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pk_b"))
+    pair_counts = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    support = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    n_orders = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("N")
+    )
+    return (
+        pair_counts.join(
+            support.select(F.col("l_partkey").alias("pk_a"), F.col("n").alias("n_a")),
+            "pk_a",
+        )
+        .join(
+            support.select(F.col("l_partkey").alias("pk_b"), F.col("n").alias("n_b")),
+            "pk_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pk_a",
+            "pk_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                (F.col("N") * F.col("c_ab")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("c_ab").desc(), "pk_a", "pk_b")
+        .limit(_BASKET_TOPK)
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b, COUNT(*) AS c_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+),
+support AS (
+  SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS N FROM orders)
+SELECT p.pk_a, p.pk_b,
+       CAST(p.c_ab AS BIGINT) AS c_ab,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       ROUND(CAST(tot.N * p.c_ab AS DOUBLE) / (sa.n * sb.n), 6) AS lift
+FROM pairs p
+JOIN support sa ON sa.l_partkey = p.pk_a
+JOIN support sb ON sb.l_partkey = p.pk_b
+CROSS JOIN tot
+ORDER BY c_ab DESC, pk_a, pk_b
+LIMIT {_BASKET_TOPK}
+"""
+
+QUERIES["market_basket_lift"] = market_basket_lift
+ORACLE["market_basket_lift"] = MARKET_BASKET_SQL
