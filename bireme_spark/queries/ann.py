@@ -132,3 +132,32 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_knn_graph"] = ann_knn_graph
+
+
+def embedding_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the approximate kNN graph — the
+    representative-document scoring pass of a curation pipeline
+    (high-rank vectors are endorsed by many neighborhoods; low-rank
+    tails are isolated/outlier docs). Rows-only (the graph inherits
+    the LSH seed family); mass conservation, cycle/star structure and
+    partitioning determinism are property-tested
+    (tests/test_graph.py).
+
+    Scale: the edge list shuffles once onto src and stays put; each
+    of the power rounds joins the |nodes|-row DECIMAL rank table
+    against it; the dangling-mass scalar folds in as a one-row
+    broadcast aggregate (no per-round driver round-trips)."""
+    from bireme_spark.operators.ann import knn_graph
+    from bireme_spark.operators.graph import pagerank
+
+    edges = knn_graph(
+        _corpus(spark, sf_dir), "vec_id", "embedding", dim=EMBED_DIM, k=K, tables=8, bits=6
+    ).select("src", "dst")
+    return (
+        pagerank(edges, iters=6)
+        .select(F.col("id").alias("vec_id"), F.round("rank", 10).alias("rank"))
+        .orderBy("vec_id")
+    )
+
+
+QUERIES["embedding_knn_pagerank"] = embedding_knn_pagerank
