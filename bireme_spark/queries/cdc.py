@@ -558,6 +558,77 @@ WHERE op <> 'D'
 """
 
 
+_PROBE_OFFSET_MS = 129_600_000  # 1.5 days: between the +1d update and +2d delete
+
+
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each fact probes the SCD2
+    dimension for the version valid AT ITS OWN timestamp
+    (``valid_from <= t < valid_to``) — the AS OF join every
+    slowly-changing-dimension warehouse query runs. Probes land 1.5
+    days after each order's insert: %3 keys must resolve to their
+    updated version, %5 keys are still pre-delete, everyone else gets
+    the insert version — all three interval shapes value-checked.
+
+    Scale: key-equality dominates the join (one PK-hash shuffle per
+    side); the interval predicate rides along as the residual
+    condition, so no range-explosion and no BroadcastNestedLoop on
+    the fact side. Versions per key are few, so the residual filter
+    scans a handful of rows per probe."""
+    ch = build_changelog(spark, sf_dir)
+    hist = scd2(
+        ch,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("fkey"),
+        (F.unix_timestamp("o_orderdate") * 1000 + _PROBE_OFFSET_MS).alias("probe_ms"),
+    )
+    joined = facts.join(
+        hist,
+        (facts["fkey"] == hist["key"])
+        & (facts["probe_ms"] >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (facts["probe_ms"] < hist["valid_to"])),
+    )
+    return joined.select(
+        F.col("key"),
+        "probe_ms",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+    ).orderBy(F.col("key").cast("bigint"))
+
+
+SCD2_TEMPORAL_JOIN_SQL = f"""
+WITH {CHANGELOG_SQL},
+hist AS (
+  SELECT key, o_totalprice, o_orderstatus, produce_time_ms AS valid_from, valid_to
+  FROM (
+    SELECT *, LEAD(produce_time_ms) OVER (
+      PARTITION BY key ORDER BY produce_time_ms, seq) AS valid_to
+    FROM changelog
+  ) t
+  WHERE op <> 'D'
+),
+facts AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS fkey,
+         epoch_ms(o_orderdate) + {_PROBE_OFFSET_MS} AS probe_ms
+  FROM orders
+)
+SELECT h.key, f.probe_ms,
+       CAST(h.o_totalprice AS DOUBLE) AS totalprice,
+       h.o_orderstatus AS status,
+       h.valid_from
+FROM facts f JOIN hist h
+  ON f.fkey = h.key
+ AND f.probe_ms >= h.valid_from
+ AND (h.valid_to IS NULL OR f.probe_ms < h.valid_to)
+ORDER BY CAST(h.key AS BIGINT)
+"""
+
+
 def cdc_dedup_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay protection: changelog with deterministic duplicate
     deliveries (every orderkey % 7 == 0 row delivered twice) →
@@ -990,6 +1061,7 @@ QUERIES = {
     "type_decoders": type_decoders,
     "cdc_dedup_offsets": cdc_dedup_offsets,
     "cdc_scd2": cdc_scd2,
+    "scd2_temporal_join": scd2_temporal_join,
     "cdc_incremental_agg": cdc_incremental_agg,
 }
 
@@ -1009,6 +1081,7 @@ ORACLE = {
     "type_decoders": TYPE_DECODERS_SQL,
     "cdc_dedup_offsets": CDC_DEDUP_SQL,
     "cdc_scd2": CDC_SCD2_SQL,
+    "scd2_temporal_join": SCD2_TEMPORAL_JOIN_SQL,
     "cdc_incremental_agg": CDC_INCREMENTAL_AGG_SQL,
     "cdc_unified_ingest": CDC_UNIFIED_SQL,
 }
