@@ -361,10 +361,18 @@ def merge_into(
     ).isNotNull()
     source_only = F.col(f"t.{base_key_cols[0]}").isNull()
 
-    drop = matched & matched_delete if matched_delete is not None else F.lit(False)
+    # ANSI MERGE clause conditions fire only when TRUE — a NULL
+    # condition (nullable source column) must behave like FALSE, so
+    # every user condition is coalesced before combining
+    def _true(cond):
+        return F.coalesce(cond, F.lit(False))
+
+    drop = matched & _true(matched_delete) if matched_delete is not None else F.lit(False)
     if not_matched_insert is not None:
         ins_ok = source_only & (
-            not_matched_insert_cond if not_matched_insert_cond is not None else F.lit(True)
+            _true(not_matched_insert_cond)
+            if not_matched_insert_cond is not None
+            else F.lit(True)
         )
     else:
         ins_ok = F.lit(False)
@@ -372,7 +380,7 @@ def merge_into(
 
     upd = matched
     if matched_update_cond is not None:
-        upd = upd & matched_update_cond
+        upd = upd & _true(matched_update_cond)
     matched_update = matched_update or {}
     not_matched_insert = not_matched_insert or {}
     out_cols = []

@@ -63,12 +63,19 @@ def pagerank(
     d = Decimal(str(damping))
     base = (Decimal(1) - d) / n
     dd = F.lit(d).cast("decimal(6,4)")
+    # the dangling NODE SET is static — only its rank mass changes per
+    # round. Materialize the id list once so the per-round aggregate
+    # joins two small cached frames instead of re-deriving outdeg
+    # (and its whole edges lineage — for a kNN-graph input that is the
+    # entire LSH build) every iteration.
+    dang_ids = nodes.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti").persist()
+    has_dangling = dang_ids.count() > 0
     ranks = nodes.select("id", F.lit(Decimal(1) / n).cast(_R).alias("r")).persist()
     for _ in range(iters):
         # mass parked on dangling nodes this round — a one-row
         # broadcast aggregate, no driver round-trip per iteration
         dangling = F.broadcast(
-            ranks.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti").agg(
+            ranks.join(dang_ids, "id", "left_semi").agg(
                 F.coalesce(F.sum("r"), F.lit(0)).cast(_R).alias("dm")
             )
         )
@@ -78,10 +85,9 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").cast(_R).alias("in_mass"))
         )
-        new_ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .crossJoin(dangling)
-            .select(
+        nr = nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+        if has_dangling:
+            nr = nr.crossJoin(dangling).select(
                 "id",
                 (
                     F.lit(base).cast(_R)
@@ -91,11 +97,21 @@ def pagerank(
                 .cast(_R)
                 .alias("r"),
             )
-            .localCheckpoint(eager=True)
-        )
+        else:  # no dangling mass: skip the per-round aggregate entirely
+            nr = nr.select(
+                "id",
+                (
+                    F.lit(base).cast(_R)
+                    + dd * F.coalesce(F.col("in_mass"), F.lit(0).cast(_R))
+                )
+                .cast(_R)
+                .alias("r"),
+            )
+        new_ranks = nr.localCheckpoint(eager=True)
         ranks.unpersist()
         ranks = new_ranks
     out = ranks.select("id", F.col("r").cast("double").alias("rank"))
     nodes.unpersist()
     ed.unpersist()
+    dang_ids.unpersist()
     return out

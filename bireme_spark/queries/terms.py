@@ -378,10 +378,15 @@ def tokenizer_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rnk").cast("int").alias("rnk"),
                 )
             )
+            # eager 30-row checkpoint: the round's result is computed
+            # exactly once, the returned plan reads these checkpoints
+            # (not the word-table lineage that the finally unpersists),
+            # and the merge pair comes from the same materialization
+            top = top.localCheckpoint(eager=True)
             out = top if out is None else out.unionByName(top)
             if rnd < _BPE_ROUNDS:
                 # the merge table is THE model — one pair crosses the driver
-                best = counted.orderBy(F.col("cnt").desc(), F.col("pair").asc()).first()
+                best = top.where(F.col("rnk") == 1).first()
                 merged = best["pair"].replace(" ", "")
                 words = words.select(
                     "cnt",

@@ -342,22 +342,16 @@ QUERIES["text_crossdoc_spans"] = text_crossdoc_spans
 ORACLE["text_crossdoc_spans"] = TEXT_CROSSDOC_SQL
 
 
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher quality-rule battery (Rae et al. 2021, §A1.1.1) as
-    one map-side pass: per-doc word count, mean word length,
-    symbol-to-word ratio, alphabetic-word fraction and stopword
-    presence, each with its pass flag and the conjunctive keep.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
-    All JVM higher-order / regexp expressions inside whole-stage
-    codegen — no shuffle at all except the final presentation sort;
-    at 100 TB this is a pure scan whose output feeds the retention
-    filter directly (compare corpus_filter_pipeline)."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    d = d.select("doc_id", "text", ws.alias("ws")).select(
-        "doc_id",
-        "text",
-        "ws",
+
+def _gopher_measures(d: DataFrame) -> DataFrame:
+    """The five Gopher rule measures as map-side columns over a frame
+    carrying ``text`` + a pre-split ``ws`` token array — shared by
+    text_gopher_rules and the quality_classifier label so the rule
+    battery cannot drift between them."""
+    return d.select(
+        *d.columns,
         F.size("ws").alias("n_words"),
         (F.length(F.regexp_replace(F.col("text"), " ", "")) / F.size("ws")).alias(
             "mean_word_len"
@@ -374,18 +368,37 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("alpha_frac"),
         F.size(
             F.array_intersect(
-                F.col("ws"),
-                F.array(*[F.lit(s) for s in ("the", "be", "to", "of", "and", "that", "have", "with")]),
+                F.col("ws"), F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
             )
         ).alias("n_stop_present"),
     )
-    passes = (
+
+
+def _gopher_keep() -> "F.Column":
+    """The conjunctive keep over _gopher_measures columns."""
+    return (
         F.col("n_words").between(50, 100_000)
         & F.col("mean_word_len").between(3.0, 10.0)
         & (F.col("symbol_ratio") < 0.1)
         & (F.col("alpha_frac") >= 0.8)
         & (F.col("n_stop_present") >= 2)
     )
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, §A1.1.1) as
+    one map-side pass: per-doc word count, mean word length,
+    symbol-to-word ratio, alphabetic-word fraction and stopword
+    presence, each with its pass flag and the conjunctive keep.
+
+    All JVM higher-order / regexp expressions inside whole-stage
+    codegen — no shuffle at all except the final presentation sort;
+    at 100 TB this is a pure scan whose output feeds the retention
+    filter directly (compare corpus_filter_pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    d = _gopher_measures(d.select("doc_id", "text", ws.alias("ws")))
+    passes = _gopher_keep()
     return d.select(
         "doc_id",
         "n_words",
@@ -438,71 +451,48 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic re-train, loss decrease, planted-separable
     accuracy).
 
-    Scale shape: features are one column-pruned map-side projection,
-    persisted once; each of the 15 GD iterations is one scalar agg
-    whose d+1 DECIMAL gradient sums are the only driver data
-    (operators/classifier.py). Scoring is a pure JVM sigmoid expr over
-    the same frame — no Python, no extra shuffle."""
+    Scale shape: the feature battery is CPU-heavy per-row work, so
+    the single-partition test parquet is spread first (CLAUDE.md
+    rule), then persisted once; each of the 15 GD iterations is one
+    scalar agg whose d+1 DECIMAL gradient sums are the only driver
+    data (operators/classifier.py). The scored result is built from a
+    localCheckpoint of the trained feature frame, so the returned
+    lazy plan does NOT re-run the regex battery after the persist is
+    released. Label = the FULL 5-rule Gopher keep via the shared
+    _gopher_measures/_gopher_keep exprs (no drift from
+    text_gopher_rules)."""
     from bireme_spark.operators.classifier import logreg_score, logreg_train
 
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    feats = d.select(
-        "doc_id",
-        ws.alias("ws"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        (F.size("ws") / 100.0).alias("f_nwords"),
-        (F.length(F.regexp_replace(F.col("text"), " ", "")) / F.size("ws") / 10.0).alias(
-            "f_wordlen"
-        ),
-        (F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]"))) / F.size("ws")).alias(
-            "f_alpha"
-        ),
-        (
-            F.size(
-                F.array_intersect(
-                    F.col("ws"),
-                    F.array(
-                        *[
-                            F.lit(s)
-                            for s in ("the", "be", "to", "of", "and", "that", "have", "with")
-                        ]
-                    ),
-                )
-            )
-            / F.lit(8.0)
-        ).alias("f_stop"),
-        (
-            F.size("ws").between(50, 100_000)
-            & (F.length(F.regexp_replace(F.col("text"), " ", "")) / F.size("ws")).between(
-                3.0, 10.0
-            )
-            & (
-                F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]"))) / F.size("ws")
-                >= 0.8
-            )
-        )
-        .cast("int")
-        .alias("label"),
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    cols = ["f_nwords", "f_wordlen", "f_alpha", "f_stop"]
+    ws = F.split(F.col("text"), " ")
+    m = _gopher_measures(d.select("doc_id", "text", ws.alias("ws")))
+    feats = m.select(
+        "doc_id",
+        (F.col("n_words") / 100.0).alias("f_nwords"),
+        (F.col("mean_word_len") / 10.0).alias("f_wordlen"),
+        F.col("symbol_ratio").alias("f_symbol"),
+        F.col("alpha_frac").alias("f_alpha"),
+        (F.col("n_stop_present") / 8.0).alias("f_stop"),
+        _gopher_keep().cast("int").alias("label"),
+    )
+    cols = ["f_nwords", "f_wordlen", "f_symbol", "f_alpha", "f_stop"]
     feats = feats.persist()
     try:
         w = logreg_train(feats, cols, "label", iters=15, lr=1.0)
-        score = logreg_score(feats, cols, w)
-        return (
-            feats.select(
-                "doc_id",
-                F.col("label"),
-                F.round(score, 6).alias("score"),
-                (score >= 0.5).cast("int").alias("pred"),
-            )
-            .orderBy("doc_id")
-        )
+        # materialize from cache: the returned plan must survive the
+        # unpersist below without re-running the feature battery
+        scored_base = feats.localCheckpoint(eager=True)
     finally:
         feats.unpersist()
+    score = logreg_score(scored_base, cols, w)
+    return scored_base.select(
+        "doc_id",
+        F.col("label"),
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).cast("int").alias("pred"),
+    ).orderBy("doc_id")
 
 
 QUERIES["quality_classifier"] = quality_classifier

@@ -466,3 +466,23 @@ class TestMergeInto:
         plan = self._merge(base, src)._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Join FullOuter") == 1
         assert "Join LeftAnti" not in plan
+
+    def test_null_clause_condition_behaves_as_false(self, spark):
+        # ANSI MERGE fires a clause only when its condition is TRUE: a
+        # NULL condition (nullable source column) must not delete.
+        from pyspark.sql import Row
+
+        from bireme_spark.operators.cdc import merge_into
+
+        base = spark.createDataFrame([Row(k=1, price=100.0)])
+        src = spark.createDataFrame(
+            [Row(key=1, flag=None)], "key long, flag string"
+        )
+        out = merge_into(
+            base,
+            src,
+            ("k",),
+            ("key",),
+            matched_delete=F.col("s.flag") == "D",
+        ).collect()
+        assert [(r.k, r.price) for r in out] == [(1, 100.0)]
