@@ -558,6 +558,68 @@ WHERE op <> 'D'
 """
 
 
+def cdc_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog/offset-loss monitoring: detect holes in each Kafka
+    partition's offset sequence (the symptom of retention-expired
+    segments or a producer dropping acks — bireme's commitSync
+    bookkeeping assumes contiguity, ``KafkaPipeLine.java:141-182``;
+    this is the audit a sync operator runs when lag metrics look
+    wrong).
+
+    Fixture: per-partition contiguous offsets are assigned to the
+    changelog, then every offset ≡ 0 (mod 13) is dropped — the
+    detector must report each hole as (partition, gap_start,
+    gap_len) exactly.
+
+    Scale: ONE shuffle on kafka_partition; the lag window sorts
+    within each partition's own slice (offsets are already nearly
+    sorted per partition at read time); output is |gaps| rows."""
+    from pyspark.sql import Window
+
+    ch = build_changelog(spark, sf_dir)
+    w0 = Window.partitionBy("kafka_partition").orderBy("produce_time_ms", "seq")
+    feed = ch.withColumn("kafka_offset", F.row_number().over(w0).cast("bigint"))
+    observed = feed.where(F.col("kafka_offset") % 13 != 0)
+    w = Window.partitionBy("kafka_partition").orderBy("kafka_offset")
+    gaps = (
+        observed.select("kafka_partition", "kafka_offset")
+        .withColumn("prev", F.lag("kafka_offset").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("kafka_offset") - F.col("prev") > 1))
+        .select(
+            "kafka_partition",
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("kafka_offset") - F.col("prev") - 1).alias("gap_len"),
+        )
+    )
+    return gaps.orderBy("kafka_partition", "gap_start")
+
+
+CDC_OFFSET_GAPS_SQL = f"""
+WITH {CHANGELOG_SQL},
+feed AS (
+  SELECT kafka_partition,
+         CAST(ROW_NUMBER() OVER (PARTITION BY kafka_partition
+                                 ORDER BY produce_time_ms, seq) AS BIGINT)
+           AS kafka_offset
+  FROM changelog
+),
+observed AS (
+  SELECT * FROM feed WHERE kafka_offset % 13 <> 0
+),
+lagged AS (
+  SELECT kafka_partition, kafka_offset,
+         LAG(kafka_offset) OVER (PARTITION BY kafka_partition
+                                 ORDER BY kafka_offset) AS prev
+  FROM observed
+)
+SELECT kafka_partition, prev + 1 AS gap_start,
+       kafka_offset - prev - 1 AS gap_len
+FROM lagged
+WHERE prev IS NOT NULL AND kafka_offset - prev > 1
+ORDER BY kafka_partition, gap_start
+"""
+
+
 _PROBE_OFFSET_MS = 129_600_000  # 1.5 days: between the +1d update and +2d delete
 
 
@@ -1062,6 +1124,7 @@ QUERIES = {
     "cdc_dedup_offsets": cdc_dedup_offsets,
     "cdc_scd2": cdc_scd2,
     "scd2_temporal_join": scd2_temporal_join,
+    "cdc_offset_gaps": cdc_offset_gaps,
     "cdc_incremental_agg": cdc_incremental_agg,
 }
 
@@ -1082,6 +1145,7 @@ ORACLE = {
     "cdc_dedup_offsets": CDC_DEDUP_SQL,
     "cdc_scd2": CDC_SCD2_SQL,
     "scd2_temporal_join": SCD2_TEMPORAL_JOIN_SQL,
+    "cdc_offset_gaps": CDC_OFFSET_GAPS_SQL,
     "cdc_incremental_agg": CDC_INCREMENTAL_AGG_SQL,
     "cdc_unified_ingest": CDC_UNIFIED_SQL,
 }
