@@ -295,3 +295,106 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str, top: int = 16) -> Da
 
 
 QUERIES["embedding_pca_project"] = embedding_pca_project
+
+
+_TRUNC_DIM = 16
+_TRUNC_K = 10
+_TRUNC_QUERIES = 10
+
+
+def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al.
+    2205.13147): how much of the EXACT cosine top-10 neighborhood
+    survives when vectors are truncated to their first 16 dims —
+    the measurement behind shipping shorter embeddings for cheaper
+    ANN. Per probe query: overlap@10 between the full-dim and the
+    truncated-dim exact top-k sets.
+
+    Exactness: both sides are brute-force with 6dp-rounded cosines
+    and id tie-breaks, so both neighbor SETS are engine-identical
+    and the overlap is an integer — no recall ambiguity.
+
+    Scale: two broadcast-query brute-force passes (only the probe
+    set broadcasts; the corpus never shuffles) + a |queries|·k join
+    on the id pairs."""
+    from bireme_spark.operators.ann import bruteforce_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.repartition(spark.sparkContext.defaultParallelism)
+    q = e.where(F.col("vec_id") < _TRUNC_QUERIES)
+    full = bruteforce_topk(corpus, q, "vec_id", "embedding", k=_TRUNC_K)
+    tr = F.slice(F.col("embedding"), 1, _TRUNC_DIM).alias("embedding")
+    trunc = bruteforce_topk(
+        corpus.select("vec_id", tr), q.select("vec_id", tr), "vec_id", "embedding", k=_TRUNC_K
+    )
+    common = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(F.coalesce("n_common", F.lit(0)) / F.lit(float(_TRUNC_K)), 6).alias(
+                "overlap_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _bruteforce_cte(tag: str, vec_expr: str) -> str:
+    return f"""
+pairs_{tag} AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {vec_expr.replace('VV', 'q.qv')} AS qv,
+         {vec_expr.replace('VV', 'e.embedding')} AS cv
+  FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {_TRUNC_QUERIES}) q,
+       embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+dots_{tag} AS (
+  SELECT query_id, neighbor_id,
+         SUM(x * y) AS dot, SUM(x * x) AS nq, SUM(y * y) AS nc
+  FROM (SELECT query_id, neighbor_id,
+               CAST(unnest(qv) AS DOUBLE) AS x,
+               CAST(unnest(cv) AS DOUBLE) AS y
+        FROM pairs_{tag}) z
+  GROUP BY query_id, neighbor_id
+),
+topk_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, neighbor_id ASC
+           ) AS rank
+    FROM dots_{tag}
+  ) WHERE rank <= {_TRUNC_K}
+)"""
+
+
+EMBEDDING_TRUNCATION_SQL = f"""
+WITH {_bruteforce_cte("full", "VV")},
+{_bruteforce_cte("tr", f"VV[1:{_TRUNC_DIM}]").lstrip()},
+common AS (
+  SELECT f.query_id, COUNT(*) AS n_common
+  FROM topk_full f JOIN topk_tr t
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(COALESCE(c.n_common, 0) / {float(_TRUNC_K)}, 6) AS overlap_at_k
+FROM (SELECT DISTINCT query_id FROM topk_full) q
+LEFT JOIN common c USING (query_id)
+ORDER BY q.query_id
+"""
+
+QUERIES["embedding_truncation_recall"] = embedding_truncation_recall
+ORACLE["embedding_truncation_recall"] = EMBEDDING_TRUNCATION_SQL
