@@ -560,3 +560,39 @@ ORDER BY 1, 2
 
 QUERIES["events_attribution_salted"] = events_attribution_salted
 ORACLE["events_attribution_salted"] = EVENTS_ATTRIBUTION_SQL
+
+
+def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-persistence pattern at 100 TB: build per-(type, day)
+    HyperLogLog sketches ONCE (Datasketches HLL via hll_sketch_agg),
+    then answer the weekly distinct-user question by UNIONING the
+    daily sketches (hll_union_agg) — the raw stream is never
+    rescanned for a new window. This is how a warehouse serves
+    arbitrary-range COUNT(DISTINCT) from precomputed daily state:
+    sketch unions are associative, so day → week → month rollups all
+    merge the same constant-size registers.
+
+    Rows-only at the gate (register contents are engine-specific);
+    tests/test_sketches.py asserts (a) merged-daily == direct-weekly
+    sketch estimates EXACTLY (mergeability) and (b) estimates within
+    rsd bounds of exact distincts."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    weekly = (
+        daily.groupBy("event_type", F.weekofyear("day").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days_merged"),
+        )
+    )
+    return weekly.select(
+        "event_type",
+        F.col("week").cast("int").alias("week"),
+        F.col("approx_users").cast("bigint").alias("approx_users"),
+        F.col("n_days_merged").cast("int").alias("n_days_merged"),
+    ).orderBy("event_type", "week")
+
+
+QUERIES["events_sketch_rollup"] = events_sketch_rollup  # rows-only

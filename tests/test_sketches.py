@@ -57,3 +57,50 @@ def test_approx_percentiles_within_rank_error(spark, sketch_rows, exact_rows):
 def test_exact_count_column_matches(sketch_rows, exact_rows):
     for et, ex in exact_rows.items():
         assert sketch_rows[et].n_events == ex.n_events
+
+
+class TestSketchRollup:
+    def test_merged_daily_equals_direct_weekly(self, spark, sf_dir):
+        # sketch-union associativity: merging daily registers must give
+        # the same estimate as sketching the week directly
+        from pyspark.sql import functions as F
+
+        from bireme_spark.sources.tables import load_table
+
+        e = load_table(spark, sf_dir, "events")
+        daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        )
+        merged = daily.groupBy(
+            "event_type", F.weekofyear("day").alias("week")
+        ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        direct = e.groupBy(
+            "event_type", F.weekofyear(F.to_date("ts")).alias("week")
+        ).agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        m = {(r.event_type, r.week): r.est for r in merged.collect()}
+        d = {(r.event_type, r.week): r.est for r in direct.collect()}
+        assert m == d
+
+    def test_rollup_estimates_near_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from bireme_spark.queries.events import events_sketch_rollup
+        from bireme_spark.sources.tables import load_table
+
+        est = {
+            (r.event_type, r.week): r.approx_users
+            for r in events_sketch_rollup(spark, sf_dir).collect()
+        }
+        e = load_table(spark, sf_dir, "events")
+        exact = {
+            (r.event_type, r.week): r.n
+            for r in e.groupBy(
+                "event_type", F.weekofyear(F.to_date("ts")).alias("week")
+            )
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        for k, n in exact.items():
+            # lgK=12 ⇒ rsd ≈ 1.6%; allow 5% + small-count slack
+            assert abs(est[k] - n) <= max(3, 0.05 * n), (k, est[k], n)
