@@ -596,3 +596,55 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["events_sketch_rollup"] = events_sketch_rollup  # rows-only
+
+
+_PATH_TOPK = 25
+
+
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths (the Sankey/flow view product
+    analytics ships): consecutive event-type trigrams per user,
+    counted corpus-wide. Extends the 2-step transition matrix to
+    path shape.
+
+    Scale: ONE shuffle on user_id; the lead window sorts inside each
+    user partition (ties break by event_id on both engines); the path
+    agg is ≤ |types|³ groups with map-side combine; top-k is
+    TakeOrdered."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("s0"),
+            F.lead("event_type", 1).over(w).alias("s1"),
+            F.lead("event_type", 2).over(w).alias("s2"),
+        )
+        .where(F.col("s2").isNotNull())
+        .select(F.concat_ws(">", "s0", "s1", "s2").alias("path"))
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("path", F.col("n").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+EVENTS_USER_PATHS_SQL = f"""
+WITH tri AS (
+  SELECT event_type AS s0,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+  FROM events
+)
+SELECT s0 || '>' || s1 || '>' || s2 AS path, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE s2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT {_PATH_TOPK}
+"""
+
+QUERIES["events_user_paths"] = events_user_paths
+ORACLE["events_user_paths"] = EVENTS_USER_PATHS_SQL

@@ -6,7 +6,7 @@ queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bireme_spark.functions.money import dsum, money
@@ -195,3 +195,73 @@ LIMIT {_BASKET_TOPK}
 
 QUERIES["market_basket_lift"] = market_basket_lift
 ORACLE["market_basket_lift"] = MARKET_BASKET_SQL
+
+
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-sweep concurrency counting: how many orders are OPEN
+    (placed but not yet fully shipped) on each day — the classic
+    ±1 event sweep over [o_orderdate, max(l_shipdate)) intervals.
+    Monthly sampling keeps the output readable: backlog level on the
+    1st of each month.
+
+    Scale shape: each interval emits two events map-side; ONE
+    (day) hash agg collapses the corpus to a |days| net-change
+    series; the cumulative sum then runs on series-sized data (a
+    single-partition window over ~2500 rows — fine BECAUSE the
+    aggregation happened first; the raw orders never see a global
+    window). Pure integer math throughout.
+
+    The completion date comes from lineitem (max ship date per order) —
+    a PK-hash join sized by lineitem, the same shuffle cdc_apply
+    uses."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("end_date")
+    )
+    iv = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderdate").alias("start_date"), "end_date"
+    )
+    events = iv.select(
+        F.col("start_date").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(iv.select(F.col("end_date").alias("day"), F.lit(-1).alias("delta")))
+    daily = events.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = daily.withColumn("backlog", F.sum("net").over(w))
+    return (
+        swept.where(F.dayofmonth("day") == 1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("backlog").cast("bigint").alias("open_orders"),
+        )
+        .orderBy("day")
+    )
+
+
+ORDERS_BACKLOG_SQL = """
+WITH iv AS (
+  SELECT o.o_orderdate AS start_date, l.end_date
+  FROM orders o
+  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS end_date
+        FROM lineitem GROUP BY 1) l
+    ON l.l_orderkey = o.o_orderkey
+),
+events AS (
+  SELECT start_date AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT end_date AS day, -1 AS delta FROM iv
+),
+daily AS (SELECT day, SUM(delta) AS net FROM events GROUP BY 1),
+swept AS (
+  SELECT day, SUM(net) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+  FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(backlog AS BIGINT) AS open_orders
+FROM swept
+WHERE dayofmonth(day) = 1
+ORDER BY day
+"""
+
+QUERIES["orders_open_backlog"] = orders_open_backlog
+ORACLE["orders_open_backlog"] = ORDERS_BACKLOG_SQL
