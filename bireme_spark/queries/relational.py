@@ -265,3 +265,52 @@ ORDER BY day
 
 QUERIES["orders_open_backlog"] = orders_open_backlog
 ORACLE["orders_open_backlog"] = ORDERS_BACKLOG_SQL
+
+
+_SEARCH_TERMS = ("red", "widget")
+
+
+def parts_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text AND-search over part names via an inverted postings
+    index — the token-postings plan, not a LIKE scan: explode names
+    into (token, partkey) postings, probe the query terms, and a part
+    matches when its distinct-hit count equals the number of query
+    terms (postings-list intersection as ONE hash agg).
+
+    Scale: at 100 TB the postings frame is built once and reused for
+    every query (here it is derived inline); the probe filter reaches
+    the postings before any shuffle, so the exchange carries only the
+    candidate hits, and the intersection agg is |candidates|-sized —
+    the LIKE twin rescans the whole table per query instead. Oracle =
+    the LIKE conjunction, proving index ≡ scan semantics for
+    whole-token matches."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    postings = p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("token")
+    ).where(F.col("token") != "")
+    hits = (
+        postings.where(F.col("token").isin(*_SEARCH_TERMS))
+        .groupBy("p_partkey")
+        .agg(F.count_distinct("token").alias("n_terms"))
+        .where(F.col("n_terms") == len(_SEARCH_TERMS))
+    )
+    return (
+        hits.join(p, "p_partkey")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+_TOKEN_GUARD = " AND ".join(
+    f"list_contains(string_split(p_name, ' '), '{t}')" for t in _SEARCH_TERMS
+)
+
+PARTS_KEYWORD_SEARCH_SQL = f"""
+SELECT p_partkey, p_name
+FROM part
+WHERE {_TOKEN_GUARD}
+ORDER BY p_partkey
+"""
+
+QUERIES["parts_keyword_search"] = parts_keyword_search
+ORACLE["parts_keyword_search"] = PARTS_KEYWORD_SEARCH_SQL
