@@ -44,3 +44,49 @@ SELECT {_N_FRAGMENTS} AS n_files, 1 AS n_output_files,
 
 QUERIES = {"sink_compaction": sink_compaction}
 ORACLE = {"sink_compaction": SINK_COMPACTION_SQL}
+
+
+def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning — the layout a
+    100 TB events warehouse actually uses: write the table
+    ``partitionBy(event_date)``, then answer a narrow date-range
+    question by reading ONLY those partition directories. The
+    formatted plan must show the date predicate as a
+    ``PartitionFilters`` entry (directory pruning — zero IO outside
+    the range), not a post-scan filter; tests/test_plans.py asserts
+    exactly that on the read this query performs.
+
+    The oracle answers the same range question from the raw events
+    table, value-checking that layout + pruning preserve semantics."""
+    work = tempfile.mkdtemp(prefix="bireme_part_")
+    path = os.path.join(work, "events_by_day")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    e.select("event_id", "user_id", "event_type", "value", "event_date").write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path).where(
+        F.col("event_date").between("2024-01-10", "2024-01-12")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PARTITIONED_PRUNE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["partitioned_sink_prune"] = partitioned_sink_prune
+ORACLE["partitioned_sink_prune"] = PARTITIONED_PRUNE_SQL

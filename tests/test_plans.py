@@ -264,3 +264,16 @@ def test_merge_into_prunes_unused_order_columns(spark):
     plan = _plan(spark, "cdc_merge_into")
     schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert schema_lines and all("o_comment" not in ln for ln in schema_lines)
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """partitioned_sink_prune: the date predicate must land in
+    PartitionFilters (directory pruning — zero IO outside the range),
+    not survive as a post-scan filter."""
+    plan = _plan(spark, "partitioned_sink_prune")
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "PartitionFilters: []" not in ln
+    ]
+    assert pf and any("event_date" in ln for ln in pf), plan
