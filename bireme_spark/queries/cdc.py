@@ -566,22 +566,39 @@ def cdc_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the audit a sync operator runs when lag metrics look
     wrong).
 
-    Fixture: per-partition contiguous offsets are assigned to the
-    changelog, then every offset ≡ 0 (mod 13) is dropped — the
-    detector must report each hole as (partition, gap_start,
-    gap_len) exactly.
+    Boundary holes are the common real failure (retention expires the
+    OLDEST segments; tail loss is a crashed producer), and a pure
+    lag() formulation is structurally blind to both — so the audit
+    checks three shapes against the broker high-water mark (in
+    production: the consumer's ``endOffsets``; here derived from the
+    pre-drop feed): interior lag gaps, a missing head (min observed
+    > 1), and a truncated tail (max observed < hwm).
 
-    Scale: ONE shuffle on kafka_partition; the lag window sorts
-    within each partition's own slice (offsets are already nearly
-    sorted per partition at read time); output is |gaps| rows."""
+    Fixture: per-partition contiguous offsets 1..hwm, then drop
+    every offset ≡ 0 (mod 13) [interior], offsets ≤ 2 on partition 1
+    [head hole], and the last 2 offsets on even partitions [tail
+    holes] — every planted hole must come back as (partition,
+    gap_start, gap_len) exactly.
+
+    Scale: ONE shuffle on kafka_partition; the lag window and both
+    boundary aggs ride that same partitioning; output is |gaps|
+    rows."""
     from pyspark.sql import Window
 
     ch = build_changelog(spark, sf_dir)
     w0 = Window.partitionBy("kafka_partition").orderBy("produce_time_ms", "seq")
     feed = ch.withColumn("kafka_offset", F.row_number().over(w0).cast("bigint"))
-    observed = feed.where(F.col("kafka_offset") % 13 != 0)
+    hwm = feed.groupBy("kafka_partition").agg(F.max("kafka_offset").alias("hwm"))
+    observed = feed.join(hwm, "kafka_partition").where(
+        (F.col("kafka_offset") % 13 != 0)
+        & ~((F.col("kafka_partition") == 1) & (F.col("kafka_offset") <= 2))
+        & ~(
+            (F.col("kafka_partition") % 2 == 0)
+            & (F.col("kafka_offset") > F.col("hwm") - 2)
+        )
+    )
     w = Window.partitionBy("kafka_partition").orderBy("kafka_offset")
-    gaps = (
+    interior = (
         observed.select("kafka_partition", "kafka_offset")
         .withColumn("prev", F.lag("kafka_offset").over(w))
         .where(F.col("prev").isNotNull() & (F.col("kafka_offset") - F.col("prev") > 1))
@@ -591,7 +608,24 @@ def cdc_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kafka_offset") - F.col("prev") - 1).alias("gap_len"),
         )
     )
-    return gaps.orderBy("kafka_partition", "gap_start")
+    span = observed.groupBy("kafka_partition").agg(
+        F.min("kafka_offset").alias("lo"), F.max("kafka_offset").alias("hi")
+    ).join(hwm, "kafka_partition")
+    head = span.where(F.col("lo") > 1).select(
+        "kafka_partition",
+        F.lit(1).cast("bigint").alias("gap_start"),
+        (F.col("lo") - 1).alias("gap_len"),
+    )
+    tail = span.where(F.col("hi") < F.col("hwm")).select(
+        "kafka_partition",
+        (F.col("hi") + 1).alias("gap_start"),
+        (F.col("hwm") - F.col("hi")).alias("gap_len"),
+    )
+    return (
+        interior.unionByName(head)
+        .unionByName(tail)
+        .orderBy("kafka_partition", "gap_start")
+    )
 
 
 CDC_OFFSET_GAPS_SQL = f"""
@@ -603,19 +637,40 @@ feed AS (
            AS kafka_offset
   FROM changelog
 ),
+hwm AS (
+  SELECT kafka_partition, MAX(kafka_offset) AS hwm FROM feed GROUP BY 1
+),
 observed AS (
-  SELECT * FROM feed WHERE kafka_offset % 13 <> 0
+  SELECT f.* FROM feed f JOIN hwm USING (kafka_partition)
+  WHERE f.kafka_offset % 13 <> 0
+    AND NOT (f.kafka_partition = 1 AND f.kafka_offset <= 2)
+    AND NOT (f.kafka_partition % 2 = 0 AND f.kafka_offset > hwm.hwm - 2)
 ),
 lagged AS (
   SELECT kafka_partition, kafka_offset,
          LAG(kafka_offset) OVER (PARTITION BY kafka_partition
                                  ORDER BY kafka_offset) AS prev
   FROM observed
+),
+interior AS (
+  SELECT kafka_partition, prev + 1 AS gap_start,
+         kafka_offset - prev - 1 AS gap_len
+  FROM lagged
+  WHERE prev IS NOT NULL AND kafka_offset - prev > 1
+),
+span AS (
+  SELECT o.kafka_partition, MIN(o.kafka_offset) AS lo, MAX(o.kafka_offset) AS hi,
+         ANY_VALUE(h.hwm) AS hwm
+  FROM observed o JOIN hwm h USING (kafka_partition)
+  GROUP BY 1
 )
-SELECT kafka_partition, prev + 1 AS gap_start,
-       kafka_offset - prev - 1 AS gap_len
-FROM lagged
-WHERE prev IS NOT NULL AND kafka_offset - prev > 1
+SELECT * FROM (
+  SELECT * FROM interior
+  UNION ALL
+  SELECT kafka_partition, CAST(1 AS BIGINT), lo - 1 FROM span WHERE lo > 1
+  UNION ALL
+  SELECT kafka_partition, hi + 1, hwm - hi FROM span WHERE hi < hwm
+)
 ORDER BY kafka_partition, gap_start
 """
 

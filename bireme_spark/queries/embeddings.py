@@ -333,9 +333,12 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # probe ids come from q, NOT full.distinct(): referencing the
+    # full brute-force subtree twice would run the corpus-sized
+    # crossJoin+rank pass twice (every probe has ≥1 full-dim
+    # neighbor whenever the corpus has >1 row, so the sets coincide)
     return (
-        full.select("query_id")
-        .distinct()
+        q.select(F.col("vec_id").alias("query_id"))
         .join(common, "query_id", "left")
         .select(
             "query_id",

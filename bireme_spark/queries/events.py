@@ -580,8 +580,12 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    # year-safe week key (date_trunc, not bare weekofyear — ISO week
+    # numbers collide across years on multi-year data)
     weekly = (
-        daily.groupBy("event_type", F.weekofyear("day").alias("week"))
+        daily.groupBy(
+            "event_type", F.date_trunc("week", "day").cast("date").alias("week_start")
+        )
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
             F.count(F.lit(1)).alias("n_days_merged"),
@@ -589,10 +593,10 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return weekly.select(
         "event_type",
-        F.col("week").cast("int").alias("week"),
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
         F.col("approx_users").cast("bigint").alias("approx_users"),
         F.col("n_days_merged").cast("int").alias("n_days_merged"),
-    ).orderBy("event_type", "week")
+    ).orderBy("event_type", "week_start")
 
 
 QUERIES["events_sketch_rollup"] = events_sketch_rollup  # rows-only

@@ -5,7 +5,9 @@ Iceberg rewrite_data_files / Delta OPTIMIZE twin, sinks/compact.py).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,6 +19,15 @@ from bireme_spark.sources.tables import load_table
 _N_FRAGMENTS = 32
 
 
+def _scratch(prefix: str) -> str:
+    """mkdtemp that is reaped at interpreter exit — these builders run
+    eagerly (gate, plan tests, plan_audit) and would otherwise leave a
+    full table copy in /tmp per invocation."""
+    work = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end compaction run: fragment the events table into 32
     small files (the state a per-micro-batch CDC sink leaves behind),
@@ -25,7 +36,7 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. File counts and rows are deterministic, so the oracle is
     closed-form; byte sizes are not (encoder variance) and stay out
     of the result."""
-    work = tempfile.mkdtemp(prefix="bireme_compact_")
+    work = _scratch("bireme_compact_")
     src = os.path.join(work, "fragmented")
     dst = os.path.join(work, "compacted")
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
@@ -58,7 +69,7 @@ def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle answers the same range question from the raw events
     table, value-checking that layout + pruning preserve semantics."""
-    work = tempfile.mkdtemp(prefix="bireme_part_")
+    work = _scratch("bireme_part_")
     path = os.path.join(work, "events_by_day")
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")

@@ -224,7 +224,21 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = iv.select(
         F.col("start_date").alias("day"), F.lit(1).alias("delta")
     ).unionByName(iv.select(F.col("end_date").alias("day"), F.lit(-1).alias("delta")))
-    daily = events.groupBy("day").agg(F.sum("delta").alias("net"))
+    # dense month-first grid with net=0: a month whose 1st has no
+    # order event still gets its carried-forward backlog row (the
+    # sparse series alone would silently drop that month)
+    bounds = events.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = bounds.select(
+        F.explode(
+            F.expr("sequence(trunc(d0, 'MM'), d1, interval 1 month)")
+        ).alias("day"),
+        F.col("d0"),
+    ).where(F.col("day") >= F.col("d0"))
+    daily = (
+        events.unionByName(grid.select("day", F.lit(0).alias("delta")))
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     swept = daily.withColumn("backlog", F.sum("net").over(w))
     return (
@@ -250,7 +264,18 @@ events AS (
   UNION ALL
   SELECT end_date AS day, -1 AS delta FROM iv
 ),
-daily AS (SELECT day, SUM(delta) AS net FROM events GROUP BY 1),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM events),
+grid AS (
+  SELECT CAST(unnest(generate_series(date_trunc('month', d0), d1,
+                                     INTERVAL 1 MONTH)) AS DATE) AS day, d0
+  FROM bounds
+),
+all_events AS (
+  SELECT day, delta FROM events
+  UNION ALL
+  SELECT day, 0 AS delta FROM grid WHERE day >= d0
+),
+daily AS (SELECT day, SUM(delta) AS net FROM all_events GROUP BY 1),
 swept AS (
   SELECT day, SUM(net) OVER (ORDER BY day
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog

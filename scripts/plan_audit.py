@@ -30,6 +30,7 @@ def main() -> int:
     names = sys.argv[2:] or DEFAULT
 
     from bireme_spark import registry
+    from bireme_spark.plans import formatted_plan
     from bireme_spark.session import get_spark
 
     spark = get_spark("plan-audit")
@@ -37,9 +38,7 @@ def main() -> int:
     qs = registry.queries()
     for name in names:
         df = qs[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = formatted_plan(df)
         print(f"\n{'=' * 72}\n{name}\n{'=' * 72}")
         print(plan)
     return 0

@@ -13,8 +13,8 @@ from bireme_spark import registry
 from tests.conftest import SF_DIR
 
 
-def _physical_plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from bireme_spark.plans import codegen_plan as _codegen_plan
+from bireme_spark.plans import formatted_plan as _physical_plan
 
 
 def _plan(spark, name: str) -> str:
@@ -121,7 +121,7 @@ def test_whole_stage_codegen_on_flagship(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = registry.queries()["q1_pricing_summary"](spark, SF_DIR)
-        codegen = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+        codegen = _codegen_plan(df)
         assert "WholeStageCodegen subtrees" in codegen and "Found 0" not in codegen
         plan = _physical_plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -71,14 +71,16 @@ class TestSketchRollup:
         daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
             F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
         )
-        merged = daily.groupBy(
-            "event_type", F.weekofyear("day").alias("week")
-        ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        wk = F.date_trunc("week", "day").cast("date").alias("week_start")
+        merged = daily.groupBy("event_type", wk).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
         direct = e.groupBy(
-            "event_type", F.weekofyear(F.to_date("ts")).alias("week")
+            "event_type",
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start"),
         ).agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
-        m = {(r.event_type, r.week): r.est for r in merged.collect()}
-        d = {(r.event_type, r.week): r.est for r in direct.collect()}
+        m = {(r.event_type, r.week_start): r.est for r in merged.collect()}
+        d = {(r.event_type, r.week_start): r.est for r in direct.collect()}
         assert m == d
 
     def test_rollup_estimates_near_exact(self, spark, sf_dir):
@@ -88,14 +90,17 @@ class TestSketchRollup:
         from bireme_spark.sources.tables import load_table
 
         est = {
-            (r.event_type, r.week): r.approx_users
+            (r.event_type, r.week_start): r.approx_users
             for r in events_sketch_rollup(spark, sf_dir).collect()
         }
         e = load_table(spark, sf_dir, "events")
         exact = {
-            (r.event_type, r.week): r.n
+            (r.event_type, r.week_start): r.n
             for r in e.groupBy(
-                "event_type", F.weekofyear(F.to_date("ts")).alias("week")
+                "event_type",
+                F.date_format(
+                    F.date_trunc("week", F.to_date("ts")).cast("date"), "yyyy-MM-dd"
+                ).alias("week_start"),
             )
             .agg(F.countDistinct("user_id").alias("n"))
             .collect()
