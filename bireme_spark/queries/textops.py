@@ -496,3 +496,52 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["quality_classifier"] = quality_classifier
+
+
+_BLOCKLIST = ("dup", "crash", "leak")
+
+
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/blocklist filtering — the word-list screen every corpus
+    pipeline runs before training (C4's badwords pass): per-doc
+    occurrence count and distinct-term count against a blocklist,
+    plus the keep flag (zero hits).
+
+    Scale: the blocklist is a literal array in the plan (a lexicon
+    would broadcast); matching is map-side JVM higher-order exprs
+    (filter + array_intersect on the projected token array) inside
+    whole-stage codegen — a pure scan, no shuffle, same shape as
+    text_gopher_rules."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bl = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    d = d.select("doc_id", ws.alias("ws"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.filter(F.col("ws"), lambda w: F.array_contains(bl, w))).alias(
+                "n_hits"
+            ),
+            F.size(F.array_intersect(F.col("ws"), bl)).alias("n_terms_hit"),
+        )
+        .withColumn("keep", (F.col("n_hits") == 0))
+        .orderBy("doc_id")
+    )
+
+
+_BL_SQL_LIST = "[" + ", ".join(f"'{t}'" for t in _BLOCKLIST) + "]"
+
+TEXT_BLOCKLIST_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(ws, w -> list_contains({_BL_SQL_LIST}, w))) AS INTEGER) AS n_hits,
+       CAST(len(list_intersect(ws, {_BL_SQL_LIST})) AS INTEGER) AS n_terms_hit,
+       len(list_filter(ws, w -> list_contains({_BL_SQL_LIST}, w))) = 0 AS keep
+FROM t
+ORDER BY doc_id
+"""
+
+QUERIES["text_blocklist_filter"] = text_blocklist_filter
+ORACLE["text_blocklist_filter"] = TEXT_BLOCKLIST_SQL

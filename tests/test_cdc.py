@@ -486,3 +486,74 @@ class TestMergeInto:
             matched_delete=F.col("s.flag") == "D",
         ).collect()
         assert [(r.k, r.price) for r in out] == [(1, 100.0)]
+
+
+class TestMergeIntoProperties:
+    """Property check: merge_into ≡ a sequential ANSI-MERGE reference
+    on randomized base/source tables — every clause combination, NULL
+    source columns included (clause conditions fire only when TRUE)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base_rows = st.dictionaries(
+        st.integers(min_value=0, max_value=6),  # key
+        st.integers(min_value=0, max_value=100),  # price
+        max_size=5,
+    )
+    src_rows = st.dictionaries(
+        st.integers(min_value=0, max_value=6),
+        st.tuples(
+            st.sampled_from(["I", "U", "D", None]),  # op (None ⇒ NULL column)
+            st.integers(min_value=0, max_value=150),  # new price
+        ),
+        max_size=5,
+    )
+
+    @given(base_rows, src_rows)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_sequential_merge(self, spark, base, src):
+        from bireme_spark.operators.cdc import merge_into
+
+        bdf = spark.createDataFrame(
+            [(k, float(v)) for k, v in base.items()] or [],
+            "k long, price double",
+        )
+        sdf = spark.createDataFrame(
+            [(k, op, float(p)) for k, (op, p) in src.items()] or [],
+            "key long, op string, new_price double",
+        )
+        got = {
+            r.k: r.price
+            for r in merge_into(
+                bdf,
+                sdf,
+                ("k",),
+                ("key",),
+                matched_delete=F.col("s.op") == "D",
+                matched_update={"price": F.col("s.new_price")},
+                matched_update_cond=(F.col("s.op") == "U")
+                & (F.col("s.new_price") > F.col("t.price")),
+                not_matched_insert={
+                    "k": F.col("s.key"),
+                    "price": F.col("s.new_price"),
+                },
+                not_matched_insert_cond=F.col("s.op") != "D",
+            ).collect()
+        }
+        # sequential ANSI MERGE reference: conditions must be TRUE
+        want = dict((k, float(v)) for k, v in base.items())
+        for k, (op, p) in src.items():
+            if k in base:
+                if op == "D":
+                    del want[k]
+                elif op == "U" and float(p) > float(base[k]):
+                    want[k] = float(p)
+            else:
+                if op is not None and op != "D":
+                    want[k] = float(p)
+        assert got == want
