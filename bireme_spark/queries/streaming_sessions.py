@@ -243,3 +243,81 @@ ORDER BY 1, 2
 
 QUERIES["streaming_sliding_window"] = streaming_sliding_window
 ORACLE["streaming_sliding_window"] = STREAMING_SLIDING_SQL
+
+
+def streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance under Structured Streaming —
+    the streaming twin of ``events_sketch_rollup``: each micro-batch
+    folds its events into per-(type, day) HLL sketches and
+    ``hll_union_agg``-merges them into a persisted sketch-state
+    table (foreachBatch, versioned state dirs); after the replay the
+    weekly distinct-user estimates come from the STATE ONLY — the
+    raw stream is never rescanned.
+
+    Because sketch union is associative, the incremental state must
+    equal the one-shot batch rollup EXACTLY —
+    tests/test_sketches.py::TestSketchRollup asserts estimate-level
+    equality with events_sketch_rollup (*rows-only* at the gate:
+    register contents are engine-specific)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from bireme_spark.streaming.replay import read_replay, replay_to_files
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    work = tempfile.mkdtemp(prefix="bireme_sketch_")
+    src = f"{work}/in"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        replay_to_files(ev, "ts", src)
+        stream = read_replay(
+            spark, src, "ts timestamp, user_id long, event_type string"
+        )
+        state = {"dir": None}
+
+        def fold(batch_df, batch_id: int) -> None:
+            inc = batch_df.groupBy(
+                "event_type", F.to_date("ts").alias("day")
+            ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+            if state["dir"] is not None:
+                prev = spark.read.parquet(state["dir"])
+                inc = (
+                    prev.unionByName(inc)
+                    .groupBy("event_type", "day")
+                    .agg(F.hll_union_agg("sk").alias("sk"))
+                )
+            new_dir = f"{work}/state_v{batch_id}"
+            inc.write.mode("overwrite").parquet(new_dir)
+            state["dir"] = new_dir
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final = spark.read.parquet(state["dir"])
+        return (
+            final.groupBy(
+                "event_type",
+                F.date_format(
+                    F.date_trunc("week", "day").cast("date"), "yyyy-MM-dd"
+                ).alias("week_start"),
+            )
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+                F.count(F.lit(1)).alias("n_days_merged"),
+            )
+            .select(
+                "event_type",
+                "week_start",
+                F.col("approx_users").cast("bigint").alias("approx_users"),
+                F.col("n_days_merged").cast("int").alias("n_days_merged"),
+            )
+            .orderBy("event_type", "week_start")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+QUERIES["streaming_sketch_rollup"] = streaming_sketch_rollup  # rows-only

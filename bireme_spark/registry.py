@@ -52,6 +52,7 @@ _SLOW = frozenset(
         "cdc_multi_table_sync",
         "jdbc_merge_apply",
         "embedding_knn_pagerank",
+        "streaming_sketch_rollup",
     }
 )
 

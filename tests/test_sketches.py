@@ -109,3 +109,14 @@ class TestSketchRollup:
         for k, n in exact.items():
             # lgK=12 ⇒ rsd ≈ 1.6%; allow 5% + small-count slack
             assert abs(est[k] - n) <= max(3, 0.05 * n), (k, est[k], n)
+
+    def test_streaming_state_equals_batch_rollup(self, spark, sf_dir):
+        # incremental foreachBatch sketch state must reproduce the
+        # one-shot batch rollup EXACTLY (union associativity across
+        # micro-batch boundaries)
+        from bireme_spark.queries.events import events_sketch_rollup
+        from bireme_spark.queries.streaming_sessions import streaming_sketch_rollup
+
+        batch = [tuple(r) for r in events_sketch_rollup(spark, sf_dir).collect()]
+        stream = [tuple(r) for r in streaming_sketch_rollup(spark, sf_dir).collect()]
+        assert stream == batch
