@@ -652,3 +652,46 @@ LIMIT {_PATH_TOPK}
 
 QUERIES["events_user_paths"] = events_user_paths
 ORACLE["events_user_paths"] = EVENTS_USER_PATHS_SQL
+
+
+def events_value_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions — percent_rank and
+    cume_dist of each event's value within its (type, day) cohort
+    (the "where does this transaction sit in today's distribution"
+    question fraud/alerting queries ask).
+
+    Determinism: both functions are RANK-based, so tied values get
+    identical outputs regardless of intra-tie order — no tiebreak
+    column needed; results round at 6dp.
+
+    Scale: the window partitions on (type, day) — cohort-sized
+    sorts that stay small at any corpus scale (vs a per-type-only
+    partition, which would grow with the data); ONE shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("value")
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "value",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_VALUE_RANK_SQL = """
+SELECT event_id, event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       value,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY value)
+ORDER BY event_id
+"""
+
+QUERIES["events_value_rank_daily"] = events_value_rank_daily
+ORACLE["events_value_rank_daily"] = EVENTS_VALUE_RANK_SQL
