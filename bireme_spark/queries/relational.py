@@ -339,3 +339,37 @@ ORDER BY p_partkey
 
 QUERIES["parts_keyword_search"] = parts_keyword_search
 ORACLE["parts_keyword_search"] = PARTS_KEYWORD_SEARCH_SQL
+
+
+def customers_churn_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cohort analysis: customers RETAINED from 1995 to
+    1996 (INTERSECT), CHURNED (EXCEPT), and NEW (reverse EXCEPT) —
+    the set-algebra idioms (DataFrame.intersect / exceptAll) the
+    other queries don't exercise.
+
+    Scale: each set op is a distinct-aggregate join on the customer
+    key — the same single PK-hash shuffle as a semi/anti join; the
+    three branches reuse the two year-slices. Output is one summary
+    row (three counts), so only counts cross the driver."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    retained = y95.intersect(y96).count()
+    churned = y95.distinct().exceptAll(y96.distinct()).count()
+    new = y96.distinct().exceptAll(y95.distinct()).count()
+    return spark.createDataFrame(
+        [(retained, churned, new)],
+        "retained bigint, churned bigint, new_customers bigint",
+    )
+
+
+CUSTOMERS_CHURN_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT (SELECT COUNT(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)) AS retained,
+       (SELECT COUNT(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)) AS churned,
+       (SELECT COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)) AS new_customers
+"""
+
+QUERIES["customers_churn_setops"] = customers_churn_setops
+ORACLE["customers_churn_setops"] = CUSTOMERS_CHURN_SQL
