@@ -695,3 +695,67 @@ ORDER BY event_id
 
 QUERIES["events_value_rank_daily"] = events_value_rank_daily
 ORACLE["events_value_rank_daily"] = EVENTS_VALUE_RANK_SQL
+
+
+def events_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitoring: Shannon entropy of the daily
+    event-type mix (a collapsing mix — errors crowding out clicks —
+    moves H before any single count alarms).
+
+    Exactness: per-type terms −(c/n)·ln(c/n) are rounded at 6dp and
+    DECIMAL-summed (the unigram-logprob discipline), so H is
+    engine-identical.
+
+    Scale: ONE (day, type) map-side-combined agg collapses the
+    stream; the entropy fold runs on |days|×|types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = daily.groupBy("day").agg(F.sum("c").alias("n"))
+    terms = daily.join(tot, "day").select(
+        "day",
+        F.round(-(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")), 6)
+        .cast("decimal(18,6)")
+        .alias("h_term"),
+        "c",
+    )
+    return (
+        terms.groupBy("day")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            F.round(F.sum("h_term").cast("double"), 6).alias("entropy"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_types",
+            "entropy",
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_ENTROPY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT day, SUM(c) AS n FROM daily GROUP BY 1),
+terms AS (
+  SELECT d.day, d.c,
+         CAST(ROUND(-(d.c / CAST(t.n AS DOUBLE)) * LN(d.c / CAST(t.n AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS h_term
+  FROM daily d JOIN tot t USING (day)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS INTEGER) AS n_types,
+       ROUND(CAST(SUM(h_term) AS DOUBLE), 6) AS entropy
+FROM terms GROUP BY day
+ORDER BY day
+"""
+
+QUERIES["events_entropy_daily"] = events_entropy_daily
+ORACLE["events_entropy_daily"] = EVENTS_ENTROPY_SQL

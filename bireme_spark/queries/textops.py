@@ -545,3 +545,74 @@ ORDER BY doc_id
 
 QUERIES["text_blocklist_filter"] = text_blocklist_filter
 ORACLE["text_blocklist_filter"] = TEXT_BLOCKLIST_SQL
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal novelty score (memorization/freshness curation
+    metric): the fraction of each document's distinct trigrams that
+    FIRST appear in that document (no earlier doc_id contains them).
+    Early docs score ~1; verbatim re-posts score ~0 — the longitudinal
+    complement of text_crossdoc_spans.
+
+    Scale: per-doc shingles dedupe map-side (array_distinct before
+    explode); ONE (shingle) shuffle computes the global first-seer
+    via min(doc_id) as a window on that same exchange; the per-doc
+    novelty fold is a second, doc-keyed agg. Linear in total
+    shingles — no self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    sh = t.where(n >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(ws)-2),"
+                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+                )
+            )
+        ).alias("s"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s")
+    marked = sh.withColumn("first_doc", F.min("doc_id").over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novel_frac", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_NOVELTY_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM t WHERE len(ws) >= 3
+),
+marked AS (
+  SELECT doc_id, s, MIN(doc_id) OVER (PARTITION BY s) AS first_doc FROM sh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
+FROM marked GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
+ORACLE["corpus_ngram_novelty"] = CORPUS_NOVELTY_SQL
