@@ -445,3 +445,94 @@ ORDER BY l_returnflag
 
 QUERIES["lineitem_ols_regression"] = lineitem_ols_regression
 ORACLE["lineitem_ols_regression"] = LINEITEM_OLS_SQL
+
+
+def orders_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test at scale — is line-item return
+    behavior independent of order priority? The A/B-testing primitive
+    run as pure aggregation: ONE PK-hash join (lineitem→orders, the
+    cdc_apply shuffle) feeds a contingency-table agg; expected counts
+    and χ² terms are computed on the |priorities|×|flags| table, so
+    nothing after the first agg is corpus-sized.
+
+    Exactness: observed counts and margins are integers; each χ² term
+    (O−E)²/E is rounded at 6dp and DECIMAL-summed — engine-identical.
+    Output: one row per cell (observed, expected, term) plus the
+    statistic via a window total, fully value-checked."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    cells = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("l_returnflag")
+    wt = Window.partitionBy()
+    t = (
+        cells.withColumn("row_n", F.sum("observed").over(wr))
+        .withColumn("col_n", F.sum("observed").over(wc))
+        .withColumn("N", F.sum("observed").over(wt))
+        .withColumn(
+            "expected",
+            F.round(F.col("row_n") * F.col("col_n") / F.col("N").cast("double"), 6),
+        )
+        .withColumn(
+            "term",
+            F.round(
+                (F.col("observed") - F.col("expected"))
+                * (F.col("observed") - F.col("expected"))
+                / F.col("expected"),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    return (
+        t.withColumn("chi2", F.round(F.sum("term").over(wt).cast("double"), 6))
+        .select(
+            "o_orderpriority",
+            "l_returnflag",
+            F.col("observed").cast("bigint").alias("observed"),
+            "expected",
+            F.col("term").cast("double").alias("term"),
+            "chi2",
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )
+
+
+ORDERS_CHI2_SQL = """
+WITH cells AS (
+  SELECT o.o_orderpriority, l.l_returnflag, COUNT(*) AS observed
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT *,
+         SUM(observed) OVER (PARTITION BY o_orderpriority) AS row_n,
+         SUM(observed) OVER (PARTITION BY l_returnflag) AS col_n,
+         SUM(observed) OVER () AS N
+  FROM cells
+),
+e AS (
+  SELECT o_orderpriority, l_returnflag, observed,
+         ROUND(row_n * col_n / CAST(N AS DOUBLE), 6) AS expected
+  FROM t
+),
+s AS (
+  SELECT *,
+         CAST(ROUND((observed - expected) * (observed - expected) / expected, 6)
+              AS DECIMAL(18,6)) AS term
+  FROM e
+)
+SELECT o_orderpriority, l_returnflag,
+       CAST(observed AS BIGINT) AS observed,
+       expected,
+       CAST(term AS DOUBLE) AS term,
+       ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS chi2
+FROM s
+ORDER BY o_orderpriority, l_returnflag
+"""
+
+QUERIES["orders_chi2_independence"] = orders_chi2_independence
+ORACLE["orders_chi2_independence"] = ORDERS_CHI2_SQL
