@@ -450,3 +450,98 @@ ORDER BY rnd, rnk
 
 QUERIES["tokenizer_bpe_pairs"] = tokenizer_bpe_pairs
 ORACLE["tokenizer_bpe_pairs"] = TOKENIZER_BPE_SQL
+
+
+_ZIPF_K = 200
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health distribution check: fit Zipf's law to the top-200
+    vocabulary by log-log OLS (ln freq ≈ intercept + slope·ln rank;
+    natural text gives slope ≈ −1, and a synthetic/degenerate corpus
+    shows up as a bad fit or shallow slope before any downstream
+    metric notices).
+
+    Exactness: ranks/counts are integers; ln values are rounded at
+    6dp and the OLS sufficient statistics DECIMAL-accumulate over the
+    200-row vocab (order-proof), with the closed-form combination in
+    identical double expressions on both engines.
+
+    Scale: ONE token shuffle builds the term counts; top-K is
+    TakeOrdered; the regression runs on K rows."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(_ZIPF_K)
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token"))
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(18,6)")
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return stats.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+TEXT_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> '' GROUP BY 1
+  ORDER BY cnt DESC, token LIMIT {_ZIPF_K}
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank FROM counts
+),
+pts AS (
+  SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(LN(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+       ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM stats
+"""
+
+QUERIES["text_zipf_fit"] = text_zipf_fit
+ORACLE["text_zipf_fit"] = TEXT_ZIPF_SQL
