@@ -536,3 +536,80 @@ ORDER BY o_orderpriority, l_returnflag
 
 QUERIES["orders_chi2_independence"] = orders_chi2_independence
 ORACLE["orders_chi2_independence"] = ORDERS_CHI2_SQL
+
+
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (inequality) analysis: the Gini
+    coefficient of customer order revenue within each nation, via the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenues sorted
+    ascending — how top-heavy each market is.
+
+    Exactness: per-customer revenue is a DECIMAL sum; ranks are
+    integers (ties broken by custkey — same order both engines);
+    Σ(i·xᵢ) accumulates as exact DECIMAL; the final combination is an
+    identical double expression, rounded 6dp.
+
+    Scale: revenue agg shuffles once on the customer PK; the rank
+    window partitions per nation (cohort-sized sorts), and the final
+    agg is |nations| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("total_rev"),
+        F.sum(F.col("i") * F.col("rev")).alias("iwsum"),
+    )
+    nn = F.col("n_customers").cast("double")
+    return g.select(
+        F.col("n_name").alias("nation"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("total_rev").cast("double").alias("total_rev"),
+        F.round(
+            2.0 * F.col("iwsum").cast("double") / (nn * F.col("total_rev").cast("double"))
+            - (nn + 1.0) / nn,
+            6,
+        ).alias("gini"),
+    ).orderBy("nation")
+
+
+NATION_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+located AS (
+  SELECT r.o_custkey, r.rev, n.n_name
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                               ORDER BY rev ASC, o_custkey ASC) AS i
+  FROM located
+),
+g AS (
+  SELECT n_name, COUNT(*) AS n_customers, SUM(rev) AS total_rev,
+         SUM(i * rev) AS iwsum
+  FROM ranked GROUP BY 1
+)
+SELECT n_name AS nation,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(total_rev AS DOUBLE) AS total_rev,
+       ROUND(2.0 * CAST(iwsum AS DOUBLE) / (CAST(n_customers AS DOUBLE) * CAST(total_rev AS DOUBLE))
+             - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE), 6) AS gini
+FROM g
+ORDER BY nation
+"""
+
+QUERIES["nation_revenue_gini"] = nation_revenue_gini
+ORACLE["nation_revenue_gini"] = NATION_GINI_SQL
