@@ -642,3 +642,71 @@ ORACLE = {
     "corpus_filter_pipeline": CORPUS_FILTER_SQL,
     "corpus_token_budget_select": CORPUS_TOKEN_BUDGET_SQL,
 }
+
+
+def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift audit: KL divergence of each source's language
+    mix from the corpus-wide mix, KL(source‖corpus) = Σ p·ln(p/q) —
+    the per-source drift score a mixing pipeline watches when a crawl
+    slice changes character.
+
+    Exactness: p and q are ratios of integer counts; each term is
+    rounded at 6dp and DECIMAL-summed (the entropy/logprob
+    discipline). q > 0 wherever p > 0 by construction (the source's
+    languages are a subset of the corpus's).
+
+    Scale: ONE (source, lang) agg collapses the corpus; marginals
+    re-aggregate those cells; everything after is |sources|×|langs|
+    rows with broadcast-sized joins."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = cells.groupBy("source").agg(F.sum("c").alias("ns"))
+    lang_tot = cells.groupBy("lang").agg(F.sum("c").alias("nl"))
+    grand = cells.agg(F.sum("c").alias("N"))
+    terms = (
+        cells.join(src_tot, "source")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            F.round(
+                (F.col("c") / F.col("ns"))
+                * F.log((F.col("c") / F.col("ns")) / (F.col("nl") / F.col("N"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("kl_term"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.round(F.sum("kl_term").cast("double"), 6).alias("kl_divergence"))
+        .orderBy("source")
+    )
+
+
+CORPUS_SOURCE_KL_SQL = """
+WITH cells AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+src_tot AS (SELECT source, SUM(c) AS ns FROM cells GROUP BY 1),
+lang_tot AS (SELECT lang, SUM(c) AS nl FROM cells GROUP BY 1),
+grand AS (SELECT SUM(c) AS N FROM cells),
+terms AS (
+  SELECT cells.source,
+         CAST(ROUND((cells.c / CAST(s.ns AS DOUBLE))
+                    * LN((cells.c / CAST(s.ns AS DOUBLE))
+                         / (l.nl / CAST(g.N AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS kl_term
+  FROM cells
+  JOIN src_tot s USING (source)
+  JOIN lang_tot l USING (lang)
+  CROSS JOIN grand g
+)
+SELECT source, ROUND(CAST(SUM(kl_term) AS DOUBLE), 6) AS kl_divergence
+FROM terms GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["corpus_source_kl"] = corpus_source_kl
+ORACLE["corpus_source_kl"] = CORPUS_SOURCE_KL_SQL

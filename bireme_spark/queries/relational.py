@@ -613,3 +613,81 @@ ORDER BY nation
 
 QUERIES["nation_revenue_gini"] = nation_revenue_gini
 ORACLE["nation_revenue_gini"] = NATION_GINI_SQL
+
+
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price per return flag —
+    the weighted-quantile primitive (plain percentiles treat a
+    1000-unit line like a 1-unit line; procurement/pricing analytics
+    weight by volume): the smallest price whose running quantity
+    weight reaches half the group's total.
+
+    Exactness: weights and the half-total comparison are DECIMAL
+    (2·cumw ≥ W avoids dividing W by 2); price ordering ties break by
+    orderkey/linenumber only inside the cumsum (the selected price is
+    tie-insensitive).
+
+    Scale: ONE shuffle on the group key; the cumsum window sorts
+    within each group partition; output is |groups| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") / F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(18,6)")
+        .alias("unit_price"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "unit_price", "l_orderkey", "l_linenumber"
+    )
+    tot = Window.partitionBy("l_returnflag")
+    t = li.withColumn(
+        "cumw", F.sum("qty").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("W", F.sum("qty").over(tot))
+    hit = t.where(2 * F.col("cumw") >= F.col("W"))
+    pick = Window.partitionBy("l_returnflag").orderBy(
+        "unit_price", "l_orderkey", "l_linenumber"
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("unit_price").cast("double").alias("weighted_median_price"),
+            F.col("W").cast("double").alias("total_quantity"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_WMEDIAN_SQL = """
+WITH t AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              / CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,6)) AS unit_price
+  FROM lineitem
+),
+c AS (
+  SELECT *,
+         SUM(qty) OVER (PARTITION BY l_returnflag
+                        ORDER BY unit_price, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(qty) OVER (PARTITION BY l_returnflag) AS W
+  FROM t
+)
+SELECT l_returnflag,
+       CAST(unit_price AS DOUBLE) AS weighted_median_price,
+       CAST(W AS DOUBLE) AS total_quantity
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY unit_price, l_orderkey, l_linenumber) AS rn
+  FROM c WHERE 2 * cumw >= W
+)
+WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+QUERIES["lineitem_weighted_median"] = lineitem_weighted_median
+ORACLE["lineitem_weighted_median"] = LINEITEM_WMEDIAN_SQL
