@@ -642,3 +642,62 @@ ORACLE = {
     "events_histogram": EVENTS_HISTOGRAM_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
 }
+
+
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process characterization per event type: exact
+    mean/median/p95 of inter-arrival gaps (consecutive events of the
+    same type), the burstiness profile capacity planning and anomaly
+    baselines read.
+
+    Exactness: gaps are integer microseconds from the lead window
+    (ties break by event_id); exact percentiles on integers are
+    engine-identical; the mean is an integer-sum / count rounded 6dp.
+
+    Scale: ONE shuffle on event_type; gaps and the percentile agg
+    ride that partitioning. (Per-type partitions grow with the
+    stream — at 100 TB the same query runs per (type, day) the way
+    events_value_rank_daily does; type-level here matches the
+    baseline use.)"""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        e.select(
+            "event_type", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+        )
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .where(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1e6, 6).alias(
+                "mean_gap_s"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias("p50_gap_s"),
+            F.round(F.expr("percentile(gap_us, 0.95)") / 1e6, 6).alias("p95_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_gap_s,
+       ROUND(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+       ROUND(quantile_cont(gap_us, 0.95) / 1e6, 6) AS p95_gap_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_interarrival_stats"] = events_interarrival_stats
+ORACLE["events_interarrival_stats"] = EVENTS_INTERARRIVAL_SQL
