@@ -352,3 +352,61 @@ ORDER BY vec_id
 
 QUERIES["dedup_semantic"] = dedup_semantic
 ORACLE["dedup_semantic"] = DEDUP_SEMANTIC_SQL
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning analytics: near-dup PAIR counts per Jaccard
+    band (0.5–0.6, …, 0.9–1.0] from ONE pair-similarity pass — the
+    curve that picks τ for a production dedup run (too low = false
+    merges, too high = missed dups; the knee is data-dependent).
+
+    Reuses the exact inverted-index pair miner at its lowest band
+    edge (τ=0.5, same max_df hot-shingle guard), then bands map-side —
+    sweeping five thresholds costs exactly one mining pass, not
+    five."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.5, max_df=100)
+    band = F.least(F.floor(F.col("jaccard") * 10) / 10, F.lit(0.9))
+    return (
+        pairs.groupBy(band.alias("band_lo"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("band_hi", F.round(F.col("band_lo") + 0.1, 1))
+        .select(F.round("band_lo", 1).alias("band_lo"), "band_hi", "n_pairs")
+        .orderBy("band_lo")
+    )
+
+
+DEDUP_SWEEP_SQL = """
+WITH pairs AS (
+  SELECT id_a, id_b, jaccard FROM (
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i) t
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 100
+    ),
+    pruned AS (SELECT sh.* FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  )
+  WHERE jaccard >= 0.5
+)
+SELECT ROUND(LEAST(FLOOR(jaccard * 10) / 10, 0.9), 1) AS band_lo,
+       ROUND(LEAST(FLOOR(jaccard * 10) / 10, 0.9) + 0.1, 1) AS band_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY 1, 2
+ORDER BY band_lo
+"""
+
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+ORACLE["dedup_threshold_sweep"] = DEDUP_SWEEP_SQL
