@@ -710,3 +710,64 @@ ORDER BY source
 
 QUERIES["corpus_source_kl"] = corpus_source_kl
 ORACLE["corpus_source_kl"] = CORPUS_SOURCE_KL_SQL
+
+
+def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-stratum downsampling (the eval-set builder): keep
+    the k=10 docs per source with the smallest md5(doc_id) — a
+    reproducible, engine-portable uniform draw that equalizes strata
+    regardless of their raw sizes. Reports per-source stratum size,
+    sampled count, and the exact character budget of the sample.
+
+    Scale design: the hash is computed map-side and the per-stratum
+    top-k is a row_number window on ONE source-key shuffle; the
+    stratum-size agg reuses the same key. At 100 TB, pre-filtering on
+    a hash prefix (h < threshold chosen from stratum counts) would
+    cut the window's sort input by orders of magnitude — the top-k
+    semantics are unchanged because md5 order is uniform; noted as
+    the knob, not needed at test scale.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    picked = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
+    samp = picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sampled_rows"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("stratum_rows"))
+    return (
+        tot.join(samp, "source")
+        .select("source", "stratum_rows", "sampled_rows", "sampled_chars")
+        .orderBy("source")
+    )
+
+
+BALANCED_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+picked AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+    FROM d
+  ) WHERE rn <= 10
+),
+samp AS (
+  SELECT source, COUNT(*) AS sampled_rows,
+         CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+  FROM picked GROUP BY 1
+),
+tot AS (SELECT source, COUNT(*) AS stratum_rows FROM d GROUP BY 1)
+SELECT t.source, t.stratum_rows, s.sampled_rows, s.sampled_chars
+FROM tot t JOIN samp s ON t.source = s.source
+ORDER BY t.source
+"""
+
+QUERIES["corpus_balanced_sample"] = corpus_balanced_sample
+ORACLE["corpus_balanced_sample"] = BALANCED_SAMPLE_SQL

@@ -759,3 +759,100 @@ ORDER BY day
 
 QUERIES["events_entropy_daily"] = events_entropy_daily
 ORACLE["events_entropy_daily"] = EVENTS_ENTROPY_SQL
+
+
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: for each user, time from
+    their FIRST view to the first purchase at-or-after it; one-row
+    summary (conversion rate + exact min/median/mean/max seconds).
+
+    Scale design: both passes shuffle only on user_id (first-view
+    agg, then purchase min after a key-equi join); the latency
+    distribution then collapses to a seconds→count histogram in a
+    map-side-combined agg, so the exact-median window runs on
+    histogram-sized data, never a global row sort. All stats are
+    integer-µs exact; the final divisions are IEEE doubles of exact
+    integers (engine-identical).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    viewers = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(viewers, "user_id")
+        .where(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"), F.min("v_us").alias("v_us"))
+        .select(F.expr("(p_us - v_us) div 1000000").alias("lat_s"))
+    )
+    hist = conv.groupBy("lat_s").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "tot", F.sum("n").over(wall)
+    )
+    s2 = cum.agg(
+        F.sum("n").alias("n_converted"),
+        F.min("lat_s").alias("min_latency_s"),
+        F.min(F.when(F.lit(2) * F.col("cum") >= F.col("tot"), F.col("lat_s"))).alias(
+            "median_latency_s"
+        ),
+        F.sum(F.col("lat_s") * F.col("n")).alias("_lsum"),
+        F.max("lat_s").alias("max_latency_s"),
+    )
+    s1 = viewers.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return s1.crossJoin(s2).select(
+        "n_viewers",
+        "n_converted",
+        (F.col("n_converted").cast("double") / F.col("n_viewers").cast("double")).alias(
+            "conversion_rate"
+        ),
+        "min_latency_s",
+        "median_latency_s",
+        (F.col("_lsum").cast("double") / F.col("n_converted").cast("double")).alias(
+            "mean_latency_s"
+        ),
+        "max_latency_s",
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH viewers AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+  SELECT (MIN(epoch_us(e.ts)) - MIN(v.v_us)) // 1000000 AS lat_s
+  FROM events e JOIN viewers v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+  GROUP BY e.user_id
+),
+hist AS (SELECT lat_s, COUNT(*) AS n FROM conv GROUP BY 1),
+cum AS (
+  SELECT *,
+         SUM(n) OVER (ORDER BY lat_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS tot
+  FROM hist
+),
+s2 AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_converted,
+         MIN(lat_s) AS min_latency_s,
+         MIN(CASE WHEN 2 * cum >= tot THEN lat_s END) AS median_latency_s,
+         CAST(SUM(lat_s * n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS mean_latency_s,
+         MAX(lat_s) AS max_latency_s
+  FROM cum
+),
+s1 AS (SELECT COUNT(*) AS n_viewers FROM viewers)
+SELECT n_viewers, n_converted,
+       CAST(n_converted AS DOUBLE) / CAST(n_viewers AS DOUBLE) AS conversion_rate,
+       min_latency_s, median_latency_s, mean_latency_s, max_latency_s
+FROM s1, s2
+"""
+
+QUERIES["events_conversion_latency"] = events_conversion_latency
+ORACLE["events_conversion_latency"] = CONVERSION_LATENCY_SQL

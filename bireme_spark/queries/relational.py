@@ -691,3 +691,124 @@ ORDER BY l_returnflag
 
 QUERIES["lineitem_weighted_median"] = lineitem_weighted_median
 ORACLE["lineitem_weighted_median"] = LINEITEM_WMEDIAN_SQL
+
+
+def customers_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation
+    with exact quintile scores, reported as cell counts + average
+    spend per (r, f, m) segment — the classic CRM rollup.
+
+    Scale design: the naive plan scores with three global
+    ``ntile(5)`` windows — three full sorts of the customer table.
+    Instead, each metric collapses to a value→count histogram
+    (map-side-combined agg on customer-level data), the exact CDF
+    runs on histogram-sized frames, and the four quintile boundaries
+    per metric come back as ONE broadcast row; scores are then pure
+    map-side expressions (`1 + Σ (v > bᵢ)`). The only customer-scale
+    exchanges are the per-customer agg and the ≤5³-cell final rollup.
+    Boundary semantics: score s means v is in the s-th quintile with
+    ties collapsing downward (v ≤ b₁ → 1), identical in both engines
+    because boundaries and comparisons are exact ints/decimals.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", money("o_totalprice").alias("price")
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("d_last"),
+        F.count(F.lit(1)).alias("f_val"),
+        F.sum("price").alias("m_val"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("d_anchor"))
+    cust = cust.join(F.broadcast(anchor)).withColumn(
+        "r_val", F.datediff("d_anchor", "d_last")
+    )
+
+    def bounds(col: str, prefix: str) -> DataFrame:
+        hist = cust.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+            "tot", F.sum("cnt").over(Window.partitionBy())
+        )
+        cd = F.col("cum").cast("double") / F.col("tot").cast("double")
+        return cum.agg(
+            *[
+                F.min(F.when(cd >= q, F.col(col))).alias(f"{prefix}{i}")
+                for i, q in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+            ]
+        )
+
+    b = bounds("r_val", "rb").join(bounds("f_val", "fb")).join(bounds("m_val", "mb"))
+
+    def score(col: str, prefix: str):
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + F.when(F.col(col) > F.col(f"{prefix}{i}"), 1).otherwise(0)
+        return s
+
+    scored = cust.join(F.broadcast(b)).select(
+        score("r_val", "rb").alias("r_score"),
+        score("f_val", "fb").alias("f_score"),
+        score("m_val", "mb").alias("m_score"),
+        "m_val",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("m_val").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS d_last, COUNT(*) AS f_val,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS m_val
+  FROM orders GROUP BY 1
+),
+withr AS (
+  SELECT c.*, datediff('day', d_last, (SELECT MAX(o_orderdate) FROM orders)) AS r_val
+  FROM cust c
+),
+rh AS (SELECT r_val AS v, COUNT(*) AS cnt FROM withr GROUP BY 1),
+fh AS (SELECT f_val AS v, COUNT(*) AS cnt FROM withr GROUP BY 1),
+mh AS (SELECT m_val AS v, COUNT(*) AS cnt FROM withr GROUP BY 1),
+rc AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS cd FROM rh),
+fc AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS cd FROM fh),
+mc AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS cd FROM mh),
+b AS (
+  SELECT
+    (SELECT MIN(CASE WHEN cd >= 0.2 THEN v END) FROM rc) AS rb1,
+    (SELECT MIN(CASE WHEN cd >= 0.4 THEN v END) FROM rc) AS rb2,
+    (SELECT MIN(CASE WHEN cd >= 0.6 THEN v END) FROM rc) AS rb3,
+    (SELECT MIN(CASE WHEN cd >= 0.8 THEN v END) FROM rc) AS rb4,
+    (SELECT MIN(CASE WHEN cd >= 0.2 THEN v END) FROM fc) AS fb1,
+    (SELECT MIN(CASE WHEN cd >= 0.4 THEN v END) FROM fc) AS fb2,
+    (SELECT MIN(CASE WHEN cd >= 0.6 THEN v END) FROM fc) AS fb3,
+    (SELECT MIN(CASE WHEN cd >= 0.8 THEN v END) FROM fc) AS fb4,
+    (SELECT MIN(CASE WHEN cd >= 0.2 THEN v END) FROM mc) AS mb1,
+    (SELECT MIN(CASE WHEN cd >= 0.4 THEN v END) FROM mc) AS mb2,
+    (SELECT MIN(CASE WHEN cd >= 0.6 THEN v END) FROM mc) AS mb3,
+    (SELECT MIN(CASE WHEN cd >= 0.8 THEN v END) FROM mc) AS mb4
+),
+scored AS (
+  SELECT
+    1 + (CASE WHEN r_val > rb1 THEN 1 ELSE 0 END) + (CASE WHEN r_val > rb2 THEN 1 ELSE 0 END)
+      + (CASE WHEN r_val > rb3 THEN 1 ELSE 0 END) + (CASE WHEN r_val > rb4 THEN 1 ELSE 0 END) AS r_score,
+    1 + (CASE WHEN f_val > fb1 THEN 1 ELSE 0 END) + (CASE WHEN f_val > fb2 THEN 1 ELSE 0 END)
+      + (CASE WHEN f_val > fb3 THEN 1 ELSE 0 END) + (CASE WHEN f_val > fb4 THEN 1 ELSE 0 END) AS f_score,
+    1 + (CASE WHEN m_val > mb1 THEN 1 ELSE 0 END) + (CASE WHEN m_val > mb2 THEN 1 ELSE 0 END)
+      + (CASE WHEN m_val > mb3 THEN 1 ELSE 0 END) + (CASE WHEN m_val > mb4 THEN 1 ELSE 0 END) AS m_score,
+    m_val
+  FROM withr, b
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       CAST(SUM(m_val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+QUERIES["customers_rfm_segmentation"] = customers_rfm_segmentation
+ORACLE["customers_rfm_segmentation"] = RFM_SQL

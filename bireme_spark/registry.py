@@ -111,6 +111,7 @@ def _load() -> None:
         "timeseries",
         "maintenance",
         "relational",
+        "audit",
         "terms",
         "streaming_sessions",
         "streaming",
