@@ -771,3 +771,105 @@ ORDER BY t.source
 
 QUERIES["corpus_balanced_sample"] = corpus_balanced_sample
 ORACLE["corpus_balanced_sample"] = BALANCED_SAMPLE_SQL
+
+
+def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity band filter (Wenzek et al. 2019): score
+    every doc with the corpus unigram LM (`text_unigram_logprob`),
+    cut the score distribution into terciles, and keep head+middle —
+    reported as per-source band counts and the kept character budget,
+    i.e. what the filter does to each source's contribution.
+
+    Scale design: scoring is the one-tokenize-pass LM plan; the
+    tercile boundaries come from a value→count histogram of the
+    6dp-rounded scores (map-side-combined agg, CDF window on
+    histogram-sized data, ONE broadcast boundary row) — never a
+    global sort or ntile. Band assignment is a map-side expression;
+    the doc-meta join is on the doc_id key. Scores are identical in
+    both engines (rounded-term DECIMAL sums), so the exact CDF and
+    boundaries are engine-portable.
+    """
+    from bireme_spark.queries.terms import text_unigram_logprob
+
+    scored = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_nll")
+    hist = scored.groupBy("avg_nll").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("avg_nll").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "tot", F.sum("cnt").over(Window.partitionBy())
+    )
+    cd = F.col("cum").cast("double") / F.col("tot").cast("double")
+    third = F.lit(1.0) / F.lit(3.0)
+    bounds = cum.agg(
+        F.min(F.when(cd >= third, F.col("avg_nll"))).alias("b1"),
+        F.min(F.when(cd >= F.lit(2.0) * third, F.col("avg_nll"))).alias("b2"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    band = (
+        F.when(F.col("avg_nll") <= F.col("b1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    labeled = (
+        scored.join(meta, "doc_id")
+        .join(F.broadcast(bounds))
+        .withColumn("band", band)
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("band") == "head", 1)).alias("n_head"),
+            F.count(F.when(F.col("band") == "middle", 1)).alias("n_middle"),
+            F.count(F.when(F.col("band") == "tail", 1)).alias("n_tail"),
+            F.sum(F.when(F.col("band") != "tail", F.col("n_chars"))).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+PERPLEXITY_FILTER_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+), model AS (
+  SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1
+), total AS (
+  SELECT SUM(cnt) AS total_tokens FROM model
+), nll AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(ROUND(tf.tf * -LN(CAST(model.cnt AS DOUBLE) / total.total_tokens), 6)
+              AS DECIMAL(18,6)) AS nll
+  FROM tf JOIN model USING (token) CROSS JOIN total
+), scored AS (
+  SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+  FROM nll GROUP BY 1
+), hist AS (
+  SELECT avg_nll, COUNT(*) AS cnt FROM scored GROUP BY 1
+), cum AS (
+  SELECT avg_nll,
+         CAST(SUM(cnt) OVER (ORDER BY avg_nll) AS DOUBLE)
+           / CAST(SUM(cnt) OVER () AS DOUBLE) AS cd
+  FROM hist
+), bounds AS (
+  SELECT MIN(CASE WHEN cd >= CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE) THEN avg_nll END) AS b1,
+         MIN(CASE WHEN cd >= 2.0 * (CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) THEN avg_nll END) AS b2
+  FROM cum
+), labeled AS (
+  SELECT d.source, d.n_chars,
+         CASE WHEN s.avg_nll <= b.b1 THEN 'head'
+              WHEN s.avg_nll <= b.b2 THEN 'middle'
+              ELSE 'tail' END AS band
+  FROM scored s JOIN documents d USING (doc_id) CROSS JOIN bounds b
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN band = 'head' THEN 1 END) AS n_head,
+       COUNT(CASE WHEN band = 'middle' THEN 1 END) AS n_middle,
+       COUNT(CASE WHEN band = 'tail' THEN 1 END) AS n_tail,
+       CAST(SUM(CASE WHEN band <> 'tail' THEN n_chars END) AS BIGINT) AS kept_chars
+FROM labeled GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["corpus_perplexity_filter"] = corpus_perplexity_filter
+ORACLE["corpus_perplexity_filter"] = PERPLEXITY_FILTER_SQL

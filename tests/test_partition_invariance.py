@@ -1,0 +1,41 @@
+"""Partition-count invariance: a query's collected result must be
+bit-identical no matter how many shuffle partitions execute it —
+the property that makes the DECIMAL/rounded-term discipline real.
+A result that drifts between 3 and 8 partitions at sf0.001 WILL
+drift between 32 and 20,000 partitions at 100 TB; this pins the
+determinism contract at the cheapest scale that can break it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bireme_spark.registry import queries
+from tests.conftest import SF_DIR
+
+# A cross-section of aggregation styles: DECIMAL money sums (q1),
+# double-division stats (winsorized/RFM), rounded-term LM sums
+# (unigram), histogram-CDF boundaries (perplexity filter), iterative
+# DECIMAL updates via star-contraction (dedup components is slow —
+# covered by its own determinism test), and integer sweeps (backlog).
+_PINNED = [
+    "q1_pricing_summary",
+    "lineitem_winsorized_stats",
+    "customers_rfm_segmentation",
+    "text_unigram_logprob",
+    "corpus_perplexity_filter",
+    "events_conversion_latency",
+    "orders_open_backlog",
+]
+
+
+@pytest.mark.parametrize("name", _PINNED)
+def test_result_identical_across_partition_counts(spark, name):
+    fn = queries()[name]
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        rows_3 = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    rows_8 = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert rows_3 == rows_8, f"{name} drifts with shuffle partition count"
