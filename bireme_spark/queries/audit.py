@@ -372,3 +372,71 @@ QUERIES["parts_fuzzy_match"] = parts_fuzzy_match
 ORACLE["parts_fuzzy_match"] = FUZZY_MATCH_SQL
 QUERIES["graph_triangle_count"] = graph_triangle_count
 ORACLE["graph_triangle_count"] = TRIANGLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_column_profile — one-pass table profiler
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+)
+
+
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time column profiler (the first thing run on a
+    freshly synced table): per column — null count, exact distinct
+    count, lexicographic min/max rendered as strings. One wide
+    aggregate computes every statistic in a single pass; the result
+    unpivots to a row per column.
+
+    Scale design: the multi-column exact COUNT(DISTINCT) compiles to
+    ONE Expand-based aggregate (rows × |cols| intermediate, the
+    standard exact-profiler cost — swap in HLL sketches per column
+    when approximate is acceptable at 100 TB); min/max/null-count
+    piggyback on the same pass, so the table is scanned exactly once.
+    The unpivot is a zero-shuffle Expand over a single row.
+    """
+    o = load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.col("__n").alias("n_rows"),
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack})"
+                " as (col_name, n_nulls, n_distinct, min_val, max_val)"
+            ),
+        )
+        .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+        .orderBy("col_name")
+    )
+
+
+_PROFILE_SQL_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, (SELECT COUNT(*) FROM orders) AS n_rows,
+       COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_val,
+       MAX(CAST({c} AS VARCHAR)) AS max_val
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+COLUMN_PROFILE_SQL = f"SELECT * FROM (\n{_PROFILE_SQL_ROWS}\n) ORDER BY col_name"
+
+QUERIES["orders_column_profile"] = orders_column_profile
+ORACLE["orders_column_profile"] = COLUMN_PROFILE_SQL

@@ -101,3 +101,70 @@ ORDER BY event_type
 
 QUERIES["partitioned_sink_prune"] = partitioned_sink_prune
 ORACLE["partitioned_sink_prune"] = PARTITIONED_PRUNE_SQL
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fact-fact join story as a query: materialize orders
+    and lineitem bucketed + sorted on the order key (the write-time
+    shuffle you pay ONCE), then join and aggregate — and the entire
+    read-side plan runs with ZERO shuffle exchanges: the sort-merge
+    join consumes the bucket layout directly and the per-order agg
+    inherits the join's clustering. ``tests/test_bucketed.py``
+    asserts `Exchange`-free on this very plan. 8 buckets here; the
+    bucket count is the only thing that changes at 100 TB (pick
+    ~2× executor-cores so every core owns whole buckets).
+
+    The oracle runs the same join/agg over the plain tables — layout
+    must not change semantics.
+    """
+    work = _scratch("bireme_bucket_")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS bireme_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS bireme_lineitem_bkt")
+    (
+        o.write.mode("overwrite")
+        .option("path", os.path.join(work, "orders_bkt"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bireme_orders_bkt")
+    )
+    (
+        li.write.mode("overwrite")
+        .option("path", os.path.join(work, "lineitem_bkt"))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("bireme_lineitem_bkt")
+    )
+    ob = spark.table("bireme_orders_bkt")
+    lb = spark.table("bireme_lineitem_bkt")
+    joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias(
+                "total_price"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20
+"""
+
+QUERIES["bucketed_colocated_join"] = bucketed_colocated_join
+ORACLE["bucketed_colocated_join"] = BUCKETED_JOIN_SQL

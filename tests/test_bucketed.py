@@ -52,3 +52,16 @@ def test_bucketed_join_and_agg_have_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_registered_bucketed_query_plan_is_exchange_free(spark, sf_dir):
+    """The gate query `bucketed_colocated_join` must keep its promise:
+    sort-merge join + per-key agg + top-k with ZERO shuffle exchanges
+    (TakeOrderedAndProject collects without a range shuffle)."""
+    from bireme_spark.queries.maintenance import bucketed_colocated_join
+
+    df = bucketed_colocated_join(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, f"bucketed gate query still shuffles:\n{plan}"
+    assert "TakeOrderedAndProject" in plan, plan
