@@ -440,3 +440,64 @@ COLUMN_PROFILE_SQL = f"SELECT * FROM (\n{_PROFILE_SQL_ROWS}\n) ORDER BY col_name
 
 QUERIES["orders_column_profile"] = orders_column_profile
 ORACLE["orders_column_profile"] = COLUMN_PROFILE_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_benford_audit — first-digit law conformance
+# ---------------------------------------------------------------------------
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order values: observed first-digit
+    frequencies of o_totalprice vs the Benford expectation
+    log10(1+1/d), with the per-digit chi-square contribution — the
+    standard fabricated-data / corrupted-feed screen.
+
+    Scale design: the first digit is a map-side string expression on
+    the DECIMAL-rendered value (no float log10 edge cases), so the
+    whole audit is ONE 9-cell hash aggregate; expectations and chi²
+    terms are computed on the 9-row result. Rounded at 6dp so the
+    statistic is engine-identical.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(money("o_totalprice").cast("string"), 1, 1).alias("digit")
+    )
+    counts = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = counts.agg(F.sum("n_orders").alias("tot"))
+    expected = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6)
+    observed = F.round(F.col("n_orders").cast("double") / F.col("tot").cast("double"), 6)
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "n_orders",
+            observed.alias("observed_freq"),
+            expected.alias("benford_freq"),
+            F.round(
+                F.pow(observed - expected, F.lit(2.0)) / expected, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = """
+WITH counts AS (
+  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n_orders) AS tot FROM counts)
+SELECT CAST(digit AS INTEGER) AS digit,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed_freq,
+       ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_freq,
+       ROUND(POW(ROUND(CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                 - ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6), 2)
+             / ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6), 6) AS chi2_term
+FROM counts CROSS JOIN tot
+ORDER BY digit
+"""
+
+QUERIES["orders_benford_audit"] = orders_benford_audit
+ORACLE["orders_benford_audit"] = BENFORD_SQL
