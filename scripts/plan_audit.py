@@ -22,6 +22,10 @@ DEFAULT = [
     "asof_join_nearest",
     "events_changepoint",
     "market_basket_lift",
+    "lineitem_winsorized_stats",
+    "graph_triangle_count",
+    "bucketed_colocated_join",
+    "fk_integrity_audit",
 ]
 
 
