@@ -321,3 +321,100 @@ def streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["streaming_sketch_rollup"] = streaming_sketch_rollup  # rows-only
+
+
+def streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA maintained incrementally under Structured
+    Streaming: each micro-batch folds its (time-ordered) values into
+    the carried per-type state — injected into the executors as a
+    broadcast-joined state frame, folded in Arrow-batched pandas, and
+    only the |types|-row model returns to the driver per batch.
+
+    Because every step rounds at 6dp, the trajectory is invariant to
+    micro-batch boundaries: the final stream state must equal the
+    one-shot batch fold (`streaming/ewma.py::ewma_batch`) EXACTLY —
+    tests/test_streaming.py asserts bit-equality (*rows-only* at the
+    gate: a sequential rounded fold has no closed SQL form).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import pandas as pd
+
+    from bireme_spark.streaming.ewma import _OUT_SCHEMA, fold_series
+    from bireme_spark.streaming.replay import read_replay, replay_to_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="bireme_ewma_")
+    src = f"{work}/in"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        replay_to_files(ev, "ts", src, halves=3)
+        stream = read_replay(
+            spark, src, "ts timestamp, event_id long, event_type string, value double"
+        )
+        state: dict[str, tuple] = {}  # type -> (n, ewma, mn, mx)
+
+        def fold_batch(batch_df, batch_id: int) -> None:
+            sess = batch_df.sparkSession
+            if state:
+                init = sess.createDataFrame(
+                    [(t, e) for t, (_, e, _, _) in state.items()],
+                    "event_type string, init_ewma double",
+                )
+            else:
+                init = sess.createDataFrame([], "event_type string, init_ewma double")
+
+            def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+                has_init = "init_ewma" in pdf and pd.notna(pdf["init_ewma"].iloc[0])
+                init_e = float(pdf["init_ewma"].iloc[0]) if has_init else None
+                e = fold_series(pdf["value"].tolist(), init_e)
+                return pd.DataFrame(
+                    {
+                        "event_type": [pdf["event_type"].iloc[0]],
+                        "n_events": [len(pdf)],
+                        "ewma": [e],
+                        "min_value": [float(pdf["value"].min())],
+                        "max_value": [float(pdf["value"].max())],
+                    }
+                )
+
+            inc = (
+                batch_df.select(
+                    "event_type",
+                    F.unix_micros("ts").alias("us"),
+                    "event_id",
+                    F.col("value").cast("double").alias("value"),
+                )
+                .join(F.broadcast(init), "event_type", "left")
+                .groupBy("event_type")
+                .applyInPandas(fold_group, _OUT_SCHEMA)
+            )
+            for r in inc.collect():  # |types|-row model, not data
+                n0, _, mn0, mx0 = state.get(r.event_type, (0, None, None, None))
+                state[r.event_type] = (
+                    n0 + r.n_events,
+                    r.ewma,
+                    r.min_value if mn0 is None else min(mn0, r.min_value),
+                    r.max_value if mx0 is None else max(mx0, r.max_value),
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = [
+            (t, int(n), float(e), float(mn), float(mx))
+            for t, (n, e, mn, mx) in sorted(state.items())
+        ]
+        return spark.createDataFrame(rows, _OUT_SCHEMA).orderBy("event_type")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+QUERIES["streaming_ewma_monitor"] = streaming_ewma_monitor  # rows-only

@@ -489,3 +489,34 @@ def test_multi_table_pipeline_consolidates_sharded_origins(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.k, r.v) for r in read_state(spark, f"{cfg.target_dir}/public.t").collect()}
     assert got == {(k, 1.0) for k in range(5)} | {(k, 2.0) for k in range(10, 15)}
+
+
+class TestStreamingEwma:
+    def test_stream_state_equals_batch_fold_exactly(self, spark, sf_dir):
+        """Micro-batch boundaries must be invisible: the carried
+        6dp-rounded EWMA state after the replay equals the one-shot
+        batch fold bit-for-bit."""
+        from bireme_spark.queries.streaming_sessions import streaming_ewma_monitor
+        from bireme_spark.sources.tables import load_table
+        from bireme_spark.streaming.ewma import ewma_batch
+
+        got = [tuple(r) for r in streaming_ewma_monitor(spark, sf_dir).collect()]
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_id", "event_type", "value"
+        )
+        want = [tuple(r) for r in ewma_batch(ev).collect()]
+        assert got == want
+
+    def test_fold_series_rounding_contract(self):
+        from bireme_spark.streaming.ewma import fold_series
+
+        assert fold_series([]) is None
+        assert fold_series([1.25]) == 1.25
+        # second step: 0.2*2 + 0.8*1.25 = 1.4
+        assert fold_series([1.25, 2.0]) == 1.4
+        # splitting the series at any point with the carried state
+        # reproduces the unsplit fold (the stream==batch property)
+        vals = [3.7, 1.2, 9.9, 0.4, 5.5]
+        whole = fold_series(vals)
+        for cut in range(1, len(vals)):
+            assert fold_series(vals[cut:], fold_series(vals[:cut])) == whole
