@@ -501,3 +501,75 @@ ORDER BY digit
 
 QUERIES["orders_benford_audit"] = orders_benford_audit
 ORACLE["orders_benford_audit"] = BENFORD_SQL
+
+
+# ---------------------------------------------------------------------------
+# graph_reachability_bfs — recursive-CTE bounded BFS
+# ---------------------------------------------------------------------------
+
+_BFS_SQL_BODY = """
+WITH RECURSIVE reach(pk, hop) AS (
+  SELECT (SELECT MIN(u) FROM {e}) AS pk, 0 AS hop
+  UNION ALL
+  SELECT DISTINCT d.v, r.hop + 1
+  FROM reach r JOIN {d} d ON d.u = r.pk
+  WHERE r.hop < 3
+),
+m AS (SELECT pk, MIN(hop) AS hop FROM reach GROUP BY pk)
+SELECT hop, COUNT(*) AS n_parts,
+       MIN(pk) AS min_partkey, MAX(pk) AS max_partkey
+FROM m GROUP BY hop ORDER BY hop
+"""
+
+
+def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (3 hops) from the smallest part key over the part
+    co-purchase graph, via Spark 4's recursive CTE — parts reachable
+    per hop distance. Declarative recursion: the SAME SQL text runs
+    on Spark and DuckDB (ANSI `WITH RECURSIVE`), over an edge view
+    built with the bounded per-basket fan-out of
+    ``graph_triangle_count``.
+
+    Scale design: the recursive term is `SELECT DISTINCT` over the
+    frontier — the textbook distributed-BFS frontier dedup. Under
+    working-table semantics (identical in Spark and DuckDB) each
+    iteration emits ≤|nodes| rows, so accumulated rows are bounded by
+    |nodes|×hops; plain UNION ALL recursion multiplies paths and blew
+    Spark's 1M recursion-row limit at sf0.01 already. Revisited nodes
+    reappear at a later hop and the final MIN(hop) rollup restores
+    BFS distance — engine-identical. For UNBOUNDED traversals the
+    right operator is the star-contraction loop of
+    ``operators/dedup.py::connected_components`` (O(log n) rounds,
+    per-round checkpoint); the recursive CTE is the concise form for
+    shallow neighborhoods.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    po = li.distinct().select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a = po.select("ok", F.col("pk").alias("u"))
+    b = po.select("ok", F.col("pk").alias("v"))
+    e = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    e.createOrReplaceTempView("bireme_bfs_e")
+    e.selectExpr("u", "v").unionAll(e.selectExpr("v AS u", "u AS v")).createOrReplaceTempView(
+        "bireme_bfs_d"
+    )
+    return spark.sql(_BFS_SQL_BODY.format(e="bireme_bfs_e", d="bireme_bfs_d"))
+
+
+GRAPH_BFS_SQL = (
+    """
+WITH RECURSIVE
+po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+),
+d AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+"""
+    + _BFS_SQL_BODY.replace("WITH RECURSIVE reach", "reach", 1)
+    .replace("{e}", "e")
+    .replace("{d}", "d")
+    .lstrip()
+)
+
+QUERIES["graph_reachability_bfs"] = graph_reachability_bfs
+ORACLE["graph_reachability_bfs"] = GRAPH_BFS_SQL
