@@ -270,3 +270,51 @@ def sample_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def perceptual_hash(binary_df: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image: decode,
+    integer grayscale, 8×8 block-mean downsample, threshold at the
+    global integer mean → 64-bit hex hash. All arithmetic is integer
+    floor math, so the hash is bit-identical on any platform.
+
+    Arrow-batched mapInPandas over (id, payload) rows — the same
+    partition-parallel shape as extract_image_features; at 100 TB the
+    per-row Python decode is the documented native-codec seam.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c, pix, _fmt = decode_image(bytes(payload))
+                gray = [
+                    [
+                        sum(pix[(y * w + x) * c + ch] for ch in range(min(c, 3)))
+                        // min(c, 3)
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                g8 = []
+                for j in range(8):
+                    y0, y1 = j * h // 8, max((j + 1) * h // 8, j * h // 8 + 1)
+                    for i in range(8):
+                        x0, x1 = i * w // 8, max((i + 1) * w // 8, i * w // 8 + 1)
+                        vals = [gray[y][x] for y in range(y0, y1) for x in range(x0, x1)]
+                        g8.append(sum(vals) // len(vals))
+                m = sum(g8) // 64
+                bits = 0
+                for k, v in enumerate(g8):
+                    if v > m:
+                        bits |= 1 << k
+                ids.append(int(doc_id))
+                hashes.append(f"{bits:016x}")
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return binary_df.mapInPandas(run, schema="doc_id long, ahash string")

@@ -285,3 +285,73 @@ ORDER BY doc_id
 
 QUERIES["multimodal_video_decode"] = multimodal_video_decode
 ORACLE["multimodal_video_decode"] = MULTIMODAL_VIDEO_SQL
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end: deterministic synthetic
+    images whose CONTENT depends only on ``doc_id % 16`` (16 distinct
+    images, each stored under many ids) are encoded (PNG/BMP by
+    residue parity), decoded by the pure-python codecs, aHash-64
+    fingerprinted, and grouped by hash — the canonical keep-min-id
+    dedup report. The oracle never sees a hash: it predicts the GROUP
+    STRUCTURE in closed form (groups == residue classes), so a wrong
+    encoder, decoder, or hash (any collision/split among the 16
+    contents) breaks the match.
+
+    Scale shape: encode/decode/hash run in ONE Arrow-batched
+    mapInPandas pass (partition-parallel, no shuffle); the only
+    exchange is the 16-group hash aggregate.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import encode_bmp, encode_png
+    from bireme_spark.operators.multimodal import perceptual_hash
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = doc_id % 16
+                w = h = 16
+                pix = bytes(
+                    (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+                ids.append(doc_id)
+                payloads.append(enc)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
+    hashed = perceptual_hash(packed)
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_images"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select("canonical_doc", "n_images", "max_doc")
+        .orderBy("canonical_doc")
+    )
+
+
+MULTIMODAL_PHASH_SQL = """
+SELECT MIN(doc_id) AS canonical_doc,
+       COUNT(*) AS n_images,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY doc_id % 16
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
+ORACLE["multimodal_phash_dedup"] = MULTIMODAL_PHASH_SQL

@@ -353,3 +353,33 @@ class TestNativeBackendSeam:
         w, h, ch, pix, fmt = native.decode_image_any(b"\x89PNG fake palette")
         assert converted == ["RGB"]
         assert (w, h, ch) == (4, 2, 3) and len(pix) == 24
+
+
+class TestPerceptualHash:
+    def _hash_of(self, spark, pixels_fn, w=16, h=16):
+        import pandas as pd
+        from bireme_spark.functions.imagecodec import encode_png
+        from bireme_spark.operators.multimodal import perceptual_hash
+
+        pix = bytes(pixels_fn(x, y, c) % 256 for y in range(h) for x in range(w) for c in range(3))
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(w, h, pix)))], "doc_id long, payload binary"
+        )
+        return perceptual_hash(df).collect()[0].ahash
+
+    def test_identical_content_same_hash(self, spark):
+        f = lambda x, y, c: x * 3 + y * 7 + c
+        assert self._hash_of(spark, f) == self._hash_of(spark, f)
+
+    def test_brightness_shift_invariant(self, spark):
+        """aHash thresholds against the image's own mean, so a global
+        +24 brightness shift (no mod-256 wrap: base kept < 200) must
+        not change the fingerprint."""
+        base = lambda x, y, c: (x * 5 + y * 9 + 11 * c) % 180
+        brighter = lambda x, y, c: base(x, y, c) + 24
+        assert self._hash_of(spark, base) == self._hash_of(spark, brighter)
+
+    def test_different_content_different_hash(self, spark):
+        a = lambda x, y, c: x * 16
+        b = lambda x, y, c: y * 16
+        assert self._hash_of(spark, a) != self._hash_of(spark, b)
