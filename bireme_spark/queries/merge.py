@@ -109,3 +109,71 @@ QUERIES = {
 ORACLE = {
     "cdc_merge_into": CDC_MERGE_INTO_SQL,
 }
+
+
+def cdc_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-column (patch) update application — the sparse-image
+    case Debezium emits for incremental snapshots and column-filtered
+    topics (the reference's Maxwell rows are always full-image;
+    ``RowCache.java`` applies them whole — studied, not copied): a
+    patch row carries the PK plus ONLY the changed columns, NULL
+    meaning "keep the current value". Applied through the same
+    ``merge_into`` operator with COALESCE(update, target) per column,
+    so missing fields pass through — one PK-hash shuffle, AQE
+    skew-split at 100 TB, identical to the full-image path.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    k = F.col("o_orderkey")
+    # deterministic sparse patches: each touches a different column set
+    patches = o.where(k % 4 != 3).select(
+        k.alias("key"),
+        F.when(k % 4 == 0, (F.col("o_totalprice").cast(_DEC) + 5).cast(_DEC)).alias(
+            "p_price"
+        ),
+        F.when(k % 4 == 1, F.lit("9-PATCHED")).alias("p_priority"),
+        F.when(k % 4 == 2, F.lit("P")).alias("p_status"),
+    )
+    merged = merge_into(
+        base,
+        patches,
+        base_key_cols=("o_orderkey",),
+        source_key_cols=("key",),
+        matched_update={
+            "price": F.coalesce(F.col("s.p_price"), F.col("t.price")),
+            "status": F.coalesce(F.col("s.p_status"), F.col("t.status")),
+            "priority": F.coalesce(F.col("s.p_priority"), F.col("t.priority")),
+        },
+    )
+    return merged.select(
+        "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+        "status",
+        "priority",
+    ).orderBy("o_orderkey")
+
+
+PARTIAL_UPDATE_SQL = """
+WITH patches AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 4 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 5 AS DECIMAL(12,2)) END AS p_price,
+         CASE WHEN o_orderkey % 4 = 1 THEN '9-PATCHED' END AS p_priority,
+         CASE WHEN o_orderkey % 4 = 2 THEN 'P' END AS p_status
+  FROM orders WHERE o_orderkey % 4 <> 3
+)
+SELECT o.o_orderkey,
+       CAST(COALESCE(p.p_price, CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+       COALESCE(p.p_status, o.o_orderstatus) AS status,
+       COALESCE(p.p_priority, o.o_orderpriority) AS priority
+FROM orders o LEFT JOIN patches p ON o.o_orderkey = p.key
+ORDER BY o.o_orderkey
+"""
+
+QUERIES["cdc_partial_update_merge"] = cdc_partial_update_merge
+ORACLE["cdc_partial_update_merge"] = PARTIAL_UPDATE_SQL

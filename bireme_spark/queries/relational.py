@@ -812,3 +812,61 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 
 QUERIES["customers_rfm_segmentation"] = customers_rfm_segmentation
 ORACLE["customers_rfm_segmentation"] = RFM_SQL
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    quarter, revenue accumulated per quarters-since-acquisition — the
+    warehouse classic behind every retention/LTV dashboard.
+
+    Scale design: the acquisition quarter is ONE per-customer MIN agg
+    (map-side combined); joined back on the customer key (the only
+    row-scale exchanges — both on c_custkey-sized data, never a
+    window over raw orders). The LTV matrix itself is a
+    |cohorts|×|quarters| cell agg. Quarter index arithmetic is pure
+    integers; revenue is DECIMAL-exact.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", money("o_totalprice").alias("price")
+    )
+    qidx = lambda c: F.year(c) * 4 + F.quarter(c) - 1  # noqa: E731
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    j = o.join(first, "o_custkey").select(
+        (F.concat(F.year("d0"), F.lit("-Q"), F.quarter("d0"))).alias("cohort"),
+        (qidx(F.col("o_orderdate")) - qidx(F.col("d0"))).alias("quarters_since"),
+        "o_custkey",
+        "price",
+    )
+    return (
+        j.groupBy("cohort", "quarters_since")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("price"), "revenue"),
+        )
+        .orderBy("cohort", "quarters_since")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT o_custkey, MIN(o_orderdate) AS d0 FROM orders GROUP BY 1
+),
+j AS (
+  SELECT CONCAT(CAST(year(f.d0) AS VARCHAR), '-Q', CAST(quarter(f.d0) AS VARCHAR)) AS cohort,
+         (year(o.o_orderdate) * 4 + quarter(o.o_orderdate))
+           - (year(f.d0) * 4 + quarter(f.d0)) AS quarters_since,
+         o.o_custkey,
+         CAST(o.o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+)
+SELECT cohort,
+       CAST(quarters_since AS BIGINT) AS quarters_since,
+       COUNT(DISTINCT o_custkey) AS n_active_customers,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS revenue
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["orders_cohort_ltv"] = orders_cohort_ltv
+ORACLE["orders_cohort_ltv"] = COHORT_LTV_SQL
