@@ -870,3 +870,63 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["orders_cohort_ltv"] = orders_cohort_ltv
 ORACLE["orders_cohort_ltv"] = COHORT_LTV_SQL
+
+
+def parts_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: parts not dominated on
+    (minimize retail price, maximize size) — the multi-criteria
+    shortlist operator. A part is dominated iff some part is
+    no-worse on both axes and strictly better on one.
+
+    Scale design: the textbook formulation is a quadratic NOT-EXISTS
+    self-join; in 2D one sweep decides domination exactly — and the
+    sweep here runs on the price→max(size) HISTOGRAM, not raw rows:
+    collapse to one row per distinct price (map-side-combined agg),
+    take the running max of size over strictly-cheaper prices with a
+    ROWS frame (safe: one row per price — a RANGE -1 frame on a
+    decimal column is a VALUE offset and silently skips sub-unit
+    neighbors), then join the surviving (price, gmax) pairs back on
+    the price key. Skyline ⇔ size == its price's max AND that max
+    beats every cheaper price's max. Exchanges: one price-key agg, a
+    histogram-sized sort, one price-key join. d>2 generalizes to the
+    local-skyline → global-skyline two-phase.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", money("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    )
+    g = p.groupBy("price").agg(F.max("size").alias("gmax"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    sky_prices = (
+        g.withColumn("m_cheaper", F.max("gmax").over(w))
+        .where(F.col("m_cheaper").isNull() | (F.col("gmax") > F.col("m_cheaper")))
+        .select("price", "gmax")
+    )
+    return (
+        p.join(F.broadcast(sky_prices), "price")
+        .where(F.col("size") == F.col("gmax"))
+        .select("p_partkey", F.col("price").cast("double").alias("price"), "size")
+        .orderBy("price", "p_partkey")
+    )
+
+
+SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price, p_size AS size
+  FROM part
+),
+g AS (SELECT price, MAX(size) AS gmax FROM p GROUP BY price),
+sky AS (
+  SELECT price, gmax FROM (
+    SELECT *,
+           MAX(gmax) OVER (ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_cheaper
+    FROM g
+  ) WHERE m_cheaper IS NULL OR gmax > m_cheaper
+)
+SELECT p.p_partkey, CAST(p.price AS DOUBLE) AS price, CAST(p.size AS INTEGER) AS size
+FROM p JOIN sky ON p.price = sky.price AND p.size = sky.gmax
+ORDER BY price, p_partkey
+"""
+
+QUERIES["parts_skyline_pareto"] = parts_skyline_pareto
+ORACLE["parts_skyline_pareto"] = SKYLINE_SQL

@@ -117,3 +117,36 @@ class TestAsofDirectional:
         ldf = spark.createDataFrame([("a", 1.0)], "k string, lt double")
         with pytest.raises(ValueError, match="direction"):
             asof_join_directional(ldf, ldf, "k", "lt", "lt", (), direction="sideways")
+
+
+def test_skyline_matches_bruteforce_dominance_definition(spark, sf_dir):
+    """The registered skyline uses the sort+range-frame sweep (and its
+    oracle the same formulation) — this pins it to the QUADRATIC
+    textbook definition: no other part is >= on both axes and
+    strictly better on one."""
+    import duckdb
+
+    from bireme_spark.queries.relational import parts_skyline_pareto
+
+    got = [(r.p_partkey, r.price, r.size) for r in parts_skyline_pareto(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'"
+    )
+    want = con.execute(
+        """
+        WITH p AS (
+          SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price, p_size AS size
+          FROM part
+        )
+        SELECT a.p_partkey, CAST(a.price AS DOUBLE), a.size
+        FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.price <= a.price AND b.size >= a.size
+            AND (b.price < a.price OR b.size > a.size)
+        )
+        ORDER BY a.price, a.p_partkey
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
