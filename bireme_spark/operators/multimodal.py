@@ -318,3 +318,42 @@ def perceptual_hash(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return binary_df.mapInPandas(run, schema="doc_id long, ahash string")
+
+
+def audio_fingerprint(binary_df: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Coarse spectral-energy fingerprint per clip: decode WAV, split
+    the sample stream into ``n_bands`` equal time bands, take each
+    band's integer mean absolute amplitude, threshold against the
+    clip's own integer mean → n-bit hex fingerprint. Integer floor
+    math end-to-end — bit-identical on any platform, and invariant
+    to uniform volume scaling only in threshold pattern terms.
+
+    Same Arrow-batched mapInPandas shape as perceptual_hash.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, prints = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, samples = decode_wav(bytes(payload))
+                n = len(samples)
+                bands = []
+                for b in range(n_bands):
+                    lo, hi = b * n // n_bands, max((b + 1) * n // n_bands, b * n // n_bands + 1)
+                    seg = samples[lo:hi]
+                    bands.append(sum(abs(s) for s in seg) // len(seg))
+                m = sum(bands) // n_bands
+                bits = 0
+                for k, v in enumerate(bands):
+                    if v > m:
+                        bits |= 1 << k
+                ids.append(int(doc_id))
+                prints.append(f"{bits:02x}")
+            yield pd.DataFrame({"doc_id": ids, "afp": prints})
+
+    return binary_df.mapInPandas(run, schema="doc_id long, afp string")

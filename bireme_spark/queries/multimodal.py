@@ -355,3 +355,71 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
 ORACLE["multimodal_phash_dedup"] = MULTIMODAL_PHASH_SQL
+
+
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint dedup end-to-end (the WAV twin of
+    ``multimodal_phash_dedup``): clips whose CONTENT depends only on
+    ``doc_id % 12`` are encoded to RIFF/WAVE, decoded by the
+    pure-python parser, band-energy fingerprinted, and grouped — the
+    oracle predicts the GROUP STRUCTURE (residue classes) in closed
+    form without ever seeing a fingerprint, so a codec bug or a
+    fingerprint collision among the 12 signals breaks the match.
+
+    Scale shape: encode→decode→fingerprint is ONE partition-parallel
+    mapInPandas pass; the only exchange is the 12-group agg.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import encode_wav
+    from bireme_spark.operators.multimodal import audio_fingerprint
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = doc_id % 12
+                n = 96
+                # band b (12 samples each) is LOUD iff bit b of
+                # (s+1) is set — 12 distinct 8-band energy patterns,
+                # so the fingerprints must separate exactly 12 ways
+                mask = s + 1
+                samples = [
+                    (800 if (mask >> (i * 8 // n)) & 1 else 50) * (1 if i % 2 == 0 else -1)
+                    for i in range(n)
+                ]
+                ids.append(doc_id)
+                payloads.append(encode_wav(8000, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
+    printed = audio_fingerprint(packed)
+    return (
+        printed.groupBy("afp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_clips"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select("canonical_doc", "n_clips", "max_doc")
+        .orderBy("canonical_doc")
+    )
+
+
+MULTIMODAL_AFP_SQL = """
+SELECT MIN(doc_id) AS canonical_doc,
+       COUNT(*) AS n_clips,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY doc_id % 12
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_audio_fingerprint"] = multimodal_audio_fingerprint
+ORACLE["multimodal_audio_fingerprint"] = MULTIMODAL_AFP_SQL
