@@ -168,3 +168,63 @@ LIMIT 20
 
 QUERIES["bucketed_colocated_join"] = bucketed_colocated_join
 ORACLE["bucketed_colocated_join"] = BUCKETED_JOIN_SQL
+
+
+def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSONL ingestion with corrupt-record quarantine —
+    the landing-zone pattern for feeds that aren't parquet yet: the
+    documents table round-trips through JSON-lines (one valid line
+    per doc, plus injected malformed lines), is read back PERMISSIVE
+    with an explicit schema + ``_corrupt_record`` column, and the
+    audit reports per-source good-row counts, the exact char budget,
+    and the quarantine size.
+
+    Scale design: the JSON read is a plain distributed text scan with
+    per-line parsing (no shuffle); explicit schema means no sampling
+    inference pass at 100 TB; the only exchange is the per-source
+    agg. Corrupt rows are COUNTED, never dropped silently (the
+    no-silent-caps rule).
+    """
+    work = _scratch("bireme_jsonl_")
+    path = os.path.join(work, "docs_jsonl")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    d.write.mode("overwrite").json(path)
+    # inject malformed lines: one per (deterministic) 100-doc block
+    n_bad = max(1, d.count() // 100)
+    with open(os.path.join(path, "part-corrupt.json"), "w") as fh:
+        for i in range(n_bad):
+            fh.write(f'{{"doc_id": "not-a-number", "source": "bad{i}", truncated\n')
+    back = spark.read.schema(
+        "doc_id long, source string, n_chars long, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    # Spark forbids corrupt-column-ONLY projections (UNSUPPORTED_
+    # FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the quarantine
+    # size is derived as total lines − good rows instead of counting
+    # the corrupt column directly.
+    from pyspark.sql import Window
+
+    total = back.count()
+    good = back.where(F.col("_corrupt_record").isNull())
+    per_source = good.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    per_source = per_source.withColumn(
+        "n_quarantined",
+        (F.lit(int(total)) - F.sum("n_docs").over(Window.partitionBy())).cast("int"),
+    )
+    return per_source.select(
+        "source", "n_docs", "total_chars", "n_quarantined"
+    ).orderBy("source")
+
+
+_JSONL_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(GREATEST(1, (SELECT COUNT(*) FROM documents) // 100) AS INTEGER) AS n_quarantined
+FROM documents GROUP BY source ORDER BY source
+"""
+
+QUERIES["jsonl_ingest_audit"] = jsonl_ingest_audit
+ORACLE["jsonl_ingest_audit"] = _JSONL_SQL

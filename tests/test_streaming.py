@@ -520,3 +520,49 @@ class TestStreamingEwma:
         whole = fold_series(vals)
         for cut in range(1, len(vals)):
             assert fold_series(vals[cut:], fold_series(vals[:cut])) == whole
+
+
+class TestCheckpointResume:
+    def test_restart_processes_only_new_files(self, spark, sf_dir, tmp_path):
+        """Operational contract behind every foreachBatch sink here:
+        a restarted query with the same checkpoint directory must NOT
+        reprocess already-committed micro-batches — only files that
+        arrived while it was down."""
+        from bireme_spark.sources.tables import load_table
+        from bireme_spark.streaming.replay import stamp_batch_mtime
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+        first = ev.where(F.col("event_id") % 2 == 0)
+        second = ev.where(F.col("event_id") % 2 == 1)
+        src = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        seen_files: set = set()
+        first.coalesce(1).write.mode("append").parquet(src)
+        stamp_batch_mtime(src, 0, seen_files)
+
+        processed: list[int] = []
+
+        def sink(batch_df, batch_id):
+            processed.extend(r.event_id for r in batch_df.select("event_id").collect())
+
+        def run_once():
+            q = (
+                spark.readStream.schema("event_id long, event_type string")
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        n_first = len(processed)
+        assert n_first == first.count()
+
+        second.coalesce(1).write.mode("append").parquet(src)
+        stamp_batch_mtime(src, 1, seen_files)
+        run_once()
+
+        assert len(processed) == ev.count(), "second run must add only the new file"
+        assert len(set(processed)) == len(processed), "no event processed twice"
