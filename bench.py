@@ -49,6 +49,15 @@ HEADLINE = [
     "events_changepoint",
     "corpus_dsir_select",
     "tokenizer_bpe_pairs",
+    # round-4 late additions — first bench run records their floor
+    "lineitem_winsorized_stats",
+    "customers_rfm_segmentation",
+    "graph_triangle_count",
+    "parts_fuzzy_match",
+    "corpus_perplexity_filter",
+    "multimodal_phash_dedup",
+    "bucketed_colocated_join",
+    "graph_reachability_bfs",
 ]
 
 

