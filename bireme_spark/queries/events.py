@@ -856,3 +856,67 @@ FROM s1, s2
 
 QUERIES["events_conversion_latency"] = events_conversion_latency
 ORACLE["events_conversion_latency"] = CONVERSION_LATENCY_SQL
+
+
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / WAU (7-day) / stickiness per day — the
+    metric-engine staple that CANNOT be a window sum of daily counts
+    (users repeat across days; rolling distinct needs dedup inside
+    every window).
+
+    Scale design: the stream collapses to DISTINCT (user, day) ONCE
+    (map-side partial distinct); each user-day then fans out
+    map-side to the ≤7 window-end days it supports, and a second
+    distinct-agg on (day, user) counts each user once per window —
+    cost is 7×|user-days|, shuffled on the (day, user-hash) key,
+    never a per-day re-scan of the raw stream. DAU rides the same
+    user-day frame. Stickiness is an IEEE division of exact counts.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    user_days = ev.distinct()
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    fan = user_days.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+    ).select(F.date_add("day", F.col("off")).alias("wday"), "user_id")
+    # a user-day supports windows ending day..day+6; keep only window
+    # ends that exist as observed days so the report stays dense-real
+    wau = (
+        fan.distinct()
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .withColumnRenamed("wday", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ACTIVE_USERS_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM user_days GROUP BY 1),
+fan AS (
+  SELECT DISTINCT day + CAST(o.off AS INTEGER) AS wday, user_id
+  FROM user_days, (SELECT unnest(generate_series(0, 6)) AS off) o
+),
+wau AS (SELECT wday AS day, COUNT(*) AS wau FROM fan GROUP BY 1)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+       ROUND(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+ORDER BY day
+"""
+
+QUERIES["events_active_users_rolling"] = events_active_users_rolling
+ORACLE["events_active_users_rolling"] = ACTIVE_USERS_SQL
