@@ -1204,3 +1204,74 @@ ORACLE = {
     "cdc_incremental_agg": CDC_INCREMENTAL_AGG_SQL,
     "cdc_unified_ingest": CDC_UNIFIED_SQL,
 }
+
+
+def cdc_exactly_once_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotency audit — the property that makes bireme's
+    DELETE+COPY restartable (``ChangeLoader.java:283-290`` recovers a
+    failed batch by re-running it): apply the compacted U/D tail of
+    the changelog ONCE, then apply the SAME batch a second time onto
+    the result, and prove the second application is a no-op via row
+    count + order-independent table checksum. Pessimistic mode's
+    unconditional anti-join is exactly what buys this: re-applied
+    insert keys replace themselves instead of duplicating.
+
+    Only the two 1-row checksum results cross the driver; the
+    compacted batch is persisted so the second application reuses it.
+    """
+    from bireme_spark.operators.checksum import table_checksum
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    ch = build_changelog(spark, sf_dir).where(F.col("op") != "I")
+    c = compact(
+        ch,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    ).persist()
+    try:
+        kwargs = dict(
+            base_key_cols=("o_orderkey",),
+            compact_key_cols=("key",),
+            payload_map={
+                "o_totalprice": "o_totalprice",
+                "o_orderstatus": "o_orderstatus",
+            },
+            mode="pessimistic",
+        )
+        canon = lambda df: df.select(  # noqa: E731
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        r1 = apply_changes(base, c, **kwargs).persist()
+        try:
+            s1 = table_checksum(canon(r1)).collect()[0]
+            r2 = apply_changes(r1, c, **kwargs)
+            s2 = table_checksum(canon(r2)).collect()[0]
+        finally:
+            r1.unpersist()
+    finally:
+        c.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(s1.n_rows),
+                int(s2.n_rows),
+                bool(s1.checksum == s2.checksum and s1.n_rows == s2.n_rows),
+            )
+        ],
+        "n_after_first bigint, n_after_second bigint, idempotent boolean",
+    )
+
+
+CDC_EXACTLY_ONCE_SQL = """
+SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 <> 0) AS n_after_first,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 <> 0) AS n_after_second,
+       TRUE AS idempotent
+"""
+
+QUERIES["cdc_exactly_once_audit"] = cdc_exactly_once_audit
+ORACLE["cdc_exactly_once_audit"] = CDC_EXACTLY_ONCE_SQL

@@ -930,3 +930,58 @@ ORDER BY price, p_partkey
 
 QUERIES["parts_skyline_pareto"] = parts_skyline_pareto
 ORACLE["parts_skyline_pareto"] = SKYLINE_SQL
+
+
+def lineitem_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time-shipping SLA attainment per line status × order year:
+    share of line items shipped within 30 days of the order date —
+    the ops-reporting rollup every sync'd warehouse serves daily.
+
+    Scale design: one PK-hash join (lineitem ⋈ orders on the order
+    key — both sides pruned to three columns), SLA flag as a map-side
+    integer expression, one |statuses|×|years| cell agg. Rate is an IEEE
+    division of exact counts, 6dp-rounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_linestatus",
+        F.year("o_orderdate").alias("order_year"),
+        (F.datediff("l_shipdate", "o_orderdate") <= 30).cast("int").alias("on_time"),
+    )
+    return (
+        j.groupBy("l_linestatus", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("on_time").alias("n_on_time"),
+        )
+        .select(
+            "l_linestatus",
+            "order_year",
+            "n_items",
+            "n_on_time",
+            F.round(
+                F.col("n_on_time").cast("double") / F.col("n_items").cast("double"), 6
+            ).alias("on_time_rate"),
+        )
+        .orderBy("l_linestatus", "order_year")
+    )
+
+
+SHIPPING_SLA_SQL = """
+SELECT l.l_linestatus,
+       CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+       COUNT(*) AS n_items,
+       CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+       ROUND(CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                           THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS on_time_rate
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["lineitem_shipping_sla"] = lineitem_shipping_sla
+ORACLE["lineitem_shipping_sla"] = SHIPPING_SLA_SQL
