@@ -920,3 +920,148 @@ ORDER BY day
 
 QUERIES["events_active_users_rolling"] = events_active_users_rolling
 ORACLE["events_active_users_rolling"] = ACTIVE_USERS_SQL
+
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    value distributions of 'click' and 'purchase' events — the
+    distribution-shift test that needs no binning choices (unlike
+    the chi-square) and catches shape differences the mean/variance
+    monitors miss.
+
+    Scale design: each sample collapses to a value→count histogram
+    (map-side-combined agg); the two histograms full-outer-join on
+    the value grid, cumulative counts run as ONE ordered window over
+    the merged histogram (histogram-sized, never raw rows), and
+    D = max |ecdf₁ − ecdf₂| is a single max-agg. ECDFs are IEEE
+    divisions of exact integers; D is rounded at 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    h1 = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    h2 = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    m = h1.join(h2, "value", "full_outer").select(
+        "value",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (
+        m.withColumn("cum1", F.sum("c1").over(w))
+        .withColumn("cum2", F.sum("c2").over(w))
+        .withColumn("n1", F.sum("c1").over(wall))
+        .withColumn("n2", F.sum("c2").over(wall))
+    )
+    d = F.abs(
+        F.col("cum1").cast("double") / F.col("n1").cast("double")
+        - F.col("cum2").cast("double") / F.col("n2").cast("double")
+    )
+    return cum.agg(
+        F.max("n1").alias("n_click"),
+        F.max("n2").alias("n_purchase"),
+        F.round(F.max(d), 6).alias("ks_statistic"),
+    )
+
+
+KS_TEST_SQL = """
+WITH h1 AS (
+  SELECT value, COUNT(*) AS c1 FROM events WHERE event_type = 'click' GROUP BY 1
+),
+h2 AS (
+  SELECT value, COUNT(*) AS c2 FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+m AS (
+  SELECT COALESCE(h1.value, h2.value) AS value,
+         COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+  FROM h1 FULL OUTER JOIN h2 ON h1.value = h2.value
+),
+cum AS (
+  SELECT SUM(c1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         SUM(c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+         SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+  FROM m
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n_click,
+       CAST(MAX(n2) AS BIGINT) AS n_purchase,
+       ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS ks_statistic
+FROM cum
+"""
+
+QUERIES["events_ks_test"] = events_ks_test
+ORACLE["events_ks_test"] = KS_TEST_SQL
+
+
+def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring
+    for the SAME USER — the unordered complement of the sequential
+    transition matrix (which types go together in a user's lifetime,
+    regardless of order).
+
+    Scale design: the stream collapses to DISTINCT (user, type)
+    first; per-user type pairs fan out map-side (≤C(|types|,2) per
+    user — a power user cannot explode the pair stream), and both
+    the pair counts and the per-type marginals re-aggregate that one
+    distinct frame. PMI = ln(N·c_ab/(c_a·c_b)) on the ≤|types|² cell
+    table, 6dp-rounded.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = ev.distinct()
+    a = ut.select("user_id", F.col("event_type").alias("t_a"))
+    b = ut.select("user_id", F.col("event_type").alias("t_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    marg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    n_users = ut.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.join(marg.select(F.col("event_type").alias("t_a"), F.col("c").alias("c_a")), "t_a")
+        .join(marg.select(F.col("event_type").alias("t_b"), F.col("c").alias("c_b")), "t_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "t_a",
+            "t_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("n") * F.col("c_ab")).cast("double")
+                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("t_a", "t_b")
+    )
+
+
+TYPE_PMI_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, COUNT(*) AS c_ab
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+marg AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT user_id) AS n FROM ut)
+SELECT p.t_a, p.t_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+       ROUND(LN(CAST(n.n * p.c_ab AS DOUBLE) / CAST(ma.c * mb.c AS DOUBLE)), 6) AS pmi
+FROM pairs p
+JOIN marg ma ON ma.event_type = p.t_a
+JOIN marg mb ON mb.event_type = p.t_b
+CROSS JOIN n
+ORDER BY t_a, t_b
+"""
+
+QUERIES["events_type_pmi"] = events_type_pmi
+ORACLE["events_type_pmi"] = TYPE_PMI_SQL
