@@ -873,3 +873,113 @@ FROM labeled GROUP BY 1 ORDER BY 1
 
 QUERIES["corpus_perplexity_filter"] = corpus_perplexity_filter
 ORACLE["corpus_perplexity_filter"] = PERPLEXITY_FILTER_SQL
+
+
+def corpus_ccnet_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CCNet-style cleaning funnel with per-stage survivor
+    accounting — the composition query a corpus team actually runs:
+    (1) raw → (2) language filter (en) → (3) length rule
+    [100, 10000] chars → (4) perplexity head+middle band (tercile cut
+    of the corpus-LM score over stage-3 survivors) → (5) exact dedup
+    on md5(text). Every stage reports docs + char budget, so nothing
+    is dropped silently.
+
+    Scale design: composes already-audited pieces — the one-tokenize
+    LM scorer, the histogram-CDF tercile cut (broadcast boundary
+    row), hash-groupBy dedup (identical text ⇒ identical n_chars, so
+    the canonical char count needs no second join). Five one-row
+    aggregates union driver-free; the raw corpus is scanned once per
+    stage family, not once per stage.
+    """
+    from bireme_spark.queries.terms import text_unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    s2 = d.where(F.col("lang") == "en")
+    s3 = s2.where(F.col("n_chars").between(100, 10000))
+    scored = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_nll")
+    sc3 = s3.join(scored, "doc_id")
+    hist = sc3.groupBy("avg_nll").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("avg_nll").rowsBetween(Window.unboundedPreceding, 0)
+    cd = (
+        F.sum("cnt").over(w).cast("double")
+        / F.sum("cnt").over(Window.partitionBy()).cast("double")
+    )
+    b2 = hist.select("avg_nll", cd.alias("cd")).agg(
+        F.min(
+            F.when(F.col("cd") >= F.lit(2.0) * (F.lit(1.0) / F.lit(3.0)), F.col("avg_nll"))
+        ).alias("b2")
+    )
+    s4 = sc3.join(F.broadcast(b2)).where(F.col("avg_nll") <= F.col("b2"))
+    s5 = s4.groupBy(F.md5("text").alias("h")).agg(F.min("n_chars").alias("n_chars"))
+
+    def stage(df, idx, name, chars_col="n_chars"):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).alias("total_chars"),
+        ).select(
+            F.lit(idx).alias("stage"), F.lit(name).alias("stage_name"),
+            "n_docs", "total_chars",
+        )
+
+    out = (
+        stage(d, 1, "raw")
+        .unionAll(stage(s2, 2, "lang_en"))
+        .unionAll(stage(s3, 3, "length_rule"))
+        .unionAll(stage(s4, 4, "perplexity_band"))
+        .unionAll(stage(s5, 5, "exact_dedup"))
+    )
+    return out.orderBy("stage")
+
+
+CCNET_FUNNEL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+), model AS (
+  SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1
+), total AS (SELECT SUM(cnt) AS total_tokens FROM model),
+nll AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(ROUND(tf.tf * -LN(CAST(model.cnt AS DOUBLE) / total.total_tokens), 6)
+              AS DECIMAL(18,6)) AS nll
+  FROM tf JOIN model USING (token) CROSS JOIN total
+),
+scored AS (
+  SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+  FROM nll GROUP BY 1
+),
+s2 AS (SELECT * FROM documents WHERE lang = 'en'),
+s3 AS (SELECT * FROM s2 WHERE n_chars BETWEEN 100 AND 10000),
+sc3 AS (SELECT s3.*, s.avg_nll FROM s3 JOIN scored s USING (doc_id)),
+hist AS (SELECT avg_nll, COUNT(*) AS cnt FROM sc3 GROUP BY 1),
+cum AS (
+  SELECT avg_nll,
+         CAST(SUM(cnt) OVER (ORDER BY avg_nll) AS DOUBLE)
+           / CAST(SUM(cnt) OVER () AS DOUBLE) AS cd
+  FROM hist
+),
+b AS (
+  SELECT MIN(CASE WHEN cd >= 2.0 * (CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+                  THEN avg_nll END) AS b2 FROM cum
+),
+s4 AS (SELECT sc3.* FROM sc3 CROSS JOIN b WHERE sc3.avg_nll <= b.b2),
+s5 AS (SELECT md5(text) AS h, MIN(n_chars) AS n_chars FROM s4 GROUP BY 1)
+SELECT stage, stage_name, n_docs, total_chars FROM (
+  SELECT 1 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+  UNION ALL
+  SELECT 2, 'lang_en', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'length_rule', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s3
+  UNION ALL
+  SELECT 4, 'perplexity_band', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s4
+  UNION ALL
+  SELECT 5, 'exact_dedup', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s5
+) ORDER BY stage
+"""
+
+QUERIES["corpus_ccnet_funnel"] = corpus_ccnet_funnel
+ORACLE["corpus_ccnet_funnel"] = CCNET_FUNNEL_SQL
