@@ -985,3 +985,156 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["lineitem_shipping_sla"] = lineitem_shipping_sla
 ORACLE["lineitem_shipping_sla"] = SHIPPING_SLA_SQL
+
+
+def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-priority mix between
+    the first and second half of order history (split at the median
+    year) — THE feature-drift metric an ML monitor runs on every
+    sync'd snapshot. PSI = Σ (p₂−p₁)·ln(p₂/p₁) over buckets.
+
+    Scale design: one (half, priority) hash agg collapses the table;
+    marginals and PSI terms compute on the |priorities|-cell frame.
+    The median-year split point is an exact histogram-CDF boundary
+    (one broadcast scalar). Terms are 6dp-rounded then summed —
+    engine-identical.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_orderpriority"
+    )
+    yh = o.groupBy("y").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    cd = (
+        F.sum("cnt").over(w).cast("double")
+        / F.sum("cnt").over(Window.partitionBy()).cast("double")
+    )
+    med = yh.select("y", cd.alias("cd")).agg(
+        F.min(F.when(F.col("cd") >= 0.5, F.col("y"))).alias("med_y")
+    )
+    halves = o.join(F.broadcast(med)).select(
+        F.when(F.col("y") <= F.col("med_y"), "h1").otherwise("h2").alias("half"),
+        "o_orderpriority",
+    )
+    cells = halves.groupBy("half", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("half")
+    p = cells.withColumn("p", F.col("n").cast("double") / F.sum("n").over(tot).cast("double"))
+    wide = (
+        p.groupBy("o_orderpriority")
+        .agg(
+            F.max(F.when(F.col("half") == "h1", F.col("p"))).alias("p1"),
+            F.max(F.when(F.col("half") == "h2", F.col("p"))).alias("p2"),
+        )
+    )
+    term = F.round((F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1")), 6)
+    return (
+        wide.select(
+            "o_orderpriority",
+            F.round("p1", 6).alias("p1"),
+            F.round("p2", 6).alias("p2"),
+            term.alias("psi_term"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PSI_DRIFT_SQL = """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderpriority FROM orders
+),
+yh AS (SELECT y, COUNT(*) AS cnt FROM o GROUP BY 1),
+cum AS (
+  SELECT y, CAST(SUM(cnt) OVER (ORDER BY y) AS DOUBLE)
+              / CAST(SUM(cnt) OVER () AS DOUBLE) AS cd
+  FROM yh
+),
+med AS (SELECT MIN(CASE WHEN cd >= 0.5 THEN y END) AS med_y FROM cum),
+halves AS (
+  SELECT CASE WHEN o.y <= med.med_y THEN 'h1' ELSE 'h2' END AS half, o_orderpriority
+  FROM o CROSS JOIN med
+),
+cells AS (SELECT half, o_orderpriority, COUNT(*) AS n FROM halves GROUP BY 1, 2),
+p AS (
+  SELECT *, CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY half) AS DOUBLE) AS p
+  FROM cells
+),
+wide AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN half = 'h1' THEN p END) AS p1,
+         MAX(CASE WHEN half = 'h2' THEN p END) AS p2
+  FROM p GROUP BY 1
+)
+SELECT o_orderpriority, ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+       ROUND((p2 - p1) * LN(p2 / p1), 6) AS psi_term
+FROM wide ORDER BY o_orderpriority
+"""
+
+QUERIES["orders_psi_drift"] = orders_psi_drift
+ORACLE["orders_psi_drift"] = PSI_DRIFT_SQL
+
+
+def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts bucketed A/B/C by
+    cumulative revenue share (top 80% / next 15% / tail 5%) — the
+    Pareto rollup behind every stocking policy.
+
+    Scale design: the fact table collapses to one revenue row per
+    part (map-side-combined DECIMAL agg); the cumulative-share window
+    runs on the part-cardinality frame ordered by revenue (a
+    part-level sort, never a fact-row sort), with the part key as the
+    deterministic tiebreak. Class assignment is the share BEFORE the
+    part (strictly-preceding cum), so the part that crosses 0.8 is
+    still an A — the standard convention, identical in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", money("l_extendedprice").alias("price")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("price").alias("rev"))
+    w = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.partitionBy()
+    d = per_part.withColumn(
+        "share_before",
+        F.coalesce(F.sum("rev").over(w), F.lit(0).cast("decimal(38,2)")).cast("double")
+        / F.sum("rev").over(wall).cast("double"),
+    )
+    cls = (
+        F.when(F.col("share_before") < 0.80, "A")
+        .when(F.col("share_before") < 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        d.select(cls.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_CLASS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT rev,
+         CAST(COALESCE(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           / CAST(SUM(rev) OVER () AS DOUBLE) AS share_before
+  FROM per_part
+)
+SELECT CASE WHEN share_before < 0.80 THEN 'A'
+            WHEN share_before < 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["lineitem_abc_classification"] = lineitem_abc_classification
+ORACLE["lineitem_abc_classification"] = ABC_CLASS_SQL
