@@ -357,3 +357,40 @@ def audio_fingerprint(binary_df: DataFrame, n_bands: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "afp": prints})
 
     return binary_df.mapInPandas(run, schema="doc_id long, afp string")
+
+
+def detect_scene_cuts(binary_df: DataFrame, threshold: int = 40) -> DataFrame:
+    """Scene-cut detection per clip: decode Y4M, compute the mean
+    absolute luma difference between consecutive frames (integer
+    floor mean), count diffs > threshold — the shot-boundary
+    primitive of every video curation pipeline. Integer math only,
+    bit-identical anywhere.
+
+    Same Arrow-batched mapInPandas shape as the other media
+    extractors; at 100 TB the per-row Python decode is the documented
+    native-codec (ffmpeg) seam.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.videocodec import decode_y4m
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nframes, cuts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _fps, frames = decode_y4m(bytes(payload))
+                n = len(frames)
+                c = 0
+                for f in range(1, n):
+                    y0, y1 = frames[f - 1][0], frames[f][0]
+                    diff = sum(abs(a - b) for a, b in zip(y0, y1)) // (w * h)
+                    if diff > threshold:
+                        c += 1
+                ids.append(int(doc_id))
+                nframes.append(n)
+                cuts.append(c)
+            yield pd.DataFrame({"doc_id": ids, "n_frames": nframes, "n_cuts": cuts})
+
+    return binary_df.mapInPandas(run, schema="doc_id long, n_frames int, n_cuts int")

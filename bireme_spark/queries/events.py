@@ -1065,3 +1065,65 @@ ORDER BY t_a, t_b
 
 QUERIES["events_type_pmi"] = events_type_pmi
 ORACLE["events_type_pmi"] = TYPE_PMI_SQL
+
+
+def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-down: daily error rate vs a 25% SLO and
+    the cumulative share of the period's error budget consumed — the
+    reliability rollup a sync pipeline's on-call watches.
+
+    Scale design: ONE (day) hash agg with conditional counts collapses
+    the stream; the burn-down cumulative window runs on the
+    |days|-sized series. Budget math is exact integers; rates are
+    IEEE divisions rounded at 6dp.
+    """
+    slo = 0.25  # allowed error fraction per period
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_err").alias("n_errors"),
+    )
+    wall = Window.partitionBy()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    d = daily.withColumn("budget", (F.lit(slo) * F.sum("n_events").over(wall).cast("double"))).withColumn(
+        "cum_errors", F.sum("n_errors").over(w)
+    )
+    return (
+        d.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_errors",
+            F.round(
+                F.col("n_errors").cast("double") / F.col("n_events").cast("double"), 6
+            ).alias("error_rate"),
+            F.round(F.col("cum_errors").cast("double") / F.col("budget"), 6).alias(
+                "budget_burned"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ERROR_BUDGET_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT *,
+         0.25 * CAST(SUM(n_events) OVER () AS DOUBLE) AS budget,
+         SUM(n_errors) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_errors
+  FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_events, n_errors,
+       ROUND(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS error_rate,
+       ROUND(CAST(cum_errors AS DOUBLE) / budget, 6) AS budget_burned
+FROM d ORDER BY day
+"""
+
+QUERIES["events_error_budget"] = events_error_budget
+ORACLE["events_error_budget"] = ERROR_BUDGET_SQL

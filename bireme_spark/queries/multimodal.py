@@ -423,3 +423,72 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_audio_fingerprint"] = multimodal_audio_fingerprint
 ORACLE["multimodal_audio_fingerprint"] = MULTIMODAL_AFP_SQL
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection end-to-end: synthetic Y4M clips built
+    with EXACTLY doc_id % 3 hard cuts at known frame positions
+    (in-scene frames differ by +3 luma — below threshold; cut frames
+    jump +96 — above), encoded, decoded by the pure-python parser,
+    and scanned for cuts. The oracle predicts the per-clip cut count
+    in closed form (n_cuts == doc_id % 3), so an encoder, decoder, or
+    differencing bug breaks the match.
+
+    Scale shape: ONE partition-parallel mapInPandas pass; the only
+    exchange is the final per-cut-count rollup.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.videocodec import encode_y4m
+    from bireme_spark.operators.multimodal import detect_scene_cuts
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8, 6
+                n_cuts = doc_id % 3
+                n_frames = 7
+                # cuts after frames 2 and 4 (as many as n_cuts)
+                cut_after = {2, 4}
+                clen = (w // 2) * (h // 2)
+                frames, base = [], 20
+                cuts_done = 0
+                for f in range(n_frames):
+                    if f > 0 and (f - 1) in cut_after and cuts_done < n_cuts:
+                        base += 96
+                        cuts_done += 1
+                    else:
+                        base += 3
+                    frames.append(
+                        (bytes([base % 200] * (w * h)), bytes([128]) * clen, bytes([128]) * clen)
+                    )
+                ids.append(doc_id)
+                payloads.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
+    cuts = detect_scene_cuts(packed, threshold=40)
+    return (
+        cuts.groupBy("n_cuts")
+        .agg(F.count(F.lit(1)).alias("n_videos"), F.min("doc_id").alias("min_doc"))
+        .orderBy("n_cuts")
+    )
+
+
+MULTIMODAL_SCENE_SQL = """
+SELECT CAST(doc_id % 3 AS INTEGER) AS n_cuts,
+       COUNT(*) AS n_videos,
+       MIN(doc_id) AS min_doc
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["multimodal_scene_cuts"] = multimodal_scene_cuts
+ORACLE["multimodal_scene_cuts"] = MULTIMODAL_SCENE_SQL
