@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bireme_spark.sources.tables import load_table
@@ -401,3 +401,73 @@ ORDER BY q.query_id
 
 QUERIES["embedding_truncation_recall"] = embedding_truncation_recall
 ORACLE["embedding_truncation_recall"] = EMBEDDING_TRUNCATION_SQL
+
+
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: the 3 vectors FARTHEST from their own
+    label's centroid (squared L2) — the mislabeled/corrupt-embedding
+    shortlist a data curator reviews.
+
+    Scale design: the corpus fans out map-side to (vec, pos, x)
+    long form ONCE; centroids reduce on (label, pos) and broadcast
+    back (|labels|·dim rows); distance terms are 6dp-rounded then
+    DECIMAL-summed per vector (shuffle-order-proof), and the top-3 is
+    a per-label window on the |vectors|-sized distance frame. No
+    vector math ever leaves the JVM.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+    term = F.round(F.pow(F.col("x") - F.col("c"), F.lit(2.0)), 6).cast("decimal(18,6)")
+    dist = (
+        flat.join(F.broadcast(cent), ["label", "pos"])
+        .select("vec_id", "label", term.alias("t"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t").alias("d2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "label",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.col("d2").cast("double").alias("sq_distance"),
+        )
+        .orderBy("label", "rank")
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = """
+WITH flat AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, ROUND(AVG(x), 6) AS c FROM flat GROUP BY 1, 2
+),
+dist AS (
+  SELECT f.vec_id, f.label,
+         SUM(CAST(ROUND(POW(f.x - ct.c, 2), 6) AS DECIMAL(18,6))) AS d2
+  FROM flat f JOIN cent ct ON f.label = ct.label AND f.pos = ct.pos
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                    ORDER BY d2 DESC, vec_id) AS INTEGER) AS rank
+  FROM dist
+)
+SELECT label, rank, vec_id, CAST(d2 AS DOUBLE) AS sq_distance
+FROM ranked WHERE rank <= 3
+ORDER BY label, rank
+"""
+
+QUERIES["embedding_centroid_outliers"] = embedding_centroid_outliers
+ORACLE["embedding_centroid_outliers"] = EMBEDDING_OUTLIERS_SQL
