@@ -701,3 +701,153 @@ ORDER BY event_type
 
 QUERIES["events_interarrival_stats"] = events_interarrival_stats
 ORACLE["events_interarrival_stats"] = EVENTS_INTERARRIVAL_SQL
+
+
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the daily-count series of every
+    event-type pair — do error spikes track purchase spikes? The
+    co-movement screen run before any causal digging.
+
+    Scale design: the stream collapses ONCE to the (day, type) count
+    grid (map-side-combined agg); the pairwise stats come from a
+    |days|-sized self-join on the day grid, and every sufficient
+    statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer sum —
+    the final correlation is one IEEE expression of exact ints,
+    engine-identical with no incremental float accumulation.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    grid = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = grid.select("day", F.col("event_type").alias("t_a"), F.col("n").alias("x"))
+    b = grid.select("day", F.col("event_type").alias("t_b"), F.col("n").alias("y"))
+    j = a.join(b, "day").where(F.col("t_a") < F.col("t_b"))
+    s = j.groupBy("t_a", "t_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return (
+        s.select("t_a", "t_b", "n", F.round(num / den, 6).alias("pearson_r"))
+        .orderBy("t_a", "t_b")
+    )
+
+
+TYPE_CORRELATION_SQL = """
+WITH grid AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, a.n AS x, b.n AS y
+  FROM grid a JOIN grid b ON a.day = b.day AND a.event_type < b.event_type
+),
+s AS (
+  SELECT t_a, t_b, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM j GROUP BY 1, 2
+)
+SELECT t_a, t_b, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+FROM s ORDER BY t_a, t_b
+"""
+
+QUERIES["events_type_correlation"] = events_type_correlation
+ORACLE["events_type_correlation"] = TYPE_CORRELATION_SQL
+
+
+def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k similarity search over user activity series (EDBT
+    top-k-similarity shape): restrict to the 20 most-active users
+    (the candidate-pruning step that makes pairwise search tractable
+    — 190 pairs instead of |users|²), then rank user pairs by Pearson
+    correlation of their daily event counts over the days BOTH were
+    active.
+
+    Scale design: candidate pruning is a TakeOrdered top-20 on the
+    per-user totals (deterministic user_id tiebreak); the day-grid
+    self-join runs only between candidates (inner join on day ⇒
+    co-active days). Sufficient statistics are exact integer sums;
+    ties rank by (user_a, user_b). Pairs with fewer than 5 co-active
+    days are dropped as unstable (counted implicitly by n_days).
+    """
+    k = 20
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("total"))
+    top = per_user.orderBy(F.col("total").desc(), "user_id").limit(k).select("user_id")
+    grid = (
+        ev.join(F.broadcast(top), "user_id")
+        .groupBy("day", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = grid.select("day", F.col("user_id").alias("u_a"), F.col("n").alias("x"))
+    b = grid.select("day", F.col("user_id").alias("u_b"), F.col("n").alias("y"))
+    j = a.join(b, "day").where(F.col("u_a") < F.col("u_b"))
+    s = j.groupBy("u_a", "u_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).where(F.col("n_days") >= 5)
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    scored = s.where(den != 0).select(
+        "u_a", "u_b", "n_days", F.round(num / den, 6).alias("pearson_r")
+    )
+    return scored.orderBy(F.col("pearson_r").desc(), "u_a", "u_b").limit(10)
+
+
+SIMILAR_USERS_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS total FROM events GROUP BY 1
+),
+top AS (
+  SELECT user_id FROM per_user ORDER BY total DESC, user_id LIMIT 20
+),
+grid AS (
+  SELECT CAST(e.ts AS DATE) AS day, e.user_id, COUNT(*) AS n
+  FROM events e JOIN top t ON e.user_id = t.user_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT a.user_id AS u_a, b.user_id AS u_b, a.n AS x, b.n AS y
+  FROM grid a JOIN grid b ON a.day = b.day AND a.user_id < b.user_id
+),
+s AS (
+  SELECT u_a, u_b, COUNT(*) AS n_days,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM j GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+)
+SELECT u_a, u_b, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+FROM s
+WHERE (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) <> 0
+ORDER BY pearson_r DESC, u_a, u_b
+LIMIT 10
+"""
+
+QUERIES["timeseries_similar_users"] = timeseries_similar_users
+ORACLE["timeseries_similar_users"] = SIMILAR_USERS_SQL
