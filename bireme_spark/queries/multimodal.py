@@ -492,3 +492,70 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["multimodal_scene_cuts"] = multimodal_scene_cuts
 ORACLE["multimodal_scene_cuts"] = MULTIMODAL_SCENE_SQL
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize end-to-end: the same synthetic
+    images as ``multimodal_image_decode`` (pixel = (x+y+doc_id+37c)
+    mod 256), encoded, decoded, and downsampled to 4×4 with the
+    integer NN mapping xs = (x_dst·w_src)//4 — the oracle recomputes
+    the sampled-pixel mean in closed form, so encoder, decoder, and
+    resampler are all on the hook.
+
+    Scale shape: encode→decode→resize in one partition-parallel
+    mapInPandas chain; no exchange at all before the ordered output.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import encode_bmp, encode_png
+    from bireme_spark.operators.multimodal import resize_image_nn
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                pix = bytes(
+                    (x + y + doc_id + 37 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                enc = encode_bmp(w, h, pix) if doc_id % 2 == 0 else encode_png(w, h, pix)
+                ids.append(doc_id)
+                payloads.append(enc)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
+    return (
+        resize_image_nn(packed, 4, 4)
+        .select("doc_id", "width", "height", "mean_pixel")
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+)
+SELECT d.doc_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       ROUND(AVG(CAST(((i.i * d.w) // 4 + (j.j * d.h) // 4 + d.doc_id + 37 * c.c) % 256
+                      AS DOUBLE)), 6) AS mean_pixel
+FROM dims d
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+QUERIES["multimodal_resize"] = multimodal_resize
+ORACLE["multimodal_resize"] = MULTIMODAL_RESIZE_SQL
