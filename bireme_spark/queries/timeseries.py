@@ -856,25 +856,30 @@ ORACLE["timeseries_similar_users"] = SIMILAR_USERS_SQL
 _HOLT_SQL_BODY = """
 WITH RECURSIVE
 series AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY month) AS INTEGER) AS rn, y FROM {monthly}
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY month) AS INTEGER) AS rn,
+         CAST(y AS DECIMAL(28,6)) AS y
+  FROM {monthly}
 ),
 holt(rn, level, trend) AS (
-  SELECT 1, (SELECT y FROM series WHERE rn = 1), CAST(0 AS DOUBLE)
+  SELECT 1, (SELECT y FROM series WHERE rn = 1), CAST(0 AS DECIMAL(28,6))
   UNION ALL
   SELECT s.rn,
-         ROUND(CAST(0.5 AS DOUBLE) * s.y
-               + CAST(0.5 AS DOUBLE) * (h.level + h.trend), 6),
-         ROUND(CAST(0.3 AS DOUBLE)
-                 * (ROUND(CAST(0.5 AS DOUBLE) * s.y
-                          + CAST(0.5 AS DOUBLE) * (h.level + h.trend), 6) - h.level)
-               + CAST(0.7 AS DOUBLE) * h.trend, 6)
+         CAST(ROUND(CAST(0.5 AS DECIMAL(8,6)) * s.y
+                    + CAST(0.5 AS DECIMAL(8,6)) * (h.level + h.trend), 6)
+              AS DECIMAL(28,6)),
+         CAST(ROUND(CAST(0.3 AS DECIMAL(8,6))
+                      * (CAST(ROUND(CAST(0.5 AS DECIMAL(8,6)) * s.y
+                                    + CAST(0.5 AS DECIMAL(8,6)) * (h.level + h.trend), 6)
+                              AS DECIMAL(28,6)) - h.level)
+                    + CAST(0.7 AS DECIMAL(8,6)) * h.trend, 6)
+              AS DECIMAL(28,6))
   FROM holt h JOIN series s ON s.rn = h.rn + 1
 ),
 fin AS (
   SELECT level, trend FROM holt WHERE rn = (SELECT MAX(rn) FROM holt)
 )
 SELECT CAST(h.horizon AS INTEGER) AS horizon,
-       ROUND(level + h.horizon * trend, 6) AS forecast,
+       CAST(level + h.horizon * trend AS DOUBLE) AS forecast,
        (SELECT MAX(rn) FROM holt) AS n_months
 FROM fin, (VALUES (0), (1), (2), (3)) AS h(horizon)
 ORDER BY horizon
@@ -885,7 +890,9 @@ def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend forecast of monthly order revenue (α=0.5,
     β=0.3), horizons 0–3 months. The ORACLE runs the fold as one
     recursive CTE (pure ANSI SQL); the Spark side folds the same
-    6dp-rounded recurrence inside a single Arrow batch over the
+    DECIMAL recurrence (quantize HALF_UP == DuckDB decimal ROUND —
+    double rounding is engine-ambiguous at scaled-tie values) inside
+    a single Arrow batch over the
     |months|-row series — bit-identical trajectories, but one job
     instead of one Spark job per recursion step (measured: the
     recursive-CTE execution costs ~2s of planning per iteration on
@@ -905,17 +912,22 @@ def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = o.groupBy("month").agg(F.sum("price").cast("double").alias("y"))
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("1e-6")
+        half, a3, a7 = Decimal("0.5"), Decimal("0.3"), Decimal("0.7")
         pdf = pdf.sort_values("month")
-        ys = pdf["y"].tolist()
-        level, trend = ys[0], 0.0
+        # repr() round-trips the exact 2dp revenue (≤15 sig digits)
+        ys = [Decimal(repr(float(v))) for v in pdf["y"]]
+        level, trend = ys[0], Decimal(0)
         for y in ys[1:]:
-            new_level = round(0.5 * y + 0.5 * (level + trend), 6)
-            trend = round(0.3 * (new_level - level) + 0.7 * trend, 6)
+            new_level = (half * y + half * (level + trend)).quantize(q6, ROUND_HALF_UP)
+            trend = (a3 * (new_level - level) + a7 * trend).quantize(q6, ROUND_HALF_UP)
             level = new_level
         return pd.DataFrame(
             {
                 "horizon": [0, 1, 2, 3],
-                "forecast": [round(level + h * trend, 6) for h in range(4)],
+                "forecast": [float(level + h * trend) for h in range(4)],
                 "n_months": [len(ys)] * 4,
             }
         )
