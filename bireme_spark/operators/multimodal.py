@@ -400,8 +400,9 @@ def resize_image_nn(binary_df: DataFrame, width: int, height: int) -> DataFrame:
     """REAL nearest-neighbor image resize over the pure-python codecs
     (the production-shape upgrade of the ``resize_media`` stub):
     decode, sample src pixel (x·w_src)//w_dst per destination cell,
-    report the resized geometry + integer-exact pixel sum and
-    6dp-rounded mean. Arrow-batched mapInPandas, partition-parallel;
+    report the resized geometry and the mean pixel as one IEEE
+    division of the integer-exact pixel sum (no rounding — Python
+    round() is half-even, SQL ROUND is not; see CLAUDE.md). Arrow-batched mapInPandas, partition-parallel;
     swap the body for libvips at the documented native seam.
     """
     from collections.abc import Iterator
@@ -424,7 +425,7 @@ def resize_image_nn(binary_df: DataFrame, width: int, height: int) -> DataFrame:
                         total += sum(pix[base : base + c])
                 n = width * height * c
                 ids.append(int(doc_id))
-                means.append(round(total / n, 6))
+                means.append(total / n)  # IEEE division of exact ints
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -547,8 +547,8 @@ WITH dims AS (
 SELECT d.doc_id,
        CAST(4 AS INTEGER) AS width,
        CAST(4 AS INTEGER) AS height,
-       ROUND(AVG(CAST(((i.i * d.w) // 4 + (j.j * d.h) // 4 + d.doc_id + 37 * c.c) % 256
-                      AS DOUBLE)), 6) AS mean_pixel
+       CAST(SUM(((i.i * d.w) // 4 + (j.j * d.h) // 4 + d.doc_id + 37 * c.c) % 256)
+            AS DOUBLE) / 48 AS mean_pixel
 FROM dims d
 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
