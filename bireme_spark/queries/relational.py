@@ -1138,3 +1138,75 @@ FROM d GROUP BY 1 ORDER BY 1
 
 QUERIES["lineitem_abc_classification"] = lineitem_abc_classification
 ORACLE["lineitem_abc_classification"] = ABC_CLASS_SQL
+
+
+def customers_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in deciles: share of total revenue contributed by
+    each customer decile (ranked poorest→richest) plus the cumulative
+    share — the inequality curve behind the per-nation Gini, as the
+    report a revenue team reads.
+
+    Scale design: the fact table collapses to one DECIMAL revenue row
+    per customer first; ranking runs on the customer-cardinality
+    frame (revenue, custkey tiebreak), decile assignment is integer
+    math on the rank, and shares are IEEE divisions of exact DECIMAL
+    sums. Never a fact-row sort.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", money("o_totalprice").alias("price")
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.sum("price").alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    wall = Window.partitionBy()
+    d = (
+        per_cust.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("decile", (F.floor((F.col("rn") - 1) * 10 / F.col("n")) + 1).cast("int"))
+    )
+    tot = Window.partitionBy()
+    by_dec = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("dec_rev")
+    )
+    out = by_dec.withColumn(
+        "share",
+        F.round(
+            F.col("dec_rev").cast("double") / F.sum("dec_rev").over(tot).cast("double"),
+            6,
+        ),
+    ).withColumn(
+        "cum_share",
+        F.round(
+            F.sum("dec_rev")
+            .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / F.sum("dec_rev").over(tot).cast("double"),
+            6,
+        ),
+    )
+    return out.select("decile", "n_customers", "share", "cum_share").orderBy("decile")
+
+
+LORENZ_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT rev,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY rev, o_custkey) - 1) * 10.0
+                    / COUNT(*) OVER ()) + 1 AS INTEGER) AS decile
+  FROM per_cust
+),
+by_dec AS (
+  SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS dec_rev FROM d GROUP BY 1
+)
+SELECT decile, n_customers,
+       ROUND(CAST(dec_rev AS DOUBLE) / CAST(SUM(dec_rev) OVER () AS DOUBLE), 6) AS share,
+       ROUND(CAST(SUM(dec_rev) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(dec_rev) OVER () AS DOUBLE), 6) AS cum_share
+FROM by_dec ORDER BY decile
+"""
+
+QUERIES["customers_lorenz_deciles"] = customers_lorenz_deciles
+ORACLE["customers_lorenz_deciles"] = LORENZ_SQL
