@@ -26,6 +26,10 @@ _PINNED = [
     "corpus_perplexity_filter",
     "events_conversion_latency",
     "orders_open_backlog",
+    "orders_holt_forecast",
+    "customers_lorenz_deciles",
+    "events_ks_test",
+    "lineitem_abc_classification",
 ]
 
 
