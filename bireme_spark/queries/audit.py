@@ -589,3 +589,116 @@ d AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
 
 QUERIES["graph_reachability_bfs"] = graph_reachability_bfs
 ORACLE["graph_reachability_bfs"] = GRAPH_BFS_SQL
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient — per-node local CC over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (2·tri_v / deg_v·(deg_v−1)) for
+    the 20 highest-degree parts of the co-purchase graph — how
+    clique-like each hub's neighborhood is, the community-structure
+    audit next to the global triangle count.
+
+    Scale design: same bounded edge construction and degree-ordered
+    wedge counting as ``graph_triangle_count`` (the skew-safe
+    O(m^1.5) plan); each found triangle then explodes map-side into
+    its 3 member nodes and ONE node-key agg yields per-node triangle
+    counts. The oracle enumerates the same triangle SET with the
+    simple id orientation — per-node counts are orientation-invariant.
+    Top-20 is TakeOrdered by (degree desc, id).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    po = li.distinct().select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a = po.select("ok", F.col("pk").alias("u"))
+    b = po.select("ok", F.col("pk").alias("v"))
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    edges = edges.persist()
+    try:
+        deg = (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        lo_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        e = (
+            edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
+            .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+            .select(
+                F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+                F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            )
+        )
+        w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+        wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+        closing = e.select(F.least("lo", "hi").alias("e1"), F.greatest("lo", "hi").alias("e2"))
+        tri = wedges.join(
+            closing, (F.col("b") == F.col("e1")) & (F.col("c") == F.col("e2"))
+        ).select("a", "b", "c")
+        tri_per_node = (
+            tri.select(F.col("a").alias("x"))
+            .unionAll(tri.select(F.col("b").alias("x")))
+            .unionAll(tri.select(F.col("c").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        out = (
+            deg.join(tri_per_node, "x", "left")
+            .select(
+                F.col("x").alias("p_partkey"),
+                "deg",
+                F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("n_triangles", F.lit(0)).cast("double")
+                    / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double")),
+                    6,
+                ).alias("clustering_coeff"),
+            )
+            .orderBy(F.col("deg").desc(), "p_partkey")
+            .limit(20)
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+CLUSTERING_COEFF_SQL = """
+WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+  SELECT x, COUNT(*) AS deg FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+tpn AS (
+  SELECT x, COUNT(*) AS n_triangles FROM (
+    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT d.x AS p_partkey, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(2.0 * COALESCE(t.n_triangles, 0)
+             / (CAST(d.deg AS DOUBLE) * (d.deg - 1)), 6) AS clustering_coeff
+FROM deg d LEFT JOIN tpn t ON d.x = t.x
+ORDER BY d.deg DESC, p_partkey
+LIMIT 20
+"""
+
+QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
+ORACLE["graph_clustering_coefficient"] = CLUSTERING_COEFF_SQL
