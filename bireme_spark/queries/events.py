@@ -1127,3 +1127,84 @@ FROM d ORDER BY day
 
 QUERIES["events_error_budget"] = events_error_budget
 ORACLE["events_error_budget"] = ERROR_BUDGET_SQL
+
+
+def events_markov_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction baseline: predict each user's next event
+    type as the corpus-wide most-likely transition (first-order
+    Markov argmax) and report per-type accuracy — the floor any
+    sequence model must beat, evaluated in-engine.
+
+    Scale design: consecutive (from, to) pairs come from ONE user-key
+    shuffle + lead window (the transition-matrix plan); the argmax
+    table is |types|² cells reduced to |types| rows (ties break
+    lexicographically — deterministic) and broadcasts back onto the
+    same pair stream for scoring. Accuracy is an IEEE division of
+    exact counts.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+    )
+    trans = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wmax = Window.partitionBy("from_type").orderBy(F.col("n").desc(), "to_type")
+    pred = (
+        trans.withColumn("rk", F.row_number().over(wmax))
+        .where(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted_next"))
+    )
+    scored = pairs.join(F.broadcast(pred), "from_type").select(
+        "from_type",
+        "predicted_next",
+        (F.col("to_type") == F.col("predicted_next")).cast("int").alias("hit"),
+    )
+    return (
+        scored.groupBy("from_type", "predicted_next")
+        .agg(F.count(F.lit(1)).alias("n_transitions"), F.sum("hit").alias("n_correct"))
+        .select(
+            "from_type",
+            "predicted_next",
+            "n_transitions",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_transitions").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("from_type")
+    )
+
+
+MARKOV_BASELINE_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+pairs AS (SELECT from_type, to_type FROM seq WHERE to_type IS NOT NULL),
+trans AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+pred AS (
+  SELECT from_type, to_type AS predicted_next FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+                                 ORDER BY n DESC, to_type) AS rk
+    FROM trans
+  ) WHERE rk = 1
+)
+SELECT p.from_type, d.predicted_next,
+       COUNT(*) AS n_transitions,
+       CAST(SUM(CASE WHEN p.to_type = d.predicted_next THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN p.to_type = d.predicted_next THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM pairs p JOIN pred d ON p.from_type = d.from_type
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+QUERIES["events_markov_baseline"] = events_markov_baseline
+ORACLE["events_markov_baseline"] = MARKOV_BASELINE_SQL
