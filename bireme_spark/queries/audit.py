@@ -702,3 +702,91 @@ LIMIT 20
 
 QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
 ORACLE["graph_clustering_coefficient"] = CLUSTERING_COEFF_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_totalprice_reconciliation — cross-table consistency audit
+# ---------------------------------------------------------------------------
+
+
+def orders_totalprice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: does each order's header total
+    equal the DECIMAL-exact sum of its line charges
+    (extendedprice·(1−disc)·(1+tax))? The post-sync consistency check
+    a finance pipeline runs nightly — reported as a banded histogram
+    of |header − Σ lines| so drift magnitude is visible, never
+    swallowed into a single boolean.
+
+    Scale design: ONE order-key shuffle aggregates line charges; the
+    header join rides the same key; banding is a map-side CASE and
+    the final agg is 4 cells. All money math is DECIMAL-exact, so
+    the bands are engine-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            money("l_extendedprice")
+            * (F.lit(1).cast("decimal(5,2)") - F.col("l_discount").cast("decimal(5,2)"))
+            * (F.lit(1).cast("decimal(5,2)") + F.col("l_tax").cast("decimal(5,2)"))
+        ).alias("charge"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum("charge").alias("line_total"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", money("o_totalprice").alias("header_total")
+    )
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left").select(
+        F.abs(
+            F.col("header_total").cast("decimal(24,6)")
+            - F.coalesce(F.col("line_total"), F.lit(0)).cast("decimal(24,6)")
+        ).alias("absdiff"),
+        F.col("header_total").cast("decimal(24,6)").alias("header"),
+    ).withColumn(
+        "ratio", F.col("absdiff").cast("double") / F.col("header").cast("double")
+    )
+    band = (
+        F.when(F.col("absdiff") == 0, "0_exact")
+        .when(F.col("ratio") <= 0.25, "1_upto_25pct")
+        .when(F.col("ratio") <= 0.50, "2_upto_50pct")
+        .when(F.col("ratio") <= 1.00, "3_upto_100pct")
+        .otherwise("4_over_100pct")
+    )
+    return (
+        j.select(band.alias("band"), "absdiff")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("absdiff")).cast("double").alias("total_abs_drift"),
+        )
+        .orderBy("band")
+    )
+
+
+TOTALPRICE_RECON_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(5,2)))
+             * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS line_total
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT ABS(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DECIMAL(24,6))
+             - CAST(COALESCE(p.line_total, 0) AS DECIMAL(24,6))) AS absdiff,
+         CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DECIMAL(24,6)) AS header
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+),
+r AS (
+  SELECT absdiff, CAST(absdiff AS DOUBLE) / CAST(header AS DOUBLE) AS ratio FROM j
+)
+SELECT CASE WHEN absdiff = 0 THEN '0_exact'
+            WHEN ratio <= 0.25 THEN '1_upto_25pct'
+            WHEN ratio <= 0.50 THEN '2_upto_50pct'
+            WHEN ratio <= 1.00 THEN '3_upto_100pct'
+            ELSE '4_over_100pct' END AS band,
+       COUNT(*) AS n_orders,
+       CAST(SUM(absdiff) AS DOUBLE) AS total_abs_drift
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_totalprice_reconciliation"] = orders_totalprice_reconciliation
+ORACLE["orders_totalprice_reconciliation"] = TOTALPRICE_RECON_SQL
