@@ -1208,3 +1208,60 @@ GROUP BY 1, 2 ORDER BY 1
 
 QUERIES["events_markov_baseline"] = events_markov_baseline
 ORACLE["events_markov_baseline"] = MARKOV_BASELINE_SQL
+
+
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the growth-accounting
+    metric every product dashboard leads with: a user is NEW on their
+    first-ever active day, RETURNING after.
+
+    Scale design: first-seen day is ONE per-user MIN agg over the
+    distinct (user, day) frame; the classification join rides the
+    same user key, and the daily rollup is map-side-combined. No
+    window over raw events anywhere.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(first, "user_id").select(
+        "day", (F.col("day") == F.col("first_day")).cast("int").alias("is_new")
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum("is_new").alias("new_users"),
+            F.sum(F.lit(1) - F.col("is_new")).alias("returning_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "returning_users",
+            F.round(
+                F.col("new_users").cast("double")
+                / (F.col("new_users") + F.col("returning_users")).cast("double"),
+                6,
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )
+
+
+NEW_VS_RETURNING_SQL = """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+first AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+j AS (
+  SELECT ud.day, CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END AS is_new
+  FROM ud JOIN first f ON ud.user_id = f.user_id
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(is_new) AS BIGINT) AS new_users,
+       CAST(SUM(1 - is_new) AS BIGINT) AS returning_users,
+       ROUND(CAST(SUM(is_new) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
+FROM j GROUP BY day ORDER BY day
+"""
+
+QUERIES["events_new_vs_returning"] = events_new_vs_returning
+ORACLE["events_new_vs_returning"] = NEW_VS_RETURNING_SQL

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bireme_spark.functions import text as T
@@ -616,3 +616,75 @@ ORDER BY doc_id
 
 QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
 ORACLE["corpus_ngram_novelty"] = CORPUS_NOVELTY_SQL
+
+
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct
+    vocabulary after each decile of the corpus (docs in doc_id
+    order) — sublinear growth is healthy; a linear curve means
+    unbounded noise (OCR garbage, random strings).
+
+    Scale design: "distinct tokens in every prefix" is NOT computed
+    per prefix (quadratic) — each token contributes ONCE at its
+    FIRST-occurrence doc (min doc_id per token, one token-key agg);
+    bucketing first-occurrences by corpus decile and one cumulative
+    window over the 10-row histogram yields every prefix count
+    exactly. Token totals ride the same tokenize pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar for decile edges (driver-side model)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    decile = (F.floor((F.col("doc_id")) * 10 / F.lit(n_docs)) + 1).cast("int")
+    first = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    vocab_by_dec = (
+        first.select((F.floor(F.col("first_doc") * 10 / F.lit(n_docs)) + 1).cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    tokens_by_dec = (
+        toks.select(decile.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_by_dec.join(vocab_by_dec, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
+
+
+HEAPS_LAW_SQL = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+first AS (SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+vocab_by_dec AS (
+  SELECT CAST(FLOOR(first_doc * 10.0 / n.n_docs) + 1 AS INTEGER) AS decile,
+         COUNT(*) AS new_vocab
+  FROM first CROSS JOIN n GROUP BY 1
+),
+tokens_by_dec AS (
+  SELECT CAST(FLOOR(doc_id * 10.0 / n.n_docs) + 1 AS INTEGER) AS decile,
+         COUNT(*) AS n_tokens
+  FROM tok CROSS JOIN n GROUP BY 1
+)
+SELECT t.decile,
+       CAST(SUM(t.n_tokens) OVER (ORDER BY t.decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(v.new_vocab, 0)) OVER (ORDER BY t.decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+FROM tokens_by_dec t LEFT JOIN vocab_by_dec v ON t.decile = v.decile
+ORDER BY t.decile
+"""
+
+QUERIES["text_heaps_law"] = text_heaps_law
+ORACLE["text_heaps_law"] = HEAPS_LAW_SQL
