@@ -1210,3 +1210,67 @@ FROM by_dec ORDER BY decile
 
 QUERIES["customers_lorenz_deciles"] = customers_lorenz_deciles
 ORACLE["customers_lorenz_deciles"] = LORENZ_SQL
+
+
+def suppliers_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supply-concentration index per nation:
+    Σ (supplier revenue share)² · 10000 over each nation's suppliers
+    — the antitrust-style concentration screen next to the customer
+    Gini (HHI > 2500 = highly concentrated).
+
+    Scale design: ONE supplier-key shuffle aggregates each supplier's
+    DECIMAL revenue; the nation roll-up and share math run on the
+    supplier-cardinality frame (broadcast nation dim); shares are
+    IEEE divisions of exact sums; HHI terms are 6dp-rounded then
+    DECIMAL-summed (a double sum is shuffle-order-dependent).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", money("l_extendedprice").alias("price")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("price").alias("rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        per_supp.join(s, per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "rev")
+    )
+    wnat = Window.partitionBy("n_name")
+    shares = j.withColumn(
+        "share", F.col("rev").cast("double") / F.sum("rev").over(wnat).cast("double")
+    )
+    return (
+        shares.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(
+                F.round(F.pow("share", F.lit(2.0)) * 10000, 6).cast("decimal(18,6)")
+            ).cast("double").alias("hhi"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SUPPLIER_HHI_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT n.n_name, p.rev
+  FROM per_supp p
+  JOIN supplier s ON p.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+shares AS (
+  SELECT n_name,
+         CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE) AS share
+  FROM j
+)
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(POW(share, 2) * 10000, 6) AS DECIMAL(18,6))) AS DOUBLE) AS hhi
+FROM shares GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["suppliers_hhi_concentration"] = suppliers_hhi_concentration
+ORACLE["suppliers_hhi_concentration"] = SUPPLIER_HHI_SQL
