@@ -58,6 +58,9 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "bucketed_colocated_join",
     "graph_reachability_bfs",
+    "events_ks_test",
+    "corpus_ccnet_funnel",
+    "events_active_users_rolling",
 ]
 
 
