@@ -1274,3 +1274,87 @@ FROM shares GROUP BY 1 ORDER BY 1
 
 QUERIES["suppliers_hhi_concentration"] = suppliers_hhi_concentration
 ORACLE["suppliers_hhi_concentration"] = SUPPLIER_HHI_SQL
+
+
+def segments_contribution_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment contribution report: per c_mktsegment — active
+    customers, orders, DECIMAL-exact revenue, revenue share, and
+    average account balance — the one-page segment P&L a revenue
+    team reviews weekly.
+
+    Scale design: orders aggregate per customer on ONE customer-key
+    shuffle, the segment dim rides the same key, and the final
+    |segments|-cell rollup carries exact DECIMAL sums; shares and
+    averages are IEEE divisions of exact totals (acctbal is 2dp, so
+    its DECIMAL sum is exact too).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", money("o_totalprice").alias("price")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("price").alias("rev")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", money("c_acctbal").alias("bal")
+    )
+    j = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+    seg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.col("rev")).alias("n_active"),
+        F.sum(F.coalesce("n_orders", F.lit(0))).alias("n_orders"),
+        F.sum(F.coalesce(F.col("rev"), F.lit(0).cast("decimal(12,2)"))).alias("_rev"),
+        F.sum("bal").alias("_bal"),
+    )
+    wall = Window.partitionBy()
+    return (
+        seg.withColumn(
+            "revenue_share",
+            F.round(
+                F.col("_rev").cast("double") / F.sum("_rev").over(wall).cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "n_active",
+            "n_orders",
+            F.col("_rev").cast("double").alias("revenue"),
+            "revenue_share",
+            F.round(
+                F.col("_bal").cast("double") / F.col("n_customers").cast("double"), 6
+            ).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENTS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.c_mktsegment, CAST(c.c_acctbal AS DECIMAL(12,2)) AS bal,
+         p.n_orders, p.rev
+  FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+),
+seg AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n_customers,
+         COUNT(rev) AS n_active,
+         CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS n_orders,
+         SUM(COALESCE(rev, 0)) AS _rev,
+         SUM(bal) AS _bal
+  FROM j GROUP BY 1
+)
+SELECT c_mktsegment, n_customers, n_active, n_orders,
+       CAST(_rev AS DOUBLE) AS revenue,
+       ROUND(CAST(_rev AS DOUBLE) / CAST(SUM(_rev) OVER () AS DOUBLE), 6) AS revenue_share,
+       ROUND(CAST(_bal AS DOUBLE) / CAST(n_customers AS DOUBLE), 6) AS avg_acctbal
+FROM seg ORDER BY c_mktsegment
+"""
+
+QUERIES["segments_contribution_margin"] = segments_contribution_margin
+ORACLE["segments_contribution_margin"] = SEGMENTS_SQL
