@@ -1275,3 +1275,84 @@ SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 <> 0) AS n_after_first,
 
 QUERIES["cdc_exactly_once_audit"] = cdc_exactly_once_audit
 ORACLE["cdc_exactly_once_audit"] = CDC_EXACTLY_ONCE_SQL
+
+
+def debezium_mongo_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip for the MongoDB-flavored Debezium envelope
+    (reference: ``/root/reference/README.md:9`` advertises MongoDB
+    sources; op mapping per ``pipeline/DebeziumPipeLine.java:206-229``):
+    ``after``/``before`` are extended-JSON *strings*, numbers wrapped
+    as ``{"$numberLong": "..."}`` and dates as ``{"$date": ms}``.
+    Build the envelopes from orders (so the oracle can derive the
+    same flat rows in SQL), parse with
+    :func:`bireme_spark.sources.debezium.parse_debezium_mongo`, and
+    emit flat columns — the encode → outer from_json → wrapper-strip
+    → typed from_json path is value-checked end-to-end."""
+    from bireme_spark.sources.debezium import parse_debezium_mongo
+
+    o = load_table(spark, sf_dir, "orders")
+    op_char = (
+        F.when(F.col("o_orderkey") % 5 == 0, "d")
+        .when(F.col("o_orderkey") % 3 == 0, "u")
+        .when(F.col("o_orderkey") % 7 == 0, "r")
+        .otherwise("c")
+    )
+    # Extended-JSON document: $numberLong-wrapped key, $date-wrapped
+    # order date, plain double price, plain string status.
+    doc = F.to_json(
+        F.struct(
+            F.struct(F.col("o_orderkey").cast("string").alias("$numberLong")).alias(
+                "o_orderkey"
+            ),
+            F.struct((F.unix_timestamp("o_orderdate") * 1000).alias("$date")).alias(
+                "o_odate_ms"
+            ),
+            F.col("o_totalprice").alias("o_totalprice"),
+            F.col("o_orderstatus").alias("o_orderstatus"),
+        )
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                op_char.alias("op"),
+                (F.unix_timestamp("o_orderdate") * 1000).alias("ts_ms"),
+                F.when(op_char == "d", doc).alias("before"),
+                F.when(op_char != "d", doc).alias("after"),
+            ).alias("payload")
+        )
+    )
+    raw = o.select(envelope.alias("value"))
+    data_schema = (
+        StructType()
+        .add("o_orderkey", "long")
+        .add("o_odate_ms", "long")
+        .add("o_totalprice", "double")
+        .add("o_orderstatus", "string")
+    )
+    parsed = parse_debezium_mongo(raw, "value", data_schema, key_fields=("o_orderkey",))
+    return parsed.select(
+        "op",
+        "produce_time_ms",
+        "key",
+        F.col("data.o_orderkey").alias("orderkey"),
+        F.col("data.o_odate_ms").alias("odate_ms"),
+        F.col("data.o_totalprice").alias("totalprice"),
+        F.col("data.o_orderstatus").alias("status"),
+    )
+
+
+DEBEZIUM_MONGO_PARSE_SQL = """
+SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+            WHEN o_orderkey % 3 = 0 THEN 'U'
+            ELSE 'I' END AS op,
+       epoch_ms(o_orderdate) AS produce_time_ms,
+       CAST(o_orderkey AS VARCHAR) AS key,
+       o_orderkey AS orderkey,
+       epoch_ms(o_orderdate) AS odate_ms,
+       o_totalprice AS totalprice,
+       o_orderstatus AS status
+FROM orders
+"""
+
+QUERIES["debezium_mongo_parse"] = debezium_mongo_parse
+ORACLE["debezium_mongo_parse"] = DEBEZIUM_MONGO_PARSE_SQL

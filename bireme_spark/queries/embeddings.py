@@ -262,7 +262,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str, top: int = 16) -> Da
     corpus size. Rows-only for the driver (eigenvector sign and
     LAPACK rounding are not SQL-reproducible); the projection's
     variance spectrum is property-tested against the eigenvalues
-    (tests/test_embeddings.py)."""
+    (tests/test_embeddings.py).
+
+    Output is ``(vec_id, pc, value)`` scalar rows — every rows-only
+    query must stay sortable under the driver's pandas canonicalizer
+    (r4 gate crash on ``array<double>``: unhashable list). Use
+    ``pca_project_vectors`` for the array-column form."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -294,7 +299,24 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str, top: int = 16) -> Da
     return corpus.select("vec_id", proj("embedding").alias("pca")).orderBy("vec_id")
 
 
-QUERIES["embedding_pca_project"] = embedding_pca_project
+# Array-column form for in-pipeline composition (ANN over reduced
+# vectors) and the spectrum property tests.
+pca_project_vectors = embedding_pca_project
+
+
+def embedding_pca_project_flat(spark: SparkSession, sf_dir: str, top: int = 16) -> DataFrame:
+    """Driver-gate wrapper: explode the projection to scalar
+    ``(vec_id, pc, value)`` rows, 6dp-rounded, so pandas
+    ``sort_values`` over every column works (no array columns)."""
+    return (
+        pca_project_vectors(spark, sf_dir, top)
+        .select("vec_id", F.posexplode("pca").alias("pc", "v"))
+        .select("vec_id", "pc", F.round(F.col("v"), 6).alias("value"))
+        .orderBy("vec_id", "pc")
+    )
+
+
+QUERIES["embedding_pca_project"] = embedding_pca_project_flat
 
 
 _TRUNC_DIM = 16

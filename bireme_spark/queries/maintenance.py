@@ -118,28 +118,34 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not change semantics.
     """
     work = _scratch("bireme_bucket_")
+    # Per-run table names (scratch dir basename is unique per run):
+    # two sessions sharing a metastore must not clobber each other's
+    # bucketed tables mid-read.
+    tok = os.path.basename(work.rstrip("/")).replace("bireme_bucket_", "")
+    t_orders = f"bireme_orders_bkt_{tok}"
+    t_lineitem = f"bireme_lineitem_bkt_{tok}"
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
-    spark.sql("DROP TABLE IF EXISTS bireme_orders_bkt")
-    spark.sql("DROP TABLE IF EXISTS bireme_lineitem_bkt")
+    spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
     (
         o.write.mode("overwrite")
         .option("path", os.path.join(work, "orders_bkt"))
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
-        .saveAsTable("bireme_orders_bkt")
+        .saveAsTable(t_orders)
     )
     (
         li.write.mode("overwrite")
         .option("path", os.path.join(work, "lineitem_bkt"))
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
-        .saveAsTable("bireme_lineitem_bkt")
+        .saveAsTable(t_lineitem)
     )
-    ob = spark.table("bireme_orders_bkt")
-    lb = spark.table("bireme_lineitem_bkt")
+    ob = spark.table(t_orders)
+    lb = spark.table(t_lineitem)
     joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
     return (
         joined.groupBy("o_orderkey")

@@ -57,7 +57,7 @@ _SLOW = frozenset(
 )
 
 
-def _recorded_rounds() -> dict[str, int]:
+def _recorded_rounds(root=None) -> dict[str, int]:
     """name → latest round number whose driver artifact has a green
     row for the query (oracle-green, or rows-only-by-design with
     rows). The artifact is budget-bounded — r01 stopped at exactly 50
@@ -68,7 +68,9 @@ def _recorded_rounds() -> dict[str, int]:
     import re
 
     last: dict[str, int] = {}
-    root = pathlib.Path(__file__).resolve().parent.parent
+    if root is None:
+        root = pathlib.Path(__file__).resolve().parent.parent
+    root = pathlib.Path(root)
     for art in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", art.name)
         rnd = int(m.group(1)) if m else 0
@@ -80,8 +82,13 @@ def _recorded_rounds() -> dict[str, int]:
             if not isinstance(r, dict):
                 continue
             err = r.get("err")
-            if not err and r.get("rows_match") is not False:
-                green = True  # oracle-green row
+            if (
+                not err
+                and r.get("rows_match") is True
+                and r.get("schema_match") is True
+                and r.get("hash_match") is True
+            ):
+                green = True  # oracle-green row (all three compares)
             elif err == "no_oracle" and (r.get("spark_rows") or 0) > 0:
                 # rows-only-by-design query that produced rows: it IS
                 # recorded — re-running it every round would burn gate

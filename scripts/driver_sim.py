@@ -71,6 +71,16 @@ def main() -> int:
             continue
         dt = time.monotonic() - t0
         if name not in osql:
+            # Driver canonicalizer replica: rows-only output must
+            # survive pandas sort_values over every column (r4:
+            # array<double> crashed the real gate's _canon).
+            try:
+                if len(sdf.columns):
+                    sdf.sort_values(by=list(sdf.columns), kind="mergesort")
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: CANON ERROR {e}")
+                fails.append(name)
+                continue
             print(f"{name}: rows-only, {len(sdf)} rows [{dt:.2f}s]")
             continue
         try:

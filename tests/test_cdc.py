@@ -181,6 +181,57 @@ class TestParsers:
         r = parse_debezium(df, "value", schema, key_fields=("id",)).collect()[0]
         assert r.op == "I" and r.key == "2"
 
+    def test_debezium_mongo_extended_json_insert(self, spark):
+        from bireme_spark.sources.debezium import parse_debezium_mongo
+
+        js = (
+            '{"payload":{"op":"c","ts_ms":9,"after":'
+            '"{\\"_id\\": {\\"$oid\\": \\"64dbeef0aa\\"}, '
+            '\\"n\\": {\\"$numberLong\\": \\"42\\"}, '
+            '\\"d\\": {\\"$date\\": 1700000000000}, '
+            '\\"x\\": 1.5, \\"s\\": \\"hi\\"}"}}'
+        )
+        schema = (
+            StructType()
+            .add("_id", "string")
+            .add("n", "long")
+            .add("d", "long")
+            .add("x", "double")
+            .add("s", "string")
+        )
+        df = spark.createDataFrame([(js,)], "value string")
+        r = parse_debezium_mongo(df, "value", schema, key_fields=("_id",)).collect()[0]
+        assert r.op == "I" and r.key == "64dbeef0aa"
+        assert r.data.n == 42 and r.data.d == 1700000000000
+        assert r.data.x == 1.5 and r.data.s == "hi"
+        assert r.produce_time_ms == 9
+
+    def test_debezium_mongo_delete_reads_before_string(self, spark):
+        from bireme_spark.sources.debezium import parse_debezium_mongo
+
+        js = (
+            '{"payload":{"op":"d","ts_ms":3,'
+            '"before":"{\\"_id\\": \\"k1\\", \\"v\\": \\"gone\\"}","after":null}}'
+        )
+        schema = StructType().add("_id", "string").add("v", "string")
+        df = spark.createDataFrame([(js,)], "value string")
+        r = parse_debezium_mongo(df, "value", schema, key_fields=("_id",)).collect()[0]
+        assert r.op == "D" and r.key == "k1" and r.data.v == "gone"
+
+    def test_debezium_mongo_unknown_wrapper_nulls_field_not_row(self, spark):
+        from bireme_spark.sources.debezium import parse_debezium_mongo
+
+        js = (
+            '{"payload":{"op":"c","ts_ms":1,"after":'
+            '"{\\"_id\\": \\"a\\", \\"t\\": {\\"$timestamp\\": '
+            '{\\"t\\": 1, \\"i\\": 2}}, \\"v\\": 7}"}}'
+        )
+        schema = StructType().add("_id", "string").add("t", "long").add("v", "long")
+        df = spark.createDataFrame([(js,)], "value string")
+        r = parse_debezium_mongo(df, "value", schema, key_fields=("_id",)).collect()[0]
+        assert r.op == "I" and r.key == "a" and r.data.v == 7
+        assert r.data.t is None  # unhandled wrapper degrades to NULL field
+
     def test_debezium_tombstone_dropped(self, spark):
         # Kafka log-compaction tombstones have no payload
         # (DebeziumPipeLine.java:91-95).

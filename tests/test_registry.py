@@ -1,0 +1,74 @@
+"""Registry gate-ordering predicates: a driver artifact row counts as
+green only when ALL THREE compare flags are true (rows/schema/hash) —
+a rowcount-matching but value-mismatching row must re-run first."""
+
+from __future__ import annotations
+
+import json
+
+from bireme_spark.registry import _recorded_rounds
+
+
+def _write(tmp_path, rnd, rows):
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+def test_all_three_flags_required(tmp_path):
+    _write(
+        tmp_path,
+        1,
+        {
+            "good": {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+                "err": None,
+            },
+            "hash_bad": {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": False,
+                "err": None,
+            },
+            "schema_bad": {
+                "rows_match": True,
+                "schema_match": False,
+                "hash_match": True,
+                "err": None,
+            },
+            "hash_missing": {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": None,
+                "err": None,
+            },
+            "errored": {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "err": "boom",
+            },
+        },
+    )
+    rec = _recorded_rounds(tmp_path)
+    assert rec == {"good": 1}
+
+
+def test_rows_only_green_needs_rows(tmp_path):
+    _write(
+        tmp_path,
+        2,
+        {
+            "ran": {"err": "no_oracle", "spark_rows": 12},
+            "empty": {"err": "no_oracle", "spark_rows": 0},
+        },
+    )
+    rec = _recorded_rounds(tmp_path)
+    assert rec == {"ran": 2}
+
+
+def test_latest_round_wins(tmp_path):
+    row = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    _write(tmp_path, 1, {"q": row})
+    _write(tmp_path, 3, {"q": row})
+    assert _recorded_rounds(tmp_path) == {"q": 3}
