@@ -40,6 +40,15 @@ class Engine:
         if cpus is not None:
             import os
 
+            if SparkSession.getActiveSession() is not None:
+                import warnings
+
+                warnings.warn(
+                    "Engine.local(cpus=...) has no effect: a SparkSession "
+                    "already exists and getOrCreate() will reuse it. Stop "
+                    "the session first to change the core count.",
+                    stacklevel=2,
+                )
             os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
         return cls(get_spark(app_name), sf_dir)
 

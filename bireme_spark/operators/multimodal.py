@@ -342,6 +342,12 @@ def audio_fingerprint(binary_df: DataFrame, n_bands: int = 8) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 _rate, _ch, samples = decode_wav(bytes(payload))
                 n = len(samples)
+                if n == 0:
+                    # zero-sample WAV: sentinel fingerprint, never a
+                    # ZeroDivisionError in the band mean
+                    ids.append(int(doc_id))
+                    prints.append("empty")
+                    continue
                 bands = []
                 for b in range(n_bands):
                     lo, hi = b * n // n_bands, max((b + 1) * n // n_bands, b * n // n_bands + 1)

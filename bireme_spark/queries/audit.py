@@ -286,6 +286,48 @@ FROM pairs GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part co-purchase edges (u < v), built per-order so a
+    hot part cannot explode the pair stream (fan-out ≤ C(7,2))."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    in_order = li.select("l_orderkey", "l_partkey").distinct()
+    a = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+
+
+def _count_triangles(edges: DataFrame) -> tuple[int, int, int]:
+    """(n_nodes, n_edges, n_triangles) of an undirected (u<v) edge
+    set via the degree-ordered orientation (wedge work bounded by
+    O(m^1.5); see graph_triangle_count docstring). Caller provides a
+    persisted frame if reuse matters; this executes eagerly."""
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    closing = e.select(F.least("lo", "hi").alias("e1"), F.greatest("lo", "hi").alias("e2"))
+    tri = wedges.join(
+        closing, (F.col("b") == F.col("e1")) & (F.col("c") == F.col("e2"))
+    )
+    return int(deg.count()), int(edges.count()), int(tri.count())
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the part co-purchase graph (parts are
     adjacent iff some order contains both) — the structural audit
@@ -302,64 +344,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     acyclic orientation, so both give the same answer while the Spark
     plan is the one that survives a power-law degree distribution.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    in_order = li.select("l_orderkey", "l_partkey").distinct()
-    a = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    edges = edges.persist()
+    edges = _copurchase_edges(spark, sf_dir).persist()
     try:
-        deg = (
-            edges.select(F.col("u").alias("x"))
-            .unionAll(edges.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        # orient: lo = endpoint with (smaller degree, then smaller id)
-        e = (
-            edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
-            .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
-            .select(
-                F.when(
-                    (F.col("du") < F.col("dv"))
-                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                    F.col("u"),
-                ).otherwise(F.col("v")).alias("lo"),
-                F.when(
-                    (F.col("du") < F.col("dv"))
-                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                    F.col("v"),
-                ).otherwise(F.col("u")).alias("hi"),
-            )
-        )
-        # wedges rooted at the low-degree endpoint; close with a third
-        # edge. Wedge endpoints are emitted id-ordered (b < c), so the
-        # closing probe canonicalizes each oriented edge back to
-        # (min id, max id) — ONE table, not a 2× orientation union
-        # (measured 24-29s → 14-17s at sf0.1: halving the probe side
-        # of the biggest join is the whole win).
-        w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-        w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-        wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
-        closing = e.select(
-            F.least("lo", "hi").alias("e1"), F.greatest("lo", "hi").alias("e2")
-        )
-        tri = wedges.join(
-            closing,
-            (F.col("b") == F.col("e1")) & (F.col("c") == F.col("e2")),
-        )
-        n_nodes = deg.count()
-        n_edges = edges.count()
-        n_tri = tri.count()
+        # wedges root at the low-degree endpoint; wedge endpoints are
+        # emitted id-ordered (b < c), so the closing probe
+        # canonicalizes each oriented edge back to (min id, max id) —
+        # ONE table, not a 2× orientation union (measured 24-29s →
+        # 14-17s at sf0.1: halving the probe side of the biggest join
+        # is the whole win).
+        n_nodes, n_edges, n_tri = _count_triangles(edges)
     finally:
         edges.unpersist()
     return spark.createDataFrame(
-        [(int(n_nodes), int(n_edges), int(n_tri))],
+        [(n_nodes, n_edges, n_tri)],
         "n_nodes bigint, n_edges bigint, n_triangles bigint",
     )
 
@@ -388,6 +385,78 @@ QUERIES["parts_fuzzy_match"] = parts_fuzzy_match
 ORACLE["parts_fuzzy_match"] = FUZZY_MATCH_SQL
 QUERIES["graph_triangle_count"] = graph_triangle_count
 ORACLE["graph_triangle_count"] = TRIANGLE_SQL
+
+
+_TRI_KEEP_NIBBLES = 5  # keep an edge iff md5 first nibble < 5 → p = 5/16
+
+
+def graph_triangle_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-style approximate triangle count (Tsourakakis et al.,
+    KDD 2009): sparsify the edge set by keeping each edge with
+    probability p, count triangles on the sample, scale by 1/p³ —
+    E[estimate] = true count, at ~1/p² less wedge-join work. The
+    monitoring-frequency twin of ``graph_triangle_count`` (the exact
+    count's cost is inherently superlinear in graph size).
+
+    Engine-portable determinism: the coin flip is the first nibble of
+    ``md5('tri:' ‖ u ‖ '_' ‖ v)`` (< 5 of 16 ⇒ p = 5/16), the house
+    md5-nibble bucket trick — so the sampled subgraph, its triangle
+    count, and the estimate are bit-identical in DuckDB and the whole
+    pipeline is oracle-checked, not rows-only. The estimate is one
+    IEEE division of exact integers (sampled · 16³ / 5³).
+    Accuracy vs the exact count is property-tested
+    (tests/test_graph.py)."""
+    nib = F.expr(
+        "locate(substring(md5(concat('tri:', CAST(u AS STRING), '_', "
+        "CAST(v AS STRING))), 1, 1), '0123456789abcdef') - 1"
+    )
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .where(nib < _TRI_KEEP_NIBBLES)
+        .persist()
+    )
+    try:
+        n_nodes, n_edges, n_tri = _count_triangles(edges)
+    finally:
+        edges.unpersist()
+    p3_num = _TRI_KEEP_NIBBLES**3
+    est = float(n_tri * 16**3) / p3_num
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri, est)],
+        "n_sampled_nodes bigint, n_sampled_edges bigint, "
+        "n_sampled_triangles bigint, est_triangles double",
+    )
+
+
+TRIANGLE_APPROX_SQL = f"""
+WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+),
+e AS (
+  SELECT u, v FROM e0
+  WHERE strpos('0123456789abcdef',
+               substr(md5(concat('tri:', CAST(u AS VARCHAR), '_',
+                                 CAST(v AS VARCHAR))), 1, 1)) - 1
+        < {_TRI_KEEP_NIBBLES}
+),
+nodes AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+tri AS (
+  SELECT COUNT(*) AS n
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT
+  (SELECT COUNT(*) FROM nodes) AS n_sampled_nodes,
+  (SELECT COUNT(*) FROM e) AS n_sampled_edges,
+  (SELECT n FROM tri) AS n_sampled_triangles,
+  (SELECT CAST(n * 4096 AS DOUBLE) / {_TRI_KEEP_NIBBLES**3} FROM tri)
+    AS est_triangles
+"""
+
+QUERIES["graph_triangle_count_approx"] = graph_triangle_count_approx
+ORACLE["graph_triangle_count_approx"] = TRIANGLE_APPROX_SQL
 
 
 # ---------------------------------------------------------------------------

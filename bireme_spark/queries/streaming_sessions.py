@@ -7,6 +7,7 @@ reproduces batch semantics."""
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -20,12 +21,20 @@ GAP_SECONDS = 1800
 _SENTINEL = -1
 
 
+def _scratch(prefix: str) -> str:
+    """mkdtemp reaped at interpreter exit — a returned plan may still
+    read files under it at gate time, so cleanup must not be eager."""
+    work = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
 def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from bireme_spark.streaming.replay import read_replay, replay_to_files
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    work = tempfile.mkdtemp(prefix="bireme_sess_")
+    work = _scratch("bireme_sess_")
     src = f"{work}/in"
     # State-store tasks scale with shuffle partitions and the result
     # doesn't: run the replay with few state partitions, then restore.
@@ -104,7 +113,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    work = tempfile.mkdtemp(prefix="bireme_tumble_")
+    work = _scratch("bireme_tumble_")
     src = f"{work}/in"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -179,7 +188,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    work = tempfile.mkdtemp(prefix="bireme_slide_")
+    work = _scratch("bireme_slide_")
     src = f"{work}/in"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -263,7 +272,7 @@ def streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bireme_spark.streaming.replay import read_replay, replay_to_files
 
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
-    work = tempfile.mkdtemp(prefix="bireme_sketch_")
+    work = _scratch("bireme_sketch_")
     src = f"{work}/in"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -337,15 +346,13 @@ def streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate: a sequential rounded fold has no closed SQL form).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    import pandas as pd
-
-    from bireme_spark.streaming.ewma import _OUT_SCHEMA, fold_series
+    from bireme_spark.streaming.ewma import _OUT_SCHEMA, _fold_group
     from bireme_spark.streaming.replay import read_replay, replay_to_files
 
     ev = load_table(spark, sf_dir, "events").select(
         "ts", "event_id", "event_type", "value"
     )
-    work = tempfile.mkdtemp(prefix="bireme_ewma_")
+    work = _scratch("bireme_ewma_")
     src = f"{work}/in"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -366,21 +373,6 @@ def streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 init = sess.createDataFrame([], "event_type string, init_ewma double")
 
-            def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
-                has_init = "init_ewma" in pdf and pd.notna(pdf["init_ewma"].iloc[0])
-                init_e = float(pdf["init_ewma"].iloc[0]) if has_init else None
-                e = fold_series(pdf["value"].tolist(), init_e)
-                return pd.DataFrame(
-                    {
-                        "event_type": [pdf["event_type"].iloc[0]],
-                        "n_events": [len(pdf)],
-                        "ewma": [e],
-                        "min_value": [float(pdf["value"].min())],
-                        "max_value": [float(pdf["value"].max())],
-                    }
-                )
-
             inc = (
                 batch_df.select(
                     "event_type",
@@ -390,7 +382,10 @@ def streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .join(F.broadcast(init), "event_type", "left")
                 .groupBy("event_type")
-                .applyInPandas(fold_group, _OUT_SCHEMA)
+                # shared sort/init/fold kernel — same code path as the
+                # one-shot batch fold (streaming/ewma.py), which is
+                # what makes the bit-equality property meaningful
+                .applyInPandas(_fold_group, _OUT_SCHEMA)
             )
             for r in inc.collect():  # |types|-row model, not data
                 n0, _, mn0, mx0 = state.get(r.event_type, (0, None, None, None))

@@ -734,8 +734,15 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    # Degenerate pairs (a constant series, or a single co-occurring
+    # day) have den = 0 and no defined correlation — drop them, same
+    # contract as timeseries_similar_users.
     return (
-        s.select("t_a", "t_b", "n", F.round(num / den, 6).alias("pearson_r"))
+        s.where(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select("t_a", "t_b", "n", F.round(num / den, 6).alias("pearson_r"))
         .orderBy("t_a", "t_b")
     )
 
@@ -759,7 +766,9 @@ SELECT t_a, t_b, CAST(n AS BIGINT) AS n,
        ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
-FROM s ORDER BY t_a, t_b
+FROM s
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY t_a, t_b
 """
 
 QUERIES["events_type_correlation"] = events_type_correlation

@@ -56,6 +56,18 @@ _SLOW = frozenset(
     }
 )
 
+# Queries first registered in round 5+. Under the driver's bounded
+# 50-query budget they must NOT jump ahead of operators that have
+# been waiting since earlier rounds for their first CORRECTNESS row
+# (VERDICT r4 item 3) — they rank after every other never-recorded
+# query, before the already-recorded ones.
+_NEW_THIS_ROUND = frozenset(
+    {
+        "debezium_mongo_parse",
+        "graph_triangle_count_approx",
+    }
+)
+
 
 def _recorded_rounds(root=None) -> dict[str, int]:
     """name → latest round number whose driver artifact has a green
@@ -139,10 +151,12 @@ def _load() -> None:
 
     def _rank(name: str) -> tuple[int, int, int]:
         if name not in recorded:
+            if name in _NEW_THIS_ROUND:
+                return (2, 0, 1 if name in _SLOW else 0)
             return (0, 0, 0) if name not in _SLOW else (1, 0, 0)
         # recorded: stalest green row first; cheap before slow at
         # equal staleness (the driver budget is wall-clock-sensitive)
-        return (2, recorded[name], 1 if name in _SLOW else 0)
+        return (3, recorded[name], 1 if name in _SLOW else 0)
 
     ordered = sorted(_QUERIES, key=_rank)  # stable: module order within rank
     reordered = {name: _tz_safe(_QUERIES[name]) for name in ordered}

@@ -35,3 +35,25 @@ class TestPageRank:
         r1 = {r.id: r.rank for r in pagerank(df1, iters=5).collect()}
         r8 = {r.id: r.rank for r in pagerank(df8, iters=5).collect()}
         assert r1 == r8  # DECIMAL pipeline ⇒ bit-identical, not approx
+
+
+class TestApproxTriangles:
+    """DOULION sparsified estimator vs the exact count — unbiased
+    with concentration at thousands of triangles; the md5 coin is
+    deterministic, so these are exact regression values per dataset,
+    tested with slack for testdata regeneration."""
+
+    def test_estimate_within_10pct_of_exact(self, spark, sf_dir):
+        from bireme_spark.queries.audit import (
+            graph_triangle_count,
+            graph_triangle_count_approx,
+        )
+
+        exact = graph_triangle_count(spark, sf_dir).collect()[0]
+        approx = graph_triangle_count_approx(spark, sf_dir).collect()[0]
+        assert approx.n_sampled_edges < exact.n_edges  # actually sparsified
+        # p = 5/16: expect ~31% of edges kept (±10pp slack)
+        frac = approx.n_sampled_edges / exact.n_edges
+        assert 0.21 < frac < 0.42
+        rel = abs(approx.est_triangles - exact.n_triangles) / max(exact.n_triangles, 1)
+        assert rel < 0.10, (approx.est_triangles, exact.n_triangles)

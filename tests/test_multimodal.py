@@ -189,6 +189,18 @@ class TestWavCodec:
         spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
         assert decode_wav(spliced) == (8000, 1, [5, -5, 7])
 
+    def test_zero_sample_wav_gets_sentinel_fingerprint(self, spark):
+        from bireme_spark.functions.audiocodec import encode_wav
+        from bireme_spark.operators.multimodal import audio_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav(8000, []))), (2, bytearray(encode_wav(8000, [5, -5, 7, 9])))],
+            "doc_id long, payload binary",
+        )
+        rows = {r.doc_id: r.afp for r in audio_fingerprint(df).collect()}
+        assert rows[1] == "empty"  # no ZeroDivisionError on n=0
+        assert rows[2] != "empty" and len(rows[2]) == 2
+
     def test_non_pcm_raises(self):
         import struct
 
