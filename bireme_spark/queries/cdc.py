@@ -1356,3 +1356,84 @@ FROM orders
 
 QUERIES["debezium_mongo_parse"] = debezium_mongo_parse
 ORACLE["debezium_mongo_parse"] = DEBEZIUM_MONGO_PARSE_SQL
+
+
+# Chunk-read epochs for the incremental-snapshot simulation: four
+# PK-range chunks (o_orderkey % 4) each "read" at a different point
+# inside the 1992-1998 order-date span, so every timing case occurs
+# (key not yet inserted / inserted / updated / deleted at read time).
+_CHUNK_EPOCHS = ("1993-07-01", "1995-01-01", "1996-07-01", "1998-06-01")
+
+
+def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog-style chunked initial snapshot reconciled with a live
+    changelog (operators/cdc.py::incremental_snapshot; reference
+    contrast: bireme's one-shot COPY initial load before streaming —
+    at 100 TB the snapshot must be chunked while changes flow).
+
+    Simulation: the standard orders changelog (insert at orderdate,
+    update +1d for %3 keys, delete +2d for %5 keys); each key belongs
+    to chunk ``o_orderkey % 4``, and chunk c's snapshot read happens
+    at epoch _CHUNK_EPOCHS[c] — the chunk rows carry exactly the
+    state the changelog implies at that epoch, and the reconciler
+    gets the FULL changelog (pre-watermark rows must be superseded by
+    the chunk read, post-watermark rows must supersede it).
+
+    The oracle is the chunking-invariance property: the reconciled
+    state must equal the one-shot snapshot of the whole changelog —
+    closed form from orders (keys %5 ≠ 0, price +10 for %3 keys) —
+    for ANY chunk epochs."""
+    from bireme_spark.operators.cdc import incremental_snapshot
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("base_ms"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        "o_orderstatus",
+    )
+    wm = F.array(*[
+        (F.unix_timestamp(F.lit(e), "yyyy-MM-dd") * 1000).cast("long")
+        for e in _CHUNK_EPOCHS
+    ])[(F.col("o_orderkey") % 4).cast("int")]
+    # chunk read = the state the changelog implies at the chunk epoch
+    existed = (F.col("base_ms") <= wm) & ~(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("base_ms") + 2 * DAY_MS <= wm)
+    )
+    seen_update = (F.col("o_orderkey") % 3 == 0) & (F.col("base_ms") + DAY_MS <= wm)
+    chunks = o.where(existed).select(
+        "key",
+        wm.alias("wm_ms"),
+        F.when(seen_update, F.col("price") + F.lit(10).cast("decimal(12,2)"))
+        .otherwise(F.col("price"))
+        .cast("decimal(12,2)")
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    reconciled = incremental_snapshot(
+        chunks,
+        build_changelog(spark, sf_dir),
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        watermark_col="wm_ms",
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    )
+    return reconciled.select(
+        "key",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+CDC_INCREMENTAL_SNAPSHOT_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2)) AS DOUBLE)
+            ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) END AS totalprice,
+       o_orderstatus AS status
+FROM orders
+WHERE o_orderkey % 5 <> 0
+"""
+
+QUERIES["cdc_incremental_snapshot"] = cdc_incremental_snapshot
+ORACLE["cdc_incremental_snapshot"] = CDC_INCREMENTAL_SNAPSHOT_SQL

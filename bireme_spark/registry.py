@@ -65,6 +65,7 @@ _NEW_THIS_ROUND = frozenset(
     {
         "debezium_mongo_parse",
         "graph_triangle_count_approx",
+        "cdc_incremental_snapshot",
     }
 )
 

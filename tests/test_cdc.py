@@ -608,3 +608,72 @@ class TestMergeIntoProperties:
                 if op is not None and op != "D":
                     want[k] = float(p)
         assert got == want
+
+
+class TestIncrementalSnapshot:
+    """DBLog chunked-snapshot reconciliation (operators/cdc.py::
+    incremental_snapshot): the chunk watermark decides whether the
+    snapshot row or the changelog tail wins, per key."""
+
+    def _run(self, spark, chunks, changes):
+        from bireme_spark.operators.cdc import incremental_snapshot
+
+        cdf = spark.createDataFrame(
+            chunks, "key string, wm_ms long, v string"
+        ) if chunks else spark.createDataFrame([], "key string, wm_ms long, v string")
+        hdf = spark.createDataFrame(
+            changes, "key string, op string, produce_time_ms long, seq long, v string"
+        ) if changes else spark.createDataFrame(
+            [], "key string, op string, produce_time_ms long, seq long, v string"
+        )
+        out = incremental_snapshot(
+            cdf, hdf, key_cols=("key",), order_cols=("produce_time_ms", "seq"),
+            watermark_col="wm_ms", payload_cols=("v",),
+        )
+        return {r.key: r.v for r in out.collect()}
+
+    def test_post_watermark_change_supersedes_chunk_row(self, spark):
+        got = self._run(
+            spark,
+            chunks=[("k", 100, "stale")],
+            changes=[("k", "U", 150, 1, "fresh")],
+        )
+        assert got == {"k": "fresh"}
+
+    def test_pre_watermark_change_superseded_by_chunk_row(self, spark):
+        got = self._run(
+            spark,
+            chunks=[("k", 100, "snap")],
+            changes=[("k", "U", 50, 1, "old")],
+        )
+        assert got == {"k": "snap"}
+
+    def test_post_watermark_delete_removes_snapshotted_key(self, spark):
+        got = self._run(
+            spark,
+            chunks=[("k", 100, "snap")],
+            changes=[("k", "D", 150, 1, None)],
+        )
+        assert got == {}
+
+    def test_key_only_in_chunk_survives(self, spark):
+        assert self._run(spark, [("k", 100, "snap")], []) == {"k": "snap"}
+
+    def test_key_only_in_tail_inserts(self, spark):
+        got = self._run(spark, [], [("k", "I", 150, 1, "new")])
+        assert got == {"k": "new"}
+
+    def test_pre_watermark_delete_without_chunk_row_stays_absent(self, spark):
+        # key was deleted before its chunk was read: the chunk
+        # (correctly) has no row, and the stale D must not resurrect it
+        got = self._run(spark, [], [("k", "D", 50, 1, None)])
+        assert got == {}
+
+    def test_watermark_boundary_is_exclusive(self, spark):
+        # change exactly AT the watermark is already in the chunk read
+        got = self._run(
+            spark,
+            chunks=[("k", 100, "snap-incl")],
+            changes=[("k", "U", 100, 1, "at-wm")],
+        )
+        assert got == {"k": "snap-incl"}
