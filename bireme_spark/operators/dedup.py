@@ -755,3 +755,78 @@ def semantic_dedup(
     return df.select(F.col(id_col)).join(
         removed, df[id_col] == F.col("rid"), "left"
     ).select(F.col(id_col), F.col("rid").isNull().alias("kept"))
+
+
+def incremental_jaccard_probe(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tau: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW batch of documents
+    against a standing corpus index — the daily-increment pattern
+    that makes dedup tractable at 100 TB (cost ∝ |batch|·overlap, and
+    the corpus shingle index is built once and reused; a full
+    re-dedup of corpus ∪ batch re-pays the corpus² candidate join on
+    every increment).
+
+    Candidates come from the shingle inverted index (batch shingles
+    join corpus shingles — no batch×batch and no corpus×corpus pairs
+    are ever formed); exact Jaccard is computed from the candidate
+    overlap counts. ``max_df`` drops hot INDEX shingles before the
+    probe join (a tiny hot-shingle list, broadcast anti-join); doc
+    set sizes stay FULL on both sides, so a triggered guard only
+    under-counts the overlap — conservative, exact when no shingle
+    exceeds it.
+
+    Plan shape (no window functions — each stat is a groupBy with
+    map-side combine): sizes join AFTER the pair aggregation, so the
+    per-shingle rows never carry per-doc state and the size joins run
+    on the candidate-pair table, which is orders of magnitude smaller
+    than the shingle stream.
+
+    Returns ``(batch_id, match_id, jaccard)`` for every batch doc ×
+    corpus doc pair with Jaccard ≥ tau.
+    """
+    csh = shingles(corpus, id_col, text_col, n).persist()
+    try:
+        sizes_c = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
+        idx = csh
+        if max_df is not None:
+            hot = (
+                csh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > max_df)
+                .select("shingle")
+            )
+            idx = csh.join(F.broadcast(hot), "shingle", "left_anti")
+        bsh = shingles(batch, id_col, text_col, n).persist()
+        try:
+            sizes_b = bsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b"))
+            common = (
+                bsh.select(F.col(id_col).alias("batch_id"), "shingle")
+                .join(idx.select(F.col(id_col).alias("match_id"), "shingle"), "shingle")
+                .groupBy("batch_id", "match_id")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+            )
+            paired = common.join(
+                sizes_b.select(F.col(id_col).alias("batch_id"), "n_b"), "batch_id"
+            ).join(sizes_c.select(F.col(id_col).alias("match_id"), "n_c"), "match_id")
+            jac = paired.withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (F.col("n_b") + F.col("n_c") - F.col("n_common")).cast("double"),
+            )
+            out = jac.where(F.col("jaccard") >= tau).select(
+                "batch_id", "match_id", F.round("jaccard", 6).alias("jaccard")
+            )
+            # gate-time execution must not recompute the shingle
+            # lineage after unpersist (CLAUDE.md r4 rule)
+            return out.localCheckpoint(eager=True)
+        finally:
+            bsh.unpersist()
+    finally:
+        csh.unpersist()

@@ -410,3 +410,72 @@ ORDER BY band_lo
 
 QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
 ORACLE["dedup_threshold_sweep"] = DEDUP_SWEEP_SQL
+
+
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new ingest batch against the standing
+    corpus (operators/dedup.py::incremental_jaccard_probe): corpus =
+    docs with id % 10 ≠ 0; the batch = the id % 10 = 0 docs (novel
+    content) plus planted exact copies of every corpus doc with
+    id % 9 = 0 (shifted ids) — the probe must surface exactly the
+    planted copies at Jaccard 1.0 plus whatever genuine near-dups
+    the guard-free SQL oracle finds at τ ≥ 0.8.
+
+    Scale story: only batch×corpus shingle-bucket candidates are
+    formed — no corpus self-join — so a daily increment costs
+    |batch|-proportional work against a reusable index instead of
+    re-paying the full-corpus pair join."""
+    from bireme_spark.operators.dedup import incremental_jaccard_probe
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    novel = d.where(F.col("doc_id") % 10 == 0)
+    planted = corpus.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    batch = novel.unionByName(planted)
+    # max_df 100 ≈ 4× the max observed shingle df at sf0.1 — the
+    # guard is in the plan but exact at test scale (same rationale
+    # as dedup_ngram_jaccard).
+    return incremental_jaccard_probe(
+        corpus, batch, "doc_id", "text", n=3, tau=0.8, max_df=100
+    ).orderBy("batch_id", "match_id")
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 9 = 0
+),
+cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM batch),
+csh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM cw, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i) t
+),
+bsh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM bw, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i) t
+),
+csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+bsizes AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+common AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS match_id, count(*) AS x
+  FROM bsh b JOIN csh c ON b.s = c.s
+  GROUP BY 1, 2
+)
+SELECT batch_id, match_id,
+       ROUND(x * 1.0 / (bs.n + cs.n - x), 6) AS jaccard
+FROM common
+JOIN bsizes bs ON bs.doc_id = batch_id
+JOIN csizes cs ON cs.doc_id = match_id
+WHERE x * 1.0 / (bs.n + cs.n - x) >= 0.8
+ORDER BY batch_id, match_id
+"""
+
+QUERIES["dedup_incremental_probe"] = dedup_incremental_probe
+ORACLE["dedup_incremental_probe"] = DEDUP_INCREMENTAL_SQL

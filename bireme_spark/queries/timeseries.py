@@ -963,3 +963,84 @@ monthly AS (
 
 QUERIES["orders_holt_forecast"] = orders_holt_forecast
 ORACLE["orders_holt_forecast"] = HOLT_FORECAST_SQL
+
+
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily order-
+    revenue series (trend = centered 7-day moving mean, seasonal =
+    day-of-week mean of the detrended series) — the weekly-pattern
+    profile behind staffing/capacity planning and the first step of
+    any anomaly monitor on business metrics.
+
+    Scale design: the order stream collapses ONCE to the |days|-sized
+    daily-revenue series (map-side-combined DECIMAL agg); the
+    centered window and the day-of-week aggregation run on that
+    series, never the raw rows (the histogram-CDF house pattern).
+
+    Engine-exact math: daily revenue is a DECIMAL sum; the detrended
+    value is kept as 7·value − Σwindow (exact DECIMAL — no division
+    inside the pipeline) and divided back by 7·n only in the final
+    IEEE expression. Day-of-week is integer epoch-day math
+    ((days_since_1970 + 4) mod 7, Sunday=0) — identical on both
+    engines, immune to dayofweek() convention differences. Edge days
+    without a full 7-day window are excluded (count = 7 filter),
+    matching the textbook centered-MA convention."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), money("o_totalprice").alias("rev")
+    )
+    daily = o.groupBy("day").agg(dsum(F.col("rev"), "rev"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).alias("win_sum"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    ).where(F.col("win_n") == 7)
+    # detrended ×7, exact DECIMAL: 7·rev − Σwindow
+    det = trended.select(
+        ((F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) + 4) % 7).alias(
+            "dow"
+        ),
+        (F.col("rev") * 7 - F.col("win_sum")).alias("det7"),
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("det7").alias("s7"),
+        )
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.round(
+                F.col("s7").cast("double") / (F.lit(7.0) * F.col("n_days")), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+trended AS (
+  SELECT day, rev,
+         SUM(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_sum,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_n
+  FROM daily
+),
+det AS (
+  SELECT CAST((datediff('day', DATE '1970-01-01', day) + 4) % 7 AS INTEGER) AS dow,
+         rev * 7 - win_sum AS det7
+  FROM trended WHERE win_n = 7
+)
+SELECT dow, COUNT(*) AS n_days,
+       ROUND(CAST(SUM(det7) AS DOUBLE) / (7.0 * COUNT(*)), 6) AS seasonal_index
+FROM det GROUP BY dow ORDER BY dow
+"""
+
+QUERIES["orders_seasonal_decompose"] = orders_seasonal_decompose
+ORACLE["orders_seasonal_decompose"] = SEASONAL_DECOMPOSE_SQL

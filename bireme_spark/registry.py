@@ -66,6 +66,8 @@ _NEW_THIS_ROUND = frozenset(
         "debezium_mongo_parse",
         "graph_triangle_count_approx",
         "cdc_incremental_snapshot",
+        "orders_seasonal_decompose",
+        "dedup_incremental_probe",
     }
 )
 

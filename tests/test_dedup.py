@@ -409,3 +409,57 @@ class TestFuzzyDedupPipeline:
         assert sum(r.n_docs for r in rows) == total
         assert all(r.n_kept + r.n_removed == r.n_docs for r in rows)
         assert all(r.n_kept >= 1 for r in rows)
+
+
+class TestIncrementalProbe:
+    """incremental_jaccard_probe: batch-vs-index candidates only."""
+
+    def test_planted_copy_found_at_one(self, spark):
+        from bireme_spark.operators.dedup import incremental_jaccard_probe
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "x y z w q r")], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [(100, "a b c d e f"), (101, "totally different words here now")],
+            "doc_id long, text string",
+        )
+        rows = incremental_jaccard_probe(
+            corpus, batch, "doc_id", "text", n=3, tau=0.8
+        ).collect()
+        assert {(r.batch_id, r.match_id, r.jaccard) for r in rows} == {(100, 1, 1.0)}
+
+    def test_no_batch_batch_pairs(self, spark):
+        from bireme_spark.operators.dedup import incremental_jaccard_probe
+
+        corpus = spark.createDataFrame([(1, "p q r s t u")], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(100, "a b c d e f"), (101, "a b c d e f")], "doc_id long, text string"
+        )
+        # identical batch docs must NOT pair with each other — only
+        # with the index (which holds nothing similar)
+        assert (
+            incremental_jaccard_probe(corpus, batch, "doc_id", "text", n=3, tau=0.5).count()
+            == 0
+        )
+
+    def test_hot_shingle_guard_is_conservative(self, spark):
+        from bireme_spark.operators.dedup import incremental_jaccard_probe
+
+        # every corpus doc shares the same hot shingle; guard drops it
+        corpus = spark.createDataFrame(
+            [(i, f"hot hot hot u{i} v{i} w{i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, "hot hot hot u0 v0 w0")], "doc_id long, text string"
+        )
+        full = incremental_jaccard_probe(corpus, batch, "doc_id", "text", n=3, tau=0.3)
+        guarded = incremental_jaccard_probe(
+            corpus, batch, "doc_id", "text", n=3, tau=0.3, max_df=2
+        )
+        f = {(r.batch_id, r.match_id): r.jaccard for r in full.collect()}
+        g = {(r.batch_id, r.match_id): r.jaccard for r in guarded.collect()}
+        assert set(g) <= set(f)  # guard can only drop/shrink, never add
+        for k in g:
+            assert g[k] <= f[k] + 1e-9
