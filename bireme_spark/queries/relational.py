@@ -1358,3 +1358,113 @@ FROM seg ORDER BY c_mktsegment
 
 QUERIES["segments_contribution_margin"] = segments_contribution_margin
 ORACLE["segments_contribution_margin"] = SEGMENTS_SQL
+
+
+def customers_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimator (1958) of the customer repurchase
+    interval: survival = P(no repeat order within t days). Gaps
+    between a customer's consecutive orders are EVENTS; the gap from
+    the last order to the corpus end-date is RIGHT-CENSORED — the
+    churn-analysis staple that naive "average gap" metrics get wrong
+    by ignoring censoring.
+
+    Scale design: one window over (custkey, orderdate) derives the
+    gaps (shuffle on custkey); the estimator itself runs on the
+    duration HISTOGRAM (value → event/censor counts + cumulative
+    at-risk window — histogram-CDF house pattern), never raw gaps.
+    d_i and n_i are exact integers; the survival curve is the
+    cumulative product Π(1 − d/n), computed as exp(Σ ln(·)) on both
+    engines (identical IEEE ops), rounded at 6dp. Emitted only at
+    event times (the KM convention) with day-granular durations."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = F.lead("o_orderdate").over(w)
+    spans = o.withColumn("nxt", nxt).crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate")
+        ).otherwise(F.datediff("h", "o_orderdate")).alias("t"),
+        F.col("nxt").isNotNull().alias("is_event"),
+    ).where(F.col("t") > 0)
+    hist = spans.groupBy("t").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    total = spans.count()
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = hist.withColumn(
+        "n_at_risk", F.lit(total) - F.coalesce(F.sum("tot").over(wcum), F.lit(0))
+    )
+    wsurv = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # the last event time can absorb ALL remaining at-risk mass
+    # (n == d ⇒ factor 0 ⇒ ln undefined): sum lns of nonzero factors
+    # and zero the curve from the first exhausted step onward
+    lnterm = F.when(
+        F.col("n_at_risk") > F.col("d"),
+        F.log(
+            (F.col("n_at_risk") - F.col("d")).cast("double")
+            / F.col("n_at_risk").cast("double")
+        ),
+    )
+    hit_zero = F.max(
+        F.when(F.col("n_at_risk") == F.col("d"), 1).otherwise(0)
+    ).over(wsurv)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(lnterm).over(wsurv))
+    )
+    return (
+        curve.withColumn("survival", F.round(surv, 6))
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t").cast("int").alias("t_days"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            "survival",
+        )
+        .orderBy("t_days")
+    )
+
+
+CUSTOMERS_SURVIVAL_KM_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS nxt
+  FROM orders
+),
+spans AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN datediff('day', o_orderdate, nxt)
+              ELSE datediff('day', o_orderdate, (SELECT MAX(o_orderdate) FROM orders)) END AS t,
+         nxt IS NOT NULL AS is_event
+  FROM o
+),
+spans2 AS (SELECT * FROM spans WHERE t > 0),
+hist AS (
+  SELECT t, SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS d, COUNT(*) AS tot
+  FROM spans2 GROUP BY t
+),
+curve AS (
+  SELECT t, d,
+         (SELECT COUNT(*) FROM spans2)
+           - COALESCE(SUM(tot) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM hist
+),
+km AS (
+  SELECT t, d, n_at_risk,
+         ROUND(CASE WHEN MAX(CASE WHEN n_at_risk = d THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+               THEN 0.0
+               ELSE EXP(SUM(CASE WHEN n_at_risk > d
+                            THEN LN(CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) END)
+                    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6)
+           AS survival
+  FROM curve
+)
+SELECT CAST(t AS INTEGER) AS t_days, CAST(d AS BIGINT) AS n_events,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk, survival
+FROM km WHERE d > 0 ORDER BY t_days
+"""
+
+QUERIES["customers_survival_km"] = customers_survival_km
+ORACLE["customers_survival_km"] = CUSTOMERS_SURVIVAL_KM_SQL

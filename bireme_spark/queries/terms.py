@@ -545,3 +545,134 @@ FROM stats
 
 QUERIES["text_zipf_fit"] = text_zipf_fit
 ORACLE["text_zipf_fit"] = TEXT_ZIPF_SQL
+
+
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the trained merge table — the serving half
+    of ``tokenizer_bpe_pairs`` (train merges → tokenize the corpus):
+    per document, the token count after applying the learned merges
+    in rank order, plus the chars-per-token compression ratio a
+    tokenizer evaluation reports.
+
+    Scale shape (the part that matters at 100 TB): documents are
+    NEVER character-segmented row by row — the corpus collapses to
+    per-(doc, word) counts in one token shuffle, each DISTINCT word
+    is encoded exactly once on the vocab-sized table (the learned
+    merges are plan literals → a JVM replace chain in whole-stage
+    codegen), and one join on the word key weights the encoded
+    lengths back to documents. Encoding work is O(|vocab|), not
+    O(corpus); with a production-sized merge table the replace chain
+    becomes a Pandas-UDF per-word loop over ranked merges — same
+    vocab-sized frame, different kernel.
+
+    The merges come from the SAME training loop the oracle re-derives
+    in SQL (greedy leftmost non-overlapping replace, ties by pair
+    text), so the whole train→encode path is value-checked."""
+    merges = [
+        r["pair"]
+        for r in tokenizer_bpe_pairs(spark, sf_dir)
+        .where(F.col("rnk") == 1)
+        .orderBy("rnd")
+        .collect()
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = doc_words.select("w").distinct().withColumn(
+        "seq",
+        F.concat_ws(
+            " ", F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+        ),
+    )
+    for pair in merges:
+        vocab = vocab.withColumn(
+            "seq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(" " + pair + " "),
+                    F.lit(" " + pair.replace(" ", "") + " "),
+                )
+            ),
+        )
+    enc = vocab.select("w", F.size(F.split("seq", " ")).alias("n_tok"))
+    return (
+        doc_words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("c") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_apply_round_sql(i: int) -> str:
+    """One oracle BPE round with the word carried through: pair
+    counts over v{i-1}, top-1 merge, next segmentation v{i}."""
+    return f"""
+q{i} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT cnt,
+           unnest(list_transform(generate_series(1, len(sp) - 1),
+                                 j -> sp[j] || ' ' || sp[j+1])) AS pair
+    FROM (SELECT cnt, string_split(seq, ' ') AS sp FROM v{i - 1})
+  ) GROUP BY 1
+),
+u{i} AS (SELECT pair FROM q{i} ORDER BY cnt DESC, pair LIMIT 1),
+v{i} AS (
+  SELECT w, cnt,
+         trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT pair FROM u{i}) || ' ',
+                      ' ' || replace((SELECT pair FROM u{i}), ' ', '') || ' ')) AS seq
+  FROM v{i - 1}
+)"""
+
+
+TOKENIZER_BPE_APPLY_SQL = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+v0 AS (
+  SELECT w, cnt,
+         array_to_string(list_transform(generate_series(1, length(w)),
+                                        i -> substr(w, i, 1)), ' ') AS seq
+  FROM words
+),{",".join(_bpe_apply_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))},
+enc AS (
+  SELECT w, len(string_split(seq, ' ')) AS n_tok FROM v{_BPE_ROUNDS}
+),
+dw AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(c * n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(c * length(w)) AS DOUBLE) / CAST(SUM(c * n_tok) AS DOUBLE), 6)
+         AS chars_per_token
+FROM dw JOIN enc USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["tokenizer_bpe_apply"] = tokenizer_bpe_apply
+ORACLE["tokenizer_bpe_apply"] = TOKENIZER_BPE_APPLY_SQL

@@ -1044,3 +1044,185 @@ FROM det GROUP BY dow ORDER BY dow
 
 QUERIES["orders_seasonal_decompose"] = orders_seasonal_decompose
 ORACLE["orders_seasonal_decompose"] = SEASONAL_DECOMPOSE_SQL
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event type on the daily-count
+    series (Mann 1945, Kendall 1975) — the standard nonparametric
+    "is this metric drifting" monitor: S = Σ_{i<j} sgn(x_j − x_i),
+    Kendall τ_a, and the tie-corrected normal-approximation Z.
+
+    Scale design: the raw stream collapses ONCE to the (type, day)
+    count grid (map-side combine); the pairwise sign sum is a
+    series×series self-join per type — |days|² pairs of a
+    histogram-sized frame, never raw rows (the house series-sized
+    rule); tie groups come from one more tiny agg on the same grid.
+    Everything is INTEGER until the final τ/Z expressions (one IEEE
+    division + sqrt each, identical on both engines)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    grid = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    a = grid.select("event_type", F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = grid.select("event_type", F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(F.sum(F.signum(F.col("xb") - F.col("xa")).cast("long")).alias("s"))
+    )
+    n = grid.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        grid.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = s.join(n, "event_type").join(ties, "event_type")
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ).cast("double") / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        "n",
+        "s",
+        F.round(
+            F.col("s").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+            * 2.0,
+            6,
+        ).alias("tau"),
+        F.round(z, 6).alias("z"),
+    ).orderBy("event_type")
+
+
+MANN_KENDALL_SQL = """
+WITH grid AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM grid a JOIN grid b ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+n AS (SELECT event_type, COUNT(*) AS n FROM grid GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, x, COUNT(*) AS t FROM grid GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.event_type, CAST(n.n AS BIGINT) AS n, s.s,
+       ROUND(CAST(s.s AS DOUBLE) / CAST(n.n * (n.n - 1) AS DOUBLE) * 2.0, 6) AS tau,
+       ROUND(CASE
+         WHEN s.s > 0 THEN CAST(s.s - 1 AS DOUBLE)
+              / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS DOUBLE) / 18.0)
+         WHEN s.s < 0 THEN CAST(s.s + 1 AS DOUBLE)
+              / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS DOUBLE) / 18.0)
+         ELSE 0.0 END, 6) AS z
+FROM s JOIN n ON s.event_type = n.event_type
+JOIN ties ON ties.event_type = s.event_type
+ORDER BY s.event_type
+"""
+
+QUERIES["events_mann_kendall"] = events_mann_kendall
+ORACLE["events_mann_kendall"] = MANN_KENDALL_SQL
+
+
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (1940) on the direction of the daily
+    order-revenue series: are up-days and down-days randomly
+    interleaved, or does the series trend/mean-revert? The cheap
+    serial-dependence screen run before any autocorrelation model.
+
+    Scale design: one map-side-combined DECIMAL agg collapses the
+    stream to the |days| revenue series; signs, run boundaries and
+    counts all come from ONE ordered window pass over that series
+    (histogram-sized); zero-change days are dropped (the classic
+    two-category convention). Sufficient statistics (n₊, n₋, R) are
+    exact integers; μ_R, σ_R and Z are one closed-form IEEE
+    expression each, identical on both engines, rounded at 6dp."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), money("o_totalprice").alias("rev")
+    )
+    daily = o.groupBy("day").agg(dsum(F.col("rev"), "rev"))
+    w = Window.orderBy("day")
+    diff = (F.col("rev") - F.lag("rev").over(w))
+    signed = (
+        daily.withColumn("diff", diff)
+        .where(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .withColumn("up", (F.col("diff") > 0).cast("int"))
+    )
+    w2 = Window.orderBy("day")
+    runs = signed.withColumn(
+        "new_run",
+        F.when(F.lag("up").over(w2).isNull() | (F.lag("up").over(w2) != F.col("up")), 1)
+        .otherwise(0),
+    )
+    agg = runs.agg(
+        F.sum("up").cast("bigint").alias("n_up"),
+        F.sum(1 - F.col("up")).cast("bigint").alias("n_down"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2).cast("double") + 1.0
+    var = (
+        (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)).cast("double")
+    )
+    return agg.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((r.cast("double") - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+ORDERS_RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT day, rev - lag(rev) OVER (ORDER BY day) AS diff FROM daily
+),
+signed AS (
+  SELECT day, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS up
+  FROM d WHERE diff IS NOT NULL AND diff <> 0
+),
+runs AS (
+  SELECT up,
+         CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+                OR lag(up) OVER (ORDER BY day) <> up THEN 1 ELSE 0 END AS new_run
+  FROM signed
+),
+agg AS (
+  SELECT CAST(SUM(up) AS BIGINT) AS n_up,
+         CAST(SUM(1 - up) AS BIGINT) AS n_down,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n_up, n_down, n_runs,
+       ROUND(2.0 * n_up * n_down / CAST(n_up + n_down AS DOUBLE) + 1.0, 6) AS expected_runs,
+       ROUND((CAST(n_runs AS DOUBLE)
+              - (2.0 * n_up * n_down / CAST(n_up + n_down AS DOUBLE) + 1.0))
+             / SQRT((2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down))
+                    / CAST((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1) AS DOUBLE)), 6)
+         AS z
+FROM agg
+"""
+
+QUERIES["orders_runs_test"] = orders_runs_test
+ORACLE["orders_runs_test"] = ORDERS_RUNS_TEST_SQL

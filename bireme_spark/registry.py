@@ -68,6 +68,10 @@ _NEW_THIS_ROUND = frozenset(
         "cdc_incremental_snapshot",
         "orders_seasonal_decompose",
         "dedup_incremental_probe",
+        "events_mann_kendall",
+        "tokenizer_bpe_apply",
+        "orders_runs_test",
+        "customers_survival_km",
     }
 )
 
