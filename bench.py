@@ -61,6 +61,18 @@ HEADLINE = [
     "events_ks_test",
     "corpus_ccnet_funnel",
     "events_active_users_rolling",
+    # round-5 additions — floors recorded from interleaved min-of-3
+    "graph_triangle_count_approx",
+    "dedup_incremental_probe",
+    "cdc_incremental_snapshot",
+    "tokenizer_bpe_apply",
+    "events_mann_kendall",
+    "customers_survival_km",
+    "orders_seasonal_decompose",
+    "debezium_mongo_parse",
+    "orders_runs_test",
+    "corpus_dedup_survivorship",
+    "orders_zorder_layout",
 ]
 
 

@@ -286,14 +286,26 @@ FROM pairs GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, pre_distinct_filter=None
+) -> DataFrame:
     """Distinct part co-purchase edges (u < v), built per-order so a
-    hot part cannot explode the pair stream (fan-out ≤ C(7,2))."""
+    hot part cannot explode the pair stream (fan-out ≤ C(7,2)).
+
+    ``pre_distinct_filter``: optional predicate over (u, v) applied
+    to the RAW pair stream, BEFORE the edge distinct — a filter that
+    depends only on the edge key (e.g. a sampling coin) must run here
+    so the big dedup shuffle shrinks with it (measured 13.0s → 9.7s
+    for the DOULION twin at sf0.1 — the remaining floor is the
+    per-order pair formation, which no edge-key filter can cut)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     in_order = li.select("l_orderkey", "l_partkey").distinct()
     a = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    return a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    pairs = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    if pre_distinct_filter is not None:
+        pairs = pairs.where(pre_distinct_filter)
+    return pairs.distinct()
 
 
 def _count_triangles(edges: DataFrame) -> tuple[int, int, int]:
@@ -410,11 +422,11 @@ def graph_triangle_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "locate(substring(md5(concat('tri:', CAST(u AS STRING), '_', "
         "CAST(v AS STRING))), 1, 1), '0123456789abcdef') - 1"
     )
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        .where(nib < _TRI_KEEP_NIBBLES)
-        .persist()
-    )
+    # the coin depends only on (u, v): toss it on the raw pair stream
+    # so the edge-distinct shuffle shrinks by 1/p too
+    edges = _copurchase_edges(
+        spark, sf_dir, pre_distinct_filter=nib < _TRI_KEEP_NIBBLES
+    ).persist()
     try:
         n_nodes, n_edges, n_tri = _count_triangles(edges)
     finally:

@@ -479,3 +479,80 @@ ORDER BY batch_id, match_id
 
 QUERIES["dedup_incremental_probe"] = dedup_incremental_probe
 ORACLE["dedup_incremental_probe"] = DEDUP_INCREMENTAL_SQL
+
+
+def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy on exact-duplicate clusters: within each
+    content cluster (md5(text) — the PK-hash grouping a 100 TB exact
+    dedup already pays), keep the doc a curation pipeline would keep
+    — longest text first, then lowest doc_id — and account for what
+    deduplication saves (docs and chars dropped per cluster).
+    Min-id canonicalization (``dedup_exact``) answers "which rows are
+    duplicates"; survivorship answers the follow-up a training-data
+    pipeline acts on: WHICH copy to keep when near-identical docs
+    differ in quality metadata.
+
+    Plan: one hash-agg on the content hash with ``max_by`` picking
+    the survivor (map-side partial agg — no window sort, no
+    per-cluster shuffle beyond the one grouping). Only multi-member
+    clusters are reported."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    dupes = d.unionByName(
+        d.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            "n_chars",
+        )
+    )
+    clusters = dupes.groupBy(F.md5("text").alias("h")).agg(
+        F.max_by(
+            F.struct(F.col("doc_id").alias("id")),
+            F.struct(
+                F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("tie")
+            ),
+        )["id"].alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max("n_chars").cast("bigint").alias("survivor_chars"),
+    )
+    return (
+        clusters.where(F.col("n_members") > 1)
+        .select(
+            "survivor_id",
+            "n_members",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+            (F.col("total_chars") - F.col("survivor_chars")).alias("chars_saved"),
+        )
+        .orderBy("survivor_id")
+    )
+
+
+DEDUP_SURVIVORSHIP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id % 50 = 0
+),
+ranked AS (
+  SELECT md5(text) AS h, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM corpus
+),
+clusters AS (
+  SELECT h,
+         MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+         COUNT(*) AS n_members,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS survivor_chars
+  FROM ranked GROUP BY h
+)
+SELECT survivor_id, n_members,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped,
+       total_chars - survivor_chars AS chars_saved
+FROM clusters WHERE n_members > 1
+ORDER BY survivor_id
+"""
+
+QUERIES["corpus_dedup_survivorship"] = corpus_dedup_survivorship
+ORACLE["corpus_dedup_survivorship"] = DEDUP_SURVIVORSHIP_SQL

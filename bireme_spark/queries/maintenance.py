@@ -234,3 +234,114 @@ FROM documents GROUP BY source ORDER BY source
 
 QUERIES["jsonl_ingest_audit"] = jsonl_ingest_audit
 ORACLE["jsonl_ingest_audit"] = _JSONL_SQL
+
+
+def _zexpr() -> str:
+    """Bit-interleave expression for z = interleave(x, y), 16 bits
+    each — generated once, used verbatim by BOTH engines (>> & << |
+    are identical integer ops in Spark SQL and DuckDB)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout audit — the multi-column
+    data-skipping story behind OPTIMIZE ZORDER: interleaving the bits
+    of (custkey, orderdate) gives a single sort key whose range
+    buckets are simultaneously range-bounded in BOTH dimensions, so
+    min/max file statistics prune scans filtered on either column. A
+    write path would ``repartitionByRange`` on the z-value; this
+    query derives the layout and reports the per-bucket bounds a
+    reader's skipping logic would consume.
+
+    Scale design: the z-value is pure per-row integer bit math
+    (whole-stage codegen, zero shuffle); the ONLY exchange is the
+    16-bucket min/max aggregation (map-side combined). The interleave
+    expression is generated once and evaluated verbatim by both
+    engines — 32 shift/mask terms, no UDF.
+
+    Output: per z-bucket (top 4 bits) row counts and both dims'
+    min/max — adjacent buckets should show tight, largely disjoint
+    custkey × date boxes (the property that makes skipping work)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).alias("yd"),
+    )
+    # range-normalize each dim to the full 16-bit space first (what a
+    # real z-order writer does — otherwise the interleaved key leaves
+    # most of z-space empty and range buckets collapse); min/max are
+    # one broadcast scalar row, the normalization is exact int math
+    bounds = o.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min("yd").alias("ymin"),
+        F.max("yd").alias("ymax"),
+    )
+    o = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr(
+            "CAST(((o_custkey - cmin) * 65536) DIV (cmax - cmin + 1) AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(((yd - ymin) * 65536) DIV (ymax - ymin + 1) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    z = o.withColumn("z", F.expr(_zexpr()))
+    # 16 equal-width range buckets over the OBSERVED z domain (the
+    # repartitionByRange a writer would do): bucket = ⌊z·16/(zmax+1)⌋
+    # — exact integer math, engine-identical, no percentile sort
+    zmax = z.agg(F.max("z").alias("zmax"))
+    z = z.crossJoin(F.broadcast(zmax))
+    return (
+        z.groupBy(
+            F.expr(
+                "CAST((CAST(z AS BIGINT) * 16) DIV (CAST(zmax AS BIGINT) + 1) AS INT)"
+            ).alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+ORDERS_ZORDER_SQL = f"""
+WITH raw AS (
+  SELECT o_custkey, o_orderdate,
+         datediff('day', DATE '1970-01-01', o_orderdate) AS yd
+  FROM orders
+),
+b AS (
+  SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+         MIN(yd) AS ymin, MAX(yd) AS ymax
+  FROM raw
+),
+dims AS (
+  SELECT o_custkey, o_orderdate,
+         ((o_custkey - cmin) * 65536) // (cmax - cmin + 1) AS x,
+         ((yd - ymin) * 65536) // (ymax - ymin + 1) AS y
+  FROM raw, b
+),
+zed AS (SELECT *, {_zexpr()} AS z FROM dims),
+zm AS (SELECT MAX(z) AS zmax FROM zed)
+SELECT CAST((CAST(z AS BIGINT) * 16) // (CAST(zmax AS BIGINT) + 1) AS INTEGER) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS min_custkey,
+       MAX(o_custkey) AS max_custkey,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+FROM zed, zm
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_zorder_layout"] = orders_zorder_layout
+ORACLE["orders_zorder_layout"] = ORDERS_ZORDER_SQL

@@ -72,6 +72,8 @@ _NEW_THIS_ROUND = frozenset(
         "tokenizer_bpe_apply",
         "orders_runs_test",
         "customers_survival_km",
+        "corpus_dedup_survivorship",
+        "orders_zorder_layout",
     }
 )
 
