@@ -73,6 +73,8 @@ HEADLINE = [
     "orders_runs_test",
     "corpus_dedup_survivorship",
     "orders_zorder_layout",
+    "nations_revenue_decomposition",
+    "customers_value_migration",
 ]
 
 

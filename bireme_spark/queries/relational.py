@@ -1468,3 +1468,189 @@ FROM km WHERE d > 0 ORDER BY t_days
 
 QUERIES["customers_survival_km"] = customers_survival_km
 ORACLE["customers_survival_km"] = CUSTOMERS_SURVIVAL_KM_SQL
+
+
+def nations_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix bridge between 1995 and 1996 revenue per
+    supplier nation — the classic BI "why did revenue move"
+    decomposition: Δrev = (Δp)·q₀ + p₀·(Δq) + (Δp)(Δq) with
+    p = unit price (rev/qty).
+
+    Scale design: lineitem collapses in ONE map-side-combined agg to
+    (nation, year) DECIMAL sums of qty and revenue (the supplier join
+    shuffles on suppkey with AQE sizing; nation is a broadcast-hinted
+    fixed-cardinality dim); the decomposition itself runs on ≤25×2
+    cells. Sums are DECIMAL-exact; each effect is one IEEE
+    expression of exact decimals, identical on both engines, 6dp."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.year("l_shipdate").alias("yr"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        money("l_extendedprice").alias("rev"),
+    ).where(F.col("yr").isin(1995, 1996))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "yr")
+        .agg(F.sum("qty").alias("q"), F.sum("rev").alias("r"))
+    )
+    wide = per.groupBy("n_name").agg(
+        F.max(F.when(F.col("yr") == 1995, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("yr") == 1995, F.col("r"))).alias("r0"),
+        F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r1"),
+    ).where(
+        F.col("q0").isNotNull() & F.col("q1").isNotNull()
+        & (F.col("q0") > 0) & (F.col("q1") > 0)
+    )
+    p0 = F.col("r0").cast("double") / F.col("q0").cast("double")
+    p1 = F.col("r1").cast("double") / F.col("q1").cast("double")
+    dq = (F.col("q1") - F.col("q0")).cast("double")
+    return wide.select(
+        F.col("n_name").alias("nation"),
+        F.col("r0").cast("double").alias("rev_1995"),
+        F.col("r1").cast("double").alias("rev_1996"),
+        (F.col("r1") - F.col("r0")).cast("double").alias("rev_change"),
+        F.round((p1 - p0) * F.col("q0").cast("double"), 6).alias("price_effect"),
+        F.round(p0 * dq, 6).alias("volume_effect"),
+        F.round((p1 - p0) * dq, 6).alias("mix_effect"),
+    ).orderBy("nation")
+
+
+NATIONS_DECOMPOSITION_SQL = """
+WITH per AS (
+  SELECT n.n_name, CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS q,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS r
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE year(l.l_shipdate) IN (1995, 1996)
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT n_name,
+         MAX(CASE WHEN yr = 1995 THEN q END) AS q0,
+         MAX(CASE WHEN yr = 1995 THEN r END) AS r0,
+         MAX(CASE WHEN yr = 1996 THEN q END) AS q1,
+         MAX(CASE WHEN yr = 1996 THEN r END) AS r1
+  FROM per GROUP BY 1
+)
+SELECT n_name AS nation,
+       CAST(r0 AS DOUBLE) AS rev_1995,
+       CAST(r1 AS DOUBLE) AS rev_1996,
+       CAST(r1 - r0 AS DOUBLE) AS rev_change,
+       ROUND((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+              - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+             * CAST(q0 AS DOUBLE), 6) AS price_effect,
+       ROUND(CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+             * CAST(q1 - q0 AS DOUBLE), 6) AS volume_effect,
+       ROUND((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+              - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+             * CAST(q1 - q0 AS DOUBLE), 6) AS mix_effect
+FROM wide
+WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0
+ORDER BY nation
+"""
+
+QUERIES["nations_revenue_decomposition"] = nations_revenue_decomposition
+ORACLE["nations_revenue_decomposition"] = NATIONS_DECOMPOSITION_SQL
+
+
+_MIGRATION_SPLIT = "1998-01-01"
+
+
+def customers_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment MIGRATION matrix: monetary quintile in
+    the early period (orders before 1998) vs the late period (1998+),
+    each period scored against its OWN spend distribution — the CRM
+    question behind retention programs ("which high-value customers
+    slipped, which grew"). Segment 0 = not active in that period, so
+    the matrix's 0-row/0-column are acquisition and churn.
+
+    Scale design: two per-customer DECIMAL spend aggs (one shuffle
+    each), exact quintile boundaries via the histogram-CDF house
+    pattern (never a global ntile sort), boundaries broadcast back,
+    one full-outer join on custkey for the matrix, final ≤36-cell
+    rollup. Boundaries/compares are exact decimals — identical
+    engine-side."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", money("o_totalprice").alias("price")
+    )
+    split = F.lit(_MIGRATION_SPLIT).cast("date")
+
+    def period_scores(df: DataFrame, alias: str) -> DataFrame:
+        spend = df.groupBy("o_custkey").agg(F.sum("price").alias("m"))
+        hist = spend.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+            "tot", F.sum("cnt").over(Window.partitionBy())
+        )
+        cd = F.col("cum").cast("double") / F.col("tot").cast("double")
+        b = cum.agg(
+            *[
+                F.min(F.when(cd >= q, F.col("m"))).alias(f"b{i}")
+                for i, q in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+            ]
+        )
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + F.when(F.col("m") > F.col(f"b{i}"), 1).otherwise(0)
+        return spend.join(F.broadcast(b)).select(
+            "o_custkey", s.alias(alias)
+        )
+
+    p0 = period_scores(o.where(F.col("o_orderdate") < split), "seg_p0")
+    p1 = period_scores(o.where(F.col("o_orderdate") >= split), "seg_p1")
+    m = p0.join(p1, "o_custkey", "full_outer").select(
+        F.coalesce("seg_p0", F.lit(0)).cast("int").alias("seg_p0"),
+        F.coalesce("seg_p1", F.lit(0)).cast("int").alias("seg_p1"),
+    )
+    return (
+        m.groupBy("seg_p0", "seg_p1")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("seg_p0", "seg_p1")
+    )
+
+
+def _migration_period_sql(name: str, where: str) -> str:
+    return f"""
+{name}_spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS m
+  FROM orders WHERE {where} GROUP BY 1
+),
+{name}_cdf AS (
+  SELECT m AS v,
+         CAST(SUM(cnt) OVER (ORDER BY v) AS DOUBLE)
+           / CAST(SUM(cnt) OVER () AS DOUBLE) AS cd
+  FROM (SELECT m, COUNT(*) AS cnt FROM {name}_spend GROUP BY 1)
+),
+{name}_b AS (
+  SELECT
+    (SELECT MIN(CASE WHEN cd >= 0.2 THEN v END) FROM {name}_cdf) AS b1,
+    (SELECT MIN(CASE WHEN cd >= 0.4 THEN v END) FROM {name}_cdf) AS b2,
+    (SELECT MIN(CASE WHEN cd >= 0.6 THEN v END) FROM {name}_cdf) AS b3,
+    (SELECT MIN(CASE WHEN cd >= 0.8 THEN v END) FROM {name}_cdf) AS b4
+),
+{name}_seg AS (
+  SELECT o_custkey,
+         1 + (CASE WHEN m > b1 THEN 1 ELSE 0 END) + (CASE WHEN m > b2 THEN 1 ELSE 0 END)
+           + (CASE WHEN m > b3 THEN 1 ELSE 0 END) + (CASE WHEN m > b4 THEN 1 ELSE 0 END) AS seg
+  FROM {name}_spend, {name}_b
+)"""
+
+
+CUSTOMERS_MIGRATION_SQL = f"""
+WITH {_migration_period_sql("p0", f"o_orderdate < DATE '{_MIGRATION_SPLIT}'")},
+{_migration_period_sql("p1", f"o_orderdate >= DATE '{_MIGRATION_SPLIT}'")}
+SELECT CAST(COALESCE(p0_seg.seg, 0) AS INTEGER) AS seg_p0,
+       CAST(COALESCE(p1_seg.seg, 0) AS INTEGER) AS seg_p1,
+       COUNT(*) AS n_customers
+FROM p0_seg FULL OUTER JOIN p1_seg USING (o_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["customers_value_migration"] = customers_value_migration
+ORACLE["customers_value_migration"] = CUSTOMERS_MIGRATION_SQL

@@ -74,6 +74,8 @@ _NEW_THIS_ROUND = frozenset(
         "customers_survival_km",
         "corpus_dedup_survivorship",
         "orders_zorder_layout",
+        "nations_revenue_decomposition",
+        "customers_value_migration",
     }
 )
 
