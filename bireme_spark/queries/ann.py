@@ -161,3 +161,38 @@ def embedding_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_knn_pagerank"] = embedding_knn_pagerank
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation harness: every approximate index (LSH /
+    IVF / PQ) scored against the exact brute-force top-k on the same
+    probe set — the accuracy/cost report an ANN deployment watches
+    when tuning tables/bits/nprobe/rerank. One row per method.
+
+    Plan: ground truth and each method's result are (|queries|·k)-row
+    frames; recall is an inner join on (query, neighbor) + one count
+    — model-sized work after the index probes themselves. Rows-only
+    at the gate (bucket membership depends on hash seeds; the SAME
+    seeds make the report deterministic run-to-run, and the ≥0.9
+    floor is property-tested in tests/test_ann.py)."""
+    truth = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    rows = []
+    for method, fn in (
+        ("lsh", ann_lsh_topk),
+        ("ivf", ann_ivf_topk),
+        ("pq", ann_pq_topk),
+    ):
+        got = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = got.join(truth, ["query_id", "neighbor_id"]).count()
+        rows.append((method, int(n_truth), int(hits), round(hits / n_truth, 6)))
+    return spark.createDataFrame(
+        rows, "method string, n_truth int, n_hits int, recall_at_k double"
+    ).orderBy("method")
+
+
+QUERIES["ann_recall_eval"] = ann_recall_eval  # rows-only (seeded hashes)

@@ -76,6 +76,7 @@ _NEW_THIS_ROUND = frozenset(
         "orders_zorder_layout",
         "nations_revenue_decomposition",
         "customers_value_migration",
+        "ann_recall_eval",
     }
 )
 
