@@ -310,9 +310,18 @@ def _copurchase_edges(
 
 def _count_triangles(edges: DataFrame) -> tuple[int, int, int]:
     """(n_nodes, n_edges, n_triangles) of an undirected (u<v) edge
-    set via the degree-ordered orientation (wedge work bounded by
-    O(m^1.5); see graph_triangle_count docstring). Caller provides a
-    persisted frame if reuse matters; this executes eagerly."""
+    set via the degree-ordered orientation + sorted-adjacency
+    intersection (the edge-iterator algorithm): each oriented edge
+    (lo, hi) contributes |N⁺(lo) ∩ N⁺(hi)| triangles, computed as a
+    map-side ``array_intersect`` after two co-partitioned joins with
+    the out-adjacency table — the same O(m^1.5) work bound as the
+    wedge join (out-degrees are O(√m) under the orientation, so
+    adjacency arrays stay small) but with NO exploded wedge shuffle
+    and no closing-edge join (A/B at sf0.1: 9.7s → 7.8s for the
+    counting stage). The inner join on ``hi`` drops edges whose head
+    has no out-neighbors — they contribute zero, so the prune is
+    free. Caller provides a persisted frame if reuse matters; this
+    executes eagerly."""
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -330,14 +339,16 @@ def _count_triangles(edges: DataFrame) -> tuple[int, int, int]:
             F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
     )
-    w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
-    closing = e.select(F.least("lo", "hi").alias("e1"), F.greatest("lo", "hi").alias("e2"))
-    tri = wedges.join(
-        closing, (F.col("b") == F.col("e1")) & (F.col("c") == F.col("e2"))
+    adj = e.groupBy("lo").agg(F.sort_array(F.collect_set("hi")).alias("nbrs"))
+    j = e.join(adj.withColumnRenamed("nbrs", "n_lo"), "lo").join(
+        adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi")), "hi"
     )
-    return int(deg.count()), int(edges.count()), int(tri.count())
+    tri = (
+        j.select(F.size(F.array_intersect("n_lo", "n_hi")).alias("c"))
+        .agg(F.sum("c").alias("t"))
+        .collect()[0]["t"]
+    )
+    return int(deg.count()), int(edges.count()), int(tri or 0)
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
