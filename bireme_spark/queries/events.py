@@ -1265,3 +1265,88 @@ FROM j GROUP BY day ORDER BY day
 
 QUERIES["events_new_vs_returning"] = events_new_vs_returning
 ORACLE["events_new_vs_returning"] = NEW_VS_RETURNING_SQL
+
+
+_CEP_WINDOW_S = 1800
+
+
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match — the MATCH_RECOGNIZE
+    workload (SQL:2016) Spark lacks natively, expressed as ONE
+    per-user ordered window pass: a PURCHASE matches when the user's
+    most recent CLICK is within 30 minutes AND no ERROR occurred
+    strictly after that click (click → [no error] → purchase). Emits
+    per-user match counts and exact mean click→purchase latency.
+
+    Scale design: no self-join and no per-pattern explode — running
+    "last click ts" / "last error ts" states are two window
+    aggregates over the (user, time)-sorted stream (one shuffle on
+    user_id, the same layout every per-user CEP engine partition
+    uses); the match predicate is then a pure map-side expression.
+    Latency sums are exact integer seconds; the mean divides once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ann = ev.withColumn(
+        "last_click_s", F.last(F.when(F.col("event_type") == "click", F.col("s")), True).over(w)
+    ).withColumn(
+        "last_error_s", F.last(F.when(F.col("event_type") == "error", F.col("s")), True).over(w)
+    )
+    m = ann.where(
+        (F.col("event_type") == "purchase")
+        & F.col("last_click_s").isNotNull()
+        & (F.col("s") - F.col("last_click_s") <= _CEP_WINDOW_S * 1_000_000)
+        & (
+            F.col("last_error_s").isNull()
+            | (F.col("last_error_s") <= F.col("last_click_s"))
+        )
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum(F.col("s") - F.col("last_click_s")).alias("lat_sum"),
+        )
+        .select(
+            "user_id",
+            "n_matches",
+            F.round(
+                F.col("lat_sum").cast("double")
+                / (F.col("n_matches").cast("double") * 1e6),
+                6,
+            ).alias("mean_latency_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_CEP_SQL = f"""
+WITH ann AS (
+  SELECT user_id, event_type, epoch_us(ts) AS s,
+         MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_s,
+         MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_s
+  FROM events
+),
+m AS (
+  SELECT user_id, s - last_click_s AS lat
+  FROM ann
+  WHERE event_type = 'purchase' AND last_click_s IS NOT NULL
+    AND s - last_click_s <= {_CEP_WINDOW_S} * 1000000
+    AND (last_error_s IS NULL OR last_error_s <= last_click_s)
+)
+SELECT user_id, COUNT(*) AS n_matches,
+       ROUND(CAST(SUM(lat) AS DOUBLE) / (COUNT(*) * 1e6), 6) AS mean_latency_s
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["events_cep_pattern"] = events_cep_pattern
+ORACLE["events_cep_pattern"] = EVENTS_CEP_SQL

@@ -77,6 +77,7 @@ _NEW_THIS_ROUND = frozenset(
         "nations_revenue_decomposition",
         "customers_value_migration",
         "ann_recall_eval",
+        "events_cep_pattern",
     }
 )
 
