@@ -57,3 +57,38 @@ def table_checksum(df: DataFrame) -> DataFrame:
         .cast("string")
         .alias("checksum"),
     )
+
+
+def table_checksum_by_range(
+    df: DataFrame, key_col: str, n_buckets: int = 16
+) -> DataFrame:
+    """Per key-range (n_rows, checksum) — the drift LOCALIZER the
+    whole-table checksum can't give: when source and target disagree,
+    comparing 16 range checksums narrows the mismatch to 1/16th of
+    the key space, and re-running on that range binary-searches a
+    100 TB table pair down to the divergent keys in O(log) rounds of
+    table-sized (never sorted, never driver-streamed) work.
+
+    Buckets are equal-width over [0, max(key)] (one broadcast scalar
+    agg); each bucket folds the same order-insensitive modular md5
+    sum as :func:`table_checksum`, map-side combined."""
+    num = row_hash64(canonical_repr(df))
+    mx = df.agg(F.max(F.col(key_col)).alias("_kmax"))
+    bucketed = df.withColumn("_h", num).crossJoin(F.broadcast(mx)).withColumn(
+        "_bucket",
+        F.expr(
+            f"CAST((CAST({key_col} AS BIGINT) * {n_buckets})"
+            f" DIV (CAST(_kmax AS BIGINT) + 1) AS INT)"
+        ),
+    )
+    return (
+        bucketed.groupBy("_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("_h").cast("decimal(38,0)")) % F.expr(_MOD_64))
+            .cast("string")
+            .alias("checksum"),
+        )
+        .select(F.col("_bucket").alias("bucket"), "n_rows", "checksum")
+        .orderBy("bucket")
+    )

@@ -1437,3 +1437,50 @@ WHERE o_orderkey % 5 <> 0
 
 QUERIES["cdc_incremental_snapshot"] = cdc_incremental_snapshot
 ORACLE["cdc_incremental_snapshot"] = CDC_INCREMENTAL_SNAPSHOT_SQL
+
+
+def table_checksum_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucketed sync checksums (16 key ranges of orders) — the
+    reconciliation step AFTER ``table_checksum`` disagrees: matching
+    per-range sums prove whole ranges synced, mismatches localize the
+    drift for an O(log)-round binary search instead of a full-table
+    diff (the reference's compare.py re-streams the entire table
+    through one cursor). Same md5_number_lower-parity modular sum,
+    map-side combined per bucket."""
+    from bireme_spark.operators.checksum import table_checksum_by_range
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return table_checksum_by_range(o, "o_orderkey", n_buckets=16)
+
+
+TABLE_CHECKSUM_RANGES_SQL = """
+WITH t AS (
+  SELECT o_orderkey, concat_ws(chr(31),
+    COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || '<NULL>'),
+    COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(0) || '<NULL>'),
+    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || '<NULL>'),
+    COALESCE(o_orderpriority, chr(0) || '<NULL>'),
+    COALESCE(o_orderstatus, chr(0) || '<NULL>'),
+    COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), chr(0) || '<NULL>')
+  ) AS r
+  FROM orders
+),
+mx AS (SELECT MAX(o_orderkey) AS kmax FROM orders)
+SELECT CAST((CAST(o_orderkey AS BIGINT) * 16) // (CAST(kmax AS BIGINT) + 1) AS INTEGER)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(md5_number_lower(r) AS HUGEINT))
+            % CAST('18446744073709551616' AS HUGEINT) AS VARCHAR) AS checksum
+FROM t, mx
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["table_checksum_ranges"] = table_checksum_ranges
+ORACLE["table_checksum_ranges"] = TABLE_CHECKSUM_RANGES_SQL

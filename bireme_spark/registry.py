@@ -78,6 +78,7 @@ _NEW_THIS_ROUND = frozenset(
         "customers_value_migration",
         "ann_recall_eval",
         "events_cep_pattern",
+        "table_checksum_ranges",
     }
 )
 

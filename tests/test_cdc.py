@@ -677,3 +677,33 @@ class TestIncrementalSnapshot:
             changes=[("k", "U", 100, 1, "at-wm")],
         )
         assert got == {"k": "snap-incl"}
+
+
+class TestRangeChecksums:
+    def test_single_row_drift_localizes_to_one_bucket(self, spark):
+        from bireme_spark.operators.checksum import table_checksum_by_range
+
+        rows = [(i, f"v{i}") for i in range(1, 161)]  # keys 1..160
+        src = spark.createDataFrame(rows, "k long, v string")
+        drifted = [(k, ("DRIFT" if k == 37 else v)) for k, v in rows]
+        dst = spark.createDataFrame(drifted, "k long, v string")
+        a = {r.bucket: (r.n_rows, r.checksum) for r in table_checksum_by_range(src, "k").collect()}
+        b = {r.bucket: (r.n_rows, r.checksum) for r in table_checksum_by_range(dst, "k").collect()}
+        assert set(a) == set(b) and len(a) == 16
+        diff = [bk for bk in a if a[bk] != b[bk]]
+        assert diff == [37 * 16 // 161]  # exactly the drifted key's bucket
+        # row counts still agree everywhere (value drift, not row drift)
+        assert all(a[bk][0] == b[bk][0] for bk in a)
+
+    def test_bucket_sums_fold_to_whole_table_checksum(self, spark):
+        from bireme_spark.operators.checksum import (
+            table_checksum,
+            table_checksum_by_range,
+        )
+
+        df = spark.createDataFrame([(i, f"x{i}") for i in range(1, 101)], "k long, v string")
+        whole = table_checksum(df).collect()[0]
+        parts = table_checksum_by_range(df, "k").collect()
+        assert sum(r.n_rows for r in parts) == whole.n_rows
+        folded = sum(int(r.checksum) for r in parts) % (1 << 64)
+        assert folded == int(whole.checksum)  # modular sum is mergeable
