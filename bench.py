@@ -75,6 +75,8 @@ HEADLINE = [
     "orders_zorder_layout",
     "nations_revenue_decomposition",
     "customers_value_migration",
+    "events_cep_pattern",
+    "table_checksum_ranges",
 ]
 
 
