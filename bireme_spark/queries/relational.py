@@ -1654,3 +1654,94 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["customers_value_migration"] = customers_value_migration
 ORACLE["customers_value_migration"] = CUSTOMERS_MIGRATION_SQL
+
+
+def lineitem_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test (1947): do returned ('R') and regular
+    ('N') line items draw their quantities from the same
+    distribution? The rank-based two-sample test that, unlike the
+    t-test, needs no normality — and unlike KS, targets stochastic
+    dominance (a location shift).
+
+    Scale design: quantities collapse to a value→(count_R, count_N)
+    histogram (ONE map-side-combined agg — the histogram-CDF house
+    pattern); midranks, rank sums, U, the tie-corrected variance and
+    Z all come from that ≤|distinct values| frame. Midranks are kept
+    ×2 (``2·rank = 2·cum_before + cnt + 1``) so every statistic is an
+    exact integer until the one closing IEEE expression for Z."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    hist = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "cum_before", F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+    ).withColumn("rank2", 2 * F.col("cum_before") + F.col("ca") + F.col("cb") + 1)
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum("cb").cast("long").alias("n2"),
+        F.sum(F.col("ca") * F.col("rank2")).cast("long").alias("r2_sum"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        ).cast("long").alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u2 = F.col("r2_sum") - n1 * (n1 + 1)  # 2·U1, exact integer
+    mu2 = n1 * n2  # 2·E[U]
+    var = (
+        n1.cast("double")
+        * n2.cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_term").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u2.cast("bigint").alias("u_times_2"),
+        F.round((u2 - mu2).cast("double") / (2.0 * F.sqrt(var)), 6).alias("z"),
+    )
+
+
+MANNWHITNEY_SQL = """
+WITH hist AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY 1
+),
+ranked AS (
+  SELECT v, ca, cb,
+         COALESCE(SUM(ca + cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM hist
+),
+agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+         CAST(SUM(cb) AS BIGINT) AS n2,
+         CAST(SUM(ca * (2 * cum_before + ca + cb + 1)) AS BIGINT) AS r2_sum,
+         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie_term
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(r2_sum - n1 * (n1 + 1) AS BIGINT) AS u_times_2,
+       ROUND(CAST(r2_sum - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+             / (2.0 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                * (CAST(n1 + n2 + 1 AS DOUBLE)
+                   - CAST(tie_term AS DOUBLE)
+                     / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))), 6) AS z
+FROM agg
+"""
+
+QUERIES["lineitem_mannwhitney_u"] = lineitem_mannwhitney_u
+ORACLE["lineitem_mannwhitney_u"] = MANNWHITNEY_SQL

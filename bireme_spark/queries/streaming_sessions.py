@@ -413,3 +413,68 @@ def streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["streaming_ewma_monitor"] = streaming_ewma_monitor  # rows-only
+
+
+def streaming_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CEP pattern run INCREMENTALLY (streaming/cep.py): events
+    replayed as 3 time-split micro-batches through per-user
+    (last_click, last_error) state; matches emit at the purchase
+    event. Oracle = the SAME SQL as the batch ``events_cep_pattern``
+    — the gate value-checks stream ≡ batch for the pattern matcher."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from bireme_spark.queries.events import _CEP_WINDOW_S
+    from bireme_spark.streaming.cep import streaming_cep
+    from bireme_spark.streaming.replay import read_replay, replay_to_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "event_type"
+    )
+    work = _scratch("bireme_cep_")
+    src = f"{work}/in"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        replay_to_files(ev, "ts", src, halves=3)
+        stream = read_replay(
+            spark, src, "ts timestamp, user_id long, event_id long, event_type string"
+        ).select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+        )
+        matches = streaming_cep(stream, window_seconds=_CEP_WINDOW_S)
+        q = (
+            matches.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        back = spark.read.parquet(f"{work}/out")
+        return (
+            back.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_matches"),
+                F.sum("latency_us").alias("lat_sum"),
+            )
+            .select(
+                "user_id",
+                "n_matches",
+                F.round(
+                    F.col("lat_sum").cast("double")
+                    / (F.col("n_matches").cast("double") * 1e6),
+                    6,
+                ).alias("mean_latency_s"),
+            )
+            .orderBy("user_id")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+
+
+from bireme_spark.queries.events import EVENTS_CEP_SQL as _EVENTS_CEP_SQL  # noqa: E402
+
+QUERIES["streaming_cep_pattern"] = streaming_cep_pattern
+ORACLE["streaming_cep_pattern"] = _EVENTS_CEP_SQL

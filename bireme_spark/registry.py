@@ -53,6 +53,7 @@ _SLOW = frozenset(
         "jdbc_merge_apply",
         "embedding_knn_pagerank",
         "streaming_sketch_rollup",
+        "streaming_cep_pattern",
     }
 )
 
@@ -79,6 +80,8 @@ _NEW_THIS_ROUND = frozenset(
         "ann_recall_eval",
         "events_cep_pattern",
         "table_checksum_ranges",
+        "streaming_cep_pattern",
+        "lineitem_mannwhitney_u",
     }
 )
 
