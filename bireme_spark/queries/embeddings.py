@@ -493,3 +493,58 @@ ORDER BY label, rank
 
 QUERIES["embedding_centroid_outliers"] = embedding_centroid_outliers
 ORACLE["embedding_centroid_outliers"] = EMBEDDING_OUTLIERS_SQL
+
+
+def embedding_whitening(spark: SparkSession, sf_dir: str, top: int = 8) -> DataFrame:
+    """ZCA whitening (W = V Λ^{-1/2} Vᵀ from the distributed
+    covariance) — the decorrelation step before similarity training /
+    linear probes: whitened features have identity covariance, so no
+    direction dominates the dot products.
+
+    Plan shape = embedding_pca_project: d² covariance cells from the
+    DECIMAL-exact distributed agg, driver-side eigensolve on the d×d
+    model, whitening matrix + mean ride a Pandas-UDF closure, every
+    vector transforms in one Arrow-batched BLAS pass — zero shuffle
+    on the transform. Output is flat (vec_id, dim, value) scalar rows
+    (first ``top`` dims, 6dp) for the driver canonicalizer; identity
+    covariance of the FULL whitened set is property-tested
+    (tests/test_embeddings.py). Rows-only: eigensolve rounding isn't
+    SQL-reproducible."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = max(r["pos_j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["pos_i"], r["pos_j"]] = r["cov"]
+        C[r["pos_j"], r["pos_i"]] = r["cov"]
+    lam, V = np.linalg.eigh(C)
+    W = (V * (1.0 / np.sqrt(np.maximum(lam, 1e-12)))) @ V.T  # ZCA
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mu = np.zeros(d)
+    for r in (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    ):
+        mu[r["pos"]] = r["m"]
+
+    @pandas_udf("array<double>")
+    def whiten(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(list((M - mu) @ W.T))
+
+    corpus = e.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        corpus.select("vec_id", whiten("embedding").alias("wv"))
+        .select("vec_id", F.posexplode("wv").alias("dim", "v"))
+        .where(F.col("dim") < top)
+        .select("vec_id", "dim", F.round(F.col("v"), 6).alias("value"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+QUERIES["embedding_whitening"] = embedding_whitening  # rows-only

@@ -1350,3 +1350,55 @@ FROM m GROUP BY user_id ORDER BY user_id
 
 QUERIES["events_cep_pattern"] = events_cep_pattern
 ORACLE["events_cep_pattern"] = EVENTS_CEP_SQL
+
+
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` TVF —
+    the engine-side session operator (whole-stage codegen session
+    merge, no custom state code): same 30-minute gap rule as the
+    custom batch/streaming sessionizers, value-checked against the
+    SQL gap-sessionization oracle. A session_window's end is
+    max(ts) + gap by definition, so the oracle emits the same bound.
+
+    Plan: one shuffle on user_id into the native session aggregation
+    — the operator exists precisely so sessionization needs no
+    window-sort or applyInPandas at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_NATIVE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+QUERIES["events_session_window_native"] = events_session_window_native
+ORACLE["events_session_window_native"] = SESSION_WINDOW_NATIVE_SQL

@@ -1745,3 +1745,90 @@ FROM agg
 
 QUERIES["lineitem_mannwhitney_u"] = lineitem_mannwhitney_u
 ORACLE["lineitem_mannwhitney_u"] = MANNWHITNEY_SQL
+
+
+def orders_priority_kendall_taub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b ordinal association between order YEAR and order
+    PRIORITY (is the priority mix drifting over time?) — the
+    tie-aware rank correlation for ordinal×ordinal data, computed
+    entirely from the contingency table.
+
+    Scale design: the order stream collapses ONCE to the
+    |years|×|priorities| contingency table (map-side combine);
+    concordant/discordant pair counts come from the table's self-join
+    (≤35×35 cells — constant work at any data size); C, D and the
+    tie terms are exact integers, τ-b is one closing IEEE
+    expression."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pri"),
+    )
+    cells = o.groupBy("yr", "pri").agg(F.count(F.lit(1)).alias("n"))
+    a = cells.select(
+        F.col("yr").alias("y1"), F.col("pri").alias("p1"), F.col("n").alias("n1c")
+    )
+    b = cells.select(
+        F.col("yr").alias("y2"), F.col("pri").alias("p2"), F.col("n").alias("n2c")
+    )
+    pairs = a.crossJoin(b)
+    conc = pairs.where(
+        (F.col("y2") > F.col("y1")) & (F.col("p2") > F.col("p1"))
+    ).agg(F.sum(F.col("n1c") * F.col("n2c")).alias("v"))
+    disc = pairs.where(
+        (F.col("y2") > F.col("y1")) & (F.col("p2") < F.col("p1"))
+    ).agg(F.sum(F.col("n1c") * F.col("n2c")).alias("v"))
+    c_val = conc.collect()[0]["v"] or 0
+    d_val = disc.collect()[0]["v"] or 0
+    totals = cells.agg(F.sum("n").alias("n")).collect()[0]
+    n_total = totals["n"]
+    rows = cells.groupBy("yr").agg(F.sum("n").alias("r")).collect()
+    cols = cells.groupBy("pri").agg(F.sum("n").alias("c")).collect()
+    n0 = n_total * (n_total - 1) // 2
+    n1 = sum(r["r"] * (r["r"] - 1) // 2 for r in rows)
+    n2 = sum(c["c"] * (c["c"] - 1) // 2 for c in cols)
+    # rounding happens in Spark SQL (half-away, = DuckDB ROUND) —
+    # never Python round() (half-even; CLAUDE.md rule)
+    raw = spark.createDataFrame(
+        [(int(n_total), int(c_val), int(d_val), int(n0 - n1), int(n0 - n2))],
+        "n bigint, concordant bigint, discordant bigint, dr bigint, dc bigint",
+    )
+    return raw.select(
+        "n",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(F.col("dr").cast("double") * F.col("dc").cast("double")),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+KENDALL_TAUB_SQL = """
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+cd AS (
+  SELECT
+    CAST(SUM(CASE WHEN b.yr > a.yr AND b.pri > a.pri THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN b.yr > a.yr AND b.pri < a.pri THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d
+  FROM cells a, cells b
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST((SELECT SUM(r * (r - 1) // 2) FROM (SELECT SUM(n) AS r FROM cells GROUP BY yr)) AS BIGINT) AS n1,
+         CAST((SELECT SUM(c * (c - 1) // 2) FROM (SELECT SUM(n) AS c FROM cells GROUP BY pri)) AS BIGINT) AS n2
+  FROM cells
+)
+SELECT n_total AS n, cd.c AS concordant, cd.d AS discordant,
+       ROUND(CAST(cd.c - cd.d AS DOUBLE)
+             / SQRT(CAST(n_total * (n_total - 1) // 2 - n1 AS DOUBLE)
+                    * CAST(n_total * (n_total - 1) // 2 - n2 AS DOUBLE)), 6) AS tau_b
+FROM cd, t
+"""
+
+QUERIES["orders_priority_kendall_taub"] = orders_priority_kendall_taub
+ORACLE["orders_priority_kendall_taub"] = KENDALL_TAUB_SQL

@@ -82,6 +82,9 @@ _NEW_THIS_ROUND = frozenset(
         "table_checksum_ranges",
         "streaming_cep_pattern",
         "lineitem_mannwhitney_u",
+        "orders_priority_kendall_taub",
+        "events_session_window_native",
+        "embedding_whitening",
     }
 )
 

@@ -44,3 +44,23 @@ class TestPcaProjection:
 
         P = np.array([r.pca for r in embedding_pca_project(spark, sf_dir, top=4).collect()])
         assert np.abs(P.mean(axis=0)).max() < 1e-6
+
+
+def test_whitened_covariance_is_identity(spark, sf_dir):
+    """ZCA property: the FULL whitened sample covariance must be ≈ I
+    (top=64 keeps every dim in the flat output)."""
+    import numpy as np
+
+    from bireme_spark.queries.embeddings import embedding_whitening
+
+    rows = embedding_whitening(spark, sf_dir, top=64).collect()
+    n_vec = len({r.vec_id for r in rows})
+    d = max(r.dim for r in rows) + 1
+    M = np.zeros((n_vec, d))
+    idx = {v: i for i, v in enumerate(sorted({r.vec_id for r in rows}))}
+    for r in rows:
+        M[idx[r.vec_id], r.dim] = r.value
+    C = np.cov(M, rowvar=False)
+    off = C - np.eye(d)
+    # 6dp-rounded values + float covariance: loose-but-real tolerance
+    assert np.abs(off).max() < 1e-2, np.abs(off).max()
