@@ -77,6 +77,9 @@ HEADLINE = [
     "customers_value_migration",
     "events_cep_pattern",
     "table_checksum_ranges",
+    "lineitem_mannwhitney_u",
+    "orders_priority_kendall_taub",
+    "events_session_window_native",
 ]
 
 
