@@ -52,8 +52,9 @@ class TestApproxTriangles:
         exact = graph_triangle_count(spark, sf_dir).collect()[0]
         approx = graph_triangle_count_approx(spark, sf_dir).collect()[0]
         assert approx.n_sampled_edges < exact.n_edges  # actually sparsified
-        # p = 5/16: expect ~31% of edges kept (±10pp slack)
+        # node p_v = 12/16 (both endpoints) × edge p_e = 5/16:
+        # expect ~(0.75² · 0.3125) ≈ 17.6% of edges kept (±8pp slack)
         frac = approx.n_sampled_edges / exact.n_edges
-        assert 0.21 < frac < 0.42
+        assert 0.10 < frac < 0.26
         rel = abs(approx.est_triangles - exact.n_triangles) / max(exact.n_triangles, 1)
         assert rel < 0.10, (approx.est_triangles, exact.n_triangles)
