@@ -1832,3 +1832,73 @@ FROM cd, t
 
 QUERIES["orders_priority_kendall_taub"] = orders_priority_kendall_taub
 ORACLE["orders_priority_kendall_taub"] = KENDALL_TAUB_SQL
+
+
+def suppliers_similar_portfolios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity similarity by basket: supplier pairs whose PART
+    PORTFOLIOS overlap (Jaccard of the distinct part sets each
+    supplier has shipped, ≥ 0.10) — the dual-sourcing / substitute-
+    vendor screen, and the same inverted-index machinery as the
+    document dedup miners applied to relational entities.
+
+    Scale design: lineitem collapses to DISTINCT (supplier, part)
+    pairs ONCE (map-side partial distinct); candidates come from the
+    part-keyed inverted index (suppliers sharing a part — never a
+    supplier×supplier cross join); portfolio sizes join back onto the
+    candidate-pair table (pair-sized, not stream-sized). A df=1 part
+    (single-supplier) can never produce a pair and is pruned free by
+    the self-join itself."""
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sizes = sp.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a = sp.select(F.col("s").alias("s_a"), "p")
+    b = sp.select(F.col("s").alias("s_b"), "p")
+    common = (
+        a.join(b, "p")
+        .where(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    paired = common.join(
+        sizes.select(F.col("s").alias("s_a"), F.col("n").alias("n_a")), "s_a"
+    ).join(sizes.select(F.col("s").alias("s_b"), F.col("n").alias("n_b")), "s_b")
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        paired.where(jac >= 0.10)
+        .select(
+            "s_a",
+            "s_b",
+            "n_common",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "s_a", "s_b")
+        .limit(50)
+    )
+
+
+SUPPLIERS_PORTFOLIO_SQL = """
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+sizes AS (SELECT s, COUNT(*) AS n FROM sp GROUP BY 1),
+common AS (
+  SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS n_common
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT s_a, s_b, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+         AS jaccard
+FROM common
+JOIN sizes sa ON sa.s = s_a
+JOIN sizes sb ON sb.s = s_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.10
+ORDER BY jaccard DESC, s_a, s_b
+LIMIT 50
+"""
+
+QUERIES["suppliers_similar_portfolios"] = suppliers_similar_portfolios
+ORACLE["suppliers_similar_portfolios"] = SUPPLIERS_PORTFOLIO_SQL

@@ -1226,3 +1226,84 @@ FROM agg
 
 QUERIES["orders_runs_test"] = orders_runs_test
 ORACLE["orders_runs_test"] = ORDERS_RUNS_TEST_SQL
+
+
+def events_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of event volume: fit a Gumbel
+    distribution to the DAILY MAXIMA of hourly counts
+    (method-of-moments: β = s·√6/π, μ = m − γ·β) and report the
+    30-day return level — the capacity-planning question "what
+    hourly peak should a month see?". (Block = day, observation =
+    hourly rate: the synthetic events span ~one month, so day-blocks
+    give a real maxima sample; at production spans the same plan
+    fits monthly maxima of daily counts.)
+
+    Scale design: the raw stream collapses to the |hours| count
+    series, then to |days| maxima (two map-side-combined aggs);
+    the fit runs on exact integer sufficient statistics (Σx, Σx² of
+    the maxima) with the closing expressions in identical IEEE on
+    both engines (γ and π as shared literals)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hr")
+    )
+    hourly = ev.groupBy("hr").agg(F.count(F.lit(1)).alias("n"))
+    daily_max = hourly.groupBy(F.to_date("hr").alias("day")).agg(
+        F.max("n").alias("mx")
+    )
+    agg = daily_max.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("s2"),
+    )
+    k = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / k
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (k - 1)
+    beta = F.sqrt(var) * F.lit(0.7796968012336092)  # √6/π
+    gamma = F.lit(0.5772156649015329)
+    mu = mean - gamma * beta
+    # 30-period return level: μ − β·ln(−ln(1 − 1/30))
+    rl = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / 30.0))
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_blocks"),
+        F.round(mean, 6).alias("mean_max"),
+        F.round(F.sqrt(var), 6).alias("std_max"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(rl, 6).alias("return_level_30d"),
+    )
+
+
+GUMBEL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n FROM events GROUP BY 1
+),
+daily_max AS (
+  SELECT CAST(hr AS DATE) AS day, MAX(n) AS mx FROM hourly GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS k, CAST(SUM(mx) AS BIGINT) AS s1,
+         CAST(SUM(mx * mx) AS BIGINT) AS s2
+  FROM daily_max
+)
+SELECT CAST(k AS BIGINT) AS n_blocks,
+       ROUND(CAST(s1 AS DOUBLE) / k, 6) AS mean_max,
+       ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / k))
+                  / (k - 1)), 6) AS std_max,
+       ROUND(CAST(s1 AS DOUBLE) / k
+             - 0.5772156649015329
+               * (SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / k))
+                       / (k - 1)) * 0.7796968012336092), 6) AS gumbel_mu,
+       ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / k))
+                  / (k - 1)) * 0.7796968012336092, 6) AS gumbel_beta,
+       ROUND(CAST(s1 AS DOUBLE) / k
+             - 0.5772156649015329
+               * (SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / k))
+                       / (k - 1)) * 0.7796968012336092)
+             - (SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / k))
+                     / (k - 1)) * 0.7796968012336092)
+               * LN(-LN(1.0 - 1.0 / 30.0)), 6) AS return_level_30d
+FROM agg
+"""
+
+QUERIES["events_extreme_value_gumbel"] = events_extreme_value_gumbel
+ORACLE["events_extreme_value_gumbel"] = GUMBEL_SQL

@@ -85,6 +85,8 @@ _NEW_THIS_ROUND = frozenset(
         "orders_priority_kendall_taub",
         "events_session_window_native",
         "embedding_whitening",
+        "suppliers_similar_portfolios",
+        "events_extreme_value_gumbel",
     }
 )
 
