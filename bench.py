@@ -80,6 +80,8 @@ HEADLINE = [
     "lineitem_mannwhitney_u",
     "orders_priority_kendall_taub",
     "events_session_window_native",
+    "suppliers_similar_portfolios",
+    "events_extreme_value_gumbel",
 ]
 
 
