@@ -983,3 +983,127 @@ SELECT stage, stage_name, n_docs, total_chars FROM (
 
 QUERIES["corpus_ccnet_funnel"] = corpus_ccnet_funnel
 ORACLE["corpus_ccnet_funnel"] = CCNET_FUNNEL_SQL
+
+
+_BLOOM_BITS = 65536  # m = 2^16
+_BLOOM_SALTS = ("b0:", "b1:", "b2:")  # k = 3 hash functions
+
+
+def _bloom_pos(salt: str, col):
+    """16-bit Bloom position: md5_number_lower-parity 64-bit hash of
+    (salt ‖ shingle) mod 2^16 — bit-identical in Spark and DuckDB
+    (the checksum operator's cross-engine trick)."""
+    from bireme_spark.operators.checksum import row_hash64
+
+    return (row_hash64(F.concat(F.lit(salt), col)) % _BLOOM_BITS).cast("int")
+
+
+def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination PREFILTER — the scale pattern when
+    even the broadcast benchmark shingle set is too big for every
+    executor (billions of eval n-grams): compress it to an m-bit
+    Bloom bitset (m = 2¹⁶, k = 3 here), flag any training doc with a
+    shingle whose k positions are all set, and report the screen's
+    quality against the exact join: Bloom guarantees ZERO false
+    negatives (every truly contaminated doc is flagged — the property
+    that makes a prefilter sound), and the false-positive count is
+    the price of the compression.
+
+    Engine parity: positions are md5_number_lower-parity hashes mod
+    2¹⁶, so the oracle rebuilds the identical filter as a distinct
+    (salt, position) table and probes it with joins — the whole
+    screen is value-checked, not rows-only. The Spark plan probes
+    with a broadcast of the ≤3·2¹⁶-row position table (at real scale:
+    a bitset in a pandas-UDF closure — same semantics, fewer bytes);
+    flags aggregate per doc with no extra shuffle beyond the per-doc
+    count."""
+    from bireme_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", n=_CONTAM_N)
+    is_bench = (F.col("doc_id") % _BENCH_MOD) == _BENCH_REM
+    bench = sh.where(is_bench).select("shingle").distinct()
+    # Bloom bitset as a (salt_idx, pos) table: ≤ k·m rows, broadcast
+    bits = None
+    for i, salt in enumerate(_BLOOM_SALTS):
+        part = bench.select(
+            F.lit(i).alias("hi"), _bloom_pos(salt, F.col("shingle")).alias("pos")
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+
+    train = sh.where(~is_bench)
+    probe = train.select("doc_id", "shingle")
+    for i, salt in enumerate(_BLOOM_SALTS):
+        probe = probe.withColumn(f"p{i}", _bloom_pos(salt, F.col("shingle")))
+    flagged = probe
+    for i in range(len(_BLOOM_SALTS)):
+        hit = bits.where(F.col("hi") == i).select(
+            F.col("pos").alias(f"p{i}"), F.lit(1).alias(f"h{i}")
+        )
+        flagged = flagged.join(F.broadcast(hit), f"p{i}", "left")
+    all_hit = None
+    for i in range(len(_BLOOM_SALTS)):
+        c = F.col(f"h{i}").isNotNull()
+        all_hit = c if all_hit is None else (all_hit & c)
+    bloom_docs = (
+        flagged.where(all_hit).select("doc_id").distinct()
+    )
+    exact_docs = (
+        train.join(F.broadcast(bench), "shingle").select("doc_id").distinct()
+    )
+    n_train = train.select("doc_id").distinct().count()
+    n_bloom = bloom_docs.count()
+    n_exact = exact_docs.count()
+    n_missed = exact_docs.join(bloom_docs, "doc_id", "left_anti").count()
+    return spark.createDataFrame(
+        [(int(n_train), int(n_bloom), int(n_exact), int(n_bloom - n_exact), int(n_missed))],
+        "n_train_docs bigint, n_bloom_flagged bigint, n_exact_contaminated bigint,"
+        " n_false_positive bigint, n_false_negative bigint",
+    )
+
+
+CORPUS_BLOOM_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[i:i+{_CONTAM_N - 1}], ' ') AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - {_CONTAM_N - 1}, 0))) AS i) t
+),
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_BENCH_MOD} = {_BENCH_REM}
+),
+bits AS (
+  SELECT DISTINCT hi, pos FROM (
+    SELECT 0 AS hi, CAST(md5_number_lower('b0:' || s) % {_BLOOM_BITS} AS INTEGER) AS pos FROM bench
+    UNION ALL
+    SELECT 1, CAST(md5_number_lower('b1:' || s) % {_BLOOM_BITS} AS INTEGER) FROM bench
+    UNION ALL
+    SELECT 2, CAST(md5_number_lower('b2:' || s) % {_BLOOM_BITS} AS INTEGER) FROM bench
+  )
+),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % {_BENCH_MOD} <> {_BENCH_REM}),
+bloom_docs AS (
+  SELECT DISTINCT doc_id FROM train
+  WHERE CAST(md5_number_lower('b0:' || s) % {_BLOOM_BITS} AS INTEGER)
+          IN (SELECT pos FROM bits WHERE hi = 0)
+    AND CAST(md5_number_lower('b1:' || s) % {_BLOOM_BITS} AS INTEGER)
+          IN (SELECT pos FROM bits WHERE hi = 1)
+    AND CAST(md5_number_lower('b2:' || s) % {_BLOOM_BITS} AS INTEGER)
+          IN (SELECT pos FROM bits WHERE hi = 2)
+),
+exact_docs AS (
+  SELECT DISTINCT t.doc_id FROM train t JOIN bench b ON t.s = b.s
+)
+SELECT (SELECT COUNT(DISTINCT doc_id) FROM train) AS n_train_docs,
+       (SELECT COUNT(*) FROM bloom_docs) AS n_bloom_flagged,
+       (SELECT COUNT(*) FROM exact_docs) AS n_exact_contaminated,
+       (SELECT COUNT(*) FROM bloom_docs) - (SELECT COUNT(*) FROM exact_docs)
+         AS n_false_positive,
+       (SELECT COUNT(*) FROM exact_docs e
+        WHERE e.doc_id NOT IN (SELECT doc_id FROM bloom_docs)) AS n_false_negative
+FROM (SELECT 1)
+"""
+
+QUERIES["corpus_bloom_prefilter"] = corpus_bloom_prefilter
+ORACLE["corpus_bloom_prefilter"] = CORPUS_BLOOM_SQL

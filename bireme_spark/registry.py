@@ -87,6 +87,7 @@ _NEW_THIS_ROUND = frozenset(
         "embedding_whitening",
         "suppliers_similar_portfolios",
         "events_extreme_value_gumbel",
+        "corpus_bloom_prefilter",
     }
 )
 
