@@ -646,3 +646,79 @@ ORDER BY d.doc_id
 
 QUERIES["multimodal_resize"] = multimodal_resize
 ORACLE["multimodal_resize"] = MULTIMODAL_RESIZE_SQL
+
+
+def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming — the audio-curation pass that strips leading/
+    trailing quiet before transcription or training: per clip, find
+    the first and last sample above the amplitude gate and report the
+    trimmed bounds and kept length.
+
+    Synthetic clips with PLANTED pads: lead = doc_id%32 zero samples,
+    then 48 + doc_id%16 tone samples ((doc_id·13 + i·11) mod 1024 +
+    512 — always above the gate), then trail = doc_id%24 zeros; the
+    encode → decode → scan pipeline must recover exactly those pad
+    lengths, which the oracle predicts in closed form. Same fused
+    single-pass mapInPandas shape as the other decode stages (one
+    Arrow hop; numpy synthesis)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    gate = 256
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "n_samples", "lead_trimmed", "trail_trimmed", "n_kept"
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                lead, trail = doc_id % 32, doc_id % 24
+                tone = [
+                    (doc_id * 13 + i * 11) % 1024 + 512
+                    for i in range(48 + doc_id % 16)
+                ]
+                samples = [0] * lead + tone + [0] * trail
+                _, _, back = decode_wav(encode_wav(16000, samples))
+                first = next((i for i, s in enumerate(back) if abs(s) > gate), None)
+                last = next(
+                    (i for i in range(len(back) - 1, -1, -1) if abs(back[i]) > gate),
+                    None,
+                )
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(back))
+                if first is None:
+                    rows["lead_trimmed"].append(len(back))
+                    rows["trail_trimmed"].append(0)
+                    rows["n_kept"].append(0)
+                else:
+                    rows["lead_trimmed"].append(first)
+                    rows["trail_trimmed"].append(len(back) - 1 - last)
+                    rows["n_kept"].append(last - first + 1)
+            yield pd.DataFrame(rows)
+
+    feats = d.mapInPandas(
+        roundtrip,
+        schema="doc_id long, n_samples int, lead_trimmed int,"
+        " trail_trimmed int, n_kept int",
+    )
+    return feats.orderBy("doc_id")
+
+
+SILENCE_TRIM_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 32 + 48 + doc_id % 16 + doc_id % 24 AS INTEGER) AS n_samples,
+       CAST(doc_id % 32 AS INTEGER) AS lead_trimmed,
+       CAST(doc_id % 24 AS INTEGER) AS trail_trimmed,
+       CAST(48 + doc_id % 16 AS INTEGER) AS n_kept
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["multimodal_silence_trim"] = multimodal_silence_trim
+ORACLE["multimodal_silence_trim"] = SILENCE_TRIM_SQL

@@ -88,6 +88,7 @@ _NEW_THIS_ROUND = frozenset(
         "suppliers_similar_portfolios",
         "events_extreme_value_gumbel",
         "corpus_bloom_prefilter",
+        "multimodal_silence_trim",
     }
 )
 
