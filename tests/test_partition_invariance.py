@@ -30,6 +30,18 @@ _PINNED = [
     "customers_lorenz_deciles",
     "events_ks_test",
     "lineitem_abc_classification",
+    # round-5 additions: series/histogram statistics (exact integer
+    # sufficient stats), sampled graph estimate (deterministic
+    # coins), survival curve (cumulative products), reconciliation
+    # (full-outer fold), migration matrix (two CDF boundary sets)
+    "orders_seasonal_decompose",
+    "events_mann_kendall",
+    "customers_survival_km",
+    "lineitem_mannwhitney_u",
+    "graph_triangle_count_approx",
+    "cdc_incremental_snapshot",
+    "customers_value_migration",
+    "orders_zorder_layout",
 ]
 
 
