@@ -1402,3 +1402,98 @@ ORDER BY user_id, session_start
 
 QUERIES["events_session_window_native"] = events_session_window_native
 ORACLE["events_session_window_native"] = SESSION_WINDOW_NATIVE_SQL
+
+
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot screen — the trust-and-safety composite every
+    event pipeline runs before analytics trust the traffic: per user,
+    volume (events per active hour), night share (00-06 UTC), and
+    type concentration (top event-type share), each gated RELATIVE
+    to the population mean (baselined screens survive traffic-shape
+    drift; absolute gates don't). Emits every ≥20-event user with the
+    evidence ratios and how many gates they exceed — the triage list
+    a reviewer consumes.
+
+    Scale design: ONE pass collapses the stream to per-(user, hour)
+    and per-(user, type) counts (map-side combine); every later step
+    is user-cardinality; the population baseline is a one-row
+    broadcast. Ratios are IEEE divisions of exact integer counts,
+    identical on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.hour("ts").alias("hod"),
+        "event_type",
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("hr").alias("active_hours"),
+        F.sum(F.when(F.col("hod") < 6, 1).otherwise(0)).alias("night_events"),
+    )
+    top_type = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("top_type_events"))
+    )
+    j = base.join(top_type, "user_id")
+    rate = F.col("n_events").cast("double") / F.col("active_hours").cast("double")
+    night = F.col("night_events").cast("double") / F.col("n_events").cast("double")
+    conc = F.col("top_type_events").cast("double") / F.col("n_events").cast("double")
+    pop = j.agg(
+        F.avg(rate).alias("ar"), F.avg(night).alias("an"), F.avg(conc).alias("ac")
+    )
+    j = j.crossJoin(F.broadcast(pop))
+    score = (
+        F.when(rate > 1.03 * F.col("ar"), 1).otherwise(0)
+        + F.when(night > 1.15 * F.col("an"), 1).otherwise(0)
+        + F.when(conc > 1.10 * F.col("ac"), 1).otherwise(0)
+    )
+    return (
+        j.where(F.col("n_events") >= 20)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(rate, 6).alias("events_per_hour"),
+            F.round(night, 6).alias("night_share"),
+            F.round(conc, 6).alias("type_concentration"),
+            score.cast("int").alias("signals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_BOT_SCREEN_SQL = """
+WITH base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT date_trunc('hour', ts)) AS active_hours,
+         SUM(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) AS night_events
+  FROM events GROUP BY 1
+),
+tt AS (
+  SELECT user_id, MAX(c) AS top_type_events FROM (
+    SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+  ) GROUP BY 1
+),
+scored AS (
+  SELECT b.user_id, b.n_events,
+         CAST(b.n_events AS DOUBLE) / b.active_hours AS rate,
+         CAST(b.night_events AS DOUBLE) / b.n_events AS night,
+         CAST(t.top_type_events AS DOUBLE) / b.n_events AS conc
+  FROM base b JOIN tt t ON b.user_id = t.user_id
+),
+pop AS (SELECT AVG(rate) AS ar, AVG(night) AS an, AVG(conc) AS ac FROM scored)
+SELECT user_id, n_events,
+       ROUND(rate, 6) AS events_per_hour,
+       ROUND(night, 6) AS night_share,
+       ROUND(conc, 6) AS type_concentration,
+       CAST((CASE WHEN rate > 1.03 * ar THEN 1 ELSE 0 END)
+          + (CASE WHEN night > 1.15 * an THEN 1 ELSE 0 END)
+          + (CASE WHEN conc > 1.10 * ac THEN 1 ELSE 0 END) AS INTEGER) AS signals
+FROM scored, pop
+WHERE n_events >= 20
+ORDER BY user_id
+"""
+
+QUERIES["events_bot_screen"] = events_bot_screen
+ORACLE["events_bot_screen"] = EVENTS_BOT_SCREEN_SQL

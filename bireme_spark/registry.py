@@ -89,6 +89,7 @@ _NEW_THIS_ROUND = frozenset(
         "events_extreme_value_gumbel",
         "corpus_bloom_prefilter",
         "multimodal_silence_trim",
+        "events_bot_screen",
     }
 )
 
