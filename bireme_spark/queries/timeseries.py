@@ -1307,3 +1307,73 @@ FROM agg
 
 QUERIES["events_extreme_value_gumbel"] = events_extreme_value_gumbel
 ORACLE["events_extreme_value_gumbel"] = GUMBEL_SQL
+
+
+def events_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation per event type: the seasonal-naive
+    forecast (ŷ_d = y_{d−7}) scored with MASE (Hyndman & Koehler
+    2006) — MAE of the seasonal forecast over MAE of the naive lag-1
+    forecast. MASE < 1 ⇒ weekly seasonality carries real signal; this
+    is the sanity bar every fancier forecaster must clear.
+
+    Scale design: the stream collapses once to the (type, day) count
+    grid; both lag columns come from ONE ordered window pass per type
+    (series-sized); absolute errors are exact integers and MASE is
+    one IEEE division, 6dp."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    grid = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = grid.withColumn("y1", F.lag("y", 1).over(w)).withColumn(
+        "y7", F.lag("y", 7).over(w)
+    )
+    scored = lagged.where(F.col("y1").isNotNull() & F.col("y7").isNotNull())
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("y") - F.col("y7"))).cast("long").alias("ae_snaive"),
+            F.sum(F.abs(F.col("y") - F.col("y1"))).cast("long").alias("ae_naive1"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(
+                F.col("ae_snaive").cast("double") / F.col("n_days").cast("double"), 6
+            ).alias("mae_snaive"),
+            F.round(
+                F.col("ae_naive1").cast("double") / F.col("n_days").cast("double"), 6
+            ).alias("mae_naive1"),
+            F.round(
+                F.col("ae_snaive").cast("double") / F.col("ae_naive1").cast("double"),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SNAIVE_MASE_SQL = """
+WITH grid AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, y,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+  FROM grid
+),
+scored AS (SELECT * FROM lagged WHERE y1 IS NOT NULL AND y7 IS NOT NULL)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       ROUND(CAST(SUM(ABS(y - y7)) AS DOUBLE) / COUNT(*), 6) AS mae_snaive,
+       ROUND(CAST(SUM(ABS(y - y1)) AS DOUBLE) / COUNT(*), 6) AS mae_naive1,
+       ROUND(CAST(SUM(ABS(y - y7)) AS DOUBLE) / CAST(SUM(ABS(y - y1)) AS DOUBLE), 6)
+         AS mase
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_snaive_mase"] = events_snaive_mase
+ORACLE["events_snaive_mase"] = EVENTS_SNAIVE_MASE_SQL

@@ -90,6 +90,7 @@ _NEW_THIS_ROUND = frozenset(
         "corpus_bloom_prefilter",
         "multimodal_silence_trim",
         "events_bot_screen",
+        "events_snaive_mase",
     }
 )
 
