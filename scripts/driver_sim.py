@@ -34,14 +34,16 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    from pyspark.sql import SparkSession
+    # the tuned factory, not a bare builder: a default 1g driver heap
+    # survives sf0.01 but OOM-kills the JVM mid-run at sf0.1 (seen on
+    # the graph queries — every later query then reports
+    # "Connection refused")
+    import os
 
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
+    from bireme_spark.session import get_spark
+
+    spark = get_spark("driver-sim", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
     df = mod.entry(spark)
