@@ -1902,3 +1902,88 @@ LIMIT 50
 
 QUERIES["suppliers_similar_portfolios"] = suppliers_similar_portfolios
 ORACLE["suppliers_similar_portfolios"] = SUPPLIERS_PORTFOLIO_SQL
+
+
+_DID_SPLIT = "1997-01-01"
+
+
+def parts_promo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the PROMO effect: how
+    did average discounted revenue per line item move for PROMO parts
+    vs non-PROMO parts, before vs after 1997 — the causal-inference
+    workhorse for "did the campaign do anything beyond the market
+    trend". DiD = (promo_after − promo_before) − (other_after −
+    other_before).
+
+    Scale design: lineitem joins part on partkey once (AQE-sized; no
+    broadcast hint — part scales with SF) and collapses to the 2×2
+    (cohort, period) DECIMAL cells in the same map-side-combined agg;
+    the estimate is arithmetic on four exact cells. Group means are
+    IEEE divisions of exact sums, identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_shipdate") < F.lit(_DID_SPLIT).cast("date")).alias("before"),
+        (money("l_extendedprice") * (F.lit(1).cast("decimal(5,2)") - F.col("l_discount").cast("decimal(5,2)"))).alias("rev"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("promo")
+    )
+    cells = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("promo", "before")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("s"))
+    )
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("promo") == pr) & (F.col("before") == be),
+                    F.col("s").cast("double") / F.col("n").cast("double"),
+                )
+            ).alias(f"m_{'p' if pr else 'o'}_{'b' if be else 'a'}")
+            for pr in (True, False)
+            for be in (True, False)
+        ],
+        F.sum("n").alias("n_items"),
+    )
+    did = (F.col("m_p_a") - F.col("m_p_b")) - (F.col("m_o_a") - F.col("m_o_b"))
+    return wide.select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.round("m_p_b", 6).alias("promo_before"),
+        F.round("m_p_a", 6).alias("promo_after"),
+        F.round("m_o_b", 6).alias("other_before"),
+        F.round("m_o_a", 6).alias("other_after"),
+        F.round(did, 6).alias("did_estimate"),
+    )
+
+
+PARTS_PROMO_DID_SQL = f"""
+WITH cells AS (
+  SELECT p.p_type LIKE 'PROMO%' AS promo,
+         l.l_shipdate < DATE '{_DID_SPLIT}' AS before,
+         COUNT(*) AS n,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))) AS s
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN promo AND before THEN CAST(s AS DOUBLE) / n END) AS m_p_b,
+    MAX(CASE WHEN promo AND NOT before THEN CAST(s AS DOUBLE) / n END) AS m_p_a,
+    MAX(CASE WHEN NOT promo AND before THEN CAST(s AS DOUBLE) / n END) AS m_o_b,
+    MAX(CASE WHEN NOT promo AND NOT before THEN CAST(s AS DOUBLE) / n END) AS m_o_a,
+    CAST(SUM(n) AS BIGINT) AS n_items
+  FROM cells
+)
+SELECT n_items,
+       ROUND(m_p_b, 6) AS promo_before,
+       ROUND(m_p_a, 6) AS promo_after,
+       ROUND(m_o_b, 6) AS other_before,
+       ROUND(m_o_a, 6) AS other_after,
+       ROUND((m_p_a - m_p_b) - (m_o_a - m_o_b), 6) AS did_estimate
+FROM wide
+"""
+
+QUERIES["parts_promo_did"] = parts_promo_did
+ORACLE["parts_promo_did"] = PARTS_PROMO_DID_SQL

@@ -91,6 +91,7 @@ _NEW_THIS_ROUND = frozenset(
         "multimodal_silence_trim",
         "events_bot_screen",
         "events_snaive_mase",
+        "parts_promo_did",
     }
 )
 
