@@ -867,7 +867,14 @@ def orders_totalprice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("absdiff")).cast("double").alias("total_abs_drift"),
+            # round the exact DECIMAL sum to 2dp BEFORE the double
+            # cast: above ~9e9 the 6dp-scaled integer exceeds 2^53
+            # and DuckDB's decimal→double (int128 scale-divide in
+            # binary) differs from Java's correctly-rounded
+            # BigDecimal.doubleValue by one ulp (sf0.1 gate catch)
+            F.round(F.sum(F.col("absdiff")), 2).cast("double").alias(
+                "total_abs_drift"
+            ),
         )
         .orderBy("band")
     )
@@ -896,7 +903,7 @@ SELECT CASE WHEN absdiff = 0 THEN '0_exact'
             WHEN ratio <= 1.00 THEN '3_upto_100pct'
             ELSE '4_over_100pct' END AS band,
        COUNT(*) AS n_orders,
-       CAST(SUM(absdiff) AS DOUBLE) AS total_abs_drift
+       CAST(ROUND(SUM(absdiff), 2) AS DOUBLE) AS total_abs_drift
 FROM r GROUP BY 1 ORDER BY 1
 """
 

@@ -661,35 +661,71 @@ def events_value_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     question fraud/alerting queries ask).
 
     Determinism: both functions are RANK-based, so tied values get
-    identical outputs regardless of intra-tie order — no tiebreak
-    column needed; results round at 6dp.
+    identical outputs regardless of intra-tie order. Emitted as exact
+    integer PARTS-PER-MILLION (floor((rank−1)·10⁶/(n−1)) etc.), not
+    rounded doubles: percent_rank values like 41/640 sit exactly on a
+    .5·10⁻⁶ boundary where Spark's decimal-string ROUND and DuckDB's
+    binary round(x·10⁶)/10⁶ disagree by one ulp (caught by the sf0.1
+    gate tier; integer floor math is engine-identical at any scale).
 
-    Scale: the window partitions on (type, day) — cohort-sized
+    Scale: the windows partition on (type, day) — cohort-sized
     sorts that stay small at any corpus scale (vs a per-type-only
     partition, which would grow with the data); ONE shuffle."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("value")
+    day = F.to_date("ts")
+    w = Window.partitionBy("event_type", day).orderBy("value")
+    wle = (
+        Window.partitionBy("event_type", day)
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type", day)
+    n = F.count(F.lit(1)).over(wall)
+    rk = F.rank().over(w)
+    cle = F.count(F.lit(1)).over(wle)  # rows with value ≤ current (peers incl.)
+    ranked = e.select(
+        "event_id",
+        "event_type",
+        F.date_format(day, "yyyy-MM-dd").alias("day"),
+        "value",
+        rk.alias("rk"),
+        cle.alias("cle"),
+        n.alias("n"),
+    )
     return (
-        e.select(
+        ranked.select(
             "event_id",
             "event_type",
-            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "day",
             "value",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.expr(
+                "CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) DIV (n - 1)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("pct_rank_ppm"),
+            F.expr("CAST((cle * 1000000) DIV n AS BIGINT)").alias("cume_dist_ppm"),
         )
         .orderBy("event_id")
     )
 
 
 EVENTS_VALUE_RANK_SQL = """
-SELECT event_id, event_type,
-       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-       value,
-       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
-FROM events
-WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY value)
+WITH r AS (
+  SELECT event_id, event_type,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         value,
+         RANK() OVER w AS rk,
+         COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                        ORDER BY value
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+         COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY value)
+)
+SELECT event_id, event_type, day, value,
+       CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1) ELSE 0 END AS BIGINT)
+         AS pct_rank_ppm,
+       CAST((cle * 1000000) // n AS BIGINT) AS cume_dist_ppm
+FROM r
 ORDER BY event_id
 """
 
