@@ -82,6 +82,11 @@ HEADLINE = [
     "events_session_window_native",
     "suppliers_similar_portfolios",
     "events_extreme_value_gumbel",
+    "multimodal_silence_trim",
+    "corpus_bloom_prefilter",
+    "events_bot_screen",
+    "events_snaive_mase",
+    "parts_promo_did",
 ]
 
 
