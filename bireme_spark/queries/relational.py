@@ -1987,3 +1987,79 @@ FROM wide
 
 QUERIES["parts_promo_did"] = parts_promo_did
 ORACLE["parts_promo_did"] = PARTS_PROMO_DID_SQL
+
+
+def nations_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (1927) for the per-nation line-item
+    RETURN RATE — interval estimation, the piece a point-estimate
+    league table misses: a nation with 3/9 returns must not outrank
+    one with 250/1000 just because 0.33 > 0.25; the Wilson lower
+    bound is the ranking statistic reddit-style systems use.
+
+    Scale design: one supplier-keyed join (AQE-sized) + broadcast
+    nation, then ONE map-side-combined agg to 25 (returns, total)
+    integer cells; the interval is closed-form IEEE on exact counts
+    (z = 1.96), identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_returnflag") == "R").alias("ret")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(F.col("ret"), 1).otherwise(0)).cast("long").alias("n_returned"),
+        )
+    )
+    z2 = 1.96 * 1.96
+    nn = F.col("n_items").cast("double")
+    p = F.col("n_returned").cast("double") / nn
+    center = (p + z2 / (2.0 * nn)) / (1.0 + z2 / nn)
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (1.0 - p) / nn + z2 / (4.0 * nn * nn))
+        / (1.0 + z2 / nn)
+    )
+    return cells.select(
+        F.col("n_name").alias("nation"),
+        "n_items",
+        "n_returned",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("nation")
+
+
+NATIONS_WILSON_SQL = """
+WITH cells AS (
+  SELECT n.n_name AS nation,
+         COUNT(*) AS n_items,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT nation, n_items, n_returned,
+       ROUND(CAST(n_returned AS DOUBLE) / n_items, 6) AS rate,
+       ROUND(((CAST(n_returned AS DOUBLE) / n_items) + (1.96 * 1.96) / (2.0 * n_items))
+               / (1.0 + (1.96 * 1.96) / n_items)
+             - 1.96 * SQRT((CAST(n_returned AS DOUBLE) / n_items)
+                           * (1.0 - CAST(n_returned AS DOUBLE) / n_items) / n_items
+                           + (1.96 * 1.96) / (4.0 * CAST(n_items AS DOUBLE) * n_items))
+               / (1.0 + (1.96 * 1.96) / n_items), 6) AS wilson_lo,
+       ROUND(((CAST(n_returned AS DOUBLE) / n_items) + (1.96 * 1.96) / (2.0 * n_items))
+               / (1.0 + (1.96 * 1.96) / n_items)
+             + 1.96 * SQRT((CAST(n_returned AS DOUBLE) / n_items)
+                           * (1.0 - CAST(n_returned AS DOUBLE) / n_items) / n_items
+                           + (1.96 * 1.96) / (4.0 * CAST(n_items AS DOUBLE) * n_items))
+               / (1.0 + (1.96 * 1.96) / n_items), 6) AS wilson_hi
+FROM cells ORDER BY nation
+"""
+
+QUERIES["nations_return_rate_wilson"] = nations_return_rate_wilson
+ORACLE["nations_return_rate_wilson"] = NATIONS_WILSON_SQL

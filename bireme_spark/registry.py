@@ -92,6 +92,7 @@ _NEW_THIS_ROUND = frozenset(
         "events_bot_screen",
         "events_snaive_mase",
         "parts_promo_did",
+        "nations_return_rate_wilson",
     }
 )
 
