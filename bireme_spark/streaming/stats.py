@@ -59,3 +59,28 @@ class PipelineStatListener(StreamingQueryListener):
 
     def state_json(self) -> str:
         return json.dumps(self.state(), default=str, indent=2)
+
+
+def bireme_state(
+    listener: PipelineStatListener, source_name: str = "spark", source_type: str = "kafka"
+) -> dict[str, Any]:
+    """Render the snapshot with the EXACT field names bireme's
+    StateServer serves (``StateServer.java:194-216``: Source
+    {source_name, type, pipelines[]}, Stat {name, latest, delay,
+    state}) so a dashboard built against the reference's /state
+    endpoint reads this engine without changes. ``delay`` is seconds
+    like the reference (``delay / 1000.0``, StateServer.java:203);
+    ``latest`` is the listener's last-progress wall time."""
+    import datetime
+
+    pipelines = []
+    for st in listener.state()["source"].values():
+        pipelines.append(
+            {
+                "name": st.get("name") or "pipeline",
+                "latest": st.get("latest") or datetime.datetime.now(datetime.timezone.utc).isoformat(),
+                "delay": float(st.get("last_batch_ms", 0)) / 1000.0,
+                "state": st.get("status", "unknown"),
+            }
+        )
+    return {"source_name": source_name, "type": source_type, "pipelines": pipelines}

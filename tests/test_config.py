@@ -118,6 +118,30 @@ def test_state_server_serves_listener_state():
         srv.stop()
 
 
+def test_bireme_state_shape_matches_reference_fields():
+    """StateServer.java:194-216 field parity: Source{source_name,
+    type, pipelines[]} / Stat{name, latest, delay, state}; delay in
+    SECONDS (the reference divides ms by 1000)."""
+    from bireme_spark.streaming.stats import PipelineStatListener, bireme_state
+
+    listener = PipelineStatListener()
+    listener._by_query["qid-1"] = {
+        "name": "maxwell1",
+        "status": "running",
+        "batches": 3,
+        "total_rows": 1500,
+        "last_rows_per_sec": 500.0,
+        "last_batch_ms": 2500,
+    }
+    out = bireme_state(listener, source_name="mysql_src", source_type="maxwell")
+    assert set(out) == {"source_name", "type", "pipelines"}
+    assert out["source_name"] == "mysql_src" and out["type"] == "maxwell"
+    (p,) = out["pipelines"]
+    assert set(p) == {"name", "latest", "delay", "state"}
+    assert p["name"] == "maxwell1" and p["state"] == "running"
+    assert p["delay"] == 2.5  # ms → seconds, reference convention
+
+
 def test_state_server_during_live_stream(spark, tmp_path):
     """StateServer.java behavior: state is fetchable WHILE a query
     runs; after the run it reports the processed totals."""
