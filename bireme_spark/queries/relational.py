@@ -2063,3 +2063,102 @@ FROM cells ORDER BY nation
 
 QUERIES["nations_return_rate_wilson"] = nations_return_rate_wilson
 ORACLE["nations_return_rate_wilson"] = NATIONS_WILSON_SQL
+
+
+def lineitem_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the three return-flag groups on line-item
+    quantity: between/within sums of squares and the F statistic —
+    the "do ANY of the groups differ" omnibus test that precedes
+    pairwise comparisons (Mann–Whitney here covers the pairwise
+    case).
+
+    Scale design: ONE map-side-combined agg to k=3 rows of integer
+    sufficient statistics (n, Σx, Σx²); SSB/SSW come from those via
+    exact integer cross-multiplication (kept n-scaled to avoid any
+    division before the final expression), and F is one closing IEEE
+    expression identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("x")
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    # Σ_g s1_g²/n_g: each term is one IEEE op on exact longs, but a
+    # plain SUM of doubles adds in engine-dependent order — fold the
+    # flag-sorted term list SEQUENTIALLY instead (bit-identical on
+    # both engines; the embedding_quantize list_reduce pattern)
+    term = (
+        F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("n").cast("double")
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s1").cast("long").alias("s1_tot"),
+        F.sum("s2").cast("long").alias("s2_tot"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("l_returnflag").alias("f"), term.alias("t")))
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ssb_term"),
+    )
+    ssb = F.col("ssb_term") - (
+        F.col("s1_tot").cast("double")
+        * F.col("s1_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    ssw = F.col("s2_tot").cast("double") - F.col("ssb_term")
+    f_stat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n_tot") - F.col("k")).cast("double")
+    )
+    return tot.select(
+        "k",
+        "n_tot",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+LINEITEM_ANOVA_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s1) AS BIGINT) AS s1_tot,
+         CAST(SUM(s2) AS BIGINT) AS s2_tot,
+         list_reduce(list_prepend(0.0,
+           list_transform(
+             list_sort(list(ROW(l_returnflag,
+                                CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))),
+             r -> r[2])),
+           (a, x) -> a + x) AS ssb_term
+  FROM g
+)
+SELECT k, n_tot,
+       ROUND(ssb_term - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE)
+                        / CAST(n_tot AS DOUBLE), 6) AS ss_between,
+       ROUND(CAST(s2_tot AS DOUBLE) - ssb_term, 6) AS ss_within,
+       ROUND((ssb_term - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE)
+                         / CAST(n_tot AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+             / ((CAST(s2_tot AS DOUBLE) - ssb_term) / CAST(n_tot - k AS DOUBLE)), 6)
+         AS f_stat
+FROM tot
+"""
+
+QUERIES["lineitem_anova_f"] = lineitem_anova_f
+ORACLE["lineitem_anova_f"] = LINEITEM_ANOVA_SQL

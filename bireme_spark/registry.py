@@ -93,6 +93,7 @@ _NEW_THIS_ROUND = frozenset(
         "events_snaive_mase",
         "parts_promo_did",
         "nations_return_rate_wilson",
+        "lineitem_anova_f",
     }
 )
 
