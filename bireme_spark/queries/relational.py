@@ -2162,3 +2162,168 @@ FROM tot
 
 QUERIES["lineitem_anova_f"] = lineitem_anova_f
 ORACLE["lineitem_anova_f"] = LINEITEM_ANOVA_SQL
+
+
+def parts_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices for 1996 vs 1995
+    over the common part basket — the price-statistics counterpart of
+    the revenue bridge (nations_revenue_decomposition): Laspeyres
+    weights by base-period quantities, Paasche by current, Fisher is
+    their geometric mean.
+
+    Scale design: lineitem collapses ONCE to per-(part, year) DECIMAL
+    (qty, revenue) cells; unit prices p = rev/qty per cell; the
+    basket join is part-keyed on the cell table (part-cardinality,
+    not line-cardinality). Index numerators/denominators are
+    flag-sorted SEQUENTIAL folds of per-part IEEE terms (engine-
+    identical; plain double SUM order is engine-dependent), and each
+    index is one closing division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        money("l_extendedprice").alias("r"),
+    ).where(F.col("yr").isin(1995, 1996))
+    cells = li.groupBy("l_partkey", "yr").agg(
+        F.sum("q").alias("q"), F.sum("r").alias("r")
+    )
+    wide = (
+        cells.groupBy("l_partkey")
+        .agg(
+            F.max(F.when(F.col("yr") == 1995, F.col("q"))).alias("q0"),
+            F.max(F.when(F.col("yr") == 1995, F.col("r"))).alias("r0"),
+            F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r1"),
+        )
+        .where(
+            F.col("q0").isNotNull()
+            & F.col("q1").isNotNull()
+            & (F.col("q0") > 0)
+            & (F.col("q1") > 0)
+        )
+    )
+    p0 = F.col("r0").cast("double") / F.col("q0").cast("double")
+    p1 = F.col("r1").cast("double") / F.col("q1").cast("double")
+    q0d = F.col("q0").cast("double")
+    q1d = F.col("q1").cast("double")
+    terms = wide.select(
+        "l_partkey",
+        (p1 * q0d).alias("l_num"),
+        (p0 * q0d).alias("l_den"),
+        (p1 * q1d).alias("p_num"),
+        (p0 * q1d).alias("p_den"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("l_partkey").alias("k"), F.col(col).alias("t"))
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def fold2(col):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("bucket").alias("k"), F.col(col).alias("t"))
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    per_bucket = terms.withColumn("bucket", F.col("l_partkey") % 1024).groupBy(
+        "bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        fold("l_num").alias("l_num"),
+        fold("l_den").alias("l_den"),
+        fold("p_num").alias("p_num"),
+        fold("p_den").alias("p_den"),
+    )
+    agg = per_bucket.agg(
+        F.sum("n_parts").cast("long").alias("n_parts"),
+        fold2("l_num").alias("ln_"),
+        fold2("l_den").alias("ld_"),
+        fold2("p_num").alias("pn_"),
+        fold2("p_den").alias("pd_"),
+    )
+    lasp = F.col("ln_") / F.col("ld_")
+    paas = F.col("pn_") / F.col("pd_")
+    return agg.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+PARTS_PRICE_INDEX_SQL = """
+WITH cells AS (
+  SELECT l_partkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT l_partkey,
+         MAX(CASE WHEN yr = 1995 THEN q END) AS q0,
+         MAX(CASE WHEN yr = 1995 THEN r END) AS r0,
+         MAX(CASE WHEN yr = 1996 THEN q END) AS q1,
+         MAX(CASE WHEN yr = 1996 THEN r END) AS r1
+  FROM cells GROUP BY 1
+),
+terms AS (
+  SELECT l_partkey,
+         (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) * CAST(q0 AS DOUBLE) AS l_num,
+         (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) * CAST(q0 AS DOUBLE) AS l_den,
+         (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE) AS p_num,
+         (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) * CAST(q1 AS DOUBLE) AS p_den
+  FROM wide
+  WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0
+),
+per_bucket AS (
+  SELECT l_partkey % 1024 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(ROW(l_partkey, l_num))), r -> r[2])), (a, x) -> a + x) AS l_num,
+         list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(ROW(l_partkey, l_den))), r -> r[2])), (a, x) -> a + x) AS l_den,
+         list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(ROW(l_partkey, p_num))), r -> r[2])), (a, x) -> a + x) AS p_num,
+         list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(ROW(l_partkey, p_den))), r -> r[2])), (a, x) -> a + x) AS p_den
+  FROM terms GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+         list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(ROW(bucket, l_num))), r -> r[2])), (a, x) -> a + x) AS ln_,
+         list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(ROW(bucket, l_den))), r -> r[2])), (a, x) -> a + x) AS ld_,
+         list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(ROW(bucket, p_num))), r -> r[2])), (a, x) -> a + x) AS pn_,
+         list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(ROW(bucket, p_den))), r -> r[2])), (a, x) -> a + x) AS pd_
+  FROM per_bucket
+)
+SELECT n_parts,
+       ROUND(ln_ / ld_, 6) AS laspeyres,
+       ROUND(pn_ / pd_, 6) AS paasche,
+       ROUND(SQRT((ln_ / ld_) * (pn_ / pd_)), 6) AS fisher
+FROM agg
+"""
+
+QUERIES["parts_price_index_fisher"] = parts_price_index_fisher
+ORACLE["parts_price_index_fisher"] = PARTS_PRICE_INDEX_SQL

@@ -94,6 +94,7 @@ _NEW_THIS_ROUND = frozenset(
         "parts_promo_did",
         "nations_return_rate_wilson",
         "lineitem_anova_f",
+        "parts_price_index_fisher",
     }
 )
 
