@@ -87,6 +87,9 @@ HEADLINE = [
     "events_bot_screen",
     "events_snaive_mase",
     "parts_promo_did",
+    "nations_return_rate_wilson",
+    "lineitem_anova_f",
+    "parts_price_index_fisher",
 ]
 
 
