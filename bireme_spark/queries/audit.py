@@ -909,3 +909,90 @@ FROM r GROUP BY 1 ORDER BY 1
 
 QUERIES["orders_totalprice_reconciliation"] = orders_totalprice_reconciliation
 ORACLE["orders_totalprice_reconciliation"] = TOTALPRICE_RECON_SQL
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman
+    2002): the Pearson correlation of endpoint degrees over edges —
+    do hub parts co-purchase with other hubs (r > 0) or with
+    peripherals (r < 0)? The one-number structure summary beside
+    triangle count and clustering coefficient.
+
+    Scale design: reuses the per-order-bounded edge builder; degrees
+    are one key-count agg joined onto edges (id-only traffic). Both
+    edge orientations contribute (the undirected convention), so the
+    sufficient statistics are symmetric: Σd_u+d_v, Σd_u², Σd_u·d_v —
+    ALL exact integers (degrees are ints); r is one closing IEEE
+    expression, identical on both engines."""
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    try:
+        deg = (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        e = edges.join(
+            deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u"
+        ).join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+        # symmetric statistics over both orientations: 2m pairs
+        stats = e.agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("du") + F.col("dv")).cast("long").alias("s1"),
+            F.sum(
+                F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+            ).cast("long").alias("s2"),
+            F.sum(F.col("du") * F.col("dv")).cast("long").alias("sp"),
+        ).collect()[0]
+    finally:
+        edges.unpersist()
+    m2 = 2 * stats["m"]  # directed pair count
+    raw = spark.createDataFrame(
+        [(stats["m"], m2, stats["s1"], stats["s2"], 2 * stats["sp"])],
+        "n_edges long, n_pairs long, s1 long, s2 long, sp2 long",
+    )
+    # r = (sp/m2 − (s1/m2)²) / (s2/m2 − (s1/m2)²) with symmetric
+    # marginals; all inputs exact ints → one IEEE expression
+    mean = F.col("s1").cast("double") / F.col("n_pairs").cast("double")
+    num = F.col("sp2").cast("double") / F.col("n_pairs").cast("double") - mean * mean
+    den = F.col("s2").cast("double") / F.col("n_pairs").cast("double") - mean * mean
+    return raw.select(
+        "n_edges",
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+GRAPH_ASSORTATIVITY_SQL = """
+WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+  SELECT x, COUNT(*) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+j AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(2 * COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(du + dv) AS BIGINT) AS s1,
+         CAST(SUM(du * du + dv * dv) AS BIGINT) AS s2,
+         CAST(2 * SUM(du * dv) AS BIGINT) AS sp2
+  FROM j
+)
+SELECT m AS n_edges,
+       ROUND((CAST(sp2 AS DOUBLE) / n_pairs
+              - (CAST(s1 AS DOUBLE) / n_pairs) * (CAST(s1 AS DOUBLE) / n_pairs))
+             / (CAST(s2 AS DOUBLE) / n_pairs
+                - (CAST(s1 AS DOUBLE) / n_pairs) * (CAST(s1 AS DOUBLE) / n_pairs)), 6)
+         AS assortativity
+FROM stats
+"""
+
+QUERIES["graph_assortativity"] = graph_assortativity
+ORACLE["graph_assortativity"] = GRAPH_ASSORTATIVITY_SQL

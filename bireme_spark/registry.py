@@ -95,6 +95,7 @@ _NEW_THIS_ROUND = frozenset(
         "nations_return_rate_wilson",
         "lineitem_anova_f",
         "parts_price_index_fisher",
+        "graph_assortativity",
     }
 )
 
