@@ -996,3 +996,107 @@ FROM stats
 
 QUERIES["graph_assortativity"] = graph_assortativity
 ORACLE["graph_assortativity"] = GRAPH_ASSORTATIVITY_SQL
+
+
+def orders_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: does the PROMO vs non-PROMO revenue
+    gap keep its sign inside every supplier nation, or does the
+    aggregate direction reverse once stratified? The aggregation
+    trap every self-serve dashboard eventually hits — surfaced as a
+    per-stratum report with an 'ALL' row, each stratum flagged when
+    its gap sign contradicts the aggregate's.
+
+    Scale design: one partkey join + one supplier/nation join, then
+    ONE map-side-combined agg to ≤2·(|nations|+1) DECIMAL cells;
+    gaps are IEEE divisions of exact sums. Grouping-sets emit the
+    stratified and aggregate rows in the same pass (no second
+    scan)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            money("l_extendedprice")
+            * (F.lit(1).cast("decimal(5,2)") - F.col("l_discount").cast("decimal(5,2)"))
+        ).alias("rev"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("promo")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "promo", "rev")
+    )
+    cells = base.cube("nation", "promo").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("rev").alias("s")
+    ).where(F.col("promo").isNotNull())  # keep nation strata + ALL (nation null)
+    mean = F.col("s").cast("double") / F.col("cnt").cast("double")
+    wide = (
+        cells.groupBy("nation")
+        .agg(
+            F.max(F.when(F.col("promo"), mean)).alias("promo_mean"),
+            F.max(F.when(~F.col("promo"), mean)).alias("other_mean"),
+        )
+        .select(
+            F.coalesce("nation", F.lit("ALL")).alias("stratum"),
+            F.round("promo_mean", 6).alias("promo_mean"),
+            F.round("other_mean", 6).alias("other_mean"),
+            (F.col("promo_mean") - F.col("other_mean")).alias("_gap"),
+        )
+    )
+    overall = wide.where(F.col("stratum") == "ALL").select(
+        F.col("_gap").alias("_overall_gap")
+    )
+    return (
+        wide.crossJoin(F.broadcast(overall))
+        .select(
+            "stratum",
+            "promo_mean",
+            "other_mean",
+            F.round("_gap", 6).alias("gap"),
+            (
+                (F.col("stratum") != "ALL")
+                & (F.signum("_gap") != F.signum("_overall_gap"))
+            ).alias("reversed"),
+        )
+        .orderBy("stratum")
+    )
+
+
+ORDERS_SIMPSON_SQL = """
+WITH base AS (
+  SELECT n.n_name AS nation,
+         p.p_type LIKE 'PROMO%' AS promo,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2))) AS rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+cells AS (
+  SELECT nation, promo, COUNT(*) AS cnt, SUM(rev) AS s
+  FROM base GROUP BY CUBE (nation, promo)
+),
+wide AS (
+  SELECT COALESCE(nation, 'ALL') AS stratum,
+         MAX(CASE WHEN promo THEN CAST(s AS DOUBLE) / cnt END) AS promo_mean,
+         MAX(CASE WHEN NOT promo THEN CAST(s AS DOUBLE) / cnt END) AS other_mean
+  FROM cells WHERE promo IS NOT NULL
+  GROUP BY 1
+),
+overall AS (SELECT promo_mean - other_mean AS og FROM wide WHERE stratum = 'ALL')
+SELECT stratum,
+       ROUND(promo_mean, 6) AS promo_mean,
+       ROUND(other_mean, 6) AS other_mean,
+       ROUND(promo_mean - other_mean, 6) AS gap,
+       (stratum <> 'ALL' AND SIGN(promo_mean - other_mean) <> SIGN(og)) AS reversed
+FROM wide, overall
+ORDER BY stratum
+"""
+
+QUERIES["orders_simpson_audit"] = orders_simpson_audit
+ORACLE["orders_simpson_audit"] = ORDERS_SIMPSON_SQL

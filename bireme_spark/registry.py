@@ -96,6 +96,7 @@ _NEW_THIS_ROUND = frozenset(
         "lineitem_anova_f",
         "parts_price_index_fisher",
         "graph_assortativity",
+        "orders_simpson_audit",
     }
 )
 
