@@ -90,6 +90,8 @@ HEADLINE = [
     "nations_return_rate_wilson",
     "lineitem_anova_f",
     "parts_price_index_fisher",
+    "graph_assortativity",
+    "orders_simpson_audit",
 ]
 
 
