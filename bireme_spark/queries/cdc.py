@@ -1484,3 +1484,102 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["table_checksum_ranges"] = table_checksum_ranges
 ORACLE["table_checksum_ranges"] = TABLE_CHECKSUM_RANGES_SQL
+
+
+def cdc_multi_master_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-master conflict resolution — two sites concurrently
+    writing the same keys, reconciled by last-writer-wins with a
+    site-priority tiebreak (the standard active-active CDC merge
+    rule; bireme's single-source fold generalizes by extending the
+    compaction ORDER KEY to (time, site_priority, seq)).
+
+    Simulation: site A emits the standard insert/update stream; site
+    B emits a competing update for every key%4==0 order at the SAME
+    produce_time as A's update (a true concurrent write) and a later
+    update for key%7==0. Resolution must pick B on ties (higher
+    priority), B's later writes, and A otherwise — the oracle derives
+    the same winners in closed form.
+
+    Plan: one ``max_by`` hash-agg over the unioned changelog with the
+    extended order struct — identical shape and cost to single-source
+    compaction; nothing about multi-master changes the shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("base_ms"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    site_a = o.select(
+        "key",
+        F.lit("site_a").alias("site"),
+        F.lit(1).alias("site_priority"),
+        F.col("base_ms").alias("t"),
+        (F.col("o_orderkey") * 10 + 1).alias("seq"),
+        F.col("price").alias("val"),
+    ).unionByName(
+        o.where(F.col("o_orderkey") % 3 == 0).select(
+            "key",
+            F.lit("site_a").alias("site"),
+            F.lit(1).alias("site_priority"),
+            (F.col("base_ms") + DAY_MS).alias("t"),
+            (F.col("o_orderkey") * 10 + 2).alias("seq"),
+            (F.col("price") + F.lit(10).cast("decimal(12,2)")).cast("decimal(12,2)").alias("val"),
+        )
+    )
+    site_b = o.where(F.col("o_orderkey") % 4 == 0).select(
+        "key",
+        F.lit("site_b").alias("site"),
+        F.lit(2).alias("site_priority"),
+        # same timestamp as A's update when key%12==0 (both %3 and %4):
+        # a genuinely concurrent write the priority must break
+        (F.col("base_ms") + DAY_MS).alias("t"),
+        (F.col("o_orderkey") * 10 + 3).alias("seq"),
+        (F.col("price") + F.lit(100).cast("decimal(12,2)")).cast("decimal(12,2)").alias("val"),
+    ).unionByName(
+        o.where(F.col("o_orderkey") % 7 == 0).select(
+            "key",
+            F.lit("site_b").alias("site"),
+            F.lit(2).alias("site_priority"),
+            (F.col("base_ms") + 2 * DAY_MS).alias("t"),
+            (F.col("o_orderkey") * 10 + 4).alias("seq"),
+            (F.col("price") + F.lit(200).cast("decimal(12,2)")).cast("decimal(12,2)").alias("val"),
+        )
+    )
+    log = site_a.unionByName(site_b)
+    won = log.groupBy("key").agg(
+        F.max_by(
+            F.struct(
+                F.col("site").alias("site"), F.col("val").alias("val")
+            ),
+            F.struct(
+                F.col("t").alias("t"),
+                F.col("site_priority").alias("p"),
+                F.col("seq").alias("s"),
+            ),
+        ).alias("w")
+    )
+    return won.select(
+        "key",
+        F.col("w.site").alias("winning_site"),
+        F.col("w.val").cast("double").alias("final_price"),
+    ).orderBy(F.col("key").cast("long"))
+
+
+CDC_MULTI_MASTER_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'site_b'
+            WHEN o_orderkey % 4 = 0 THEN 'site_b'
+            ELSE 'site_a' END AS winning_site,
+       CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 200 AS DECIMAL(12,2)) AS DOUBLE)
+            WHEN o_orderkey % 4 = 0
+              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100 AS DECIMAL(12,2)) AS DOUBLE)
+            WHEN o_orderkey % 3 = 0
+              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2)) AS DOUBLE)
+            ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) END AS final_price
+FROM orders
+ORDER BY o_orderkey
+"""
+
+QUERIES["cdc_multi_master_lww"] = cdc_multi_master_lww
+ORACLE["cdc_multi_master_lww"] = CDC_MULTI_MASTER_SQL

@@ -97,6 +97,7 @@ _NEW_THIS_ROUND = frozenset(
         "parts_price_index_fisher",
         "graph_assortativity",
         "orders_simpson_audit",
+        "cdc_multi_master_lww",
     }
 )
 
