@@ -92,6 +92,14 @@ HEADLINE = [
     "parts_price_index_fisher",
     "graph_assortativity",
     "orders_simpson_audit",
+    "events_window_funnel",
+    "lineitem_theil_decomposition",
+    "cdc_bootstrap_reconcile",
+    "sink_vacuum_retention",
+    "events_cms_heavy_hitters",
+    "cdc_outbox_route",
+    "jdbc_incremental_pull",
+    "multimodal_edge_energy",
 ]
 
 

@@ -1583,3 +1583,281 @@ ORDER BY o_orderkey
 
 QUERIES["cdc_multi_master_lww"] = cdc_multi_master_lww
 ORACLE["cdc_multi_master_lww"] = CDC_MULTI_MASTER_SQL
+
+
+def cdc_bootstrap_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell bootstrap protocol (maxwells-daemon.io bootstrapping):
+    a full-table backfill arrives as ``bootstrap-start`` →
+    ``bootstrap-insert``×N → ``bootstrap-complete`` envelopes
+    INTERLEAVED with live binlog traffic. The reference drops
+    bootstrap rows outright (``MaxwellPipeLine.java:141-153`` has no
+    type branch for them, mirrored by ``parse_maxwell``); this
+    operator upgrades them to first-class loads and reconciles: a
+    concurrent binlog UPDATE/DELETE must beat the snapshot row for
+    the same key regardless of arrival order (ts, then
+    binlog-over-bootstrap rank).
+
+    Fixture: every order → bootstrap-insert at o_orderdate; %7 keys
+    also get a live update (+5, ts+600); %11 keys a live delete
+    (ts+1200); plus start/complete markers with null payloads. The
+    oracle derives the reconciled state directly from orders, so the
+    whole encode → from_json → rank → max_by fold is value-checked.
+
+    Scale: envelope parse is one codegen projection; reconcile is ONE
+    PK-hash shuffle (max_by over (ts, rank)) — identical shape to
+    cdc_snapshot, so a 100 TB backfill costs one shuffle of the
+    changed partition set, not a pipeline restart."""
+    o = load_table(spark, sf_dir, "orders")
+    data = F.struct(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+    )
+
+    def env(typ, ts_col, data_col):
+        return F.to_json(
+            F.struct(
+                F.lit("testdb").alias("database"),
+                F.lit("orders").alias("table"),
+                typ.alias("type"),
+                ts_col.alias("ts"),
+                data_col.alias("data"),
+            )
+        ).alias("value")
+
+    boot = o.select(env(F.lit("bootstrap-insert"), F.unix_timestamp("o_orderdate"), data))
+    upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+        env(
+            F.lit("update"),
+            F.unix_timestamp("o_orderdate") + 600,
+            F.struct(
+                F.col("o_orderkey").alias("o_orderkey"),
+                (F.col("o_totalprice") + F.lit(5.0)).alias("o_totalprice"),
+                F.col("o_orderstatus").alias("o_orderstatus"),
+            ),
+        )
+    )
+    dele = o.where(F.col("o_orderkey") % 11 == 0).select(
+        env(F.lit("delete"), F.unix_timestamp("o_orderdate") + 1200, data)
+    )
+    markers = spark.createDataFrame(
+        [("bootstrap-start",), ("bootstrap-complete",)], "typ string"
+    ).select(env(F.col("typ"), F.lit(0), F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double,o_orderstatus:string>")))
+    raw = boot.unionByName(upd).unionByName(dele).unionByName(markers)
+
+    from bireme_spark.sources.maxwell import maxwell_envelope_schema
+
+    data_schema = (
+        StructType()
+        .add("o_orderkey", "long")
+        .add("o_totalprice", "double")
+        .add("o_orderstatus", "string")
+    )
+    e = raw.select(F.from_json("value", maxwell_envelope_schema(data_schema)).alias("e"))
+    rows = e.select(
+        F.col("e.type").alias("typ"),
+        F.col("e.ts").alias("ts"),
+        F.col("e.data.o_orderkey").alias("k"),
+        F.col("e.data.o_totalprice").alias("price"),
+        F.col("e.data.o_orderstatus").alias("status"),
+    ).where(F.col("typ").isin("bootstrap-insert", "insert", "update", "delete"))
+    ranked = rows.withColumn(
+        "rank", F.when(F.col("typ") == "bootstrap-insert", 0).otherwise(1)
+    )
+    last = ranked.groupBy("k").agg(
+        F.max_by(
+            F.struct("typ", "price", "status"), F.struct("ts", "rank")
+        ).alias("s")
+    )
+    survivors = last.where(F.col("s.typ") != "delete")
+    return (
+        survivors.groupBy(F.col("s.status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("s.price").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("status")
+    )
+
+
+CDC_BOOTSTRAP_RECONCILE_SQL = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0
+                     THEN CAST(o_totalprice AS DECIMAL(12,2)) + 5
+                     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+            AS DOUBLE) AS total_value
+FROM orders
+WHERE o_orderkey % 11 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cdc_bootstrap_reconcile"] = cdc_bootstrap_reconcile
+ORACLE["cdc_bootstrap_reconcile"] = CDC_BOOTSTRAP_RECONCILE_SQL
+
+
+def cdc_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-outbox event router (Debezium EventRouter SMT
+    semantics, debezium.io/documentation outbox-event-router): the
+    source app writes domain events to an outbox table
+    (id, aggregatetype, aggregateid, type, payload-JSON); CDC tails
+    it at-least-once, and the router must (a) drop redelivered events
+    by event id, (b) route each event to the topic derived from its
+    aggregate type, (c) surface the typed payload. The reference
+    routes whole tables (MaxwellPipeLine table mapping); the outbox
+    pattern routes per-ROW — this is the complementary router.
+
+    Fixture: one outbox event per order (id = md5 of the key, type by
+    key%3), with every %13 event redelivered. The oracle derives the
+    per-topic totals from orders directly, so dedup + routing +
+    payload extraction are all value-checked.
+
+    Scale: dedup is one id-hash groupBy (the CDC offset-dedup plan);
+    routing is a stateless map; payload extraction is codegen
+    get_json_object — no shuffle beyond the dedup, any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    agg_type = (
+        F.when(F.col("o_orderkey") % 3 == 0, "order")
+        .when(F.col("o_orderkey") % 3 == 1, "shipment")
+        .otherwise("invoice")
+    )
+    outbox_row = F.struct(
+        F.md5(F.concat(F.lit("evt:"), F.col("o_orderkey").cast("string"))).alias("id"),
+        agg_type.alias("aggregatetype"),
+        F.col("o_orderkey").cast("string").alias("aggregateid"),
+        F.lit("DomainEvent").alias("type"),
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("o_orderkey"),
+                F.col("o_totalprice").alias("o_totalprice"),
+                F.col("o_orderstatus").alias("o_orderstatus"),
+            )
+        ).alias("payload"),
+    )
+    outbox = o.select(outbox_row.alias("r")).select("r.*")
+    redelivered = (
+        o.where(F.col("o_orderkey") % 13 == 0).select(outbox_row.alias("r")).select("r.*")
+    )
+    stream = outbox.unionByName(redelivered)
+
+    deduped = stream.groupBy("id").agg(
+        F.first("aggregatetype", ignorenulls=True).alias("aggregatetype"),
+        F.first("aggregateid", ignorenulls=True).alias("aggregateid"),
+        F.first("payload", ignorenulls=True).alias("payload"),
+        F.count(F.lit(1)).alias("deliveries"),
+    )
+    routed = deduped.select(
+        F.concat(F.lit("outbox.event."), F.col("aggregatetype")).alias("topic"),
+        "aggregateid",
+        F.get_json_object("payload", "$.o_totalprice").cast("decimal(12,2)").alias("amount"),
+        (F.col("deliveries") > 1).cast("int").alias("was_redelivered"),
+    )
+    return (
+        routed.groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("aggregateid").alias("n_aggregates"),
+            F.sum("amount").cast("double").alias("total_amount"),
+            F.sum("was_redelivered").cast("bigint").alias("n_redelivered"),
+        )
+        .orderBy("topic")
+    )
+
+
+CDC_OUTBOX_ROUTE_SQL = """
+SELECT 'outbox.event.' ||
+       CASE WHEN o_orderkey % 3 = 0 THEN 'order'
+            WHEN o_orderkey % 3 = 1 THEN 'shipment'
+            ELSE 'invoice' END AS topic,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_aggregates,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_amount,
+       CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redelivered
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cdc_outbox_route"] = cdc_outbox_route
+ORACLE["cdc_outbox_route"] = CDC_OUTBOX_ROUTE_SQL
+
+
+def jdbc_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-side incremental JDBC ingest (Kafka Connect JDBC source
+    'incrementing+timestamp mode' twin — the polling transport used
+    when a source DB exposes no binlog): an embedded Derby source
+    table is pulled in TWO watermark batches (o_orderdate ≤ cutoff,
+    then the delta above it), each batch read through Spark's
+    partitioned-parallel JDBC scan (4 key-range slices — at scale the
+    executor-side parallel read, never one driver cursor). The union
+    must equal the full table exactly — no row lost at the watermark
+    boundary, none double-pulled — which the oracle value-checks per
+    (batch, status) against orders directly.
+
+    Watermark semantics: strict '≤ cutoff' then '> cutoff' on the
+    same column — the boundary-exactness that naive BETWEEN polling
+    gets wrong (double-pull) and open-interval polling gets wrong
+    (loss)."""
+    import uuid
+
+    url = f"jdbc:derby:memory:pull{uuid.uuid4().hex[:8]};create=true"
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+    )
+    (
+        src.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", '"src"')
+        .option(
+            "createTableColumnTypes",
+            "o_orderkey BIGINT, o_totalprice DOUBLE,"
+            " o_orderstatus VARCHAR(8), o_orderdate DATE",
+        )
+        .save()
+    )
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+
+    def pull(batch_no: int, pred):
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", '"src"')
+            .option("partitionColumn", '"o_orderkey"')
+            .option("lowerBound", str(lo))
+            .option("upperBound", str(hi + 1))
+            .option("numPartitions", "4")
+            .load()
+            .where(pred)
+            .withColumn("batch", F.lit(batch_no))
+        )
+
+    cutoff = F.lit("1998-06-01").cast("date")
+    pulled = pull(1, F.col("o_orderdate") <= cutoff).unionByName(
+        pull(2, F.col("o_orderdate") > cutoff)
+    )
+    return (
+        pulled.groupBy("batch", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("batch", "o_orderstatus")
+    )
+
+
+JDBC_INCREMENTAL_PULL_SQL = """
+SELECT CASE WHEN o_orderdate <= DATE '1998-06-01' THEN 1 ELSE 2 END AS batch,
+       o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_orderkey % 7 = 0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["jdbc_incremental_pull"] = jdbc_incremental_pull
+ORACLE["jdbc_incremental_pull"] = JDBC_INCREMENTAL_PULL_SQL

@@ -1533,3 +1533,201 @@ ORDER BY user_id
 
 QUERIES["events_bot_screen"] = events_bot_screen
 ORACLE["events_bot_screen"] = EVENTS_BOT_SCREEN_SQL
+
+
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed strict-order funnel (ClickHouse ``windowFunnel``
+    semantics): signup → click → purchase must occur IN ORDER within
+    one hour of the anchoring signup; a user's depth is the deepest
+    prefix any of their signup anchors achieves. Unlike
+    ``events_funnel`` (global first-times, unbounded horizon) this is
+    the time-bounded conversion metric a growth team actually quotes
+    ("converted within the hour").
+
+    Scale design: three filtered projections of ONE scan; each stage
+    is a per-user equi-join with a range predicate whose right side is
+    the (small) anchor table, then a map-side-combinable MIN per
+    anchor — the round-5 groupBy-plus-candidate-join discipline, no
+    window function ever touches the raw stream. All time math in
+    exact integer microseconds on both engines."""
+    w_us = 3_600_000_000  # 1 hour
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    sign = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("t").alias("t0")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("t").alias("tc")
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("t").alias("tp")
+    )
+    a1 = (
+        sign.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("tc") > F.col("t0"))
+            & (F.col("tc") <= F.col("t0") + F.lit(w_us)),
+            "left",
+        )
+        .groupBy("user_id", "t0")
+        .agg(F.min("tc").alias("t1"))
+    )
+    a2 = (
+        a1.join(
+            purch,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("tp") > F.col("t1"))
+            & (F.col("tp") <= F.col("t0") + F.lit(w_us)),
+            "left",
+        )
+        .groupBy("user_id", "t0", "t1")
+        .agg(F.min("tp").alias("t2"))
+    )
+    depth = (
+        a2.groupBy("user_id")
+        .agg(
+            F.max(
+                F.lit(1)
+                + F.col("t1").isNotNull().cast("int")
+                + F.col("t2").isNotNull().cast("int")
+            ).alias("depth")
+        )
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+EVENTS_WINDOW_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+s AS (SELECT user_id, t AS t0 FROM e WHERE event_type = 'signup'),
+c AS (SELECT user_id AS cu, t AS tc FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id AS pu, t AS tp FROM e WHERE event_type = 'purchase'),
+a1 AS (
+  SELECT s.user_id, t0, MIN(tc) AS t1
+  FROM s LEFT JOIN c ON cu = s.user_id AND tc > t0 AND tc <= t0 + 3600000000
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT a1.user_id, t0, t1, MIN(tp) AS t2
+  FROM a1 LEFT JOIN p ON pu = a1.user_id AND tp > t1 AND tp <= t0 + 3600000000
+  GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT user_id,
+         MAX(1 + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+  FROM a2 GROUP BY 1
+)
+SELECT depth, COUNT(*) AS n_users FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_window_funnel"] = events_window_funnel
+ORACLE["events_window_funnel"] = EVENTS_WINDOW_FUNNEL_SQL
+
+
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimation over event actors: a d=4 × w=256 sketch built with the
+    engine-portable md5-nibble hash family, then the top-20 exact
+    heavy hitters re-estimated THROUGH the sketch — emitting exact
+    count, CMS estimate, and the (provably ≥ 0) overcount so the
+    sketch's error behavior is value-checked, not just its plumbing.
+
+    Scale design: CMS is LINEAR, so the sketch is built from the
+    per-key count histogram (one map-side-combined groupBy — the
+    distinct-value-histogram discipline), never by exploding the raw
+    stream ×d; cells are d·w = 1024 rows, candidates are 20 — every
+    join after the first agg is broadcast-sized. At 100 TB the sketch
+    mergeability (cell-wise sum) is what a per-partition/per-day
+    rollup exploits; same plan."""
+    d_seeds = [1, 2, 3, 4]
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), F.col("user_id").cast("string").alias("u")
+    )
+    exact = e.groupBy("uid", "u").agg(F.count(F.lit(1)).alias("exact_count"))
+    seeded = exact.select(
+        "uid",
+        "u",
+        "exact_count",
+        F.explode(F.array(*[F.lit(s) for s in d_seeds])).alias("seed"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("u"))), 1, 2),
+            16,
+            10,
+        ).cast("int"),
+    )
+    cells = seeded.groupBy("seed", "bucket").agg(
+        F.sum("exact_count").cast("bigint").alias("c")
+    )
+    top = exact.orderBy(F.col("exact_count").desc(), F.col("uid").asc()).limit(20)
+    cand = top.select(
+        "uid",
+        "u",
+        "exact_count",
+        F.explode(F.array(*[F.lit(s) for s in d_seeds])).alias("seed"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("u"))), 1, 2),
+            16,
+            10,
+        ).cast("int"),
+    )
+    est = (
+        cand.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("uid", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("uid").alias("user_id"),
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).cast("bigint").alias("overcount"),
+    ).orderBy(F.col("exact_count").desc(), "user_id")
+
+
+EVENTS_CMS_SQL = """
+WITH exact AS (
+  SELECT user_id AS uid, CAST(user_id AS VARCHAR) AS u, COUNT(*) AS exact_count
+  FROM events GROUP BY 1, 2
+),
+seeded AS (
+  SELECT uid, u, exact_count, seed,
+         16 * (strpos('0123456789abcdef', substr(md5(seed || ':' || u), 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(md5(seed || ':' || u), 2, 1)) - 1) AS bucket
+  FROM exact, UNNEST(['1', '2', '3', '4']) AS t(seed)
+),
+cells AS (
+  SELECT seed, bucket, CAST(SUM(exact_count) AS BIGINT) AS c
+  FROM seeded GROUP BY 1, 2
+),
+top AS (
+  SELECT uid, u, exact_count FROM exact
+  ORDER BY exact_count DESC, uid ASC LIMIT 20
+),
+cand AS (
+  SELECT uid, u, exact_count, seed,
+         16 * (strpos('0123456789abcdef', substr(md5(seed || ':' || u), 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(md5(seed || ':' || u), 2, 1)) - 1) AS bucket
+  FROM top, UNNEST(['1', '2', '3', '4']) AS t(seed)
+),
+est AS (
+  SELECT uid, exact_count, MIN(c) AS cms_estimate
+  FROM cand JOIN cells USING (seed, bucket)
+  GROUP BY 1, 2
+)
+SELECT uid AS user_id, CAST(exact_count AS BIGINT) AS exact_count,
+       cms_estimate, CAST(cms_estimate - exact_count AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_count DESC, user_id
+"""
+
+QUERIES["events_cms_heavy_hitters"] = events_cms_heavy_hitters
+ORACLE["events_cms_heavy_hitters"] = EVENTS_CMS_SQL

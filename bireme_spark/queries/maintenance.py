@@ -345,3 +345,86 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["orders_zorder_layout"] = orders_zorder_layout
 ORACLE["orders_zorder_layout"] = ORDERS_ZORDER_SQL
+
+
+def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink VACUUM end-to-end (Delta VACUUM / Iceberg
+    expire_snapshots twin for the manifest parquet sink,
+    streaming/pipeline.py): build a bucketed sink carrying THREE
+    version generations — v1 superseded, v2 committed (the manifest
+    points at it), v3 an orphan of a crashed batch that never reached
+    its manifest commit (only half the buckets got their rename) —
+    then vacuum with keep=1 and prove (a) the exact debris counts and
+    (b) that the committed state is untouched: the post-vacuum
+    read_state must still reconcile row count and DECIMAL value total
+    with the source table.
+
+    Scale: vacuum is a metadata-only O(#buckets) directory walk — no
+    Spark job, no data read — so retention runs at any sink size cost
+    file-listing, not IO."""
+    import shutil
+
+    from bireme_spark.streaming.pipeline import (
+        _bucket_col,
+        _write_manifest,
+        read_state,
+        vacuum_versions,
+    )
+
+    n_buckets = 8
+    work = _scratch("bireme_vacuum_")
+    target = os.path.join(work, "sink")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bucketed = o.withColumn("_sb", _bucket_col("key", n_buckets))
+
+    def write_version(df, version, buckets=None):
+        staging = os.path.join(work, f"stage-v{version}")
+        df.write.partitionBy("_sb").mode("overwrite").parquet(staging)
+        for b in range(n_buckets):
+            if buckets is not None and b not in buckets:
+                continue
+            src = os.path.join(staging, f"_sb={b}")
+            if not os.path.isdir(src):
+                continue
+            bdir = os.path.join(target, f"_sb={b}")
+            os.makedirs(bdir, exist_ok=True)
+            os.rename(src, os.path.join(bdir, f"_sv={version}"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    write_version(bucketed.withColumn("price", F.col("price") - 1), 1)
+    write_version(bucketed, 2)
+    write_version(
+        bucketed.withColumn("price", F.col("price") + 99), 3, buckets={0, 2, 4, 6}
+    )
+    _write_manifest(target, {b: 2 for b in range(n_buckets)}, batch_id=2)
+
+    stats = vacuum_versions(target, keep=1)
+    state = read_state(spark, target)
+    agg = state.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+    return agg.select(
+        F.lit(stats["n_buckets"]).alias("n_buckets"),
+        F.lit(stats["versions_before"]).alias("versions_before"),
+        F.lit(stats["versions_after"]).alias("versions_after"),
+        F.lit(stats["orphans_removed"]).alias("orphans_removed"),
+        F.lit(stats["superseded_removed"]).alias("superseded_removed"),
+        "n_rows",
+        "total_value",
+    )
+
+
+SINK_VACUUM_SQL = """
+SELECT 8 AS n_buckets, 20 AS versions_before, 8 AS versions_after,
+       4 AS orphans_removed, 8 AS superseded_removed,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        FROM orders) AS total_value
+"""
+
+QUERIES["sink_vacuum_retention"] = sink_vacuum_retention
+ORACLE["sink_vacuum_retention"] = SINK_VACUUM_SQL

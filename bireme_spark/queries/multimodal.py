@@ -722,3 +722,124 @@ ORDER BY doc_id
 
 QUERIES["multimodal_silence_trim"] = multimodal_silence_trim
 ORACLE["multimodal_silence_trim"] = SILENCE_TRIM_SQL
+
+
+def multimodal_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel edge-energy image profiling, exactly value-checked: the
+    deterministic synthetic images (content = f(doc_id % 16), PNG/BMP
+    by residue parity) are encoded, decoded by the pure-python
+    codecs, integer-grayscaled and convolved with the Sobel Gx/Gy
+    kernels; per-image energy = Σ interior |Gx|+|Gy| (all integer
+    floor math — bit-identical anywhere). The oracle recomputes the
+    SAME energies symbolically in SQL from the pixel formula
+    (generate_series grid + neighbor join), so encoder, decoder,
+    grayscale, and convolution are all hash-checked — a one-pixel
+    decode bug splits a residue class immediately.
+
+    Scale shape: generation+encode+decode+convolution FUSED into ONE
+    Arrow-batched mapInPandas pass (each extra Python stage pays a
+    JVM↔Python hop per payload byte — the round-5 fuse rule); the
+    only exchange is the 16-group energy aggregate. Real corpora
+    swap the generator for the payload column; the convolution path
+    is unchanged (native-codec seam documented in functions/native).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen_sobel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, energies = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = doc_id % 16
+                w = h = 16
+                pix = bytes(
+                    (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+                dw, dh, dc, dpix, _fmt = decode_image(enc)
+                gray = [
+                    [
+                        sum(dpix[(y * dw + x) * dc + ch] for ch in range(min(dc, 3)))
+                        // min(dc, 3)
+                        for x in range(dw)
+                    ]
+                    for y in range(dh)
+                ]
+                e = 0
+                for y in range(1, dh - 1):
+                    for x in range(1, dw - 1):
+                        gx = (
+                            gray[y - 1][x + 1] + 2 * gray[y][x + 1] + gray[y + 1][x + 1]
+                            - gray[y - 1][x - 1] - 2 * gray[y][x - 1] - gray[y + 1][x - 1]
+                        )
+                        gy = (
+                            gray[y + 1][x - 1] + 2 * gray[y + 1][x] + gray[y + 1][x + 1]
+                            - gray[y - 1][x - 1] - 2 * gray[y - 1][x] - gray[y - 1][x + 1]
+                        )
+                        e += abs(gx) + abs(gy)
+                ids.append(doc_id)
+                energies.append(e)
+            yield pd.DataFrame({"doc_id": ids, "edge_energy": energies})
+
+    scored = d.mapInPandas(gen_sobel, schema="doc_id long, edge_energy long")
+    return (
+        scored.groupBy("edge_energy")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .orderBy("edge_energy")
+    )
+
+
+MULTIMODAL_EDGE_ENERGY_SQL = """
+WITH px AS (
+  SELECT s, x, y,
+         ((((x*x + 2*y + 5*s + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 37 + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 74 + (s*x)//3) % 256)) // 3) AS g
+  FROM generate_series(0, 15) ts(s),
+       generate_series(0, 15) tx(x),
+       generate_series(0, 15) ty(y)
+),
+sob AS (
+  SELECT c.s, c.x, c.y,
+         ABS(SUM(CASE WHEN n.x = c.x - 1 AND n.y = c.y - 1 THEN -1
+                      WHEN n.x = c.x - 1 AND n.y = c.y     THEN -2
+                      WHEN n.x = c.x - 1 AND n.y = c.y + 1 THEN -1
+                      WHEN n.x = c.x + 1 AND n.y = c.y - 1 THEN 1
+                      WHEN n.x = c.x + 1 AND n.y = c.y     THEN 2
+                      WHEN n.x = c.x + 1 AND n.y = c.y + 1 THEN 1
+                      ELSE 0 END * n.g))
+       + ABS(SUM(CASE WHEN n.y = c.y - 1 AND n.x = c.x - 1 THEN -1
+                      WHEN n.y = c.y - 1 AND n.x = c.x     THEN -2
+                      WHEN n.y = c.y - 1 AND n.x = c.x + 1 THEN -1
+                      WHEN n.y = c.y + 1 AND n.x = c.x - 1 THEN 1
+                      WHEN n.y = c.y + 1 AND n.x = c.x     THEN 2
+                      WHEN n.y = c.y + 1 AND n.x = c.x + 1 THEN 1
+                      ELSE 0 END * n.g)) AS e
+  FROM px c
+  JOIN px n ON n.s = c.s AND n.x BETWEEN c.x - 1 AND c.x + 1
+                         AND n.y BETWEEN c.y - 1 AND c.y + 1
+  WHERE c.x BETWEEN 1 AND 14 AND c.y BETWEEN 1 AND 14
+  GROUP BY 1, 2, 3
+),
+energy AS (SELECT s, CAST(SUM(e) AS BIGINT) AS edge_energy FROM sob GROUP BY 1),
+docs AS (SELECT doc_id, doc_id % 16 AS s FROM documents)
+SELECT edge_energy, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_images
+FROM docs JOIN energy USING (s)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["multimodal_edge_energy"] = multimodal_edge_energy
+ORACLE["multimodal_edge_energy"] = MULTIMODAL_EDGE_ENERGY_SQL

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bireme_spark.functions.money import dsum, money
+from bireme_spark.functions.money import disc_price, dsum, money
 from bireme_spark.sources.tables import load_table
 
 
@@ -2327,3 +2327,152 @@ FROM agg
 
 QUERIES["parts_price_index_fisher"] = parts_price_index_fisher
 ORACLE["parts_price_index_fisher"] = PARTS_PRICE_INDEX_SQL
+
+
+def lineitem_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of supplier revenue, decomposed into
+    its between-nation and within-nation components (Theil 1967) —
+    the additive complement to the Gini/Lorenz/HHI battery: unlike
+    Gini, Theil tells you WHERE the concentration lives (countries
+    diverging vs suppliers within a country diverging).
+
+    Determinism: per-supplier revenues are DECIMAL-exact sums; every
+    logarithmic term is computed in IEEE from 2dp-rounded decimal
+    scalars (identical per-row on both engines), rounded at 6dp and
+    DECIMAL-summed — the entropy/logprob discipline, so no sum is
+    shuffle-order-dependent.
+
+    Scale: lineitem collapses to the supplier revenue table in ONE
+    map-side-combined shuffle; everything after is supplier-count
+    sized with a broadcast nation join and broadcast 1-row grand
+    totals. T_total, T_between, T_within are each independent rounded
+    term-sums (the between+within=total identity holds only in exact
+    math and is deliberately not asserted)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", disc_price().alias("rev")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    ps = (
+        l.groupBy("l_suppkey")
+        .agg(F.sum("rev").alias("x"))
+        .join(supp, "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .select("l_suppkey", "n_name", F.round("x", 2).cast("double").alias("xr"))
+    )
+    grand = ps.agg(
+        F.round(F.sum(F.col("xr").cast("decimal(18,2)")), 2).cast("double").alias("xd"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    bynat = ps.groupBy("n_name").agg(
+        F.round(F.sum(F.col("xr").cast("decimal(18,2)")), 2).cast("double").alias("xgd"),
+        F.count(F.lit(1)).cast("double").alias("ngd"),
+    )
+    term6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    t_total = (
+        ps.join(F.broadcast(grand.select("xd", "nd")), F.lit(True))
+        .select(
+            term6(
+                (F.col("xr") / F.col("xd"))
+                * F.log(F.col("nd") * F.col("xr") / F.col("xd"))
+            ).alias("t")
+        )
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("theil_total"))
+    )
+    t_between = (
+        bynat.join(F.broadcast(grand.select("xd", "nd")), F.lit(True))
+        .select(
+            term6(
+                (F.col("xgd") / F.col("xd"))
+                * F.log(
+                    (F.col("xgd") / F.col("xd")) / (F.col("ngd") / F.col("nd"))
+                )
+            ).alias("t")
+        )
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("theil_between"))
+    )
+    tg = (
+        ps.join(bynat, "n_name")
+        .select(
+            "n_name",
+            term6(
+                (F.col("xr") / F.col("xgd"))
+                * F.log(F.col("ngd") * F.col("xr") / F.col("xgd"))
+            ).alias("t"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("t").cast("double").alias("t_g"))
+    )
+    t_within = (
+        tg.join(bynat, "n_name")
+        .join(F.broadcast(grand.select("xd")), F.lit(True))
+        .select(term6((F.col("xgd") / F.col("xd")) * F.col("t_g")).alias("t"))
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("theil_within"))
+    )
+    return (
+        grand.select("n_suppliers")
+        .join(F.broadcast(t_total), F.lit(True))
+        .join(F.broadcast(t_between), F.lit(True))
+        .join(F.broadcast(t_within), F.lit(True))
+    )
+
+
+LINEITEM_THEIL_SQL = """
+WITH ps0 AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(5,2)))) AS x
+  FROM lineitem GROUP BY 1
+),
+ps AS (
+  SELECT ps0.l_suppkey, n_name, CAST(ROUND(x, 2) AS DOUBLE) AS xr
+  FROM ps0
+  JOIN supplier ON s_suppkey = ps0.l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+),
+grand AS (
+  SELECT CAST(ROUND(SUM(CAST(xr AS DECIMAL(18,2))), 2) AS DOUBLE) AS xd,
+         CAST(COUNT(*) AS DOUBLE) AS nd,
+         COUNT(*) AS n_suppliers
+  FROM ps
+),
+bynat AS (
+  SELECT n_name,
+         CAST(ROUND(SUM(CAST(xr AS DECIMAL(18,2))), 2) AS DOUBLE) AS xgd,
+         CAST(COUNT(*) AS DOUBLE) AS ngd
+  FROM ps GROUP BY 1
+),
+tt AS (
+  SELECT ROUND(SUM(CAST(ROUND((xr / xd) * LN(nd * xr / xd), 6)
+                        AS DECIMAL(18,6))) :: DOUBLE, 6) AS theil_total
+  FROM ps, grand
+),
+tb AS (
+  SELECT ROUND(SUM(CAST(ROUND((xgd / xd) * LN((xgd / xd) / (ngd / nd)), 6)
+                        AS DECIMAL(18,6))) :: DOUBLE, 6) AS theil_between
+  FROM bynat, grand
+),
+tgrp AS (
+  SELECT ps.n_name,
+         CAST(SUM(CAST(ROUND((xr / xgd) * LN(ngd * xr / xgd), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS t_g
+  FROM ps JOIN bynat ON bynat.n_name = ps.n_name
+  GROUP BY 1
+),
+tw AS (
+  SELECT ROUND(SUM(CAST(ROUND((xgd / xd) * t_g, 6)
+                        AS DECIMAL(18,6))) :: DOUBLE, 6) AS theil_within
+  FROM tgrp
+  JOIN bynat ON bynat.n_name = tgrp.n_name, grand
+)
+SELECT n_suppliers, theil_total, theil_between, theil_within
+FROM grand, tt, tb, tw
+"""
+
+QUERIES["lineitem_theil_decomposition"] = lineitem_theil_decomposition
+ORACLE["lineitem_theil_decomposition"] = LINEITEM_THEIL_SQL

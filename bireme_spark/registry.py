@@ -98,6 +98,14 @@ _NEW_THIS_ROUND = frozenset(
         "graph_assortativity",
         "orders_simpson_audit",
         "cdc_multi_master_lww",
+        "events_window_funnel",
+        "lineitem_theil_decomposition",
+        "cdc_bootstrap_reconcile",
+        "sink_vacuum_retention",
+        "events_cms_heavy_hitters",
+        "cdc_outbox_route",
+        "jdbc_incremental_pull",
+        "multimodal_edge_energy",
     }
 )
 

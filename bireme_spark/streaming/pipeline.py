@@ -210,6 +210,56 @@ def _latest_paths(target_dir: str, buckets: Sequence[int] | None = None) -> list
     return paths
 
 
+def vacuum_versions(target_dir: str, keep: int = 1) -> dict[str, int]:
+    """Sink VACUUM (Delta ``VACUUM`` / Iceberg ``expire_snapshots``
+    twin): reap (a) ORPHAN version dirs above the committed version —
+    debris of batches that crashed between the per-bucket renames and
+    the manifest commit (safe to drop: ``_write_changed_buckets``
+    computes ``next_v`` past any existing dir, committed state never
+    references them) — and (b) SUPERSEDED versions beyond a retention
+    window of ``keep`` versions up to and including the committed one
+    (readers pinned to an older manifest snapshot need
+    ``keep > 1`` to keep their basis alive; the committed version
+    itself is never deleted).
+
+    Metadata-only: walks version DIRECTORIES, no data read — at any
+    scale this is an O(#buckets) filesystem pass, never a Spark job.
+    Returns exact counts so a scheduler can alert on runaway debris.
+    """
+    manifest = _read_manifest(target_dir) or {}
+    stats = {
+        "n_buckets": 0,
+        "versions_before": 0,
+        "versions_after": 0,
+        "orphans_removed": 0,
+        "superseded_removed": 0,
+    }
+    for b in _bucket_ids(target_dir):
+        bdir = _bucket_dir(target_dir, b)
+        committed = manifest.get(b)
+        vs = sorted(
+            v
+            for d in os.listdir(bdir)
+            if (v := _dir_int(d, ("_sv", _LEGACY_VERSION))) is not None
+        )
+        stats["n_buckets"] += 1
+        stats["versions_before"] += len(vs)
+        if committed is None:  # legacy / unmanifested: treat max as committed
+            committed = vs[-1] if vs else 0
+        retained_floor_idx = max(0, len([v for v in vs if v <= committed]) - keep)
+        retained = set(vs[retained_floor_idx:])
+        for v in vs:
+            if v > committed:
+                shutil.rmtree(_version_dir(bdir, v), ignore_errors=True)
+                stats["orphans_removed"] += 1
+            elif v not in retained:
+                shutil.rmtree(_version_dir(bdir, v), ignore_errors=True)
+                stats["superseded_removed"] += 1
+            else:
+                stats["versions_after"] += 1
+    return stats
+
+
 def _bucket_col(key_col, num_buckets: int):
     """PK-hash bucket: hash the STRING form of the key so base rows
     (typed PK) and changelog rows (concatenated string key) agree."""

@@ -566,3 +566,54 @@ class TestCheckpointResume:
 
         assert len(processed) == ev.count(), "second run must add only the new file"
         assert len(set(processed)) == len(processed), "no event processed twice"
+
+
+def test_vacuum_versions_retention_and_orphans(spark, tmp_path):
+    """vacuum_versions must (a) always reap orphan versions above the
+    committed one, (b) keep exactly `keep` committed-window versions
+    per bucket, (c) NEVER delete the manifest-committed version even
+    with keep=1, and (d) leave read_state's answer unchanged."""
+    import os
+
+    from bireme_spark.streaming.pipeline import (
+        _write_manifest,
+        read_state,
+        vacuum_versions,
+    )
+
+    target = str(tmp_path / "t")
+    for b in (0, 1):
+        for v in (1, 2, 3):
+            spark.createDataFrame(
+                [(b * 10 + v, f"v{v}")], "k long, val string"
+            ).write.parquet(f"{target}/_sb={b}/_sv={v}")
+    # bucket 0 also has an orphan above the commit
+    spark.createDataFrame([(99, "ORPHAN")], "k long, val string").write.parquet(
+        f"{target}/_sb=0/_sv=4"
+    )
+    _write_manifest(target, {0: 3, 1: 3}, batch_id=0)
+
+    # keep=2: committed + one prior survive; orphan goes
+    stats = vacuum_versions(target, keep=2)
+    assert stats == {
+        "n_buckets": 2,
+        "versions_before": 7,
+        "versions_after": 4,
+        "orphans_removed": 1,
+        "superseded_removed": 2,
+    }
+    assert sorted(os.listdir(f"{target}/_sb=0")) == ["_sv=2", "_sv=3"]
+    assert sorted(os.listdir(f"{target}/_sb=1")) == ["_sv=2", "_sv=3"]
+    assert {(r.k, r.val) for r in read_state(spark, target).collect()} == {
+        (3, "v3"),
+        (13, "v3"),
+    }
+
+    # keep=1: only the committed version survives; idempotent after
+    stats = vacuum_versions(target, keep=1)
+    assert stats["versions_after"] == 2 and stats["superseded_removed"] == 2
+    assert vacuum_versions(target, keep=1)["superseded_removed"] == 0
+    assert {(r.k, r.val) for r in read_state(spark, target).collect()} == {
+        (3, "v3"),
+        (13, "v3"),
+    }
