@@ -100,6 +100,10 @@ HEADLINE = [
     "cdc_outbox_route",
     "jdbc_incremental_pull",
     "multimodal_edge_energy",
+    "events_shapley_attribution",
+    "orders_wasserstein_drift",
+    "parts_croston_forecast",
+    "dedup_minhash_eval",
 ]
 
 

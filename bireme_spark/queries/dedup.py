@@ -556,3 +556,171 @@ ORDER BY survivor_id
 
 QUERIES["corpus_dedup_survivorship"] = corpus_dedup_survivorship
 ORACLE["corpus_dedup_survivorship"] = DEDUP_SURVIVORSHIP_SQL
+
+
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH precision/recall evaluation, FULLY oracle-checked:
+    an engine-portable MinHash family (minimum of the first-8-hex
+    md5(seed:shingle) STRINGS — fixed-width lowercase hex, so string
+    MIN == numeric MIN, no integer conversion anywhere) with 8 rows
+    banded 4×2 is run over a deterministic 200-doc sample; its
+    candidate pairs are scored against exact 3-shingle Jaccard ≥ 0.5
+    ground truth (integer cross-multiplication, 2·|∩| ≥ |∪|). Unlike
+    the production `dedup_minhash_lsh` (xxhash family, rows-only),
+    every number here — candidates, truth, hits, precision/recall in
+    exact integer ppm — is hash-checked against DuckDB running the
+    SAME hashes.
+
+    Scale design: the eval is SAMPLE-BOUNDED (top-200 by md5 order —
+    constant work at any corpus size; the production path never does
+    all-pairs). Shingling projects tokens to a NAMED column once,
+    dedups per-doc map-side (array_distinct before explode), and
+    every pair join carries ids only."""
+    n_sample = 200
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sample = (
+        d.orderBy(F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))))
+        .limit(n_sample)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    sh = sample.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("shingles"),
+    ).where(F.size("toks") >= 3)
+    ds = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sg")
+    )
+    # 8 portable minhash rows -> 4 bands x 2 rows
+    mh = ds.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("sg"))), 1, 8)
+            ).alias(f"h{i}")
+            for i in range(8)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("sig"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+    )
+    ds2 = ds.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.col("sg").alias("sg_b")
+    )
+    inter = (
+        ds.join(ds2, (F.col("sg") == F.col("sg_b")) & (F.col("doc_id") < F.col("doc_b")))
+        .groupBy(F.col("doc_id").alias("a"), F.col("doc_b").alias("b"), "sz", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = inter.where(
+        2 * F.col("inter") >= F.col("sz") + F.col("sz_b") - F.col("inter")
+    ).select("a", "b")
+    hit = cand.join(truth, ["a", "b"])
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .join(F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_true"))), F.lit(True))
+        .join(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))), F.lit(True))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN -1"
+            " ELSE (n_hit * 1000000) DIV n_candidates END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN n_true = 0 THEN -1 ELSE (n_hit * 1000000) DIV n_true END"
+        ).alias("recall_ppm"),
+    )
+
+
+DEDUP_MINHASH_EVAL_SQL = """
+WITH sample AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)) LIMIT 200
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, len(toks) - 3),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+  FROM sample WHERE len(toks) >= 3
+),
+ds AS (
+  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS sg FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         MIN(substr(md5('0:' || sg), 1, 8)) AS h0,
+         MIN(substr(md5('1:' || sg), 1, 8)) AS h1,
+         MIN(substr(md5('2:' || sg), 1, 8)) AS h2,
+         MIN(substr(md5('3:' || sg), 1, 8)) AS h3,
+         MIN(substr(md5('4:' || sg), 1, 8)) AS h4,
+         MIN(substr(md5('5:' || sg), 1, 8)) AS h5,
+         MIN(substr(md5('6:' || sg), 1, 8)) AS h6,
+         MIN(substr(md5('7:' || sg), 1, 8)) AS h7
+  FROM ds GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM mh
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM mh
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sz, y.sz AS sz_b,
+         COUNT(*) AS inter
+  FROM ds x JOIN ds y ON x.sg = y.sg AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+truth AS (
+  SELECT a, b FROM inter WHERE 2 * inter >= sz + sz_b - inter
+),
+hit AS (SELECT cand.a, cand.b FROM cand JOIN truth ON truth.a = cand.a AND truth.b = cand.b),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM truth) AS n_true,
+         (SELECT COUNT(*) FROM hit) AS n_hit
+)
+SELECT n_candidates, n_true, n_hit,
+       CASE WHEN n_candidates = 0 THEN -1
+            ELSE (n_hit * 1000000) // n_candidates END AS precision_ppm,
+       CASE WHEN n_true = 0 THEN -1 ELSE (n_hit * 1000000) // n_true END AS recall_ppm
+FROM counts
+"""
+
+QUERIES["dedup_minhash_eval"] = dedup_minhash_eval
+ORACLE["dedup_minhash_eval"] = DEDUP_MINHASH_EVAL_SQL

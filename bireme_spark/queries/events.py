@@ -1731,3 +1731,125 @@ ORDER BY exact_count DESC, user_id
 
 QUERIES["events_cms_heavy_hitters"] = events_cms_heavy_hitters
 ORACLE["events_cms_heavy_hitters"] = EVENTS_CMS_SQL
+
+
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution (Shapley 1953, the
+    marketing-attribution formulation): each converting user's
+    channel-touch SET (channels seen strictly before their first
+    purchase) is a coalition; v(S) = conversions whose touch-set ⊆ S;
+    a channel's credit is the exact Shapley average of its marginal
+    contributions. With 4 channels this is EXACT — no sampling — and
+    every quantity is integer: weights are scaled by n!=24
+    (s!(n-1-s)! ∈ {6,2,2,6}), so `shapley_x24` is a bigint and the
+    single /24.0 division is the only IEEE step (1/24 is
+    non-terminating in decimal, so the 6dp ROUND can never sit on a
+    .5e-6 boundary — the sf0.1 engine-split trap does not apply).
+
+    Scale design: the stream collapses to ONE user-grain agg (first
+    purchase time and the touch bitmask in the same two-pass
+    candidate join + conditional-MAX), then to the ≤15-row mask
+    histogram; the subset lattice (16 masks), v() subset-sums, and
+    the 64-row channel×coalition table are broadcast-sized bit-math
+    joins — identical cost at any event volume."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    fp = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t"))).alias("fp")
+    )
+    touched = e.join(fp, "user_id").where(
+        F.col("fp").isNotNull()
+        & (F.col("t") < F.col("fp"))
+        & (F.col("event_type") != "purchase")
+    )
+    m = touched.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            + 8 * F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        ).alias("mask")
+    )
+    mc = m.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+    masks = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        masks.join(F.broadcast(mc), F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    pairs = channels.join(F.broadcast(masks), F.expr("(s & bit) = 0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v_s"))
+    v2 = v.select(F.col("s").alias("s2"), F.col("v").alias("v_si"))
+    d = (
+        pairs.join(F.broadcast(v1), F.col("s1") == F.col("s"))
+        .join(F.broadcast(v2), F.expr("s2 = (s | bit)"))
+        .select(
+            "channel",
+            (
+                F.expr(
+                    "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                    " WHEN 2 THEN 2 ELSE 6 END"
+                )
+                * (F.col("v_si") - F.col("v_s"))
+            ).alias("wd"),
+        )
+    )
+    return (
+        d.groupBy("channel")
+        .agg(F.sum("wd").cast("bigint").alias("shapley_x24"))
+        .select(
+            "channel",
+            "shapley_x24",
+            F.round(F.col("shapley_x24") / 24.0, 6).alias("shapley"),
+        )
+        .orderBy("channel")
+    )
+
+
+EVENTS_SHAPLEY_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+fp AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'purchase' THEN t END) AS fp
+  FROM e GROUP BY 1
+),
+touched AS (
+  SELECT e.user_id, event_type
+  FROM e JOIN fp ON fp.user_id = e.user_id
+  WHERE fp IS NOT NULL AND t < fp AND event_type <> 'purchase'
+),
+m AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       + 2 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       + 8 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mask
+  FROM touched GROUP BY 1
+),
+mc AS (SELECT mask, COUNT(*) AS cnt FROM m GROUP BY 1),
+masks AS (SELECT CAST(s AS INTEGER) AS s FROM generate_series(0, 15) t(s)),
+v AS (
+  SELECT s, CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS v
+  FROM masks LEFT JOIN mc ON (mask & s) = mask GROUP BY 1
+),
+ch(channel, bit) AS (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+pairs AS (SELECT channel, bit, s FROM ch, masks WHERE (s & bit) = 0),
+d AS (
+  SELECT channel,
+         CASE bit_count(pairs.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+              WHEN 2 THEN 2 ELSE 6 END * (v2.v - v1.v) AS wd
+  FROM pairs
+  JOIN v v1 ON v1.s = pairs.s
+  JOIN v v2 ON v2.s = (pairs.s | bit)
+)
+SELECT channel, CAST(SUM(wd) AS BIGINT) AS shapley_x24,
+       ROUND(CAST(SUM(wd) AS BIGINT) / 24.0, 6) AS shapley
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_shapley_attribution"] = events_shapley_attribution
+ORACLE["events_shapley_attribution"] = EVENTS_SHAPLEY_SQL

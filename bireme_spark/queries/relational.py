@@ -2476,3 +2476,105 @@ FROM grand, tt, tb, tw
 
 QUERIES["lineitem_theil_decomposition"] = lineitem_theil_decomposition
 ORACLE["lineitem_theil_decomposition"] = LINEITEM_THEIL_SQL
+
+
+def orders_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth-mover (Wasserstein-1) distance between the early
+    (< 1998) and late (≥ 1998) order-value distributions — the
+    metric-aware complement to PSI/KS: it weighs HOW FAR mass moved,
+    not just that bins changed, so a uniform $50 price creep scores
+    proportionally where KS saturates.
+
+    Exactness: W1 = ∫|F_A − F_B| dx on the $100-bucket grid, computed
+    entirely in integers — per-bin |C_A·n_B − C_B·n_A| times the gap
+    to the next occupied bucket — with ONE final bigint/bigint IEEE
+    division (both operands < 2^53), so no rounding anywhere and no
+    .5e-6 ROUND trap. Bucketing is explicit FLOOR on an identical
+    double expression (never a bare double→int cast: DuckDB rounds,
+    Spark truncates).
+
+    Scale: one map-side-combined histogram groupBy collapses the
+    table; the CDF window runs on histogram-sized data (the
+    histogram-CDF house pattern); totals broadcast back."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(FLOOR(o_totalprice / 100.0) AS BIGINT)").alias("bucket"),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        .cast("int")
+        .alias("early"),
+    )
+    hist = o.groupBy("bucket").agg(
+        F.sum("early").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("early")).cast("bigint").alias("cb"),
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "bucket",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+        F.lead("bucket").over(Window.orderBy("bucket")).alias("nxt"),
+    )
+    num = (
+        cum.join(F.broadcast(tot), F.lit(True))
+        .select(
+            (
+                F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na"))
+                * F.coalesce((F.col("nxt") - F.col("bucket")) * 100, F.lit(0))
+            ).alias("contrib")
+        )
+        .agg(F.sum("contrib").cast("bigint").alias("num"))
+    )
+    return (
+        tot.join(F.broadcast(num), F.lit(True))
+        .select(
+            "na",
+            "nb",
+            "n_bins",
+            (
+                F.col("num").cast("double") / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("w1_distance"),
+        )
+        .withColumnRenamed("na", "n_early")
+        .withColumnRenamed("nb", "n_late")
+    )
+
+
+ORDERS_WASSERSTEIN_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice / 100.0) AS BIGINT) AS bucket,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS early
+  FROM orders
+),
+hist AS (
+  SELECT bucket, CAST(SUM(early) AS BIGINT) AS ca,
+         CAST(SUM(1 - early) AS BIGINT) AS cb
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         COUNT(*) AS n_bins
+  FROM hist
+),
+cum AS (
+  SELECT bucket,
+         SUM(ca) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cca,
+         SUM(cb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ccb,
+         LEAD(bucket) OVER (ORDER BY bucket) AS nxt
+  FROM hist
+),
+num AS (
+  SELECT CAST(SUM(ABS(cca * nb - ccb * na)
+              * COALESCE((nxt - bucket) * 100, 0)) AS BIGINT) AS num
+  FROM cum, tot
+)
+SELECT na AS n_early, nb AS n_late, n_bins,
+       CAST(num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS w1_distance
+FROM tot, num
+"""
+
+QUERIES["orders_wasserstein_drift"] = orders_wasserstein_drift
+ORACLE["orders_wasserstein_drift"] = ORDERS_WASSERSTEIN_SQL

@@ -1377,3 +1377,105 @@ FROM scored GROUP BY 1 ORDER BY 1
 
 QUERIES["events_snaive_mase"] = events_snaive_mase
 ORACLE["events_snaive_mase"] = EVENTS_SNAIVE_MASE_SQL
+
+
+def parts_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) for INTERMITTENT demand — the standard
+    forecaster when most periods have zero demand (spare parts, slow
+    movers), where Holt/seasonal methods collapse to noise: two
+    exponential smoothers (α=0.2) over the nonzero-demand events
+    only — demand size z and inter-demand interval p (days) — with
+    forecast-per-day = z/p. Completes the forecasting battery
+    (Holt, seasonal-naive+MASE, seasonal decompose) with the
+    sparse-series case, run on the single part's daily demand series.
+
+    Engine-exact: the fold is the Holt discipline — exact Decimal
+    state quantized HALF_UP at 6dp each step (== DuckDB decimal
+    ROUND), one Arrow-batch fold on the Spark side (a recursive CTE
+    costs ~2s planning per step on Spark), a recursive CTE on the
+    DuckDB side; gaps are integer datediffs; the single z/p division
+    is the only IEEE step.
+
+    Scale design: the fact table collapses to ONE part's |days|-row
+    event series (pushed-down partkey filter + map-side agg); the
+    sequential part touches only (z, p) state. Forecasting ALL parts
+    at once would applyInPandas over partkey groups — same fold,
+    partition-parallel."""
+    import pandas as pd
+
+    l = load_table(spark, sf_dir, "lineitem")
+    pk = l.agg(F.min("l_partkey")).first()[0]  # model-sized driver scalar
+    ev = (
+        l.where(F.col("l_partkey") == pk)
+        .groupBy(F.col("l_shipdate").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("y"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("1e-6")
+        a2, a8 = Decimal("0.2"), Decimal("0.8")
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = [Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP) for v in pdf["y"]]
+        days = list(pdf["day"])
+        z, p = ys[0], Decimal("1").quantize(q6)
+        for i in range(1, len(ys)):
+            gap = Decimal((days[i] - days[i - 1]).days)
+            z = (a2 * ys[i] + a8 * z).quantize(q6, ROUND_HALF_UP)
+            p = (a2 * gap + a8 * p).quantize(q6, ROUND_HALF_UP)
+        return pd.DataFrame(
+            {
+                "n_events": [len(ys)],
+                "smoothed_demand": [float(z)],
+                "smoothed_interval": [float(p)],
+                "croston_forecast": [float(z) / float(p)],
+            }
+        )
+
+    return (
+        ev.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "n_events int, smoothed_demand double,"
+            " smoothed_interval double, croston_forecast double",
+        )
+    )
+
+
+PARTS_CROSTON_SQL = """
+WITH RECURSIVE
+ev0 AS (
+  SELECT l_shipdate AS day, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS y
+  FROM lineitem
+  WHERE l_partkey = (SELECT MIN(l_partkey) FROM lineitem)
+  GROUP BY 1
+),
+ev AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS rn,
+         CAST(y AS DECIMAL(28,6)) AS y,
+         CAST(COALESCE(datediff('day', LAG(day) OVER (ORDER BY day), day), 0)
+              AS DECIMAL(28,6)) AS gap
+  FROM ev0
+),
+cro(rn, z, p) AS (
+  SELECT 1, (SELECT y FROM ev WHERE rn = 1), CAST(1 AS DECIMAL(28,6))
+  UNION ALL
+  SELECT e.rn,
+         CAST(ROUND(CAST(0.2 AS DECIMAL(8,6)) * e.y
+                    + CAST(0.8 AS DECIMAL(8,6)) * c.z, 6) AS DECIMAL(28,6)),
+         CAST(ROUND(CAST(0.2 AS DECIMAL(8,6)) * e.gap
+                    + CAST(0.8 AS DECIMAL(8,6)) * c.p, 6) AS DECIMAL(28,6))
+  FROM cro c JOIN ev e ON e.rn = c.rn + 1
+),
+fin AS (SELECT z, p FROM cro WHERE rn = (SELECT MAX(rn) FROM cro))
+SELECT (SELECT MAX(rn) FROM cro) AS n_events,
+       CAST(z AS DOUBLE) AS smoothed_demand,
+       CAST(p AS DOUBLE) AS smoothed_interval,
+       CAST(z AS DOUBLE) / CAST(p AS DOUBLE) AS croston_forecast
+FROM fin
+"""
+
+QUERIES["parts_croston_forecast"] = parts_croston_forecast
+ORACLE["parts_croston_forecast"] = PARTS_CROSTON_SQL

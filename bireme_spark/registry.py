@@ -106,6 +106,10 @@ _NEW_THIS_ROUND = frozenset(
         "cdc_outbox_route",
         "jdbc_incremental_pull",
         "multimodal_edge_energy",
+        "events_shapley_attribution",
+        "orders_wasserstein_drift",
+        "parts_croston_forecast",
+        "dedup_minhash_eval",
     }
 )
 
