@@ -42,6 +42,17 @@ _PINNED = [
     "cdc_incremental_snapshot",
     "customers_value_migration",
     "orders_zorder_layout",
+    # round-5 late additions: log-term decimal sums (Theil), integer
+    # CDF sweep (Wasserstein), coalition lattice (Shapley), Decimal
+    # fold (Croston), portable-hash LSH eval (MinHash eval), linear
+    # sketch (CMS), rank-order reconcile (bootstrap)
+    "lineitem_theil_decomposition",
+    "orders_wasserstein_drift",
+    "events_shapley_attribution",
+    "parts_croston_forecast",
+    "dedup_minhash_eval",
+    "events_cms_heavy_hitters",
+    "cdc_bootstrap_reconcile",
 ]
 
 
