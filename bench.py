@@ -104,6 +104,8 @@ HEADLINE = [
     "orders_wasserstein_drift",
     "parts_croston_forecast",
     "dedup_minhash_eval",
+    "cdc_pk_change_apply",
+    "cdc_malformed_envelope_audit",
 ]
 
 

@@ -1861,3 +1861,203 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["jdbc_incremental_pull"] = jdbc_incremental_pull
 ORACLE["jdbc_incremental_pull"] = JDBC_INCREMENTAL_PULL_SQL
+
+
+def cdc_pk_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key-changing UPDATE, applied end-to-end — the hard CDC
+    case the reference handles specially (``MaxwellPipeLine.java:
+    104-112`` extracts the OLD key from Maxwell's ``old`` payload;
+    ``RowCache.java:194-205`` turns the update into DELETE(old key) +
+    INSERT(new key)): every 9th order's key migrates to key+10M (with
+    price+7) via a real Maxwell UPDATE envelope whose ``old`` carries
+    the pre-update PK. The envelope round-trips through
+    ``parse_maxwell`` (its pk_changed fallback chain produces
+    ``old_key``), ``compact(old_key_col=...)`` synthesizes the
+    delete, and ``apply_changes`` merges onto the synced base. The
+    oracle predicts the fully migrated table, so a lost delete
+    (orphan old row) or lost insert (missing new row) hash-breaks.
+
+    Plan: same single PK-hash compact shuffle + anti-join as
+    cdc_apply — the synthetic deletes are a map-side union, no extra
+    exchange at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    upd_raw = o.where(F.col("o_orderkey") % 9 == 0).select(
+        F.to_json(
+            F.struct(
+                F.lit("testdb").alias("database"),
+                F.lit("orders").alias("table"),
+                F.lit("update").alias("type"),
+                (F.unix_timestamp("o_orderdate") + 86_400).alias("ts"),
+                F.struct(
+                    (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                    (F.col("o_totalprice") + F.lit(7.0)).alias("o_totalprice"),
+                    F.col("o_orderstatus").alias("o_orderstatus"),
+                ).alias("data"),
+                F.struct(
+                    F.col("o_orderkey").alias("o_orderkey"),
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                ).alias("old"),
+            )
+        ).alias("value")
+    )
+    data_schema = (
+        StructType()
+        .add("o_orderkey", "long")
+        .add("o_totalprice", "double")
+        .add("o_orderstatus", "string")
+    )
+    parsed = parse_maxwell(upd_raw, "value", data_schema, key_fields=("o_orderkey",))
+    changes = parsed.select(
+        "key",
+        "old_key",
+        "op",
+        "produce_time_ms",
+        F.lit(1).alias("seq"),
+        F.col("data.o_totalprice").alias("o_totalprice"),
+        F.col("data.o_orderstatus").alias("o_orderstatus"),
+    )
+    c = compact(
+        changes,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+        old_key_col="old_key",
+    )
+    applied = apply_changes(
+        base,
+        c,
+        base_key_cols=("key",),
+        compact_key_cols=("key",),
+        payload_map={"o_totalprice": "o_totalprice", "o_orderstatus": "o_orderstatus"},
+        mode="pessimistic",
+    )
+    return applied.select(
+        F.col("key").cast("bigint").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+CDC_PK_CHANGE_SQL = """
+SELECT CASE WHEN o_orderkey % 9 = 0 THEN o_orderkey + 10000000
+            ELSE o_orderkey END AS o_orderkey,
+       CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 7.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderstatus
+FROM orders
+"""
+
+QUERIES["cdc_pk_change_apply"] = cdc_pk_change_apply
+ORACLE["cdc_pk_change_apply"] = CDC_PK_CHANGE_SQL
+
+
+def cdc_malformed_envelope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-message quarantine audit: a CDC stream carrying
+    deterministic corruption classes — truncated JSON (%10==1),
+    envelopes missing their data payload (%10==2), unmapped DDL-ish
+    types (%10==3) — is classified by ACTUAL parse behavior
+    (from_json null-ness for unparseable bytes, null data struct,
+    unmapped op), never by peeking at the fixture rule; the oracle
+    predicts each quarantine class and the applied-value total from
+    the residues, so a parser that silently swallows or misfiles a
+    class hash-breaks. The reference logs-and-aborts on bad
+    envelopes (BiremeException paths); a 100 TB pipeline quarantines
+    and keeps going — this is that dead-letter accounting.
+
+    Plan: one codegen projection classifies every row (no Python, no
+    extra scan — the CASE branches share the single from_json); one
+    5-group agg."""
+    o = load_table(spark, sf_dir, "orders")
+    valid_env = F.to_json(
+        F.struct(
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            F.lit("insert").alias("type"),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+            F.struct(
+                F.col("o_orderkey").alias("o_orderkey"),
+                F.col("o_totalprice").alias("o_totalprice"),
+            ).alias("data"),
+        )
+    )
+    no_data_env = F.to_json(
+        F.struct(
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            F.lit("insert").alias("type"),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+        )
+    )
+    ddl_env = F.to_json(
+        F.struct(
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            F.lit("table-alter").alias("type"),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+            F.struct(
+                F.col("o_orderkey").alias("o_orderkey"),
+                F.col("o_totalprice").alias("o_totalprice"),
+            ).alias("data"),
+        )
+    )
+    r = F.col("o_orderkey") % 10
+    raw = o.select(
+        F.when(r == 1, F.substring(valid_env, 1, 20))
+        .when(r == 2, no_data_env)
+        .when(r == 3, ddl_env)
+        .otherwise(valid_env)
+        .alias("value")
+    )
+    from bireme_spark.sources.maxwell import maxwell_envelope_schema
+
+    data_schema = StructType().add("o_orderkey", "long").add("o_totalprice", "double")
+    env = F.from_json("value", maxwell_envelope_schema(data_schema))
+    classified = raw.select(
+        # PERMISSIVE from_json yields an all-null-FIELDS struct for
+        # malformed JSON (not a null struct): a valid envelope always
+        # carries its literal database field, so its null marks
+        # unparseable bytes.
+        F.when(env.isNull() | env["database"].isNull(), "quarantine_unparseable")
+        .when(env["data"].isNull(), "quarantine_missing_data")
+        .when(~env["type"].isin("insert", "update", "delete"), "quarantine_unknown_op")
+        .otherwise("applied")
+        .alias("class"),
+        F.when(
+            env["data"].isNotNull() & env["type"].isin("insert", "update", "delete"),
+            env["data"]["o_totalprice"],
+        ).alias("price"),
+    )
+    return (
+        classified.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("price").cast("decimal(12,2)"), F.lit(0).cast("decimal(12,2)")))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("class")
+    )
+
+
+CDC_MALFORMED_AUDIT_SQL = """
+SELECT CASE WHEN o_orderkey % 10 = 1 THEN 'quarantine_unparseable'
+            WHEN o_orderkey % 10 = 2 THEN 'quarantine_missing_data'
+            WHEN o_orderkey % 10 = 3 THEN 'quarantine_unknown_op'
+            ELSE 'applied' END AS class,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 10 IN (1, 2, 3)
+                     THEN CAST(0 AS DECIMAL(12,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+            AS DOUBLE) AS total_value
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cdc_malformed_envelope_audit"] = cdc_malformed_envelope_audit
+ORACLE["cdc_malformed_envelope_audit"] = CDC_MALFORMED_AUDIT_SQL

@@ -110,6 +110,8 @@ _NEW_THIS_ROUND = frozenset(
         "orders_wasserstein_drift",
         "parts_croston_forecast",
         "dedup_minhash_eval",
+        "cdc_pk_change_apply",
+        "cdc_malformed_envelope_audit",
     }
 )
 
