@@ -418,6 +418,63 @@ class TestCompactProperties:
         }
         assert snap == {k: v for k, (op, _d, ins, v) in want.items() if ins}
 
+    rows_pk = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # key
+            st.sampled_from(["I", "U", "D"]),
+            st.text(alphabet="ab", min_size=0, max_size=2),  # payload
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),  # old key
+        ),
+        min_size=0,
+        max_size=25,
+    )
+
+    @given(rows_pk)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fold_with_pk_change_matches_replay(self, spark, batch):
+        """PK-changing updates (RowCache.java:194-205): an UPDATE whose
+        `old` payload carries a different PK must behave exactly like
+        DELETE(old key) immediately followed by the update itself, for
+        ANY interleaving with other ops on either key. Maxwell only
+        emits `old` PK fields when the PK actually changed, so
+        old_key == key never occurs (the generator mirrors that)."""
+        data = []
+        for i, (k, op, v, ok) in enumerate(batch):
+            old = str(ok) if (op == "U" and ok is not None and ok != k) else None
+            data.append((str(k), op, i // 3, i, v if op != "D" else None, old))
+        df = spark.createDataFrame(
+            data,
+            "key string, op string, produce_time_ms long, seq long,"
+            " val string, old_key string",
+        )
+        got = {
+            r.key: (r.final_op, r.in_delete, r.in_insert, r.val)
+            for r in compact(
+                df,
+                ("key",),
+                ("produce_time_ms", "seq"),
+                payload_cols=("val",),
+                old_key_col="old_key",
+            ).collect()
+        }
+        state: dict[str, tuple] = {}
+        seen_del: dict[str, bool] = {}
+        for key, op, _t, _s, val, old in data:
+            if old is not None:
+                state[old] = ("D", None)
+                seen_del[old] = True
+            state[key] = (op, val)
+            seen_del[key] = seen_del.get(key, False) or op in ("U", "D")
+        want = {
+            k: (op, seen_del[k], op != "D", val if op != "D" else None)
+            for k, (op, val) in state.items()
+        }
+        assert got == want
+
 
 def test_partitioned_changelog_prunes_time_travel_scan(spark, sf_dir, tmp_path):
     """The cdc_time_travel docstring claims 'at 100 TB the changelog
