@@ -106,6 +106,9 @@ HEADLINE = [
     "dedup_minhash_eval",
     "cdc_pk_change_apply",
     "cdc_malformed_envelope_audit",
+    "cdc_table_diff",
+    "orders_cusum_control",
+    "graph_link_prediction",
 ]
 
 

@@ -2061,3 +2061,95 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["cdc_malformed_envelope_audit"] = cdc_malformed_envelope_audit
 ORACLE["cdc_malformed_envelope_audit"] = CDC_MALFORMED_AUDIT_SQL
+
+
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot table diff (the Datafold/data-diff workflow a
+    migration or backfill signs off with): the synced table's state
+    at two points — post-initial-load vs post-CDC-tail, plus a batch
+    of late arrivals — reconciled row-by-row via ONE full-outer PK
+    join comparing md5 row FINGERPRINTS (never column-by-column SQL,
+    so adding payload columns doesn't change the plan). Emits the
+    added/removed/changed/unchanged census plus the exact DECIMAL
+    value delta; the oracle predicts every figure from the changelog
+    residues.
+
+    Plan: two snapshot folds (each the single PK-hash max_by
+    exchange) + one full-outer join on the same key — three keyed
+    exchanges total, no broadcast of anything table-sized, scales as
+    cdc_snapshot does. At 100 TB you'd run it per key-range
+    (table_checksum_ranges pattern) — the plan is unchanged."""
+    ch = build_changelog(spark, sf_dir)
+    old = snapshot(
+        ch.where(F.col("op") == "I"),
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    ).select("key", "o_totalprice", "o_orderstatus")
+    new_synced = snapshot(
+        ch,
+        key_cols=("key",),
+        order_cols=("produce_time_ms", "seq"),
+        payload_cols=("o_totalprice", "o_orderstatus"),
+    ).select("key", "o_totalprice", "o_orderstatus")
+    late = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 20_000_000).cast("string").alias("key"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        F.col("o_orderstatus"),
+    )
+    new = new_synced.unionByName(late)
+
+    def fp(df):
+        return df.select(
+            "key",
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.col("o_totalprice").cast("string"), F.col("o_orderstatus")
+                )
+            ).alias("fp"),
+            F.col("o_totalprice").alias("val"),
+        )
+
+    o = fp(old).select(
+        F.col("key"), F.col("fp").alias("fp_old"), F.col("val").alias("val_old")
+    )
+    n = fp(new).select(
+        F.col("key"), F.col("fp").alias("fp_new"), F.col("val").alias("val_new")
+    )
+    j = o.join(n, "key", "full_outer")
+    cls = F.when(F.col("fp_old").isNull(), "added").when(
+        F.col("fp_new").isNull(), "removed"
+    ).when(F.col("fp_old") != F.col("fp_new"), "changed").otherwise("unchanged")
+    return j.agg(
+        F.sum((cls == "added").cast("int")).cast("bigint").alias("n_added"),
+        F.sum((cls == "removed").cast("int")).cast("bigint").alias("n_removed"),
+        F.sum((cls == "changed").cast("int")).cast("bigint").alias("n_changed"),
+        F.sum((cls == "unchanged").cast("int")).cast("bigint").alias("n_unchanged"),
+        (
+            F.sum(F.coalesce(F.col("val_new"), F.lit(0).cast("decimal(12,2)")))
+            - F.sum(F.coalesce(F.col("val_old"), F.lit(0).cast("decimal(12,2)")))
+        )
+        .cast("double")
+        .alias("value_delta"),
+    )
+
+
+CDC_TABLE_DIFF_SQL = """
+SELECT CAST(SUM(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(SUM(CASE WHEN o_orderkey % 11 = 0
+                     THEN CAST(o_totalprice AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END)
+          + SUM(CASE WHEN o_orderkey % 5 = 0
+                     THEN -CAST(o_totalprice AS DECIMAL(12,2))
+                     WHEN o_orderkey % 3 = 0 THEN CAST(10 AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS value_delta
+FROM orders
+"""
+
+QUERIES["cdc_table_diff"] = cdc_table_diff
+ORACLE["cdc_table_diff"] = CDC_TABLE_DIFF_SQL

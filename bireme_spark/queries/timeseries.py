@@ -1479,3 +1479,116 @@ FROM fin
 
 QUERIES["parts_croston_forecast"] = parts_croston_forecast
 ORACLE["parts_croston_forecast"] = PARTS_CROSTON_SQL
+
+
+def orders_cusum_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart (Page 1954) on daily order
+    revenue: S⁺_t = max(0, S⁺_{t-1} + x_t − μ − k) with reference μ =
+    mean of the first 100 days, slack k = 5% of μ, alarm h = 20% of μ
+    — the online drift detector that raises BEFORE a fixed-window
+    changepoint test can; complements events_changepoint (offline
+    AMOC) and streaming_ewma_monitor (level smoothing) with the
+    cumulative-deviation chart.
+
+    Engine-exact: daily revenue is a DECIMAL sum; μ, k, h are 6dp
+    roundings of values exact at ≤6 decimals (2dp sum ÷ 100 and ×
+    0.05/0.2 — never on a .5e-6 tie); the fold quantizes HALF_UP at
+    6dp per step (== DuckDB decimal ROUND) in ONE Arrow batch, vs a
+    recursive CTE oracle. GREATEST(0, ·) is exact on both engines.
+
+    Scale: the stream collapses once to the |days| series; the
+    sequential part touches only S⁺ state (the Holt/Croston fold
+    shape)."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), money("o_totalprice").alias("rev")
+    )
+    daily = o.groupBy("day").agg(F.sum("rev").alias("rev"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("1e-6")
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = [Decimal(str(v)) for v in pdf["rev"]]
+        days = list(pdf["day"])
+        n_ref = min(100, len(xs))
+        mu = Decimal(repr(float(sum(xs[:n_ref])) / n_ref)).quantize(q6, ROUND_HALF_UP)
+        k = Decimal(repr(float(mu) * 0.05)).quantize(q6, ROUND_HALF_UP)
+        h = Decimal(repr(float(mu) * 0.2)).quantize(q6, ROUND_HALF_UP)
+        sp = Decimal(0)
+        n_sig, first_sig, max_sp = 0, None, Decimal(0)
+        for d, x in zip(days, xs):
+            sp = max(Decimal(0), (sp + x - mu - k).quantize(q6, ROUND_HALF_UP))
+            max_sp = max(max_sp, sp)
+            if sp > h:
+                n_sig += 1
+                if first_sig is None:
+                    first_sig = d
+        return pd.DataFrame(
+            {
+                "n_days": [len(xs)],
+                "n_signals": [n_sig],
+                "first_signal_day": [
+                    first_sig.strftime("%Y-%m-%d") if first_sig else "none"
+                ],
+                "max_cusum": [float(max_sp)],
+            }
+        )
+
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "n_days int, n_signals int, first_signal_day string, max_cusum double",
+        )
+    )
+
+
+ORDERS_CUSUM_SQL = """
+WITH RECURSIVE
+daily AS (
+  SELECT o_orderdate AS day, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+series AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS rn, day,
+         CAST(rev AS DECIMAL(28,6)) AS x
+  FROM daily
+),
+params AS (
+  SELECT CAST(ROUND(CAST((SELECT SUM(x) FROM series WHERE rn <= 100) AS DOUBLE)
+                    / (SELECT LEAST(100, MAX(rn)) FROM series), 6)
+              AS DECIMAL(28,6)) AS mu
+),
+pk AS (
+  SELECT mu,
+         CAST(ROUND(CAST(mu AS DOUBLE) * 0.05, 6) AS DECIMAL(28,6)) AS k,
+         CAST(ROUND(CAST(mu AS DOUBLE) * 0.2, 6) AS DECIMAL(28,6)) AS h
+  FROM params
+),
+cus(rn, sp) AS (
+  SELECT 0, CAST(0 AS DECIMAL(28,6))
+  UNION ALL
+  SELECT s.rn,
+         GREATEST(CAST(0 AS DECIMAL(28,6)),
+                  CAST(ROUND(c.sp + s.x - (SELECT mu FROM pk) - (SELECT k FROM pk), 6)
+                       AS DECIMAL(28,6)))
+  FROM cus c JOIN series s ON s.rn = c.rn + 1
+),
+sig AS (
+  SELECT c.rn, c.sp, s.day FROM cus c JOIN series s ON s.rn = c.rn
+  WHERE c.sp > (SELECT h FROM pk)
+)
+SELECT (SELECT MAX(rn) FROM series) AS n_days,
+       (SELECT CAST(COUNT(*) AS INTEGER) FROM sig) AS n_signals,
+       COALESCE((SELECT strftime(MIN(day), '%Y-%m-%d')
+                 FROM sig WHERE rn = (SELECT MIN(rn) FROM sig)), 'none')
+         AS first_signal_day,
+       (SELECT CAST(MAX(sp) AS DOUBLE) FROM cus) AS max_cusum
+"""
+
+QUERIES["orders_cusum_control"] = orders_cusum_control
+ORACLE["orders_cusum_control"] = ORDERS_CUSUM_SQL

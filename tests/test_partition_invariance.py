@@ -53,6 +53,9 @@ _PINNED = [
     "dedup_minhash_eval",
     "events_cms_heavy_hitters",
     "cdc_bootstrap_reconcile",
+    "orders_cusum_control",
+    "cdc_table_diff",
+    "graph_link_prediction",
 ]
 
 
