@@ -109,6 +109,8 @@ HEADLINE = [
     "cdc_table_diff",
     "orders_cusum_control",
     "graph_link_prediction",
+    "text_bm25_search",
+    "events_periodogram",
 ]
 
 

@@ -676,3 +676,111 @@ ORDER BY doc_id
 
 QUERIES["tokenizer_bpe_apply"] = tokenizer_bpe_apply
 ORACLE["tokenizer_bpe_apply"] = TOKENIZER_BPE_APPLY_SQL
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones, k1=1.2 b=0.75)
+    for the fixed query {join, hash, scan}: idf = ln((N−df+0.5)/
+    (df+0.5)), per-term score tf·(k1+1) / (tf + k1·(1−b+b·len/
+    avglen)) — the ranking function real search engines run, beside
+    the tf-idf top-terms profile already in §2.C.
+
+    Engine-exact: tf/df/len/N are integers and len/avglen is computed
+    as len·N/S (one bigint product, one IEEE division); each
+    per-term contribution is rounded at 6dp and the ≤3 terms
+    DECIMAL-sum (the entropy/logprob discipline — Spark's Math.log
+    and DuckDB's std::log may differ in the last ulp, which 6dp
+    rounding absorbs). Top-20 ordered by the exact decimal score,
+    doc_id tie-break.
+
+    Scale design: ONE tokenize pass (named column), conditional-sum
+    pivot gives the (doc × 3-term) tf columns in the same length agg
+    — no per-term scans, no explode-join; df and corpus stats are
+    broadcast 1-row aggregates."""
+    terms = ["join", "hash", "scan"]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tf = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            # single-arg closure: a 2-param lambda would be read by
+            # PySpark as the (element, index) filter form
+            F.size(F.filter("toks", (lambda term: lambda w: w == F.lit(term))(t))).alias(
+                f"tf_{t}"
+            )
+            for t in terms
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("bigint").alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    j = tf.join(F.broadcast(stats), F.lit(True))
+    contribs = []
+    for t in terms:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        denom = F.col(f"tf_{t}") + 1.2 * (
+            0.25 + 0.75 * (F.col("dl") * F.col("n_docs")) / F.col("total_len")
+        )
+        contribs.append(
+            F.round(idf * (F.col(f"tf_{t}") * 2.2) / denom, 6).cast("decimal(18,6)")
+        )
+    scored = j.select(
+        "doc_id",
+        sum(contribs[1:], contribs[0]).alias("score"),
+    )
+    return (
+        scored.select("doc_id", F.col("score").cast("double").alias("bm25"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+TEXT_BM25_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tf AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, w -> w = 'join')) AS tf_join,
+         len(list_filter(toks, w -> w = 'hash')) AS tf_hash,
+         len(list_filter(toks, w -> w = 'scan')) AS tf_scan
+  FROM d
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len,
+         CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+         CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+         CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan
+  FROM tf
+),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(LN((n_docs - df_join + 0.5) / (df_join + 0.5))
+               * (tf_join * 2.2)
+               / (tf_join + 1.2 * (0.25 + 0.75 * (dl * n_docs) / total_len)), 6)
+              AS DECIMAL(18,6))
+       + CAST(ROUND(LN((n_docs - df_hash + 0.5) / (df_hash + 0.5))
+               * (tf_hash * 2.2)
+               / (tf_hash + 1.2 * (0.25 + 0.75 * (dl * n_docs) / total_len)), 6)
+              AS DECIMAL(18,6))
+       + CAST(ROUND(LN((n_docs - df_scan + 0.5) / (df_scan + 0.5))
+               * (tf_scan * 2.2)
+               / (tf_scan + 1.2 * (0.25 + 0.75 * (dl * n_docs) / total_len)), 6)
+              AS DECIMAL(18,6)) AS score
+  FROM tf, stats
+)
+SELECT doc_id, CAST(score AS DOUBLE) AS bm25
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+QUERIES["text_bm25_search"] = text_bm25_search
+ORACLE["text_bm25_search"] = TEXT_BM25_SQL

@@ -1592,3 +1592,75 @@ SELECT (SELECT MAX(rn) FROM series) AS n_days,
 
 QUERIES["orders_cusum_control"] = orders_cusum_control
 ORACLE["orders_cusum_control"] = ORDERS_CUSUM_SQL
+
+
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of the daily event-count series
+    at candidate periods {3,4,5,6,7,14} days: power(P) = (Σc_t·cos
+    (2πt/P))² + (Σc_t·sin(2πt/P))² — the frequency-domain seasonality
+    detector (a weekly cycle lights up P=7) complementing the
+    time-domain ACF and seasonal-decompose views.
+
+    Engine-exact: counts are integers and t is a dense rank; each
+    cos/sin term is rounded at 6dp and DECIMAL-summed (the entropy
+    discipline — C and Java trig can differ in the last ulp), with π
+    embedded as the same 17-digit literal on both engines; the final
+    A²+B² is one IEEE expression of exact decimals, rounded 6dp.
+
+    Scale: ONE day agg collapses the stream; the trig grid is
+    |days|×6 rows on the collapsed series (histogram-CDF family);
+    the period table broadcasts."""
+    pi = "3.141592653589793"
+    e = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    daily = e.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    t = (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    series = daily.select("day", "c").select("c", t)
+    periods = spark.createDataFrame([(3,), (4,), (5,), (6,), (7,), (14,)], "period int")
+    g = series.join(F.broadcast(periods), F.lit(True))
+    ang = F.expr(f"2 * {pi} * t / period")
+    terms = g.select(
+        "period",
+        F.round(F.col("c") * F.cos(ang), 6).cast("decimal(28,6)").alias("ac"),
+        F.round(F.col("c") * F.sin(ang), 6).cast("decimal(28,6)").alias("bs"),
+    )
+    return (
+        terms.groupBy("period")
+        .agg(
+            F.round(
+                F.pow(F.sum("ac").cast("double"), 2)
+                + F.pow(F.sum("bs").cast("double"), 2),
+                6,
+            ).alias("power")
+        )
+        .orderBy("period")
+    )
+
+
+EVENTS_PERIODOGRAM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
+),
+series AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) - 1 AS t FROM daily
+),
+g AS (
+  SELECT period, c, t
+  FROM series, (VALUES (3), (4), (5), (6), (7), (14)) AS p(period)
+),
+terms AS (
+  SELECT period,
+         CAST(ROUND(c * COS(2 * 3.141592653589793 * t / period), 6)
+              AS DECIMAL(28,6)) AS ac,
+         CAST(ROUND(c * SIN(2 * 3.141592653589793 * t / period), 6)
+              AS DECIMAL(28,6)) AS bs
+  FROM g
+)
+SELECT period,
+       ROUND(POW(CAST(SUM(ac) AS DOUBLE), 2)
+             + POW(CAST(SUM(bs) AS DOUBLE), 2), 6) AS power
+FROM terms
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_periodogram"] = events_periodogram
+ORACLE["events_periodogram"] = EVENTS_PERIODOGRAM_SQL

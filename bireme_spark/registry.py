@@ -115,6 +115,8 @@ _NEW_THIS_ROUND = frozenset(
         "cdc_table_diff",
         "orders_cusum_control",
         "graph_link_prediction",
+        "text_bm25_search",
+        "events_periodogram",
     }
 )
 

@@ -56,6 +56,8 @@ _PINNED = [
     "orders_cusum_control",
     "cdc_table_diff",
     "graph_link_prediction",
+    "text_bm25_search",
+    "events_periodogram",
 ]
 
 
