@@ -51,6 +51,7 @@ _SLOW = frozenset(
         "streaming_stream_join_outer",
         "cdc_multi_table_sync",
         "jdbc_merge_apply",
+        "jdbc_incremental_pull",
         "embedding_knn_pagerank",
         "streaming_sketch_rollup",
         "streaming_cep_pattern",
