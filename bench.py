@@ -111,6 +111,8 @@ HEADLINE = [
     "graph_link_prediction",
     "text_bm25_search",
     "events_periodogram",
+    "parts_abc_xyz_matrix",
+    "embedding_intrinsic_dim",
 ]
 
 

@@ -548,3 +548,124 @@ def embedding_whitening(spark: SparkSession, sf_dir: str, top: int = 8) -> DataF
 
 
 QUERIES["embedding_whitening"] = embedding_whitening  # rows-only
+
+
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017,
+    Sci.Rep. 7:12140): d̂ = n / Σᵢ ln(r2ᵢ/r1ᵢ) over each point's two
+    nearest neighbors — the geometry probe a training-data pipeline
+    runs to see whether an embedding space actually uses its ambient
+    dimensions (collapsed representations ⇒ d̂ ≪ 64).
+
+    Engine-exact: squared distances close as na+nb−2·dot from
+    deterministic left-to-right folds (Spark zip_with/aggregate ≡
+    DuckDB positional unnest SUM — the proven cosine-oracle idiom),
+    ROUNDED AT 6dp BEFORE ranking so neighbor selection never hinges
+    on a final-ulp difference; neighbor ties break by id; the ln
+    ratio terms follow the 6dp entropy discipline; one IEEE division
+    closes the estimate.
+
+    Scale: the estimator is SAMPLE-BOUNDED (200 md5-ordered points —
+    TwoNN converges with a few hundred samples); production corpora
+    re-sample per shard and average. All-pairs work is constant at
+    any corpus size."""
+    from bireme_spark.operators.dedup import cosine as _  # noqa: F401 (fold idiom home)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = (
+        e.orderBy(F.md5(F.concat(F.lit("t:"), F.col("vec_id").cast("string"))))
+        .limit(200)
+        .select("vec_id", "embedding", dot("embedding", "embedding").alias("nrm"))
+    )
+    b = s.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = s.join(b, F.col("vec_id") != F.col("vb")).select(
+        "vec_id",
+        "vb",
+        F.round(
+            F.col("nrm") + F.col("nb") - 2 * dot(F.col("embedding"), F.col("eb")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("d2"),
+    ).where(F.col("d2") > 0)
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("vb").asc())
+    )
+    two = pairs.withColumn("rn", rn).where(F.col("rn") <= 2)
+    nn = two.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2n"),
+    ).where(F.col("d1").isNotNull() & F.col("d2n").isNotNull())
+    terms = nn.select(
+        F.round(
+            0.5 * F.log(F.col("d2n").cast("double") / F.col("d1").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("t")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("t").cast("double").alias("sum_log_ratio"),
+    )
+    return agg.select(
+        "n_points",
+        "sum_log_ratio",
+        F.round(F.col("n_points") / F.col("sum_log_ratio"), 6).alias("intrinsic_dim"),
+    )
+
+
+EMBEDDING_INTRINSIC_DIM_SQL = """
+WITH s0 AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5('t:' || CAST(vec_id AS VARCHAR)) LIMIT 200
+),
+s AS (
+  SELECT vec_id, embedding,
+         (SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+          FROM unnest(embedding) AS u(x)) AS nrm
+  FROM s0
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS vb,
+         CAST(ROUND(a.nrm + b.nrm - 2 * (
+           SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z
+         ), 6) AS DECIMAL(18,6)) AS d2
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id
+),
+two AS (
+  SELECT vec_id, vb, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, vb ASC) AS rn
+  FROM pairs WHERE d2 > 0
+),
+nn AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN d2 END) AS d1,
+         MAX(CASE WHEN rn = 2 THEN d2 END) AS d2n
+  FROM two WHERE rn <= 2 GROUP BY 1
+),
+terms AS (
+  SELECT CAST(ROUND(0.5 * LN(CAST(d2n AS DOUBLE) / CAST(d1 AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS t
+  FROM nn WHERE d1 IS NOT NULL AND d2n IS NOT NULL
+),
+agg AS (
+  SELECT COUNT(*) AS n_points, CAST(SUM(t) AS DOUBLE) AS sum_log_ratio FROM terms
+)
+SELECT n_points, sum_log_ratio,
+       ROUND(n_points / sum_log_ratio, 6) AS intrinsic_dim
+FROM agg
+"""
+
+QUERIES["embedding_intrinsic_dim"] = embedding_intrinsic_dim
+ORACLE["embedding_intrinsic_dim"] = EMBEDDING_INTRINSIC_DIM_SQL

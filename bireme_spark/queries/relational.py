@@ -2578,3 +2578,117 @@ FROM tot, num
 
 QUERIES["orders_wasserstein_drift"] = orders_wasserstein_drift
 ORACLE["orders_wasserstein_drift"] = ORDERS_WASSERSTEIN_SQL
+
+
+def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory segmentation matrix — the planner's 2-D view
+    that crosses revenue importance (A: first 80% of cumulative
+    revenue, B: to 95%, C: tail) with demand PREDICTABILITY from the
+    coefficient of variation of monthly demand (X: CV ≤ 0.5 steady,
+    Y: CV ≤ 1 variable, Z: erratic or <2 observed months). A-X parts
+    get safety stock; C-Z parts get made to order.
+
+    Exactness: all money/quantity moves as INTEGER CENTS (2dp doubles
+    ×100 are whole-valued decimals — exact bigint), so cumulative
+    shares and CV thresholds are integer cross-multiplications:
+    A ⇔ 5·cum ≤ 4·total, X ⇔ 4·(n·Σx²−S²) ≤ S², Y ⇔ n·Σx²−S² ≤ S²
+    — zero division or rounding anywhere until the final /100.0.
+
+    Scale: ONE part-grain revenue agg + ONE (part, month) demand agg;
+    the ABC window runs on the |parts|-sized frame ordered by
+    revenue (histogram-CDF family), XYZ stats are map-side sums;
+    the closing matrix is a 9-cell agg."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        (money("l_extendedprice") * 100).cast("bigint").alias("rev_c"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint").alias("qty_c"),
+    )
+    rev = l.groupBy("l_partkey").agg(F.sum("rev_c").alias("r"))
+    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    abc = (
+        rev.withColumn("cum", F.sum("r").over(w))
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            "l_partkey",
+            "r",
+            F.when(5 * F.col("cum") <= 4 * F.col("t"), "A")
+            .when(20 * F.col("cum") <= 19 * F.col("t"), "B")
+            .otherwise("C")
+            .alias("abc"),
+        )
+    )
+    monthly = l.groupBy("l_partkey", "month").agg(F.sum("qty_c").alias("x"))
+    xyz = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    ).select(
+        "l_partkey",
+        F.when(F.col("n") < 2, "Z")
+        .when(
+            4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            <= F.col("s") * F.col("s"),
+            "X",
+        )
+        .when(
+            (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            <= F.col("s") * F.col("s"),
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("r").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+PARTS_ABC_XYZ_SQL = """
+WITH l AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS rev_c,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty_c
+  FROM lineitem
+),
+rev AS (SELECT l_partkey, CAST(SUM(rev_c) AS BIGINT) AS r FROM l GROUP BY 1),
+tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
+abc AS (
+  SELECT l_partkey, r,
+         CASE WHEN 5 * SUM(r) OVER (ORDER BY r DESC, l_partkey ASC
+                                    ROWS UNBOUNDED PRECEDING) <= 4 * t THEN 'A'
+              WHEN 20 * SUM(r) OVER (ORDER BY r DESC, l_partkey ASC
+                                     ROWS UNBOUNDED PRECEDING) <= 19 * t THEN 'B'
+              ELSE 'C' END AS abc
+  FROM rev, tot
+),
+monthly AS (
+  SELECT l_partkey, month, CAST(SUM(qty_c) AS BIGINT) AS x FROM l GROUP BY 1, 2
+),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN COUNT(*) < 2 THEN 'Z'
+              WHEN 4 * (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                   <= SUM(x) * SUM(x) THEN 'X'
+              WHEN (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                   <= SUM(x) * SUM(x) THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM monthly GROUP BY 1
+)
+SELECT abc, xyz, COUNT(*) AS n_parts,
+       CAST(SUM(r) AS DOUBLE) / 100.0 AS revenue
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["parts_abc_xyz_matrix"] = parts_abc_xyz_matrix
+ORACLE["parts_abc_xyz_matrix"] = PARTS_ABC_XYZ_SQL

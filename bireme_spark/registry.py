@@ -118,6 +118,8 @@ _NEW_THIS_ROUND = frozenset(
         "graph_link_prediction",
         "text_bm25_search",
         "events_periodogram",
+        "parts_abc_xyz_matrix",
+        "embedding_intrinsic_dim",
     }
 )
 

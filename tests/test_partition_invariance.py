@@ -58,6 +58,8 @@ _PINNED = [
     "graph_link_prediction",
     "text_bm25_search",
     "events_periodogram",
+    "parts_abc_xyz_matrix",
+    "embedding_intrinsic_dim",
 ]
 
 
