@@ -113,6 +113,7 @@ HEADLINE = [
     "events_periodogram",
     "parts_abc_xyz_matrix",
     "embedding_intrinsic_dim",
+    "graph_kcore_peel",
 ]
 
 

@@ -1200,3 +1200,87 @@ LIMIT 20
 
 QUERIES["graph_link_prediction"] = graph_link_prediction
 ORACLE["graph_link_prediction"] = GRAPH_LINK_PREDICTION_SQL
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core extraction by synchronized peeling (Seidman 1983;
+    Batagelj-Zaveršnik at scale): 8 SYNCHRONIZED rounds of "drop
+    every node with current degree < 3" over the sampled co-purchase
+    graph, reporting the surviving subgraph per round — the dense-
+    community skeleton (the 3-core is where triangle/link-prediction
+    structure concentrates). Eight rounds is the deterministic SPEC,
+    not an approximation knob: both engines run the identical
+    unrolled peel, and the per-round census EXPOSES convergence (the
+    last rounds repeat once the core stabilizes).
+
+    Scale: each round is one degree agg + one semi-join on the
+    shrinking edge set — k-core peels are the textbook iterate-to-
+    fixpoint Spark workload (Pregel-style), and the synchronized
+    variant needs no driver-side loop state beyond plan depth. Graph
+    sampled at 12.5% of baskets like graph_link_prediction."""
+    edges = _copurchase_edges(
+        spark, sf_dir, node_filter=F.col("l_orderkey") % 8 == 0
+    )
+    # Per-round localCheckpoint: each peel reads the prior edge set
+    # THREE times (degree union + both semi-joins); without cutting
+    # lineage the plan grows 3^rounds and the optimizer drowns (the
+    # dedup_components star-contraction rule). Eager checkpoint keeps
+    # every round one small job.
+    out = None
+    e = edges.localCheckpoint(eager=True)
+    for rnd in range(1, 9):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= 3).select("n")
+        e = (
+            e.join(keep.select(F.col("n").alias("u")), "u")
+            .join(keep.select(F.col("n").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        nodes = e.select(F.col("u").alias("n")).unionByName(
+            e.select(F.col("v").alias("n"))
+        ).distinct()
+        census = e.agg(F.count(F.lit(1)).alias("n_edges")).join(
+            F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))), F.lit(True)
+        ).select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+        out = census if out is None else out.unionByName(census)
+    return out.orderBy("round")
+
+
+def _kcore_sql() -> str:
+    """Unrolled 8-round peel — generated once so the Spark loop and
+    the oracle share the same round count and k by construction."""
+    parts = [
+        "WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk",
+        "            FROM lineitem WHERE l_orderkey % 8 = 0),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v",
+        "       FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),",
+    ]
+    for r in range(1, 9):
+        p = r - 1
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT n FROM (SELECT u AS n FROM e{p} UNION ALL"
+            f" SELECT v FROM e{p}) t GROUP BY 1 HAVING COUNT(*) >= 3),"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e{p}.u, e{p}.v FROM e{p}"
+            f" JOIN k{r} a ON a.n = e{p}.u JOIN k{r} b ON b.n = e{p}.v),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT {r} AS round,"
+        f" (SELECT COUNT(*) FROM (SELECT u FROM e{r} UNION SELECT v FROM e{r}) t)"
+        f" AS n_nodes,"
+        f" (SELECT COUNT(*) FROM e{r}) AS n_edges"
+        for r in range(1, 9)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+
+
+QUERIES["graph_kcore_peel"] = graph_kcore_peel
+ORACLE["graph_kcore_peel"] = _kcore_sql()

@@ -120,6 +120,7 @@ _NEW_THIS_ROUND = frozenset(
         "events_periodogram",
         "parts_abc_xyz_matrix",
         "embedding_intrinsic_dim",
+        "graph_kcore_peel",
     }
 )
 

@@ -60,6 +60,7 @@ _PINNED = [
     "events_periodogram",
     "parts_abc_xyz_matrix",
     "embedding_intrinsic_dim",
+    "graph_kcore_peel",
 ]
 
 
