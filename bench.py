@@ -114,6 +114,7 @@ HEADLINE = [
     "parts_abc_xyz_matrix",
     "embedding_intrinsic_dim",
     "graph_kcore_peel",
+    "events_watermark_lateness",
 ]
 
 

@@ -1853,3 +1853,84 @@ FROM d GROUP BY 1 ORDER BY 1
 
 QUERIES["events_shapley_attribution"] = events_shapley_attribution
 ORACLE["events_shapley_attribution"] = EVENTS_SHAPLEY_SQL
+
+
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit — the observability metric behind
+    every `withWatermark` tuning decision: for each event, lateness =
+    (highest event-time already seen on its partition) − (its own
+    event time), i.e. how far behind the per-partition frontier it
+    arrived; the histogram of that lateness is what you read to pick
+    a delay threshold that drops <0.1% of data. The synthetic stream
+    is perfectly time-ordered, so ARRIVAL disorder is synthesized
+    deterministically: arrival = event time + an md5-keyed jitter of
+    0–119 s (network/multi-source interleave), identical on both
+    engines. Partitions are the kafka-partition residue (user_id%8).
+
+    Exactness: pure integer µs math; jitter from the md5-nibble
+    idiom; buckets are explicit FLOOR(10-second classes) with a
+    terminal 120 s+ class. Scale: the running MAX window is
+    PARTITIONED by kafka partition (arrival order only means
+    anything within one), so the frontier scan parallelizes per
+    partition — never a global ordered window on the raw stream."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).alias("part"),
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+    ).withColumn(
+        "arrival",
+        F.col("t")
+        + (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("j:"), F.col("event_id").cast("string"))), 1, 2
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 120
+        )
+        * 1_000_000,
+    )
+    w = Window.partitionBy("part").orderBy("arrival", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = e.select("part", (F.max("t").over(w) - F.col("t")).alias("late_us"))
+    bucket = F.when(F.col("late_us") >= 120_000_000, F.lit(12)).otherwise(
+        F.expr("CAST(FLOOR(late_us / 10000000.0) AS INT)")
+    )
+    return (
+        late.select(bucket.alias("late_10s_bucket"))
+        .groupBy("late_10s_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("late_10s_bucket")
+    )
+
+
+EVENTS_WATERMARK_LATENESS_SQL = """
+WITH e AS (
+  SELECT user_id % 8 AS part, event_id, epoch_us(ts) AS t,
+         epoch_us(ts)
+         + (CAST(16 * (strpos('0123456789abcdef',
+                              substr(md5('j:' || CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+               + (strpos('0123456789abcdef',
+                         substr(md5('j:' || CAST(event_id AS VARCHAR)), 2, 1)) - 1)
+               AS BIGINT) % 120) * 1000000 AS arrival
+  FROM events
+),
+late AS (
+  SELECT part,
+         MAX(t) OVER (PARTITION BY part ORDER BY arrival, event_id
+                      ROWS UNBOUNDED PRECEDING) - t AS late_us
+  FROM e
+)
+SELECT CASE WHEN late_us >= 120000000 THEN 12
+            ELSE CAST(FLOOR(late_us / 10000000.0) AS INTEGER) END
+         AS late_10s_bucket,
+       COUNT(*) AS n_events
+FROM late
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_watermark_lateness"] = events_watermark_lateness
+ORACLE["events_watermark_lateness"] = EVENTS_WATERMARK_LATENESS_SQL

@@ -121,6 +121,7 @@ _NEW_THIS_ROUND = frozenset(
         "parts_abc_xyz_matrix",
         "embedding_intrinsic_dim",
         "graph_kcore_peel",
+        "events_watermark_lateness",
     }
 )
 

@@ -61,6 +61,7 @@ _PINNED = [
     "parts_abc_xyz_matrix",
     "embedding_intrinsic_dim",
     "graph_kcore_peel",
+    "events_watermark_lateness",
 ]
 
 
