@@ -2153,3 +2153,132 @@ FROM orders
 
 QUERIES["cdc_table_diff"] = cdc_table_diff
 ORACLE["cdc_table_diff"] = CDC_TABLE_DIFF_SQL
+
+def cdc_txn_boundary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-boundary-atomic apply: Maxwell frames binlog
+    transactions with ``xid`` plus ``commit: true`` on the last row,
+    and the reference only advances consumer offsets after a complete
+    batch loads (``AbstractCommitCallback.java``; Maxwell envelope
+    fields per ``MaxwellPipeLine.java:127-154``) — a sync that applied
+    half a transaction would expose torn writes to warehouse readers.
+    Fixture: every order becomes an INSERT envelope in transaction
+    ``xid = o_orderkey DIV 32`` (TPC-H keys run 8-per-32, so ~8-row
+    transactions); the commit marker rides the max key of each xid,
+    EXCEPT xid % 13 == 0 whose commit never arrived (in-flight tail).
+    The envelopes round-trip through ``parse_maxwell`` (which now
+    surfaces xid/commit_flag) and ``filter_complete_transactions``
+    gates on the PARSED markers — the oracle predicts both sides from
+    the residue, so a gate that leaks a torn transaction (or holds a
+    committed one) hash-breaks.
+
+    Plan: committed xids are one commit-marker-sized distinct; the
+    semi/anti joins hash on xid (AQE broadcasts the marker side in
+    practice); the final rollup is one map-side-combined agg. No
+    per-row Python anywhere."""
+    from pyspark.sql import Window
+
+    from bireme_spark.operators.cdc import filter_complete_transactions
+
+    o = load_table(spark, sf_dir, "orders")
+    xid = F.expr("o_orderkey DIV 32")
+    w = Window.partitionBy(xid)
+    is_last = F.col("o_orderkey") == F.max("o_orderkey").over(w)
+    env = F.to_json(
+        F.struct(
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            F.lit("insert").alias("type"),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+            xid.alias("xid"),
+            (is_last & (xid % 13 != 0)).alias("commit"),
+            F.struct(
+                F.col("o_orderkey").alias("o_orderkey"),
+                F.col("o_totalprice").alias("o_totalprice"),
+                F.col("o_orderstatus").alias("o_orderstatus"),
+            ).alias("data"),
+        )
+    )
+    raw = o.select(env.alias("value"))
+    data_schema = (
+        StructType()
+        .add("o_orderkey", "long")
+        .add("o_totalprice", "double")
+        .add("o_orderstatus", "string")
+    )
+    parsed = parse_maxwell(raw, "value", data_schema, key_fields=("o_orderkey",))
+    applied, held = filter_complete_transactions(parsed)
+
+    def rollup(df: DataFrame, cls: str) -> DataFrame:
+        return df.groupBy(F.col("data.o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("xid").alias("n_txns"),
+            F.sum(F.col("data.o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        ).select(F.lit(cls).alias("class"), "status", "n_rows", "n_txns", "total_value")
+
+    return rollup(applied, "applied").unionByName(rollup(held, "held")).orderBy(
+        "class", "status"
+    )
+
+
+CDC_TXN_BOUNDARY_SQL = """
+SELECT CASE WHEN (o_orderkey // 32) % 13 = 0 THEN 'held' ELSE 'applied' END AS class,
+       o_orderstatus AS status,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_orderkey // 32) AS n_txns,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["cdc_txn_boundary_apply"] = cdc_txn_boundary_apply
+ORACLE["cdc_txn_boundary_apply"] = CDC_TXN_BOUNDARY_SQL
+
+def cdc_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-time PII masking on the sync path: the customer stream is
+    loaded with per-column rules — sha-256 pseudonym for the name
+    (deterministic, so joins and distinct-counts survive), $100-band
+    generalization for the balance, star-prefix partial reveal for the
+    segment — the GDPR-style transform production CDC attaches at the
+    table-mapping seam (Debezium SMT equivalent; the reference's
+    mapping hook is ``MaxwellPipeLine.java:55-71``). The oracle
+    recomputes every rule in SQL, so a rule that leaks a raw value,
+    hashes with the wrong function, or floors the wrong way
+    hash-breaks.
+
+    Plan: all rules compile into ONE codegen projection over the
+    pruned scan (sample predicate on the key pushes down); zero extra
+    exchanges at any scale."""
+    from bireme_spark.operators.masking import mask_columns
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 20 == 0)
+    masked = mask_columns(
+        c,
+        {
+            "c_name": ("sha256",),
+            "c_acctbal": ("band", 100),
+            "c_mktsegment": ("partial", 2),
+        },
+    )
+    return masked.select(
+        "c_custkey",
+        F.col("c_name").alias("name_pseudonym"),
+        "c_nationkey",
+        F.col("c_acctbal").alias("acctbal_band"),
+        F.col("c_mktsegment").alias("segment_partial"),
+    )
+
+
+CDC_COLUMN_MASKING_SQL = """
+SELECT c_custkey,
+       sha256(c_name) AS name_pseudonym,
+       c_nationkey,
+       CAST(FLOOR(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_band,
+       '********' || right(c_mktsegment, 2) AS segment_partial
+FROM customer
+WHERE c_custkey % 20 = 0
+"""
+
+QUERIES["cdc_column_masking"] = cdc_column_masking
+ORACLE["cdc_column_masking"] = CDC_COLUMN_MASKING_SQL

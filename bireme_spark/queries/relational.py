@@ -2692,3 +2692,266 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["parts_abc_xyz_matrix"] = parts_abc_xyz_matrix
 ORACLE["parts_abc_xyz_matrix"] = PARTS_ABC_XYZ_SQL
+
+
+def lineitem_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (Welch 1947) on
+    extended price, returned ('R') vs neither ('N') line items — the
+    pairwise follow-up to lineitem_anova_f's omnibus F (Welch because
+    the two populations have no reason to share a variance).
+
+    Engine-exact: sufficient statistics are DECIMAL sums (Σx at 2dp,
+    Σx² at 4dp) accumulated in ONE map-side-combined conditional agg;
+    Σx² is rounded to 0dp BEFORE the double cast so its scaled
+    integer stays under 2^53 (the CLAUDE.md DECIMAL→DOUBLE
+    boundary), after which mean/variance/t/dof are one closing IEEE
+    expression written identically on both engines — no rounding, no
+    transcendentals beyond correctly-rounded sqrt, so the outputs are
+    bit-identical.
+
+    Scale: one aggregation to a single row of moments; nothing else
+    moves."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", money("l_extendedprice").alias("x")
+    )
+    xx = F.col("x") * F.col("x")
+
+    def grp(flag):
+        c = F.col("l_returnflag") == flag
+        return [
+            F.count(F.when(c, 1)).alias(f"n_{flag}"),
+            F.sum(F.when(c, F.col("x"))).alias(f"s1_{flag}"),
+            F.round(F.sum(F.when(c, xx)), 0).alias(f"s2_{flag}"),
+        ]
+
+    m = li.agg(*grp("R"), *grp("N"))
+    n1, n2 = F.col("n_R").cast("double"), F.col("n_N").cast("double")
+    s1r, s1n = F.col("s1_R").cast("double"), F.col("s1_N").cast("double")
+    s2r, s2n = F.col("s2_R").cast("double"), F.col("s2_N").cast("double")
+    m1, m2 = s1r / n1, s1n / n2
+    v1 = (s2r - n1 * m1 * m1) / (n1 - F.lit(1.0))
+    v2 = (s2n - n2 * m2 * m2) / (n2 - F.lit(1.0))
+    se1, se2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / F.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - F.lit(1.0)) + se2 * se2 / (n2 - F.lit(1.0))
+    )
+    return m.select(
+        F.col("n_R").alias("n_r"),
+        F.col("n_N").alias("n_n"),
+        m1.alias("mean_r"),
+        m2.alias("mean_n"),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
+    )
+
+
+LINEITEM_WELCH_SQL = """
+WITH m AS (
+  SELECT COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS s1_r,
+         ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_extendedprice AS DECIMAL(12,2)) END), 0) AS s2_r,
+         COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n,
+         SUM(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS s1_n,
+         ROUND(SUM(CASE WHEN l_returnflag = 'N'
+                        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_extendedprice AS DECIMAL(12,2)) END), 0) AS s2_n
+  FROM lineitem
+),
+d AS (
+  SELECT n_r, n_n,
+         CAST(n_r AS DOUBLE) AS dn1, CAST(n_n AS DOUBLE) AS dn2,
+         CAST(s1_r AS DOUBLE) / CAST(n_r AS DOUBLE) AS m1,
+         CAST(s1_n AS DOUBLE) / CAST(n_n AS DOUBLE) AS m2,
+         CAST(s2_r AS DOUBLE) AS q1, CAST(s2_n AS DOUBLE) AS q2
+  FROM m
+),
+v AS (
+  SELECT *,
+         (q1 - dn1 * m1 * m1) / (dn1 - 1.0) / dn1 AS se1,
+         (q2 - dn2 * m2 * m2) / (dn2 - 1.0) / dn2 AS se2
+  FROM d
+)
+SELECT n_r, n_n, m1 AS mean_r, m2 AS mean_n,
+       (m1 - m2) / SQRT(se1 + se2) AS t_stat,
+       (se1 + se2) * (se1 + se2)
+         / (se1 * se1 / (dn1 - 1.0) + se2 * se2 / (dn2 - 1.0)) AS welch_dof
+FROM v
+"""
+
+QUERIES["lineitem_welch_ttest"] = lineitem_welch_ttest
+ORACLE["lineitem_welch_ttest"] = LINEITEM_WELCH_SQL
+
+
+def customers_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (with average-tie ranks) between a
+    customer's order COUNT and total SPEND — "do frequent buyers
+    spend more" measured monotonically, complementing the parametric
+    OLS and the concordance-based Kendall τ-b already in the suite.
+
+    Engine-exact: centered doubled average ranks are INTEGERS
+    (2·avgrank = 2·RANK() + tiecount − 1, so c2 = that − (n+1) is an
+    exact integer with Σc2 = 0 by construction); all three moment
+    sums are BIGINT-exact, and ρ = Sxy/(√Sxx·√Syy) is one closing
+    IEEE expression — no rounding anywhere.
+
+    Scale: the per-customer agg is one fact-table shuffle to the
+    customer dimension; the rank windows sort that dimension (the
+    known global-sort pinch — at 100 TB swap in histogram-CDF ranks,
+    the house exact-quantile pattern; customer-dimension sorts are
+    fine well past this SF)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(money("o_totalprice")).alias("spend"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.count(F.lit(1)).over(w_all)
+    c2 = lambda col: (
+        F.lit(2) * F.rank().over(Window.orderBy(col))
+        + F.count(F.lit(1)).over(Window.partitionBy(col))
+        - 1
+        - (n + 1)
+    ).cast("long")
+    ranked = per.select(c2(F.col("cnt")).alias("cx"), c2(F.col("spend")).alias("cy"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("syy"),
+    )
+    rho = F.col("sxy").cast("double") / (
+        F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
+    )
+    return s.select("n_customers", rho.alias("rho_spearman"))
+
+
+CUSTOMERS_SPEARMAN_SQL = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS cnt,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT 2 * RANK() OVER (ORDER BY cnt) + COUNT(*) OVER (PARTITION BY cnt)
+           - 1 - (COUNT(*) OVER () + 1) AS cx,
+         2 * RANK() OVER (ORDER BY spend) + COUNT(*) OVER (PARTITION BY spend)
+           - 1 - (COUNT(*) OVER () + 1) AS cy
+  FROM per
+),
+s AS (
+  SELECT COUNT(*) AS n_customers,
+         SUM(cx * cy) AS sxy, SUM(cx * cx) AS sxx, SUM(cy * cy) AS syy
+  FROM ranked
+)
+SELECT n_customers,
+       CAST(sxy AS DOUBLE) / (SQRT(CAST(sxx AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE)))
+         AS rho_spearman
+FROM s
+"""
+
+QUERIES["customers_spearman"] = customers_spearman
+ORACLE["customers_spearman"] = CUSTOMERS_SPEARMAN_SQL
+
+
+def orders_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit (L = λ·W) of the order fulfillment queue,
+    per calendar year: arrival rate λ (orders started per day),
+    cycle time W (avg days from order to last shipment), and BOTH
+    sides of the identity — L estimated as λ·W vs L measured as the
+    time-integral of work-in-progress over the year — the queueing
+    sanity check a fulfillment dashboard runs to catch WIP leakage
+    (orders that never close inflate measured L but not λ·W).
+
+    Engine-exact: every quantity starts from integer day arithmetic
+    (datediff overlaps, duration sums); the λ/W/L divisions and the
+    λ·W product are IEEE on exact integers, identically associated on
+    both engines — no rounding.
+
+    Scale: completion = one lineitem→order groupBy (co-partitioned on
+    the join key); the year expansion is a ≤7-row broadcast; the
+    per-year rollup is map-side-combined."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship")
+    )
+    done = li.groupBy("l_orderkey").agg(F.max("ship").alias("finish"))
+    span = o.join(done, o["o_orderkey"] == done["l_orderkey"]).select(
+        "start", "finish", (F.datediff("finish", "start") + 1).alias("dur_days")
+    )
+    years = spark.range(1995, 2002).select(F.col("id").cast("int").alias("y"))
+    ys = F.to_date(F.concat(F.col("y"), F.lit("-01-01")))
+    ye = F.to_date(F.concat(F.col("y"), F.lit("-12-31")))
+    j = span.crossJoin(F.broadcast(years)).where(
+        (F.col("start") <= ye) & (F.col("finish") >= ys)
+    )
+    per = j.groupBy("y").agg(
+        F.sum(
+            F.datediff(F.least(F.col("finish"), ye), F.greatest(F.col("start"), ys))
+            + 1
+        ).alias("wip_days"),
+        F.count(F.when(F.year("start") == F.col("y"), 1)).alias("n_started"),
+        F.sum(F.when(F.year("start") == F.col("y"), F.col("dur_days"))).alias(
+            "dur_sum"
+        ),
+        (F.datediff(F.max(ye), F.max(ys)) + 1).alias("days_in_year"),
+    )
+    lam = F.col("n_started").cast("double") / F.col("days_in_year").cast("double")
+    w = F.col("dur_sum").cast("double") / F.col("n_started").cast("double")
+    l_meas = F.col("wip_days").cast("double") / F.col("days_in_year").cast("double")
+    return per.select(
+        "y",
+        "n_started",
+        lam.alias("lambda_per_day"),
+        w.alias("w_days"),
+        (lam * w).alias("l_little"),
+        l_meas.alias("l_measured"),
+    ).orderBy("y")
+
+
+ORDERS_LITTLE_LAW_SQL = """
+WITH done AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS finish
+  FROM lineitem GROUP BY 1
+),
+span AS (
+  SELECT CAST(o_orderdate AS DATE) AS start, d.finish,
+         datediff('day', CAST(o_orderdate AS DATE), d.finish) + 1 AS dur_days
+  FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+),
+yrs AS (
+  SELECT y, CAST(CAST(y AS VARCHAR) || '-01-01' AS DATE) AS ys,
+            CAST(CAST(y AS VARCHAR) || '-12-31' AS DATE) AS ye
+  FROM (SELECT UNNEST(range(1995, 2002)) AS y)
+),
+j AS (
+  SELECT s.*, yrs.y, yrs.ys, yrs.ye FROM span s, yrs
+  WHERE s.start <= yrs.ye AND s.finish >= yrs.ys
+),
+per AS (
+  SELECT y,
+         SUM(datediff('day', GREATEST(start, ys), LEAST(finish, ye)) + 1) AS wip_days,
+         COUNT(CASE WHEN EXTRACT(year FROM start) = y THEN 1 END) AS n_started,
+         SUM(CASE WHEN EXTRACT(year FROM start) = y THEN dur_days END) AS dur_sum,
+         datediff('day', MAX(ys), MAX(ye)) + 1 AS days_in_year
+  FROM j GROUP BY 1
+)
+SELECT CAST(y AS INTEGER) AS y, n_started,
+       CAST(n_started AS DOUBLE) / CAST(days_in_year AS DOUBLE) AS lambda_per_day,
+       CAST(dur_sum AS DOUBLE) / CAST(n_started AS DOUBLE) AS w_days,
+       (CAST(n_started AS DOUBLE) / CAST(days_in_year AS DOUBLE))
+         * (CAST(dur_sum AS DOUBLE) / CAST(n_started AS DOUBLE)) AS l_little,
+       CAST(wip_days AS DOUBLE) / CAST(days_in_year AS DOUBLE) AS l_measured
+FROM per ORDER BY y
+"""
+
+QUERIES["orders_little_law"] = orders_little_law
+ORACLE["orders_little_law"] = ORDERS_LITTLE_LAW_SQL

@@ -1664,3 +1664,169 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["events_periodogram"] = events_periodogram
 ORACLE["events_periodogram"] = EVENTS_PERIODOGRAM_SQL
+
+
+def orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator (Theil 1950, Sen 1968) of the monthly
+    revenue trend: the MEDIAN of all pairwise slopes — the robust
+    trend line a single promo-spike month cannot drag, complementing
+    events_mann_kendall (which tests the trend's existence; Sen's
+    slope quantifies it).
+
+    Engine-exact: monthly revenue collapses to integer CENTS; each
+    pairwise slope is integer milli-cents-per-month via truncating
+    integer division (Spark ``DIV`` == DuckDB ``//``, both
+    truncate-toward-zero — verified, and kept identical by using the
+    same operator on both sides); the median of integers is picked by
+    explicit row_number (avg of the two middles on even counts —
+    .5-exact), so no percentile interpolation is in play.
+
+    Scale: the fact table collapses in ONE agg to |months| rows;
+    the O(months²) pair join (~3k rows) and the median sort are
+    constant-size regardless of data volume."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias(
+                "m"
+            )
+        )
+        .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    a = monthly.select(F.col("m").alias("i"), F.col("cents").alias("ci"))
+    b = monthly.select(F.col("m").alias("j"), F.col("cents").alias("cj"))
+    slopes = (
+        a.join(b, F.col("i") < F.col("j"))
+        .select(
+            F.expr("(cj - ci) * 1000 DIV (j - i)").alias("slope_milli")
+        )
+    )
+    w = Window.orderBy("slope_milli")
+    ranked = slopes.select(
+        "slope_milli",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("np"),
+    )
+    mid = ranked.where(F.expr("rn = (np + 1) DIV 2 OR rn = np DIV 2 + 1"))
+    return mid.agg(
+        F.max("np").alias("n_pairs"),
+        (F.avg(F.col("slope_milli")) / 1000.0).alias("sen_slope_cents_per_month"),
+    )
+
+
+ORDERS_THEIL_SEN_SQL = """
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT (b.cents - a.cents) * 1000 // (b.m - a.m) AS slope_milli
+  FROM monthly a JOIN monthly b ON a.m < b.m
+),
+ranked AS (
+  SELECT slope_milli, ROW_NUMBER() OVER (ORDER BY slope_milli) AS rn,
+         COUNT(*) OVER () AS np
+  FROM slopes
+)
+SELECT MAX(np) AS n_pairs,
+       AVG(slope_milli) / 1000.0 AS sen_slope_cents_per_month
+FROM ranked
+WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+"""
+
+QUERIES["orders_theil_sen"] = orders_theil_sen
+ORACLE["orders_theil_sen"] = ORDERS_THEIL_SEN_SQL
+
+
+def orders_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of monthly
+    revenue on time, via the minimax identity iso_i = max_{j≤i}
+    min_{k≥i} mean(y[j..k]) — the closed form whose result equals the
+    pool-adjacent-violators fit (Barlow et al. 1972) but is pure
+    relational algebra, so BOTH engines evaluate the same O(n³)
+    formula over the collapsed series instead of a sequential fold:
+    the calibration-curve primitive (and the monotone trend a
+    forecaster clamps to).
+
+    Engine-exact: interval means come from DECIMAL prefix sums
+    ((P_k − P_{j−1}) cast to double, ÷ integer length — exact inputs,
+    identical IEEE division); min/max over identical doubles are
+    exact, so the fit needs NO rounding anywhere.
+
+    Scale: the fact table collapses in ONE map-side-combined agg to
+    |months| (~80) rows; the (j,i,k) expansion is months³/6 ≈ 90k
+    constant-size rows — independent of data volume."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+    )
+    w = Window.orderBy("m")
+    pre = monthly.select(
+        F.row_number().over(w).alias("i"),
+        F.col("m"),
+        F.col("rev"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+    )
+    jk = (
+        pre.select(F.col("i").alias("j"), (F.col("p") - F.col("rev")).alias("pj1"))
+        .join(pre.select(F.col("i").alias("k"), F.col("p").alias("pk")), F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("pk") - F.col("pj1")).cast("double")
+                / (F.col("k") - F.col("j") + 1).cast("double")
+            ).alias("seg_mean"),
+        )
+    )
+    mids = pre.select(F.col("i").alias("i"))
+    expanded = jk.join(
+        mids, (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k"))
+    )
+    inner = expanded.groupBy("i", "j").agg(F.min("seg_mean").alias("tmin"))
+    iso = inner.groupBy("i").agg(F.max("tmin").alias("iso_fit"))
+    return (
+        pre.join(iso, "i")
+        .select("m", F.col("rev").cast("double").alias("revenue"), "iso_fit")
+        .orderBy("m")
+    )
+
+
+ORDERS_ISOTONIC_SQL = """
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+pre AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY m) AS i, m, rev,
+         SUM(rev) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS p
+  FROM monthly
+),
+jk AS (
+  SELECT a.i AS j, b.i AS k,
+         CAST(b.p - (a.p - a.rev) AS DOUBLE) / CAST(b.i - a.i + 1 AS DOUBLE)
+           AS seg_mean
+  FROM pre a JOIN pre b ON a.i <= b.i
+),
+inner_min AS (
+  SELECT c.i, jk.j, MIN(jk.seg_mean) AS tmin
+  FROM jk JOIN pre c ON jk.j <= c.i AND c.i <= jk.k
+  GROUP BY 1, 2
+),
+iso AS (SELECT i, MAX(tmin) AS iso_fit FROM inner_min GROUP BY 1)
+SELECT pre.m, CAST(pre.rev AS DOUBLE) AS revenue, iso.iso_fit
+FROM pre JOIN iso ON pre.i = iso.i
+ORDER BY pre.m
+"""
+
+QUERIES["orders_isotonic_fit"] = orders_isotonic_fit
+ORACLE["orders_isotonic_fit"] = ORDERS_ISOTONIC_SQL

@@ -122,6 +122,13 @@ _NEW_THIS_ROUND = frozenset(
         "embedding_intrinsic_dim",
         "graph_kcore_peel",
         "events_watermark_lateness",
+        "cdc_txn_boundary_apply",
+        "cdc_column_masking",
+        "lineitem_welch_ttest",
+        "customers_spearman",
+        "orders_little_law",
+        "orders_theil_sen",
+        "orders_isotonic_fit",
     }
 )
 

@@ -24,12 +24,18 @@ OP_MAP = {"insert": "I", "update": "U", "delete": "D"}
 
 
 def maxwell_envelope_schema(data_schema: StructType) -> StructType:
+    # xid/commit are Maxwell's transaction framing (xid = binlog
+    # transaction id, commit = true on a transaction's last row);
+    # absent fields parse as null, so pre-existing fixtures without
+    # them are unaffected.
     return (
         StructType()
         .add("database", "string")
         .add("table", "string")
         .add("type", "string")
         .add("ts", "long")
+        .add("xid", "long")
+        .add("commit", "boolean")
         .add("data", data_schema)
         .add("old", data_schema)
     )
@@ -86,6 +92,8 @@ def parse_maxwell(
         F.when((F.col("_env.type") == "update") & pk_changed, F.concat_ws("", *old_key_parts))
         .otherwise(F.lit(None).cast("string"))
         .alias("old_key"),
+        F.col("_env.xid").alias("xid"),
+        F.coalesce(F.col("_env.commit"), F.lit(False)).alias("commit_flag"),
         F.col("_env.data").alias("data"),
         F.col("_env.old").alias("old"),
     )
