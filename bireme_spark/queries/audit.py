@@ -1284,3 +1284,164 @@ def _kcore_sql() -> str:
 
 QUERIES["graph_kcore_peel"] = graph_kcore_peel
 ORACLE["graph_kcore_peel"] = _kcore_sql()
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the part co-purchase graph
+    (Adamic & Adar 2003; Liben-Nowell & Kleinberg 2003): for
+    non-adjacent pairs with ≥2 common neighbors, score =
+    Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg(w)) — the rare-shared-neighbor
+    refinement of graph_link_prediction's plain Jaccard (a common
+    neighbor that co-occurs with everything carries almost no
+    signal; Adamic–Adar discounts it by its degree).
+
+    Engine-exact: each wedge center's weight is an INTEGER
+    micro-score (ROUND(1e6/ln(deg), 0) — a 1-ulp ln() difference
+    would need the quotient within 1e-10 of .5 to flip, impossible
+    across the finitely many degree values); the per-pair score is a
+    BIGINT sum of those integers, so ranking and values hash-match.
+    Ties break on the id pair.
+
+    Scale: same bucketed wedge plan as graph_link_prediction
+    (deterministic 12.5% basket sample, per-order fan-out ≤ C(7,2),
+    ONE (u,v) groupBy, anti-join on the same key); the weight join
+    adds one node-dimension-sized lookup on the wedge root. At
+    100 TB cap super-hub roots before pairing, as documented there."""
+    edges = _copurchase_edges(spark, sf_dir, node_filter=F.col("l_orderkey") % 8 == 0)
+    adj = edges.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionByName(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    wdeg = deg.where(F.col("deg") >= 2).select(
+        "n",
+        F.expr("CAST(ROUND(1000000.0 / LN(CAST(deg AS DOUBLE)), 0) AS BIGINT)").alias(
+            "w_micro"
+        ),
+    )
+    a = adj.select(F.col("n").alias("root"), F.col("nb").alias("x"))
+    b = adj.select(F.col("n").alias("root"), F.col("nb").alias("y"))
+    wedges = (
+        a.join(b, "root")
+        .where(F.col("x") < F.col("y"))
+        .join(wdeg.withColumnRenamed("n", "root"), "root")
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"), F.sum("w_micro").alias("aa_micro"))
+        .where(F.col("common") >= 2)
+    )
+    cand = wedges.join(edges, ["u", "v"], "left_anti")
+    return cand.orderBy(
+        F.col("aa_micro").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(20)
+
+
+GRAPH_ADAMIC_ADAR_SQL = """
+WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_orderkey % 8 = 0),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+),
+adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY 1),
+wdeg AS (
+  SELECT n, CAST(ROUND(1000000.0 / LN(CAST(deg AS DOUBLE)), 0) AS BIGINT) AS w_micro
+  FROM deg WHERE deg >= 2
+),
+wedges AS (
+  SELECT a.nb AS u, b.nb AS v, COUNT(*) AS common,
+         CAST(SUM(w.w_micro) AS BIGINT) AS aa_micro
+  FROM adj a JOIN adj b ON a.n = b.n AND a.nb < b.nb
+  JOIN wdeg w ON w.n = a.n
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT w.u, w.v, CAST(w.common AS BIGINT) AS common, w.aa_micro
+FROM wedges w
+ANTI JOIN e ON e.u = w.u AND e.v = w.v
+ORDER BY aa_micro DESC, u ASC, v ASC
+LIMIT 20
+"""
+
+QUERIES["graph_adamic_adar"] = graph_adamic_adar
+ORACLE["graph_adamic_adar"] = GRAPH_ADAMIC_ADAR_SQL
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), 3 unrolled rounds with the deterministic
+    (count DESC, label ASC) tie-break: every node starts as its own
+    community and adopts its neighborhood's plurality label each
+    round — the near-linear community primitive (vs the modularity
+    ladder's cost) over the sampled co-purchase graph; output is the
+    community-size census (size → how many communities), the shape a
+    catalog team reads for assortment clusters.
+
+    Engine-exact: labels are ids and votes are integer counts; the
+    plurality pick is an explicit ROW_NUMBER over (cnt DESC, label
+    ASC) on both engines — no floats anywhere.
+
+    Scale: each round is one edge-hash shuffle (adj ⨝ labels) + one
+    (node, label) map-side-combined agg — the synchronous
+    Pregel-superstep plan; 3 unrolled rounds, no driver loop, no
+    lineage blow-up (the frames are joins, not recursion)."""
+    edges = _copurchase_edges(spark, sf_dir, node_filter=F.col("l_orderkey") % 8 == 0)
+    adj = edges.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionByName(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    )
+    labels = adj.select(F.col("n")).distinct().select("n", F.col("n").alias("lbl"))
+    w = Window.partitionBy("n").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(3):
+        votes = (
+            adj.join(labels.withColumnRenamed("n", "nb"), "nb")
+            .groupBy("n", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("n", "lbl")
+        )
+    comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        comm.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .orderBy("size")
+    )
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for r in (1, 2, 3):
+        rounds.append(
+            f"""v{r} AS (
+  SELECT a.n, p.lbl, COUNT(*) AS cnt
+  FROM adj a JOIN {prev} p ON p.n = a.nb
+  GROUP BY 1, 2
+),
+l{r} AS (
+  SELECT n, lbl FROM (
+    SELECT n, lbl, ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM v{r}
+  ) t WHERE rn = 1
+)"""
+        )
+        prev = f"l{r}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_orderkey % 8 = 0),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+),
+adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+l0 AS (SELECT DISTINCT n, n AS lbl FROM adj),
+{body},
+comm AS (SELECT lbl, COUNT(*) AS size FROM l3 GROUP BY 1)
+SELECT CAST(size AS BIGINT) AS size, COUNT(*) AS n_communities
+FROM comm GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLE["graph_label_propagation"] = _lpa_sql()

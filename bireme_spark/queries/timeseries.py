@@ -1830,3 +1830,153 @@ ORDER BY pre.m
 
 QUERIES["orders_isotonic_fit"] = orders_isotonic_fit
 ORACLE["orders_isotonic_fit"] = ORDERS_ISOTONIC_SQL
+
+
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series by rescaled-
+    range (R/S) analysis (Hurst 1951; Mandelbrot & Wallis 1969):
+    chunk the 720-hour series at sizes s ∈ {8,16,32,64}, compute each
+    chunk's range-of-cumulative-deviations over its standard
+    deviation, and fit log(R/S) ~ H·log(s) — H≈0.5 is memoryless
+    traffic, H>0.5 long-range dependence (the burstiness diagnostic
+    that decides whether capacity planning can use Poisson math).
+
+    Engine-exact: chunk sizes are POWERS OF TWO, so chunk means and
+    every deviation/cumulative-deviation/squared-deviation is a
+    dyadic rational — exact in binary on both engines, and their
+    sums are order-independent (no decimal discipline needed until
+    the averaging step); per-chunk R/S is identical-IEEE, rounded
+    6dp into DECIMAL for the cross-chunk average; the log-log OLS
+    runs on 6dp-rounded LN terms (the transcendental discipline)
+    with DECIMAL 4-point sums.
+
+    Scale: the stream collapses once to 720 integer counts; all R/S
+    work is on the |hours|×4 expansion — constant-size regardless of
+    event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    # hour index relative to 2024-01-01T00Z (epoch hour 473352);
+    # the synthetic feed spans 2024-01-01..01-30 at every SF
+    t = F.expr("unix_micros(ts) DIV 3600000000") - 473352
+    counts = (
+        ev.select(t.alias("t"))
+        .where((F.col("t") >= 0) & (F.col("t") < 720))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(720).select(F.col("id").alias("t"))
+    series = spine.join(counts, "t", "left").select(
+        "t", F.coalesce("cnt", F.lit(0)).alias("x")
+    )
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s).cast("long") for s in (8, 16, 32, 64)])).alias("s")
+    )
+    ch = (
+        series.crossJoin(F.broadcast(sizes))
+        .where(F.expr("t DIV s < 720 DIV s"))
+        .select("s", F.expr("t DIV s").alias("c"), F.expr("t % s").alias("pos"), "x")
+    )
+    wseq = Window.partitionBy("s", "c").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wch = Window.partitionBy("s", "c")
+    mean = F.sum("x").over(wch) / F.col("s")
+    z = F.sum("x").over(wseq).cast("double") - (F.col("pos") + 1) * mean
+    dev2 = (F.col("x") - mean) * (F.col("x") - mean)
+    per_chunk = (
+        ch.select("s", "c", z.alias("z"), dev2.alias("d2"))
+        .groupBy("s", "c")
+        .agg(
+            (F.max("z") - F.min("z")).alias("r"),
+            F.sqrt(F.sum("d2") / F.col("s")).alias("sd"),
+        )
+        .where(F.col("sd") > 0)
+        .select("s", F.round(F.col("r") / F.col("sd"), 6).cast("decimal(18,6)").alias("rs"))
+    )
+    per_s = per_chunk.groupBy("s").agg(
+        (F.sum("rs").cast("double") / F.count(F.lit(1))).alias("avg_rs")
+    )
+    pts = per_s.select(
+        "s",
+        "avg_rs",
+        F.round(F.log(F.col("s").cast("double")), 6).cast("decimal(18,6)").alias("lx"),
+        F.round(F.log("avg_rs"), 6).cast("decimal(18,6)").alias("ly"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        *[
+            F.max(F.when(F.col("s") == sv, F.col("avg_rs"))).alias(f"rs_{sv}")
+            for sv in (8, 16, 32, 64)
+        ],
+    )
+    hurst = (
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return fit.select(
+        "rs_8", "rs_16", "rs_32", "rs_64", hurst.alias("hurst")
+    )
+
+
+EVENTS_HURST_SQL = """
+WITH counts AS (
+  SELECT epoch_us(ts) // 3600000000 - 473352 AS t, COUNT(*) AS cnt
+  FROM events
+  WHERE epoch_us(ts) // 3600000000 - 473352 >= 0
+    AND epoch_us(ts) // 3600000000 - 473352 < 720
+  GROUP BY 1
+),
+series AS (
+  SELECT g.t, COALESCE(c.cnt, 0) AS x
+  FROM (SELECT UNNEST(range(0, 720)) AS t) g LEFT JOIN counts c ON c.t = g.t
+),
+ch AS (
+  SELECT sz.s, se.t // sz.s AS c, se.t % sz.s AS pos, se.x
+  FROM series se, (SELECT UNNEST([8, 16, 32, 64]) AS s) sz
+  WHERE se.t // sz.s < 720 // sz.s
+),
+zstep AS (
+  SELECT s, c, pos, x,
+         SUM(x) OVER (PARTITION BY s, c) / s AS mean,
+         CAST(SUM(x) OVER (PARTITION BY s, c ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           - (pos + 1) * (SUM(x) OVER (PARTITION BY s, c) / s) AS z
+  FROM ch
+),
+per_chunk AS (
+  SELECT s, c, MAX(z) - MIN(z) AS r,
+         SQRT(SUM((x - mean) * (x - mean)) / s) AS sd
+  FROM zstep GROUP BY 1, 2
+),
+rs AS (
+  SELECT s, CAST(ROUND(r / sd, 6) AS DECIMAL(18,6)) AS rs
+  FROM per_chunk WHERE sd > 0
+),
+per_s AS (
+  SELECT s, CAST(SUM(rs) AS DOUBLE) / COUNT(*) AS avg_rs FROM rs GROUP BY 1
+),
+pts AS (
+  SELECT s, avg_rs,
+         CAST(ROUND(LN(CAST(s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lx,
+         CAST(ROUND(LN(avg_rs), 6) AS DECIMAL(18,6)) AS ly
+  FROM per_s
+),
+fit AS (
+  SELECT COUNT(*) AS k, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx,
+         MAX(CASE WHEN s = 8 THEN avg_rs END) AS rs_8,
+         MAX(CASE WHEN s = 16 THEN avg_rs END) AS rs_16,
+         MAX(CASE WHEN s = 32 THEN avg_rs END) AS rs_32,
+         MAX(CASE WHEN s = 64 THEN avg_rs END) AS rs_64
+  FROM pts
+)
+SELECT rs_8, rs_16, rs_32, rs_64,
+       CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE) AS hurst
+FROM fit
+"""
+
+QUERIES["events_hurst_exponent"] = events_hurst_exponent
+ORACLE["events_hurst_exponent"] = EVENTS_HURST_SQL

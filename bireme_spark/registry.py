@@ -129,6 +129,9 @@ _NEW_THIS_ROUND = frozenset(
         "orders_little_law",
         "orders_theil_sen",
         "orders_isotonic_fit",
+        "graph_adamic_adar",
+        "graph_label_propagation",
+        "events_hurst_exponent",
     }
 )
 
