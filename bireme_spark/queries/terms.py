@@ -784,3 +784,114 @@ LIMIT 20
 
 QUERIES["text_bm25_search"] = text_bm25_search
 ORACLE["text_bm25_search"] = TEXT_BM25_SQL
+
+
+def _llr_term_sql(k: str, r: str, c: str) -> str:
+    """One Dunning G² cell: k·ln(k·N/(R·C)), 6dp-rounded into DECIMAL
+    (transcendental discipline), zero when the cell is empty. The
+    SAME string feeds Spark (F.expr) and the DuckDB oracle, so the
+    arithmetic cannot drift between engines."""
+    return (
+        f"CASE WHEN {k} > 0 THEN "
+        f"CAST(ROUND({k} * LN((CAST({k} AS DOUBLE) * n) / (CAST({r} AS DOUBLE) * {c})), 6)"
+        f" AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END"
+    )
+
+
+def text_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by Dunning's log-likelihood ratio (Dunning
+    1993): for each adjacent word pair, G² = 2·Σ k_ij ln(k_ij N /
+    R_i C_j) over the 2×2 contingency of (first word, second word)
+    across all bigram slots — the sparse-safe alternative to PMI for
+    "which word pairs travel together" (PMI over-rewards rare pairs;
+    G² is χ²-calibrated). Top-20 collocations with k11 ≥ 5.
+
+    Engine-exact: the four cell terms are generated from ONE shared
+    SQL string (ln of integer-ratio arguments, 6dp-rounded into
+    DECIMAL per cell), so G² = 2·(exact decimal sum of 4 cells)
+    hash-matches; ranking ties break on the word pair.
+
+    Scale: bigrams generate map-side from the split array (no
+    self-join); ONE (w1,w2) agg is the only corpus-sized shuffle —
+    marginals and N re-aggregate from it (bigram-vocabulary-sized),
+    and the candidate join carries only k11 ≥ 5 pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.split("text", " ").alias("__ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(__ws) - 2, -1)),"
+                    " i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("k11"))
+    r1 = model.groupBy("w1").agg(F.sum("k11").alias("c1"))
+    c1 = model.groupBy("w2").agg(F.sum("k11").alias("c2"))
+    tot = model.agg(F.sum("k11").alias("n"))
+    cells = (
+        model.where(F.col("k11") >= 5)
+        .join(r1, "w1")
+        .join(c1, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("k12", F.col("c1") - F.col("k11"))
+        .withColumn("k21", F.col("c2") - F.col("k11"))
+        .withColumn("k22", F.col("n") - F.col("c1") - F.col("k21"))
+    )
+    g2 = (
+        (
+            F.expr(_llr_term_sql("k11", "c1", "c2"))
+            + F.expr(_llr_term_sql("k12", "c1", "(n - c2)"))
+            + F.expr(_llr_term_sql("k21", "(n - c1)", "c2"))
+            + F.expr(_llr_term_sql("k22", "(n - c1)", "(n - c2)"))
+        ).cast("decimal(18,6)")
+        * 2
+    ).cast("double")
+    return (
+        cells.select(
+            "w1", "w2", F.col("k11").alias("pair_count"), g2.alias("g2_llr")
+        )
+        .orderBy(F.col("g2_llr").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
+def _collocations_sql() -> str:
+    t11 = _llr_term_sql("k11", "c1", "c2")
+    t12 = _llr_term_sql("k12", "c1", "(n - c2)")
+    t21 = _llr_term_sql("k21", "(n - c1)", "c2")
+    t22 = _llr_term_sql("k22", "(n - c1)", "(n - c2)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+),
+model AS (SELECT w1, w2, COUNT(*) AS k11 FROM bg GROUP BY 1, 2),
+r1 AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS c1 FROM model GROUP BY 1),
+cc AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS c2 FROM model GROUP BY 1),
+tot AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM model),
+cells AS (
+  SELECT m.w1, m.w2, m.k11, r1.c1, cc.c2, tot.n,
+         r1.c1 - m.k11 AS k12, cc.c2 - m.k11 AS k21,
+         tot.n - r1.c1 - (cc.c2 - m.k11) AS k22
+  FROM model m JOIN r1 USING (w1) JOIN cc USING (w2) CROSS JOIN tot
+  WHERE m.k11 >= 5
+)
+SELECT w1, w2, CAST(k11 AS BIGINT) AS pair_count,
+       CAST(CAST({t11} + {t12} + {t21} + {t22} AS DECIMAL(18,6)) * 2 AS DOUBLE) AS g2_llr
+FROM cells
+ORDER BY g2_llr DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+
+QUERIES["text_collocations_llr"] = text_collocations_llr
+ORACLE["text_collocations_llr"] = _collocations_sql()

@@ -688,3 +688,232 @@ ORDER BY t.decile
 
 QUERIES["text_heaps_law"] = text_heaps_law
 ORACLE["text_heaps_law"] = HEAPS_LAW_SQL
+
+
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, Covington & McFall
+    2010), window W=20: per document, the mean over all 20-token
+    windows of (distinct tokens in window)/20 — the length-unbiased
+    lexical-diversity measure (plain TTR shrinks with doc length, so
+    corpus filters that threshold on it systematically bias against
+    long docs). Reported per source as integer-ppm distribution
+    stats.
+
+    Engine-exact AND O(tokens): instead of materializing the
+    tokens×W window expansion, each token's contribution is counted
+    in closed form — token at position q with previous same-word
+    occurrence q' is the window-first occurrence for exactly the
+    windows p ∈ [max(q−W+1, q'+1, 1), min(q, L−W+1)] — so Σ(window
+    distinct counts) is ONE lag window + an integer-clamp sum, and
+    MATTR is emitted as truncating integer ppm (DIV == //), never a
+    divided double.
+
+    Scale: tokenize once, one (doc,word) lag partition, one doc agg,
+    one source agg — all map-side-combinable; no W-fold fan-out at
+    any scale."""
+    W = 20
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", F.posexplode(F.split("text", " ")).alias("p", "w"))
+        .select("doc_id", "source", (F.col("p") + 1).alias("q"), "w")
+        .where(F.col("w") != "")
+    )
+    wlen = Window.partitionBy("doc_id")
+    wprev = Window.partitionBy("doc_id", "w").orderBy("q")
+    t = toks.select(
+        "doc_id",
+        "source",
+        "q",
+        F.max("q").over(wlen).alias("len"),
+        F.coalesce(F.lag("q").over(wprev), F.lit(0)).alias("prev"),
+    ).where(F.col("len") >= W)
+    contrib = F.greatest(
+        F.lit(0),
+        F.least(F.col("q"), F.col("len") - W + 1)
+        - F.greatest(F.col("q") - W + 1, F.col("prev") + 1, F.lit(1))
+        + 1,
+    )
+    per_doc = t.groupBy("doc_id", "source").agg(
+        F.sum(contrib).alias("sd"), F.max("len").alias("len")
+    )
+    ppm = F.expr(f"sd * 1000000 DIV ({W} * (len - {W} + 1))")
+    docs = per_doc.select("source", ppm.alias("mattr_ppm"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("mattr_ppm").alias("avg_mattr_ppm"),
+            F.min("mattr_ppm").alias("min_mattr_ppm"),
+            F.max("mattr_ppm").alias("max_mattr_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_MATTR_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, ws[q] AS w, q
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(range(1, len(ws) + 1)) AS t(q)
+  WHERE ws[q] <> ''
+),
+t AS (
+  SELECT doc_id, source, q,
+         MAX(q) OVER (PARTITION BY doc_id) AS len,
+         COALESCE(LAG(q) OVER (PARTITION BY doc_id, w ORDER BY q), 0) AS prev
+  FROM toks
+),
+per_doc AS (
+  SELECT doc_id, source,
+         SUM(GREATEST(0, LEAST(q, len - 19) - GREATEST(q - 19, prev + 1, 1) + 1)) AS sd,
+         MAX(len) AS len
+  FROM t WHERE len >= 20
+  GROUP BY 1, 2
+),
+docs AS (
+  SELECT source, sd * 1000000 // (20 * (len - 19)) AS mattr_ppm FROM per_doc
+)
+SELECT source, COUNT(*) AS n_docs,
+       AVG(mattr_ppm) AS avg_mattr_ppm,
+       CAST(MIN(mattr_ppm) AS BIGINT) AS min_mattr_ppm,
+       CAST(MAX(mattr_ppm) AS BIGINT) AS max_mattr_ppm
+FROM docs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["text_mattr_diversity"] = text_mattr_diversity
+ORACLE["text_mattr_diversity"] = TEXT_MATTR_SQL
+
+
+def text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained and
+    evaluated on the corpus (add-one smoothing; McCallum & Nigam
+    1998): P(lang|doc) ∝ P(lang)·Π P(w|lang)^tf — the one-pass
+    counting classifier that needs no gradient loop (contrast
+    quality_classifier's logistic GD), and the standard fast lang-id
+    / topic-routing baseline for corpus pipelines. Reports per-class
+    self-classification accuracy as integer ppm plus the confusion
+    diagonal.
+
+    Engine-exact: log-likelihood weights ln((c+1)/(T+V)) and log
+    priors are 6dp-rounded DECIMALs (transcendental discipline);
+    per-doc scores are exact DECIMAL dot products (integer tf ×
+    decimal weight), and argmax breaks ties on lang ASC via
+    row_number — no floats in the ranking path.
+
+    Scale: ONE tokenize + one (doc,word) tf agg (corpus-sized, both
+    map-side-combinable); the model is vocab×langs (model-sized,
+    broadcast); scoring joins tf to the model on the word hash.
+    Nothing driver-sided."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    tf = toks.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("tf"))
+    clw = tf.groupBy("lang", "w").agg(F.sum("tf").alias("c"))
+    tl = clw.groupBy("lang").agg(F.sum("c").alias("t"))
+    words = clw.select("w").distinct()
+    vocab = words.agg(F.count(F.lit(1)).alias("v"))
+    dl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("d_l"))
+    dtot = d.agg(F.count(F.lit(1)).alias("d_tot"))
+    dense = (
+        tl.crossJoin(F.broadcast(words))
+        .join(clw, ["lang", "w"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cand"),
+            "w",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lw"),
+        )
+    )
+    prior = dl.crossJoin(F.broadcast(dtot)).select(
+        F.col("lang").alias("cand"),
+        F.round(
+            F.log(F.col("d_l").cast("double") / F.col("d_tot").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    scores = (
+        tf.join(dense, "w")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.sum(F.col("tf") * F.col("lw")).alias("ll"))
+        .join(prior, "cand")
+        .select("doc_id", "lang", "cand", (F.col("ll") + F.col("lp")).alias("score"))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand").asc())
+    pred = scores.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") == 1)
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("cand") == F.col("lang"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_correct",
+            F.expr("n_correct * 1000000 DIV n_docs").alias("accuracy_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_NAIVE_BAYES_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, w, COUNT(*) AS tf FROM toks WHERE w <> '' GROUP BY 1, 2, 3
+),
+clw AS (SELECT lang, w, SUM(tf) AS c FROM tf GROUP BY 1, 2),
+tl AS (SELECT lang, SUM(c) AS t FROM clw GROUP BY 1),
+words AS (SELECT DISTINCT w FROM clw),
+vocab AS (SELECT COUNT(*) AS v FROM words),
+dl AS (SELECT lang, COUNT(*) AS d_l FROM documents GROUP BY 1),
+dtot AS (SELECT COUNT(*) AS d_tot FROM documents),
+dense AS (
+  SELECT tl.lang AS cand, words.w,
+         CAST(ROUND(LN(CAST(COALESCE(clw.c, 0) + 1 AS DOUBLE)
+                       / CAST(tl.t + vocab.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lw
+  FROM tl CROSS JOIN words
+  LEFT JOIN clw ON clw.lang = tl.lang AND clw.w = words.w
+  CROSS JOIN vocab
+),
+prior AS (
+  SELECT dl.lang AS cand,
+         CAST(ROUND(LN(CAST(dl.d_l AS DOUBLE) / CAST(dtot.d_tot AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM dl CROSS JOIN dtot
+),
+scores AS (
+  SELECT tf.doc_id, tf.lang, d.cand, SUM(tf.tf * d.lw) + MAX(p.lp) AS score
+  FROM tf JOIN dense d ON d.w = tf.w
+  JOIN prior p ON p.cand = d.cand
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, lang, cand FROM (
+    SELECT doc_id, lang, cand,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+    FROM scores
+  ) t WHERE rn = 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm
+FROM pred GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["text_naive_bayes"] = text_naive_bayes
+ORACLE["text_naive_bayes"] = TEXT_NAIVE_BAYES_SQL

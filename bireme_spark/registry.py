@@ -132,6 +132,9 @@ _NEW_THIS_ROUND = frozenset(
         "graph_adamic_adar",
         "graph_label_propagation",
         "events_hurst_exponent",
+        "text_collocations_llr",
+        "text_mattr_diversity",
+        "text_naive_bayes",
     }
 )
 
