@@ -1134,3 +1134,75 @@ FROM (SELECT 1)
 
 QUERIES["corpus_bloom_prefilter"] = corpus_bloom_prefilter
 ORACLE["corpus_bloom_prefilter"] = CORPUS_BLOOM_SQL
+
+
+def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling for pretraining (Bengio et al. 2009
+    curriculum learning, as data teams apply it): assign every
+    document a phase by length tercile (short→long = easy→hard
+    proxy) crossed with an English/non-English track, and emit each
+    phase's doc count and token/char budgets — the schedule table a
+    training launcher consumes to order data loading.
+
+    Engine-exact: terciles use the histogram-CDF house pattern on
+    the INTEGER n_chars value histogram (never a global ntile sort):
+    bucket(v) = ((cdf≤(v) − 1)·3) DIV total + 1, all integer, so
+    same-valued docs land in the same phase on both engines; budgets
+    are integer sums.
+
+    Scale: one value-histogram agg (histogram-sized CDF window,
+    broadcast back), one tokenize for budgets, one 6-row rollup —
+    no raw-row sort at any scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("tokens"),
+    )
+    hist = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    buckets = hist.select(
+        "n_chars",
+        F.expr(
+            "((sum(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) - 1) * 3)"
+            " DIV (sum(c) OVER ()) + 1"
+        ).alias("phase"),
+    )
+    j = d.join(F.broadcast(buckets), "n_chars")
+    return (
+        j.groupBy(
+            "phase",
+            F.when(F.col("lang") == "en", "en").otherwise("other").alias("track"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("token_budget"),
+            F.sum("n_chars").alias("char_budget"),
+        )
+        .orderBy("phase", "track")
+    )
+
+
+CORPUS_CURRICULUM_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS tokens
+  FROM documents
+),
+hist AS (SELECT n_chars, COUNT(*) AS c FROM d GROUP BY 1),
+buckets AS (
+  SELECT n_chars,
+         ((SUM(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) - 1) * 3)
+           // (SUM(c) OVER ()) + 1 AS phase
+  FROM hist
+)
+SELECT CAST(b.phase AS BIGINT) AS phase,
+       CASE WHEN d.lang = 'en' THEN 'en' ELSE 'other' END AS track,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.tokens) AS BIGINT) AS token_budget,
+       CAST(SUM(d.n_chars) AS BIGINT) AS char_budget
+FROM d JOIN buckets b ON b.n_chars = d.n_chars
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["corpus_curriculum_schedule"] = corpus_curriculum_schedule
+ORACLE["corpus_curriculum_schedule"] = CORPUS_CURRICULUM_SQL

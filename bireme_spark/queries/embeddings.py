@@ -669,3 +669,127 @@ FROM agg
 
 QUERIES["embedding_intrinsic_dim"] = embedding_intrinsic_dim
 ORACLE["embedding_intrinsic_dim"] = EMBEDDING_INTRINSIC_DIM_SQL
+
+
+def _rp_signs(k: int = 16, d: int = 64) -> list[list[float]]:
+    """Deterministic ±1 Rademacher matrix from md5 nibbles (the
+    md5-bucket house pattern): sign(j,i) = +1 iff the first nibble
+    of md5('rp:j:i') is < 8. Computed ONCE at plan build and inlined
+    as literals into BOTH engines' plans — no per-row hashing."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection audit (Achlioptas 2003
+    database-friendly ±1 projections): project 64-dim embeddings to
+    k=16 with a deterministic Rademacher matrix and measure, over a
+    deterministic probe-pair sample, the squared-distance distortion
+    ratio (‖P(a−b)‖²/k) / ‖a−b‖² — the check run before committing a
+    cheap projected index, exploiting JL linearity by projecting the
+    DIFFERENCE vector once per pair.
+
+    Engine-exact: the sign matrix is Python-md5-derived literals
+    (identical text in both plans); difference components are exact
+    float→double; every Σ is a SEQUENTIAL array fold (F.aggregate ↔
+    list_reduce) in array order, and the 16 component squares add in
+    one fixed left-to-right chain — bit-identical, so only the final
+    per-pair ratio is 6dp-rounded for the DECIMAL summary.
+
+    Scale: the probe sample (vec_id % 37) bounds the pair join to
+    sample²/2 rows regardless of corpus size; projecting the full
+    corpus stays an O(n·d·k) map with the matrix in the closure —
+    no shuffle either way."""
+    signs = _rp_signs()
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 37 == 0)
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        "ida",
+        "idb",
+        F.zip_with(
+            "ea", "eb", lambda x, y: x.cast("double") - y.cast("double")
+        ).alias("d"),
+    )
+    dyj = [
+        _fold_sum(
+            F.zip_with(
+                F.col("d"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda x, s: x * s,
+            )
+        ).alias(f"dy{j}")
+        for j in range(16)
+    ]
+    proj = pairs.select(
+        "ida",
+        "idb",
+        _fold_sum(F.transform(F.col("d"), lambda x: x * x)).alias("dx2"),
+        *dyj,
+    )
+    dy2 = None
+    for j in range(16):
+        t = F.col(f"dy{j}") * F.col(f"dy{j}")
+        dy2 = t if dy2 is None else dy2 + t
+    ratios = proj.where(F.col("dx2") > 0).select(
+        F.round((dy2 / F.lit(16.0)) / F.col("dx2"), 6)
+        .cast("decimal(18,6)")
+        .alias("ratio")
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("ratio").cast("double") / F.count(F.lit(1))).alias("avg_ratio"),
+        F.min("ratio").cast("double").alias("min_ratio"),
+        F.max("ratio").cast("double").alias("max_ratio"),
+    )
+
+
+def _random_projection_sql() -> str:
+    signs = _rp_signs()
+    dy_exprs = []
+    for j in range(16):
+        pos = [str(i + 1) for i in range(64) if signs[j][i] > 0]
+        dy_exprs.append(
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> d[i] * CASE WHEN i IN ({', '.join(pos)}) THEN 1.0 ELSE -1.0 END)), "
+            f"(a, x) -> a + x) AS dy{j}"
+        )
+    dy2 = " + ".join(f"dy{j} * dy{j}" for j in range(16))
+    return f"""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 0),
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) AS d
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+),
+proj AS (
+  SELECT ida, idb,
+         list_reduce(list_prepend(0.0, list_transform(d, x -> x * x)),
+                     (a, x) -> a + x) AS dx2,
+         {', '.join(dy_exprs)}
+  FROM pairs
+),
+ratios AS (
+  SELECT CAST(ROUND((({dy2}) / 16.0) / dx2, 6) AS DECIMAL(18,6)) AS ratio
+  FROM proj WHERE dx2 > 0
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(ratio) AS DOUBLE) / COUNT(*) AS avg_ratio,
+       CAST(MIN(ratio) AS DOUBLE) AS min_ratio,
+       CAST(MAX(ratio) AS DOUBLE) AS max_ratio
+FROM ratios
+"""
+
+
+QUERIES["embedding_random_projection"] = embedding_random_projection
+ORACLE["embedding_random_projection"] = _random_projection_sql()

@@ -843,3 +843,145 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["multimodal_edge_energy"] = multimodal_edge_energy
 ORACLE["multimodal_edge_energy"] = MULTIMODAL_EDGE_ENERGY_SQL
+
+
+def multimodal_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image luminance histogram equalization, exactly
+    value-checked: the deterministic synthetic images (pixel =
+    f(doc_id % 16), BMP/PNG by residue parity — the same corpus as
+    multimodal_edge_energy) are encoded, decoded by the pure-python
+    codecs, grayscaled, and equalized with the classic integer CDF
+    remap eq(v) = (cdf(v) − cdf_min)·255 // (N − cdf_min) — the
+    contrast-normalization stage a vision-pretraining pipeline runs
+    before patching/augmentation. Per residue class: pre/post
+    contrast span and total absolute remap shift — a one-pixel
+    decode or an off-by-one CDF bug splits a class immediately.
+
+    The oracle recomputes the SAME equalization symbolically in SQL
+    from the pixel formula (generate_series grid → histogram → CDF
+    window → integer remap join), so encoder, decoder, grayscale,
+    histogram, and remap are all hash-checked.
+
+    Scale shape: generate→encode→decode→histogram→equalize FUSED in
+    ONE Arrow-batched mapInPandas pass (round-5 fuse rule: no
+    JVM↔Python hop between Python stages); the only exchange is the
+    16-class rollup. The histogram-CDF remap is the house exact-
+    quantile pattern applied per image."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen_eq(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "c_before", "c_after", "abs_shift")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = doc_id % 16
+                w = h = 16
+                pix = bytes(
+                    (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+                dw, dh, dc, dpix, _fmt = decode_image(enc)
+                nch = min(dc, 3)
+                gray = [
+                    sum(dpix[(y * dw + x) * dc + ch] for ch in range(nch)) // nch
+                    for y in range(dh)
+                    for x in range(dw)
+                ]
+                n = len(gray)
+                hist = [0] * 256
+                for g in gray:
+                    hist[g] += 1
+                cdf, run = [0] * 256, 0
+                for v in range(256):
+                    run += hist[v]
+                    cdf[v] = run
+                cdf_min = min(cdf[v] for v in range(256) if hist[v] > 0)
+                denom = n - cdf_min
+                eq = [
+                    ((cdf[v] - cdf_min) * 255 // denom) if denom > 0 else 0
+                    for v in range(256)
+                ]
+                occ = [v for v in range(256) if hist[v] > 0]
+                out["doc_id"].append(doc_id)
+                out["c_before"].append(max(occ) - min(occ))
+                out["c_after"].append(max(eq[v] for v in occ) - min(eq[v] for v in occ))
+                out["abs_shift"].append(sum(abs(eq[g] - g) for g in gray))
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        gen_eq, schema="doc_id long, c_before long, c_after long, abs_shift long"
+    )
+    # roll up per residue class (the generator's own key), then drop
+    # the key: two classes with identical metrics must stay separate
+    # rows, as the oracle emits one row per class
+    return (
+        scored.groupBy((F.col("doc_id") % 16).alias("s"))
+        .agg(
+            F.max("c_before").alias("c_before"),
+            F.max("c_after").alias("c_after"),
+            F.max("abs_shift").alias("abs_shift"),
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .select("c_before", "c_after", "abs_shift", "n_images", "canonical_doc")
+        .orderBy("abs_shift", "c_before")
+    )
+
+
+MULTIMODAL_HIST_EQ_SQL = """
+WITH px AS (
+  SELECT s, x, y,
+         ((((x*x + 2*y + 5*s + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 37 + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 74 + (s*x)//3) % 256)) // 3) AS g
+  FROM generate_series(0, 15) ts(s),
+       generate_series(0, 15) tx(x),
+       generate_series(0, 15) ty(y)
+),
+hist AS (SELECT s, g, COUNT(*) AS c FROM px GROUP BY 1, 2),
+cdf AS (
+  SELECT s, g, c,
+         SUM(c) OVER (PARTITION BY s ORDER BY g) AS cdf
+  FROM hist
+),
+cm AS (SELECT s, MIN(cdf) AS cdf_min FROM cdf GROUP BY 1),
+remap AS (
+  SELECT cdf.s, cdf.g,
+         CASE WHEN 256 - cm.cdf_min > 0
+              THEN (cdf.cdf - cm.cdf_min) * 255 // (256 - cm.cdf_min)
+              ELSE 0 END AS eq
+  FROM cdf JOIN cm ON cm.s = cdf.s
+),
+per_s AS (
+  SELECT r.s,
+         MAX(r.g) - MIN(r.g) AS c_before,
+         MAX(r.eq) - MIN(r.eq) AS c_after,
+         SUM(h.c * ABS(r.eq - r.g)) AS abs_shift
+  FROM remap r JOIN hist h ON h.s = r.s AND h.g = r.g
+  GROUP BY 1
+),
+cls AS (
+  SELECT doc_id % 16 AS s, COUNT(*) AS n_images, MIN(doc_id) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT CAST(p.c_before AS BIGINT) AS c_before,
+       CAST(p.c_after AS BIGINT) AS c_after,
+       CAST(p.abs_shift AS BIGINT) AS abs_shift,
+       CAST(c.n_images AS BIGINT) AS n_images,
+       CAST(c.canonical_doc AS BIGINT) AS canonical_doc
+FROM per_s p JOIN cls c ON c.s = p.s
+ORDER BY p.abs_shift, p.c_before
+"""
+
+QUERIES["multimodal_hist_equalization"] = multimodal_hist_equalization
+ORACLE["multimodal_hist_equalization"] = MULTIMODAL_HIST_EQ_SQL

@@ -2955,3 +2955,91 @@ FROM per ORDER BY y
 
 QUERIES["orders_little_law"] = orders_little_law
 ORACLE["orders_little_law"] = ORDERS_LITTLE_LAW_SQL
+
+
+def orders_peak_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak work-in-progress by boundary sweep (the interval-stabbing
+    / skyline-count primitive): each order contributes +1 at its
+    start day and −1 the day after its last shipment; the running
+    sum over the day-boundary histogram IS the number of
+    simultaneously open orders, and its per-year max (with the first
+    day it is hit) is the capacity headline that complements
+    orders_little_law's AVERAGE WIP — queues are provisioned for
+    peaks, not means.
+
+    Engine-exact: pure integer deltas and running sums; the argmax
+    day is picked by explicit (wip DESC, day ASC) row_number — no
+    floats at all.
+
+    Scale: the fact table collapses to ±1 deltas on DISTINCT
+    BOUNDARY DAYS (≤ 2·|days| rows) in one map-side-combined agg;
+    the sweep is a single ordered window over that day histogram —
+    the house histogram-CDF shape applied to intervals. At 100 TB
+    the day histogram is still ~2500 rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship")
+    )
+    done = li.groupBy("l_orderkey").agg(F.max("ship").alias("finish"))
+    span = o.join(done, o["o_orderkey"] == done["l_orderkey"])
+    deltas = (
+        span.select(F.col("start").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            span.select(F.date_add("finish", 1).alias("day"), F.lit(-1).alias("d"))
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = deltas.select("day", F.sum("delta").over(w).alias("wip"))
+    wy = Window.partitionBy(F.year("day")).orderBy(
+        F.col("wip").desc(), F.col("day").asc()
+    )
+    return (
+        sweep.withColumn("rn", F.row_number().over(wy))
+        .where(F.col("rn") == 1)
+        .select(
+            F.year("day").cast("int").alias("y"),
+            F.date_format("day", "yyyy-MM-dd").alias("peak_day"),
+            F.col("wip").alias("peak_wip"),
+        )
+        .orderBy("y")
+    )
+
+
+ORDERS_PEAK_WIP_SQL = """
+WITH done AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS finish
+  FROM lineitem GROUP BY 1
+),
+span AS (
+  SELECT CAST(o_orderdate AS DATE) AS start, d.finish
+  FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+),
+deltas AS (
+  SELECT day, SUM(d) AS delta FROM (
+    SELECT start AS day, 1 AS d FROM span
+    UNION ALL
+    SELECT finish + INTERVAL 1 DAY, -1 FROM span
+  ) b GROUP BY 1
+),
+sweep AS (
+  SELECT day, SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS wip
+  FROM deltas
+),
+ranked AS (
+  SELECT EXTRACT(year FROM day) AS y, day, wip,
+         ROW_NUMBER() OVER (PARTITION BY EXTRACT(year FROM day)
+                            ORDER BY wip DESC, day ASC) AS rn
+  FROM sweep
+)
+SELECT CAST(y AS INTEGER) AS y,
+       strftime(day, '%Y-%m-%d') AS peak_day,
+       CAST(wip AS BIGINT) AS peak_wip
+FROM ranked WHERE rn = 1 ORDER BY y
+"""
+
+QUERIES["orders_peak_wip"] = orders_peak_wip
+ORACLE["orders_peak_wip"] = ORDERS_PEAK_WIP_SQL

@@ -135,6 +135,10 @@ _NEW_THIS_ROUND = frozenset(
         "text_collocations_llr",
         "text_mattr_diversity",
         "text_naive_bayes",
+        "embedding_random_projection",
+        "multimodal_hist_equalization",
+        "corpus_curriculum_schedule",
+        "orders_peak_wip",
     }
 )
 
