@@ -115,6 +115,24 @@ HEADLINE = [
     "embedding_intrinsic_dim",
     "graph_kcore_peel",
     "events_watermark_lateness",
+    # round-5 session-3 additions — floors from interleaved min-of-3
+    "cdc_txn_boundary_apply",
+    "cdc_column_masking",
+    "lineitem_welch_ttest",
+    "customers_spearman",
+    "orders_little_law",
+    "orders_theil_sen",
+    "orders_isotonic_fit",
+    "graph_adamic_adar",
+    "graph_label_propagation",
+    "events_hurst_exponent",
+    "text_collocations_llr",
+    "text_mattr_diversity",
+    "text_naive_bayes",
+    "embedding_random_projection",
+    "multimodal_hist_equalization",
+    "corpus_curriculum_schedule",
+    "orders_peak_wip",
 ]
 
 

@@ -793,3 +793,151 @@ FROM ratios
 
 QUERIES["embedding_random_projection"] = embedding_random_projection
 ORACLE["embedding_random_projection"] = _random_projection_sql()
+
+
+def embedding_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled Lloyd iterations of k-means (k=4) on the
+    embedding corpus, reporting per-iteration inertia and how many
+    vectors changed cluster — the convergence audit that catches a
+    broken distance kernel or a non-contracting update immediately
+    (inertia must be non-increasing; the oracle hash-checks the
+    exact trajectory, not just the final state). Deterministic
+    residue init (vec_id % 4), the distributed-kmeans seeding
+    equivalent of random-partition init.
+
+    Engine-exact: centroid means are per-term 6dp DECIMAL sums ÷ n,
+    re-rounded to 6dp DECIMALs; per-(vector,cluster) squared
+    distances are 6dp-rounded-per-term DECIMAL sums (the TwoNN
+    round-before-rank discipline), argmin breaks ties on cluster id,
+    and inertia is an exact DECIMAL sum.
+
+    Scale: each iteration is the classic two-shuffle Pregel-ish
+    plan — posexplode → (cluster,dim) mean agg (centroid table is
+    model-sized), then a dim-hash join + (vector,cluster) agg for
+    reassignment; per-iteration localCheckpoint cuts the 2^t lineage
+    (the kcore rule). No driver-side math."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 4).alias("c")
+    )
+    flat = None
+    out_rows = []
+    assign = e.localCheckpoint(eager=False)
+    for it in (1, 2, 3):
+        flat = assign.select(
+            "vec_id", "c", F.posexplode("embedding").alias("pos", "x")
+        ).select(
+            "vec_id",
+            "c",
+            "pos",
+            F.col("x").cast("double").alias("x"),
+            F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)").alias("xr"),
+        )
+        cen = flat.groupBy("c", "pos").agg(
+            F.round(F.sum("xr").cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(18,6)")
+            .alias("cen")
+        )
+        dists = (
+            assign.select("vec_id", F.col("c").alias("prev_c"), "embedding")
+            .select(
+                "vec_id", "prev_c", F.posexplode("embedding").alias("pos", "x")
+            )
+            .join(
+                cen.select(F.col("c").alias("cand"), "pos", "cen"), "pos"
+            )
+            .select(
+                "vec_id",
+                "prev_c",
+                "cand",
+                F.round(
+                    (F.col("x").cast("double") - F.col("cen").cast("double"))
+                    * (F.col("x").cast("double") - F.col("cen").cast("double")),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("t"),
+            )
+            .groupBy("vec_id", "prev_c", "cand")
+            .agg(F.sum("t").alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("cand").asc()
+        )
+        best = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("cand").alias("c"), "prev_c", "dist")
+        )
+        best = best.localCheckpoint(eager=False)
+        out_rows.append(
+            best.agg(
+                F.lit(it).alias("iteration"),
+                F.sum("dist").cast("double").alias("inertia"),
+                F.sum(F.when(F.col("c") != F.col("prev_c"), 1).otherwise(0)).alias(
+                    "n_moved"
+                ),
+            )
+        )
+        assign = best.join(
+            e.select("vec_id", "embedding"), "vec_id"
+        ).select("vec_id", "embedding", "c")
+    res = out_rows[0]
+    for df in out_rows[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("iteration")
+
+
+def _kmeans_sql() -> str:
+    iters = []
+    prev = "a0"
+    for t in (1, 2, 3):
+        iters.append(
+            f"""cen{t} AS (
+  SELECT c, pos,
+         CAST(ROUND(CAST(SUM(xr) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS cen
+  FROM (
+    SELECT p.c, f.pos, CAST(ROUND(f.x, 6) AS DECIMAL(18,6)) AS xr
+    FROM {prev} p JOIN flat f ON f.vec_id = p.vec_id
+  ) s GROUP BY 1, 2
+),
+d{t} AS (
+  SELECT f.vec_id, p.c AS prev_c, cc.c AS cand,
+         SUM(CAST(ROUND((f.x - CAST(cc.cen AS DOUBLE))
+                        * (f.x - CAST(cc.cen AS DOUBLE)), 6)
+                  AS DECIMAL(18,6))) AS dist
+  FROM flat f
+  JOIN {prev} p ON p.vec_id = f.vec_id
+  JOIN cen{t} cc ON cc.pos = f.pos
+  GROUP BY 1, 2, 3
+),
+a{t} AS (
+  SELECT vec_id, cand AS c, prev_c, dist FROM (
+    SELECT vec_id, prev_c, cand, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+    FROM d{t}
+  ) q WHERE rn = 1
+)"""
+        )
+        prev = f"a{t}"
+    body = ",\n".join(iters)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iteration, CAST(SUM(dist) AS DOUBLE) AS inertia,"
+        f" CAST(SUM(CASE WHEN c <> prev_c THEN 1 ELSE 0 END) AS BIGINT) AS n_moved"
+        f" FROM a{t}"
+        for t in (1, 2, 3)
+    )
+    return f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+a0 AS (SELECT vec_id, vec_id % 4 AS c FROM embeddings),
+{body}
+SELECT * FROM ({rows}) r ORDER BY iteration
+"""
+
+
+QUERIES["embedding_kmeans_convergence"] = embedding_kmeans_convergence
+ORACLE["embedding_kmeans_convergence"] = _kmeans_sql()

@@ -985,3 +985,132 @@ ORDER BY p.abs_shift, p.c_before
 
 QUERIES["multimodal_hist_equalization"] = multimodal_hist_equalization
 ORACLE["multimodal_hist_equalization"] = MULTIMODAL_HIST_EQ_SQL
+
+
+def multimodal_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral centroid of synthetic audio clips — the brightness
+    feature (Σ k·|Xₖ| / Σ|Xₖ| over DFT magnitude bins) that audio
+    curation uses to split speech-like from noise-like clips before
+    transcription. Clips are the WAV fixture family keyed by
+    s = doc_id % 64: tone sample i = (s·13 + i·11) % 1024 + 512,
+    N = 48 + s % 16 samples; every clip round-trips encode_wav →
+    decode_wav before analysis, and the oracle recomputes the SAME
+    DFT symbolically in SQL from the sample formula — codec and
+    spectrum both hash-checked.
+
+    Engine-exact: DFT products x·cos/x·sin follow the periodogram
+    trig discipline (6dp-rounded terms into exact Decimal sums —
+    absorbs libm ulp differences; Python folds use
+    quantize(ROUND_HALF_UP), never round()); bin magnitudes are
+    6dp-rounded sqrt's; the centroid is a ratio of exact decimal
+    sums, one identical IEEE division.
+
+    Scale shape: one fused mapInPandas pass (decode + DFT per clip)
+    with the per-class spectrum memoized inside the worker (64
+    distinct clips — the distinct-value-histogram rule applied to
+    audio); the only exchange is the 64-class rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def centroid(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("1e-6")
+
+        def r6(v: float) -> Decimal:
+            return Decimal(repr(v)).quantize(q6, ROUND_HALF_UP)
+
+        cache: dict[int, float] = {}
+
+        def klass_centroid(s: int) -> float:
+            if s in cache:
+                return cache[s]
+            n = 48 + s % 16
+            tone = [(s * 13 + i * 11) % 1024 + 512 for i in range(n)]
+            _, _, back = decode_wav(encode_wav(16000, tone))
+            num, den = Decimal(0), Decimal(0)
+            for k in range(1, n // 2 + 1):
+                re, im = Decimal(0), Decimal(0)
+                for i, x in enumerate(back):
+                    a = 2 * 3.141592653589793 * k * i / n
+                    re += r6(x * math.cos(a))
+                    im += r6(x * math.sin(a))
+                m = r6(math.sqrt(float(re) * float(re) + float(im) * float(im)))
+                num += k * m
+                den += m
+            out = float(num) / float(den)
+            cache[s] = out
+            return out
+
+        for pdf in it:
+            rows = {"doc_id": [], "centroid_bin": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rows["doc_id"].append(doc_id)
+                rows["centroid_bin"].append(klass_centroid(doc_id % 64))
+            yield pd.DataFrame(rows)
+
+    feats = d.mapInPandas(centroid, schema="doc_id long, centroid_bin double")
+    return (
+        feats.groupBy((F.col("doc_id") % 64).alias("s"))
+        .agg(
+            F.max("centroid_bin").alias("centroid_bin"),
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .select("centroid_bin", "n_clips", "canonical_doc")
+        .orderBy("canonical_doc")
+    )
+
+
+MULTIMODAL_SPECTRAL_CENTROID_SQL = """
+WITH cls AS (
+  SELECT s, 48 + s % 16 AS n
+  FROM generate_series(0, 63) t(s)
+),
+terms AS (
+  SELECT c.s, c.n, k.k, i.i,
+         ((c.s * 13 + i.i * 11) % 1024 + 512) AS x
+  FROM cls c,
+       generate_series(1, 31) k(k),
+       generate_series(0, 63) i(i)
+  WHERE k.k <= c.n // 2 AND i.i < c.n
+),
+bins AS (
+  SELECT s, n, k,
+         SUM(CAST(ROUND(x * COS(2 * 3.141592653589793 * k * i / n), 6)
+                  AS DECIMAL(18,6))) AS re,
+         SUM(CAST(ROUND(x * SIN(2 * 3.141592653589793 * k * i / n), 6)
+                  AS DECIMAL(18,6))) AS im
+  FROM terms GROUP BY 1, 2, 3
+),
+mags AS (
+  SELECT s, k,
+         CAST(ROUND(SQRT(CAST(re AS DOUBLE) * CAST(re AS DOUBLE)
+                         + CAST(im AS DOUBLE) * CAST(im AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS m
+  FROM bins
+),
+per_s AS (
+  SELECT s, CAST(SUM(k * m) AS DOUBLE) / CAST(SUM(m) AS DOUBLE) AS centroid_bin
+  FROM mags GROUP BY 1
+),
+docs AS (
+  SELECT doc_id % 64 AS s, COUNT(*) AS n_clips, MIN(doc_id) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT p.centroid_bin, CAST(d.n_clips AS BIGINT) AS n_clips,
+       CAST(d.canonical_doc AS BIGINT) AS canonical_doc
+FROM per_s p JOIN docs d ON d.s = p.s
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_spectral_centroid"] = multimodal_spectral_centroid
+ORACLE["multimodal_spectral_centroid"] = MULTIMODAL_SPECTRAL_CENTROID_SQL

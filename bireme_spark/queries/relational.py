@@ -3043,3 +3043,153 @@ FROM ranked WHERE rn = 1 ORDER BY y
 
 QUERIES["orders_peak_wip"] = orders_peak_wip
 ORACLE["orders_peak_wip"] = ORDERS_PEAK_WIP_SQL
+
+
+def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log regression
+    slope of ln(quantity) on ln(unit price) across a brand's line
+    items — GROUPED closed-form OLS (one slope per brand in a single
+    agg), the pricing team's first-cut elasticity table; complements
+    lineitem_ols_regression, which fits one global line.
+
+    Engine-exact: per-term lns are 6dp DECIMALs (transcendental
+    discipline); the five sufficient statistics are exact DECIMAL
+    sums ROUNDED to 6dp before the double cast (keeping the scaled
+    integer under 2^53), and slope/intercept are one identically-
+    written closing IEEE expression per brand.
+
+    Scale: one lineitem⨝part projection (join on the part hash,
+    AQE-broadcast at this SF), ONE map-side-combined brand agg —
+    25 output rows regardless of volume."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6)
+        .cast("decimal(18,6)")
+        .alias("lx"),
+        F.round(F.log("l_quantity"), 6).cast("decimal(18,6)").alias("ly"),
+    )
+    g = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("lx"), 6).cast("double").alias("sx"),
+        F.round(F.sum("ly"), 6).cast("double").alias("sy"),
+        F.round(F.sum(F.col("lx") * F.col("ly")), 6).cast("double").alias("sxy"),
+        F.round(F.sum(F.col("lx") * F.col("lx")), 6).cast("double").alias("sxx"),
+    )
+    n = F.col("n_items").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return g.select(
+        "p_brand",
+        "n_items",
+        slope.alias("elasticity"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+    ).orderBy("p_brand")
+
+
+LINEITEM_ELASTICITY_SQL = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(ROUND(LN(l_extendedprice / l_quantity), 6) AS DECIMAL(18,6)) AS lx,
+         CAST(ROUND(LN(l_quantity), 6) AS DECIMAL(18,6)) AS ly
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+g AS (
+  SELECT p_brand, COUNT(*) AS n_items,
+         CAST(ROUND(SUM(lx), 6) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(ly), 6) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(lx * ly), 6) AS DOUBLE) AS sxy,
+         CAST(ROUND(SUM(lx * lx), 6) AS DOUBLE) AS sxx
+  FROM j GROUP BY 1
+)
+SELECT p_brand, n_items,
+       (CAST(n_items AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n_items AS DOUBLE) * sxx - sx * sx) AS elasticity,
+       (sy - (CAST(n_items AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_items AS DOUBLE) * sxx - sx * sx) * sx)
+         / CAST(n_items AS DOUBLE) AS intercept
+FROM g ORDER BY p_brand
+"""
+
+QUERIES["lineitem_price_elasticity"] = lineitem_price_elasticity
+ORACLE["lineitem_price_elasticity"] = LINEITEM_ELASTICITY_SQL
+
+
+def parts_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking levels per brand: the critical-fractile
+    quantile q* = F⁻¹(0.8) of DAILY demand (the classic single-period
+    inventory optimum at 80% service ratio), read exactly off the
+    per-brand daily-demand histogram — the inventory planner's
+    companion to parts_croston_forecast (Croston predicts the mean;
+    the newsvendor stocks to a quantile).
+
+    Engine-exact: daily demand is an integer quantity sum; the
+    quantile is the histogram-CDF house pattern (smallest value whose
+    inclusive CDF reaches ceil(0.8·n) — pure integer comparisons, no
+    percentile interpolation), and achieved service is integer ppm.
+
+    Scale: the fact table collapses in ONE agg to (brand, day)
+    integers, then to the per-brand value histogram; the CDF window
+    runs on histogram-sized data — never a raw-row sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.to_date("l_shipdate").alias("day"), "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "day")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    hist = daily.groupBy("p_brand", "q").agg(F.count(F.lit(1)).alias("c"))
+    wcdf = Window.partitionBy("p_brand").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("p_brand")
+    cdf = hist.select(
+        "p_brand",
+        "q",
+        F.sum("c").over(wcdf).alias("cum"),
+        F.sum("c").over(wtot).alias("n_days"),
+    )
+    # smallest q with 5*cum >= 4*n  (cum/n >= 0.8 cross-multiplied)
+    hit = cdf.where(F.col("cum") * 5 >= F.col("n_days") * 4)
+    wmin = Window.partitionBy("p_brand").orderBy("q")
+    q80 = hit.withColumn("rn", F.row_number().over(wmin)).where(F.col("rn") == 1)
+    return q80.select(
+        "p_brand",
+        F.col("n_days").alias("n_days"),
+        F.col("q").alias("stock_q80"),
+        F.expr("cum * 1000000 DIV n_days").alias("service_ppm"),
+    ).orderBy("p_brand")
+
+
+PARTS_NEWSVENDOR_SQL = """
+WITH daily AS (
+  SELECT p.p_brand, CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+hist AS (SELECT p_brand, q, COUNT(*) AS c FROM daily GROUP BY 1, 2),
+cdf AS (
+  SELECT p_brand, q,
+         SUM(c) OVER (PARTITION BY p_brand ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY p_brand) AS n_days
+  FROM hist
+),
+hit AS (
+  SELECT p_brand, q, cum, n_days,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY q) AS rn
+  FROM cdf WHERE cum * 5 >= n_days * 4
+)
+SELECT p_brand, CAST(n_days AS BIGINT) AS n_days, q AS stock_q80,
+       CAST(cum * 1000000 // n_days AS BIGINT) AS service_ppm
+FROM hit WHERE rn = 1 ORDER BY p_brand
+"""
+
+QUERIES["parts_newsvendor_stock"] = parts_newsvendor_stock
+ORACLE["parts_newsvendor_stock"] = PARTS_NEWSVENDOR_SQL

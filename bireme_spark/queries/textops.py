@@ -917,3 +917,74 @@ FROM pred GROUP BY 1 ORDER BY 1
 
 QUERIES["text_naive_bayes"] = text_naive_bayes
 ORACLE["text_naive_bayes"] = TEXT_NAIVE_BAYES_SQL
+
+
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness by Fano factor (Church & Gale 1995): for each
+    vocabulary word, variance-to-mean ratio of its per-document count
+    across ALL documents (zeros included) — bursty content words
+    (Fano ≫ 1, clumping into few docs) versus evenly-spread function
+    words (Fano ≈ 1, Poisson-like); the signal behind burstiness-
+    aware TF weighting and stopword induction. Top-20 burstiest
+    words with corpus count ≥ 100.
+
+    Engine-exact: Fano = (D·Σtf² − T²)/(D·T) over integer sufficient
+    statistics (zero docs contribute nothing to Σtf or Σtf², so only
+    occurrence rows are touched) — emitted as truncating integer ppm
+    (DIV == //), ties on the word.
+
+    Scale: ONE tokenize + one (doc,word) tf agg + one word agg —
+    all map-side-combinable; D rides in a broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dtot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_w = (
+        tf.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_with"),
+            F.sum("tf").alias("t"),
+            F.sum(F.col("tf") * F.col("tf")).alias("t2"),
+        )
+        .where(F.col("t") >= 100)
+        .crossJoin(F.broadcast(dtot))
+    )
+    return (
+        per_w.select(
+            "w",
+            F.col("t").alias("corpus_count"),
+            "n_docs_with",
+            F.expr("(n_docs * t2 - t * t) * 1000000 DIV (n_docs * t)").alias(
+                "fano_ppm"
+            ),
+        )
+        .orderBy(F.col("fano_ppm").desc(), F.col("w").asc())
+        .limit(20)
+    )
+
+
+TEXT_BURSTINESS_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks WHERE w <> '' GROUP BY 1, 2
+),
+dtot AS (SELECT COUNT(*) AS n_docs FROM documents),
+per_w AS (
+  SELECT w, COUNT(*) AS n_docs_with,
+         CAST(SUM(tf) AS BIGINT) AS t,
+         CAST(SUM(tf * tf) AS BIGINT) AS t2
+  FROM tf GROUP BY 1 HAVING CAST(SUM(tf) AS BIGINT) >= 100
+)
+SELECT w, t AS corpus_count, n_docs_with,
+       CAST((d.n_docs * t2 - t * t) * 1000000 // (d.n_docs * t) AS BIGINT) AS fano_ppm
+FROM per_w CROSS JOIN dtot d
+ORDER BY fano_ppm DESC, w ASC
+LIMIT 20
+"""
+
+QUERIES["text_word_burstiness"] = text_word_burstiness
+ORACLE["text_word_burstiness"] = TEXT_BURSTINESS_SQL

@@ -1980,3 +1980,260 @@ FROM fit
 
 QUERIES["events_hurst_exponent"] = events_hurst_exponent
 ORACLE["events_hurst_exponent"] = EVENTS_HURST_SQL
+
+
+def orders_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) one-step revenue forecast by Yule–Walker (the workhorse
+    autoregressive closed form): lag-1/lag-2 autocorrelations of the
+    monthly series give φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²),
+    and the next-month forecast mean + φ₁(yₙ−ȳ) + φ₂(yₙ₋₁−ȳ) —
+    the AR complement to orders_holt_forecast (exponential smoothing)
+    and events_autocorrelation (which reports the r's; this one
+    closes the loop into coefficients and a forecast).
+
+    Engine-exact: the series is rounded to integer kilo-dollars, so
+    the n-scaled deviations dᵢ = n·yᵢ − S are exact BIGINTs and the
+    autocovariance products Σdᵢdᵢ₊ₖ stay under 2⁶³ (int64→double
+    casts are correctly rounded on both engines); r₁, r₂, φ's and
+    the forecast are one identically-written closing IEEE
+    expression.
+
+    Scale: one collapse to |months| integers; everything after is
+    constant-size."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(
+        # half-up k$ rounding in pure integer cents: (C + 50000) DIV 1e5
+        # (decimal/int division coerces differently across engines)
+        F.expr(
+            "(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+            " + 50000) DIV 100000"
+        ).alias("y")
+    )
+    w = Window.orderBy("m")
+    lagged = monthly.select(
+        "m",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+        F.sum("y")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("s"),
+        F.row_number().over(w).alias("rn"),
+    )
+    d = F.col("n") * F.col("y") - F.col("s")
+    d1 = F.col("n") * F.col("y1") - F.col("s")
+    d2 = F.col("n") * F.col("y2") - F.col("s")
+    agg = lagged.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum(d * d).alias("c0"),
+        F.sum(F.when(F.col("y1").isNotNull(), d * d1)).alias("c1"),
+        F.sum(F.when(F.col("y2").isNotNull(), d * d2)).alias("c2"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("y"))).alias("yn"),
+        F.max(F.when(F.col("rn") == F.col("n") - 1, F.col("y"))).alias("yn1"),
+    )
+    r1 = F.col("c1").cast("double") / F.col("c0").cast("double")
+    r2 = F.col("c2").cast("double") / F.col("c0").cast("double")
+    phi1 = r1 * (F.lit(1.0) - r2) / (F.lit(1.0) - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    fc = mean + phi1 * (F.col("yn") - mean) + phi2 * (F.col("yn1") - mean)
+    return agg.select(
+        F.col("n").alias("n_months"),
+        r1.alias("acf1"),
+        r2.alias("acf2"),
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+        fc.alias("forecast_next_kusd"),
+    )
+
+
+ORDERS_AR2_SQL = """
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o_orderdate) AS m,
+         (CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+            + 50000) // 100000 AS y
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT m, y,
+         LAG(y, 1) OVER (ORDER BY m) AS y1,
+         LAG(y, 2) OVER (ORDER BY m) AS y2,
+         COUNT(*) OVER () AS n,
+         SUM(y) OVER () AS s,
+         ROW_NUMBER() OVER (ORDER BY m) AS rn
+  FROM monthly
+),
+agg AS (
+  SELECT MAX(n) AS n, MAX(s) AS s,
+         CAST(SUM((n * y - s) * (n * y - s)) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN y1 IS NOT NULL
+                       THEN (n * y - s) * (n * y1 - s) END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN y2 IS NOT NULL
+                       THEN (n * y - s) * (n * y2 - s) END) AS BIGINT) AS c2,
+         MAX(CASE WHEN rn = n THEN y END) AS yn,
+         MAX(CASE WHEN rn = n - 1 THEN y END) AS yn1
+  FROM lagged
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+       CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS acf1,
+       CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS acf2,
+       CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+         * (1.0 - CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE))
+         / (1.0 - CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                  * (CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE))) AS phi1,
+       (CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE)
+          - CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+            * (CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)))
+         / (1.0 - CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                  * (CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE))) AS phi2,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         + CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+             * (1.0 - CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE))
+             / (1.0 - CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                      * (CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)))
+             * (yn - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE)
+              - CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                * (CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)))
+             / (1.0 - CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                      * (CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)))
+             * (yn1 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS forecast_next_kusd
+FROM agg
+"""
+
+QUERIES["orders_ar2_forecast"] = orders_ar2_forecast
+ORACLE["orders_ar2_forecast"] = ORDERS_AR2_SQL
+
+
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric bootstrap 95% CI for MEAN MONTHLY revenue (Efron
+    1979), with md5-deterministic resampling: replicate b redraws the
+    n-month series by index idx(b,i) = md5('boot:b:i')₄nibbles mod n —
+    pseudorandom but REPRODUCIBLE and engine-portable (the
+    shuffle-shard md5 discipline), so the full CI is oracle-checked,
+    not just its width. The CI a finance dashboard puts around the
+    revenue run-rate without normality assumptions.
+
+    Engine-exact: each replicate mean is an integer-cents sum ÷ n
+    (one IEEE division); percentile bounds are EXPLICIT order
+    statistics (5th and 196th of 200 sorted replicate means — no
+    interpolating percentile), and the md5-nibble index math is
+    generated from one shared recipe per engine.
+
+    Scale: the fact table collapses once to n months; the B×n draw
+    grid (16k rows) is constant-size, joins the month table on the
+    index hash, and aggregates map-side. B scales free of data
+    volume."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).alias("mm")
+        )
+        .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("mm")
+    months = monthly.select(F.row_number().over(w).alias("rn"), "cents")
+    nrow = months.agg(F.count(F.lit(1)).alias("n"))
+    b = spark.range(200).select(F.col("id").alias("b"))
+    grid = (
+        b.crossJoin(months.select(F.col("rn").alias("i")))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "b",
+            "n",
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ).alias("hx"),
+        )
+        .select(
+            "b",
+            F.expr(
+                "((locate(substring(hx, 1, 1), '0123456789abcdef') - 1) * 4096"
+                " + (locate(substring(hx, 2, 1), '0123456789abcdef') - 1) * 256"
+                " + (locate(substring(hx, 3, 1), '0123456789abcdef') - 1) * 16"
+                " + (locate(substring(hx, 4, 1), '0123456789abcdef') - 1)) % n + 1"
+            ).alias("idx"),
+        )
+    )
+    reps = (
+        grid.join(months, grid["idx"] == months["rn"])
+        .groupBy("b")
+        .agg(
+            (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias("mean_usd")
+        )
+    )
+    wv = Window.orderBy("mean_usd")
+    ranked = reps.select("mean_usd", F.row_number().over(wv).alias("vr"))
+    obs = months.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias("mean_obs")
+    )
+    return (
+        ranked.where(F.col("vr").isin(5, 196))
+        .agg(
+            F.count(F.lit(1)).alias("n_bounds"),
+            F.min("mean_usd").alias("ci_lo"),
+            F.max("mean_usd").alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(obs))
+        .select(F.lit(200).alias("n_boot"), "mean_obs", "ci_lo", "ci_hi")
+    )
+
+
+ORDERS_BOOTSTRAP_SQL = """
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o_orderdate) AS mm,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+months AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY mm) AS rn, cents FROM monthly
+),
+nrow AS (SELECT COUNT(*) AS n FROM months),
+grid AS (
+  SELECT b.b, m.rn AS i,
+         md5(concat('boot:', CAST(b.b AS VARCHAR), ':', CAST(m.rn AS VARCHAR))) AS hx,
+         nrow.n
+  FROM (SELECT UNNEST(range(0, 200)) AS b) b
+  CROSS JOIN months m CROSS JOIN nrow
+),
+draws AS (
+  SELECT b,
+         ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % n + 1 AS idx
+  FROM grid
+),
+reps AS (
+  SELECT d.b, CAST(SUM(m.cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_usd
+  FROM draws d JOIN months m ON m.rn = d.idx
+  GROUP BY 1
+),
+ranked AS (
+  SELECT mean_usd, ROW_NUMBER() OVER (ORDER BY mean_usd) AS vr FROM reps
+),
+obs AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_obs FROM months
+)
+SELECT 200 AS n_boot, obs.mean_obs,
+       MIN(mean_usd) AS ci_lo, MAX(mean_usd) AS ci_hi
+FROM ranked, obs
+WHERE vr IN (5, 196)
+GROUP BY obs.mean_obs
+"""
+
+QUERIES["orders_bootstrap_ci"] = orders_bootstrap_ci
+ORACLE["orders_bootstrap_ci"] = ORDERS_BOOTSTRAP_SQL

@@ -139,6 +139,10 @@ _NEW_THIS_ROUND = frozenset(
         "multimodal_hist_equalization",
         "corpus_curriculum_schedule",
         "orders_peak_wip",
+        "lineitem_price_elasticity",
+        "parts_newsvendor_stock",
+        "text_word_burstiness",
+        "orders_ar2_forecast",
     }
 )
 

@@ -62,6 +62,26 @@ _PINNED = [
     "embedding_intrinsic_dim",
     "graph_kcore_peel",
     "events_watermark_lateness",
+    # round-5 session-3 additions: IEEE closing expressions on exact
+    # sufficient stats (Welch/Spearman/Little), integer-median pairs
+    # (Theil-Sen), minimax relational PAVA (isotonic), dyadic R/S
+    # folds (Hurst), 6dp DECIMAL cell/weight sums (LLR, NB), lag-
+    # clamp integer MATTR, sequential array folds (JL projection),
+    # histogram-CDF buckets (curriculum), boundary sweep (peak WIP)
+    "lineitem_welch_ttest",
+    "customers_spearman",
+    "orders_little_law",
+    "orders_theil_sen",
+    "orders_isotonic_fit",
+    "events_hurst_exponent",
+    "text_collocations_llr",
+    "text_mattr_diversity",
+    "text_naive_bayes",
+    "embedding_random_projection",
+    "corpus_curriculum_schedule",
+    "orders_peak_wip",
+    "graph_adamic_adar",
+    "cdc_txn_boundary_apply",
 ]
 
 
