@@ -133,6 +133,13 @@ HEADLINE = [
     "multimodal_hist_equalization",
     "corpus_curriculum_schedule",
     "orders_peak_wip",
+    "lineitem_price_elasticity",
+    "parts_newsvendor_stock",
+    "text_word_burstiness",
+    "orders_ar2_forecast",
+    "multimodal_spectral_centroid",
+    "embedding_kmeans_convergence",
+    "orders_bootstrap_ci",
 ]
 
 

@@ -143,6 +143,9 @@ _NEW_THIS_ROUND = frozenset(
         "parts_newsvendor_stock",
         "text_word_burstiness",
         "orders_ar2_forecast",
+        "multimodal_spectral_centroid",
+        "embedding_kmeans_convergence",
+        "orders_bootstrap_ci",
     }
 )
 

@@ -82,6 +82,16 @@ _PINNED = [
     "orders_peak_wip",
     "graph_adamic_adar",
     "cdc_txn_boundary_apply",
+    # grouped OLS sums, histogram-CDF fractiles, integer Fano,
+    # n-scaled AR(2) covariances, trig-Decimal DFT, unrolled Lloyd,
+    # md5 bootstrap order statistics
+    "lineitem_price_elasticity",
+    "parts_newsvendor_stock",
+    "text_word_burstiness",
+    "orders_ar2_forecast",
+    "multimodal_spectral_centroid",
+    "embedding_kmeans_convergence",
+    "orders_bootstrap_ci",
 ]
 
 
