@@ -140,6 +140,9 @@ HEADLINE = [
     "multimodal_spectral_centroid",
     "embedding_kmeans_convergence",
     "orders_bootstrap_ci",
+    "text_textrank_keywords",
+    "events_sax_motifs",
+    "events_burst_viterbi",
 ]
 
 

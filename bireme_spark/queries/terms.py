@@ -895,3 +895,135 @@ LIMIT 20
 
 QUERIES["text_collocations_llr"] = text_collocations_llr
 ORACLE["text_collocations_llr"] = _collocations_sql()
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph (adjacent-pair edges weighted
+    by corpus count), 5 unrolled damped iterations, top-10 words —
+    the unsupervised keyword baseline; the graph-centrality sibling
+    of tfidf_top_terms (frequency-based) and text_collocations_llr
+    (pair-association-based).
+
+    Engine-exact: the iterative-DECIMAL-update discipline (the
+    pagerank/logreg house rule) — each incoming contribution
+    pr(v)·w(v,u)/wdeg(v) is 6dp-rounded into a DECIMAL sum, and the
+    damped update re-rounds to 6dp, so all 5 iterations are
+    bit-identical; ranking ties break on the word.
+
+    Scale: one (w1,w2) corpus shuffle builds the edge list; each
+    iteration is one vocabulary-sized edge agg (map-side-combined) —
+    the synchronous PageRank superstep plan, no driver loop."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.split("text", " ").alias("__ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(__ws) - 2, -1)),"
+                    " i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != "") & (F.col("w1") != F.col("w2")))
+    )
+    und = bg.unionByName(
+        bg.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
+    )
+    edges = und.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("wt"))
+    wdeg = edges.groupBy("w1").agg(F.sum("wt").alias("wdeg"))
+    e = edges.join(wdeg, "w1").select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "wt", "wdeg"
+    )
+    nodes = e.select(F.col("src").alias("w")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "w",
+        F.expr("CAST(ROUND(1.0 / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6))").alias("pr"),
+    )
+    for _ in range(5):
+        contrib = (
+            e.join(pr.withColumnRenamed("w", "src"), "src")
+            .select(
+                F.col("dst").alias("w"),
+                F.expr(
+                    "CAST(ROUND(CAST(pr AS DOUBLE) * wt / wdeg, 6) AS DECIMAL(18,6))"
+                ).alias("c"),
+            )
+            .groupBy("w")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, "w", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "w",
+                F.expr(
+                    "CAST(ROUND(0.15 / CAST(n AS DOUBLE)"
+                    " + 0.85 * CAST(COALESCE(inflow, 0) AS DOUBLE), 6)"
+                    " AS DECIMAL(18,6))"
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select("w", F.col("pr").cast("double").alias("textrank"))
+        .orderBy(F.col("textrank").desc(), F.col("w").asc())
+        .limit(10)
+    )
+
+
+def _textrank_sql() -> str:
+    iters = []
+    prev = "pr0"
+    for t in (1, 2, 3, 4, 5):
+        iters.append(
+            f"""c{t} AS (
+  SELECT e.dst AS w,
+         SUM(CAST(ROUND(CAST(p.pr AS DOUBLE) * e.wt / e.wdeg, 6)
+                  AS DECIMAL(18,6))) AS inflow
+  FROM e JOIN {prev} p ON p.w = e.src
+  GROUP BY 1
+),
+pr{t} AS (
+  SELECT nodes.w,
+         CAST(ROUND(0.15 / CAST(nn.n AS DOUBLE)
+                    + 0.85 * CAST(COALESCE(c{t}.inflow, 0) AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS pr
+  FROM nodes LEFT JOIN c{t} ON c{t}.w = nodes.w CROSS JOIN nn
+)"""
+        )
+        prev = f"pr{t}"
+    body = ",\n".join(iters)
+    return f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+bgd AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE ws[i] <> '' AND ws[i + 1] <> '' AND ws[i] <> ws[i + 1]
+),
+und AS (SELECT w1, w2 FROM bgd UNION ALL SELECT w2, w1 FROM bgd),
+edges AS (SELECT w1, w2, COUNT(*) AS wt FROM und GROUP BY 1, 2),
+wdeg AS (SELECT w1, CAST(SUM(wt) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+e AS (
+  SELECT edges.w1 AS src, edges.w2 AS dst, edges.wt, wdeg.wdeg
+  FROM edges JOIN wdeg USING (w1)
+),
+nodes AS (SELECT DISTINCT src AS w FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (
+  SELECT w, CAST(ROUND(1.0 / CAST(nn.n AS DOUBLE), 6) AS DECIMAL(18,6)) AS pr
+  FROM nodes CROSS JOIN nn
+),
+{body}
+SELECT w, CAST(pr AS DOUBLE) AS textrank
+FROM pr5
+ORDER BY textrank DESC, w ASC
+LIMIT 10
+"""
+
+
+QUERIES["text_textrank_keywords"] = text_textrank_keywords
+ORACLE["text_textrank_keywords"] = _textrank_sql()

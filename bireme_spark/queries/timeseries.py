@@ -2237,3 +2237,261 @@ GROUP BY obs.mean_obs
 
 QUERIES["orders_bootstrap_ci"] = orders_bootstrap_ci
 ORACLE["orders_bootstrap_ci"] = ORDERS_BOOTSTRAP_SQL
+
+
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization + motif census (Lin et al. 2003): z-normalize
+    the 720-hour traffic series, PAA-compress 24-hour segments, map
+    each to a 3-letter alphabet (breakpoints ±0.4307, the standard
+    N(0,1) terciles), slide a 5-segment window into SAX words, and
+    count each word's occurrences — the classic cheap motif/novelty
+    index for long series (repeated words = recurring daily shapes;
+    hapax words = anomalous days).
+
+    Engine-exact: μ and σ come from exact integer sums (identical
+    IEEE); z-scores are 6dp DECIMALs; PAA never divides — symbol
+    thresholds are CROSS-MULTIPLIED (Σz vs 24·breakpoint as exact
+    decimal literals); words assemble via LEAD over the segment
+    index. No floats survive into the grouping key.
+
+    Scale: the stream collapses once to 720 integers; everything
+    after is constant-size (30 segments, 26 words)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("unix_micros(ts) DIV 3600000000") - 473352
+    counts = (
+        ev.select(t.alias("t"))
+        .where((F.col("t") >= 0) & (F.col("t") < 720))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(720).select(F.col("id").alias("t"))
+    series = spine.join(counts, "t", "left").select(
+        "t", F.coalesce("cnt", F.lit(0)).alias("x")
+    )
+    stats = series.agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = series.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.expr(
+            "CAST(ROUND((x - CAST(s AS DOUBLE) / n)"
+            " / SQRT((s2 - CAST(s AS DOUBLE) * s / n) / n), 6) AS DECIMAL(18,6))"
+        ).alias("z"),
+    )
+    segs = (
+        z.groupBy(F.expr("t DIV 24").alias("seg"))
+        .agg(F.sum("z").alias("zsum"))
+        .select(
+            "seg",
+            F.when(F.col("zsum") < F.expr("CAST(-10.3368 AS DECIMAL(18,6))"), "a")
+            .when(F.col("zsum") > F.expr("CAST(10.3368 AS DECIMAL(18,6))"), "c")
+            .otherwise("b")
+            .alias("sym"),
+        )
+    )
+    w = Window.orderBy("seg")
+    words = segs.select(
+        "seg",
+        F.concat(
+            "sym",
+            F.lead("sym", 1).over(w),
+            F.lead("sym", 2).over(w),
+            F.lead("sym", 3).over(w),
+            F.lead("sym", 4).over(w),
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"), F.min("seg").alias("first_seg"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    )
+
+
+EVENTS_SAX_SQL = """
+WITH counts AS (
+  SELECT epoch_us(ts) // 3600000000 - 473352 AS t, COUNT(*) AS cnt
+  FROM events
+  WHERE epoch_us(ts) // 3600000000 - 473352 >= 0
+    AND epoch_us(ts) // 3600000000 - 473352 < 720
+  GROUP BY 1
+),
+series AS (
+  SELECT g.t, COALESCE(c.cnt, 0) AS x
+  FROM (SELECT UNNEST(range(0, 720)) AS t) g LEFT JOIN counts c ON c.t = g.t
+),
+stats AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS s2,
+         COUNT(*) AS n
+  FROM series
+),
+z AS (
+  SELECT t,
+         CAST(ROUND((x - CAST(s AS DOUBLE) / n)
+                    / SQRT((s2 - CAST(s AS DOUBLE) * s / n) / n), 6)
+              AS DECIMAL(18,6)) AS z
+  FROM series CROSS JOIN stats
+),
+segs AS (
+  SELECT t // 24 AS seg, SUM(z) AS zsum FROM z GROUP BY 1
+),
+syms AS (
+  SELECT seg,
+         CASE WHEN zsum < CAST(-10.3368 AS DECIMAL(18,6)) THEN 'a'
+              WHEN zsum > CAST(10.3368 AS DECIMAL(18,6)) THEN 'c'
+              ELSE 'b' END AS sym
+  FROM segs
+),
+words AS (
+  SELECT seg,
+         sym || LEAD(sym, 1) OVER (ORDER BY seg)
+             || LEAD(sym, 2) OVER (ORDER BY seg)
+             || LEAD(sym, 3) OVER (ORDER BY seg)
+             || LEAD(sym, 4) OVER (ORDER BY seg) AS word
+  FROM syms
+)
+SELECT word, COUNT(*) AS n_occurrences, CAST(MIN(seg) AS BIGINT) AS first_seg
+FROM words WHERE word IS NOT NULL
+GROUP BY 1 ORDER BY 2 DESC, 1 ASC
+"""
+
+QUERIES["events_sax_motifs"] = events_sax_motifs
+ORACLE["events_sax_motifs"] = EVENTS_SAX_SQL
+
+
+def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-state burst detection on hourly traffic by exact Viterbi
+    decoding (the Kleinberg 2002 burst-automaton shape with quadratic
+    emission costs): states normal (μ) and burst (2μ), transition
+    penalty γ, minimum-total-cost state path over the 720-hour
+    series — the episode segmentation an on-call dashboard wants
+    (contiguous burst RUNS, not per-hour flags; contrast the
+    memoryless z-score/MAD detectors already in the suite).
+
+    Engine-exact — EXACT INTEGER Viterbi: μ is half-up integer
+    ((S+360) DIV 720), so every emission cost (x−μ)² and the whole
+    DP is integer arithmetic with a deterministic stay-on-tie rule;
+    the decoded path travels as a '0'/'1' STRING through the DP (the
+    backtrack-free trick), so both engines must produce the
+    byte-identical path — Spark folds it in ONE Arrow batch (the
+    CUSUM/Holt house shape: state-sized sequential work never goes
+    through a 2s/iteration Spark recursive CTE), while the oracle
+    runs the same recurrence as a DuckDB recursive CTE.
+
+    Scale: the stream collapses once to 720 integers; the fold is
+    O(hours) on one executor — series-sized, not data-sized."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("unix_micros(ts) DIV 3600000000") - 473352
+    counts = (
+        ev.select(t.alias("t"))
+        .where((F.col("t") >= 0) & (F.col("t") < 720))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(720).select(F.col("id").alias("t"))
+    series = spine.join(counts, "t", "left").select(
+        "t", F.coalesce("cnt", F.lit(0)).alias("x")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        xs = [int(v) for v in pdf["x"]]
+        n = len(xs)
+        s = sum(xs)
+        mu = (s + n // 2) // n
+        mub = 2 * mu
+        gamma = mu * mu // 4
+        cn, cb = (xs[0] - mu) ** 2, (xs[0] - mub) ** 2
+        pn, pb = "0", "1"
+        for x in xs[1:]:
+            en, eb = (x - mu) ** 2, (x - mub) ** 2
+            # stay-on-tie: <= prefers the same-state predecessor
+            ncn, npn = (
+                (cn + en, pn + "0") if cn <= cb + gamma else (cb + gamma + en, pb + "0")
+            )
+            ncb, npb = (
+                (cb + eb, pb + "1") if cb <= cn + gamma else (cn + gamma + eb, pn + "1")
+            )
+            cn, cb, pn, pb = ncn, ncb, npn, npb
+        cost, path = (cn, pn) if cn <= cb else (cb, pb)
+        import re
+
+        runs = re.findall("1+", path)
+        first = path.find("1")
+        return pd.DataFrame(
+            {
+                "n_hours": [n],
+                "mu": [mu],
+                "total_cost": [cost],
+                "n_burst_hours": [path.count("1")],
+                "n_episodes": [len(runs)],
+                "first_burst_hour": [first],
+            }
+        )
+
+    return (
+        series.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "n_hours int, mu long, total_cost long, n_burst_hours int,"
+            " n_episodes int, first_burst_hour int",
+        )
+    )
+
+
+EVENTS_BURST_VITERBI_SQL = """
+WITH RECURSIVE counts AS (
+  SELECT epoch_us(ts) // 3600000000 - 473352 AS t, COUNT(*) AS cnt
+  FROM events
+  WHERE epoch_us(ts) // 3600000000 - 473352 >= 0
+    AND epoch_us(ts) // 3600000000 - 473352 < 720
+  GROUP BY 1
+),
+series AS (
+  SELECT g.t, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS x
+  FROM (SELECT UNNEST(range(0, 720)) AS t) g LEFT JOIN counts c ON c.t = g.t
+),
+params AS (
+  SELECT COUNT(*) AS n,
+         (SUM(x) + COUNT(*) // 2) // COUNT(*) AS mu
+  FROM series
+),
+dp(t, cn, cb, pn, pb) AS (
+  SELECT 0,
+         (s.x - p.mu) * (s.x - p.mu),
+         (s.x - 2 * p.mu) * (s.x - 2 * p.mu),
+         '0', '1'
+  FROM series s, params p WHERE s.t = 0
+  UNION ALL
+  SELECT s.t,
+         CASE WHEN d.cn <= d.cb + (p.mu * p.mu // 4)
+              THEN d.cn ELSE d.cb + (p.mu * p.mu // 4) END
+           + (s.x - p.mu) * (s.x - p.mu),
+         CASE WHEN d.cb <= d.cn + (p.mu * p.mu // 4)
+              THEN d.cb ELSE d.cn + (p.mu * p.mu // 4) END
+           + (s.x - 2 * p.mu) * (s.x - 2 * p.mu),
+         CASE WHEN d.cn <= d.cb + (p.mu * p.mu // 4) THEN d.pn ELSE d.pb END || '0',
+         CASE WHEN d.cb <= d.cn + (p.mu * p.mu // 4) THEN d.pb ELSE d.pn END || '1'
+  FROM dp d JOIN series s ON s.t = d.t + 1, params p
+),
+final AS (
+  SELECT CASE WHEN cn <= cb THEN cn ELSE cb END AS cost,
+         CASE WHEN cn <= cb THEN pn ELSE pb END AS path
+  FROM dp WHERE t = 719
+)
+SELECT CAST(p.n AS INTEGER) AS n_hours,
+       CAST(p.mu AS BIGINT) AS mu,
+       CAST(f.cost AS BIGINT) AS total_cost,
+       CAST(length(f.path) - length(replace(f.path, '1', '')) AS INTEGER)
+         AS n_burst_hours,
+       CAST(len(regexp_extract_all(f.path, '1+')) AS INTEGER) AS n_episodes,
+       CAST(strpos(f.path, '1') - 1 AS INTEGER) AS first_burst_hour
+FROM final f, params p
+"""
+
+QUERIES["events_burst_viterbi"] = events_burst_viterbi
+ORACLE["events_burst_viterbi"] = EVENTS_BURST_VITERBI_SQL

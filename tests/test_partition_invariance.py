@@ -92,6 +92,11 @@ _PINNED = [
     "multimodal_spectral_centroid",
     "embedding_kmeans_convergence",
     "orders_bootstrap_ci",
+    # iterative-DECIMAL PageRank, decimal-threshold SAX, integer
+    # Viterbi path string
+    "text_textrank_keywords",
+    "events_sax_motifs",
+    "events_burst_viterbi",
 ]
 
 
