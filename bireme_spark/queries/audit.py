@@ -1445,3 +1445,109 @@ FROM comm GROUP BY 1 ORDER BY 1
 
 QUERIES["graph_label_propagation"] = graph_label_propagation
 ORACLE["graph_label_propagation"] = _lpa_sql()
+
+
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    customer→part purchase graph: hub scores over customers, authority
+    scores over parts, three unrolled mutual-reinforcement rounds
+    with max-normalization — "which parts do the broadest buyers
+    buy" vs plain popularity (degree); the bipartite companion of
+    embedding_knn_pagerank's eigenvector-centrality family.
+
+    Engine-exact: the iterative-DECIMAL-update discipline — each
+    normalized score is ROUND(sum/max, 6) as DECIMAL, so all three
+    rounds are bit-identical; top-10 ties break on the part key.
+
+    Scale: the edge list is one distinct (cust,part) projection of a
+    deterministic 12.5% order sample; each round is two edge-hash
+    aggs (map-side-combined) + a scalar max broadcast — synchronous
+    supersteps, no driver loop."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 8 == 0)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.select("o_orderkey", "o_custkey")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    # the edge list feeds all six per-round joins — checkpoint once
+    # so the order-sample distinct shuffle doesn't recompute 6x
+    edges = edges.localCheckpoint(eager=False)
+    hub = edges.select("c").distinct().select(
+        "c", F.lit(1).cast("decimal(18,6)").alias("h")
+    )
+    auth = None
+    for _ in range(3):
+        araw = (
+            edges.join(hub, "c")
+            .groupBy("p")
+            .agg(F.sum("h").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            "p",
+            F.expr("CAST(ROUND(CAST(raw AS DOUBLE) / CAST(mx AS DOUBLE), 6)"
+                   " AS DECIMAL(18,6))").alias("a"),
+        )
+        hraw = (
+            edges.join(auth, "p")
+            .groupBy("c")
+            .agg(F.sum("a").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            "c",
+            F.expr("CAST(ROUND(CAST(raw AS DOUBLE) / CAST(mx AS DOUBLE), 6)"
+                   " AS DECIMAL(18,6))").alias("h"),
+        )
+    return (
+        auth.select(F.col("p").alias("partkey"), F.col("a").cast("double").alias("authority"))
+        .orderBy(F.col("authority").desc(), F.col("partkey").asc())
+        .limit(10)
+    )
+
+
+def _hits_sql() -> str:
+    iters = []
+    prev_h = "h0"
+    for t in (1, 2, 3):
+        iters.append(
+            f"""ar{t} AS MATERIALIZED (
+  SELECT e.p, SUM(h.h) AS raw FROM e JOIN {prev_h} h USING (c) GROUP BY 1
+),
+a{t} AS (
+  SELECT p, CAST(ROUND(CAST(raw AS DOUBLE)
+                       / CAST((SELECT MAX(raw) FROM ar{t}) AS DOUBLE), 6)
+                 AS DECIMAL(18,6)) AS a
+  FROM ar{t}
+),
+hr{t} AS MATERIALIZED (
+  SELECT e.c, SUM(a.a) AS raw FROM e JOIN a{t} a USING (p) GROUP BY 1
+),
+h{t} AS (
+  SELECT c, CAST(ROUND(CAST(raw AS DOUBLE)
+                       / CAST((SELECT MAX(raw) FROM hr{t}) AS DOUBLE), 6)
+                 AS DECIMAL(18,6)) AS h
+  FROM hr{t}
+)"""
+        )
+        prev_h = f"h{t}"
+    body = ",\n".join(iters)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 8 = 0
+),
+h0 AS (SELECT DISTINCT c, CAST(1 AS DECIMAL(18,6)) AS h FROM e),
+{body}
+SELECT p AS partkey, CAST(a AS DOUBLE) AS authority
+FROM a3
+ORDER BY authority DESC, partkey ASC
+LIMIT 10
+"""
+
+
+QUERIES["graph_hits_authorities"] = graph_hits_authorities
+ORACLE["graph_hits_authorities"] = _hits_sql()

@@ -3193,3 +3193,184 @@ FROM hit WHERE rn = 1 ORDER BY p_brand
 
 QUERIES["parts_newsvendor_stock"] = parts_newsvendor_stock
 ORACLE["parts_newsvendor_stock"] = PARTS_NEWSVENDOR_SQL
+
+
+def lineitem_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture on log unit price, fit by
+    TWO unrolled EM iterations (Dempster 1977) with shared fixed
+    variance — the soft-clustering counterpart of the hard k-means
+    trajectory query: "is the price distribution one population or
+    two" with responsibilities instead of assignments. Emits the
+    (weight, μ₁, μ₂) trajectory per iteration; a broken E-step or a
+    mis-normalized M-step shows up as a hash break in iteration 1.
+
+    Engine-exact: x = 6dp ln; σ² and each responsibility r =
+    sigmoid(L) are 6dp-rounded (absorbing libm exp/ln ulp); M-step
+    numerators Σ r·x are per-term-rounded DECIMAL sums; every
+    division is double-on-exact-decimals, re-rounded 6dp before the
+    next iteration — the iterative-DECIMAL-update discipline. Init
+    μ's are the exact 25th/75th percentiles via the histogram-CDF
+    house pattern (cross-multiplied 4·cum ≥ n / ≥ 3n).
+
+    Scale: each EM iteration is ONE map-side-combined scan agg over
+    the fact table with model-sized broadcast scalars — the same
+    shape as the logistic-regression trainer; the value histogram
+    (distinct unit prices, part-dimension-sized) is the only sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6)
+        .cast("decimal(18,6)")
+        .alias("x")
+    )
+    hist = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    wcdf = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.select(
+        "x",
+        F.sum("c").over(wcdf).alias("cum"),
+        F.sum("c").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    q25 = cdf.where(F.col("cum") * 4 >= F.col("n")).agg(F.min("x").alias("mu1"))
+    q75 = cdf.where(F.col("cum") * 4 >= F.col("n") * 3).agg(F.min("x").alias("mu2"))
+    mom = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("q"),
+    )
+    base = (
+        mom.crossJoin(F.broadcast(q25))
+        .crossJoin(F.broadcast(q75))
+        .select(
+            "n",
+            F.expr(
+                "CAST(ROUND((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+                " / n) / n, 6) AS DECIMAL(18,6))"
+            ).alias("v"),
+            "mu1",
+            "mu2",
+        )
+    )
+    state = base.select(
+        "n", "v", "mu1", "mu2",
+        F.lit(0.5).cast("decimal(18,6)").alias("w2"),
+    )
+    out = []
+    for it in (1, 2):
+        p = li.crossJoin(F.broadcast(state))
+        l_expr = (
+            "CAST(ROUND(LN(CAST(w2 AS DOUBLE)) - LN(1.0 - CAST(w2 AS DOUBLE))"
+            " + ((CAST(x AS DOUBLE) - CAST(mu1 AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(mu1 AS DOUBLE))"
+            "  - (CAST(x AS DOUBLE) - CAST(mu2 AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(mu2 AS DOUBLE)))"
+            " / (2.0 * CAST(v AS DOUBLE)), 6) AS DOUBLE)"
+        )
+        r_expr = f"CAST(ROUND(1.0 / (1.0 + EXP(-({l_expr}))), 6) AS DECIMAL(18,6))"
+        scored = p.select(
+            "n", "v", "x", F.expr(r_expr).alias("r")
+        )
+        agg = scored.agg(
+            F.max("n").alias("n"),
+            F.max("v").alias("v"),
+            F.sum("r").alias("n2"),
+            F.sum(F.expr("CAST(ROUND(CAST(r AS DOUBLE) * CAST(x AS DOUBLE), 6)"
+                         " AS DECIMAL(18,6))")).alias("sx2"),
+            F.sum(F.expr("CAST(ROUND((1.0 - CAST(r AS DOUBLE)) * CAST(x AS DOUBLE), 6)"
+                         " AS DECIMAL(18,6))")).alias("sx1"),
+        )
+        state = agg.select(
+            "n",
+            "v",
+            F.expr("CAST(ROUND(CAST(sx1 AS DOUBLE) / (n - CAST(n2 AS DOUBLE)), 6)"
+                   " AS DECIMAL(18,6))").alias("mu1"),
+            F.expr("CAST(ROUND(CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)"
+                   " AS DECIMAL(18,6))").alias("mu2"),
+            F.expr("CAST(ROUND(CAST(n2 AS DOUBLE) / n, 6) AS DECIMAL(18,6))").alias("w2"),
+        )
+        state = state.localCheckpoint(eager=False)
+        out.append(
+            state.select(
+                F.lit(it).alias("iteration"),
+                F.col("w2").cast("double").alias("weight2"),
+                F.col("mu1").cast("double").alias("mu1"),
+                F.col("mu2").cast("double").alias("mu2"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("iteration")
+
+
+def _em_sql() -> str:
+    l_expr = (
+        "CAST(ROUND(LN(CAST(w2 AS DOUBLE)) - LN(1.0 - CAST(w2 AS DOUBLE))"
+        " + ((CAST(x AS DOUBLE) - CAST(mu1 AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(mu1 AS DOUBLE))"
+        "  - (CAST(x AS DOUBLE) - CAST(mu2 AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(mu2 AS DOUBLE)))"
+        " / (2.0 * CAST(v AS DOUBLE)), 6) AS DOUBLE)"
+    )
+    r_expr = f"CAST(ROUND(1.0 / (1.0 + EXP(-({l_expr}))), 6) AS DECIMAL(18,6))"
+    iters = []
+    prev = "s0"
+    for t in (1, 2):
+        iters.append(
+            f"""sc{t} AS MATERIALIZED (
+  SELECT li.x, st.n, st.v, {r_expr} AS r
+  FROM li CROSS JOIN {prev} st
+),
+ag{t} AS (
+  SELECT MAX(n) AS n, MAX(v) AS v,
+         SUM(r) AS n2,
+         SUM(CAST(ROUND(CAST(r AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                  AS DECIMAL(18,6))) AS sx2,
+         SUM(CAST(ROUND((1.0 - CAST(r AS DOUBLE)) * CAST(x AS DOUBLE), 6)
+                  AS DECIMAL(18,6))) AS sx1
+  FROM sc{t}
+),
+s{t} AS (
+  SELECT n, v,
+         CAST(ROUND(CAST(sx1 AS DOUBLE) / (n - CAST(n2 AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS mu1,
+         CAST(ROUND(CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS mu2,
+         CAST(ROUND(CAST(n2 AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS w2
+  FROM ag{t}
+)"""
+        )
+        prev = f"s{t}"
+    body = ",\n".join(iters)
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT CAST(ROUND(LN(l_extendedprice / l_quantity), 6) AS DECIMAL(18,6)) AS x
+  FROM lineitem
+),
+hist AS (SELECT x, COUNT(*) AS c FROM li GROUP BY 1),
+cdf AS (
+  SELECT x, SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+q25 AS (SELECT MIN(x) AS mu1 FROM cdf WHERE cum * 4 >= n),
+q75 AS (SELECT MIN(x) AS mu2 FROM cdf WHERE cum * 4 >= n * 3),
+mom AS (
+  SELECT COUNT(*) AS n, SUM(x) AS s, ROUND(SUM(x * x), 6) AS q FROM li
+),
+s0 AS (
+  SELECT mom.n,
+         CAST(ROUND((CAST(mom.q AS DOUBLE) - CAST(mom.s AS DOUBLE)
+                     * CAST(mom.s AS DOUBLE) / mom.n) / mom.n, 6)
+              AS DECIMAL(18,6)) AS v,
+         q25.mu1, q75.mu2,
+         CAST(0.5 AS DECIMAL(18,6)) AS w2
+  FROM mom, q25, q75
+),
+{body}
+SELECT * FROM (
+  SELECT 1 AS iteration, CAST(w2 AS DOUBLE) AS weight2,
+         CAST(mu1 AS DOUBLE) AS mu1, CAST(mu2 AS DOUBLE) AS mu2 FROM s1
+  UNION ALL
+  SELECT 2, CAST(w2 AS DOUBLE), CAST(mu1 AS DOUBLE), CAST(mu2 AS DOUBLE) FROM s2
+) r ORDER BY iteration
+"""
+
+
+QUERIES["lineitem_em_mixture"] = lineitem_em_mixture
+ORACLE["lineitem_em_mixture"] = _em_sql()

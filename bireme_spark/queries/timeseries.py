@@ -2495,3 +2495,147 @@ FROM final f, params p
 
 QUERIES["events_burst_viterbi"] = events_burst_viterbi
 ORACLE["events_burst_viterbi"] = EVENTS_BURST_VITERBI_SQL
+
+
+def orders_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE-SEASONAL forecast of monthly revenue
+    (α=0.4, β=0.2, γ=0.3, period 12) — the third rung of the
+    exponential-smoothing ladder (EWMA → Holt → Holt-Winters), the
+    first that can follow the Q4 bump: standard init (level = mean of
+    season 1, trend = (mean₂ − mean₁)/12, seasonals = season-1
+    deviations), then the classic three-equation recurrence; emits
+    horizon 1–3 forecasts.
+
+    Engine-exact: the Holt discipline extended with seasonal state —
+    every update quantizes HALF_UP at 6dp (== DuckDB decimal ROUND);
+    the 12-slot seasonal vector travels through the oracle's
+    recursive CTE as a DECIMAL LIST rebuilt per step via
+    list_transform (a Spark recursive CTE would pay ~2s planning per
+    month — the fold runs in ONE Arrow batch instead).
+
+    Scale: fact table → |months| DECIMAL series in one agg; the
+    sequential part is state-sized."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        money("o_totalprice").alias("price"),
+    )
+    monthly = o.groupBy("month").agg(F.sum("price").cast("double").alias("y"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("1e-6")
+        al, be, ga = Decimal("0.4"), Decimal("0.2"), Decimal("0.3")
+        one = Decimal(1)
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        ys = [Decimal(repr(float(v))) for v in pdf["y"]]
+        n = len(ys)
+        # init divisions in pure integer micro-dollars with explicit
+        # half-up — decimal/12 quotients can land exactly on .5e-6
+        # (d·1e6 ≡ 6 mod 12), where double-path ROUND is ambiguous
+        mu = 1_000_000
+        s1u = int(sum(ys[:12]) * mu)
+        s2u = int(sum(ys[12:24]) * mu)
+        m1u = (s1u + 6) // 12
+        m2u = (s2u + 6) // 12
+        diff = m2u - m1u
+        tru = (diff + 6) // 12 if diff >= 0 else -((-diff + 6) // 12)
+        m1 = Decimal(m1u) / mu
+        m2 = Decimal(m2u) / mu
+        level = m1
+        trend = Decimal(tru) / mu
+        seas = [(ys[i] - m1).quantize(q6, ROUND_HALF_UP) for i in range(12)]
+        for t in range(12, n):
+            idx = t % 12
+            prev_l = level
+            level = (al * (ys[t] - seas[idx]) + (one - al) * (level + trend)).quantize(
+                q6, ROUND_HALF_UP
+            )
+            trend = (be * (level - prev_l) + (one - be) * trend).quantize(
+                q6, ROUND_HALF_UP
+            )
+            seas[idx] = (ga * (ys[t] - level) + (one - ga) * seas[idx]).quantize(
+                q6, ROUND_HALF_UP
+            )
+        rows = {"horizon": [], "forecast": []}
+        for h in (1, 2, 3):
+            rows["horizon"].append(h)
+            rows["forecast"].append(
+                float(level + Decimal(h) * trend + seas[(n + h - 1) % 12])
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        monthly.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(fold, "horizon int, forecast double")
+        .select("horizon", "forecast")
+        .orderBy("horizon")
+    )
+
+
+ORDERS_HOLT_WINTERS_SQL = """
+WITH RECURSIVE monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+),
+series AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY month) AS INTEGER) AS t,
+         CAST(y AS DECIMAL(28,6)) AS y
+  FROM monthly
+),
+raw AS (
+  SELECT CAST((SELECT SUM(y) FROM series WHERE t <= 12) * 1000000 AS BIGINT) AS s1u,
+         CAST((SELECT SUM(y) FROM series WHERE t BETWEEN 13 AND 24) * 1000000
+              AS BIGINT) AS s2u,
+         (SELECT MAX(t) FROM series) AS n
+),
+init AS (
+  -- ×1e-6 multiplication (never division: DuckDB division always
+  -- goes double) rebuilds the exact 6dp decimal from integer micros
+  SELECT CAST(CAST((s1u + 6) // 12 AS DECIMAL(28,6))
+              * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS m1,
+         CAST(CAST((s2u + 6) // 12 AS DECIMAL(28,6))
+              * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS m2,
+         n,
+         (s2u + 6) // 12 - (s1u + 6) // 12 AS diffu
+  FROM raw
+),
+hw(t, l, b, s) AS (
+  SELECT 12, CAST(m1 AS DECIMAL(28,6)),
+         CAST(CAST(CASE WHEN diffu >= 0 THEN (diffu + 6) // 12
+                        ELSE -((-diffu + 6) // 12) END AS DECIMAL(28,6))
+              * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(28,6)),
+         (SELECT list(CAST(ROUND(sv.y - i.m1, 6) AS DECIMAL(28,6)) ORDER BY sv.t)
+          FROM series sv, init i WHERE sv.t <= 12)
+  FROM init
+  UNION ALL
+  SELECT s2.t,
+         CAST(ROUND(0.4 * (s2.y - h.s[(s2.t - 1) % 12 + 1])
+                    + 0.6 * (h.l + h.b), 6) AS DECIMAL(28,6)),
+         CAST(ROUND(0.2 * (CAST(ROUND(0.4 * (s2.y - h.s[(s2.t - 1) % 12 + 1])
+                                      + 0.6 * (h.l + h.b), 6) AS DECIMAL(28,6)) - h.l)
+                    + 0.8 * h.b, 6) AS DECIMAL(28,6)),
+         list_transform(range(1, 13), i ->
+           CASE WHEN i = (s2.t - 1) % 12 + 1
+                THEN CAST(ROUND(0.3 * (s2.y
+                         - CAST(ROUND(0.4 * (s2.y - h.s[(s2.t - 1) % 12 + 1])
+                                      + 0.6 * (h.l + h.b), 6) AS DECIMAL(28,6)))
+                         + 0.7 * h.s[i], 6) AS DECIMAL(28,6))
+                ELSE h.s[i] END)
+  FROM hw h JOIN series s2 ON s2.t = h.t + 1
+),
+final AS (
+  SELECT h.l, h.b, h.s, i.n FROM hw h, init i WHERE h.t = i.n
+)
+SELECT hz.h AS horizon,
+       CAST(l + hz.h * b + s[(n + hz.h - 1) % 12 + 1] AS DOUBLE) AS forecast
+FROM final, (SELECT UNNEST([1, 2, 3]) AS h) hz
+ORDER BY horizon
+"""
+
+QUERIES["orders_holt_winters"] = orders_holt_winters
+ORACLE["orders_holt_winters"] = ORDERS_HOLT_WINTERS_SQL

@@ -149,6 +149,9 @@ _NEW_THIS_ROUND = frozenset(
         "text_textrank_keywords",
         "events_sax_motifs",
         "events_burst_viterbi",
+        "orders_holt_winters",
+        "graph_hits_authorities",
+        "lineitem_em_mixture",
     }
 )
 

@@ -97,6 +97,11 @@ _PINNED = [
     "text_textrank_keywords",
     "events_sax_motifs",
     "events_burst_viterbi",
+    # seasonal Decimal fold, max-normalized HITS rounds, EM
+    # responsibility sums
+    "orders_holt_winters",
+    "graph_hits_authorities",
+    "lineitem_em_mixture",
 ]
 
 
