@@ -146,6 +146,10 @@ HEADLINE = [
     "orders_holt_winters",
     "graph_hits_authorities",
     "lineitem_em_mixture",
+    "corpus_mixing_temperature",
+    "corpus_span_corruption_plan",
+    "events_poisson_rate_test",
+    "embedding_power_iteration",
 ]
 
 

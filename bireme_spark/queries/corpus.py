@@ -1206,3 +1206,189 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["corpus_curriculum_schedule"] = corpus_curriculum_schedule
 ORACLE["corpus_curriculum_schedule"] = CORPUS_CURRICULUM_SQL
+
+
+def corpus_mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (the multilingual/
+    multi-source sampling rule from mT5/XLM-R: p_i ∝ c_i^τ, τ=0.7) —
+    the table a data loader consumes to up-sample small sources
+    without drowning the big ones; reports raw share, τ-share, and
+    the boost factor per source, at three temperatures (1.0, 0.7,
+    0.5) so the flattening is visible.
+
+    Engine-exact: c^τ = EXP(τ·LN(c)) rounded 6dp per source
+    (transcendental discipline); shares are DECIMAL-sum ratios (one
+    IEEE division each); boost = τ-share/raw-share, a second
+    identical division. The per-τ normalizer is a broadcast scalar.
+
+    Scale: one source-cardinality agg; everything else is
+    source-count-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    taus = spark.range(1).select(
+        F.explode(
+            F.array(F.lit("1.0"), F.lit("0.7"), F.lit("0.5"))
+        ).alias("tau")
+    )
+    pw = counts.crossJoin(F.broadcast(taus)).select(
+        "source",
+        "c",
+        "tau",
+        F.expr(
+            "CAST(ROUND(EXP(CAST(tau AS DOUBLE) * LN(CAST(c AS DOUBLE))), 6)"
+            " AS DECIMAL(28,6))"
+        ).alias("p"),
+    )
+    wsum = Window.partitionBy("tau")
+    tot = pw.select(
+        "source",
+        "c",
+        "tau",
+        "p",
+        F.sum("p").over(wsum).alias("z"),
+        F.sum("c").over(wsum).alias("n"),
+    )
+    share_raw = F.expr("c * 1000000 DIV n")
+    share_tau = (F.col("p").cast("double") / F.col("z").cast("double"))
+    return tot.select(
+        "source",
+        F.col("tau").alias("temperature"),
+        F.col("c").alias("n_docs"),
+        share_raw.alias("raw_share_ppm"),
+        share_tau.alias("tau_share"),
+        (share_tau * F.col("n").cast("double") / F.col("c").cast("double")).alias(
+            "boost"
+        ),
+    ).orderBy("temperature", "source")
+
+
+CORPUS_MIXING_SQL = """
+WITH counts AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+pw AS (
+  SELECT source, c, tau,
+         CAST(ROUND(EXP(CAST(tau AS DOUBLE) * LN(CAST(c AS DOUBLE))), 6)
+              AS DECIMAL(28,6)) AS p
+  FROM counts, (SELECT UNNEST(['1.0', '0.7', '0.5']) AS tau) t
+),
+tot AS (
+  SELECT source, c, tau, p,
+         SUM(p) OVER (PARTITION BY tau) AS z,
+         SUM(c) OVER (PARTITION BY tau) AS n
+  FROM pw
+)
+SELECT source, tau AS temperature, c AS n_docs,
+       CAST(c * 1000000 // n AS BIGINT) AS raw_share_ppm,
+       CAST(p AS DOUBLE) / CAST(z AS DOUBLE) AS tau_share,
+       CAST(p AS DOUBLE) / CAST(z AS DOUBLE) * CAST(n AS DOUBLE) / CAST(c AS DOUBLE)
+         AS boost
+FROM tot ORDER BY temperature, source
+"""
+
+QUERIES["corpus_mixing_temperature"] = corpus_mixing_temperature
+ORACLE["corpus_mixing_temperature"] = CORPUS_MIXING_SQL
+
+
+def corpus_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCK-ALIGNED span-corruption planning (the T5 span-corruption
+    objective, Raffel 2020, in its block-aligned form: documents are
+    tiled into length-3 token blocks and each block is corrupted
+    independently with p = 0.15 — alignment makes the mask plan pure
+    relational algebra with NO sequential greedy): per source, span
+    count, corrupted-token count (partial tail blocks clamp), total
+    tokens, and the achieved corruption rate — the numbers that size
+    sentinel vocabulary and encoder/decoder lengths for a T5-style
+    pretraining run.
+
+    Engine-exact: block coins are md5-residue draws (engine-portable
+    hex, residue < 3 of 20 ≈ 15%); corrupted counts are integer
+    clamps against doc length; the rate is truncating integer ppm.
+
+    Scale: one tokenize collapses to BLOCK STARTS map-side (q ≡ 1
+    mod 3 — the coin is only evaluated on 1/3 of positions), one doc
+    rollup, one source rollup — all map-side-combinable, no Python,
+    no windows at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", "source", F.posexplode(F.split("text", " ")).alias("p", "w")
+        )
+        .where(F.col("w") != "")
+        .select("doc_id", "source", (F.col("p") + 1).alias("q"))
+    )
+    wl = Window.partitionBy("doc_id")
+    blocks = toks.select(
+        "doc_id", "source", "q", F.max("q").over(wl).alias("len")
+    ).where((F.col("q") % 3) == 1)
+    coin = (
+        F.expr(
+            "locate(substring(md5(concat('span:', CAST(doc_id AS STRING), ':',"
+            " CAST(q AS STRING))), 1, 1), '0123456789abcdef') - 1"
+        )
+        % 20
+        < 3
+    ).cast("int")
+    spans = blocks.select(
+        "doc_id",
+        "source",
+        "len",
+        coin.alias("s"),
+        (coin * F.least(F.lit(3), F.col("len") - F.col("q") + 1)).alias("covered"),
+    )
+    per_doc = spans.groupBy("doc_id", "source").agg(
+        F.sum("s").alias("n_spans"),
+        F.sum("covered").alias("n_corrupted"),
+        F.max("len").alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_spans").alias("total_spans"),
+            F.sum("n_corrupted").alias("total_corrupted"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr(
+                "SUM(n_corrupted) * 1000000 DIV SUM(n_tokens)"
+            ).alias("corruption_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_SPAN_CORRUPTION_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, q
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(range(1, len(ws) + 1)) AS t(q)
+  WHERE ws[q] <> ''
+),
+blocks AS (
+  SELECT doc_id, source, q, MAX(q) OVER (PARTITION BY doc_id) AS len
+  FROM toks QUALIFY q % 3 = 1
+),
+spans AS (
+  SELECT doc_id, source, len,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(concat('span:', CAST(doc_id AS VARCHAR), ':',
+                                             CAST(q AS VARCHAR))), 1, 1)) - 1) % 20 < 3
+              THEN 1 ELSE 0 END AS s,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(concat('span:', CAST(doc_id AS VARCHAR), ':',
+                                             CAST(q AS VARCHAR))), 1, 1)) - 1) % 20 < 3
+              THEN LEAST(3, len - q + 1) ELSE 0 END AS covered
+  FROM blocks
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(s) AS n_spans, SUM(covered) AS n_corrupted,
+         MAX(len) AS n_tokens
+  FROM spans GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+       CAST(SUM(n_corrupted) AS BIGINT) AS total_corrupted,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_corrupted) * 1000000 // SUM(n_tokens) AS BIGINT) AS corruption_ppm
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["corpus_span_corruption_plan"] = corpus_span_corruption_plan
+ORACLE["corpus_span_corruption_plan"] = CORPUS_SPAN_CORRUPTION_SQL

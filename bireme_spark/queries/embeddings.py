@@ -941,3 +941,150 @@ SELECT * FROM ({rows}) r ORDER BY iteration
 
 QUERIES["embedding_kmeans_convergence"] = embedding_kmeans_convergence
 ORACLE["embedding_kmeans_convergence"] = _kmeans_sql()
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenpair of the embedding covariance by FIVE unrolled
+    power iterations (von Mises iteration) — the ORACLE-CHECKED
+    counterpart of embedding_pca (whose LAPACK eigensolve is
+    rows-only by necessity): v ← normalize(C·v) from a uniform
+    start; after 5 rounds ‖C·v‖ estimates λ₁ and v the principal
+    direction. Emits the 64 loadings plus the eigenvalue estimate.
+
+    Engine-exact — INTEGER PARTS-PER-BILLION state: ROUND(double, k)
+    has engine-divergent tie semantics (Spark decimal-string half-up
+    vs DuckDB binary ×10^k — a 1e-9 tie DID split here and amplified
+    through the normalization), so every quantization is
+    FLOOR(x·1e9) instead: floor of an identical IEEE double is
+    bit-deterministic on both engines. The matrix is c_ppb BIGINT,
+    the mat-vec is exact integer products (≤6e15), the norm is a
+    sqrt of an exact integer, and v re-quantizes by FLOOR — zero
+    tie exposure anywhere in the loop.
+
+    Scale: the d² gram build is the only corpus-sized work and runs
+    on a DETERMINISTIC HALF-SAMPLE (vec_id % 2 — the d²-cell pair
+    fan-out is the quadratic cost; a uniform sample estimates the
+    same covariance, and the oracle mirrors the coin); all five
+    iterations run on 4096-row model-sized frames (broadcast norm
+    scalars). The classic distributed eigensolve-without-a-solver."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+    # float→DOUBLE→decimal: Spark's float→decimal cast goes through
+    # the float's 7-digit shortest string while DuckDB converts the
+    # exact binary — 1e-8-level per-element skew that 73/4096 matrix
+    # cells turned into ±1 ppb floor flips. Through double, both
+    # engines quantize the same exact binary value.
+    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos", F.col("x").cast("double").cast("decimal(18,9)").alias("x")
+    )
+    a = ex.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xi"))
+    b = ex.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xj"))
+    n = e.count()
+    mat = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            # round the exact decimal sums to 9dp BEFORE the double
+            # cast: at scale 18 the scaled integer passes 2^53 and
+            # DECIMAL→DOUBLE conversion itself diverges across
+            # engines (the CLAUDE.md int128-vs-BigDecimal boundary)
+            F.round(F.sum(F.col("xi") * F.col("xj")), 9)
+            .cast("decimal(28,9)")
+            .alias("sxy"),
+            F.round(F.sum("xi"), 9).cast("decimal(28,9)").alias("sx"),
+            F.round(F.sum("xj"), 9).cast("decimal(28,9)").alias("sy"),
+        )
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"CAST(FLOOR((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+                f" * CAST(sy AS DOUBLE) / {n}) / ({n} - 1) * 1e9) AS BIGINT)"
+            ).alias("c_ppb"),
+        )
+    )
+    mat = mat.localCheckpoint(eager=False)
+    v = mat.select("j").distinct().select(
+        "j", F.lit(125000000).alias("v_ppb")
+    )
+    lam = None
+    for _ in range(5):
+        w = (
+            mat.join(v, "j")
+            .select("i", (F.col("c_ppb") * F.col("v_ppb")).alias("t"))
+            .groupBy("i")
+            .agg(F.expr("SUM(t) DIV 1000000000").alias("w_ppb"))
+        )
+        nrm = w.agg(
+            F.sqrt(F.sum(F.col("w_ppb") * F.col("w_ppb")).cast("double")).alias("nrm")
+        )
+        lam = nrm
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(
+                    "CAST(FLOOR(CAST(w_ppb AS DOUBLE) / nrm * 1e9) AS BIGINT)"
+                ).alias("v_ppb"),
+            )
+        )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").alias("pos"),
+            (F.col("v_ppb").cast("double") / F.lit(1e9)).alias("loading"),
+            (F.col("nrm") / F.lit(1e9)).alias("eigenvalue_est"),
+        )
+        .orderBy("pos")
+    )
+
+
+def _power_iter_sql() -> str:
+    iters = []
+    prev = "v0"
+    for t in (1, 2, 3, 4, 5):
+        iters.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT m.i, SUM(m.c_ppb * p.v_ppb) // 1000000000 AS w_ppb
+  FROM mat m JOIN {prev} p ON p.j = m.j
+  GROUP BY 1
+),
+n{t} AS (
+  SELECT SQRT(CAST(SUM(w_ppb * w_ppb) AS DOUBLE)) AS nrm FROM w{t}
+),
+v{t} AS (
+  SELECT w.i AS j,
+         CAST(FLOOR(CAST(w.w_ppb AS DOUBLE) / n{t}.nrm * 1e9) AS BIGINT) AS v_ppb
+  FROM w{t} w, n{t}
+)"""
+        )
+        prev = f"v{t}"
+    body = ",\n".join(iters)
+    return f"""
+WITH emb AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+  FROM emb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+),
+nn AS (SELECT COUNT(*) AS n FROM emb),
+mat AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(FLOOR((CAST(CAST(ROUND(SUM(a.x * b.x), 9) AS DECIMAL(28,9)) AS DOUBLE)
+                     - CAST(CAST(ROUND(SUM(a.x), 9) AS DECIMAL(28,9)) AS DOUBLE)
+                       * CAST(CAST(ROUND(SUM(b.x), 9) AS DECIMAL(28,9)) AS DOUBLE)
+                       / (SELECT n FROM nn))
+                    / ((SELECT n FROM nn) - 1) * 1e9) AS BIGINT) AS c_ppb
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (SELECT DISTINCT j, CAST(125000000 AS BIGINT) AS v_ppb FROM mat),
+{body}
+SELECT v5.j AS pos, CAST(v5.v_ppb AS DOUBLE) / 1e9 AS loading,
+       n5.nrm / 1e9 AS eigenvalue_est
+FROM v5, n5
+ORDER BY pos
+"""
+
+
+QUERIES["embedding_power_iteration"] = embedding_power_iteration
+ORACLE["embedding_power_iteration"] = _power_iter_sql()

@@ -1934,3 +1934,69 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["events_watermark_lateness"] = events_watermark_lateness
 ORACLE["events_watermark_lateness"] = EVENTS_WATERMARK_LATENESS_SQL
+
+
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test, weekday vs weekend traffic: is
+    the weekend arrival rate different, as a z-statistic under the
+    pooled-rate normal approximation — the capacity-planning
+    hypothesis test that pairs with events_hurst_exponent (burstiness)
+    and the interarrival stats (shape): λ̂ = (n₁+n₂)/(t₁+t₂),
+    z = (n₁/t₁ − n₂/t₂)/√(λ̂(1/t₁+1/t₂)).
+
+    Engine-exact: weekday classification is pure integer epoch math
+    ((days_since_epoch + 4) % 7 — never the engine-divergent
+    dayofweek builtins: Spark counts 1=Sunday, DuckDB 0=Sunday);
+    exposures are integer hour counts from the fixed Jan-2024 span;
+    the closing z expression is identically-written IEEE on exact
+    integers.
+
+    Scale: one classify-and-count agg over the stream; the rest is
+    two-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    dow = (day + 4) % 7
+    weekend = dow.isin(0, 6)
+    m = ev.select(weekend.alias("we")).agg(
+        F.count(F.when(~F.col("we"), 1)).alias("n_wd"),
+        F.count(F.when(F.col("we"), 1)).alias("n_we"),
+    )
+    # Jan 1..30 2024: 22 weekdays (528h), 8 weekend days (192h)
+    t1, t2 = F.lit(528.0), F.lit(192.0)
+    r1 = F.col("n_wd").cast("double") / t1
+    r2 = F.col("n_we").cast("double") / t2
+    lam = (F.col("n_wd") + F.col("n_we")).cast("double") / (t1 + t2)
+    z = (r1 - r2) / F.sqrt(lam * (F.lit(1.0) / t1 + F.lit(1.0) / t2))
+    return m.select(
+        F.col("n_wd").alias("n_weekday"),
+        F.col("n_we").alias("n_weekend"),
+        r1.alias("rate_weekday_per_hour"),
+        r2.alias("rate_weekend_per_hour"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_5pct"),
+    )
+
+
+EVENTS_POISSON_RATE_SQL = """
+WITH cls AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6) AS we FROM events
+),
+m AS (
+  SELECT COUNT(CASE WHEN NOT we THEN 1 END) AS n_wd,
+         COUNT(CASE WHEN we THEN 1 END) AS n_we
+  FROM cls
+)
+SELECT n_wd AS n_weekday, n_we AS n_weekend,
+       CAST(n_wd AS DOUBLE) / 528.0 AS rate_weekday_per_hour,
+       CAST(n_we AS DOUBLE) / 192.0 AS rate_weekend_per_hour,
+       (CAST(n_wd AS DOUBLE) / 528.0 - CAST(n_we AS DOUBLE) / 192.0)
+         / SQRT(CAST(n_wd + n_we AS DOUBLE) / (528.0 + 192.0)
+                * (1.0 / 528.0 + 1.0 / 192.0)) AS z_stat,
+       ABS((CAST(n_wd AS DOUBLE) / 528.0 - CAST(n_we AS DOUBLE) / 192.0)
+           / SQRT(CAST(n_wd + n_we AS DOUBLE) / (528.0 + 192.0)
+                  * (1.0 / 528.0 + 1.0 / 192.0))) > 1.96 AS significant_5pct
+FROM m
+"""
+
+QUERIES["events_poisson_rate_test"] = events_poisson_rate_test
+ORACLE["events_poisson_rate_test"] = EVENTS_POISSON_RATE_SQL

@@ -102,6 +102,12 @@ _PINNED = [
     "orders_holt_winters",
     "graph_hits_authorities",
     "lineitem_em_mixture",
+    # temperature pow-weights, md5 block coins, epoch-integer rate
+    # test, integer-ppb power iteration
+    "corpus_mixing_temperature",
+    "corpus_span_corruption_plan",
+    "events_poisson_rate_test",
+    "embedding_power_iteration",
 ]
 
 
