@@ -150,6 +150,9 @@ HEADLINE = [
     "corpus_span_corruption_plan",
     "events_poisson_rate_test",
     "embedding_power_iteration",
+    "orders_forecast_backtest",
+    "events_esd_outliers",
+    "lineitem_neyman_allocation",
 ]
 
 

@@ -3374,3 +3374,108 @@ SELECT * FROM (
 
 QUERIES["lineitem_em_mixture"] = lineitem_em_mixture
 ORACLE["lineitem_em_mixture"] = _em_sql()
+
+
+def lineitem_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934):
+    for a 10,000-row evaluation sample of lineitem stratified by
+    return flag, allocate n_h ∝ N_h·σ_h (minimum-variance allocation
+    for estimating mean extended price), with exact largest-
+    remainder rounding so the allocations sum to the budget — the
+    design table behind every stratified eval-set draw in the
+    corpus tooling (balanced/systematic samplers already in §2.C
+    draw; this query decides HOW MANY per stratum).
+
+    Engine-exact: per-stratum σ come from DECIMAL moment sums
+    (rounded to 0dp before the double cast — the 2^53 rule); shares
+    are FLOOR-quantized integers plus a deterministic largest-
+    remainder distribution (remainder DESC, flag ASC) — the final
+    integer allocations are exact.
+
+    Scale: ONE map-side-combined moment agg to 3 rows; the
+    allocation arithmetic is stratum-count-sized."""
+    budget = 10_000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", money("l_extendedprice").alias("x")
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("x").alias("s"),
+        F.round(F.sum(F.col("x") * F.col("x")), 0).alias("q"),
+    )
+    sd = F.sqrt(
+        (F.col("q").cast("double")
+         - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n_h"))
+        / (F.col("n_h") - 1)
+    )
+    wt = g.select(
+        "l_returnflag",
+        "n_h",
+        F.expr("CAST(FLOOR({sd} * n_h) AS BIGINT)".format(
+            sd="SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+               " / n_h) / (n_h - 1))"
+        )).alias("w"),
+        sd.alias("sigma"),
+    )
+    tot = wt.agg(F.sum("w").alias("wsum"))
+    alloc = wt.crossJoin(F.broadcast(tot)).select(
+        "l_returnflag",
+        "n_h",
+        F.round("sigma", 6).alias("sigma"),
+        F.expr(f"CAST(({budget} * w) DIV wsum AS BIGINT)").alias("base"),
+        F.expr(f"({budget} * w) % wsum").alias("rem"),
+    )
+    wrem = Window.orderBy(F.col("rem").desc(), F.col("l_returnflag").asc())
+    short = alloc.agg((F.lit(budget) - F.sum("base")).alias("short"))
+    final = (
+        alloc.withColumn("rk", F.row_number().over(wrem))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "l_returnflag",
+            "n_h",
+            "sigma",
+            (F.col("base") + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)).alias(
+                "n_alloc"
+            ),
+        )
+    )
+    return final.orderBy("l_returnflag")
+
+
+LINEITEM_NEYMAN_SQL = """
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n_h,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS s,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS q
+  FROM lineitem GROUP BY 1
+),
+wt AS (
+  SELECT l_returnflag, n_h,
+         CAST(FLOOR(SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / n_h) / (n_h - 1)) * n_h) AS BIGINT) AS w,
+         ROUND(SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / n_h) / (n_h - 1)), 6) AS sigma
+  FROM g
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM wt),
+alloc AS (
+  SELECT l_returnflag, n_h, sigma,
+         (10000 * w) // wsum AS base,
+         (10000 * w) % wsum AS rem
+  FROM wt, tot
+),
+short AS (SELECT 10000 - SUM(base) AS short FROM alloc),
+final AS (
+  SELECT l_returnflag, n_h, sigma,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, l_returnflag ASC)
+                          <= (SELECT short FROM short)
+                     THEN 1 ELSE 0 END AS n_alloc
+  FROM alloc
+)
+SELECT l_returnflag, n_h, sigma, CAST(n_alloc AS BIGINT) AS n_alloc
+FROM final ORDER BY l_returnflag
+"""
+
+QUERIES["lineitem_neyman_allocation"] = lineitem_neyman_allocation
+ORACLE["lineitem_neyman_allocation"] = LINEITEM_NEYMAN_SQL

@@ -2639,3 +2639,213 @@ ORDER BY horizon
 
 QUERIES["orders_holt_winters"] = orders_holt_winters
 ORACLE["orders_holt_winters"] = ORDERS_HOLT_WINTERS_SQL
+
+
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest (Tashman 2000): six monthly
+    origins held out at the end of the revenue series, each
+    forecast 1-step-ahead by TWO closed-form baselines — seasonal
+    naive (y[t−12]) and the drift method (y[t−1] + (y[t−1] −
+    y[1])/(t−2)) — scored by absolute error in cents; the
+    out-of-sample leaderboard that decides which fancier model
+    (Holt, Holt-Winters, AR2 — all in the suite) actually earns its
+    keep. Closed-form forecasters keep the whole backtest pure
+    relational algebra: no per-origin refitting loop.
+
+    Engine-exact: the series is integer cents; seasonal-naive errors
+    are integers; drift forecasts are FLOOR-quantized to integer
+    cents (floor of identical IEEE doubles — no rounding-tie
+    exposure), so every error and the per-method MAE comparison is
+    exact integer math.
+
+    Scale: one collapse to |months|; the backtest is a 6-row lag
+    projection."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).alias("mm")
+        )
+        .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("mm")
+    ser = monthly.select(
+        F.row_number().over(w).alias("t"),
+        "cents",
+        F.lag("cents", 1).over(w).alias("y1"),
+        F.lag("cents", 12).over(w).alias("y12"),
+        F.first("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("yfirst"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    folds = ser.where(F.col("t") > F.col("n") - 6).select(
+        "t",
+        "cents",
+        F.col("y12").alias("fc_snaive"),
+        F.expr(
+            "CAST(FLOOR(CAST(y1 AS DOUBLE) + (CAST(y1 AS DOUBLE) - CAST(yfirst AS DOUBLE))"
+            " / (t - 2)) AS BIGINT)"
+        ).alias("fc_drift"),
+    )
+    per_fold = folds.select(
+        "t",
+        F.abs(F.col("cents") - F.col("fc_snaive")).alias("ae_snaive"),
+        F.abs(F.col("cents") - F.col("fc_drift")).alias("ae_drift"),
+    )
+    return per_fold.agg(
+        F.count(F.lit(1)).alias("n_folds"),
+        F.expr("CAST(SUM(ae_snaive) DIV 100 AS DOUBLE)").alias("sum_ae_snaive_usd"),
+        F.expr("CAST(SUM(ae_drift) DIV 100 AS DOUBLE)").alias("sum_ae_drift_usd"),
+        F.sum(
+            F.when(F.col("ae_snaive") < F.col("ae_drift"), 1).otherwise(0)
+        ).alias("snaive_wins"),
+    )
+
+
+ORDERS_BACKTEST_SQL = """
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o_orderdate) AS mm,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ser AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY mm) AS t, cents,
+         LAG(cents, 1) OVER (ORDER BY mm) AS y1,
+         LAG(cents, 12) OVER (ORDER BY mm) AS y12,
+         FIRST_VALUE(cents) OVER (ORDER BY mm) AS yfirst,
+         COUNT(*) OVER () AS n
+  FROM monthly
+),
+folds AS (
+  SELECT t, cents, y12 AS fc_snaive,
+         CAST(FLOOR(CAST(y1 AS DOUBLE)
+                    + (CAST(y1 AS DOUBLE) - CAST(yfirst AS DOUBLE)) / (t - 2))
+              AS BIGINT) AS fc_drift
+  FROM ser WHERE t > n - 6
+)
+SELECT COUNT(*) AS n_folds,
+       CAST(SUM(ABS(cents - fc_snaive)) // 100 AS DOUBLE) AS sum_ae_snaive_usd,
+       CAST(SUM(ABS(cents - fc_drift)) // 100 AS DOUBLE) AS sum_ae_drift_usd,
+       CAST(SUM(CASE WHEN ABS(cents - fc_snaive) < ABS(cents - fc_drift)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS snaive_wins
+FROM folds
+"""
+
+QUERIES["orders_forecast_backtest"] = orders_forecast_backtest
+ORACLE["orders_forecast_backtest"] = ORDERS_BACKTEST_SQL
+
+
+def events_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier detection (Rosner 1983; the engine
+    inside Twitter's S-H-ESD): THREE unrolled rounds of "remove the
+    largest |z| day, recompute mean/std" over the daily event-count
+    series, reporting each round's candidate day, its test statistic
+    R, and the sample size — the multi-outlier test that masking
+    breaks plain z-score detectors on (the suite's zscore/MAD
+    detectors flag against FIXED stats; ESD re-estimates after each
+    removal).
+
+    Engine-exact: each round's mean/std come from exact integer
+    sums of the SURVIVING days (layered CTEs, no recursion); R =
+    |x−μ|/σ is one identical IEEE expression; the argmax day breaks
+    ties on (R DESC via exact comparisons, day ASC). No rounding.
+
+    Scale: the stream collapses once to ~30 integer day counts;
+    three rounds of day-count-sized arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr("unix_micros(ts) DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    daily = daily.localCheckpoint(eager=False)
+    surviving = daily
+    rows = []
+    for rnd in (1, 2, 3):
+        stats = surviving.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("q"),
+        )
+        scored = surviving.crossJoin(F.broadcast(stats)).select(
+            "day",
+            "x",
+            F.expr(
+                "ABS(x - CAST(s AS DOUBLE) / n)"
+                " / SQRT((q - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+            ).alias("r"),
+            "n",
+        )
+        wmax = Window.orderBy(F.col("r").desc(), F.col("day").asc())
+        top = scored.withColumn("rn", F.row_number().over(wmax)).where(
+            F.col("rn") == 1
+        )
+        top = top.localCheckpoint(eager=False)
+        rows.append(
+            top.select(
+                F.lit(rnd).alias("round"),
+                F.col("day").cast("long").alias("candidate_day"),
+                F.col("x").alias("day_count"),
+                F.col("r").alias("esd_stat"),
+                F.col("n").alias("sample_size"),
+            )
+        )
+        surviving = surviving.join(
+            top.select(F.col("day").alias("rm")), surviving["day"] == F.col("rm"), "left_anti"
+        )
+    res = rows[0]
+    for df in rows[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("round")
+
+
+def _esd_sql() -> str:
+    parts = []
+    prev = "d0"
+    for rnd in (1, 2, 3):
+        parts.append(
+            f"""st{rnd} AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM {prev}
+),
+sc{rnd} AS (
+  SELECT d.day, d.x,
+         ABS(d.x - CAST(st.s AS DOUBLE) / st.n)
+           / SQRT((st.q - CAST(st.s AS DOUBLE) * st.s / st.n) / (st.n - 1)) AS r,
+         st.n
+  FROM {prev} d, st{rnd} st
+),
+top{rnd} AS (
+  SELECT * FROM (
+    SELECT day, x, r, n, ROW_NUMBER() OVER (ORDER BY r DESC, day ASC) AS rn
+    FROM sc{rnd}
+  ) q WHERE rn = 1
+),
+d{rnd} AS (
+  SELECT d.day, d.x FROM {prev} d ANTI JOIN top{rnd} t ON t.day = d.day
+)"""
+        )
+        prev = f"d{rnd}"
+    body = ",\n".join(parts)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, CAST(day AS BIGINT) AS candidate_day,"
+        f" CAST(x AS BIGINT) AS day_count, r AS esd_stat,"
+        f" CAST(n AS BIGINT) AS sample_size FROM top{r}"
+        for r in (1, 2, 3)
+    )
+    return f"""
+WITH d0 AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+{body}
+SELECT * FROM ({rows}) z ORDER BY round
+"""
+
+
+QUERIES["events_esd_outliers"] = events_esd_outliers
+ORACLE["events_esd_outliers"] = _esd_sql()

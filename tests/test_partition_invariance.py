@@ -108,6 +108,11 @@ _PINNED = [
     "corpus_span_corruption_plan",
     "events_poisson_rate_test",
     "embedding_power_iteration",
+    # closed-form backtest lags, 3-round re-estimated ESD,
+    # largest-remainder integer allocation
+    "orders_forecast_backtest",
+    "events_esd_outliers",
+    "lineitem_neyman_allocation",
 ]
 
 
