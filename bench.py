@@ -153,6 +153,8 @@ HEADLINE = [
     "orders_forecast_backtest",
     "events_esd_outliers",
     "lineitem_neyman_allocation",
+    "orders_running_median",
+    "events_bottomk_sketch",
 ]
 
 

@@ -2000,3 +2000,135 @@ FROM m
 
 QUERIES["events_poisson_rate_test"] = events_poisson_rate_test
 ORACLE["events_poisson_rate_test"] = EVENTS_POISSON_RATE_SQL
+
+
+def events_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-count sketch per event type (Bar-Yossef
+    2002; Beyer 2007): keep each type's k=32 smallest md5(user)
+    hashes; D̂ = (k−1)/u₍ₖ₎ where u₍ₖ₎ is the k-th smallest hash as a
+    fraction — the MERGEABLE sketch family the suite's CMS (counts),
+    Bloom (membership) and HLL (rows-only) siblings don't cover with
+    an exact oracle: KMV both estimates distincts AND yields a
+    uniform sample of them. The 'ALL' row is computed by MERGING the
+    per-type sketches (min-k of their union) — merged-vs-direct
+    equality is the property that makes per-partition/per-day
+    sketches valid at 100 TB, and the oracle hash-checks the merge
+    path's estimate exactly.
+
+    Engine-exact: hashes are the first 12 hex chars of md5 (fixed-
+    width lowercase hex: STRING order == numeric order — the
+    portable-MinHash trick); the estimate is pure integer
+    FLOOR((k−1)·16¹² / v_k); errors are integer ppm against the
+    exact distinct count.
+
+    Scale: one (type, user) distinct, one per-type top-k window on
+    the hash (map-side prunable at 100 TB via partial bottom-k per
+    partition); the merge is sketch-sized."""
+    k = 32
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    hashed = tu.select(
+        "event_type",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12).alias("h"),
+    )
+    wk = Window.partitionBy("event_type").orderBy("h")
+    kept = hashed.withColumn("rn", F.row_number().over(wk)).where(F.col("rn") <= k)
+    exact = tu.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    vk = kept.groupBy("event_type").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("kk")
+    )
+    est = F.expr(
+        f"CAST(FLOOR(CAST(({k} - 1) AS DOUBLE) * 281474976710656"
+        f" / CAST(conv(hk, 16, 10) AS DOUBLE)) AS BIGINT)"
+    )
+    per_type = (
+        vk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.when(F.col("kk") < k, F.col("exact_distinct")).otherwise(est).alias(
+                "kmv_estimate"
+            ),
+        )
+    )
+    # merged 'ALL' sketch: min-k of the UNION of per-type sketches
+    wg = Window.orderBy("h")
+    merged = (
+        kept.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") <= k)
+    )
+    gm = merged.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("kk"))
+    gexact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    all_row = gm.crossJoin(F.broadcast(gexact)).select(
+        F.lit("ALL_MERGED").alias("event_type"),
+        "exact_distinct",
+        F.when(F.col("kk") < k, F.col("exact_distinct")).otherwise(est).alias(
+            "kmv_estimate"
+        ),
+    )
+    out = per_type.unionByName(all_row)
+    err = F.expr(
+        "CAST(ABS(kmv_estimate - exact_distinct) * 1000000 DIV exact_distinct"
+        " AS BIGINT)"
+    )
+    return out.select(
+        "event_type", "exact_distinct", "kmv_estimate", err.alias("error_ppm")
+    ).orderBy("event_type")
+
+
+EVENTS_BOTTOMK_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (
+  SELECT event_type, substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS h FROM tu
+),
+kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) q WHERE rn <= 32
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM tu GROUP BY 1
+),
+vk AS (
+  SELECT event_type, MAX(h) AS hk, COUNT(*) AS kk FROM kept GROUP BY 1
+),
+per_type AS (
+  SELECT vk.event_type, exact.exact_distinct,
+         CASE WHEN vk.kk < 32 THEN exact.exact_distinct
+              ELSE CAST(FLOOR(31.0 * 281474976710656
+                              / CAST(CAST('0x' || vk.hk AS BIGINT) AS DOUBLE)) AS BIGINT)
+         END AS kmv_estimate
+  FROM vk JOIN exact USING (event_type)
+),
+merged AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM kept) u
+  ) q WHERE rn <= 32
+),
+gm AS (SELECT MAX(h) AS hk, COUNT(*) AS kk FROM merged),
+gexact AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+all_row AS (
+  SELECT 'ALL_MERGED' AS event_type, gexact.exact_distinct,
+         CASE WHEN gm.kk < 32 THEN gexact.exact_distinct
+              ELSE CAST(FLOOR(31.0 * 281474976710656
+                              / CAST(CAST('0x' || gm.hk AS BIGINT) AS DOUBLE)) AS BIGINT)
+         END AS kmv_estimate
+  FROM gm, gexact
+),
+unioned AS (SELECT * FROM per_type UNION ALL SELECT * FROM all_row)
+SELECT event_type, exact_distinct, kmv_estimate,
+       CAST(ABS(kmv_estimate - exact_distinct) * 1000000 // exact_distinct
+            AS BIGINT) AS error_ppm
+FROM unioned ORDER BY event_type
+"""
+
+QUERIES["events_bottomk_sketch"] = events_bottomk_sketch
+ORACLE["events_bottomk_sketch"] = EVENTS_BOTTOMK_SQL

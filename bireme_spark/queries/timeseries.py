@@ -2849,3 +2849,104 @@ SELECT * FROM ({rows}) z ORDER BY round
 
 QUERIES["events_esd_outliers"] = events_esd_outliers
 ORACLE["events_esd_outliers"] = _esd_sql()
+
+
+def orders_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact RUNNING median of monthly revenue — the robust
+    expanding-window center a finance dashboard tracks next to the
+    running mean (which one outlier month drags): for each month t,
+    the median of months 1..t, via the cumulative-histogram
+    formulation rather than any percentile window (no interpolation,
+    no per-prefix sort): month t's median is the smallest value v
+    whose count-of-≤v among the first t months reaches ⌈t/2⌉ (odd t)
+    — and the mean of that v with the next distinct prefix value
+    when t is even and the split lands between ranks.
+
+    Engine-exact: revenue is integer cents; prefix rank counts are
+    an O(months²) integer self-join (constant-size — 80² = 6,400
+    pairs); even-t midpoints are exact .5 cents emitted as ×2
+    integer ("doubled median") to stay integer-pure end to end.
+
+    Scale: fact table collapses once; the quadratic part is
+    month-count-sized forever."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).alias("mm")
+        )
+        .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("mm")
+    ser = monthly.select(F.row_number().over(w).alias("t"), "cents")
+    a = ser.select(F.col("t"))
+    b = ser.select(F.col("t").alias("s"), F.col("cents").alias("u"))
+    v = ser.select(F.col("t").alias("r"), F.col("cents").alias("x"))
+    # rank of each prefix candidate u within prefix 1..t: the O(n³)
+    # integer triple join is month-count-sized (80³/2 ≈ 256k rows)
+    ranks = (
+        a.join(b, F.col("s") <= F.col("t"))
+        .join(v, F.col("r") <= F.col("t"))
+        .groupBy("t", "u")
+        .agg(F.count(F.when(F.expr("x <= u"), 1)).alias("le"))
+    )
+    # lo = smallest u with le >= ceil(t/2); hi = smallest u with le >= t/2 + 1
+    lo = (
+        ranks.where(F.expr("le * 2 >= t"))
+        .groupBy("t")
+        .agg(F.min("u").alias("lo"))
+    )
+    hi = (
+        ranks.where(F.expr("le * 2 >= t + 2 - (t % 2) * 2"))
+        .groupBy("t")
+        .agg(F.min("u").alias("hi"))
+    )
+    med = lo.join(hi, "t").select(
+        "t",
+        F.when(F.expr("t % 2 = 1"), F.col("hi") * 2)
+        .otherwise(F.col("lo") + F.col("hi"))
+        .alias("median_x2_cents"),
+    )
+    return (
+        ser.join(med, "t")
+        .select(
+            "t",
+            (F.col("cents").cast("double") / 100).alias("revenue_usd"),
+            (F.col("median_x2_cents").cast("double") / 200).alias("running_median_usd"),
+        )
+        .orderBy("t")
+    )
+
+
+ORDERS_RUNNING_MEDIAN_SQL = """
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o_orderdate) AS mm,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ser AS (SELECT ROW_NUMBER() OVER (ORDER BY mm) AS t, cents FROM monthly),
+ranks AS (
+  SELECT a.t, b.cents AS u,
+         COUNT(CASE WHEN v.cents <= b.cents THEN 1 END) AS le
+  FROM ser a JOIN ser b ON b.t <= a.t JOIN ser v ON v.t <= a.t
+  GROUP BY 1, 2
+),
+lo AS (SELECT t, MIN(u) AS lo FROM ranks WHERE le * 2 >= t GROUP BY 1),
+hi AS (
+  SELECT t, MIN(u) AS hi FROM ranks
+  WHERE le * 2 >= t + 2 - (t % 2) * 2 GROUP BY 1
+),
+med AS (
+  SELECT lo.t,
+         CASE WHEN lo.t % 2 = 1 THEN hi.hi * 2 ELSE lo.lo + hi.hi END
+           AS median_x2_cents
+  FROM lo JOIN hi ON hi.t = lo.t
+)
+SELECT ser.t, CAST(ser.cents AS DOUBLE) / 100 AS revenue_usd,
+       CAST(med.median_x2_cents AS DOUBLE) / 200 AS running_median_usd
+FROM ser JOIN med ON med.t = ser.t
+ORDER BY ser.t
+"""
+
+QUERIES["orders_running_median"] = orders_running_median
+ORACLE["orders_running_median"] = ORDERS_RUNNING_MEDIAN_SQL

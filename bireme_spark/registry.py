@@ -159,6 +159,8 @@ _NEW_THIS_ROUND = frozenset(
         "orders_forecast_backtest",
         "events_esd_outliers",
         "lineitem_neyman_allocation",
+        "orders_running_median",
+        "events_bottomk_sketch",
     }
 )
 

@@ -113,6 +113,9 @@ _PINNED = [
     "orders_forecast_backtest",
     "events_esd_outliers",
     "lineitem_neyman_allocation",
+    # cumulative-histogram running median, KMV bottom-k merge
+    "orders_running_median",
+    "events_bottomk_sketch",
 ]
 
 
