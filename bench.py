@@ -155,6 +155,8 @@ HEADLINE = [
     "lineitem_neyman_allocation",
     "orders_running_median",
     "events_bottomk_sketch",
+    "events_odds_ratio",
+    "corpus_contrastive_pairs",
 ]
 
 

@@ -1392,3 +1392,118 @@ FROM per_doc GROUP BY 1 ORDER BY 1
 
 QUERIES["corpus_span_corruption_plan"] = corpus_span_corruption_plan
 ORACLE["corpus_span_corruption_plan"] = CORPUS_SPAN_CORRUPTION_SQL
+
+
+def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triplet mining for embedding training (anchor,
+    positive, hard negative): for each sampled anchor doc, the
+    positive is the SAME-source doc nearest in length and the hard
+    negative the DIFFERENT-source doc nearest in length — "similar
+    surface, different provenance" is the classic cheap hard-negative
+    heuristic. Pairing is BLOCKED on length-16 buckets (candidates
+    from the anchor's bucket ±1, the blocking both engines share) so
+    the candidate join never goes quadratic — the same
+    blocking-before-pairing discipline as the LSH dedup family.
+
+    Engine-exact: distances are integer |Δn_chars|; nearest breaks
+    ties on (diff ASC, doc_id ASC) row_number; anchors with no
+    in-block candidate drop on both engines identically.
+
+    Scale: anchors are a deterministic 10% residue sample; the
+    blocked join is |anchors|·(block population) — bucket width
+    tunes the trade; at 100 TB add a bucket-count cap like the LSH
+    max_df guard."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    anchors = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("aid"),
+        F.col("source").alias("asrc"),
+        F.col("n_chars").alias("alen"),
+        F.expr("n_chars DIV 16").alias("ab"),
+    )
+    cands = d.select(
+        F.col("doc_id").alias("cid"),
+        F.col("source").alias("csrc"),
+        F.col("n_chars").alias("clen"),
+        F.explode(
+            F.array(
+                F.expr("n_chars DIV 16 - 1"),
+                F.expr("n_chars DIV 16"),
+                F.expr("n_chars DIV 16 + 1"),
+            )
+        ).alias("cb"),
+    )
+    j = anchors.join(cands, (F.col("ab") == F.col("cb")) & (F.col("aid") != F.col("cid")))
+    scored = j.select(
+        "aid", "asrc", "alen", "cid", "csrc",
+        F.abs(F.col("alen") - F.col("clen")).alias("diff"),
+    )
+    wpos = Window.partitionBy("aid").orderBy(F.col("diff").asc(), F.col("cid").asc())
+    pos = (
+        scored.where(F.col("asrc") == F.col("csrc"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .where(F.col("rn") == 1)
+        .select("aid", F.col("cid").alias("pos_id"), F.col("diff").alias("pos_diff"))
+    )
+    neg = (
+        scored.where(F.col("asrc") != F.col("csrc"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .where(F.col("rn") == 1)
+        .select("aid", F.col("cid").alias("neg_id"), F.col("diff").alias("neg_diff"))
+    )
+    return (
+        anchors.select("aid", "asrc", "alen")
+        .join(pos, "aid")
+        .join(neg, "aid")
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("asrc").alias("source"),
+            F.col("alen").alias("anchor_len"),
+            "pos_id",
+            "pos_diff",
+            "neg_id",
+            "neg_diff",
+        )
+        .orderBy("anchor_id")
+    )
+
+
+CORPUS_CONTRASTIVE_SQL = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+anchors AS (
+  SELECT doc_id AS aid, source AS asrc, n_chars AS alen,
+         n_chars // 16 AS ab
+  FROM d WHERE doc_id % 10 = 0
+),
+cands AS (
+  SELECT doc_id AS cid, source AS csrc, n_chars AS clen,
+         UNNEST([n_chars // 16 - 1, n_chars // 16, n_chars // 16 + 1]) AS cb
+  FROM d
+),
+j AS (
+  SELECT a.aid, a.asrc, a.alen, c.cid, c.csrc,
+         ABS(a.alen - c.clen) AS diff
+  FROM anchors a JOIN cands c ON a.ab = c.cb AND a.aid <> c.cid
+),
+pos AS (
+  SELECT aid, cid AS pos_id, diff AS pos_diff FROM (
+    SELECT aid, cid, diff,
+           ROW_NUMBER() OVER (PARTITION BY aid ORDER BY diff ASC, cid ASC) AS rn
+    FROM j WHERE asrc = csrc
+  ) q WHERE rn = 1
+),
+neg AS (
+  SELECT aid, cid AS neg_id, diff AS neg_diff FROM (
+    SELECT aid, cid, diff,
+           ROW_NUMBER() OVER (PARTITION BY aid ORDER BY diff ASC, cid ASC) AS rn
+    FROM j WHERE asrc <> csrc
+  ) q WHERE rn = 1
+)
+SELECT a.aid AS anchor_id, a.asrc AS source, a.alen AS anchor_len,
+       pos.pos_id, CAST(pos.pos_diff AS BIGINT) AS pos_diff,
+       neg.neg_id, CAST(neg.neg_diff AS BIGINT) AS neg_diff
+FROM anchors a JOIN pos ON pos.aid = a.aid JOIN neg ON neg.aid = a.aid
+ORDER BY anchor_id
+"""
+
+QUERIES["corpus_contrastive_pairs"] = corpus_contrastive_pairs
+ORACLE["corpus_contrastive_pairs"] = CORPUS_CONTRASTIVE_SQL

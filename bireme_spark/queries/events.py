@@ -2132,3 +2132,148 @@ FROM unioned ORDER BY event_type
 
 QUERIES["events_bottomk_sketch"] = events_bottomk_sketch
 ORACLE["events_bottomk_sketch"] = EVENTS_BOTTOMK_SQL
+
+
+def events_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral association as an odds ratio with a Woolf 95% CI:
+    for each candidate behavior (click / view / signup / error), the
+    2×2 user-grain table against PURCHASE — OR = (a·d)/(b·c), ln-CI
+    = ln(OR) ± 1.96·√(1/a+1/b+1/c+1/d) — the case-control-style
+    effect size the funnel/PMI queries don't give (PMI is symmetric
+    co-occurrence; the OR conditions on the margins), plus the
+    "does the CI exclude 1" verdict.
+
+    Engine-exact: the 2×2 cells are one conditional user-grain agg
+    (exact integers, Haldane +0.5 correction applied as ×2 integers
+    to stay exact); OR and the CI bounds are identical closing IEEE
+    expressions (EXP/LN 6dp-rounded per the transcendental
+    discipline).
+
+    Scale: one user-grain bitmask agg over the stream (map-side
+    combine), then 4 rows of arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        *[
+            F.max(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t)
+            for t in ("click", "view", "signup", "error")
+        ],
+    )
+    rows = []
+    for t in ("click", "view", "signup", "error"):
+        rows.append(
+            flags.agg(
+                F.lit(t).alias("behavior"),
+                F.sum(F.expr(f"CASE WHEN {t} = 1 AND y = 1 THEN 1 ELSE 0 END")).alias("a"),
+                F.sum(F.expr(f"CASE WHEN {t} = 1 AND y = 0 THEN 1 ELSE 0 END")).alias("b"),
+                F.sum(F.expr(f"CASE WHEN {t} = 0 AND y = 1 THEN 1 ELSE 0 END")).alias("c"),
+                F.sum(F.expr(f"CASE WHEN {t} = 0 AND y = 0 THEN 1 ELSE 0 END")).alias("d"),
+            )
+        )
+    cells = rows[0]
+    for df in rows[1:]:
+        cells = cells.unionByName(df)
+    # Haldane-Anscombe: a+0.5 etc., kept exact via doubled integers
+    a2, b2, c2, d2 = [F.col(x) * 2 + 1 for x in ("a", "b", "c", "d")]
+    orr = (a2.cast("double") * d2.cast("double")) / (
+        b2.cast("double") * c2.cast("double")
+    )
+    lnor = F.expr(
+        "CAST(ROUND(LN(((a * 2 + 1) * (d * 2 + 1)) / (((b * 2 + 1)) * ((c * 2 + 1.0)))), 6)"
+        " AS DECIMAL(18,6))"
+    )
+    se = F.expr(
+        "CAST(ROUND(SQRT(2.0 / (a * 2 + 1) + 2.0 / (b * 2 + 1)"
+        " + 2.0 / (c * 2 + 1) + 2.0 / (d * 2 + 1)), 6) AS DECIMAL(18,6))"
+    )
+    staged = cells.select(
+        "behavior", "a", "b", "c", "d", orr.alias("odds_ratio"),
+        lnor.alias("lnor"), se.alias("se")
+    )
+    ci_lo = F.expr(
+        "CAST(ROUND(EXP(CAST(lnor AS DOUBLE) - 1.96 * CAST(se AS DOUBLE)), 6)"
+        " AS DOUBLE)"
+    )
+    ci_hi = F.expr(
+        "CAST(ROUND(EXP(CAST(lnor AS DOUBLE) + 1.96 * CAST(se AS DOUBLE)), 6)"
+        " AS DOUBLE)"
+    )
+    return (
+        staged.select(
+            "behavior", "a", "b", "c", "d", "odds_ratio",
+            ci_lo.alias("ci_lo"), ci_hi.alias("ci_hi"),
+        )
+        .withColumn(
+            "significant", (F.col("ci_lo") > 1.0) | (F.col("ci_hi") < 1.0)
+        )
+        .orderBy("behavior")
+    )
+
+
+EVENTS_ODDS_RATIO_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+  FROM events GROUP BY 1
+),
+cells AS (
+  SELECT 'click' AS behavior,
+         SUM(CASE WHEN click = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN click = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN click = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN click = 0 AND y = 0 THEN 1 ELSE 0 END) AS d
+  FROM flags
+  UNION ALL
+  SELECT 'view',
+         SUM(CASE WHEN view = 1 AND y = 1 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN view = 1 AND y = 0 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN view = 0 AND y = 1 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN view = 0 AND y = 0 THEN 1 ELSE 0 END)
+  FROM flags
+  UNION ALL
+  SELECT 'signup',
+         SUM(CASE WHEN signup = 1 AND y = 1 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN signup = 1 AND y = 0 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN signup = 0 AND y = 1 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN signup = 0 AND y = 0 THEN 1 ELSE 0 END)
+  FROM flags
+  UNION ALL
+  SELECT 'error',
+         SUM(CASE WHEN error = 1 AND y = 1 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN error = 1 AND y = 0 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN error = 0 AND y = 1 THEN 1 ELSE 0 END),
+         SUM(CASE WHEN error = 0 AND y = 0 THEN 1 ELSE 0 END)
+  FROM flags
+),
+calc AS (
+  SELECT behavior, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+         CAST((a * 2 + 1) AS DOUBLE) * CAST((d * 2 + 1) AS DOUBLE)
+           / (CAST((b * 2 + 1) AS DOUBLE) * CAST((c * 2 + 1) AS DOUBLE))
+           AS odds_ratio,
+         CAST(ROUND(LN(((a * 2 + 1) * (d * 2 + 1))
+                       / (((b * 2 + 1)) * ((c * 2 + 1.0)))), 6)
+              AS DECIMAL(18,6)) AS lnor,
+         CAST(ROUND(SQRT(2.0 / (a * 2 + 1) + 2.0 / (b * 2 + 1)
+                         + 2.0 / (c * 2 + 1) + 2.0 / (d * 2 + 1)), 6)
+              AS DECIMAL(18,6)) AS se
+  FROM cells
+)
+SELECT behavior, a, b, c, d, odds_ratio,
+       CAST(ROUND(EXP(CAST(lnor AS DOUBLE) - 1.96 * CAST(se AS DOUBLE)), 6)
+            AS DOUBLE) AS ci_lo,
+       CAST(ROUND(EXP(CAST(lnor AS DOUBLE) + 1.96 * CAST(se AS DOUBLE)), 6)
+            AS DOUBLE) AS ci_hi,
+       (CAST(ROUND(EXP(CAST(lnor AS DOUBLE) - 1.96 * CAST(se AS DOUBLE)), 6)
+             AS DOUBLE) > 1.0
+        OR CAST(ROUND(EXP(CAST(lnor AS DOUBLE) + 1.96 * CAST(se AS DOUBLE)), 6)
+                AS DOUBLE) < 1.0) AS significant
+FROM calc ORDER BY behavior
+"""
+
+QUERIES["events_odds_ratio"] = events_odds_ratio
+ORACLE["events_odds_ratio"] = EVENTS_ODDS_RATIO_SQL

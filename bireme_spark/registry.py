@@ -161,6 +161,8 @@ _NEW_THIS_ROUND = frozenset(
         "lineitem_neyman_allocation",
         "orders_running_median",
         "events_bottomk_sketch",
+        "events_odds_ratio",
+        "corpus_contrastive_pairs",
     }
 )
 

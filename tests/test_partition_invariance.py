@@ -116,6 +116,9 @@ _PINNED = [
     # cumulative-histogram running median, KMV bottom-k merge
     "orders_running_median",
     "events_bottomk_sketch",
+    # user-grain 2x2 cells + Woolf CI, blocked nearest-length triplets
+    "events_odds_ratio",
+    "corpus_contrastive_pairs",
 ]
 
 
