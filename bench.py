@@ -157,6 +157,8 @@ HEADLINE = [
     "events_bottomk_sketch",
     "events_odds_ratio",
     "corpus_contrastive_pairs",
+    "cdc_crdt_counter",
+    "events_cuped_adjustment",
 ]
 
 

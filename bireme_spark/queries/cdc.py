@@ -2282,3 +2282,105 @@ WHERE c_custkey % 20 = 0
 
 QUERIES["cdc_column_masking"] = cdc_column_masking
 ORACLE["cdc_column_masking"] = CDC_COLUMN_MASKING_SQL
+
+def cdc_crdt_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-based PN-counter CRDT merge (Shapiro 2011): per-part
+    inventory counters maintained by three replicas (replica =
+    o_orderkey % 3; P = shipped quantity, N = returned quantity),
+    merged by the CRDT join — element-wise MAX of each replica's
+    cumulative state — under adversarial delivery: replica 0 sends
+    its latest snapshot, replica 1 sends BOTH an old and the latest
+    snapshot (duplicate delivery), replica 2 only an old one
+    (lagging). Max-merge must absorb duplicates and keep stale state
+    monotone — the conflict-free sibling of cdc_multi_master_lww
+    (which resolves by timestamp; CRDTs resolve by lattice join).
+    The oracle predicts the merged counters in closed form, so a
+    merge that double-counts a duplicate or regresses on stale
+    state hash-breaks.
+
+    Plan: the snapshot union is two filtered scans; merge = ONE
+    (part, replica) max agg + one part sum agg, both map-side-
+    combinable — the same shape at any replica count or scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_partkey",
+        (F.col("l_orderkey") % 3).alias("replica"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_returnflag") == "R").alias("ret"),
+        (F.col("o_orderdate") < F.lit("1998-01-01")).alias("early"),
+    ).where(F.col("l_partkey") % 50 == 0)
+
+    def state(where_early):
+        base = j.where(F.col("early")) if where_early else j
+        return base.groupBy("l_partkey", "replica").agg(
+            F.sum(F.when(~F.col("ret"), F.col("qty")).otherwise(0)).alias("p"),
+            F.sum(F.when(F.col("ret"), F.col("qty")).otherwise(0)).alias("n"),
+        )
+
+    s_old = state(True)
+    s_new = state(False)
+    delivered = (
+        s_new.where(F.col("replica").isin(0, 1))
+        .unionByName(s_old.where(F.col("replica") == 1))
+        .unionByName(s_old.where(F.col("replica") == 2))
+    )
+    merged = (
+        delivered.groupBy("l_partkey", "replica")
+        .agg(F.max("p").alias("p"), F.max("n").alias("n"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("p").alias("p_total"),
+            F.sum("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_replicas"),
+        )
+    )
+    return merged.select(
+        F.col("l_partkey").alias("partkey"),
+        "p_total",
+        "n_total",
+        (F.col("p_total") - F.col("n_total")).alias("net_counter"),
+        "n_replicas",
+    ).orderBy("partkey")
+
+
+CDC_CRDT_COUNTER_SQL = """
+WITH j AS (
+  SELECT l.l_partkey, l.l_orderkey % 3 AS replica,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         l.l_returnflag = 'R' AS ret,
+         o.o_orderdate < DATE '1998-01-01' AS early
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_partkey % 50 = 0
+),
+s_old AS (
+  SELECT l_partkey, replica,
+         SUM(CASE WHEN NOT ret THEN qty ELSE 0 END) AS p,
+         SUM(CASE WHEN ret THEN qty ELSE 0 END) AS n
+  FROM j WHERE early GROUP BY 1, 2
+),
+s_new AS (
+  SELECT l_partkey, replica,
+         SUM(CASE WHEN NOT ret THEN qty ELSE 0 END) AS p,
+         SUM(CASE WHEN ret THEN qty ELSE 0 END) AS n
+  FROM j GROUP BY 1, 2
+),
+delivered AS (
+  SELECT * FROM s_new WHERE replica IN (0, 1)
+  UNION ALL SELECT * FROM s_old WHERE replica = 1
+  UNION ALL SELECT * FROM s_old WHERE replica = 2
+),
+merged AS (
+  SELECT l_partkey, replica, MAX(p) AS p, MAX(n) AS n
+  FROM delivered GROUP BY 1, 2
+)
+SELECT l_partkey AS partkey,
+       CAST(SUM(p) AS BIGINT) AS p_total,
+       CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(SUM(p) - SUM(n) AS BIGINT) AS net_counter,
+       COUNT(*) AS n_replicas
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cdc_crdt_counter"] = cdc_crdt_counter
+ORACLE["cdc_crdt_counter"] = CDC_CRDT_COUNTER_SQL

@@ -163,6 +163,8 @@ _NEW_THIS_ROUND = frozenset(
         "events_bottomk_sketch",
         "events_odds_ratio",
         "corpus_contrastive_pairs",
+        "cdc_crdt_counter",
+        "events_cuped_adjustment",
     }
 )
 

@@ -119,6 +119,9 @@ _PINNED = [
     # user-grain 2x2 cells + Woolf CI, blocked nearest-length triplets
     "events_odds_ratio",
     "corpus_contrastive_pairs",
+    # lattice max-merge, decimal CUPED moments
+    "cdc_crdt_counter",
+    "events_cuped_adjustment",
 ]
 
 
