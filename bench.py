@@ -159,6 +159,9 @@ HEADLINE = [
     "corpus_contrastive_pairs",
     "cdc_crdt_counter",
     "events_cuped_adjustment",
+    "orders_xbar_r_chart",
+    "customers_decile_lift",
+    "events_gini_stump",
 ]
 
 

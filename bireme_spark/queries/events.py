@@ -2373,3 +2373,86 @@ FROM m
 
 QUERIES["events_cuped_adjustment"] = events_cuped_adjustment
 ORACLE["events_cuped_adjustment"] = EVENTS_CUPED_SQL
+
+
+def events_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump induction by exact Gini impurity (the CART
+    split criterion; Holte's 1R baseline): over the 24 hour-of-day
+    split candidates, find the threshold h that best separates
+    purchase events from the rest by weighted Gini of the two
+    branches — the one-node tree that seeds any boosted/бagged
+    ensemble and the interpretable "when do purchases happen"
+    answer. Emits every candidate's impurity so the whole search is
+    hash-checked, not just the argmin.
+
+    Engine-exact: class counts per hour are integers; each branch's
+    Gini 2p(n−p)/n² is a truncating-integer ppm (2e6·p·q DIV n² —
+    products cap at 5e15, BIGINT-safe at any SF), and the weighted
+    score is a second truncating combine (gL·nL + gR·nR) DIV nT —
+    the two-stage quantization is identical on both engines, so
+    ranking and values hash-match with zero floating point.
+
+    Scale: one (hour, class) count agg (24×2 cells); the split
+    search is constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.expr("unix_micros(ts) DIV 3600000000") % 24
+    cells = ev.select(
+        hr.alias("h"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")
+    )
+    wc = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = cells.select(
+        "h",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("p").over(wc).alias("pl"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("p").over(wt).alias("pt"),
+    ).where(F.col("h") < 23)
+    g = F.expr(
+        "CAST(((2000000 * pl * (nl - pl) DIV (nl * nl)) * nl"
+        " + (2000000 * (pt - pl) * ((nt - nl) - (pt - pl))"
+        "    DIV ((nt - nl) * (nt - nl))) * (nt - nl)) DIV nt AS BIGINT)"
+    )
+    scored = cum.select(
+        F.col("h").alias("split_hour"), g.alias("weighted_gini_ppm")
+    )
+    wbest = Window.orderBy(
+        F.col("weighted_gini_ppm").asc(), F.col("split_hour").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(wbest)).orderBy(
+        "split_hour"
+    )
+
+
+EVENTS_GINI_STUMP_SQL = """
+WITH cells AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS h, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT h,
+         SUM(n) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(p) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS pl,
+         SUM(n) OVER () AS nt, SUM(p) OVER () AS pt
+  FROM cells QUALIFY h < 23
+),
+scored AS (
+  SELECT h AS split_hour,
+         CAST(((2000000 * pl * (nl - pl) // (nl * nl)) * nl
+               + (2000000 * (pt - pl) * ((nt - nl) - (pt - pl))
+                  // ((nt - nl) * (nt - nl))) * (nt - nl)) // nt
+              AS BIGINT) AS weighted_gini_ppm
+  FROM cum
+)
+SELECT CAST(split_hour AS BIGINT) AS split_hour, weighted_gini_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY weighted_gini_ppm ASC, split_hour ASC)
+            AS INTEGER) AS rank
+FROM scored ORDER BY split_hour
+"""
+
+QUERIES["events_gini_stump"] = events_gini_stump
+ORACLE["events_gini_stump"] = EVENTS_GINI_STUMP_SQL

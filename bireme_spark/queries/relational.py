@@ -3479,3 +3479,92 @@ FROM final ORDER BY l_returnflag
 
 QUERIES["lineitem_neyman_allocation"] = lineitem_neyman_allocation
 ORACLE["lineitem_neyman_allocation"] = LINEITEM_NEYMAN_SQL
+
+
+def customers_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for a propensity score: rank
+    customers by account balance (the naive "rich customers buy"
+    score) against the actual has-orders label, in score deciles —
+    cumulative capture rate and lift per decile, the marketing-
+    analytics model-evaluation table (the tabular cousin of
+    ROC/AUC); a score no better than random shows lift ≈ 1
+    everywhere, which is itself the finding.
+
+    Engine-exact: deciles come from the histogram-CDF house pattern
+    on the acctbal value histogram (bucket = ((cdf−1)·10) DIV total;
+    equal scores share a decile — no ntile arbitrariness); capture
+    and lift are integer-ppm cross-ratios.
+
+    Scale: one customer-dim agg + left-semi orders probe; the CDF
+    window runs on the value histogram, never raw rows."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    lab = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("buyer"),
+        )
+    )
+    hist = lab.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("n"))
+    buckets = hist.select(
+        "c_acctbal",
+        F.expr(
+            "((sum(n) OVER (ORDER BY c_acctbal DESC ROWS UNBOUNDED PRECEDING) - 1)"
+            " * 10) DIV (sum(n) OVER ()) + 1"
+        ).alias("decile"),
+    )
+    j = lab.join(F.broadcast(buckets), "c_acctbal")
+    per = j.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("buyer").alias("n_buyers"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per.select(
+        "decile",
+        "n_customers",
+        "n_buyers",
+        F.expr(
+            "sum(n_buyers) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)"
+            " * 1000000 DIV sum(n_buyers) OVER ()"
+        ).alias("cum_capture_ppm"),
+        F.expr(
+            "(n_buyers * (sum(n_customers) OVER ())) * 1000000"
+            " DIV ((sum(n_buyers) OVER ()) * n_customers)"
+        ).alias("lift_ppm"),
+    ).orderBy("decile")
+
+
+CUSTOMERS_DECILE_LIFT_SQL = """
+WITH lab AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS buyer
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+    ON o.o_custkey = c.c_custkey
+),
+hist AS (SELECT c_acctbal, COUNT(*) AS n FROM lab GROUP BY 1),
+buckets AS (
+  SELECT c_acctbal,
+         ((SUM(n) OVER (ORDER BY c_acctbal DESC ROWS UNBOUNDED PRECEDING) - 1)
+           * 10) // (SUM(n) OVER ()) + 1 AS decile
+  FROM hist
+),
+per AS (
+  SELECT b.decile, COUNT(*) AS n_customers, SUM(l.buyer) AS n_buyers
+  FROM lab l JOIN buckets b ON b.c_acctbal = l.c_acctbal
+  GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+       CAST(n_buyers AS BIGINT) AS n_buyers,
+       CAST(SUM(n_buyers) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * 1000000 // SUM(n_buyers) OVER () AS BIGINT) AS cum_capture_ppm,
+       CAST((n_buyers * (SUM(n_customers) OVER ())) * 1000000
+            // ((SUM(n_buyers) OVER ()) * n_customers) AS BIGINT) AS lift_ppm
+FROM per ORDER BY decile
+"""
+
+QUERIES["customers_decile_lift"] = customers_decile_lift
+ORACLE["customers_decile_lift"] = CUSTOMERS_DECILE_LIFT_SQL

@@ -2950,3 +2950,106 @@ ORDER BY ser.t
 
 QUERIES["orders_running_median"] = orders_running_median
 ORACLE["orders_running_median"] = ORDERS_RUNNING_MEDIAN_SQL
+
+
+def orders_xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X̄-R control chart (Shewhart; the SPC workhorse): daily
+    revenues grouped into consecutive 5-day subgroups; per subgroup
+    the mean X̄ and range R, then the chart constants for n=5
+    (A2=0.577, D3=0, D4=2.114) give the control limits X̄̄ ± A2·R̄ and
+    [D3·R̄, D4·R̄]; emits the limits and every out-of-control
+    subgroup — the assignable-cause detector that complements CUSUM
+    (cumulative drift) and EWMA (level smoothing) with the classic
+    subgroup chart.
+
+    Engine-exact: daily revenue is integer cents; subgroup sums and
+    ranges are integers, so X̄ values are exact cents/5 (sums kept
+    ×5-scaled until the final projection); the grand means and every
+    limit comparison are cross-multiplied integer arithmetic — NO
+    floating point until display.
+
+    Scale: the fact table collapses once to |days|; subgroup math is
+    day-count-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day")
+    idx = daily.select("day", "cents", ((F.row_number().over(w) - 1)).alias("i"))
+    sub = (
+        idx.select(F.expr("i DIV 5").alias("g"), "cents", "i")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("s5"),
+            (F.max("cents") - F.min("cents")).alias("r"),
+        )
+        .where(F.col("cnt") == 5)
+    )
+    tot = sub.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s5").alias("ss"),
+        F.sum("r").alias("sr"),
+    )
+    # out-of-control tests in scaled integers:
+    #   xbar test: |s5/5 - ss/(5k)| > 0.577*sr/k
+    #     ⟺ |k*s5 - ss| * 1000 > 5 * 577 * sr   (×5k, ×1000)
+    #   range test: r*k*1000 > 2114*sr  or  r*k*1000 < 0*sr
+    flagged = sub.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "s5",
+        "r",
+        "k",
+        "ss",
+        "sr",
+        (F.abs(F.col("k") * F.col("s5") - F.col("ss")) * 1000
+         > F.lit(5) * 577 * F.col("sr")).alias("xbar_ooc"),
+        (F.col("r") * F.col("k") * 1000 > F.lit(2114) * F.col("sr")).alias("r_ooc"),
+    )
+    return flagged.agg(
+        F.max("k").alias("n_subgroups"),
+        (F.max("ss").cast("double") / (F.max("k") * 5) / 100).alias("xbarbar_usd"),
+        (F.max("sr").cast("double") / F.max("k") / 100).alias("rbar_usd"),
+        F.sum(F.when(F.col("xbar_ooc"), 1).otherwise(0)).alias("n_xbar_violations"),
+        F.sum(F.when(F.col("r_ooc"), 1).otherwise(0)).alias("n_range_violations"),
+    )
+
+
+ORDERS_XBAR_R_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM daily
+),
+sub AS (
+  SELECT i // 5 AS g, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS s5,
+         MAX(cents) - MIN(cents) AS r
+  FROM idx GROUP BY 1 HAVING COUNT(*) = 5
+),
+tot AS (
+  SELECT COUNT(*) AS k, CAST(SUM(s5) AS BIGINT) AS ss,
+         CAST(SUM(r) AS BIGINT) AS sr
+  FROM sub
+),
+flagged AS (
+  SELECT sub.g, sub.s5, sub.r, tot.k, tot.ss, tot.sr,
+         ABS(tot.k * sub.s5 - tot.ss) * 1000 > 5 * 577 * tot.sr AS xbar_ooc,
+         sub.r * tot.k * 1000 > 2114 * tot.sr AS r_ooc
+  FROM sub, tot
+)
+SELECT MAX(k) AS n_subgroups,
+       CAST(MAX(ss) AS DOUBLE) / (MAX(k) * 5) / 100 AS xbarbar_usd,
+       CAST(MAX(sr) AS DOUBLE) / MAX(k) / 100 AS rbar_usd,
+       CAST(SUM(CASE WHEN xbar_ooc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_xbar_violations,
+       CAST(SUM(CASE WHEN r_ooc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_range_violations
+FROM flagged
+"""
+
+QUERIES["orders_xbar_r_chart"] = orders_xbar_r_chart
+ORACLE["orders_xbar_r_chart"] = ORDERS_XBAR_R_SQL

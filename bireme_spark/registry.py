@@ -165,6 +165,9 @@ _NEW_THIS_ROUND = frozenset(
         "corpus_contrastive_pairs",
         "cdc_crdt_counter",
         "events_cuped_adjustment",
+        "orders_xbar_r_chart",
+        "customers_decile_lift",
+        "events_gini_stump",
     }
 )
 

@@ -122,6 +122,11 @@ _PINNED = [
     # lattice max-merge, decimal CUPED moments
     "cdc_crdt_counter",
     "events_cuped_adjustment",
+    # cross-multiplied SPC limits, histogram-CDF deciles, two-stage
+    # integer Gini
+    "orders_xbar_r_chart",
+    "customers_decile_lift",
+    "events_gini_stump",
 ]
 
 
