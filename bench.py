@@ -162,6 +162,7 @@ HEADLINE = [
     "orders_xbar_r_chart",
     "customers_decile_lift",
     "events_gini_stump",
+    "nations_atkinson_index",
 ]
 
 

@@ -3568,3 +3568,69 @@ FROM per ORDER BY decile
 
 QUERIES["customers_decile_lift"] = customers_decile_lift
 ORACLE["customers_decile_lift"] = CUSTOMERS_DECILE_LIFT_SQL
+
+
+def nations_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (Atkinson 1970, ε = 0.5) of customer
+    revenue within each nation: A = 1 − (Σ√x / n)² / (Σx / n) — the
+    welfare-theoretic member that completes the suite's inequality
+    family (Gini = rank-based, Theil = entropy-based, Lorenz =
+    curve; Atkinson states HOW MUCH total revenue society could
+    forgo under equal distribution), with its explicit inequality-
+    aversion knob ε.
+
+    Engine-exact: per-customer revenue is DECIMAL; √x terms are
+    6dp-rounded into DECIMAL sums (sqrt is correctly-rounded IEEE on
+    identical inputs — the rounding guards the decimal cast, not the
+    sqrt); the closing A expression is identical IEEE on exact
+    decimal-cast moments.
+
+    Scale: one fact→customer agg, one √-term nation agg — both
+    map-side-combinable; output is nation-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+    )
+    g = per.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("rev"), 2).cast("decimal(28,2)").alias("s"),
+        F.sum(
+            F.round(F.sqrt(F.col("rev").cast("double")), 6).cast("decimal(18,6)")
+        ).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    egde = (
+        (F.col("sq").cast("double") / F.col("n"))
+        * (F.col("sq").cast("double") / F.col("n"))
+    )
+    return g.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n",
+        (F.lit(1.0) - egde / mean).alias("atkinson_05"),
+    ).orderBy("nationkey")
+
+
+NATIONS_ATKINSON_SQL = """
+WITH per AS (
+  SELECT o.o_custkey, c.c_nationkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         CAST(ROUND(SUM(rev), 2) AS DECIMAL(28,2)) AS s,
+         SUM(CAST(ROUND(SQRT(CAST(rev AS DOUBLE)), 6) AS DECIMAL(18,6))) AS sq
+  FROM per GROUP BY 1
+)
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey, n,
+       1.0 - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)
+           / (CAST(s AS DOUBLE) / n) AS atkinson_05
+FROM g ORDER BY nationkey
+"""
+
+QUERIES["nations_atkinson_index"] = nations_atkinson_index
+ORACLE["nations_atkinson_index"] = NATIONS_ATKINSON_SQL

@@ -168,6 +168,7 @@ _NEW_THIS_ROUND = frozenset(
         "orders_xbar_r_chart",
         "customers_decile_lift",
         "events_gini_stump",
+        "nations_atkinson_index",
     }
 )
 

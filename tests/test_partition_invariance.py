@@ -127,6 +127,7 @@ _PINNED = [
     "orders_xbar_r_chart",
     "customers_decile_lift",
     "events_gini_stump",
+    "nations_atkinson_index",
 ]
 
 
