@@ -163,6 +163,9 @@ HEADLINE = [
     "customers_decile_lift",
     "events_gini_stump",
     "nations_atkinson_index",
+    "suppliers_topsis_scorecard",
+    "orders_weibull_fit",
+    "customers_srm_check",
 ]
 
 

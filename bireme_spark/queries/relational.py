@@ -3634,3 +3634,231 @@ FROM g ORDER BY nationkey
 
 QUERIES["nations_atkinson_index"] = nations_atkinson_index
 ORACLE["nations_atkinson_index"] = NATIONS_ATKINSON_SQL
+
+
+def suppliers_topsis_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPSIS multi-criteria supplier ranking (Hwang & Yoon 1981):
+    three criteria per supplier — shipped revenue (benefit), distinct
+    parts served (benefit), return rate (cost) — vector-normalized,
+    scored by closeness to the ideal / anti-ideal points, ranked —
+    the standard OR scorecard a procurement team runs over the
+    supplier base (the suite's HHI/assortativity queries describe the
+    MARKET; TOPSIS ranks the members).
+
+    Engine-exact: criteria are integer/DECIMAL aggregates; vector
+    norms are 6dp-rounded sqrt's of per-term-rounded DECIMAL sums;
+    normalized cells, distances, and closeness are 6dp-rounded at
+    each stage (one-shot smooth values — the tie-free rounding
+    regime), and the final rank is a row_number with closeness/id
+    tie-break.
+
+    Scale: one fact agg to the supplier dimension; all TOPSIS math
+    is supplier-dimension-sized with broadcast norm scalars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        (F.sum(money("l_extendedprice"))).alias("rev"),
+        F.countDistinct("l_partkey").alias("parts"),
+        F.expr(
+            "SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*)"
+        ).alias("ret_ppm"),
+    )
+    norms = per.agg(
+        *[
+            F.expr(
+                f"CAST(ROUND(SQRT(CAST(SUM(CAST(ROUND(CAST({c} AS DOUBLE)"
+                f" * CAST({c} AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE)), 6)"
+                f" AS DECIMAL(28,6))"
+            ).alias(f"n_{c}")
+            for c in ("rev", "parts", "ret_ppm")
+        ]
+    )
+    normed = per.crossJoin(F.broadcast(norms)).select(
+        "l_suppkey",
+        *[
+            F.expr(
+                f"CAST(ROUND(CAST({c} AS DOUBLE) / CAST(n_{c} AS DOUBLE), 6)"
+                f" AS DECIMAL(18,6))"
+            ).alias(f"v_{c}")
+            for c in ("rev", "parts", "ret_ppm")
+        ],
+    )
+    ideal = normed.agg(
+        F.max("v_rev").alias("i_rev"),
+        F.max("v_parts").alias("i_parts"),
+        F.min("v_ret_ppm").alias("i_ret"),
+        F.min("v_rev").alias("a_rev"),
+        F.min("v_parts").alias("a_parts"),
+        F.max("v_ret_ppm").alias("a_ret"),
+    )
+    def dist(p1, p2, p3):
+        return (
+            f"CAST(ROUND(SQRT("
+            f"(CAST(v_rev AS DOUBLE) - CAST({p1} AS DOUBLE))"
+            f" * (CAST(v_rev AS DOUBLE) - CAST({p1} AS DOUBLE))"
+            f" + (CAST(v_parts AS DOUBLE) - CAST({p2} AS DOUBLE))"
+            f" * (CAST(v_parts AS DOUBLE) - CAST({p2} AS DOUBLE))"
+            f" + (CAST(v_ret_ppm AS DOUBLE) - CAST({p3} AS DOUBLE))"
+            f" * (CAST(v_ret_ppm AS DOUBLE) - CAST({p3} AS DOUBLE))), 6)"
+            f" AS DECIMAL(18,6))"
+        )
+    scored = normed.crossJoin(F.broadcast(ideal)).select(
+        "l_suppkey",
+        F.expr(dist("i_rev", "i_parts", "i_ret")).alias("d_pos"),
+        F.expr(dist("a_rev", "a_parts", "a_ret")).alias("d_neg"),
+    )
+    close = scored.select(
+        "l_suppkey",
+        F.expr(
+            "CAST(ROUND(CAST(d_neg AS DOUBLE)"
+            " / (CAST(d_pos AS DOUBLE) + CAST(d_neg AS DOUBLE)), 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("closeness"),
+    )
+    w = Window.orderBy(F.col("closeness").desc(), F.col("l_suppkey").asc())
+    return (
+        close.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("rank"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("closeness").cast("double").alias("closeness"),
+        )
+        .orderBy("rank")
+    )
+
+
+SUPPLIERS_TOPSIS_SQL = """
+WITH per AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev,
+         COUNT(DISTINCT l_partkey) AS parts,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+           // COUNT(*) AS ret_ppm
+  FROM lineitem GROUP BY 1
+),
+norms AS (
+  SELECT CAST(ROUND(SQRT(CAST(SUM(CAST(ROUND(CAST(rev AS DOUBLE)
+                  * CAST(rev AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS n_rev,
+         CAST(ROUND(SQRT(CAST(SUM(CAST(ROUND(CAST(parts AS DOUBLE)
+                  * CAST(parts AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS n_parts,
+         CAST(ROUND(SQRT(CAST(SUM(CAST(ROUND(CAST(ret_ppm AS DOUBLE)
+                  * CAST(ret_ppm AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS n_ret_ppm
+  FROM per
+),
+normed AS (
+  SELECT l_suppkey,
+         CAST(ROUND(CAST(rev AS DOUBLE) / CAST(n_rev AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS v_rev,
+         CAST(ROUND(CAST(parts AS DOUBLE) / CAST(n_parts AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS v_parts,
+         CAST(ROUND(CAST(ret_ppm AS DOUBLE) / CAST(n_ret_ppm AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS v_ret_ppm
+  FROM per, norms
+),
+ideal AS (
+  SELECT MAX(v_rev) AS i_rev, MAX(v_parts) AS i_parts, MIN(v_ret_ppm) AS i_ret,
+         MIN(v_rev) AS a_rev, MIN(v_parts) AS a_parts, MAX(v_ret_ppm) AS a_ret
+  FROM normed
+),
+scored AS (
+  SELECT l_suppkey,
+         CAST(ROUND(SQRT((CAST(v_rev AS DOUBLE) - CAST(i_rev AS DOUBLE))
+                * (CAST(v_rev AS DOUBLE) - CAST(i_rev AS DOUBLE))
+              + (CAST(v_parts AS DOUBLE) - CAST(i_parts AS DOUBLE))
+                * (CAST(v_parts AS DOUBLE) - CAST(i_parts AS DOUBLE))
+              + (CAST(v_ret_ppm AS DOUBLE) - CAST(i_ret AS DOUBLE))
+                * (CAST(v_ret_ppm AS DOUBLE) - CAST(i_ret AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS d_pos,
+         CAST(ROUND(SQRT((CAST(v_rev AS DOUBLE) - CAST(a_rev AS DOUBLE))
+                * (CAST(v_rev AS DOUBLE) - CAST(a_rev AS DOUBLE))
+              + (CAST(v_parts AS DOUBLE) - CAST(a_parts AS DOUBLE))
+                * (CAST(v_parts AS DOUBLE) - CAST(a_parts AS DOUBLE))
+              + (CAST(v_ret_ppm AS DOUBLE) - CAST(a_ret AS DOUBLE))
+                * (CAST(v_ret_ppm AS DOUBLE) - CAST(a_ret AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS d_neg
+  FROM normed, ideal
+),
+close AS (
+  SELECT l_suppkey,
+         CAST(ROUND(CAST(d_neg AS DOUBLE)
+                    / (CAST(d_pos AS DOUBLE) + CAST(d_neg AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS closeness
+  FROM scored
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY closeness DESC, l_suppkey ASC)
+            AS INTEGER) AS rank,
+       l_suppkey AS suppkey, CAST(closeness AS DOUBLE) AS closeness
+FROM close
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+QUERIES["suppliers_topsis_scorecard"] = suppliers_topsis_scorecard
+ORACLE["suppliers_topsis_scorecard"] = SUPPLIERS_TOPSIS_SQL
+
+
+def customers_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check — the first guardrail every
+    experimentation platform runs before reading ANY metric: a
+    deterministic md5 coin assigns customers 50/50 to arms A/B, and
+    the χ² goodness-of-fit against the planned ratio ((n_A−n_B)² /
+    (n_A+n_B) for 1 df) says whether the assignment itself is broken
+    (a significant SRM invalidates the experiment regardless of
+    lift). Pairs with events_cuped_adjustment (variance) and
+    parts_promo_did (effect) to complete the experimentation
+    toolkit.
+
+    Engine-exact: the coin is the md5-nibble house hash; cells are
+    integers and the χ² is ONE division of exact integers —
+    identical IEEE; the 3.841 critical-value verdict is a plain
+    comparison.
+
+    Scale: one hash-classify-and-count agg; nothing else moves."""
+    c = load_table(spark, sf_dir, "customer")
+    arm = F.expr(
+        "locate(substring(md5(concat('srm:', CAST(c_custkey AS STRING))), 1, 1),"
+        " '0123456789abcdef') - 1"
+    ) < 8
+    m = c.select(arm.alias("a")).agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2_stat"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+CUSTOMERS_SRM_SQL = """
+WITH m AS (
+  SELECT SUM(CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(concat('srm:', CAST(c_custkey AS VARCHAR))),
+                                      1, 1)) - 1) < 8
+                  THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(concat('srm:', CAST(c_custkey AS VARCHAR))),
+                                      1, 1)) - 1) < 8
+                  THEN 0 ELSE 1 END) AS n_b
+  FROM customer
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE) AS chi2_stat,
+       CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_detected
+FROM m
+"""
+
+QUERIES["customers_srm_check"] = customers_srm_check
+ORACLE["customers_srm_check"] = CUSTOMERS_SRM_SQL

@@ -3053,3 +3053,126 @@ FROM flagged
 
 QUERIES["orders_xbar_r_chart"] = orders_xbar_r_chart
 ORACLE["orders_xbar_r_chart"] = ORDERS_XBAR_R_SQL
+
+
+def orders_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of order fulfillment time by median-rank
+    regression (the reliability-engineering standard: linearize
+    F(t) = 1 − exp(−(t/η)^β) as ln(−ln(1−F)) = β·ln t − β·ln η and
+    OLS on the Benard median ranks (i−0.3)/(n+0.4)) — the shape
+    parameter β says whether fulfillment hazard rises (β>1, aging
+    backlog) or falls with time, which no mean/percentile summary
+    reveals. Fits on the day-granular duration HISTOGRAM.
+
+    Engine-exact: durations are integer days; median ranks come from
+    exact histogram-CDF integer midpoint ranks; every ln / ln(−ln)
+    term is FLOOR-quantized to INTEGER MICROS (the power-iteration
+    discipline — decimal×bigint sums would hit Spark's precision-
+    loss rescaling, and ROUND has tie exposure), weighted sums stay
+    BIGINT with a per-term 1e6 scale-down on the quadratic products,
+    and β / η close in one identical IEEE expression with a single
+    6dp-rounded EXP.
+
+    Scale: fact table → duration histogram in one agg; the
+    regression runs on ≤ a few hundred histogram cells."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("fin"))
+    dur = (
+        o.join(done, o["o_orderkey"] == done["l_orderkey"])
+        .select((F.datediff("fin", "o_orderdate") + 1).alias("t"))
+        .where(F.col("t") > 0)
+    )
+    hist = dur.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = hist.select(
+        "t",
+        "c",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    terms = ranked.select(
+        "c",
+        F.expr("CAST(FLOOR(LN(CAST(t AS DOUBLE)) * 1e6) AS BIGINT)").alias("lxu"),
+        F.expr(
+            "CAST(FLOOR(LN(-LN(1.0 - (2.0 * cum - c + 0.4)"
+            " / (2.0 * n + 0.8))) * 1e6) AS BIGINT)"
+        ).alias("lyu"),
+    )
+    m = terms.agg(
+        F.sum("c").alias("nw"),
+        F.sum(F.col("lxu") * F.col("c")).alias("sx"),
+        F.sum(F.col("lyu") * F.col("c")).alias("sy"),
+        F.sum(F.expr("((lxu * lyu) DIV 1000000) * c")).alias("sxy"),
+        F.sum(F.expr("((lxu * lxu) DIV 1000000) * c")).alias("sxx"),
+    )
+    n = F.col("nw").cast("double")
+    sxd = F.col("sx").cast("double") / F.lit(1e6)
+    syd = F.col("sy").cast("double") / F.lit(1e6)
+    sxyd = F.col("sxy").cast("double") / F.lit(1e6)
+    sxxd = F.col("sxx").cast("double") / F.lit(1e6)
+    beta = (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)
+    ln_eta = (sxd * beta - syd) / (n * beta)
+    return m.select(
+        F.col("nw").alias("n_orders"),
+        beta.alias("weibull_shape"),
+        F.round(F.exp(ln_eta), 6).alias("weibull_scale_days"),
+    )
+
+
+ORDERS_WEIBULL_SQL = """
+WITH done AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS fin FROM lineitem GROUP BY 1
+),
+dur AS (
+  SELECT t FROM (
+    SELECT datediff('day', CAST(o.o_orderdate AS DATE), CAST(d.fin AS DATE)) + 1 AS t
+    FROM orders o JOIN done d ON d.l_orderkey = o.o_orderkey
+  ) q WHERE t > 0
+),
+hist AS (SELECT t, COUNT(*) AS c FROM dur GROUP BY 1),
+ranked AS (
+  SELECT t, c,
+         SUM(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+terms AS (
+  SELECT c,
+         CAST(FLOOR(LN(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) AS lxu,
+         CAST(FLOOR(LN(-LN(1.0 - (2.0 * cum - c + 0.4)
+                           / (2.0 * n + 0.8))) * 1e6) AS BIGINT) AS lyu
+  FROM ranked
+),
+m AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS nw,
+         CAST(SUM(lxu * c) AS BIGINT) AS sx,
+         CAST(SUM(lyu * c) AS BIGINT) AS sy,
+         CAST(SUM(((lxu * lyu) // 1000000) * c) AS BIGINT) AS sxy,
+         CAST(SUM(((lxu * lxu) // 1000000) * c) AS BIGINT) AS sxx
+  FROM terms
+)
+SELECT nw AS n_orders,
+       (CAST(nw AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+          - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+         / (CAST(nw AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+            - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+         AS weibull_shape,
+       ROUND(EXP(((CAST(sx AS DOUBLE) / 1e6)
+              * ((CAST(nw AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+                  - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                 / (CAST(nw AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+                    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))
+            - (CAST(sy AS DOUBLE) / 1e6))
+           / (CAST(nw AS DOUBLE)
+              * ((CAST(nw AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+                  - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                 / (CAST(nw AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+                    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))))), 6)
+         AS weibull_scale_days
+FROM m
+"""
+
+QUERIES["orders_weibull_fit"] = orders_weibull_fit
+ORACLE["orders_weibull_fit"] = ORDERS_WEIBULL_SQL

@@ -169,6 +169,9 @@ _NEW_THIS_ROUND = frozenset(
         "customers_decile_lift",
         "events_gini_stump",
         "nations_atkinson_index",
+        "suppliers_topsis_scorecard",
+        "orders_weibull_fit",
+        "customers_srm_check",
     }
 )
 

@@ -128,6 +128,10 @@ _PINNED = [
     "customers_decile_lift",
     "events_gini_stump",
     "nations_atkinson_index",
+    # staged 6dp TOPSIS pipeline, integer-micro Weibull OLS, md5 SRM
+    "suppliers_topsis_scorecard",
+    "orders_weibull_fit",
+    "customers_srm_check",
 ]
 
 
