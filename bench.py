@@ -166,6 +166,8 @@ HEADLINE = [
     "suppliers_topsis_scorecard",
     "orders_weibull_fit",
     "customers_srm_check",
+    "lineitem_conformal_interval",
+    "events_pelt_segmentation",
 ]
 
 

@@ -3176,3 +3176,163 @@ FROM m
 
 QUERIES["orders_weibull_fit"] = orders_weibull_fit
 ORACLE["orders_weibull_fit"] = ORDERS_WEIBULL_SQL
+
+
+def events_pelt_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal multi-changepoint segmentation of daily traffic by
+    penalized exact dynamic programming (the optimal-partitioning
+    core of PELT, Killick 2012): F(t) = min_s F(s) + SSE(s,t) + λ
+    with λ = 2·ln(n)·σ̂² — finds ALL level shifts at once where the
+    suite's AMOC changepoint finds one and CUSUM/Viterbi assume
+    fixed alternatives; emits the breakpoint set (as a sortable
+    comma-joined index string), segment count, and total penalized
+    cost.
+
+    Engine-exact: segment SSEs are FLOOR-quantized integer micros
+    (prefix-sum rationals → identical IEEE → floor, the bit-
+    deterministic quantizer), λ likewise, so the whole DP is integer
+    arithmetic with a first-minimum (smallest s) tie rule — Spark
+    folds it in ONE Arrow batch; the oracle's recursive CTE carries
+    the F and argmin LISTS through the recursion (the Holt-Winters
+    list-state trick) and backtracks with a second recursive CTE.
+
+    Scale: the stream collapses once to |days|; the O(n²) DP is
+    day-count-sized."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr("unix_micros(ts) DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = [int(v) for v in pdf["x"]]
+        n = len(xs)
+        S = [0] * (n + 1)
+        Q = [0] * (n + 1)
+        for i, x in enumerate(xs, 1):
+            S[i] = S[i - 1] + x
+            Q[i] = Q[i - 1] + x * x
+        var = (Q[n] - S[n] * S[n] / n) / n
+        lam = math.floor(2.0 * math.log(n) * var * 1e6)
+
+        def cost(s, t):
+            d = S[t] - S[s]
+            return math.floor((Q[t] - Q[s] - d * d / (t - s)) * 1e6)
+
+        Fv = [-lam] + [0] * n
+        arg = [0] * (n + 1)
+        for t in range(1, n + 1):
+            best, bs = None, 0
+            for s in range(t):
+                v = Fv[s] + lam + cost(s, t)
+                if best is None or v < best:
+                    best, bs = v, s
+            Fv[t], arg[t] = best, bs
+        cps = []
+        t = n
+        while t > 0:
+            s = arg[t]
+            if s > 0:
+                cps.append(s)
+            t = s
+        cps.reverse()
+        return pd.DataFrame(
+            {
+                "n_days": [n],
+                "n_segments": [len(cps) + 1],
+                "breakpoints": [",".join(str(c) for c in cps) or "none"],
+                "total_cost_mu": [Fv[n]],
+            }
+        )
+
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "n_days int, n_segments int, breakpoints string, total_cost_mu long",
+        )
+    )
+
+
+EVENTS_PELT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+ser AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS t, x FROM daily
+),
+pre AS (
+  SELECT (SELECT COUNT(*) FROM ser) AS n,
+         (SELECT list_prepend(CAST(0 AS BIGINT),
+                 list(s ORDER BY t))
+          FROM (SELECT t, CAST(SUM(x) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                             AS BIGINT) AS s FROM ser) ps) AS sl,
+         (SELECT list_prepend(CAST(0 AS BIGINT),
+                 list(q ORDER BY t))
+          FROM (SELECT t, CAST(SUM(x * x) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                             AS BIGINT) AS q FROM ser) qs) AS ql
+),
+lamv AS (
+  SELECT n, sl, ql,
+         CAST(FLOOR(2.0 * LN(n)
+              * ((ql[n + 1] - CAST(sl[n + 1] AS DOUBLE) * sl[n + 1] / n) / n)
+              * 1e6) AS BIGINT) AS lam
+  FROM pre
+),
+dp(t, fs, args) AS (
+  SELECT 0, [-lam], [0] FROM lamv
+  UNION ALL
+  SELECT d.t + 1,
+         list_append(d.fs,
+           list_min(list_transform(range(1, d.t + 2), i ->
+             d.fs[i] + l.lam
+             + CAST(FLOOR((l.ql[d.t + 2] - l.ql[i]
+                 - CAST(l.sl[d.t + 2] - l.sl[i] AS DOUBLE)
+                   * (l.sl[d.t + 2] - l.sl[i]) / (d.t + 2 - i)) * 1e6) AS BIGINT)))),
+         list_append(d.args,
+           list_position(list_transform(range(1, d.t + 2), i ->
+             d.fs[i] + l.lam
+             + CAST(FLOOR((l.ql[d.t + 2] - l.ql[i]
+                 - CAST(l.sl[d.t + 2] - l.sl[i] AS DOUBLE)
+                   * (l.sl[d.t + 2] - l.sl[i]) / (d.t + 2 - i)) * 1e6) AS BIGINT)),
+             list_min(list_transform(range(1, d.t + 2), i ->
+               d.fs[i] + l.lam
+               + CAST(FLOOR((l.ql[d.t + 2] - l.ql[i]
+                   - CAST(l.sl[d.t + 2] - l.sl[i] AS DOUBLE)
+                     * (l.sl[d.t + 2] - l.sl[i]) / (d.t + 2 - i)) * 1e6) AS BIGINT))))
+           - 1)
+  FROM dp d, lamv l WHERE d.t < l.n
+),
+fin AS (
+  SELECT d.fs, d.args, l.n FROM dp d, lamv l WHERE d.t = l.n
+),
+bt(t, path) AS (
+  SELECT n, CAST('' AS VARCHAR) FROM fin
+  UNION ALL
+  SELECT f.args[b.t + 1],
+         CASE WHEN f.args[b.t + 1] > 0
+              THEN CAST(f.args[b.t + 1] AS VARCHAR)
+                   || CASE WHEN b.path = '' THEN '' ELSE ',' END || b.path
+              ELSE b.path END
+  FROM bt b, fin f WHERE b.t > 0
+),
+bp AS (SELECT path FROM bt WHERE t = 0)
+SELECT CAST(f.n AS INTEGER) AS n_days,
+       CAST(CASE WHEN bp.path = '' THEN 1
+                 ELSE length(bp.path) - length(replace(bp.path, ',', '')) + 2 END
+            AS INTEGER) AS n_segments,
+       CASE WHEN bp.path = '' THEN 'none' ELSE bp.path END AS breakpoints,
+       CAST(f.fs[f.n + 1] AS BIGINT) AS total_cost_mu
+FROM fin f, bp
+"""
+
+QUERIES["events_pelt_segmentation"] = events_pelt_segmentation
+ORACLE["events_pelt_segmentation"] = EVENTS_PELT_SQL

@@ -172,6 +172,8 @@ _NEW_THIS_ROUND = frozenset(
         "suppliers_topsis_scorecard",
         "orders_weibull_fit",
         "customers_srm_check",
+        "lineitem_conformal_interval",
+        "events_pelt_segmentation",
     }
 )
 

@@ -132,6 +132,9 @@ _PINNED = [
     "suppliers_topsis_scorecard",
     "orders_weibull_fit",
     "customers_srm_check",
+    # conformal integer quantile, integer-micro PELT DP
+    "lineitem_conformal_interval",
+    "events_pelt_segmentation",
 ]
 
 
