@@ -168,6 +168,8 @@ HEADLINE = [
     "customers_srm_check",
     "lineitem_conformal_interval",
     "events_pelt_segmentation",
+    "text_good_turing",
+    "events_eb_shrinkage",
 ]
 
 

@@ -2456,3 +2456,112 @@ FROM scored ORDER BY split_hour
 
 QUERIES["events_gini_stump"] = events_gini_stump
 ORACLE["events_gini_stump"] = EVENTS_GINI_STUMP_SQL
+
+
+def events_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates (the
+    beta-binomial / James–Stein "batting average" estimator,
+    Efron & Morris 1975): raw rates p̂ᵢ = kᵢ/nᵢ are noisy for
+    low-activity users; shrink toward the pooled rate with a
+    method-of-moments prior strength m, p̃ᵢ = (kᵢ + m·p̄)/(nᵢ + m) —
+    the ranking-safe rate every leaderboard should use instead of
+    raw ratios. Reports the shrinkage distribution by activity band
+    (how much low-n users move vs high-n users).
+
+    Engine-exact: per-user (kᵢ, nᵢ) are integers; p̄ and the moment
+    estimate m are FLOOR-quantized integer ppm (bit-deterministic);
+    shrunk rates are integer-ppm arithmetic on those; bands are
+    explicit integer ranges.
+
+    Scale: one user-grain agg + one moment agg + one banded rollup —
+    all map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).alias("u"),
+        F.sum("k").alias("sk"),
+        F.sum("n").alias("sn"),
+        F.sum(F.expr("k * 1000000 DIV n")).alias("sp"),
+        F.sum(
+            F.expr("(k * 1000000 DIV n) * (k * 1000000 DIV n)")
+        ).alias("spp"),
+    )
+    # pooled rate and prior strength, both in integer ppm:
+    #   pbar_ppm = sk*1e6 DIV sn
+    #   var of raw ppm rates: (u*spp - sp^2) / u^2  (kept n-scaled)
+    #   m = pbar*(1e6-pbar)/var  (floor, clamped to >= 1)
+    params = mom.select(
+        "u",
+        F.expr("sk * 1000000 DIV sn").alias("pbar_ppm"),
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT), CAST(FLOOR("
+            " CAST(sk * 1000000 DIV sn AS DOUBLE)"
+            " * (1000000 - sk * 1000000 DIV sn)"
+            " / (CAST(u * spp - sp * sp AS DOUBLE) / (CAST(u AS DOUBLE) * u))"
+            " / 1000000) AS BIGINT))"
+        ).alias("m"),
+    )
+    shrunk = per.crossJoin(F.broadcast(params)).select(
+        "n",
+        F.expr("k * 1000000 DIV n").alias("raw_ppm"),
+        F.expr("(k * 1000000 + m * pbar_ppm) DIV (n + m)").alias("eb_ppm"),
+        F.when(F.col("n") < 5, "lo")
+        .when(F.col("n") < 15, "mid")
+        .otherwise("hi")
+        .alias("band"),
+    )
+    return (
+        shrunk.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("SUM(ABS(raw_ppm - eb_ppm)) DIV COUNT(*)").alias(
+                "mean_abs_shift_ppm"
+            ),
+            F.max(F.expr("ABS(raw_ppm - eb_ppm)")).alias("max_shift_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+EVENTS_EB_SHRINKAGE_SQL = """
+WITH per AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT COUNT(*) AS u, CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(n) AS BIGINT) AS sn,
+         CAST(SUM(k * 1000000 // n) AS BIGINT) AS sp,
+         CAST(SUM((k * 1000000 // n) * (k * 1000000 // n)) AS BIGINT) AS spp
+  FROM per
+),
+params AS (
+  SELECT u, sk * 1000000 // sn AS pbar_ppm,
+         GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(
+           CAST(sk * 1000000 // sn AS DOUBLE)
+           * (1000000 - sk * 1000000 // sn)
+           / (CAST(u * spp - sp * sp AS DOUBLE) / (CAST(u AS DOUBLE) * u))
+           / 1000000) AS BIGINT)) AS m
+  FROM mom
+),
+shrunk AS (
+  SELECT per.n,
+         per.k * 1000000 // per.n AS raw_ppm,
+         (per.k * 1000000 + p.m * p.pbar_ppm) // (per.n + p.m) AS eb_ppm,
+         CASE WHEN per.n < 5 THEN 'lo' WHEN per.n < 15 THEN 'mid'
+              ELSE 'hi' END AS band
+  FROM per, params p
+)
+SELECT band, COUNT(*) AS n_users,
+       CAST(SUM(ABS(raw_ppm - eb_ppm)) // COUNT(*) AS BIGINT)
+         AS mean_abs_shift_ppm,
+       CAST(MAX(ABS(raw_ppm - eb_ppm)) AS BIGINT) AS max_shift_ppm
+FROM shrunk GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_eb_shrinkage"] = events_eb_shrinkage
+ORACLE["events_eb_shrinkage"] = EVENTS_EB_SHRINKAGE_SQL

@@ -1027,3 +1027,82 @@ LIMIT 10
 
 QUERIES["text_textrank_keywords"] = text_textrank_keywords
 ORACLE["text_textrank_keywords"] = _textrank_sql()
+
+
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good–Turing frequency smoothing (Gale & Sampson 1995):
+    from the corpus frequency-of-frequencies table N_r, the adjusted
+    counts r* = (r+1)·N_{r+1}/N_r for low r and the unseen-mass
+    estimate P₀ = N₁/N — the classical answer to "how much
+    probability belongs to words we have never seen", which the
+    add-α smoothing in the LM scorers assumes away. Emits the ten
+    LOWEST-frequency N_r rows with r* plus the rarest-class mass
+    (on a natural corpus the lowest class IS r=1, the unseen-mass
+    numerator; the synthetic corpus's floor sits higher).
+
+    Engine-exact: N_r and N are integers from two stacked aggs
+    (tf → freq-of-freqs); r* and P₀ are integer-ppm cross-ratios —
+    zero floating point.
+
+    Scale: one tokenize + one word tf agg (corpus-sized, map-side-
+    combined) + one freq-of-freqs agg (vocabulary-sized); the
+    smoothing table is ≤10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    fof = tf.groupBy("r").agg(F.count(F.lit(1)).alias("nr"))
+    w = Window.orderBy("r")
+    tot = fof.agg(F.sum(F.col("r") * F.col("nr")).alias("n_tokens"))
+    tab = (
+        fof.select(
+            "r",
+            "nr",
+            F.lead("nr", 1).over(w).alias("nr1"),
+            F.lead("r", 1).over(w).alias("rnext"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .crossJoin(F.broadcast(tot))
+    )
+    return tab.select(
+        "r",
+        "nr",
+        F.expr(
+            "CASE WHEN rnext = r + 1 AND nr1 IS NOT NULL"
+            " THEN (r + 1) * nr1 * 1000000 DIV nr ELSE NULL END"
+        ).alias("r_star_micro"),
+        F.expr(
+            "CASE WHEN rk = 1 THEN nr * 1000000 DIV n_tokens ELSE NULL END"
+        ).alias("rarest_mass_ppm"),
+    ).orderBy("r")
+
+
+TEXT_GOOD_TURING_SQL = """
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT w, COUNT(*) AS r FROM toks WHERE w <> '' GROUP BY 1),
+fof AS (SELECT r, COUNT(*) AS nr FROM tf GROUP BY 1),
+tot AS (SELECT CAST(SUM(r * nr) AS BIGINT) AS n_tokens FROM fof),
+tab AS (
+  SELECT r, nr,
+         LEAD(nr, 1) OVER (ORDER BY r) AS nr1,
+         LEAD(r, 1) OVER (ORDER BY r) AS rnext,
+         ROW_NUMBER() OVER (ORDER BY r) AS rk
+  FROM fof
+)
+SELECT CAST(t.r AS BIGINT) AS r, t.nr,
+       CASE WHEN t.rnext = t.r + 1 AND t.nr1 IS NOT NULL
+            THEN CAST((t.r + 1) * t.nr1 * 1000000 // t.nr AS BIGINT) END
+         AS r_star_micro,
+       CASE WHEN t.rk = 1 THEN CAST(t.nr * 1000000 // tot.n_tokens AS BIGINT) END
+         AS rarest_mass_ppm
+FROM tab t CROSS JOIN tot
+WHERE t.rk <= 10
+ORDER BY r
+"""
+
+QUERIES["text_good_turing"] = text_good_turing
+ORACLE["text_good_turing"] = TEXT_GOOD_TURING_SQL

@@ -174,6 +174,8 @@ _NEW_THIS_ROUND = frozenset(
         "customers_srm_check",
         "lineitem_conformal_interval",
         "events_pelt_segmentation",
+        "text_good_turing",
+        "events_eb_shrinkage",
     }
 )
 

@@ -135,6 +135,9 @@ _PINNED = [
     # conformal integer quantile, integer-micro PELT DP
     "lineitem_conformal_interval",
     "events_pelt_segmentation",
+    # freq-of-freqs integer table, integer-ppm EB shrinkage
+    "text_good_turing",
+    "events_eb_shrinkage",
 ]
 
 
