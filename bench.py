@@ -170,6 +170,8 @@ HEADLINE = [
     "events_pelt_segmentation",
     "text_good_turing",
     "events_eb_shrinkage",
+    "events_kpss_stationarity",
+    "events_dwell_semi_markov",
 ]
 
 

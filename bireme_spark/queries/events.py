@@ -2565,3 +2565,96 @@ FROM shrunk GROUP BY 1 ORDER BY 1
 
 QUERIES["events_eb_shrinkage"] = events_eb_shrinkage
 ORACLE["events_eb_shrinkage"] = EVENTS_EB_SHRINKAGE_SQL
+
+
+def events_dwell_semi_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-Markov dwell-time profile: how long a user SITS in each
+    state before their next event — the time dimension the
+    transition-matrix query (pure jump probabilities) discards, and
+    the difference between a Markov chain and the semi-Markov
+    process real clickstreams follow. Per state: spell count, mean
+    dwell, and the EXACT median dwell via a histogram-CDF on
+    whole-second buckets.
+
+    Engine-exact: dwells are integer µs LEAD differences per user
+    (the µs-epoch discipline); means are truncating integer DIV;
+    medians are cross-multiplied integer CDF picks on the
+    second-granularity histogram.
+
+    Scale: one user-partition LEAD window over the stream, one
+    (state, second) histogram agg, histogram-sized CDF windows —
+    never a raw-row quantile sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us")
+    dw = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+        )
+        .withColumn("nxt", F.lead("us").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("event_type", (F.col("nxt") - F.col("us")).alias("dwell_us"))
+    )
+    hist = (
+        dw.select("event_type", F.expr("dwell_us DIV 1000000").alias("sec"))
+        .groupBy("event_type", "sec")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcdf = Window.partitionBy("event_type").orderBy("sec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "sec",
+        F.sum("c").over(wcdf).alias("cum"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    med = (
+        cdf.where(F.expr("cum * 2 >= n"))
+        .groupBy("event_type")
+        .agg(F.min("sec").alias("median_dwell_sec"))
+    )
+    agg = dw.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.expr("SUM(dwell_us) DIV COUNT(*) DIV 1000000").alias("mean_dwell_sec"),
+    )
+    return agg.join(med, "event_type").orderBy("event_type")
+
+
+EVENTS_DWELL_SQL = """
+WITH dw AS (
+  SELECT event_type,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+           - epoch_us(ts) AS dwell_us
+  FROM events
+  QUALIFY dwell_us IS NOT NULL
+),
+hist AS (
+  SELECT event_type, dwell_us // 1000000 AS sec, COUNT(*) AS c
+  FROM dw GROUP BY 1, 2
+),
+cdf AS (
+  SELECT event_type, sec,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY sec
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+med AS (
+  SELECT event_type, CAST(MIN(sec) AS BIGINT) AS median_dwell_sec
+  FROM cdf WHERE cum * 2 >= n GROUP BY 1
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_spells,
+         CAST(SUM(dwell_us) // COUNT(*) // 1000000 AS BIGINT) AS mean_dwell_sec
+  FROM dw GROUP BY 1
+)
+SELECT agg.event_type, agg.n_spells, agg.mean_dwell_sec, med.median_dwell_sec
+FROM agg JOIN med USING (event_type)
+ORDER BY event_type
+"""
+
+QUERIES["events_dwell_semi_markov"] = events_dwell_semi_markov
+ORACLE["events_dwell_semi_markov"] = EVENTS_DWELL_SQL

@@ -3336,3 +3336,85 @@ FROM fin f, bp
 
 QUERIES["events_pelt_segmentation"] = events_pelt_segmentation
 ORACLE["events_pelt_segmentation"] = EVENTS_PELT_SQL
+
+
+def events_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test (Kwiatkowski et al. 1992) on the
+    daily count series — the null-of-stationarity complement to
+    Mann-Kendall (null of no trend): with n-scaled integer
+    deviations Dₜ = n·xₜ − S and their partial sums Pₜ, the statistic
+    collapses to the EXACT integer ratio ΣPₜ² / (n·ΣDₜ²) — no
+    variance estimate, no rounding, no floating point until the one
+    final division (both numerator and denominator stay under 2^53,
+    so even the doubles are exact). Verdict against the 0.463 5%
+    critical value (short-run variance lags omitted — the λ=0 form,
+    documented).
+
+    Scale: one collapse to |days| integers; the partial-sum window
+    is day-count-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr("unix_micros(ts) DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(wt).alias("s"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    ).select(
+        "day",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).alias("dev"),
+    )
+    p = d.select(
+        "n", F.sum("dev").over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)).alias("pt"), "dev"
+    )
+    m = p.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("pt") * F.col("pt")).alias("sp2"),
+        F.sum(F.col("dev") * F.col("dev")).alias("sd2"),
+    )
+    kpss = F.col("sp2").cast("double") / (
+        F.col("n").cast("double") * F.col("sd2").cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        kpss.alias("kpss_stat"),
+        (kpss > 0.463).alias("reject_stationarity_5pct"),
+    )
+
+
+EVENTS_KPSS_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT day,
+         COUNT(*) OVER () AS n,
+         COUNT(*) OVER () * x - SUM(x) OVER () AS dev
+  FROM daily
+),
+p AS (
+  SELECT n, dev,
+         SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pt
+  FROM d
+),
+m AS (
+  SELECT MAX(n) AS n, CAST(SUM(pt * pt) AS BIGINT) AS sp2,
+         CAST(SUM(dev * dev) AS BIGINT) AS sd2
+  FROM p
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(sp2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE)) AS kpss_stat,
+       CAST(sp2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE)) > 0.463
+         AS reject_stationarity_5pct
+FROM m
+"""
+
+QUERIES["events_kpss_stationarity"] = events_kpss_stationarity
+ORACLE["events_kpss_stationarity"] = EVENTS_KPSS_SQL

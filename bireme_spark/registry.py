@@ -176,6 +176,8 @@ _NEW_THIS_ROUND = frozenset(
         "events_pelt_segmentation",
         "text_good_turing",
         "events_eb_shrinkage",
+        "events_kpss_stationarity",
+        "events_dwell_semi_markov",
     }
 )
 

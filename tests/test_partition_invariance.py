@@ -138,6 +138,9 @@ _PINNED = [
     # freq-of-freqs integer table, integer-ppm EB shrinkage
     "text_good_turing",
     "events_eb_shrinkage",
+    # exact integer KPSS ratio, µs dwell histogram medians
+    "events_kpss_stationarity",
+    "events_dwell_semi_markov",
 ]
 
 
