@@ -172,6 +172,7 @@ HEADLINE = [
     "events_eb_shrinkage",
     "events_kpss_stationarity",
     "events_dwell_semi_markov",
+    "orders_dtw_yearly_shape",
 ]
 
 

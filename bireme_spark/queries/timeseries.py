@@ -3418,3 +3418,126 @@ FROM m
 
 QUERIES["events_kpss_stationarity"] = events_kpss_stationarity
 ORACLE["events_kpss_stationarity"] = EVENTS_KPSS_SQL
+
+
+def orders_dtw_yearly_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance (Sakoe & Chiba 1978) between
+    consecutive years' 12-month revenue profiles — "did the seasonal
+    SHAPE repeat, allowing for phase shift" — reported next to the
+    rigid month-by-month L1 distance (DTW ≤ L1 always; a large gap
+    means the shape repeated but SHIFTED, which timeseries_similar_
+    users' aligned correlation cannot see). One row per adjacent
+    year pair 1995..2000.
+
+    Engine-exact: monthly revenues are integer cents; the 12×12 DTW
+    dynamic program is pure integer min/add — Spark folds every
+    year-pair in ONE Arrow batch; the oracle's recursive CTE walks
+    the DP row by row carrying the current row as a LIST (the PELT
+    list-state pattern), per pair.
+
+    Scale: the fact table collapses once to |months| integers; each
+    DP is a constant 144 cells."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        series = {}
+        for _, r in pdf.iterrows():
+            series.setdefault(int(r["y"]), {})[int(r["m"])] = int(r["cents"])
+        rows = {"year_a": [], "year_b": [], "dtw_usd": [], "l1_usd": []}
+        for ya in range(1995, 2001):
+            yb = ya + 1
+            # only complete 12-month years pair up (2001 ends in Aug)
+            if len(series.get(ya, {})) != 12 or len(series.get(yb, {})) != 12:
+                continue
+            a = [series[ya][m] for m in range(1, 13)]
+            b = [series[yb][m] for m in range(1, 13)]
+            INF = 1 << 62
+            prev = [0] + [INF] * 12
+            for i in range(1, 13):
+                cur = [INF] * 13
+                for j in range(1, 13):
+                    c = abs(a[i - 1] - b[j - 1])
+                    cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+                prev = cur
+            rows["year_a"].append(ya)
+            rows["year_b"].append(yb)
+            rows["dtw_usd"].append(prev[12] // 100)
+            rows["l1_usd"].append(
+                sum(abs(x - y) for x, y in zip(a, b)) // 100
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        monthly.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(fold, "year_a int, year_b int, dtw_usd long, l1_usd long")
+        .orderBy("year_a")
+    )
+
+
+ORDERS_DTW_SQL = """
+WITH RECURSIVE monthly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS y, EXTRACT(month FROM o_orderdate) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+full_years AS (
+  SELECT y FROM monthly GROUP BY y HAVING COUNT(*) = 12
+),
+pairs AS (
+  SELECT a.y AS year_a, a.y + 1 AS year_b,
+         (SELECT list(m2.cents ORDER BY m2.m) FROM monthly m2
+          WHERE m2.y = a.y) AS va,
+         (SELECT list(m2.cents ORDER BY m2.m) FROM monthly m2
+          WHERE m2.y = a.y + 1) AS vb
+  FROM full_years a
+  WHERE a.y BETWEEN 1995 AND 2000
+    AND EXISTS (SELECT 1 FROM full_years f WHERE f.y = a.y + 1)
+),
+-- cell-stepping DP: state = (i, j, prev row D(i-1,0..12), cur prefix
+-- D(i,0..j)); j==12 rolls to the next i with prev := cur
+dp(year_a, year_b, va, vb, i, j, prev, cur) AS (
+  SELECT year_a, year_b, va, vb, 1, 0,
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, 13), x -> CAST(4611686018427387904 AS BIGINT))),
+         CAST([CAST(4611686018427387904 AS BIGINT)] AS BIGINT[])
+  FROM pairs
+  UNION ALL
+  SELECT d.year_a, d.year_b, d.va, d.vb,
+         CASE WHEN d.j = 12 THEN d.i + 1 ELSE d.i END,
+         CASE WHEN d.j = 12 THEN 0 ELSE d.j + 1 END,
+         CASE WHEN d.j = 12 THEN d.cur ELSE d.prev END,
+         CASE WHEN d.j = 12 THEN CAST([CAST(4611686018427387904 AS BIGINT)] AS BIGINT[])
+              ELSE list_append(d.cur,
+                     ABS(d.va[d.i] - d.vb[d.j + 1])
+                     + LEAST(d.prev[d.j + 2], d.cur[d.j + 1], d.prev[d.j + 1]))
+         END
+  FROM dp d
+  WHERE NOT (d.i = 12 AND d.j = 12)
+),
+fin AS (
+  SELECT year_a, year_b, cur[13] AS dtw_cents, va, vb
+  FROM dp WHERE i = 12 AND j = 12
+),
+l1 AS (
+  SELECT year_a, year_b, dtw_cents,
+         (SELECT SUM(ABS(va[g.j] - vb[g.j])) FROM generate_series(1, 12) g(j))
+           AS l1_cents
+  FROM fin
+)
+SELECT CAST(year_a AS INTEGER) AS year_a, CAST(year_b AS INTEGER) AS year_b,
+       CAST(dtw_cents // 100 AS BIGINT) AS dtw_usd,
+       CAST(l1_cents // 100 AS BIGINT) AS l1_usd
+FROM l1 ORDER BY year_a
+"""
+
+QUERIES["orders_dtw_yearly_shape"] = orders_dtw_yearly_shape
+ORACLE["orders_dtw_yearly_shape"] = ORDERS_DTW_SQL

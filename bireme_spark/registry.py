@@ -178,6 +178,7 @@ _NEW_THIS_ROUND = frozenset(
         "events_eb_shrinkage",
         "events_kpss_stationarity",
         "events_dwell_semi_markov",
+        "orders_dtw_yearly_shape",
     }
 )
 

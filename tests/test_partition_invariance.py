@@ -141,6 +141,7 @@ _PINNED = [
     # exact integer KPSS ratio, µs dwell histogram medians
     "events_kpss_stationarity",
     "events_dwell_semi_markov",
+    "orders_dtw_yearly_shape",
 ]
 
 
