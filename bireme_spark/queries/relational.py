@@ -3968,3 +3968,177 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["lineitem_conformal_interval"] = lineitem_conformal_interval
 ORACLE["lineitem_conformal_interval"] = LINEITEM_CONFORMAL_SQL
+
+
+def lineitem_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified estimation (survey sampling 101, the partner
+    of lineitem_neyman_allocation): estimate TOTAL revenue from a
+    deterministic ~10%% md5 sample, post-stratified by return flag —
+    est = Σ_h N_h·x̄_h(sample) — and report the error against the
+    true total alongside the naive (unstratified) expansion
+    estimate; post-stratification should shrink the error whenever
+    strata means differ. THE pattern for auditing a 100 TB table
+    with a 0.1%% scan.
+
+    Engine-exact: the sample coin is the md5-nibble hash (first
+    nibble < 2 of 16 = 12.5%%); stratum means are DECIMAL sums with
+    one IEEE division each, expansions are N_h-weighted IEEE
+    products, and errors are integer-ppm against the exact DECIMAL
+    truth.
+
+    Scale: one full-scan conditional agg (truth + strata sizes) +
+    one sample-side agg — both map-side-combinable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        money("l_extendedprice").alias("x"),
+        (
+            F.expr(
+                "locate(substring(md5(concat('ps:', CAST(l_orderkey AS STRING), ':',"
+                " CAST(l_linenumber AS STRING))), 1, 1), '0123456789abcdef') - 1"
+            )
+            < 2
+        ).alias("s"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("x").alias("t_h"),
+        F.count(F.when(F.col("s"), 1)).alias("m_h"),
+        F.sum(F.when(F.col("s"), F.col("x"))).alias("st_h"),
+    )
+    tot = g.agg(
+        F.sum("n_h").alias("n"),
+        F.round(F.sum("t_h"), 2).cast("decimal(28,2)").alias("truth"),
+        F.sum("m_h").alias("m"),
+        F.round(F.sum("st_h"), 2).cast("decimal(28,2)").alias("st"),
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(n_h * (CAST(st_h AS DOUBLE) / m_h)) AS BIGINT)"
+            )
+        ).alias("post_strat_est"),
+    )
+    naive = F.expr("CAST(FLOOR(n * (CAST(st AS DOUBLE) / m)) AS BIGINT)")
+    return tot.select(
+        "n",
+        "m",
+        F.col("truth").cast("double").alias("true_total"),
+        naive.alias("naive_est"),
+        "post_strat_est",
+        F.expr(
+            "ABS(CAST(FLOOR(n * (CAST(st AS DOUBLE) / m)) AS BIGINT)"
+            " - CAST(truth AS BIGINT)) * 1000000 DIV CAST(truth AS BIGINT)"
+        ).alias("naive_err_ppm"),
+        F.expr(
+            "ABS(post_strat_est - CAST(truth AS BIGINT)) * 1000000"
+            " DIV CAST(truth AS BIGINT)"
+        ).alias("post_strat_err_ppm"),
+    )
+
+
+LINEITEM_POST_STRAT_SQL = """
+WITH li AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+         (strpos('0123456789abcdef',
+                 substr(md5(concat('ps:', CAST(l_orderkey AS VARCHAR), ':',
+                                   CAST(l_linenumber AS VARCHAR))), 1, 1)) - 1) < 2
+           AS s
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, COUNT(*) AS n_h, SUM(x) AS t_h,
+         COUNT(CASE WHEN s THEN 1 END) AS m_h,
+         SUM(CASE WHEN s THEN x END) AS st_h
+  FROM li GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n,
+         CAST(ROUND(SUM(t_h), 2) AS DECIMAL(28,2)) AS truth,
+         CAST(SUM(m_h) AS BIGINT) AS m,
+         CAST(ROUND(SUM(st_h), 2) AS DECIMAL(28,2)) AS st,
+         CAST(SUM(CAST(FLOOR(n_h * (CAST(st_h AS DOUBLE) / m_h)) AS BIGINT))
+              AS BIGINT) AS post_strat_est
+  FROM g
+)
+SELECT n, m, CAST(truth AS DOUBLE) AS true_total,
+       CAST(FLOOR(n * (CAST(st AS DOUBLE) / m)) AS BIGINT) AS naive_est,
+       post_strat_est,
+       CAST(ABS(CAST(FLOOR(n * (CAST(st AS DOUBLE) / m)) AS BIGINT)
+                - CAST(truth AS BIGINT)) * 1000000 // CAST(truth AS BIGINT)
+            AS BIGINT) AS naive_err_ppm,
+       CAST(ABS(post_strat_est - CAST(truth AS BIGINT)) * 1000000
+            // CAST(truth AS BIGINT) AS BIGINT) AS post_strat_err_ppm
+FROM tot
+"""
+
+QUERIES["lineitem_post_stratification"] = lineitem_post_stratification
+ORACLE["lineitem_post_stratification"] = LINEITEM_POST_STRAT_SQL
+
+
+def orders_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture population estimation (Lincoln–Petersen,
+    with the Chapman bias correction): two INDEPENDENT deterministic
+    md5 'observers' each see ~12.5%% of orders; the overlap
+    m estimates the unseen total as N̂ = (n₁+1)(n₂+1)/(m+1) − 1 —
+    the ecology estimator data engineers reuse to size a table
+    neither scan saw fully (log dedup, crawler frontier sizing).
+    Reports both estimates and the error against the true count.
+
+    Engine-exact: both coins are independent md5-nibble draws
+    (different salts); all cells are integers and Chapman is one
+    truncating integer expression; error is integer ppm.
+
+    Scale: one classify-and-count agg; nothing else moves."""
+    o = load_table(spark, sf_dir, "orders")
+    def coin(salt):
+        return (
+            F.expr(
+                f"locate(substring(md5(concat('{salt}:',"
+                f" CAST(o_orderkey AS STRING))), 1, 1), '0123456789abcdef') - 1"
+            )
+            < 2
+        )
+    m = o.select(coin("capA").alias("a"), coin("capB").alias("b")).agg(
+        F.count(F.lit(1)).alias("true_n"),
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("b"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).alias("m_both"),
+    )
+    chapman = F.expr("(n1 + 1) * (n2 + 1) DIV (m_both + 1) - 1")
+    return m.select(
+        "true_n",
+        "n1",
+        "n2",
+        "m_both",
+        chapman.alias("chapman_est"),
+        F.expr(
+            "ABS((n1 + 1) * (n2 + 1) DIV (m_both + 1) - 1 - true_n)"
+            " * 1000000 DIV true_n"
+        ).alias("err_ppm"),
+    )
+
+
+ORDERS_CAPTURE_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS true_n,
+         SUM(CASE WHEN (strpos('0123456789abcdef',
+               substr(md5(concat('capA:', CAST(o_orderkey AS VARCHAR))), 1, 1)) - 1) < 2
+             THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN (strpos('0123456789abcdef',
+               substr(md5(concat('capB:', CAST(o_orderkey AS VARCHAR))), 1, 1)) - 1) < 2
+             THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN (strpos('0123456789abcdef',
+               substr(md5(concat('capA:', CAST(o_orderkey AS VARCHAR))), 1, 1)) - 1) < 2
+               AND (strpos('0123456789abcdef',
+               substr(md5(concat('capB:', CAST(o_orderkey AS VARCHAR))), 1, 1)) - 1) < 2
+             THEN 1 ELSE 0 END) AS m_both
+  FROM orders
+)
+SELECT true_n, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(m_both AS BIGINT) AS m_both,
+       CAST((n1 + 1) * (n2 + 1) // (m_both + 1) - 1 AS BIGINT) AS chapman_est,
+       CAST(ABS((n1 + 1) * (n2 + 1) // (m_both + 1) - 1 - true_n) * 1000000
+            // true_n AS BIGINT) AS err_ppm
+FROM m
+"""
+
+QUERIES["orders_capture_recapture"] = orders_capture_recapture
+ORACLE["orders_capture_recapture"] = ORDERS_CAPTURE_SQL

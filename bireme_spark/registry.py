@@ -179,6 +179,8 @@ _NEW_THIS_ROUND = frozenset(
         "events_kpss_stationarity",
         "events_dwell_semi_markov",
         "orders_dtw_yearly_shape",
+        "lineitem_post_stratification",
+        "orders_capture_recapture",
     }
 )
 

@@ -142,6 +142,9 @@ _PINNED = [
     "events_kpss_stationarity",
     "events_dwell_semi_markov",
     "orders_dtw_yearly_shape",
+    # md5-sample expansion estimators
+    "lineitem_post_stratification",
+    "orders_capture_recapture",
 ]
 
 
