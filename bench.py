@@ -175,6 +175,8 @@ HEADLINE = [
     "orders_dtw_yearly_shape",
     "lineitem_post_stratification",
     "orders_capture_recapture",
+    "cdc_type_widening_ingest",
+    "orders_pinball_eval",
 ]
 
 

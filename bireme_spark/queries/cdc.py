@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from bireme_spark.functions.money import money
 from bireme_spark.functions.decoders import (
     decode_bit,
     decode_debezium_date,
@@ -2384,3 +2385,90 @@ FROM merged GROUP BY 1 ORDER BY 1
 
 QUERIES["cdc_crdt_counter"] = cdc_crdt_counter
 ORACLE["cdc_crdt_counter"] = CDC_CRDT_COUNTER_SQL
+
+def cdc_type_widening_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift sync where a column's TYPE changes mid-stream —
+    the harder sibling of cdc_schema_evolution's added-column case:
+    era-1 envelopes carry the price as INTEGER CENTS
+    (``price_cents``), era-2 envelopes as DOUBLE DOLLARS (``price``)
+    after an upstream ALTER; ONE widened parse schema reads both
+    eras (absent fields null out) and a coalescing normalizer lands
+    everything as DECIMAL dollars — no re-parse, no backfill, no
+    restart, exactly the property the added-column case proved but
+    across a REPRESENTATION change. The oracle predicts the unified
+    totals per era from the residues, so a mis-scaled era (off by
+    100×) hash-breaks instantly.
+
+    Plan: one from_json with the union schema + one codegen
+    normalize projection; the per-era rollup is map-side-combined."""
+    o = load_table(spark, sf_dir, "orders")
+    era1 = F.col("o_orderdate") < F.lit("1998-01-01")
+    env = F.when(
+        era1,
+        F.to_json(
+            F.struct(
+                F.lit("testdb").alias("database"),
+                F.lit("orders").alias("table"),
+                F.lit("insert").alias("type"),
+                F.unix_timestamp("o_orderdate").alias("ts"),
+                F.struct(
+                    F.col("o_orderkey").alias("o_orderkey"),
+                    (money("o_totalprice") * 100).cast("long").alias("price_cents"),
+                ).alias("data"),
+            )
+        ),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.lit("testdb").alias("database"),
+                F.lit("orders").alias("table"),
+                F.lit("insert").alias("type"),
+                F.unix_timestamp("o_orderdate").alias("ts"),
+                F.struct(
+                    F.col("o_orderkey").alias("o_orderkey"),
+                    F.col("o_totalprice").alias("price"),
+                ).alias("data"),
+            )
+        )
+    )
+    raw = o.select(env.alias("value"))
+    widened = (
+        StructType()
+        .add("o_orderkey", "long")
+        .add("price_cents", "long")
+        .add("price", "double")
+    )
+    parsed = parse_maxwell(raw, "value", widened, key_fields=("o_orderkey",))
+    unified = parsed.select(
+        "key",
+        F.when(F.col("data.price_cents").isNotNull(), "cents_era")
+        .otherwise("dollars_era")
+        .alias("era"),
+        F.coalesce(
+            (F.col("data.price_cents").cast("decimal(14,2)") / 100).cast(
+                "decimal(12,2)"
+            ),
+            F.col("data.price").cast("decimal(12,2)"),
+        ).alias("price_usd"),
+    )
+    return (
+        unified.groupBy("era")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_usd").cast("double").alias("total_usd"),
+        )
+        .orderBy("era")
+    )
+
+
+CDC_TYPE_WIDENING_SQL = """
+SELECT CASE WHEN o_orderdate < DATE '1998-01-01'
+            THEN 'cents_era' ELSE 'dollars_era' END AS era,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_usd
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cdc_type_widening_ingest"] = cdc_type_widening_ingest
+ORACLE["cdc_type_widening_ingest"] = CDC_TYPE_WIDENING_SQL

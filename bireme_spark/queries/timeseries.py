@@ -3541,3 +3541,128 @@ FROM l1 ORDER BY year_a
 
 QUERIES["orders_dtw_yearly_shape"] = orders_dtw_yearly_shape
 ORACLE["orders_dtw_yearly_shape"] = ORDERS_DTW_SQL
+
+
+def orders_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-forecast evaluation by pinball (quantile) loss:
+    seasonal-naive point forecasts on the last 6 held-out months are
+    widened into q ∈ {0.1, 0.5, 0.9} quantile forecasts by adding
+    the matching EXACT quantiles of the historical seasonal-naive
+    residuals (histogram-CDF on integer cents), then scored with the
+    pinball loss L_q = q·(y−f)⁺ + (1−q)·(f−y)⁺ — the proper scoring
+    rule for quantile forecasts, completing the forecasting bench
+    (backtest picks the point model, conformal wraps intervals,
+    pinball grades the full distribution).
+
+    Engine-exact: residuals, quantile offsets (cross-multiplied
+    integer CDF picks), forecasts, and losses are ALL integer cents
+    (loss kept ×10-scaled so q=0.1 stays integer); output divides
+    once per row.
+
+    Scale: one collapse to |months|; everything after is
+    month-count-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).alias("mm")
+        )
+        .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("mm")
+    ser = monthly.select(
+        F.row_number().over(w).alias("t"),
+        "cents",
+        F.lag("cents", 12).over(w).alias("y12"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    ).where(F.col("y12").isNotNull())
+    resid_hist = (
+        ser.where(F.col("t") <= F.col("n") - 6)
+        .select((F.col("cents") - F.col("y12")).alias("r"))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cdf = resid_hist.select(
+        "r",
+        F.expr("sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)").alias("cum"),
+        F.expr("sum(c) OVER ()").alias("nr"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(9))).alias("q10")
+    )
+    offs = (
+        cdf.crossJoin(F.broadcast(qs))
+        .where(F.expr("cum * 10 >= nr * q10"))
+        .groupBy("q10")
+        .agg(F.min("r").alias("off"))
+    )
+    holdout = ser.where(F.col("t") > F.col("n") - 6)
+    scored = holdout.crossJoin(F.broadcast(offs)).select(
+        "q10",
+        (F.col("y12") + F.col("off")).alias("f"),
+        "cents",
+    )
+    return (
+        scored.groupBy("q10")
+        .agg(
+            F.count(F.lit(1)).alias("n_folds"),
+            F.expr(
+                "CAST(SUM(CASE WHEN cents >= f THEN q10 * (cents - f)"
+                " ELSE (10 - q10) * (f - cents) END) DIV (COUNT(*) * 1000)"
+                " AS BIGINT)"
+            ).alias("mean_pinball_usd"),
+        )
+        .select(
+            (F.col("q10").cast("double") / 10).alias("quantile"),
+            "n_folds",
+            "mean_pinball_usd",
+        )
+        .orderBy("quantile")
+    )
+
+
+ORDERS_PINBALL_SQL = """
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o_orderdate) AS mm,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ser AS (
+  SELECT t, cents, y12, n FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY mm) AS t, cents,
+           LAG(cents, 12) OVER (ORDER BY mm) AS y12,
+           COUNT(*) OVER () AS n
+    FROM monthly
+  ) s WHERE y12 IS NOT NULL
+),
+resid_hist AS (
+  SELECT cents - y12 AS r, COUNT(*) AS c
+  FROM ser WHERE t <= n - 6 GROUP BY 1
+),
+cdf AS (
+  SELECT r, SUM(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS nr
+  FROM resid_hist
+),
+offs AS (
+  SELECT q10, CAST(MIN(r) AS BIGINT) AS off
+  FROM cdf, (SELECT UNNEST([1, 5, 9]) AS q10) q
+  WHERE cum * 10 >= nr * q10
+  GROUP BY 1
+),
+scored AS (
+  SELECT o.q10, s.y12 + o.off AS f, s.cents
+  FROM ser s CROSS JOIN offs o
+  WHERE s.t > s.n - 6
+)
+SELECT CAST(q10 AS DOUBLE) / 10 AS quantile, COUNT(*) AS n_folds,
+       CAST(SUM(CASE WHEN cents >= f THEN q10 * (cents - f)
+                     ELSE (10 - q10) * (f - cents) END)
+            // (COUNT(*) * 1000) AS BIGINT) AS mean_pinball_usd
+FROM scored GROUP BY q10 ORDER BY quantile
+"""
+
+QUERIES["orders_pinball_eval"] = orders_pinball_eval
+ORACLE["orders_pinball_eval"] = ORDERS_PINBALL_SQL

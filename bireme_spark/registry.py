@@ -181,6 +181,8 @@ _NEW_THIS_ROUND = frozenset(
         "orders_dtw_yearly_shape",
         "lineitem_post_stratification",
         "orders_capture_recapture",
+        "cdc_type_widening_ingest",
+        "orders_pinball_eval",
     }
 )
 

@@ -145,6 +145,9 @@ _PINNED = [
     # md5-sample expansion estimators
     "lineitem_post_stratification",
     "orders_capture_recapture",
+    # widened-schema era normalize, integer pinball losses
+    "cdc_type_widening_ingest",
+    "orders_pinball_eval",
 ]
 
 
