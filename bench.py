@@ -177,6 +177,8 @@ HEADLINE = [
     "orders_capture_recapture",
     "cdc_type_widening_ingest",
     "orders_pinball_eval",
+    "events_recurrence_quantification",
+    "graph_rich_club",
 ]
 
 

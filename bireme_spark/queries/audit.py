@@ -1551,3 +1551,89 @@ LIMIT 10
 
 QUERIES["graph_hits_authorities"] = graph_hits_authorities
 ORACLE["graph_hits_authorities"] = _hits_sql()
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the sampled co-purchase graph
+    (Zhou & Mondragón 2004): among nodes of degree > k, the realized
+    edge density — does the hub set wire preferentially to itself
+    (the "rich club" that makes assortativity positive at the top
+    end)? Reported for a fixed k grid — the hub-structure census
+    that complements degree assortativity (one number) and k-core
+    (pruning-based) with the explicit density curve.
+
+    Engine-exact: degrees and hub-edge counts are integers; φ is
+    integer ppm (2·E_k·1e6 DIV (n_k·(n_k−1))). Rows with n_k < 2
+    drop identically on both engines.
+
+    Scale: degrees from one edge agg; each k-level is a semi-join
+    of the edge list against the hub set — k-grid-sized passes over
+    the node-dimension table."""
+    edges = _copurchase_edges(spark, sf_dir, node_filter=F.col("l_orderkey") % 8 == 0)
+    edges = edges.localCheckpoint(eager=False)
+    adj = edges.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionByName(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (2, 4, 8, 16)])).alias("k")
+    )
+    hubs = deg.crossJoin(F.broadcast(ks)).where(F.col("deg") > F.col("k")).select(
+        "k", "n"
+    )
+    nk = hubs.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    hu = hubs.select("k", F.col("n").alias("u"))
+    hv = hubs.select(F.col("k").alias("k2"), F.col("n").alias("hv_n"))
+    he = (
+        edges.join(hu, "u")
+        .join(hv, (F.col("v") == F.col("hv_n")) & (F.col("k") == F.col("k2")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        nk.join(he, "k", "left")
+        .where(F.col("n_k") >= 2)
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).alias("e_k"),
+            F.expr(
+                "COALESCE(e_k, 0) * 2000000 DIV (n_k * (n_k - 1))"
+            ).alias("phi_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+GRAPH_RICH_CLUB_SQL = """
+WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_orderkey % 8 = 0),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+),
+adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY 1),
+ks AS (SELECT UNNEST([2, 4, 8, 16]) AS k),
+hubs AS (
+  SELECT ks.k, deg.n FROM deg CROSS JOIN ks WHERE deg.deg > ks.k
+),
+nk AS (SELECT k, COUNT(*) AS n_k FROM hubs GROUP BY 1),
+he AS (
+  SELECT hu.k, COUNT(*) AS e_k
+  FROM e
+  JOIN hubs hu ON hu.n = e.u
+  JOIN hubs hv ON hv.n = e.v AND hv.k = hu.k
+  GROUP BY 1
+)
+SELECT nk.k, CAST(nk.n_k AS BIGINT) AS n_k,
+       CAST(COALESCE(he.e_k, 0) AS BIGINT) AS e_k,
+       CAST(COALESCE(he.e_k, 0) * 2000000 // (nk.n_k * (nk.n_k - 1)) AS BIGINT)
+         AS phi_ppm
+FROM nk LEFT JOIN he ON he.k = nk.k
+WHERE nk.n_k >= 2
+ORDER BY nk.k
+"""
+
+QUERIES["graph_rich_club"] = graph_rich_club
+ORACLE["graph_rich_club"] = GRAPH_RICH_CLUB_SQL

@@ -3666,3 +3666,105 @@ FROM scored GROUP BY q10 ORDER BY quantile
 
 QUERIES["orders_pinball_eval"] = orders_pinball_eval
 ORACLE["orders_pinball_eval"] = ORDERS_PINBALL_SQL
+
+
+def events_recurrence_quantification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurrence quantification analysis (Eckmann 1987; Zbilut &
+    Webber RQA) of daily traffic: recurrence rate RR = fraction of
+    day pairs whose counts lie within ε = 5% of the mean, and
+    determinism DET = fraction of those recurrences sitting on
+    diagonal line structures (pair (i,j) AND (i+1,j+1) both
+    recurrent) — the nonlinear-dynamics texture metric separating
+    deterministic rhythms from noise, complementing Hurst (memory)
+    and SAX (shape motifs).
+
+    Engine-exact: the ε-test is fully cross-multiplied integer
+    arithmetic (20·n·|xᵢ−xⱼ| ≤ S, no division anywhere); RR/DET are
+    integer ppm of exact pair counts.
+
+    Scale: the stream collapses to |days| integers; the O(days²)
+    pair join (~900 cells) is constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr("unix_micros(ts) DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("day")
+    ser = daily.select(F.row_number().over(w).alias("t"), "x")
+    tot = ser.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    a = ser.select(F.col("t").alias("i"), F.col("x").alias("xi"))
+    b = ser.select(F.col("t").alias("j"), F.col("x").alias("xj"))
+    pairs = (
+        a.join(b, F.col("i") < F.col("j"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            "j",
+            F.expr("20 * n * ABS(xi - xj) <= s").alias("rec"),
+        )
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    diag = (
+        pairs.where("rec")
+        .select(F.col("i").alias("i0"), F.col("j").alias("j0"))
+        .join(
+            pairs.where("rec").select(
+                (F.col("i") - 1).alias("i0"), (F.col("j") - 1).alias("j0")
+            ),
+            ["i0", "j0"],
+        )
+        .agg(F.count(F.lit(1)).alias("n_diag"))
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("rec"), 1).otherwise(0)).alias("n_rec"),
+    )
+    return (
+        m.crossJoin(F.broadcast(diag))
+        .select(
+            "n_pairs",
+            "n_rec",
+            F.expr("n_rec * 1000000 DIV n_pairs").alias("recurrence_ppm"),
+            "n_diag",
+            F.expr(
+                "CASE WHEN n_rec > 0 THEN n_diag * 1000000 DIV n_rec"
+                " ELSE 0 END"
+            ).alias("determinism_ppm"),
+        )
+    )
+
+
+EVENTS_RQA_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+ser AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, x FROM daily),
+tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM ser),
+pairs AS (
+  SELECT a.t AS i, b.t AS j,
+         20 * tot.n * ABS(a.x - b.x) <= tot.s AS rec
+  FROM ser a JOIN ser b ON a.t < b.t CROSS JOIN tot
+),
+diag AS (
+  SELECT COUNT(*) AS n_diag
+  FROM (SELECT i, j FROM pairs WHERE rec) p1
+  JOIN (SELECT i - 1 AS i0, j - 1 AS j0 FROM pairs WHERE rec) p2
+    ON p2.i0 = p1.i AND p2.j0 = p1.j
+),
+m AS (
+  SELECT COUNT(*) AS n_pairs,
+         SUM(CASE WHEN rec THEN 1 ELSE 0 END) AS n_rec
+  FROM pairs
+)
+SELECT m.n_pairs, CAST(m.n_rec AS BIGINT) AS n_rec,
+       CAST(m.n_rec * 1000000 // m.n_pairs AS BIGINT) AS recurrence_ppm,
+       diag.n_diag,
+       CAST(CASE WHEN m.n_rec > 0 THEN diag.n_diag * 1000000 // m.n_rec
+                 ELSE 0 END AS BIGINT) AS determinism_ppm
+FROM m, diag
+"""
+
+QUERIES["events_recurrence_quantification"] = events_recurrence_quantification
+ORACLE["events_recurrence_quantification"] = EVENTS_RQA_SQL

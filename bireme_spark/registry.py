@@ -183,6 +183,8 @@ _NEW_THIS_ROUND = frozenset(
         "orders_capture_recapture",
         "cdc_type_widening_ingest",
         "orders_pinball_eval",
+        "events_recurrence_quantification",
+        "graph_rich_club",
     }
 )
 

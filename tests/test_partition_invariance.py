@@ -148,6 +148,9 @@ _PINNED = [
     # widened-schema era normalize, integer pinball losses
     "cdc_type_widening_ingest",
     "orders_pinball_eval",
+    # cross-multiplied RQA, integer-ppm rich club
+    "events_recurrence_quantification",
+    "graph_rich_club",
 ]
 
 
