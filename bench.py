@@ -179,6 +179,7 @@ HEADLINE = [
     "orders_pinball_eval",
     "events_recurrence_quantification",
     "graph_rich_club",
+    "graph_boruvka_msf",
 ]
 
 

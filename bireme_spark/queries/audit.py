@@ -1637,3 +1637,187 @@ ORDER BY nk.k
 
 QUERIES["graph_rich_club"] = graph_rich_club
 ORACLE["graph_rich_club"] = GRAPH_RICH_CLUB_SQL
+
+
+def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum-spanning-forest rounds (Borůvka 1926 — THE
+    distributed MST algorithm: GHS, MST-on-MapReduce and GraphX all
+    run it) over the sampled co-purchase graph with distance
+    d = 1e6 − co-purchase-count (strong affinities = cheap edges):
+    TWO unrolled rounds of "every component picks its cheapest
+    outgoing edge, components contract along the picked edges" with
+    a deterministic (d, u, v) struct-min tie-break and BOUNDED
+    pointer resolution — 2-cycle roots take min(c, partner), chains
+    follow THREE unrolled pointer jumps (the same bounded-unrolling
+    contract as the kcore peel: both engines run the identical spec,
+    and the census shows convergence). Per round: component count,
+    edges admitted to the forest, admitted weight.
+
+    Engine-exact: distances and ids are integers; every min is a
+    struct-ordered min_by with full (d,u,v) tie-break; pointer jumps
+    are self-joins — no floats anywhere.
+
+    Scale: each round is one min-edge agg keyed by component + a
+    constant number of label-table self-joins (Pregel supersteps);
+    the edge list checkpoints once."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = li.where(F.col("l_orderkey") % 8 == 0)
+    in_order = li.distinct()
+    a = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg((F.lit(1000000) - F.count(F.lit(1))).alias("d"))
+    )
+    edges = edges.localCheckpoint(eager=False)
+    nodes = edges.select(F.col("u").alias("n")).unionByName(
+        edges.select(F.col("v").alias("n"))
+    ).distinct()
+    comp = nodes.select("n", F.col("n").alias("c"))
+    rows = []
+    for rnd in (1, 2):
+        ec = (
+            edges.join(comp.select(F.col("n").alias("u"), F.col("c").alias("cu")), "u")
+            .join(comp.select(F.col("n").alias("v"), F.col("c").alias("cv")), "v")
+            .where(F.col("cu") != F.col("cv"))
+        )
+        # cheapest outgoing edge per component, struct tie-break
+        pick_u = ec.select(F.col("cu").alias("c"), "d", "u", "v", F.col("cv").alias("pc"))
+        pick_v = ec.select(F.col("cv").alias("c"), "d", "u", "v", F.col("cu").alias("pc"))
+        picks = (
+            pick_u.unionByName(pick_v)
+            .groupBy("c")
+            .agg(
+                F.min_by(
+                    F.struct("d", "u", "v", "pc"), F.struct("d", "u", "v")
+                ).alias("e")
+            )
+            .select("c", "e.d", "e.u", "e.v", F.col("e.pc").alias("t"))
+        )
+        picks = picks.localCheckpoint(eager=False)
+        # 2-cycle base + 3 unrolled pointer jumps
+        t1 = picks.select("c", "t")
+        cyc = (
+            t1.join(t1.select(F.col("c").alias("t"), F.col("t").alias("tt")), "t")
+            .select(
+                "c",
+                F.when(F.col("tt") == F.col("c"), F.least("c", "t"))
+                .otherwise(F.col("t"))
+                .alias("p"),
+            )
+        )
+        p = cyc
+        for _ in range(3):
+            p = (
+                p.join(
+                    cyc.select(F.col("c").alias("p"), F.col("p").alias("pp")),
+                    "p",
+                    "left",
+                )
+                .select("c", F.coalesce("pp", "p").alias("p"))
+            )
+        comp = (
+            comp.join(p.withColumnRenamed("c", "c_old"), comp["c"] == F.col("c_old"), "left")
+            .select("n", F.coalesce("p", "c").alias("c"))
+        )
+        comp = comp.localCheckpoint(eager=False)
+        forest = picks.select("d", "u", "v").distinct()
+        rows.append(
+            comp.agg(F.countDistinct("c").alias("n_components"))
+            .crossJoin(
+                F.broadcast(
+                    forest.agg(
+                        F.count(F.lit(1)).alias("n_edges_added"),
+                        F.sum("d").alias("weight_added"),
+                    )
+                )
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                "n_components",
+                "n_edges_added",
+                "weight_added",
+            )
+        )
+    res = rows[0]
+    for df in rows[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("round")
+
+
+def _boruvka_sql() -> str:
+    parts = []
+    prev = "c0"
+    for rnd in (1, 2):
+        parts.append(
+            f"""ec{rnd} AS MATERIALIZED (
+  SELECT e.u, e.v, e.d, pu.c AS cu, pv.c AS cv
+  FROM e JOIN {prev} pu ON pu.n = e.u JOIN {prev} pv ON pv.n = e.v
+  WHERE pu.c <> pv.c
+),
+picks{rnd} AS MATERIALIZED (
+  SELECT c, d, u, v, pc AS t FROM (
+    SELECT c, d, u, v, pc,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY d, u, v) AS rn
+    FROM (
+      SELECT cu AS c, d, u, v, cv AS pc FROM ec{rnd}
+      UNION ALL
+      SELECT cv, d, u, v, cu FROM ec{rnd}
+    ) both_dirs
+  ) q WHERE rn = 1
+),
+cyc{rnd} AS MATERIALIZED (
+  SELECT a.c,
+         CASE WHEN b.t = a.c THEN LEAST(a.c, a.t) ELSE a.t END AS p
+  FROM picks{rnd} a JOIN picks{rnd} b ON b.c = a.t
+),
+j{rnd}a AS (
+  SELECT x.c, COALESCE(y.p, x.p) AS p
+  FROM cyc{rnd} x LEFT JOIN cyc{rnd} y ON y.c = x.p
+),
+j{rnd}b AS (
+  SELECT x.c, COALESCE(y.p, x.p) AS p
+  FROM j{rnd}a x LEFT JOIN cyc{rnd} y ON y.c = x.p
+),
+j{rnd}c AS (
+  SELECT x.c, COALESCE(y.p, x.p) AS p
+  FROM j{rnd}b x LEFT JOIN cyc{rnd} y ON y.c = x.p
+),
+c{rnd} AS MATERIALIZED (
+  SELECT pc.n, COALESCE(j.p, pc.c) AS c
+  FROM {prev} pc LEFT JOIN j{rnd}c j ON j.c = pc.c
+),
+stats{rnd} AS (
+  SELECT {rnd} AS round,
+         (SELECT COUNT(DISTINCT c) FROM c{rnd}) AS n_components,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT d, u, v FROM picks{rnd}) f)
+           AS n_edges_added,
+         (SELECT CAST(SUM(d) AS BIGINT)
+          FROM (SELECT DISTINCT d, u, v FROM picks{rnd}) f) AS weight_added
+)"""
+        )
+        prev = f"c{rnd}"
+    body = ",\n".join(parts)
+    return f"""
+WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_orderkey % 8 = 0),
+e AS MATERIALIZED (
+  SELECT a.pk AS u, b.pk AS v, 1000000 - COUNT(*) AS d
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT n FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) x),
+c0 AS (SELECT n, n AS c FROM nodes),
+{body}
+SELECT CAST(round AS INTEGER) AS round,
+       CAST(n_components AS BIGINT) AS n_components,
+       CAST(n_edges_added AS BIGINT) AS n_edges_added, weight_added
+FROM (SELECT * FROM stats1 UNION ALL SELECT * FROM stats2) s
+ORDER BY round
+"""
+
+
+QUERIES["graph_boruvka_msf"] = graph_boruvka_msf
+ORACLE["graph_boruvka_msf"] = _boruvka_sql()

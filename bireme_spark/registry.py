@@ -185,6 +185,7 @@ _NEW_THIS_ROUND = frozenset(
         "orders_pinball_eval",
         "events_recurrence_quantification",
         "graph_rich_club",
+        "graph_boruvka_msf",
     }
 )
 

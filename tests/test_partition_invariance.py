@@ -151,6 +151,7 @@ _PINNED = [
     # cross-multiplied RQA, integer-ppm rich club
     "events_recurrence_quantification",
     "graph_rich_club",
+    "graph_boruvka_msf",
 ]
 
 
