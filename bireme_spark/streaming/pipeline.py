@@ -266,6 +266,61 @@ def _bucket_col(key_col, num_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(num_buckets)).cast("int")
 
 
+def erase_predicate(
+    spark: SparkSession,
+    target_dir: str,
+    predicate,
+    batch_id: int,
+) -> dict[str, int]:
+    """GDPR / retention erase — DELETE every committed row matching
+    ``predicate`` (a Column or SQL string), the maintenance verb a
+    warehouse operator reaches for next to compaction and vacuum
+    (Delta ``DELETE FROM t WHERE ...`` twin for the manifest sink).
+
+    Two-phase, bucket-minimal:
+
+    1. ONE scan of the committed state aggregates per-bucket match
+       counts (map-side combined; O(#buckets) rows to the driver) —
+       buckets with zero matches are left byte-identical, keeping the
+       erase cost proportional to the AFFECTED data, not the sink.
+    2. Only affected buckets are re-read (partition-pruned via the
+       retained ``_sb`` dir column), filtered to survivors, and
+       slotted in as each bucket's next version; ONE atomic manifest
+       replace commits the whole erase (``_write_changed_buckets``),
+       so a reader never sees a half-erased sink and a crashed erase
+       leaves only reapable orphans.
+
+    A NULL predicate keeps the row (DELETE semantics: the condition
+    must be TRUE to fire — the merge_into contract). Idempotent: a
+    re-run finds zero matches and rewrites nothing. Returns exact
+    counts so an erasure job can be audited."""
+    manifest = _read_manifest(target_dir)
+    paths = _latest_paths(target_dir)
+    stats = {"n_buckets": 0, "buckets_rewritten": 0, "rows_erased": 0, "rows_kept": 0}
+    if not paths:
+        return stats
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(cond, F.lit(False))
+    state = spark.read.option("basePath", target_dir).parquet(*paths)
+    per_bucket = (
+        state.groupBy("_sb")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_match"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+    stats["n_buckets"] = len(manifest) if manifest is not None else len(per_bucket)
+    affected = sorted(int(r["_sb"]) for r in per_bucket if r["n_match"] > 0)
+    stats["rows_erased"] = int(sum(r["n_match"] for r in per_bucket))
+    stats["rows_kept"] = int(sum(r["n_rows"] - r["n_match"] for r in per_bucket))
+    stats["buckets_rewritten"] = len(affected)
+    if affected:
+        kept = state.where(F.col("_sb").isin(affected)).where(~hit).drop("_sv")
+        _write_changed_buckets(spark, target_dir, kept, affected, batch_id)
+    return stats
+
+
 def read_state(spark: SparkSession, target_dir: str) -> DataFrame | None:
     """Latest synced state: union of every bucket's latest version."""
     paths = _latest_paths(target_dir)

@@ -242,3 +242,85 @@ def test_streaming_pipeline_into_jdbc_warehouse(spark, tmp_path):
     }
     assert rows == want
     assert os.path.isdir(cfg.checkpoint_dir)  # progress tracked for restart
+
+
+def _build_sink(spark, tmp_path, n_buckets=4):
+    from pyspark.sql import functions as F
+
+    from bireme_spark.streaming.pipeline import _bucket_col, _write_changed_buckets
+
+    target = str(tmp_path / "erase_sink")
+    df = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("key"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("val"),
+    )
+    bucketed = df.withColumn("_sb", _bucket_col("key", n_buckets))
+    _write_changed_buckets(spark, target, bucketed, list(range(n_buckets)), batch_id=1)
+    return target
+
+
+def test_erase_predicate_removes_only_matches(spark, tmp_path):
+    from bireme_spark.streaming.pipeline import erase_predicate, read_state
+
+    target = _build_sink(spark, tmp_path)
+    stats = erase_predicate(spark, target, "grp = 3", batch_id=2)
+    # ids where id % 7 == 3: 3, 10, ..., 199-ish → ceil((200-3)/7)
+    assert stats["rows_erased"] == len([i for i in range(200) if i % 7 == 3])
+    state = read_state(spark, target)
+    assert state.where("grp = 3").count() == 0
+    assert state.count() == 200 - stats["rows_erased"]
+    # survivors keep their payload intact
+    assert state.where("CAST(key AS BIGINT) * 3 <> val").count() == 0
+
+
+def test_erase_predicate_bumps_only_affected_buckets(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bireme_spark.streaming.pipeline import _read_manifest, erase_predicate
+
+    target = _build_sink(spark, tmp_path)
+    v1 = dict(_read_manifest(target))
+    # erase exactly ONE key → exactly one bucket rewritten
+    stats = erase_predicate(spark, target, F.col("key") == "42", batch_id=2)
+    assert stats["rows_erased"] == 1
+    assert stats["buckets_rewritten"] == 1
+    v2 = _read_manifest(target)
+    bumped = [b for b in v2 if v2[b] != v1[b]]
+    assert len(bumped) == 1
+    assert all(v2[b] == v1[b] for b in v2 if b not in bumped)
+
+
+def test_erase_predicate_idempotent_and_null_safe(spark, tmp_path):
+    from bireme_spark.streaming.pipeline import _read_manifest, erase_predicate, read_state
+
+    target = _build_sink(spark, tmp_path)
+    erase_predicate(spark, target, "grp = 1", batch_id=2)
+    v_after = dict(_read_manifest(target))
+    # re-run: zero matches left, nothing rewritten, manifest untouched
+    stats2 = erase_predicate(spark, target, "grp = 1", batch_id=3)
+    assert stats2["rows_erased"] == 0
+    assert stats2["buckets_rewritten"] == 0
+    assert _read_manifest(target) == v_after
+    # NULL predicate keeps the row (DELETE fires only on TRUE)
+    stats3 = erase_predicate(
+        spark, target, "CASE WHEN grp = 2 THEN NULL ELSE grp = 0 END", batch_id=4
+    )
+    state = read_state(spark, target)
+    assert state.where("grp = 2").count() > 0  # NULL-condition rows survived
+    assert state.where("grp = 0").count() == 0
+    assert stats3["rows_erased"] > 0
+
+
+def test_erase_predicate_empties_bucket_with_all_matches(spark, tmp_path):
+    from bireme_spark.streaming.pipeline import erase_predicate, read_state
+
+    target = _build_sink(spark, tmp_path, n_buckets=2)
+    # erase everything: both buckets rewritten to explicit empty versions
+    stats = erase_predicate(spark, target, "val >= 0", batch_id=2)
+    assert stats["rows_erased"] == 200
+    assert stats["buckets_rewritten"] == 2
+    state = read_state(spark, target)
+    assert state.count() == 0
+    # schema survives the empty rewrite
+    assert set(state.columns) == {"key", "grp", "val"}
