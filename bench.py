@@ -182,6 +182,12 @@ HEADLINE = [
     "graph_boruvka_msf",
     # round-6 additions — floors from interleaved min-of-3
     "sink_erase_predicate",
+    "sink_shallow_clone",
+    "events_hll_distinct",
+    "events_matrix_profile",
+    "events_lag_mutual_information",
+    "text_kneser_ney",
+    "corpus_soft_dedup_weight",
 ]
 
 

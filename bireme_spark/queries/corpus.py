@@ -1507,3 +1507,112 @@ ORDER BY anchor_id
 
 QUERIES["corpus_contrastive_pairs"] = corpus_contrastive_pairs
 ORACLE["corpus_contrastive_pairs"] = CORPUS_CONTRASTIVE_SQL
+
+
+def corpus_soft_dedup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (duplicate-aware sampling weights — the SlimPajama/
+    DataComp alternative to hard removal): instead of dropping
+    near-duplicates, each doc is down-weighted by 1/|cluster| so a
+    page mirrored N times contributes one page's worth of training
+    mass. Clusters come from an 8-word prefix fingerprint over the
+    corpus with PLANTED mutated copies (every 4th doc re-ingested
+    with an appended tail, every 12th twice — members differ in
+    length, so weighting is not just dedup-and-count). Per source:
+    docs, clusters, raw token mass, effective (weighted) token mass,
+    and the redundancy share that soft-dedup reclaims.
+
+    Scale design: fingerprint = ONE map-side md5 of a bounded prefix
+    (no shingling, no pair mining); cluster sizes = one groupBy on
+    the fingerprint; weights join back fingerprint-partitioned. The
+    whole pipeline is two shuffles on hash keys at any corpus size.
+
+    Determinism: effective mass is per-doc exact integer
+    ``tokens·1e6 DIV csize`` summed as BIGINT (never a double sum of
+    rationals); redundancy is integer ppm."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.concat("text", F.lit(" planted dup tail alpha beta")).alias("text"),
+    )
+    planted2 = d.where(F.col("doc_id") % 12 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "source",
+        F.concat("text", F.lit(" second planted tail gamma")).alias("text"),
+    )
+    corpus = d.unionByName(planted).unionByName(planted2)
+    toks = corpus.select(
+        "doc_id",
+        "source",
+        F.expr("size(filter(split(text, ' '), w -> w <> ''))").cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.md5(F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')")).alias("fp"),
+    )
+    csize = toks.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("csize"))
+    weighted = toks.join(csize, "fp").select(
+        "source",
+        "n_tokens",
+        "csize",
+        F.expr("n_tokens * 1000000 DIV csize").alias("eff_e6"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("csize").cast("bigint").alias("n_cluster_sizes"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("eff_e6").cast("bigint").alias("effective_tokens_e6"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_cluster_sizes",
+            "n_tokens",
+            "effective_tokens_e6",
+            F.expr(
+                "(n_tokens * 1000000 - effective_tokens_e6) DIV n_tokens"
+            ).alias("redundancy_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+SOFT_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, text || ' planted dup tail alpha beta'
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, source, text || ' second planted tail gamma'
+  FROM documents WHERE doc_id % 12 = 0
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+           AS n_tokens,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS fp
+  FROM corpus
+),
+csize AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS csize FROM toks GROUP BY 1
+),
+weighted AS (
+  SELECT source, n_tokens, csize, n_tokens * 1000000 // csize AS eff_e6
+  FROM toks JOIN csize USING (fp)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT csize) AS BIGINT) AS n_cluster_sizes,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(eff_e6) AS BIGINT) AS effective_tokens_e6,
+       CAST((SUM(n_tokens) * 1000000 - SUM(eff_e6)) // SUM(n_tokens) AS BIGINT)
+         AS redundancy_ppm
+FROM weighted
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["corpus_soft_dedup_weight"] = corpus_soft_dedup_weight
+ORACLE["corpus_soft_dedup_weight"] = SOFT_DEDUP_SQL

@@ -2658,3 +2658,159 @@ ORDER BY event_type
 
 QUERIES["events_dwell_semi_markov"] = events_dwell_semi_markov
 ORACLE["events_dwell_semi_markov"] = EVENTS_DWELL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — engine-exact sketch registers
+# ---------------------------------------------------------------------------
+
+# rho = leading-zero count + 1 of the 48-bit hash tail (column `w`),
+# i.e. 49 - bit_length(w): generated ONCE and shared verbatim by both
+# engines (the shift/mask house rule) — 48 integer comparisons, no
+# floats, no log2 near-power-boundary ulp risk.
+_HLL_RHO_CASE = (
+    "CASE "
+    + " ".join(f"WHEN w >= {1 << (47 - k)} THEN {k + 1}" for k in range(48))
+    + " ELSE 49 END"
+)
+# alpha_256 * m^2 * 2^48 (the HLL bias constant folded with the
+# register-sum scaling): one double literal parsed identically by both
+# engines; the estimate is then a SINGLE IEEE division by the exact
+# integer register sum.
+_HLL_C = repr(0.7213 / (1 + 1.079 / 256) * 65536.0 * float(1 << 48))
+# Σ_{i=3..14} nibble_i * 16^(14-i): DuckDB lacks conv(), so the 48-bit
+# tail is a generated positional sum over the md5 hex string `h`.
+_HLL_W_DUCK = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(3, 15)
+)
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (Flajolet et al. 2007) distinct
+    users per event type — the ORACLE-CHECKED twin of the rows-only
+    ``events_approx_sketches``: registers are built from the md5 hex
+    string (bucket = first 2 nibbles, rho = leading zeros of the next
+    48 bits + 1), so Spark and DuckDB materialize bit-identical
+    sketches and the HASH compare covers the whole estimator —
+    registers, raw estimate, and the small-range linear-counting
+    correction — not just plumbing.
+
+    Scale design: the only full-width work is ONE distinct on
+    (event_type, user_id) — map-side partial dedup, one shuffle; the
+    sketch itself is 256 registers per type (mergeable MAX cells, the
+    same map-side-combine shape a per-partition/per-day 100 TB rollup
+    exploits) and everything downstream is |types|-row arithmetic.
+    Exact distinct rides the same deduped frame for the error column.
+
+    Determinism: register math is pure integers (generated comparison
+    chain, shifted-integer 2^(49-M) sums); the raw estimate is one
+    IEEE division C/S of identical doubles; ln() in the linear-count
+    branch gets the house 6dp per-term rounding."""
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("user_id").cast("string").alias("u"))
+        .distinct()
+    )
+    hashed = pairs.select(
+        "event_type",
+        F.md5(F.col("u")).alias("h"),
+    ).select(
+        "event_type",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.conv(F.substring("h", 3, 12), 16, 10).cast("bigint").alias("w"),
+    )
+    reg = (
+        hashed.select("event_type", "bucket", F.expr(_HLL_RHO_CASE).alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    agg = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - m)")).alias("ssum"),
+    )
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_users")
+    )
+    est = agg.select(
+        "event_type",
+        "n_registers",
+        (F.lit(256) - F.col("n_registers")).cast("int").alias("v_empty"),
+        F.expr(
+            f"CAST(FLOOR({_HLL_C} / CAST(ssum + CAST(256 - n_registers AS BIGINT)"
+            f" * {1 << 48} AS DOUBLE) * 10000) AS BIGINT)"
+        ).alias("raw_est_e4"),
+    ).select(
+        "event_type",
+        "n_registers",
+        "v_empty",
+        "raw_est_e4",
+        F.expr(
+            "CASE WHEN v_empty > 0 AND raw_est_e4 <= 6400000"
+            " THEN CAST(FLOOR(256 * ROUND(LN(256.0 / v_empty), 6) * 10000) AS BIGINT)"
+            " ELSE raw_est_e4 END"
+        ).alias("est_e4"),
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_registers",
+            "v_empty",
+            "raw_est_e4",
+            "est_e4",
+            "exact_users",
+            F.expr("ABS(est_e4 - exact_users * 10000)").alias("abs_err_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_HLL_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+),
+hashed AS MATERIALIZED (
+  SELECT event_type, md5(u) AS h FROM pairs
+),
+bits AS (
+  SELECT event_type,
+         16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         {_HLL_W_DUCK} AS w
+  FROM hashed
+),
+reg AS (
+  SELECT event_type, bucket, MAX({_HLL_RHO_CASE}) AS m
+  FROM bits GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_registers,
+         SUM(CAST(1 AS BIGINT) << (49 - m)) AS ssum
+  FROM reg GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_users FROM pairs GROUP BY 1
+),
+est AS (
+  SELECT event_type, n_registers,
+         CAST(256 - n_registers AS INTEGER) AS v_empty,
+         CAST(FLOOR({_HLL_C} / CAST(ssum + CAST(256 - n_registers AS BIGINT)
+                    * {1 << 48} AS DOUBLE) * 10000) AS BIGINT) AS raw_est_e4
+  FROM agg
+),
+fin AS (
+  SELECT event_type, n_registers, v_empty, raw_est_e4,
+         CASE WHEN v_empty > 0 AND raw_est_e4 <= 6400000
+              THEN CAST(FLOOR(256 * ROUND(LN(256.0 / v_empty), 6) * 10000) AS BIGINT)
+              ELSE raw_est_e4 END AS est_e4
+  FROM est
+)
+SELECT f.event_type, f.n_registers, f.v_empty, f.raw_est_e4, f.est_e4,
+       e.exact_users, ABS(f.est_e4 - e.exact_users * 10000) AS abs_err_e4
+FROM fin f JOIN exact e USING (event_type)
+ORDER BY f.event_type
+"""
+
+QUERIES["events_hll_distinct"] = events_hll_distinct
+ORACLE["events_hll_distinct"] = EVENTS_HLL_SQL

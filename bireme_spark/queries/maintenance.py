@@ -507,3 +507,87 @@ SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_custkey % 89 = 0) AS BIGINT)
 
 QUERIES["sink_erase_predicate"] = sink_erase_predicate
 ORACLE["sink_erase_predicate"] = SINK_ERASE_SQL
+
+
+def sink_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy snapshot clone end-to-end (Delta ``SHALLOW CLONE``
+    twin — streaming/pipeline.py ``shallow_clone``): commit an orders
+    snapshot, clone it metadata-only (hardlinks + one manifest write,
+    no Spark job), then ERASE rows from the ORIGIN and prove the
+    clone is a stable snapshot: (a) the clone still holds every
+    pre-erase row including all erased matches, (b) the origin lost
+    exactly the matches, (c) the clone was zero-copy (every file
+    hardlinked, none byte-copied), (d) both sides reconcile a
+    DECIMAL value total with the source.
+
+    Scale: the clone is O(#files) link() metadata calls — cloning a
+    100 TB sink costs a directory walk, which is exactly why shallow
+    clones are the dev/test/branching verb warehouses reach for; the
+    immutable ``_sv=`` version dirs make shared bytes safe."""
+    from bireme_spark.streaming.pipeline import (
+        _bucket_col,
+        _write_changed_buckets,
+        erase_predicate,
+        read_state,
+        shallow_clone,
+    )
+
+    n_buckets = 8
+    work = _scratch("bireme_clone_")
+    origin = os.path.join(work, "origin")
+    clone = os.path.join(work, "clone")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bucketed = o.withColumn("_sb", _bucket_col("key", n_buckets))
+    _write_changed_buckets(spark, origin, bucketed, list(range(n_buckets)), batch_id=1)
+
+    stats = shallow_clone(origin, clone)
+    erased = erase_predicate(spark, origin, F.col("custkey") % 97 == 0, batch_id=2)
+
+    c = read_state(spark, clone).agg(
+        F.count(F.lit(1)).alias("clone_rows"),
+        F.sum(F.when(F.col("custkey") % 97 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("clone_matches"),
+        F.sum(F.col("price").cast("decimal(12,2)")).cast("double").alias("clone_value"),
+    )
+    og = read_state(spark, origin).agg(
+        F.count(F.lit(1)).alias("origin_rows"),
+        F.sum(F.when(F.col("custkey") % 97 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("origin_matches"),
+    )
+    return c.crossJoin(og).select(
+        "clone_rows",
+        "clone_matches",
+        "origin_rows",
+        "origin_matches",
+        "clone_value",
+        F.lit(erased["rows_erased"]).cast("bigint").alias("rows_erased"),
+        F.lit(bool(stats["files_copied"] == 0 and stats["files_linked"] > 0)).alias(
+            "zero_copy"
+        ),
+        F.lit(int(stats["n_buckets"])).cast("int").alias("n_buckets"),
+    )
+
+
+SINK_CLONE_SQL = """
+SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS clone_rows,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey % 97 = 0) AS BIGINT)
+         AS clone_matches,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey % 97 <> 0) AS BIGINT)
+         AS origin_rows,
+       CAST(0 AS BIGINT) AS origin_matches,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        FROM orders) AS clone_value,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey % 97 = 0) AS BIGINT)
+         AS rows_erased,
+       TRUE AS zero_copy,
+       8 AS n_buckets
+"""
+
+QUERIES["sink_shallow_clone"] = sink_shallow_clone
+ORACLE["sink_shallow_clone"] = SINK_CLONE_SQL

@@ -1106,3 +1106,97 @@ ORDER BY r
 
 QUERIES["text_good_turing"] = text_good_turing
 ORACLE["text_good_turing"] = TEXT_GOOD_TURING_SQL
+
+
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney
+    1995; the smoothing every production n-gram LM for data-quality
+    scoring actually ships): P(w2|w1) = max(c12−D,0)/c1 +
+    D·N1+(w1,·)/c1 · N1+(·,w2)/N1+(··), D = 0.75 — the continuation
+    half is what add-α smoothing (text_bigram_logprob) lacks: a word
+    seen in many CONTEXTS gets backoff mass, a burst word doesn't.
+    Emits the top-40 bigrams with their counts, continuation fan-ins/
+    fan-outs, and the KN probability.
+
+    Scale design: one map-side bigram explode → ONE (w1,w2) count agg
+    feeds everything — contexts, fan-out N1+(w1,·), fan-in N1+(·,w2),
+    and the bigram-type total — all re-aggregations of the model
+    table (bigram-vocabulary-sized), never a second corpus pass; the
+    type total broadcasts.
+
+    Determinism: every input to the probability is an exact integer
+    count; D=0.75 is binary-exact; the arithmetic chain is identical
+    IEEE ops on both engines, quantized with FLOOR(p·1e9) — no
+    transcendental, no ROUND ties."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", F.split("text", " ").alias("__ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(__ws) - 2, -1)),"
+                    " i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = model.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("fanout"),
+    )
+    cont = model.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("fanin"))
+    nb = model.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"))
+    top = (
+        model.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            "c1",
+            "fanout",
+            "fanin",
+            F.expr(
+                "CAST(FLOOR((GREATEST(c12 - 0.75, 0.0) / c1"
+                " + 0.75 * fanout / c1 * (CAST(fanin AS DOUBLE) / n_bigram_types))"
+                " * 1e9) AS BIGINT)"
+            ).alias("kn_p_e9"),
+        )
+    )
+    return top.orderBy(F.col("c12").desc(), "w1", "w2").limit(40)
+
+
+KNESER_NEY_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i) t
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+), model AS MATERIALIZED (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS fanout
+  FROM model GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS fanin FROM model GROUP BY 1
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM model
+)
+SELECT model.w1, model.w2, CAST(model.c12 AS BIGINT) AS c12,
+       ctx.c1, ctx.fanout, cont.fanin,
+       CAST(FLOOR((GREATEST(model.c12 - 0.75, 0.0) / ctx.c1
+            + 0.75 * ctx.fanout / ctx.c1
+              * (CAST(cont.fanin AS DOUBLE) / nb.n_bigram_types)) * 1e9) AS BIGINT)
+         AS kn_p_e9
+FROM model JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nb
+ORDER BY c12 DESC, model.w1, model.w2
+LIMIT 40
+"""
+
+QUERIES["text_kneser_ney"] = text_kneser_ney
+ORACLE["text_kneser_ney"] = KNESER_NEY_SQL

@@ -3768,3 +3768,281 @@ FROM m, diag
 
 QUERIES["events_recurrence_quantification"] = events_recurrence_quantification
 ORACLE["events_recurrence_quantification"] = EVENTS_RQA_SQL
+
+
+def events_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided matrix profile (Yeh et al. 2016, ICDM) over the
+    720-hour traffic series: for each stride-4 window start, the
+    z-normalized Euclidean distance to its nearest non-overlapping
+    neighbor window (m=24, exclusion zone |i−j| ≥ m) plus that
+    neighbor's index — low profile values = recurring daily motifs,
+    high values = discord hours that no other day resembles. The
+    modern exact replacement for SAX's symbolized motif census
+    (events_sax_motifs), value-comparable per window.
+
+    Scale design: the stream collapses ONCE to 720 integers (hour
+    histogram, map-side combined — scale-free like the SAX/ACF
+    series family); the series rides as a single broadcast array and
+    every window sum / dot product is a JVM higher-order fold over
+    array slices (aggregate/zip_with) — no n²·m join, no Python, and
+    the pair fan-out (175×175 strided) is constant at ANY data
+    scale.
+
+    Determinism: window sums and dot products are exact integers
+    (list folds); r and dist² are identical IEEE chains (sqrt is
+    correctly rounded), quantized FLOOR(·1e6); flat windows (σ=0)
+    are CASE-pinned to r=0."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("unix_micros(ts) DIV 3600000000") - 473352
+    counts = (
+        ev.select(t.alias("t"))
+        .where((F.col("t") >= 0) & (F.col("t") < 720))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(720).select(F.col("id").alias("t"))
+    series = spine.join(counts, "t", "left").select(
+        "t", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("x")
+    )
+    arr = series.agg(
+        F.expr("map_from_entries(collect_list(struct(t, x)))").alias("m")
+    ).select(F.expr("transform(sequence(0, 719), tt -> element_at(m, tt))").alias("xs"))
+    win = arr.select(
+        "xs", F.explode(F.expr("sequence(0, 696, 4)")).alias("i")
+    ).select(
+        "xs",
+        "i",
+        F.expr("aggregate(slice(xs, i + 1, 24), CAST(0 AS BIGINT), (a, v) -> a + v)").alias("s"),
+        F.expr(
+            "aggregate(slice(xs, i + 1, 24), CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+        ).alias("s2"),
+    )
+    a = win.select("xs", F.col("i"), F.col("s").alias("si"), F.col("s2").alias("s2i"))
+    b = win.select(F.col("i").alias("j"), F.col("s").alias("sj"), F.col("s2").alias("s2j"))
+    pairs = a.join(b, F.expr("abs(i - j) >= 24")).select(
+        "i",
+        "j",
+        F.expr(
+            "aggregate(zip_with(slice(xs, i + 1, 24), slice(xs, j + 1, 24),"
+            " (p, q) -> p * q), CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("dot"),
+        "si",
+        "s2i",
+        "sj",
+        "s2j",
+    )
+    d = pairs.select(
+        "i",
+        "j",
+        F.expr(
+            "CAST(FLOOR(CASE WHEN (24 * s2i - si * si) <= 0 OR (24 * s2j - sj * sj) <= 0"
+            " THEN 48000000.0"
+            " ELSE 48.0 * (1 - (24.0 * dot - CAST(si AS DOUBLE) * sj)"
+            "   / (SQRT(CAST(24 * s2i - si * si AS DOUBLE))"
+            "      * SQRT(CAST(24 * s2j - sj * sj AS DOUBLE)))) * 1000000 END)"
+            " AS BIGINT)"
+        ).alias("dist2_e6"),
+    )
+    nn = d.groupBy("i").agg(F.min("dist2_e6").alias("nn_dist2_e6"))
+    out = (
+        d.join(nn, "i")
+        .where(F.col("dist2_e6") == F.col("nn_dist2_e6"))
+        .groupBy("i", "nn_dist2_e6")
+        .agg(F.min("j").alias("nn_j"))
+    )
+    return out.select("i", "nn_j", "nn_dist2_e6").orderBy("i")
+
+
+MATRIX_PROFILE_SQL = """
+WITH counts AS (
+  SELECT epoch_us(ts) // 3600000000 - 473352 AS t, COUNT(*) AS cnt
+  FROM events
+  WHERE epoch_us(ts) // 3600000000 - 473352 >= 0
+    AND epoch_us(ts) // 3600000000 - 473352 < 720
+  GROUP BY 1
+),
+series AS (
+  SELECT g.t, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS x
+  FROM (SELECT UNNEST(range(0, 720)) AS t) g LEFT JOIN counts c ON c.t = g.t
+),
+arr AS MATERIALIZED (
+  SELECT list(x ORDER BY t) AS xs FROM series
+),
+win AS MATERIALIZED (
+  SELECT i,
+         CAST(list_sum(list_transform(generate_series(1, 24), k -> xs[i + k]))
+              AS BIGINT) AS s,
+         CAST(list_sum(list_transform(generate_series(1, 24), k -> xs[i + k] * xs[i + k]))
+              AS BIGINT) AS s2
+  FROM arr, (SELECT UNNEST(range(0, 697, 4)) AS i) starts
+),
+pairs AS (
+  SELECT a.i, b.i AS j,
+         CAST(list_sum(list_transform(generate_series(1, 24),
+                                      k -> xs[a.i + k] * xs[b.i + k]))
+              AS BIGINT) AS dot,
+         a.s AS si, a.s2 AS s2i, b.s AS sj, b.s2 AS s2j
+  FROM win a, win b, arr
+  WHERE abs(a.i - b.i) >= 24
+),
+d AS (
+  SELECT i, j,
+         CAST(FLOOR(CASE WHEN (24 * s2i - si * si) <= 0 OR (24 * s2j - sj * sj) <= 0
+              THEN 48000000.0
+              ELSE 48.0 * (1 - (24.0 * dot - CAST(si AS DOUBLE) * sj)
+                / (SQRT(CAST(24 * s2i - si * si AS DOUBLE))
+                   * SQRT(CAST(24 * s2j - sj * sj AS DOUBLE)))) * 1000000 END)
+              AS BIGINT) AS dist2_e6
+  FROM pairs
+),
+nn AS (
+  SELECT i, MIN(dist2_e6) AS nn_dist2_e6 FROM d GROUP BY 1
+)
+SELECT d.i, MIN(d.j) AS nn_j, nn.nn_dist2_e6
+FROM d JOIN nn ON d.i = nn.i AND d.dist2_e6 = nn.nn_dist2_e6
+GROUP BY d.i, nn.nn_dist2_e6
+ORDER BY d.i
+"""
+
+QUERIES["events_matrix_profile"] = events_matrix_profile
+ORACLE["events_matrix_profile"] = MATRIX_PROFILE_SQL
+
+
+def events_lag_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information vs lag over the 720-hour traffic series —
+    the NONLINEAR dependence profile that the autocorrelation family
+    (events_autocorrelation) misses: hourly counts are discretized
+    into terciles (histogram-CDF cuts, the house exact-quantile
+    pattern) and MI(L) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) is computed
+    over the 3×3 symbol-pair table at lags 1/2/3/6/12/24h. A daily
+    cycle shows as an MI spike at L=24 even when the relationship is
+    non-monotone.
+
+    Scale design: the stream collapses once to 720 integers; tercile
+    boundaries come from the value histogram's CDF (histogram-sized
+    window, boundaries broadcast back); each lag's pair table is a
+    self-join of the 720-row symbol frame on t+L — constant work at
+    any data scale. Marginals re-aggregate from the pair counts
+    (no second pass).
+
+    Determinism: all counts exact integers; ln gets the house 6dp
+    per-term rounding, terms are FLOOR-quantized to integers BEFORE
+    the sum (never a shuffle-order double sum), and the final
+    normalization is one identical IEEE division."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("unix_micros(ts) DIV 3600000000") - 473352
+    counts = (
+        ev.select(t.alias("t"))
+        .where((F.col("t") >= 0) & (F.col("t") < 720))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(720).select(F.col("id").alias("t"))
+    series = spine.join(counts, "t", "left").select(
+        "t", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("x")
+    )
+    hist = series.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    cdf = hist.select(
+        "x",
+        F.sum("c").over(Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    cuts = cdf.agg(
+        F.min(F.when(F.col("cum") * 3 >= 720, F.col("x"))).alias("t1"),
+        F.min(F.when(F.col("cum") * 3 >= 1440, F.col("x"))).alias("t2"),
+    )
+    sym = series.crossJoin(F.broadcast(cuts)).select(
+        "t",
+        F.expr("CASE WHEN x <= t1 THEN 0 WHEN x <= t2 THEN 1 ELSE 2 END").alias("s"),
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (1, 2, 3, 6, 12, 24)])).alias("lag")
+    )
+    a = sym.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("t") + F.col("lag")).alias("tb"), F.col("s").alias("sa")
+    )
+    b = sym.select(F.col("t").alias("tb"), F.col("s").alias("sb"))
+    pairs = a.join(b, "tb").select("lag", "sa", "sb")
+    cell = pairs.groupBy("lag", "sa", "sb").agg(F.count(F.lit(1)).alias("n_ab"))
+    # marginals as windows over the 54-row cell table (constant-size at
+    # any data scale) — the join-back variant recomputed the pair join
+    # per marginal branch and A/B-lost 2.0s vs 1.2s at sf0.1
+    terms = cell.select(
+        "lag",
+        F.sum("n_ab").over(Window.partitionBy("lag")).alias("n"),
+        "n_ab",
+        F.sum("n_ab").over(Window.partitionBy("lag", "sa")).alias("n_a"),
+        F.sum("n_ab").over(Window.partitionBy("lag", "sb")).alias("n_b"),
+    ).select(
+        "lag",
+        "n",
+        F.expr(
+            "CAST(FLOOR(n_ab * ROUND(LN(CAST(n AS DOUBLE) * n_ab"
+            " / (CAST(n_a AS DOUBLE) * n_b)), 6) * 1000000) AS BIGINT)"
+        ).alias("term_e6"),
+    )
+    return (
+        terms.groupBy("lag", "n")
+        .agg(F.sum("term_e6").alias("sum_e6"), F.count(F.lit(1)).alias("n_cells"))
+        .select(
+            "lag",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            "n_cells",
+            F.expr("CAST(FLOOR(CAST(sum_e6 AS DOUBLE) / n) AS BIGINT)").alias("mi_e6"),
+        )
+        .orderBy("lag")
+    )
+
+
+LAG_MI_SQL = """
+WITH counts AS (
+  SELECT epoch_us(ts) // 3600000000 - 473352 AS t, COUNT(*) AS cnt
+  FROM events
+  WHERE epoch_us(ts) // 3600000000 - 473352 >= 0
+    AND epoch_us(ts) // 3600000000 - 473352 < 720
+  GROUP BY 1
+),
+series AS MATERIALIZED (
+  SELECT g.t, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS x
+  FROM (SELECT UNNEST(range(0, 720)) AS t) g LEFT JOIN counts c ON c.t = g.t
+),
+hist AS (
+  SELECT x, COUNT(*) AS c FROM series GROUP BY 1
+),
+cdf AS (
+  SELECT x, SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum FROM hist
+),
+cuts AS (
+  SELECT MIN(CASE WHEN cum * 3 >= 720 THEN x END) AS t1,
+         MIN(CASE WHEN cum * 3 >= 1440 THEN x END) AS t2
+  FROM cdf
+),
+sym AS MATERIALIZED (
+  SELECT t, CASE WHEN x <= t1 THEN 0 WHEN x <= t2 THEN 1 ELSE 2 END AS s
+  FROM series CROSS JOIN cuts
+),
+pairs AS (
+  SELECT lag, a.s AS sa, b.s AS sb
+  FROM (SELECT UNNEST([1, 2, 3, 6, 12, 24]) AS lag) l, sym a
+  JOIN sym b ON b.t = a.t + lag
+),
+cell AS MATERIALIZED (
+  SELECT lag, sa, sb, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2, 3
+),
+ma AS (SELECT lag, sa, SUM(n_ab) AS n_a FROM cell GROUP BY 1, 2),
+mb AS (SELECT lag, sb, SUM(n_ab) AS n_b FROM cell GROUP BY 1, 2),
+nn AS (SELECT lag, SUM(n_ab) AS n FROM cell GROUP BY 1),
+terms AS (
+  SELECT cell.lag, nn.n,
+         CAST(FLOOR(n_ab * ROUND(LN(CAST(n AS DOUBLE) * n_ab
+              / (CAST(n_a AS DOUBLE) * n_b)), 6) * 1000000) AS BIGINT) AS term_e6
+  FROM cell JOIN ma USING (lag, sa) JOIN mb USING (lag, sb) JOIN nn USING (lag)
+)
+SELECT lag, CAST(n AS BIGINT) AS n_pairs, COUNT(*) AS n_cells,
+       CAST(FLOOR(CAST(SUM(term_e6) AS DOUBLE) / n) AS BIGINT) AS mi_e6
+FROM terms
+GROUP BY lag, n
+ORDER BY lag
+"""
+
+QUERIES["events_lag_mutual_information"] = events_lag_mutual_information
+ORACLE["events_lag_mutual_information"] = LAG_MI_SQL

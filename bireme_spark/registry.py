@@ -69,6 +69,12 @@ _NEW_THIS_ROUND = frozenset(
         # never-recorded so it drains into the driver gate first —
         # VERDICT r5 item 1. Round-6 additions below.)
         "sink_erase_predicate",
+        "sink_shallow_clone",
+        "events_hll_distinct",
+        "events_matrix_profile",
+        "events_lag_mutual_information",
+        "text_kneser_ney",
+        "corpus_soft_dedup_weight",
     }
 )
 

@@ -321,6 +321,50 @@ def erase_predicate(
     return stats
 
 
+def shallow_clone(src_dir: str, dst_dir: str, batch_id: int = 1) -> dict[str, int]:
+    """Zero-copy snapshot clone (Delta ``CREATE TABLE ... SHALLOW
+    CLONE`` twin for the manifest sink): replicate ONLY the committed
+    version dir of each bucket by HARDLINKING its files (same-device;
+    falls back to a byte copy across filesystems), then commit the
+    clone with one atomic manifest write. Correctness rests on the
+    sink's immutability contract — writers always stage a NEW
+    ``_sv=`` dir and never mutate committed files — so origin and
+    clone share bytes safely: a later erase/compact/merge on either
+    side rewrites into fresh dirs, and reaping an origin dir only
+    drops a directory entry (the clone's links keep the inodes
+    alive).
+
+    Metadata-only cost: O(#files) link() calls, no data read, no
+    Spark job — cloning a 100 TB sink is a filesystem pass. Returns
+    exact counts so a caller can assert zero-copy (files_copied ==
+    0 on one device)."""
+    manifest = _read_manifest(src_dir)
+    if manifest is None:  # legacy layout: adopt visible dirs
+        manifest = {
+            b: v
+            for b in _bucket_ids(src_dir)
+            if (v := _latest_version(_bucket_dir(src_dir, b))) is not None
+        }
+    stats = {"n_buckets": len(manifest), "files_linked": 0, "files_copied": 0, "bytes_shared": 0}
+    for b, v in sorted(manifest.items()):
+        src_v = _version_dir(_bucket_dir(src_dir, b), v)
+        dst_v = f"{dst_dir}/_sb={b}/_sv={v}"
+        os.makedirs(dst_v, exist_ok=True)
+        for name in os.listdir(src_v):
+            s, d = os.path.join(src_v, name), os.path.join(dst_v, name)
+            if not os.path.isfile(s):
+                continue
+            try:
+                os.link(s, d)
+                stats["files_linked"] += 1
+            except OSError:  # cross-device / FS without hardlinks
+                shutil.copy2(s, d)
+                stats["files_copied"] += 1
+            stats["bytes_shared"] += os.path.getsize(s)
+    _write_manifest(dst_dir, manifest, batch_id)
+    return stats
+
+
 def read_state(spark: SparkSession, target_dir: str) -> DataFrame | None:
     """Latest synced state: union of every bucket's latest version."""
     paths = _latest_paths(target_dir)

@@ -324,3 +324,57 @@ def test_erase_predicate_empties_bucket_with_all_matches(spark, tmp_path):
     assert state.count() == 0
     # schema survives the empty rewrite
     assert set(state.columns) == {"key", "grp", "val"}
+
+
+def test_shallow_clone_snapshot_survives_origin_erase(spark, tmp_path):
+    from bireme_spark.streaming.pipeline import erase_predicate, read_state, shallow_clone
+
+    origin = _build_sink(spark, tmp_path)
+    clone = str(tmp_path / "the_clone")
+    stats = shallow_clone(origin, clone)
+    assert stats["files_copied"] == 0 and stats["files_linked"] > 0  # zero-copy
+    erase_predicate(spark, origin, "grp = 5", batch_id=2)
+    # clone is a stable snapshot: full pre-erase state, matches intact
+    cl = read_state(spark, clone)
+    assert cl.count() == 200
+    assert cl.where("grp = 5").count() == len([i for i in range(200) if i % 7 == 5])
+    # origin really lost them
+    assert read_state(spark, origin).where("grp = 5").count() == 0
+
+
+def test_shallow_clone_is_hardlinked_and_manifest_equal(spark, tmp_path):
+    import os
+
+    from bireme_spark.streaming.pipeline import _latest_paths, _read_manifest, shallow_clone
+
+    origin = _build_sink(spark, tmp_path)
+    clone = str(tmp_path / "clone2")
+    shallow_clone(origin, clone)
+    assert _read_manifest(clone) == _read_manifest(origin)
+    src_inodes = {
+        (os.path.relpath(p, origin), n): os.stat(os.path.join(p, n)).st_ino
+        for p in _latest_paths(origin)
+        for n in os.listdir(p)
+        if os.path.isfile(os.path.join(p, n))
+    }
+    for p in _latest_paths(clone):
+        for n in os.listdir(p):
+            fp = os.path.join(p, n)
+            if os.path.isfile(fp):
+                st = os.stat(fp)
+                assert st.st_nlink >= 2  # shared inode, not a byte copy
+                assert src_inodes.get((os.path.relpath(p, clone), n)) == st.st_ino
+
+
+def test_shallow_clone_then_write_divergence(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bireme_spark.streaming.pipeline import erase_predicate, read_state, shallow_clone
+
+    origin = _build_sink(spark, tmp_path)
+    clone = str(tmp_path / "clone3")
+    shallow_clone(origin, clone)
+    # writes on the CLONE stage new version dirs; origin never sees them
+    erase_predicate(spark, clone, F.col("grp") == 0, batch_id=2)
+    assert read_state(spark, clone).where("grp = 0").count() == 0
+    assert read_state(spark, origin).where("grp = 0").count() > 0
