@@ -1,0 +1,83 @@
+"""Property tests for the round-6 operators: bounds and invariants
+that hold at ANY scale factor, complementing the exact DuckDB oracle
+compare in tests/test_queries_oracle.py."""
+
+from __future__ import annotations
+
+
+def test_hll_estimate_within_sketch_error(spark, sf_dir):
+    """m=256 HLL has ~6.5% typical rsd; assert a generous 25% bound
+    per event type plus register-count sanity — the estimate is
+    deterministic, so a pass today is a pass forever."""
+    from bireme_spark.queries.events import events_hll_distinct
+
+    rows = events_hll_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_registers"] <= 256
+        assert r["v_empty"] == 256 - r["n_registers"]
+        exact = r["exact_users"]
+        est = r["est_e4"] / 1e4
+        assert exact > 0
+        assert abs(est - exact) / exact < 0.25, (r["event_type"], est, exact)
+        # linear counting must engage only in the small-range regime
+        if r["v_empty"] == 0:
+            assert r["est_e4"] == r["raw_est_e4"]
+
+
+def test_matrix_profile_bounds_and_exclusion(spark, sf_dir):
+    """z-normalized dist² lives in [0, 4m]=[0,96]; the nearest
+    neighbor must respect the |i−j| ≥ m exclusion zone; window starts
+    are the stride-4 grid."""
+    from bireme_spark.queries.timeseries import events_matrix_profile
+
+    rows = events_matrix_profile(spark, sf_dir).collect()
+    assert len(rows) == 175  # (697+3)//4 stride-4 starts over 720-24+1
+    for r in rows:
+        assert r["i"] % 4 == 0 and 0 <= r["i"] <= 696
+        assert abs(r["i"] - r["nn_j"]) >= 24
+        # FLOOR quantization can dip 1 ulp below 0 on a perfect match
+        assert -1 <= r["nn_dist2_e6"] <= 96_000_000
+
+
+def test_lag_mi_pair_counts_and_nonnegativity(spark, sf_dir):
+    """Each lag L pairs exactly 720−L positions; MI is ≥ 0 up to the
+    per-term FLOOR quantization (≥ −9 cells · 1e−6)."""
+    from bireme_spark.queries.timeseries import events_lag_mutual_information
+
+    rows = {r["lag"]: r for r in events_lag_mutual_information(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 6, 12, 24}
+    for lag, r in rows.items():
+        assert r["n_pairs"] == 720 - lag
+        assert 1 <= r["n_cells"] <= 9
+        assert r["mi_e6"] >= -9  # quantization slack only
+
+
+def test_kneser_ney_probabilities_valid(spark, sf_dir):
+    from bireme_spark.queries.terms import text_kneser_ney
+
+    rows = text_kneser_ney(spark, sf_dir).collect()
+    assert len(rows) == 40
+    counts = [r["c12"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # top-40 by count
+    for r in rows:
+        assert 0 < r["kn_p_e9"] <= 1_000_000_000
+        assert 1 <= r["fanout"] and 1 <= r["fanin"]
+        assert r["c12"] <= r["c1"]
+
+
+def test_soft_dedup_weight_mass_conservation(spark, sf_dir):
+    """Effective mass never exceeds raw mass; redundancy is a valid
+    ppm share; the planted copies guarantee cluster sizes > 1 exist
+    somewhere in the corpus."""
+    from bireme_spark.queries.corpus import corpus_soft_dedup_weight
+
+    rows = corpus_soft_dedup_weight(spark, sf_dir).collect()
+    assert rows
+    saw_multi = False
+    for r in rows:
+        assert r["effective_tokens_e6"] <= r["n_tokens"] * 1_000_000
+        assert 0 <= r["redundancy_ppm"] < 1_000_000
+        if r["n_cluster_sizes"] > 1:
+            saw_multi = True
+    assert saw_multi  # the planted dups produced real clusters
