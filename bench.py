@@ -188,6 +188,8 @@ HEADLINE = [
     "events_lag_mutual_information",
     "text_kneser_ney",
     "corpus_soft_dedup_weight",
+    "cdc_ddl_schema_timeline",
+    "multimodal_dct_energy",
 ]
 
 

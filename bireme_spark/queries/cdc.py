@@ -2472,3 +2472,143 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["cdc_type_widening_ingest"] = cdc_type_widening_ingest
 ORACLE["cdc_type_widening_ingest"] = CDC_TYPE_WIDENING_SQL
+
+
+def cdc_ddl_schema_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell DDL-event routing → schema-version timeline (Maxwell
+    emits ``table-create``/``table-alter`` envelopes carrying the
+    post-DDL column list under ``def``; reference parity: bireme's
+    pipelines see these on the same topic as DML and must not apply
+    them as rows — cdc_malformed_envelope_audit quarantines them,
+    THIS operator consumes them properly). The DDL stream is parsed
+    from real JSON envelopes, ordered into schema versions, and every
+    DML row is attributed to the version in force at its timestamp —
+    the audit a warehouse runs to answer "which rows were ingested
+    under which schema" after an online migration.
+
+    Fixture: a create (4 columns, epoch 0) + three alters adding one
+    column each at 1996/1998/2000-01-01 — metadata-sized by nature
+    (DDL is O(migrations), never O(rows)).
+
+    Scale design: the parsed DDL table is 4 rows → broadcast
+    range-join against the DML stream on [effective_from,
+    effective_to) — ONE scan of the fact side, no shuffle beyond the
+    final 4-group agg; LEAD builds the validity intervals on the
+    metadata table only. Value totals are DECIMAL-exact."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, StringType, StructField
+
+    ddl_rows = [
+        (
+            '{"database":"testdb","table":"orders","type":"table-create","ts":0,'
+            '"sql":"CREATE TABLE orders (o_orderkey bigint, o_custkey bigint,'
+            ' o_totalprice decimal(12,2), o_orderdate date)",'
+            '"def":{"columns":[{"name":"o_orderkey","type":"bigint"},'
+            '{"name":"o_custkey","type":"bigint"},'
+            '{"name":"o_totalprice","type":"decimal"},'
+            '{"name":"o_orderdate","type":"date"}]}}',
+        ),
+        (
+            '{"database":"testdb","table":"orders","type":"table-alter","ts":820454400,'
+            '"sql":"ALTER TABLE orders ADD COLUMN o_orderstatus varchar",'
+            '"def":{"columns":[{"name":"o_orderkey","type":"bigint"},'
+            '{"name":"o_custkey","type":"bigint"},'
+            '{"name":"o_totalprice","type":"decimal"},'
+            '{"name":"o_orderdate","type":"date"},'
+            '{"name":"o_orderstatus","type":"varchar"}]}}',
+        ),
+        (
+            '{"database":"testdb","table":"orders","type":"table-alter","ts":883612800,'
+            '"sql":"ALTER TABLE orders ADD COLUMN o_orderpriority varchar",'
+            '"def":{"columns":[{"name":"o_orderkey","type":"bigint"},'
+            '{"name":"o_custkey","type":"bigint"},'
+            '{"name":"o_totalprice","type":"decimal"},'
+            '{"name":"o_orderdate","type":"date"},'
+            '{"name":"o_orderstatus","type":"varchar"},'
+            '{"name":"o_orderpriority","type":"varchar"}]}}',
+        ),
+        (
+            '{"database":"testdb","table":"orders","type":"table-alter","ts":946684800,'
+            '"sql":"ALTER TABLE orders ADD COLUMN o_shippriority int",'
+            '"def":{"columns":[{"name":"o_orderkey","type":"bigint"},'
+            '{"name":"o_custkey","type":"bigint"},'
+            '{"name":"o_totalprice","type":"decimal"},'
+            '{"name":"o_orderdate","type":"date"},'
+            '{"name":"o_orderstatus","type":"varchar"},'
+            '{"name":"o_orderpriority","type":"varchar"},'
+            '{"name":"o_shippriority","type":"int"}]}}',
+        ),
+    ]
+    raw_ddl = spark.createDataFrame(ddl_rows, "value string")
+    col_schema = ArrayType(
+        StructType(
+            [StructField("name", StringType()), StructField("type", StringType())]
+        )
+    )
+    ddl_schema = (
+        StructType()
+        .add("database", "string")
+        .add("table", "string")
+        .add("type", "string")
+        .add("ts", "long")
+        .add("sql", "string")
+        .add("def", StructType().add("columns", col_schema))
+    )
+    env = F.from_json("value", ddl_schema)
+    parsed = raw_ddl.select(
+        env["type"].alias("ddl_type"),
+        env["ts"].alias("effective_from"),
+        F.size(env["def"]["columns"]).alias("n_columns"),
+    ).where(F.col("ddl_type").isin("table-create", "table-alter"))
+    w = Window.orderBy("effective_from")
+    timeline = parsed.select(
+        F.row_number().over(w).alias("schema_version"),
+        "ddl_type",
+        "n_columns",
+        "effective_from",
+        F.coalesce(
+            F.lead("effective_from").over(w), F.lit(2**62)
+        ).alias("effective_to"),
+    )
+    dml = load_table(spark, sf_dir, "orders").select(
+        F.unix_timestamp("o_orderdate").alias("ts"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    attributed = dml.join(
+        F.broadcast(timeline),
+        (F.col("ts") >= F.col("effective_from")) & (F.col("ts") < F.col("effective_to")),
+    )
+    return (
+        attributed.groupBy("schema_version", "ddl_type", "n_columns", "effective_from")
+        .agg(
+            F.count(F.lit(1)).alias("n_dml_rows"),
+            F.sum("price").cast("double").alias("total_value"),
+        )
+        .orderBy("schema_version")
+    )
+
+
+CDC_DDL_TIMELINE_SQL = """
+WITH bounds AS (
+  SELECT * FROM (VALUES
+    (1, 'table-create', 4, CAST(0 AS BIGINT), CAST(820454400 AS BIGINT)),
+    (2, 'table-alter', 5, CAST(820454400 AS BIGINT), CAST(883612800 AS BIGINT)),
+    (3, 'table-alter', 6, CAST(883612800 AS BIGINT), CAST(946684800 AS BIGINT)),
+    (4, 'table-alter', 7, CAST(946684800 AS BIGINT), CAST(4611686018427387904 AS BIGINT))
+  ) AS t(schema_version, ddl_type, n_columns, effective_from, effective_to)
+),
+dml AS (
+  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 1000 AS ts,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+)
+SELECT b.schema_version, b.ddl_type, b.n_columns, b.effective_from,
+       COUNT(*) AS n_dml_rows,
+       CAST(SUM(price) AS DOUBLE) AS total_value
+FROM dml JOIN bounds b ON dml.ts >= b.effective_from AND dml.ts < b.effective_to
+GROUP BY 1, 2, 3, 4
+ORDER BY 1
+"""
+
+QUERIES["cdc_ddl_schema_timeline"] = cdc_ddl_schema_timeline
+ORACLE["cdc_ddl_schema_timeline"] = CDC_DDL_TIMELINE_SQL

@@ -1114,3 +1114,162 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_spectral_centroid"] = multimodal_spectral_centroid
 ORACLE["multimodal_spectral_centroid"] = MULTIMODAL_SPECTRAL_CENTROID_SQL
+
+
+def multimodal_dct_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D DCT-II energy compaction per image class — the JPEG-core
+    statistic (share of AC energy landing in the low-frequency 4×4
+    corner) that image curation uses to split smooth/natural images
+    from noise/dithered ones before training. Each 8×8 grayscale
+    block (class s = doc_id % 16, pixel g = (x²+3y+7s+(s·y)//2)%256)
+    round-trips encode→decode through the real BMP/PNG codecs first,
+    and the oracle recomputes the SAME transform symbolically in SQL
+    from the pixel formula — codec, grayscale, and all 64 DCT
+    coefficients are hash-checked.
+
+    Engine-exact: cosine product terms follow the periodogram trig
+    discipline (6dp-rounded terms into exact Decimal sums; Python
+    folds use quantize(ROUND_HALF_UP), never round()); coefficient
+    SQUARES are exact 12dp decimals summed exactly; both energy sums
+    are rounded to 2dp decimals BEFORE the double cast (the
+    DECIMAL→DOUBLE 2^53 rule) and the compaction ratio is one
+    identical IEEE division, FLOOR-quantized to ppm.
+
+    Scale shape: one fused mapInPandas pass with the 16-class result
+    memoized inside the worker (distinct-value-histogram rule); the
+    only exchange is the 16-group rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def dct_feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6, q2 = Decimal("1e-6"), Decimal("1e-2")
+
+        def r6(v: float) -> Decimal:
+            return Decimal(repr(v)).quantize(q6, ROUND_HALF_UP)
+
+        cache: dict[int, tuple[int, float]] = {}
+
+        def klass(s: int) -> tuple[int, float]:
+            if s in cache:
+                return cache[s]
+            w = h = 8
+            pix = bytes(
+                v
+                for y in range(h)
+                for x in range(w)
+                for v in [(x * x + 3 * y + 7 * s + (s * y) // 2) % 256] * 3
+            )
+            enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+            dw, dh, dc, dpix, _fmt = decode_image(enc)
+            gray = [
+                [
+                    sum(dpix[(y * dw + x) * dc + ch] for ch in range(min(dc, 3)))
+                    // min(dc, 3)
+                    for x in range(dw)
+                ]
+                for y in range(dh)
+            ]
+            pi = 3.141592653589793
+            num, den = Decimal(0), Decimal(0)
+            for u in range(8):
+                for v in range(8):
+                    if u == 0 and v == 0:
+                        continue
+                    c = Decimal(0)
+                    for y in range(8):
+                        for x in range(8):
+                            ca = math.cos(pi * (2 * x + 1) * u / 16)
+                            cb = math.cos(pi * (2 * y + 1) * v / 16)
+                            c += r6(gray[y][x] * ca * cb)
+                    e2 = c * c  # exact 12dp decimal
+                    den += e2
+                    if u < 4 and v < 4:
+                        num += e2
+            num_d = float(num.quantize(q2, ROUND_HALF_UP))
+            den_d = float(den.quantize(q2, ROUND_HALF_UP))
+            out = (
+                int(math.floor(num_d / den_d * 1000000)) if den_d > 0 else 1000000,
+                den_d,
+            )
+            cache[s] = out
+            return out
+
+        for pdf in it:
+            rows = {"doc_id": [], "compaction_ppm": [], "ac_energy": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ppm, ac = klass(doc_id % 16)
+                rows["doc_id"].append(doc_id)
+                rows["compaction_ppm"].append(ppm)
+                rows["ac_energy"].append(ac)
+            yield pd.DataFrame(rows)
+
+    feats = d.mapInPandas(
+        dct_feats, schema="doc_id long, compaction_ppm long, ac_energy double"
+    )
+    return (
+        feats.groupBy((F.col("doc_id") % 16).alias("s"))
+        .agg(
+            F.max("compaction_ppm").alias("compaction_ppm"),
+            F.max("ac_energy").alias("ac_energy"),
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .select("compaction_ppm", "ac_energy", "n_images", "canonical_doc")
+        .orderBy("canonical_doc")
+    )
+
+
+MULTIMODAL_DCT_SQL = """
+WITH px AS (
+  SELECT s, x, y,
+         (x*x + 3*y + 7*s + (s*y)//2) % 256 AS g
+  FROM generate_series(0, 15) ts(s),
+       generate_series(0, 7) tx(x),
+       generate_series(0, 7) ty(y)
+),
+coef AS (
+  SELECT s, u, v,
+         SUM(CAST(ROUND(g * COS(3.141592653589793 * (2*x + 1) * u / 16)
+                          * COS(3.141592653589793 * (2*y + 1) * v / 16), 6)
+                  AS DECIMAL(18,6))) AS c
+  FROM px, generate_series(0, 7) tu(u), generate_series(0, 7) tv(v)
+  WHERE NOT (u = 0 AND v = 0)
+  GROUP BY 1, 2, 3
+),
+energy AS (
+  SELECT s,
+         SUM(CASE WHEN u < 4 AND v < 4 THEN c * c ELSE CAST(0 AS DECIMAL(38,12)) END)
+           AS num,
+         SUM(c * c) AS den
+  FROM coef GROUP BY 1
+),
+cls AS (
+  SELECT s,
+         CAST(FLOOR(CAST(ROUND(num, 2) AS DOUBLE)
+                    / CAST(ROUND(den, 2) AS DOUBLE) * 1000000) AS BIGINT)
+           AS compaction_ppm,
+         CAST(ROUND(den, 2) AS DOUBLE) AS ac_energy
+  FROM energy
+),
+docs AS (
+  SELECT doc_id % 16 AS s, COUNT(*) AS n_images, MIN(doc_id) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT cls.compaction_ppm, cls.ac_energy,
+       CAST(docs.n_images AS BIGINT) AS n_images, docs.canonical_doc
+FROM cls JOIN docs USING (s)
+ORDER BY docs.canonical_doc
+"""
+
+QUERIES["multimodal_dct_energy"] = multimodal_dct_energy
+ORACLE["multimodal_dct_energy"] = MULTIMODAL_DCT_SQL

@@ -75,6 +75,8 @@ _NEW_THIS_ROUND = frozenset(
         "events_lag_mutual_information",
         "text_kneser_ney",
         "corpus_soft_dedup_weight",
+        "cdc_ddl_schema_timeline",
+        "multimodal_dct_energy",
     }
 )
 
