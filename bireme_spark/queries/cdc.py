@@ -2478,9 +2478,10 @@ def cdc_ddl_schema_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maxwell DDL-event routing → schema-version timeline (Maxwell
     emits ``table-create``/``table-alter`` envelopes carrying the
     post-DDL column list under ``def``; reference parity: bireme's
-    pipelines see these on the same topic as DML and must not apply
-    them as rows — cdc_malformed_envelope_audit quarantines them,
-    THIS operator consumes them properly). The DDL stream is parsed
+    Maxwell type switch maps only insert/update/delete and silently
+    skips every DDL type (MaxwellPipeLine.java:141-153) —
+    cdc_malformed_envelope_audit mirrors that quarantine, THIS
+    operator consumes the DDL stream properly). The DDL stream is parsed
     from real JSON envelopes, ordered into schema versions, and every
     DML row is attributed to the version in force at its timestamp —
     the audit a warehouse runs to answer "which rows were ingested

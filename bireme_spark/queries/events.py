@@ -2701,7 +2701,9 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch itself is 256 registers per type (mergeable MAX cells, the
     same map-side-combine shape a per-partition/per-day 100 TB rollup
     exploits) and everything downstream is |types|-row arithmetic.
-    Exact distinct rides the same deduped frame for the error column.
+    The exact count for the error column rides the SAME register
+    aggregation (per-bucket COUNT(*) summed) — single lineage, one
+    scan, no second distinct.
 
     Determinism: register math is pure integers (generated comparison
     chain, shifted-integer 2^(49-M) sums); the raw estimate is one
@@ -2723,14 +2725,12 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = (
         hashed.select("event_type", "bucket", F.expr(_HLL_RHO_CASE).alias("rho"))
         .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("m"))
+        .agg(F.max("rho").alias("m"), F.count(F.lit(1)).alias("cnt"))
     )
     agg = reg.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_registers"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - m)")).alias("ssum"),
-    )
-    exact = pairs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_users")
+        F.sum("cnt").cast("bigint").alias("exact_users"),
     )
     est = agg.select(
         "event_type",
@@ -2740,6 +2740,7 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(FLOOR({_HLL_C} / CAST(ssum + CAST(256 - n_registers AS BIGINT)"
             f" * {1 << 48} AS DOUBLE) * 10000) AS BIGINT)"
         ).alias("raw_est_e4"),
+        "exact_users",
     ).select(
         "event_type",
         "n_registers",
@@ -2750,20 +2751,17 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN CAST(FLOOR(256 * ROUND(LN(256.0 / v_empty), 6) * 10000) AS BIGINT)"
             " ELSE raw_est_e4 END"
         ).alias("est_e4"),
+        "exact_users",
     )
-    return (
-        est.join(exact, "event_type")
-        .select(
-            "event_type",
-            "n_registers",
-            "v_empty",
-            "raw_est_e4",
-            "est_e4",
-            "exact_users",
-            F.expr("ABS(est_e4 - exact_users * 10000)").alias("abs_err_e4"),
-        )
-        .orderBy("event_type")
-    )
+    return est.select(
+        "event_type",
+        "n_registers",
+        "v_empty",
+        "raw_est_e4",
+        "est_e4",
+        "exact_users",
+        F.expr("ABS(est_e4 - exact_users * 10000)").alias("abs_err_e4"),
+    ).orderBy("event_type")
 
 
 EVENTS_HLL_SQL = f"""
@@ -2781,35 +2779,35 @@ bits AS (
   FROM hashed
 ),
 reg AS (
-  SELECT event_type, bucket, MAX({_HLL_RHO_CASE}) AS m
+  SELECT event_type, bucket, MAX({_HLL_RHO_CASE}) AS m, COUNT(*) AS cnt
   FROM bits GROUP BY 1, 2
 ),
 agg AS (
   SELECT event_type, COUNT(*) AS n_registers,
-         SUM(CAST(1 AS BIGINT) << (49 - m)) AS ssum
+         SUM(CAST(1 AS BIGINT) << (49 - m)) AS ssum,
+         CAST(SUM(cnt) AS BIGINT) AS exact_users
   FROM reg GROUP BY 1
-),
-exact AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_users FROM pairs GROUP BY 1
 ),
 est AS (
   SELECT event_type, n_registers,
          CAST(256 - n_registers AS INTEGER) AS v_empty,
          CAST(FLOOR({_HLL_C} / CAST(ssum + CAST(256 - n_registers AS BIGINT)
-                    * {1 << 48} AS DOUBLE) * 10000) AS BIGINT) AS raw_est_e4
+                    * {1 << 48} AS DOUBLE) * 10000) AS BIGINT) AS raw_est_e4,
+         exact_users
   FROM agg
 ),
 fin AS (
   SELECT event_type, n_registers, v_empty, raw_est_e4,
          CASE WHEN v_empty > 0 AND raw_est_e4 <= 6400000
               THEN CAST(FLOOR(256 * ROUND(LN(256.0 / v_empty), 6) * 10000) AS BIGINT)
-              ELSE raw_est_e4 END AS est_e4
+              ELSE raw_est_e4 END AS est_e4,
+         exact_users
   FROM est
 )
-SELECT f.event_type, f.n_registers, f.v_empty, f.raw_est_e4, f.est_e4,
-       e.exact_users, ABS(f.est_e4 - e.exact_users * 10000) AS abs_err_e4
-FROM fin f JOIN exact e USING (event_type)
-ORDER BY f.event_type
+SELECT event_type, n_registers, v_empty, raw_est_e4, est_e4,
+       exact_users, ABS(est_e4 - exact_users * 10000) AS abs_err_e4
+FROM fin
+ORDER BY event_type
 """
 
 QUERIES["events_hll_distinct"] = events_hll_distinct
