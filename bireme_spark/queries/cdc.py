@@ -590,6 +590,10 @@ def cdc_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w0 = Window.partitionBy("kafka_partition").orderBy("produce_time_ms", "seq")
     feed = ch.withColumn("kafka_offset", F.row_number().over(w0).cast("bigint"))
     hwm = feed.groupBy("kafka_partition").agg(F.max("kafka_offset").alias("hwm"))
+    # narrow (partition, offset, hwm) checkpoint: the interior/head/
+    # tail branches each re-ran the changelog build + row_number
+    # (plan audit: 24 orders scans); A/B at sf0.1 2.93 vs 3.07s,
+    # equal values — at scale the feed materializes once
     observed = feed.join(hwm, "kafka_partition").where(
         (F.col("kafka_offset") % 13 != 0)
         & ~((F.col("kafka_partition") == 1) & (F.col("kafka_offset") <= 2))
@@ -597,7 +601,7 @@ def cdc_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kafka_partition") % 2 == 0)
             & (F.col("kafka_offset") > F.col("hwm") - 2)
         )
-    )
+    ).select("kafka_partition", "kafka_offset", "hwm").localCheckpoint(eager=True)
     w = Window.partitionBy("kafka_partition").orderBy("kafka_offset")
     interior = (
         observed.select("kafka_partition", "kafka_offset")
@@ -610,8 +614,10 @@ def cdc_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     span = observed.groupBy("kafka_partition").agg(
-        F.min("kafka_offset").alias("lo"), F.max("kafka_offset").alias("hi")
-    ).join(hwm, "kafka_partition")
+        F.min("kafka_offset").alias("lo"),
+        F.max("kafka_offset").alias("hi"),
+        F.max("hwm").alias("hwm"),
+    )
     head = span.where(F.col("lo") > 1).select(
         "kafka_partition",
         F.lit(1).cast("bigint").alias("gap_start"),

@@ -432,11 +432,16 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = series.groupBy("event_type").agg(
         F.sum("x").alias("S"), F.count(F.lit(1)).alias("n")
     )
+    # dev feeds THREE branches (denominator, lag side, join side):
+    # checkpoint the series-sized frame so the raw stream collapses
+    # once — the plan audit counted 12 events scans through the
+    # duplicated lineage (A/B at sf0.1: 1.02 vs 1.04s, equal values;
+    # the scan collapse is the 100 TB win)
     dev = series.join(tot, "event_type").select(
         "event_type",
         "day",
         (F.col("n") * F.col("x") - F.col("S")).alias("d"),
-    )
+    ).localCheckpoint(eager=True)
     denom = dev.groupBy("event_type").agg(F.sum(F.col("d") * F.col("d")).alias("D"))
     lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
     lagged = dev.crossJoin(F.broadcast(lags)).select(
