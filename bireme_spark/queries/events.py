@@ -1050,7 +1050,10 @@ def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, 6dp-rounded.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    ut = ev.distinct()
+    # the distinct (user,type) frame feeds FOUR branches (both pair
+    # sides, marginals, user total): checkpoint so the stream
+    # collapses once (plan audit: 5 events scans)
+    ut = ev.distinct().localCheckpoint(eager=True)
     a = ut.select("user_id", F.col("event_type").alias("t_a"))
     b = ut.select("user_id", F.col("event_type").alias("t_b"))
     pairs = (

@@ -801,10 +801,14 @@ def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("total"))
     top = per_user.orderBy(F.col("total").desc(), "user_id").limit(k).select("user_id")
+    # candidate grid feeds both self-join sides (plan audit: 4 events
+    # scans through the duplicated prune+grid lineage): checkpoint the
+    # (day, user, n) frame — 20 users x |days|, tiny at any scale
     grid = (
         ev.join(F.broadcast(top), "user_id")
         .groupBy("day", "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     a = grid.select("day", F.col("user_id").alias("u_a"), F.col("n").alias("x"))
     b = grid.select("day", F.col("user_id").alias("u_b"), F.col("n").alias("y"))
