@@ -190,6 +190,7 @@ HEADLINE = [
     "corpus_soft_dedup_weight",
     "cdc_ddl_schema_timeline",
     "multimodal_dct_energy",
+    "embedding_silhouette",
 ]
 
 

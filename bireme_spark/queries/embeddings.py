@@ -1090,3 +1090,201 @@ ORDER BY pos
 
 QUERIES["embedding_power_iteration"] = embedding_power_iteration
 ORACLE["embedding_power_iteration"] = _power_iter_sql()
+
+
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled silhouette score (Rousseeuw 1987) per cluster — the
+    cluster-quality audit a pipeline runs after k-means partitioning
+    (dedup_semantic cells, IVF lists): s(i) = (b−a)/max(a,b) where a
+    = mean distance to own-cluster members and b = the best
+    other-cluster mean. Near-zero or negative means the clustering
+    doesn't separate the space. Deterministic end to end: 200
+    md5-ordered sample points (the TwoNN sampling discipline —
+    silhouette stabilizes at a few hundred points, so all-pairs work
+    is CONSTANT at any corpus size), centroids = the 4 smallest
+    vec_ids, assignment by 6dp-rounded squared distance with id
+    tie-break.
+
+    Engine-exact: distances close as na+nb−2·dot from left-to-right
+    folds (the proven cosine-oracle idiom), rounded 6dp BEFORE use;
+    per-(i,cluster) means are exact DECIMAL sums divided once in
+    IEEE; s(i) is FLOOR-quantized to e6 BEFORE the per-cluster mean
+    (never a shuffle-order double sum); singletons pin s=0.
+
+    Scale: sample is checkpointed once (it feeds centroids,
+    assignment, and both pair sides); everything after the one
+    39.8k-row pair fan-out is cluster-sized."""
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = (
+        e.orderBy(F.md5(F.concat(F.lit("s:"), F.col("vec_id").cast("string"))))
+        .limit(200)
+        .select("vec_id", "embedding", dot("embedding", "embedding").alias("nrm"))
+        .localCheckpoint(eager=True)
+    )
+    cent = s.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cand = s.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(F.col("nrm") + F.col("cn") - 2 * dot(F.col("embedding"), F.col("ce")), 6)
+        .cast("decimal(18,6)")
+        .alias("cd2"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("cd2").asc(), F.col("cid").asc())
+    )
+    asg = cand.withColumn("rn", rn).where(F.col("rn") == 1).select(
+        "vec_id", F.col("cid").alias("cluster")
+    )
+    b = s.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = s.join(b, F.col("vec_id") != F.col("vb")).select(
+        "vec_id",
+        "vb",
+        F.round(
+            F.col("nrm") + F.col("nb") - 2 * dot(F.col("embedding"), F.col("eb")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("d2"),
+    ).select(
+        "vec_id",
+        "vb",
+        F.expr(
+            "CAST(ROUND(SQRT(GREATEST(CAST(d2 AS DOUBLE), 0.0)), 6) AS DECIMAL(18,6))"
+        ).alias("d"),
+    )
+    labeled = (
+        pairs.join(asg, "vec_id")
+        .join(
+            asg.select(F.col("vec_id").alias("vb"), F.col("cluster").alias("cluster_b")),
+            "vb",
+        )
+    )
+    stats = labeled.groupBy("vec_id", "cluster", "cluster_b").agg(
+        F.sum("d").cast("decimal(28,6)").alias("sum_d"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    own = stats.where(F.col("cluster_b") == F.col("cluster")).select(
+        "vec_id", F.expr("CAST(sum_d AS DOUBLE) / cnt").alias("a_mean")
+    )
+    oth = (
+        stats.where(F.col("cluster_b") != F.col("cluster"))
+        .groupBy("vec_id")
+        .agg(F.min(F.expr("CAST(sum_d AS DOUBLE) / cnt")).alias("b_mean"))
+    )
+    sil = (
+        asg.join(own, "vec_id", "left")
+        .join(oth, "vec_id", "left")
+        .select(
+            "cluster",
+            F.expr(
+                "CASE WHEN a_mean IS NULL OR b_mean IS NULL"
+                " OR GREATEST(a_mean, b_mean) = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(FLOOR((b_mean - a_mean) / GREATEST(a_mean, b_mean)"
+                " * 1000000) AS BIGINT) END"
+            ).alias("s_e6"),
+        )
+    )
+    return (
+        sil.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("s_e6").alias("sum_s_e6"))
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_points",
+            F.expr("CAST(FLOOR(CAST(sum_s_e6 AS DOUBLE) / n_points) AS BIGINT)").alias(
+                "mean_sil_e6"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+EMBEDDING_SILHOUETTE_SQL = """
+WITH s0 AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5('s:' || CAST(vec_id AS VARCHAR)) LIMIT 200
+),
+s AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         (SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+          FROM unnest(embedding) AS u(x)) AS nrm
+  FROM s0
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+  FROM s ORDER BY vec_id LIMIT 4
+),
+cand AS (
+  SELECT s.vec_id, cent.cid,
+         CAST(ROUND(s.nrm + cent.cn - 2 * (
+           SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           FROM (SELECT unnest(s.embedding) AS x, unnest(cent.ce) AS y) z
+         ), 6) AS DECIMAL(18,6)) AS cd2
+  FROM s, cent
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd2 ASC, cid ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS vb,
+         CAST(ROUND(SQRT(GREATEST(CAST(
+           CAST(ROUND(a.nrm + b.nrm - 2 * (
+             SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+             FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z
+           ), 6) AS DECIMAL(18,6))
+         AS DOUBLE), 0.0)), 6) AS DECIMAL(18,6)) AS d
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id
+),
+stats AS MATERIALIZED (
+  SELECT p.vec_id, ia.cluster, ib.cluster AS cluster_b,
+         CAST(SUM(p.d) AS DECIMAL(28,6)) AS sum_d, COUNT(*) AS cnt
+  FROM pairs p
+  JOIN asg ia ON ia.vec_id = p.vec_id
+  JOIN asg ib ON ib.vec_id = p.vb
+  GROUP BY 1, 2, 3
+),
+own AS (
+  SELECT vec_id, CAST(sum_d AS DOUBLE) / cnt AS a_mean
+  FROM stats WHERE cluster_b = cluster
+),
+oth AS (
+  SELECT vec_id, MIN(CAST(sum_d AS DOUBLE) / cnt) AS b_mean
+  FROM stats WHERE cluster_b <> cluster GROUP BY 1
+),
+sil AS (
+  SELECT asg.cluster,
+         CASE WHEN own.a_mean IS NULL OR oth.b_mean IS NULL
+              OR GREATEST(own.a_mean, oth.b_mean) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR((oth.b_mean - own.a_mean)
+                   / GREATEST(own.a_mean, oth.b_mean) * 1000000) AS BIGINT) END AS s_e6
+  FROM asg
+  LEFT JOIN own ON own.vec_id = asg.vec_id
+  LEFT JOIN oth ON oth.vec_id = asg.vec_id
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_points,
+       CAST(FLOOR(CAST(SUM(s_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_sil_e6
+FROM sil
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+QUERIES["embedding_silhouette"] = embedding_silhouette
+ORACLE["embedding_silhouette"] = EMBEDDING_SILHOUETTE_SQL

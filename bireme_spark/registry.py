@@ -77,6 +77,7 @@ _NEW_THIS_ROUND = frozenset(
         "corpus_soft_dedup_weight",
         "cdc_ddl_schema_timeline",
         "multimodal_dct_energy",
+        "embedding_silhouette",
     }
 )
 
