@@ -659,7 +659,13 @@ def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate those cells; everything after is |sources|×|langs|
     rows with broadcast-sized joins."""
     d = load_table(spark, sf_dir, "documents")
-    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # |sources|x|langs| cell table feeds FOUR branches: checkpoint so
+    # the corpus collapses once (plan audit: 4 documents scans)
+    cells = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     src_tot = cells.groupBy("source").agg(F.sum("c").alias("ns"))
     lang_tot = cells.groupBy("lang").agg(F.sum("c").alias("nl"))
     grand = cells.agg(F.sum("c").alias("N"))
