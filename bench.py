@@ -191,6 +191,7 @@ HEADLINE = [
     "cdc_ddl_schema_timeline",
     "multimodal_dct_energy",
     "embedding_silhouette",
+    "customers_mahalanobis_outliers",
 ]
 
 

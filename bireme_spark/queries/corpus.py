@@ -296,26 +296,36 @@ def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reproducible across runs/engines, no RNG."""
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    tot = counts.agg(
-        F.sum("n_s").alias("n_total"), F.sum(F.sqrt("n_s")).alias("sum_sqrt")
-    )
-    rates = counts.crossJoin(F.broadcast(tot)).select(
+    # sqrt weights as e6-scaled INTEGERS summed exactly: the old
+    # SUM(sqrt(n_s)) double fold was shuffle-order-dependent, and
+    # with equal-sized sources keep_rate*MOD sits EXACTLY on the
+    # FLOOR boundary (0.25*100) — one ulp of sum wobble flipped the
+    # row count between runs (caught by a full-gate sf0.1 run in r6).
+    # threshold = (MOD * n_total * s_i) DIV (4 * S * n_s) is pure
+    # integer on both engines (alpha = 1/4), capped at MOD.
+    sq = counts.select(
         "source",
-        F.least(
-            F.lit(1.0),
-            F.lit(_MIX_ALPHA_TARGET)
-            * F.col("n_total")
-            * (F.sqrt("n_s") / F.col("sum_sqrt"))
-            / F.col("n_s"),
-        ).alias("keep_rate"),
+        "n_s",
+        F.expr("CAST(ROUND(SQRT(n_s) * 1000000, 0) AS BIGINT)").alias("s_e6"),
+    )
+    tot = sq.agg(
+        F.sum("n_s").alias("n_total"), F.sum("s_e6").alias("sum_s_e6")
+    )
+    rates = sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            f"LEAST(CAST({_MIX_MOD} AS BIGINT),"
+            f" ({_MIX_MOD} * n_total * s_e6) DIV (4 * sum_s_e6 * n_s))"
+        ).alias("thr"),
     )
     return (
         d.join(F.broadcast(rates), "source")
-        .where(
-            F.pmod(F.col("doc_id"), F.lit(_MIX_MOD))
-            < F.floor(F.col("keep_rate") * _MIX_MOD)
+        .where(F.pmod(F.col("doc_id"), F.lit(_MIX_MOD)) < F.col("thr"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"CAST(thr AS DOUBLE) / {_MIX_MOD}").alias("keep_rate"),
         )
-        .select("doc_id", "source", F.round("keep_rate", 6).alias("keep_rate"))
         .orderBy("source", "doc_id")
     )
 
@@ -323,17 +333,23 @@ def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_MIX_SQL = f"""
 WITH counts AS (
   SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), sq AS (
+  SELECT source, n_s,
+         CAST(ROUND(sqrt(n_s) * 1000000, 0) AS BIGINT) AS s_e6
+  FROM counts
 ), tot AS (
-  SELECT SUM(n_s) AS n_total, SUM(sqrt(n_s)) AS sum_sqrt FROM counts
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+         CAST(SUM(s_e6) AS BIGINT) AS sum_s_e6
+  FROM sq
 ), rates AS (
   SELECT source,
-         LEAST(1.0, {_MIX_ALPHA_TARGET} * n_total * (sqrt(n_s) / sum_sqrt) / n_s)
-           AS keep_rate
-  FROM counts, tot
+         LEAST(CAST({_MIX_MOD} AS BIGINT),
+               ({_MIX_MOD} * n_total * s_e6) // (4 * sum_s_e6 * n_s)) AS thr
+  FROM sq, tot
 )
-SELECT d.doc_id, d.source, ROUND(r.keep_rate, 6) AS keep_rate
+SELECT d.doc_id, d.source, CAST(r.thr AS DOUBLE) / {_MIX_MOD} AS keep_rate
 FROM documents d JOIN rates r USING (source)
-WHERE d.doc_id % {_MIX_MOD} < FLOOR(r.keep_rate * {_MIX_MOD})
+WHERE d.doc_id % {_MIX_MOD} < r.thr
 ORDER BY source, doc_id
 """
 

@@ -4153,3 +4153,110 @@ FROM m
 
 QUERIES["orders_capture_recapture"] = orders_capture_recapture
 ORACLE["orders_capture_recapture"] = ORDERS_CAPTURE_SQL
+
+
+def customers_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier detection: 2-D Mahalanobis distance of
+    each customer's (order count, total spend) from the population —
+    the covariance-aware screen that catches a customer whose COMBO
+    is anomalous (few orders, huge spend) even when each marginal
+    looks normal; z-score screens (events_anomaly_zscore) are blind
+    to exactly that correlation. Emits the top-10 by distance.
+
+    Exactness: with integer features (spend in 100-dollar units) the
+    whole quadratic form is INTEGER — deviations as n·v−Σv, the
+    scatter matrix M = [[nΣx²−Sx², nΣxy−SxSy], [·, nΣy²−Sy²]], and
+    d²·1e4 = (num·1e4·(n−1)) DIV (n·det(M)) with
+    num = dx²Myy − 2dxdyMxy + dy²Mxx — one integer floor-division,
+    no doubles anywhere. Spark runs it in DECIMAL(38,0) (every
+    intermediate < 1e37 at test scale; rescale units for n ≫ 1e6 —
+    the statistic is unit-invariant), DuckDB in HUGEINT.
+
+    Scale: ONE customer-level agg collapses orders; the moment
+    totals are a broadcast scalar row; scoring is map-side; top-10
+    is a TakeOrdered. No global sort, no second scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.expr("CAST(SUM(cents) AS BIGINT) DIV 10000").alias("y"),
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    scored = cust.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "x",
+        "y",
+        F.expr(
+            f"""CAST((({d.format('n * x - sx')} * {d.format('n * x - sx')}
+                 * ({d.format('n')} * syy - {d.format('sy')} * sy)
+               - 2 * {d.format('n * x - sx')} * ({d.format('n')} * y - {d.format('sy')})
+                 * ({d.format('n')} * sxy - {d.format('sx')} * sy)
+               + ({d.format('n')} * y - {d.format('sy')})
+                 * ({d.format('n')} * y - {d.format('sy')})
+                 * ({d.format('n')} * sxx - {d.format('sx')} * sx))
+              * {d.format('n - 1')} * 10000)
+             DIV ({d.format('n')}
+                  * (({d.format('n')} * sxx - {d.format('sx')} * sx)
+                     * ({d.format('n')} * syy - {d.format('sy')} * sy)
+                   - ({d.format('n')} * sxy - {d.format('sx')} * sy)
+                     * ({d.format('n')} * sxy - {d.format('sx')} * sy)))
+             AS BIGINT)"""
+        ).alias("d2_e4"),
+    )
+    return (
+        scored.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("x").cast("bigint").alias("n_orders"),
+            F.col("y").cast("bigint").alias("spend_hundreds"),
+            "d2_e4",
+        )
+        .orderBy(F.col("d2_e4").desc(), "custkey")
+        .limit(10)
+    )
+
+
+MAHALANOBIS_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS HUGEINT) AS x,
+         CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) // 10000 AS HUGEINT) AS y
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM cust
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(x AS BIGINT) AS n_orders,
+       CAST(y AS BIGINT) AS spend_hundreds,
+       CAST((((n * x - sx) * (n * x - sx) * (n * syy - sy * sy)
+            - 2 * (n * x - sx) * (n * y - sy) * (n * sxy - sx * sy)
+            + (n * y - sy) * (n * y - sy) * (n * sxx - sx * sx))
+            * (n - 1) * 10000)
+           // (n * ((n * sxx - sx * sx) * (n * syy - sy * sy)
+                  - (n * sxy - sx * sy) * (n * sxy - sx * sy)))
+           AS BIGINT) AS d2_e4
+FROM cust CROSS JOIN tot
+ORDER BY d2_e4 DESC, custkey
+LIMIT 10
+"""
+
+QUERIES["customers_mahalanobis_outliers"] = customers_mahalanobis_outliers
+ORACLE["customers_mahalanobis_outliers"] = MAHALANOBIS_SQL

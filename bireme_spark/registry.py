@@ -78,6 +78,7 @@ _NEW_THIS_ROUND = frozenset(
         "cdc_ddl_schema_timeline",
         "multimodal_dct_energy",
         "embedding_silhouette",
+        "customers_mahalanobis_outliers",
     }
 )
 
