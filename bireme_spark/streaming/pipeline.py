@@ -165,6 +165,30 @@ def _read_manifest(target_dir: str) -> dict[int, int] | None:
         ) from e
 
 
+def _read_committed_batch(target_dir: str) -> int | None:
+    """batch_id recorded by the last manifest commit (None when no
+    manifest exists)."""
+    import json
+
+    path = os.path.join(target_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        b = doc.get("committed_batch") if isinstance(doc, dict) else None
+        return int(b) if b is not None else None
+    except (OSError, ValueError, TypeError):
+        return None
+
+
+class StaleWriterError(RuntimeError):
+    """A writer presented a batch_id OLDER than the committed one —
+    the zombie-writer signature (a superseded job attempting to
+    clobber a newer epoch's commit). The sink refuses; only the
+    current epoch may advance the manifest."""
+
+
 def _write_manifest(target_dir: str, versions: dict[int, int], batch_id: int) -> None:
     """THE commit point of a micro-batch: the bucket version dirs are
     staged first, then this single ``os.replace`` (atomic on POSIX)
@@ -457,6 +481,7 @@ def _write_changed_buckets(
     merged: DataFrame,
     changed: Sequence[int],
     batch_id: int,
+    fence: bool = False,
 ) -> None:
     """One job writes every changed bucket's rows; renames slot each
     bucket dir in as its next version (empty buckets — all keys
@@ -472,6 +497,22 @@ def _write_changed_buckets(
     state, so the foreachBatch re-run reads the SAME base it read the
     first time (``next_v`` skips past orphans to avoid collisions)."""
     _migrate_legacy_layout(target_dir)  # idempotent; writer-side only
+    # OPT-IN writer fencing (Delta txn-version twin): with fence=True a
+    # batch_id BELOW the committed one is treated as a zombie — a
+    # superseded writer epoch racing a newer one — and refused. EQUAL
+    # is always allowed (a foreachBatch retry replays the same
+    # batch_id; merges are value-idempotent on the same input). The
+    # default stays unfenced because deliberate FULL REPLAY after
+    # checkpoint loss re-presents old batch ids by design
+    # (tests/test_streaming.py replay-idempotence contract) — fence
+    # only when writer epochs are externally managed.
+    if fence:
+        committed_batch = _read_committed_batch(target_dir)
+        if committed_batch is not None and batch_id < committed_batch:
+            raise StaleWriterError(
+                f"stale writer fenced: batch {batch_id} < committed {committed_batch}"
+                f" at {target_dir!r}"
+            )
     versions = _read_manifest(target_dir)
     if versions is None:  # legacy target: adopt the visible dirs
         versions = {

@@ -378,3 +378,41 @@ def test_shallow_clone_then_write_divergence(spark, tmp_path):
     erase_predicate(spark, clone, F.col("grp") == 0, batch_id=2)
     assert read_state(spark, clone).where("grp = 0").count() == 0
     assert read_state(spark, origin).where("grp = 0").count() > 0
+
+
+def test_stale_writer_is_fenced(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bireme_spark.streaming.pipeline import (
+        StaleWriterError,
+        _bucket_col,
+        _read_manifest,
+        _write_changed_buckets,
+        read_state,
+    )
+
+    target = _build_sink(spark, tmp_path)  # commits batch_id=1
+    df = spark.range(500, 510).select(
+        F.col("id").cast("string").alias("key"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("val"),
+    ).withColumn("_sb", _bucket_col("key", 4))
+    _write_changed_buckets(spark, target, df, list(range(4)), batch_id=5)
+    v_after = dict(_read_manifest(target))
+    rows_after = read_state(spark, target).count()
+
+    # zombie epoch: batch 3 < committed 5 must refuse and change nothing
+    with pytest.raises(StaleWriterError):
+        _write_changed_buckets(spark, target, df, list(range(4)), batch_id=3, fence=True)
+    assert _read_manifest(target) == v_after
+    assert read_state(spark, target).count() == rows_after
+
+    # equal batch_id is a foreachBatch RETRY and must be allowed even fenced
+    _write_changed_buckets(spark, target, df, list(range(4)), batch_id=5, fence=True)
+    assert read_state(spark, target).count() == rows_after
+
+    # UNfenced lower batch_id stays allowed: deliberate full replay
+    # after checkpoint loss re-presents old ids (value-idempotent)
+    _write_changed_buckets(spark, target, df, list(range(4)), batch_id=3)
+    assert read_state(spark, target).count() == rows_after
