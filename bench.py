@@ -192,6 +192,7 @@ HEADLINE = [
     "multimodal_dct_energy",
     "embedding_silhouette",
     "customers_mahalanobis_outliers",
+    "events_granger_causality",
 ]
 
 

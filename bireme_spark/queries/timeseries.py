@@ -4071,3 +4071,177 @@ ORDER BY lag
 
 QUERIES["events_lag_mutual_information"] = events_lag_mutual_information
 ORACLE["events_lag_mutual_information"] = LAG_MI_SQL
+
+
+# Shared Granger F-statistic arithmetic: scatter-matrix entries are
+# EXACT BIGINTs (n-scaled covariance integers, the ACF discipline);
+# the closing Cramer-rule chain runs in doubles — identical inputs +
+# identical op order ⇒ identical IEEE results on both engines; the
+# smooth F gets one-shot 6dp rounding.
+_GRANGER_F = (
+    "CASE WHEN s11 <= 0 OR (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12) <= 0"
+    " THEN NULL ELSE ROUND("
+    " ((CAST(syy AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / s11)"
+    "  - (CAST(syy AS DOUBLE)"
+    "     - ((CAST(sy1 AS DOUBLE) * s22 - CAST(sy2 AS DOUBLE) * s12) * sy1"
+    "        + (CAST(sy2 AS DOUBLE) * s11 - CAST(sy1 AS DOUBLE) * s12) * sy2)"
+    "       / (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)))"
+    " * (n - 3)"
+    " / (CAST(syy AS DOUBLE)"
+    "    - ((CAST(sy1 AS DOUBLE) * s22 - CAST(sy2 AS DOUBLE) * s12) * sy1"
+    "       + (CAST(sy2 AS DOUBLE) * s11 - CAST(sy1 AS DOUBLE) * s12) * sy2)"
+    "      / (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)), 6) END"
+)
+
+
+def events_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality at lag 1 between the hourly click and
+    purchase series, BOTH directions: does yesterday's x improve the
+    AR(1) forecast of y? F = ((RSS_r − RSS_a)/1)/(RSS_a/(T−3)) from
+    the restricted (y ~ y₋₁) vs augmented (y ~ y₋₁ + x₋₁)
+    regressions — the DIRECTIONAL complement to the symmetric
+    dependence family (events_autocorrelation linear,
+    events_lag_mutual_information nonlinear).
+
+    Engine-exact: the two series collapse once to 720 integers
+    (checkpointed — ONE fact scan); every scatter entry is an exact
+    n-scaled BIGINT (the ACF integer-deviation discipline); the
+    closing Cramer chain is a SHARED generated expression evaluated
+    identically by both engines, one-shot 6dp-rounded (smooth
+    statistic, no grid ties).
+
+    Scale: all regression work happens on the constant 719-row lag
+    frame; the output is 2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("unix_micros(ts) DIV 3600000000") - 473352
+    counts = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .select(t.alias("t"), "event_type")
+        .where((F.col("t") >= 0) & (F.col("t") < 720))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("xc"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "yc"
+            ),
+        )
+    )
+    spine = spark.range(720).select(F.col("id").alias("t"))
+    series = (
+        spine.join(counts, "t", "left")
+        .select(
+            "t",
+            F.coalesce("xc", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("yc", F.lit(0)).cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev = series.select(
+        (F.col("t") + 1).alias("t"), F.col("x").alias("xp"), F.col("y").alias("yp")
+    )
+    lagged = series.join(prev, "t")
+    dirs = lagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click_causes_purchase").alias("direction"),
+                    F.col("y").alias("dep"),
+                    F.col("yp").alias("l1"),
+                    F.col("xp").alias("l2"),
+                ),
+                F.struct(
+                    F.lit("purchase_causes_click").alias("direction"),
+                    F.col("x").alias("dep"),
+                    F.col("xp").alias("l1"),
+                    F.col("yp").alias("l2"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.direction", "s.dep", "s.l1", "s.l2")
+    sums = dirs.groupBy("direction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dep").alias("sd"),
+        F.sum("l1").alias("sl1"),
+        F.sum("l2").alias("sl2"),
+        F.sum(F.expr("dep * dep")).alias("sdd"),
+        F.sum(F.expr("dep * l1")).alias("sdl1"),
+        F.sum(F.expr("dep * l2")).alias("sdl2"),
+        F.sum(F.expr("l1 * l1")).alias("sl11"),
+        F.sum(F.expr("l2 * l2")).alias("sl22"),
+        F.sum(F.expr("l1 * l2")).alias("sl12"),
+    )
+    scatter = sums.select(
+        "direction",
+        "n",
+        F.expr("n * sdd - sd * sd").alias("syy"),
+        F.expr("n * sdl1 - sd * sl1").alias("sy1"),
+        F.expr("n * sdl2 - sd * sl2").alias("sy2"),
+        F.expr("n * sl11 - sl1 * sl1").alias("s11"),
+        F.expr("n * sl22 - sl2 * sl2").alias("s22"),
+        F.expr("n * sl12 - sl1 * sl2").alias("s12"),
+    )
+    return (
+        scatter.select(
+            "direction",
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.expr(_GRANGER_F).alias("f_stat"),
+        )
+        .orderBy("direction")
+    )
+
+
+GRANGER_SQL = f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // 3600000000 - 473352 AS t,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS xc,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS yc
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+    AND epoch_us(ts) // 3600000000 - 473352 >= 0
+    AND epoch_us(ts) // 3600000000 - 473352 < 720
+  GROUP BY 1
+),
+series AS MATERIALIZED (
+  SELECT g.t, CAST(COALESCE(c.xc, 0) AS BIGINT) AS x,
+         CAST(COALESCE(c.yc, 0) AS BIGINT) AS y
+  FROM (SELECT UNNEST(range(0, 720)) AS t) g LEFT JOIN counts c ON c.t = g.t
+),
+lagged AS (
+  SELECT a.t, a.x, a.y, b.x AS xp, b.y AS yp
+  FROM series a JOIN series b ON a.t = b.t + 1
+),
+dirs AS (
+  SELECT 'click_causes_purchase' AS direction, y AS dep, yp AS l1, xp AS l2 FROM lagged
+  UNION ALL
+  SELECT 'purchase_causes_click' AS direction, x AS dep, xp AS l1, yp AS l2 FROM lagged
+),
+sums AS (
+  SELECT direction, COUNT(*) AS n,
+         CAST(SUM(dep) AS BIGINT) AS sd, CAST(SUM(l1) AS BIGINT) AS sl1,
+         CAST(SUM(l2) AS BIGINT) AS sl2,
+         CAST(SUM(dep * dep) AS BIGINT) AS sdd,
+         CAST(SUM(dep * l1) AS BIGINT) AS sdl1,
+         CAST(SUM(dep * l2) AS BIGINT) AS sdl2,
+         CAST(SUM(l1 * l1) AS BIGINT) AS sl11,
+         CAST(SUM(l2 * l2) AS BIGINT) AS sl22,
+         CAST(SUM(l1 * l2) AS BIGINT) AS sl12
+  FROM dirs GROUP BY 1
+),
+scatter AS (
+  SELECT direction, n,
+         n * sdd - sd * sd AS syy,
+         n * sdl1 - sd * sl1 AS sy1,
+         n * sdl2 - sd * sl2 AS sy2,
+         n * sl11 - sl1 * sl1 AS s11,
+         n * sl22 - sl2 * sl2 AS s22,
+         n * sl12 - sl1 * sl2 AS s12
+  FROM sums
+)
+SELECT direction, CAST(n AS BIGINT) AS n_obs,
+       {_GRANGER_F} AS f_stat
+FROM scatter
+ORDER BY direction
+"""
+
+QUERIES["events_granger_causality"] = events_granger_causality
+ORACLE["events_granger_causality"] = GRANGER_SQL

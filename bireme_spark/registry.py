@@ -79,6 +79,7 @@ _NEW_THIS_ROUND = frozenset(
         "multimodal_dct_energy",
         "embedding_silhouette",
         "customers_mahalanobis_outliers",
+        "events_granger_causality",
     }
 )
 
