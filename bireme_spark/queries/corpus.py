@@ -313,9 +313,13 @@ def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rates = sq.crossJoin(F.broadcast(tot)).select(
         "source",
+        # threshold numerator is MOD * n_total * s_e6 ~ 1e2*1e9*3e10
+        # at 1e9 docs — past BIGINT; run the integer division in
+        # DECIMAL(38,0) (HUGEINT on DuckDB) like mahalanobis does
         F.expr(
             f"LEAST(CAST({_MIX_MOD} AS BIGINT),"
-            f" ({_MIX_MOD} * n_total * s_e6) DIV (4 * sum_s_e6 * n_s))"
+            f" CAST((CAST({_MIX_MOD} AS DECIMAL(38,0)) * n_total * s_e6)"
+            f" DIV (CAST(4 AS DECIMAL(38,0)) * sum_s_e6 * n_s) AS BIGINT))"
         ).alias("thr"),
     )
     return (
@@ -344,7 +348,8 @@ WITH counts AS (
 ), rates AS (
   SELECT source,
          LEAST(CAST({_MIX_MOD} AS BIGINT),
-               ({_MIX_MOD} * n_total * s_e6) // (4 * sum_s_e6 * n_s)) AS thr
+               CAST((CAST({_MIX_MOD} AS HUGEINT) * n_total * s_e6)
+                    // (CAST(4 AS HUGEINT) * sum_s_e6 * n_s) AS BIGINT)) AS thr
   FROM sq, tot
 )
 SELECT d.doc_id, d.source, CAST(r.thr AS DOUBLE) / {_MIX_MOD} AS keep_rate

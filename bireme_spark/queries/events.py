@@ -2676,11 +2676,16 @@ _HLL_RHO_CASE = (
     + " ".join(f"WHEN w >= {1 << (47 - k)} THEN {k + 1}" for k in range(48))
     + " ELSE 49 END"
 )
-# alpha_256 * m^2 * 2^48 (the HLL bias constant folded with the
+# alpha_256 * m^2 * 2^49 (the HLL bias constant folded with the
 # register-sum scaling): one double literal parsed identically by both
 # engines; the estimate is then a SINGLE IEEE division by the exact
-# integer register sum.
-_HLL_C = repr(0.7213 / (1 + 1.079 / 256) * 65536.0 * float(1 << 48))
+# integer register sum. The scale MUST match the register terms:
+# occupied registers contribute 2^(49-M) (M ranges 1..49, so the
+# largest term is 2^48) and EMPTY registers contribute 2^(49-0) =
+# 2^49 — round 6 shipped empties and this constant at 2^48, which
+# halved the raw estimate outside the linear-counting regime
+# (ADVICE r6, high).
+_HLL_C = repr(0.7213 / (1 + 1.079 / 256) * 65536.0 * float(1 << 49))
 # Σ_{i=3..14} nibble_i * 16^(14-i): DuckDB lacks conv(), so the 48-bit
 # tail is a generated positional sum over the md5 hex string `h`.
 _HLL_W_DUCK = " + ".join(
@@ -2741,7 +2746,7 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(256) - F.col("n_registers")).cast("int").alias("v_empty"),
         F.expr(
             f"CAST(FLOOR({_HLL_C} / CAST(ssum + CAST(256 - n_registers AS BIGINT)"
-            f" * {1 << 48} AS DOUBLE) * 10000) AS BIGINT)"
+            f" * {1 << 49} AS DOUBLE) * 10000) AS BIGINT)"
         ).alias("raw_est_e4"),
         "exact_users",
     ).select(
@@ -2795,7 +2800,7 @@ est AS (
   SELECT event_type, n_registers,
          CAST(256 - n_registers AS INTEGER) AS v_empty,
          CAST(FLOOR({_HLL_C} / CAST(ssum + CAST(256 - n_registers AS BIGINT)
-                    * {1 << 48} AS DOUBLE) * 10000) AS BIGINT) AS raw_est_e4,
+                    * {1 << 49} AS DOUBLE) * 10000) AS BIGINT) AS raw_est_e4,
          exact_users
   FROM agg
 ),

@@ -65,21 +65,10 @@ _SLOW = frozenset(
 # query, before the already-recorded ones.
 _NEW_THIS_ROUND = frozenset(
     {
-        # (reset at round-6 open: the r5 cohort now ranks as plain
-        # never-recorded so it drains into the driver gate first —
-        # VERDICT r5 item 1. Round-6 additions below.)
-        "sink_erase_predicate",
-        "sink_shallow_clone",
-        "events_hll_distinct",
-        "events_matrix_profile",
-        "events_lag_mutual_information",
-        "text_kneser_ney",
-        "corpus_soft_dedup_weight",
-        "cdc_ddl_schema_timeline",
-        "multimodal_dct_energy",
-        "embedding_silhouette",
-        "customers_mahalanobis_outliers",
-        "events_granger_causality",
+        # (reset at round-7 open: the r6 cohort now ranks as plain
+        # never-recorded — it joins the 62 pre-r6 pending queries in
+        # the drain queue. Round-7 additions below rank after ALL of
+        # them so the driver-record debt keeps draining first.)
     }
 )
 

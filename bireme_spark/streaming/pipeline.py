@@ -50,6 +50,7 @@ options bireme's consumer config maps to (``KafkaPipeLine.java:
 
 from __future__ import annotations
 
+import errno
 import os
 import shutil
 from collections.abc import Sequence
@@ -381,7 +382,12 @@ def shallow_clone(src_dir: str, dst_dir: str, batch_id: int = 1) -> dict[str, in
             try:
                 os.link(s, d)
                 stats["files_linked"] += 1
-            except OSError:  # cross-device / FS without hardlinks
+            except OSError as exc:
+                # copy ONLY for cross-device / no-hardlink filesystems;
+                # a pre-existing destination (EEXIST) means a dirty or
+                # reused dst_dir and must fail, not be papered over
+                if exc.errno not in (errno.EXDEV, errno.EPERM, errno.EOPNOTSUPP):
+                    raise
                 shutil.copy2(s, d)
                 stats["files_copied"] += 1
             stats["bytes_shared"] += os.path.getsize(s)

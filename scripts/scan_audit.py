@@ -14,11 +14,12 @@ Usage: python scripts/scan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 from collections import Counter
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bireme_spark import registry
 from bireme_spark.session import get_spark
