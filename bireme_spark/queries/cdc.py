@@ -2619,3 +2619,372 @@ ORDER BY 1
 
 QUERIES["cdc_ddl_schema_timeline"] = cdc_ddl_schema_timeline
 ORACLE["cdc_ddl_schema_timeline"] = CDC_DDL_TIMELINE_SQL
+
+
+# ---------------------------------------------------------------------------
+# jdbc_partition_bounds — balanced split ranges for a parallel JDBC pull
+# ---------------------------------------------------------------------------
+
+_JDBC_N_PARTS = 8
+_JDBC_KEY_BUCKET = 64  # range-histogram granularity on l_orderkey
+
+
+def jdbc_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-balanced predicate ranges for a parallel JDBC pull of
+    ``lineitem`` on ``l_orderkey`` — the planning step Spark's naive
+    ``spark.read.jdbc(partitionColumn, lowerBound, upperBound,
+    numPartitions)`` even-WIDTH splitter gets wrong under key skew
+    (the reference pulls whole tables through a loader pool,
+    ``LoadTask``/getConnection pooling in Loader.java; a Spark
+    rebuild pulls ranges in parallel and needs them row-balanced).
+
+    House histogram-CDF pattern: collapse 7 rows/key lineitem to a
+    RANGE histogram (key DIV 64 buckets — bounded cells at any
+    scale), run the cumulative window on histogram-sized data only,
+    and cut at bucket granularity where cum_before * N DIV total
+    crosses the partition index. Emits per-partition inclusive lo /
+    exclusive hi key bounds + exact row counts; consecutive ranges
+    stitch gapless by construction (hi_excl(p) <= lo(p+1), absent
+    keys between them match no rows)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey DIV {_JDBC_KEY_BUCKET}").alias("b")
+    )
+    hist = li.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "b",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    pid = cum.select(
+        F.expr(f"(cum_before * {_JDBC_N_PARTS}) DIV total").alias("partition_id"),
+        "b",
+        "cnt",
+    )
+    return (
+        pid.groupBy("partition_id")
+        .agg(
+            (F.min("b") * _JDBC_KEY_BUCKET).alias("lo_key"),
+            ((F.max("b") + 1) * _JDBC_KEY_BUCKET).alias("hi_key_excl"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+JDBC_PARTITION_BOUNDS_SQL = f"""
+WITH hist AS (
+  SELECT l_orderkey // {_JDBC_KEY_BUCKET} AS b, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT b, cnt,
+         SUM(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+         SUM(cnt) OVER () AS total
+  FROM hist
+)
+SELECT CAST((cum_before * {_JDBC_N_PARTS}) // total AS BIGINT) AS partition_id,
+       MIN(b) * {_JDBC_KEY_BUCKET} AS lo_key,
+       (MAX(b) + 1) * {_JDBC_KEY_BUCKET} AS hi_key_excl,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["jdbc_partition_bounds"] = jdbc_partition_bounds
+ORACLE["jdbc_partition_bounds"] = JDBC_PARTITION_BOUNDS_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_format_autodetect — shape-based routing of a mixed-format stream
+# ---------------------------------------------------------------------------
+
+
+def cdc_format_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route a MIXED CDC stream — Maxwell, Debezium-JSON and
+    Debezium-MongoDB envelopes interleaved on one topic — by envelope
+    SHAPE, then parse each slice with its real parser. The reference
+    fixes the format per pipeline at config time
+    (``Config.java`` source types, README.md:7-9 maxwell/debezium/
+    mongo); a consolidation topic that carries several upstreams
+    needs per-record detection. Detection looks ONLY at structure:
+    top-level ``database``+``type`` => Maxwell; ``payload.op`` with
+    an OBJECT after/before => Debezium-JSON; ``payload.op`` with a
+    STRING (extended-JSON) after/before => Debezium-Mongo — never at
+    the fixture's generation rule, which the oracle re-derives
+    arithmetically.
+
+    Scale: detection + routing is pure map-side JVM (three
+    get_json_object probes per record, no shuffle); each slice then
+    pays exactly its own parser. The final rollup is the only
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    fmt = F.col("o_orderkey") % 3
+    op_m = (
+        F.when(F.col("o_orderkey") % 5 == 0, "delete")
+        .when(F.col("o_orderkey") % 7 == 0, "update")
+        .otherwise("insert")
+    )
+    op_d = (
+        F.when(F.col("o_orderkey") % 5 == 0, "d")
+        .when(F.col("o_orderkey") % 7 == 0, "u")
+        .otherwise("c")
+    )
+    data = F.struct(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+    maxwell_env = F.to_json(
+        F.struct(
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            op_m.alias("type"),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+            data.alias("data"),
+        )
+    )
+    dbz_env = F.to_json(
+        F.struct(
+            F.struct(
+                op_d.alias("op"),
+                (F.unix_timestamp("o_orderdate") * 1000).alias("ts_ms"),
+                F.when(op_d == "d", data).alias("before"),
+                F.when(op_d != "d", data).alias("after"),
+            ).alias("payload")
+        )
+    )
+    mongo_doc = F.to_json(
+        F.struct(
+            F.struct(F.col("o_orderkey").cast("string").alias("$numberLong")).alias(
+                "o_orderkey"
+            ),
+            F.col("o_totalprice").alias("o_totalprice"),
+        )
+    )
+    mongo_env = F.to_json(
+        F.struct(
+            F.struct(
+                op_d.alias("op"),
+                (F.unix_timestamp("o_orderdate") * 1000).alias("ts_ms"),
+                F.when(op_d == "d", mongo_doc).alias("before"),
+                F.when(op_d != "d", mongo_doc).alias("after"),
+            ).alias("payload")
+        )
+    )
+    raw = o.select(
+        F.when(fmt == 0, maxwell_env)
+        .when(fmt == 1, dbz_env)
+        .otherwise(mongo_env)
+        .alias("value")
+    )
+    # --- shape-only detection (no access to the fmt tag) ---
+    detected = raw.select(
+        "value",
+        F.when(
+            F.get_json_object("value", "$.database").isNotNull()
+            & F.get_json_object("value", "$.type").isNotNull(),
+            "maxwell",
+        )
+        .when(
+            F.get_json_object("value", "$.payload.op").isNotNull()
+            & (
+                F.get_json_object("value", "$.payload.after.o_orderkey").isNotNull()
+                | F.get_json_object("value", "$.payload.before.o_orderkey").isNotNull()
+            ),
+            "debezium",
+        )
+        .when(F.get_json_object("value", "$.payload.op").isNotNull(), "debezium-mongo")
+        .otherwise("unknown")
+        .alias("format"),
+    )
+    data_schema = StructType().add("o_orderkey", "long").add("o_totalprice", "double")
+    from bireme_spark.sources.debezium import parse_debezium_mongo
+
+    parsed_m = parse_maxwell(
+        detected.where(F.col("format") == "maxwell"), "value", data_schema,
+        key_fields=("o_orderkey",),
+    ).select(F.lit("maxwell").alias("format"), "op", "data")
+    parsed_d = parse_debezium(
+        detected.where(F.col("format") == "debezium"), "value", data_schema,
+        key_fields=("o_orderkey",),
+    ).select(F.lit("debezium").alias("format"), "op", "data")
+    parsed_g = parse_debezium_mongo(
+        detected.where(F.col("format") == "debezium-mongo"), "value", data_schema,
+        key_fields=("o_orderkey",),
+    ).select(F.lit("debezium-mongo").alias("format"), "op", "data")
+    allp = parsed_m.unionByName(parsed_d).unionByName(parsed_g)
+    return (
+        allp.groupBy("format", "op")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.min("data.o_orderkey").alias("min_key"),
+            F.max("data.o_orderkey").alias("max_key"),
+            F.sum(F.col("data.o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("format", "op")
+    )
+
+
+CDC_FORMAT_AUTODETECT_SQL = """
+WITH tagged AS (
+  SELECT CASE o_orderkey % 3 WHEN 0 THEN 'maxwell'
+                             WHEN 1 THEN 'debezium'
+                             ELSE 'debezium-mongo' END AS format,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+              WHEN o_orderkey % 7 = 0 THEN 'U'
+              ELSE 'I' END AS op,
+         o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+)
+SELECT format, op, CAST(COUNT(*) AS BIGINT) AS n_records,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["cdc_format_autodetect"] = cdc_format_autodetect
+ORACLE["cdc_format_autodetect"] = CDC_FORMAT_AUTODETECT_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_savepoint_resume — offset-savepoint resume equals full replay
+# ---------------------------------------------------------------------------
+
+_SAVEPOINT_CUT_MS = 883_612_800_000  # 1998-01-01 UTC, mid orders range
+
+
+def cdc_savepoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-savepoint resume audit: materialize per-Kafka-partition
+    consumer offsets (row_number in (produce_time, seq) order — the
+    consumption order the reference persists per partition,
+    ``AbstractCommitCallback`` commit bookkeeping), snapshot the state
+    at a savepoint cut, resume applying ONLY records after each
+    partition's saved offset, and verify the resumed final state is
+    row-identical to a cold full replay. Emits per partition: the
+    savepoint offset, resumed-record count, live-key count, exact
+    DECIMAL price total, and the mismatch count (the invariant: 0).
+
+    Scale: offsets are per-partition row_numbers — exactly the sort
+    Kafka already did, so the window is partition-local with no
+    global order; both snapshots are single hash-aggregations
+    (operators/cdc.snapshot — max_by, no window sort); the equality
+    check is one co-partitioned join on key."""
+    from pyspark.sql import Window
+
+    ch = build_changelog(spark, sf_dir)
+    w = Window.partitionBy("kafka_partition").orderBy("produce_time_ms", "seq")
+    off = ch.select("*", F.row_number().over(w).alias("offs"))
+    pre = off.where(F.col("produce_time_ms") <= _SAVEPOINT_CUT_MS)
+    post = off.where(F.col("produce_time_ms") > _SAVEPOINT_CUT_MS)
+    sp = pre.groupBy("kafka_partition").agg(
+        F.max("offs").cast("bigint").alias("savepoint_offset")
+    )
+    n_res = post.groupBy("kafka_partition").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_resumed")
+    )
+    payload = ("o_totalprice", "o_orderstatus", "kafka_partition")
+    state0 = snapshot(
+        pre, key_cols=("key",), order_cols=("produce_time_ms", "seq"),
+        payload_cols=payload,
+    )
+    # replay the saved state as synthetic inserts ordered strictly
+    # before every resumed record, then fold the resumed tail on top
+    seed = state0.select(
+        F.lit("I").alias("op"),
+        F.lit(_SAVEPOINT_CUT_MS).alias("produce_time_ms"),
+        F.lit(0).alias("seq"),
+        "key",
+        "o_totalprice",
+        "o_orderstatus",
+        "kafka_partition",
+    )
+    resumed_final = snapshot(
+        seed.unionByName(post.select(*seed.columns)),
+        key_cols=("key",), order_cols=("produce_time_ms", "seq"),
+        payload_cols=payload,
+    )
+    full_final = snapshot(
+        ch, key_cols=("key",), order_cols=("produce_time_ms", "seq"),
+        payload_cols=payload,
+    )
+    joined = resumed_final.alias("r").join(
+        full_final.alias("f"), "key", "full_outer"
+    )
+    mism = joined.where(
+        F.expr(
+            "r.o_totalprice IS DISTINCT FROM f.o_totalprice"
+            " OR r.o_orderstatus IS DISTINCT FROM f.o_orderstatus"
+            " OR r.kafka_partition IS DISTINCT FROM f.kafka_partition"
+        )
+    )
+    n_mism = mism.agg(F.count(F.lit(1)).cast("bigint").alias("n_mismatch"))
+    st = resumed_final.groupBy("kafka_partition").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live_keys"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    return (
+        sp.join(n_res, "kafka_partition", "left")
+        .join(st, "kafka_partition", "left")
+        .crossJoin(F.broadcast(n_mism))
+        .select(
+            "kafka_partition",
+            "savepoint_offset",
+            F.coalesce("n_resumed", F.lit(0)).cast("bigint").alias("n_resumed"),
+            F.coalesce("n_live_keys", F.lit(0)).cast("bigint").alias("n_live_keys"),
+            "total_price",
+            "n_mismatch",
+        )
+        .orderBy("kafka_partition")
+    )
+
+
+CDC_SAVEPOINT_RESUME_SQL = f"""
+WITH {CHANGELOG_SQL},
+off AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY kafka_partition ORDER BY produce_time_ms, seq) AS offs
+  FROM changelog
+),
+sp AS (
+  SELECT kafka_partition,
+         CAST(MAX(CASE WHEN produce_time_ms <= {_SAVEPOINT_CUT_MS}
+                       THEN offs END) AS BIGINT) AS savepoint_offset,
+         CAST(COUNT(CASE WHEN produce_time_ms > {_SAVEPOINT_CUT_MS}
+                         THEN 1 END) AS BIGINT) AS n_resumed
+  FROM off GROUP BY 1
+),
+fin AS (
+  SELECT kafka_partition, key, o_totalprice
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY key ORDER BY produce_time_ms DESC, seq DESC) AS rn
+    FROM changelog
+  ) t
+  WHERE rn = 1 AND op <> 'D'
+),
+st AS (
+  SELECT kafka_partition, CAST(COUNT(*) AS BIGINT) AS n_live_keys,
+         CAST(SUM(o_totalprice) AS DOUBLE) AS total_price
+  FROM fin GROUP BY 1
+)
+SELECT sp.kafka_partition, savepoint_offset, n_resumed,
+       COALESCE(n_live_keys, 0) AS n_live_keys, total_price,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM sp LEFT JOIN st USING (kafka_partition)
+ORDER BY 1
+"""
+
+QUERIES["cdc_savepoint_resume"] = cdc_savepoint_resume
+ORACLE["cdc_savepoint_resume"] = CDC_SAVEPOINT_RESUME_SQL

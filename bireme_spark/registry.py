@@ -69,6 +69,9 @@ _NEW_THIS_ROUND = frozenset(
         # never-recorded — it joins the 62 pre-r6 pending queries in
         # the drain queue. Round-7 additions below rank after ALL of
         # them so the driver-record debt keeps draining first.)
+        "jdbc_partition_bounds",
+        "cdc_format_autodetect",
+        "cdc_savepoint_resume",
     }
 )
 
