@@ -1821,3 +1821,214 @@ ORDER BY round
 
 QUERIES["graph_boruvka_msf"] = graph_boruvka_msf
 ORACLE["graph_boruvka_msf"] = _boruvka_sql()
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank — damped PageRank over the nation trade graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_D_E9 = 850_000_000  # damping 0.85 in e9 fixed point
+_PR_ONE_E9 = 1_000_000_000
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (Page et al. 1999) over the nation-level trade
+    graph: edge cust_nation -> supp_nation weighted by lineitem count
+    (the q7 join collapsed to nation pairs). Five synchronous
+    power-iteration supersteps in e9 FIXED-POINT integers — every
+    update is (rank*weight) DIV out_weight per edge, then one
+    (1-d)/n + d*mass close per node, all BIGINT with FLOOR-by-DIV,
+    so both engines walk bit-identical rank vectors (the house
+    engine-portable-iteration discipline; doubles would 1-ulp-split
+    and amplify across iterations). Dangling nations (appear only as
+    suppliers) leak their mass by design — documented classic
+    PageRank-without-dangling-patch semantics, deterministic.
+
+    Scale: the fact join collapses to a <=n^2-row edge list in one
+    aggregation (nations are fixed cardinality -> broadcast hints per
+    house rule); each superstep is an edge-sized join + node-sized
+    agg on a localCheckpointed base — the textbook distributed
+    PageRank plan, node state never touches the driver."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("nk"))
+        .unionByName(edges.select(F.col("v").alias("nk")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("u").agg(F.sum("w").alias("outw"))
+    n_nodes = nodes.count()  # one tiny count; the node set is fixed-cardinality
+    base_e9 = (_PR_ONE_E9 - _PR_D_E9) // n_nodes
+    rank = nodes.select("nk", F.lit(_PR_ONE_E9 // n_nodes).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(outw, "u")
+            .join(rank, edges.u == rank.nk)
+            .select(
+                F.col("v").alias("nk"),
+                F.expr("CAST(r AS BIGINT) * w DIV outw").alias("m"),
+            )
+            .groupBy("nk")
+            .agg(F.sum("m").alias("mass"))
+        )
+        rank = nodes.join(contrib, "nk", "left").select(
+            "nk",
+            F.expr(
+                f"CAST({base_e9} + {_PR_D_E9} * COALESCE(mass, 0)"
+                f" DIV {_PR_ONE_E9} AS BIGINT)"
+            ).alias("r"),
+        )
+    return (
+        rank.join(F.broadcast(n), rank.nk == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("r").alias("rank_e9"),
+        )
+        .orderBy(F.col("rank_e9").desc(), "nation")
+    )
+
+
+def _pagerank_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.nk,
+         CAST({{base}} + {_PR_D_E9} * COALESCE(SUM(p.r * e.w // o.outw), 0)
+              // {_PR_ONE_E9} AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (edges e JOIN outw o ON e.u = o.u
+             JOIN {prev} p ON e.u = p.nk) ON e.v = n.nk
+  GROUP BY n.nk
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        """
+WITH edges AS (
+  SELECT c.c_nationkey AS u, s.s_nationkey AS v, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS (
+  SELECT u AS nk FROM edges UNION SELECT v FROM edges
+),
+outw AS (SELECT u, SUM(w) AS outw FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+r0 AS (
+  SELECT nk, CAST(1000000000 // n_nodes AS BIGINT) AS r FROM nodes, nn
+),
+"""
+        + ",\n".join(iters).replace(
+            "{base}",
+            f"(1000000000 - {_PR_D_E9}) // (SELECT n_nodes FROM nn)",
+        )
+        + f"""
+SELECT n_name AS nation, r AS rank_e9
+FROM {prev} JOIN nation ON nk = n_nationkey
+ORDER BY rank_e9 DESC, nation
+"""
+    )
+
+
+QUERIES["graph_pagerank"] = graph_pagerank
+ORACLE["graph_pagerank"] = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# graph_closeness_sample — sampled-source bounded closeness centrality
+# ---------------------------------------------------------------------------
+
+_CLOSENESS_SQL_BODY = """
+WITH RECURSIVE reach(src, pk, hop) AS (
+  SELECT u AS src, u AS pk, 0 AS hop
+  FROM (SELECT DISTINCT u FROM {e} ORDER BY u LIMIT 4) seeds
+  UNION ALL
+  SELECT DISTINCT r.src, d.v, r.hop + 1
+  FROM reach r JOIN {d} d ON d.u = r.pk
+  WHERE r.hop < 3
+),
+m AS (SELECT src, pk, MIN(hop) AS dist FROM reach GROUP BY src, pk),
+nn AS (SELECT COUNT(DISTINCT u) AS n_nodes FROM {d}),
+agg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         CAST(SUM(dist) AS BIGINT) AS sum_dist
+  FROM m GROUP BY src
+)
+SELECT src, n_reached, sum_dist,
+       CAST(FLOOR((n_reached - 1) * (n_reached - 1) * 1000000.0
+                  / ((n_nodes - 1) * sum_dist)) AS BIGINT) AS closeness_e6
+FROM agg, nn
+ORDER BY src
+"""
+
+
+def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness centrality (Wasserman-Faust variant,
+    which stays comparable on disconnected graphs) over the part
+    co-purchase graph: bounded BFS (3 hops) from 4 deterministic
+    seed parts IN ONE recursion — the (src, node) frontier carries
+    the source id, so k sources cost one traversal, not k — then
+    closeness = (r-1)^2 / ((n-1) * sum_dist) per source, emitted as
+    FLOOR e6 over exact integer counts. This is the per-landmark
+    half of the standard landmark/pivot closeness approximation
+    (Eppstein-Wang 2004): at 100 TB you sample O(log n / eps^2)
+    sources, and each adds one column to the SAME frontier relation,
+    not a new pass.
+
+    Same declarative-recursion discipline as
+    ``graph_reachability_bfs``: SELECT DISTINCT frontier dedup keeps
+    accumulated rows <= sources x nodes x hops (Spark's 1M recursion
+    cap holds at sf0.1), MIN(hop) restores BFS distance, identical
+    SQL text runs on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    po = li.distinct().select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a = po.select("ok", F.col("pk").alias("u"))
+    b = po.select("ok", F.col("pk").alias("v"))
+    e = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    e.createOrReplaceTempView("bireme_clo_e")
+    e.selectExpr("u", "v").unionAll(
+        e.selectExpr("v AS u", "u AS v")
+    ).createOrReplaceTempView("bireme_clo_d")
+    return spark.sql(_CLOSENESS_SQL_BODY.format(e="bireme_clo_e", d="bireme_clo_d"))
+
+
+GRAPH_CLOSENESS_SQL = (
+    """
+WITH RECURSIVE
+po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+),
+d AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+"""
+    + _CLOSENESS_SQL_BODY.replace("WITH RECURSIVE reach", "reach", 1)
+    .replace("{e}", "e")
+    .replace("{d}", "d")
+    .lstrip()
+)
+
+QUERIES["graph_closeness_sample"] = graph_closeness_sample
+ORACLE["graph_closeness_sample"] = GRAPH_CLOSENESS_SQL

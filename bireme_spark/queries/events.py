@@ -2820,3 +2820,200 @@ ORDER BY event_type
 
 QUERIES["events_hll_distinct"] = events_hll_distinct
 ORACLE["events_hll_distinct"] = EVENTS_HLL_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_circular_stats — circular time-of-day statistics per type
+# ---------------------------------------------------------------------------
+
+_TWO_PI = repr(6.283185307179586)
+_DAY_US = 86_400_000_000
+
+
+def events_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (directional) statistics of the time-of-day each
+    event type fires: mean direction (as a mean second-of-day),
+    mean resultant length R, and the Rayleigh uniformity statistic
+    z = nR² — the correct way to average clock times, where the
+    arithmetic mean of 23:50 and 00:10 is 12:00 but the circular
+    mean is midnight (Fisher, Statistical Analysis of Circular Data,
+    §2.3). Events here are near-uniform over the day, so R ~ 0 and
+    z stays small — a peaked type would stand out.
+
+    Determinism: the angle is exact integer µs-of-day scaled by one
+    shared 2π literal; cos/sin get the house 6dp PER-TERM rounding
+    and sum as exact BIGINT e6 integers, so C and S are
+    engine-identical; R/z/mean-angle are IEEE chains over those
+    exact integers, emitted via FLOOR (bit-deterministic) and
+    one-shot 6dp rounds of smooth atan2 values.
+
+    Scale: one map-side projection + one groupBy(event_type) — a
+    5-row aggregate; nothing else shuffles."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") % _DAY_US).alias("us_day"),
+    )
+    terms = e.select(
+        "event_type",
+        F.expr(
+            f"CAST(ROUND(COS({_TWO_PI} * us_day / {_DAY_US}) * 1000000, 0) AS BIGINT)"
+        ).alias("c_e6"),
+        F.expr(
+            f"CAST(ROUND(SIN({_TWO_PI} * us_day / {_DAY_US}) * 1000000, 0) AS BIGINT)"
+        ).alias("s_e6"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c_e6").alias("c_sum_e6"),
+        F.sum("s_e6").alias("s_sum_e6"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(c_sum_e6 AS DOUBLE) * c_sum_e6"
+            " + CAST(s_sum_e6 AS DOUBLE) * s_sum_e6) / n) AS BIGINT)"
+        ).alias("r_e6"),
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(c_sum_e6 AS DOUBLE) * c_sum_e6"
+            " + CAST(s_sum_e6 AS DOUBLE) * s_sum_e6)"
+            " * SQRT(CAST(c_sum_e6 AS DOUBLE) * c_sum_e6"
+            " + CAST(s_sum_e6 AS DOUBLE) * s_sum_e6)"
+            " / (CAST(n AS DOUBLE) * 1000000000000)) AS BIGINT)"
+        ).alias("rayleigh_z_e0"),
+        F.expr(
+            f"ROUND(ATAN2(CAST(s_sum_e6 AS DOUBLE), CAST(c_sum_e6 AS DOUBLE)), 6)"
+        ).alias("mean_angle_rad"),
+    ).orderBy("event_type")
+
+
+EVENTS_CIRCULAR_SQL = f"""
+WITH terms AS (
+  SELECT event_type,
+         CAST(ROUND(COS({_TWO_PI} * (epoch_us(ts) % {_DAY_US}) / {_DAY_US})
+                    * 1000000, 0) AS BIGINT) AS c_e6,
+         CAST(ROUND(SIN({_TWO_PI} * (epoch_us(ts) % {_DAY_US}) / {_DAY_US})
+                    * 1000000, 0) AS BIGINT) AS s_e6
+  FROM events
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c_e6) AS BIGINT) AS c_sum_e6,
+         CAST(SUM(s_e6) AS BIGINT) AS s_sum_e6
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(FLOOR(SQRT(CAST(c_sum_e6 AS DOUBLE) * c_sum_e6
+                       + CAST(s_sum_e6 AS DOUBLE) * s_sum_e6) / n) AS BIGINT) AS r_e6,
+       CAST(FLOOR(SQRT(CAST(c_sum_e6 AS DOUBLE) * c_sum_e6
+                       + CAST(s_sum_e6 AS DOUBLE) * s_sum_e6)
+                  * SQRT(CAST(c_sum_e6 AS DOUBLE) * c_sum_e6
+                         + CAST(s_sum_e6 AS DOUBLE) * s_sum_e6)
+                  / (CAST(n AS DOUBLE) * 1000000000000)) AS BIGINT) AS rayleigh_z_e0,
+       ROUND(ATAN2(CAST(s_sum_e6 AS DOUBLE), CAST(c_sum_e6 AS DOUBLE)), 6)
+         AS mean_angle_rad
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["events_circular_stats"] = events_circular_stats
+ORACLE["events_circular_stats"] = EVENTS_CIRCULAR_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_entropy_rate — Markov entropy rate of per-user type transitions
+# ---------------------------------------------------------------------------
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain: for each
+    from-state i the conditional next-step entropy
+    H_i = -sum_j p(j|i) ln p(j|i), plus i's empirical weight in the
+    transition stream — the summary that says how PREDICTABLE the
+    next event is given the current one (H ~ ln 5 = perfectly
+    random; H ~ 0 = deterministic funnels). Complements
+    ``events_markov_baseline`` (the matrix itself) and
+    ``events_type_pmi`` (pairwise association) with the
+    information-rate rollup.
+
+    Determinism: cell probabilities are IEEE divisions of exact
+    integer counts; each p·ln(p) term gets the house 6dp per-term
+    rounding and the per-state sum is an exact e6 BIGINT; weights
+    are integer ppm via DIV.
+
+    Scale: ONE shuffle on user_id for the lag pairs (the same
+    sessionize partitioning), then a |types|^2-cell aggregate —
+    everything after the pair count is 25-row arithmetic."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c_ij")
+    )
+    rows = cells.select(
+        "from_type",
+        "to_type",
+        "c_ij",
+        F.sum("c_ij").over(Window.partitionBy("from_type")).alias("c_i"),
+        F.sum("c_ij").over(Window.partitionBy(F.lit(1))).alias("n_total"),
+    )
+    terms = rows.select(
+        "from_type",
+        "c_i",
+        "n_total",
+        F.expr(
+            "CAST(ROUND(-(CAST(c_ij AS DOUBLE) / c_i)"
+            " * LN(CAST(c_ij AS DOUBLE) / c_i) * 1000000, 0) AS BIGINT)"
+        ).alias("t_e6"),
+    )
+    return (
+        terms.groupBy("from_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dest_types"),
+            F.max("c_i").cast("bigint").alias("n_out"),
+            F.sum("t_e6").cast("bigint").alias("cond_entropy_e6"),
+            F.expr("CAST(MAX(c_i) * 1000000 DIV MAX(n_total) AS BIGINT)").alias(
+                "weight_ppm"
+            ),
+        )
+        .orderBy("from_type")
+    )
+
+
+EVENTS_ENTROPY_RATE_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS from_type
+  FROM events
+),
+cells AS (
+  SELECT from_type, event_type AS to_type, COUNT(*) AS c_ij
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT from_type, c_ij,
+         SUM(c_ij) OVER (PARTITION BY from_type) AS c_i,
+         SUM(c_ij) OVER () AS n_total
+  FROM cells
+),
+terms AS (
+  SELECT from_type, c_i, n_total,
+         CAST(ROUND(-(CAST(c_ij AS DOUBLE) / c_i)
+              * LN(CAST(c_ij AS DOUBLE) / c_i) * 1000000, 0) AS BIGINT) AS t_e6
+  FROM rows_
+)
+SELECT from_type,
+       CAST(COUNT(*) AS BIGINT) AS n_dest_types,
+       CAST(MAX(c_i) AS BIGINT) AS n_out,
+       CAST(SUM(t_e6) AS BIGINT) AS cond_entropy_e6,
+       CAST(MAX(c_i) * 1000000 // MAX(n_total) AS BIGINT) AS weight_ppm
+FROM terms GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_entropy_rate"] = events_entropy_rate
+ORACLE["events_entropy_rate"] = EVENTS_ENTROPY_RATE_SQL

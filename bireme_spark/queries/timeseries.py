@@ -4245,3 +4245,106 @@ ORDER BY direction
 
 QUERIES["events_granger_causality"] = events_granger_causality
 ORACLE["events_granger_causality"] = GRANGER_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_allan_variance — timing-stability of the event rate
+# ---------------------------------------------------------------------------
+
+_AVAR_TAUS = (1, 2, 4, 8, 16)  # averaging windows, hours
+_HOUR_US = 3_600_000_000
+
+
+def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of the hourly event arrival rate at averaging
+    times tau = 1..16 h — the clock-stability statistic (Allan 1966,
+    IEEE 54(2)) repurposed as a rate-stability audit: white
+    (independent) rate noise shows avar ~ 1/tau, while drift or
+    daily seasonality bends the curve upward at large tau.
+
+    All-integer pipeline: hourly counts on the absolute-hour grid
+    (gap-filled with zeros), per-tau NON-OVERLAPPING block sums
+    (integer), first differences of neighboring block sums
+    (integer), and one IEEE division per tau at the very end:
+    avar(tau) = sum(d^2) / (2*(M-1)*tau^2), emitted as FLOOR e6.
+
+    Scale: the raw stream collapses to ~hours rows in ONE shuffle;
+    the 5-tau block/diff work runs on that tiny series (single
+    window partition by design — it IS the global hourly series, the
+    same shape every house series query uses)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("h")
+    )
+    cnt = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"), "h0")
+    dense = grid.join(cnt, "h", "left").select(
+        (F.col("h") - F.col("h0")).alias("i"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+    )
+    taus = spark.range(len(_AVAR_TAUS)).select(
+        F.element_at(F.array(*[F.lit(t) for t in _AVAR_TAUS]), (F.col("id") + 1).cast("int")).alias("tau")
+    )
+    blocks = (
+        dense.crossJoin(F.broadcast(taus))
+        .groupBy("tau", F.expr("i DIV tau").alias("k"))
+        .agg(F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("n_h"))
+        .where(F.col("n_h") == F.col("tau"))  # full blocks only
+    )
+    w = Window.partitionBy("tau").orderBy("k")
+    diffs = blocks.select(
+        "tau", "k", "s", (F.col("s") - F.lag("s").over(w)).alias("d")
+    ).where(F.col("d").isNotNull())
+    return (
+        diffs.groupBy("tau")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("m_blocks"),
+            F.sum(F.expr("d * d")).cast("bigint").alias("sum_sq_diff"),
+        )
+        .select(
+            F.col("tau").cast("int").alias("tau_hours"),
+            "m_blocks",
+            "sum_sq_diff",
+            F.expr(
+                "CAST(FLOOR(CAST(sum_sq_diff AS DOUBLE) * 1000000"
+                " / (2.0 * (m_blocks - 1) * tau * tau)) AS BIGINT)"
+            ).alias("avar_e6"),
+        )
+        .orderBy("tau_hours")
+    )
+
+
+EVENTS_ALLAN_SQL = f"""
+WITH cnt AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS h, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cnt),
+grid AS (
+  SELECT unnest(generate_series(h0, h1)) AS h, h0 FROM bounds
+),
+dense AS (
+  SELECT g.h - g.h0 AS i, COALESCE(c.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN cnt c ON g.h = c.h
+),
+taus AS (SELECT unnest([{", ".join(str(t) for t in _AVAR_TAUS)}]) AS tau),
+blocks AS (
+  SELECT tau, i // tau AS k, SUM(cnt) AS s, COUNT(*) AS n_h
+  FROM dense, taus GROUP BY 1, 2
+  HAVING COUNT(*) = tau
+),
+diffs AS (
+  SELECT tau, s - LAG(s) OVER (PARTITION BY tau ORDER BY k) AS d
+  FROM blocks
+)
+SELECT CAST(tau AS INTEGER) AS tau_hours,
+       CAST(COUNT(*) + 1 AS BIGINT) AS m_blocks,
+       CAST(SUM(d * d) AS BIGINT) AS sum_sq_diff,
+       CAST(FLOOR(CAST(SUM(d * d) AS DOUBLE) * 1000000
+                  / (2.0 * COUNT(*) * tau * tau)) AS BIGINT) AS avar_e6
+FROM diffs WHERE d IS NOT NULL
+GROUP BY tau ORDER BY 1
+"""
+
+QUERIES["events_allan_variance"] = events_allan_variance
+ORACLE["events_allan_variance"] = EVENTS_ALLAN_SQL

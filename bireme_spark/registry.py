@@ -72,6 +72,11 @@ _NEW_THIS_ROUND = frozenset(
         "jdbc_partition_bounds",
         "cdc_format_autodetect",
         "cdc_savepoint_resume",
+        "events_circular_stats",
+        "events_allan_variance",
+        "events_entropy_rate",
+        "graph_pagerank",
+        "graph_closeness_sample",
     }
 )
 
