@@ -1652,3 +1652,98 @@ ORDER BY source
 
 QUERIES["corpus_soft_dedup_weight"] = corpus_soft_dedup_weight
 ORACLE["corpus_soft_dedup_weight"] = SOFT_DEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_validation_leakage — n-gram leakage across the train/val split
+# ---------------------------------------------------------------------------
+
+_LEAK_N = 5  # shingle width: long enough that overlap means leakage
+
+
+def corpus_validation_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: which validation documents share
+    5-gram shingles with the TRAIN split (doc_id % 10 rule of
+    ``corpus_train_val_split``) — the check that the held-out loss
+    actually measures generalization, run per source so a leaky
+    upstream is attributable (the split-level complement of
+    ``corpus_contamination``'s benchmark screen).
+
+    Scale: shingling is the map-side array pass of
+    ``operators/dedup.shingles``; the probe is a shingle-keyed
+    semi-join (shuffle co-partitioned on the shingle hash, never a
+    broadcast of the 80% train side); the rollup is |sources| rows.
+    With a standing corpus the train shingle set is exactly the
+    incremental-probe index of ``dedup_incremental_probe``."""
+    from bireme_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", n=_LEAK_N)
+    is_val = (F.col("doc_id") % 10) == 8
+    train_sh = sh.where((F.col("doc_id") % 10) <= 7).select("shingle").distinct()
+    val_sh = sh.where(is_val)
+    tot = val_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        val_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    per_doc = tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+    )
+    src = d.select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_val_docs"),
+            F.sum((F.col("n_leaked") > 0).cast("int")).cast("bigint").alias(
+                "n_leaky_docs"
+            ),
+            F.sum("n_sh").cast("bigint").alias("val_shingles"),
+            F.sum("n_leaked").cast("bigint").alias("leaked_shingles"),
+            F.expr(
+                "CAST(SUM(n_leaked) * 1000000 DIV SUM(n_sh) AS BIGINT)"
+            ).alias("leak_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_VALIDATION_LEAKAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - {_LEAK_N - 1}, 0)),
+           i -> array_to_string(w[i:i+{_LEAK_N - 1}], ' ')))) AS shingle
+  FROM toks
+), train AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <= 7
+), val AS (
+  SELECT * FROM sh WHERE doc_id % 10 = 8
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM val GROUP BY doc_id
+), hit AS (
+  SELECT v.doc_id, COUNT(*) AS n_leaked
+  FROM val v JOIN train t USING (shingle)
+  GROUP BY v.doc_id
+), per_doc AS (
+  SELECT t.doc_id, t.n_sh, COALESCE(h.n_leaked, 0) AS n_leaked
+  FROM tot t LEFT JOIN hit h USING (doc_id)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_val_docs,
+       CAST(SUM(CASE WHEN p.n_leaked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs,
+       CAST(SUM(p.n_sh) AS BIGINT) AS val_shingles,
+       CAST(SUM(p.n_leaked) AS BIGINT) AS leaked_shingles,
+       CAST(SUM(p.n_leaked) * 1000000 // SUM(p.n_sh) AS BIGINT) AS leak_ppm
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+QUERIES["corpus_validation_leakage"] = corpus_validation_leakage
+ORACLE["corpus_validation_leakage"] = CORPUS_VALIDATION_LEAKAGE_SQL

@@ -1288,3 +1288,130 @@ ORDER BY cluster
 
 QUERIES["embedding_silhouette"] = embedding_silhouette
 ORACLE["embedding_silhouette"] = EMBEDDING_SILHOUETTE_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_psi — PSI drift of the embedding-norm distribution
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the embedding L2-norm(^2)
+    distribution between a reference half and a candidate half of
+    the corpus (vec_id parity split) — the cheap pre-ANN drift gate:
+    an embedding-model regression or a feature-scaling bug moves the
+    norm distribution long before nearest-neighbor recall visibly
+    degrades. Bins are REFERENCE deciles (the PSI convention),
+    Laplace-smoothed so empty candidate bins stay finite.
+
+    Determinism: norm^2 is a per-element ROUND(x^2 * 1e6) integer
+    sum (order-free, exact on both engines — the transcendental-free
+    cousin of the 6dp per-term discipline); decile edges come from
+    the house histogram-CDF (value -> count agg, cum window on
+    histogram-sized data, 9 broadcast edges); PSI terms are
+    6dp-rounded.
+
+    Scale: two scans collapse to a distinct-norm histogram; the CDF
+    window and the <=10-row PSI close never touch raw vectors."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    x.cast("double") * x.cast("double") * 1000000, 0
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("v"),
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+    )
+    hist = e.groupBy("is_ref", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    ref = hist.where("is_ref").select("v", "cnt")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    refb = ref.select(
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_ref"),
+    ).select("v", F.expr("(cum - 1) * 10 DIV n_ref").alias("bin"))
+    edges = refb.groupBy("bin").agg(F.max("v").alias("edge")).where("bin < 9")
+    assigned = (
+        hist.join(F.broadcast(edges), F.col("v") > F.col("edge"), "left")
+        .groupBy("is_ref", "v", "cnt")
+        .agg(F.count("edge").cast("int").alias("bin"))
+    )
+    cells = assigned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("cnt")).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), F.col("cnt")).otherwise(0)).alias("n_cand"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cand").alias("t_cand"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cand").cast("bigint").alias("n_cand"),
+            F.expr(
+                "ROUND((CAST(n_cand + 1 AS DOUBLE) / (t_cand + n_bins)"
+                " - CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_bins))"
+                " * LN((CAST(n_cand + 1 AS DOUBLE) / (t_cand + n_bins))"
+                " / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_bins))), 6)"
+            ).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+EMBEDDING_NORM_PSI_SQL = """
+WITH norms AS (
+  SELECT vec_id, vec_id % 2 = 0 AS is_ref,
+         CAST(SUM(t) AS BIGINT) AS v
+  FROM (
+    SELECT vec_id,
+           CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                      * CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS t
+    FROM embeddings
+  ) GROUP BY 1, 2
+),
+hist AS (SELECT is_ref, v, COUNT(*) AS cnt FROM norms GROUP BY 1, 2),
+refh AS (SELECT v, cnt FROM hist WHERE is_ref),
+refb AS (
+  SELECT v, (SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - 1) * 10
+              // (SUM(cnt) OVER ()) AS bin
+  FROM refh
+),
+edges AS (SELECT bin, MAX(v) AS edge FROM refb WHERE bin < 9 GROUP BY 1),
+assigned AS (
+  SELECT h.is_ref, h.v, h.cnt,
+         CAST(COUNT(e.edge) AS INTEGER) AS bin
+  FROM hist h LEFT JOIN edges e ON h.v > e.edge
+  GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT bin,
+         SUM(CASE WHEN is_ref THEN cnt ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN NOT is_ref THEN cnt ELSE 0 END) AS n_cand
+  FROM assigned GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_ref) AS t_ref, SUM(n_cand) AS t_cand, COUNT(*) AS n_bins FROM cells
+)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cand AS BIGINT) AS n_cand,
+       ROUND((CAST(n_cand + 1 AS DOUBLE) / (t_cand + n_bins)
+              - CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_bins))
+             * LN((CAST(n_cand + 1 AS DOUBLE) / (t_cand + n_bins))
+                  / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_bins))), 6) AS psi_term
+FROM cells, tot
+ORDER BY bin
+"""
+
+QUERIES["embedding_norm_psi"] = embedding_norm_psi
+ORACLE["embedding_norm_psi"] = EMBEDDING_NORM_PSI_SQL

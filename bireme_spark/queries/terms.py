@@ -1200,3 +1200,161 @@ LIMIT 40
 
 QUERIES["text_kneser_ney"] = text_kneser_ney
 ORACLE["text_kneser_ney"] = KNESER_NEY_SQL
+
+
+# ---------------------------------------------------------------------------
+# text_ndcg_eval — nDCG@10 of a TF-density ranking vs graded relevance
+# ---------------------------------------------------------------------------
+
+_NDCG_TERMS = ("join", "hash", "scan")
+# 1e6 / log2(rank+1) for ranks 1..10, precomputed ONCE in exact
+# integers and shared verbatim by both engines — no transcendental
+# ever runs inside either query
+_NDCG_W_E6 = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_W_CASE = (
+    "CASE rn " + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W_E6))
+    + " ELSE 0 END"
+)
+
+
+def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality harness: nDCG@10 (Järvelin-Kekäläinen 2002)
+    of a term-frequency-DENSITY ranking against graded relevance
+    labels derived from raw term frequency (rel 2 at tf>=3, rel 1 at
+    tf>=1) for three fixed queries — the eval loop a training-data
+    pipeline runs on its retrieval index (the scoring half is
+    ``text_bm25_search``; this is the judged-quality half).
+
+    All-integer: the ranking key is tf*1e6 DIV dl (exact), position
+    discounts are precomputed e6 integers, gains 2^rel-1 are {1,3},
+    so DCG and ideal-DCG are exact BIGINT dot products; the single
+    IEEE division happens once per query at the close.
+
+    Scale: one tokenize pass gives all three tf columns (the bm25
+    conditional-sum shape), matches are STACKed long and ranked per
+    query; at real index scale the rank-10 cut is a per-query
+    TakeOrdered, not a global sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tf = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter("toks", (lambda term: lambda w: w == F.lit(term))(t))).alias(
+                f"tf_{t}"
+            )
+            for t in _NDCG_TERMS
+        ],
+    )
+    stack_expr = "stack({n}, {body}) AS (term, tf)".format(
+        n=len(_NDCG_TERMS),
+        body=", ".join(f"'{t}', tf_{t}" for t in _NDCG_TERMS),
+    )
+    long = tf.select("doc_id", "dl", F.expr(stack_expr)).where(F.col("tf") > 0)
+    scored = long.select(
+        "term",
+        "doc_id",
+        F.expr("tf * 1000000 DIV dl").alias("score_e6"),
+        F.expr("CASE WHEN tf >= 3 THEN 2 ELSE 1 END").alias("rel"),
+    )
+    w_rank = Window.partitionBy("term").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    w_ideal = Window.partitionBy("term").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "term",
+        "rel",
+        F.row_number().over(w_rank).alias("rn"),
+        F.row_number().over(w_ideal).alias("rn_ideal"),
+    )
+    gains = ranked.select(
+        "term",
+        "rel",
+        F.expr(f"CASE WHEN rn <= 10 THEN (POW(2, rel) - 1) * ({_NDCG_W_CASE}) ELSE 0 END")
+        .cast("bigint")
+        .alias("dcg_part"),
+        F.expr(
+            "CASE WHEN rn_ideal <= 10 THEN (POW(2, rel) - 1) * ("
+            + _NDCG_W_CASE.replace("CASE rn ", "CASE rn_ideal ")
+            + ") ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("idcg_part"),
+    )
+    return (
+        gains.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rel"),
+            F.sum((F.col("rel") == 2).cast("int")).cast("bigint").alias("n_hi"),
+            F.sum("dcg_part").cast("bigint").alias("dcg_e6"),
+            F.sum("idcg_part").cast("bigint").alias("idcg_e6"),
+        )
+        .select(
+            "term",
+            "n_rel",
+            "n_hi",
+            "dcg_e6",
+            "idcg_e6",
+            F.expr(
+                "ROUND(CAST(dcg_e6 AS DOUBLE) / idcg_e6, 6)"
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("term")
+    )
+
+
+def _ndcg_sql() -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, dl, '{t}' AS term, tf_{t} AS tf FROM tf" for t in _NDCG_TERMS
+    )
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf_{t}" for t in _NDCG_TERMS
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tf AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM d
+),
+long_ AS (
+  SELECT * FROM ({unions}) WHERE tf > 0
+),
+scored AS (
+  SELECT term, doc_id, tf * 1000000 // dl AS score_e6,
+         CASE WHEN tf >= 3 THEN 2 ELSE 1 END AS rel
+  FROM long_
+),
+ranked AS (
+  SELECT term, rel,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY score_e6 DESC, doc_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS rn_ideal
+  FROM scored
+),
+gains AS (
+  SELECT term, rel,
+         CAST(CASE WHEN rn <= 10
+                   THEN (CAST(POW(2, rel) AS BIGINT) - 1) * ({_NDCG_W_CASE})
+                   ELSE 0 END AS BIGINT) AS dcg_part,
+         CAST(CASE WHEN rn_ideal <= 10
+                   THEN (CAST(POW(2, rel) AS BIGINT) - 1)
+                        * ({_NDCG_W_CASE.replace("CASE rn ", "CASE rn_ideal ")})
+                   ELSE 0 END AS BIGINT) AS idcg_part
+  FROM ranked
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS n_rel,
+       CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       CAST(SUM(dcg_part) AS BIGINT) AS dcg_e6,
+       CAST(SUM(idcg_part) AS BIGINT) AS idcg_e6,
+       ROUND(CAST(SUM(dcg_part) AS DOUBLE) / SUM(idcg_part), 6) AS ndcg_at_10
+FROM gains GROUP BY term ORDER BY term
+"""
+
+
+QUERIES["text_ndcg_eval"] = text_ndcg_eval
+ORACLE["text_ndcg_eval"] = _ndcg_sql()

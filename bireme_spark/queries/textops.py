@@ -988,3 +988,101 @@ LIMIT 20
 
 QUERIES["text_word_burstiness"] = text_word_burstiness
 ORACLE["text_word_burstiness"] = TEXT_BURSTINESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# text_quality_calibration — reliability of the quality score vs Gopher keep
+# ---------------------------------------------------------------------------
+
+
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the cheap quality score against the
+    Gopher keep flag: decile-bin the score, compare each bin's mean
+    predicted quality with its empirical keep rate, and emit the
+    per-bin |gap| — the Expected Calibration Error decomposition
+    (Guo et al. 2017) a pipeline runs before trusting a scalar
+    score as a retention probability. Reuses the EXACT production
+    rules (``_gopher_measures``/``_gopher_keep`` and
+    ``functions.text.quality_score``) so the audit cannot drift from
+    the filters it audits.
+
+    Determinism: the score is one IEEE chain over exact integers
+    (identical both engines); bin = FLOOR(q*10) (bit-deterministic
+    on identical doubles); all bin stats are integer ppm via DIV.
+
+    Scale: one map-side pass + a 10-row aggregate; no shuffle
+    beyond it."""
+    d = load_table(spark, sf_dir, "documents")
+    m = _gopher_measures(
+        d.select("doc_id", "text", F.split("text", " ").alias("ws"))
+    ).select(
+        "doc_id",
+        _gopher_keep().cast("int").alias("keep"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    binned = m.select(
+        F.expr("LEAST(9, CAST(FLOOR(q * 10) AS INT))").alias("bin"),
+        "keep",
+        F.expr("CAST(FLOOR(q * 1000000) AS BIGINT)").alias("q_e6"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            F.sum("q_e6").alias("q_sum_e6"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            F.expr("CAST(q_sum_e6 DIV n_docs AS BIGINT)").alias("mean_pred_ppm"),
+            F.expr("CAST(n_keep * 1000000 DIV n_docs AS BIGINT)").alias(
+                "keep_rate_ppm"
+            ),
+            F.expr(
+                "CAST(ABS(q_sum_e6 DIV n_docs - n_keep * 1000000 DIV n_docs)"
+                " AS BIGINT)"
+            ).alias("abs_gap_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+TEXT_QUALITY_CALIBRATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         length(replace(text, ' ', '')) * 1.0 / len(ws) AS mean_word_len,
+         (length(text) - length(replace(text, '#', ''))
+          + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)) * 1.0 / len(ws)
+           AS symbol_ratio,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(ws) AS alpha_frac,
+         len(list_intersect(ws, ['the','be','to','of','and','that','have','with']))
+           AS n_stop_present,
+         CAST(len(list_filter(ws, x -> x IN {_STOP_SQL})) AS DOUBLE) AS n_stop,
+         CAST(len(ws) AS DOUBLE) AS n_tokens
+  FROM t
+), s AS (
+  SELECT CASE WHEN (n_words BETWEEN 50 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND symbol_ratio < 0.1 AND alpha_frac >= 0.8
+                   AND n_stop_present >= 2 THEN 1 ELSE 0 END AS keep,
+         LEAST(1.0, n_tokens / 400.0) * (1.0 - n_stop / n_tokens) AS q
+  FROM m
+), b AS (
+  SELECT LEAST(9, CAST(FLOOR(q * 10) AS INTEGER)) AS bin, keep,
+         CAST(FLOOR(q * 1000000) AS BIGINT) AS q_e6
+  FROM s
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q_e6) // COUNT(*) AS BIGINT) AS mean_pred_ppm,
+       CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS keep_rate_ppm,
+       CAST(ABS(SUM(q_e6) // COUNT(*) - SUM(keep) * 1000000 // COUNT(*))
+            AS BIGINT) AS abs_gap_ppm
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+QUERIES["text_quality_calibration"] = text_quality_calibration
+ORACLE["text_quality_calibration"] = TEXT_QUALITY_CALIBRATION_SQL

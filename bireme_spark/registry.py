@@ -77,6 +77,10 @@ _NEW_THIS_ROUND = frozenset(
         "events_entropy_rate",
         "graph_pagerank",
         "graph_closeness_sample",
+        "text_quality_calibration",
+        "corpus_validation_leakage",
+        "embedding_norm_psi",
+        "text_ndcg_eval",
     }
 )
 
