@@ -193,6 +193,18 @@ HEADLINE = [
     "embedding_silhouette",
     "customers_mahalanobis_outliers",
     "events_granger_causality",
+    "jdbc_partition_bounds",
+    "cdc_format_autodetect",
+    "cdc_savepoint_resume",
+    "events_circular_stats",
+    "events_allan_variance",
+    "events_entropy_rate",
+    "graph_pagerank",
+    "graph_closeness_sample",
+    "text_quality_calibration",
+    "corpus_validation_leakage",
+    "embedding_norm_psi",
+    "text_ndcg_eval",
 ]
 
 

@@ -1,0 +1,139 @@
+"""Property tests for the round-7 operators: bounds and invariants
+that hold at ANY scale factor, complementing the exact DuckDB oracle
+compare in tests/test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_pagerank_mass_and_floor(spark, sf_dir):
+    """Every rank >= the (1-d)/n teleport floor; total mass can only
+    SHRINK from 1e9 (dangling nations leak by design, never gain)."""
+    from bireme_spark.queries.audit import graph_pagerank
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    assert len(rows) == 25
+    n = len(rows)
+    floor = (1_000_000_000 - 850_000_000) // n
+    total = sum(r["rank_e9"] for r in rows)
+    assert all(r["rank_e9"] >= floor for r in rows)
+    assert total <= 1_000_000_000
+    assert total > floor * n  # damped mass actually circulates
+
+
+def test_circular_stats_bounds(spark, sf_dir):
+    """Resultant length R in [0,1]; Rayleigh z >= 0; mean angle in
+    (-pi, pi]; near-uniform synthetic arrivals keep R small."""
+    from bireme_spark.queries.events import events_circular_stats
+
+    rows = events_circular_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["r_e6"] <= 1_000_000
+        assert r["rayleigh_z_e0"] >= 0
+        assert -math.pi <= r["mean_angle_rad"] <= math.pi
+        assert r["r_e6"] < 250_000  # uniform-ish fixture: far from peaked
+
+
+def test_allan_variance_structure(spark, sf_dir):
+    """One row per tau; block counts consistent with the hour span;
+    avar exactly FLOOR(sum_sq/(2*(M-1)*tau^2) * 1e6)."""
+    from bireme_spark.queries.timeseries import _AVAR_TAUS, events_allan_variance
+
+    rows = events_allan_variance(spark, sf_dir).collect()
+    assert [r["tau_hours"] for r in rows] == list(_AVAR_TAUS)
+    for r in rows:
+        assert r["m_blocks"] >= 2
+        assert r["sum_sq_diff"] >= 0
+        expect = math.floor(
+            r["sum_sq_diff"] * 1_000_000
+            / (2.0 * (r["m_blocks"] - 1) * r["tau_hours"] ** 2)
+        )
+        assert r["avar_e6"] == expect
+
+
+def test_ndcg_bounds(spark, sf_dir):
+    """DCG <= ideal DCG, so nDCG in (0, 1]."""
+    from bireme_spark.queries.terms import text_ndcg_eval
+
+    rows = text_ndcg_eval(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 < r["dcg_e6"] <= r["idcg_e6"]
+        assert 0.0 < r["ndcg_at_10"] <= 1.0
+        assert r["n_hi"] <= r["n_rel"]
+
+
+def test_quality_calibration_ppm_fields(spark, sf_dir):
+    """Bins in 0..9; every ppm field in [0, 1e6]; gap is the |diff|."""
+    from bireme_spark.queries.textops import text_quality_calibration
+
+    rows = text_quality_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        for c in ("mean_pred_ppm", "keep_rate_ppm", "abs_gap_ppm"):
+            assert 0 <= r[c] <= 1_000_000
+        assert r["abs_gap_ppm"] == abs(r["mean_pred_ppm"] - r["keep_rate_ppm"])
+
+
+def test_norm_psi_finite_and_balanced(spark, sf_dir):
+    """PSI terms finite (Laplace smoothing worked); the parity split
+    puts both halves' totals within 2x of each other."""
+    from bireme_spark.queries.embeddings import embedding_norm_psi
+
+    rows = embedding_norm_psi(spark, sf_dir).collect()
+    assert rows
+    t_ref = sum(r["n_ref"] for r in rows)
+    t_cand = sum(r["n_cand"] for r in rows)
+    assert t_ref > 0 and t_cand > 0
+    assert t_ref <= 2 * t_cand and t_cand <= 2 * t_ref
+    for r in rows:
+        assert math.isfinite(r["psi_term"])
+
+
+def test_closeness_within_unit(spark, sf_dir):
+    """Wasserman-Faust closeness <= 1 (sum_dist >= n_reached - 1)."""
+    from bireme_spark.queries.audit import graph_closeness_sample
+
+    rows = graph_closeness_sample(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["sum_dist"] >= r["n_reached"] - 1
+        assert 0 <= r["closeness_e6"] <= 1_000_000
+
+
+def test_savepoint_resume_equals_full_replay(spark, sf_dir):
+    """THE resume invariant: zero state mismatches vs cold replay,
+    and every partition has a savepoint."""
+    from bireme_spark.queries.cdc import cdc_savepoint_resume
+
+    rows = cdc_savepoint_resume(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_mismatch"] == 0
+        assert r["savepoint_offset"] >= 1
+
+
+def test_format_autodetect_no_unknown(spark, sf_dir):
+    """Shape detection routes every record: only the three real
+    formats appear, each with insert rows."""
+    from bireme_spark.queries.cdc import cdc_format_autodetect
+
+    rows = cdc_format_autodetect(spark, sf_dir).collect()
+    fmts = {r["format"] for r in rows}
+    assert fmts == {"maxwell", "debezium", "debezium-mongo"}
+    assert all(r["n_records"] > 0 for r in rows)
+
+
+def test_validation_leakage_ratios(spark, sf_dir):
+    """Leaked shingles never exceed the val total; ppm consistent."""
+    from bireme_spark.queries.corpus import corpus_validation_leakage
+
+    rows = corpus_validation_leakage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["leaked_shingles"] <= r["val_shingles"]
+        assert r["n_leaky_docs"] <= r["n_val_docs"]
+        assert r["leak_ppm"] == r["leaked_shingles"] * 1_000_000 // r["val_shingles"]
