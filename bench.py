@@ -203,7 +203,7 @@ HEADLINE = [
     "graph_closeness_sample",
     "text_quality_calibration",
     "corpus_validation_leakage",
-    "embedding_norm_psi",
+    "embedding_drift_psi",
     "text_ndcg_eval",
 ]
 

@@ -2006,7 +2006,16 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = po.select("ok", F.col("pk").alias("u"))
     b = po.select("ok", F.col("pk").alias("v"))
-    e = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    # checkpoint the edge base ONCE (the HITS/k-core lesson): the
+    # directed view, the seed subquery and the node count all re-read
+    # it, and without the cut each pays the wedge self-join again
+    e = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e.createOrReplaceTempView("bireme_clo_e")
     e.selectExpr("u", "v").unionAll(
         e.selectExpr("v AS u", "u AS v")

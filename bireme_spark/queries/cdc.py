@@ -2786,6 +2786,10 @@ def cdc_format_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value")
     )
     # --- shape-only detection (no access to the fmt tag) ---
+    # three parser branches each re-read the detected stream; cut the
+    # lineage once so the envelope build runs a single pass (a real
+    # topic is consumed once and routed map-side — mirror that shape)
+    raw = raw.localCheckpoint(eager=True)
     detected = raw.select(
         "value",
         F.when(
@@ -2883,7 +2887,14 @@ def cdc_savepoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = build_changelog(spark, sf_dir)
     w = Window.partitionBy("kafka_partition").orderBy("produce_time_ms", "seq")
-    off = ch.select("*", F.row_number().over(w).alias("offs"))
+    # The offset frame feeds SIX downstream branches (pre/post splits,
+    # both snapshots, savepoints, resume counts); without a lineage
+    # cut each branch re-derives the changelog — 21 scans of the base
+    # table in the executed plan. One eager localCheckpoint makes the
+    # whole audit a single pass over the stream.
+    off = ch.select("*", F.row_number().over(w).alias("offs")).localCheckpoint(
+        eager=True
+    )
     pre = off.where(F.col("produce_time_ms") <= _SAVEPOINT_CUT_MS)
     post = off.where(F.col("produce_time_ms") > _SAVEPOINT_CUT_MS)
     sp = pre.groupBy("kafka_partition").agg(

@@ -1678,20 +1678,25 @@ def corpus_validation_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bireme_spark.operators.dedup import shingles
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, "doc_id", "text", n=_LEAK_N)
-    is_val = (F.col("doc_id") % 10) == 8
-    train_sh = sh.where((F.col("doc_id") % 10) <= 7).select("shingle").distinct()
-    val_sh = sh.where(is_val)
-    tot = val_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    hits = (
-        val_sh.join(train_sh, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    # split BEFORE shingling: the two scans read DISJOINT row sets
+    # (one logical pass over the corpus), instead of shingling once
+    # and filtering the exploded stream twice
+    train_sh = (
+        shingles(d.where((F.col("doc_id") % 10) <= 7), "doc_id", "text", n=_LEAK_N)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    per_doc = tot.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_sh",
-        F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+    val_sh = shingles(d.where((F.col("doc_id") % 10) == 8), "doc_id", "text", n=_LEAK_N)
+    # ONE pass over the val shingles: left join the train set and
+    # count totals + hits in the same aggregation
+    per_doc = (
+        val_sh.join(train_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_leaked"),
+        )
     )
     src = d.select("doc_id", "source")
     return (

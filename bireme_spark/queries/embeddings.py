@@ -1291,43 +1291,47 @@ ORACLE["embedding_silhouette"] = EMBEDDING_SILHOUETTE_SQL
 
 
 # ---------------------------------------------------------------------------
-# embedding_norm_psi — PSI drift of the embedding-norm distribution
+# embedding_drift_psi — PSI drift of an embedding-component marginal
 # ---------------------------------------------------------------------------
 
 
-def embedding_norm_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index of the embedding L2-norm(^2)
-    distribution between a reference half and a candidate half of
-    the corpus (vec_id parity split) — the cheap pre-ANN drift gate:
-    an embedding-model regression or a feature-scaling bug moves the
-    norm distribution long before nearest-neighbor recall visibly
-    degrades. Bins are REFERENCE deciles (the PSI convention),
-    Laplace-smoothed so empty candidate bins stay finite.
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the dimension-0 marginal between
+    a reference half and a candidate half of the corpus (vec_id
+    parity split) — the cheap pre-ANN drift gate: an embedding-model
+    regression moves per-dimension marginals long before
+    nearest-neighbor recall visibly degrades. (The L2 NORM is the
+    wrong feature here by construction: normalized embeddings pin it
+    to 1, so a component marginal — in production, every component —
+    is what a drift monitor tracks.) Bins are REFERENCE deciles (the
+    PSI convention), Laplace-smoothed so empty candidate bins stay
+    finite.
 
-    Determinism: norm^2 is a per-element ROUND(x^2 * 1e6) integer
-    sum (order-free, exact on both engines — the transcendental-free
-    cousin of the 6dp per-term discipline); decile edges come from
-    the house histogram-CDF (value -> count agg, cum window on
-    histogram-sized data, 9 broadcast edges); PSI terms are
-    6dp-rounded.
+    Determinism: the feature is ROUND(x0 * 1e6) coarsened to
+    3dp cells (DIV 1000) — exact integers on both engines
+    (float -> double is an exact binary widening), and the histogram
+    is bounded by the VALUE RANGE (x0 in [-1,1] -> <=2001 cells),
+    not the row count; decile edges come from the house
+    histogram-CDF (cell -> count agg, cum window on the bounded
+    histogram, 9 broadcast edges); PSI terms are 6dp-rounded.
 
-    Scale: two scans collapse to a distinct-norm histogram; the CDF
-    window and the <=10-row PSI close never touch raw vectors."""
+    Scale: ONE scan collapses to the bounded-cell histogram
+    (checkpointed — every later branch reads cells, never vectors);
+    the CDF window sorts cells, not rows."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.aggregate(
-            F.transform(
-                "embedding",
-                lambda x: F.round(
-                    x.cast("double") * x.cast("double") * 1000000, 0
-                ).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
+        # +1e6 offset keeps the value non-negative so truncating
+        # integer division yields uniform-width cells everywhere
+        F.expr(
+            "(CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000, 0)"
+            " AS BIGINT) + 1000000) DIV 1000"
         ).alias("v"),
         (F.col("vec_id") % 2 == 0).alias("is_ref"),
     )
-    hist = e.groupBy("is_ref", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = (
+        e.groupBy("is_ref", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     ref = hist.where("is_ref").select("v", "cnt")
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     refb = ref.select(
@@ -1370,18 +1374,14 @@ def embedding_norm_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMBEDDING_NORM_PSI_SQL = """
-WITH norms AS (
-  SELECT vec_id, vec_id % 2 = 0 AS is_ref,
-         CAST(SUM(t) AS BIGINT) AS v
-  FROM (
-    SELECT vec_id,
-           CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
-                      * CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS t
-    FROM embeddings
-  ) GROUP BY 1, 2
+EMBEDDING_DRIFT_PSI_SQL = """
+WITH feat AS (
+  SELECT (CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000, 0) AS BIGINT)
+          + 1000000) // 1000 AS v,
+         vec_id % 2 = 0 AS is_ref
+  FROM embeddings
 ),
-hist AS (SELECT is_ref, v, COUNT(*) AS cnt FROM norms GROUP BY 1, 2),
+hist AS (SELECT is_ref, v, COUNT(*) AS cnt FROM feat GROUP BY 1, 2),
 refh AS (SELECT v, cnt FROM hist WHERE is_ref),
 refb AS (
   SELECT v, (SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - 1) * 10
@@ -1413,5 +1413,5 @@ FROM cells, tot
 ORDER BY bin
 """
 
-QUERIES["embedding_norm_psi"] = embedding_norm_psi
-ORACLE["embedding_norm_psi"] = EMBEDDING_NORM_PSI_SQL
+QUERIES["embedding_drift_psi"] = embedding_drift_psi
+ORACLE["embedding_drift_psi"] = EMBEDDING_DRIFT_PSI_SQL

@@ -4275,6 +4275,9 @@ def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("h")
     )
+    # two branches read cnt (bounds agg + grid join) — a checkpoint
+    # here A/B-LOST at sf0.1 (0.52 -> 0.66s; the perplexity-filter
+    # precedent: 2 branches don't amortize the materialization)
     cnt = e.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     bounds = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"), "h0")

@@ -79,7 +79,7 @@ _NEW_THIS_ROUND = frozenset(
         "graph_closeness_sample",
         "text_quality_calibration",
         "corpus_validation_leakage",
-        "embedding_norm_psi",
+        "embedding_drift_psi",
         "text_ndcg_eval",
     }
 )

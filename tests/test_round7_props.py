@@ -81,9 +81,9 @@ def test_quality_calibration_ppm_fields(spark, sf_dir):
 def test_norm_psi_finite_and_balanced(spark, sf_dir):
     """PSI terms finite (Laplace smoothing worked); the parity split
     puts both halves' totals within 2x of each other."""
-    from bireme_spark.queries.embeddings import embedding_norm_psi
+    from bireme_spark.queries.embeddings import embedding_drift_psi
 
-    rows = embedding_norm_psi(spark, sf_dir).collect()
+    rows = embedding_drift_psi(spark, sf_dir).collect()
     assert rows
     t_ref = sum(r["n_ref"] for r in rows)
     t_cand = sum(r["n_cand"] for r in rows)
