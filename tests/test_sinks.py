@@ -416,3 +416,18 @@ def test_stale_writer_is_fenced(spark, tmp_path):
     # after checkpoint loss re-presents old ids (value-idempotent)
     _write_changed_buckets(spark, target, df, list(range(4)), batch_id=3)
     assert read_state(spark, target).count() == rows_after
+
+
+def test_shallow_clone_refuses_dirty_destination(spark, tmp_path):
+    """Re-cloning onto an existing clone must FAIL, not silently
+    overwrite (ADVICE r6: a bare except OSError treated EEXIST as
+    the cross-device case and copy2'd over the dirty dst)."""
+    import pytest
+
+    from bireme_spark.streaming.pipeline import shallow_clone
+
+    origin = _build_sink(spark, tmp_path)
+    clone = str(tmp_path / "dirty_clone")
+    shallow_clone(origin, clone)
+    with pytest.raises(OSError):
+        shallow_clone(origin, clone)
