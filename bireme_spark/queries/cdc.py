@@ -2786,10 +2786,11 @@ def cdc_format_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value")
     )
     # --- shape-only detection (no access to the fmt tag) ---
-    # three parser branches each re-read the detected stream; cut the
-    # lineage once so the envelope build runs a single pass (a real
-    # topic is consumed once and routed map-side — mirror that shape)
-    raw = raw.localCheckpoint(eager=True)
+    # three parser branches re-read the detected stream; a lineage
+    # cut A/B-LOST at sf0.1 (ckpt 3.29 / lazy 3.13 / plain 3.08
+    # min-of-3) — the envelope build is cheap per branch here. A real
+    # consolidated topic is consumed ONCE and routed map-side; at
+    # that volume persist the consumed batch before the fan-out.
     detected = raw.select(
         "value",
         F.when(
@@ -2888,13 +2889,13 @@ def cdc_savepoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = build_changelog(spark, sf_dir)
     w = Window.partitionBy("kafka_partition").orderBy("produce_time_ms", "seq")
     # The offset frame feeds SIX downstream branches (pre/post splits,
-    # both snapshots, savepoints, resume counts); without a lineage
-    # cut each branch re-derives the changelog — 21 scans of the base
-    # table in the executed plan. One eager localCheckpoint makes the
-    # whole audit a single pass over the stream.
-    off = ch.select("*", F.row_number().over(w).alias("offs")).localCheckpoint(
-        eager=True
-    )
+    # both snapshots, savepoints, resume counts) — the executed plan
+    # re-derives the changelog per branch (21 scans of the small base
+    # union). A localCheckpoint here A/B-LOST at sf0.1 (eager 2.06 /
+    # lazy 1.93 / plain 1.85 min-of-3): the branches are cheap scans
+    # of one cached parquet. At production changelog volume, persist
+    # this frame — the branch count makes the crossover early.
+    off = ch.select("*", F.row_number().over(w).alias("offs"))
     pre = off.where(F.col("produce_time_ms") <= _SAVEPOINT_CUT_MS)
     post = off.where(F.col("produce_time_ms") > _SAVEPOINT_CUT_MS)
     sp = pre.groupBy("kafka_partition").agg(

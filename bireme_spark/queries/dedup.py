@@ -592,6 +592,12 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingles"),
     ).where(F.size("toks") >= 3)
+    # the 200-doc shingled sample is re-derived by every downstream
+    # branch (signatures, bands, exact-Jaccard truth) — 8 corpus
+    # scans without the cut. LAZY checkpoint A/B-WON at sf0.1
+    # (lazy 0.67 / plain 0.75 / eager 0.91 min-of-3): the sample is
+    # tiny, so cutting recompute pays but an extra eager job doesn't.
+    sh = sh.localCheckpoint(eager=False)
     ds = sh.select(
         "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sg")
     )

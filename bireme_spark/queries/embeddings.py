@@ -1315,9 +1315,9 @@ def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-CDF (cell -> count agg, cum window on the bounded
     histogram, 9 broadcast edges); PSI terms are 6dp-rounded.
 
-    Scale: ONE scan collapses to the bounded-cell histogram
-    (checkpointed — every later branch reads cells, never vectors);
-    the CDF window sorts cells, not rows."""
+    Scale: ONE scan collapses to the bounded-cell histogram and
+    every later branch reads cells, never vectors; the CDF window
+    sorts cells, not rows."""
     e = load_table(spark, sf_dir, "embeddings").select(
         # +1e6 offset keeps the value non-negative so truncating
         # integer division yields uniform-width cells everywhere
@@ -1327,11 +1327,10 @@ def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
         (F.col("vec_id") % 2 == 0).alias("is_ref"),
     )
-    hist = (
-        e.groupBy("is_ref", "v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+    # branches re-derive the bounded histogram — a checkpoint A/B-LOST
+    # at sf0.1 (eager 0.65 / lazy 0.49 / plain 0.49 min-of-3; the
+    # collapse is one cheap agg). At real corpus volume, persist it.
+    hist = e.groupBy("is_ref", "v").agg(F.count(F.lit(1)).alias("cnt"))
     ref = hist.where("is_ref").select("v", "cnt")
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     refb = ref.select(

@@ -2368,6 +2368,11 @@ def lineitem_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nationkey"), "n_name"
     )
+    # supplier-count-sized and read by FOUR branches (grand, bynat,
+    # t_total, t_within) — 9 scans of the three tables in the
+    # executed plan, but a checkpoint A/B-LOST at sf0.1 (eager 1.04 /
+    # lazy 0.86 / plain 0.88 min-of-3): each re-collapse is one cheap
+    # map-side-combined agg. At fact-table scale, persist ps.
     ps = (
         l.groupBy("l_suppkey")
         .agg(F.sum("rev").alias("x"))

@@ -2886,6 +2886,9 @@ def orders_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("cents"))
     )
     w = Window.orderBy("mm")
+    # the 80-row month series feeds a/b/v plus the lo/hi closes (7
+    # orders scans) — a checkpoint A/B-LOST at sf0.1 (plain 0.52 /
+    # lazy 0.62 / eager 0.85 min-of-3; the monthly collapse is cheap)
     ser = monthly.select(F.row_number().over(w).alias("t"), "cents")
     a = ser.select(F.col("t"))
     b = ser.select(F.col("t").alias("s"), F.col("cents").alias("u"))
