@@ -205,6 +205,13 @@ HEADLINE = [
     "corpus_validation_leakage",
     "embedding_drift_psi",
     "text_ndcg_eval",
+    "events_page_hinkley",
+    "orders_seasonal_mann_kendall",
+    "orders_interrupted_time_series",
+    "orders_cohens_kappa",
+    "events_k_anonymity",
+    "text_rake_keywords",
+    "embedding_anisotropy",
 ]
 
 

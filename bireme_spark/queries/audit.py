@@ -2041,3 +2041,92 @@ d AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
 
 QUERIES["graph_closeness_sample"] = graph_closeness_sample
 ORACLE["graph_closeness_sample"] = GRAPH_CLOSENESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_k_anonymity — quasi-identifier re-identification audit
+# ---------------------------------------------------------------------------
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) of the event stream under the
+    quasi-identifier (event_type, hour-of-day, value decade): the
+    privacy screen a warehouse runs BEFORE exporting 'anonymized'
+    analytics — any QI class with few distinct users re-identifies
+    them. Emits the k-band histogram (k=1 unique, 2-4, 5-9, 10+):
+    classes, user-rows at risk, and the share of the stream below
+    k=5 in integer ppm.
+
+    Exactness: k = COUNT(DISTINCT user) per QI class (exact two-level
+    hash agg, map-side partial); value decade = FLOOR(value) DIV 10
+    (FLOOR of identical doubles, then pure integers); band edges are
+    integer comparisons.
+
+    Scale: one (QI -> k) aggregation — the distinct rides the same
+    shuffle; the band rollup is |classes|-sized. No window, no sort
+    beyond the 4-row presentation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hh"),
+        F.expr("CAST(FLOOR(value) AS BIGINT) DIV 10").alias("vband"),
+        "user_id",
+    )
+    cls = e.groupBy("event_type", "hh", "vband").agg(
+        F.countDistinct("user_id").alias("k"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    banded = cls.select(
+        F.expr(
+            "CASE WHEN k = 1 THEN '1-unique' WHEN k < 5 THEN '2-4'"
+            " WHEN k < 10 THEN '5-9' ELSE '10+' END"
+        ).alias("k_band"),
+        "k",
+        "n_rows",
+    )
+    tot = banded.agg(F.sum("n_rows").alias("n_total"))
+    return (
+        banded.groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.min("k").cast("bigint").alias("min_k"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k_band",
+            "n_classes",
+            "n_rows",
+            "min_k",
+            F.expr("CAST(n_rows * 1000000 DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("k_band")
+    )
+
+
+EVENTS_K_ANONYMITY_SQL = """
+WITH cls AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hh,
+         CAST(FLOOR(value) AS BIGINT) // 10 AS vband,
+         COUNT(DISTINCT user_id) AS k, COUNT(*) AS n_rows
+  FROM events GROUP BY 1, 2, 3
+),
+banded AS (
+  SELECT CASE WHEN k = 1 THEN '1-unique' WHEN k < 5 THEN '2-4'
+              WHEN k < 10 THEN '5-9' ELSE '10+' END AS k_band,
+         k, n_rows
+  FROM cls
+),
+tot AS (SELECT SUM(n_rows) AS n_total FROM banded)
+SELECT k_band,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(SUM(n_rows) * 1000000 // MAX(n_total) AS BIGINT) AS share_ppm
+FROM banded, tot
+GROUP BY k_band ORDER BY k_band
+"""
+
+QUERIES["events_k_anonymity"] = events_k_anonymity
+ORACLE["events_k_anonymity"] = EVENTS_K_ANONYMITY_SQL

@@ -1414,3 +1414,120 @@ ORDER BY bin
 
 QUERIES["embedding_drift_psi"] = embedding_drift_psi
 ORACLE["embedding_drift_psi"] = EMBEDDING_DRIFT_PSI_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_anisotropy — expected pairwise cosine of a vector sample
+# ---------------------------------------------------------------------------
+
+_ANISO_N = 64  # deterministic md5-ordered sample; C(64,2) = 2016 pairs
+
+
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy audit (Ethayarajh 2019): the expected pairwise
+    cosine of RANDOM vectors should be ~0 in an isotropic space —
+    contextual-embedding spaces are notoriously cone-shaped (mean
+    cosine >> 0), which silently breaks cosine-threshold dedup and
+    ANN recall assumptions. Measures mean and variance of cosine
+    over all C(64,2) pairs of a deterministic md5-ordered sample.
+
+    Exactness: each vector is quantized ONCE to exact e6 integers
+    (ROUND per element — order-free), so dots and norms are exact
+    BIGINT sums; per-pair cosine is one IEEE chain over those exact
+    integers, 6dp-rounded and e6-summed; mean and variance close in
+    integer arithmetic.
+
+    Scale: sample-bounded (constant 64 rows, 2016 pairs at ANY
+    corpus size — the ann_recall_eval discipline); the only full
+    scan is the TakeOrdered sample pick."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.orderBy(F.md5(F.concat(F.lit("a:"), F.col("vec_id").cast("string"))))
+        .limit(_ANISO_N)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+            ).alias("q"),
+        )
+        .select(
+            "vec_id",
+            "q",
+            F.aggregate(
+                F.transform(F.col("q"), lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("nrm"),
+        )
+    )
+    a = q.select(
+        F.col("vec_id").alias("ia"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    )
+    b = q.select(
+        F.col("vec_id").alias("ib"), F.col("q").alias("qb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        "na",
+        "nb",
+    )
+    t = pairs.select(
+        F.expr(
+            "CAST(ROUND(dot / SQRT(CAST(na AS DOUBLE) * nb) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("c_e6")
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("CAST(SUM(c_e6) DIV COUNT(*) AS BIGINT)").alias("mean_cos_e6"),
+        F.expr(
+            "CAST((COUNT(*) * SUM(c_e6 * c_e6) - SUM(c_e6) * SUM(c_e6))"
+            " DIV (COUNT(*) * COUNT(*)) AS BIGINT)"
+        ).alias("var_cos_e12"),
+        F.max(F.abs(F.col("c_e6"))).cast("bigint").alias("max_abs_cos_e6"),
+    )
+
+
+EMBEDDING_ANISOTROPY_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding
+  FROM embeddings
+  ORDER BY md5(concat('a:', CAST(vec_id AS VARCHAR))) LIMIT {_ANISO_N}
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM s
+),
+n AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, x -> x * x)) AS nrm
+  FROM q
+),
+pairs AS (
+  SELECT list_sum(list_transform(generate_series(1, len(a.q)),
+                                 i -> a.q[i] * b.q[i])) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+),
+t AS (
+  SELECT CAST(ROUND(dot / SQRT(CAST(na AS DOUBLE) * nb) * 1000000, 0)
+              AS BIGINT) AS c_e6
+  FROM pairs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(c_e6) // COUNT(*) AS BIGINT) AS mean_cos_e6,
+       CAST((COUNT(*) * SUM(c_e6 * c_e6) - SUM(c_e6) * SUM(c_e6))
+            // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_cos_e12,
+       CAST(MAX(ABS(c_e6)) AS BIGINT) AS max_abs_cos_e6
+FROM t
+"""
+
+QUERIES["embedding_anisotropy"] = embedding_anisotropy
+ORACLE["embedding_anisotropy"] = EMBEDDING_ANISOTROPY_SQL

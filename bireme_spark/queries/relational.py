@@ -4265,3 +4265,87 @@ LIMIT 10
 
 QUERIES["customers_mahalanobis_outliers"] = customers_mahalanobis_outliers
 ORACLE["customers_mahalanobis_outliers"] = MAHALANOBIS_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_cohens_kappa — agreement beyond chance between two binary raters
+# ---------------------------------------------------------------------------
+
+
+def orders_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two binary 'raters' on each
+    order: rater A says an order is important (priority URGENT/HIGH),
+    rater B says it was serviced fast (first line shipped within 30
+    days) — the chance-corrected agreement measure a data team uses
+    to check whether two independent labeling rules actually measure
+    the same thing (raw accuracy is inflated by marginal imbalance).
+
+    All-integer until the close: the 2x2 confusion counts are exact,
+    p_o and p_e live as n-scaled integer products (po_num = n * (n_both
+    + n_neither), pe_num = a1*b1 + a0*b0), and kappa = (po_num -
+    pe_num) / (n*n - pe_num) is ONE IEEE division of exact BIGINTs,
+    6dp-rounded.
+
+    Scale: lineitem collapses per order in the same shuffle that
+    joins orders (co-keyed); the confusion matrix is a 1-row agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("a"),
+        "o_orderdate",
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = l.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship0"))
+    rated = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        "a", (F.datediff("ship0", "o_orderdate") <= 30).alias("b")
+    )
+    cm = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(a AND b AS INT)")).cast("bigint").alias("n_both"),
+        F.sum(F.expr("CAST(a AND NOT b AS INT)")).cast("bigint").alias("n_a_only"),
+        F.sum(F.expr("CAST(b AND NOT a AS INT)")).cast("bigint").alias("n_b_only"),
+        F.sum(F.expr("CAST(NOT a AND NOT b AS INT)")).cast("bigint").alias("n_neither"),
+    )
+    return cm.select(
+        "n",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        F.expr(
+            "ROUND(CAST(n * (n_both + n_neither)"
+            " - ((n_both + n_a_only) * (n_both + n_b_only)"
+            "    + (n_b_only + n_neither) * (n_a_only + n_neither)) AS DOUBLE)"
+            " / (n * n - ((n_both + n_a_only) * (n_both + n_b_only)"
+            "             + (n_b_only + n_neither) * (n_a_only + n_neither))), 6)"
+        ).alias("kappa"),
+    )
+
+
+ORDERS_KAPPA_SQL = """
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship0 FROM lineitem GROUP BY 1
+),
+rated AS (
+  SELECT o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS a,
+         datediff('day', o.o_orderdate, f.ship0) <= 30 AS b
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+),
+cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+         CAST(SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+  FROM rated
+)
+SELECT n, n_both, n_a_only, n_b_only, n_neither,
+       ROUND(CAST(n * (n_both + n_neither)
+             - ((n_both + n_a_only) * (n_both + n_b_only)
+                + (n_b_only + n_neither) * (n_a_only + n_neither)) AS DOUBLE)
+             / (n * n - ((n_both + n_a_only) * (n_both + n_b_only)
+                         + (n_b_only + n_neither) * (n_a_only + n_neither))), 6) AS kappa
+FROM cm
+"""
+
+QUERIES["orders_cohens_kappa"] = orders_cohens_kappa
+ORACLE["orders_cohens_kappa"] = ORDERS_KAPPA_SQL

@@ -1086,3 +1086,102 @@ FROM b GROUP BY bin ORDER BY bin
 
 QUERIES["text_quality_calibration"] = text_quality_calibration
 ORACLE["text_quality_calibration"] = TEXT_QUALITY_CALIBRATION_SQL
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keywords — stopword-delimited phrase keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): phrases are
+    maximal stopword-free token runs (the house stoplist delimits),
+    each content word scores degree/frequency where degree sums the
+    lengths of every phrase containing it — words that live in long
+    multi-word phrases outrank bare frequent words. Top-20 by exact
+    integer score (degree*1e6 DIV freq), min frequency 3.
+
+    Exactness: phrase ids are cumulative stopword counts (per-doc
+    prefix window over exact integers); degree/freq are integer
+    sums; the score is integer floor-division — nothing floats.
+
+    Scale: ONE tokenize pass, one per-doc window (co-partitioned
+    with the explode's doc_id shuffle), one word-level agg; top-20
+    is a TakeOrdered, never a global sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    toks = d.select(
+        "doc_id", F.posexplode("ws").alias("pos", "tok")
+    ).select(
+        "doc_id", "pos", "tok", F.col("tok").isin("a", "the").cast("int").alias("stop")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ph = toks.select(
+        "doc_id", "tok", "stop", F.sum("stop").over(w).alias("phrase_id")
+    ).where(F.col("stop") == 0)
+    plen = ph.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    occ = ph.join(plen, ["doc_id", "phrase_id"])
+    scored = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("phrase_len").cast("bigint").alias("degree"),
+    )
+    return (
+        scored.where(F.col("freq") >= 3)
+        .select(
+            F.col("tok").alias("word"),
+            "freq",
+            "degree",
+            F.expr("degree * 1000000 DIV freq").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+TEXT_RAKE_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ws, 1) AS INTEGER) AS pos,
+         unnest(ws) AS tok
+  FROM t
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+  FROM toks
+),
+ph AS (
+  SELECT doc_id, tok, stop,
+         SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM marked
+),
+content AS (SELECT doc_id, tok, phrase_id FROM ph WHERE stop = 0),
+plen AS (
+  SELECT doc_id, phrase_id, COUNT(*) AS phrase_len
+  FROM content GROUP BY 1, 2
+),
+occ AS (
+  SELECT c.tok, p.phrase_len
+  FROM content c JOIN plen p USING (doc_id, phrase_id)
+),
+scored AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(phrase_len) AS BIGINT) AS degree
+  FROM occ GROUP BY 1
+)
+SELECT word, freq, degree,
+       CAST(degree * 1000000 // freq AS BIGINT) AS score_e6
+FROM scored WHERE freq >= 3
+ORDER BY score_e6 DESC, word
+LIMIT 20
+"""
+
+QUERIES["text_rake_keywords"] = text_rake_keywords
+ORACLE["text_rake_keywords"] = TEXT_RAKE_SQL

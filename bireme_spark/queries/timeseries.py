@@ -4354,3 +4354,320 @@ GROUP BY tau ORDER BY 1
 
 QUERIES["events_allan_variance"] = events_allan_variance
 ORACLE["events_allan_variance"] = EVENTS_ALLAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_page_hinkley — sequential mean-shift drift detector
+# ---------------------------------------------------------------------------
+
+_PH_LAMBDA_E6 = 3_000_000  # alarm threshold on the PH statistic (e6 value units)
+
+
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detector (Page 1954; the standard
+    streaming-drift test in river/MOA) over the daily mean event
+    value: cum_t = sum_{i<=t}(x_i - prefix_mean_i), PH_t = cum_t -
+    min(cum_1..t), alarm when PH_t exceeds lambda — flags a sustained
+    upward shift of the metric a monitor watches.
+
+    Declarative sequentiality: the prefix mean makes this look like a
+    fold, but every term is a PREFIX WINDOW over the day series —
+    prefix_mean via cumulative sum/count, cum via a second cumulative
+    sum, min_cum via cumulative min; no recursion, no Arrow fold, and
+    the identical window SQL runs on DuckDB. All integer: daily means
+    are e6-scaled FLOOR divisions of exact DECIMAL-cent sums, so both
+    engines walk the same PH trajectory bit-for-bit.
+
+    Scale: the stream collapses to ~days rows in one shuffle;
+    the windows run on that tiny series."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    daily = e.groupBy("d").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    x = daily.select(
+        "d",
+        F.expr("CAST(s * 1000000 AS DECIMAL(38,0)) DIV c").cast("bigint").alias("x_e6"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pm = x.select(
+        "d",
+        "x_e6",
+        F.sum("x_e6").over(w).alias("sx"),
+        F.count(F.lit(1)).over(w).alias("t"),
+    ).select(
+        "d", "x_e6", "t", F.expr("sx DIV t").alias("pmean_e6")
+    )
+    cum = pm.select(
+        "d",
+        "x_e6",
+        "t",
+        "pmean_e6",
+        F.sum(F.col("x_e6") - F.col("pmean_e6")).over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)).alias("cum_e6"),
+    )
+    ph = cum.select(
+        "d",
+        "x_e6",
+        F.col("t").cast("bigint").alias("t"),
+        "cum_e6",
+        (F.col("cum_e6") - F.min("cum_e6").over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        )).alias("ph_e6"),
+    )
+    return ph.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "t",
+        "x_e6",
+        "cum_e6",
+        "ph_e6",
+        (F.col("ph_e6") > _PH_LAMBDA_E6).alias("alarm"),
+    ).orderBy("day")
+
+
+EVENTS_PAGE_HINKLEY_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s, COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+x AS (
+  SELECT d, CAST(CAST(s * 1000000 AS HUGEINT) // c AS BIGINT) AS x_e6 FROM daily
+),
+pm AS (
+  SELECT d, x_e6,
+         COUNT(*) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS t,
+         SUM(x_e6) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+           // COUNT(*) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pmean_e6
+  FROM x
+),
+cum AS (
+  SELECT d, x_e6, t, pmean_e6,
+         SUM(x_e6 - pmean_e6) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_e6
+  FROM pm
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, CAST(t AS BIGINT) AS t, x_e6,
+       CAST(cum_e6 AS BIGINT) AS cum_e6,
+       CAST(cum_e6 - MIN(cum_e6) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS ph_e6,
+       (cum_e6 - MIN(cum_e6) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))
+         > {_PH_LAMBDA_E6} AS alarm
+FROM cum ORDER BY day
+"""
+
+QUERIES["events_page_hinkley"] = events_page_hinkley
+ORACLE["events_page_hinkley"] = EVENTS_PAGE_HINKLEY_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_seasonal_mann_kendall — seasonal trend test on monthly revenue
+# ---------------------------------------------------------------------------
+
+
+def orders_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch-Slack 1984) on
+    monthly revenue: the plain MK statistic computed WITHIN each
+    month-of-year series across years (January vs January...), so an
+    annual cycle cannot masquerade as trend — S = sum of S_m,
+    Var = sum n_m(n_m-1)(2n_m+5)/18, z with the S>0 continuity
+    correction. The seasonal complement to ``events_mann_kendall``.
+
+    All-integer: revenues are exact DECIMAL cents, every sign pair
+    is integer, Var is carried x18 to stay integral; the single IEEE
+    step is z = (S -/+ 1)/sqrt(Var), one-shot 6dp-rounded. Emits one
+    row per month (n_m, s_m) with the overall S and z repeated — the
+    detail and the verdict in one sorted frame.
+
+    Scale: the fact table collapses to (year, month) cells in one
+    shuffle; the pair joins are per-month across years (<= C(7,2)
+    pairs per month — season-count-sized forever)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        money("o_totalprice").alias("rev"),
+    )
+    cells = o.groupBy("y", "m").agg(
+        (F.sum("rev") * 100).cast("long").alias("cents")
+    )
+    a = cells.select("m", F.col("y").alias("y1"), F.col("cents").alias("c1"))
+    b = cells.select("m", F.col("y").alias("y2"), F.col("cents").alias("c2"))
+    pairs = a.join(b, "m").where(F.col("y1") < F.col("y2"))
+    per_m = pairs.groupBy("m").agg(
+        F.sum(F.expr("CASE WHEN c2 > c1 THEN 1 WHEN c2 < c1 THEN -1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("s_m"),
+    )
+    nm = cells.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("n_m"))
+    d = per_m.join(nm, "m")
+    tot = d.agg(
+        F.sum("s_m").cast("bigint").alias("s_total"),
+        F.sum(F.expr("n_m * (n_m - 1) * (2 * n_m + 5)")).cast("bigint").alias(
+            "var_x18"
+        ),
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("m").cast("int").alias("month"),
+            "n_m",
+            "s_m",
+            "s_total",
+            "var_x18",
+            F.expr(
+                "ROUND(CASE WHEN s_total > 0 THEN (s_total - 1) / SQRT(var_x18 / 18.0)"
+                " WHEN s_total < 0 THEN (s_total + 1) / SQRT(var_x18 / 18.0)"
+                " ELSE 0.0 END, 6)"
+            ).alias("z"),
+        )
+        .orderBy("month")
+    )
+
+
+ORDERS_SEASONAL_MK_SQL = """
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.m,
+         CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+  FROM cells a JOIN cells b ON a.m = b.m AND a.y < b.y
+),
+per_m AS (SELECT m, CAST(SUM(sgn) AS BIGINT) AS s_m FROM pairs GROUP BY 1),
+nm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_m FROM cells GROUP BY 1),
+d AS (SELECT nm.m, n_m, s_m FROM per_m JOIN nm ON per_m.m = nm.m),
+tot AS (
+  SELECT CAST(SUM(s_m) AS BIGINT) AS s_total,
+         CAST(SUM(n_m * (n_m - 1) * (2 * n_m + 5)) AS BIGINT) AS var_x18
+  FROM d
+)
+SELECT m AS month, n_m, s_m, s_total, var_x18,
+       ROUND(CASE WHEN s_total > 0 THEN (s_total - 1) / SQRT(var_x18 / 18.0)
+                  WHEN s_total < 0 THEN (s_total + 1) / SQRT(var_x18 / 18.0)
+                  ELSE 0.0 END, 6) AS z
+FROM d, tot
+ORDER BY month
+"""
+
+QUERIES["orders_seasonal_mann_kendall"] = orders_seasonal_mann_kendall
+ORACLE["orders_seasonal_mann_kendall"] = ORDERS_SEASONAL_MK_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_interrupted_time_series — segmented regression around a cut date
+# ---------------------------------------------------------------------------
+
+# shared generated OLS expressions (the granger discipline): identical
+# IEEE chains over exact integer scatter sums on both engines
+_ITS_SLOPE = (
+    "(CAST({p}n AS DOUBLE) * {p}sty - CAST({p}st AS DOUBLE) * {p}sy)"
+    " / (CAST({p}n AS DOUBLE) * {p}stt - CAST({p}st AS DOUBLE) * {p}st)"
+)
+_ITS_ICEPT = (
+    "(CAST({p}sy AS DOUBLE) - (" + _ITS_SLOPE + ") * {p}st) / {p}n"
+)
+
+
+def orders_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series analysis (segmented regression;
+    Wagner et al. 2002) of monthly revenue around a 1998-01 policy
+    cut: independent OLS level+trend fits on the pre and post
+    segments, reporting the LEVEL change (post intercept minus the
+    pre line's counterfactual projection at the cut month) and the
+    SLOPE change — the causal-inference sibling of
+    ``parts_promo_did`` when there is no control group, only time.
+
+    Determinism: monthly revenues are exact DECIMAL cents and the
+    month index is an integer, so all five scatter sums per segment
+    are exact BIGINTs; both OLS closes are ONE shared generated IEEE
+    expression (the granger/Cramer discipline), one-shot 6dp-rounded.
+
+    Scale: the fact table collapses to ~80 month cells in one
+    map-side-combined shuffle; both fits are 1-row scalar aggs."""
+    o = load_table(spark, sf_dir, "orders").select(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).alias("t"),
+        money("o_totalprice").alias("rev"),
+    )
+    cells = o.groupBy("t").agg((F.sum("rev") * 100).cast("long").alias("y"))
+    t0 = 37  # 1998-01 (t is 1-based from 1995-01)
+    seg = cells.select(
+        "t", "y", (F.col("t") >= t0).alias("post")
+    )
+    scat = seg.groupBy("post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(t AS BIGINT) * t")).alias("stt"),
+        F.sum(F.expr("CAST(t AS BIGINT) * y")).alias("sty"),
+    )
+    wide = scat.groupBy().agg(
+        *[
+            F.max(F.when(F.col("post") == (p == "b_"), F.col(c))).alias(f"{p}{c}")
+            for p in ("a_", "b_")
+            for c in ("n", "st", "sy", "stt", "sty")
+        ]
+    )
+    pre_s = _ITS_SLOPE.format(p="a_")
+    post_s = _ITS_SLOPE.format(p="b_")
+    pre_i = _ITS_ICEPT.format(p="a_")
+    post_i = _ITS_ICEPT.format(p="b_")
+    return wide.select(
+        F.col("a_n").alias("n_pre"),
+        F.col("b_n").alias("n_post"),
+        F.expr(f"ROUND({pre_s}, 6)").alias("pre_slope_cents"),
+        F.expr(f"ROUND({post_s}, 6)").alias("post_slope_cents"),
+        F.expr(f"ROUND(({post_s}) - ({pre_s}), 6)").alias("slope_change_cents"),
+        F.expr(
+            f"ROUND((({post_i}) + ({post_s}) * {t0})"
+            f" - (({pre_i}) + ({pre_s}) * {t0}), 6)"
+        ).alias("level_change_cents"),
+    )
+
+
+ORDERS_ITS_SQL = f"""
+WITH cells AS (
+  SELECT (CAST(year(o_orderdate) AS INTEGER) - 1995) * 12
+           + CAST(month(o_orderdate) AS INTEGER) AS t,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+scat AS (
+  SELECT t >= 37 AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(t AS BIGINT) * t) AS BIGINT) AS stt,
+         CAST(SUM(CAST(t AS BIGINT) * y) AS BIGINT) AS sty
+  FROM cells GROUP BY 1
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN NOT post THEN n END) AS a_n,
+    MAX(CASE WHEN NOT post THEN st END) AS a_st,
+    MAX(CASE WHEN NOT post THEN sy END) AS a_sy,
+    MAX(CASE WHEN NOT post THEN stt END) AS a_stt,
+    MAX(CASE WHEN NOT post THEN sty END) AS a_sty,
+    MAX(CASE WHEN post THEN n END) AS b_n,
+    MAX(CASE WHEN post THEN st END) AS b_st,
+    MAX(CASE WHEN post THEN sy END) AS b_sy,
+    MAX(CASE WHEN post THEN stt END) AS b_stt,
+    MAX(CASE WHEN post THEN sty END) AS b_sty
+  FROM scat
+)
+SELECT a_n AS n_pre, b_n AS n_post,
+       ROUND({_ITS_SLOPE.format(p="a_")}, 6) AS pre_slope_cents,
+       ROUND({_ITS_SLOPE.format(p="b_")}, 6) AS post_slope_cents,
+       ROUND(({_ITS_SLOPE.format(p="b_")}) - ({_ITS_SLOPE.format(p="a_")}), 6)
+         AS slope_change_cents,
+       ROUND((({_ITS_ICEPT.format(p="b_")}) + ({_ITS_SLOPE.format(p="b_")}) * 37)
+             - (({_ITS_ICEPT.format(p="a_")}) + ({_ITS_SLOPE.format(p="a_")}) * 37), 6)
+         AS level_change_cents
+FROM wide
+"""
+
+QUERIES["orders_interrupted_time_series"] = orders_interrupted_time_series
+ORACLE["orders_interrupted_time_series"] = ORDERS_ITS_SQL

@@ -137,3 +137,85 @@ def test_validation_leakage_ratios(spark, sf_dir):
         assert 0 <= r["leaked_shingles"] <= r["val_shingles"]
         assert r["n_leaky_docs"] <= r["n_val_docs"]
         assert r["leak_ppm"] == r["leaked_shingles"] * 1_000_000 // r["val_shingles"]
+
+
+def test_page_hinkley_trajectory_identities(spark, sf_dir):
+    """PH >= 0 (cum minus its running min); first row's cum is 0
+    (x_1 equals its own prefix mean)."""
+    from bireme_spark.queries.timeseries import events_page_hinkley
+
+    rows = events_page_hinkley(spark, sf_dir).collect()
+    assert rows and rows[0]["cum_e6"] == 0
+    for r in rows:
+        assert r["ph_e6"] >= 0
+        assert r["alarm"] == (r["ph_e6"] > 3_000_000)
+
+
+def test_seasonal_mk_pair_bounds(spark, sf_dir):
+    """|S_m| <= C(n_m, 2); overall S is the column sum; z finite."""
+    import math
+
+    from bireme_spark.queries.timeseries import orders_seasonal_mann_kendall
+
+    rows = orders_seasonal_mann_kendall(spark, sf_dir).collect()
+    assert len(rows) == 12
+    assert rows[0]["s_total"] == sum(r["s_m"] for r in rows)
+    for r in rows:
+        assert abs(r["s_m"]) <= r["n_m"] * (r["n_m"] - 1) // 2
+        assert math.isfinite(r["z"])
+
+
+def test_its_change_identities(spark, sf_dir):
+    """slope_change == post - pre (to the 6dp emit); segments cover
+    all months."""
+    from bireme_spark.queries.timeseries import orders_interrupted_time_series
+
+    r = orders_interrupted_time_series(spark, sf_dir).collect()[0]
+    assert r["n_pre"] > 0 and r["n_post"] > 0
+    assert abs(
+        r["slope_change_cents"] - (r["post_slope_cents"] - r["pre_slope_cents"])
+    ) < 2e-6
+
+
+def test_kappa_range_and_confusion_total(spark, sf_dir):
+    """kappa in [-1, 1]; confusion cells partition n."""
+    from bireme_spark.queries.relational import orders_cohens_kappa
+
+    r = orders_cohens_kappa(spark, sf_dir).collect()[0]
+    assert r["n_both"] + r["n_a_only"] + r["n_b_only"] + r["n_neither"] == r["n"]
+    assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_k_anonymity_partition(spark, sf_dir):
+    """Band shares sum to ~1e6 ppm; min_k consistent with the band."""
+    from bireme_spark.queries.audit import events_k_anonymity
+
+    rows = events_k_anonymity(spark, sf_dir).collect()
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+    lo = {"1-unique": (1, 1), "2-4": (2, 4), "5-9": (5, 9), "10+": (10, 10**9)}
+    for r in rows:
+        a, b = lo[r["k_band"]]
+        assert a <= r["min_k"] <= b
+
+
+def test_rake_scores_exceed_unity(spark, sf_dir):
+    """degree >= freq (every occurrence contributes phrase_len >= 1),
+    so score_e6 >= 1e6; words are non-stopwords."""
+    from bireme_spark.queries.textops import text_rake_keywords
+
+    rows = text_rake_keywords(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["word"] not in ("a", "the")
+        assert r["degree"] >= r["freq"] >= 3
+        assert r["score_e6"] >= 1_000_000
+
+
+def test_anisotropy_bounds(spark, sf_dir):
+    """Cosine stats bounded: |mean| <= max|cos| <= 1; var >= 0."""
+    from bireme_spark.queries.embeddings import embedding_anisotropy
+
+    r = embedding_anisotropy(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] == 64 * 63 // 2
+    assert abs(r["mean_cos_e6"]) <= r["max_abs_cos_e6"] <= 1_000_001
+    assert r["var_cos_e12"] >= 0
