@@ -212,6 +212,13 @@ HEADLINE = [
     "events_k_anonymity",
     "text_rake_keywords",
     "embedding_anisotropy",
+    "cdc_sync_throughput_report",
+    "cdc_tombstone_gc_plan",
+    "events_burstiness_memory",
+    "nations_rca_matrix",
+    "corpus_length_bias_audit",
+    "embedding_hubness_audit",
+    "tokenizer_vocab_pruning",
 ]
 
 

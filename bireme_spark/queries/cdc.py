@@ -3000,3 +3000,203 @@ ORDER BY 1
 
 QUERIES["cdc_savepoint_resume"] = cdc_savepoint_resume
 ORACLE["cdc_savepoint_resume"] = CDC_SAVEPOINT_RESUME_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_sync_throughput_report — the PipeLineStat/StateServer report as a query
+# ---------------------------------------------------------------------------
+
+
+def cdc_sync_throughput_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day sync-health rollup over the changelog — the batch twin
+    of the reference's metrics surface (PipeLineStat.java:19-100
+    gauges: newestCompleted, syncGap/delay, per-table record counts;
+    StateServer.java serves them per pipeline over HTTP): records
+    applied per op per day, per-partition spread (a stuck Kafka
+    partition shows as min<<max), and the sync gap in days between
+    each day's newest produce time and the stream's high-water mark.
+
+    All-integer: counts, min/max per-partition record counts, and the
+    gap in whole days via µs DIV; the high-water mark is one
+    broadcast scalar.
+
+    Scale: ONE (day) hash agg over the stream + a partition-level
+    sub-agg riding the same shuffle shape; nothing row-scale after."""
+    ch = build_changelog(spark, sf_dir)
+    day = F.expr("produce_time_ms DIV 86400000").alias("day_no")
+    hwm = ch.agg(F.max("produce_time_ms").alias("hwm_ms"))
+    per_part = ch.select(day, "kafka_partition").groupBy(
+        "day_no", "kafka_partition"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spread = per_part.groupBy("day_no").agg(
+        F.min("n").cast("bigint").alias("min_part_records"),
+        F.max("n").cast("bigint").alias("max_part_records"),
+    )
+    daily = ch.select(
+        day,
+        "op",
+        "produce_time_ms",
+    ).groupBy("day_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.sum((F.col("op") == "I").cast("int")).cast("bigint").alias("n_insert"),
+        F.sum((F.col("op") == "U").cast("int")).cast("bigint").alias("n_update"),
+        F.sum((F.col("op") == "D").cast("int")).cast("bigint").alias("n_delete"),
+        F.max("produce_time_ms").alias("newest_ms"),
+    )
+    return (
+        daily.join(spread, "day_no")
+        .crossJoin(F.broadcast(hwm))
+        .select(
+            F.col("day_no").cast("bigint").alias("day_no"),
+            "n_records",
+            "n_insert",
+            "n_update",
+            "n_delete",
+            "min_part_records",
+            "max_part_records",
+            F.expr("CAST((hwm_ms - newest_ms) DIV 86400000 AS BIGINT)").alias(
+                "sync_gap_days"
+            ),
+        )
+        .orderBy("day_no")
+        .limit(100)
+    )
+
+
+CDC_SYNC_THROUGHPUT_SQL = f"""
+WITH {CHANGELOG_SQL},
+hwm AS (SELECT MAX(produce_time_ms) AS hwm_ms FROM changelog),
+per_part AS (
+  SELECT produce_time_ms // 86400000 AS day_no, kafka_partition,
+         COUNT(*) AS n
+  FROM changelog GROUP BY 1, 2
+),
+spread AS (
+  SELECT day_no, CAST(MIN(n) AS BIGINT) AS min_part_records,
+         CAST(MAX(n) AS BIGINT) AS max_part_records
+  FROM per_part GROUP BY 1
+),
+daily AS (
+  SELECT produce_time_ms // 86400000 AS day_no,
+         CAST(COUNT(*) AS BIGINT) AS n_records,
+         CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+         MAX(produce_time_ms) AS newest_ms
+  FROM changelog GROUP BY 1
+)
+SELECT CAST(d.day_no AS BIGINT) AS day_no, n_records, n_insert, n_update,
+       n_delete, min_part_records, max_part_records,
+       CAST((hwm_ms - newest_ms) // 86400000 AS BIGINT) AS sync_gap_days
+FROM daily d JOIN spread s ON d.day_no = s.day_no
+CROSS JOIN hwm
+ORDER BY day_no
+LIMIT 100
+"""
+
+QUERIES["cdc_sync_throughput_report"] = cdc_sync_throughput_report
+ORACLE["cdc_sync_throughput_report"] = CDC_SYNC_THROUGHPUT_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_tombstone_gc_plan — retention plan for delete markers
+# ---------------------------------------------------------------------------
+
+_GC_RETENTION_DAYS = 365
+
+
+def cdc_tombstone_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone garbage-collection plan: compact the changelog, find
+    keys whose FINAL state is a delete (the tombstones a log-compacted
+    topic / merge-on-read sink must retain until every consumer has
+    seen them), band them by age against the stream's high-water mark
+    and mark which bands fall out of the 365-day retention — the
+    sizing pass an operator runs before a vacuum of delete markers
+    (the sink-file analogue is ``sink_vacuum_retention``; this is the
+    LOGICAL tombstone ledger).
+
+    All-integer: ages in whole days via ms DIV; band edges integer;
+    counts exact. One compaction shuffle (the cdc_compact max_by),
+    then tombstone-count-sized arithmetic.
+
+    Scale: tombstones are a small fraction of keys; the band rollup
+    is 4 rows. The compaction is the same single hash-shuffle every
+    apply already pays — a real deployment reads the ledger off the
+    compacted state it maintains anyway."""
+    ch = build_changelog(spark, sf_dir)
+    # the same single max_by hash agg compact() runs, but keeping the
+    # final record's TIME (compact nulls payloads on deletes by
+    # contract — a tombstone ledger needs the delete timestamp)
+    c = ch.groupBy("key").agg(
+        F.expr(
+            "max_by(struct(op AS op, produce_time_ms AS t),"
+            " struct(produce_time_ms AS t, seq AS s))"
+        ).alias("last")
+    )
+    tomb = c.where(F.col("last.op") == "D").select(
+        "key", F.col("last.t").alias("produce_time_ms")
+    )
+    hwm = ch.agg(F.max("produce_time_ms").alias("hwm_ms"))
+    aged = tomb.crossJoin(F.broadcast(hwm)).select(
+        F.expr("(hwm_ms - produce_time_ms) DIV 86400000").alias("age_days")
+    )
+    banded = aged.select(
+        F.expr(
+            "CASE WHEN age_days < 90 THEN '000-089'"
+            " WHEN age_days < 365 THEN '090-364'"
+            " WHEN age_days < 730 THEN '365-729'"
+            " ELSE '730+' END"
+        ).alias("age_band"),
+        "age_days",
+    )
+    return (
+        banded.groupBy("age_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tombstones"),
+            F.min("age_days").cast("bigint").alias("min_age_days"),
+            F.max("age_days").cast("bigint").alias("max_age_days"),
+        )
+        .select(
+            "age_band",
+            "n_tombstones",
+            "min_age_days",
+            "max_age_days",
+            (F.col("min_age_days") >= _GC_RETENTION_DAYS).alias("gc_eligible"),
+        )
+        .orderBy("age_band")
+    )
+
+
+CDC_TOMBSTONE_GC_SQL = f"""
+WITH {CHANGELOG_SQL},
+compacted AS (
+  SELECT key, op AS final_op, produce_time_ms
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY key ORDER BY produce_time_ms DESC, seq DESC) AS rn
+    FROM changelog
+  ) t WHERE rn = 1
+),
+hwm AS (SELECT MAX(produce_time_ms) AS hwm_ms FROM changelog),
+aged AS (
+  SELECT (hwm_ms - produce_time_ms) // 86400000 AS age_days
+  FROM compacted, hwm WHERE final_op = 'D'
+),
+banded AS (
+  SELECT CASE WHEN age_days < 90 THEN '000-089'
+              WHEN age_days < 365 THEN '090-364'
+              WHEN age_days < 730 THEN '365-729'
+              ELSE '730+' END AS age_band,
+         age_days
+  FROM aged
+)
+SELECT age_band,
+       CAST(COUNT(*) AS BIGINT) AS n_tombstones,
+       CAST(MIN(age_days) AS BIGINT) AS min_age_days,
+       CAST(MAX(age_days) AS BIGINT) AS max_age_days,
+       MIN(age_days) >= {_GC_RETENTION_DAYS} AS gc_eligible
+FROM banded GROUP BY age_band ORDER BY age_band
+"""
+
+QUERIES["cdc_tombstone_gc_plan"] = cdc_tombstone_gc_plan
+ORACLE["cdc_tombstone_gc_plan"] = CDC_TOMBSTONE_GC_SQL

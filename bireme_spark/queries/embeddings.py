@@ -1531,3 +1531,124 @@ FROM t
 
 QUERIES["embedding_anisotropy"] = embedding_anisotropy
 ORACLE["embedding_anisotropy"] = EMBEDDING_ANISOTROPY_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_hubness_audit — k-occurrence skew of nearest-neighbor lists
+# ---------------------------------------------------------------------------
+
+_HUB_N = 64
+_HUB_K = 5
+
+
+def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit (Radovanović et al., JMLR 2010): in high
+    dimensions some points ('hubs') appear in a disproportionate
+    share of other points' k-NN lists while 'antihubs' appear in
+    none — a pathology that silently skews ANN recall and
+    semantic-dedup decisions. Over the same deterministic
+    md5-ordered 64-vector sample as ``embedding_anisotropy``, build
+    every point's exact 5-NN by cosine and emit the k-occurrence
+    histogram (how many points occur in 0, 1, 2, ... NN lists) plus
+    the max hub occupancy.
+
+    Exactness: the cosine ranking key is the anisotropy audit's
+    exact e6-integer quantization (BIGINT dots/norms), tie-broken by
+    vec_id — ranks are engine-identical integers.
+
+    Scale: sample-bounded (64 x 63 scored pairs at ANY corpus
+    size); the rank window partitions per query point."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.orderBy(F.md5(F.concat(F.lit("a:"), F.col("vec_id").cast("string"))))
+        .limit(_HUB_N)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+            ).alias("q"),
+        )
+        .select(
+            "vec_id",
+            "q",
+            F.aggregate(
+                F.transform(F.col("q"), lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("nrm"),
+        )
+    )
+    a = q.select(
+        F.col("vec_id").alias("ia"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    )
+    b = q.select(
+        F.col("vec_id").alias("ib"), F.col("q").alias("qb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        F.expr(
+            "CAST(ROUND(aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            " / SQRT(CAST(na AS DOUBLE) * nb) * 1000000, 0) AS BIGINT)"
+        ).alias("c_e6"),
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("c_e6").desc(), F.col("ib"))
+    nn = pairs.select("ia", "ib", F.row_number().over(w).alias("rnk")).where(
+        F.col("rnk") <= _HUB_K
+    )
+    occ = q.select(F.col("vec_id").alias("ib")).join(
+        nn.groupBy("ib").agg(F.count(F.lit(1)).alias("k_occ")), "ib", "left"
+    ).select(F.coalesce("k_occ", F.lit(0)).alias("k_occ"))
+    return (
+        occ.groupBy("k_occ")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .select(F.col("k_occ").cast("bigint").alias("k_occ"), "n_points")
+        .orderBy("k_occ")
+    )
+
+
+EMBEDDING_HUBNESS_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding
+  FROM embeddings
+  ORDER BY md5(concat('a:', CAST(vec_id AS VARCHAR))) LIMIT {_HUB_N}
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM s
+),
+n AS (
+  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM q
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(ROUND(list_sum(list_transform(generate_series(1, len(a.q)),
+                                            i -> a.q[i] * b.q[i]))
+                    / SQRT(CAST(a.nrm AS DOUBLE) * b.nrm) * 1000000, 0)
+              AS BIGINT) AS c_e6
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT ia, ib
+  FROM (
+    SELECT ia, ib,
+           ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c_e6 DESC, ib) AS rnk
+    FROM pairs
+  ) t WHERE rnk <= {_HUB_K}
+),
+occ AS (
+  SELECT COALESCE(o.k_occ, 0) AS k_occ
+  FROM q LEFT JOIN (SELECT ib, COUNT(*) AS k_occ FROM nn GROUP BY 1) o
+    ON q.vec_id = o.ib
+)
+SELECT CAST(k_occ AS BIGINT) AS k_occ,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM occ GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["embedding_hubness_audit"] = embedding_hubness_audit
+ORACLE["embedding_hubness_audit"] = EMBEDDING_HUBNESS_SQL

@@ -4349,3 +4349,97 @@ FROM cm
 
 QUERIES["orders_cohens_kappa"] = orders_cohens_kappa
 ORACLE["orders_cohens_kappa"] = ORDERS_KAPPA_SQL
+
+
+# ---------------------------------------------------------------------------
+# nations_rca_matrix — revealed comparative advantage per nation x brand
+# ---------------------------------------------------------------------------
+
+
+def nations_rca_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balassa revealed-comparative-advantage index (Balassa 1965)
+    over the supplier-nation x part-brand trade matrix:
+    RCA = (x_ns / x_n) / (X_s / X) — which brands a nation supplies
+    MORE intensively than the world does. Emits the top-30 (nation,
+    brand) cells with RCA in exact integer ppm.
+
+    Exactness: revenues are exact DECIMAL cents; the RCA ratio is
+    one integer floor-division of two DECIMAL(38,0) products
+    (x_ns*X*1e6 and x_n*X_s — each < 1e28, far under 38 digits;
+    HUGEINT on DuckDB), so the ranking key is engine-identical with
+    no float anywhere.
+
+    Scale: ONE fact shuffle to (nation, brand) cells; marginals are
+    window sums over the cell table (window-over-cells beats
+    join-back re-aggregation on tiny cell tables — the r6 lag-MI
+    A/B); top-30 is a TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", money("l_extendedprice").alias("rev")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("s_nationkey", "p_brand")
+        .agg((F.sum("rev") * 100).cast("long").alias("cents"))
+    )
+    m = cells.select(
+        "s_nationkey",
+        "p_brand",
+        "cents",
+        F.sum("cents").over(Window.partitionBy("s_nationkey")).alias("x_n"),
+        F.sum("cents").over(Window.partitionBy("p_brand")).alias("x_s"),
+        F.sum("cents").over(Window.partitionBy(F.lit(1))).alias("x_tot"),
+    )
+    scored = m.select(
+        "s_nationkey",
+        "p_brand",
+        "cents",
+        F.expr(
+            "CAST((CAST(cents AS DECIMAL(38,0)) * x_tot * 1000000)"
+            " DIV (CAST(x_n AS DECIMAL(38,0)) * x_s) AS BIGINT)"
+        ).alias("rca_ppm"),
+    )
+    return (
+        scored.join(F.broadcast(n), scored.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("p_brand").alias("brand"),
+            F.col("cents").alias("export_cents"),
+            "rca_ppm",
+        )
+        .orderBy(F.col("rca_ppm").desc(), "nation", "brand")
+        .limit(30)
+    )
+
+
+NATIONS_RCA_SQL = """
+WITH cells AS (
+  SELECT s.s_nationkey, p.p_brand,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT s_nationkey, p_brand, cents,
+         SUM(cents) OVER (PARTITION BY s_nationkey) AS x_n,
+         SUM(cents) OVER (PARTITION BY p_brand) AS x_s,
+         SUM(cents) OVER () AS x_tot
+  FROM cells
+)
+SELECT n.n_name AS nation, m.p_brand AS brand,
+       m.cents AS export_cents,
+       CAST((CAST(m.cents AS HUGEINT) * x_tot * 1000000)
+            // (CAST(x_n AS HUGEINT) * x_s) AS BIGINT) AS rca_ppm
+FROM m JOIN nation n ON m.s_nationkey = n.n_nationkey
+ORDER BY rca_ppm DESC, nation, brand
+LIMIT 30
+"""
+
+QUERIES["nations_rca_matrix"] = nations_rca_matrix
+ORACLE["nations_rca_matrix"] = NATIONS_RCA_SQL

@@ -1358,3 +1358,115 @@ FROM gains GROUP BY term ORDER BY term
 
 QUERIES["text_ndcg_eval"] = text_ndcg_eval
 ORACLE["text_ndcg_eval"] = _ndcg_sql()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_vocab_pruning — coverage loss across vocabulary budgets
+# ---------------------------------------------------------------------------
+
+_PRUNE_KS = (100, 200, 400)
+
+
+def tokenizer_vocab_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget sweep: token and type coverage of the top-k
+    frequency-ranked words at k = 100/200/400 — the pruning curve a
+    tokenizer team reads before fixing a vocab size (coverage is
+    concave in k; the knee is the budget). The sweep complement of
+    the single-k ``vocab_coverage``.
+
+    All-integer: ranks are row_numbers over (freq DESC, word), and
+    both coverages are ppm floor-divisions of exact BIGINT token
+    counts.
+
+    Scale: the corpus collapses ONCE to the word-frequency table
+    (the BPE-training shape); the sweep is three conditional sums
+    over that table in ONE aggregate — no per-k scans."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = wf.select(
+        "w",
+        "freq",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("w"))).alias(
+            "rnk"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("total_types"),
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("freq")))
+            .cast("bigint")
+            .alias(f"cov_{k}")
+            for k in _PRUNE_KS
+        ],
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("vocab_k"),
+                        F.col(f"cov_{k}").alias("in_vocab_tokens"),
+                        F.col("total_tokens").alias("total_tokens"),
+                        F.col("total_types").alias("total_types"),
+                    )
+                    for k in _PRUNE_KS
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        F.col("vocab_k").cast("int").alias("vocab_k"),
+        "in_vocab_tokens",
+        "total_tokens",
+        F.expr("CAST(in_vocab_tokens * 1000000 DIV total_tokens AS BIGINT)").alias(
+            "coverage_ppm"
+        ),
+        F.expr("CAST(total_tokens - in_vocab_tokens AS BIGINT)").alias("oov_tokens"),
+        "total_types",
+    ).orderBy("vocab_k")
+
+
+def _vocab_pruning_sql() -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS vocab_k, cov_{k} AS in_vocab_tokens,"
+        " total_tokens, total_types FROM agg"
+        for k in _PRUNE_KS
+    )
+    covs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN rnk <= {k} THEN freq END) AS BIGINT) AS cov_{k}"
+        for k in _PRUNE_KS
+    )
+    return f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+ranked AS (
+  SELECT w, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rnk
+  FROM wf
+),
+agg AS (
+  SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS total_types,
+         {covs}
+  FROM ranked
+)
+SELECT CAST(vocab_k AS INTEGER) AS vocab_k, in_vocab_tokens, total_tokens,
+       CAST(in_vocab_tokens * 1000000 // total_tokens AS BIGINT) AS coverage_ppm,
+       CAST(total_tokens - in_vocab_tokens AS BIGINT) AS oov_tokens,
+       total_types
+FROM ({unions})
+ORDER BY vocab_k
+"""
+
+
+QUERIES["tokenizer_vocab_pruning"] = tokenizer_vocab_pruning
+ORACLE["tokenizer_vocab_pruning"] = _vocab_pruning_sql()

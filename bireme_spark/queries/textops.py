@@ -1185,3 +1185,116 @@ LIMIT 20
 
 QUERIES["text_rake_keywords"] = text_rake_keywords
 ORACLE["text_rake_keywords"] = TEXT_RAKE_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_length_bias_audit — does the filter battery bias against length?
+# ---------------------------------------------------------------------------
+
+
+def corpus_length_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit of the Gopher keep rule: per length decile
+    (n_chars, REFERENCE deciles via the house histogram-CDF), the
+    empirical keep rate and its lift vs the corpus-wide rate — the
+    selection-bias check a pipeline runs before trusting a filter
+    battery (a length-correlated filter silently skews the training
+    distribution; Gopher's own 50-word floor SHOULD show up in
+    decile 0, which is the point).
+
+    All-integer: deciles cut on the n_chars value histogram (bounded
+    by the value range), keep rates and lifts in ppm via DIV.
+
+    Scale: one map-side keep-flag pass collapses to (n_chars, keep)
+    cells; the CDF window runs on the value histogram; the rollup is
+    10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    m = _gopher_measures(
+        d.select("doc_id", "text", F.split("text", " ").alias("ws"), "n_chars")
+    ).select("n_chars", _gopher_keep().cast("int").alias("keep"))
+    cells = m.groupBy("n_chars", "keep").agg(F.count(F.lit(1)).alias("cnt"))
+    vals = cells.groupBy("n_chars").agg(F.sum("cnt").alias("vcnt"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    binned = vals.select(
+        "n_chars",
+        F.sum("vcnt").over(w).alias("cum"),
+        F.sum("vcnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_tot"),
+    ).select("n_chars", F.expr("(cum - 1) * 10 DIV n_tot").alias("bin"))
+    j = cells.join(binned, "n_chars")
+    tot = j.agg(
+        F.sum("cnt").alias("g_n"), F.sum(F.expr("keep * cnt")).alias("g_keep")
+    )
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("keep * cnt")).cast("bigint").alias("n_keep"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("decile"),
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            F.expr("CAST(n_keep * 1000000 DIV n_docs AS BIGINT)").alias(
+                "keep_rate_ppm"
+            ),
+            # GREATEST(...,1): a corpus where NOTHING passes the keep
+            # (sf0.001 does this) must yield lift 0, not divide-by-zero
+            F.expr(
+                "CAST((n_keep * 1000000 DIV n_docs) * 1000000"
+                " DIV GREATEST(g_keep * 1000000 DIV g_n, 1) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+CORPUS_LENGTH_BIAS_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws, n_chars FROM documents
+), m AS (
+  SELECT n_chars,
+         CASE WHEN (len(ws) BETWEEN 50 AND 100000)
+                   AND (length(replace(text, ' ', '')) * 1.0 / len(ws)
+                        BETWEEN 3.0 AND 10.0)
+                   AND ((length(text) - length(replace(text, '#', ''))
+                         + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT))
+                        * 1.0 / len(ws)) < 0.1
+                   AND (len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                        * 1.0 / len(ws)) >= 0.8
+                   AND len(list_intersect(ws,
+                        ['the','be','to','of','and','that','have','with'])) >= 2
+              THEN 1 ELSE 0 END AS keep
+  FROM t
+),
+cells AS (SELECT n_chars, keep, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+vals AS (SELECT n_chars, SUM(cnt) AS vcnt FROM cells GROUP BY 1),
+binned AS (
+  SELECT n_chars,
+         (SUM(vcnt) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) - 1) * 10
+           // (SUM(vcnt) OVER ()) AS bin
+  FROM vals
+),
+j AS (SELECT c.*, b.bin FROM cells c JOIN binned b USING (n_chars)),
+tot AS (
+  SELECT SUM(cnt) AS g_n, SUM(keep * cnt) AS g_keep FROM j
+)
+SELECT CAST(bin AS INTEGER) AS decile,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(keep * cnt) * 1000000 // SUM(cnt) AS BIGINT) AS keep_rate_ppm,
+       CAST((SUM(keep * cnt) * 1000000 // SUM(cnt)) * 1000000
+            // GREATEST(MAX(g_keep) * 1000000 // MAX(g_n), 1) AS BIGINT) AS lift_ppm
+FROM j, tot
+GROUP BY bin ORDER BY decile
+"""
+
+QUERIES["corpus_length_bias_audit"] = corpus_length_bias_audit
+ORACLE["corpus_length_bias_audit"] = CORPUS_LENGTH_BIAS_SQL

@@ -4671,3 +4671,105 @@ FROM wide
 
 QUERIES["orders_interrupted_time_series"] = orders_interrupted_time_series
 ORACLE["orders_interrupted_time_series"] = ORDERS_ITS_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_burstiness_memory — the (B, M) plane of inter-arrival dynamics
+# ---------------------------------------------------------------------------
+
+
+def events_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness/memory plane (EPL 81, 2008) per event
+    type: B = (sigma - mu)/(sigma + mu) of inter-arrival times
+    (B ~ 0 Poisson, B -> 1 bursty trains) and M = lag-1 Pearson
+    correlation of consecutive gaps (M > 0: long gaps follow long
+    gaps) — separates burstiness caused by fat-tailed gaps from
+    burstiness caused by correlations, which ACF/Hurst alone
+    conflate.
+
+    Exactness: gaps are integer MILLISECONDS (total span bounds
+    Sum(tau^2) <= max_tau * Sum(tau) <= span^2 = 6.9e18 < 2^63, so
+    every moment is BIGINT-safe by construction); B uses the
+    n-scaled identity (sqrt(n*Stt - S^2) - S)/(sqrt(n*Stt - S^2) + S)
+    — ONE IEEE sqrt over exact integers; M is the Pearson close over
+    exact lag-pair sums, 6dp one-shot.
+
+    Scale: one shuffle partitions by type for the two lag windows;
+    moments are a |types|-row agg."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    # tau_i = t_i - t_{i-1}; tau_next pairs it with the following gap
+    # off the SAME window ordering — one sort, two window reads.
+    # Integer DIV, never /1000-then-cast: DuckDB rounds double->int
+    # casts while Spark truncates (the documented engine trap).
+    g = e.select(
+        "event_type",
+        F.expr("(us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id))"
+               " DIV 1000").alias("tau"),
+        F.expr("(lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id) - us)"
+               " DIV 1000").alias("tau_next"),
+    ).where(F.col("tau").isNotNull())
+    mom = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("tau").cast("bigint").alias("s"),
+        F.sum(F.expr("tau * tau")).cast("bigint").alias("stt"),
+        F.count("tau_next").cast("bigint").alias("np"),
+        F.sum(F.when(F.col("tau_next").isNotNull(), F.col("tau"))).cast("bigint").alias("sx"),
+        F.sum("tau_next").cast("bigint").alias("sy"),
+        F.sum(F.expr("CASE WHEN tau_next IS NOT NULL THEN tau * tau END")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("tau_next * tau_next")).cast("bigint").alias("syy"),
+        F.sum(F.expr("tau * tau_next")).cast("bigint").alias("sxy"),
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.expr("CAST(s DIV n AS BIGINT)").alias("mean_gap_ms"),
+        F.expr(
+            "ROUND((SQRT(CAST(n AS DOUBLE) * stt - CAST(s AS DOUBLE) * s) - s)"
+            " / (SQRT(CAST(n AS DOUBLE) * stt - CAST(s AS DOUBLE) * s) + s), 6)"
+        ).alias("burstiness_b"),
+        F.expr(
+            "ROUND((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / SQRT((CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            "        * (CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"
+        ).alias("memory_m"),
+    ).orderBy("event_type")
+
+
+EVENTS_BURSTINESS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000 AS tau,
+         (LEAD(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000 AS tau_next
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(tau) AS BIGINT) AS s,
+         CAST(SUM(tau * tau) AS BIGINT) AS stt,
+         CAST(COUNT(tau_next) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN tau_next IS NOT NULL THEN tau END) AS BIGINT) AS sx,
+         CAST(SUM(tau_next) AS BIGINT) AS sy,
+         CAST(SUM(CASE WHEN tau_next IS NOT NULL THEN tau * tau END) AS BIGINT) AS sxx,
+         CAST(SUM(tau_next * tau_next) AS BIGINT) AS syy,
+         CAST(SUM(tau * tau_next) AS BIGINT) AS sxy
+  FROM g WHERE tau IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(s // n AS BIGINT) AS mean_gap_ms,
+       ROUND((SQRT(CAST(n AS DOUBLE) * stt - CAST(s AS DOUBLE) * s) - s)
+             / (SQRT(CAST(n AS DOUBLE) * stt - CAST(s AS DOUBLE) * s) + s), 6)
+         AS burstiness_b,
+       ROUND((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS memory_m
+FROM mom ORDER BY event_type
+"""
+
+QUERIES["events_burstiness_memory"] = events_burstiness_memory
+ORACLE["events_burstiness_memory"] = EVENTS_BURSTINESS_SQL

@@ -219,3 +219,88 @@ def test_anisotropy_bounds(spark, sf_dir):
     assert r["n_pairs"] == 64 * 63 // 2
     assert abs(r["mean_cos_e6"]) <= r["max_abs_cos_e6"] <= 1_000_001
     assert r["var_cos_e12"] >= 0
+
+
+def test_sync_throughput_spread_and_gap(spark, sf_dir):
+    """Partition spread min<=max; op counts partition records; gap is
+    non-negative and 0 on the newest day."""
+    from bireme_spark.queries.cdc import cdc_sync_throughput_report
+
+    rows = cdc_sync_throughput_report(spark, sf_dir).collect()
+    assert rows
+    assert any(r["sync_gap_days"] == 0 for r in rows) or len(rows) == 100
+    for r in rows:
+        assert r["min_part_records"] <= r["max_part_records"]
+        assert r["n_insert"] + r["n_update"] + r["n_delete"] == r["n_records"]
+        assert r["sync_gap_days"] >= 0
+
+
+def test_tombstone_bands_consistent(spark, sf_dir):
+    """Ages inside their band; gc_eligible iff min age >= retention."""
+    from bireme_spark.queries.cdc import cdc_tombstone_gc_plan
+
+    rows = cdc_tombstone_gc_plan(spark, sf_dir).collect()
+    edges = {"000-089": (0, 89), "090-364": (90, 364), "365-729": (365, 729),
+             "730+": (730, 10**9)}
+    for r in rows:
+        lo, hi = edges[r["age_band"]]
+        assert lo <= r["min_age_days"] <= r["max_age_days"] <= hi
+        assert r["gc_eligible"] == (r["min_age_days"] >= 365)
+
+
+def test_burstiness_memory_ranges(spark, sf_dir):
+    """B in (-1, 1); M in [-1, 1]; mean gap positive."""
+    from bireme_spark.queries.timeseries import events_burstiness_memory
+
+    rows = events_burstiness_memory(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 < r["burstiness_b"] < 1.0
+        assert -1.0 <= r["memory_m"] <= 1.0
+        assert r["mean_gap_ms"] > 0
+
+
+def test_rca_scale_identity(spark, sf_dir):
+    """RCA is a share-of-share ratio: top cells must exceed 1e6 ppm
+    (else they would not be 'revealed advantage')."""
+    from bireme_spark.queries.relational import nations_rca_matrix
+
+    rows = nations_rca_matrix(spark, sf_dir).collect()
+    assert len(rows) == 30
+    assert all(rows[i]["rca_ppm"] >= rows[i + 1]["rca_ppm"] for i in range(29))
+    assert rows[0]["rca_ppm"] > 1_000_000
+
+
+def test_length_bias_deciles(spark, sf_dir):
+    """Deciles ordered and contiguous in char ranges; ppm bounded."""
+    from bireme_spark.queries.textops import corpus_length_bias_audit
+
+    rows = corpus_length_bias_audit(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r["decile"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_chars"] <= b["min_chars"]
+    for r in rows:
+        assert 0 <= r["keep_rate_ppm"] <= 1_000_000
+
+
+def test_hubness_mass_conservation(spark, sf_dir):
+    """Sum k_occ * n_points == 64 * 5 (every NN slot lands somewhere);
+    points partition across occurrence counts."""
+    from bireme_spark.queries.embeddings import embedding_hubness_audit
+
+    rows = embedding_hubness_audit(spark, sf_dir).collect()
+    assert sum(r["n_points"] for r in rows) == 64
+    assert sum(r["k_occ"] * r["n_points"] for r in rows) == 64 * 5
+
+
+def test_vocab_pruning_monotone(spark, sf_dir):
+    """Coverage is monotone in k and bounded by 1e6 ppm."""
+    from bireme_spark.queries.terms import tokenizer_vocab_pruning
+
+    rows = tokenizer_vocab_pruning(spark, sf_dir).collect()
+    assert [r["vocab_k"] for r in rows] == [100, 200, 400]
+    cov = [r["coverage_ppm"] for r in rows]
+    assert cov == sorted(cov)
+    for r in rows:
+        assert r["in_vocab_tokens"] + r["oov_tokens"] == r["total_tokens"]
+        assert 0 < r["coverage_ppm"] <= 1_000_000
