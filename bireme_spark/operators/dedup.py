@@ -75,9 +75,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     # Distinctness is PER DOCUMENT (Jaccard is over shingle sets), so
     # array_distinct before the explode does it map-side — no shuffle
     # at all, vs a full (doc, shingle) distinct of the exploded rows.
+    # Documents shorter than n tokens must yield ZERO shingles: the
+    # unguarded sequence(1, size-n+1) with size<n yields the
+    # DESCENDING array [1, 0] and slice(__ws, 0, n) then throws
+    # INVALID_PARAMETER_VALUE.START (Spark sequence() counts down
+    # when start > stop; DuckDB's generate_series is simply empty).
     sh = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(__ws) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(__ws, i, {n}))))"
+        f"CASE WHEN size(__ws) < {n} THEN array()"
+        f" ELSE array_distinct(transform(sequence(1, size(__ws) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(__ws, i, {n})))) END"
     )
     # The corpus often arrives as few large files (this scan is a
     # single partition at test scale); shingling is CPU-bound, so

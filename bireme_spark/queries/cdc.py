@@ -2898,11 +2898,18 @@ def cdc_savepoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = ch.select("*", F.row_number().over(w).alias("offs"))
     pre = off.where(F.col("produce_time_ms") <= _SAVEPOINT_CUT_MS)
     post = off.where(F.col("produce_time_ms") > _SAVEPOINT_CUT_MS)
-    sp = pre.groupBy("kafka_partition").agg(
-        F.max("offs").cast("bigint").alias("savepoint_offset")
-    )
-    n_res = post.groupBy("kafka_partition").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_resumed")
+    # Savepoints come from the FULL offset frame (conditional max),
+    # not the pre-cut subset: a partition whose records all arrive
+    # after the cut must still appear — with a NULL savepoint offset
+    # — mirroring the oracle's conditional-MAX form (r7 ADVICE). The
+    # resumed count folds into the same aggregation, one shuffle.
+    sp = off.groupBy("kafka_partition").agg(
+        F.max(F.when(F.col("produce_time_ms") <= _SAVEPOINT_CUT_MS, F.col("offs")))
+        .cast("bigint")
+        .alias("savepoint_offset"),
+        F.count(F.when(F.col("produce_time_ms") > _SAVEPOINT_CUT_MS, F.lit(1)))
+        .cast("bigint")
+        .alias("n_resumed"),
     )
     payload = ("o_totalprice", "o_orderstatus", "kafka_partition")
     state0 = snapshot(
@@ -2947,8 +2954,7 @@ def cdc_savepoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
     )
     return (
-        sp.join(n_res, "kafka_partition", "left")
-        .join(st, "kafka_partition", "left")
+        sp.join(st, "kafka_partition", "left")
         .crossJoin(F.broadcast(n_mism))
         .select(
             "kafka_partition",

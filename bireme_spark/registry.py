@@ -63,38 +63,13 @@ _SLOW = frozenset(
 # been waiting since earlier rounds for their first CORRECTNESS row
 # (VERDICT r4 item 3) — they rank after every other never-recorded
 # query, before the already-recorded ones.
-_NEW_THIS_ROUND = frozenset(
+_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # (reset at round-7 open: the r6 cohort now ranks as plain
-        # never-recorded — it joins the 62 pre-r6 pending queries in
-        # the drain queue. Round-7 additions below rank after ALL of
-        # them so the driver-record debt keeps draining first.)
-        "jdbc_partition_bounds",
-        "cdc_format_autodetect",
-        "cdc_savepoint_resume",
-        "events_circular_stats",
-        "events_allan_variance",
-        "events_entropy_rate",
-        "graph_pagerank",
-        "graph_closeness_sample",
-        "text_quality_calibration",
-        "corpus_validation_leakage",
-        "embedding_drift_psi",
-        "text_ndcg_eval",
-        "events_page_hinkley",
-        "orders_seasonal_mann_kendall",
-        "orders_interrupted_time_series",
-        "orders_cohens_kappa",
-        "events_k_anonymity",
-        "text_rake_keywords",
-        "embedding_anisotropy",
-        "cdc_sync_throughput_report",
-        "cdc_tombstone_gc_plan",
-        "events_burstiness_memory",
-        "nations_rca_matrix",
-        "corpus_length_bias_audit",
-        "embedding_hubness_audit",
-        "tokenizer_vocab_pruning",
+        # (reset at round-8 open: the r7 cohort now ranks as plain
+        # never-recorded — together with the pre-r7 queries it forms
+        # EXACTLY the 50-query drain that fills round 8's bounded
+        # driver gate. Round-8 additions below rank after ALL of
+        # them so the driver-record debt finishes draining first.)
     }
 )
 

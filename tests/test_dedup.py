@@ -463,3 +463,21 @@ class TestIncrementalProbe:
         assert set(g) <= set(f)  # guard can only drop/shrink, never add
         for k in g:
             assert g[k] <= f[k] + 1e-9
+
+
+def test_shingles_short_documents_yield_zero_not_crash(spark):
+    """A document with fewer than n tokens must produce ZERO shingles:
+    the unguarded sequence(1, size-n+1) yields the descending [1, 0]
+    for size<n and slice(__ws, 0, n) throws
+    INVALID_PARAMETER_VALUE.START (r7 ADVICE, reproduced)."""
+    from bireme_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y"), (3, "only"), (4, "")],
+        "id long, text string",
+    )
+    rows = shingles(df, "id", "text", n=5).collect()
+    assert sorted((r.id, r.shingle) for r in rows) == [
+        (1, "a b c d e"),
+        (1, "b c d e f"),
+    ]

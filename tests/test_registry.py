@@ -72,3 +72,21 @@ def test_latest_round_wins(tmp_path):
     _write(tmp_path, 1, {"q": row})
     _write(tmp_path, 3, {"q": row})
     assert _recorded_rounds(tmp_path) == {"q": 3}
+
+
+def test_every_headline_query_has_a_baseline_floor():
+    """bench.py can only flag a regression on a query that has a
+    BASELINE.md floor — a floorless HEADLINE entry is a silent hole
+    in the perf gate (r7 verdict: 17 of 196 had none)."""
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    floors = bench._baseline_floors()
+    missing = sorted(n for n in bench.HEADLINE if n not in floors)
+    assert not missing, f"HEADLINE queries without a BASELINE.md floor: {missing}"

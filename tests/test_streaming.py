@@ -617,3 +617,90 @@ def test_vacuum_versions_retention_and_orphans(spark, tmp_path):
         (3, "v3"),
         (13, "v3"),
     }
+
+
+def test_crash_after_sink_commit_resumes_and_stays_idempotent(spark, tmp_path, monkeypatch):
+    """Reference restart semantics (`AbstractCommitCallback` persists
+    the commit bookkeeping; `KafkaPipeLine` resumes from the last
+    committed offset): kill the streaming query in the WORST window —
+    after the sink committed micro-batch 1's manifest but before
+    Spark wrote the batch's checkpoint commit — then restart from the
+    same checkpoint. Spark replays batch 1 against state that already
+    contains it; the pessimistic merge must keep that idempotent, and
+    the resumed run must finish batch 2 so the final sink state is
+    row-identical to a cold batch apply of all three batches."""
+    import json as _json
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bireme_spark.config import PipelineConfig, SourceConfig
+    from bireme_spark.streaming import pipeline as pl
+    from bireme_spark.streaming.replay import stamp_batch_mtime
+    from pyspark.sql.types import StructType
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+
+    def envelope(k, price, op, ts):
+        return _json.dumps(
+            {"database": "testdb", "table": "t", "type": op, "ts": ts,
+             "data": {"k": k, "price": price}}
+        )
+
+    seen: set[str] = set()
+    keys = range(1, 41)
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(envelope(k, float(k), "insert", 1000) for k in keys))
+    stamp_batch_mtime(src, 0, seen)
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(envelope(k, k + 0.5, "update", 2000) for k in keys if k % 3 == 0))
+    stamp_batch_mtime(src, 1, seen)
+    with open(f"{src}/b3.json", "w") as f:
+        f.write("\n".join(envelope(k, 0.0, "delete", 3000) for k in keys if k % 5 == 0))
+    stamp_batch_mtime(src, 2, seen)
+
+    cfg = PipelineConfig(
+        sources=[SourceConfig(name="maxwell", kind="file", path=src)],
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_events_per_trigger=1,
+        num_buckets=8,
+    )
+    schema = StructType().add("k", "long").add("price", "double")
+
+    real_merge = pl._merge_compacted_versioned
+    merged_batches: list[int] = []
+
+    def crash_after_commit(bspark, target_dir, compacted, *args):
+        batch_id = args[-1]
+        real_merge(bspark, target_dir, compacted, *args)
+        merged_batches.append(batch_id)
+        if batch_id == 1:
+            raise RuntimeError("simulated crash after sink commit of batch 1")
+
+    monkeypatch.setattr(pl, "_merge_compacted_versioned", crash_after_commit)
+    q = pl.run_cdc_pipeline(
+        spark, cfg, schema, key_fields=("k",), base_columns=("k", "price"),
+        available_now=True,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    # the sink DID commit batch 1 before the crash
+    assert merged_batches == [0, 1]
+    assert pl._read_committed_batch(cfg.target_dir) == 1
+
+    # restart from the same checkpoint, crash injector removed
+    monkeypatch.setattr(pl, "_merge_compacted_versioned", real_merge)
+    q2 = pl.run_cdc_pipeline(
+        spark, cfg, schema, key_fields=("k",), base_columns=("k", "price"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+
+    got = {(r.k, r.price) for r in pl.read_state(spark, cfg.target_dir).collect()}
+    expected = {
+        (k, k + 0.5 if k % 3 == 0 else float(k)) for k in keys if k % 5 != 0
+    }
+    assert got == expected

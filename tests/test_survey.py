@@ -41,6 +41,25 @@ def test_every_registered_query_has_a_survey_line():
     assert not undocumented, f"queries() entries missing from SURVEY §2: {undocumented}"
 
 
+def test_survey_headline_count_matches_bench():
+    """§6's 'N headline queries' sentence must track bench.py's
+    HEADLINE list — the count drifted twice (r6: 158, r7: 189)."""
+    import sys
+
+    sys.path.insert(0, str(_SURVEY.parent))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    text = _SURVEY.read_text()
+    m = re.search(r"`bench\.py` at repo root: (\d+) headline queries", text)
+    assert m, "SURVEY §6 headline-count sentence not found"
+    assert int(m.group(1)) == len(bench.HEADLINE), (
+        f"SURVEY §6 says {m.group(1)} headline queries; "
+        f"bench.HEADLINE has {len(bench.HEADLINE)}"
+    )
+
+
 def test_rows_only_marking_matches_oracle_presence():
     survey = _survey_names()
     oracles = set(registry.oracle_sql())
