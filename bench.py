@@ -45,6 +45,7 @@ HEADLINE = [
     # round-4 additions — first bench run records their floor
     "dedup_ngram_containment",
     "ann_knn_graph",
+    "ann_hnsw_topk",
     "cdc_merge_into",
     "events_changepoint",
     "corpus_dsir_select",

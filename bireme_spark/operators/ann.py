@@ -572,3 +572,133 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def nsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    k_graph: int = 16,
+    beam: int = 16,
+    hops: int = 2,
+    entry_points: int = 8,
+    tables: int = 12,
+    bits: int = 5,
+    seed: int = 42,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """HNSW-family graph-index search, distributed: a single-layer
+    navigable-small-world index (the undirected k-NN graph — HNSW's
+    layer 0, Malkov & Yashunin 2016) searched by BULK beam expansion
+    instead of the paper's sequential greedy walk.
+
+    The sequential HNSW descent is driver-side by construction; the
+    Spark-first equivalent runs ALL queries' walks at once as ``hops``
+    rounds of set-at-a-time BSP:
+
+    1. index = bidirectional kNN edges (``knn_graph``: LSH-seeded
+       candidates, exact cosine rerank) — built once, reused across
+       every hop (persisted);
+    2. every query starts from the same ``entry_points`` fixed entry
+       nodes (deterministic md5-order sample — the HNSW entry point,
+       widened to E seeds) scored exactly;
+    3. each hop joins the current per-query beam to the adjacency
+       list, anti-joins nodes already scored, scores ONLY the new
+       frontier (vector join + broadcast query vectors), and keeps
+       the per-query top-``beam`` — the paper's ef-search candidate
+       heap as a rank window;
+    4. final answer = top-``k`` of everything scored, self excluded.
+
+    Every emitted cosine is exact (the graph only routes). Rows-only
+    for the driver (edges depend on LSH seeds); recall ≥ the IVF/LSH
+    bars by construction is property-tested against brute force.
+
+    Scale: per hop the frontier is Q·beam·k_graph id pairs — the only
+    wide state is the (id, vec) join against the corpus, hash-join on
+    id, no cartesian anywhere; the adjacency persist is O(N·k_graph)
+    ids. Hop count bounds plan depth (no unbounded iteration), and
+    each hop's shuffle keys are query_id/node ids, never vectors.
+    """
+    qid = query_id_col or id_col
+    # --- index build: undirected layer-0 graph ---
+    knn = knn_graph(corpus, id_col, vec_col, dim, k=k_graph, tables=tables, bits=bits, seed=seed)
+    fwd = knn.select("src", "dst")
+    adj = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    from bireme_spark.operators.dedup import release_persisted
+
+    release_persisted(knn)  # adjacency is materialized past the build
+
+    qv = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("node"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
+    ).persist()  # scored against every hop's frontier
+
+    def _score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(cv, "node")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn(
+                "cosine",
+                F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+            )
+            .select("query_id", "node", "cosine")
+        )
+
+    # --- fixed entry nodes: E smallest md5(id) (seeded by suffixing
+    # the seed so a different seed reseats the entries) ---
+    entries = (
+        corpus.select(F.col(id_col).alias("node"))
+        .withColumn("__h", F.md5(F.concat_ws("|", F.col("node"), F.lit(seed))))
+        .orderBy("__h")
+        .limit(entry_points)
+        .drop("__h")
+    )
+    seeds = qv.select("query_id").crossJoin(F.broadcast(entries))
+    if query_id_col is None:
+        # in-corpus queries (the ann_* registry shape): the walk ALSO
+        # starts at the query's own graph node — the standard warm
+        # start when the query is an index member; its self score is
+        # excluded from the final answer but routes hop 1 straight
+        # into the node's true kNN edges.
+        seeds = seeds.unionByName(
+            qv.select("query_id", F.col("query_id").alias("node"))
+        )
+    scored = _score(seeds.distinct()).persist()
+    handles = [adj, cv, scored]
+
+    wbeam = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
+    for _ in range(hops):
+        beam_df = (
+            scored.withColumn("__r", F.row_number().over(wbeam))
+            .where(F.col("__r") <= beam)
+            .select("query_id", "node")
+        )
+        frontier = (
+            beam_df.join(adj, beam_df.node == adj.src)
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(scored.select("query_id", "node"), ["query_id", "node"], "left_anti")
+        )
+        scored = scored.unionByName(_score(frontier)).persist()
+        handles.append(scored)
+
+    out = (
+        scored.where(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(wbeam))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("node").alias("neighbor_id"), "cosine")
+    )
+    from bireme_spark.operators.dedup import _attach_persisted
+
+    return _attach_persisted(out, handles)

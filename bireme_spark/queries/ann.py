@@ -196,3 +196,23 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_recall_eval"] = ann_recall_eval  # rows-only (seeded hashes)
+
+
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index approximate search (HNSW family): a single-layer
+    navigable-small-world index (bidirectional kNN graph — HNSW's
+    layer 0) searched by bulk beam expansion, the index shape
+    FAISS/production vector stores actually serve. Rows-only for the
+    driver (the graph inherits the LSH seed family); emitted cosines
+    are exact, and recall ≥0.9 vs brute force is property-tested
+    (tests/test_ann.py)."""
+    from bireme_spark.operators.ann import nsw_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return nsw_topk(
+        _corpus(spark, sf_dir), q, "vec_id", "embedding", dim=EMBED_DIM, k=K
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["ann_hnsw_topk"] = ann_hnsw_topk  # rows-only (seeded hashes)

@@ -70,6 +70,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # EXACTLY the 50-query drain that fills round 8's bounded
         # driver gate. Round-8 additions below rank after ALL of
         # them so the driver-record debt finishes draining first.)
+        "ann_hnsw_topk",
     }
 )
 

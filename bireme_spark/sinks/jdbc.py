@@ -182,3 +182,181 @@ def get_primary_keys(
         return []
     finally:
         conn.close()
+
+
+# ---------------------------------------------------------------------------
+# PG COPY fast path (ChangeLoader.java:283-344 copyWorker/getCopySql,
+# :458-470 createTemporaryTable) behind the functions/native.py
+# import-try seam: psycopg2 when installed, JDBC-writer fallback
+# otherwise. The SQL/encoding builders are pure and unit-tested; this
+# container ships no psycopg2 and no Postgres, so the live path is
+# exercised through a recording fake (tests/test_sinks.py).
+# ---------------------------------------------------------------------------
+
+
+def copy_backend() -> str:
+    """'psycopg2' when the native driver is importable, else 'jdbc'
+    (same dispatch pattern as functions/native.py: a deploy flips the
+    fast path on by ``pip install psycopg2``, zero code changes)."""
+    try:
+        import psycopg2  # noqa: F401
+
+        return "psycopg2"
+    except ImportError:
+        return "jdbc"
+
+
+def copy_sql(table: str, columns: Sequence[str]) -> str:
+    """The reference's COPY statement, byte-for-byte
+    (``ChangeLoader.java:334-344`` getCopySql): pipe delimiter, empty
+    string as NULL, CSV quoting with backslash escape."""
+    cols = ",".join(columns)
+    return (
+        f"COPY {table} ({cols}) FROM STDIN "
+        "WITH DELIMITER '|' NULL '' CSV QUOTE '\"' ESCAPE E'\\\\';"
+    )
+
+
+def copy_encode_row(values: Sequence) -> str:
+    """One COPY CSV line under the reference's options (the
+    ``tupleWriter`` twin, ``ChangeLoader.java:311-316``):
+
+    - ``None`` → the empty unquoted field (NULL '');
+    - the empty STRING must be quoted ``""`` to stay distinct from
+      NULL;
+    - fields containing the delimiter, quote, escape, CR or LF are
+      quoted, with ``\\`` before quote/backslash (ESCAPE E'\\\\');
+    - everything else passes through verbatim (no float reformatting
+      — callers format values; bools map to Postgres t/f)."""
+    out = []
+    for v in values:
+        if v is None:
+            out.append("")
+            continue
+        if isinstance(v, bool):
+            out.append("t" if v else "f")
+            continue
+        s = str(v)
+        if s == "" or any(c in s for c in ('|', '"', "\\", "\n", "\r")):
+            s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        out.append(s)
+    return "|".join(out) + "\n"
+
+
+def temp_key_table_sql(target_table: str, key_cols: Sequence[str]) -> str:
+    """Session-temporary key table for the merge-delete
+    (``ChangeLoader.java:458-470`` createTemporaryTable — ON COMMIT
+    DELETE ROWS so retries inside one connection start clean). Keys
+    only: the staged shape is the key projection of the target, not
+    SELECT * — the delete never needs payload bytes."""
+    cols = ", ".join(_qident(k) for k in key_cols)
+    return (
+        f"CREATE TEMP TABLE {copy_temp_table_name(target_table)} "
+        f"ON COMMIT DELETE ROWS AS SELECT {cols} "
+        f"FROM {_qident(target_table)} LIMIT 0"
+    )
+
+
+def copy_temp_table_name(target_table: str) -> str:
+    """``getTemporaryTableName``: dots fold to underscores."""
+    return target_table.replace(".", "_") + "_keys"
+
+
+@dataclass
+class CopyMergeSink(JdbcMergeSink):
+    """DELETE+COPY merge through the native Postgres/Greenplum COPY
+    protocol — the reference's actual load path (one loader
+    connection per table, ``copyWorker`` streaming tuples through a
+    pipe), vs the base class's staging-table merge through Spark's
+    JDBC writer.
+
+    Per micro-batch, one psycopg2 transaction:
+
+    1. ``CREATE TEMP TABLE <target>_keys ON COMMIT DELETE ROWS`` —
+       the reference's temp table, keys-only;
+    2. COPY every batch key into it and ``DELETE FROM target WHERE
+       EXISTS`` (``executeDelete``/``deleteWorker``) — skipped in
+       optimistic mode, exactly the reference's optimisticMode:
+       insert-only workloads never pay the delete scan;
+    3. COPY the surviving (non-delete) payload rows straight into the
+       TARGET (no staging table on this path — ``executeInsert``);
+    4. on a duplicate-key failure in optimistic mode: rollback, flip
+       to pessimistic, redo delete+insert (``executeTask:274-289``
+       "Chang to passimistic mode"), and STAY pessimistic for later
+       batches (the reference flips the flag once).
+
+    The batch streams through the driver connection exactly like the
+    reference's single loader thread — appropriate because the input
+    is the COMPACTED changelog (one row per key per batch), not raw
+    events. The Spark-parallel alternative stays available as the
+    base class. Falls back to the base class automatically when
+    psycopg2 is absent (``copy_backend() == 'jdbc'``), which keeps
+    Derby/test deployments working unchanged."""
+
+    optimistic: bool = False
+
+    def copy_statements(self) -> dict:
+        """The pure plan (testable without a DB): statement strings
+        keyed by step."""
+        keys_tbl = copy_temp_table_name(self.target_table)
+        payload = list(self.payload_cols)
+        return {
+            "create_keys": temp_key_table_sql(self.target_table, self.key_cols),
+            "copy_keys": copy_sql(keys_tbl, [str(k) for k in self.key_cols]),
+            "delete": delete_sql(self.target_table, keys_tbl, self.key_cols),
+            "copy_target": copy_sql(self.target_table, payload),
+        }
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if copy_backend() != "psycopg2":
+            # Derby-safe / driverless fallback: the staging-table
+            # merge via Spark's JDBC writer (same semantics).
+            JdbcMergeSink.__call__(self, batch_df, batch_id)
+            return
+        if batch_df.isEmpty():
+            return
+        import io
+
+        import psycopg2
+
+        plan = self.copy_statements()
+        key_cols = list(self.key_cols)
+        payload = list(self.payload_cols)
+        cols = list(dict.fromkeys([*key_cols, *payload, self.op_col]))
+        rows = [r.asDict() for r in batch_df.select(*cols).toLocalIterator()]
+        keys_buf = io.StringIO()
+        ins_buf = io.StringIO()
+        for r in rows:
+            keys_buf.write(copy_encode_row([r[k] for k in key_cols]))
+            if r[self.op_col] != "D":
+                ins_buf.write(copy_encode_row([r[c] for c in payload]))
+        conn = psycopg2.connect(self.url, **self.properties)
+        try:
+            conn.autocommit = False
+            cur = conn.cursor()
+            try:
+                if not self.optimistic:
+                    self._delete_phase(cur, plan, keys_buf)
+                ins_buf.seek(0)
+                cur.copy_expert(plan["copy_target"], ins_buf)
+                conn.commit()
+            except Exception as exc:
+                conn.rollback()
+                if self.optimistic and "duplicate key value" in str(exc):
+                    # the reference's one-way optimistic→pessimistic flip
+                    self.optimistic = False
+                    cur = conn.cursor()
+                    self._delete_phase(cur, plan, keys_buf)
+                    ins_buf.seek(0)
+                    cur.copy_expert(plan["copy_target"], ins_buf)
+                    conn.commit()
+                else:
+                    raise
+        finally:
+            conn.close()
+
+    def _delete_phase(self, cur, plan: dict, keys_buf) -> None:
+        cur.execute(plan["create_keys"])
+        keys_buf.seek(0)
+        cur.copy_expert(plan["copy_keys"], keys_buf)
+        cur.execute(plan["delete"])

@@ -171,3 +171,45 @@ class TestKnnGraph:
         assert all((d, s) in edges for s, d in edges)
         full = {(r.src, r.dst) for r in g.collect()}
         assert edges <= full
+
+
+def test_nsw_recall_vs_bruteforce(spark, sf_dir):
+    """The graph index must beat the flat-index recall bars: ≥0.9
+    (VERDICT r7 item 7 contract) — navigability via the warm start +
+    beam expansion recovers neighbors LSH buckets alone miss."""
+    from bireme_spark.operators.ann import nsw_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in bruteforce_topk(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in nsw_topk(e, q, "vec_id", "embedding", dim=64, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"NSW recall {recall:.2f} too low"
+
+
+def test_nsw_output_contract(spark, sf_dir):
+    """Exact-k rows per query, no self matches, no duplicate
+    neighbors, descending exact cosines (the graph only routes)."""
+    from bireme_spark.operators.ann import nsw_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = nsw_topk(e, q, "vec_id", "embedding", dim=64, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert -1.0 <= r.cosine <= 1.0
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    for rows in by_q.values():
+        assert len(rows) == 5
+        assert len({r.neighbor_id for r in rows}) == 5
+        rows.sort(key=lambda r: r.rank)
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)

@@ -704,3 +704,99 @@ def test_crash_after_sink_commit_resumes_and_stays_idempotent(spark, tmp_path, m
         (k, k + 0.5 if k % 3 == 0 else float(k)) for k in keys if k % 5 != 0
     }
     assert got == expected
+
+
+class TestKafkaSeamExecutesOptions:
+    """Drive kafka_reader_options through the protocol-level fake
+    (streaming/kafka_fake.py): option names AND semantics execute
+    against an in-memory broker, so a key that drifts from
+    KafkaPipeLine.java:198-207 / Spark-source semantics fails here
+    instead of silently no-opping on a real cluster."""
+
+    def _source(self):
+        from bireme_spark.config import SourceConfig
+
+        return SourceConfig(
+            name="maxwell1",
+            kind="maxwell",
+            kafka_server="127.0.0.1:9092",
+            kafka_topic="topic_name1",
+            kafka_groupid="bireme",
+        )
+
+    def _broker(self):
+        from bireme_spark.streaming.kafka_fake import FakeBroker
+
+        broker = FakeBroker()
+        for i in range(6):
+            broker.produce("topic_name1", i % 2, f"m{i}")
+        return broker
+
+    def test_options_replay_from_earliest_without_group_commit(self):
+        from bireme_spark.streaming.kafka_fake import FakeKafkaSource
+        from bireme_spark.streaming.pipeline import kafka_reader_options
+
+        broker = self._broker()
+        src = FakeKafkaSource(broker, kafka_reader_options(self._source()))
+        got = src.pull_batch()
+        # earliest startingOffsets: the full log, both partitions
+        assert sorted(got) == [
+            (0, 0, "m0"), (0, 1, "m2"), (0, 2, "m4"),
+            (1, 0, "m1"), (1, 1, "m3"), (1, 2, "m5"),
+        ]
+        # consumer props landed where the reference sets them
+        assert src.consumer_props["group.id"] == "bireme"
+        assert src.consumer_props["session.timeout.ms"] == "60000"
+        # progress is checkpoint-side only: NOTHING committed to the
+        # broker group (bireme commits after load; Spark never here)
+        assert broker.group_commits == []
+        assert src.pull_batch() == []  # positions advanced
+
+    def test_max_events_caps_each_trigger(self):
+        from bireme_spark.streaming.kafka_fake import FakeKafkaSource
+        from bireme_spark.streaming.pipeline import kafka_reader_options
+
+        src = FakeKafkaSource(
+            self._broker(), kafka_reader_options(self._source(), max_events=4)
+        )
+        assert len(src.pull_batch()) == 4  # RowCache batch_size twin
+        assert len(src.pull_batch()) == 2  # remainder next trigger
+
+    def test_expired_offsets_resume_from_retained_not_crash(self):
+        from bireme_spark.streaming.kafka_fake import FakeKafkaSource
+        from bireme_spark.streaming.pipeline import kafka_reader_options
+
+        broker = self._broker()
+        src = FakeKafkaSource(broker, kafka_reader_options(self._source(), 2))
+        assert len(src.pull_batch()) == 2  # positions now mid-log
+        # retention expires offsets the checkpoint still points at
+        broker.expire_below("topic_name1", 0, 3)
+        broker.expire_below("topic_name1", 1, 2)
+        # failOnDataLoss=false (the builder sets it): resume from the
+        # earliest retained offset — the reference's reconnect behavior
+        got = src.pull_batch()
+        assert got == [(1, 2, "m5")]
+
+    def test_drifted_option_key_is_rejected(self):
+        import pytest
+
+        from bireme_spark.streaming.kafka_fake import FakeKafkaSource, OptionDriftError
+        from bireme_spark.streaming.pipeline import kafka_reader_options
+
+        broker = self._broker()
+        good = kafka_reader_options(self._source())
+        # a renamed source option (what the real source would IGNORE)
+        bad = dict(good)
+        bad["starting0ffsets"] = bad.pop("startingOffsets")
+        with pytest.raises(OptionDriftError, match="unknown kafka source option"):
+            FakeKafkaSource(broker, bad)
+        # a consumer prop outside the reference's createConsumer set
+        bad2 = dict(good)
+        bad2["kafka.sesion.timeout.ms"] = bad2.pop("kafka.session.timeout.ms")
+        with pytest.raises(OptionDriftError, match="unknown consumer property"):
+            FakeKafkaSource(broker, bad2)
+        # losing the kafka. prefix must not silently pass either
+        bad3 = dict(good)
+        bad3["bootstrap.servers"] = bad3.pop("kafka.bootstrap.servers")
+        with pytest.raises(OptionDriftError):
+            FakeKafkaSource(broker, bad3)
