@@ -4173,9 +4173,17 @@ def customers_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
     scatter matrix M = [[nΣx²−Sx², nΣxy−SxSy], [·, nΣy²−Sy²]], and
     d²·1e4 = (num·1e4·(n−1)) DIV (n·det(M)) with
     num = dx²Myy − 2dxdyMxy + dy²Mxx — one integer floor-division,
-    no doubles anywhere. Spark runs it in DECIMAL(38,0) (every
-    intermediate < 1e37 at test scale; rescale units for n ≫ 1e6 —
-    the statistic is unit-invariant), DuckDB in HUGEINT.
+    no doubles anywhere. Spark runs it in DECIMAL(38,0), DuckDB in
+    HUGEINT. The quadratic form is scale-invariant, so an adaptive
+    integer downscale k = max(1, n DIV 20000) divides the deviations
+    by k and the scatter entries by k² (num and den both shrink k⁴ —
+    the ratio survives): every intermediate magnitude becomes
+    n-INDEPENDENT (dy' ~ 20000·dev, M' ~ 20000²·var), which is what
+    keeps DECIMAL(38,0) sufficient at ANY n (the unguarded form
+    overflowed at the r8 sf1.0 spot gate, n=150k → num ~ 4e40). At
+    n ≤ 20000 (every driver gate tier) k=1 — bit-identical to the
+    recorded rounds. DIV truncation is engine-identical, negatives
+    included (CLAUDE.md r7).
 
     Scale: ONE customer-level agg collapses orders; the moment
     totals are a broadcast scalar row; scoring is map-side; top-10
@@ -4197,26 +4205,26 @@ def customers_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.expr("x * x")).alias("sxx"),
         F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
         F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
-    )
+    ).withColumn("k", F.expr("GREATEST(CAST(1 AS DECIMAL(38,0)), n DIV 20000)"))
     d = "CAST({} AS DECIMAL(38,0))"
+    # downscaled building blocks: deviations DIV k, scatter DIV k².
+    # Spark DIV returns LONG — recast each quotient to DECIMAL(38,0)
+    # so the following products stay in 38-digit arithmetic.
+    dx = d.format(f"({d.format('n * x - sx')}) DIV k")
+    dy = d.format(f"({d.format('n')} * y - {d.format('sy')}) DIV k")
+    mxx = d.format(f"({d.format('n')} * sxx - {d.format('sx')} * sx) DIV (k * k)")
+    myy = d.format(f"({d.format('n')} * syy - {d.format('sy')} * sy) DIV (k * k)")
+    mxy = d.format(f"({d.format('n')} * sxy - {d.format('sx')} * sy) DIV (k * k)")
     scored = cust.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
         "x",
         "y",
         F.expr(
-            f"""CAST((({d.format('n * x - sx')} * {d.format('n * x - sx')}
-                 * ({d.format('n')} * syy - {d.format('sy')} * sy)
-               - 2 * {d.format('n * x - sx')} * ({d.format('n')} * y - {d.format('sy')})
-                 * ({d.format('n')} * sxy - {d.format('sx')} * sy)
-               + ({d.format('n')} * y - {d.format('sy')})
-                 * ({d.format('n')} * y - {d.format('sy')})
-                 * ({d.format('n')} * sxx - {d.format('sx')} * sx))
+            f"""CAST((({dx} * {dx} * {myy}
+               - 2 * {dx} * {dy} * {mxy}
+               + {dy} * {dy} * {mxx})
               * {d.format('n - 1')} * 10000)
-             DIV ({d.format('n')}
-                  * (({d.format('n')} * sxx - {d.format('sx')} * sx)
-                     * ({d.format('n')} * syy - {d.format('sy')} * sy)
-                   - ({d.format('n')} * sxy - {d.format('sx')} * sy)
-                     * ({d.format('n')} * sxy - {d.format('sx')} * sy)))
+             DIV ({d.format('n')} * ({mxx} * {myy} - {mxy} * {mxy}))
              AS BIGINT)"""
         ).alias("d2_e4"),
     )
@@ -4245,18 +4253,24 @@ tot AS (
          CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
          CAST(SUM(x * x) AS HUGEINT) AS sxx,
          CAST(SUM(y * y) AS HUGEINT) AS syy,
-         CAST(SUM(x * y) AS HUGEINT) AS sxy
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         GREATEST(CAST(1 AS HUGEINT), CAST(COUNT(*) AS HUGEINT) // 20000) AS k
   FROM cust
 )
 SELECT CAST(o_custkey AS BIGINT) AS custkey,
        CAST(x AS BIGINT) AS n_orders,
        CAST(y AS BIGINT) AS spend_hundreds,
-       CAST((((n * x - sx) * (n * x - sx) * (n * syy - sy * sy)
-            - 2 * (n * x - sx) * (n * y - sy) * (n * sxy - sx * sy)
-            + (n * y - sy) * (n * y - sy) * (n * sxx - sx * sx))
+       CAST(((((n * x - sx) // k) * ((n * x - sx) // k)
+              * ((n * syy - sy * sy) // (k * k))
+            - 2 * ((n * x - sx) // k) * ((n * y - sy) // k)
+              * ((n * sxy - sx * sy) // (k * k))
+            + ((n * y - sy) // k) * ((n * y - sy) // k)
+              * ((n * sxx - sx * sx) // (k * k)))
             * (n - 1) * 10000)
-           // (n * ((n * sxx - sx * sx) * (n * syy - sy * sy)
-                  - (n * sxy - sx * sy) * (n * sxy - sx * sy)))
+           // (n * (((n * sxx - sx * sx) // (k * k))
+                    * ((n * syy - sy * sy) // (k * k))
+                  - ((n * sxy - sx * sy) // (k * k))
+                    * ((n * sxy - sx * sy) // (k * k))))
            AS BIGINT) AS d2_e4
 FROM cust CROSS JOIN tot
 ORDER BY d2_e4 DESC, custkey

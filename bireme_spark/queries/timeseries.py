@@ -4773,3 +4773,106 @@ FROM mom ORDER BY event_type
 
 QUERIES["events_burstiness_memory"] = events_burstiness_memory
 ORACLE["events_burstiness_memory"] = EVENTS_BURSTINESS_SQL
+
+
+def orders_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal-trend decomposition of monthly
+    revenue (the moving-average STL ancestor, Hyndman & Athanasopoulos
+    FPP §6.3): trend = centered 2×12-MA, seasonal index = per
+    month-of-year mean of the detrended series re-centered to sum 0,
+    remainder = y − trend − seasonal. The decomposition every
+    forecasting rung in this suite (snaive/Holt/Holt-Winters/AR2)
+    implicitly assumes — here emitted explicitly per month.
+
+    Engine-exact: all components in integer 4dp (hundredths of a
+    cent) — the 24-term centered MA is (Σ24 cents × 100) DIV 24 and
+    the seasonal means use DIV (both engines truncate toward zero,
+    CLAUDE.md r7); one IEEE division per emitted value. BIGINT-safe:
+    24 months of cents × 100 stays < 2^63 past sf10.
+
+    Scale: fact table → 80-month DECIMAL series in one map-side-
+    combined agg; every window below runs on the 80-row frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        money("o_totalprice").alias("price"),
+    )
+    monthly = o.groupBy("month").agg(
+        (F.sum("price") * 100).cast("bigint").alias("cents")
+    )
+    w1 = Window.orderBy("month").rowsBetween(-6, 5)
+    w2 = Window.orderBy("month").rowsBetween(-5, 6)
+    t = monthly.select(
+        "month",
+        "cents",
+        F.month("month").alias("moy"),
+        F.when(
+            (F.count("cents").over(w1) == 12) & (F.count("cents").over(w2) == 12),
+            F.expr(
+                "(sum(cents) OVER (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)"
+                " + sum(cents) OVER (ORDER BY month ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING))"
+                " * 100 DIV 24"
+            ),
+        ).alias("trend4"),
+    )
+    detr = t.withColumn("detr4", F.col("cents") * 100 - F.col("trend4"))
+    # per month-of-year mean of the detrended values (DIV truncation,
+    # identical on both engines), then re-center the 12 indices to
+    # sum ~0 (again DIV)
+    idx = (
+        detr.where(F.col("trend4").isNotNull())
+        .groupBy("moy")
+        .agg(F.expr("sum(detr4) DIV count(*)").alias("raw_idx4"))
+    )
+    centered = idx.crossJoin(
+        idx.agg(F.expr("sum(raw_idx4) DIV 12").alias("mean_idx4"))
+    ).select("moy", (F.col("raw_idx4") - F.col("mean_idx4")).alias("seasonal4"))
+    out = t.join(F.broadcast(centered), "moy").select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.col("trend4") / 10000.0).alias("trend"),
+        (F.col("seasonal4") / 10000.0).alias("seasonal"),
+        ((F.col("cents") * 100 - F.col("trend4") - F.col("seasonal4")) / 10000.0).alias(
+            "remainder"
+        ),
+    )
+    return out.orderBy("month")
+
+
+ORDERS_STL_DECOMPOSE_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT month, cents, CAST(month(month) AS INTEGER) AS moy,
+         CASE WHEN COUNT(cents) OVER (ORDER BY month
+                     ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) = 12
+               AND COUNT(cents) OVER (ORDER BY month
+                     ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) = 12
+              THEN (SUM(cents) OVER (ORDER BY month
+                      ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+                    + SUM(cents) OVER (ORDER BY month
+                      ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)) * 100 // 24
+         END AS trend4
+  FROM monthly
+),
+idx AS (
+  SELECT moy, SUM(cents * 100 - trend4) // COUNT(*) AS raw_idx4
+  FROM t WHERE trend4 IS NOT NULL GROUP BY moy
+),
+centered AS (
+  SELECT moy, raw_idx4 - (SELECT SUM(raw_idx4) // 12 FROM idx) AS seasonal4
+  FROM idx
+)
+SELECT strftime(t.month, '%Y-%m') AS month,
+       t.cents / 100.0 AS revenue,
+       t.trend4 / 10000.0 AS trend,
+       c.seasonal4 / 10000.0 AS seasonal,
+       (t.cents * 100 - t.trend4 - c.seasonal4) / 10000.0 AS remainder
+FROM t JOIN centered c USING (moy)
+ORDER BY month
+"""
+
+QUERIES["orders_stl_decompose"] = orders_stl_decompose
+ORACLE["orders_stl_decompose"] = ORDERS_STL_DECOMPOSE_SQL
