@@ -46,6 +46,11 @@ HEADLINE = [
     "dedup_ngram_containment",
     "ann_knn_graph",
     "ann_hnsw_topk",
+    "orders_stl_decompose",
+    "lineitem_did_estimator",
+    "events_theta_sketch_ops",
+    "events_transfer_entropy",
+    "embedding_kcenter_coreset",
     "cdc_merge_into",
     "events_changepoint",
     "corpus_dsir_select",

@@ -1652,3 +1652,149 @@ FROM occ GROUP BY 1 ORDER BY 1
 
 QUERIES["embedding_hubness_audit"] = embedding_hubness_audit
 ORACLE["embedding_hubness_audit"] = EMBEDDING_HUBNESS_SQL
+
+
+_KCENTER_K = 8
+
+
+def _kcenter_steps_sql(k: int) -> str:
+    """Unrolled Gonzalez farthest-first selection over a `pd`
+    (ia, ib, d) pair-distance view — the ORACLE form of the k-step
+    sequential recursion (DuckDB restricts the recursive term, so
+    fixed small k unrolls into chained CTEs). Every level is AS
+    MATERIALIZED: st{r} is referenced twice (by pick{r+1} and
+    st{r+1}) and DuckDB re-executes plain CTEs per reference — the
+    unmaterialized chain is 2^k st1 evaluations. The Spark side runs
+    the same recursion as a persisted iterative loop instead
+    (embedding_kcenter_coreset body)."""
+    parts = [
+        "sel1 AS MATERIALIZED (SELECT MIN(ia) AS c FROM pd)",
+        "st1 AS MATERIALIZED (SELECT pd.ib AS vec_id, pd.d AS mind"
+        " FROM pd JOIN sel1 ON pd.ia = sel1.c)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"pick{r} AS MATERIALIZED (SELECT vec_id AS c, mind AS radius"
+            f" FROM st{r - 1} ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"st{r} AS MATERIALIZED (SELECT s.vec_id, LEAST(s.mind, pd.d) AS mind"
+                f" FROM st{r - 1} s CROSS JOIN pick{r} p"
+                f" JOIN pd ON pd.ia = p.c AND pd.ib = s.vec_id)"
+            )
+    rows = [
+        "SELECT 1 AS step, (SELECT c FROM sel1) AS center_id,"
+        " CAST(NULL AS BIGINT) AS radius_e6"
+    ] + [
+        f"SELECT {r} AS step, c AS center_id, CAST(radius AS BIGINT) AS radius_e6"
+        f" FROM pick{r}"
+        for r in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(rows) + "\nORDER BY step"
+
+
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center coreset by farthest-first traversal (Gonzalez 1985) —
+    the geometric cover every diversity-aware data-selection pipeline
+    leans on: each step adds the point FARTHEST from the selected
+    set, so k=8 centers cover the corpus with the minimal-radius
+    guarantee (2-approximation). Emits the selection order and the
+    covering radius at each pick — the radius sequence IS the
+    diversity profile of the corpus.
+
+    Determinism: cosine distances quantize to integer e6 BEFORE any
+    comparison (ROUND(cos·1e6) — ties broken by min vec_id), so the
+    sequential selection is pure integer state and the two engines
+    agree step for step: Spark runs it as a persisted iterative loop
+    (k−1 one-row argmax collects — model-sized driver traffic), the
+    oracle as generated MATERIALIZED unrolled CTEs
+    (_kcenter_steps_sql). Self-pairs (d = 0) keep chosen centers out
+    of later argmaxes for free.
+
+    Scale: the pair table is deterministically sample-bounded
+    (vec_id % 4 = 0 — the house quadratic-oracle rule); the
+    PRODUCTION path for the full corpus is the identical selection
+    with per-round broadcast of the (≤ k)-row center set against a
+    linear scan — the same integer-e6 states make the two paths
+    agree step for step."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.expr("vec_id % 4 = 0"))
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).select(
+        "vec_id", "v", F.sqrt(_fold_sum(F.expr("zip_with(v, v, (a, b) -> a * b)"))).alias("n")
+    )
+    a = v.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    pairs = a.crossJoin(b).select(
+        "ia",
+        "ib",
+        F.expr(
+            "1000000 - CAST(ROUND(aggregate(zip_with(va, vb, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) / (na * nb) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("d"),
+    ).persist()
+    try:
+        c0 = pairs.agg(F.min("ia")).collect()[0][0]
+        st = pairs.where(F.col("ia") == c0).select(
+            F.col("ib").alias("vec_id"), F.col("d").alias("mind")
+        ).persist()
+        rows = [(1, int(c0), None)]
+        handles = [st]
+        for r in range(2, _KCENTER_K + 1):
+            top = st.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+            rows.append((r, int(top.vec_id), int(top.mind)))
+            st = (
+                st.join(
+                    pairs.where(F.col("ia") == top.vec_id).select(
+                        F.col("ib").alias("vec_id"), F.col("d").alias("d2")
+                    ),
+                    "vec_id",
+                )
+                .select("vec_id", F.least("mind", "d2").alias("mind"))
+                .persist()
+            )
+            handles.append(st)
+        out = spark.createDataFrame(
+            rows, "step int, center_id bigint, radius_e6 bigint"
+        ).orderBy("step")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
+        for h in handles:
+            h.unpersist()
+    return out
+
+
+EMBEDDING_KCENTER_SQL = f"""
+WITH pts AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id, sqrt(SUM(x * x)) AS n
+  FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM pts) z
+  GROUP BY vec_id
+),
+pd AS MATERIALIZED (
+  -- parallel unnest of both lists in ONE select zips positionally
+  -- (the ann_bruteforce oracle pattern)
+  SELECT ia, ib,
+         1000000 - CAST(ROUND(dot / (x1.n * x2.n) * 1000000, 0) AS BIGINT) AS d
+  FROM (
+    SELECT ia, ib, SUM(x * y) AS dot
+    FROM (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(unnest(a.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(b.embedding) AS DOUBLE) AS y
+          FROM pts a, pts b) z
+    GROUP BY ia, ib
+  ) dots
+  JOIN nrm x1 ON x1.vec_id = dots.ia
+  JOIN nrm x2 ON x2.vec_id = dots.ib
+),
+{_kcenter_steps_sql(_KCENTER_K)}
+"""
+
+QUERIES["embedding_kcenter_coreset"] = embedding_kcenter_coreset
+ORACLE["embedding_kcenter_coreset"] = EMBEDDING_KCENTER_SQL

@@ -3017,3 +3017,201 @@ FROM terms GROUP BY 1 ORDER BY 1
 
 QUERIES["events_entropy_rate"] = events_entropy_rate
 ORACLE["events_entropy_rate"] = EVENTS_ENTROPY_RATE_SQL
+
+
+def _hex12_int(h: str) -> str:
+    """Engine-portable 12-hex-nibble → BIGINT expression (ANSI
+    `position(c IN alphabet)`, valid in both Spark SQL and DuckDB) —
+    the KMV hash value in [0, 16^12)."""
+    terms = [
+        f"CAST(position(substr({h}, {i + 1}, 1) IN '0123456789abcdef') - 1 AS BIGINT)"
+        + (f" * {16 ** (11 - i)}" if i < 11 else "")
+        for i in range(12)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_THETA_K = 64
+_THETA_SETS_SQL = f"""
+hashes AS (
+  SELECT DISTINCT event_type,
+         substr(md5(CAST(user_id AS STRING) || ':' || __day), 1, 12) AS h
+  FROM days
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM hashes
+),
+pair_u AS (
+  SELECT DISTINCT h FROM hashes WHERE event_type IN ('click', 'view')
+),
+pair_ranked AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk, COUNT(*) OVER () AS nd
+  FROM pair_u
+),
+pair_i AS (
+  SELECT h FROM hashes WHERE event_type IN ('click', 'view')
+  GROUP BY h HAVING COUNT(*) = 2
+),
+per_type AS (
+  SELECT event_type AS set_name,
+         CAST(MAX(nd) AS BIGINT) AS n_exact,
+         CASE WHEN MAX(nd) <= {_THETA_K} THEN CAST(MAX(nd) AS DOUBLE)
+              ELSE ({_THETA_K} - 1)
+                   / (MAX(CASE WHEN rnk = {_THETA_K}
+                          THEN {_hex12_int('h')} END) / 281474976710656.0)
+         END AS kmv_estimate
+  FROM ranked GROUP BY event_type
+),
+union_row AS (
+  SELECT 'click_union_view' AS set_name,
+         CAST(MAX(nd) AS BIGINT) AS n_exact,
+         CASE WHEN MAX(nd) <= {_THETA_K} THEN CAST(MAX(nd) AS DOUBLE)
+              ELSE ({_THETA_K} - 1)
+                   / (MAX(CASE WHEN rnk = {_THETA_K}
+                          THEN {_hex12_int('h')} END) / 281474976710656.0)
+         END AS kmv_estimate
+  FROM pair_ranked
+),
+inter_row AS (
+  -- KMV intersection: rho = |union-sketch entries in both sets| / k,
+  -- estimate = rho * union-estimate (Beyer et al. 2007)
+  SELECT 'click_intersect_view' AS set_name,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pair_i) AS n_exact,
+         ((SELECT CAST(COUNT(*) AS DOUBLE) FROM pair_ranked pr
+           WHERE pr.rnk <= {_THETA_K}
+             AND pr.h IN (SELECT h FROM pair_i)) / {_THETA_K})
+         * (SELECT kmv_estimate FROM union_row) AS kmv_estimate
+)
+SELECT set_name, n_exact, kmv_estimate FROM per_type
+UNION ALL SELECT * FROM union_row
+UNION ALL SELECT * FROM inter_row
+ORDER BY set_name
+"""
+
+
+def events_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set algebra over per-type (user, active-day)
+    sets: bottom-k (k=64) sketches per event type with the classic
+    (k−1)/θ distinct estimate, plus sketch UNION (k smallest of the
+    merged stream) and INTERSECTION (ρ·union, ρ = fraction of the
+    union sketch present in both operands — Beyer et al. 2007, the
+    set-operation family Apache DataSketches' theta sketch serves).
+    Exact counts ride along so the estimate error is auditable.
+
+    Engine-exact: md5 hex STRINGS are the sketch order (fixed-width
+    lowercase hex — lexicographic == numeric, the portable MinHash
+    trick); only the k-th value converts to an integer (generated
+    nibble expression, ANSI `position` in both engines) and the
+    estimate is two IEEE divisions in identical shape. Small sets
+    (n ≤ k) take the exact linear branch.
+
+    Scale: the sketch is ONE rank window per type over the distinct
+    (type, user, day) stream — the same shuffle the exact count
+    needs; everything after runs on ≤ k rows per set. At 100 TB the
+    distinct-collapse is the map-side-combined heavy stage and the
+    sketch add is free riding on it."""
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        "event_type",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("__day"),
+    ).createOrReplaceTempView("days")
+    return spark.sql("WITH " + _THETA_SETS_SQL)
+
+
+EVENTS_THETA_SKETCH_SQL = f"""
+WITH days AS (
+  SELECT event_type, user_id, strftime(ts, '%Y-%m-%d') AS __day FROM events
+),
+{_THETA_SETS_SQL}
+"""
+
+QUERIES["events_theta_sketch_ops"] = events_theta_sketch_ops
+ORACLE["events_theta_sketch_ops"] = EVENTS_THETA_SKETCH_SQL
+
+
+_TE_SHARED_SQL = """
+hours AS (
+  SELECT bucket,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM hourly GROUP BY bucket
+),
+tot AS (
+  SELECT SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS nb FROM hours
+),
+bin AS (
+  -- binary state: strictly above the mean rate (exact integer
+  -- compare c*nb > total — no rational mean materialized)
+  SELECT bucket,
+         CAST(x * nb > sx AS INT) AS xb,
+         CAST(y * nb > sy AS INT) AS yb,
+         ROW_NUMBER() OVER (ORDER BY bucket) AS rn
+  FROM hours CROSS JOIN tot
+),
+dirs AS (
+  SELECT 'x_to_y' AS dir, cur.yb AS s1, prev.yb AS s0, prev.xb AS e0
+  FROM bin cur JOIN bin prev ON cur.rn = prev.rn + 1
+  UNION ALL
+  SELECT 'y_to_x' AS dir, cur.xb AS s1, prev.xb AS s0, prev.yb AS e0
+  FROM bin cur JOIN bin prev ON cur.rn = prev.rn + 1
+),
+cells AS (
+  SELECT dir, s1, s0, e0, COUNT(*) AS c FROM dirs GROUP BY dir, s1, s0, e0
+),
+marg AS (
+  SELECT dir, s1, s0, e0, c,
+         SUM(c) OVER (PARTITION BY dir, s0, e0) AS c_se,
+         SUM(c) OVER (PARTITION BY dir, s1, s0) AS c_ss,
+         SUM(c) OVER (PARTITION BY dir, s0) AS c_s0,
+         SUM(c) OVER (PARTITION BY dir) AS n
+  FROM cells
+)
+SELECT dir,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / n)
+             * LN((CAST(c AS DOUBLE) * c_s0) / (CAST(c_se AS DOUBLE) * c_ss))
+             * 1000000, 0) AS BIGINT)) AS BIGINT) AS te_e6
+FROM marg GROUP BY dir ORDER BY dir
+"""
+
+
+def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer entropy between the click and purchase HOURLY rate
+    series, both directions (Schreiber 2000): the binary-state
+    (above/below mean rate) plug-in estimator
+    TE(X→Y) = Σ p(y₁,y₀,x₀)·ln[p(y₁|y₀,x₀)/p(y₁|y₀)] — the
+    DIRECTIONAL sibling of ``events_lag_mutual_information`` (MI is
+    symmetric; TE asks which stream predicts the other's next step
+    beyond its own history). TE ≥ 0; 0 iff X adds nothing.
+
+    Determinism: binarization is an exact integer compare (c·nb >
+    total, no rational mean); all eight cells and their marginals are
+    integer counts; each p·ln term takes the house 6dp per-term
+    rounding into an exact e6 BIGINT sum (one LN per cell — the
+    Markov-marginal window pattern of events_entropy_rate).
+
+    Scale: raw stream → |hours|-row grid in one map-side-combined
+    agg; pairing is a rank self-join on the tiny grid; cells are ≤ 8
+    rows per direction — window-over-cells, never join-back
+    (lag-MI A/B lesson)."""
+    e = load_table(spark, sf_dir, "events")
+    e.where(F.col("event_type").isin("click", "purchase")).select(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("bucket"), "event_type"
+    ).createOrReplaceTempView("hourly")
+    return spark.sql("WITH " + _TE_SHARED_SQL)
+
+
+EVENTS_TRANSFER_ENTROPY_SQL = f"""
+WITH hourly AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS bucket, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+{_TE_SHARED_SQL}
+"""
+
+QUERIES["events_transfer_entropy"] = events_transfer_entropy
+ORACLE["events_transfer_entropy"] = EVENTS_TRANSFER_ENTROPY_SQL

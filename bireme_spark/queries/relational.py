@@ -4457,3 +4457,126 @@ LIMIT 30
 
 QUERIES["nations_rca_matrix"] = nations_rca_matrix
 ORACLE["nations_rca_matrix"] = NATIONS_RCA_SQL
+
+
+def lineitem_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the "promo effect": do
+    PROMO-type parts' per-item discounted revenues move differently
+    from other parts' after the 1999-01-01 cut? The 2×2 causal
+    workhorse (Card & Krueger 1994 design) — treatment = PROMO parts,
+    control = everything else, outcome = mean discounted revenue per
+    lineitem — plus the standard pre-period placebo (fake cut
+    1997-01-01 inside the pre window): a nonzero placebo flags a
+    broken parallel-trends assumption before anyone believes the
+    headline number.
+
+    Engine-exact: the four (six with placebo) cell sums are exact
+    DECIMAL l_extendedprice·(1−l_discount) folded to integer 4dp;
+    each mean is ONE IEEE division (sum4/n/10000.0, identical
+    expression shape both engines); DiD combines four such doubles
+    with the same ops in the same order.
+
+    Scale: one broadcast-joined scan of lineitem (part is the small
+    side at fixed selectivity but SCALES with SF — threshold/AQE
+    decides, no forced hint), map-side-combined agg to six cells; the
+    estimator is driver-math-free scalar algebra on one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("treated")
+    )
+    cells = li.join(p, li.l_partkey == p.p_partkey).select(
+        "treated",
+        (F.col("l_shipdate") >= F.lit("1999-01-01")).alias("post"),
+        (F.col("l_shipdate") < F.lit("1997-01-01")).alias("pre_early"),
+        (disc_price() * 10000).cast("bigint").alias("rev4"),
+    )
+
+    def cell(cond, col=None, alias=""):
+        e = F.when(cond, F.col(col) if col else F.lit(1))
+        return (F.sum(e) if col else F.count(e)).cast("bigint").alias(alias)
+
+    t, po, pe = F.col("treated"), F.col("post"), F.col("pre_early")
+    agg = cells.agg(
+        cell(t & ~po, alias="n_treated_pre"),
+        cell(t & po, alias="n_treated_post"),
+        cell(~t & ~po, alias="n_control_pre"),
+        cell(~t & po, alias="n_control_post"),
+        cell(t & ~po, "rev4", "ts_pre"),
+        cell(t & po, "rev4", "ts_post"),
+        cell(~t & ~po, "rev4", "cs_pre"),
+        cell(~t & po, "rev4", "cs_post"),
+        cell(t & pe, "rev4", "ts_e"),
+        cell(t & pe, alias="tn_e"),
+        cell(t & ~po & ~pe, "rev4", "ts_l"),
+        cell(t & ~po & ~pe, alias="tn_l"),
+        cell(~t & pe, "rev4", "cs_e"),
+        cell(~t & pe, alias="cn_e"),
+        cell(~t & ~po & ~pe, "rev4", "cs_l"),
+        cell(~t & ~po & ~pe, alias="cn_l"),
+    )
+    m = lambda s, n: F.col(s) / F.col(n) / 10000.0  # noqa: E731
+    return agg.select(
+        "n_treated_pre",
+        "n_treated_post",
+        "n_control_pre",
+        "n_control_post",
+        m("ts_pre", "n_treated_pre").alias("mean_treated_pre"),
+        m("ts_post", "n_treated_post").alias("mean_treated_post"),
+        m("cs_pre", "n_control_pre").alias("mean_control_pre"),
+        m("cs_post", "n_control_post").alias("mean_control_post"),
+        (
+            (m("ts_post", "n_treated_post") - m("ts_pre", "n_treated_pre"))
+            - (m("cs_post", "n_control_post") - m("cs_pre", "n_control_pre"))
+        ).alias("did_estimate"),
+        (
+            (m("ts_l", "tn_l") - m("ts_e", "tn_e"))
+            - (m("cs_l", "cn_l") - m("cs_e", "cn_e"))
+        ).alias("placebo_did"),
+    )
+
+
+LINEITEM_DID_SQL = """
+WITH cells AS (
+  SELECT (p.p_type LIKE 'PROMO%') AS treated,
+         (l.l_shipdate >= TIMESTAMP '1999-01-01') AS post,
+         (l.l_shipdate < TIMESTAMP '1997-01-01') AS pre_early,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(12,6)) - CAST(l.l_discount AS DECIMAL(12,6)))
+              * 10000 AS BIGINT) AS rev4
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_treated_pre,
+    CAST(SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_treated_post,
+    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_control_pre,
+    CAST(SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_control_post,
+    CAST(SUM(CASE WHEN treated AND NOT post THEN rev4 END) AS BIGINT) AS ts_pre,
+    CAST(SUM(CASE WHEN treated AND post THEN rev4 END) AS BIGINT) AS ts_post,
+    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN rev4 END) AS BIGINT) AS cs_pre,
+    CAST(SUM(CASE WHEN NOT treated AND post THEN rev4 END) AS BIGINT) AS cs_post,
+    CAST(SUM(CASE WHEN treated AND pre_early THEN rev4 END) AS BIGINT) AS ts_e,
+    CAST(SUM(CASE WHEN treated AND pre_early THEN 1 ELSE 0 END) AS BIGINT) AS tn_e,
+    CAST(SUM(CASE WHEN treated AND NOT post AND NOT pre_early THEN rev4 END) AS BIGINT) AS ts_l,
+    CAST(SUM(CASE WHEN treated AND NOT post AND NOT pre_early THEN 1 ELSE 0 END) AS BIGINT) AS tn_l,
+    CAST(SUM(CASE WHEN NOT treated AND pre_early THEN rev4 END) AS BIGINT) AS cs_e,
+    CAST(SUM(CASE WHEN NOT treated AND pre_early THEN 1 ELSE 0 END) AS BIGINT) AS cn_e,
+    CAST(SUM(CASE WHEN NOT treated AND NOT post AND NOT pre_early THEN rev4 END) AS BIGINT) AS cs_l,
+    CAST(SUM(CASE WHEN NOT treated AND NOT post AND NOT pre_early THEN 1 ELSE 0 END) AS BIGINT) AS cn_l
+  FROM cells
+)
+SELECT n_treated_pre, n_treated_post, n_control_pre, n_control_post,
+       ts_pre / n_treated_pre / 10000.0 AS mean_treated_pre,
+       ts_post / n_treated_post / 10000.0 AS mean_treated_post,
+       cs_pre / n_control_pre / 10000.0 AS mean_control_pre,
+       cs_post / n_control_post / 10000.0 AS mean_control_post,
+       ((ts_post / n_treated_post / 10000.0) - (ts_pre / n_treated_pre / 10000.0))
+       - ((cs_post / n_control_post / 10000.0) - (cs_pre / n_control_pre / 10000.0))
+         AS did_estimate,
+       ((ts_l / tn_l / 10000.0) - (ts_e / tn_e / 10000.0))
+       - ((cs_l / cn_l / 10000.0) - (cs_e / cn_e / 10000.0)) AS placebo_did
+FROM agg
+"""
+
+QUERIES["lineitem_did_estimator"] = lineitem_did_estimator
+ORACLE["lineitem_did_estimator"] = LINEITEM_DID_SQL

@@ -71,6 +71,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # driver gate. Round-8 additions below rank after ALL of
         # them so the driver-record debt finishes draining first.)
         "ann_hnsw_topk",
+        "orders_stl_decompose",
+        "lineitem_did_estimator",
+        "events_theta_sketch_ops",
+        "events_transfer_entropy",
+        "embedding_kcenter_coreset",
     }
 )
 
