@@ -1798,3 +1798,167 @@ pd AS MATERIALIZED (
 
 QUERIES["embedding_kcenter_coreset"] = embedding_kcenter_coreset
 ORACLE["embedding_kcenter_coreset"] = EMBEDDING_KCENTER_SQL
+
+
+_DBSCAN_EPS_E6 = 750_000  # cosine distance 0.75 (cos >= 0.25)
+_DBSCAN_MINPTS = 4  # neighborhood count INCLUDING the point itself
+
+
+def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (Ester et al. 1996) over the
+    embedding corpus: core points have ≥ minPts neighbors within eps
+    (cosine distance, self included — the paper's N_eps definition),
+    clusters are connected components of the core-core eps-graph,
+    border points attach to their minimum-labeled core neighbor,
+    everything else is noise. The density complement of k-means
+    (embedding_kmeans_convergence): no k, finds arbitrary-shape
+    clusters, and EMITS noise instead of forcing assignment.
+
+    Determinism: distances quantize to integer e6 before ANY
+    comparison; components come from the min-id star-contraction
+    operator (operators/dedup.connected_components — O(log n) rounds
+    on any graph shape), isolated cores are their own singleton
+    label, border ties break to the smallest cluster label. The
+    oracle replays the same integer graph through a recursive
+    transitive-closure CTE.
+
+    Scale: the pair table is deterministically sample-bounded
+    (vec_id % 4 = 0, the house quadratic-oracle rule); the
+    PRODUCTION path swaps the exact pair table for the LSH candidate
+    pairs (operators/ann.lsh_bucketed) with identical downstream
+    integer logic — eps-neighborhoods, core test, and components all
+    run on (id, id, d) rows either way."""
+    from bireme_spark.operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.expr("vec_id % 4 = 0"))
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).select(
+        "vec_id", "v",
+        F.sqrt(_fold_sum(F.expr("zip_with(v, v, (a, b) -> a * b)"))).alias("n"),
+    )
+    a = v.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    neigh = (
+        a.crossJoin(b)
+        .select(
+            "ia",
+            "ib",
+            F.expr(
+                "1000000 - CAST(ROUND(aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) / (na * nb) * 1000000, 0)"
+                " AS BIGINT)"
+            ).alias("d"),
+        )
+        .where(F.col("d") <= _DBSCAN_EPS_E6)
+        .persist()
+    )
+    deg = neigh.groupBy("ia").agg(F.count(F.lit(1)).alias("cnt"))
+    core = deg.where(F.col("cnt") >= _DBSCAN_MINPTS).select(F.col("ia").alias("cid"))
+    core_edges = (
+        neigh.join(core.withColumnRenamed("cid", "ia"), "ia")
+        .join(core.withColumnRenamed("cid", "ib"), "ib")
+        .where(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    comp = connected_components(core_edges)
+    core_lab = core.join(comp, core.cid == comp.id, "left").select(
+        F.col("cid"), F.coalesce("component", F.col("cid")).alias("cluster")
+    ).persist()
+    border = (
+        neigh.join(core_lab.withColumnRenamed("cid", "ib"), "ib")
+        .join(core_lab.select(F.col("cid").alias("ia")), "ia", "left_anti")
+        .groupBy("ia")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    pts = v.select("vec_id")
+    out = (
+        pts.join(core_lab.withColumnRenamed("cid", "vec_id"), "vec_id", "left")
+        .join(
+            border.select(F.col("ia").alias("vec_id"), F.col("cluster").alias("bcl")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("cluster").isNotNull(), F.lit("core"))
+            .when(F.col("bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("cluster", "bcl").cast("bigint").alias("cluster"),
+        )
+        .orderBy("vec_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    neigh.unpersist()
+    core_lab.unpersist()
+    return out
+
+
+EMBEDDING_DBSCAN_SQL = f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id, sqrt(SUM(x * x)) AS n
+  FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM pts) z
+  GROUP BY vec_id
+),
+neigh AS MATERIALIZED (
+  SELECT ia, ib,
+         1000000 - CAST(ROUND(dot / (x1.n * x2.n) * 1000000, 0) AS BIGINT) AS d
+  FROM (
+    SELECT ia, ib, SUM(x * y) AS dot
+    FROM (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(unnest(a.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(b.embedding) AS DOUBLE) AS y
+          FROM pts a, pts b) z
+    GROUP BY ia, ib
+  ) dots
+  JOIN nrm x1 ON x1.vec_id = dots.ia
+  JOIN nrm x2 ON x2.vec_id = dots.ib
+  WHERE 1000000 - CAST(ROUND(dot / (x1.n * x2.n) * 1000000, 0) AS BIGINT)
+        <= {_DBSCAN_EPS_E6}
+),
+core AS MATERIALIZED (
+  SELECT ia AS cid FROM neigh GROUP BY ia HAVING COUNT(*) >= {_DBSCAN_MINPTS}
+),
+core_edges AS MATERIALIZED (
+  SELECT n.ia AS src, n.ib AS dst FROM neigh n
+  WHERE n.ia IN (SELECT cid FROM core) AND n.ib IN (SELECT cid FROM core)
+        AND n.ia <> n.ib
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM core_edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN core_edges e ON r.dst = e.src
+),
+core_lab AS MATERIALIZED (
+  SELECT c.cid, COALESCE(m.component, c.cid) AS cluster
+  FROM core c LEFT JOIN (
+    SELECT id, LEAST(id, MIN(dst)) AS component
+    FROM (SELECT src AS id, dst FROM reach
+          UNION ALL SELECT DISTINCT src, src FROM core_edges) t
+    GROUP BY id
+  ) m ON m.id = c.cid
+),
+border AS MATERIALIZED (
+  SELECT n.ia, MIN(cl.cluster) AS bcl
+  FROM neigh n JOIN core_lab cl ON cl.cid = n.ib
+  WHERE n.ia NOT IN (SELECT cid FROM core_lab)
+  GROUP BY n.ia
+)
+SELECT p.vec_id,
+       CASE WHEN cl.cluster IS NOT NULL THEN 'core'
+            WHEN b.bcl IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cl.cluster, b.bcl) AS BIGINT) AS cluster
+FROM pts p
+LEFT JOIN core_lab cl ON cl.cid = p.vec_id
+LEFT JOIN border b ON b.ia = p.vec_id
+ORDER BY p.vec_id
+"""
+
+QUERIES["embedding_dbscan"] = embedding_dbscan
+ORACLE["embedding_dbscan"] = EMBEDDING_DBSCAN_SQL

@@ -4580,3 +4580,141 @@ FROM agg
 
 QUERIES["lineitem_did_estimator"] = lineitem_did_estimator
 ORACLE["lineitem_did_estimator"] = LINEITEM_DID_SQL
+
+
+def orders_panel_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects (within) estimator on the balanced
+    (customer × year) panel: yearly spend (whole dollars) regressed
+    on yearly order count with customer AND year effects absorbed —
+    the workhorse panel regression (Wooldridge ch.10), next to the
+    naive pooled OLS slope so the bias the fixed effects remove is
+    visible in one row.
+
+    Exactness: the panel is BALANCED by construction (customer grid ×
+    year grid, empty cells 0), so the within moments have the exact
+    integer product form N·Σxy − C·ΣᵢSxiSyi − T·ΣₜSxtSyt + SxSy
+    (denominator likewise with x) — no rational means materialize;
+    each β is ONE IEEE division of two BIGINTs. Dollars (cents DIV
+    100) keep every term under 2^63 past sf1 (checked: max term
+    ~6e17 at sf1).
+
+    Scale: orders → cell aggregation is one map-side-combined
+    shuffle; the customer×year grid is |C|·|T| rows (grid join is
+    broadcast on the tiny year list); the i- and t-marginal folds are
+    one groupBy each on cell-sized data; the closing algebra is a
+    cross join of three one-row frames."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    agg = o.groupBy("o_custkey", "yr").agg(
+        F.count(F.lit(1)).alias("x0"),
+        F.expr("CAST(SUM(cents) AS BIGINT) DIV 100").alias("y0"),
+    )
+    custs = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    years = o.select("yr").distinct()
+    cells = (
+        custs.crossJoin(F.broadcast(years))
+        .join(agg, ["o_custkey", "yr"], "left")
+        .select(
+            "o_custkey",
+            "yr",
+            F.coalesce("x0", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("y0", F.lit(0)).cast("bigint").alias("y"),
+        )
+        .persist()
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.countDistinct("o_custkey").alias("c"),
+        F.countDistinct("yr").alias("t"),
+    )
+    by_i = cells.groupBy("o_custkey").agg(
+        F.sum("x").alias("sxi"), F.sum("y").alias("syi")
+    ).agg(
+        F.sum(F.expr("sxi * syi")).alias("sum_ixy"),
+        F.sum(F.expr("sxi * sxi")).alias("sum_ixx"),
+    )
+    by_t = cells.groupBy("yr").agg(
+        F.sum("x").alias("sxt"), F.sum("y").alias("syt")
+    ).agg(
+        F.sum(F.expr("sxt * syt")).alias("sum_txy"),
+        F.sum(F.expr("sxt * sxt")).alias("sum_txx"),
+    )
+    out = (
+        tot.crossJoin(by_i)
+        .crossJoin(by_t)
+        .select(
+            F.col("c").cast("bigint").alias("n_customers"),
+            F.col("t").cast("bigint").alias("n_years"),
+            F.expr(
+                "CAST(n * sxy - c * sum_ixy - t * sum_txy + sx * sy AS DOUBLE)"
+                " / CAST(n * sxx - c * sum_ixx - t * sum_txx + sx * sx AS DOUBLE)"
+            ).alias("beta_within"),
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / CAST(n * sxx - sx * sx AS DOUBLE)"
+            ).alias("beta_pooled"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out
+
+
+ORDERS_PANEL_FE_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey, yr, CAST(COUNT(*) AS BIGINT) AS x0,
+         CAST(SUM(cents) AS BIGINT) // 100 AS y0
+  FROM o GROUP BY 1, 2
+),
+cells AS (
+  SELECT c.c_custkey AS o_custkey, yrs.yr,
+         COALESCE(a.x0, 0) AS x, COALESCE(a.y0, 0) AS y
+  FROM customer c
+  CROSS JOIN (SELECT DISTINCT yr FROM o) yrs
+  LEFT JOIN agg a ON a.o_custkey = c.c_custkey AND a.yr = yrs.yr
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS c,
+         CAST(COUNT(DISTINCT yr) AS BIGINT) AS t
+  FROM cells
+),
+by_i AS (
+  SELECT CAST(SUM(sxi * syi) AS BIGINT) AS sum_ixy,
+         CAST(SUM(sxi * sxi) AS BIGINT) AS sum_ixx
+  FROM (SELECT o_custkey, SUM(x) AS sxi, SUM(y) AS syi FROM cells GROUP BY 1) z
+),
+by_t AS (
+  SELECT CAST(SUM(sxt * syt) AS BIGINT) AS sum_txy,
+         CAST(SUM(sxt * sxt) AS BIGINT) AS sum_txx
+  FROM (SELECT yr, SUM(x) AS sxt, SUM(y) AS syt FROM cells GROUP BY 1) z
+)
+SELECT c AS n_customers, t AS n_years,
+       CAST(n * sxy - c * sum_ixy - t * sum_txy + sx * sy AS DOUBLE)
+       / CAST(n * sxx - c * sum_ixx - t * sum_txx + sx * sx AS DOUBLE)
+         AS beta_within,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / CAST(n * sxx - sx * sx AS DOUBLE) AS beta_pooled
+FROM tot, by_i, by_t
+"""
+
+QUERIES["orders_panel_fixed_effects"] = orders_panel_fixed_effects
+ORACLE["orders_panel_fixed_effects"] = ORDERS_PANEL_FE_SQL
