@@ -1,0 +1,164 @@
+"""Property tests for the round-8 operators: absolute bounds and
+invariants that hold at ANY scale factor, complementing the exact
+DuckDB oracle compare in tests/test_queries_oracle.py (the r6 HLL
+lesson: both engines can agree on a WRONG constant — estimates must
+also be sanity-checked against exact counts)."""
+
+from __future__ import annotations
+
+
+def test_theta_sketch_estimates_track_exact(spark, sf_dir):
+    """KMV estimate within 40% of the exact distinct count for every
+    set (k=64 → RSE ≈ 1/√62 ≈ 13%; 3σ bound), exact counts obey set
+    algebra (|A∪B| + |A∩B| == |A| + |B|), and small sets take the
+    linear branch (estimate == exact)."""
+    from bireme_spark.queries.events import events_theta_sketch_ops
+
+    rows = {r.set_name: r for r in events_theta_sketch_ops(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "click", "error", "purchase", "signup", "view",
+        "click_union_view", "click_intersect_view",
+    }
+    for name, r in rows.items():
+        assert r.n_exact > 0, name
+        if name == "click_intersect_view":
+            # always rho-scaled (no linear branch by construction);
+            # rho adds its own sampling error on top of the union's
+            rel = abs(r.kmv_estimate - r.n_exact) / r.n_exact
+            assert rel < 0.50, f"{name}: est {r.kmv_estimate} vs {r.n_exact}"
+        elif r.n_exact <= 64:
+            assert r.kmv_estimate == float(r.n_exact), name
+        else:
+            rel = abs(r.kmv_estimate - r.n_exact) / r.n_exact
+            assert rel < 0.40, f"{name}: est {r.kmv_estimate} vs {r.n_exact}"
+    assert (
+        rows["click_union_view"].n_exact + rows["click_intersect_view"].n_exact
+        == rows["click"].n_exact + rows["view"].n_exact
+    )
+    # union dominates both operands; intersection is dominated
+    assert rows["click_union_view"].n_exact >= rows["click"].n_exact
+    assert rows["click_intersect_view"].n_exact <= rows["view"].n_exact
+
+
+def test_transfer_entropy_nonnegative_and_bounded(spark, sf_dir):
+    """Plug-in TE is ≥ 0 up to per-term rounding (8 cells × 0.5e-6)
+    and ≤ ln 2 for binary states; both directions emitted with the
+    same pair count."""
+    import math
+
+    from bireme_spark.queries.events import events_transfer_entropy
+
+    rows = events_transfer_entropy(spark, sf_dir).collect()
+    assert [r.dir for r in rows] == ["x_to_y", "y_to_x"]
+    assert rows[0].n_pairs == rows[1].n_pairs > 0
+    for r in rows:
+        assert r.te_e6 >= -8  # 8 cells' half-ulp rounding floor
+        assert r.te_e6 <= math.log(2) * 1e6 + 8
+
+
+def test_kcenter_radius_sequence_decreases(spark, sf_dir):
+    """Gonzalez invariant: the covering radius at each pick is
+    non-increasing (each new center is the CURRENT farthest point);
+    centers are distinct; step 1 is the min sampled id."""
+    from bireme_spark.queries.embeddings import embedding_kcenter_coreset
+
+    rows = sorted(
+        embedding_kcenter_coreset(spark, sf_dir).collect(), key=lambda r: r.step
+    )
+    assert [r.step for r in rows] == list(range(1, 9))
+    assert rows[0].radius_e6 is None
+    ids = [r.center_id for r in rows]
+    assert len(set(ids)) == 8
+    assert all(i % 4 == 0 for i in ids)  # sample-bounded input
+    radii = [r.radius_e6 for r in rows[1:]]
+    assert all(r is not None and r >= 0 for r in radii)
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_dbscan_role_invariants(spark, sf_dir):
+    """Core points always carry a cluster; noise never does; border
+    clusters reference an existing core cluster; cluster labels are
+    min member ids (every label is a core point labeling itself)."""
+    from bireme_spark.queries.embeddings import embedding_dbscan
+
+    rows = embedding_dbscan(spark, sf_dir).collect()
+    assert rows, "empty dbscan output"
+    core_clusters = {r.cluster for r in rows if r.role == "core"}
+    by_id = {r.vec_id: r for r in rows}
+    for r in rows:
+        if r.role == "core":
+            assert r.cluster is not None and r.cluster <= r.vec_id
+        elif r.role == "border":
+            assert r.cluster in core_clusters
+        else:
+            assert r.cluster is None
+    # each cluster label is itself a core point in that cluster
+    for c in core_clusters:
+        assert by_id[c].role == "core" and by_id[c].cluster == c
+
+
+def test_textrank_mass_and_floor(spark, sf_dir):
+    """Undirected word graph → no dangling: total rank mass stays
+    within the per-node DIV truncation of 1e9; every rank ≥ the
+    teleport floor; ranks strictly ordered by the emitted sort."""
+    from bireme_spark.queries.textops import text_textrank_keywords
+
+    rows = text_textrank_keywords(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    ranks = [r.rank_e9 for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank_e9 > 0 for r in rows)
+    # top-20 of a ~29-word vocab carries most of the 1e9 mass
+    assert sum(ranks) <= 1_000_000_000
+    assert sum(ranks) > 500_000_000
+
+
+def test_panel_fe_slopes_finite_and_distinct_paths(spark, sf_dir):
+    """Both betas finite; the within estimator differs from pooled
+    OLS when effects are absorbed (equality would mean the demeaning
+    did nothing — on this fixture customer heterogeneity exists)."""
+    import math
+
+    from bireme_spark.queries.relational import orders_panel_fixed_effects
+
+    r = orders_panel_fixed_effects(spark, sf_dir).collect()[0]
+    assert r.n_customers > 0 and r.n_years >= 5
+    assert math.isfinite(r.beta_within) and math.isfinite(r.beta_pooled)
+    # spend per extra order is positive on any sane fixture
+    assert r.beta_within > 0 and r.beta_pooled > 0
+
+
+def test_did_placebo_smaller_than_cells(spark, sf_dir):
+    """DiD algebra: the estimate equals the recomputed combination of
+    the four emitted means (self-consistency), counts partition the
+    joined fact table."""
+    from bireme_spark.queries.relational import lineitem_did_estimator
+
+    r = lineitem_did_estimator(spark, sf_dir).collect()[0]
+    recomputed = (r.mean_treated_post - r.mean_treated_pre) - (
+        r.mean_control_post - r.mean_control_pre
+    )
+    assert abs(recomputed - r.did_estimate) < 1e-9
+    assert min(
+        r.n_treated_pre, r.n_treated_post, r.n_control_pre, r.n_control_post
+    ) > 0
+
+
+def test_stl_identity_and_centering(spark, sf_dir):
+    """Decomposition identity y = trend + seasonal + remainder holds
+    exactly (integer 4dp construction); seasonal indices re-center to
+    ~0 (within 12 DIV truncations); trend defined exactly where the
+    2×12 window fits."""
+    from bireme_spark.queries.timeseries import orders_stl_decompose
+
+    rows = orders_stl_decompose(spark, sf_dir).collect()
+    n = len(rows)
+    assert n >= 36
+    defined = [r for r in rows if r.trend is not None]
+    assert len(defined) == n - 12  # 6 edge months lost each side
+    for r in defined:
+        assert abs((r.trend + r.seasonal + r.remainder) - r.revenue) < 5e-4
+    by_moy = {}
+    for r in rows:
+        by_moy.setdefault(r.month[5:], r.seasonal)
+    assert abs(sum(by_moy.values())) < 0.01  # re-centered
