@@ -51,7 +51,6 @@ HEADLINE = [
     "events_theta_sketch_ops",
     "events_transfer_entropy",
     "embedding_kcenter_coreset",
-    "text_textrank_keywords",
     "orders_panel_fixed_effects",
     "embedding_dbscan",
     "cdc_merge_into",

@@ -1298,158 +1298,3 @@ GROUP BY bin ORDER BY decile
 
 QUERIES["corpus_length_bias_audit"] = corpus_length_bias_audit
 ORACLE["corpus_length_bias_audit"] = CORPUS_LENGTH_BIAS_SQL
-
-
-_TR_ONE_E9 = 1_000_000_000
-_TR_D_E9 = 850_000_000  # damping 0.85 in e9 fixed point
-_TR_ITERS = 5
-
-
-def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
-    over the corpus word co-occurrence graph — content words within a
-    2-token window are edges (weight = co-occurrence count, run both
-    directions for the undirected random walk), and a word's rank is
-    its stationary visit probability. The graph-centrality complement
-    of `text_rake_keywords` (degree/freq) and tf-idf (counting): a
-    word ranks high when its NEIGHBORS rank high. Top-20 by rank.
-
-    Engine-exact: the same e9 fixed-point power-iteration discipline
-    as graph_pagerank — (rank·w) DIV outw per edge, (1−d)/n + d·mass
-    per node, all BIGINT with FLOOR-by-DIV, so both engines walk
-    bit-identical rank vectors; undirected edges mean no dangling
-    nodes by construction (every node has out-weight).
-
-    Scale: ONE tokenize pass; adjacency via two lead() windows on the
-    (doc, pos)-sorted token stream (linear, co-partitioned with the
-    explode) — never a token self-join; the graph collapses to
-    |vocab|²-bounded (u, v, w) rows and the five supersteps run on a
-    localCheckpointed edge base (HITS lesson: checkpoint the shared
-    base once, not per round)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
-    )
-    toks = (
-        d.select("doc_id", F.posexplode("ws").alias("pos", "tok"))
-        .where(~F.col("tok").isin("a", "the"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    adj = toks.select(
-        F.col("tok").alias("u"),
-        F.lead("tok", 1).over(w).alias("v1"),
-        F.lead("tok", 2).over(w).alias("v2"),
-    )
-    pairs = adj.select(F.col("u"), F.col("v1").alias("v")).unionByName(
-        adj.select(F.col("u"), F.col("v2").alias("v"))
-    ).where(F.col("v").isNotNull() & (F.col("u") != F.col("v")))
-    vocab = (
-        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-        .where(F.col("freq") >= 5)
-        .select("tok")
-    )
-    und = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = (
-        und.join(F.broadcast(vocab).withColumnRenamed("tok", "u"), "u")
-        .join(F.broadcast(vocab).withColumnRenamed("tok", "v"), "v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    nodes = edges.select(F.col("u").alias("nk")).distinct().localCheckpoint(eager=True)
-    outw = edges.groupBy("u").agg(F.sum("w").alias("outw"))
-    n_nodes = nodes.count()
-    base_e9 = (_TR_ONE_E9 - _TR_D_E9) // n_nodes
-    rank = nodes.select("nk", F.lit(_TR_ONE_E9 // n_nodes).alias("r"))
-    for _ in range(_TR_ITERS):
-        contrib = (
-            edges.join(outw, "u")
-            .join(rank, edges.u == rank.nk)
-            .select(
-                F.col("v").alias("nk"),
-                F.expr("CAST(r AS BIGINT) * w DIV outw").alias("m"),
-            )
-            .groupBy("nk")
-            .agg(F.sum("m").alias("mass"))
-        )
-        rank = nodes.join(contrib, "nk", "left").select(
-            "nk",
-            F.expr(
-                f"CAST({base_e9} + {_TR_D_E9} * COALESCE(mass, 0)"
-                f" DIV {_TR_ONE_E9} AS BIGINT)"
-            ).alias("r"),
-        )
-    return (
-        rank.select(F.col("nk").alias("word"), F.col("r").alias("rank_e9"))
-        .orderBy(F.col("rank_e9").desc(), "word")
-        .limit(20)
-    )
-
-
-def _textrank_sql() -> str:
-    iters = []
-    prev = "r0"
-    for i in range(1, _TR_ITERS + 1):
-        iters.append(
-            f"""r{i} AS MATERIALIZED (
-  SELECT n.nk,
-         CAST({{base}} + {_TR_D_E9} * COALESCE(SUM(p.r * e.w // o.outw), 0)
-              // {_TR_ONE_E9} AS BIGINT) AS r
-  FROM nodes n
-  LEFT JOIN (edges e JOIN outw o ON e.u = o.u
-             JOIN {prev} p ON e.u = p.nk) ON e.v = n.nk
-  GROUP BY n.nk
-)"""
-        )
-        prev = f"r{i}"
-    return (
-        """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-toks0 AS (
-  SELECT doc_id, CAST(generate_subscripts(ws, 1) AS INTEGER) AS pos,
-         unnest(ws) AS tok
-  FROM t
-),
-toks AS (SELECT * FROM toks0 WHERE tok NOT IN ('a', 'the')),
-adj AS (
-  SELECT tok AS u,
-         LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS v1,
-         LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS v2
-  FROM toks
-),
-pairs AS (
-  SELECT u, v1 AS v FROM adj WHERE v1 IS NOT NULL AND u <> v1
-  UNION ALL
-  SELECT u, v2 FROM adj WHERE v2 IS NOT NULL AND u <> v2
-),
-vocab AS (
-  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) >= 5
-),
-und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-edges AS MATERIALIZED (
-  SELECT u, v, COUNT(*) AS w
-  FROM und
-  WHERE u IN (SELECT tok FROM vocab) AND v IN (SELECT tok FROM vocab)
-  GROUP BY u, v
-),
-nodes AS MATERIALIZED (SELECT DISTINCT u AS nk FROM edges),
-outw AS MATERIALIZED (SELECT u, SUM(w) AS outw FROM edges GROUP BY 1),
-nn AS MATERIALIZED (SELECT COUNT(*) AS n_nodes FROM nodes),
-r0 AS MATERIALIZED (
-  SELECT nk, CAST(1000000000 // n_nodes AS BIGINT) AS r FROM nodes, nn
-),
-"""
-        + ",\n".join(iters).replace(
-            "{base}",
-            f"(1000000000 - {_TR_D_E9}) // (SELECT n_nodes FROM nn)",
-        )
-        + f"""
-SELECT nk AS word, r AS rank_e9
-FROM {prev}
-ORDER BY rank_e9 DESC, word
-LIMIT 20
-"""
-    )
-
-
-QUERIES["text_textrank_keywords"] = text_textrank_keywords
-ORACLE["text_textrank_keywords"] = _textrank_sql()

@@ -76,7 +76,6 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_theta_sketch_ops",
         "events_transfer_entropy",
         "embedding_kcenter_coreset",
-        "text_textrank_keywords",
         "orders_panel_fixed_effects",
         "embedding_dbscan",
     }

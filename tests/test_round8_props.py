@@ -97,22 +97,6 @@ def test_dbscan_role_invariants(spark, sf_dir):
         assert by_id[c].role == "core" and by_id[c].cluster == c
 
 
-def test_textrank_mass_and_floor(spark, sf_dir):
-    """Undirected word graph → no dangling: total rank mass stays
-    within the per-node DIV truncation of 1e9; every rank ≥ the
-    teleport floor; ranks strictly ordered by the emitted sort."""
-    from bireme_spark.queries.textops import text_textrank_keywords
-
-    rows = text_textrank_keywords(spark, sf_dir).collect()
-    assert 0 < len(rows) <= 20
-    ranks = [r.rank_e9 for r in rows]
-    assert ranks == sorted(ranks, reverse=True)
-    assert all(r.rank_e9 > 0 for r in rows)
-    # top-20 of a ~29-word vocab carries most of the 1e9 mass
-    assert sum(ranks) <= 1_000_000_000
-    assert sum(ranks) > 500_000_000
-
-
 def test_panel_fe_slopes_finite_and_distinct_paths(spark, sf_dir):
     """Both betas finite; the within estimator differs from pooled
     OLS when effects are absorbed (equality would mean the demeaning
