@@ -51,6 +51,7 @@ HEADLINE = [
     "events_theta_sketch_ops",
     "events_transfer_entropy",
     "embedding_kcenter_coreset",
+    "embedding_mmr_diversity",
     "orders_panel_fixed_effects",
     "embedding_dbscan",
     "cdc_merge_into",

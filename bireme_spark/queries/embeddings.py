@@ -1962,3 +1962,200 @@ ORDER BY p.vec_id
 
 QUERIES["embedding_dbscan"] = embedding_dbscan
 ORACLE["embedding_dbscan"] = EMBEDDING_DBSCAN_SQL
+
+
+_MMR_LAMBDA10 = 7  # lambda = 0.7 in tenths
+_MMR_POOL = 30
+_MMR_K = 10
+
+
+def _mmr_fold(pdf):
+    """Driver-free greedy MMR over the pool-sized pair table: all
+    _MMR_K picks in one pass of exact Python-int arithmetic."""
+    import pandas as pd
+
+    lam, inv = _MMR_LAMBDA10, 10 - _MMR_LAMBDA10
+    sims = {(int(a), int(b)): int(s) for a, b, s in zip(pdf["ia"], pdf["ib"], pdf["s"])}
+    rel = {int(a): int(r) for a, r in zip(pdf["ia"], pdf["rel_a"])}
+    remaining = set(rel)
+    first = max(remaining, key=lambda v: (rel[v], -v))
+    picks = [(1, first, rel[first], rel[first])]
+    remaining.discard(first)
+    maxsim = {v: sims[(first, v)] for v in remaining}
+    for r in range(2, _MMR_K + 1):
+        # floor-division matches DIV/// toward -inf? No: SQL DIV
+        # truncates toward zero — mirror it explicitly for negatives.
+        def score(v):
+            num = lam * rel[v] - inv * maxsim[v]
+            q = abs(num) // 10
+            return q if num >= 0 else -q
+
+        best = max(remaining, key=lambda v: (score(v), -v))
+        picks.append((r, best, rel[best], score(best)))
+        remaining.discard(best)
+        for v in remaining:
+            s2 = sims[(best, v)]
+            if s2 > maxsim[v]:
+                maxsim[v] = s2
+    return pd.DataFrame(picks, columns=["rank", "vec_id", "rel_e6", "score_e6"])
+
+
+def embedding_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the top-30 most query-relevant vectors (query =
+    vec_id 0), greedily select 10 maximizing
+    λ·rel − (1−λ)·max-sim-to-selected (λ = 0.7) — the diversity
+    re-rank every retrieval pipeline bolts onto its ANN top-k so the
+    result list isn't ten near-copies of the best hit. Emits the
+    selection order with each pick's relevance and marginal score.
+
+    Determinism: relevance and pairwise similarity quantize to
+    integer e6 (ROUND(cos·1e6)); the marginal score is
+    (7·rel − 3·maxsim) DIV 10 — pure integer (truncation toward zero
+    mirrored exactly in the Python fold), ties to min id; the greedy
+    is STATE-SIZED (pool² rows), so it runs in ONE Arrow batch (the
+    Holt sequential-fold house rule — the k-collect loop variant
+    measured ~5s vs ~3s) against an unrolled MATERIALIZED CTE
+    oracle.
+
+    Scale: relevance is ONE corpus scan against the broadcast query
+    vector (the ann_bruteforce shape) — no sampling needed; the
+    pairwise table is pool² = 900 rows regardless of corpus size, so
+    the greedy stage is constant work at any SF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).select(
+        "vec_id", "v",
+        F.sqrt(_fold_sum(F.expr("zip_with(v, v, (a, b) -> a * b)"))).alias("n"),
+    )
+    q = v.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    cos_e6 = (
+        "CAST(ROUND(aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) / ({na} * {nb}) * 1000000, 0)"
+        " AS BIGINT)"
+    )
+    cand = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "v", "n",
+            F.expr(cos_e6.format(a="v", b="qv", na="n", nb="qn")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    ca = cand.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na"))
+    cb = cand.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    sims = (
+        ca.crossJoin(cb)
+        .select("ia", "ib", F.expr(cos_e6.format(a="va", b="vb", na="na", nb="nb")).alias("s"))
+        .persist()
+    )
+    # The greedy is a STATE-SIZED sequential fold (pool² = 900 sim
+    # rows + 30 rel rows) — the Holt house rule: run it in ONE Arrow
+    # batch instead of k driver round-trips (the collect-loop variant
+    # cost ~5s; this is one tiny job). Python ints keep the integer
+    # e6 math exact.
+    rel_rows = cand.select("vec_id", "rel")
+    folded = (
+        sims.join(
+            rel_rows.withColumnRenamed("vec_id", "ib").withColumnRenamed("rel", "rel_b"),
+            "ib",
+        )
+        .join(
+            rel_rows.withColumnRenamed("vec_id", "ia").withColumnRenamed("rel", "rel_a"),
+            "ia",
+        )
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_mmr_fold, "rank int, vec_id bigint, rel_e6 bigint, score_e6 bigint")
+        .drop("g")
+        .orderBy("rank")
+    )
+    out = folded.localCheckpoint(eager=True)
+    sims.unpersist()
+    return out
+
+
+def _mmr_steps_sql() -> str:
+    lam, inv = _MMR_LAMBDA10, 10 - _MMR_LAMBDA10
+    parts = [
+        "p1 AS MATERIALIZED (SELECT vec_id, rel, rel AS score"
+        " FROM cand ORDER BY rel DESC, vec_id LIMIT 1)",
+        "st1 AS MATERIALIZED (SELECT c.vec_id, c.rel, s.s AS maxsim"
+        " FROM cand c CROSS JOIN p1"
+        " JOIN sims s ON s.ia = p1.vec_id AND s.ib = c.vec_id"
+        " WHERE c.vec_id <> p1.vec_id)",
+    ]
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT vec_id, rel,"
+            f" ({lam} * rel - {inv} * maxsim) // 10 AS score"
+            f" FROM st{r - 1} ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+        if r < _MMR_K:
+            parts.append(
+                f"st{r} AS MATERIALIZED (SELECT t.vec_id, t.rel,"
+                f" GREATEST(t.maxsim, s.s) AS maxsim"
+                f" FROM st{r - 1} t CROSS JOIN p{r}"
+                f" JOIN sims s ON s.ia = p{r}.vec_id AND s.ib = t.vec_id"
+                f" WHERE t.vec_id <> p{r}.vec_id)"
+            )
+    rows = [
+        f"SELECT {r} AS rank, vec_id, CAST(rel AS BIGINT) AS rel_e6,"
+        f" CAST(score AS BIGINT) AS score_e6 FROM p{r}"
+        for r in range(1, _MMR_K + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(rows) + "\nORDER BY rank"
+
+
+EMBEDDING_MMR_SQL = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id, sqrt(SUM(x * x)) AS n
+  FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM v) z
+  GROUP BY vec_id
+),
+cand AS MATERIALIZED (
+  SELECT dots.vec_id,
+         CAST(ROUND(dot / (nq.n * nc.n) * 1000000, 0) AS BIGINT) AS rel
+  FROM (
+    SELECT c.vec_id, SUM(x * y) AS dot
+    FROM (SELECT c.vec_id,
+                 CAST(unnest(c.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(q.embedding) AS DOUBLE) AS y
+          FROM v c, v q WHERE q.vec_id = 0 AND c.vec_id <> 0) z
+    JOIN v c ON c.vec_id = z.vec_id
+    GROUP BY c.vec_id
+  ) dots
+  JOIN nrm nc ON nc.vec_id = dots.vec_id
+  CROSS JOIN (SELECT n FROM nrm WHERE vec_id = 0) nq
+  ORDER BY rel DESC, dots.vec_id
+  LIMIT {_MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT ia, ib, CAST(ROUND(dot / (n1.n * n2.n) * 1000000, 0) AS BIGINT) AS s
+  FROM (
+    SELECT ia, ib, SUM(x * y) AS dot
+    FROM (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(unnest(va.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(vb.embedding) AS DOUBLE) AS y
+          FROM cand a, cand b, v va, v vb
+          WHERE va.vec_id = a.vec_id AND vb.vec_id = b.vec_id) z
+    GROUP BY ia, ib
+  ) dots
+  JOIN nrm n1 ON n1.vec_id = ia
+  JOIN nrm n2 ON n2.vec_id = ib
+),
+{_mmr_steps_sql()}
+"""
+
+QUERIES["embedding_mmr_diversity"] = embedding_mmr_diversity
+ORACLE["embedding_mmr_diversity"] = EMBEDDING_MMR_SQL

@@ -76,6 +76,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_theta_sketch_ops",
         "events_transfer_entropy",
         "embedding_kcenter_coreset",
+        "embedding_mmr_diversity",
         "orders_panel_fixed_effects",
         "embedding_dbscan",
     }

@@ -146,3 +146,26 @@ def test_stl_identity_and_centering(spark, sf_dir):
     for r in rows:
         by_moy.setdefault(r.month[5:], r.seasonal)
     assert abs(sum(by_moy.values())) < 0.01  # re-centered
+
+
+def test_mmr_diversity_tradeoff(spark, sf_dir):
+    """MMR invariants: 10 distinct picks from the top-30 pool; pick 1
+    is the max-relevance candidate; scores equal (7·rel − 3·maxsim)
+    DIV 10 ≤ rel for every later pick; relevance of pick 1 bounds all
+    emitted relevances."""
+    from bireme_spark.queries.embeddings import embedding_mmr_diversity
+
+    rows = sorted(embedding_mmr_diversity(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, 11))
+    assert len({r.vec_id for r in rows}) == 10
+    assert rows[0].score_e6 == rows[0].rel_e6  # pure relevance pick
+    assert all(r.rel_e6 <= rows[0].rel_e6 for r in rows)
+    # every candidate's score only falls as maxsim grows and the pool
+    # shrinks → the chosen marginal scores are non-increasing from
+    # pick 2 on (maxsim itself may be NEGATIVE — anti-correlated
+    # vectors — so score can exceed 0.7·rel; no per-pick rel bound)
+    later = [r.score_e6 for r in rows[1:]]
+    assert later == sorted(later, reverse=True)
+    assert all(
+        r.score_e6 <= (7 * r.rel_e6 + 3_000_000) // 10 for r in rows[1:]
+    )  # maxsim ≥ −1e6 hard floor
