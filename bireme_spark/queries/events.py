@@ -3032,12 +3032,12 @@ def _hex12_int(h: str) -> str:
 
 
 _THETA_K = 64
+# shared post-hashes fragment: runs over a `hashes(event_type, h)`
+# relation — Spark materializes it ONCE (eager localCheckpoint: six
+# downstream references otherwise re-scan the raw stream per branch;
+# interleaved min-of-3 at sf0.1: 2.25s plain vs 1.83s checkpointed,
+# value-identical), the oracle builds it as a CTE.
 _THETA_SETS_SQL = f"""
-hashes AS (
-  SELECT DISTINCT event_type,
-         substr(md5(CAST(user_id AS STRING) || ':' || __day), 1, 12) AS h
-  FROM days
-),
 ranked AS (
   SELECT event_type, h,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
@@ -3114,17 +3114,27 @@ def events_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-collapse is the map-side-combined heavy stage and the
     sketch add is free riding on it."""
     e = load_table(spark, sf_dir, "events")
-    e.select(
-        "event_type",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd").alias("__day"),
-    ).createOrReplaceTempView("days")
+    hashes = (
+        e.select(
+            "event_type",
+            F.expr(
+                "substr(md5(CAST(user_id AS STRING) || ':'"
+                " || date_format(ts, 'yyyy-MM-dd')), 1, 12)"
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hashes.createOrReplaceTempView("hashes")
     return spark.sql("WITH " + _THETA_SETS_SQL)
 
 
 EVENTS_THETA_SKETCH_SQL = f"""
-WITH days AS (
-  SELECT event_type, user_id, strftime(ts, '%Y-%m-%d') AS __day FROM events
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         substr(md5(CAST(user_id AS STRING) || ':'
+                    || strftime(ts, '%Y-%m-%d')), 1, 12) AS h
+  FROM events
 ),
 {_THETA_SETS_SQL}
 """
@@ -3133,13 +3143,11 @@ QUERIES["events_theta_sketch_ops"] = events_theta_sketch_ops
 ORACLE["events_theta_sketch_ops"] = EVENTS_THETA_SKETCH_SQL
 
 
+# shared post-grid fragment over an `hours(bucket, x, y)` relation —
+# Spark checkpoints the tiny grid once (the downstream window/pair
+# branches re-scanned the raw stream 8x otherwise; interleaved
+# min-of-3 at sf0.1: 1.23s plain vs 1.06s checkpointed).
 _TE_SHARED_SQL = """
-hours AS (
-  SELECT bucket,
-         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
-         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-  FROM hourly GROUP BY bucket
-),
 tot AS (
   SELECT SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS nb FROM hours
 ),
@@ -3199,9 +3207,17 @@ def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per direction — window-over-cells, never join-back
     (lag-MI A/B lesson)."""
     e = load_table(spark, sf_dir, "events")
-    e.where(F.col("event_type").isin("click", "purchase")).select(
-        F.date_format("ts", "yyyy-MM-dd HH").alias("bucket"), "event_type"
-    ).createOrReplaceTempView("hourly")
+    hours = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .select(F.date_format("ts", "yyyy-MM-dd HH").alias("bucket"), "event_type")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hours.createOrReplaceTempView("hours")
     return spark.sql("WITH " + _TE_SHARED_SQL)
 
 
@@ -3209,6 +3225,12 @@ EVENTS_TRANSFER_ENTROPY_SQL = f"""
 WITH hourly AS (
   SELECT strftime(ts, '%Y-%m-%d %H') AS bucket, event_type
   FROM events WHERE event_type IN ('click', 'purchase')
+),
+hours AS (
+  SELECT bucket,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM hourly GROUP BY bucket
 ),
 {_TE_SHARED_SQL}
 """
