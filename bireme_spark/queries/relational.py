@@ -4718,3 +4718,127 @@ FROM tot, by_i, by_t
 
 QUERIES["orders_panel_fixed_effects"] = orders_panel_fixed_effects
 ORACLE["orders_panel_fixed_effects"] = ORDERS_PANEL_FE_SQL
+
+
+def nations_gravity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity model of bilateral trade (Tinbergen 1962): on the
+    customer-nation → supplier-nation flow matrix (the q7 join
+    collapsed to nation pairs), regress ln(flow) on
+    ln(mass_origin · mass_destination) — the elasticity of trade to
+    combined economic size, the single most replicated relationship
+    in empirical trade economics (β ≈ 1 on real data). Emits the OLS
+    fit (β, α, R²) over the positive-flow cells.
+
+    Engine-exact: flows and nation masses are exact integer 4dp
+    units (disc_price is exactly 4-decimal, so ×10000 is integral —
+    ×100 would leave digits where the two engines' DECIMAL→int casts
+    disagree, truncate vs round);
+    each ln quantizes to e4 BEFORE the moment sums (the transcendental
+    per-term rounding discipline — e4 keeps every BIGINT moment under
+    2^63: 625 cells × (3e5)² × 625 ≈ 4e16); β/α/R² are IEEE
+    expressions of identical shape over the integer moments.
+
+    Scale: one fact-table aggregation to ≤|nations|² cells (dims
+    broadcast per house rule — fixed cardinality); masses are window
+    sums over the cell table; the regression is a one-row fold."""
+    # flows in 4dp units: disc_price is exactly 4-decimal (2dp price
+    # x <=2dp discount), so x10000 is INTEGRAL — x100 left fractional
+    # digits where Spark's DECIMAL->long cast truncates but DuckDB's
+    # rounds (the double->int rule applies to decimals too; caught at
+    # the r8 gate, cell flows differed by units)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", (disc_price() * 10000).cast("long").alias("v4")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("i"), F.col("s_nationkey").alias("j"))
+        .agg(F.sum("v4").alias("flow"))
+    )
+    m = cells.select(
+        "flow",
+        F.sum("flow").over(Window.partitionBy("i")).alias("mi"),
+        F.sum("flow").over(Window.partitionBy("j")).alias("mj"),
+    ).where(F.col("flow") > 0)
+    pts = m.select(
+        F.expr(
+            "CAST(ROUND(LN(CAST(mi AS DOUBLE) * CAST(mj AS DOUBLE)) * 10000, 0)"
+            " AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(ROUND(LN(CAST(flow AS DOUBLE)) * 10000, 0) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_cells"),
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("beta"),
+        F.expr(
+            "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n / 10000.0"
+        ).alias("alpha"),
+        F.expr(
+            "(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))"
+        ).alias("r2"),
+    )
+
+
+NATIONS_GRAVITY_SQL = """
+WITH cells AS (
+  SELECT c.c_nationkey AS i, s.s_nationkey AS j,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(12,6)) - CAST(l.l_discount AS DECIMAL(12,6)))
+              * 10000 AS BIGINT)) AS BIGINT) AS flow
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT flow,
+         SUM(flow) OVER (PARTITION BY i) AS mi,
+         SUM(flow) OVER (PARTITION BY j) AS mj
+  FROM cells
+),
+pts AS (
+  SELECT CAST(ROUND(LN(CAST(mi AS DOUBLE) * CAST(mj AS DOUBLE)) * 10000, 0)
+              AS BIGINT) AS x,
+         CAST(ROUND(LN(CAST(flow AS DOUBLE)) * 10000, 0) AS BIGINT) AS y
+  FROM m WHERE flow > 0
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT n AS n_cells,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS beta,
+       (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n / 10000.0 AS alpha,
+       (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+       / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         AS r2
+FROM mom
+"""
+
+QUERIES["nations_gravity_model"] = nations_gravity_model
+ORACLE["nations_gravity_model"] = NATIONS_GRAVITY_SQL

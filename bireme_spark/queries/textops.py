@@ -1298,3 +1298,114 @@ GROUP BY bin ORDER BY decile
 
 QUERIES["corpus_length_bias_audit"] = corpus_length_bias_audit
 ORACLE["corpus_length_bias_audit"] = CORPUS_LENGTH_BIAS_SQL
+
+
+_BURROWS_K = 15
+
+
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) between document sources: the
+    standard stylometric / authorship-attribution distance — for the
+    K=15 most frequent corpus words, each source's rate standardizes
+    across sources and Delta(s1, s2) = mean_w |z1 − z2|. Emits the 10
+    most similar source pairs (smallest Delta) — the duplicate-origin
+    / sockpuppet screen a provenance audit runs on a training corpus.
+
+    Engine-exact: per-source word rates are integer ppm (cnt·1e6 DIV
+    total tokens) on a full source×word grid (missing cells = 0);
+    the per-word spread stays the INTEGER n·Σf² − (Σf)² so
+    |z1 − z2| = |f1 − f2|·n / sqrt(D_w) is one IEEE sqrt + division
+    of identical integers per term, e6-rounded per term (the
+    transcendental discipline; sqrt of an irrational never ties);
+    Delta_e6 is an integer DIV-mean of the K terms.
+
+    Scale: one tokenize pass → (source, word) counts; the grid is
+    |sources|·K cells; pair formation is grid², bounded by the
+    source cardinality, never by corpus size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    top = (
+        counts.groupBy("tok").agg(F.sum("c").alias("cc"))
+        .orderBy(F.desc("cc"), F.asc("tok"))
+        .limit(_BURROWS_K)
+        .select("tok")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr("COALESCE(c, 0) * 1000000 DIV tot").alias("f"),
+        )
+    )
+    stats = grid.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f").alias("sf"),
+        F.sum(F.expr("f * f")).alias("sff"),
+    )
+    g = grid.join(stats, "tok")
+    a = g.select(
+        F.col("source").alias("sa"), "tok", F.col("f").alias("fa"), "n", "sf", "sff"
+    )
+    b = g.select(F.col("source").alias("sb"), F.col("tok").alias("tok2"), F.col("f").alias("fb"))
+    terms = (
+        a.join(b, (a.tok == b.tok2) & (a.sa < b.sb))
+        .select(
+            "sa",
+            "sb",
+            F.expr(
+                "CAST(ROUND(ABS(fa - fb) * CAST(n AS DOUBLE)"
+                " / SQRT(CAST(n * sff - sf * sf AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+            ).alias("t_e6"),
+        )
+    )
+    return (
+        terms.groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(F.expr(f"CAST(SUM(t_e6) DIV {_BURROWS_K} AS BIGINT)").alias("delta_e6"))
+        .orderBy(F.asc("delta_e6"), "source_a", "source_b")
+        .limit(10)
+    )
+
+
+TEXT_BURROWS_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(c) AS tot FROM counts GROUP BY 1),
+top AS (
+  SELECT tok FROM counts GROUP BY tok
+  ORDER BY SUM(c) DESC, tok LIMIT {_BURROWS_K}
+),
+grid AS (
+  SELECT t.source, w.tok, COALESCE(c.c, 0) * 1000000 // t.tot AS f
+  FROM totals t CROSS JOIN top w
+  LEFT JOIN counts c ON c.source = t.source AND c.tok = w.tok
+),
+stats AS (
+  SELECT tok, COUNT(*) AS n, SUM(f) AS sf, SUM(f * f) AS sff FROM grid GROUP BY 1
+),
+terms AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(ROUND(ABS(a.f - b.f) * CAST(s.n AS DOUBLE)
+              / SQRT(CAST(s.n * s.sff - s.sf * s.sf AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS t_e6
+  FROM grid a
+  JOIN grid b ON a.tok = b.tok AND a.source < b.source
+  JOIN stats s ON s.tok = a.tok
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(SUM(t_e6) // {_BURROWS_K} AS BIGINT) AS delta_e6
+FROM terms GROUP BY 1, 2
+ORDER BY delta_e6 ASC, source_a, source_b
+LIMIT 10
+"""
+
+QUERIES["text_burrows_delta"] = text_burrows_delta
+ORACLE["text_burrows_delta"] = TEXT_BURROWS_SQL
