@@ -54,6 +54,11 @@ HEADLINE = [
     "embedding_mmr_diversity",
     "orders_panel_fixed_effects",
     "embedding_dbscan",
+    "nations_gravity_model",
+    "text_burrows_delta",
+    "orders_kruskal_wallis",
+    "events_mcnemar_test",
+    "lineitem_levene_test",
     "cdc_merge_into",
     "events_changepoint",
     "corpus_dsir_select",

@@ -3237,3 +3237,87 @@ hours AS (
 
 QUERIES["events_transfer_entropy"] = events_transfer_entropy
 ORACLE["events_transfer_entropy"] = EVENTS_TRANSFER_ENTROPY_SQL
+
+
+def events_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (1947) on within-user conversion change:
+    did users who purchased in the FIRST half of the stream (before
+    2024-01-16) keep purchasing in the second half? The paired-binary
+    sibling of orders_chi2_independence — independence tests are
+    WRONG for before/after on the same users; McNemar conditions on
+    the discordant pairs only. Emits the 2×2 concordance cells, the
+    χ²₁ statistic (b−c)²/(b+c) and the continuity-corrected variant.
+
+    Engine-exact: the per-user period flags are exact boolean
+    aggregations (fixed timestamp literal); all four cells are
+    integer counts; each statistic is one IEEE division of integers.
+
+    Scale: ONE user-level aggregation collapses the stream (map-side
+    combine); the test is a one-row fold over four integers."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") < F.lit("2024-01-16").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("p1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("p2"),
+    )
+    cells = users.agg(
+        F.sum(F.expr("CAST(p1 = 1 AND p2 = 1 AS INT)")).cast("bigint").alias("both"),
+        F.sum(F.expr("CAST(p1 = 1 AND p2 = 0 AS INT)")).cast("bigint").alias("only_first"),
+        F.sum(F.expr("CAST(p1 = 0 AND p2 = 1 AS INT)")).cast("bigint").alias("only_second"),
+        F.sum(F.expr("CAST(p1 = 0 AND p2 = 0 AS INT)")).cast("bigint").alias("neither"),
+    )
+    return cells.select(
+        F.col("both").alias("n_both"),
+        F.col("only_first").alias("n_only_first"),
+        F.col("only_second").alias("n_only_second"),
+        F.col("neither").alias("n_neither"),
+        F.expr(
+            "CAST((only_first - only_second) * (only_first - only_second) AS DOUBLE)"
+            " / GREATEST(only_first + only_second, 1)"
+        ).alias("chi2"),
+        F.expr(
+            "CAST((ABS(only_first - only_second) - 1)"
+            " * (ABS(only_first - only_second) - 1) AS DOUBLE)"
+            " / GREATEST(only_first + only_second, 1)"
+        ).alias("chi2_cc"),
+    )
+
+
+EVENTS_MCNEMAR_SQL = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS p1,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS p2
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_first,
+         CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_second,
+         CAST(SUM(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+  FROM users
+)
+SELECT n_both, n_only_first, n_only_second, n_neither,
+       CAST((n_only_first - n_only_second) * (n_only_first - n_only_second)
+            AS DOUBLE) / GREATEST(n_only_first + n_only_second, 1) AS chi2,
+       CAST((ABS(n_only_first - n_only_second) - 1)
+            * (ABS(n_only_first - n_only_second) - 1)
+            AS DOUBLE) / GREATEST(n_only_first + n_only_second, 1) AS chi2_cc
+FROM cells
+"""
+
+QUERIES["events_mcnemar_test"] = events_mcnemar_test
+ORACLE["events_mcnemar_test"] = EVENTS_MCNEMAR_SQL

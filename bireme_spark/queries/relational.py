@@ -4842,3 +4842,295 @@ FROM mom
 
 QUERIES["nations_gravity_model"] = nations_gravity_model
 ORACLE["nations_gravity_model"] = NATIONS_GRAVITY_SQL
+
+
+_KW_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test (1952): does order value DIFFER in
+    distribution across the five priority classes? The nonparametric
+    one-way ANOVA — rank-based, so outliers and skew (which order
+    values have plenty of) can't fake or mask an effect the way they
+    do in lineitem_anova_f's mean comparison. Emits per-group n and
+    rank sums plus the tie-corrected H statistic (χ²_4 under H0).
+
+    Engine-exact: ranks come from the histogram-CDF house pattern —
+    one (value → per-group count) grid, average tie ranks kept
+    integral as DOUBLED ranks (2·cum + cnt + 1); doubled rank sums
+    R2_j are exact BIGINTs; each R2²/n term is computed in DOUBLE
+    (R2 < 2^53) and the five terms fold in EXPLICIT priority order
+    (a SUM over 5 shuffled rows would be order-dependent — fixed
+    categories become fixed columns instead); the tie correction
+    Σ(t³−t) is an exact BIGINT.
+
+    Scale: ONE aggregation to the (value, priority) histogram; the
+    CDF window runs on histogram-sized data; everything after is a
+    five-column scalar row."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    hist = o.groupBy("cents", "o_orderpriority").agg(F.count(F.lit(1)).alias("c"))
+    byval = hist.groupBy("cents").agg(
+        F.sum("c").alias("tc"),
+        *[
+            F.sum(F.when(F.col("o_orderpriority") == p, F.col("c")).otherwise(0)).alias(
+                f"g{i}"
+            )
+            for i, p in enumerate(_KW_PRIORITIES)
+        ],
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.select(
+        "*",
+        F.coalesce(F.sum("tc").over(w), F.lit(0)).alias("cum"),
+    ).select(
+        "*",
+        # doubled average rank of the tie group: 2*cum + tc + 1
+        (F.lit(2) * F.col("cum") + F.col("tc") + 1).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("tc").alias("n"),
+        F.expr("SUM(CAST(tc AS BIGINT) * tc * tc - tc)").alias("ties"),
+        *[F.sum(f"g{i}").alias(f"n{i}") for i in range(5)],
+        *[F.expr(f"SUM(CAST(r2 AS BIGINT) * g{i})").alias(f"rs{i}") for i in range(5)],
+    )
+    # H = 3*sum(R2_j^2/n_j)/(N(N+1)) - 3(N+1)   (R2 = doubled ranks)
+    term = " + ".join(
+        f"(CAST(rs{i} AS DOUBLE) * CAST(rs{i} AS DOUBLE) / n{i})" for i in range(5)
+    )
+    h = f"(3.0 * ({term}) / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))"
+    corr = "(1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))"
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        *[F.col(f"n{i}").cast("bigint").alias(f"n_p{i + 1}") for i in range(5)],
+        *[F.col(f"rs{i}").cast("bigint").alias(f"ranksum2_p{i + 1}") for i in range(5)],
+        F.expr(h).alias("h_stat"),
+        F.expr(f"{h} / {corr}").alias("h_tie_corrected"),
+    )
+
+
+def _kw_sql() -> str:
+    gcols = ",\n         ".join(
+        f"SUM(CASE WHEN o_orderpriority = '{p}' THEN c ELSE 0 END) AS g{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )
+    ncols = ", ".join(f"CAST(SUM(g{i}) AS BIGINT) AS n{i}" for i in range(5))
+    rscols = ", ".join(
+        f"CAST(SUM(CAST(r2 AS BIGINT) * g{i}) AS BIGINT) AS rs{i}" for i in range(5)
+    )
+    term = " + ".join(
+        f"(CAST(rs{i} AS DOUBLE) * CAST(rs{i} AS DOUBLE) / n{i})" for i in range(5)
+    )
+    h = f"(3.0 * ({term}) / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))"
+    corr = "(1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))"
+    outn = ", ".join(f"n{i} AS n_p{i + 1}" for i in range(5))
+    outr = ", ".join(f"rs{i} AS ranksum2_p{i + 1}" for i in range(5))
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+hist AS (
+  SELECT cents, o_orderpriority, COUNT(*) AS c FROM o GROUP BY 1, 2
+),
+byval AS (
+  SELECT cents, SUM(c) AS tc,
+         {gcols}
+  FROM hist GROUP BY cents
+),
+ranked AS (
+  SELECT *,
+         2 * COALESCE(SUM(tc) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + tc + 1 AS r2
+  FROM byval
+),
+agg AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS n,
+         CAST(SUM(CAST(tc AS BIGINT) * tc * tc - tc) AS BIGINT) AS ties,
+         {ncols},
+         {rscols}
+  FROM ranked
+)
+SELECT n AS n_orders, {outn}, {outr},
+       {h} AS h_stat,
+       {h} / {corr} AS h_tie_corrected
+FROM agg
+"""
+
+
+QUERIES["orders_kruskal_wallis"] = orders_kruskal_wallis
+ORACLE["orders_kruskal_wallis"] = _kw_sql()
+
+
+def lineitem_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's variance-homogeneity test, Brown–Forsythe variant
+    (1974): are extended-price SPREADS equal across the three return
+    flags? The assumption check every mean-comparison in this suite
+    (anova_f, welch, DiD) stands on — deviations from the group
+    MEDIAN (robust, unlike the classic mean form), then a one-way
+    ANOVA F on those deviations. Emits per-group n + doubled medians
+    and the W statistic (F_{2, N−3} under H0).
+
+    Engine-exact: group medians come from the histogram-CDF house
+    pattern kept INTEGRAL as doubled medians (lower + upper middle
+    value — no .5 materializes); deviations |2x − m2| are exact
+    BIGINTs; Σz goes BIGINT, Σz² goes DECIMAL(38,0) with the welch
+    0dp-round-then-double discipline; the three groups land in fixed
+    COLUMNS so every double fold has explicit order.
+
+    Scale: one (flag, cents) histogram aggregation; the CDF window
+    is per-flag histogram-sized; the deviation pass is one
+    broadcast-joined scan; the F close is a one-row fold."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    hist = li.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "cents",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    med = cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.expr("cum >= (n + 1) DIV 2"), F.col("cents"))).alias("lo"),
+        F.min(F.when(F.expr("cum >= (n + 2) DIV 2"), F.col("cents"))).alias("hi"),
+    ).select("l_returnflag", (F.col("lo") + F.col("hi")).alias("m2"))
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.expr("ABS(2 * cents - m2)").alias("z")
+    )
+    flags = ("A", "N", "R")
+    agg = dev.agg(
+        *[
+            F.sum(F.when(F.col("l_returnflag") == f, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{f}")
+            for f in flags
+        ],
+        *[
+            F.sum(F.when(F.col("l_returnflag") == f, F.col("z")))
+            .cast("bigint")
+            .alias(f"s_{f}")
+            for f in flags
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == f,
+                    F.expr("CAST(z AS DECIMAL(38,0)) * z"),
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"q_{f}")
+            for f in flags
+        ],
+    )
+    gmeans = " + ".join(f"CAST(s_{f} AS DOUBLE)" for f in flags)
+    ntot = " + ".join(f"n_{f}" for f in flags)
+    between = (
+        " + ".join(
+            f"(CAST(s_{f} AS DOUBLE) * CAST(s_{f} AS DOUBLE) / n_{f})" for f in flags
+        )
+        + f" - ({gmeans}) * ({gmeans}) / ({ntot})"
+    )
+    within = " + ".join(
+        f"(CAST(q_{f} AS DOUBLE) - CAST(s_{f} AS DOUBLE) * CAST(s_{f} AS DOUBLE) / n_{f})"
+        for f in flags
+    )
+    cols = [F.col(f"n_{f}").alias(f"n_{f.lower()}") for f in flags] + [
+        F.col(f"s_{f}").alias(f"devsum2_{f.lower()}") for f in flags
+    ]
+    return agg.join(
+        med.groupBy().pivot("l_returnflag", list(flags)).agg(F.first("m2"))
+    ).select(
+        *cols,
+        *[F.col(f).cast("bigint").alias(f"median2_{f.lower()}") for f in flags],
+        F.expr(f"(({between}) / 2.0) / (({within}) / (({ntot}) - 3.0))").alias(
+            "w_stat"
+        ),
+    )
+
+
+def _levene_sql() -> str:
+    flags = ("A", "N", "R")
+    ncols = ", ".join(
+        f"CAST(SUM(CASE WHEN l_returnflag = '{f}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{f}"
+        for f in flags
+    )
+    scols = ", ".join(
+        f"CAST(SUM(CASE WHEN l_returnflag = '{f}' THEN z END) AS BIGINT) AS s_{f}"
+        for f in flags
+    )
+    qcols = ", ".join(
+        f"CAST(SUM(CASE WHEN l_returnflag = '{f}' THEN CAST(z AS HUGEINT) * z END)"
+        f" AS HUGEINT) AS q_{f}"
+        for f in flags
+    )
+    gmeans = " + ".join(f"CAST(s_{f} AS DOUBLE)" for f in flags)
+    ntot = " + ".join(f"n_{f}" for f in flags)
+    between = (
+        " + ".join(
+            f"(CAST(s_{f} AS DOUBLE) * CAST(s_{f} AS DOUBLE) / n_{f})" for f in flags
+        )
+        + f" - ({gmeans}) * ({gmeans}) / ({ntot})"
+    )
+    within = " + ".join(
+        f"(CAST(q_{f} AS DOUBLE) - CAST(s_{f} AS DOUBLE) * CAST(s_{f} AS DOUBLE) / n_{f})"
+        for f in flags
+    )
+    outn = ", ".join(f"n_{f} AS n_{f.lower()}" for f in flags)
+    outs = ", ".join(f"s_{f} AS devsum2_{f.lower()}" for f in flags)
+    outm = ", ".join(
+        f"(SELECT m2 FROM med WHERE l_returnflag = '{f}') AS median2_{f.lower()}"
+        for f in flags
+    )
+    return f"""
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+hist AS (
+  SELECT l_returnflag, cents, COUNT(*) AS c FROM li GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, cents,
+         SUM(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM hist
+),
+med AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+         + MIN(CASE WHEN cum >= (n + 2) // 2 THEN cents END) AS m2
+  FROM cum GROUP BY 1
+),
+dev AS (
+  SELECT li.l_returnflag, ABS(2 * li.cents - m.m2) AS z
+  FROM li JOIN med m ON m.l_returnflag = li.l_returnflag
+),
+agg AS (
+  SELECT {ncols}, {scols}, {qcols} FROM dev
+)
+SELECT {outn}, {outs}, {outm},
+       (({between}) / 2.0) / (({within}) / (({ntot}) - 3.0)) AS w_stat
+FROM agg
+"""
+
+
+QUERIES["lineitem_levene_test"] = lineitem_levene_test
+ORACLE["lineitem_levene_test"] = _levene_sql()

@@ -79,6 +79,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "embedding_mmr_diversity",
         "orders_panel_fixed_effects",
         "embedding_dbscan",
+        "nations_gravity_model",
+        "text_burrows_delta",
+        "orders_kruskal_wallis",
+        "events_mcnemar_test",
+        "lineitem_levene_test",
     }
 )
 

@@ -169,3 +169,68 @@ def test_mmr_diversity_tradeoff(spark, sf_dir):
     assert all(
         r.score_e6 <= (7 * r.rel_e6 + 3_000_000) // 10 for r in rows[1:]
     )  # maxsim ≥ −1e6 hard floor
+
+
+def test_gravity_fit_sane(spark, sf_dir):
+    """Gravity β near 1 on any size-proportional flow matrix
+    (synthetic trade is roughly uniform → β in (0.5, 1.5)); R² in
+    [0, 1]; every positive-flow cell participates."""
+    from bireme_spark.queries.relational import nations_gravity_model
+
+    r = nations_gravity_model(spark, sf_dir).collect()[0]
+    assert r.n_cells > 0
+    assert 0.5 < r.beta < 1.5
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def test_kruskal_wallis_rank_identities(spark, sf_dir):
+    """Doubled rank sums over all groups must equal N(N+1) (the sum
+    of doubled ranks 2·(1+…+N)); H ≥ 0; tie-corrected H ≥ H."""
+    from bireme_spark.queries.relational import orders_kruskal_wallis
+
+    r = orders_kruskal_wallis(spark, sf_dir).collect()[0]
+    n = r.n_orders
+    total_r2 = sum(getattr(r, f"ranksum2_p{i}") for i in range(1, 6))
+    assert total_r2 == n * (n + 1)
+    assert sum(getattr(r, f"n_p{i}") for i in range(1, 6)) == n
+    assert r.h_stat >= 0
+    assert r.h_tie_corrected >= r.h_stat
+
+
+def test_levene_deviations_and_w(spark, sf_dir):
+    """W ≥ 0; doubled medians even-splittable; group deviation sums
+    positive (prices are not constant within any flag)."""
+    from bireme_spark.queries.relational import lineitem_levene_test
+
+    r = lineitem_levene_test(spark, sf_dir).collect()[0]
+    assert r.w_stat >= 0
+    for f in ("a", "n", "r"):
+        assert getattr(r, f"n_{f}") > 0
+        assert getattr(r, f"devsum2_{f}") > 0
+        assert getattr(r, f"median2_{f}") > 0
+
+
+def test_mcnemar_cells_partition_users(spark, sf_dir):
+    """The four concordance cells partition the user set; the
+    continuity-corrected statistic never exceeds the plain one."""
+    from bireme_spark.queries.events import events_mcnemar_test
+    from bireme_spark.sources.tables import load_table
+
+    r = events_mcnemar_test(spark, sf_dir).collect()[0]
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r.n_both + r.n_only_first + r.n_only_second + r.n_neither == n_users
+    assert 0 <= r.chi2_cc <= max(r.chi2, 1.0)
+
+
+def test_burrows_delta_symmetric_bounds(spark, sf_dir):
+    """Deltas are non-negative, pairs are canonical (a < b), and the
+    emitted list is ascending (most similar first)."""
+    from bireme_spark.queries.textops import text_burrows_delta
+
+    rows = text_burrows_delta(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    deltas = [r.delta_e6 for r in rows]
+    assert deltas == sorted(deltas)
+    for r in rows:
+        assert r.delta_e6 >= 0
+        assert r.source_a < r.source_b
