@@ -59,6 +59,10 @@ HEADLINE = [
     "orders_kruskal_wallis",
     "events_mcnemar_test",
     "lineitem_levene_test",
+    "orders_expected_shortfall",
+    "customers_negbin_fit",
+    "lineitem_hill_tail",
+    "text_js_divergence",
     "cdc_merge_into",
     "events_changepoint",
     "corpus_dsir_select",

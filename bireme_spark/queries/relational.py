@@ -5134,3 +5134,264 @@ FROM agg
 
 QUERIES["lineitem_levene_test"] = lineitem_levene_test
 ORACLE["lineitem_levene_test"] = _levene_sql()
+
+
+def orders_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Expected Shortfall of the order-value
+    distribution at the 95th and 99th percentiles — the coherent tail
+    risk pair (Artzner et al. 1999): VaR is the exact order
+    statistic, ES the exact mean ABOVE it (here "risk" = exposure
+    concentration: what the largest orders carry). Complements the
+    winsorized/percentile family with the conditional tail mean.
+
+    Engine-exact: the histogram-CDF house pattern — VaR_q is the
+    value at integer position N − FLOOR(q·N/100) from the top (pure
+    integer position math, no interpolation); the tail sum is an
+    exact BIGINT cents fold over histogram cells (count-weighted,
+    with the boundary cell partially included by exact count), one
+    IEEE division per ES.
+
+    Scale: one value→count aggregation; the CDF window runs on
+    histogram-sized data; no global row sort anywhere."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    hist = o.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("cents")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "cents",
+        "c",
+        F.sum("c").over(w).alias("cum_top"),
+        F.sum("c").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    rows = []
+    for q in (95, 99):
+        k = f"(n - (n * {q}) DIV 100)"  # tail size = N - floor(qN/100)
+        agg = cum.agg(
+            F.max("n").alias("n"),
+            # the boundary cell = the LARGEST value whose top-cumulative
+            # reaches the tail size (every cell below it also satisfies
+            # cum_top >= k — MIN here would grab the distribution MINIMUM;
+            # caught by the round-8 property test, invisible to the
+            # cross-engine hash since both engines shared the bug)
+            F.max(F.when(F.expr(f"cum_top >= {k}"), F.col("cents"))).alias("var_c"),
+            # full cells strictly inside the tail + the boundary cell's
+            # exact partial count
+            F.sum(
+                F.when(F.expr(f"cum_top <= {k}"), F.expr("CAST(cents AS BIGINT) * c"))
+            ).alias("s_full"),
+            F.sum(F.when(F.expr(f"cum_top <= {k}"), F.col("c"))).alias("c_full"),
+        ).select(
+            F.lit(q).cast("int").alias("level_pct"),
+            F.expr(f"CAST({k} AS BIGINT)").alias("n_tail"),
+            F.expr("CAST(var_c AS DOUBLE) / 100").alias("var_value"),
+            F.expr(
+                f"(CAST(COALESCE(s_full, 0) AS DOUBLE)"
+                f" + CAST(var_c AS DOUBLE) * ({k} - COALESCE(c_full, 0)))"
+                f" / {k} / 100"
+            ).alias("es_value"),
+        )
+        rows.append(agg)
+    return rows[0].unionByName(rows[1]).orderBy("level_pct")
+
+
+def _es_sql() -> str:
+    parts = []
+    for q in (95, 99):
+        k = f"(n - (n * {q}) // 100)"
+        parts.append(f"""
+SELECT CAST({q} AS INTEGER) AS level_pct,
+       CAST({k} AS BIGINT) AS n_tail,
+       CAST(MAX(CASE WHEN cum_top >= {k} THEN cents END) AS DOUBLE) / 100
+         AS var_value,
+       (CAST(COALESCE(SUM(CASE WHEN cum_top <= {k}
+                                THEN CAST(cents AS BIGINT) * c END), 0) AS DOUBLE)
+        + CAST(MAX(CASE WHEN cum_top >= {k} THEN cents END) AS DOUBLE)
+          * ({k} - COALESCE(SUM(CASE WHEN cum_top <= {k} THEN c END), 0)))
+       / {k} / 100 AS es_value
+FROM cum GROUP BY n""")
+    return """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+hist AS (SELECT cents, COUNT(*) AS c FROM o GROUP BY 1),
+cum AS (
+  SELECT cents, c,
+         SUM(c) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING) AS cum_top,
+         SUM(c) OVER () AS n
+  FROM hist
+)
+""" + "\nUNION ALL\n".join(parts) + "\nORDER BY level_pct"
+
+
+QUERIES["orders_expected_shortfall"] = orders_expected_shortfall
+ORACLE["orders_expected_shortfall"] = _es_sql()
+
+
+def customers_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of per-customer order counts by method
+    of moments (the overdispersion workhorse behind every
+    "purchases per customer" model — Poisson forces var = mean; NB's
+    r, p absorb the heterogeneity): r̂ = m²/(v − m), p̂ = m/v, plus
+    the dispersion index v/m that justifies leaving Poisson.
+    Customers with zero orders count (the grid join) — the zero class
+    is exactly what NB fits better.
+
+    Engine-exact: integer count moments (n, Σx, Σx²) with the sample
+    variance and every derived quantity closed in IEEE expressions of
+    identical shape; no transcendentals anywhere.
+
+    Scale: one orders aggregation + a customer-grid left join (the
+    zero class); the fit is a one-row fold."""
+    o = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("x0")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    x = c.join(o, "o_custkey", "left").select(
+        F.coalesce("x0", F.lit(0)).cast("bigint").alias("x")
+    )
+    mom = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    mean = "(CAST(sx AS DOUBLE) / n)"
+    var = "(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))"
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.expr(mean).alias("mean_orders"),
+        F.expr(var).alias("var_orders"),
+        F.expr(f"{var} / {mean}").alias("dispersion_index"),
+        F.expr(f"{mean} * {mean} / ({var} - {mean})").alias("nb_r"),
+        F.expr(f"{mean} / {var}").alias("nb_p"),
+    )
+
+
+CUSTOMERS_NEGBIN_SQL = """
+WITH x AS (
+  SELECT c.c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS x
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) o
+    ON o.o_custkey = c.c_custkey
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM x
+)
+SELECT n AS n_customers,
+       (CAST(sx AS DOUBLE) / n) AS mean_orders,
+       (CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+         AS var_orders,
+       (CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+         / (CAST(sx AS DOUBLE) / n) AS dispersion_index,
+       (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+         / ((CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+            - (CAST(sx AS DOUBLE) / n)) AS nb_r,
+       (CAST(sx AS DOUBLE) / n)
+         / (CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+         AS nb_p
+FROM mom
+"""
+
+QUERIES["customers_negbin_fit"] = customers_negbin_fit
+ORACLE["customers_negbin_fit"] = CUSTOMERS_NEGBIN_SQL
+
+
+_HILL_K = 200
+
+
+def lineitem_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the price tail index (Hill 1975):
+    α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₎) over the k = 200 largest extended prices
+    — the EVT answer to "how heavy is the price tail" that a plain
+    variance can't give (α ≤ 2 ⇒ infinite variance). Emits k, the
+    tail threshold x₍ₖ₎, the Hill α and its reciprocal (the tail
+    exponent's standard error is α/√k — derivable).
+
+    Engine-exact: the top-k tail comes from the DESC histogram-CDF
+    (no global row sort — duplicates of a value are interchangeable
+    in the statistic, so cell-level work is exact); each cell's
+    ln(v/x₍ₖ₎) rounds to e6 BEFORE the integer count-weighting
+    (transcendental discipline), and the boundary cell enters with
+    its exact partial count; α is one IEEE division.
+
+    Scale: one value→count aggregation + a histogram-sized window;
+    the tail fold touches ≤ k cells."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    hist = li.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("cents")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "cents", "c", F.sum("c").over(w).alias("cum_top")
+    )
+    xk = cum.agg(
+        # largest value whose top-cumulative reaches k (MAX — see the
+        # expected-shortfall boundary note)
+        F.max(F.when(F.expr(f"cum_top >= {_HILL_K}"), F.col("cents"))).alias("xk")
+    )
+    terms = cum.crossJoin(F.broadcast(xk)).where(F.col("cents") >= F.col("xk")).select(
+        "cents",
+        "xk",
+        # exact tail membership count for this cell (boundary partial)
+        F.expr(f"LEAST(c, {_HILL_K} - (cum_top - c))").alias("k_in"),
+        F.expr(
+            "CAST(ROUND(LN(CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE)) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("l_e6"),
+    )
+    agg = terms.agg(
+        F.max("xk").alias("xk"),
+        F.sum(F.expr("l_e6 * k_in")).alias("s_e6"),
+        F.sum("k_in").alias("k"),
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("k_tail"),
+        F.expr("CAST(xk AS DOUBLE) / 100").alias("tail_threshold"),
+        F.expr("CAST(s_e6 AS DOUBLE) / k / 1000000.0").alias("hill_inv_alpha"),
+        F.expr("CAST(k AS DOUBLE) * 1000000.0 / s_e6").alias("hill_alpha"),
+    )
+
+
+LINEITEM_HILL_SQL = f"""
+WITH li AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+hist AS (SELECT cents, COUNT(*) AS c FROM li GROUP BY 1),
+cum AS (
+  SELECT cents, c,
+         SUM(c) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING) AS cum_top
+  FROM hist
+),
+xk AS (SELECT MAX(CASE WHEN cum_top >= {_HILL_K} THEN cents END) AS xk FROM cum),
+terms AS (
+  SELECT cents, xk.xk,
+         LEAST(c, {_HILL_K} - (cum_top - c)) AS k_in,
+         CAST(ROUND(LN(CAST(cents AS DOUBLE) / CAST(xk.xk AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS l_e6
+  FROM cum CROSS JOIN xk
+  WHERE cents >= xk.xk
+),
+agg AS (
+  SELECT MAX(xk) AS xk, CAST(SUM(l_e6 * k_in) AS BIGINT) AS s_e6,
+         CAST(SUM(k_in) AS BIGINT) AS k
+  FROM terms
+)
+SELECT k AS k_tail,
+       CAST(xk AS DOUBLE) / 100 AS tail_threshold,
+       CAST(s_e6 AS DOUBLE) / k / 1000000.0 AS hill_inv_alpha,
+       CAST(k AS DOUBLE) * 1000000.0 / s_e6 AS hill_alpha
+FROM agg
+"""
+
+QUERIES["lineitem_hill_tail"] = lineitem_hill_tail
+ORACLE["lineitem_hill_tail"] = LINEITEM_HILL_SQL

@@ -1409,3 +1409,97 @@ LIMIT 10
 
 QUERIES["text_burrows_delta"] = text_burrows_delta
 ORACLE["text_burrows_delta"] = TEXT_BURROWS_SQL
+
+
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's word distribution
+    from the corpus distribution — the symmetric, bounded (≤ ln 2)
+    drift score a corpus-curation pipeline tracks per provider: a
+    source whose JSD jumps is feeding different text than the rest
+    (the distributional sibling of text_burrows_delta's stylometric
+    z-profile). One row per source, ascending JSD.
+
+    Engine-exact: both distributions are integer ppm (cnt·1e6 DIV
+    total); every p·ln(p/m) term (m the midpoint) e6-rounds before
+    the exact BIGINT sum (the entropy-family discipline); zero-count
+    words contribute only their q-side term. JSD_e6 = (Σp + Σq) DIV 2.
+
+    Scale: one tokenize pass → (source, word) counts; the term table
+    is |sources|·|vocab| cells on the full grid."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    corpus = counts.groupBy("tok").agg(F.sum("c").alias("cc"))
+    ctot = corpus.agg(F.sum("cc").alias("ct"))
+    grid = (
+        totals.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(ctot))
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tot",
+            F.expr("COALESCE(c, 0) * 1000000 DIV tot").alias("p_ppm"),
+            F.expr("cc * 1000000 DIV ct").alias("q_ppm"),
+        )
+    )
+    terms = grid.select(
+        "source",
+        "tot",
+        F.expr(
+            "CASE WHEN p_ppm > 0 THEN CAST(ROUND((p_ppm / 1000000.0)"
+            " * LN(CAST(2 AS DOUBLE) * p_ppm / (p_ppm + q_ppm)) * 1000000, 0)"
+            " AS BIGINT) ELSE 0 END"
+        ).alias("tp_e6"),
+        F.expr(
+            "CASE WHEN q_ppm > 0 THEN CAST(ROUND((q_ppm / 1000000.0)"
+            " * LN(CAST(2 AS DOUBLE) * q_ppm / (p_ppm + q_ppm)) * 1000000, 0)"
+            " AS BIGINT) ELSE 0 END"
+        ).alias("tq_e6"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_tokens"),
+            F.expr("CAST((SUM(tp_e6) + SUM(tq_e6)) DIV 2 AS BIGINT)").alias("jsd_e6"),
+        )
+        .orderBy("jsd_e6", "source")
+    )
+
+
+TEXT_JSD_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(c) AS tot FROM counts GROUP BY 1),
+corpus AS (SELECT tok, SUM(c) AS cc FROM counts GROUP BY 1),
+ctot AS (SELECT SUM(cc) AS ct FROM corpus),
+grid AS (
+  SELECT t.source, t.tot,
+         COALESCE(c.c, 0) * 1000000 // t.tot AS p_ppm,
+         w.cc * 1000000 // x.ct AS q_ppm
+  FROM totals t CROSS JOIN corpus w CROSS JOIN ctot x
+  LEFT JOIN counts c ON c.source = t.source AND c.tok = w.tok
+),
+terms AS (
+  SELECT source, tot,
+         CASE WHEN p_ppm > 0 THEN CAST(ROUND((p_ppm / 1000000.0)
+              * LN(CAST(2 AS DOUBLE) * p_ppm / (p_ppm + q_ppm)) * 1000000, 0)
+              AS BIGINT) ELSE 0 END AS tp_e6,
+         CASE WHEN q_ppm > 0 THEN CAST(ROUND((q_ppm / 1000000.0)
+              * LN(CAST(2 AS DOUBLE) * q_ppm / (p_ppm + q_ppm)) * 1000000, 0)
+              AS BIGINT) ELSE 0 END AS tq_e6
+  FROM grid
+)
+SELECT source, CAST(MAX(tot) AS BIGINT) AS n_tokens,
+       CAST((SUM(tp_e6) + SUM(tq_e6)) // 2 AS BIGINT) AS jsd_e6
+FROM terms GROUP BY source
+ORDER BY jsd_e6, source
+"""
+
+QUERIES["text_js_divergence"] = text_js_divergence
+ORACLE["text_js_divergence"] = TEXT_JSD_SQL

@@ -84,6 +84,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_kruskal_wallis",
         "events_mcnemar_test",
         "lineitem_levene_test",
+        "orders_expected_shortfall",
+        "customers_negbin_fit",
+        "lineitem_hill_tail",
+        "text_js_divergence",
     }
 )
 

@@ -234,3 +234,68 @@ def test_burrows_delta_symmetric_bounds(spark, sf_dir):
     for r in rows:
         assert r.delta_e6 >= 0
         assert r.source_a < r.source_b
+
+
+def test_expected_shortfall_dominates_var(spark, sf_dir):
+    """ES ≥ VaR at each level (tail mean above the quantile); the 99%
+    VaR ≥ 95% VaR; tail sizes are the exact integer formulas."""
+    from bireme_spark.queries.relational import orders_expected_shortfall
+
+    from bireme_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r.level_pct: r for r in orders_expected_shortfall(spark, sf_dir).collect()}
+    assert set(rows) == {95, 99}
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        F.max("o_totalprice").alias("mx"),
+    ).collect()[0]
+    for r in rows.values():
+        assert r.es_value >= r.var_value > 0
+        assert r.n_tail > 0
+        # the ORIGINAL bug (MIN over the DESC-cum boundary) returned
+        # the distribution MINIMUM as VaR — pin the quantile to the
+        # upper half and the tail mean under the max
+        assert r.var_value > stats.med
+        assert r.es_value <= stats.mx
+    assert rows[99].var_value >= rows[95].var_value
+    assert rows[99].n_tail < rows[95].n_tail
+
+
+def test_negbin_overdispersion_consistency(spark, sf_dir):
+    """Method-of-moments identities: p = m/v in (0,1] iff v ≥ m;
+    dispersion index v/m consistent with r, p (m = r(1−p)/p)."""
+    from bireme_spark.queries.relational import customers_negbin_fit
+
+    r = customers_negbin_fit(spark, sf_dir).collect()[0]
+    assert r.mean_orders > 0 and r.var_orders > 0
+    assert abs(r.dispersion_index - r.var_orders / r.mean_orders) < 1e-9
+    if r.var_orders > r.mean_orders:  # NB regime
+        assert 0 < r.nb_p < 1 and r.nb_r > 0
+        m_back = r.nb_r * (1 - r.nb_p) / r.nb_p
+        assert abs(m_back - r.mean_orders) / r.mean_orders < 1e-6
+
+
+def test_hill_alpha_positive_and_reciprocal(spark, sf_dir):
+    from bireme_spark.queries.relational import lineitem_hill_tail
+
+    r = lineitem_hill_tail(spark, sf_dir).collect()[0]
+    assert r.k_tail == 200
+    assert r.tail_threshold > 0
+    assert r.hill_inv_alpha > 0
+    assert abs(r.hill_alpha * r.hill_inv_alpha - 1.0) < 1e-9
+
+
+def test_jsd_bounded_and_per_source(spark, sf_dir):
+    """JSD in [0, ln 2] (up to per-term rounding) for every source;
+    one row per source."""
+    import math
+
+    from bireme_spark.queries.textops import text_js_divergence
+
+    rows = text_js_divergence(spark, sf_dir).collect()
+    assert len(rows) == len({r.source for r in rows}) >= 2
+    for r in rows:
+        assert -64 <= r.jsd_e6 <= math.log(2) * 1e6 + 64
+        assert r.n_tokens > 0
