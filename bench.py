@@ -63,6 +63,10 @@ HEADLINE = [
     "customers_negbin_fit",
     "lineitem_hill_tail",
     "text_js_divergence",
+    "events_downtime_report",
+    "events_seasonality_strength",
+    "orders_dupe_invoice_audit",
+    "parts_price_dispersion",
     "cdc_merge_into",
     "events_changepoint",
     "corpus_dsir_select",

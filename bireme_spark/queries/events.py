@@ -3321,3 +3321,168 @@ FROM cells
 
 QUERIES["events_mcnemar_test"] = events_mcnemar_test
 ORACLE["events_mcnemar_test"] = EVENTS_MCNEMAR_SQL
+
+
+_DOWNTIME_GAP_US = 60_000_000  # 60s of silence = an outage
+
+
+def events_downtime_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream downtime report: silent intervals longer than 60s in
+    the event stream (the monitoring view an ops team keeps on a CDC
+    ingest — a silent source is indistinguishable from a healthy
+    idle one WITHOUT this). Emits the top-10 longest outages with
+    start/end and a summary row (total outages, total silent time).
+
+    Engine-exact: pure integer µs arithmetic on unix_micros (the
+    sub-second truncation trap — never unix_timestamp); interval
+    bounds emit as formatted strings (the DATE-round-trip rule).
+
+    Scale: ONE global lag over event time — legitimately a single
+    total order (the stream clock is one series); at 100 TB the same
+    report runs per source/partition key with partitionBy added."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.orderBy("us", "event_id")
+    gaps = e.select(
+        F.lag("us").over(w).alias("prev_us"), F.col("us").alias("cur_us")
+    ).where(
+        F.col("prev_us").isNotNull()
+        & (F.col("cur_us") - F.col("prev_us") > _DOWNTIME_GAP_US)
+    )
+    top = gaps.select(
+        F.date_format(F.timestamp_micros("prev_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "outage_start"
+        ),
+        F.date_format(F.timestamp_micros("cur_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "outage_end"
+        ),
+        (F.col("cur_us") - F.col("prev_us")).alias("gap_us"),
+    ).orderBy(F.desc("gap_us"), "outage_start").limit(10)
+    summary = gaps.agg(
+        F.lit("TOTAL").alias("outage_start"),
+        F.lit("").alias("outage_end"),
+        F.sum(F.col("cur_us") - F.col("prev_us")).cast("bigint").alias("gap_us"),
+    )
+    return top.unionByName(summary).orderBy(F.desc("gap_us"), "outage_start")
+
+
+EVENTS_DOWNTIME_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_id FROM events
+),
+gaps AS (
+  SELECT LAG(us) OVER (ORDER BY us, event_id) AS prev_us, us AS cur_us
+  FROM e
+  QUALIFY prev_us IS NOT NULL AND cur_us - prev_us > {_DOWNTIME_GAP_US}
+),
+top AS (
+  SELECT strftime(make_timestamp(prev_us), '%Y-%m-%d %H:%M:%S') AS outage_start,
+         strftime(make_timestamp(cur_us), '%Y-%m-%d %H:%M:%S') AS outage_end,
+         cur_us - prev_us AS gap_us
+  FROM gaps ORDER BY gap_us DESC, outage_start LIMIT 10
+)
+SELECT * FROM top
+UNION ALL
+SELECT 'TOTAL', '', CAST(SUM(cur_us - prev_us) AS BIGINT) FROM gaps
+ORDER BY gap_us DESC, outage_start
+"""
+
+QUERIES["events_downtime_report"] = events_downtime_report
+ORACLE["events_downtime_report"] = EVENTS_DOWNTIME_SQL
+
+
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality strength of the event stream (the FPP
+    strength-of-seasonality measure, one row per cycle): how much of
+    the hourly-count variance do hour-of-day and day-of-week explain?
+    Strength = 1 − SSW/SST over the calendar bins plus the peak bin
+    and the integer-ppm amplitude — the quick answer to "is this
+    stream diurnal or weekly" before fitting anything heavier.
+
+    Engine-exact: hour-of-day and day-of-week come from pure integer
+    µs arithmetic ((us MOD day) DIV hour; (days + 4) MOD 7 — NEVER
+    the engines' dayofweek, whose origin differs); per-bin S²/n
+    quantizes as integer DIV (order-independent — the r6 double-fold
+    lesson); peak bins compare integer-ppm means with min-bin ties.
+
+    Scale: one hourly aggregation, then bin-sized arithmetic."""
+    e = load_table(spark, sf_dir, "events").select(F.unix_micros("ts").alias("us"))
+    hours = e.groupBy(F.expr("us DIV 3600000000").alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    binned = hours.select(
+        "cnt",
+        F.expr("CAST(h % 24 AS BIGINT)").alias("hod"),
+        F.expr("CAST((h DIV 24 + 4) % 7 AS BIGINT)").alias("dow"),
+    )
+    out = []
+    for comp, col in (("hour_of_day", "hod"), ("day_of_week", "dow")):
+        per = binned.groupBy(col).agg(
+            F.count(F.lit(1)).alias("nj"),
+            F.sum("cnt").alias("sj"),
+        )
+        tot = binned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").alias("s"),
+            F.sum(F.expr("CAST(cnt AS BIGINT) * cnt")).alias("q"),
+        )
+        b = per.agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(F.expr("CAST(sj AS BIGINT) * sj DIV nj")).alias("b"),
+            F.max(F.expr(f"struct(sj * 1000000 DIV nj AS m, -{col} AS negk)")).alias(
+                "pk"
+            ),
+        )
+        sst = "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+        ssb = "(CAST(b AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+        out.append(
+            tot.crossJoin(b).select(
+                F.lit(comp).alias("component"),
+                F.col("n_bins").cast("bigint").alias("n_bins"),
+                F.expr(f"GREATEST({ssb} / {sst}, 0.0)").alias("strength"),
+                F.expr("CAST(-pk.negk AS BIGINT)").alias("peak_bin"),
+                F.expr("CAST(pk.m AS BIGINT)").alias("peak_mean_ppm"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("component")
+
+
+def _seasonality_sql() -> str:
+    parts = []
+    for comp, col in (("hour_of_day", "hod"), ("day_of_week", "dow")):
+        parts.append(f"""
+SELECT '{comp}' AS component,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT {col} FROM binned) z)
+         AS n_bins,
+       GREATEST(
+         ((SELECT CAST(SUM(CAST(sj AS BIGINT) * sj // nj) AS BIGINT)
+           FROM (SELECT {col}, COUNT(*) AS nj, SUM(cnt) AS sj
+                 FROM binned GROUP BY {col}) p)
+          - CAST((SELECT SUM(cnt) FROM binned) AS DOUBLE)
+            * (SELECT SUM(cnt) FROM binned) / (SELECT COUNT(*) FROM binned))
+         / (CAST((SELECT SUM(CAST(cnt AS BIGINT) * cnt) FROM binned) AS DOUBLE)
+            - CAST((SELECT SUM(cnt) FROM binned) AS DOUBLE)
+              * (SELECT SUM(cnt) FROM binned) / (SELECT COUNT(*) FROM binned)),
+         0.0) AS strength,
+       (SELECT CAST({col} AS BIGINT)
+        FROM (SELECT {col}, SUM(cnt) * 1000000 // COUNT(*) AS m
+              FROM binned GROUP BY {col}) p
+        ORDER BY m DESC, {col} LIMIT 1) AS peak_bin,
+       (SELECT CAST(m AS BIGINT)
+        FROM (SELECT {col}, SUM(cnt) * 1000000 // COUNT(*) AS m
+              FROM binned GROUP BY {col}) p
+        ORDER BY m DESC, {col} LIMIT 1) AS peak_mean_ppm""")
+    return """
+WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+hours AS (SELECT us // 3600000000 AS h, COUNT(*) AS cnt FROM e GROUP BY 1),
+binned AS MATERIALIZED (
+  SELECT cnt, CAST(h % 24 AS BIGINT) AS hod,
+         CAST((h // 24 + 4) % 7 AS BIGINT) AS dow
+  FROM hours
+)
+""" + "\nUNION ALL\n".join(parts) + "\nORDER BY component"
+
+
+QUERIES["events_seasonality_strength"] = events_seasonality_strength
+ORACLE["events_seasonality_strength"] = _seasonality_sql()

@@ -5395,3 +5395,178 @@ FROM agg
 
 QUERIES["lineitem_hill_tail"] = lineitem_hill_tail
 ORACLE["lineitem_hill_tail"] = LINEITEM_HILL_SQL
+
+
+def parts_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-dispersion decomposition (the law-of-one-price audit):
+    how much of total extended-price variation is BETWEEN parts
+    (catalog structure) vs WITHIN a part (the same part selling at
+    different prices — quantity tiers, discount policy, or leakage)?
+    One-way variance decomposition SST = SSB + SSW over ~20k part
+    groups, with η² = SSB/SST and the within-part share that a
+    pricing audit actually acts on.
+
+    Engine-exact: integer cents sums; per-part Σx² in DECIMAL(38,0);
+    the between term Σ S_j²/n_j quantizes PER PART as the integer
+    floor S_j² DIV n_j (deterministic truncation both engines —
+    summing 20k per-part DOUBLES would be shuffle-order-dependent,
+    the r6 corpus_mix lesson), so every aggregate is an exact
+    integer/DECIMAL before ONE IEEE close per emitted ratio.
+
+    Scale: one part-level aggregation (map-side combine), one
+    all-parts fold; no joins, no windows on raw rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("cents").alias("sj"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("qj"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("nj").alias("n"),
+        F.sum("sj").alias("s"),
+        F.sum("qj").alias("q"),
+        # DIV returns LONG (r8 lesson) — recast before the 20k-part
+        # sum, whose total exceeds 2^63 at sf0.1
+        F.sum(
+            F.expr("CAST(CAST(sj AS DECIMAL(38,0)) * sj DIV nj AS DECIMAL(38,0))")
+        ).alias("b"),
+    )
+    sst = "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+    ssb = "(CAST(b AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+    return agg.select(
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.col("n").cast("bigint").alias("n_items"),
+        F.expr(f"{ssb} / {sst}").alias("eta_squared"),
+        F.expr(f"({sst} - {ssb}) / {sst}").alias("within_share"),
+        F.expr(f"SQRT(({sst} - {ssb}) / (n - n_parts)) / 100").alias(
+            "within_part_sd"
+        ),
+    )
+
+
+PARTS_DISPERSION_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+per AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nj,
+         CAST(SUM(cents) AS BIGINT) AS sj,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS qj
+  FROM li GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts, CAST(SUM(nj) AS BIGINT) AS n,
+         CAST(SUM(sj) AS BIGINT) AS s, CAST(SUM(qj) AS HUGEINT) AS q,
+         CAST(SUM(CAST(sj AS HUGEINT) * sj // nj) AS HUGEINT) AS b
+  FROM per
+)
+SELECT n_parts, n AS n_items,
+       (CAST(b AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+       / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+         AS eta_squared,
+       ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        - (CAST(b AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n))
+       / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+         AS within_share,
+       SQRT(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             - (CAST(b AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n))
+            / (n - n_parts)) / 100 AS within_part_sd
+FROM agg
+"""
+
+QUERIES["parts_price_dispersion"] = parts_price_dispersion
+ORACLE["parts_price_dispersion"] = PARTS_DISPERSION_SQL
+
+
+def orders_dupe_invoice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen (the classic AP audit): pairs of
+    orders from the SAME customer with the SAME total amount within
+    30 days of each other — the signature of a double-billed /
+    double-entered invoice. Emits the suspect-pair count, affected
+    customers/amounts, and the total exposure.
+
+    Engine-exact: amounts are exact integer cents, the window is an
+    integer day difference (datediff-free: epoch-day subtraction on
+    both engines); pair formation happens ONLY inside (customer,
+    amount) groups with ≥2 orders — the self-join input is the tiny
+    suspect-group table, not the fact table.
+
+    Scale: one (custkey, cents) aggregation prunes the universe to
+    multi-hit groups; Σ group² is bounded by the duplicate rate
+    (pathological amounts would need the max_df-style guard — counts
+    here are per-customer, naturally small)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+            " AS BIGINT)"
+        ).alias("day"),
+    )
+    grp = o.groupBy("o_custkey", "cents").agg(F.count(F.lit(1)).alias("g"))
+    cand = o.join(
+        grp.where(F.col("g") >= 2).select("o_custkey", "cents"),
+        ["o_custkey", "cents"],
+    )
+    a = cand.select(
+        "o_custkey", "cents",
+        F.col("o_orderkey").alias("k1"), F.col("day").alias("d1"),
+    )
+    b = cand.select(
+        F.col("o_custkey").alias("c2"), F.col("cents").alias("v2"),
+        F.col("o_orderkey").alias("k2"), F.col("day").alias("d2"),
+    )
+    pairs = a.join(
+        b,
+        (a.o_custkey == b.c2) & (a.cents == b.v2) & (a.k1 < b.k2),
+    ).where(F.expr("ABS(d1 - d2) <= 30"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suspect_pairs"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.countDistinct("cents").cast("bigint").alias("n_amounts"),
+        F.expr("CAST(SUM(cents) AS DOUBLE) / 100").alias("exposure_value"),
+        F.expr("CAST(MIN(ABS(d1 - d2)) AS BIGINT)").alias("min_gap_days"),
+    )
+
+
+ORDERS_DUPE_INVOICE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+grp AS (
+  SELECT o_custkey, cents FROM o GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+cand AS (
+  SELECT o.* FROM o JOIN grp USING (o_custkey, cents)
+),
+pairs AS (
+  SELECT a.o_custkey, a.cents, ABS(a.day - b.day) AS gap
+  FROM cand a JOIN cand b
+    ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+   AND a.o_orderkey < b.o_orderkey
+  WHERE ABS(a.day - b.day) <= 30
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_suspect_pairs,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_amounts,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS exposure_value,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_days
+FROM pairs
+"""
+
+QUERIES["orders_dupe_invoice_audit"] = orders_dupe_invoice_audit
+ORACLE["orders_dupe_invoice_audit"] = ORDERS_DUPE_INVOICE_SQL

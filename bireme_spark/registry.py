@@ -88,6 +88,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "customers_negbin_fit",
         "lineitem_hill_tail",
         "text_js_divergence",
+        "events_downtime_report",
+        "events_seasonality_strength",
+        "orders_dupe_invoice_audit",
+        "parts_price_dispersion",
     }
 )
 

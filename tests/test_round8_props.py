@@ -299,3 +299,72 @@ def test_jsd_bounded_and_per_source(spark, sf_dir):
     for r in rows:
         assert -64 <= r.jsd_e6 <= math.log(2) * 1e6 + 64
         assert r.n_tokens > 0
+
+
+def test_downtime_total_equals_interval_sum(spark, sf_dir):
+    """TOTAL row's gap equals the sum of ALL outage gaps ≥ the top-10
+    shown; every interval is >60s and well-formed."""
+    from bireme_spark.queries.events import events_downtime_report
+
+    rows = events_downtime_report(spark, sf_dir).collect()
+    total = [r for r in rows if r.outage_start == "TOTAL"]
+    tops = [r for r in rows if r.outage_start != "TOTAL"]
+    assert len(total) == 1
+    for r in tops:
+        assert r.gap_us > 60_000_000
+        assert r.outage_start < r.outage_end
+    assert total[0].gap_us >= sum(r.gap_us for r in tops)
+
+
+def test_price_dispersion_decomposition_identity(spark, sf_dir):
+    """η² + within_share ≈ 1 (both ratios of the same SST); η² in
+    [0, 1]; within SD positive and far below the raw price scale."""
+    from bireme_spark.queries.relational import parts_price_dispersion
+
+    r = parts_price_dispersion(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.eta_squared <= 1.0
+    assert abs(r.eta_squared + r.within_share - 1.0) < 1e-9
+    assert r.n_parts > 0 and r.n_items >= r.n_parts
+    assert r.within_part_sd >= 0
+
+
+def test_dupe_invoice_pairs_verifiable(spark, sf_dir):
+    """Every suspect pair recounts from first principles on the raw
+    table (brute-force recount at fixture scale)."""
+    from bireme_spark.queries.relational import orders_dupe_invoice_audit
+    from bireme_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = orders_dupe_invoice_audit(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("v"),
+        F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+               " DIV 86400000000 AS BIGINT)").alias("d"),
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for row in o:
+        groups[(row.o_custkey, row.v)].append((row.o_orderkey, row.d))
+    n = 0
+    for members in groups.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if abs(members[i][1] - members[j][1]) <= 30:
+                    n += 1
+    assert n == r.n_suspect_pairs
+
+
+def test_seasonality_strength_bounds(spark, sf_dir):
+    """Strengths in [0, 1); peak bins inside their cycle ranges; the
+    synthetic stream is near-uniform so neither cycle dominates."""
+    from bireme_spark.queries.events import events_seasonality_strength
+
+    rows = {r.component: r for r in events_seasonality_strength(spark, sf_dir).collect()}
+    assert set(rows) == {"hour_of_day", "day_of_week"}
+    assert 0 <= rows["hour_of_day"].peak_bin <= 23
+    assert 0 <= rows["day_of_week"].peak_bin <= 6
+    for r in rows.values():
+        assert 0.0 <= r.strength < 1.0
+        assert r.peak_mean_ppm > 0
