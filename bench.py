@@ -67,6 +67,8 @@ HEADLINE = [
     "events_seasonality_strength",
     "orders_dupe_invoice_audit",
     "parts_price_dispersion",
+    "events_roc_auc",
+    "orders_bass_diffusion",
     "cdc_merge_into",
     "events_changepoint",
     "corpus_dsir_select",

@@ -3486,3 +3486,84 @@ binned AS MATERIALIZED (
 
 QUERIES["events_seasonality_strength"] = events_seasonality_strength
 ORACLE["events_seasonality_strength"] = _seasonality_sql()
+
+
+def events_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of `value` as a purchase classifier — THE evaluation
+    primitive every model-assisted curation loop needs server-side
+    (quality classifiers, dedup scorers, rerankers): does a higher
+    event value really rank purchase events above the rest? AUC via
+    the rank-sum identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with exact
+    midrank tie handling — the probabilistic Mann–Whitney reading.
+
+    Engine-exact: values histogram to integer e6 cells; DOUBLED
+    midranks (2·cum + cnt + 1) keep tie averaging integral (the
+    Kruskal–Wallis machinery); the doubled positive rank sum is an
+    exact BIGINT and AUC is one IEEE expression. Also emits the
+    Gini coefficient 2·AUC − 1.
+
+    Scale: one value→(count, positive-count) histogram aggregation;
+    the CDF window runs on histogram cells; no per-row ranking."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    hist = e.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("cp")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "c",
+        "cp",
+        (F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(
+            "r2"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum("cp").alias("np"),
+        F.sum(F.expr("CAST(r2 AS BIGINT) * cp")).alias("rp2"),
+    )
+    auc = (
+        "(CAST(rp2 AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)"
+        " / (CAST(np AS DOUBLE) * (n - np))"
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("np").cast("bigint").alias("n_positive"),
+        F.expr(auc).alias("auc"),
+        F.expr(f"2 * ({auc}) - 1").alias("gini"),
+    )
+
+
+EVENTS_ROC_AUC_SQL = """
+WITH e AS (
+  SELECT CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+hist AS (
+  SELECT v, COUNT(*) AS c, SUM(pos) AS cp FROM e GROUP BY 1
+),
+ranked AS (
+  SELECT c, cp,
+         2 * COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2
+  FROM hist
+),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(cp) AS BIGINT) AS np,
+         CAST(SUM(CAST(r2 AS BIGINT) * cp) AS BIGINT) AS rp2
+  FROM ranked
+)
+SELECT n AS n_events, np AS n_positive,
+       (CAST(rp2 AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)
+       / (CAST(np AS DOUBLE) * (n - np)) AS auc,
+       2 * ((CAST(rp2 AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)
+            / (CAST(np AS DOUBLE) * (n - np))) - 1 AS gini
+FROM agg
+"""
+
+QUERIES["events_roc_auc"] = events_roc_auc
+ORACLE["events_roc_auc"] = EVENTS_ROC_AUC_SQL

@@ -4876,3 +4876,156 @@ ORDER BY month
 
 QUERIES["orders_stl_decompose"] = orders_stl_decompose
 ORACLE["orders_stl_decompose"] = ORDERS_STL_DECOMPOSE_SQL
+
+
+def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion fit (Bass 1969) on customer adoption: monthly
+    NEW customers n_t regressed on cumulative adopters
+    n_t = a + b·N_{t−1} + c·N²_{t−1} (the discrete Bass form), then
+    the innovation/imitation split p̂ = a/m̂, q̂ = p̂ + b with market
+    size m̂ the positive root of c·m² + b·m + a — the canonical
+    adoption-curve model every growth forecast quotes.
+
+    Engine-exact: adopters and cumulatives are exact integers; the
+    3×3 normal equations use integer power sums up to ΣX⁴ in
+    DECIMAL(38,0)/HUGEINT (X ~ 1.5e5 at sf1 → ΣX⁴ ≈ 4e22, far under
+    38 digits); Cramer determinants and the quadratic root are IEEE
+    expressions of identical shape on both engines.
+
+    Scale: one first-order-per-customer aggregation → an ~80-month
+    series; everything after is series-sized."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m"))
+    monthly = first.groupBy("m").agg(F.count(F.lit(1)).alias("n_t"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    series = monthly.select(
+        "n_t", F.coalesce(F.sum("n_t").over(w), F.lit(0)).alias("x")
+    )
+    d38 = "CAST({} AS DECIMAL(38,0))"
+    mom = series.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr(d38.format("x") + " * x")).alias("s2"),
+        F.sum(F.expr(d38.format("x") + " * x * x")).alias("s3"),
+        F.sum(F.expr(d38.format("x") + " * x * x * x")).alias("s4"),
+        F.sum("n_t").alias("sy"),
+        F.sum(F.expr(d38.format("x") + " * n_t")).alias("sxy"),
+        F.sum(F.expr(d38.format("x") + " * x * n_t")).alias("sxxy"),
+    )
+    # Cramer's rule on [[k,s1,s2],[s1,s2,s3],[s2,s3,s4]]·[a,b,c] = [sy,sxy,sxxy]
+    D = (
+        "(CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    Da = (
+        "(CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(sxxy AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(sxxy AS DOUBLE)))"
+    )
+    Db = (
+        "(CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(sxxy AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sxxy AS DOUBLE)"
+        " - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    Dc = (
+        "(CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(sxxy AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(sxy AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sxxy AS DOUBLE)"
+        " - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    a, b, c = f"({Da} / {D})", f"({Db} / {D})", f"({Dc} / {D})"
+    m_hat = f"((-{b} - SQRT({b} * {b} - 4 * {a} * {c})) / (2 * {c}))"
+    return mom.select(
+        F.col("k").cast("bigint").alias("n_months"),
+        F.expr(a).alias("coef_a"),
+        F.expr(b).alias("coef_b"),
+        F.expr(c).alias("coef_c"),
+        F.expr(m_hat).alias("market_size"),
+        F.expr(f"{a} / {m_hat}").alias("p_innovation"),
+        F.expr(f"{a} / {m_hat} + {b}").alias("q_imitation"),
+    )
+
+
+def _bass_sql() -> str:
+    D = (
+        "(CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    Da = (
+        "(CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(sxxy AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(sxxy AS DOUBLE)))"
+    )
+    Db = (
+        "(CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(sxxy AS DOUBLE) * CAST(s3 AS DOUBLE))"
+        " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sxxy AS DOUBLE)"
+        " - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    Dc = (
+        "(CAST(k AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(sxxy AS DOUBLE)"
+        " - CAST(s3 AS DOUBLE) * CAST(sxy AS DOUBLE))"
+        " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(sxxy AS DOUBLE)"
+        " - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    )
+    a, b, c = f"({Da} / {D})", f"({Db} / {D})", f"({Dc} / {D})"
+    m_hat = f"((-{b} - SQRT({b} * {b} - 4 * {a} * {c})) / (2 * {c}))"
+    return f"""
+WITH first AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS m
+  FROM orders GROUP BY 1
+),
+monthly AS (SELECT m, COUNT(*) AS n_t FROM first GROUP BY 1),
+series AS (
+  SELECT n_t,
+         COALESCE(SUM(n_t) OVER (ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x
+  FROM monthly
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+         CAST(SUM(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+         CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4,
+         CAST(SUM(n_t) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * n_t) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x * n_t) AS HUGEINT) AS sxxy
+  FROM series
+)
+SELECT k AS n_months,
+       {a} AS coef_a, {b} AS coef_b, {c} AS coef_c,
+       {m_hat} AS market_size,
+       {a} / {m_hat} AS p_innovation,
+       {a} / {m_hat} + {b} AS q_imitation
+FROM mom
+"""
+
+
+QUERIES["orders_bass_diffusion"] = orders_bass_diffusion
+ORACLE["orders_bass_diffusion"] = _bass_sql()

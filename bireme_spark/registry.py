@@ -92,6 +92,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_seasonality_strength",
         "orders_dupe_invoice_audit",
         "parts_price_dispersion",
+        "events_roc_auc",
+        "orders_bass_diffusion",
     }
 )
 

@@ -368,3 +368,35 @@ def test_seasonality_strength_bounds(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r.strength < 1.0
         assert r.peak_mean_ppm > 0
+
+
+def test_roc_auc_bounds_and_gini(spark, sf_dir):
+    """AUC in [0, 1]; Gini = 2·AUC − 1 exactly; positives a strict
+    subset of events."""
+    from bireme_spark.queries.events import events_roc_auc
+
+    r = events_roc_auc(spark, sf_dir).collect()[0]
+    assert 0 < r.n_positive < r.n_events
+    assert 0.0 <= r.auc <= 1.0
+    assert abs(r.gini - (2 * r.auc - 1)) < 1e-12
+
+
+def test_bass_fit_parameters_sane(spark, sf_dir):
+    """Cumulative adoption saturates in the fixture (customers stop
+    being new), so the fitted Bass parameters are in the canonical
+    ranges: m̂ ≥ observed adopters, 0 < p̂ < q̂ typically < 1."""
+    import math
+
+    from bireme_spark.queries.timeseries import orders_bass_diffusion
+    from bireme_spark.sources.tables import load_table
+
+    r = orders_bass_diffusion(spark, sf_dir).collect()[0]
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    # months run only until the LAST first-time customer (26 at sf0.001)
+    assert r.n_months >= 12
+    assert math.isfinite(r.market_size)
+    assert r.market_size >= 0.9 * n_cust  # fitted market covers adopters
+    assert 0 < r.p_innovation < 1
+    assert r.q_imitation > -1  # imitation can be ~0 on uniform arrivals
