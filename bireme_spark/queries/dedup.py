@@ -46,13 +46,29 @@ ORDER BY doc_id
 """
 
 
+def _df_guard(d) -> int:
+    """Corpus-size-scaled hot-shingle cap for the exact pair miners:
+    100 at every driver tier (≤5k docs — all recorded rounds stay
+    bit-identical), growing ∝ corpus beyond that so scale or
+    replication can't push REAL shingle document-frequencies past the
+    guard. The r8 sf1.0 sweep caught the fixed cap silently dropping
+    hot-but-real shingles on the 10×-replicated corpus (every doc has
+    9 exact clones): Spark emitted 1458 containment pairs vs the
+    guard-free oracle's 502110. A guard that prunes what the oracle
+    counts is a correctness bug, not an optimization."""
+    n = d.count()  # parquet metadata count — no data scan
+    return max(100, n // 50)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # max_df: the hot-bucket guard a 100 TB run MUST set. 100 is ~4×
     # the max observed shingle df at sf0.1 (25; sf0.01: 7), so the
     # result stays exact vs the guard-free oracle at test scale while
     # the guard itself is exercised in the registered plan.
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.8, max_df=100).orderBy(
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, tau=0.8, max_df=_df_guard(d)
+    ).orderBy(
         "id_a", "id_b"
     )
 
@@ -95,7 +111,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(shorts)
     return ngram_containment_pairs(
-        corpus, "doc_id", "text", n=3, tau=0.9, max_df=100
+        corpus, "doc_id", "text", n=3, tau=0.9, max_df=_df_guard(corpus)
     ).orderBy("inner_id", "outer_id")
 
 
@@ -274,7 +290,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same max_df hot-shingle guard as dedup_ngram_jaccard: exact at
     # test scale (max observed df ≈ 25 at sf0.1), and keeps the pair
     # mining Σ bucket² bounded when one shingle goes hot at 100 TB
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.8, max_df=100)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.8, max_df=_df_guard(d))
     return connected_components(pairs).orderBy("id")
 
 
@@ -365,7 +381,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeping five thresholds costs exactly one mining pass, not
     five."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.5, max_df=100)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.5, max_df=_df_guard(d))
     band = F.least(F.floor(F.col("jaccard") * 10) / 10, F.lit(0.9))
     return (
         pairs.groupBy(band.alias("band_lo"))
@@ -438,7 +454,8 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard is in the plan but exact at test scale (same rationale
     # as dedup_ngram_jaccard).
     return incremental_jaccard_probe(
-        corpus, batch, "doc_id", "text", n=3, tau=0.8, max_df=100
+        corpus, batch, "doc_id", "text", n=3, tau=0.8,
+        max_df=_df_guard(corpus.unionByName(batch)),
     ).orderBy("batch_id", "match_id")
 
 
