@@ -41,8 +41,13 @@ OFFSETS: dict[str, dict[str, int]] = {
         "l_suppkey": 100_000,
     },
     "events": {"event_id": 10_000_000, "user_id": 1_000_000},
-    "documents": {"doc_id": 1_000_000},
-    "embeddings": {"vec_id": 1_000_000},
+    # several registry queries synthesize derived ids at +1_000_000
+    # (short docs, planted batch docs) — the replication stride must
+    # clear that space or replica ids collide with synthetic ids
+    # (r8: replica-1 doc X == short-of-doc-X, a fixture artifact that
+    # looked like an engine mismatch)
+    "documents": {"doc_id": 100_000_000},
+    "embeddings": {"vec_id": 100_000_000},
 }
 
 
