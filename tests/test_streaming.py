@@ -800,3 +800,89 @@ class TestKafkaSeamExecutesOptions:
         bad3["bootstrap.servers"] = bad3.pop("kafka.bootstrap.servers")
         with pytest.raises(OptionDriftError):
             FakeKafkaSource(broker, bad3)
+
+
+def test_scd2_crash_after_commit_resumes_correct_history(spark, tmp_path, monkeypatch):
+    """SCD2 twin of the CDC crash test: kill the streaming query
+    after the HISTORY sink committed micro-batch 1 but before Spark's
+    checkpoint commit, restart from the checkpoint (batch 1 replays
+    against state that already contains it), and require the final
+    version history to be row-identical to an uninterrupted cold run
+    — versions neither re-closed nor double-appended."""
+    import json as _json
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql.types import StructType
+
+    from bireme_spark.config import PipelineConfig, SourceConfig
+    from bireme_spark.streaming import pipeline as pl
+    from bireme_spark.streaming.replay import stamp_batch_mtime
+
+    def env(op, k, price, ts):
+        return _json.dumps(
+            {"database": "d", "table": "t", "type": op, "ts": ts,
+             "data": {"k": k, "price": price}}
+        )
+
+    def write_input(src):
+        os.makedirs(src, exist_ok=True)
+        seen: set[str] = set()
+        with open(f"{src}/b0.txt", "w") as f:
+            f.write("\n".join(env("insert", k, 1.0, 100 + k) for k in range(20)))
+        stamp_batch_mtime(src, 0, seen)
+        with open(f"{src}/b1.txt", "w") as f:
+            f.write("\n".join(env("update", k, 2.0, 200 + k) for k in range(0, 20, 2)))
+        stamp_batch_mtime(src, 1, seen)
+        with open(f"{src}/b2.txt", "w") as f:
+            f.write("\n".join(env("delete", k, 0.0, 300 + k) for k in range(0, 20, 5)))
+        stamp_batch_mtime(src, 2, seen)
+
+    schema = StructType().add("k", "long").add("price", "double")
+
+    def cfg_for(name, src):
+        return PipelineConfig(
+            sources=[SourceConfig(name="m", kind="file", path=src)],
+            target_dir=str(tmp_path / name / "target"),
+            checkpoint_dir=str(tmp_path / name / "ckpt"),
+            max_events_per_trigger=1,
+            num_buckets=2,
+        )
+
+    def history(cfg):
+        return sorted(
+            (r.key, r.price, r.valid_from, r.valid_to, r.is_current)
+            for r in pl.read_state(spark, cfg.target_dir).collect()
+        )
+
+    # --- reference: uninterrupted cold run ---
+    src_ref = str(tmp_path / "in_ref")
+    write_input(src_ref)
+    cfg_ref = cfg_for("ref", src_ref)
+    q = pl.run_scd2_pipeline(spark, cfg_ref, schema, key_fields=("k",), available_now=True)
+    q.awaitTermination(120)
+    expected = history(cfg_ref)
+
+    # --- crashed run: die after batch 1's sink commit ---
+    src = str(tmp_path / "in")
+    write_input(src)
+    cfg = cfg_for("crash", src)
+    real_write = pl._write_changed_buckets
+
+    def crash_after_commit(bspark, target_dir, merged, changed, batch_id, **kw):
+        real_write(bspark, target_dir, merged, changed, batch_id, **kw)
+        if batch_id == 1:
+            raise RuntimeError("simulated crash after scd2 sink commit of batch 1")
+
+    monkeypatch.setattr(pl, "_write_changed_buckets", crash_after_commit)
+    q = pl.run_scd2_pipeline(spark, cfg, schema, key_fields=("k",), available_now=True)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert pl._read_committed_batch(cfg.target_dir) == 1
+
+    # --- restart from the checkpoint, crash injector removed ---
+    monkeypatch.setattr(pl, "_write_changed_buckets", real_write)
+    q2 = pl.run_scd2_pipeline(spark, cfg, schema, key_fields=("k",), available_now=True)
+    q2.awaitTermination(120)
+    assert history(cfg) == expected
