@@ -629,9 +629,12 @@ def nsw_topk(
     adj = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    adj.count()  # materialize the adjacency WHILE the knn-graph
+    # handles are still cached — releasing them first would recompute
+    # the whole LSH+rerank lineage into the adj cache at first action
     from bireme_spark.operators.dedup import release_persisted
 
-    release_persisted(knn)  # adjacency is materialized past the build
+    release_persisted(knn)
 
     qv = queries.select(
         F.col(qid).alias("query_id"),
@@ -693,9 +696,13 @@ def nsw_topk(
         scored = scored.unionByName(_score(frontier)).persist()
         handles.append(scored)
 
+    # self-exclusion only applies to in-corpus queries: with an
+    # external query_id_col the query-id and corpus-id namespaces are
+    # unrelated, and an id-equal legitimate neighbor must NOT drop
+    if query_id_col is None:
+        scored = scored.where(F.col("node") != F.col("query_id"))
     out = (
-        scored.where(F.col("node") != F.col("query_id"))
-        .withColumn("rank", F.row_number().over(wbeam))
+        scored.withColumn("rank", F.row_number().over(wbeam))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", F.col("node").alias("neighbor_id"), "cosine")
     )

@@ -46,7 +46,7 @@ ORDER BY doc_id
 """
 
 
-def _df_guard(d) -> int:
+def _df_guard(d, extra_frac: float = 0.0) -> int:
     """Corpus-size-scaled hot-shingle cap for the exact pair miners:
     100 at every driver tier (≤5k docs — all recorded rounds stay
     bit-identical), growing ∝ corpus beyond that so scale or
@@ -55,9 +55,17 @@ def _df_guard(d) -> int:
     hot-but-real shingles on the 10×-replicated corpus (every doc has
     9 exact clones): Spark emitted 1458 containment pairs vs the
     guard-free oracle's 502110. A guard that prunes what the oracle
-    counts is a correctness bug, not an optimization."""
-    n = d.count()  # parquet metadata count — no data scan
-    return max(100, n // 50)
+    counts is a correctness bug, not an optimization.
+
+    ``d`` must be the BASE parquet frame — its .count() is one
+    column-pruned parquet scan (zero data columns read), NOT a
+    re-execution of a synthesized-union lineage. Builders that mine a
+    derived corpus (planted shorts/copies unions) pass the extra rows
+    as ``extra_frac`` (fraction of the base) instead of counting the
+    computed frame: the guard needs scale-proportionality, not an
+    exact n — any value ≥ the true max shingle df is exact."""
+    n = d.count()
+    return max(100, int(n * (1.0 + extra_frac)) // 50)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,8 +118,9 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20)).alias("text"),
     )
     corpus = d.unionByName(shorts)
+    # guard scaled off the BASE table: shorts add 1/40 of the docs
     return ngram_containment_pairs(
-        corpus, "doc_id", "text", n=3, tau=0.9, max_df=_df_guard(corpus)
+        corpus, "doc_id", "text", n=3, tau=0.9, max_df=_df_guard(d, extra_frac=1 / 40)
     ).orderBy("inner_id", "outer_id")
 
 
@@ -453,9 +462,11 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df 100 ≈ 4× the max observed shingle df at sf0.1 — the
     # guard is in the plan but exact at test scale (same rationale
     # as dedup_ngram_jaccard).
+    # guard scaled off the BASE table: corpus∪batch = all docs plus
+    # the planted copies (corpus docs with id%9=0 ≈ 1/10 of the base)
     return incremental_jaccard_probe(
         corpus, batch, "doc_id", "text", n=3, tau=0.8,
-        max_df=_df_guard(corpus.unionByName(batch)),
+        max_df=_df_guard(d, extra_frac=0.1),
     ).orderBy("batch_id", "match_id")
 
 

@@ -3032,7 +3032,7 @@ def _hex12_int(h: str) -> str:
 
 
 _THETA_K = 64
-# shared post-hashes fragment: runs over a `hashes(event_type, h)`
+# shared post-hash fragment: runs over a `bireme_theta_hashes(event_type, h)`
 # relation — Spark materializes it ONCE (eager localCheckpoint: six
 # downstream references otherwise re-scan the raw stream per branch;
 # interleaved min-of-3 at sf0.1: 2.25s plain vs 1.83s checkpointed,
@@ -3042,17 +3042,17 @@ ranked AS (
   SELECT event_type, h,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
          COUNT(*) OVER (PARTITION BY event_type) AS nd
-  FROM hashes
+  FROM bireme_theta_hashes
 ),
 pair_u AS (
-  SELECT DISTINCT h FROM hashes WHERE event_type IN ('click', 'view')
+  SELECT DISTINCT h FROM bireme_theta_hashes WHERE event_type IN ('click', 'view')
 ),
 pair_ranked AS (
   SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk, COUNT(*) OVER () AS nd
   FROM pair_u
 ),
 pair_i AS (
-  SELECT h FROM hashes WHERE event_type IN ('click', 'view')
+  SELECT h FROM bireme_theta_hashes WHERE event_type IN ('click', 'view')
   GROUP BY h HAVING COUNT(*) = 2
 ),
 per_type AS (
@@ -3076,13 +3076,17 @@ union_row AS (
   FROM pair_ranked
 ),
 inter_row AS (
-  -- KMV intersection: rho = |union-sketch entries in both sets| / k,
+  -- KMV intersection: rho = |union-sketch entries in both sets| over
+  -- the union sketch's ACTUAL size LEAST(k, nd) — when the union is
+  -- small-set exact (nd < k) the sketch holds only nd entries and
+  -- dividing by k would underestimate by nd/k (r8 ADVICE);
   -- estimate = rho * union-estimate (Beyer et al. 2007)
   SELECT 'click_intersect_view' AS set_name,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM pair_i) AS n_exact,
          ((SELECT CAST(COUNT(*) AS DOUBLE) FROM pair_ranked pr
            WHERE pr.rnk <= {_THETA_K}
-             AND pr.h IN (SELECT h FROM pair_i)) / {_THETA_K})
+             AND pr.h IN (SELECT h FROM pair_i))
+          / (SELECT LEAST({_THETA_K}, MAX(nd)) FROM pair_ranked))
          * (SELECT kmv_estimate FROM union_row) AS kmv_estimate
 )
 SELECT set_name, n_exact, kmv_estimate FROM per_type
@@ -3114,7 +3118,7 @@ def events_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-collapse is the map-side-combined heavy stage and the
     sketch add is free riding on it."""
     e = load_table(spark, sf_dir, "events")
-    hashes = (
+    bireme_theta_hashes = (
         e.select(
             "event_type",
             F.expr(
@@ -3125,12 +3129,12 @@ def events_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    hashes.createOrReplaceTempView("hashes")
+    bireme_theta_hashes.createOrReplaceTempView("bireme_theta_hashes")
     return spark.sql("WITH " + _THETA_SETS_SQL)
 
 
 EVENTS_THETA_SKETCH_SQL = f"""
-WITH hashes AS (
+WITH bireme_theta_hashes AS (
   SELECT DISTINCT event_type,
          substr(md5(CAST(user_id AS STRING) || ':'
                     || strftime(ts, '%Y-%m-%d')), 1, 12) AS h
@@ -3143,13 +3147,13 @@ QUERIES["events_theta_sketch_ops"] = events_theta_sketch_ops
 ORACLE["events_theta_sketch_ops"] = EVENTS_THETA_SKETCH_SQL
 
 
-# shared post-grid fragment over an `hours(bucket, x, y)` relation —
+# shared post-grid fragment over an `bireme_te_hours(bucket, x, y)` relation —
 # Spark checkpoints the tiny grid once (the downstream window/pair
 # branches re-scanned the raw stream 8x otherwise; interleaved
 # min-of-3 at sf0.1: 1.23s plain vs 1.06s checkpointed).
 _TE_SHARED_SQL = """
 tot AS (
-  SELECT SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS nb FROM hours
+  SELECT SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS nb FROM bireme_te_hours
 ),
 bin AS (
   -- binary state: strictly above the mean rate (exact integer
@@ -3158,7 +3162,7 @@ bin AS (
          CAST(x * nb > sx AS INT) AS xb,
          CAST(y * nb > sy AS INT) AS yb,
          ROW_NUMBER() OVER (ORDER BY bucket) AS rn
-  FROM hours CROSS JOIN tot
+  FROM bireme_te_hours CROSS JOIN tot
 ),
 dirs AS (
   SELECT 'x_to_y' AS dir, cur.yb AS s1, prev.yb AS s0, prev.xb AS e0
@@ -3202,12 +3206,12 @@ def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding into an exact e6 BIGINT sum (one LN per cell — the
     Markov-marginal window pattern of events_entropy_rate).
 
-    Scale: raw stream → |hours|-row grid in one map-side-combined
+    Scale: raw stream → hours-sized grid in one map-side-combined
     agg; pairing is a rank self-join on the tiny grid; cells are ≤ 8
     rows per direction — window-over-cells, never join-back
     (lag-MI A/B lesson)."""
     e = load_table(spark, sf_dir, "events")
-    hours = (
+    bireme_te_hours = (
         e.where(F.col("event_type").isin("click", "purchase"))
         .select(F.date_format("ts", "yyyy-MM-dd HH").alias("bucket"), "event_type")
         .groupBy("bucket")
@@ -3217,7 +3221,7 @@ def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    hours.createOrReplaceTempView("hours")
+    bireme_te_hours.createOrReplaceTempView("bireme_te_hours")
     return spark.sql("WITH " + _TE_SHARED_SQL)
 
 
@@ -3226,7 +3230,7 @@ WITH hourly AS (
   SELECT strftime(ts, '%Y-%m-%d %H') AS bucket, event_type
   FROM events WHERE event_type IN ('click', 'purchase')
 ),
-hours AS (
+bireme_te_hours AS (
   SELECT bucket,
          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y

@@ -65,35 +65,12 @@ _SLOW = frozenset(
 # query, before the already-recorded ones.
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # (reset at round-8 open: the r7 cohort now ranks as plain
-        # never-recorded — together with the pre-r7 queries it forms
-        # EXACTLY the 50-query drain that fills round 8's bounded
-        # driver gate. Round-8 additions below rank after ALL of
-        # them so the driver-record debt finishes draining first.)
-        "ann_hnsw_topk",
-        "orders_stl_decompose",
-        "lineitem_did_estimator",
-        "events_theta_sketch_ops",
-        "events_transfer_entropy",
-        "embedding_kcenter_coreset",
-        "embedding_mmr_diversity",
-        "orders_panel_fixed_effects",
-        "embedding_dbscan",
-        "nations_gravity_model",
-        "text_burrows_delta",
-        "orders_kruskal_wallis",
-        "events_mcnemar_test",
-        "lineitem_levene_test",
-        "orders_expected_shortfall",
-        "customers_negbin_fit",
-        "lineitem_hill_tail",
-        "text_js_divergence",
-        "events_downtime_report",
-        "events_seasonality_strength",
-        "orders_dupe_invoice_audit",
-        "parts_price_dispersion",
-        "events_roc_auc",
-        "orders_bass_diffusion",
+        # (reset at round-9 open: the r8 cohort — 24 operators, the
+        # only never-recorded queries left — now ranks as plain
+        # never-recorded and heads round 9's bounded driver gate;
+        # ~26 remaining slots re-confirm the stalest green rows.
+        # Round-9 additions below rank after ALL of them so the
+        # driver-record debt drains to 379/379 first.)
     }
 )
 

@@ -206,6 +206,91 @@ def copy_backend() -> str:
         return "jdbc"
 
 
+# psycopg2 connection kwargs that may legally pass through from the
+# sink's Spark-JDBC `properties` dict. Everything else (driver,
+# createTableColumnTypes, fetchsize, batchsize, isolationLevel, ...)
+# is JDBC-writer config psycopg2.connect would reject.
+_LIBPQ_KWARGS = frozenset(
+    {
+        "user",
+        "password",
+        "host",
+        "port",
+        "dbname",
+        "sslmode",
+        "sslrootcert",
+        "sslcert",
+        "sslkey",
+        "connect_timeout",
+        "application_name",
+        "options",
+    }
+)
+
+# JDBC-Postgres URL/property names → their libpq kwarg twins
+# (https://jdbc.postgresql.org/documentation/use/ — public docs).
+_JDBC_TO_LIBPQ = {
+    "connectTimeout": "connect_timeout",
+    "ApplicationName": "application_name",
+    "applicationName": "application_name",
+}
+
+
+def libpq_connect_kwargs(url: str, properties: dict | None = None) -> dict:
+    """Translate the sink's Spark-JDBC (url, properties) pair into
+    psycopg2.connect kwargs, so ONE config drives both the COPY fast
+    path and the JDBC fallback (r8 ADVICE: a working JDBC config uses
+    a ``jdbc:postgresql://host:port/db`` URL and JDBC-only properties
+    that psycopg2.connect rejects — passing them through verbatim
+    would fail at connect time on every real deployment).
+
+    Handles ``jdbc:postgresql://host[:port]/db[?k=v&...]``,
+    ``jdbc:postgresql:db`` (localhost shorthand), and plain libpq
+    URIs (``postgresql://...`` — psycopg2 takes them as dsn, only the
+    whitelisted property kwargs ride along). JDBC-only keys are
+    dropped; ``ssl=true`` maps to ``sslmode=require``; JDBC spellings
+    (connectTimeout, ApplicationName) map to their libpq names."""
+    from urllib.parse import parse_qsl, urlsplit
+
+    kwargs: dict = {}
+    raw = url.strip()
+    if raw.startswith("jdbc:"):
+        raw = raw[len("jdbc:"):]
+    if raw.startswith(("postgresql:", "postgres:")) and "//" not in raw:
+        # jdbc:postgresql:dbname — localhost shorthand
+        kwargs["dbname"] = raw.split(":", 1)[1].split("?", 1)[0]
+        query = raw.split("?", 1)[1] if "?" in raw else ""
+    elif raw.startswith(("postgresql://", "postgres://")):
+        parts = urlsplit(raw)
+        if parts.hostname:
+            kwargs["host"] = parts.hostname
+        if parts.port:
+            kwargs["port"] = parts.port
+        if parts.username:
+            kwargs["user"] = parts.username
+        if parts.password:
+            kwargs["password"] = parts.password
+        db = parts.path.lstrip("/")
+        if db:
+            kwargs["dbname"] = db
+        query = parts.query
+    else:
+        # not a recognizable postgres URL: hand it to psycopg2 as-is
+        # (libpq key=value DSNs land here) with whitelisted kwargs
+        kwargs["dsn"] = raw
+        query = ""
+
+    merged = dict(parse_qsl(query))
+    merged.update(properties or {})
+    for k, v in merged.items():
+        k = _JDBC_TO_LIBPQ.get(k, k)
+        if k == "ssl" and str(v).lower() in ("true", "1"):
+            kwargs.setdefault("sslmode", "require")
+        elif k in _LIBPQ_KWARGS:
+            kwargs[k] = v
+    return kwargs
+
+
 def copy_sql(table: str, columns: Sequence[str]) -> str:
     """The reference's COPY statement, byte-for-byte
     (``ChangeLoader.java:334-344`` getCopySql): pipe delimiter, empty
@@ -330,7 +415,10 @@ class CopyMergeSink(JdbcMergeSink):
             keys_buf.write(copy_encode_row([r[k] for k in key_cols]))
             if r[self.op_col] != "D":
                 ins_buf.write(copy_encode_row([r[c] for c in payload]))
-        conn = psycopg2.connect(self.url, **self.properties)
+        # the SAME url/properties drive the JDBC fallback, so they
+        # arrive in Spark-JDBC shape — translate before connecting
+        dsn_kwargs = libpq_connect_kwargs(self.url, self.properties)
+        conn = psycopg2.connect(dsn_kwargs.pop("dsn", None), **dsn_kwargs)
         try:
             conn.autocommit = False
             cur = conn.cursor()

@@ -601,3 +601,96 @@ def test_copy_sink_optimistic_flips_pessimistic_on_duplicate(spark, monkeypatch)
         "copy", "rollback", "execute", "copy", "execute", "copy", "commit", "close",
     ]
     assert sink.optimistic is False  # one-way flip, like the reference
+
+
+# --- JDBC url/properties → libpq translation (r9, ADVICE r8) ---------------
+# The COPY fast path and the Spark-JDBC fallback share ONE (url,
+# properties) config; psycopg2.connect must receive libpq shape, not
+# JDBC shape.
+
+
+def test_libpq_translation_jdbc_url_and_jdbc_properties():
+    from bireme_spark.sinks.jdbc import libpq_connect_kwargs
+
+    kw = libpq_connect_kwargs(
+        "jdbc:postgresql://wh.example:6432/analytics?ssl=true&connectTimeout=10",
+        {
+            "user": "loader",
+            "password": "s3cret",
+            # JDBC-only keys a real fallback config carries — all of
+            # which psycopg2.connect rejects if passed through:
+            "driver": "org.postgresql.Driver",
+            "createTableColumnTypes": "key BIGINT",
+            "fetchsize": "1000",
+            "batchsize": "5000",
+            "isolationLevel": "READ_COMMITTED",
+        },
+    )
+    assert kw == {
+        "host": "wh.example",
+        "port": 6432,
+        "dbname": "analytics",
+        "sslmode": "require",
+        "connect_timeout": "10",
+        "user": "loader",
+        "password": "s3cret",
+    }
+
+
+def test_libpq_translation_shorthand_and_plain_uri():
+    from bireme_spark.sinks.jdbc import libpq_connect_kwargs
+
+    # jdbc:postgresql:dbname — localhost shorthand
+    assert libpq_connect_kwargs("jdbc:postgresql:wh") == {"dbname": "wh"}
+    # plain libpq URI: credentials parsed out, JDBC keys dropped
+    kw = libpq_connect_kwargs(
+        "postgresql://u:p@h:5433/d?application_name=bireme",
+        {"driver": "org.postgresql.Driver", "sslmode": "verify-full"},
+    )
+    assert kw == {
+        "host": "h",
+        "port": 5433,
+        "user": "u",
+        "password": "p",
+        "dbname": "d",
+        "application_name": "bireme",
+        "sslmode": "verify-full",
+    }
+    # key=value DSN passes through as dsn; whitelisted props ride along
+    kw = libpq_connect_kwargs("host=h dbname=d", {"user": "u", "fetchsize": "9"})
+    assert kw == {"dsn": "host=h dbname=d", "user": "u"}
+
+
+def test_copy_sink_connects_with_translated_kwargs(spark, monkeypatch):
+    """End-to-end through the sink: a JDBC-shaped config must reach
+    psycopg2.connect in libpq shape (host/dbname kwargs, JDBC-only
+    properties stripped)."""
+    import sys
+    import types
+
+    from bireme_spark.sinks.jdbc import CopyMergeSink
+
+    log = []
+    seen = {}
+
+    fake = types.ModuleType("psycopg2")
+
+    def connect(dsn=None, **kw):
+        seen["dsn"] = dsn
+        seen["kwargs"] = kw
+        return _FakeConn(log)
+
+    fake.connect = connect
+    monkeypatch.setitem(sys.modules, "psycopg2", fake)
+    sink = CopyMergeSink(
+        url="jdbc:postgresql://wh/db",
+        target_table="public.orders",
+        key_cols=("key",),
+        payload_cols=("key", "price"),
+        properties={"user": "u", "driver": "org.postgresql.Driver"},
+    )
+    batch = spark.createDataFrame([(1, 1.0, "I")], "key int, price double, op string")
+    sink(batch, batch_id=1)
+    assert seen["dsn"] is None
+    assert seen["kwargs"] == {"host": "wh", "dbname": "db", "user": "u"}
+    assert log[-2:] == [("commit",), ("close",)]
