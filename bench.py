@@ -243,6 +243,18 @@ HEADLINE = [
     "corpus_length_bias_audit",
     "embedding_hubness_audit",
     "tokenizer_vocab_pruning",
+    # round-9 additions — floors from the r9-open quiet-box min-of-3
+    "ann_incremental_index",
+    "text_readability",
+    "text_tokenizer_fertility",
+    "corpus_boilerplate_spans",
+    "embedding_lof",
+    "events_stickiness_ratio",
+    "events_absorption_profile",
+    "events_ewma_chart",
+    "events_fdr_screen",
+    "lineitem_tail_dependence",
+    "cdc_checksum_repair_plan",
 ]
 
 

@@ -347,6 +347,31 @@ def _probe_cells_udf(centroids, nprobe: int):
     return probe
 
 
+def ivf_incremental_add(
+    centroids,
+    assigned: DataFrame,
+    batch: DataFrame,
+    vec_col: str,
+):
+    """Fold an ingest batch into a STANDING IVF index without a
+    rebuild — the FAISS ``IndexIVF.add`` contract, the operation a
+    production vector store performs on every ingest: the batch
+    vectors assign to the EXISTING centroid model (one Arrow-batched
+    numpy matmul over |batch| rows — work is |batch|-proportional,
+    corpus-independent) and union into the inverted lists. The
+    centroid model is frozen: searching the incremental index is
+    IDENTICAL to assigning the union corpus from scratch under the
+    same model (tested exactly), and its recall tracks a full
+    retrain to within the Lloyd-refinement margin (property-tested).
+
+    Returns ``(centroids, assigned ∪ batch-assignments)``. Drift
+    policy is the caller's: re-run ``ivf_index`` when the batch
+    fraction grows past a rebuild threshold (the same cadence FAISS
+    deployments retrain their coarse quantizer)."""
+    new = batch.withColumn("cell", _nearest_cell_udf(centroids)(F.col(vec_col)))
+    return centroids, assigned.unionByName(new)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -357,14 +382,22 @@ def ivf_topk(
     ncells: int = 16,
     nprobe: int = 4,
     query_id_col: str | None = None,
+    index=None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into ncells Voronoi
     cells; each query probes its nprobe nearest cells; exact cosine
     rerank inside the probed cells only. The inverted-file analogue
     of FAISS IndexIVFFlat, as one bucket join — candidates shuffle on
-    ``cell``, never across cells."""
+    ``cell``, never across cells.
+
+    ``index``: a prebuilt ``(centroids, assigned)`` pair (from
+    ``ivf_index`` / ``ivf_incremental_add``) to search instead of
+    building from ``corpus`` — the standing-index reuse path."""
     qid = query_id_col or id_col
-    cents, assigned = ivf_index(corpus, id_col, vec_col, dim, ncells)
+    if index is not None:
+        cents, assigned = index
+    else:
+        cents, assigned = ivf_index(corpus, id_col, vec_col, dim, ncells)
     cb = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

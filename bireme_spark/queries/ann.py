@@ -216,3 +216,36 @@ def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_hnsw_topk"] = ann_hnsw_topk  # rows-only (seeded hashes)
+
+
+def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (VERDICT r8 item 7; the
+    FAISS ``IndexIVF.add`` contract, `ChangeLoader`-style incremental
+    ingest applied to the vector store): the standing corpus (90% of
+    embeddings) builds the IVF index ONCE; a new ingest batch (the
+    vec_id % 10 == 0 slice) folds in by assigning ONLY the batch
+    vectors to the frozen centroid model — |batch|-proportional work,
+    no full rebuild — and queries search the updated index. Rows-only
+    for the driver (cell membership depends on the trained model);
+    the property tests pin (a) incremental ≡ from-scratch assignment
+    under the same model exactly, (b) recall vs brute force and vs a
+    full retrain within ε, and (c) planted batch self-queries are
+    found at rank 1 (tests/test_ann.py).
+
+    Scale: the ingest pass is one Arrow-batched matmul over the
+    batch (narrow — no shuffle); search cost is unchanged (probe
+    nprobe cells, exact rerank inside)."""
+    from bireme_spark.operators.ann import ivf_incremental_add, ivf_index, ivf_topk
+
+    e = _corpus(spark, sf_dir)
+    standing = e.where(F.col("vec_id") % 10 != 0)
+    batch = e.where(F.col("vec_id") % 10 == 0)
+    cents, assigned = ivf_index(standing, "vec_id", "embedding", dim=EMBED_DIM, ncells=16)
+    index = ivf_incremental_add(cents, assigned, batch, "embedding")
+    q = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(
+        None, q, "vec_id", "embedding", dim=EMBED_DIM, k=K, nprobe=4, index=index
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["ann_incremental_index"] = ann_incremental_index  # rows-only (trained model)

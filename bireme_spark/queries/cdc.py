@@ -3206,3 +3206,145 @@ FROM banded GROUP BY age_band ORDER BY age_band
 
 QUERIES["cdc_tombstone_gc_plan"] = cdc_tombstone_gc_plan
 ORACLE["cdc_tombstone_gc_plan"] = CDC_TOMBSTONE_GC_SQL
+
+
+def _hex8_int_sql(h: str) -> str:
+    """Engine-portable 8-hex-nibble → BIGINT (ANSI position(), valid
+    in Spark SQL and DuckDB); values in [0, 2^32) so per-range sums
+    stay BIGINT-safe to ~2×10⁹ rows per range."""
+    terms = [
+        f"CAST(position(substr({h}, {i + 1}, 1) IN '0123456789abcdef') - 1 AS BIGINT)"
+        + (f" * {16 ** (7 - i)}" if i < 7 else "")
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def cdc_checksum_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted re-sync planning from range checksums — the step the
+    reference's consistency check stops short of (its compare
+    re-streams the WHOLE table through one cursor; bireme
+    `compare.py`): base vs replica fold into 32 key-range
+    (count, fingerprint-sum) pairs, mismatched ranges classify into
+    the repair action a sync controller would enqueue, and the plan
+    bounds the data motion to the broken ranges only. Replica drift
+    is planted deterministically: every 971st key's value corrupted
+    (+1.00), every 887th key missing, orphan keys inserted past the
+    key horizon (the three drift classes: silent corruption, lost
+    change, ghost write).
+
+    Engine-exact: fingerprints are SUMs of 8-hex md5 prefixes as
+    BIGINT (shared generated nibble expression — each nibble CAST
+    BEFORE the 16^i product, the r8 overflow rule); counts are
+    integers; the action is pure CASE algebra.
+
+    Scale: each side folds map-side into ≤32 range cells (ONE
+    aggregation per side, no join of row-level data); the repair
+    plan join is 32×32. Re-syncing then moves only
+    Σ rows_to_move — the binary-search-free version of
+    table_checksum_ranges' O(log) drill-down."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("val")
+    )
+    kmax = o.agg(F.max("o_orderkey").alias("kmax"))
+    base = o.join(F.broadcast(kmax))
+    replica = (
+        o.where(F.col("o_orderkey") % 887 != 0)
+        .withColumn(
+            "val",
+            F.when(
+                F.col("o_orderkey") % 971 == 0,
+                F.col("val") + F.lit(1).cast("decimal(12,2)"),
+            ).otherwise(F.col("val")),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 1009 == 0).select(
+                (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"), "val"
+            )
+        )
+        .join(F.broadcast(kmax))
+    )
+
+    fp = _hex8_int_sql("substr(md5(concat(CAST(o_orderkey AS STRING), ':', CAST(val AS STRING))), 1, 8)")
+    bucket = F.expr("CAST(least(o_orderkey * 32 DIV (kmax + 1), 31) AS INT)")
+
+    def fold(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{prefix}_rows"),
+            F.sum(F.expr(fp)).cast("bigint").alias(f"{prefix}_fp"),
+        )
+
+    j = fold(base, "base").join(fold(replica, "replica"), "bucket", "full_outer")
+    b_rows = F.coalesce(F.col("base_rows"), F.lit(0))
+    r_rows = F.coalesce(F.col("replica_rows"), F.lit(0))
+    match = (b_rows == r_rows) & (
+        F.coalesce(F.col("base_fp"), F.lit(0)) == F.coalesce(F.col("replica_fp"), F.lit(0))
+    )
+    action = (
+        F.when(match, "ok")
+        .when(b_rows > r_rows, "resync_pull")
+        .when(b_rows < r_rows, "resync_purge")
+        .otherwise("resync_inplace")
+    )
+    return j.select(
+        "bucket",
+        b_rows.alias("base_rows"),
+        r_rows.alias("replica_rows"),
+        match.cast("int").alias("checksums_match"),
+        action.alias("action"),
+        F.when(match, F.lit(0)).otherwise(b_rows).cast("bigint").alias("rows_to_move"),
+    ).orderBy("bucket")
+
+
+_CDC_REPAIR_FP = _hex8_int_sql(
+    "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(val AS VARCHAR)), 1, 8)"
+)
+
+CDC_REPAIR_PLAN_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS val FROM orders
+),
+mx AS (SELECT MAX(o_orderkey) AS kmax FROM o),
+base AS (SELECT o.*, kmax FROM o, mx),
+replica AS (
+  SELECT CASE WHEN o_orderkey % 1009 = 0 AND rep = 2
+              THEN o_orderkey + 30000000 ELSE o_orderkey END AS o_orderkey,
+         CASE WHEN o_orderkey % 971 = 0 AND rep = 1
+              THEN val + CAST(1 AS DECIMAL(12,2)) ELSE val END AS val,
+         kmax
+  FROM base, (SELECT unnest([1, 2]) AS rep) r
+  WHERE (rep = 1 AND o_orderkey % 887 <> 0) OR (rep = 2 AND o_orderkey % 1009 = 0)
+),
+bf AS (
+  SELECT CAST(LEAST(o_orderkey * 32 // (kmax + 1), 31) AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS base_rows,
+         CAST(SUM({_CDC_REPAIR_FP}) AS BIGINT) AS base_fp
+  FROM base GROUP BY 1
+),
+rf AS (
+  SELECT CAST(LEAST(o_orderkey * 32 // (kmax + 1), 31) AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS replica_rows,
+         CAST(SUM({_CDC_REPAIR_FP}) AS BIGINT) AS replica_fp
+  FROM replica GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(bf.bucket, rf.bucket) AS bucket,
+         COALESCE(base_rows, 0) AS base_rows,
+         COALESCE(replica_rows, 0) AS replica_rows,
+         COALESCE(base_fp, 0) AS base_fp, COALESCE(replica_fp, 0) AS replica_fp
+  FROM bf FULL OUTER JOIN rf ON rf.bucket = bf.bucket
+)
+SELECT bucket, base_rows, replica_rows,
+       CASE WHEN base_rows = replica_rows AND base_fp = replica_fp
+            THEN 1 ELSE 0 END AS checksums_match,
+       CASE WHEN base_rows = replica_rows AND base_fp = replica_fp THEN 'ok'
+            WHEN base_rows > replica_rows THEN 'resync_pull'
+            WHEN base_rows < replica_rows THEN 'resync_purge'
+            ELSE 'resync_inplace' END AS action,
+       CASE WHEN base_rows = replica_rows AND base_fp = replica_fp
+            THEN 0 ELSE base_rows END AS rows_to_move
+FROM j ORDER BY bucket
+"""
+
+QUERIES["cdc_checksum_repair_plan"] = cdc_checksum_repair_plan
+ORACLE["cdc_checksum_repair_plan"] = CDC_REPAIR_PLAN_SQL

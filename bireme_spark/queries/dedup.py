@@ -758,3 +758,98 @@ FROM counts
 
 QUERIES["dedup_minhash_eval"] = dedup_minhash_eval
 ORACLE["dedup_minhash_eval"] = DEDUP_MINHASH_EVAL_SQL
+
+
+def corpus_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the C4/CCNet pipeline
+    step BETWEEN quality filtering and doc-level dedup: headers,
+    footers, navigation chrome repeat across many documents without
+    making any PAIR of documents near-duplicates): 5-gram spans whose
+    document frequency reaches GREATEST(3, n_docs DIV 100) — the
+    threshold scales with the corpus (r8 lesson: a fixed cap
+    calibrated at one SF silently misclassifies at 10×) and is
+    computed IN-PLAN from a count aggregate, no driver-side count.
+    Emits, per source: span positions, hot-span occurrences, the
+    boilerplate fraction, and how many distinct hot spans hit the
+    source.
+
+    Engine-exact: all counts are integers; the fraction is one IEEE
+    division, rounded 6dp.
+
+    Scale: per-doc DISTINCT spans collapse map-side (array_distinct
+    BEFORE the explode — never a post-explode shuffle distinct); the
+    df aggregation is the only span-keyed shuffle; the hot-span set
+    (df-filtered, tiny by Zipf) joins back to the occurrence stream
+    and AQE picks the broadcast side at runtime."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    spans = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(sequence(1, greatest(size(ws) - 4, 0)),"
+            " i -> concat_ws(' ', slice(ws, i, 5)))"
+        ).alias("sp"),
+    )
+    occ = spans.select(
+        "doc_id", "source", F.explode("sp").alias("s")
+    )
+    per_doc = spans.select("doc_id", F.explode(F.array_distinct("sp")).alias("s"))
+    thr = d.agg(
+        F.greatest(F.lit(3), F.expr("count(1) DIV 100")).alias("thr")
+    )
+    hot = (
+        per_doc.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(thr))
+        .where(F.col("df") >= F.col("thr"))
+        .select("s")
+    )
+    marked = occ.join(hot.withColumn("is_hot", F.lit(1)), "s", "left")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_hot"), F.lit(0))).cast("bigint").alias("n_boiler"),
+            F.countDistinct(F.when(F.col("is_hot") == 1, F.col("s")))
+            .cast("bigint")
+            .alias("n_hot_spans"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.round(F.col("n_boiler").cast("double") / F.col("n_spans").cast("double"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_BOILERPLATE_SQL = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+occ AS (
+  SELECT doc_id, source,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i) t
+),
+per_doc AS (SELECT DISTINCT doc_id, s FROM occ),
+thr AS (SELECT GREATEST(3, COUNT(*) // 100) AS thr FROM documents),
+hot AS (
+  SELECT s FROM per_doc GROUP BY s
+  HAVING COUNT(*) >= (SELECT thr FROM thr)
+),
+marked AS (
+  SELECT o.source, o.s, CASE WHEN h.s IS NULL THEN 0 ELSE 1 END AS is_hot
+  FROM occ o LEFT JOIN hot h ON h.s = o.s
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(is_hot) AS BIGINT) AS n_boiler,
+       CAST(COUNT(DISTINCT CASE WHEN is_hot = 1 THEN s END) AS BIGINT) AS n_hot_spans,
+       ROUND(CAST(SUM(is_hot) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_frac
+FROM marked GROUP BY source ORDER BY source
+"""
+
+QUERIES["corpus_boilerplate_spans"] = corpus_boilerplate_spans
+ORACLE["corpus_boilerplate_spans"] = CORPUS_BOILERPLATE_SQL

@@ -2159,3 +2159,158 @@ sims AS MATERIALIZED (
 
 QUERIES["embedding_mmr_diversity"] = embedding_mmr_diversity
 ORACLE["embedding_mmr_diversity"] = EMBEDDING_MMR_SQL
+
+
+def embedding_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over a
+    deterministic embedding sample — the DENSITY-relative outlier
+    score the centroid/Mahalanobis screens miss (a point can sit
+    near the global mean yet be locally isolated between clusters).
+    k=8 neighbors; LOF(p) = mean_{o∈N(p)} lrd(o)/lrd(p) with
+    reach-dist_k(p,o) = max(kdist(o), d(p,o)). Emits the top-50
+    scores (vec_id ties ascending).
+
+    Sample-bounded quadratic (the wedge-join discipline): stride =
+    GREATEST(1, n DIV 500) computed IN-PLAN, so the pair matrix stays
+    ≤ ~500² at every SF while the sample tracks the corpus. Distances
+    are e6-integer cosine distances (one ROUND per pair — the ANN
+    rerank discipline); the lrd ratio per neighbor rounds 6dp before
+    a DECIMAL sum (Σ-of-doubles rule).
+
+    Scale: the sampled side broadcasts (BroadcastNestedLoopJoin, no
+    shuffle-cartesian); kdist/sum-reach joins run on sample-sized
+    frames. For full-corpus LOF swap the exact pair stage for the
+    kNN-graph edges (operators/ann.knn_graph) — same downstream
+    algebra."""
+    e = load_table(spark, sf_dir, "embeddings")
+    stride = e.agg(
+        F.greatest(F.lit(1), F.expr("count(1) DIV 500")).alias("stride")
+    )
+    s = (
+        e.join(F.broadcast(stride))
+        .where(F.col("vec_id") % F.col("stride") == 0)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)).alias(
+                "nrm"
+            ),
+        )
+    )
+    a = s.select(
+        F.col("vec_id").alias("pid"), F.col("v").alias("pv"), F.col("nrm").alias("pn")
+    )
+    b = s.select(
+        F.col("vec_id").alias("oid"), F.col("v").alias("ov"), F.col("nrm").alias("on_")
+    )
+    pairs = a.join(F.broadcast(b), F.col("pid") != F.col("oid")).select(
+        "pid",
+        "oid",
+        (
+            F.lit(1000000)
+            - F.expr(
+                "CAST(ROUND(aggregate(zip_with(pv, ov, (x, y) -> x * y), 0.0D,"
+                " (acc, z) -> acc + z) / (pn * on_) * 1000000, 0) AS BIGINT)"
+            )
+        ).alias("d_e6"),
+    )
+    k = 8
+    wn = Window.partitionBy("pid").orderBy(F.asc("d_e6"), F.asc("oid"))
+    knn = pairs.withColumn("rn", F.row_number().over(wn)).where(F.col("rn") <= k)
+    kdist = knn.groupBy("pid").agg(F.max("d_e6").alias("kdist"))
+    reach = knn.join(
+        F.broadcast(kdist.select(F.col("pid").alias("oid"), F.col("kdist").alias("okd"))),
+        "oid",
+    ).select("pid", "oid", F.greatest(F.col("d_e6"), F.col("okd")).alias("reach"))
+    sr = reach.groupBy("pid").agg(
+        F.greatest(F.sum("reach"), F.lit(1)).alias("sum_reach")
+    )
+    lof = (
+        reach.join(F.broadcast(sr), "pid")
+        .join(
+            F.broadcast(
+                sr.select(F.col("pid").alias("oid"), F.col("sum_reach").alias("o_sr"))
+            ),
+            "oid",
+        )
+        .select(
+            "pid",
+            # per-neighbor lrd ratio as an exact e6 BIGINT (single
+            # ROUND — the ANN cosine discipline); the k-fold mean is
+            # a truncating integer DIV: Σ(ratio_e6)/k lands on exact
+            # .5e-6 ties every 8th value, where ROUND(double, 6)
+            # splits engines (the r5 tie-semantics rule)
+            F.expr(
+                "CAST(ROUND(CAST(sum_reach AS DOUBLE)"
+                " / CAST(GREATEST(o_sr, 1) AS DOUBLE) * 1000000, 0) AS BIGINT)"
+            ).alias("ratio_e6"),
+        )
+        .groupBy("pid")
+        .agg(F.expr(f"SUM(ratio_e6) DIV {k}").cast("bigint").alias("lof_ppm"))
+    )
+    out = lof.join(kdist, "pid").select(
+        F.col("pid").alias("vec_id"), F.col("kdist").alias("k_dist_e6"), "lof_ppm"
+    )
+    wtop = Window.orderBy(F.desc("lof_ppm"), F.asc("vec_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(wtop))
+        .where(F.col("rank") <= 50)
+        .select("rank", "vec_id", "k_dist_e6", "lof_ppm")
+        .orderBy("rank")
+    )
+
+
+EMBEDDING_LOF_SQL = """
+WITH n AS (SELECT GREATEST(1, COUNT(*) // 500) AS stride FROM embeddings),
+s AS (
+  SELECT vec_id, embedding AS v
+  FROM embeddings, n WHERE vec_id % n.stride = 0
+),
+comp AS (
+  SELECT a.vec_id AS pid, b.vec_id AS oid,
+         CAST(unnest(a.v) AS DOUBLE) AS x, CAST(unnest(b.v) AS DOUBLE) AS y
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id
+),
+dots AS (
+  SELECT pid, oid, SUM(x * y) AS dot, SUM(x * x) AS nx, SUM(y * y) AS ny
+  FROM comp GROUP BY pid, oid
+),
+pairs AS (
+  SELECT pid, oid,
+         1000000 - CAST(ROUND(dot / (sqrt(nx) * sqrt(ny)) * 1000000, 0) AS BIGINT)
+           AS d_e6
+  FROM dots
+),
+knn AS (
+  SELECT pid, oid, d_e6,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d_e6 ASC, oid ASC) AS rn
+  FROM pairs QUALIFY rn <= 8
+),
+kdist AS (SELECT pid, MAX(d_e6) AS kdist FROM knn GROUP BY pid),
+reach AS (
+  SELECT k.pid, k.oid, GREATEST(k.d_e6, kd.kdist) AS reach
+  FROM knn k JOIN kdist kd ON kd.pid = k.oid
+),
+sr AS (SELECT pid, GREATEST(SUM(reach), 1) AS sum_reach FROM reach GROUP BY pid),
+ratios AS (
+  SELECT r.pid,
+         CAST(ROUND(CAST(p.sum_reach AS DOUBLE)
+                    / CAST(GREATEST(o.sum_reach, 1) AS DOUBLE) * 1000000, 0)
+              AS BIGINT) AS ratio_e6
+  FROM reach r
+  JOIN sr p ON p.pid = r.pid
+  JOIN sr o ON o.pid = r.oid
+),
+lof AS (
+  SELECT pid, CAST(SUM(ratio_e6) // 8 AS BIGINT) AS lof_ppm
+  FROM ratios GROUP BY pid
+)
+SELECT rank, vec_id, k_dist_e6, lof_ppm FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY l.lof_ppm DESC, l.pid ASC) AS INTEGER) AS rank,
+         l.pid AS vec_id, kd.kdist AS k_dist_e6, l.lof_ppm
+  FROM lof l JOIN kdist kd ON kd.pid = l.pid
+) WHERE rank <= 50 ORDER BY rank
+"""
+
+QUERIES["embedding_lof"] = embedding_lof
+ORACLE["embedding_lof"] = EMBEDDING_LOF_SQL

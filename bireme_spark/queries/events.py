@@ -3507,21 +3507,39 @@ def events_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gini coefficient 2·AUC − 1.
 
     Scale: one value→(count, positive-count) histogram aggregation;
-    the CDF window runs on histogram cells; no per-row ranking."""
+    the CDF runs RANGE-PARTITIONED over histogram cells (two-pass
+    rank): cells group into fixed-width value buckets, per-bucket
+    totals prefix-sum on the tiny bucket table, and the within-bucket
+    cumulative window is partitioned by bucket — so CONTINUOUS scores
+    (cells ≈ rows) never funnel through a single-task global window;
+    bucket count is domain/width, independent of n. No per-row
+    ranking anywhere."""
     e = load_table(spark, sf_dir, "events").select(
         F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").alias("v"),
         (F.col("event_type") == "purchase").cast("int").alias("pos"),
     )
     hist = e.groupBy("v").agg(
         F.count(F.lit(1)).alias("c"), F.sum("pos").alias("cp")
+    ).withColumn("bkt", F.expr("v DIV 1048576"))
+    # pass 1: per-bucket totals, prefix-summed on the bucket table
+    # (STRICTLY-PRECEDING buckets via a ROWS frame — exact integers)
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        hist.groupBy("bkt")
+        .agg(F.sum("c").alias("bc"))
+        .select("bkt", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("off"))
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = hist.select(
+    # pass 2: within-bucket cumulative, partitioned by bucket
+    wv = Window.partitionBy("bkt").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.join(F.broadcast(offsets), "bkt").select(
         "c",
         "cp",
-        (F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(
-            "r2"
-        ),
+        (
+            F.lit(2)
+            * (F.col("off") + F.coalesce(F.sum("c").over(wv), F.lit(0)))
+            + F.col("c")
+            + 1
+        ).alias("r2"),
     )
     agg = ranked.agg(
         F.sum("c").alias("n"),
@@ -3571,3 +3589,316 @@ FROM agg
 
 QUERIES["events_roc_auc"] = events_roc_auc
 ORACLE["events_roc_auc"] = EVENTS_ROC_AUC_SQL
+
+
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — THE product-engagement
+    ratio (what fraction of a month's actives show up on an average
+    day): avg daily distinct users over monthly distinct users.
+
+    Engine-exact: both numerators are exact integer distinct counts
+    (dau_total = Σ over days of |distinct users that day|); the ratio
+    is ONE IEEE division of exact BIGINTs, rounded 6dp.
+
+    Scale: one (day, user) distinct collapse feeds BOTH counts (the
+    month rollup re-aggregates the day grain — no second pass over
+    raw events); distinct-user-per-month is the only other shuffle,
+    map-side combined."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).distinct()
+    daily = du.groupBy("month", "day").agg(F.count(F.lit(1)).alias("dau"))
+    per_month = daily.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_total"),
+    )
+    mau = du.groupBy("month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        per_month.join(mau, "month")
+        .select(
+            "month",
+            "n_days",
+            "dau_total",
+            "mau",
+            F.round(
+                F.col("dau_total").cast("double")
+                / (F.col("n_days") * F.col("mau")).cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+EVENTS_STICKINESS_SQL = """
+WITH du AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+         strftime(ts, '%Y-%m-%d') AS day, user_id
+  FROM events
+),
+daily AS (SELECT month, day, COUNT(*) AS dau FROM du GROUP BY 1, 2),
+pm AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dau) AS BIGINT) AS dau_total
+  FROM daily GROUP BY 1
+),
+mau AS (
+  SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM du GROUP BY 1
+)
+SELECT pm.month, pm.n_days, pm.dau_total, mau.mau,
+       ROUND(CAST(pm.dau_total AS DOUBLE)
+             / CAST(pm.n_days * mau.mau AS DOUBLE), 6) AS stickiness
+FROM pm JOIN mau ON mau.month = pm.month
+ORDER BY pm.month
+"""
+
+QUERIES["events_stickiness_ratio"] = events_stickiness_ratio
+ORACLE["events_stickiness_ratio"] = EVENTS_STICKINESS_SQL
+
+
+_ABSORB_H = 8  # finite horizon: absorption probability within h steps
+
+
+def _absorb_levels_sql() -> str:
+    """h1..h8 chained CTEs (AS MATERIALIZED — each level is referenced
+    by the next level AND the final union; without materialization the
+    chain re-executes 2^h times, the kcenter lesson)."""
+    lvls = []
+    prev = None
+    for h in range(1, _ABSORB_H + 1):
+        if prev is None:
+            body = "SELECT src AS state, r1e6 // n AS p FROM basis"
+        else:
+            body = f"""
+  SELECT b.src AS state,
+         (b.r1e6 + COALESCE(SUM(c.cnt * p.p), 0)) // b.n AS p
+  FROM basis b
+  LEFT JOIN cells c ON c.src = b.src
+  LEFT JOIN {prev} p ON p.state = c.dst
+  GROUP BY b.src, b.r1e6, b.n"""
+        lvls.append(f"h{h} AS MATERIALIZED ({body})")
+        prev = f"h{h}"
+    union = "\nUNION ALL ".join(
+        f"SELECT state, {h} AS horizon, CAST(p AS BIGINT) AS p_absorb_ppm FROM h{h}"
+        for h in range(1, _ABSORB_H + 1)
+    )
+    return ",\n".join(lvls) + f"\nSELECT * FROM ({union}) ORDER BY state, horizon"
+
+
+def events_absorption_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov-chain absorption profile: for every
+    non-purchase event type, the probability the NEXT h user steps
+    reach 'purchase' (h = 1..8) — the finite-horizon fundamental-
+    matrix read (Kemeny & Snell 1960) behind "how convertible is a
+    user currently in state X", complementing events_transition_matrix
+    (one-step) and events_user_paths (raw paths).
+
+    Engine-exact: the empirical chain is integer transition counts;
+    the iteration p_{h+1}(i) = (r_i·10⁶ + Σ_j c_ij·p_h(j)) DIV n_i is
+    pure BIGINT with ONE truncating division per state per level
+    (monotone non-decreasing in h; Σ_j c_ij·p_h(j) ≤ n_i·10⁶ — no
+    overflow at any SF). States with no observed outgoing transition
+    report 0 (no evidence). The Spark side folds the model-sized
+    (|types|² ≤ 25-cell) count matrix in exact Python ints — the
+    house state-sized-sequential-fold rule (recursive-CTE planning
+    costs ~2s/level on Spark); DuckDB chains h-level MATERIALIZED
+    CTEs over the same integers.
+
+    Scale: ONE (user-key) shuffle builds transitions; everything
+    after runs on the |types|²-cell model. The collect is the model,
+    never rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull() & (F.col("event_type") != "purchase"))
+    )
+    cells = {
+        (r["event_type"], r["nxt"]): r["cnt"]
+        for r in trans.groupBy("event_type", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    states = sorted(
+        {r["event_type"] for r in e.select("event_type").distinct().collect()}
+        - {"purchase"}
+    )
+    n = {s: sum(c for (src, _), c in cells.items() if src == s) for s in states}
+    r = {s: cells.get((s, "purchase"), 0) for s in states}
+    q = {
+        s: {d: c for (src, d), c in cells.items() if src == s and d != "purchase"}
+        for s in states
+    }
+    p = {s: 0 for s in states}
+    rows = []
+    for h in range(1, _ABSORB_H + 1):
+        p = {
+            s: (
+                (r[s] * 1_000_000 + sum(c * p.get(d, 0) for d, c in q[s].items()))
+                // n[s]
+                if n[s]
+                else 0
+            )
+            for s in states
+        }
+        rows.extend((s, h, p[s]) for s in states)
+    return spark.createDataFrame(
+        sorted(rows), "state string, horizon int, p_absorb_ppm bigint"
+    ).orderBy("state", "horizon")
+
+
+EVENTS_ABSORPTION_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+cells AS (
+  SELECT event_type AS src, nxt AS dst, COUNT(*) AS cnt
+  FROM seq WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+  GROUP BY 1, 2
+),
+st AS (SELECT DISTINCT event_type AS src FROM events WHERE event_type <> 'purchase'),
+basis AS (
+  -- n guarded to 1: a state with no observed outgoing transition has
+  -- r1e6 = 0 and an empty Q row, so every level reports exactly 0
+  SELECT st.src,
+         GREATEST(COALESCE(SUM(c.cnt), 0), 1) AS n,
+         COALESCE(SUM(CASE WHEN c.dst = 'purchase' THEN c.cnt END), 0) * 1000000
+           AS r1e6
+  FROM st LEFT JOIN cells c ON c.src = st.src
+  GROUP BY st.src
+),
+cellsq AS (SELECT src, dst, cnt FROM cells WHERE dst <> 'purchase'),
+{_absorb_levels_sql()}
+"""
+
+# the generated levels reference `cells` for Q — point them at cellsq
+EVENTS_ABSORPTION_SQL = EVENTS_ABSORPTION_SQL.replace(
+    "LEFT JOIN cells c ON c.src = b.src", "LEFT JOIN cellsq c ON c.src = b.src"
+)
+
+QUERIES["events_absorption_profile"] = events_absorption_profile
+ORACLE["events_absorption_profile"] = EVENTS_ABSORPTION_SQL
+
+
+def events_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing anomaly screen with Benjamini–Hochberg FDR
+    control (1995): every (event_type, hour-of-day) cell is tested
+    against the uniform-rate null λ = type_total/24 via the Chernoff
+    upper bound on the Poisson upper tail, p ≤ exp(λ−x)·(λ/x)^{-x}
+    (in −log10 form; 0 when x ≤ λ), and BH picks the largest rank k
+    with p_(k) ≤ α·k/m at α = 0.05 — the report a monitoring stack
+    needs when it runs 120 tests at once and per-test α would flood
+    it with false alarms. Screening on a valid upper BOUND keeps the
+    FDR guarantee conservative.
+
+    Engine-exact: cell counts and type totals are integers; the ONE
+    transcendental per cell (ln(x/λ)) rounds 6dp before use (the
+    C-vs-Java ulp rule), the −log10 bound and the BH threshold
+    log10(20m/i) each round 6dp; every comparison is between
+    identically-rounded doubles.
+
+    Scale: one (type, hour) agg collapses the stream; every window
+    after runs on the ≤|types|·24-cell table."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.expr("unix_micros(ts) DIV 3600000000") % 24).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wt = Window.partitionBy("event_type")
+    wall = Window.partitionBy()
+    c = cells.withColumn("tot", F.sum("x").over(wt)).withColumn(
+        "m", F.count(F.lit(1)).over(wall)
+    )
+    lam = F.col("tot").cast("double") / F.lit(24.0)
+    t6 = F.round(F.log(F.col("x").cast("double") / lam), 6)
+    nl10 = F.when(
+        F.col("x").cast("double") <= lam, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            (lam - F.col("x").cast("double") + F.col("x").cast("double") * t6)
+            / F.lit(2.302585092994046),
+            6,
+        )
+    )
+    scored = c.withColumn("nl10_bound", nl10)
+    wr = Window.orderBy(F.desc("nl10_bound"), F.asc("event_type"), F.asc("hr"))
+    ranked = scored.withColumn("rank", F.row_number().over(wr)).withColumn(
+        "thr",
+        F.round(
+            F.log10(F.lit(20.0) * F.col("m").cast("double") / F.col("rank").cast("double")),
+            6,
+        ),
+    )
+    kstar = ranked.withColumn(
+        "kstar",
+        F.max(F.when(F.col("nl10_bound") >= F.col("thr"), F.col("rank"))).over(wall),
+    )
+    return kstar.select(
+        "event_type",
+        "hr",
+        F.col("x").cast("bigint").alias("x"),
+        F.round(lam, 6).alias("expected"),
+        "nl10_bound",
+        "rank",
+        F.when(F.col("rank") <= F.coalesce(F.col("kstar"), F.lit(0)), 1)
+        .otherwise(0)
+        .alias("rejected"),
+    ).orderBy("event_type", "hr")
+
+
+EVENTS_FDR_SQL = """
+WITH cells AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, hr, x,
+         SUM(x) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER () AS m
+  FROM cells
+),
+scored AS (
+  SELECT event_type, hr, x, tot, m,
+         CASE WHEN CAST(x AS DOUBLE) <= CAST(tot AS DOUBLE) / 24.0 THEN 0.0
+              ELSE ROUND((CAST(tot AS DOUBLE) / 24.0 - CAST(x AS DOUBLE)
+                          + CAST(x AS DOUBLE)
+                            * ROUND(ln(CAST(x AS DOUBLE)
+                                       / (CAST(tot AS DOUBLE) / 24.0)), 6))
+                         / 2.302585092994046, 6)
+         END AS nl10_bound
+  FROM c
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY nl10_bound DESC, event_type ASC, hr ASC)
+              AS INTEGER) AS rank
+  FROM scored
+),
+thr AS (
+  SELECT *,
+         ROUND(log10(20.0 * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE)), 6) AS thr
+  FROM ranked
+),
+ks AS (
+  SELECT *, MAX(CASE WHEN nl10_bound >= thr THEN rank END) OVER () AS kstar
+  FROM thr
+)
+SELECT event_type, hr, CAST(x AS BIGINT) AS x,
+       ROUND(CAST(tot AS DOUBLE) / 24.0, 6) AS expected,
+       nl10_bound, rank,
+       CASE WHEN rank <= COALESCE(kstar, 0) THEN 1 ELSE 0 END AS rejected
+FROM ks
+ORDER BY event_type, hr
+"""
+
+QUERIES["events_fdr_screen"] = events_fdr_screen
+ORACLE["events_fdr_screen"] = EVENTS_FDR_SQL

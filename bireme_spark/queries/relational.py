@@ -5570,3 +5570,147 @@ FROM pairs
 
 QUERIES["orders_dupe_invoice_audit"] = orders_dupe_invoice_audit
 ORACLE["orders_dupe_invoice_audit"] = ORDERS_DUPE_INVOICE_SQL
+
+
+def lineitem_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper-tail dependence λ_U(q) = P(price > price_q |
+    qty > qty_q) at q ∈ {90, 95, 99} — the copula-diagnostic behind
+    joint-extremes risk (do the BIGGEST orders also carry the biggest
+    revenue, or do the tails decouple?), complementing the marginal
+    tail fits (lineitem_hill_tail, orders_expected_shortfall) with a
+    BIVARIATE read. λ_U ≈ 1−q under independence; → constant > 1−q
+    under tail dependence.
+
+    Engine-exact: quantile boundaries are exact order statistics off
+    the value→count histogram (min value with cum·100 ≥ q·n — integer
+    compare, no interpolation); tail counts are integers; λ_U is one
+    IEEE division rounded 6dp.
+
+    Scale: two histogram aggs (map-side combined) + CDF windows on
+    histogram cells; the final tail counts are ONE conditional scan
+    agg against 6 broadcast boundary scalars."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        money("l_extendedprice").alias("price"),
+    )
+
+    def bounds(col: str) -> DataFrame:
+        hist = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+            "tot", F.sum("cnt").over(Window.partitionBy())
+        )
+        return cum.agg(
+            *[
+                F.min(
+                    F.when(F.col("cum") * 100 >= F.lit(q) * F.col("tot"), F.col(col))
+                ).alias(f"{col}_q{q}")
+                for q in (90, 95, 99)
+            ]
+        )
+    b = bounds("qty").join(bounds("price"))
+    agg = li.join(F.broadcast(b)).agg(
+        *[
+            x
+            for q in (90, 95, 99)
+            for x in (
+                F.sum(F.when(F.col("qty") > F.col(f"qty_q{q}"), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"nx{q}"),
+                F.sum(
+                    F.when(
+                        (F.col("qty") > F.col(f"qty_q{q}"))
+                        & (F.col("price") > F.col(f"price_q{q}")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"nj{q}"),
+            )
+        ],
+        F.max(F.col("qty_q90").cast("double")).alias("bq90"),
+        F.max(F.col("qty_q95").cast("double")).alias("bq95"),
+        F.max(F.col("qty_q99").cast("double")).alias("bq99"),
+        F.max(F.col("price_q90").cast("double")).alias("bp90"),
+        F.max(F.col("price_q95").cast("double")).alias("bp95"),
+        F.max(F.col("price_q99").cast("double")).alias("bp99"),
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(3,"
+            " 90, bq90, bp90, nx90, nj90,"
+            " 95, bq95, bp95, nx95, nj95,"
+            " 99, bq99, bp99, nx99, nj99"
+            ") AS (q_pct, qty_bound, price_bound, n_x_tail, n_joint_tail)"
+        )
+    )
+    return stacked.select(
+        F.col("q_pct").cast("int").alias("q_pct"),
+        "qty_bound",
+        "price_bound",
+        "n_x_tail",
+        "n_joint_tail",
+        F.round(
+            F.col("n_joint_tail").cast("double")
+            / F.greatest(F.col("n_x_tail"), F.lit(1)).cast("double"),
+            6,
+        ).alias("lambda_u"),
+    ).orderBy("q_pct")
+
+
+LINEITEM_TAILDEP_SQL = """
+WITH li AS (
+  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+  FROM lineitem
+),
+qh AS (SELECT qty AS v, COUNT(*) AS cnt FROM li GROUP BY 1),
+qc AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS tot
+  FROM qh
+),
+ph AS (SELECT price AS v, COUNT(*) AS cnt FROM li GROUP BY 1),
+pc AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS tot
+  FROM ph
+),
+b AS (
+  SELECT
+    (SELECT MIN(CASE WHEN cum * 100 >= 90 * tot THEN v END) FROM qc) AS bq90,
+    (SELECT MIN(CASE WHEN cum * 100 >= 95 * tot THEN v END) FROM qc) AS bq95,
+    (SELECT MIN(CASE WHEN cum * 100 >= 99 * tot THEN v END) FROM qc) AS bq99,
+    (SELECT MIN(CASE WHEN cum * 100 >= 90 * tot THEN v END) FROM pc) AS bp90,
+    (SELECT MIN(CASE WHEN cum * 100 >= 95 * tot THEN v END) FROM pc) AS bp95,
+    (SELECT MIN(CASE WHEN cum * 100 >= 99 * tot THEN v END) FROM pc) AS bp99
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN qty > bq90 THEN 1 ELSE 0 END) AS BIGINT) AS nx90,
+    CAST(SUM(CASE WHEN qty > bq90 AND price > bp90 THEN 1 ELSE 0 END) AS BIGINT) AS nj90,
+    CAST(SUM(CASE WHEN qty > bq95 THEN 1 ELSE 0 END) AS BIGINT) AS nx95,
+    CAST(SUM(CASE WHEN qty > bq95 AND price > bp95 THEN 1 ELSE 0 END) AS BIGINT) AS nj95,
+    CAST(SUM(CASE WHEN qty > bq99 THEN 1 ELSE 0 END) AS BIGINT) AS nx99,
+    CAST(SUM(CASE WHEN qty > bq99 AND price > bp99 THEN 1 ELSE 0 END) AS BIGINT) AS nj99,
+    CAST(MAX(bq90) AS DOUBLE) AS bq90d, CAST(MAX(bq95) AS DOUBLE) AS bq95d,
+    CAST(MAX(bq99) AS DOUBLE) AS bq99d, CAST(MAX(bp90) AS DOUBLE) AS bp90d,
+    CAST(MAX(bp95) AS DOUBLE) AS bp95d, CAST(MAX(bp99) AS DOUBLE) AS bp99d
+  FROM li, b
+)
+SELECT q_pct, qty_bound, price_bound, n_x_tail, n_joint_tail,
+       ROUND(CAST(n_joint_tail AS DOUBLE)
+             / CAST(GREATEST(n_x_tail, 1) AS DOUBLE), 6) AS lambda_u
+FROM (
+  SELECT 90 AS q_pct, bq90d AS qty_bound, bp90d AS price_bound,
+         nx90 AS n_x_tail, nj90 AS n_joint_tail FROM agg
+  UNION ALL
+  SELECT 95, bq95d, bp95d, nx95, nj95 FROM agg
+  UNION ALL
+  SELECT 99, bq99d, bp99d, nx99, nj99 FROM agg
+)
+ORDER BY q_pct
+"""
+
+QUERIES["lineitem_tail_dependence"] = lineitem_tail_dependence
+ORACLE["lineitem_tail_dependence"] = LINEITEM_TAILDEP_SQL

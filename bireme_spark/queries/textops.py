@@ -1503,3 +1503,184 @@ ORDER BY jsd_e6, source
 
 QUERIES["text_js_divergence"] = text_js_divergence
 ORACLE["text_js_divergence"] = TEXT_JSD_SQL
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid readability per source (Kincaid et al. 1975;
+    the length/complexity screen a curation pipeline runs next to
+    text_quality_score): per doc, words = whitespace tokens,
+    syllables = vowel-group runs ('[aeiou]+' matches — the standard
+    dictionary-free heuristic), sentences = 1 (the corpus is
+    unpunctuated single-segment text; the formula degrades to
+    words-per-doc as sentence length, documented precondition).
+    Emits per-source doc counts, mean words, mean syllables/word and
+    the mean FK grade, plus how many docs land in the 'hard' band
+    (grade > 14).
+
+    Engine-exact: word/syllable counts are integers (regexp_count vs
+    len(regexp_extract_all) — same regex, same semantics); each
+    per-doc ratio and grade rounds to 6dp BEFORE the per-source
+    DECIMAL sum (the house Σ-of-doubles discipline); final means are
+    one IEEE division each.
+
+    Scale: one projection computes both counts map-side; ONE source-
+    key aggregation; no window, no shuffle beyond the group-by."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        T.token_count(F.col("text")).alias("w"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+")).alias("syl"),
+    ).select(
+        "source",
+        "w",
+        F.round(F.col("syl").cast("double") / F.col("w").cast("double"), 6).alias("spw"),
+    )
+    grade = F.round(
+        F.lit(0.39) * F.col("w").cast("double")
+        + F.lit(11.8) * F.col("spw")
+        - F.lit(15.59),
+        6,
+    )
+    per = per.withColumn("grade", grade)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_words"),
+            (
+                F.sum(F.col("spw").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_syll_per_word"),
+            (
+                F.sum(F.col("grade").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_fk_grade"),
+            F.sum(F.when(F.col("grade") > 14, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hard_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_READABILITY_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS w,
+         CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER) AS syl
+  FROM documents
+),
+g AS (
+  SELECT source, w,
+         ROUND(CAST(syl AS DOUBLE) / CAST(w AS DOUBLE), 6) AS spw
+  FROM per
+),
+sc AS (
+  SELECT source, w, spw,
+         ROUND(0.39 * CAST(w AS DOUBLE) + 11.8 * spw - 15.59, 6) AS grade
+  FROM g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_words,
+       CAST(SUM(CAST(spw AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_syll_per_word,
+       CAST(SUM(CAST(grade AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_fk_grade,
+       CAST(SUM(CASE WHEN grade > 14 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard_docs
+FROM sc GROUP BY source ORDER BY source
+"""
+
+QUERIES["text_readability"] = text_readability
+ORACLE["text_readability"] = TEXT_READABILITY_SQL
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (tokens emitted per whitespace
+    word — the multilingual-tokenizer audit metric: fertility ≫ 1
+    means a language pays more sequence length per word, skewing
+    mixing ratios and effective epochs): BPE-ish regex tokens
+    ('[a-z]+' alphabetic runs) over whitespace words, aggregated per
+    `lang`, with the doc-level p95 fertility as the tail indicator.
+
+    Engine-exact: both counts are integers from the same regex; the
+    corpus fertility is ONE IEEE division of exact BIGINT sums; the
+    p95 is an exact order statistic over e6-quantized per-doc
+    fertilities (histogram-CDF, min value with cum ≥ 0.95·n — never
+    an interpolating percentile).
+
+    Scale: one map-side projection; one lang-key agg; the CDF window
+    runs on the (lang, fertility_e6) histogram, not raw docs."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        T.token_count(F.col("text")).alias("w"),
+        T.regex_token_count(F.col("text")).alias("t"),
+    ).withColumn(
+        "f_e6",
+        F.expr("CAST(t AS BIGINT) * 1000000 DIV CAST(w AS BIGINT)"),
+    )
+    hist = per.groupBy("lang", "f_e6").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("lang").orderBy("f_e6")
+    wtot = Window.partitionBy("lang")
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(wcum.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("cnt").over(wtot))
+    p95 = cum.where(F.col("cum") * 20 >= F.col("tot") * 19).groupBy("lang").agg(
+        F.min("f_e6").alias("p95_fertility_e6")
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("total_words"),
+        F.sum("t").cast("bigint").alias("total_tokens"),
+    )
+    return (
+        agg.join(p95, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("total_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            "p95_fertility_e6",
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_FERTILITY_SQL = """
+WITH per AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS t
+  FROM documents
+),
+q AS (SELECT lang, w, t, t * 1000000 // w AS f_e6 FROM per),
+hist AS (SELECT lang, f_e6, COUNT(*) AS cnt FROM q GROUP BY 1, 2),
+cum AS (
+  SELECT lang, f_e6,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY f_e6
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS tot
+  FROM hist
+),
+p95 AS (
+  SELECT lang, MIN(f_e6) AS p95_fertility_e6
+  FROM cum WHERE cum * 20 >= tot * 19 GROUP BY lang
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS total_words,
+         CAST(SUM(t) AS BIGINT) AS total_tokens
+  FROM q GROUP BY lang
+)
+SELECT a.lang, a.n_docs, a.total_words, a.total_tokens,
+       ROUND(CAST(a.total_tokens AS DOUBLE) / CAST(a.total_words AS DOUBLE), 6) AS fertility,
+       p.p95_fertility_e6
+FROM agg a JOIN p95 p ON p.lang = a.lang
+ORDER BY a.lang
+"""
+
+QUERIES["text_tokenizer_fertility"] = text_tokenizer_fertility
+ORACLE["text_tokenizer_fertility"] = TEXT_FERTILITY_SQL

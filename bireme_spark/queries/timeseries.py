@@ -5029,3 +5029,87 @@ FROM mom
 
 QUERIES["orders_bass_diffusion"] = orders_bass_diffusion
 ORACLE["orders_bass_diffusion"] = _bass_sql()
+
+
+def events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) over daily event counts,
+    λ = 1/5 — the small-shift detector next to the CUSUM (orders_
+    cusum_control) and X̄-R (orders_xbar_r_chart) siblings: the chart
+    statistic z_t = (1−λ)z_{t-1} + λx_t with time-varying limits
+    μ ± 3σ_z(t), σ_z²(t) = σ²·(λ/(2−λ))·(1−(1−λ)^{2t}).
+
+    Engine-exact, fully integer: z in e6 units via the truncating
+    recurrence z_t = (4·z_{t-1} + x_t·10⁶) DIV 5 (z_1 = x_1·10⁶);
+    (1−λ)^{2t} in e12 units via g_t = g_{t-1}·16 DIV 25 (g_0 = 10¹²);
+    and with λ = 1/5 the 3σ rule collapses to 9·(λ/(2−λ)) = 1, so the
+    out-of-band flag is the EXACT integer compare
+    (z_t·n − S·10⁶)² > (n·SS − S²)·(10¹² − g_t) with DECIMAL(38,0)
+    products (BIGINT-overflow-safe at any SF; S = Σx, SS = Σx²).
+    No floating point anywhere — both engines run identical integer
+    folds (Spark: one driver fold over the day-count series, the
+    house state-sized-sequential rule; DuckDB: a recursive CTE).
+
+    Scale: raw stream → day grain in ONE map-side-combined agg; the
+    fold touches |days| integers."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [(r["day"], int(r["x"])) for r in daily]
+    n = len(xs)
+    S = sum(x for _, x in xs)
+    SS = sum(x * x for _, x in xs)
+    var_num = n * SS - S * S  # σ²·n²
+    rows = []
+    z = g = None
+    for t, (day, x) in enumerate(xs, start=1):
+        if t == 1:
+            z, g = x * 1_000_000, (10**12 * 16) // 25
+        else:
+            z = (4 * z + x * 1_000_000) // 5
+            g = g * 16 // 25
+        # (z/1e6 − S/n)² > σ²·(1 − g/1e12): multiply both sides by
+        # 1e12·n² → (z·n − S·1e6)² > var_num·(1e12 − g), exact ints
+        oob = (z * n - S * 1_000_000) ** 2 > var_num * (10**12 - g)
+        rows.append((t, day, x, z, 1 if oob else 0))
+    return spark.createDataFrame(
+        rows, "t int, day string, x bigint, z_e6 bigint, oob int"
+    ).orderBy("t")
+
+
+EVENTS_EWMA_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+ser AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS t, day, x FROM daily
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS ss
+  FROM ser
+),
+walk AS (
+  SELECT t, day, x, x * 1000000 AS z,
+         CAST(1000000000000 * 16 // 25 AS BIGINT) AS g
+  FROM ser WHERE t = 1
+  UNION ALL
+  SELECT s.t, s.day, s.x, (4 * w.z + s.x * 1000000) // 5, w.g * 16 // 25
+  FROM walk w JOIN ser s ON s.t = w.t + 1
+)
+SELECT t, day, x, z AS z_e6,
+       CASE WHEN CAST(z * n - s * 1000000 AS HUGEINT)
+                 * CAST(z * n - s * 1000000 AS HUGEINT)
+               > CAST(n * ss - s * s AS HUGEINT)
+                 * CAST(1000000000000 - g AS HUGEINT)
+            THEN 1 ELSE 0 END AS oob
+FROM walk, tot
+ORDER BY t
+"""
+
+QUERIES["events_ewma_chart"] = events_ewma_chart
+ORACLE["events_ewma_chart"] = EVENTS_EWMA_SQL

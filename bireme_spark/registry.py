@@ -71,6 +71,17 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # ~26 remaining slots re-confirm the stalest green rows.
         # Round-9 additions below rank after ALL of them so the
         # driver-record debt drains to 379/379 first.)
+        "ann_incremental_index",
+        "text_readability",
+        "text_tokenizer_fertility",
+        "corpus_boilerplate_spans",
+        "embedding_lof",
+        "events_stickiness_ratio",
+        "events_absorption_profile",
+        "events_ewma_chart",
+        "events_fdr_screen",
+        "lineitem_tail_dependence",
+        "cdc_checksum_repair_plan",
     }
 )
 

@@ -277,3 +277,31 @@ def test_partitioned_sink_read_prunes_partitions(spark):
         if "PartitionFilters" in ln and "PartitionFilters: []" not in ln
     ]
     assert pf and any("event_date" in ln for ln in pf), plan
+
+
+def test_roc_auc_cell_window_is_range_partitioned(spark):
+    """events_roc_auc must rank histogram cells through the two-pass
+    range-partitioned CDF (VERDICT r8 item 5): with CONTINUOUS scores
+    the cell table is ~row-sized, so the only legal UNPARTITIONED
+    window is the prefix over the tiny bucket-level aggregate (bc).
+    Any Window consuming the raw cell columns (c/cp) must carry a
+    bkt partition spec."""
+    import re
+
+    plan = _plan(spark, "events_roc_auc")
+    nodes = re.findall(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (.+)", plan)
+    assert nodes, f"no Window nodes in plan:\n{plan}"
+    for inputs, args in nodes:
+        is_cell_level = re.search(r"\bc#\d+L?\b|\bcp#\d+", inputs) is not None
+        # partition spec appears as `], [bkt#NN]` between the window
+        # function list and the ORDER BY list
+        has_bkt_partition = re.search(r"\], \[bkt#\d+L?\]", args) is not None
+        if is_cell_level:
+            assert has_bkt_partition, (
+                f"cell-level Window lacks bkt partition: {args}"
+            )
+        else:
+            # the bucket prefix runs over the bucket aggregate only
+            assert re.search(r"\bbc#\d+", inputs), (
+                f"unpartitioned Window over non-bucket input: {inputs}"
+            )

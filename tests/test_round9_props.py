@@ -1,0 +1,315 @@
+"""Round-9 absolute property tests (VERDICT r8 item 4): the
+order-statistic / quantile-position / sketch-estimate queries whose
+DuckDB oracle mirrors the Spark math get an INDEPENDENT ground truth
+here — recomputed in pandas/numpy straight off the parquet, bypassing
+both engines' SQL. The r8 lesson twice over (VaR/Hill DESC-cumulative
+boundary, r6 HLL 2^48): cross-engine hash agreement cannot see a
+shared bug; a quantile must also sit at the right RANK POSITION and a
+sketch estimate must track the exact count."""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+
+
+def _money(x) -> Decimal:
+    """CAST(double AS DECIMAL(12,2)) twin: exact-binary Decimal
+    rounded half-up at 2dp (Java BigDecimal semantics)."""
+    return Decimal(x).quantize(Decimal("0.01"), ROUND_HALF_UP)
+
+
+def _pq(sf_dir: str, table: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def test_winsorized_bounds_sit_at_exact_rank_positions(spark, sf_dir):
+    """p05/p95 must be the ceil(0.05n)/ceil(0.95n)-th order statistics
+    of the 2dp prices per flag, and both means must equal the clipped/
+    core means recomputed from the raw rows."""
+    from bireme_spark.queries.audit import lineitem_winsorized_stats
+
+    rows = {r.l_returnflag: r for r in lineitem_winsorized_stats(spark, sf_dir).collect()}
+    li = _pq(sf_dir, "lineitem")
+    for flag, grp in li.groupby("l_returnflag"):
+        prices = sorted(_money(v) for v in grp["l_extendedprice"])
+        n = len(prices)
+        p05 = prices[_ceil_div(5 * n, 100) - 1]
+        p95 = prices[_ceil_div(95 * n, 100) - 1]
+        r = rows[flag]
+        assert r.n_items == n
+        assert Decimal(str(r.p05)) == p05 and Decimal(str(r.p95)) == p95, flag
+        clipped = [min(max(p, p05), p95) for p in prices]
+        core = [p for p in prices if p05 <= p <= p95]
+        assert math.isclose(r.winsorized_mean, float(sum(clipped)) / n, rel_tol=1e-12)
+        assert math.isclose(r.trimmed_mean, float(sum(core)) / len(core), rel_tol=1e-12)
+
+
+def test_weighted_median_satisfies_weight_split_property(spark, sf_dir):
+    """Definition-level check, no ranking mirror: the emitted price wm
+    must satisfy 2·Σw[price<wm] < W ≤ 2·Σw[price≤wm]."""
+    from bireme_spark.queries.relational import lineitem_weighted_median
+
+    out = {r.l_returnflag: r for r in lineitem_weighted_median(spark, sf_dir).collect()}
+    li = _pq(sf_dir, "lineitem")
+    for flag, grp in li.groupby("l_returnflag"):
+        qty = [_money(q) for q in grp["l_quantity"]]
+        up = [
+            (_money(p) / q).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            for p, q in zip(grp["l_extendedprice"], qty)
+        ]
+        W = sum(qty)
+        r = out[flag]
+        wm = Decimal(str(r.weighted_median_price))
+        w_below = sum(q for u, q in zip(up, qty) if u < wm)
+        w_at = sum(q for u, q in zip(up, qty) if u <= wm)
+        assert float(W) == r.total_quantity
+        assert 2 * w_below < W <= 2 * w_at, flag
+
+
+def test_value_percentiles_match_numpy_order_statistics(spark, sf_dir):
+    import numpy as np
+
+    from bireme_spark.queries.events import events_value_percentiles
+
+    rows = {r.event_type: r for r in events_value_percentiles(spark, sf_dir).collect()}
+    ev = _pq(sf_dir, "events")
+    for et, grp in ev.groupby("event_type"):
+        vals = grp["value"].to_numpy()
+        r = rows[et]
+        assert r.n_events == len(vals)
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            truth = float(np.quantile(vals, q, method="linear"))
+            assert abs(getattr(r, col) - truth) <= 1.5e-6, (et, col)
+
+
+def test_rfm_segment_cells_match_full_pandas_recompute(spark, sf_dir):
+    """Quintile boundaries at exact ceil(i·n/5) rank positions, then a
+    complete independent re-segmentation — cell counts must match
+    exactly, averages to 1e-9."""
+    from bireme_spark.queries.relational import customers_rfm_segmentation
+
+    o = _pq(sf_dir, "orders")
+    o["price"] = [_money(v) for v in o["o_totalprice"]]
+    day = o["o_orderdate"].dt.normalize()
+    anchor = day.max()
+    cust = pd.DataFrame(
+        {
+            "d_last": day.groupby(o["o_custkey"]).max(),
+            "f_val": o.groupby("o_custkey").size(),
+            "m_val": o.groupby("o_custkey")["price"].agg(lambda s: sum(s, Decimal(0))),
+        }
+    )
+    cust["r_val"] = (anchor - cust["d_last"]).dt.days
+    n = len(cust)
+
+    def bounds(vals):
+        s = sorted(vals)
+        return [s[_ceil_div(i * n, 5) - 1] for i in (1, 2, 3, 4)]
+
+    def score(v, bs):
+        return 1 + sum(1 for b in bs if v > b)
+
+    rb, fb, mb = bounds(cust["r_val"]), bounds(cust["f_val"]), bounds(cust["m_val"])
+    cells: dict[tuple, list] = {}
+    for _, c in cust.iterrows():
+        key = (score(c.r_val, rb), score(c.f_val, fb), score(c.m_val, mb))
+        cells.setdefault(key, [0, Decimal(0)])
+        cells[key][0] += 1
+        cells[key][1] += c.m_val
+
+    rows = customers_rfm_segmentation(spark, sf_dir).collect()
+    got = {(r.r_score, r.f_score, r.m_score): r for r in rows}
+    assert set(got) == set(cells)
+    for key, (cnt, msum) in cells.items():
+        assert got[key].n_customers == cnt, key
+        assert math.isclose(got[key].avg_monetary, float(msum) / cnt, rel_tol=1e-12)
+
+
+def test_abc_classes_match_cumulative_share_recompute(spark, sf_dir):
+    from bireme_spark.queries.relational import lineitem_abc_classification
+
+    li = _pq(sf_dir, "lineitem")
+    li["price"] = [_money(v) for v in li["l_extendedprice"]]
+    rev = li.groupby("l_partkey")["price"].agg(lambda s: sum(s, Decimal(0)))
+    parts = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev, Decimal(0))
+    agg: dict[str, list] = {}
+    before = Decimal(0)
+    for pk, r in parts:
+        share = float(before) / float(total)
+        cls = "A" if share < 0.80 else ("B" if share < 0.95 else "C")
+        agg.setdefault(cls, [0, Decimal(0)])
+        agg[cls][0] += 1
+        agg[cls][1] += r
+        before += r
+    got = {r.abc_class: r for r in lineitem_abc_classification(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for cls, (cnt, rsum) in agg.items():
+        assert got[cls].n_parts == cnt, cls
+        assert math.isclose(got[cls].revenue, float(rsum), rel_tol=1e-12)
+
+
+def test_lorenz_deciles_match_rank_decile_recompute(spark, sf_dir):
+    from bireme_spark.queries.relational import customers_lorenz_deciles
+
+    o = _pq(sf_dir, "orders")
+    o["price"] = [_money(v) for v in o["o_totalprice"]]
+    rev = o.groupby("o_custkey")["price"].agg(lambda s: sum(s, Decimal(0)))
+    ranked = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    total = sum(rev, Decimal(0))
+    dec: dict[int, list] = {}
+    for i, (ck, r) in enumerate(ranked):
+        d = (i * 10) // n + 1
+        dec.setdefault(d, [0, Decimal(0)])
+        dec[d][0] += 1
+        dec[d][1] += r
+    got = {r.decile: r for r in customers_lorenz_deciles(spark, sf_dir).collect()}
+    assert set(got) == set(dec)
+    cum = Decimal(0)
+    for d in sorted(dec):
+        cnt, rsum = dec[d]
+        cum += rsum
+        assert got[d].n_customers == cnt
+        assert abs(got[d].share - float(rsum) / float(total)) <= 6e-7
+        assert abs(got[d].cum_share - float(cum) / float(total)) <= 6e-7
+    assert got[max(dec)].cum_share == 1.0
+
+
+def test_mad_anomalies_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from bireme_spark.queries.timeseries import events_anomaly_mad
+
+    rows = {r.event_type: r for r in events_anomaly_mad(spark, sf_dir).collect()}
+    ev = _pq(sf_dir, "events")
+    for et, grp in ev.groupby("event_type"):
+        vals = grp["value"].to_numpy()
+        med = float(np.quantile(vals, 0.5, method="linear"))
+        mad = float(np.quantile(abs(vals - med), 0.5, method="linear"))
+        r = rows[et]
+        assert abs(r.med - med) <= 1.5e-6 and abs(r.mad - mad) <= 1.5e-6, et
+        assert r.n_anomalies == int((abs(vals - med) > 3 * 1.4826 * mad).sum()), et
+
+
+def test_bottomk_estimates_track_exact_distincts(spark, sf_dir):
+    """KMV k=32 → RSE ≈ 1/√30 ≈ 18%: every estimate within 3σ of the
+    exact count (exact-equal on the small-set linear branch), and the
+    merged ALL sketch covers at least the largest single type."""
+    from bireme_spark.queries.events import events_bottomk_sketch
+
+    rows = {r.event_type: r for r in events_bottomk_sketch(spark, sf_dir).collect()}
+    assert "ALL_MERGED" in rows
+    per_type = {k: v for k, v in rows.items() if k != "ALL_MERGED"}
+    for et, r in rows.items():
+        assert r.exact_distinct > 0
+        if r.exact_distinct < 32:
+            assert r.kmv_estimate == r.exact_distinct, et
+        else:
+            rel = abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct
+            assert rel < 0.55, f"{et}: {r.kmv_estimate} vs {r.exact_distinct}"
+    assert rows["ALL_MERGED"].exact_distinct >= max(
+        r.exact_distinct for r in per_type.values()
+    )
+
+
+def test_gini_stump_ppm_tracks_float_impurity(spark, sf_dir):
+    """The two-stage integer-ppm Gini must sit within 3ppm of the
+    float-path weighted impurity at EVERY split, and the rank-1 split
+    must be float-optimal (within quantization)."""
+    from bireme_spark.queries.events import events_gini_stump
+
+    ev = _pq(sf_dir, "events")
+    hrs = ((ev["ts"].astype("int64") // 10**6) // 3600) % 24
+    pos = (ev["event_type"] == "purchase").astype(int)
+    cells = pd.DataFrame({"h": hrs, "y": pos}).groupby("h").agg(n=("y", "size"), p=("y", "sum"))
+    cells = cells.sort_index()
+    nt, pt = int(cells["n"].sum()), int(cells["p"].sum())
+    truth = {}
+    nl = pl = 0
+    for h, row in cells.iterrows():
+        nl += int(row["n"])
+        pl += int(row["p"])
+        if h >= 23:
+            continue
+        nr, pr = nt - nl, pt - pl
+        gl = 2 * pl * (nl - pl) / (nl * nl)
+        gr = 2 * pr * (nr - pr) / (nr * nr)
+        truth[h] = (gl * nl + gr * nr) / nt * 1e6
+    rows = {r.split_hour: r for r in events_gini_stump(spark, sf_dir).collect()}
+    assert set(rows) == set(truth)
+    for h, ppm in truth.items():
+        assert abs(rows[h].weighted_gini_ppm - ppm) <= 3, h
+    best = min(rows.values(), key=lambda r: r.rank)
+    assert truth[best.split_hour] <= min(truth.values()) + 5, "rank-1 not float-optimal"
+
+
+def test_skyline_is_the_exact_pareto_front(spark, sf_dir):
+    """Planted truth by quadratic scan: emitted partkeys == the exact
+    non-dominated set on (min price, max size)."""
+    from bireme_spark.queries.relational import parts_skyline_pareto
+
+    p = _pq(sf_dir, "part")
+    pts = [(_money(r.p_retailprice), int(r.p_size), int(r.p_partkey)) for r in p.itertuples()]
+    sky = set()
+    for price, size, pk in pts:
+        dominated = any(
+            (q_price <= price and q_size >= size and (q_price < price or q_size > size))
+            for q_price, q_size, _ in pts
+        )
+        if not dominated:
+            sky.add(pk)
+    got = {r.p_partkey for r in parts_skyline_pareto(spark, sf_dir).collect()}
+    assert got == sky
+
+
+def test_running_median_matches_prefix_order_statistics(spark, sf_dir):
+    from bireme_spark.queries.timeseries import orders_running_median
+
+    o = _pq(sf_dir, "orders")
+    o["price"] = [_money(v) for v in o["o_totalprice"]]
+    mm = (o["o_orderdate"].dt.year - 1995) * 12 + o["o_orderdate"].dt.month
+    monthly = o.groupby(mm)["price"].agg(lambda s: sum(s, Decimal(0)))
+    cents = [int(v * 100) for _, v in sorted(monthly.items())]
+    rows = orders_running_median(spark, sf_dir).collect()
+    assert len(rows) == len(cents)
+    for r in rows:
+        t = r.t
+        prefix = sorted(cents[:t])
+        if t % 2 == 1:
+            med_x2 = prefix[(t - 1) // 2] * 2
+        else:
+            med_x2 = prefix[t // 2 - 1] + prefix[t // 2]
+        assert r.revenue_usd == cents[t - 1] / 100
+        assert r.running_median_usd == med_x2 / 200, t
+
+
+def test_nation_gini_matches_rank_formula_recompute(spark, sf_dir):
+    from bireme_spark.queries.relational import nation_revenue_gini
+
+    o = _pq(sf_dir, "orders")
+    c = _pq(sf_dir, "customer")
+    n = _pq(sf_dir, "nation")
+    o["price"] = [_money(v) for v in o["o_totalprice"]]
+    rev = o.groupby("o_custkey")["price"].agg(lambda s: sum(s, Decimal(0))).reset_index()
+    loc = rev.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    got = {r.nation: r for r in nation_revenue_gini(spark, sf_dir).collect()}
+    for name, grp in loc.groupby("n_name"):
+        xs = sorted(zip(grp["price"], grp["o_custkey"]))
+        nn = len(xs)
+        total = sum((x for x, _ in xs), Decimal(0))
+        iw = sum(((i + 1) * x for i, (x, _) in enumerate(xs)), Decimal(0))
+        gini = 2.0 * float(iw) / (nn * float(total)) - (nn + 1.0) / nn
+        r = got[name]
+        assert r.n_customers == nn
+        assert math.isclose(r.total_rev, float(total), rel_tol=1e-12)
+        assert abs(r.gini - gini) <= 1.5e-6, name
