@@ -255,6 +255,8 @@ HEADLINE = [
     "events_fdr_screen",
     "lineitem_tail_dependence",
     "cdc_checksum_repair_plan",
+    "events_peak_concurrency",
+    "lineitem_rdd_discount",
 ]
 
 

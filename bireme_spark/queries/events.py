@@ -3902,3 +3902,102 @@ ORDER BY event_type, hr
 
 QUERIES["events_fdr_screen"] = events_fdr_screen
 ORACLE["events_fdr_screen"] = EVENTS_FDR_SQL
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning
+    number behind connection pools and autoscaling floors: gap-based
+    sessions (30 min, the events_sessionize cut) become ±1 boundary
+    events (half-open [start, end): ends apply BEFORE starts at the
+    same µs), and the maximum of the running sum within each day is
+    the day's peak.
+
+    Scale design: the running sum over ALL boundaries is the textbook
+    single-task global window — instead it runs as the house two-pass
+    range partition (the events_roc_auc pattern): per-HOUR net deltas
+    prefix-sum on the tiny hour table (broadcast back), and the
+    within-hour cumulative window partitions by hour. Exact at every
+    boundary, no global sort of the boundary stream.
+
+    Engine-exact: all integers; boundary order (t, delta, user) is
+    total enough — rows tied on (t, delta) are interchangeable for
+    the within-group MAX of partial sums."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", 1800, tiebreak_cols=("event_id",))
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("s_us"),
+        F.max(F.expr("unix_micros(ts)")).alias("e_us"),
+    )
+    bounds = sess.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(sess.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta")))
+    b = bounds.withColumn("hr", F.expr("t DIV 3600000000"))
+    whr = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("hr")
+        .agg(F.sum("delta").alias("net"))
+        .select("hr", F.coalesce(F.sum("net").over(whr), F.lit(0)).alias("off"))
+    )
+    wrun = Window.partitionBy("hr").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = b.join(F.broadcast(offsets), "hr").select(
+        "t",
+        "delta",
+        (F.col("off") + F.sum("delta").over(wrun)).alias("running"),
+    )
+    day = F.expr("date_format(timestamp_micros(t), 'yyyy-MM-dd')")
+    return (
+        run.groupBy(day.alias("day"))
+        .agg(
+            F.max("running").cast("bigint").alias("peak_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sessions_started"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_PEAK_CONCURRENCY_SQL = """
+WITH numbered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM numbered
+),
+sess AS (
+  SELECT user_id, session_id,
+         MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+  FROM sessioned GROUP BY 1, 2
+),
+bounds AS (
+  SELECT s_us AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e_us AS t, -1 AS delta FROM sess
+),
+run AS (
+  SELECT t, delta,
+         SUM(delta) OVER (ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM bounds
+)
+SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+       CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions_started
+FROM run GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_peak_concurrency"] = events_peak_concurrency
+ORACLE["events_peak_concurrency"] = EVENTS_PEAK_CONCURRENCY_SQL

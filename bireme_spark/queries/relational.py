@@ -5714,3 +5714,114 @@ ORDER BY q_pct
 
 QUERIES["lineitem_tail_dependence"] = lineitem_tail_dependence
 ORACLE["lineitem_tail_dependence"] = LINEITEM_TAILDEP_SQL
+
+
+def lineitem_rdd_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate at the 5% discount
+    cutoff (Thistlethwaite & Campbell 1960; the causal design next to
+    DiD/ITS/CUPED in the suite): does crossing the discount threshold
+    JUMP ordered quantity, beyond the smooth trend? Local linear fits
+    on both sides of c = 0.05 within bandwidth h = 0.03 (left
+    window [0.02, 0.05), right [0.05, 0.08]), centered running
+    variable x = discount − c; the RDD estimate is the intercept gap
+    ŷ_R(c) − ŷ_L(c).
+
+    Engine-exact: every sufficient statistic (n, Σx, Σy, Σxy, Σx²) is
+    an exact DECIMAL sum (x as DECIMAL(12,6) — the raw column is 2dp
+    so products are exactly representable); slopes/intercepts are
+    identical IEEE expressions over the exact sums, rounded 6dp.
+
+    Scale: ONE conditional scan aggregation (map-side combined), a
+    1-row model after."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount").cast("decimal(12,6)") - F.lit(0.05).cast("decimal(12,6)"))
+        .cast("decimal(12,6)")
+        .alias("x"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("y"),
+    ).where((F.col("x") >= -0.03) & (F.col("x") <= 0.03))
+
+    def side(cond, p):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{p}"),
+            F.sum(F.when(cond, F.col("x"))).alias(f"sx_{p}"),
+            F.sum(F.when(cond, F.col("y"))).alias(f"sy_{p}"),
+            F.sum(F.when(cond, F.col("x") * F.col("y"))).alias(f"sxy_{p}"),
+            F.sum(F.when(cond, F.col("x") * F.col("x"))).alias(f"sxx_{p}"),
+        ]
+
+    agg = li.agg(*side(F.col("x") < 0, "l"), *side(F.col("x") >= 0, "r"))
+
+    def fit(p):
+        n = F.col(f"n_{p}").cast("double")
+        sx = F.col(f"sx_{p}").cast("double")
+        sy = F.col(f"sy_{p}").cast("double")
+        sxy = F.col(f"sxy_{p}").cast("double")
+        sxx = F.col(f"sxx_{p}").cast("double")
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return slope, intercept
+
+    sl, il = fit("l")
+    sr, ir = fit("r")
+    return agg.select(
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        F.round(il, 6).alias("intercept_left"),
+        F.round(ir, 6).alias("intercept_right"),
+        F.round(sl, 6).alias("slope_left"),
+        F.round(sr, 6).alias("slope_right"),
+        F.round(ir - il, 6).alias("rdd_jump"),
+    )
+
+
+LINEITEM_RDD_SQL = """
+WITH li AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(12,6))
+              - CAST(0.05 AS DECIMAL(12,6)) AS DECIMAL(12,6)) AS x,
+         CAST(l_quantity AS DECIMAL(12,2)) AS y
+  FROM lineitem
+  WHERE CAST(l_discount AS DECIMAL(12,6)) - CAST(0.05 AS DECIMAL(12,6))
+          BETWEEN -0.03 AND 0.03
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+    SUM(CASE WHEN x < 0 THEN x END) AS sx_l,
+    SUM(CASE WHEN x < 0 THEN y END) AS sy_l,
+    SUM(CASE WHEN x < 0 THEN x * y END) AS sxy_l,
+    SUM(CASE WHEN x < 0 THEN x * x END) AS sxx_l,
+    CAST(SUM(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+    SUM(CASE WHEN x >= 0 THEN x END) AS sx_r,
+    SUM(CASE WHEN x >= 0 THEN y END) AS sy_r,
+    SUM(CASE WHEN x >= 0 THEN x * y END) AS sxy_r,
+    SUM(CASE WHEN x >= 0 THEN x * x END) AS sxx_r
+  FROM li
+)
+SELECT n_l AS n_left, n_r AS n_right,
+  ROUND((CAST(sy_l AS DOUBLE)
+         - ((CAST(n_l AS DOUBLE) * CAST(sxy_l AS DOUBLE) - CAST(sx_l AS DOUBLE) * CAST(sy_l AS DOUBLE))
+            / (CAST(n_l AS DOUBLE) * CAST(sxx_l AS DOUBLE) - CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE)))
+           * CAST(sx_l AS DOUBLE)) / CAST(n_l AS DOUBLE), 6) AS intercept_left,
+  ROUND((CAST(sy_r AS DOUBLE)
+         - ((CAST(n_r AS DOUBLE) * CAST(sxy_r AS DOUBLE) - CAST(sx_r AS DOUBLE) * CAST(sy_r AS DOUBLE))
+            / (CAST(n_r AS DOUBLE) * CAST(sxx_r AS DOUBLE) - CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE)))
+           * CAST(sx_r AS DOUBLE)) / CAST(n_r AS DOUBLE), 6) AS intercept_right,
+  ROUND((CAST(n_l AS DOUBLE) * CAST(sxy_l AS DOUBLE) - CAST(sx_l AS DOUBLE) * CAST(sy_l AS DOUBLE))
+        / (CAST(n_l AS DOUBLE) * CAST(sxx_l AS DOUBLE) - CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE)), 6)
+    AS slope_left,
+  ROUND((CAST(n_r AS DOUBLE) * CAST(sxy_r AS DOUBLE) - CAST(sx_r AS DOUBLE) * CAST(sy_r AS DOUBLE))
+        / (CAST(n_r AS DOUBLE) * CAST(sxx_r AS DOUBLE) - CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE)), 6)
+    AS slope_right,
+  ROUND(((CAST(sy_r AS DOUBLE)
+          - ((CAST(n_r AS DOUBLE) * CAST(sxy_r AS DOUBLE) - CAST(sx_r AS DOUBLE) * CAST(sy_r AS DOUBLE))
+             / (CAST(n_r AS DOUBLE) * CAST(sxx_r AS DOUBLE) - CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE)))
+            * CAST(sx_r AS DOUBLE)) / CAST(n_r AS DOUBLE))
+        - ((CAST(sy_l AS DOUBLE)
+          - ((CAST(n_l AS DOUBLE) * CAST(sxy_l AS DOUBLE) - CAST(sx_l AS DOUBLE) * CAST(sy_l AS DOUBLE))
+             / (CAST(n_l AS DOUBLE) * CAST(sxx_l AS DOUBLE) - CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE)))
+            * CAST(sx_l AS DOUBLE)) / CAST(n_l AS DOUBLE)), 6) AS rdd_jump
+FROM agg
+"""
+
+QUERIES["lineitem_rdd_discount"] = lineitem_rdd_discount
+ORACLE["lineitem_rdd_discount"] = LINEITEM_RDD_SQL

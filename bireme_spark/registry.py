@@ -82,6 +82,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_fdr_screen",
         "lineitem_tail_dependence",
         "cdc_checksum_repair_plan",
+        "events_peak_concurrency",
+        "lineitem_rdd_discount",
     }
 )
 
