@@ -257,6 +257,7 @@ HEADLINE = [
     "cdc_checksum_repair_plan",
     "events_peak_concurrency",
     "lineitem_rdd_discount",
+    "cdc_watermark_alignment",
 ]
 
 

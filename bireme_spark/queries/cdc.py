@@ -13,7 +13,7 @@ Changelog spec (mirrors a Maxwell pipeline feeding bireme):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -3348,3 +3348,77 @@ FROM j ORDER BY bucket
 
 QUERIES["cdc_checksum_repair_plan"] = cdc_checksum_repair_plan
 ORACLE["cdc_checksum_repair_plan"] = CDC_REPAIR_PLAN_SQL
+
+
+def cdc_watermark_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source watermark alignment — the controller view a
+    multi-pipeline sync (one bireme PipeLine per source partition,
+    `PipeLine.java` stateMachine) needs before advancing any GLOBAL
+    consistency point: per source, the high watermark (max event
+    time), its lag behind the fleet-max, and a stalled flag; the
+    global low watermark (min over sources) is what a downstream
+    snapshot/temporal join may safely read to. Sources are the
+    o_orderkey % 3 slices with a planted stall: source 2's feed stops
+    at 1998-01-01 (a dead partition consumer), so it pins the global
+    low watermark and flags.
+
+    Engine-exact: watermarks are DATE max/min (exact); lag is integer
+    days; the stall threshold (lag > 180 days) is an integer compare.
+
+    Scale: ONE map-side-combined (source) aggregation over the
+    event stream; the fleet max / global min are a window over the
+    |sources|-row result."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 3).cast("int").alias("source_id"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    feed = o.where(
+        (F.col("source_id") != 2) | (F.col("d") < F.lit("1998-01-01").cast("date"))
+    )
+    per = feed.groupBy("source_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("d").alias("high_watermark"),
+    )
+    w = Window.partitionBy()
+    out = (
+        per.withColumn("fleet_max", F.max("high_watermark").over(w))
+        .withColumn("global_low_watermark", F.min("high_watermark").over(w))
+        .select(
+            "source_id",
+            "n_events",
+            F.date_format("high_watermark", "yyyy-MM-dd").alias("high_watermark"),
+            F.datediff("fleet_max", "high_watermark").cast("int").alias("lag_days"),
+            (F.datediff("fleet_max", "high_watermark") > 180).cast("int").alias("stalled"),
+            F.date_format("global_low_watermark", "yyyy-MM-dd").alias(
+                "global_low_watermark"
+            ),
+        )
+        .orderBy("source_id")
+    )
+    return out
+
+
+CDC_WATERMARK_ALIGNMENT_SQL = """
+WITH feed AS (
+  SELECT CAST(o_orderkey % 3 AS INTEGER) AS source_id,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+  WHERE o_orderkey % 3 <> 2 OR CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+),
+per AS (
+  SELECT source_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(d) AS high_watermark
+  FROM feed GROUP BY 1
+)
+SELECT source_id, n_events,
+       strftime(high_watermark, '%Y-%m-%d') AS high_watermark,
+       CAST(date_diff('day', high_watermark, MAX(high_watermark) OVER ()) AS INTEGER)
+         AS lag_days,
+       CASE WHEN date_diff('day', high_watermark, MAX(high_watermark) OVER ()) > 180
+            THEN 1 ELSE 0 END AS stalled,
+       strftime(MIN(high_watermark) OVER (), '%Y-%m-%d') AS global_low_watermark
+FROM per ORDER BY source_id
+"""
+
+QUERIES["cdc_watermark_alignment"] = cdc_watermark_alignment
+ORACLE["cdc_watermark_alignment"] = CDC_WATERMARK_ALIGNMENT_SQL

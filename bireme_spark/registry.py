@@ -84,6 +84,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "cdc_checksum_repair_plan",
         "events_peak_concurrency",
         "lineitem_rdd_discount",
+        "cdc_watermark_alignment",
     }
 )
 
