@@ -2192,9 +2192,17 @@ def embedding_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("embedding").alias("v"),
-            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)).alias(
-                "nrm"
-            ),
+            # per-element double cast BEFORE the product (operators/
+            # ann._dot discipline): float*float products diverge from
+            # the oracle's double math in the low bits, and at 250k
+            # pairs some cosines sit within 1e-8 of an e6 boundary
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ).alias("nrm"),
         )
     )
     a = s.select(
@@ -2209,7 +2217,8 @@ def embedding_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(1000000)
             - F.expr(
-                "CAST(ROUND(aggregate(zip_with(pv, ov, (x, y) -> x * y), 0.0D,"
+                "CAST(ROUND(aggregate(zip_with(pv, ov,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"
                 " (acc, z) -> acc + z) / (pn * on_) * 1000000, 0) AS BIGINT)"
             )
         ).alias("d_e6"),
@@ -2235,15 +2244,14 @@ def embedding_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "pid",
-            # per-neighbor lrd ratio as an exact e6 BIGINT (single
-            # ROUND — the ANN cosine discipline); the k-fold mean is
-            # a truncating integer DIV: Σ(ratio_e6)/k lands on exact
-            # .5e-6 ties every 8th value, where ROUND(double, 6)
-            # splits engines (the r5 tie-semantics rule)
+            # per-neighbor lrd ratio as an exact e6 BIGINT via pure
+            # integer truncating DIV — an integer/integer ratio CAN
+            # land exactly on .5e-6 (both ROUND(double) tie semantics
+            # and the Σ/k mean split engines there; sf0.1 hit both),
+            # so no doubles anywhere in the LOF fold
             F.expr(
-                "CAST(ROUND(CAST(sum_reach AS DOUBLE)"
-                " / CAST(GREATEST(o_sr, 1) AS DOUBLE) * 1000000, 0) AS BIGINT)"
-            ).alias("ratio_e6"),
+                "sum_reach * 1000000 DIV GREATEST(o_sr, 1)"
+            ).cast("bigint").alias("ratio_e6"),
         )
         .groupBy("pid")
         .agg(F.expr(f"SUM(ratio_e6) DIV {k}").cast("bigint").alias("lof_ppm"))
@@ -2294,9 +2302,8 @@ reach AS (
 sr AS (SELECT pid, GREATEST(SUM(reach), 1) AS sum_reach FROM reach GROUP BY pid),
 ratios AS (
   SELECT r.pid,
-         CAST(ROUND(CAST(p.sum_reach AS DOUBLE)
-                    / CAST(GREATEST(o.sum_reach, 1) AS DOUBLE) * 1000000, 0)
-              AS BIGINT) AS ratio_e6
+         CAST(p.sum_reach * 1000000 // GREATEST(o.sum_reach, 1) AS BIGINT)
+           AS ratio_e6
   FROM reach r
   JOIN sr p ON p.pid = r.pid
   JOIN sr o ON o.pid = r.oid
