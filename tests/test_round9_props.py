@@ -313,3 +313,116 @@ def test_nation_gini_matches_rank_formula_recompute(spark, sf_dir):
         assert r.n_customers == nn
         assert math.isclose(r.total_rev, float(total), rel_tol=1e-12)
         assert abs(r.gini - gini) <= 1.5e-6, name
+
+
+def test_perplexity_bands_sit_at_tercile_positions(spark, sf_dir):
+    """Quantile-POSITION guarantee the hash gate cannot see: b1/b2
+    are the min scores whose inclusive CDF reaches 1/3 and 2/3, so
+    head ≥ ⌈n/3⌉ and head+middle ≥ ⌈2n/3⌉ exactly; bands partition
+    every source; kept chars < total chars (tail non-empty on the
+    synthetic corpus)."""
+    from bireme_spark.queries.corpus import corpus_perplexity_filter
+
+    rows = corpus_perplexity_filter(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    head = sum(r.n_head for r in rows)
+    mid = sum(r.n_middle for r in rows)
+    tail = sum(r.n_tail for r in rows)
+    assert head + mid + tail == n
+    assert head >= _ceil_div(n, 3), (head, n)
+    assert head + mid >= _ceil_div(2 * n, 3), (head, mid, n)
+    assert tail > 0 and head + mid < n
+    for r in rows:
+        assert r.n_head + r.n_middle + r.n_tail == r.n_docs
+
+
+def test_decile_lift_matches_full_pandas_recompute(spark, sf_dir):
+    """Independent recompute of the WHOLE gains table: labels from
+    raw parquet, descending histogram-CDF deciles, integer-ppm
+    capture/lift — every emitted cell must match exactly."""
+    from bireme_spark.queries.relational import customers_decile_lift
+
+    c = _pq(sf_dir, "customer")
+    o = _pq(sf_dir, "orders")
+    buyers = set(o["o_custkey"])
+    lab = [(bal, 1 if ck in buyers else 0) for ck, bal in zip(c["c_custkey"], c["c_acctbal"])]
+    n = len(lab)
+    hist: dict[float, int] = {}
+    for bal, _ in lab:
+        hist[bal] = hist.get(bal, 0) + 1
+    cum = 0
+    decile_of: dict[float, int] = {}
+    for bal in sorted(hist, reverse=True):
+        cum += hist[bal]
+        decile_of[bal] = ((cum - 1) * 10) // n + 1
+    per: dict[int, list] = {}
+    for bal, buyer in lab:
+        d = decile_of[bal]
+        per.setdefault(d, [0, 0])
+        per[d][0] += 1
+        per[d][1] += buyer
+    B = sum(v[1] for v in per.values())
+    got = {r.decile: r for r in customers_decile_lift(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    cumb = 0
+    for d in sorted(per):
+        cnt, nb = per[d]
+        cumb += nb
+        r = got[d]
+        assert (r.n_customers, r.n_buyers) == (cnt, nb), d
+        assert r.cum_capture_ppm == cumb * 1_000_000 // B, d
+        assert r.lift_ppm == nb * n * 1_000_000 // (B * cnt), d
+
+
+def test_cms_estimates_dominate_exact_counts(spark, sf_dir):
+    """The Count-Min one-sided guarantee, checked against RAW-data
+    counts (not the query's own exact column): estimate ≥ true count
+    for every reported heavy hitter, overcount algebra consistent,
+    and the reported top-20 really are the top-20 users."""
+    from bireme_spark.queries.events import events_cms_heavy_hitters
+
+    ev = _pq(sf_dir, "events")
+    true_counts = ev.groupby("user_id").size()
+    rows = events_cms_heavy_hitters(spark, sf_dir).collect()
+    k = min(20, len(true_counts))  # sf0.001 has <20 distinct users
+    assert len(rows) == k
+    for r in rows:
+        t = int(true_counts[r.user_id])
+        assert r.exact_count == t, r.user_id
+        assert r.cms_estimate >= t, r.user_id
+        assert r.overcount == r.cms_estimate - r.exact_count
+    top20 = set(
+        true_counts.sort_values(ascending=False)
+        .head(k)
+        .index
+    )
+    reported = {r.user_id for r in rows}
+    # ties at the 20th count can legally swap membership: compare
+    # count MULTISETS, not ids
+    got_counts = sorted(r.exact_count for r in rows)
+    want_counts = sorted(int(true_counts[u]) for u in top20)
+    assert got_counts == want_counts
+
+
+def test_gumbel_fit_matches_numpy_moments(spark, sf_dir):
+    import numpy as np
+
+    from bireme_spark.queries.timeseries import events_extreme_value_gumbel
+
+    ev = _pq(sf_dir, "events")
+    hr = ev["ts"].dt.floor("h")
+    hourly = ev.groupby(hr).size()
+    daily_max = hourly.groupby(hourly.index.date).max().to_numpy().astype(float)
+    k = len(daily_max)
+    mean = daily_max.sum() / k
+    var = (np.sum(daily_max**2) - daily_max.sum() * mean) / (k - 1)
+    beta = math.sqrt(var) * math.sqrt(6) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    rl = mu - beta * math.log(-math.log(1 - 1 / 30))
+    r = events_extreme_value_gumbel(spark, sf_dir).collect()[0]
+    assert r.n_blocks == k
+    assert abs(r.mean_max - mean) <= 1e-5
+    assert abs(r.gumbel_mu - mu) <= 1e-4
+    assert abs(r.gumbel_beta - beta) <= 1e-4
+    assert abs(r.return_level_30d - rl) <= 1e-3
+    assert r.return_level_30d > r.mean_max  # a 30-block level exceeds the mean max
