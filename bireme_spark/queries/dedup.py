@@ -781,8 +781,12 @@ def corpus_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     df aggregation is the only span-keyed shuffle; the hot-span set
     (df-filtered, tiny by Zipf) joins back to the occurrence stream
     and AQE picks the broadcast side at runtime."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("ws")
+    # the documents parquet arrives as ONE partition — spread before
+    # the per-row 5-gram transform (A/B at sf0.1: 2.85 vs 2.19s)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
     )
     spans = d.select(
         "doc_id",

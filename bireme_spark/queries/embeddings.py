@@ -2186,8 +2186,12 @@ def embedding_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride = e.agg(
         F.greatest(F.lit(1), F.expr("count(1) DIV 500")).alias("stride")
     )
+    # spread the one-partition parquet scan so the pair scoring (which
+    # inherits this side's partitioning through the broadcast NL join)
+    # runs wide (A/B at sf0.1: 2.56 vs 1.63s)
     s = (
-        e.join(F.broadcast(stride))
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(stride))
         .where(F.col("vec_id") % F.col("stride") == 0)
         .select(
             "vec_id",
