@@ -258,6 +258,7 @@ HEADLINE = [
     "events_peak_concurrency",
     "lineitem_rdd_discount",
     "cdc_watermark_alignment",
+    "tokenizer_unigram_train",
 ]
 
 

@@ -1470,3 +1470,240 @@ ORDER BY vocab_k
 
 QUERIES["tokenizer_vocab_pruning"] = tokenizer_vocab_pruning
 ORACLE["tokenizer_vocab_pruning"] = _vocab_pruning_sql()
+
+
+_UNI_L = 10  # word-length cap for the segmentation DP (corpus max: 8)
+_UNI_PMAX = 4  # max piece length
+_UNI_TOP = 48  # frequency-ranked vocab size (single chars always kept)
+
+
+def tokenizer_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018; the SentencePiece
+    family — the OTHER major subword algorithm next to the suite's
+    BPE trainer): candidate pieces are all substrings (len ≤ 4) of
+    the corpus words, the vocab keeps the top-48 by occurrence-
+    weighted frequency plus every single character (closure — any
+    word stays segmentable), initial piece probabilities come from
+    those frequencies, and ONE EM step re-estimates them: the E-step
+    Viterbi-segments every distinct word under the current costs
+    (min total −ln p, ties → longer last piece, then lexicographic),
+    the M-step re-normalizes usage counts. Emits the vocabulary with
+    init/final probabilities and usage counts.
+
+    Engine-exact: frequencies, probabilities (ppm, truncating DIV)
+    and usages are integers; the one transcendental (piece cost
+    −ln p) rounds to e6 BIGINT (the house transcendental rule); the
+    DP is pure integer minimization with a total-order tie-break, so
+    the segmentation is identical in both engines (oracle: a
+    generated chained-MATERIALIZED-CTE DP, one level per position).
+
+    Scale: the corpus collapses to the distinct-word histogram in ONE
+    token shuffle (the BPE-trainer property — later stages never
+    re-touch the corpus); candidate/freq aggs are map-side combined;
+    the vocab is model-sized (collected like IVF centroids); the
+    per-word Viterbi is embarrassingly parallel and runs as ONE
+    Arrow pass over the word histogram (mapInPandas — a sequential
+    DP no built-in expresses); usage counting is a piece-keyed agg
+    on path-sized data."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where((F.col("w") != "") & (F.length("w") <= _UNI_L))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    occ = words.select(
+        "w",
+        "cnt",
+        F.explode(F.expr("sequence(1, length(w))")).alias("i"),
+    ).select(
+        "w",
+        "cnt",
+        "i",
+        F.explode(
+            F.expr(f"sequence(1, least({_UNI_PMAX}, length(w) - i + 1))")
+        ).alias("l"),
+    ).select(F.expr("substr(w, i, l)").alias("piece"), "cnt")
+    freq = occ.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("freq"))
+    top = freq.orderBy(F.desc("freq"), F.asc("piece")).limit(_UNI_TOP)
+    chars = freq.where(F.length("piece") == 1)
+    vocab = top.unionByName(chars).distinct()
+    tot = vocab.agg(F.sum("freq").alias("tot"))
+    vcost = vocab.join(F.broadcast(tot)).select(
+        "piece",
+        "freq",
+        F.expr("freq * 1000000 DIV tot").cast("bigint").alias("init_prob_ppm"),
+        F.expr(
+            "CAST(ROUND(-LN((freq * 1000000 DIV tot) / 1000000.0) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("cost_e6"),
+    )
+    model = {r["piece"]: int(r["cost_e6"]) for r in vcost.collect()}
+
+    def segment(batches):
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            out_w, out_cnt, out_piece = [], [], []
+            for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                n = len(w)
+                # best[k] = (cost, last_l, last_piece) with tie-break
+                # (cost asc, l desc, piece asc) — identical to the
+                # oracle's window order
+                best = [None] * (n + 1)
+                best[0] = (0, 0, "")
+                for k in range(1, n + 1):
+                    cand = []
+                    for l in range(1, min(_UNI_PMAX, k) + 1):
+                        p = w[k - l : k]
+                        c = model.get(p)
+                        if c is not None and best[k - l] is not None:
+                            cand.append((best[k - l][0] + c, -l, p))
+                    if cand:
+                        tot_c, negl, p = min(cand)
+                        best[k] = (tot_c, -negl, p)
+                pos = n
+                while pos > 0 and best[pos] is not None:
+                    _, l, p = best[pos]
+                    out_w.append(w)
+                    out_cnt.append(int(cnt))
+                    out_piece.append(p)
+                    pos -= l
+            yield pd.DataFrame({"w": out_w, "cnt": out_cnt, "piece": out_piece})
+
+    used = words.mapInPandas(segment, "w string, cnt long, piece string")
+    usage = used.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("usage_count"))
+    utot = usage.agg(F.sum("usage_count").alias("ut"))
+    out = (
+        vcost.join(usage, "piece", "left")
+        .na.fill({"usage_count": 0})
+        .join(F.broadcast(utot))
+        .select(
+            "piece",
+            "freq",
+            "init_prob_ppm",
+            F.col("usage_count").cast("bigint").alias("usage_count"),
+            F.expr("usage_count * 1000000 DIV ut").cast("bigint").alias(
+                "final_prob_ppm"
+            ),
+        )
+    )
+    w40 = Window.orderBy(
+        F.desc("usage_count"), F.desc("freq"), F.asc("piece")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w40))
+        .where(F.col("rank") <= 40)
+        .select("rank", "piece", "freq", "init_prob_ppm", "usage_count", "final_prob_ppm")
+        .orderBy("rank")
+    )
+
+
+def _unigram_oracle_sql() -> str:
+    """Generated chained-CTE twin of the mapInPandas DP: one
+    MATERIALIZED level per position (best cost + argmin choice with
+    the (cost, l DESC, piece) tie-break), then a ≤L-step walk
+    reconstructs each word's optimal path for usage counting."""
+    L, PMAX, TOP = _UNI_L, _UNI_PMAX, _UNI_TOP
+    lvls = []
+    for k in range(1, L + 1):
+        prevs = []
+        for l in range(1, min(PMAX, k) + 1):
+            src = "best0" if k - l == 0 else f"ch{k - l}"
+            prevs.append(
+                f"SELECT c.w, c.l, c.piece, p.cost + c.cost_e6 AS tot\n"
+                f"  FROM cand c JOIN {src} p ON p.w = c.w AND c.k = {k} AND c.l = {l}"
+            )
+        body = "\nUNION ALL ".join(prevs)
+        lvls.append(
+            f"ch{k} AS MATERIALIZED (\n"
+            f"  SELECT w, {k} AS pos, l, piece, tot AS cost FROM (\n"
+            f"    SELECT *, ROW_NUMBER() OVER (PARTITION BY w"
+            f" ORDER BY tot ASC, l DESC, piece ASC) AS rn FROM ({body})\n"
+            f"  ) WHERE rn = 1)"
+        )
+    walk = ["wk0 AS (SELECT w, cnt, length(w) AS pos FROM words)"]
+    for s in range(1, L + 1):
+        walk.append(
+            f"wk{s} AS MATERIALIZED (\n"
+            f"  SELECT k.w, k.cnt, c.piece, k.pos - c.l AS pos\n"
+            f"  FROM wk{s - 1} k JOIN choice c ON c.w = k.w AND c.pos = k.pos\n"
+            f"  WHERE k.pos > 0)"
+        )
+    choice_union = "\nUNION ALL ".join(
+        f"SELECT w, pos, l, piece FROM ch{k}" for k in range(1, L + 1)
+    )
+    used_union = "\nUNION ALL ".join(
+        f"SELECT cnt, piece FROM wk{s}" for s in range(1, L + 1)
+    )
+    levels_sql = ",\n".join(lvls)
+    walk_sql = ",\n".join(walk)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+  WHERE w <> '' AND length(w) <= {L} GROUP BY w
+),
+occ AS (
+  SELECT substr(w, i, l) AS piece, cnt
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) t1,
+       LATERAL (SELECT unnest(generate_series(1, LEAST({PMAX}, length(w) - i + 1))) AS l) t2
+),
+freq AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM occ GROUP BY piece),
+topv AS (
+  SELECT piece, freq FROM freq
+  ORDER BY freq DESC, piece ASC LIMIT {TOP}
+),
+vocab AS (
+  SELECT DISTINCT piece, freq FROM (
+    SELECT * FROM topv UNION ALL SELECT piece, freq FROM freq WHERE length(piece) = 1
+  )
+),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM vocab),
+vcost AS (
+  SELECT piece, freq,
+         CAST(freq * 1000000 // tot AS BIGINT) AS init_prob_ppm,
+         CAST(ROUND(-LN((freq * 1000000 // tot) / 1000000.0) * 1000000, 0)
+              AS BIGINT) AS cost_e6
+  FROM vocab, tot
+),
+cand AS MATERIALIZED (
+  SELECT d.w, d.i + d.l - 1 AS k, d.l, d.piece, v.cost_e6
+  FROM (
+    SELECT w, i, l, substr(w, i, l) AS piece
+    FROM words,
+         LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) t1,
+         LATERAL (SELECT unnest(generate_series(1, LEAST({PMAX}, length(w) - i + 1))) AS l) t2
+  ) d JOIN vcost v ON v.piece = d.piece
+),
+best0 AS (SELECT w, CAST(0 AS BIGINT) AS cost FROM words),
+{levels_sql},
+choice AS MATERIALIZED ({choice_union}),
+{walk_sql},
+usage AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage_count
+  FROM ({used_union}) GROUP BY piece
+),
+utot AS (SELECT CAST(SUM(usage_count) AS BIGINT) AS ut FROM usage),
+outv AS (
+  SELECT v.piece, v.freq, v.init_prob_ppm,
+         COALESCE(u.usage_count, 0) AS usage_count
+  FROM vcost v LEFT JOIN usage u ON u.piece = v.piece
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY usage_count DESC, freq DESC, piece ASC)
+            AS INTEGER) AS rank,
+       piece, freq, init_prob_ppm, usage_count,
+       CAST(usage_count * 1000000 // ut AS BIGINT) AS final_prob_ppm
+FROM outv, utot
+QUALIFY rank <= 40
+ORDER BY rank
+"""
+
+
+QUERIES["tokenizer_unigram_train"] = tokenizer_unigram_train
+ORACLE["tokenizer_unigram_train"] = _unigram_oracle_sql()

@@ -85,6 +85,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_peak_concurrency",
         "lineitem_rdd_discount",
         "cdc_watermark_alignment",
+        "tokenizer_unigram_train",
     }
 )
 

