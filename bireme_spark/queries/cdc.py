@@ -3353,7 +3353,7 @@ ORACLE["cdc_checksum_repair_plan"] = CDC_REPAIR_PLAN_SQL
 def cdc_watermark_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source watermark alignment — the controller view a
     multi-pipeline sync (one bireme PipeLine per source partition,
-    `PipeLine.java` stateMachine) needs before advancing any GLOBAL
+    `PipeLine.java:40-45` PipeLineState) needs before advancing any GLOBAL
     consistency point: per source, the high watermark (max event
     time), its lag behind the fleet-max, and a stalled flag; the
     global low watermark (min over sources) is what a downstream
