@@ -259,6 +259,8 @@ HEADLINE = [
     "lineitem_rdd_discount",
     "cdc_watermark_alignment",
     "tokenizer_unigram_train",
+    "events_sprt_monitor",
+    "graph_betweenness_sample",
 ]
 
 

@@ -2130,3 +2130,195 @@ GROUP BY k_band ORDER BY k_band
 
 QUERIES["events_k_anonymity"] = events_k_anonymity
 ORACLE["events_k_anonymity"] = EVENTS_K_ANONYMITY_SQL
+
+
+_BTW_H = 3  # bounded shortest-path horizon
+_BTW_SRC = 4  # sampled sources
+
+
+def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes 2001, the
+    pivot-sampling estimator of Brandes & Pich 2007) over the part
+    co-purchase graph, bounded to shortest paths of length ≤ 3 — the
+    broker/bridge score that closeness and PageRank both miss (a
+    low-degree part wiring two communities scores high ONLY here).
+    4 deterministic md5-min seed sources; forward BFS levels carry
+    exact integer path counts σ; the backward pass accumulates
+    Brandes' δ(v) = Σ_w (σ_v/σ_w)(1+δ_w) ENTIRELY in integers:
+    δ in e6 units via per-edge truncating division
+    σ_v·(10⁶+δ_w) DIV σ_w with DECIMAL(38,0) products (σ grows
+    multiplicatively with degree — the r8 overflow rule). Emits the
+    top-15 parts by accumulated δ.
+
+    Engine-exact: σ, δ_e6 and every term are integers; level
+    frontiers dedup by anti-join, so both engines walk identical
+    BFS DAGs (ties don't exist — σ sums over ALL shortest
+    predecessors, the Brandes contract).
+
+    Scale: each level is one frontier⋈edges shuffle (node-keyed);
+    per-level frames persist (the kcenter persisted-loop rule —
+    each level feeds the next level AND the backward pass); k
+    sources ride ONE frontier relation with a src column, so
+    sampling more pivots widens rows, not passes. The oracle replays
+    the identical algebra as chained MATERIALIZED CTEs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    po = li.distinct().select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a = po.select("ok", F.col("pk").alias("u"))
+    b = po.select("ok", F.col("pk").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)  # shared base: both directions + seeds
+    )
+    d = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("h", F.md5(F.concat(F.lit("btw:"), F.col("node").cast("string"))))
+        .orderBy("h")
+        .limit(_BTW_SRC)
+        .select(F.col("node").alias("src"))
+    )
+    handles = []
+    lvl = {0: seeds.select("src", F.col("src").alias("node"), F.lit(1).cast("long").alias("sigma")).persist()}
+    handles.append(lvl[0])
+    seen = lvl[0].select("src", "node").persist()
+    handles.append(seen)
+    for h in range(1, _BTW_H + 1):
+        cand = (
+            lvl[h - 1]
+            .join(d, lvl[h - 1]["node"] == d["u"])
+            .select("src", F.col("v").alias("node"), "sigma")
+        )
+        agg = cand.groupBy("src", "node").agg(F.sum("sigma").cast("long").alias("sigma"))
+        lvl[h] = agg.join(seen, ["src", "node"], "left_anti").persist()
+        handles.append(lvl[h])
+        seen = seen.unionByName(lvl[h].select("src", "node")).persist()
+        handles.append(seen)
+    # backward: δ in e6; term = σ_v·(1e6+δ_w) DIV σ_w, DECIMAL(38,0)
+    delta = {
+        _BTW_H: lvl[_BTW_H].select(
+            "src", "node", "sigma", F.lit(0).cast("long").alias("delta_e6")
+        ).persist()
+    }
+    handles.append(delta[_BTW_H])
+    for h in range(_BTW_H - 1, -1, -1):
+        wside = delta[h + 1].select(
+            F.col("src").alias("wsrc"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+            F.col("delta_e6").alias("wdelta"),
+        )
+        left = lvl[h].select(
+            F.col("src").alias("lsrc"),
+            F.col("node").alias("lnode"),
+            F.col("sigma").alias("lsigma"),
+        )
+        terms = (
+            left.join(d, left["lnode"] == d["u"])
+            .select("lsrc", "lnode", "lsigma", F.col("v").alias("wnode"))
+            .join(wside, ["wnode"])
+            .where(F.col("lsrc") == F.col("wsrc"))
+            .select(
+                F.col("lsrc").alias("src"),
+                F.col("lnode").alias("node"),
+                F.expr(
+                    "CAST(CAST(lsigma AS DECIMAL(38,0)) * (1000000 + wdelta)"
+                    " AS DECIMAL(38,0)) DIV CAST(wsigma AS DECIMAL(38,0))"
+                ).cast("long").alias("term"),
+            )
+        )
+        acc = terms.groupBy("src", "node").agg(F.sum("term").cast("long").alias("dsum"))
+        delta[h] = (
+            lvl[h]
+            .join(acc, ["src", "node"], "left")
+            .select(
+                "src",
+                "node",
+                "sigma",
+                F.coalesce(F.col("dsum"), F.lit(0)).cast("long").alias("delta_e6"),
+            )
+            .persist()
+        )
+        handles.append(delta[h])
+    inner = None
+    for h in range(1, _BTW_H):  # levels 1..H-1 get credit; src excluded
+        part = delta[h].select("node", "delta_e6")
+        inner = part if inner is None else inner.unionByName(part)
+    btw = inner.groupBy("node").agg(F.sum("delta_e6").cast("bigint").alias("betweenness_e6"))
+    wtop = Window.orderBy(F.desc("betweenness_e6"), F.asc("node"))
+    out = (
+        btw.withColumn("rank", F.row_number().over(wtop))
+        .where(F.col("rank") <= 15)
+        .select("rank", F.col("node").alias("p_partkey"), "betweenness_e6")
+        .orderBy("rank")
+    )
+    from bireme_spark.operators.dedup import _attach_persisted
+
+    return _attach_persisted(out, handles)
+
+
+def _betweenness_sql() -> str:
+    H, S = _BTW_H, _BTW_SRC
+    parts = [f"""
+WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+),
+d AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+seeds AS (
+  SELECT node AS src FROM (
+    SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e
+  ) ORDER BY md5('btw:' || CAST(node AS VARCHAR)) LIMIT {S}
+),
+f0 AS MATERIALIZED (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM seeds)"""]
+    seen_union = "SELECT src, node FROM f0"
+    for h in range(1, H + 1):
+        parts.append(f""",
+f{h} AS MATERIALIZED (
+  SELECT src, node, CAST(SUM(sigma) AS BIGINT) AS sigma FROM (
+    SELECT p.src, d.v AS node, p.sigma
+    FROM f{h - 1} p JOIN d ON d.u = p.node
+  ) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({seen_union}) s WHERE s.src = c.src AND s.node = c.node
+  )
+  GROUP BY src, node)""")
+        seen_union += f" UNION ALL SELECT src, node FROM f{h}"
+    parts.append(f""",
+b{H} AS MATERIALIZED (SELECT src, node, sigma, CAST(0 AS BIGINT) AS delta_e6 FROM f{H})""")
+    for h in range(H - 1, -1, -1):
+        parts.append(f""",
+b{h} AS MATERIALIZED (
+  SELECT f.src, f.node, f.sigma,
+         CAST(COALESCE((
+           SELECT SUM(CAST(CAST(f.sigma AS HUGEINT) * (1000000 + w.delta_e6)
+                           // CAST(w.sigma AS HUGEINT) AS BIGINT))
+           FROM d JOIN b{h + 1} w ON w.node = d.v AND w.src = f.src
+           WHERE d.u = f.node
+         ), 0) AS BIGINT) AS delta_e6
+  FROM f{h} f)""")
+    inner_union = "\nUNION ALL ".join(
+        f"SELECT node, delta_e6 FROM b{h}" for h in range(1, H)
+    )
+    parts.append(f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY betweenness_e6 DESC, node ASC) AS INTEGER)
+         AS rank,
+       node AS p_partkey, betweenness_e6
+FROM (
+  SELECT node, CAST(SUM(delta_e6) AS BIGINT) AS betweenness_e6
+  FROM ({inner_union}) GROUP BY node
+)
+QUALIFY rank <= 15
+ORDER BY rank""")
+    return "".join(parts)
+
+
+QUERIES["graph_betweenness_sample"] = graph_betweenness_sample
+ORACLE["graph_betweenness_sample"] = _betweenness_sql()

@@ -4001,3 +4001,111 @@ FROM run GROUP BY 1 ORDER BY 1
 
 QUERIES["events_peak_concurrency"] = events_peak_concurrency
 ORACLE["events_peak_concurrency"] = EVENTS_PEAK_CONCURRENCY_SQL
+
+
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (1945) over the daily
+    purchase-conversion stream — the always-valid sequential monitor
+    an experimentation platform runs instead of a fixed-horizon test
+    (peeking at a classic test inflates false positives; the SPRT's
+    log-likelihood-ratio walk with ln((1−β)/α) boundaries is immune):
+    H₀ p = 4% vs H₁ p = 5% purchase share, α = β = 0.05. Emits the
+    cumulative LLR per day and the STICKY decision (the first
+    boundary crossing freezes the verdict — sequential tests stop).
+
+    Engine-exact: daily (events, purchases) are integers; the two
+    log-likelihood increments are e6-rounded constants folded from
+    literals (ONE transcendental each, the house rule), so the
+    cumulative LLR is an exact BIGINT dot product; boundaries are
+    e6 integers; stickiness is a window min over crossing days —
+    no recursion anywhere.
+
+    Scale: one day-grain agg (map-side combined); the walk is a
+    cumulative window over |days| rows."""
+    import math as _math
+
+    p0, p1 = 0.04, 0.05
+    l1_e6 = round(_math.log(p1 / p0) * 1e6)  # purchase increment
+    l0_e6 = round(_math.log((1 - p1) / (1 - p0)) * 1e6)  # non-purchase
+    a_e6 = round(_math.log(0.95 / 0.05) * 1e6)  # accept H1 boundary
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("x"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.withColumn(
+        "llr_e6",
+        F.sum(
+            F.col("x") * F.lit(l1_e6) + (F.col("n") - F.col("x")) * F.lit(l0_e6)
+        ).over(wcum).cast("bigint"),
+    )
+    up = F.when(F.col("llr_e6") >= a_e6, F.col("day"))
+    dn = F.when(F.col("llr_e6") <= -a_e6, F.col("day"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dec = walk.withColumn("d_up", F.min(up).over(wall)).withColumn(
+        "d_dn", F.min(dn).over(wall)
+    )
+    verdict = (
+        F.when(
+            F.col("d_up").isNotNull()
+            & (F.col("d_dn").isNull() | (F.col("d_up") <= F.col("d_dn")))
+            & (F.col("day") >= F.col("d_up")),
+            "accept_h1",
+        )
+        .when(
+            F.col("d_dn").isNotNull()
+            & (F.col("d_up").isNull() | (F.col("d_dn") < F.col("d_up")))
+            & (F.col("day") >= F.col("d_dn")),
+            "accept_h0",
+        )
+        .otherwise("continue")
+    )
+    return dec.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("x").cast("bigint").alias("n_purchases"),
+        "llr_e6",
+        verdict.alias("decision"),
+    ).orderBy("day")
+
+
+def _sprt_sql() -> str:
+    import math as _math
+
+    p0, p1 = 0.04, 0.05
+    l1 = round(_math.log(p1 / p0) * 1e6)
+    l0 = round(_math.log((1 - p1) / (1 - p0)) * 1e6)
+    a = round(_math.log(0.95 / 0.05) * 1e6)
+    return f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+),
+walk AS (
+  SELECT day, n, x,
+         CAST(SUM(x * {l1} + (n - x) * ({l0})) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS llr_e6
+  FROM daily
+),
+dec AS (
+  SELECT *,
+         MIN(CASE WHEN llr_e6 >= {a} THEN day END) OVER () AS d_up,
+         MIN(CASE WHEN llr_e6 <= -{a} THEN day END) OVER () AS d_dn
+  FROM walk
+)
+SELECT day, CAST(n AS BIGINT) AS n_events, CAST(x AS BIGINT) AS n_purchases,
+       llr_e6,
+       CASE WHEN d_up IS NOT NULL AND (d_dn IS NULL OR d_up <= d_dn)
+                 AND day >= d_up THEN 'accept_h1'
+            WHEN d_dn IS NOT NULL AND (d_up IS NULL OR d_dn < d_up)
+                 AND day >= d_dn THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM dec ORDER BY day
+"""
+
+
+QUERIES["events_sprt_monitor"] = events_sprt_monitor
+ORACLE["events_sprt_monitor"] = _sprt_sql()

@@ -86,6 +86,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "lineitem_rdd_discount",
         "cdc_watermark_alignment",
         "tokenizer_unigram_train",
+        "events_sprt_monitor",
+        "graph_betweenness_sample",
     }
 )
 

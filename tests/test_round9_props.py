@@ -466,3 +466,76 @@ def test_unigram_tokenizer_segmentation_invariants(spark, sf_dir):
         if r.usage_count > 0:
             assert len(r.piece) <= _UNI_PMAX
             assert any(r.piece in w for w in words), r.piece
+
+
+def test_betweenness_tracks_float_brandes(spark, sf_dir):
+    """Independent formulation check: replay the bounded Brandes
+    accumulation in FLOAT python over the same co-purchase graph and
+    seeds — the integer-e6 truncating pipeline must agree within its
+    truncation budget (≤ one e6 unit per accumulated term), and the
+    emitted top set must be the float top set."""
+    import hashlib
+    from collections import defaultdict
+
+    from bireme_spark.queries.audit import (
+        _BTW_H,
+        _BTW_SRC,
+        graph_betweenness_sample,
+    )
+
+    li = _pq(sf_dir, "lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        pks = sorted(set(grp["l_partkey"]))
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                edges.add((int(pks[i]), int(pks[j])))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    seeds = sorted(
+        nodes, key=lambda n: hashlib.md5(f"btw:{n}".encode()).hexdigest()
+    )[:_BTW_SRC]
+
+    btw = defaultdict(float)
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        levels = [[s]]
+        for h in range(1, _BTW_H + 1):
+            nxt = defaultdict(float)
+            for u in levels[h - 1]:
+                for v in adj[u]:
+                    if v not in dist:
+                        nxt[v] += sigma[u]
+            for v, sg in nxt.items():
+                dist[v] = h
+                sigma[v] = sg
+            levels.append(sorted(nxt))
+        delta = defaultdict(float)
+        for h in range(_BTW_H - 1, -1, -1):
+            for v in levels[h]:
+                for w in adj[v]:
+                    if dist.get(w) == h + 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+        for h in range(1, _BTW_H):
+            for v in levels[h]:
+                btw[v] += delta[v]
+
+    rows = graph_betweenness_sample(spark, sf_dir).collect()
+    # truncation budget: each accumulated term truncates ≤ 1e-6, and
+    # truncation compounds through ≤ H backward levels of (1+δ)
+    # scaling — allow a generous relative band
+    for r in rows:
+        truth = btw.get(r.p_partkey, 0.0)
+        got = r.betweenness_e6 / 1e6
+        assert got <= truth + 1e-6, (r.p_partkey, got, truth)
+        assert got >= truth * 0.995 - 1e-3, (r.p_partkey, got, truth)
+    top_float = sorted(btw.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    # the integer top-15 SET matches the float top-15 up to boundary
+    # ties within the truncation band
+    float_set = {n for n, _ in top_float}
+    got_set = {r.p_partkey for r in rows}
+    assert len(float_set & got_set) >= 13, (float_set, got_set)
