@@ -742,3 +742,54 @@ def nsw_topk(
     from bireme_spark.operators.dedup import _attach_persisted
 
     return _attach_persisted(out, handles)
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    filter_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query among corpus rows whose
+    ``filter_col`` EQUALS the query's — metadata-filtered vector
+    search (the vector-store staple: "nearest docs with lang = query
+    lang / tenant = query tenant").
+
+    Strategy is PRE-filter: the predicate joins INTO the candidate
+    formation (a hash join on ``filter_col``), so only same-bucket
+    pairs are ever scored — post-filtering a global top-k instead
+    would silently return < k rows whenever the filter is selective
+    (the classic recall bug). With q broadcast this is a
+    BroadcastHashJoin keyed on the filter column: the corpus never
+    shuffles, and per-query work is |bucket|, not |corpus|.
+
+    Same scoring discipline as :func:`bruteforce_topk` (per-row norm
+    precompute, float→double casts inside the dot fold, ROUND 6)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(filter_col).alias("qf"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col).alias("cf"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("cf") == F.col("qf"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("qf").alias("filter_value"), "rank", "neighbor_id", "cosine")
+    )

@@ -249,3 +249,55 @@ def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_incremental_index"] = ann_incremental_index  # rows-only (trained model)
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact top-k: nearest same-LABEL neighbors
+    per query (pre-filter strategy — see operators.ann.filtered_topk
+    for why post-filtering is the recall bug). Oracle-checked: the
+    filter makes the candidate set deterministic, and scoring is the
+    exact-cosine discipline."""
+    from bireme_spark.operators.ann import filtered_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return filtered_topk(
+        _corpus(spark, sf_dir), q, "vec_id", "embedding", "label", k=K
+    ).orderBy("query_id", "rank")
+
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qf, embedding AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id, q.qf, e.vec_id AS neighbor_id, q.qv, e.embedding AS cv
+  FROM q JOIN embeddings e ON e.label = q.qf
+  WHERE e.vec_id <> q.query_id
+),
+dots AS (
+  SELECT query_id, qf, neighbor_id,
+         SUM(x * y) AS dot, SUM(x * x) AS nq, SUM(y * y) AS nc
+  FROM (SELECT query_id, qf, neighbor_id,
+               CAST(unnest(qv) AS DOUBLE) AS x,
+               CAST(unnest(cv) AS DOUBLE) AS y
+        FROM pairs) z
+  GROUP BY query_id, qf, neighbor_id
+),
+ranked AS (
+  SELECT query_id, qf, neighbor_id,
+         ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM dots
+)
+SELECT query_id, qf AS filter_value, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+QUERIES["ann_filtered_topk"] = ann_filtered_topk
+ORACLE["ann_filtered_topk"] = ANN_FILTERED_SQL

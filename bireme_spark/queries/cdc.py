@@ -3422,3 +3422,106 @@ FROM per ORDER BY source_id
 
 QUERIES["cdc_watermark_alignment"] = cdc_watermark_alignment
 ORACLE["cdc_watermark_alignment"] = CDC_WATERMARK_ALIGNMENT_SQL
+
+
+def cdc_op_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key op-state-machine audit of a CDC stream — the hygiene
+    check a sync service runs when a pipeline "mostly works": a
+    healthy key's history is I → U* → D?; violations mean lost or
+    reordered messages upstream (expired retention, producer restart
+    without snapshot, partition-key change). Mirrors the reference's
+    implicit trust in well-formed envelopes (RowBatchMerger folds
+    whatever arrives — `ChangeLoader.java` applies it blindly), made
+    EXPLICIT as an auditable report.
+
+    Violation classes over the seq-ordered per-key history:
+    - orphan_start: first op is not an INSERT (the key's create was
+      lost — common after a retention-expired resume);
+    - after_delete: any op following the key's DELETE (reordering or
+      a resurrected key without a fresh insert);
+    - reinsert: an INSERT atop a live row (duplicate create).
+    The audit stream plants both failure shapes deterministically:
+    inserts for key % 7 = 0 are dropped, and a stray post-delete
+    update (seq = key·10+4) is added for key % 10 = 0.
+
+    Engine-exact: pure integer window logic partitioned BY KEY —
+    per-key histories are ≤ 4 rows, so the windows parallelize over
+    keys at any scale; one final |classes|-row agg."""
+    ch = build_changelog(spark, sf_dir)
+    dropped = ch.where(
+        ~((F.col("op") == "I") & (F.col("key").cast("bigint") % 7 == 0))
+    )
+    stray = (
+        ch.where((F.col("op") == "D") & (F.col("key").cast("bigint") % 10 == 0))
+        .select(
+            "source",
+            "origin_table",
+            F.lit("U").alias("op"),
+            (F.col("produce_time_ms") + F.lit(3_600_000)).alias("produce_time_ms"),
+            F.expr("seq DIV 10 * 10 + 4").alias("seq"),
+            "key",
+            F.lit(None).cast("decimal(12,2)").alias("o_totalprice"),
+            F.lit("O").alias("o_orderstatus"),
+            "kafka_partition",
+        )
+    )
+    stream = dropped.select(
+        "key", "op", "seq"
+    ).unionByName(stray.select("key", "op", "seq"))
+    wk = Window.partitionBy("key").orderBy("seq")
+    wprev = wk.rowsBetween(Window.unboundedPreceding, -1)
+    ann = stream.select(
+        "key",
+        "op",
+        F.row_number().over(wk).alias("rn"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(wprev).alias("d_before"),
+    ).withColumn("d_before", F.coalesce("d_before", F.lit(0)))
+    viol = ann.select(
+        "key",
+        F.when((F.col("rn") == 1) & (F.col("op") != "I"), "orphan_start")
+        .when(F.col("d_before") >= 1, "after_delete")
+        .when((F.col("op") == "I") & (F.col("rn") > 1), "reinsert")
+        .alias("violation"),
+    ).where(F.col("violation").isNotNull())
+    return (
+        viol.groupBy("violation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+            F.countDistinct("key").cast("bigint").alias("n_keys"),
+        )
+        .orderBy("violation")
+    )
+
+
+CDC_OP_SEQ_SQL = f"""
+WITH {CHANGELOG_SQL},
+stream AS (
+  SELECT key, op, seq FROM changelog
+  WHERE NOT (op = 'I' AND CAST(key AS BIGINT) % 7 = 0)
+  UNION ALL
+  SELECT key, 'U', seq // 10 * 10 + 4
+  FROM changelog WHERE op = 'D' AND CAST(key AS BIGINT) % 10 = 0
+),
+ann AS (
+  SELECT key, op,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq) AS rn,
+         COALESCE(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY key ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS d_before
+  FROM stream
+),
+viol AS (
+  SELECT key,
+         CASE WHEN rn = 1 AND op <> 'I' THEN 'orphan_start'
+              WHEN d_before >= 1 THEN 'after_delete'
+              WHEN op = 'I' AND rn > 1 THEN 'reinsert' END AS violation
+  FROM ann
+)
+SELECT violation, CAST(COUNT(*) AS BIGINT) AS n_ops,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+FROM viol WHERE violation IS NOT NULL
+GROUP BY 1 ORDER BY violation
+"""
+
+QUERIES["cdc_op_sequence_audit"] = cdc_op_sequence_audit
+ORACLE["cdc_op_sequence_audit"] = CDC_OP_SEQ_SQL

@@ -1752,3 +1752,108 @@ GROUP BY d.source ORDER BY d.source
 
 QUERIES["corpus_validation_leakage"] = corpus_validation_leakage
 ORACLE["corpus_validation_leakage"] = CORPUS_VALIDATION_LEAKAGE_SQL
+
+
+def corpus_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min-fair token allocation across corpus sources under a
+    global training budget (waterfilling) — the mix planner that caps
+    every oversized domain at a common water level λ while letting
+    small domains keep everything they have: allocate min(cap_i, λ)
+    with λ chosen so the total hits the budget (B = half the corpus
+    here). The standard alternative to temperature mixing
+    (corpus_mixing_temperature) when the requirement is "no source
+    may dominate, small sources are never scaled down".
+
+    CLOSED-FORM, not iterative: with caps sorted ascending, source r
+    is saturated iff c_r·(n−r) + prefix_r ≤ B (the condition is
+    monotone in r — proof in source), so one cumulative window
+    computes the saturated set, λ = (B − Σ_sat caps) DIV n_unsat,
+    and the allocation in a second projection. Pure integer; the
+    only rows past the per-source agg are |sources|.
+
+    Scale: one corpus scan to (source, token-count) grain; the
+    waterfill itself runs on the |sources|-row table."""
+    d = load_table(spark, sf_dir, "documents")
+    caps = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("cap_tokens")
+    )
+    wsort = Window.orderBy("cap_tokens", "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        caps.withColumn("prefix", F.sum("cap_tokens").over(wsort).cast("bigint"))
+        .withColumn("r", F.row_number().over(Window.orderBy("cap_tokens", "source")))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("total", F.max("prefix").over(wall))
+        .withColumn("budget", F.expr("total DIV 2"))
+        .withColumn(
+            "saturated",
+            F.expr("cap_tokens * (n - r) + prefix <= budget"),
+        )
+    )
+    lvl = (
+        ranked.withColumn(
+            "n_sat", F.sum(F.when(F.col("saturated"), 1).otherwise(0)).over(wall)
+        )
+        .withColumn(
+            "p_sat",
+            F.sum(F.when(F.col("saturated"), F.col("cap_tokens")).otherwise(0)).over(
+                wall
+            ),
+        )
+        .withColumn(
+            "water_level",
+            F.expr("CAST((budget - p_sat) DIV GREATEST(n - n_sat, 1) AS BIGINT)"),
+        )
+    )
+    return lvl.select(
+        "source",
+        "cap_tokens",
+        F.expr(
+            "CAST(CASE WHEN saturated THEN cap_tokens ELSE water_level END AS BIGINT)"
+        ).alias("allocated_tokens"),
+        F.col("saturated"),
+        F.col("water_level"),
+        F.col("budget").cast("bigint").alias("budget_tokens"),
+    ).orderBy("source")
+
+
+CORPUS_WATERFILL_SQL = """
+WITH caps AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap_tokens
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT source, cap_tokens,
+         SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS r,
+         COUNT(*) OVER () AS n,
+         SUM(cap_tokens) OVER () AS total
+  FROM caps
+),
+flagged AS (
+  SELECT *, total // 2 AS budget,
+         cap_tokens * (n - r) + prefix <= total // 2 AS saturated
+  FROM ranked
+),
+lvl AS (
+  SELECT *,
+         SUM(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS n_sat,
+         SUM(CASE WHEN saturated THEN cap_tokens ELSE 0 END) OVER () AS p_sat
+  FROM flagged
+)
+SELECT source, cap_tokens,
+       CAST(CASE WHEN saturated THEN cap_tokens
+                 ELSE (budget - p_sat) // GREATEST(n - n_sat, 1) END AS BIGINT)
+         AS allocated_tokens,
+       saturated,
+       CAST((budget - p_sat) // GREATEST(n - n_sat, 1) AS BIGINT) AS water_level,
+       CAST(budget AS BIGINT) AS budget_tokens
+FROM lvl
+ORDER BY source
+"""
+
+QUERIES["corpus_mix_waterfill"] = corpus_mix_waterfill
+ORACLE["corpus_mix_waterfill"] = CORPUS_WATERFILL_SQL

@@ -857,3 +857,152 @@ FROM marked GROUP BY source ORDER BY source
 
 QUERIES["corpus_boilerplate_spans"] = corpus_boilerplate_spans
 ORACLE["corpus_boilerplate_spans"] = CORPUS_BOILERPLATE_SQL
+
+
+def _lsh_scurve_expr(col: str, r: int, b: int) -> str:
+    """S-curve P(detect | jaccard s) = 1 − (1 − s^r)^b for an
+    (r rows × b bands) MinHash-LSH layout, generated as an EXPLICIT
+    squaring chain (r and b are powers of two) so both engines
+    execute the identical IEEE multiplication sequence — `pow()` is
+    not correctly-rounded and would diverge by ulps."""
+    import math as _math
+
+    sr = col
+    for _ in range(int(_math.log2(r))):
+        sr = f"(({sr}) * ({sr}))"
+    q = f"(1.0 - {sr})"
+    for _ in range(int(_math.log2(b))):
+        q = f"(({q}) * ({q}))"
+    return f"(1.0 - {q})"
+
+
+_LSH_CONFIGS = [(2, 32), (4, 16), (4, 8), (8, 4)]  # (rows r, bands b), r·b = sig size
+
+
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter advisor: for each candidate (rows r × bands b)
+    MinHash layout, the EXPECTED recall on true near-dups (jaccard ≥
+    0.7) and expected leak rate on the near-miss band (0.3 ≤ j <
+    0.7), integrating the analytic S-curve P(s) = 1 − (1 − s^r)^b
+    over the corpus's OWN observed pair-Jaccard distribution — the
+    tuning decision (steepness vs signature budget) is
+    data-dependent, so a production dedup run computes this table
+    before committing to a layout, instead of trusting textbook
+    curves drawn for uniform similarity.
+
+    Engine determinism: pair Jaccards come from the exact
+    inverted-index miner (ROUND 6 doubles); each P(s) is an explicit
+    power-of-two squaring chain (identical IEEE sequence both
+    engines) e6-rounded PER TERM before integer summation (never a
+    float sum across shuffled rows); the final ppm means are integer
+    DIVs with GREATEST(n, 1) guards (ANSI divide-by-zero rule).
+    Pairs with j < 0.3 are excluded: their P(s) ≤ P(0.3) is
+    negligible for every configured curve, and the cut keeps the
+    mined pair set bounded — documented conservative bias (leak
+    estimates read slightly HIGH).
+
+    Scale: ONE mining pass at the band floor (τ=0.3, same
+    corpus-scaled max_df hot-shingle guard as the dedup miners); all
+    four configs ride the same projection map-side (no per-config
+    re-scan); the final table is 4 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, tau=0.3, max_df=_df_guard(d))
+    p_cols = [
+        F.expr(f"CAST(ROUND({_lsh_scurve_expr('jaccard', r, b)} * 1000000.0) AS BIGINT)").alias(
+            f"p_{r}_{b}"
+        )
+        for r, b in _LSH_CONFIGS
+    ]
+    proj = pairs.select(F.col("jaccard"), *p_cols)
+    is_true = F.col("jaccard") >= 0.7
+    aggs = [
+        F.sum(F.when(is_true, 1).otherwise(0)).cast("bigint").alias("n_true"),
+        F.sum(F.when(~is_true, 1).otherwise(0)).cast("bigint").alias("n_false"),
+    ]
+    for r, b in _LSH_CONFIGS:
+        aggs.append(
+            F.sum(F.when(is_true, F.col(f"p_{r}_{b}")).otherwise(0))
+            .cast("bigint")
+            .alias(f"st_{r}_{b}")
+        )
+        aggs.append(
+            F.sum(F.when(~is_true, F.col(f"p_{r}_{b}")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sf_{r}_{b}")
+        )
+    one = proj.agg(*aggs)
+    stack_args = ", ".join(
+        f"{r}, {b}, st_{r}_{b}, sf_{r}_{b}" for r, b in _LSH_CONFIGS
+    )
+    return (
+        one.select(
+            "n_true",
+            "n_false",
+            F.expr(
+                f"stack({len(_LSH_CONFIGS)}, {stack_args}) AS (rows_r, bands_b, st, sf)"
+            ),
+        )
+        .select(
+            F.col("rows_r").cast("int").alias("rows_r"),
+            F.col("bands_b").cast("int").alias("bands_b"),
+            F.col("n_true").alias("n_true_pairs"),
+            F.col("n_false").alias("n_nearmiss_pairs"),
+            F.expr(
+                "CAST(COALESCE(st, 0) DIV GREATEST(n_true, 1) AS BIGINT)"
+            ).alias("est_recall_ppm"),
+            F.expr(
+                "CAST(COALESCE(sf, 0) DIV GREATEST(n_false, 1) AS BIGINT)"
+            ).alias("est_leak_ppm"),
+        )
+        .orderBy("rows_r", "bands_b")
+    )
+
+
+def _lsh_tuning_sql() -> str:
+    per_cfg = []
+    for r, b in _LSH_CONFIGS:
+        p = _lsh_scurve_expr("jaccard", r, b)
+        per_cfg.append(
+            f"SELECT {r} AS rows_r, {b} AS bands_b,\n"
+            f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM scored WHERE is_true) AS n_true_pairs,\n"
+            f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM scored WHERE NOT is_true) AS n_nearmiss_pairs,\n"
+            f"  CAST(COALESCE((SELECT SUM(CAST(ROUND({p} * 1000000.0) AS BIGINT)) FROM scored WHERE is_true), 0)\n"
+            f"       // GREATEST((SELECT COUNT(*) FROM scored WHERE is_true), 1) AS BIGINT) AS est_recall_ppm,\n"
+            f"  CAST(COALESCE((SELECT SUM(CAST(ROUND({p} * 1000000.0) AS BIGINT)) FROM scored WHERE NOT is_true), 0)\n"
+            f"       // GREATEST((SELECT COUNT(*) FROM scored WHERE NOT is_true), 1) AS BIGINT) AS est_leak_ppm\n"
+        )
+    union = "\nUNION ALL\n".join(per_cfg)
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i) t
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+keep AS (
+  SELECT s FROM sh GROUP BY s
+  HAVING COUNT(*) BETWEEN 2 AND (SELECT GREATEST(100, n_docs // 50) FROM nd)
+),
+pruned AS (SELECT sh.* FROM sh JOIN keep USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  -- threshold on the RAW ratio (the Spark miner filters pre-round)
+  SELECT ROUND(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.3
+),
+scored AS MATERIALIZED (
+  SELECT jaccard, jaccard >= 0.7 AS is_true FROM pairs
+)
+{union}
+ORDER BY rows_r, bands_b
+"""
+
+
+QUERIES["dedup_lsh_tuning"] = dedup_lsh_tuning
+ORACLE["dedup_lsh_tuning"] = _lsh_tuning_sql()

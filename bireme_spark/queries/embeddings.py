@@ -2325,3 +2325,168 @@ SELECT rank, vec_id, k_dist_e6, lof_ppm FROM (
 
 QUERIES["embedding_lof"] = embedding_lof
 ORACLE["embedding_lof"] = EMBEDDING_LOF_SQL
+
+
+def embedding_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet margin evaluation of embedding quality against the
+    label column — the metric-learning health check a training-data
+    pipeline runs on every new embedding drop: for deterministic
+    triplets (anchor, positive = next same-label id, negative = next
+    different-label id), count margin violations
+    cos(a,p) − cos(a,n) < 0.05. A healthy label-aligned space keeps
+    the violation rate low; a collapsed or drifted one spikes it.
+
+    Triplet formation is BUCKETED, never global: vec_ids bucket by
+    DIV 100, the anchor is each bucket's first row, pos/neg are the
+    anchor's nearest following same-/different-label rows WITHIN the
+    bucket (two bucket-partitioned windows — no global-order window,
+    no corpus×corpus join; anchors whose bucket lacks a pos or neg
+    are dropped, deterministically on both engines).
+
+    Engine determinism: cosines are the house exact-cosine discipline
+    (float→double casts inside the fold, ROUND 6), so the margin is
+    an exact multiple of 1e-6 and margin_e6 is integer; per-label
+    means are SUM DIV n integer ppm (never a rounded mean — the r9
+    tie lesson).
+
+    Scale: one corpus scan, windows partitioned by bucket (~100 rows
+    each), |anchors| = |corpus|/100 pairs of 2 dot products."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    b = e.withColumn("bucket", F.expr("CAST(vec_id DIV 100 AS BIGINT)"))
+    wb = Window.partitionBy("bucket").orderBy("vec_id")
+    wb_lbl = Window.partitionBy("bucket", "label").orderBy("vec_id")
+    first = F.row_number().over(wb) == 1
+    cand = b.select(
+        "bucket",
+        "vec_id",
+        "label",
+        "embedding",
+        first.alias("is_anchor"),
+        F.lead("vec_id").over(wb_lbl).alias("pos_id"),
+    )
+    anchors = cand.where(F.col("is_anchor") & F.col("pos_id").isNotNull()).select(
+        "bucket",
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+        "pos_id",
+    )
+    # nearest FOLLOWING different-label row in the bucket: min vec_id
+    # over the bucket's other-label rows — a bucket-local join+agg
+    others = b.select(
+        F.col("bucket").alias("ob"), F.col("vec_id").alias("o_id"), F.col("label").alias("o_label")
+    )
+    neg = (
+        anchors.join(
+            others,
+            (F.col("bucket") == F.col("ob"))
+            & (F.col("o_id") > F.col("a_id"))
+            & (F.col("o_label") != F.col("a_label")),
+        )
+        .groupBy("bucket", "a_id", "a_label", "pos_id")
+        .agg(F.min("o_id").alias("neg_id"))
+    )
+    vecs = b.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vv"))
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    withvecs = (
+        neg.join(anchors.select("a_id", "av"), "a_id")
+        .join(vecs.withColumnRenamed("vid", "pos_id").withColumnRenamed("vv", "pv"), "pos_id")
+        .join(vecs.withColumnRenamed("vid", "neg_id").withColumnRenamed("vv", "nv"), "neg_id")
+    )
+    cos = lambda u, v: F.round(
+        dot(F.col(u), F.col(v))
+        / (F.sqrt(dot(F.col(u), F.col(u))) * F.sqrt(dot(F.col(v), F.col(v)))),
+        6,
+    )
+    scored = withvecs.select(
+        "a_label",
+        F.round((cos("av", "pv") - cos("av", "nv")) * 1e6).cast("bigint").alias("margin_e6"),
+    )
+    return (
+        scored.groupBy(F.col("a_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triplets"),
+            F.sum(F.when(F.col("margin_e6") < 50000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.sum("margin_e6").cast("bigint").alias("sum_margin_e6"),
+        )
+        .select(
+            "label",
+            "n_triplets",
+            "n_violations",
+            F.expr("CAST(n_violations * 1000000 DIV n_triplets AS BIGINT)").alias(
+                "violation_ppm"
+            ),
+            F.expr("CAST(sum_margin_e6 DIV n_triplets AS BIGINT)").alias("mean_margin_e6"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_TRIPLET_SQL = """
+WITH b AS (
+  SELECT vec_id, label, embedding, CAST(vec_id // 100 AS BIGINT) AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT bucket, vec_id, label, embedding,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) = 1 AS is_anchor,
+         LEAD(vec_id) OVER (PARTITION BY bucket, label ORDER BY vec_id) AS pos_id
+  FROM b
+),
+anchors AS (
+  SELECT bucket, vec_id AS a_id, label AS a_label, pos_id
+  FROM cand WHERE is_anchor AND pos_id IS NOT NULL
+),
+neg AS (
+  SELECT a.bucket, a.a_id, a.a_label, a.pos_id, MIN(o.vec_id) AS neg_id
+  FROM anchors a JOIN b o
+    ON o.bucket = a.bucket AND o.vec_id > a.a_id AND o.label <> a.a_label
+  GROUP BY 1, 2, 3, 4
+),
+tri AS (
+  SELECT n.a_label, av.embedding AS av, pv.embedding AS pv, nv.embedding AS nv,
+         n.a_id, n.pos_id, n.neg_id
+  FROM neg n
+  JOIN b av ON av.vec_id = n.a_id
+  JOIN b pv ON pv.vec_id = n.pos_id
+  JOIN b nv ON nv.vec_id = n.neg_id
+),
+dots AS (
+  SELECT a_id, a_label,
+         SUM(a * a) AS naa, SUM(p * p) AS npp, SUM(nn * nn) AS nnn,
+         SUM(a * p) AS dap, SUM(a * nn) AS dan
+  FROM (
+    SELECT a_id, a_label,
+           CAST(unnest(av) AS DOUBLE) AS a,
+           CAST(unnest(pv) AS DOUBLE) AS p,
+           CAST(unnest(nv) AS DOUBLE) AS nn
+    FROM tri
+  ) z
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT a_label,
+         CAST(ROUND((ROUND(dap / (sqrt(naa) * sqrt(npp)), 6)
+                     - ROUND(dan / (sqrt(naa) * sqrt(nnn)), 6)) * 1000000.0)
+              AS BIGINT) AS margin_e6
+  FROM dots
+)
+SELECT a_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_triplets,
+       CAST(SUM(CASE WHEN margin_e6 < 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(SUM(CASE WHEN margin_e6 < 50000 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS violation_ppm,
+       CAST(SUM(margin_e6) // COUNT(*) AS BIGINT) AS mean_margin_e6
+FROM scored
+GROUP BY 1
+ORDER BY label
+"""
+
+QUERIES["embedding_triplet_eval"] = embedding_triplet_eval
+ORACLE["embedding_triplet_eval"] = EMBEDDING_TRIPLET_SQL

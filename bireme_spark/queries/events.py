@@ -4109,3 +4109,97 @@ FROM dec ORDER BY day
 
 QUERIES["events_sprt_monitor"] = events_sprt_monitor
 ORACLE["events_sprt_monitor"] = _sprt_sql()
+
+
+def events_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS "tug-of-war" sketch (Alon–Matias–Szegedy 1996) estimating
+    the second frequency moment F2 = Σ_u count_u² of the per-user
+    event distribution — the self-join-size / skew statistic a query
+    planner or shuffle-skew monitor reads without materializing the
+    join. 64 estimators: counter_j = Σ_u sign(j,u)·count_u with
+    sign(j,u) = ±1 from the md5(j‖':'‖user) first-nibble parity
+    (engine-portable 4-wise-ish hash family); estimate = mean of the
+    64 squared counters. Completes the house sketch family (CMS
+    point-frequency, HLL/theta/KMV distinct, bottom-k order
+    statistics — AMS covers the L2 moment).
+
+    Engine-exact: signs and counters are integers; squares and sums
+    ride DECIMAL(38,0) (counter² ~ 1e28 at 100 TB); the estimate and
+    the relative error are integer DIVs — zero floating point. The
+    absolute property test (not the cross-engine hash, which a shared
+    constant bug would fool — the r6 HLL lesson) pins the estimate
+    against exact F2.
+
+    Scale: events collapse to the user-grain count FIRST (map-side
+    combined), the ×64 estimator fan-out touches only the user table,
+    and exact F2 rides the same user-grain frame — the event stream
+    is scanned ONCE."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    per_user = per_user.localCheckpoint(eager=True)  # two consumers: sketch + exact
+    exact = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("f2_exact"),
+    )
+    fan = per_user.select(
+        "user_id", "cnt", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
+    )
+    sgn = F.expr(
+        "1 - 2 * (CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',"
+        " CAST(user_id AS STRING))), 1, 1), 16, 10) AS INT) % 2)"
+    )
+    counters = (
+        fan.select("j", (sgn * F.col("cnt")).alias("term"))
+        .groupBy("j")
+        .agg(F.sum("term").cast("decimal(38,0)").alias("c"))
+    )
+    est = counters.agg(
+        F.expr(
+            "CAST(SUM(c * c) DIV CAST(64 AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        ).alias("f2_est")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_users",
+        F.col("f2_exact").cast("bigint").alias("f2_exact"),
+        F.col("f2_est").cast("bigint").alias("f2_est"),
+        F.expr(
+            "CAST(abs(CAST(f2_est AS DECIMAL(38,0)) - f2_exact) * CAST(1000000 AS DECIMAL(38,0))"
+            " DIV f2_exact AS BIGINT)"
+        ).alias("rel_err_ppm"),
+    )
+
+
+EVENTS_AMS_F2_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS f2_exact
+  FROM per_user
+),
+fan AS (
+  SELECT u.user_id, u.cnt, g.j,
+         1 - 2 * ((strpos('0123456789abcdef',
+                          substr(md5(concat(CAST(g.j AS VARCHAR), ':',
+                                            CAST(u.user_id AS VARCHAR))), 1, 1)) - 1)
+                  % 2) AS sgn
+  FROM per_user u CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+),
+counters AS (
+  SELECT j, CAST(SUM(sgn * cnt) AS HUGEINT) AS c FROM fan GROUP BY 1
+),
+est AS (
+  SELECT CAST(SUM(c * c) // 64 AS HUGEINT) AS f2_est FROM counters
+)
+SELECT e.n_users,
+       CAST(e.f2_exact AS BIGINT) AS f2_exact,
+       CAST(s.f2_est AS BIGINT) AS f2_est,
+       CAST(abs(s.f2_est - e.f2_exact) * 1000000 // e.f2_exact AS BIGINT) AS rel_err_ppm
+FROM est s, exact e
+"""
+
+QUERIES["events_ams_f2_sketch"] = events_ams_f2_sketch
+ORACLE["events_ams_f2_sketch"] = EVENTS_AMS_F2_SQL

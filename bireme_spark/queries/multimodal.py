@@ -1273,3 +1273,115 @@ ORDER BY docs.canonical_doc
 
 QUERIES["multimodal_dct_energy"] = multimodal_dct_energy
 ORACLE["multimodal_dct_energy"] = MULTIMODAL_DCT_SQL
+
+
+def multimodal_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise RLE compressibility of the synthetic image corpus —
+    the cheap complexity prior a multimodal curation pipeline uses to
+    screen flat/synthetic graphics from photographic content before
+    spending decode-transform budget (flat banners compress to a few
+    runs; textured content approaches one run per pixel). Same
+    deterministic fixture family as multimodal_hist_equalization
+    (16×16 RGB, pixel = f(doc_id % 16), BMP for even residues / PNG
+    for odd), so encoder → decoder → grayscale → run counting is all
+    value-checked against a symbolic SQL recomputation of the pixel
+    formula (generate_series grid + LAG run-start detection).
+
+    Engine-exact: run counts are pure integers; the ratio is integer
+    ppm via DIV (2 bytes per run vs 256 gray bytes). No floats
+    anywhere.
+
+    Scale shape: generate→encode→decode→grayscale→RLE FUSED in ONE
+    Arrow-batched mapInPandas pass (round-5 fuse rule); the only
+    exchange is the 16-class rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen_rle(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_runs")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = doc_id % 16
+                w = h = 16
+                pix = bytes(
+                    (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+                dw, dh, dc, dpix, _fmt = decode_image(enc)
+                nch = min(dc, 3)
+                runs = 0
+                for y in range(dh):
+                    prev = None
+                    for x in range(dw):
+                        g = sum(dpix[(y * dw + x) * dc + ch] for ch in range(nch)) // nch
+                        if g != prev:
+                            runs += 1
+                        prev = g
+                out["doc_id"].append(doc_id)
+                out["n_runs"].append(runs)
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(gen_rle, schema="doc_id long, n_runs long")
+    return (
+        scored.groupBy((F.col("doc_id") % 16).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.first("n_runs").cast("bigint").alias("n_runs"),  # identical within class
+        )
+        .select(
+            "canonical_doc",
+            "n_images",
+            "n_runs",
+            F.expr("CAST(n_runs * 2 * 1000000 DIV 256 AS BIGINT)").alias(
+                "rle_ratio_ppm"
+            ),
+        )
+        .orderBy("canonical_doc")
+    )
+
+
+MULTIMODAL_RLE_SQL = """
+WITH px AS (
+  SELECT s, x, y,
+         ((((x*x + 2*y + 5*s + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 37 + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 74 + (s*x)//3) % 256)) // 3) AS g
+  FROM generate_series(0, 15) ts(s),
+       generate_series(0, 15) tx(x),
+       generate_series(0, 15) ty(y)
+),
+runs AS (
+  SELECT s,
+         SUM(CASE WHEN prev IS NULL OR g <> prev THEN 1 ELSE 0 END) AS n_runs
+  FROM (
+    SELECT s, y, x, g,
+           LAG(g) OVER (PARTITION BY s, y ORDER BY x) AS prev
+    FROM px
+  )
+  GROUP BY 1
+),
+cls AS (
+  SELECT doc_id % 16 AS s, COUNT(*) AS n_images, MIN(doc_id) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT CAST(c.canonical_doc AS BIGINT) AS canonical_doc,
+       CAST(c.n_images AS BIGINT) AS n_images,
+       CAST(r.n_runs AS BIGINT) AS n_runs,
+       CAST(r.n_runs * 2 * 1000000 // 256 AS BIGINT) AS rle_ratio_ppm
+FROM runs r JOIN cls c ON c.s = r.s
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_rle_compressibility"] = multimodal_rle_compressibility
+ORACLE["multimodal_rle_compressibility"] = MULTIMODAL_RLE_SQL

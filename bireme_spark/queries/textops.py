@@ -1684,3 +1684,72 @@ ORDER BY a.lang
 
 QUERIES["text_tokenizer_fertility"] = text_tokenizer_fertility
 ORACLE["text_tokenizer_fertility"] = TEXT_FERTILITY_SQL
+
+
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K (Yule 1944, "The Statistical Study of
+    Literary Vocabulary") per corpus source — the classic
+    length-invariant lexical-richness statistic a curation pipeline
+    tracks per domain: K = 10^4 * (S2 - N) / N^2 with N = token
+    count and S2 = sum over types of m^2 (m = type frequency). High
+    K = repetitive vocabulary (template/boilerplate sources); low K
+    = rich vocabulary. Length-invariance makes it comparable across
+    sources with wildly different volumes, unlike raw TTR.
+
+    Engine-exact: N and S2 are integers; K is emitted as integer
+    e6-scaled ppm via one DECIMAL(38,0) division (10^10 * (S2 - N)
+    DIV N^2) — no floating point anywhere. At 100 TB a source can
+    hold ~1e12 tokens: N^2 ~ 1e24 and the scaled numerator ~1e34
+    both fit DECIMAL(38,0), and the quotient is re-CAST to BIGINT
+    (its true magnitude is K*1e6 <= ~1e9).
+
+    Scale: one tokenize pass -> (source, token) count agg (map-side
+    combined) -> per-source 3-scalar agg. No joins, no windows; the
+    per-type table is vocabulary-sized, not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    freq = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("m"))
+    dec = "decimal(38,0)"
+    agg = freq.groupBy("source").agg(
+        F.sum("m").cast(dec).alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("m").cast(dec) * F.col("m").cast(dec)).cast(dec).alias("s2"),
+    )
+    k_e6 = F.expr(
+        "CAST((CAST(s2 AS DECIMAL(38,0)) - n_tok) * CAST(10000000000 AS DECIMAL(38,0))"
+        " DIV (n_tok * n_tok) AS BIGINT)"
+    )
+    return agg.select(
+        "source",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        "n_types",
+        k_e6.alias("yule_k_e6"),
+    ).orderBy("source")
+
+
+TEXT_YULE_K_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT source, token, COUNT(*) AS m FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(m) AS HUGEINT) AS n_tok,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS s2
+  FROM freq GROUP BY 1
+)
+SELECT source,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       n_types,
+       CAST((s2 - n_tok) * 10000000000 // (n_tok * n_tok) AS BIGINT) AS yule_k_e6
+FROM agg
+ORDER BY source
+"""
+
+QUERIES["text_yule_k"] = text_yule_k
+ORACLE["text_yule_k"] = TEXT_YULE_K_SQL

@@ -5113,3 +5113,549 @@ ORDER BY t
 
 QUERIES["events_ewma_chart"] = events_ewma_chart
 ORACLE["events_ewma_chart"] = EVENTS_EWMA_SQL
+
+
+def events_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart (attribute control chart) on the daily
+    purchase-conversion proportion — the SPC chart for a RATE with a
+    varying subgroup size, completing the house control-chart family
+    (xbar-R for means, EWMA for drift, CUSUM for small shifts, SPRT
+    for sequential tests): center line p_bar = total purchases /
+    total events; per-day 3-sigma limits p_bar +- 3*sqrt(p_bar *
+    (1 - p_bar) / n_t) (wider on quiet days, tighter on busy ones).
+
+    Engine determinism: daily (n, x) are integers; p_ppm is integer
+    ppm via DIV (no rounding ties); the limits involve one sqrt —
+    IEEE-754 sqrt is correctly rounded, so identical double inputs
+    give bit-identical limits on both engines, and the out-of-control
+    FLAG compares RAW doubles built by the same expression tree (the
+    e6 ROUND on the emitted limits is display-only, never compared
+    against). One-shot ROUND of a smooth irrational is measure-zero
+    safe (house rule).
+
+    Scale: one day-grain map-side-combined agg; the chart itself is
+    |days| rows (time-span-bounded, not corpus-bounded)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("x"),
+    )
+    tot = daily.agg(
+        F.sum("n").cast("bigint").alias("tn"), F.sum("x").cast("bigint").alias("tx")
+    )
+    j = daily.crossJoin(F.broadcast(tot))
+    pbar = F.col("tx").cast("double") / F.col("tn").cast("double")
+    sig = F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n").cast("double"))
+    ucl = pbar + F.lit(3.0) * sig
+    lcl = pbar - F.lit(3.0) * sig
+    phat = F.col("x").cast("double") / F.col("n").cast("double")
+    flag = (
+        F.when(phat > ucl, F.lit("high"))
+        .when(phat < lcl, F.lit("low"))
+        .otherwise(F.lit("in"))
+    )
+    return j.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("x").cast("bigint").alias("n_purchases"),
+        F.expr("CAST(x * 1000000 DIV n AS BIGINT)").alias("p_ppm"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        flag.alias("control"),
+    ).orderBy("day")
+
+
+EVENTS_P_CHART_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(x) AS BIGINT) AS tx FROM daily)
+SELECT day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(x AS BIGINT) AS n_purchases,
+       CAST(x * 1000000 // n AS BIGINT) AS p_ppm,
+       ROUND(CAST(tx AS DOUBLE) / tn
+             + 3.0 * sqrt((CAST(tx AS DOUBLE) / tn) * (1.0 - CAST(tx AS DOUBLE) / tn)
+                          / CAST(n AS DOUBLE)), 6) AS ucl,
+       ROUND(CAST(tx AS DOUBLE) / tn
+             - 3.0 * sqrt((CAST(tx AS DOUBLE) / tn) * (1.0 - CAST(tx AS DOUBLE) / tn)
+                          / CAST(n AS DOUBLE)), 6) AS lcl,
+       CASE WHEN CAST(x AS DOUBLE) / n
+               > CAST(tx AS DOUBLE) / tn
+                 + 3.0 * sqrt((CAST(tx AS DOUBLE) / tn) * (1.0 - CAST(tx AS DOUBLE) / tn)
+                              / CAST(n AS DOUBLE)) THEN 'high'
+            WHEN CAST(x AS DOUBLE) / n
+               < CAST(tx AS DOUBLE) / tn
+                 - 3.0 * sqrt((CAST(tx AS DOUBLE) / tn) * (1.0 - CAST(tx AS DOUBLE) / tn)
+                              / CAST(n AS DOUBLE)) THEN 'low'
+            ELSE 'in' END AS control
+FROM daily, tot
+ORDER BY day
+"""
+
+QUERIES["events_p_chart"] = events_p_chart
+ORACLE["events_p_chart"] = EVENTS_P_CHART_SQL
+
+
+def events_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (Richman & Moorman 2000) of the daily
+    event-count series, m = 2 — the regularity statistic
+    physiologic/ops monitoring uses where spectral methods fail:
+    SampEn = -ln(A/B) with B = matching template pairs of length m
+    and A = of length m+1 (Chebyshev distance <= r, self-matches
+    excluded). Low SampEn = self-similar/regular load; high = noise.
+
+    Engine determinism: the series is integer counts; the tolerance
+    r = (max - min) DIV 10 is integer (no sd/sqrt in the tolerance,
+    which would couple r to float rounding); template matching is
+    pure integer comparisons, so A and B are exact integers on both
+    engines; the single transcendental ln(B/A) is a one-shot e6
+    ROUND of a ratio of integers (measure-zero ties, house rule).
+
+    Scale: SampEn needs every template PAIR, but the series is
+    |days| rows — TIME-SPAN-bounded, not corpus-bounded: the
+    day-grain agg is the only corpus scan (localCheckpointed once,
+    since three branches — templates, tolerance, template count —
+    would otherwise each re-scan the corpus); the pair join is a
+    broadcast nested-loop over <=~2.4k rows (~3M integer compares)
+    at ANY corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    ).localCheckpoint(eager=True)
+    w = Window.orderBy("day")
+    ser = daily.select(
+        F.row_number().over(w).alias("t"),
+        F.col("y").cast("bigint").alias("y0"),
+        F.lead("y", 1).over(w).cast("bigint").alias("y1"),
+        F.lead("y", 2).over(w).cast("bigint").alias("y2"),
+    ).where(F.col("y2").isNotNull())
+    # integer tolerance from the full-series range (same rows: y0 of
+    # the trimmed frame misses the last 2 days; recompute on daily)
+    rng = daily.agg(
+        F.expr("CAST((MAX(y) - MIN(y)) DIV 10 AS BIGINT)").alias("r")
+    )
+    a = ser.select(
+        F.col("t").alias("i"),
+        F.col("y0").alias("a0"),
+        F.col("y1").alias("a1"),
+        F.col("y2").alias("a2"),
+    )
+    b = ser.select(
+        F.col("t").alias("j"),
+        F.col("y0").alias("b0"),
+        F.col("y1").alias("b1"),
+        F.col("y2").alias("b2"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("i") < F.col("j"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            (
+                (F.abs(F.col("a0") - F.col("b0")) <= F.col("r"))
+                & (F.abs(F.col("a1") - F.col("b1")) <= F.col("r"))
+            ).alias("m_match"),
+            (
+                (F.abs(F.col("a0") - F.col("b0")) <= F.col("r"))
+                & (F.abs(F.col("a1") - F.col("b1")) <= F.col("r"))
+                & (F.abs(F.col("a2") - F.col("b2")) <= F.col("r"))
+            ).alias("m1_match"),
+        )
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("m_match"), 1).otherwise(0)).cast("bigint").alias("b_count"),
+        F.sum(F.when(F.col("m1_match"), 1).otherwise(0)).cast("bigint").alias("a_count"),
+    )
+    n_tpl = ser.count()
+    return agg.crossJoin(F.broadcast(rng)).select(
+        F.lit(int(n_tpl)).cast("bigint").alias("n_templates"),
+        F.col("r").cast("bigint").alias("r_tol"),
+        "b_count",
+        "a_count",
+        F.when(
+            (F.col("a_count") > 0) & (F.col("b_count") > 0),
+            F.round(
+                F.log(F.col("b_count").cast("double") / F.col("a_count").cast("double"))
+                * 1e6
+            ).cast("bigint"),
+        ).alias("sampen_e6"),
+    )
+
+
+EVENTS_SAMPEN_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS y FROM events GROUP BY 1
+),
+rng AS (
+  SELECT CAST((MAX(y) - MIN(y)) // 10 AS BIGINT) AS r FROM daily
+),
+ser AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+         CAST(y AS BIGINT) AS y0,
+         CAST(LEAD(y, 1) OVER (ORDER BY day) AS BIGINT) AS y1,
+         CAST(LEAD(y, 2) OVER (ORDER BY day) AS BIGINT) AS y2
+  FROM daily
+),
+tpl AS (SELECT * FROM ser WHERE y2 IS NOT NULL),
+pairs AS (
+  SELECT CASE WHEN abs(a.y0 - b.y0) <= r.r AND abs(a.y1 - b.y1) <= r.r
+              THEN 1 ELSE 0 END AS m_match,
+         CASE WHEN abs(a.y0 - b.y0) <= r.r AND abs(a.y1 - b.y1) <= r.r
+                   AND abs(a.y2 - b.y2) <= r.r
+              THEN 1 ELSE 0 END AS m1_match
+  FROM tpl a JOIN tpl b ON a.t < b.t CROSS JOIN rng r
+),
+agg AS (
+  SELECT CAST(SUM(m_match) AS BIGINT) AS b_count,
+         CAST(SUM(m1_match) AS BIGINT) AS a_count
+  FROM pairs
+)
+SELECT CAST((SELECT COUNT(*) FROM tpl) AS BIGINT) AS n_templates,
+       r.r AS r_tol,
+       a.b_count,
+       a.a_count,
+       CASE WHEN a.a_count > 0 AND a.b_count > 0
+            THEN CAST(ROUND(ln(CAST(a.b_count AS DOUBLE) / a.a_count) * 1000000)
+                      AS BIGINT)
+            END AS sampen_e6
+FROM agg a, rng r
+"""
+
+QUERIES["events_sample_entropy"] = events_sample_entropy
+ORACLE["events_sample_entropy"] = EVENTS_SAMPEN_SQL
+
+
+def events_dfa_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis (Peng et al. 1994) of the daily
+    event-count series — the long-range-correlation exponent that,
+    unlike the R/S Hurst twin (events_hurst_exponent), stays valid
+    under nonstationarity: integrate the mean-centered series into a
+    profile, split into boxes of s ∈ {4, 8, 16, 32} days, OLS-detrend
+    each box, and regress log F²(s) on log s; α = slope/2 (α ≈ 0.5
+    white noise, > 0.5 persistent, ≈ 1 pink/1-over-f load).
+
+    Engine-exact: per-day deviations are n-INDEPENDENT downscaled
+    integers (d_i = (N·y_i − S) DIV k, k = GREATEST(1, S DIV 1e7)
+    computed IN-PLAN from the same agg — k = 1 at every driver tier
+    so recorded rounds stay bit-identical, and at 100 TB the
+    DECIMAL(38,0) quadratic forms stay bounded: the r8 Mahalanobis
+    rule); per-box SSE·n·B = C·B − A² is an exact integer in the
+    standard scaled OLS form (A = nΣτY − ΣτΣY, B = nΣτ² − (Στ)², C =
+    nΣY² − (ΣY)²); the only floats are FOUR one-shot e6-rounded
+    ln(F²(s)) values and the closing 4-point regression is integer
+    e6 algebra with one final DIV.
+
+    Scale: one corpus scan to day grain (localCheckpointed — profile,
+    scale guard, and box stats all read it); everything after is
+    |days|×4 rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    ).localCheckpoint(eager=True)
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("y").cast("bigint").alias("s_tot"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    prof = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("k", F.expr("GREATEST(CAST(1 AS BIGINT), s_tot DIV 10000000)"))
+        .withColumn("d", F.expr("(nn * y - s_tot) DIV k"))
+        .withColumn("t", F.row_number().over(Window.orderBy("day")))
+        .withColumn("yy", F.sum("d").over(w).cast("bigint"))
+        .select("t", "yy", "nn")
+    )
+    boxed = prof.select(
+        "t",
+        "yy",
+        "nn",
+        F.explode(F.array(F.lit(4), F.lit(8), F.lit(16), F.lit(32))).alias("s"),
+    ).where(
+        F.expr("(t - 1) DIV s < nn DIV s")  # full boxes only
+    )
+    dec = "CAST({x} AS DECIMAL(38,0))"
+    per_box = (
+        boxed.withColumn("box", F.expr("(t - 1) DIV s"))
+        .withColumn("tau", F.expr("t - ((t - 1) DIV s) * s"))
+        .groupBy("s", "box")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("tau").cast("bigint").alias("st"),
+            F.sum(F.expr("tau * tau")).cast("bigint").alias("stt"),
+            F.sum(F.expr(dec.format(x="yy"))).cast("decimal(38,0)").alias("sy"),
+            F.sum(F.expr(dec.format(x="yy") + " * " + dec.format(x="yy")))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+            F.sum(F.expr("CAST(tau AS DECIMAL(38,0)) * CAST(yy AS DECIMAL(38,0))"))
+            .cast("decimal(38,0)")
+            .alias("sty"),
+        )
+    )
+    per_s = (
+        per_box.withColumn(
+            "a_",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * sty - CAST(st AS DECIMAL(38,0)) * sy"
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "b_",
+            F.expr("CAST(n * stt - st * st AS DECIMAL(38,0))"),
+        )
+        .withColumn(
+            "c_",
+            F.expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy").cast("decimal(38,0)"),
+        )
+        .withColumn("ssenum", F.expr("c_ * b_ - a_ * a_").cast("decimal(38,0)"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_boxes"),
+            F.sum("ssenum").cast("decimal(38,0)").alias("sum_ssenum"),
+            F.first("b_").alias("bconst"),
+            F.first("n").alias("nconst"),
+        )
+    )
+    lf2 = F.round(
+        F.log(
+            F.col("sum_ssenum").cast("double")
+            / (
+                F.col("nconst").cast("double")
+                * F.col("nconst").cast("double")
+                * F.col("bconst").cast("double")
+                * F.col("n_boxes").cast("double")
+            )
+        )
+        * 1e6
+    ).cast("bigint")
+    import math as _math
+
+    ls_map = {s: round(_math.log(s) * 1e6) for s in (4, 8, 16, 32)}
+    ls_expr = (
+        F.when(F.col("s") == 4, ls_map[4])
+        .when(F.col("s") == 8, ls_map[8])
+        .when(F.col("s") == 16, ls_map[16])
+        .otherwise(ls_map[32])
+        .cast("bigint")
+    )
+    pts = per_s.select(
+        "s", "n_boxes", lf2.alias("lf2_e6"), ls_expr.alias("ls_e6")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    closed = pts.select(
+        "s",
+        "n_boxes",
+        "lf2_e6",
+        F.count(F.lit(1)).over(wall).alias("np"),
+        F.sum("ls_e6").over(wall).alias("sl"),
+        F.sum(F.expr("ls_e6 * ls_e6")).over(wall).alias("sll"),
+        F.sum("lf2_e6").over(wall).alias("sf"),
+        F.sum(F.expr("ls_e6 * lf2_e6")).over(wall).alias("slf"),
+    )
+    # slope of lf2 on ls is 2α → α_ppm = num·1e6 DIV (2·den); the
+    # e6·e6 cross products overflow LONG, so the algebra rides
+    # DECIMAL(38,0) (DuckDB's window SUMs are HUGEINT already)
+    alpha = F.expr(
+        "CAST((CAST(np AS DECIMAL(38,0)) * CAST(slf AS DECIMAL(38,0))"
+        " - CAST(sl AS DECIMAL(38,0)) * CAST(sf AS DECIMAL(38,0)))"
+        " * CAST(1000000 AS DECIMAL(38,0))"
+        " DIV (CAST(2 AS DECIMAL(38,0)) * (CAST(np AS DECIMAL(38,0)) * CAST(sll AS DECIMAL(38,0))"
+        " - CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0)))) AS BIGINT)"
+    )
+    return closed.select(
+        F.col("s").cast("int").alias("box_size"),
+        "n_boxes",
+        "lf2_e6",
+        alpha.alias("alpha_ppm"),
+    ).orderBy("box_size")
+
+
+def _dfa_sql() -> str:
+    import math as _math
+
+    ls_case = " ".join(
+        f"WHEN s = {s} THEN {round(_math.log(s) * 1e6)}" for s in (4, 8, 16, 32)
+    )
+    return f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS y FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(y) AS BIGINT) AS s_tot FROM daily
+),
+prof AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+         CAST(SUM((tot.nn * y - tot.s_tot)
+                  // GREATEST(CAST(1 AS BIGINT), tot.s_tot // 10000000))
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS yy,
+         tot.nn AS nn
+  FROM daily, tot
+),
+boxed AS (
+  SELECT s, (t - 1) // s AS box, t - ((t - 1) // s) * s AS tau, yy
+  FROM prof, (SELECT unnest([4, 8, 16, 32]) AS s) sz
+  WHERE (t - 1) // s < nn // s
+),
+per_box AS (
+  SELECT s, box, COUNT(*) AS n,
+         CAST(SUM(tau) AS BIGINT) AS st,
+         CAST(SUM(tau * tau) AS BIGINT) AS stt,
+         CAST(SUM(CAST(yy AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(yy AS HUGEINT) * yy) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(tau AS HUGEINT) * yy) AS HUGEINT) AS sty
+  FROM boxed GROUP BY 1, 2
+),
+per_s AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_boxes,
+         SUM((CAST(n AS HUGEINT) * syy - sy * sy) * (CAST(n AS HUGEINT) * stt - st * st)
+             - (CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy)
+               * (CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy)) AS sum_ssenum,
+         MIN(CAST(n AS HUGEINT) * stt - st * st) AS bconst,
+         MIN(n) AS nconst
+  FROM per_box GROUP BY 1
+),
+pts AS (
+  SELECT s, n_boxes,
+         CAST(ROUND(ln(CAST(sum_ssenum AS DOUBLE)
+                       / (CAST(nconst AS DOUBLE) * CAST(nconst AS DOUBLE)
+                          * CAST(bconst AS DOUBLE) * CAST(n_boxes AS DOUBLE))) * 1000000)
+              AS BIGINT) AS lf2_e6,
+         CAST(CASE {ls_case} END AS BIGINT) AS ls_e6
+  FROM per_s
+),
+closed AS (
+  SELECT s, n_boxes, lf2_e6,
+         COUNT(*) OVER () AS np,
+         SUM(ls_e6) OVER () AS sl,
+         SUM(ls_e6 * ls_e6) OVER () AS sll,
+         SUM(lf2_e6) OVER () AS sf,
+         SUM(ls_e6 * lf2_e6) OVER () AS slf
+  FROM pts
+)
+SELECT CAST(s AS INTEGER) AS box_size, n_boxes, lf2_e6,
+       CAST((np * slf - sl * sf) * 1000000 // (2 * (np * sll - sl * sl)) AS BIGINT)
+         AS alpha_ppm
+FROM closed
+ORDER BY box_size
+"""
+
+
+QUERIES["events_dfa_exponent"] = events_dfa_exponent
+ORACLE["events_dfa_exponent"] = _dfa_sql()
+
+
+def orders_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 —
+    the M3-competition winner and the benchmark every forecasting
+    paper still reports) of monthly order counts, horizons 1–4:
+    decompose into the θ=0 line (the OLS linear trend) and the θ=2
+    line (2y_t − trend_t, double-curvature), smooth the θ=2 line
+    with SES (α = 1/2), and combine ŷ(T+h) = ½·trend(T+h) + ½·SES
+    level.
+
+    FULLY INTEGER, both engines: with D = T·(T·Στ² − (Στ)²), the
+    θ=2 line scales to U_t = 2y_t·D − (Σy·Bd − Bn·Στ + T·Bn·t)
+    (exact BIGINT/py-int); α = 1/2 makes SES the truncating integer
+    recurrence s_t = (U_t + s_{t−1}) DIV 2 (trunc-toward-zero on
+    BOTH engines — Python's floor // is corrected for negatives in
+    the fold); the forecast closes as one integer e6 DIV by 2D. No
+    rounding anywhere, so no half-even/half-away trap (the r4 Holt
+    lesson) and no recursive-CTE cost on Spark (state-sized fold in
+    one Arrow batch; DuckDB keeps the recursion).
+
+    Scale: orders collapse map-side to the |months| count series;
+    the sequential part touches state, not data."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    )
+    monthly = o.groupBy("month").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month")
+        ys = [int(v) for v in pdf["y"]]
+        T = len(ys)
+        st = T * (T + 1) // 2
+        stt = T * (T + 1) * (2 * T + 1) // 6
+        sy = sum(ys)
+        sty = sum((i + 1) * y for i, y in enumerate(ys))
+        bn = T * sty - st * sy  # slope numerator
+        bd = T * stt - st * st  # slope denominator
+        D = T * bd
+
+        def trunc_half(v: int) -> int:
+            return -((-v) // 2) if v < 0 else v // 2
+
+        s = None
+        for t, y in enumerate(ys, start=1):
+            u = 2 * y * D - (sy * bd - bn * st + T * bn * t)
+            s = u if s is None else trunc_half(u + s)
+        rows = []
+        for h in range(1, 5):
+            v = sy * bd - bn * st + T * bn * (T + h)  # trend(T+h)·D
+            num = (v + s) * 1_000_000
+            den = 2 * D
+            fc = num // den if num >= 0 else -((-num) // den)
+            rows.append((h, fc, T))
+        return pd.DataFrame(rows, columns=["horizon", "forecast_e6", "n_months"])
+
+    return (
+        monthly.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(fold, "horizon int, forecast_e6 long, n_months int")
+        .orderBy("horizon")
+    )
+
+
+ORDERS_THETA_SQL = """
+WITH RECURSIVE
+monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS y
+  FROM orders GROUP BY 1
+),
+series AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY month) AS BIGINT) AS t,
+         CAST(y AS HUGEINT) AS y
+  FROM monthly
+),
+c AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS tn,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         CAST(SUM(t * t) AS HUGEINT) AS stt,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(t * y) AS HUGEINT) AS sty
+  FROM series
+),
+k AS (
+  SELECT tn, st, sy,
+         tn * sty - st * sy AS bn,
+         tn * stt - st * st AS bd,
+         tn * (tn * stt - st * st) AS d
+  FROM c
+),
+u AS (
+  SELECT s.t, 2 * s.y * k.d - (k.sy * k.bd - k.bn * k.st + k.tn * k.bn * s.t) AS u
+  FROM series s, k
+),
+ses(t, s) AS (
+  SELECT CAST(1 AS BIGINT), (SELECT u FROM u WHERE t = 1)
+  UNION ALL
+  SELECT w.t + 1, (nxt.u + w.s) // 2
+  FROM ses w JOIN u nxt ON nxt.t = w.t + 1
+),
+fin AS (SELECT s FROM ses WHERE t = (SELECT MAX(t) FROM ses))
+SELECT CAST(h.horizon AS INTEGER) AS horizon,
+       CAST(((k.sy * k.bd - k.bn * k.st + k.tn * k.bn * (k.tn + h.horizon)) + fin.s)
+            * 1000000 // (2 * k.d) AS BIGINT) AS forecast_e6,
+       CAST(k.tn AS INTEGER) AS n_months
+FROM fin, k, (VALUES (1), (2), (3), (4)) AS h(horizon)
+ORDER BY horizon
+"""
+
+QUERIES["orders_theta_forecast"] = orders_theta_forecast
+ORACLE["orders_theta_forecast"] = ORDERS_THETA_SQL

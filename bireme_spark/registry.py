@@ -88,6 +88,19 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "tokenizer_unigram_train",
         "events_sprt_monitor",
         "graph_betweenness_sample",
+        "text_yule_k",
+        "events_p_chart",
+        "events_sample_entropy",
+        "graph_modularity",
+        "ann_filtered_topk",
+        "embedding_triplet_eval",
+        "events_ams_f2_sketch",
+        "dedup_lsh_tuning",
+        "events_dfa_exponent",
+        "cdc_op_sequence_audit",
+        "multimodal_rle_compressibility",
+        "corpus_mix_waterfill",
+        "orders_theta_forecast",
     }
 )
 

@@ -539,3 +539,281 @@ def test_betweenness_tracks_float_brandes(spark, sf_dir):
     float_set = {n for n, _ in top_float}
     got_set = {r.p_partkey for r in rows}
     assert len(float_set & got_set) >= 13, (float_set, got_set)
+
+
+def test_ams_f2_estimate_tracks_exact_f2(spark, sf_dir):
+    """The AMS estimate must land within 60% of the exact F2 (the
+    mean-of-64 estimator's rel-sd is sqrt(2/64) ~ 18%; md5 signs are
+    deterministic so this is a fixed, not flaky, assertion) AND the
+    exact F2 emitted by the query must equal the pandas recompute —
+    an absolute check the cross-engine hash cannot provide."""
+    from bireme_spark.queries.events import events_ams_f2_sketch
+
+    row = events_ams_f2_sketch(spark, sf_dir).collect()[0]
+    ev = _pq(sf_dir, "events")
+    counts = ev.groupby("user_id").size()
+    f2 = int((counts.astype("int64") ** 2).sum())
+    assert row.f2_exact == f2
+    assert row.n_users == counts.shape[0]
+    assert abs(row.f2_est - f2) <= 0.6 * f2, (row.f2_est, f2)
+    assert row.rel_err_ppm == abs(row.f2_est - f2) * 10**6 // f2
+
+
+def test_sample_entropy_matches_naive_recompute(spark, sf_dir):
+    """SampEn's A/B template counts recomputed naively in pandas
+    (O(days²) loop) must equal the query's — and the entropy must be
+    the ln of their ratio."""
+    import numpy as np
+
+    from bireme_spark.queries.timeseries import events_sample_entropy
+
+    row = events_sample_entropy(spark, sf_dir).collect()[0]
+    ev = _pq(sf_dir, "events")
+    daily = ev.groupby(ev["ts"].dt.strftime("%Y-%m-%d")).size().sort_index()
+    y = daily.to_numpy(dtype="int64")
+    r = int((y.max() - y.min()) // 10)
+    n = len(y) - 2
+    b_cnt = a_cnt = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if abs(y[i] - y[j]) <= r and abs(y[i + 1] - y[j + 1]) <= r:
+                b_cnt += 1
+                if abs(y[i + 2] - y[j + 2]) <= r:
+                    a_cnt += 1
+    assert row.r_tol == r and row.n_templates == n
+    assert row.b_count == b_cnt and row.a_count == a_cnt
+    if a_cnt and b_cnt:
+        assert row.sampen_e6 == round(math.log(b_cnt / a_cnt) * 1e6)
+
+
+def test_modularity_total_is_partition_quality_identity(spark, sf_dir):
+    """Q recomputed from the emitted per-community (e_c, d_c, m)
+    integers must reproduce q_total_ppb, and the global identities
+    must hold: sum(d_c) = 2m, sum(e_c) <= m, |Q| <= 1."""
+    from bireme_spark.queries.audit import graph_modularity
+
+    rows = graph_modularity(spark, sf_dir).collect()
+    tot_deg = sum(r.degree_sum for r in rows)
+    assert tot_deg % 2 == 0
+    m = tot_deg // 2
+    assert sum(r.e_within for r in rows) <= m
+    num = sum(4 * m * r.e_within - r.degree_sum**2 for r in rows)
+    # truncation toward zero on both engines
+    q = num * 10**9
+    den = 4 * m * m
+    trunc = q // den if q >= 0 else -((-q) // den)
+    assert all(r.q_total_ppb == trunc for r in rows)
+    assert abs(trunc) <= 10**9
+
+
+def test_yule_k_matches_pandas_spectrum_recompute(spark, sf_dir):
+    from bireme_spark.queries.textops import text_yule_k
+
+    rows = {r.source: r for r in text_yule_k(spark, sf_dir).collect()}
+    docs = _pq(sf_dir, "documents")
+    for source, grp in docs.groupby("source"):
+        toks = [t for txt in grp["text"] for t in str(txt).split(" ") if t]
+        n = len(toks)
+        freq = pd.Series(toks).value_counts()
+        s2 = int((freq.astype("int64") ** 2).sum())
+        r = rows[source]
+        assert r.n_tokens == n and r.n_types == freq.shape[0]
+        assert r.yule_k_e6 == (s2 - n) * 10**10 // (n * n)
+
+
+def test_p_chart_flags_match_pandas_recompute(spark, sf_dir):
+    from bireme_spark.queries.timeseries import events_p_chart
+
+    out = {r.day: r for r in events_p_chart(spark, sf_dir).collect()}
+    ev = _pq(sf_dir, "events")
+    daily = ev.groupby(ev["ts"].dt.strftime("%Y-%m-%d")).agg(
+        n=("event_id", "size"), x=("event_type", lambda s: int((s == "purchase").sum()))
+    )
+    tn, tx = int(daily["n"].sum()), int(daily["x"].sum())
+    pbar = tx / tn
+    for day, row in daily.iterrows():
+        n, x = int(row["n"]), int(row["x"])
+        sig = math.sqrt(pbar * (1 - pbar) / n)
+        want = "high" if x / n > pbar + 3 * sig else ("low" if x / n < pbar - 3 * sig else "in")
+        got = out[day]
+        assert got.n_events == n and got.n_purchases == x
+        assert got.p_ppm == x * 10**6 // n
+        assert got.control == want, day
+
+
+def test_dfa_per_scale_fluctuations_match_numpy_recompute(spark, sf_dir):
+    """Every per-s log-fluctuation (and so the slope) recomputed with
+    numpy's lstsq detrending must agree with the query's integer
+    algebra: SSE sums are compared EXACTLY, lf2 to the e6 round."""
+    import numpy as np
+
+    from bireme_spark.queries.timeseries import events_dfa_exponent
+
+    rows = {r.box_size: r for r in events_dfa_exponent(spark, sf_dir).collect()}
+    ev = _pq(sf_dir, "events")
+    daily = ev.groupby(ev["ts"].dt.strftime("%Y-%m-%d")).size().sort_index()
+    y = daily.to_numpy(dtype=object)
+    N = len(y)
+    S = int(sum(y))
+    k = max(1, S // 10_000_000)
+    # python // floors; Spark DIV truncates toward zero — k=1 at test
+    # scale so both agree exactly (the in-plan guard keeps it so)
+    assert k == 1
+    d = [N * int(v) - S for v in y]
+    prof = np.cumsum(d)
+    present = {s for s in (4, 8, 16, 32) if N // s >= 1}
+    assert set(rows) == present  # sizes with no full box emit no row
+    pts = []
+    for s in sorted(present):
+        nb = N // s
+        sse_sum = 0
+        for b_ in range(nb):
+            seg = prof[b_ * s : (b_ + 1) * s].astype("int64")
+            tau = np.arange(1, s + 1, dtype="int64")
+            n = s
+            A = n * int((tau * seg).sum()) - int(tau.sum()) * int(seg.sum())
+            B = n * int((tau * tau).sum()) - int(tau.sum()) ** 2
+            C = n * int((seg.astype(object) ** 2).sum()) - int(seg.sum()) ** 2
+            sse_sum += C * B - A * A
+        r = rows[s]
+        assert r.n_boxes == nb
+        lf2 = math.log(sse_sum / (s * s * B * nb))
+        assert r.lf2_e6 == round(lf2 * 1e6), s
+        pts.append((round(math.log(s) * 1e6), r.lf2_e6))
+    np_ = len(pts)
+    sl = sum(p[0] for p in pts)
+    sll = sum(p[0] ** 2 for p in pts)
+    sf = sum(p[1] for p in pts)
+    slf = sum(p[0] * p[1] for p in pts)
+    num = (np_ * slf - sl * sf) * 10**6
+    den = 2 * (np_ * sll - sl * sl)
+    trunc = num // den if num >= 0 else -((-num) // den)
+    assert all(r.alpha_ppm == trunc for r in rows.values())
+
+
+def test_lsh_tuning_scurve_sanity(spark, sf_dir):
+    """Steeper layouts (more rows per band) must trade recall for
+    leak monotonically, and every ppm must be a valid probability."""
+    from bireme_spark.queries.dedup import dedup_lsh_tuning
+
+    rows = dedup_lsh_tuning(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 <= r.est_recall_ppm <= 10**6
+        assert 0 <= r.est_leak_ppm <= 10**6
+        if r.n_true_pairs and r.n_nearmiss_pairs:
+            assert r.est_recall_ppm >= r.est_leak_ppm, r
+    # r=2,b=32 is the shallowest (highest leak); r=8,b=4 the steepest
+    by_r = {r.rows_r: r for r in rows}
+    if by_r[2].n_nearmiss_pairs:
+        assert by_r[2].est_leak_ppm >= by_r[8].est_leak_ppm
+    if by_r[2].n_true_pairs:
+        assert by_r[2].est_recall_ppm >= by_r[8].est_recall_ppm
+
+
+def test_op_sequence_audit_matches_planted_corruption_counts(spark, sf_dir):
+    """The planted corruption is closed-form: orphan_start keys are
+    multiples of 7 with a surviving op (21, 35, ...); after_delete
+    ops are the strays (key % 10 = 0 with a delete)."""
+    from bireme_spark.queries.cdc import cdc_op_sequence_audit
+
+    got = {r.violation: r for r in cdc_op_sequence_audit(spark, sf_dir).collect()}
+    o = _pq(sf_dir, "orders")
+    keys = set(int(k) for k in o["o_orderkey"])
+    orphan = {k for k in keys if k % 7 == 0 and (k % 3 == 0 or k % 5 == 0)}
+    stray_keys = {k for k in keys if k % 10 == 0}  # all have a D (10%5=0)
+    assert got["orphan_start"].n_keys == len(orphan)
+    assert got["orphan_start"].n_ops == len(orphan)
+    assert got["after_delete"].n_keys == len(stray_keys)
+    assert got["after_delete"].n_ops == len(stray_keys)
+    assert "reinsert" not in got
+
+
+def test_waterfill_allocation_satisfies_maxmin_fairness(spark, sf_dir):
+    """Definition-level: saturated sources keep exactly their cap,
+    unsaturated ones share the common level λ, allocations never
+    exceed caps, and the total allocated is within n of the budget
+    (integer floor slack)."""
+    from bireme_spark.queries.corpus import corpus_mix_waterfill
+
+    rows = corpus_mix_waterfill(spark, sf_dir).collect()
+    B = rows[0].budget_tokens
+    total_alloc = sum(r.allocated_tokens for r in rows)
+    lam = rows[0].water_level
+    for r in rows:
+        assert r.allocated_tokens <= r.cap_tokens
+        if r.saturated:
+            assert r.allocated_tokens == r.cap_tokens <= lam
+        else:
+            assert r.allocated_tokens == lam
+    assert total_alloc <= B
+    assert B - total_alloc < len(rows) + 1  # floor slack only
+    # independent recompute of the saturated set
+    caps = sorted((r.cap_tokens, r.source) for r in rows)
+    n = len(caps)
+    prefix = 0
+    sat = set()
+    for idx, (c, s) in enumerate(caps, start=1):
+        prefix += c
+        if c * (n - idx) + prefix <= B:
+            sat.add(s)
+    assert sat == {r.source for r in rows if r.saturated}
+
+
+def test_theta_forecast_matches_pure_python_recompute(spark, sf_dir):
+    from bireme_spark.queries.timeseries import orders_theta_forecast
+
+    rows = {r.horizon: r for r in orders_theta_forecast(spark, sf_dir).collect()}
+    o = _pq(sf_dir, "orders")
+    monthly = o.groupby(o["o_orderdate"].dt.to_period("M")).size().sort_index()
+    ys = [int(v) for v in monthly]
+    T = len(ys)
+    st = T * (T + 1) // 2
+    stt = T * (T + 1) * (2 * T + 1) // 6
+    sy = sum(ys)
+    sty = sum((i + 1) * y for i, y in enumerate(ys))
+    bn, bd = T * sty - st * sy, T * stt - st * st
+    D = T * bd
+    s = None
+    for t, y in enumerate(ys, start=1):
+        u = 2 * y * D - (sy * bd - bn * st + T * bn * t)
+        if s is None:
+            s = u
+        else:
+            v = u + s
+            s = -((-v) // 2) if v < 0 else v // 2
+    for h in range(1, 5):
+        v = sy * bd - bn * st + T * bn * (T + h)
+        num = (v + s) * 10**6
+        den = 2 * D
+        fc = num // den if num >= 0 else -((-num) // den)
+        assert rows[h].forecast_e6 == fc and rows[h].n_months == T
+    # sanity: the forecast sits in the data's convex hull ballpark
+    lo, hi = min(ys), max(ys)
+    span = hi - lo + 1
+    for h in range(1, 5):
+        assert (lo - 5 * span) * 10**6 <= rows[h].forecast_e6 <= (hi + 5 * span) * 10**6
+
+
+def test_rle_runs_match_direct_pixel_recompute(spark, sf_dir):
+    """Re-derive each class's run count straight from the pixel
+    formula (bypassing codecs AND both engines) — a decoder bug that
+    both sides share cannot hide."""
+    from bireme_spark.queries.multimodal import multimodal_rle_compressibility
+
+    rows = {r.canonical_doc % 16: r for r in multimodal_rle_compressibility(spark, sf_dir).collect()}
+    for s in range(16):
+        runs = 0
+        for y in range(16):
+            prev = None
+            for x in range(16):
+                g = (
+                    sum((x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256 for c in range(3))
+                    // 3
+                )
+                if g != prev:
+                    runs += 1
+                prev = g
+        if s in rows:
+            assert rows[s].n_runs == runs, s
+            assert rows[s].rle_ratio_ppm == runs * 2 * 10**6 // 256
