@@ -274,6 +274,10 @@ HEADLINE = [
     "multimodal_rle_compressibility",
     "corpus_mix_waterfill",
     "orders_theta_forecast",
+    "events_hawkes_declustering",
+    "events_western_electric_rules",
+    "cdc_partition_skew_report",
+    "parts_experience_curve",
 ]
 
 

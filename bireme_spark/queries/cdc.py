@@ -3525,3 +3525,63 @@ GROUP BY 1 ORDER BY violation
 
 QUERIES["cdc_op_sequence_audit"] = cdc_op_sequence_audit
 ORACLE["cdc_op_sequence_audit"] = CDC_OP_SEQ_SQL
+
+
+def cdc_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka partition load-skew report over the change stream — the
+    first thing an on-call checks when sync lag climbs: a hot
+    partition serializes its whole key range behind one consumer
+    (the reference consumes one poll loop per partition, so its
+    throughput is bounded by the hottest one). Per partition: op and
+    distinct-key counts, load share (ppm), and skew factor
+    (n_partitions · share — 1000 = perfectly balanced when scaled
+    ×1000), plus the dominant op mix.
+
+    Engine-exact: pure integer counts and DIVs. Scale: one pass over
+    the changelog, |partitions| output rows."""
+    ch = build_changelog(spark, sf_dir)
+    per = ch.groupBy("kafka_partition").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+        F.countDistinct("key").cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).cast("bigint").alias("n_ins"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("bigint").alias("n_upd"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("bigint").alias("n_del"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = per.withColumn("total", F.sum("n_ops").over(wall).cast("bigint")).withColumn(
+        "n_parts", F.count(F.lit(1)).over(wall).cast("bigint")
+    )
+    return tot.select(
+        F.col("kafka_partition").cast("int").alias("kafka_partition"),
+        "n_ops",
+        "n_keys",
+        "n_ins",
+        "n_upd",
+        "n_del",
+        F.expr("CAST(n_ops * 1000000 DIV total AS BIGINT)").alias("load_ppm"),
+        F.expr("CAST(n_ops * n_parts * 1000 DIV total AS BIGINT)").alias("skew_x1000"),
+    ).orderBy("kafka_partition")
+
+
+CDC_PART_SKEW_SQL = f"""
+WITH {CHANGELOG_SQL},
+per AS (
+  SELECT kafka_partition,
+         CAST(COUNT(*) AS BIGINT) AS n_ops,
+         CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+         CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_del
+  FROM changelog GROUP BY 1
+)
+SELECT CAST(kafka_partition AS INTEGER) AS kafka_partition,
+       n_ops, n_keys, n_ins, n_upd, n_del,
+       CAST(n_ops * 1000000 // SUM(n_ops) OVER () AS BIGINT) AS load_ppm,
+       CAST(n_ops * COUNT(*) OVER () * 1000 // SUM(n_ops) OVER () AS BIGINT)
+         AS skew_x1000
+FROM per
+ORDER BY kafka_partition
+"""
+
+QUERIES["cdc_partition_skew_report"] = cdc_partition_skew_report
+ORACLE["cdc_partition_skew_report"] = CDC_PART_SKEW_SQL

@@ -4203,3 +4203,209 @@ FROM est s, exact e
 
 QUERIES["events_ams_f2_sketch"] = events_ams_f2_sketch
 ORACLE["events_ams_f2_sketch"] = EVENTS_AMS_F2_SQL
+
+
+def events_hawkes_declustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-declustering estimate of the Hawkes branching ratio per
+    event type — "what fraction of this event stream is self-excited
+    follow-on activity vs exogenous arrivals?": an event is an
+    IMMIGRANT (cluster head) if its user produced nothing in the
+    preceding 60 minutes, else OFFSPRING; branching ratio n̂ = 1 −
+    immigrants/N and implied mean cluster size N/immigrants — the
+    moment identity E[cluster] = 1/(1−n) every aftershock /
+    virality / retry-storm analysis starts from (Hawkes 1971 via the
+    standard declustering shortcut, not MLE).
+
+    Engine-exact: the immigrant flag is an integer millisecond lag
+    compare inside a per-user window (unix_millis and epoch_ms both
+    FLOOR to ms); counts are integers and the two ratios are integer
+    ppm DIVs with a GREATEST guard.
+
+    Scale: one window pass partitioned by user (per-user streams are
+    short), one type-grain agg — no joins, no global windows."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    ann = e.select(
+        "event_type",
+        (
+            F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(wu))
+        ).alias("gap_ms"),
+    )
+    flagged = ann.select(
+        "event_type",
+        F.when(F.col("gap_ms").isNull() | (F.col("gap_ms") > 3_600_000), 1)
+        .otherwise(0)
+        .alias("immigrant"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("immigrant").cast("bigint").alias("n_immigrants"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_immigrants",
+            F.expr(
+                "CAST((n_events - n_immigrants) * 1000000 DIV n_events AS BIGINT)"
+            ).alias("branching_ppm"),
+            F.expr(
+                "CAST(n_events * 1000000 DIV GREATEST(n_immigrants, 1) AS BIGINT)"
+            ).alias("cluster_size_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_HAWKES_SQL = """
+WITH ann AS (
+  SELECT event_type,
+         epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+           AS gap_ms
+  FROM events
+),
+flagged AS (
+  SELECT event_type,
+         CASE WHEN gap_ms IS NULL OR gap_ms > 3600000 THEN 1 ELSE 0 END AS immigrant
+  FROM ann
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(immigrant) AS BIGINT) AS n_immigrants,
+       CAST((COUNT(*) - SUM(immigrant)) * 1000000 // COUNT(*) AS BIGINT)
+         AS branching_ppm,
+       CAST(COUNT(*) * 1000000 // GREATEST(SUM(immigrant), 1) AS BIGINT)
+         AS cluster_size_ppm
+FROM flagged
+GROUP BY 1
+ORDER BY event_type
+"""
+
+QUERIES["events_hawkes_declustering"] = events_hawkes_declustering
+ORACLE["events_hawkes_declustering"] = EVENTS_HAWKES_SQL
+
+
+def events_western_electric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric run rules (the 1956 WECO handbook battery)
+    over the daily event-count control chart — the pattern tests SPC
+    practitioners layer on a Shewhart chart to catch drifts a single
+    3σ point misses: R1 one point beyond 3σ; R2 two of three
+    consecutive beyond 2σ, same side; R3 four of five beyond 1σ,
+    same side; R4 eight consecutive on one side of the center line.
+
+    FULLY INTEGER via cross-multiplied compares (the ewma-chart
+    pattern): with S = Σx, Q = Σx², n = days, the test |x−μ| > kσ is
+    exactly (n·x − S)² > k²·(n·Q − S²) — DECIMAL(38,0) squares, no
+    sqrt, no division; sides are signs of (n·x − S); the run rules
+    are window counts of ±flags over 3/5/8-row frames.
+
+    Scale: one day-grain agg; everything after runs on the
+    time-span-bounded |days| table."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ).localCheckpoint(eager=True)
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    j = daily.crossJoin(F.broadcast(tot))
+    dev = "(CAST(n AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) - s)"
+    var = "(CAST(n AS DECIMAL(38,0)) * q - s * s)"
+    ann = j.select(
+        "day",
+        "x",
+        F.expr(f"CASE WHEN {dev} > 0 THEN 1 WHEN {dev} < 0 THEN -1 ELSE 0 END").alias(
+            "side"
+        ),
+        F.expr(f"CASE WHEN {dev} * {dev} > 9 * {var} THEN 1 ELSE 0 END").alias("b3"),
+        F.expr(f"CASE WHEN {dev} * {dev} > 4 * {var} THEN 1 ELSE 0 END").alias("b2"),
+        F.expr(f"CASE WHEN {dev} * {dev} > {var} THEN 1 ELSE 0 END").alias("b1"),
+    )
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    w8 = Window.orderBy("day").rowsBetween(-7, 0)
+    rules = ann.select(
+        "day",
+        "x",
+        "side",
+        (F.col("b3") == 1).alias("rule1"),
+        (
+            (F.sum(F.expr("CASE WHEN b2 = 1 AND side = 1 THEN 1 ELSE 0 END")).over(w3) >= 2)
+            | (F.sum(F.expr("CASE WHEN b2 = 1 AND side = -1 THEN 1 ELSE 0 END")).over(w3) >= 2)
+        ).alias("rule2"),
+        (
+            (F.sum(F.expr("CASE WHEN b1 = 1 AND side = 1 THEN 1 ELSE 0 END")).over(w5) >= 4)
+            | (F.sum(F.expr("CASE WHEN b1 = 1 AND side = -1 THEN 1 ELSE 0 END")).over(w5) >= 4)
+        ).alias("rule3"),
+        (
+            (F.count(F.lit(1)).over(w8) == 8)
+            & (F.abs(F.sum("side").over(w8)) == 8)
+        ).alias("rule4"),
+    )
+    return rules.select(
+        "day",
+        "x",
+        "side",
+        "rule1",
+        "rule2",
+        "rule3",
+        "rule4",
+        (F.col("rule1") | F.col("rule2") | F.col("rule3") | F.col("rule4")).alias(
+            "out_of_control"
+        ),
+    ).orderBy("day")
+
+
+def _weco_sql() -> str:
+    dev = "(CAST(n AS HUGEINT) * x - s)"
+    var = "(CAST(n AS HUGEINT) * q - s * s)"
+    return f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+  FROM daily
+),
+ann AS (
+  SELECT day, x,
+         CASE WHEN {dev} > 0 THEN 1 WHEN {dev} < 0 THEN -1 ELSE 0 END AS side,
+         CASE WHEN {dev} * {dev} > 9 * {var} THEN 1 ELSE 0 END AS b3,
+         CASE WHEN {dev} * {dev} > 4 * {var} THEN 1 ELSE 0 END AS b2,
+         CASE WHEN {dev} * {dev} > {var} THEN 1 ELSE 0 END AS b1
+  FROM daily, tot
+),
+rules AS (
+  SELECT day, x, side,
+         b3 = 1 AS rule1,
+         (SUM(CASE WHEN b2 = 1 AND side = 1 THEN 1 ELSE 0 END) OVER (
+            ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+          OR SUM(CASE WHEN b2 = 1 AND side = -1 THEN 1 ELSE 0 END) OVER (
+            ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2) AS rule2,
+         (SUM(CASE WHEN b1 = 1 AND side = 1 THEN 1 ELSE 0 END) OVER (
+            ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4
+          OR SUM(CASE WHEN b1 = 1 AND side = -1 THEN 1 ELSE 0 END) OVER (
+            ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4) AS rule3,
+         (COUNT(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8
+          AND ABS(SUM(side) OVER (
+            ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) = 8) AS rule4
+  FROM ann
+)
+SELECT day, x, side, rule1, rule2, rule3, rule4,
+       (rule1 OR rule2 OR rule3 OR rule4) AS out_of_control
+FROM rules
+ORDER BY day
+"""
+
+
+QUERIES["events_western_electric_rules"] = events_western_electric_rules
+ORACLE["events_western_electric_rules"] = _weco_sql()

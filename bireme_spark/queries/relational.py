@@ -5825,3 +5825,116 @@ FROM agg
 
 QUERIES["lineitem_rdd_discount"] = lineitem_rdd_discount
 ORACLE["lineitem_rdd_discount"] = LINEITEM_RDD_SQL
+
+
+def parts_experience_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wright's-law experience curve per brand (Wright 1936; the
+    learning-curve economics BCG popularized): regress ln(average
+    unit price) on ln(cumulative shipped quantity) over monthly
+    cells — the elasticity b says price drops b% per 1% of
+    accumulated volume; procurement uses it to forecast component
+    cost, pricing uses it to detect brands NOT riding their curve.
+
+    Engine determinism: monthly cells carry DECIMAL-exact price and
+    quantity sums; each cell contributes TWO one-shot e6-rounded
+    logs (ln of an IEEE division of exact decimals — the per-term
+    transcendental rule), and the per-brand OLS slope closes in
+    integer e6 algebra with one final DIV on DECIMAL(38,0) products
+    (e6·e6 sums overflow LONG).
+
+    Scale: one fact scan to (brand, month) grain — map-side combined
+    agg against the broadcast part dim; the regression runs on
+    |brands|·|months| cells."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        money("l_extendedprice").alias("price"),
+        money("l_quantity").alias("qty"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "month")
+        .agg(
+            F.sum("price").cast("decimal(28,2)").alias("rev"),
+            F.sum("qty").cast("decimal(28,2)").alias("vol"),
+        )
+    )
+    wcum = Window.partitionBy("p_brand").orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ln_cells = cells.withColumn(
+        "cumvol", F.sum("vol").over(wcum).cast("decimal(28,2)")
+    ).select(
+        "p_brand",
+        F.round(
+            F.log(F.col("rev").cast("double") / F.col("vol").cast("double")) * 1e6
+        )
+        .cast("bigint")
+        .alias("lp_e6"),
+        F.round(F.log(F.col("cumvol").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("lq_e6"),
+    )
+    agg = ln_cells.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("lq_e6").cast("decimal(38,0)").alias("sx"),
+        F.sum("lp_e6").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(lq_e6 AS DECIMAL(38,0)) * CAST(lq_e6 AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(lq_e6 AS DECIMAL(38,0)) * CAST(lp_e6 AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    return (
+        agg.where(F.col("n_cells") >= 3)  # a 1-2 cell brand has no curve (zero denom)
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_cells",
+            F.expr(
+                "CAST((CAST(n_cells AS DECIMAL(38,0)) * sxy - sx * sy)"
+                " * CAST(1000000 AS DECIMAL(38,0))"
+                " DIV (CAST(n_cells AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)"
+            ).alias("elasticity_ppm"),
+        )
+        .orderBy("brand")
+    )
+
+
+PARTS_EXPERIENCE_SQL = """
+WITH cells AS (
+  SELECT p.p_brand, date_trunc('month', l.l_shipdate) AS month,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS rev,
+         SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS vol
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+ln_cells AS (
+  SELECT p_brand,
+         CAST(ROUND(ln(CAST(rev AS DOUBLE) / CAST(vol AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp_e6,
+         CAST(ROUND(ln(CAST(CAST(SUM(vol) OVER (PARTITION BY p_brand ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2))
+                AS DOUBLE)) * 1000000) AS BIGINT) AS lq_e6
+  FROM cells
+),
+agg AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(lq_e6) AS HUGEINT) AS sx,
+         CAST(SUM(lp_e6) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(lq_e6 AS HUGEINT) * lq_e6) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(lq_e6 AS HUGEINT) * lp_e6) AS HUGEINT) AS sxy
+  FROM ln_cells GROUP BY 1
+)
+SELECT p_brand AS brand, n_cells,
+       CAST((n_cells * sxy - sx * sy) * 1000000
+            // (n_cells * sxx - sx * sx) AS BIGINT) AS elasticity_ppm
+FROM agg
+WHERE n_cells >= 3
+ORDER BY brand
+"""
+
+QUERIES["parts_experience_curve"] = parts_experience_curve
+ORACLE["parts_experience_curve"] = PARTS_EXPERIENCE_SQL

@@ -817,3 +817,56 @@ def test_rle_runs_match_direct_pixel_recompute(spark, sf_dir):
         if s in rows:
             assert rows[s].n_runs == runs, s
             assert rows[s].rle_ratio_ppm == runs * 2 * 10**6 // 256
+
+
+def test_weco_rules_match_pandas_recompute(spark, sf_dir):
+    """Sides, σ-band flags, and all four run rules re-derived with
+    float math in pandas must agree with the integer cross-multiplied
+    forms (float/integer agreement holds because no daily count sits
+    within double-ulp of a band boundary on this data — the integer
+    side is the ground truth, the float side the independent check)."""
+    from bireme_spark.queries.timeseries import events_p_chart  # noqa: F401 (module import guard)
+    from bireme_spark.queries.events import events_western_electric_rules
+
+    rows = events_western_electric_rules(spark, sf_dir).collect()
+    ev = _pq(sf_dir, "events")
+    daily = ev.groupby(ev["ts"].dt.strftime("%Y-%m-%d")).size().sort_index()
+    xs = [int(v) for v in daily]
+    n = len(xs)
+    S, Q = sum(xs), sum(v * v for v in xs)
+    sides = [1 if n * x - S > 0 else (-1 if n * x - S < 0 else 0) for x in xs]
+    b = {k: [(n * x - S) ** 2 > k * k * (n * Q - S * S) for x in xs] for k in (1, 2, 3)}
+    for i, r in enumerate(rows):
+        assert r.x == xs[i] and r.side == sides[i]
+        assert r.rule1 == b[3][i]
+        lo3 = max(0, i - 2)
+        assert r.rule2 == (
+            sum(1 for j in range(lo3, i + 1) if b[2][j] and sides[j] == 1) >= 2
+            or sum(1 for j in range(lo3, i + 1) if b[2][j] and sides[j] == -1) >= 2
+        )
+        lo5 = max(0, i - 4)
+        assert r.rule3 == (
+            sum(1 for j in range(lo5, i + 1) if b[1][j] and sides[j] == 1) >= 4
+            or sum(1 for j in range(lo5, i + 1) if b[1][j] and sides[j] == -1) >= 4
+        )
+        assert r.rule4 == (i >= 7 and abs(sum(sides[i - 7 : i + 1])) == 8)
+
+
+def test_hawkes_declustering_identities(spark, sf_dir):
+    """Immigrant counts re-derived from a pandas per-user scan; the
+    branching ratio and cluster size must satisfy their moment
+    identities exactly in integer ppm."""
+    from bireme_spark.queries.events import events_hawkes_declustering
+
+    rows = {r.event_type: r for r in events_hawkes_declustering(spark, sf_dir).collect()}
+    ev = _pq(sf_dir, "events").sort_values(["user_id", "ts"])
+    ms = ev["ts"].astype("int64") // 10**3  # µs epoch → floored ms
+    prev_ms = ms.groupby(ev["user_id"]).shift()
+    gap = ms - prev_ms
+    ev["immigrant"] = prev_ms.isna() | (gap > 3_600_000)
+    got = ev.groupby("event_type").agg(n=("event_type", "size"), i=("immigrant", "sum"))
+    for et, r in got.iterrows():
+        q = rows[et]
+        assert q.n_events == r["n"] and q.n_immigrants == r["i"]
+        assert q.branching_ppm == (r["n"] - r["i"]) * 10**6 // r["n"]
+        assert q.cluster_size_ppm == r["n"] * 10**6 // max(r["i"], 1)
