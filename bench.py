@@ -278,6 +278,9 @@ HEADLINE = [
     "events_western_electric_rules",
     "cdc_partition_skew_report",
     "parts_experience_curve",
+    "parts_demand_classification",
+    "text_char_entropy",
+    "graph_powerlaw_fit",
 ]
 
 

@@ -2444,3 +2444,107 @@ ORDER BY brand
 
 QUERIES["graph_modularity"] = graph_modularity
 ORACLE["graph_modularity"] = _modularity_sql()
+
+
+def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill/Clauset-style power-law exponent of the co-purchase
+    degree distribution — "is this graph scale-free, and how heavy
+    is its hub tail?": α̂ = 1 + n_tail / Σ ln(d_i / d_min) over
+    degrees ≥ d_min (the discrete Hill MLE), with d_min fixed at the
+    degree distribution's 90th-percentile boundary via the house
+    histogram-CDF (an order statistic, not a magic constant). The
+    diagnostic that says whether degree-targeted interventions
+    (hub caching, hot-key salting) will pay off.
+
+    Engine determinism: the degree HISTOGRAM collapses first
+    (degrees are bounded, ≪ nodes — the distinct-value-histogram
+    rule), so there is ONE e6-rounded ln per distinct tail degree,
+    weighted by its count; d_min is an exact integer cumulative-count
+    boundary; α̂ closes as one integer DIV.
+
+    Scale: edge list → node-degree agg → |distinct degrees| histogram;
+    the quantile never sorts raw nodes."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdf = hist.withColumn("cum", F.sum("cnt").over(wcum).cast("bigint")).withColumn(
+        "n", F.sum("cnt").over(wall).cast("bigint")
+    )
+    # d_min = smallest degree whose cumulative count reaches 90% of nodes
+    dmin_row = cdf.where(F.expr("cum * 10 >= n * 9")).agg(
+        F.min("d").cast("bigint").alias("d_min")
+    )
+    tail = cdf.crossJoin(F.broadcast(dmin_row)).where(F.col("d") >= F.col("d_min"))
+    scored = tail.select(
+        "d_min",
+        "cnt",
+        F.round(
+            F.log(F.col("d").cast("double") / F.col("d_min").cast("double")) * 1e6
+        )
+        .cast("bigint")
+        .alias("ln_e6"),
+    )
+    agg = scored.groupBy("d_min").agg(
+        F.sum("cnt").cast("bigint").alias("n_tail"),
+        F.sum(F.expr("cnt * ln_e6")).cast("bigint").alias("sum_ln_e6"),
+    )
+    # α̂ = 1 + n_tail / (Σcnt·ln / 1e6): ppm = 1e6 + n_tail·1e12 DIV Σ
+    return agg.select(
+        "d_min",
+        "n_tail",
+        F.expr(
+            "CAST(1000000 + CAST(n_tail AS DECIMAL(38,0)) * CAST(1000000000000 AS DECIMAL(38,0))"
+            " DIV CAST(GREATEST(sum_ln_e6, 1) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("alpha_ppm"),
+    )
+
+
+GRAPH_POWERLAW_SQL = """
+WITH in_order AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM in_order a JOIN in_order b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT x, COUNT(*) AS d FROM (
+    SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges
+  ) GROUP BY 1
+),
+hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY 1),
+cdf AS (
+  SELECT d, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM hist
+),
+dmin AS (SELECT CAST(MIN(d) AS BIGINT) AS d_min FROM cdf WHERE cum * 10 >= n * 9),
+scored AS (
+  SELECT m.d_min, c.cnt,
+         CAST(ROUND(ln(CAST(c.d AS DOUBLE) / m.d_min) * 1000000) AS BIGINT) AS ln_e6
+  FROM cdf c, dmin m WHERE c.d >= m.d_min
+),
+agg AS (
+  SELECT d_min,
+         CAST(SUM(cnt) AS BIGINT) AS n_tail,
+         CAST(SUM(cnt * ln_e6) AS BIGINT) AS sum_ln_e6
+  FROM scored GROUP BY 1
+)
+SELECT d_min, n_tail,
+       CAST(1000000 + CAST(n_tail AS HUGEINT) * 1000000000000
+            // GREATEST(sum_ln_e6, 1) AS BIGINT) AS alpha_ppm
+FROM agg
+"""
+
+QUERIES["graph_powerlaw_fit"] = graph_powerlaw_fit
+ORACLE["graph_powerlaw_fit"] = GRAPH_POWERLAW_SQL

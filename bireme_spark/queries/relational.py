@@ -5938,3 +5938,102 @@ ORDER BY brand
 
 QUERIES["parts_experience_curve"] = parts_experience_curve
 ORACLE["parts_experience_curve"] = PARTS_EXPERIENCE_SQL
+
+
+def parts_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos–Boylan demand-pattern classification (2005) of every
+    part into the four forecastability quadrants — smooth /
+    intermittent / erratic / lumpy — by average inter-demand
+    interval (ADI, cutoff 1.32) and squared coefficient of variation
+    of nonzero monthly demand (CV², cutoff 0.49). The triage that
+    decides WHICH forecaster a part gets (smooth → Holt/theta,
+    intermittent → Croston, lumpy → don't bother) before anyone
+    spends model budget.
+
+    FULLY INTEGER both engines: monthly quantities ride ×100 cents
+    scaling (DECIMAL(12,2) is exactly 2dp); ADI ≥ 1.32 becomes
+    100·total_months ≥ 132·active_months; CV² ≥ 0.49 becomes
+    100·(nΣq² − S²) ≥ 49·S² on DECIMAL(38,0) products — no division
+    anywhere until the final share ppm.
+
+    Scale: one fact scan to (part, month) grain, one part-grain agg,
+    4 output rows; the global month horizon is an in-plan broadcast
+    scalar (no driver count)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        (money("l_quantity") * 100).cast("decimal(38,0)").alias("q_c"),
+    )
+    cells = li.groupBy("l_partkey", "month").agg(
+        F.sum("q_c").cast("decimal(38,0)").alias("q")
+    )
+    horizon = cells.agg(
+        F.countDistinct("month").cast("bigint").alias("total_months")
+    )
+    per_part = cells.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_months"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("q * q")).cast("decimal(38,0)").alias("qq"),
+    )
+    j = per_part.crossJoin(F.broadcast(horizon))
+    adi_high = F.expr("100 * total_months >= 132 * active_months")
+    cv2_high = F.expr(
+        "CAST(100 AS DECIMAL(38,0)) * (CAST(active_months AS DECIMAL(38,0)) * qq - s * s)"
+        " >= CAST(49 AS DECIMAL(38,0)) * s * s"
+    )
+    cls = (
+        F.when(adi_high & cv2_high, "lumpy")
+        .when(adi_high, "intermittent")
+        .when(cv2_high, "erratic")
+        .otherwise("smooth")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        j.select(cls.alias("demand_class"))
+        .groupBy("demand_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .withColumn("total", F.sum("n_parts").over(wall))
+        .select(
+            "demand_class",
+            "n_parts",
+            F.expr("CAST(n_parts * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("demand_class")
+    )
+
+
+PARTS_DEMAND_CLASS_SQL = """
+WITH cells AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)))
+              AS HUGEINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+horizon AS (SELECT CAST(COUNT(DISTINCT month) AS BIGINT) AS total_months FROM cells),
+per_part AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS active_months,
+         CAST(SUM(q) AS HUGEINT) AS s,
+         CAST(SUM(q * q) AS HUGEINT) AS qq
+  FROM cells GROUP BY 1
+),
+classed AS (
+  SELECT CASE
+           WHEN 100 * h.total_months >= 132 * p.active_months
+                AND 100 * (p.active_months * p.qq - p.s * p.s) >= 49 * p.s * p.s
+             THEN 'lumpy'
+           WHEN 100 * h.total_months >= 132 * p.active_months THEN 'intermittent'
+           WHEN 100 * (p.active_months * p.qq - p.s * p.s) >= 49 * p.s * p.s
+             THEN 'erratic'
+           ELSE 'smooth' END AS demand_class
+  FROM per_part p, horizon h
+)
+SELECT demand_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT) AS share_ppm
+FROM classed
+GROUP BY 1
+ORDER BY demand_class
+"""
+
+QUERIES["parts_demand_classification"] = parts_demand_classification
+ORACLE["parts_demand_classification"] = PARTS_DEMAND_CLASS_SQL

@@ -1753,3 +1753,101 @@ ORDER BY source
 
 QUERIES["text_yule_k"] = text_yule_k
 ORACLE["text_yule_k"] = TEXT_YULE_K_SQL
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram Shannon entropy per document, rolled up per
+    source — the compressibility prior quality filters use alongside
+    repetition ratios (near-zero entropy = padding/repeated glyphs;
+    abnormally high = base64/binary spill inside "text"): H =
+    Σ_c (cnt_c/n)·ln(n/cnt_c) in e6-scaled nats.
+
+    Engine determinism: one e6-rounded ln PER DISTINCT (doc, char)
+    term (the bounded-alphabet table, ≤ ~60 terms/doc — the per-term
+    transcendental rule), then the entropy is an exact integer dot
+    product DIV n; per-source means are SUM DIV n_docs (never a
+    rounded mean).
+
+    Scale: chars explode once (the same cost class as the token
+    ops), ONE (doc, char)-keyed shuffle, then doc- and source-grain
+    aggs. Empty docs are excluded before sequence() (it counts down
+    from 1 to 0)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("n")
+    ).where(F.col("n") >= 1)
+    # the test parquet is ONE row group — spread the scan so the char
+    # explode (the CPU-heavy stage) runs on every core (house rule)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    chars = d.select(
+        "doc_id",
+        "source",
+        "n",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "source", "n", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = counts.select(
+        "doc_id",
+        "source",
+        "n",
+        "c",
+        F.round(F.log(F.col("n").cast("double") / F.col("c").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("lnterm_e6"),
+    )
+    per_doc = term.groupBy("doc_id", "source", "n").agg(
+        F.sum(F.expr("c * lnterm_e6")).cast("bigint").alias("dot")
+    ).select("source", F.expr("CAST(dot DIV n AS BIGINT)").alias("ent_e6"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ent_e6").cast("bigint").alias("sum_ent"),
+            F.min("ent_e6").alias("min_ent_e6"),
+            F.max("ent_e6").alias("max_ent_e6"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST(sum_ent DIV n_docs AS BIGINT)").alias("mean_ent_e6"),
+            "min_ent_e6",
+            "max_ent_e6",
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_CHAR_ENTROPY_SQL = """
+WITH d AS (
+  SELECT doc_id, source, text, length(text) AS n FROM documents WHERE length(text) >= 1
+),
+chars AS (
+  SELECT doc_id, source, n, unnest(string_split(text, '')) AS ch FROM d
+),
+counts AS (
+  SELECT doc_id, source, n, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3, 4
+),
+term AS (
+  SELECT doc_id, source, n, c,
+         CAST(ROUND(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS lnterm_e6
+  FROM counts
+),
+per_doc AS (
+  SELECT source, CAST(CAST(SUM(c * lnterm_e6) AS HUGEINT) // n AS BIGINT) AS ent_e6
+  FROM term GROUP BY doc_id, source, n
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(SUM(ent_e6) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_ent_e6,
+       CAST(MIN(ent_e6) AS BIGINT) AS min_ent_e6,
+       CAST(MAX(ent_e6) AS BIGINT) AS max_ent_e6
+FROM per_doc
+GROUP BY 1
+ORDER BY source
+"""
+
+QUERIES["text_char_entropy"] = text_char_entropy
+ORACLE["text_char_entropy"] = TEXT_CHAR_ENTROPY_SQL

@@ -105,6 +105,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_western_electric_rules",
         "cdc_partition_skew_report",
         "parts_experience_curve",
+        "parts_demand_classification",
+        "text_char_entropy",
+        "graph_powerlaw_fit",
     }
 )
 

@@ -870,3 +870,87 @@ def test_hawkes_declustering_identities(spark, sf_dir):
         assert q.n_events == r["n"] and q.n_immigrants == r["i"]
         assert q.branching_ppm == (r["n"] - r["i"]) * 10**6 // r["n"]
         assert q.cluster_size_ppm == r["n"] * 10**6 // max(r["i"], 1)
+
+
+def test_demand_classification_matches_pandas_quadrants(spark, sf_dir):
+    from bireme_spark.queries.relational import parts_demand_classification
+
+    got = {r.demand_class: r for r in parts_demand_classification(spark, sf_dir).collect()}
+    li = _pq(sf_dir, "lineitem")
+    li["month"] = li["l_shipdate"].dt.to_period("M")
+    li["q_c"] = [int(_money(v) * 100) for v in li["l_quantity"]]
+    cells = li.groupby(["l_partkey", "month"])["q_c"].sum()
+    total_months = cells.index.get_level_values("month").nunique()
+    counts: dict[str, int] = {}
+    for pk, grp in cells.groupby(level=0):
+        qs = [int(v) for v in grp]
+        n = len(qs)
+        s, qq = sum(qs), sum(v * v for v in qs)
+        adi_high = 100 * total_months >= 132 * n
+        cv2_high = 100 * (n * qq - s * s) >= 49 * s * s
+        cls = (
+            "lumpy" if adi_high and cv2_high
+            else "intermittent" if adi_high
+            else "erratic" if cv2_high
+            else "smooth"
+        )
+        counts[cls] = counts.get(cls, 0) + 1
+    assert {k: v.n_parts for k, v in got.items()} == counts
+    tot = sum(counts.values())
+    for k, r in got.items():
+        assert r.share_ppm == counts[k] * 10**6 // tot
+
+
+def test_char_entropy_matches_counter_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from bireme_spark.queries.textops import text_char_entropy
+
+    got = {r.source: r for r in text_char_entropy(spark, sf_dir).collect()}
+    docs = _pq(sf_dir, "documents")
+    per_source: dict[str, list[int]] = {}
+    for _, row in docs.iterrows():
+        text = str(row["text"])
+        n = len(text)
+        if n < 1:
+            continue
+        cnt = Counter(text)
+        # ROUND half-away matches both engines on these irrational lns
+        dot = sum(
+            c * int(Decimal(math.log(n / c) * 1e6).quantize(Decimal(1), ROUND_HALF_UP))
+            for c in cnt.values()
+        )
+        per_source.setdefault(row["source"], []).append(dot // n)
+    for src, ents in per_source.items():
+        r = got[src]
+        assert r.n_docs == len(ents)
+        assert r.mean_ent_e6 == sum(ents) // len(ents)
+        assert r.min_ent_e6 == min(ents) and r.max_ent_e6 == max(ents)
+
+
+def test_powerlaw_alpha_matches_float_hill(spark, sf_dir):
+    """α̂ recomputed with float Hill on the pandas-built degree
+    histogram must agree to 2 ulps of the ppm quantization, and
+    d_min must sit at the exact 90th-percentile rank position."""
+    from bireme_spark.queries.audit import graph_powerlaw_fit
+
+    row = graph_powerlaw_fit(spark, sf_dir).collect()[0]
+    li = _pq(sf_dir, "lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    edges = set(zip(pairs["l_partkey_x"], pairs["l_partkey_y"]))
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    ds = sorted(deg.values())
+    n = len(ds)
+    d_min = ds[_ceil_div(9 * n, 10) - 1]
+    assert row.d_min == d_min
+    tail = [d for d in ds if d >= d_min]
+    assert row.n_tail == len(tail)
+    sum_ln_e6 = sum(
+        int(Decimal(math.log(d / d_min) * 1e6).quantize(Decimal(1), ROUND_HALF_UP))
+        for d in tail
+    )
+    assert row.alpha_ppm == 10**6 + len(tail) * 10**12 // max(sum_ln_e6, 1)
