@@ -281,6 +281,10 @@ HEADLINE = [
     "parts_demand_classification",
     "text_char_entropy",
     "graph_powerlaw_fit",
+    "ann_radius_search",
+    "customers_nelson_aalen",
+    "lineitem_iv_regression",
+    "orders_cochran_armitage",
 ]
 
 

@@ -301,3 +301,90 @@ ORDER BY query_id, rank
 
 QUERIES["ann_filtered_topk"] = ann_filtered_topk
 ORACLE["ann_filtered_topk"] = ANN_FILTERED_SQL
+
+
+RADIUS_TAU = 0.3
+
+
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact RADIUS (range) search: every corpus vector with cosine ≥
+    τ = 0.3 per query (the ~p99 of this embedding family's cosine
+    distribution — calibrated, not arbitrary) — the vector-store sibling of top-k for
+    "give me everything at least this similar" workloads (dedup
+    candidate pull, recall-first retrieval, abuse-cluster expansion),
+    where a fixed k silently truncates dense neighborhoods and pads
+    sparse ones. Same exact-cosine discipline as bruteforce_topk
+    (per-row norm precompute, float→double fold, ROUND 6; the τ
+    filter applies to the ROUNDED value so the emitted set is
+    self-consistent); per-query match counts ride along so an empty
+    neighborhood is an auditable zero, not an absent row.
+
+    Scale: the query side broadcasts (10 rows); the corpus never
+    shuffles; at production scale the same call composes with the
+    LSH/IVF candidate generators exactly as topk does — the
+    brute-force form IS the oracle-checkable baseline."""
+    from pyspark.sql import Window
+
+    from bireme_spark.operators.ann import _dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
+    c = _corpus(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+        .where(F.col("cosine") >= RADIUS_TAU)
+    )
+    wq = Window.partitionBy("query_id")
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.count(F.lit(1)).over(wq).cast("bigint").alias("n_matches"),
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+ANN_RADIUS_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding AS cv
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         SUM(x * y) AS dot, SUM(x * x) AS nq, SUM(y * y) AS nc
+  FROM (SELECT query_id, neighbor_id,
+               CAST(unnest(qv) AS DOUBLE) AS x,
+               CAST(unnest(cv) AS DOUBLE) AS y
+        FROM pairs) z
+  GROUP BY query_id, neighbor_id
+),
+matched AS (
+  SELECT query_id, neighbor_id,
+         ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS cosine
+  FROM dots
+  WHERE ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) >= {RADIUS_TAU}
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_matches
+FROM matched
+ORDER BY query_id, cosine DESC, neighbor_id
+"""
+
+QUERIES["ann_radius_search"] = ann_radius_search
+ORACLE["ann_radius_search"] = ANN_RADIUS_SQL

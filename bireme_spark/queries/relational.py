@@ -6037,3 +6037,255 @@ ORDER BY demand_class
 
 QUERIES["parts_demand_classification"] = parts_demand_classification
 ORACLE["parts_demand_classification"] = PARTS_DEMAND_CLASS_SQL
+
+
+def customers_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator of the customer
+    repurchase interval — the additive sibling of customers_survival_km
+    (same gaps, same right-censoring at the corpus horizon): H(t) =
+    Σ_{tᵢ≤t} dᵢ/nᵢ. Preferred over −ln(KM) for small risk sets and
+    the natural input to proportional-hazards diagnostics (a straight
+    H(t) on log-t is Weibull-consistent).
+
+    Engine-exact: each hazard increment is an integer-ppm TRUNCATING
+    DIV (dᵢ·10⁶ DIV nᵢ — never a ROUND of an exact rational, which
+    can sit on .5 ties), and the curve is a cumulative BIGINT sum;
+    at-risk counts come from the same histogram-CDF machinery as KM
+    (never a sort of raw gaps).
+
+    Scale: one (custkey, orderdate) window for gaps, then the
+    duration histogram (time-bounded)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = F.lead("o_orderdate").over(w)
+    spans = (
+        o.withColumn("nxt", nxt)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate"))
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .alias("t"),
+            F.col("nxt").isNotNull().alias("is_event"),
+        )
+        .where(F.col("t") > 0)
+    )
+    hist = spans.groupBy("t").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wcum_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        hist.withColumn("total", F.sum("tot").over(wall).cast("bigint"))
+        .withColumn(
+            "n_at_risk",
+            F.col("total") - F.coalesce(F.sum("tot").over(wcum_prev), F.lit(0)),
+        )
+        .where(F.col("d") > 0)
+    )
+    term = F.expr("CAST(d * 1000000 DIV n_at_risk AS BIGINT)")
+    return (
+        curve.withColumn("term_ppm", term)
+        .withColumn("cum_hazard_ppm", F.sum("term_ppm").over(wcum).cast("bigint"))
+        .select(
+            F.col("t").cast("int").alias("gap_days"),
+            "d",
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            "cum_hazard_ppm",
+        )
+        .orderBy("gap_days")
+    )
+
+
+CUSTOMERS_NELSON_AALEN_SQL = """
+WITH o AS (SELECT o_custkey, o_orderdate FROM orders),
+h AS (SELECT MAX(o_orderdate) AS h FROM o),
+spans AS (
+  SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, h.h) END AS t,
+         nxt IS NOT NULL AS is_event
+  FROM (SELECT o_custkey, o_orderdate,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS nxt
+        FROM o) s, h
+),
+good AS (SELECT * FROM spans WHERE t > 0),
+hist AS (
+  SELECT t, CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS tot
+  FROM good GROUP BY 1
+),
+curve AS (
+  SELECT t, d,
+         CAST(SUM(tot) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(tot) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_at_risk
+  FROM hist
+),
+ev AS (
+  SELECT t, d, n_at_risk, CAST(d * 1000000 // n_at_risk AS BIGINT) AS term_ppm
+  FROM curve WHERE d > 0
+)
+SELECT CAST(t AS INTEGER) AS gap_days, d, n_at_risk,
+       CAST(SUM(term_ppm) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_ppm
+FROM ev
+ORDER BY gap_days
+"""
+
+QUERIES["customers_nelson_aalen"] = customers_nelson_aalen
+ORACLE["customers_nelson_aalen"] = CUSTOMERS_NELSON_AALEN_SQL
+
+
+def lineitem_iv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables (2SLS, one instrument) estimate of the
+    quantity-on-discount effect with PART SIZE as the instrument —
+    the econometric workhorse when the regressor is endogenous
+    (discounts respond to demand, so OLS is biased; a cost-side
+    attribute shifts the discount without entering the demand
+    equation): β_IV = cov(z,y)/cov(z,x), the Wald ratio. Emits OLS
+    alongside (the endogeneity gap IS the finding) and the
+    first-stage cov(z,x) sign/scale as the weak-instrument check.
+
+    Engine-exact: all five sufficient statistics are DECIMAL-exact
+    (discount cents-scaled, quantity 2dp, size integer); both betas
+    are integer e6 via DECIMAL(38,0) cross products and ONE DIV.
+
+    Scale: one fact-dim join (AQE decides broadcast) and one
+    map-side-combined 6-scalar agg — model-sized output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (money("l_quantity") * 100).cast("decimal(38,0)").alias("y"),
+        (F.col("l_discount").cast("decimal(5,2)") * 100).cast("decimal(38,0)").alias("x"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("decimal(38,0)").alias("z")
+    )
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("z * y")).cast("decimal(38,0)").alias("szy"),
+        F.sum(F.expr("z * x")).cast("decimal(38,0)").alias("szx"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST((n * szy - sz * sy) * CAST(1000000 AS DECIMAL(38,0))"
+            " DIV (n * szx - sz * sx) AS BIGINT)"
+        ).alias("beta_iv_e6"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * CAST(1000000 AS DECIMAL(38,0))"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("beta_ols_e6"),
+        F.expr("CAST(n * szx - sz * sx AS BIGINT)").alias("first_stage_cov_scaled"),
+    )
+
+
+LINEITEM_IV_SQL = """
+WITH j AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y,
+         CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS HUGEINT) AS x,
+         CAST(p_size AS HUGEINT) AS z
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+         SUM(x * y) AS sxy, SUM(z * y) AS szy, SUM(z * x) AS szx, SUM(x * x) AS sxx
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST((n * szy - sz * sy) * 1000000 // (n * szx - sz * sx) AS BIGINT) AS beta_iv_e6,
+       CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT) AS beta_ols_e6,
+       CAST(n * szx - sz * sx AS BIGINT) AS first_stage_cov_scaled
+FROM agg
+"""
+
+QUERIES["lineitem_iv_regression"] = lineitem_iv_regression
+ORACLE["lineitem_iv_regression"] = LINEITEM_IV_SQL
+
+
+def orders_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the fulfilled-order share
+    rise MONOTONICALLY with order priority (scores 1..5 from the
+    '1-URGENT'..'5-LOW' prefixes)? The right test when the grouping
+    is ORDERED — a plain chi-square throws the ordering away and
+    loses power exactly where ops care (is priority handling
+    actually prioritized?).
+
+    Determinism: the five sufficient statistics (N, X, T = Σwx,
+    W1 = Σwn, W2 = Σw²n) are exact integers; z² is one IEEE double
+    expression over those integers, identical on both engines (the
+    p-chart contract: same inputs + same expression tree =
+    bit-identical), emitted at a one-shot 6dp ROUND.
+
+    Scale: one order-grain scan agg to 5 rows, then scalars."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("w"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x"),
+    )
+    g = o.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("xs"),
+    )
+    s = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("xs").cast("bigint").alias("xx"),
+        F.sum(F.expr("w * xs")).cast("bigint").alias("t"),
+        F.sum(F.expr("w * n")).cast("bigint").alias("w1"),
+        F.sum(F.expr("w * w * n")).cast("bigint").alias("w2"),
+    )
+    num = "(CAST(nn AS DOUBLE) * t - CAST(xx AS DOUBLE) * w1)"
+    den = (
+        "(CAST(xx AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(xx AS DOUBLE))"
+        " * (CAST(nn AS DOUBLE) * w2 - CAST(w1 AS DOUBLE) * w1))"
+    )
+    return s.select(
+        F.col("nn").alias("n_orders"),
+        F.col("xx").alias("n_fulfilled"),
+        F.expr(f"ROUND({num} * {num} * CAST(nn AS DOUBLE) / {den}, 6)").alias("z2"),
+        F.expr(f"CASE WHEN {num} > 0 THEN 1 WHEN {num} < 0 THEN -1 ELSE 0 END").alias(
+            "trend_sign"
+        ),
+    )
+
+
+ORDERS_COCHRAN_ARMITAGE_SQL = """
+WITH o AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x
+  FROM orders
+),
+g AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS xs
+  FROM o GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(xs) AS BIGINT) AS xx,
+         CAST(SUM(w * xs) AS BIGINT) AS t,
+         CAST(SUM(w * n) AS BIGINT) AS w1,
+         CAST(SUM(w * w * n) AS BIGINT) AS w2
+  FROM g
+)
+SELECT nn AS n_orders, xx AS n_fulfilled,
+       ROUND((CAST(nn AS DOUBLE) * t - CAST(xx AS DOUBLE) * w1)
+             * (CAST(nn AS DOUBLE) * t - CAST(xx AS DOUBLE) * w1)
+             * CAST(nn AS DOUBLE)
+             / (CAST(xx AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(xx AS DOUBLE))
+                * (CAST(nn AS DOUBLE) * w2 - CAST(w1 AS DOUBLE) * w1)), 6) AS z2,
+       CASE WHEN CAST(nn AS DOUBLE) * t - CAST(xx AS DOUBLE) * w1 > 0 THEN 1
+            WHEN CAST(nn AS DOUBLE) * t - CAST(xx AS DOUBLE) * w1 < 0 THEN -1
+            ELSE 0 END AS trend_sign
+FROM s
+"""
+
+QUERIES["orders_cochran_armitage"] = orders_cochran_armitage
+ORACLE["orders_cochran_armitage"] = ORDERS_COCHRAN_ARMITAGE_SQL

@@ -108,6 +108,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "parts_demand_classification",
         "text_char_entropy",
         "graph_powerlaw_fit",
+        "ann_radius_search",
+        "customers_nelson_aalen",
+        "lineitem_iv_regression",
+        "orders_cochran_armitage",
     }
 )
 

@@ -954,3 +954,104 @@ def test_powerlaw_alpha_matches_float_hill(spark, sf_dir):
         for d in tail
     )
     assert row.alpha_ppm == 10**6 + len(tail) * 10**12 // max(sum_ln_e6, 1)
+
+
+def test_nelson_aalen_increments_and_km_consistency(spark, sf_dir):
+    """H(t) must be the cumulative truncating-ppm sum of d/n over the
+    same risk sets KM uses, n_at_risk must be strictly decreasing,
+    and exp(-H) must dominate the KM curve (the classical
+    NA-vs-KM inequality S_KM(t) <= exp(-H(t)))."""
+    from bireme_spark.queries.relational import customers_nelson_aalen, customers_survival_km
+
+    na = customers_nelson_aalen(spark, sf_dir).collect()
+    cum = 0
+    prev_risk = None
+    for r in na:
+        assert r.d >= 1
+        cum += r.d * 10**6 // r.n_at_risk
+        assert r.cum_hazard_ppm == cum
+        if prev_risk is not None:
+            assert r.n_at_risk < prev_risk
+        prev_risk = r.n_at_risk
+    km = {r.t_days: r for r in customers_survival_km(spark, sf_dir).collect()}
+    for r in na:
+        if r.gap_days in km and km[r.gap_days].survival is not None:
+            s_km = km[r.gap_days].survival
+            assert s_km <= math.exp(-r.cum_hazard_ppm / 1e6) + 1e-6, r.gap_days
+
+
+def test_iv_regression_matches_exact_fraction_recompute(spark, sf_dir):
+    from fractions import Fraction
+
+    from bireme_spark.queries.relational import lineitem_iv_regression
+
+    row = lineitem_iv_regression(spark, sf_dir).collect()[0]
+    li = _pq(sf_dir, "lineitem")[["l_partkey", "l_quantity", "l_discount"]]
+    p = _pq(sf_dir, "part")[["p_partkey", "p_size"]]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    y = [int(_money(v) * 100) for v in j["l_quantity"]]
+    x = [int(Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100) for v in j["l_discount"]]
+    z = [int(v) for v in j["p_size"]]
+    n = len(y)
+    assert row.n_rows == n
+    sy, sx, sz = sum(y), sum(x), sum(z)
+    szy = sum(a * b for a, b in zip(z, y))
+    szx = sum(a * b for a, b in zip(z, x))
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    def trunc_div(a, b):
+        q = abs(a) * 10**6 // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    assert row.beta_iv_e6 == trunc_div(n * szy - sz * sy, n * szx - sz * sx)
+    assert row.beta_ols_e6 == trunc_div(n * sxy - sx * sy, n * sxx - sx * sx)
+    assert row.first_stage_cov_scaled == n * szx - sz * sx
+    # the Wald ratio really is cov(z,y)/cov(z,x)
+    assert Fraction(n * szy - sz * sy, n * szx - sz * sx) == Fraction(
+        sum((zi - Fraction(sz, n)) * yi for zi, yi in zip(z, y))
+    ) / Fraction(sum((zi - Fraction(sz, n)) * xi for zi, xi in zip(z, x)))
+
+
+def test_cochran_armitage_matches_float_recompute(spark, sf_dir):
+    from bireme_spark.queries.relational import orders_cochran_armitage
+
+    row = orders_cochran_armitage(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    w = o["o_orderpriority"].str[0].astype(int)
+    x = (o["o_orderstatus"] == "F").astype(int)
+    N, X = len(o), int(x.sum())
+    T = int((w * x).sum())
+    W1, W2 = int(w.sum()), int((w * w).sum())
+    num = N * T - X * W1
+    den = X * (N - X) * (N * W2 - W1 * W1)
+    z2 = (float(num) ** 2) * N / den
+    assert row.n_orders == N and row.n_fulfilled == X
+    assert abs(row.z2 - z2) < 2e-6
+    assert row.trend_sign == (1 if num > 0 else (-1 if num < 0 else 0))
+
+
+def test_radius_search_is_the_exact_cosine_ball(spark, sf_dir):
+    import numpy as np
+
+    from bireme_spark.queries.ann import RADIUS_TAU, ann_radius_search
+
+    rows = ann_radius_search(spark, sf_dir).collect()
+    emb = _pq(sf_dir, "embeddings")
+    V = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    want = set()
+    for qid in range(10):
+        if qid not in V:
+            continue
+        qv = V[qid]
+        for nid, cv in V.items():
+            if nid == qid:
+                continue
+            cos = round(float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))), 6)
+            if cos >= RADIUS_TAU:
+                want.add((qid, nid))
+    assert got == want
+    counts = {}
+    for r in rows:
+        counts.setdefault(r.query_id, set()).add(r.n_matches)
+    for qid, ns in counts.items():
+        assert ns == {sum(1 for a, _ in got if a == qid)}
