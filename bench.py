@@ -285,6 +285,9 @@ HEADLINE = [
     "customers_nelson_aalen",
     "lineitem_iv_regression",
     "orders_cochran_armitage",
+    "events_markov_attribution",
+    "orders_adstock_regression",
+    "cdc_consumer_rebalance_plan",
 ]
 
 

@@ -3585,3 +3585,106 @@ ORDER BY kafka_partition
 
 QUERIES["cdc_partition_skew_report"] = cdc_partition_skew_report
 ORACLE["cdc_partition_skew_report"] = CDC_PART_SKEW_SQL
+
+
+_REBAL_CONSUMERS = 3
+_REBAL_MAX_PARTS = 8  # kafka_partition = key % 8 in the changelog fixture
+
+
+def cdc_consumer_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-group rebalance plan via LPT greedy scheduling
+    (longest-processing-time first — the classic 4/3-approximate
+    makespan bound): assign each Kafka partition, heaviest first, to
+    the currently least-loaded of 3 consumers. The plan an operator
+    wants BEFORE triggering a rebalance when cdc_partition_skew_report
+    shows a hot partition: which consumer takes what, the resulting
+    makespan, and how far from perfectly balanced the best static
+    assignment can get.
+
+    Determinism: ties break by (consumer id, partition id); loads are
+    exact integer op counts; the balance factor is an integer DIV.
+    The Spark side folds the |partitions|-row load table in Python
+    (model-sized collect, like the BPE merge table); the oracle runs
+    the same greedy as chained MATERIALIZED CTE levels — one per
+    partition slot, each picking MIN(load) from the previous level.
+
+    Scale: one changelog pass to |partitions| rows; the greedy is
+    O(P·C) on the model."""
+    ch = build_changelog(spark, sf_dir)
+    loads = [
+        (int(r["kafka_partition"]), int(r["n_ops"]))
+        for r in ch.groupBy("kafka_partition")
+        .agg(F.count(F.lit(1)).alias("n_ops"))
+        .collect()
+    ]
+    loads.sort(key=lambda t: (-t[1], t[0]))
+    cons = [0] * _REBAL_CONSUMERS
+    assign = []
+    for p, n in loads:
+        c = min(range(_REBAL_CONSUMERS), key=lambda i: (cons[i], i))
+        cons[c] += n
+        assign.append((p, n, c))
+    total = sum(n for _, n, _ in assign)
+    makespan = max(cons)
+    bal = makespan * _REBAL_CONSUMERS * 1000 // max(total, 1)
+    rows = [
+        (p, n, c, cons[c], makespan, bal) for p, n, c in sorted(assign)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "kafka_partition int, n_ops bigint, consumer int,"
+        " consumer_load bigint, makespan bigint, balance_x1000 bigint",
+    ).orderBy("kafka_partition")
+
+
+def _rebalance_sql() -> str:
+    lvls = [
+        "lvl0 AS MATERIALIZED (SELECT * FROM (VALUES "
+        + ", ".join(f"({c}, CAST(0 AS BIGINT))" for c in range(_REBAL_CONSUMERS))
+        + ") t(consumer, load))"
+    ]
+    picks = []
+    for k in range(1, _REBAL_MAX_PARTS + 1):
+        lvls.append(
+            f"""pick{k} AS MATERIALIZED (
+  SELECT r.p, r.n_ops,
+         (SELECT consumer FROM lvl{k - 1} ORDER BY load, consumer LIMIT 1) AS consumer
+  FROM ranked r WHERE r.rk = {k})"""
+        )
+        lvls.append(
+            f"""lvl{k} AS MATERIALIZED (
+  SELECT l.consumer,
+         l.load + CASE WHEN l.consumer = (SELECT consumer FROM pick{k})
+                       THEN (SELECT n_ops FROM pick{k}) ELSE 0 END AS load
+  FROM lvl{k - 1} l)"""
+        )
+        picks.append(f"SELECT p, n_ops, consumer FROM pick{k}")
+    union = "\nUNION ALL ".join(picks)
+    return f"""
+WITH {CHANGELOG_SQL},
+per AS (
+  SELECT kafka_partition AS p, CAST(COUNT(*) AS BIGINT) AS n_ops
+  FROM changelog GROUP BY 1
+),
+ranked AS (
+  SELECT p, n_ops, ROW_NUMBER() OVER (ORDER BY n_ops DESC, p) AS rk FROM per
+),
+{",".join(lvls)},
+assign AS ({union}),
+fin AS (SELECT MAX(load) AS makespan, SUM(load) AS total
+        FROM lvl{_REBAL_MAX_PARTS})
+SELECT CAST(a.p AS INTEGER) AS kafka_partition,
+       a.n_ops,
+       CAST(a.consumer AS INTEGER) AS consumer,
+       (SELECT load FROM lvl{_REBAL_MAX_PARTS} l WHERE l.consumer = a.consumer)
+         AS consumer_load,
+       CAST(f.makespan AS BIGINT) AS makespan,
+       CAST(f.makespan * {_REBAL_CONSUMERS} * 1000 // GREATEST(f.total, 1) AS BIGINT)
+         AS balance_x1000
+FROM assign a, fin f
+ORDER BY kafka_partition
+"""
+
+
+QUERIES["cdc_consumer_rebalance_plan"] = cdc_consumer_rebalance_plan
+ORACLE["cdc_consumer_rebalance_plan"] = _rebalance_sql()

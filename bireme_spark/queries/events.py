@@ -4409,3 +4409,161 @@ ORDER BY day
 
 QUERIES["events_western_electric_rules"] = events_western_electric_rules
 ORACLE["events_western_electric_rules"] = _weco_sql()
+
+
+_ATTR_H = 8
+_ATTR_CHANNELS = ("click", "error", "signup", "view")  # fixture vocabulary minus the conversion
+
+
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016 —
+    the data-driven alternative to last-touch): model user journeys
+    as START → events → {purchase | null}, compute the finite-horizon
+    conversion probability from START (h = 8, same fundamental-matrix
+    read as events_absorption_profile), then re-compute it with each
+    channel REMOVED (its incoming transitions re-routed to null:
+    numerator drops, denominator keeps the mass); a channel's credit
+    is the conversion it would take with it. Complements
+    events_shapley_attribution (path-coalition view) with the
+    chain view production attribution stacks actually run.
+
+    Engine-exact: integer transition counts; the p-iteration is the
+    absorption profile's pure-BIGINT (r·10⁶ + Σc·p) DIV n recurrence
+    per variant (base + one per channel); removal effects are exact
+    ppm differences (provably ≥ 0 — removing paths only loses
+    conversion mass) and shares are integer DIVs. Spark folds the
+    (|types|+1)²-cell model in Python ints (the state-sized-fold
+    rule); the oracle chains 8 MATERIALIZED CTE levels per variant.
+
+    Scale: ONE user-keyed window pass builds starts/steps/ends;
+    everything after is model-sized."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ann = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    starts = ann.where(F.col("rn") == 1).select(
+        F.lit("__start__").alias("src"), F.col("event_type").alias("dst")
+    )
+    steps = ann.where(
+        F.col("nxt").isNotNull() & (F.col("event_type") != "purchase")
+    ).select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+    ends = ann.where(
+        F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+    ).select(F.col("event_type").alias("src"), F.lit("__null__").alias("dst"))
+    cells = {
+        (r["src"], r["dst"]): r["cnt"]
+        for r in starts.unionByName(steps)
+        .unionByName(ends)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    states = ["__start__", *_ATTR_CHANNELS]
+    n = {s: sum(c for (src, _), c in cells.items() if src == s) for s in states}
+    r = {s: cells.get((s, "purchase"), 0) for s in states}
+
+    def conv_ppm(removed: str | None) -> int:
+        q = {
+            s: {
+                d: c
+                for (src, d), c in cells.items()
+                if src == s and d not in ("purchase", "__null__") and d != removed
+            }
+            for s in states
+        }
+        p = {s: 0 for s in states}
+        for _h in range(_ATTR_H):
+            p = {
+                s: (
+                    (r[s] * 1_000_000 + sum(c * p.get(d, 0) for d, c in q[s].items()))
+                    // n[s]
+                    if n[s]
+                    else 0
+                )
+                for s in states
+            }
+        return p["__start__"]
+
+    base = conv_ppm(None)
+    effects = {ch: base - conv_ppm(ch) for ch in _ATTR_CHANNELS}
+    tot = sum(effects.values())
+    rows = [
+        (ch, base, base - eff, eff, eff * 1_000_000 // max(tot, 1))
+        for ch, eff in sorted(effects.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_base_ppm bigint, p_removed_ppm bigint,"
+        " removal_effect_ppm bigint, attribution_ppm bigint",
+    ).orderBy("channel")
+
+
+def _attr_sql() -> str:
+    variants = [("base", None)] + [(f"rm_{c}", c) for c in _ATTR_CHANNELS]
+    parts = []
+    for tag, removed in variants:
+        filt = "c.dst NOT IN ('purchase', '__null__')"
+        if removed is not None:
+            filt += f" AND c.dst <> '{removed}'"
+        prev = None
+        for h in range(1, _ATTR_H + 1):
+            if prev is None:
+                body = "SELECT src AS state, r1e6 // n AS p FROM basis"
+            else:
+                body = f"""
+  SELECT b.src AS state,
+         (b.r1e6 + COALESCE(SUM(CASE WHEN {filt} THEN c.cnt * p.p END), 0)) // b.n AS p
+  FROM basis b
+  LEFT JOIN cells c ON c.src = b.src
+  LEFT JOIN {tag}_h{prev} p ON p.state = c.dst
+  GROUP BY b.src, b.r1e6, b.n"""
+            parts.append(f"{tag}_h{h} AS MATERIALIZED ({body})")
+            prev = h
+    finals = "\nUNION ALL ".join(
+        f"SELECT '{c}' AS channel,"
+        f" (SELECT p FROM base_h{_ATTR_H} WHERE state = '__start__') AS pb,"
+        f" (SELECT p FROM rm_{c}_h{_ATTR_H} WHERE state = '__start__') AS pr"
+        for c in _ATTR_CHANNELS
+    )
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT '__start__' AS src, event_type AS dst FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+  UNION ALL
+  SELECT event_type, '__null__' FROM seq WHERE nxt IS NULL AND event_type <> 'purchase'
+),
+cells AS MATERIALIZED (SELECT src, dst, COUNT(*) AS cnt FROM trans GROUP BY 1, 2),
+st AS (SELECT unnest(['__start__', 'click', 'error', 'signup', 'view']) AS src),
+basis AS MATERIALIZED (
+  SELECT st.src,
+         GREATEST(COALESCE(SUM(c.cnt), 0), 1) AS n,
+         COALESCE(SUM(CASE WHEN c.dst = 'purchase' THEN c.cnt END), 0) * 1000000 AS r1e6
+  FROM st LEFT JOIN cells c ON c.src = st.src
+  GROUP BY st.src
+),
+{",".join(parts)},
+fin AS ({finals}),
+tot AS (SELECT SUM(pb - pr) AS t FROM fin)
+SELECT channel,
+       CAST(pb AS BIGINT) AS p_base_ppm,
+       CAST(pr AS BIGINT) AS p_removed_ppm,
+       CAST(pb - pr AS BIGINT) AS removal_effect_ppm,
+       CAST((pb - pr) * 1000000 // GREATEST(tot.t, 1) AS BIGINT) AS attribution_ppm
+FROM fin, tot
+ORDER BY channel
+"""
+
+
+QUERIES["events_markov_attribution"] = events_markov_attribution
+ORACLE["events_markov_attribution"] = _attr_sql()

@@ -5659,3 +5659,108 @@ ORDER BY horizon
 
 QUERIES["orders_theta_forecast"] = orders_theta_forecast
 ORACLE["orders_theta_forecast"] = ORDERS_THETA_SQL
+
+
+_ADSTOCK_W = 20  # geometric λ=1/2 carryover is < 1e-6 past 20 periods
+
+
+def _adstock_frag(cast: str) -> str:
+    """Σ_{k=0..19} lag_k(x)·2^(19−k) — the λ=1/2 geometric adstock
+    scaled by 2^19, generated ONCE as an explicit term list so both
+    engines run the identical integer expression (no pow(), no
+    recursion; the window is the |months| table)."""
+    terms = [
+        f"CAST(COALESCE(LAG(x, {k}) OVER (ORDER BY month), 0) AS {cast})"
+        f" * {2 ** (_ADSTOCK_W - 1 - k)}"
+        for k in range(_ADSTOCK_W)
+    ]
+    return " + ".join(terms)
+
+
+def orders_adstock_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adstock (geometric-decay carryover, λ = 1/2) marketing-mix
+    regression: monthly revenue on the ADSTOCKED urgent-order count —
+    the MMM building block where raw same-period regression
+    misattributes carryover effects (this period's demand partly
+    reflects last period's push). Urgent-order volume stands in for
+    the media variable; the adstock transform IS the operator.
+
+    Engine-exact: the adstock is an exact integer (20-term 2-power
+    dot product over lagged counts — λ=1/2 makes every weight a
+    power of two, no floats, window truncation < 1e-6 of mass, then
+    ONE truncating ÷2¹⁹ to e6 scale); revenue is DECIMAL cents; the
+    OLS slope closes in DECIMAL(38,0) integer algebra and R² is one
+    identical IEEE double expression (p-chart contract), one-shot
+    6dp ROUND.
+
+    Scale: one order-grain scan to the |months| series; the lag
+    window and regression run on time-bounded rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("u"),
+        (money("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    monthly = o.groupBy("month").agg(
+        F.sum("u").cast("bigint").alias("x"),
+        F.sum("cents").cast("decimal(38,0)").alias("y"),
+    )
+    ad = monthly.withColumn(
+        "a_e6",
+        F.expr(
+            f"CAST(({_adstock_frag('DECIMAL(38,0)')}) * 1000000"
+            f" DIV {2 ** (_ADSTOCK_W - 1)} AS DECIMAL(38,0))"
+        ),
+    )
+    agg = ad.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("a_e6").cast("decimal(38,0)").alias("sa"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("a_e6 * y")).cast("decimal(38,0)").alias("say"),
+        F.sum(F.expr("a_e6 * a_e6")).cast("decimal(38,0)").alias("saa"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = "(n * say - sa * sy)"
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.expr(
+            f"CAST({num} * CAST(1000000000 AS DECIMAL(38,0))"
+            " DIV (n * saa - sa * sa) AS BIGINT)"
+        ).alias("slope_e9"),
+        F.expr(
+            f"ROUND(CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE)"
+            " / (CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+        ).alias("r2"),
+    )
+
+
+def _adstock_sql() -> str:
+    return f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS HUGEINT) AS y
+  FROM orders GROUP BY 1
+),
+ad AS (
+  SELECT month, x, y,
+         CAST(({_adstock_frag('HUGEINT')}) * 1000000 // {2 ** (_ADSTOCK_W - 1)}
+              AS HUGEINT) AS a_e6
+  FROM monthly
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(a_e6) AS sa, SUM(y) AS sy,
+         SUM(a_e6 * y) AS say, SUM(a_e6 * a_e6) AS saa, SUM(y * y) AS syy
+  FROM ad
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+       CAST((n * say - sa * sy) * 1000000000 // (n * saa - sa * sa) AS BIGINT) AS slope_e9,
+       ROUND(CAST(n * say - sa * sy AS DOUBLE) * CAST(n * say - sa * sy AS DOUBLE)
+             / (CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         AS r2
+FROM agg
+"""
+
+
+QUERIES["orders_adstock_regression"] = orders_adstock_regression
+ORACLE["orders_adstock_regression"] = _adstock_sql()

@@ -1055,3 +1055,78 @@ def test_radius_search_is_the_exact_cosine_ball(spark, sf_dir):
         counts.setdefault(r.query_id, set()).add(r.n_matches)
     for qid, ns in counts.items():
         assert ns == {sum(1 for a, _ in got if a == qid)}
+
+
+def test_markov_attribution_identities(spark, sf_dir):
+    """Removal effects must be non-negative (removing a channel can
+    only lose conversion mass), p_removed = p_base - effect by
+    construction, shares must sum to ~1e6, and the base conversion
+    must dominate every removed variant."""
+    from bireme_spark.queries.events import events_markov_attribution
+
+    rows = events_markov_attribution(spark, sf_dir).collect()
+    assert len(rows) == 4
+    base = {r.p_base_ppm for r in rows}
+    assert len(base) == 1
+    b = base.pop()
+    assert 0 < b <= 10**6
+    tot = sum(r.removal_effect_ppm for r in rows)
+    for r in rows:
+        assert r.removal_effect_ppm >= 0
+        assert r.p_removed_ppm == b - r.removal_effect_ppm
+        assert r.attribution_ppm == r.removal_effect_ppm * 10**6 // max(tot, 1)
+    assert sum(r.attribution_ppm for r in rows) <= 10**6
+
+
+def test_adstock_matches_pure_python_recompute(spark, sf_dir):
+    from bireme_spark.queries.timeseries import orders_adstock_regression
+
+    row = orders_adstock_regression(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    m = o.groupby(o["o_orderdate"].dt.to_period("M"))
+    xs = m.apply(lambda g: int((g["o_orderpriority"] == "1-URGENT").sum()), include_groups=False)
+    ys = m.apply(
+        lambda g: sum(int(_money(v) * 100) for v in g["o_totalprice"]), include_groups=False
+    )
+    xs, ys = list(xs.sort_index()), list(ys.sort_index())
+    n = len(xs)
+    assert row.n_months == n
+    a = []
+    for t in range(n):
+        A = sum(
+            (xs[t - k] if t - k >= 0 else 0) * 2 ** (19 - k) for k in range(20)
+        )
+        a.append(A * 10**6 // 2**19)
+    sa, sy = sum(a), sum(ys)
+    say = sum(p * q for p, q in zip(a, ys))
+    saa = sum(p * p for p in a)
+    syy = sum(q * q for q in ys)
+    num = n * say - sa * sy
+    den = n * saa - sa * sa
+    slope = num * 10**9 // den if num >= 0 else -((-num) * 10**9 // den)
+    assert row.slope_e9 == slope
+    assert abs(row.r2 - (num * num) / (den * (n * syy - sy * sy))) < 2e-6
+
+
+def test_rebalance_plan_is_lpt_optimal_greedy(spark, sf_dir):
+    from bireme_spark.queries.cdc import cdc_consumer_rebalance_plan
+
+    rows = cdc_consumer_rebalance_plan(spark, sf_dir).collect()
+    loads = sorted(((r.n_ops, r.kafka_partition) for r in rows), key=lambda t: (-t[0], t[1]))
+    cons = [0, 0, 0]
+    assign = {}
+    for n, p in loads:
+        c = min(range(3), key=lambda i: (cons[i], i))
+        cons[c] += n
+        assign[p] = c
+    got = {r.kafka_partition: r for r in rows}
+    for p, c in assign.items():
+        assert got[p].consumer == c
+        assert got[p].consumer_load == cons[c]
+    mk = max(cons)
+    tot = sum(cons)
+    for r in rows:
+        assert r.makespan == mk and r.balance_x1000 == mk * 3 * 1000 // tot
+    # LPT guarantee: makespan <= 4/3 OPT <= 4/3 * ceil-bound
+    lower = max(max(n for n, _ in loads), -(-tot // 3))
+    assert mk * 3 <= lower * 4 + 3
