@@ -2548,3 +2548,86 @@ FROM agg
 
 QUERIES["graph_powerlaw_fit"] = graph_powerlaw_fit
 ORACLE["graph_powerlaw_fit"] = GRAPH_POWERLAW_SQL
+
+
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance φ(C) = cut(C) / min(vol(C), 2m − vol(C)) of every
+    brand community in the part co-purchase graph — the
+    community-quality measure that catches what modularity misses
+    (a community can score well on Q yet leak half its edges; low
+    conductance certifies a real boundary). Same partition and edge
+    machinery as graph_modularity, so the two reports read together.
+
+    Engine-exact: cut and volume are integer counts; φ is an integer
+    ppm DIV with a GREATEST(·,1) guard. Scale: edge list built
+    per-order and localCheckpointed once (degree + cross-community
+    consumers), node-keyed dim joins, |brands| output rows."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("c")
+    )
+    lab = (
+        edges.join(part.select(F.col("node").alias("u"), F.col("c").alias("cu")), "u")
+        .join(part.select(F.col("node").alias("v"), F.col("c").alias("cv")), "v")
+    )
+    # volume via degrees: vol(C) = Σ_{x∈C} deg(x); cut = edges with
+    # exactly one endpoint in C
+    per_c = (
+        lab.select(F.col("cu").alias("c"), (F.col("cu") != F.col("cv")).alias("x"))
+        .unionAll(
+            lab.select(F.col("cv").alias("c"), (F.col("cu") != F.col("cv")).alias("x"))
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vol"),
+            F.sum(F.when(F.col("x"), 1).otherwise(0)).cast("bigint").alias("cut"),
+        )
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_c.withColumn("two_m", F.sum("vol").over(wall).cast("bigint"))
+        .select(
+            F.col("c").alias("brand"),
+            "vol",
+            "cut",
+            F.expr(
+                "CAST(cut * 1000000 DIV GREATEST(LEAST(vol, two_m - vol), 1) AS BIGINT)"
+            ).alias("conductance_ppm"),
+        )
+        .orderBy("brand")
+    )
+
+
+GRAPH_CONDUCTANCE_SQL = """
+WITH in_order AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM in_order a JOIN in_order b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+lab AS (
+  SELECT pu.p_brand AS cu, pv.p_brand AS cv
+  FROM edges e
+  JOIN part pu ON pu.p_partkey = e.u
+  JOIN part pv ON pv.p_partkey = e.v
+),
+per_c AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS vol,
+         CAST(SUM(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS cut
+  FROM (
+    SELECT cu AS c, cu <> cv AS x FROM lab
+    UNION ALL
+    SELECT cv AS c, cu <> cv AS x FROM lab
+  ) GROUP BY 1
+)
+SELECT c AS brand, vol, cut,
+       CAST(cut * 1000000 // GREATEST(LEAST(vol, SUM(vol) OVER () - vol), 1) AS BIGINT)
+         AS conductance_ppm
+FROM per_c
+ORDER BY brand
+"""
+
+QUERIES["graph_conductance"] = graph_conductance
+ORACLE["graph_conductance"] = GRAPH_CONDUCTANCE_SQL

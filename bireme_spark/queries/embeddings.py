@@ -2490,3 +2490,97 @@ ORDER BY label
 
 QUERIES["embedding_triplet_eval"] = embedding_triplet_eval
 ORACLE["embedding_triplet_eval"] = EMBEDDING_TRIPLET_SQL
+
+
+def embedding_ari_partition_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the label column and the
+    sign-octant partition (signs of components 0–2 → 8 cells) — the
+    chance-corrected partition-agreement metric (Hubert & Arabie
+    1985) every clustering evaluation reports; here it answers "do
+    the leading embedding dimensions already encode the labels?",
+    the cheap geometry-vs-metadata probe run before spending a
+    clustering pass. ARI ≈ 0 = octants are label-blind; ARI → 1 =
+    labels are linearly separable in 3 dimensions.
+
+    Determinism: the contingency table is exact integer counts
+    (sign cells are exact float compares — no arithmetic); the pair
+    sums ΣC(n,2) are DECIMAL(38,0); ARI closes as ONE identical IEEE
+    double expression over them (p-chart contract), one-shot 6dp
+    ROUND. The DECIMAL→DOUBLE casts stay inside 2^53 up to ~10⁸
+    vectors (pair sums ~5e15) — beyond that, apply the house
+    n-independent downscale to the counts first (documented
+    precondition, same class as the r5 rule).
+
+    Scale: one scan to the (label × octant) contingency (≤ 8·|labels|
+    cells), then scalars."""
+    e = load_table(spark, sf_dir, "embeddings")
+    oct_ = (
+        F.when(F.element_at("embedding", 1) >= 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) >= 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) >= 0, 1).otherwise(0)
+    )
+    cells = e.groupBy(F.col("label"), oct_.alias("cell")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nij")
+    )
+    c2 = "({x} * ({x} - 1) DIV 2)"
+    sums = cells.agg(
+        F.sum("nij").cast("decimal(38,0)").alias("n"),
+        F.sum(F.expr(c2.format(x="nij"))).cast("decimal(38,0)").alias("sij"),
+        F.countDistinct("label").cast("bigint").alias("n_labels"),
+        F.countDistinct("cell").cast("bigint").alias("n_cells"),
+    )
+    a = cells.groupBy("label").agg(F.sum("nij").cast("decimal(38,0)").alias("ai"))
+    sa = a.agg(F.sum(F.expr(c2.format(x="ai"))).cast("decimal(38,0)").alias("sa"))
+    b = cells.groupBy("cell").agg(F.sum("nij").cast("decimal(38,0)").alias("bj"))
+    sb = b.agg(F.sum(F.expr(c2.format(x="bj"))).cast("decimal(38,0)").alias("sb"))
+    j = sums.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    n2 = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)"
+    expect = f"(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / {n2})"
+    ari = (
+        f"ROUND((CAST(sij AS DOUBLE) - {expect})"
+        f" / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0 - {expect}), 6)"
+    )
+    return j.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        "n_labels",
+        "n_cells",
+        F.expr(ari).alias("ari"),
+    )
+
+
+EMBEDDING_ARI_SQL = """
+WITH cells AS (
+  SELECT label,
+         (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS cell,
+         CAST(COUNT(*) AS HUGEINT) AS nij
+  FROM embeddings GROUP BY 1, 2
+),
+sums AS (
+  SELECT CAST(SUM(nij) AS HUGEINT) AS n,
+         CAST(SUM(nij * (nij - 1) // 2) AS HUGEINT) AS sij,
+         CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+         CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
+  FROM cells
+),
+sa AS (
+  SELECT CAST(SUM(ai * (ai - 1) // 2) AS HUGEINT) AS sa
+  FROM (SELECT CAST(SUM(nij) AS HUGEINT) AS ai FROM cells GROUP BY label)
+),
+sb AS (
+  SELECT CAST(SUM(bj * (bj - 1) // 2) AS HUGEINT) AS sb
+  FROM (SELECT CAST(SUM(nij) AS HUGEINT) AS bj FROM cells GROUP BY cell)
+)
+SELECT CAST(n AS BIGINT) AS n_vectors, n_labels, n_cells,
+       ROUND((CAST(sij AS DOUBLE)
+              - (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)))
+             / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                - (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))), 6) AS ari
+FROM sums, sa, sb
+"""
+
+QUERIES["embedding_ari_partition_agreement"] = embedding_ari_partition_agreement
+ORACLE["embedding_ari_partition_agreement"] = EMBEDDING_ARI_SQL

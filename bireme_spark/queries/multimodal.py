@@ -1385,3 +1385,126 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_rle_compressibility"] = multimodal_rle_compressibility
 ORACLE["multimodal_rle_compressibility"] = MULTIMODAL_RLE_SQL
+
+
+def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate of the WAV fixture clips (s = doc_id % 64,
+    tone sample i = (s·13 + i·11) % 1024 + 512, N = 48 + s % 16) —
+    the cheapest speech/music/noise discriminator an audio curation
+    pass runs before anything spectral (voiced speech ZCR is low,
+    fricatives/noise high). Every clip round-trips encode_wav →
+    decode_wav, so the codec stays on the hash path.
+
+    FULLY INTEGER: a crossing is a strict sign change of (N·x − S)
+    around the clip mean (cross-multiplied — never a float mean);
+    ZCR is integer ppm of the N−1 adjacent pairs. The oracle
+    recomputes the identical algebra symbolically from the sample
+    formula (generate_series grid), so encoder, decoder, and
+    crossing logic are all value-checked.
+
+    Scale shape: ONE fused mapInPandas pass with the 64-class result
+    memoized in-worker (the distinct-value rule); the exchange is
+    the 64-class rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def zcr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, tuple[int, int]] = {}
+
+        def klass(s: int) -> tuple[int, int]:
+            if s in cache:
+                return cache[s]
+            n = 48 + s % 16
+            tone = [(s * 13 + i * 11) % 1024 + 512 for i in range(n)]
+            _, _, back = decode_wav(encode_wav(16000, tone))
+            total = sum(back)
+            nn = len(back)
+            sgn = [
+                1 if nn * x - total > 0 else (-1 if nn * x - total < 0 else 0)
+                for x in back
+            ]
+            crossings = sum(
+                1
+                for a, b in zip(sgn, sgn[1:])
+                if a != 0 and b != 0 and a != b
+            )
+            cache[s] = (nn, crossings)
+            return cache[s]
+
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "crossings": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nn, cr = klass(doc_id % 64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(nn)
+                out["crossings"].append(cr)
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(zcr, schema="doc_id long, n_samples long, crossings long")
+    return (
+        scored.groupBy((F.col("doc_id") % 64).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.first("n_samples").cast("bigint").alias("n_samples"),
+            F.first("crossings").cast("bigint").alias("crossings"),
+        )
+        .select(
+            "canonical_doc",
+            "n_clips",
+            "n_samples",
+            "crossings",
+            F.expr("CAST(crossings * 1000000 DIV (n_samples - 1) AS BIGINT)").alias(
+                "zcr_ppm"
+            ),
+        )
+        .orderBy("canonical_doc")
+    )
+
+
+MULTIMODAL_ZCR_SQL = """
+WITH samples AS (
+  SELECT s, i, (s * 13 + i * 11) % 1024 + 512 AS x,
+         48 + s % 16 AS n
+  FROM generate_series(0, 63) ts(s),
+       generate_series(0, 63) ti(i)
+  WHERE i < 48 + s % 16
+),
+tot AS (SELECT s, CAST(SUM(x) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nn
+        FROM samples GROUP BY 1),
+sgn AS (
+  SELECT sa.s, sa.i,
+         CASE WHEN t.nn * sa.x - t.total > 0 THEN 1
+              WHEN t.nn * sa.x - t.total < 0 THEN -1 ELSE 0 END AS sg
+  FROM samples sa JOIN tot t ON t.s = sa.s
+),
+cr AS (
+  SELECT s,
+         SUM(CASE WHEN sg <> 0 AND prev <> 0 AND sg <> prev THEN 1 ELSE 0 END)
+           AS crossings
+  FROM (SELECT s, i, sg, LAG(sg) OVER (PARTITION BY s ORDER BY i) AS prev FROM sgn)
+  WHERE prev IS NOT NULL
+  GROUP BY 1
+),
+cls AS (
+  SELECT doc_id % 64 AS s, COUNT(*) AS n_clips, MIN(doc_id) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT CAST(c.canonical_doc AS BIGINT) AS canonical_doc,
+       CAST(c.n_clips AS BIGINT) AS n_clips,
+       CAST(t.nn AS BIGINT) AS n_samples,
+       CAST(r.crossings AS BIGINT) AS crossings,
+       CAST(r.crossings * 1000000 // (t.nn - 1) AS BIGINT) AS zcr_ppm
+FROM cr r JOIN tot t ON t.s = r.s JOIN cls c ON c.s = r.s
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_audio_zcr"] = multimodal_audio_zcr
+ORACLE["multimodal_audio_zcr"] = MULTIMODAL_ZCR_SQL

@@ -6289,3 +6289,122 @@ FROM s
 
 QUERIES["orders_cochran_armitage"] = orders_cochran_armitage
 ORACLE["orders_cochran_armitage"] = ORDERS_COCHRAN_ARMITAGE_SQL
+
+
+def parts_price_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-stickiness micro-statistics (Bils–Klenow 2004 style):
+    how often does a part's observed monthly average selling price
+    actually CHANGE, and how long are the constant-price spells?
+    Per brand: observation months, price changes, change frequency
+    (ppm of month-to-month comparisons), and the mean completed
+    spell length — the menu-cost diagnostic for pricing teams (rigid
+    brands lag cost shocks; jumpy brands churn customers).
+
+    Engine-exact: the monthly price point is an exact DECIMAL ratio
+    compared via CROSS-MULTIPLIED integers (rev_t·vol_{t−1} ≠
+    rev_{t−1}·vol_t — never a rounded unit price, which would make
+    "change" depend on rounding); spell stats are integer window
+    counts; frequencies are integer ppm DIVs.
+
+    Scale: fact scan to (part, month) grain, part-keyed lag windows,
+    brand-grain rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        money("l_extendedprice").alias("price"),
+        money("l_quantity").alias("qty"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.groupBy("l_partkey", "month")
+        .agg(
+            (F.sum("price") * 100).cast("decimal(38,0)").alias("rev_c"),
+            (F.sum("qty") * 100).cast("decimal(38,0)").alias("vol_c"),
+        )
+    )
+    wpart = Window.partitionBy("l_partkey").orderBy("month")
+    ann = (
+        cells.withColumn("prev_rev", F.lag("rev_c").over(wpart))
+        .withColumn("prev_vol", F.lag("vol_c").over(wpart))
+        .withColumn(
+            "changed",
+            F.when(
+                F.col("prev_rev").isNotNull()
+                & (F.expr("rev_c * prev_vol") != F.expr("prev_rev * vol_c")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("has_prev", F.when(F.col("prev_rev").isNotNull(), 1).otherwise(0))
+    )
+    per_part = ann.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("months"),
+        F.sum("has_prev").cast("bigint").alias("comparisons"),
+        F.sum("changed").cast("bigint").alias("changes"),
+    )
+    joined = per_part.join(p, per_part.l_partkey == p.p_partkey)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("months").cast("bigint").alias("obs_months"),
+            F.sum("comparisons").cast("bigint").alias("n_comparisons"),
+            F.sum("changes").cast("bigint").alias("n_changes"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_parts",
+            "obs_months",
+            "n_changes",
+            F.expr(
+                "CAST(n_changes * 1000000 DIV GREATEST(n_comparisons, 1) AS BIGINT)"
+            ).alias("change_freq_ppm"),
+            # mean completed spell length: comparisons split into
+            # (changes + 1 per part) spells => obs months per spell
+            F.expr(
+                "CAST(obs_months * 1000000 DIV GREATEST(n_changes + n_parts, 1) AS BIGINT)"
+            ).alias("mean_spell_months_e6"),
+        )
+        .orderBy("brand")
+    )
+
+
+PARTS_PRICE_STICKINESS_SQL = """
+WITH cells AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS rev_c,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS HUGEINT) AS vol_c
+  FROM lineitem GROUP BY 1, 2
+),
+ann AS (
+  SELECT l_partkey,
+         CASE WHEN prev_rev IS NOT NULL AND rev_c * prev_vol <> prev_rev * vol_c
+              THEN 1 ELSE 0 END AS changed,
+         CASE WHEN prev_rev IS NOT NULL THEN 1 ELSE 0 END AS has_prev
+  FROM (
+    SELECT l_partkey, rev_c, vol_c,
+           LAG(rev_c) OVER (PARTITION BY l_partkey ORDER BY month) AS prev_rev,
+           LAG(vol_c) OVER (PARTITION BY l_partkey ORDER BY month) AS prev_vol
+    FROM cells
+  )
+),
+per_part AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS months,
+         CAST(SUM(has_prev) AS BIGINT) AS comparisons,
+         CAST(SUM(changed) AS BIGINT) AS changes
+  FROM ann GROUP BY 1
+)
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(months) AS BIGINT) AS obs_months,
+       CAST(SUM(changes) AS BIGINT) AS n_changes,
+       CAST(CAST(SUM(changes) AS HUGEINT) * 1000000
+            // GREATEST(SUM(comparisons), 1) AS BIGINT) AS change_freq_ppm,
+       CAST(CAST(SUM(months) AS HUGEINT) * 1000000
+            // GREATEST(SUM(changes) + COUNT(*), 1) AS BIGINT) AS mean_spell_months_e6
+FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
+GROUP BY 1
+ORDER BY brand
+"""
+
+QUERIES["parts_price_stickiness"] = parts_price_stickiness
+ORACLE["parts_price_stickiness"] = PARTS_PRICE_STICKINESS_SQL

@@ -115,6 +115,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_markov_attribution",
         "orders_adstock_regression",
         "cdc_consumer_rebalance_plan",
+        "graph_conductance",
+        "parts_price_stickiness",
+        "multimodal_audio_zcr",
+        "embedding_ari_partition_agreement",
     }
 )
 

@@ -1130,3 +1130,103 @@ def test_rebalance_plan_is_lpt_optimal_greedy(spark, sf_dir):
     # LPT guarantee: makespan <= 4/3 OPT <= 4/3 * ceil-bound
     lower = max(max(n for n, _ in loads), -(-tot // 3))
     assert mk * 3 <= lower * 4 + 3
+
+
+def test_conductance_and_modularity_read_the_same_partition(spark, sf_dir):
+    """Volumes must equal the modularity report's degree sums, the
+    global identity Σvol = 2m must hold, every φ ∈ [0, 1e6], and cut
+    edges counted from both sides must balance: Σcut is even."""
+    from bireme_spark.queries.audit import graph_conductance, graph_modularity
+
+    cond = {r.brand: r for r in graph_conductance(spark, sf_dir).collect()}
+    mod = {r.brand: r for r in graph_modularity(spark, sf_dir).collect()}
+    assert set(cond) == set(mod)
+    for b, r in cond.items():
+        assert r.vol == mod[b].degree_sum, b
+        assert 0 <= r.conductance_ppm <= 10**6
+        inner = mod[b].e_within
+        assert r.cut == r.vol - 2 * inner, b  # vol = 2·e_within + cut
+    assert sum(r.cut for r in cond.values()) % 2 == 0
+
+
+def test_zcr_matches_direct_formula_recompute(spark, sf_dir):
+    from bireme_spark.queries.multimodal import multimodal_audio_zcr
+
+    rows = {r.canonical_doc % 64: r for r in multimodal_audio_zcr(spark, sf_dir).collect()}
+    for s, r in rows.items():
+        n = 48 + s % 16
+        tone = [(s * 13 + i * 11) % 1024 + 512 for i in range(n)]
+        total = sum(tone)
+        sgn = [1 if n * x - total > 0 else (-1 if n * x - total < 0 else 0) for x in tone]
+        cr = sum(1 for a, b in zip(sgn, sgn[1:]) if a and b and a != b)
+        assert r.n_samples == n and r.crossings == cr
+        assert r.zcr_ppm == cr * 10**6 // (n - 1)
+
+
+def test_ari_matches_sklearn_free_recompute(spark, sf_dir):
+    """Full ARI recompute from the raw parquet (numpy contingency,
+    Fraction-exact expectation) — must match the emitted 6dp value."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from bireme_spark.queries.embeddings import embedding_ari_partition_agreement
+
+    row = embedding_ari_partition_agreement(spark, sf_dir).collect()[0]
+    emb = _pq(sf_dir, "embeddings")
+    octs = []
+    for v in emb["embedding"]:
+        a = np.asarray(v[:3])
+        octs.append((4 if a[0] >= 0 else 0) + (2 if a[1] >= 0 else 0) + (1 if a[2] >= 0 else 0))
+    df = pd.DataFrame({"label": emb["label"], "cell": octs})
+    cont = df.groupby(["label", "cell"]).size()
+    n = len(df)
+    c2 = lambda x: x * (x - 1) // 2
+    sij = int(sum(c2(v) for v in cont))
+    sa = int(sum(c2(v) for v in cont.groupby(level=0).sum()))
+    sb = int(sum(c2(v) for v in cont.groupby(level=1).sum()))
+    n2 = c2(n)
+    ari = (Fraction(sij) - Fraction(sa * sb, n2)) / (
+        Fraction(sa + sb, 2) - Fraction(sa * sb, n2)
+    )
+    assert row.n_vectors == n
+    assert abs(row.ari - float(ari)) < 2e-6
+
+
+def test_price_stickiness_spell_identity(spark, sf_dir):
+    """Per brand: comparisons = obs_months − n_parts, and the change
+    frequency recomputed from a pandas month-over-month pass must
+    match exactly."""
+    from bireme_spark.queries.relational import parts_price_stickiness
+
+    got = {r.brand: r for r in parts_price_stickiness(spark, sf_dir).collect()}
+    li = _pq(sf_dir, "lineitem")
+    p = _pq(sf_dir, "part")[["p_partkey", "p_brand"]]
+    li["month"] = li["l_shipdate"].dt.to_period("M")
+    li["rev"] = [int(_money(v) * 100) for v in li["l_extendedprice"]]
+    li["vol"] = [int(_money(v) * 100) for v in li["l_quantity"]]
+    cells = li.groupby(["l_partkey", "month"])[["rev", "vol"]].sum()
+    stats = {}
+    for pk, grp in cells.groupby(level=0):
+        seq = list(grp.itertuples(index=False))
+        months = len(seq)
+        changes = sum(
+            1
+            for a, b in zip(seq, seq[1:])
+            if b.rev * a.vol != a.rev * b.vol
+        )
+        stats[pk] = (months, changes)
+    brand = dict(zip(p["p_partkey"], p["p_brand"]))
+    agg: dict[str, list[int]] = {}
+    for pk, (m, ch) in stats.items():
+        b = brand[pk]
+        agg.setdefault(b, [0, 0, 0])
+        agg[b][0] += 1
+        agg[b][1] += m
+        agg[b][2] += ch
+    for b, (np_, om, ch) in agg.items():
+        r = got[b]
+        assert r.n_parts == np_ and r.obs_months == om and r.n_changes == ch
+        comp = om - np_
+        assert r.change_freq_ppm == ch * 10**6 // max(comp, 1)
+        assert r.mean_spell_months_e6 == om * 10**6 // max(ch + np_, 1)
