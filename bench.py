@@ -292,6 +292,9 @@ HEADLINE = [
     "parts_price_stickiness",
     "multimodal_audio_zcr",
     "embedding_ari_partition_agreement",
+    "events_adwin_drift",
+    "text_trending_terms",
+    "cdc_schema_compat_check",
 ]
 
 

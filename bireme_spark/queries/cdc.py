@@ -3688,3 +3688,163 @@ ORDER BY kafka_partition
 
 QUERIES["cdc_consumer_rebalance_plan"] = cdc_consumer_rebalance_plan
 ORACLE["cdc_consumer_rebalance_plan"] = _rebalance_sql()
+
+
+_SCHEMA_VERSIONS_VALUES = """
+  (1, 'a', 'bigint'), (1, 'b', 'int'), (1, 'c', 'varchar'), (1, 'd', 'decimal'),
+  (2, 'a', 'bigint'), (2, 'b', 'int'), (2, 'c', 'varchar'), (2, 'd', 'decimal'),
+  (2, 'e', 'int'),
+  (3, 'a', 'bigint'), (3, 'b', 'bigint'), (3, 'c', 'varchar'), (3, 'd', 'decimal'),
+  (3, 'e', 'int'),
+  (4, 'a', 'bigint'), (4, 'b', 'bigint'), (4, 'd', 'decimal'), (4, 'e', 'int'),
+  (4, 'f', 'double'),
+  (5, 'a', 'int'), (5, 'b', 'bigint'), (5, 'd', 'decimal'), (5, 'e', 'int'),
+  (5, 'f', 'double')
+"""
+
+_TYPE_RANK_CASE = (
+    "CASE {col} WHEN 'smallint' THEN 1 WHEN 'int' THEN 2 WHEN 'bigint' THEN 3"
+    " WHEN 'float' THEN 11 WHEN 'double' THEN 12 ELSE 0 END"
+)
+
+
+def cdc_schema_compat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry compatibility classification of consecutive
+    schema versions (the Confluent-style BACKWARD/FORWARD/FULL gate a
+    CDC pipeline enforces before letting a producer migrate): per
+    transition, the added / dropped / widened / narrowed / retyped
+    column counts and the resulting level — FULL when only columns
+    were added, BACKWARD when drops or in-family widenings are
+    present (a new reader still reads old data; old readers break),
+    NONE on any narrowing or cross-family retype. Complements
+    cdc_ddl_schema_timeline (which attributes rows to versions) and
+    cdc_type_widening_ingest (which executes a widening) with the
+    admission-control decision itself.
+
+    Fixture: 5 versions exercising every class — pure add (FULL),
+    int→bigint widen (BACKWARD), drop+add (BACKWARD), bigint→int
+    narrow (NONE). Metadata-sized by nature (|versions|·|columns|),
+    shared VERBATIM with the oracle as a VALUES literal; the logic
+    is one self-join on (version+1, column) + conditional counts —
+    engine-exact strings and integers throughout."""
+    vals = spark.sql(
+        f"SELECT * FROM (VALUES {_SCHEMA_VERSIONS_VALUES}) AS t(version, col_name, col_type)"
+    )
+    a = vals.select(
+        F.col("version").alias("v"), "col_name", F.col("col_type").alias("t_old")
+    )
+    b = vals.select(
+        (F.col("version") - 1).alias("v"),
+        F.col("col_name").alias("col_name_b"),
+        F.col("col_type").alias("t_new"),
+    )
+    j = a.join(
+        b,
+        (a.v == b.v) & (a.col_name == b.col_name_b),
+        "full_outer",
+    ).select(
+        F.coalesce(a.v, b.v).alias("v"),
+        a.col_name,
+        F.col("col_name_b"),
+        "t_old",
+        "t_new",
+    ).where(F.col("v").between(1, 4))
+    rank_old = _TYPE_RANK_CASE.format(col="t_old")
+    rank_new = _TYPE_RANK_CASE.format(col="t_new")
+    cls = (
+        F.when(F.col("t_old").isNull(), "added")
+        .when(F.col("t_new").isNull(), "dropped")
+        .when(F.col("t_old") == F.col("t_new"), "same")
+        .when(
+            F.expr(
+                f"{rank_old} > 0 AND {rank_new} > 0 AND {rank_old} DIV 10 = {rank_new} DIV 10"
+                f" AND {rank_new} > {rank_old}"
+            ),
+            "widened",
+        )
+        .when(
+            F.expr(
+                f"{rank_old} > 0 AND {rank_new} > 0 AND {rank_old} DIV 10 = {rank_new} DIV 10"
+                f" AND {rank_new} < {rank_old}"
+            ),
+            "narrowed",
+        )
+        .otherwise("retyped")
+    )
+    agg = (
+        j.withColumn("cls", cls)
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("cls") == "added", 1).otherwise(0)).cast("bigint").alias("n_added"),
+            F.sum(F.when(F.col("cls") == "dropped", 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("cls") == "widened", 1).otherwise(0)).cast("bigint").alias("n_widened"),
+            F.sum(F.when(F.col("cls") == "narrowed", 1).otherwise(0)).cast("bigint").alias("n_narrowed"),
+            F.sum(F.when(F.col("cls") == "retyped", 1).otherwise(0)).cast("bigint").alias("n_retyped"),
+        )
+    )
+    level = (
+        F.when((F.col("n_narrowed") > 0) | (F.col("n_retyped") > 0), "NONE")
+        .when((F.col("n_dropped") > 0) | (F.col("n_widened") > 0), "BACKWARD")
+        .otherwise("FULL")
+    )
+    return agg.select(
+        F.col("v").cast("int").alias("from_version"),
+        (F.col("v") + 1).cast("int").alias("to_version"),
+        "n_added",
+        "n_dropped",
+        "n_widened",
+        "n_narrowed",
+        "n_retyped",
+        level.alias("compat_level"),
+    ).orderBy("from_version")
+
+
+def _schema_compat_sql() -> str:
+    rank_old = _TYPE_RANK_CASE.format(col="t_old")
+    rank_new = _TYPE_RANK_CASE.format(col="t_new")
+    return f"""
+WITH vals AS (
+  SELECT * FROM (VALUES {_SCHEMA_VERSIONS_VALUES}) AS t(version, col_name, col_type)
+),
+j AS (
+  SELECT COALESCE(a.version, b.version - 1) AS v,
+         a.col_type AS t_old, b.col_type AS t_new
+  FROM (SELECT * FROM vals) a
+  FULL OUTER JOIN (SELECT * FROM vals) b
+    ON a.version = b.version - 1 AND a.col_name = b.col_name
+  WHERE COALESCE(a.version, b.version - 1) BETWEEN 1 AND 4
+),
+classed AS (
+  SELECT v,
+         CASE WHEN t_old IS NULL THEN 'added'
+              WHEN t_new IS NULL THEN 'dropped'
+              WHEN t_old = t_new THEN 'same'
+              WHEN {rank_old} > 0 AND {rank_new} > 0
+                   AND {rank_old} // 10 = {rank_new} // 10
+                   AND {rank_new} > {rank_old} THEN 'widened'
+              WHEN {rank_old} > 0 AND {rank_new} > 0
+                   AND {rank_old} // 10 = {rank_new} // 10
+                   AND {rank_new} < {rank_old} THEN 'narrowed'
+              ELSE 'retyped' END AS cls
+  FROM j
+)
+SELECT CAST(v AS INTEGER) AS from_version,
+       CAST(v + 1 AS INTEGER) AS to_version,
+       CAST(SUM(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN cls = 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN cls = 'widened' THEN 1 ELSE 0 END) AS BIGINT) AS n_widened,
+       CAST(SUM(CASE WHEN cls = 'narrowed' THEN 1 ELSE 0 END) AS BIGINT) AS n_narrowed,
+       CAST(SUM(CASE WHEN cls = 'retyped' THEN 1 ELSE 0 END) AS BIGINT) AS n_retyped,
+       CASE WHEN SUM(CASE WHEN cls = 'narrowed' THEN 1 ELSE 0 END) > 0
+                 OR SUM(CASE WHEN cls = 'retyped' THEN 1 ELSE 0 END) > 0 THEN 'NONE'
+            WHEN SUM(CASE WHEN cls = 'dropped' THEN 1 ELSE 0 END) > 0
+                 OR SUM(CASE WHEN cls = 'widened' THEN 1 ELSE 0 END) > 0 THEN 'BACKWARD'
+            ELSE 'FULL' END AS compat_level
+FROM classed
+GROUP BY v
+ORDER BY from_version
+"""
+
+
+QUERIES["cdc_schema_compat_check"] = cdc_schema_compat_check
+ORACLE["cdc_schema_compat_check"] = _schema_compat_sql()

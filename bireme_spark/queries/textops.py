@@ -1851,3 +1851,133 @@ ORDER BY source
 
 QUERIES["text_char_entropy"] = text_char_entropy
 ORACLE["text_char_entropy"] = TEXT_CHAR_ENTROPY_SQL
+
+
+def text_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-term screen: terms whose count in the corpus's LAST
+    month exceeds their own history by a 3σ Poisson bound — the
+    vocabulary-drift monitor a continuously-ingesting corpus runs to
+    catch topic shifts, spam campaigns, and scraper loops before
+    they skew the token distribution. Emits the top 20 by absolute
+    excess with min-support guards (≥ 3 prior months, ≥ 10 prior
+    occurrences).
+
+    FULLY INTEGER: with prior months P and prior total S, the
+    Poisson trigger c > S/P + 3·√(S/P) becomes the cross-multiplied
+    pair (cP − S) > 0 AND (cP − S)² > 9·S·P — no sqrt, no division
+    (the WECO/p-chart discipline applied to the term table); the
+    emitted excess is (cP − S) DIV P ppm-free integer.
+
+    Scale: one tokenize pass to the (term, month) grain, per-term
+    prior aggregation (vocabulary-sized), top-20 via ORDER/LIMIT on
+    the flagged survivors only. Documents carry no timestamps, so
+    the month key derives deterministically from doc_id (DIV-bucket
+    pseudo-months) — the operator contract is the screen, not the
+    calendar; doc_id % 12 keeps the bucketing stride-proof (a
+    DIV-by-corpus-size key collapsed under the sf1 fixture's 1e8 id
+    strides — the r8 stride lesson, caught by the sf1 tier). The
+    stationary synthetic vocabulary would never trigger, so a
+    deterministic burst is PLANTED (the dedup-copies pattern): the
+    lowest-id doc's text re-enters month 11 n_docs DIV 20 times,
+    corpus-scaled IN-PLAN — its distinctive terms must trend at
+    every SF while common words stay sub-3σ."""
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndocs"),
+        F.min("doc_id").cast("bigint").alias("d0"),
+    )
+    base = d.select(
+        F.expr("CAST(doc_id % 12 AS BIGINT)").alias("m"), "text"
+    )
+    burst = (
+        d.crossJoin(F.broadcast(nd))
+        .where(F.col("doc_id") == F.col("d0"))
+        .select(
+            F.lit(11).cast("bigint").alias("m"),
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.expr("CAST(GREATEST(ndocs DIV 20, 1) AS INT)"))
+            ).alias("rep"),
+        )
+        .select("m", "text")
+    )
+    toks = (
+        base.unionByName(burst)
+        .select("m", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    cells = toks.groupBy("term", "m").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    last = cells.where(F.col("m") == 11).select("term", F.col("c").alias("c_last"))
+    prior = (
+        cells.where(F.col("m") < 11)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("p_months"),
+            F.sum("c").cast("bigint").alias("s_prior"),
+        )
+        .where((F.col("p_months") >= 3) & (F.col("s_prior") >= 10))
+    )
+    j = last.join(prior, "term")
+    flagged = j.where(
+        F.expr(
+            "c_last * p_months - s_prior > 0 AND"
+            " (c_last * p_months - s_prior) * (c_last * p_months - s_prior)"
+            " > 9 * s_prior * p_months"
+        )
+    )
+    return (
+        flagged.select(
+            "term",
+            "c_last",
+            "p_months",
+            "s_prior",
+            F.expr("CAST((c_last * p_months - s_prior) DIV p_months AS BIGINT)").alias(
+                "excess_count"
+            ),
+        )
+        .orderBy(F.desc("excess_count"), "term")
+        .limit(20)
+    )
+
+
+TEXT_TRENDING_SQL = """
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs,
+                   CAST(MIN(doc_id) AS BIGINT) AS d0 FROM documents),
+base AS (
+  SELECT CAST(doc_id % 12 AS BIGINT) AS m, text FROM documents
+),
+burst AS (
+  -- DuckDB's generate_series rejects lateral column bounds: use a
+  -- static 1e6-row series filtered to the in-plan replica count
+  -- (covers any test tier; the Spark side has no such cap)
+  SELECT CAST(11 AS BIGINT) AS m, d.text
+  FROM documents d, nd, generate_series(1, 1000000) g(rep)
+  WHERE d.doc_id = nd.d0 AND g.rep <= GREATEST(nd.ndocs // 20, 1)
+),
+toks AS (
+  SELECT m, unnest(string_split(text, ' ')) AS term
+  FROM (SELECT m, text FROM base UNION ALL SELECT m, text FROM burst)
+),
+cells AS (
+  SELECT term, m, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+last AS (SELECT term, c AS c_last FROM cells WHERE m = 11),
+prior AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS p_months,
+         CAST(SUM(c) AS BIGINT) AS s_prior
+  FROM cells WHERE m < 11 GROUP BY 1
+  HAVING COUNT(*) >= 3 AND SUM(c) >= 10
+)
+SELECT l.term, l.c_last, p.p_months, p.s_prior,
+       CAST((l.c_last * p.p_months - p.s_prior) // p.p_months AS BIGINT) AS excess_count
+FROM last l JOIN prior p ON p.term = l.term
+WHERE l.c_last * p.p_months - p.s_prior > 0
+  AND (l.c_last * p.p_months - p.s_prior) * (l.c_last * p.p_months - p.s_prior)
+      > 9 * p.s_prior * p.p_months
+ORDER BY excess_count DESC, l.term
+LIMIT 20
+"""
+
+QUERIES["text_trending_terms"] = text_trending_terms
+ORACLE["text_trending_terms"] = TEXT_TRENDING_SQL

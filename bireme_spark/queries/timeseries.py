@@ -5764,3 +5764,104 @@ FROM agg
 
 QUERIES["orders_adstock_regression"] = orders_adstock_regression
 ORACLE["orders_adstock_regression"] = _adstock_sql()
+
+
+def events_adwin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADWIN-style adaptive-window drift scan (Bifet & Gavaldà 2007)
+    over the daily purchase-share series: for EVERY split of the
+    day window into prefix/suffix, test |μ₁ − μ₂| ≥ ε_cut(n₁, n₂) =
+    √(ln(4N/δ) / 2m), m the harmonic count — the change detector
+    that needs no tuning window, completing the drift family
+    (Page–Hinkley for resets, CUSUM for small shifts, PSI/Wasserstein
+    for distributions). δ = 0.05.
+
+    Determinism: daily shares are integer ppm (x·10⁶ DIV n); split
+    means compare CROSS-MULTIPLIED (|S₁k₂ − S₂k₁| vs ε·k₁k₂ — no
+    float means); ε_cut carries the only transcendentals (one ln +
+    one sqrt per split, e6-rounded one-shot on the
+    time-span-bounded split table).
+
+    Scale: one day-grain corpus agg; the split table is |days|−1
+    rows with two cumulative windows."""
+    import math as _math
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("x"),
+        )
+        .select("day", F.expr("CAST(x * 1000000 DIV n AS BIGINT)").alias("p_ppm"))
+    ).localCheckpoint(eager=True)
+    w = Window.orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ln4d = round(_math.log(4.0 / 0.05) * 1e6)  # ln(4/δ) e6; +ln N folded below
+    ann = (
+        daily.withColumn("k1", F.row_number().over(w).cast("bigint"))
+        .withColumn("s1", F.sum("p_ppm").over(wcum).cast("bigint"))
+        .withColumn("nn", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("st", F.sum("p_ppm").over(wall).cast("bigint"))
+        .where(F.col("k1") < F.col("nn"))
+    )
+    # ε_cut in ppm units of the share: 1e6·sqrt(ln(4N/δ)/(2m));
+    # one-shot e6 ROUND of a smooth irrational per split
+    eps = (
+        "CAST(ROUND(1000000.0 * sqrt((ln(CAST(nn AS DOUBLE)) + " + str(ln4d / 1e6) + ")"
+        " * (CAST(k1 AS DOUBLE) + CAST(nn - k1 AS DOUBLE))"
+        " / (2.0 * CAST(k1 AS DOUBLE) * CAST(nn - k1 AS DOUBLE)))) AS BIGINT)"
+    )
+    return ann.select(
+        F.col("day").alias("split_day"),
+        F.col("k1").alias("n_before"),
+        (F.col("nn") - F.col("k1")).alias("n_after"),
+        F.expr(
+            "CAST(abs(s1 * (nn - k1) - (st - s1) * k1) DIV (k1 * (nn - k1)) AS BIGINT)"
+        ).alias("mean_diff_ppm"),
+        F.expr(eps).alias("eps_cut_ppm"),
+        F.expr(
+            f"abs(s1 * (nn - k1) - (st - s1) * k1) >= {eps} * k1 * (nn - k1)"
+        ).alias("drift"),
+    ).orderBy("split_day")
+
+
+def _adwin_sql() -> str:
+    import math as _math
+
+    ln4d = round(_math.log(4.0 / 0.05) * 1e6) / 1e6
+    eps = (
+        f"CAST(ROUND(1000000.0 * sqrt((ln(CAST(nn AS DOUBLE)) + {ln4d})"
+        " * (CAST(k1 AS DOUBLE) + CAST(nn - k1 AS DOUBLE))"
+        " / (2.0 * CAST(k1 AS DOUBLE) * CAST(nn - k1 AS DOUBLE)))) AS BIGINT)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS p_ppm
+  FROM events GROUP BY 1
+),
+ann AS (
+  SELECT day,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k1,
+         CAST(SUM(p_ppm) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nn,
+         CAST(SUM(p_ppm) OVER () AS BIGINT) AS st
+  FROM daily
+)
+SELECT day AS split_day,
+       k1 AS n_before,
+       nn - k1 AS n_after,
+       CAST(abs(s1 * (nn - k1) - (st - s1) * k1) // (k1 * (nn - k1)) AS BIGINT)
+         AS mean_diff_ppm,
+       {eps} AS eps_cut_ppm,
+       abs(s1 * (nn - k1) - (st - s1) * k1) >= {eps} * k1 * (nn - k1) AS drift
+FROM ann WHERE k1 < nn
+ORDER BY split_day
+"""
+
+
+QUERIES["events_adwin_drift"] = events_adwin_drift
+ORACLE["events_adwin_drift"] = _adwin_sql()

@@ -119,6 +119,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "parts_price_stickiness",
         "multimodal_audio_zcr",
         "embedding_ari_partition_agreement",
+        "events_adwin_drift",
+        "text_trending_terms",
+        "cdc_schema_compat_check",
     }
 )
 

@@ -1230,3 +1230,59 @@ def test_price_stickiness_spell_identity(spark, sf_dir):
         comp = om - np_
         assert r.change_freq_ppm == ch * 10**6 // max(comp, 1)
         assert r.mean_spell_months_e6 == om * 10**6 // max(ch + np_, 1)
+
+
+def test_adwin_split_stats_match_pandas(spark, sf_dir):
+    from bireme_spark.queries.timeseries import events_adwin_drift
+
+    rows = events_adwin_drift(spark, sf_dir).collect()
+    ev = _pq(sf_dir, "events")
+    g = ev.groupby(ev["ts"].dt.strftime("%Y-%m-%d"))
+    daily = (
+        g.apply(lambda d: int((d["event_type"] == "purchase").sum()) * 10**6 // len(d), include_groups=False)
+        .sort_index()
+    )
+    ps = [int(v) for v in daily]
+    N = len(ps)
+    assert len(rows) == N - 1
+    tot = sum(ps)
+    for i, r in enumerate(rows, start=1):
+        s1 = sum(ps[:i])
+        k2 = N - i
+        assert r.n_before == i and r.n_after == k2
+        diff = abs(s1 * k2 - (tot - s1) * i)
+        assert r.mean_diff_ppm == diff // (i * k2)
+        eps = round(
+            1e6
+            * math.sqrt(
+                (math.log(N) + math.log(4 / 0.05)) * (i + k2) / (2.0 * i * k2)
+            )
+        )
+        assert abs(r.eps_cut_ppm - eps) <= 1  # ln-folding order ulp slack
+        assert r.drift == (diff >= r.eps_cut_ppm * i * k2)
+
+
+def test_trending_terms_satisfy_poisson_trigger(spark, sf_dir):
+    from bireme_spark.queries.textops import text_trending_terms
+
+    rows = text_trending_terms(spark, sf_dir).collect()
+    assert len(rows) <= 20
+    for r in rows:
+        assert r.p_months >= 3 and r.s_prior >= 10
+        excess = r.c_last * r.p_months - r.s_prior
+        assert excess > 0
+        assert excess * excess > 9 * r.s_prior * r.p_months
+        assert r.excess_count == excess // r.p_months
+    # sorted by excess desc then term
+    keys = [(-r.excess_count, r.term) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_schema_compat_levels_are_the_planted_classes(spark, sf_dir):
+    from bireme_spark.queries.cdc import cdc_schema_compat_check
+
+    got = {r.from_version: r for r in cdc_schema_compat_check(spark, sf_dir).collect()}
+    assert got[1].compat_level == "FULL" and got[1].n_added == 1
+    assert got[2].compat_level == "BACKWARD" and got[2].n_widened == 1
+    assert got[3].compat_level == "BACKWARD" and got[3].n_dropped == 1 and got[3].n_added == 1
+    assert got[4].compat_level == "NONE" and got[4].n_narrowed == 1
