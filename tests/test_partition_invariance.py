@@ -152,6 +152,19 @@ _PINNED = [
     "events_recurrence_quantification",
     "graph_rich_club",
     "graph_boruvka_msf",
+    # round-9 continuation: integer DFA profile boxes, md5 ±1 linear
+    # sketch sums, DECIMAL(38,0) spectrum division (Yule K),
+    # checkpointed-edge integer modularity, per-term e6 S-curve sums
+    # (LSH advisor), per-cell e6 ln OLS (experience curve), exact
+    # Wald-ratio sufficient stats (IV), bucketed triplet margins
+    "events_dfa_exponent",
+    "events_ams_f2_sketch",
+    "text_yule_k",
+    "graph_modularity",
+    "dedup_lsh_tuning",
+    "parts_experience_curve",
+    "lineitem_iv_regression",
+    "embedding_triplet_eval",
 ]
 
 
