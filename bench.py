@@ -295,6 +295,9 @@ HEADLINE = [
     "events_adwin_drift",
     "text_trending_terms",
     "cdc_schema_compat_check",
+    "orders_hierarchical_forecast",
+    "nations_matched_did",
+    "customers_competing_risks",
 ]
 
 

@@ -6408,3 +6408,278 @@ ORDER BY brand
 
 QUERIES["parts_price_stickiness"] = parts_price_stickiness
 ORACLE["parts_price_stickiness"] = PARTS_PRICE_STICKINESS_SQL
+
+
+def nations_matched_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-control difference-in-differences: ASIA nations are
+    the "treated" market; each is matched to its nearest
+    non-ASIA control by PRE-period revenue (1995–1997 vs post
+    1998–2000), and the effect is the DiD on matched pairs — the
+    selection-on-observables upgrade over the pooled DiD
+    (lineitem_did_estimator): comparing Japan to the average of all
+    controls mixes in markets a tenth its size; matching compares
+    like with like. ATT = mean pair DiD.
+
+    Engine-exact: revenues are DECIMAL cents; the 1-NN match
+    minimizes the exact integer |pre_t − pre_c| with (diff, control
+    name) tie-breaks via one window over the |treated|×|controls|
+    grid (≤ ~5×20 rows — nations are a fixed dimension); pair DiDs
+    and the ATT are integer cents with one SUM DIV close.
+
+    Scale: one fact scan to (nation, period) cells; everything
+    after is dimension-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", money("l_extendedprice").alias("price"), "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.expr("year(l_shipdate) BETWEEN 1995 AND 2000"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(
+                F.when(F.expr("year(l_shipdate) <= 1997"), F.col("price"))
+            ).cast("decimal(38,2)").alias("pre"),
+            F.sum(
+                F.when(F.expr("year(l_shipdate) >= 1998"), F.col("price"))
+            ).cast("decimal(38,2)").alias("post"),
+        )
+        .select(
+            "n_name",
+            (F.col("r_name") == "ASIA").alias("treated"),
+            F.expr("CAST(COALESCE(pre, 0) * 100 AS DECIMAL(38,0))").alias("pre_c"),
+            F.expr("CAST(COALESCE(post, 0) * 100 AS DECIMAL(38,0))").alias("post_c"),
+        )
+    )
+    t = cells.where(F.col("treated")).select(
+        F.col("n_name").alias("nation"),
+        F.col("pre_c").alias("pre_t"),
+        F.col("post_c").alias("post_t"),
+    )
+    ctl = cells.where(~F.col("treated")).select(
+        F.col("n_name").alias("control"),
+        F.col("pre_c").alias("pre_ctl"),
+        F.col("post_c").alias("post_ctl"),
+    )
+    grid = t.crossJoin(F.broadcast(ctl)).withColumn(
+        "adiff", F.expr("abs(pre_t - pre_ctl)")
+    )
+    wbest = Window.partitionBy("nation").orderBy("adiff", "control")
+    pairs = grid.withColumn("rk", F.row_number().over(wbest)).where(F.col("rk") == 1)
+    did = F.expr("CAST((post_t - pre_t) - (post_ctl - pre_ctl) AS BIGINT)")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        pairs.withColumn("did_cents", did)
+        .withColumn("np", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("att_sum", F.sum("did_cents").over(wall).cast("bigint"))
+        .select(
+            "nation",
+            "control",
+            F.col("pre_t").cast("bigint").alias("pre_treated_cents"),
+            F.col("pre_ctl").cast("bigint").alias("pre_control_cents"),
+            "did_cents",
+            F.expr(
+                "CAST(CASE WHEN att_sum >= 0 THEN att_sum DIV np"
+                " ELSE -((-att_sum) DIV np) END AS BIGINT)"
+            ).alias("att_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+NATIONS_MATCHED_DID_SQL = """
+WITH cells AS (
+  SELECT n.n_name,
+         r.r_name = 'ASIA' AS treated,
+         CAST(COALESCE(SUM(CASE WHEN year(l.l_shipdate) <= 1997
+               THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) END), 0) * 100
+              AS HUGEINT) AS pre_c,
+         CAST(COALESCE(SUM(CASE WHEN year(l.l_shipdate) >= 1998
+               THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) END), 0) * 100
+              AS HUGEINT) AS post_c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE year(l.l_shipdate) BETWEEN 1995 AND 2000
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.n_name AS nation, c.n_name AS control,
+         t.pre_c AS pre_t, t.post_c AS post_t,
+         c.pre_c AS pre_ctl, c.post_c AS post_ctl,
+         abs(t.pre_c - c.pre_c) AS adiff
+  FROM (SELECT * FROM cells WHERE treated) t,
+       (SELECT * FROM cells WHERE NOT treated) c
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY nation ORDER BY adiff, control) AS rk
+    FROM grid
+  ) WHERE rk = 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM((post_t - pre_t) - (post_ctl - pre_ctl)) AS HUGEINT) AS att_sum
+  FROM pairs
+)
+SELECT p.nation, p.control,
+       CAST(p.pre_t AS BIGINT) AS pre_treated_cents,
+       CAST(p.pre_ctl AS BIGINT) AS pre_control_cents,
+       CAST((p.post_t - p.pre_t) - (p.post_ctl - p.pre_ctl) AS BIGINT) AS did_cents,
+       CAST(CASE WHEN a.att_sum >= 0 THEN a.att_sum // a.np
+                 ELSE -((-a.att_sum) // a.np) END AS BIGINT) AS att_cents
+FROM pairs p, agg a
+ORDER BY p.nation
+"""
+
+QUERIES["nations_matched_did"] = nations_matched_did
+ORACLE["nations_matched_did"] = NATIONS_MATCHED_DID_SQL
+
+
+def customers_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen–Johansen cumulative incidence for COMPETING risks on the
+    repurchase gaps: the next order either FULFILLS ('F' status) or
+    stays OPEN ('O'/'P') — two competing event types ending each
+    spell, with the usual right-censoring at the horizon. Naively
+    applying 1 − KM per cause overstates both incidences (the
+    textbook competing-risks mistake); the AJ estimator splits each
+    event time's hazard by cause and weights it by overall
+    survival-so-far: CIF_k(t) = Σ_{tᵢ≤t} S(tᵢ₋₁)·d_{k,i}/nᵢ.
+
+    Determinism: d_F, d_O, n are exact histogram integers; S(tᵢ₋₁)
+    follows the KM exp(Σ ln) discipline (identical IEEE both
+    engines); increments and their ordered cumulative sums are
+    identical double chains; emission rounds 6dp. The identity
+    CIF_F + CIF_O + S = 1 (at event times, pre-censoring-only tail)
+    is property-tested.
+
+    Scale: same (custkey, orderdate) gap window + duration-histogram
+    machinery as KM/Nelson–Aalen — never a raw-gap sort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    # same-day orders make LEAD(status) tie-dependent — the KM/NA
+    # twins only read the DATE so dates alone sufficed; the cause
+    # label needs the full (date, orderkey) deterministic order
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    spans = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .withColumn("nxt_status", F.lead("o_orderstatus").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate"))
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .alias("t"),
+            F.when(F.col("nxt").isNull(), F.lit(None))
+            .when(F.col("nxt_status") == "F", "F")
+            .otherwise("O")
+            .alias("cause"),
+        )
+        .where(F.col("t") > 0)
+    )
+    hist = spans.groupBy("t").agg(
+        F.sum(F.when(F.col("cause") == "F", 1).otherwise(0)).cast("bigint").alias("d_f"),
+        F.sum(F.when(F.col("cause") == "O", 1).otherwise(0)).cast("bigint").alias("d_o"),
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        hist.withColumn("total", F.sum("tot").over(wall).cast("bigint"))
+        .withColumn(
+            "n_at_risk",
+            F.col("total") - F.coalesce(F.sum("tot").over(wprev), F.lit(0)),
+        )
+        .where((F.col("d_f") + F.col("d_o")) > 0)
+    )
+    lnterm = F.when(
+        F.col("n_at_risk") > F.col("d_f") + F.col("d_o"),
+        F.log(
+            (F.col("n_at_risk") - F.col("d_f") - F.col("d_o")).cast("double")
+            / F.col("n_at_risk").cast("double")
+        ),
+    )
+    ann = curve.withColumn(
+        "s_prev",
+        F.exp(F.coalesce(F.sum(lnterm).over(wprev), F.lit(0.0))),
+    )
+    inc_f = F.col("s_prev") * F.col("d_f").cast("double") / F.col("n_at_risk").cast("double")
+    inc_o = F.col("s_prev") * F.col("d_o").cast("double") / F.col("n_at_risk").cast("double")
+    return (
+        ann.withColumn("cif_f", F.round(F.sum(inc_f).over(wcum), 6))
+        .withColumn("cif_o", F.round(F.sum(inc_o).over(wcum), 6))
+        .select(
+            F.col("t").cast("int").alias("gap_days"),
+            "d_f",
+            "d_o",
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            "cif_f",
+            "cif_o",
+        )
+        .orderBy("gap_days")
+    )
+
+
+CUSTOMERS_COMPETING_RISKS_SQL = """
+WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM orders),
+h AS (SELECT MAX(o_orderdate) AS h FROM o),
+spans AS (
+  SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, h.h) END AS t,
+         CASE WHEN nxt IS NULL THEN NULL
+              WHEN nxt_status = 'F' THEN 'F' ELSE 'O' END AS cause
+  FROM (SELECT o_custkey, o_orderdate,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS nxt,
+               LEAD(o_orderstatus) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS nxt_status
+        FROM o) s, h
+),
+good AS (SELECT * FROM spans WHERE t > 0),
+hist AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN cause = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS d_f,
+         CAST(SUM(CASE WHEN cause = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS d_o,
+         CAST(COUNT(*) AS BIGINT) AS tot
+  FROM good GROUP BY 1
+),
+curve AS (
+  SELECT t, d_f, d_o,
+         CAST(SUM(tot) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(tot) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_at_risk
+  FROM hist
+),
+ev AS (SELECT * FROM curve WHERE d_f + d_o > 0),
+ann AS (
+  SELECT t, d_f, d_o, n_at_risk,
+         exp(COALESCE(SUM(CASE WHEN n_at_risk > d_f + d_o
+               THEN ln(CAST(n_at_risk - d_f - d_o AS DOUBLE) / n_at_risk) END)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+           AS s_prev
+  FROM ev
+)
+SELECT CAST(t AS INTEGER) AS gap_days, d_f, d_o, n_at_risk,
+       ROUND(SUM(s_prev * d_f / n_at_risk) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif_f,
+       ROUND(SUM(s_prev * d_o / n_at_risk) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif_o
+FROM ann
+ORDER BY gap_days
+"""
+
+QUERIES["customers_competing_risks"] = customers_competing_risks
+ORACLE["customers_competing_risks"] = CUSTOMERS_COMPETING_RISKS_SQL

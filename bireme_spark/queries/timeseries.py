@@ -5865,3 +5865,101 @@ ORDER BY split_day
 
 QUERIES["events_adwin_drift"] = events_adwin_drift
 ORACLE["events_adwin_drift"] = _adwin_sql()
+
+
+def orders_hierarchical_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation (nation → total) with
+    seasonal-naive base forecasts: the coherence problem every
+    rolled-up planning stack hits — nation-level forecasts summed
+    (BOTTOM-UP) never equal the independently-forecast total, and
+    TOP-DOWN shares hide nation dynamics; this emits both
+    reconciliations plus the incoherence gap per nation, the report
+    that decides which way the hierarchy is reconciled (Hyndman's
+    hts framing, base method = snaive so every number stays an
+    exact integer).
+
+    Engine-exact: base forecasts are lag-12 integer counts; shares
+    are integer ppm (nation pre-total DIV grand total); top-down
+    allocations are one truncating DIV; gaps are integer
+    differences. No floats anywhere.
+
+    Scale: one fact-dim join to (nation, month) cells, lag windows
+    partitioned by nation, |nations| output rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "month")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    last = cells.agg(F.max("month").alias("mx"))
+    j = cells.crossJoin(F.broadcast(last))
+    # snaive for the month AFTER the horizon = value 11 months back
+    base_fc = j.where(
+        F.expr("month = add_months(mx, -11)")
+    ).select(F.col("n_name").alias("nation"), F.col("y").alias("snaive_fc"))
+    totals = j.groupBy("n_name").agg(F.sum("y").cast("bigint").alias("hist"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    shares = totals.withColumn(
+        "grand", F.sum("hist").over(wall).cast("bigint")
+    ).select(
+        F.col("n_name").alias("nation"),
+        "hist",
+        F.expr("CAST(hist * 1000000 DIV grand AS BIGINT)").alias("share_ppm"),
+    )
+    out = base_fc.join(shares, "nation")
+    wagg = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        out.withColumn("bu_total", F.sum("snaive_fc").over(wagg).cast("bigint"))
+        .select(
+            "nation",
+            "snaive_fc",
+            "share_ppm",
+            F.expr("CAST(bu_total * share_ppm DIV 1000000 AS BIGINT)").alias("td_fc"),
+            F.expr(
+                "CAST(snaive_fc - bu_total * share_ppm DIV 1000000 AS BIGINT)"
+            ).alias("coherence_gap"),
+            "bu_total",
+        )
+        .orderBy("nation")
+    )
+
+
+ORDERS_HIER_FC_SQL = """
+WITH cells AS (
+  SELECT n.n_name, date_trunc('month', o.o_orderdate) AS month,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+last AS (SELECT MAX(month) AS mx FROM cells),
+base_fc AS (
+  SELECT n_name AS nation, y AS snaive_fc
+  FROM cells, last WHERE month = mx - INTERVAL 11 MONTH
+),
+shares AS (
+  SELECT n_name AS nation, CAST(SUM(y) AS BIGINT) AS hist,
+         CAST(SUM(y) * 1000000 // SUM(SUM(y)) OVER () AS BIGINT) AS share_ppm
+  FROM cells GROUP BY 1
+),
+j AS (
+  SELECT b.nation, b.snaive_fc, s.share_ppm,
+         CAST(SUM(b.snaive_fc) OVER () AS BIGINT) AS bu_total
+  FROM base_fc b JOIN shares s ON s.nation = b.nation
+)
+SELECT nation, snaive_fc, share_ppm,
+       CAST(bu_total * share_ppm // 1000000 AS BIGINT) AS td_fc,
+       CAST(snaive_fc - bu_total * share_ppm // 1000000 AS BIGINT) AS coherence_gap,
+       bu_total
+FROM j
+ORDER BY nation
+"""
+
+QUERIES["orders_hierarchical_forecast"] = orders_hierarchical_forecast
+ORACLE["orders_hierarchical_forecast"] = ORDERS_HIER_FC_SQL

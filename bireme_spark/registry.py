@@ -122,6 +122,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_adwin_drift",
         "text_trending_terms",
         "cdc_schema_compat_check",
+        "orders_hierarchical_forecast",
+        "nations_matched_did",
+        "customers_competing_risks",
     }
 )
 

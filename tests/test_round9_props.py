@@ -1286,3 +1286,82 @@ def test_schema_compat_levels_are_the_planted_classes(spark, sf_dir):
     assert got[2].compat_level == "BACKWARD" and got[2].n_widened == 1
     assert got[3].compat_level == "BACKWARD" and got[3].n_dropped == 1 and got[3].n_added == 1
     assert got[4].compat_level == "NONE" and got[4].n_narrowed == 1
+
+
+def test_hierarchical_forecast_identities(spark, sf_dir):
+    """BU total must equal the sum of nation snaive forecasts, TD
+    allocations must sum to <= bu_total (ppm floor slack), gaps are
+    exactly snaive - td, and shares recompute from history."""
+    from bireme_spark.queries.timeseries import orders_hierarchical_forecast
+
+    rows = orders_hierarchical_forecast(spark, sf_dir).collect()
+    bu = {r.bu_total for r in rows}
+    assert len(bu) == 1
+    b = bu.pop()
+    assert b == sum(r.snaive_fc for r in rows)
+    assert sum(r.td_fc for r in rows) <= b
+    for r in rows:
+        assert r.coherence_gap == r.snaive_fc - r.td_fc
+        assert r.td_fc == b * r.share_ppm // 10**6
+    # nations with no order in the snaive source month carry no row:
+    # TD mass only covers the PRESENT shares (plus ppm floor slack)
+    present_share = sum(r.share_ppm for r in rows)
+    assert present_share <= 10**6
+    assert b - sum(r.td_fc for r in rows) <= len(rows) + b * (10**6 - present_share) // 10**6
+
+
+def test_matched_did_pairs_are_true_nearest_neighbors(spark, sf_dir):
+    from bireme_spark.queries.relational import nations_matched_did
+
+    rows = nations_matched_did(spark, sf_dir).collect()
+    li = _pq(sf_dir, "lineitem")[["l_orderkey", "l_extendedprice", "l_shipdate"]]
+    o = _pq(sf_dir, "orders")[["o_orderkey", "o_custkey"]]
+    c = _pq(sf_dir, "customer")[["c_custkey", "c_nationkey"]]
+    n = _pq(sf_dir, "nation")[["n_nationkey", "n_name", "n_regionkey"]]
+    r = _pq(sf_dir, "region")[["r_regionkey", "r_name"]]
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    j = j[(j["l_shipdate"].dt.year >= 1995) & (j["l_shipdate"].dt.year <= 2000)]
+    j["cents"] = [int(_money(v) * 100) for v in j["l_extendedprice"]]
+    j["pre"] = j["l_shipdate"].dt.year <= 1997
+    pre = j[j["pre"]].groupby("n_name")["cents"].sum().to_dict()
+    nations = j.groupby(["n_name", "r_name"]).size().reset_index()
+    treated = {x for x, rg in zip(nations["n_name"], nations["r_name"]) if rg == "ASIA"}
+    controls = {x for x in nations["n_name"] if x not in treated}
+    got = {x.nation: x for x in rows}
+    assert set(got) == treated
+    for t_ in treated:
+        best = min(
+            controls,
+            key=lambda cn: (abs(pre.get(t_, 0) - pre.get(cn, 0)), cn),
+        )
+        assert got[t_].control == best, t_
+
+
+def test_competing_risks_identity_cif_sums_to_one_minus_survival(spark, sf_dir):
+    """At every event time: CIF_F + CIF_O + S(t) = 1 up to rounding
+    (the AJ partition-of-unity identity — a per-cause 1-KM would
+    break it)."""
+    from bireme_spark.queries.relational import customers_competing_risks
+
+    rows = customers_competing_risks(spark, sf_dir).collect()
+    s = 1.0
+    for r in rows:
+        d = r.d_f + r.d_o
+        inc_f = s * r.d_f / r.n_at_risk
+        inc_o = s * r.d_o / r.n_at_risk
+        s *= (r.n_at_risk - d) / r.n_at_risk
+        # identity against the running recompute
+    # final-row check with full recompute
+    s = 1.0
+    cf = co = 0.0
+    for r in rows:
+        cf += s * r.d_f / r.n_at_risk
+        co += s * r.d_o / r.n_at_risk
+        s *= (r.n_at_risk - r.d_f - r.d_o) / r.n_at_risk
+        assert abs(r.cif_f - cf) < 5e-6 and abs(r.cif_o - co) < 5e-6
+        assert abs(cf + co + s - 1.0) < 1e-9
