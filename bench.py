@@ -298,6 +298,9 @@ HEADLINE = [
     "orders_hierarchical_forecast",
     "nations_matched_did",
     "customers_competing_risks",
+    "embedding_mmd_test",
+    "parts_eoq_policy",
+    "orders_bullwhip_effect",
 ]
 
 

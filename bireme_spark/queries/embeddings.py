@@ -2584,3 +2584,118 @@ FROM sums, sa, sb
 
 QUERIES["embedding_ari_partition_agreement"] = embedding_ari_partition_agreement
 ORACLE["embedding_ari_partition_agreement"] = EMBEDDING_ARI_SQL
+
+
+def embedding_mmd_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample test: squared Maximum Mean Discrepancy
+    (Gretton et al. 2012) between label-0 and label-1 embeddings
+    with an RBF kernel — the distribution-level drift/contamination
+    test that catches what per-coordinate PSI marginals miss
+    (embedding_drift_psi is the marginal sibling; MMD sees joint
+    structure). MMD² = E k(x,x′) + E k(y,y′) − 2 E k(x,y), γ fixed
+    at 1/2 (unit-norm-ish vectors put ‖x−y‖² in [0,4]).
+
+    Determinism: the pair work is SAMPLE-BOUNDED by an in-plan
+    stride (vec_id % (GREATEST(n DIV 400, 1)) = 0 — both engines see
+    the same threshold, the LOF pattern), so each kernel block is ≤
+    ~400² pairs at ANY corpus size; every exp(−γd²) rounds e6 PER
+    TERM into integer sums (the transcendental rule — 1-ulp exp
+    differences cannot accumulate); block means are SUM DIV count
+    and MMD² closes in exact integer e6 arithmetic. Distances use
+    the float→double cast fold (the r9 array-fold rule).
+
+    Scale: stride-filter → broadcast-size sample, three bounded
+    kernel blocks; the corpus is scanned once."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    nrow = e.groupBy((F.col("label") % 2).alias("g")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stride = nrow.agg(
+        F.expr("CAST(GREATEST(MAX(c) DIV 400, 1) AS BIGINT)").alias("k")
+    )
+    s = (
+        e.crossJoin(F.broadcast(stride))
+        .where(F.expr("vec_id % k = 0"))
+        .select(
+            "vec_id", (F.col("label") % 2).alias("g"), F.col("embedding").alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    d2 = (
+        "aggregate(zip_with(a.v, b.v, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    kexp = f"CAST(ROUND(exp(-0.5 * {d2}) * 1000000) AS BIGINT)"
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(
+        b, F.expr("a.vec_id < b.vec_id") | (F.expr("a.g < b.g"))
+    ).where(
+        F.expr("a.vec_id <> b.vec_id")
+    )
+    # three blocks from ONE pair stream: xx (g=0,0), yy (1,1), xy (0,1)
+    blocks = pairs.select(
+        F.expr("a.g").alias("ga"),
+        F.expr("b.g").alias("gb"),
+        F.expr(kexp).alias("k_e6"),
+    ).where(F.expr("ga <= gb"))
+    agg = blocks.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k_e6").cast("bigint").alias("s"),
+    )
+    piv = agg.select(
+        F.expr("CASE WHEN ga = 0 AND gb = 0 THEN 'xx' WHEN ga = 1 AND gb = 1 THEN 'yy'"
+               " ELSE 'xy' END").alias("blk"),
+        "n",
+        "s",
+    )
+    wide = piv.groupBy().pivot("blk", ["xx", "yy", "xy"]).agg(
+        F.first("n").alias("n"), F.first("s").alias("s")
+    )
+    return wide.select(
+        F.col("xx_n").cast("bigint").alias("n_xx_pairs"),
+        F.col("yy_n").cast("bigint").alias("n_yy_pairs"),
+        F.col("xy_n").cast("bigint").alias("n_xy_pairs"),
+        F.expr(
+            "CAST(xx_s DIV xx_n + yy_s DIV yy_n - 2 * (xy_s DIV xy_n) AS BIGINT)"
+        ).alias("mmd2_e6"),
+    )
+
+
+EMBEDDING_MMD_SQL = """
+WITH nrow AS (
+  SELECT CAST(GREATEST(MAX(c) // 400, 1) AS BIGINT) AS k
+  FROM (SELECT label % 2 AS g, COUNT(*) AS c FROM embeddings GROUP BY 1)
+),
+s AS (
+  SELECT vec_id, label % 2 AS g, embedding AS v
+  FROM embeddings, nrow WHERE vec_id % nrow.k = 0
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb,
+         CAST(ROUND(exp(-0.5 * (
+           SELECT SUM((CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE))
+                      * (CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE)))
+           FROM (SELECT UNNEST(a.v) AS xa, UNNEST(b.v) AS xb)
+         )) * 1000000) AS BIGINT) AS k_e6
+  FROM s a JOIN s b
+    ON (a.vec_id < b.vec_id OR a.g < b.g) AND a.vec_id <> b.vec_id
+  WHERE a.g <= b.g
+),
+agg AS (
+  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k_e6) AS BIGINT) AS s
+  FROM pairs GROUP BY 1, 2
+)
+SELECT
+  (SELECT n FROM agg WHERE ga = 0 AND gb = 0) AS n_xx_pairs,
+  (SELECT n FROM agg WHERE ga = 1 AND gb = 1) AS n_yy_pairs,
+  (SELECT n FROM agg WHERE ga = 0 AND gb = 1) AS n_xy_pairs,
+  CAST((SELECT s FROM agg WHERE ga = 0 AND gb = 0) // (SELECT n FROM agg WHERE ga = 0 AND gb = 0)
+       + (SELECT s FROM agg WHERE ga = 1 AND gb = 1) // (SELECT n FROM agg WHERE ga = 1 AND gb = 1)
+       - 2 * ((SELECT s FROM agg WHERE ga = 0 AND gb = 1) // (SELECT n FROM agg WHERE ga = 0 AND gb = 1))
+       AS BIGINT) AS mmd2_e6
+"""
+
+QUERIES["embedding_mmd_test"] = embedding_mmd_test
+ORACLE["embedding_mmd_test"] = EMBEDDING_MMD_SQL

@@ -6683,3 +6683,188 @@ ORDER BY gap_days
 
 QUERIES["customers_competing_risks"] = customers_competing_risks
 ORACLE["customers_competing_risks"] = CUSTOMERS_COMPETING_RISKS_SQL
+
+
+def parts_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory policy per brand: Economic Order Quantity
+    √(2DK/h) (Harris 1913; K = 100 order cost, h = 2 annual
+    holding cost per unit — policy constants, not data) plus safety
+    stock z·σ_d·√L (z = 1.645 for a 95% cycle service level, L = 0.25
+    years lead time) and the reorder point D·L + SS — the planning
+    triplet behind every min/max setting.
+
+    Determinism: annual demand D and its per-month variance come
+    from exact cents-scaled integers; the three closing expressions
+    (two sqrt, products) are IDENTICAL IEEE doubles on both engines
+    (sqrt is correctly rounded; the z constant is a literal), each
+    emitted at a one-shot 2dp ROUND — no accumulation of rounded
+    values anywhere.
+
+    Scale: one fact scan to (brand, month) cells, brand-grain moment
+    agg, |brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        (money("l_quantity") * 100).cast("decimal(38,0)").alias("q_c"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "month")
+        .agg(F.sum("q_c").cast("decimal(38,0)").alias("q"))
+    )
+    agg = cells.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("q * q")).cast("decimal(38,0)").alias("qq"),
+    )
+    mean_mo = "(CAST(s AS DOUBLE) / 100.0 / CAST(n_months AS DOUBLE))"
+    var_mo = (
+        "((CAST(n_months AS DOUBLE) * CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n_months AS DOUBLE) * CAST(n_months AS DOUBLE)) / 10000.0)"
+    )
+    annual_d = f"(12.0 * {mean_mo})"
+    eoq = f"sqrt(2.0 * {annual_d} * 100.0 / 2.0)"
+    ss = f"(1.645 * sqrt({var_mo} * 3.0))"  # σ over L = 3 months of variance
+    return agg.select(
+        F.col("p_brand").alias("brand"),
+        "n_months",
+        F.expr(f"ROUND({annual_d}, 2)").alias("annual_demand"),
+        F.expr(f"ROUND({eoq}, 2)").alias("eoq_units"),
+        F.expr(f"ROUND({ss}, 2)").alias("safety_stock"),
+        F.expr(f"ROUND({annual_d} * 0.25 + {ss}, 2)").alias("reorder_point"),
+    ).orderBy("brand")
+
+
+PARTS_EOQ_SQL = """
+WITH cells AS (
+  SELECT p.p_brand, date_trunc('month', l.l_shipdate) AS month,
+         CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT))
+              AS HUGEINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(q) AS HUGEINT) AS s, CAST(SUM(q * q) AS HUGEINT) AS qq
+  FROM cells GROUP BY 1
+)
+SELECT p_brand AS brand, n_months,
+       ROUND(12.0 * (CAST(s AS DOUBLE) / 100.0 / CAST(n_months AS DOUBLE)), 2)
+         AS annual_demand,
+       ROUND(sqrt(2.0 * (12.0 * (CAST(s AS DOUBLE) / 100.0 / CAST(n_months AS DOUBLE)))
+                  * 100.0 / 2.0), 2) AS eoq_units,
+       ROUND(1.645 * sqrt(((CAST(n_months AS DOUBLE) * CAST(qq AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / (CAST(n_months AS DOUBLE) * CAST(n_months AS DOUBLE))
+                           / 10000.0) * 3.0), 2) AS safety_stock,
+       ROUND((12.0 * (CAST(s AS DOUBLE) / 100.0 / CAST(n_months AS DOUBLE))) * 0.25
+             + 1.645 * sqrt(((CAST(n_months AS DOUBLE) * CAST(qq AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(n_months AS DOUBLE) * CAST(n_months AS DOUBLE))
+                             / 10000.0) * 3.0), 2) AS reorder_point
+FROM agg
+ORDER BY brand
+"""
+
+QUERIES["parts_eoq_policy"] = parts_eoq_policy
+ORACLE["parts_eoq_policy"] = PARTS_EOQ_SQL
+
+
+def orders_bullwhip_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect ratio (Lee, Padmanabhan & Whang 1997): demand
+    variability amplification between supply tiers, measured as
+    CV²(monthly shipped quantity) / CV²(monthly order count) — the
+    downstream lineitem signal is the "factory" view, the order
+    count the "customer" view; a ratio ≫ 1 says batching/forecasting
+    policies amplify noise as demand propagates upstream.
+
+    Determinism: both tiers' first/second moments are exact integers
+    (cents-scaled quantities, order counts); each CV² is exact
+    integer cross-multiplied algebra; the ratio is ONE identical
+    IEEE double (p-chart contract) with a one-shot 6dp ROUND — and
+    the exact integer comparison amplifies = CV²_down·den_up >
+    CV²_up·den_down rides alongside so the VERDICT never depends on
+    float rounding.
+
+    Scale: two month-grain map-side aggs; scalar close."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    )
+    om = o.groupBy("month").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        (money("l_quantity") * 100).cast("decimal(38,0)").alias("q"),
+    )
+    lm = li.groupBy("month").agg(F.sum("q").cast("decimal(38,0)").alias("y"))
+
+    def moments(df, cast):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast(cast).alias("s"),
+            F.sum(F.expr(f"CAST(y AS {cast}) * CAST(y AS {cast})")).cast(cast).alias("qq"),
+        )
+
+    up = moments(om, "decimal(38,0)").select(
+        F.col("n").alias("n_up"), F.col("s").alias("s_up"), F.col("qq").alias("q_up")
+    )
+    dn = moments(lm, "decimal(38,0)").select(
+        F.col("n").alias("n_dn"), F.col("s").alias("s_dn"), F.col("qq").alias("q_dn")
+    )
+    j = up.crossJoin(F.broadcast(dn))
+    cv2 = "((CAST({n} AS DOUBLE) * CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE)) / (CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE)))"
+    cvu = cv2.format(n="n_up", q="q_up", s="s_up")
+    cvd = cv2.format(n="n_dn", q="q_dn", s="s_dn")
+    amp = (
+        "(CAST(n_dn AS DECIMAL(38,0)) * q_dn - s_dn * s_dn) * (s_up * s_up)"
+        " > (CAST(n_up AS DECIMAL(38,0)) * q_up - s_up * s_up) * (s_dn * s_dn)"
+    )
+    return j.select(
+        F.col("n_up").alias("n_months"),
+        F.expr(f"ROUND({cvd} / {cvu}, 6)").alias("bullwhip_ratio"),
+        F.expr(f"ROUND({cvu}, 6)").alias("cv2_orders"),
+        F.expr(f"ROUND({cvd}, 6)").alias("cv2_shipments"),
+        F.expr(amp).alias("amplifies"),
+    )
+
+
+ORDERS_BULLWHIP_SQL = """
+WITH om AS (
+  SELECT date_trunc('month', o_orderdate) AS month, CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+lm AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS HUGEINT) AS y
+  FROM lineitem GROUP BY 1
+),
+up AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_up, CAST(SUM(y) AS HUGEINT) AS s_up,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q_up
+  FROM om
+),
+dn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dn, CAST(SUM(y) AS HUGEINT) AS s_dn,
+         CAST(SUM(y * y) AS HUGEINT) AS q_dn
+  FROM lm
+)
+SELECT n_up AS n_months,
+       ROUND(((CAST(n_dn AS DOUBLE) * CAST(q_dn AS DOUBLE)
+               - CAST(s_dn AS DOUBLE) * CAST(s_dn AS DOUBLE))
+              / (CAST(s_dn AS DOUBLE) * CAST(s_dn AS DOUBLE)))
+             / ((CAST(n_up AS DOUBLE) * CAST(q_up AS DOUBLE)
+                 - CAST(s_up AS DOUBLE) * CAST(s_up AS DOUBLE))
+                / (CAST(s_up AS DOUBLE) * CAST(s_up AS DOUBLE))), 6) AS bullwhip_ratio,
+       ROUND((CAST(n_up AS DOUBLE) * CAST(q_up AS DOUBLE)
+              - CAST(s_up AS DOUBLE) * CAST(s_up AS DOUBLE))
+             / (CAST(s_up AS DOUBLE) * CAST(s_up AS DOUBLE)), 6) AS cv2_orders,
+       ROUND((CAST(n_dn AS DOUBLE) * CAST(q_dn AS DOUBLE)
+              - CAST(s_dn AS DOUBLE) * CAST(s_dn AS DOUBLE))
+             / (CAST(s_dn AS DOUBLE) * CAST(s_dn AS DOUBLE)), 6) AS cv2_shipments,
+       (CAST(n_dn AS HUGEINT) * q_dn - s_dn * s_dn) * (s_up * s_up)
+         > (CAST(n_up AS HUGEINT) * q_up - s_up * s_up) * (s_dn * s_dn) AS amplifies
+FROM up, dn
+"""
+
+QUERIES["orders_bullwhip_effect"] = orders_bullwhip_effect
+ORACLE["orders_bullwhip_effect"] = ORDERS_BULLWHIP_SQL

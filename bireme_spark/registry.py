@@ -125,6 +125,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_hierarchical_forecast",
         "nations_matched_did",
         "customers_competing_risks",
+        "embedding_mmd_test",
+        "parts_eoq_policy",
+        "orders_bullwhip_effect",
     }
 )
 

@@ -1365,3 +1365,65 @@ def test_competing_risks_identity_cif_sums_to_one_minus_survival(spark, sf_dir):
         s *= (r.n_at_risk - r.d_f - r.d_o) / r.n_at_risk
         assert abs(r.cif_f - cf) < 5e-6 and abs(r.cif_o - co) < 5e-6
         assert abs(cf + co + s - 1.0) < 1e-9
+
+
+def test_mmd_is_near_zero_for_random_label_split(spark, sf_dir):
+    """label % 2 is an arbitrary split of one distribution, so MMD²
+    must sit near zero — well under the kernel's own scale — and
+    every block must be populated. A planted-shift positive control
+    (ones vs zeros) would read ~1e6; this guards against a sign or
+    block-mix bug that cross-engine agreement can't see."""
+    from bireme_spark.queries.embeddings import embedding_mmd_test
+
+    row = embedding_mmd_test(spark, sf_dir).collect()[0]
+    assert row.n_xx_pairs > 0 and row.n_yy_pairs > 0 and row.n_xy_pairs > 0
+    assert abs(row.mmd2_e6) < 50_000  # < 0.05 on the e6 scale
+
+
+def test_eoq_closed_form_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from bireme_spark.queries.relational import parts_eoq_policy
+
+    rows = {r.brand: r for r in parts_eoq_policy(spark, sf_dir).collect()}
+    li = _pq(sf_dir, "lineitem")
+    p = _pq(sf_dir, "part")[["p_partkey", "p_brand"]]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    j["month"] = j["l_shipdate"].dt.to_period("M")
+    j["qc"] = [int(_money(v) * 100) for v in j["l_quantity"]]
+    for brand, grp in j.groupby("p_brand"):
+        cells = grp.groupby("month")["qc"].sum()
+        n = len(cells)
+        s, qq = int(cells.sum()), int((cells.astype(object) ** 2).sum())
+        mean_mo = s / 100.0 / n
+        var_mo = (n * qq - s * s) / (n * n) / 10000.0
+        D = 12.0 * mean_mo
+        r = rows[brand]
+        assert r.n_months == n
+        assert abs(r.annual_demand - round(D, 2)) < 1e-9
+        assert abs(r.eoq_units - round(math.sqrt(2 * D * 100 / 2.0), 2)) < 1e-9
+        ss_ = 1.645 * math.sqrt(var_mo * 3.0)
+        assert abs(r.safety_stock - round(ss_, 2)) < 1e-9
+        assert abs(r.reorder_point - round(D * 0.25 + ss_, 2)) < 1e-9
+
+
+def test_bullwhip_ratio_matches_fraction_recompute(spark, sf_dir):
+    from fractions import Fraction
+
+    from bireme_spark.queries.relational import orders_bullwhip_effect
+
+    row = orders_bullwhip_effect(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    li = _pq(sf_dir, "lineitem")
+    om = o.groupby(o["o_orderdate"].dt.to_period("M")).size()
+    li["qc"] = [int(_money(v) * 100) for v in li["l_quantity"]]
+    lm = li.groupby(li["l_shipdate"].dt.to_period("M"))["qc"].sum()
+    def cv2(series):
+        n = len(series)
+        s = int(series.sum())
+        qq = int((series.astype(object) ** 2).sum())
+        return Fraction(n * qq - s * s, s * s)
+    cu, cd = cv2(om), cv2(lm)
+    assert row.n_months == len(om)
+    assert abs(row.bullwhip_ratio - float(cd / cu)) < 2e-6
+    assert row.amplifies == (cd > cu)
