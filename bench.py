@@ -301,6 +301,8 @@ HEADLINE = [
     "embedding_mmd_test",
     "parts_eoq_policy",
     "orders_bullwhip_effect",
+    "nations_complexity_proximity",
+    "multimodal_image_ssim",
 ]
 
 

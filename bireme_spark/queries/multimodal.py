@@ -1508,3 +1508,147 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_audio_zcr"] = multimodal_audio_zcr
 ORACLE["multimodal_audio_zcr"] = MULTIMODAL_ZCR_SQL
+
+
+def multimodal_image_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SSIM (Wang et al. 2004) between each image class and
+    its successor (s vs (s+1) % 16) on the deterministic BMP/PNG
+    fixture — the perceptual similarity score a near-dup visual
+    pipeline uses where pixel MSE misleads (luminance/contrast/
+    structure are factored, not summed). Computed single-window over
+    the whole 16×16 grayscale (documented: the windowed mean-SSIM
+    variant averages this statistic over 8×8 patches).
+
+    Determinism: the five sufficient statistics (Σx, Σy, Σx², Σy²,
+    Σxy) are exact integers off the decoded pixels; the SSIM close
+    is ONE identical IEEE double expression with literal C1/C2
+    stabilizers, one-shot 6dp ROUND. The oracle recomputes the same
+    statistics symbolically from the pixel formula — encoder,
+    decoder, grayscale, and pairing all on the hash path.
+
+    Scale shape: one fused mapInPandas pass, per-class stats
+    memoized in-worker; the pair close runs on 16 rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, list[int]] = {}
+
+        def gray(s: int) -> list[int]:
+            if s in cache:
+                return cache[s]
+            w = h = 16
+            pix = bytes(
+                (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+            dw, dh, dc, dpix, _f = decode_image(enc)
+            nch = min(dc, 3)
+            g = [
+                sum(dpix[(y * dw + x) * dc + ch] for ch in range(nch)) // nch
+                for y in range(dh)
+                for x in range(dw)
+            ]
+            cache[s] = g
+            return g
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "sx", "sy", "sxx", "syy", "sxy")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = doc_id % 16
+                gx, gy = gray(s), gray((s + 1) % 16)
+                out["doc_id"].append(doc_id)
+                out["sx"].append(sum(gx))
+                out["sy"].append(sum(gy))
+                out["sxx"].append(sum(v * v for v in gx))
+                out["syy"].append(sum(v * v for v in gy))
+                out["sxy"].append(sum(a * b for a, b in zip(gx, gy)))
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        stats, schema="doc_id long, sx long, sy long, sxx long, syy long, sxy long"
+    )
+    per_class = scored.groupBy((F.col("doc_id") % 16).alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        F.first("sx").cast("bigint").alias("sx"),
+        F.first("sy").cast("bigint").alias("sy"),
+        F.first("sxx").cast("bigint").alias("sxx"),
+        F.first("syy").cast("bigint").alias("syy"),
+        F.first("sxy").cast("bigint").alias("sxy"),
+    )
+    # plain decimal literals parse as DECIMAL in Spark SQL — force
+    # every term through DOUBLE so both engines run IEEE arithmetic
+    n = "CAST(256 AS DOUBLE)"
+    c1, c2 = "CAST(6.5025 AS DOUBLE)", "CAST(58.5225 AS DOUBLE)"
+    two = "CAST(2 AS DOUBLE)"
+    mx, my = f"(CAST(sx AS DOUBLE) / {n})", f"(CAST(sy AS DOUBLE) / {n})"
+    vx = f"(CAST(sxx AS DOUBLE) / {n} - {mx} * {mx})"
+    vy = f"(CAST(syy AS DOUBLE) / {n} - {my} * {my})"
+    cov = f"(CAST(sxy AS DOUBLE) / {n} - {mx} * {my})"
+    ssim = (
+        f"ROUND((({two} * {mx} * {my} + {c1}) * ({two} * {cov} + {c2}))"
+        f" / (({mx} * {mx} + {my} * {my} + {c1}) * ({vx} + {vy} + {c2})), 6)"
+    )
+    return per_class.select(
+        "canonical_doc",
+        "n_images",
+        F.expr(ssim).alias("ssim_next_class"),
+    ).orderBy("canonical_doc")
+
+
+MULTIMODAL_SSIM_SQL = """
+WITH px AS (
+  SELECT s, x, y,
+         ((((x*x + 2*y + 5*s + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 37 + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 74 + (s*x)//3) % 256)) // 3) AS g
+  FROM generate_series(0, 15) ts(s),
+       generate_series(0, 15) tx(x),
+       generate_series(0, 15) ty(y)
+),
+paired AS (
+  SELECT a.s, a.g AS gx, b.g AS gy
+  FROM px a JOIN px b ON b.s = (a.s + 1) % 16 AND b.x = a.x AND b.y = a.y
+),
+st AS (
+  SELECT s,
+         CAST(SUM(gx) AS BIGINT) AS sx, CAST(SUM(gy) AS BIGINT) AS sy,
+         CAST(SUM(gx * gx) AS BIGINT) AS sxx, CAST(SUM(gy * gy) AS BIGINT) AS syy,
+         CAST(SUM(gx * gy) AS BIGINT) AS sxy
+  FROM paired GROUP BY 1
+),
+cls AS (
+  SELECT doc_id % 16 AS s, COUNT(*) AS n_images, MIN(doc_id) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT CAST(c.canonical_doc AS BIGINT) AS canonical_doc,
+       CAST(c.n_images AS BIGINT) AS n_images,
+       ROUND(((CAST(2 AS DOUBLE) * (CAST(sx AS DOUBLE) / 256) * (CAST(sy AS DOUBLE) / 256)
+               + CAST(6.5025 AS DOUBLE))
+              * (CAST(2 AS DOUBLE) * (CAST(sxy AS DOUBLE) / 256
+                 - (CAST(sx AS DOUBLE) / 256) * (CAST(sy AS DOUBLE) / 256))
+                 + CAST(58.5225 AS DOUBLE)))
+             / (((CAST(sx AS DOUBLE) / 256) * (CAST(sx AS DOUBLE) / 256)
+                 + (CAST(sy AS DOUBLE) / 256) * (CAST(sy AS DOUBLE) / 256)
+                 + CAST(6.5025 AS DOUBLE))
+                * ((CAST(sxx AS DOUBLE) / 256 - (CAST(sx AS DOUBLE) / 256) * (CAST(sx AS DOUBLE) / 256))
+                   + (CAST(syy AS DOUBLE) / 256 - (CAST(sy AS DOUBLE) / 256) * (CAST(sy AS DOUBLE) / 256))
+                   + CAST(58.5225 AS DOUBLE))), 6)
+         AS ssim_next_class
+FROM st JOIN cls c ON c.s = st.s
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_image_ssim"] = multimodal_image_ssim
+ORACLE["multimodal_image_ssim"] = MULTIMODAL_SSIM_SQL

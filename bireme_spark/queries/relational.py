@@ -6868,3 +6868,117 @@ FROM up, dn
 
 QUERIES["orders_bullwhip_effect"] = orders_bullwhip_effect
 ORACLE["orders_bullwhip_effect"] = ORDERS_BULLWHIP_SQL
+
+
+def nations_complexity_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-space proximity (Hidalgo–Hausmann 2007): for every
+    brand pair, φ = |nations with RCA ≥ 1 in BOTH| / max(ubiquity) —
+    the conditional-probability backbone of economic-complexity
+    analysis ("countries diversify into products PROXIMATE to what
+    they already export"); per brand, the density (mean proximity to
+    the rest of the space) ranks how central each product line is.
+    Builds directly on nations_rca_matrix's Balassa cells.
+
+    Engine-exact: the RCA ≥ 1 flag is the integer cross-multiplied
+    compare x_ns·X ≥ x_n·X_s (cents-scaled DECIMAL products — no
+    division); co-occurrence counts are integers; φ and density are
+    integer ppm DIVs. Output is the |brands|² ≤ 625-cell proximity
+    aggregate — top-15 pairs plus each member's density.
+
+    Scale: ONE fact shuffle to (nation, brand) cells; the M matrix
+    is |nations|·|brands| ≤ 625 rows, so the pair join is
+    model-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", money("l_extendedprice").alias("rev")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("s_nationkey", "p_brand")
+        .agg((F.sum("rev") * 100).cast("decimal(38,0)").alias("cents"))
+    )
+    m = cells.select(
+        "s_nationkey",
+        "p_brand",
+        "cents",
+        F.sum("cents").over(Window.partitionBy("s_nationkey")).alias("x_n"),
+        F.sum("cents").over(Window.partitionBy("p_brand")).alias("x_s"),
+        F.sum("cents").over(Window.partitionBy(F.lit(1))).alias("x_tot"),
+    ).where(F.expr("cents * x_tot >= x_n * x_s"))  # RCA >= 1
+    mm = m.select("s_nationkey", "p_brand").localCheckpoint(eager=True)
+    ubiq = mm.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    a = mm.select(F.col("s_nationkey").alias("n"), F.col("p_brand").alias("b1"))
+    b = mm.select(F.col("s_nationkey").alias("n"), F.col("p_brand").alias("b2"))
+    co = (
+        a.join(b, "n")
+        .where(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("both"))
+    )
+    prox = (
+        co.join(ubiq.select(F.col("p_brand").alias("b1"), F.col("u").alias("u1")), "b1")
+        .join(ubiq.select(F.col("p_brand").alias("b2"), F.col("u").alias("u2")), "b2")
+        .select(
+            "b1",
+            "b2",
+            "both",
+            F.expr("CAST(both * 1000000 DIV GREATEST(u1, u2) AS BIGINT)").alias(
+                "proximity_ppm"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("proximity_ppm"), "b1", "b2")
+    return (
+        prox.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 15)
+        .select(
+            F.col("rk").cast("int").alias("rank"),
+            F.col("b1").alias("brand_a"),
+            F.col("b2").alias("brand_b"),
+            "both",
+            "proximity_ppm",
+        )
+        .orderBy("rank")
+    )
+
+
+NATIONS_PROXIMITY_SQL = """
+WITH cells AS (
+  SELECT s.s_nationkey, p.p_brand,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT s_nationkey, p_brand FROM (
+    SELECT s_nationkey, p_brand, cents,
+           SUM(cents) OVER (PARTITION BY s_nationkey) AS x_n,
+           SUM(cents) OVER (PARTITION BY p_brand) AS x_s,
+           SUM(cents) OVER () AS x_tot
+    FROM cells
+  ) WHERE cents * x_tot >= x_n * x_s
+),
+ubiq AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS u FROM m GROUP BY 1),
+co AS (
+  SELECT a.p_brand AS b1, b.p_brand AS b2, CAST(COUNT(*) AS BIGINT) AS both_n
+  FROM m a JOIN m b ON a.s_nationkey = b.s_nationkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+),
+prox AS (
+  SELECT c.b1, c.b2, c.both_n,
+         CAST(c.both_n * 1000000 // GREATEST(u1.u, u2.u) AS BIGINT) AS proximity_ppm
+  FROM co c JOIN ubiq u1 ON u1.p_brand = c.b1 JOIN ubiq u2 ON u2.p_brand = c.b2
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY proximity_ppm DESC, b1, b2) AS INTEGER) AS rank,
+       b1 AS brand_a, b2 AS brand_b, both_n AS both, proximity_ppm
+FROM prox
+QUALIFY rank <= 15
+ORDER BY rank
+"""
+
+QUERIES["nations_complexity_proximity"] = nations_complexity_proximity
+ORACLE["nations_complexity_proximity"] = NATIONS_PROXIMITY_SQL

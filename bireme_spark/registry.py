@@ -128,6 +128,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "embedding_mmd_test",
         "parts_eoq_policy",
         "orders_bullwhip_effect",
+        "nations_complexity_proximity",
+        "multimodal_image_ssim",
     }
 )
 

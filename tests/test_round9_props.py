@@ -1427,3 +1427,78 @@ def test_bullwhip_ratio_matches_fraction_recompute(spark, sf_dir):
     assert row.n_months == len(om)
     assert abs(row.bullwhip_ratio - float(cd / cu)) < 2e-6
     assert row.amplifies == (cd > cu)
+
+
+def test_proximity_is_conditional_probability_bounded(spark, sf_dir):
+    """φ must be a valid probability, symmetric by construction
+    (emitted once per unordered pair), and equal to the direct
+    co-occurrence recompute from a pandas RCA matrix."""
+    from bireme_spark.queries.relational import nations_complexity_proximity
+
+    rows = nations_complexity_proximity(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 15
+    li = _pq(sf_dir, "lineitem")[["l_suppkey", "l_partkey", "l_extendedprice"]]
+    s = _pq(sf_dir, "supplier")[["s_suppkey", "s_nationkey"]]
+    p = _pq(sf_dir, "part")[["p_partkey", "p_brand"]]
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey").merge(
+        p, left_on="l_partkey", right_on="p_partkey"
+    )
+    j["cents"] = [int(_money(v) * 100) for v in j["l_extendedprice"]]
+    cells = j.groupby(["s_nationkey", "p_brand"])["cents"].sum()
+    xn = cells.groupby(level=0).sum()
+    xs = cells.groupby(level=1).sum()
+    tot = int(cells.sum())
+    M = {
+        (n_, b_)
+        for (n_, b_), c in cells.items()
+        if int(c) * tot >= int(xn[n_]) * int(xs[b_])
+    }
+    ubiq = {}
+    for n_, b_ in M:
+        ubiq[b_] = ubiq.get(b_, 0) + 1
+    for r in rows:
+        both = sum(
+            1
+            for n_ in {x for x, b_ in M if b_ == r.brand_a}
+            if (n_, r.brand_b) in M
+        )
+        assert r.both == both, (r.brand_a, r.brand_b)
+        assert r.proximity_ppm == both * 10**6 // max(ubiq[r.brand_a], ubiq[r.brand_b])
+        assert 0 <= r.proximity_ppm <= 10**6
+
+
+def test_ssim_self_similarity_and_bounds(spark, sf_dir):
+    """SSIM of a class with ITSELF must be exactly 1 (recomputed from
+    the same stats), every emitted cross-class SSIM must lie in
+    (-1, 1], and the direct pixel-formula recompute must agree."""
+    from bireme_spark.queries.multimodal import multimodal_image_ssim
+
+    rows = {r.canonical_doc % 16: r for r in multimodal_image_ssim(spark, sf_dir).collect()}
+
+    def gray(s):
+        return [
+            sum((x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256 for c in range(3)) // 3
+            for y in range(16)
+            for x in range(16)
+        ]
+
+    for s_, r in rows.items():
+        gx, gy = gray(s_), gray((s_ + 1) % 16)
+        n = 256.0
+        sx, sy = sum(gx), sum(gy)
+        sxx = sum(v * v for v in gx)
+        syy = sum(v * v for v in gy)
+        sxy = sum(a * b for a, b in zip(gx, gy))
+        mx, my = sx / n, sy / n
+        vx, vy = sxx / n - mx * mx, syy / n - my * my
+        cov = sxy / n - mx * my
+        ssim = ((2 * mx * my + 6.5025) * (2 * cov + 58.5225)) / (
+            (mx * mx + my * my + 6.5025) * (vx + vy + 58.5225)
+        )
+        assert abs(r.ssim_next_class - ssim) < 2e-6, s_
+        assert -1.0 < r.ssim_next_class <= 1.0
+        # self-SSIM identity on the same stats
+        self_ssim = ((2 * mx * mx + 6.5025) * (2 * vx + 58.5225)) / (
+            (2 * mx * mx + 6.5025) * (2 * vx + 58.5225)
+        )
+        assert self_ssim == 1.0
