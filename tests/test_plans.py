@@ -305,3 +305,49 @@ def test_roc_auc_cell_window_is_range_partitioned(spark):
             assert re.search(r"\bbc#\d+", inputs), (
                 f"unpartitioned Window over non-bucket input: {inputs}"
             )
+
+
+def test_filtered_topk_joins_corpus_on_the_filter_key(spark):
+    """ann_filtered_topk: the pre-filter strategy must surface as a
+    BroadcastHashJoin keyed on the filter column — the corpus side
+    must NOT shuffle and must NOT fall back to a nested-loop over
+    all pairs (the post-filter recall bug would show up as BNLJ)."""
+    plan = _plan(spark, "ann_filtered_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_entropy_pairs_stay_broadcast(spark):
+    """events_sample_entropy: the template pair join runs on the
+    time-span-bounded day series — it must be a broadcast-side
+    nested loop (tiny), never a shuffled join of exploded pairs."""
+    plan = _plan(spark, "events_sample_entropy")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_attribution_single_user_shuffle(spark):
+    """events_markov_attribution: starts/steps/ends all derive from
+    ONE user-keyed window pass — the event stream may carry at most
+    one hashpartitioning(user_id) exchange before the model-sized
+    aggregation."""
+    plan = _plan(spark, "events_markov_attribution")
+    assert plan.count("hashpartitioning(user_id") <= 1, plan
+
+
+def test_mmd_kernel_blocks_are_sample_bounded(spark):
+    """embedding_mmd_test: the kernel pair join must operate on the
+    checkpointed stride sample (scan of an ExistingRDD/LocalTableScan
+    checkpoint), not re-derive the corpus per side — and no
+    cartesian over the full embeddings table."""
+    plan = _plan(spark, "embedding_mmd_test")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_trending_terms_topk_is_take_ordered(spark):
+    """text_trending_terms: the top-20 must be TakeOrdered — a global
+    sort of the flagged-term table would be the needless exchange."""
+    plan = _plan(spark, "text_trending_terms")
+    assert "TakeOrderedAndProject" in plan
