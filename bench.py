@@ -303,6 +303,8 @@ HEADLINE = [
     "orders_bullwhip_effect",
     "nations_complexity_proximity",
     "multimodal_image_ssim",
+    "text_source_vocab_overlap",
+    "lineitem_clustered_se",
 ]
 
 

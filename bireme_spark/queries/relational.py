@@ -6982,3 +6982,175 @@ ORDER BY rank
 
 QUERIES["nations_complexity_proximity"] = nations_complexity_proximity
 ORACLE["nations_complexity_proximity"] = NATIONS_PROXIMITY_SQL
+
+
+def lineitem_clustered_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-robust (Liang–Zeger sandwich) standard error for the
+    quantity-on-discount OLS slope, clustered by part BRAND — the
+    inference fix for the error every naive regression on grouped
+    data makes: line items of one brand share shocks, so iid SEs
+    overstate precision; the se_cluster/se_iid inflation ratio IS
+    the finding. Var̂(β) = Σ_g u_g² / Sxx_c², u_g = Σ_{i∈g} x̃ᵢeᵢ =
+    (x̃ỹ)_g − β(x̃x̃)_g from centered per-group cross moments.
+
+    Determinism: all moments are exact cents-scaled integers; each
+    u_g is ONE identical IEEE double expression per group
+    (the p-chart contract), e6-rounded PER GROUP before the integer
+    square-and-sum (a float Σu² across shuffled groups would be
+    order-dependent — the per-term rule, applied to groups), with an
+    in-plan n-independent downscale (DIV k, k = GREATEST(1, n DIV
+    1e7) — k = 1 at every gate tier) keeping squares inside
+    DECIMAL(38,0) at any scale; both SEs close as identical IEEE
+    doubles, one-shot 6dp.
+
+    Scale: one fact-dim join, one brand-grain moment agg; the
+    sandwich runs on |brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (money("l_quantity") * 100).cast("decimal(38,0)").alias("y"),
+        (F.col("l_discount").cast("decimal(5,2)") * 100).cast("decimal(38,0)").alias("x"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    g = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
+        F.sum("x").cast("decimal(38,0)").alias("sx_g"),
+        F.sum("y").cast("decimal(38,0)").alias("sy_g"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy_g"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx_g"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy_g"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = (
+        g.withColumn("n", F.sum("ng").over(wall).cast("decimal(38,0)"))
+        .withColumn("sx", F.sum("sx_g").over(wall).cast("decimal(38,0)"))
+        .withColumn("sy", F.sum("sy_g").over(wall).cast("decimal(38,0)"))
+        .withColumn("sxy", F.sum("sxy_g").over(wall).cast("decimal(38,0)"))
+        .withColumn("sxx", F.sum("sxx_g").over(wall).cast("decimal(38,0)"))
+        .withColumn("syy", F.sum("syy_g").over(wall).cast("decimal(38,0)"))
+        .withColumn("gcount", F.count(F.lit(1)).over(wall).cast("bigint"))
+    )
+    nD = "CAST(n AS DOUBLE)"
+    beta = (
+        f"(({nD} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        f" / ({nD} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    )
+    xbar = f"(CAST(sx AS DOUBLE) / {nD})"
+    ybar = f"(CAST(sy AS DOUBLE) / {nD})"
+    # u_g = [Sxy_g − x̄Sy_g − ȳSx_g + n_g·x̄ȳ] − β[Sxx_g − 2x̄Sx_g + n_g·x̄²]
+    u_g = (
+        f"((CAST(sxy_g AS DOUBLE) - {xbar} * CAST(sy_g AS DOUBLE)"
+        f" - {ybar} * CAST(sx_g AS DOUBLE) + CAST(ng AS DOUBLE) * {xbar} * {ybar})"
+        f" - {beta} * (CAST(sxx_g AS DOUBLE) - CAST(2 AS DOUBLE) * {xbar} * CAST(sx_g AS DOUBLE)"
+        f" + CAST(ng AS DOUBLE) * {xbar} * {xbar}))"
+    )
+    kdiv = "GREATEST(CAST(1 AS BIGINT), CAST(n AS BIGINT) DIV 10000000)"
+    scaled = tot.withColumn(
+        "u_e6",
+        F.expr(
+            f"CAST(ROUND({u_g} * CAST(1000000 AS DOUBLE)) AS DECIMAL(38,0))"
+            f" DIV CAST({kdiv} AS DECIMAL(38,0))"
+        ).cast("decimal(38,0)"),
+    )
+    agg = scaled.agg(
+        F.first("n").alias("n"),
+        F.first("sx").alias("sx"),
+        F.first("sy").alias("sy"),
+        F.first("sxy").alias("sxy"),
+        F.first("sxx").alias("sxx"),
+        F.first("syy").alias("syy"),
+        F.first("gcount").alias("gcount"),
+        F.sum(F.expr("u_e6 * u_e6")).cast("decimal(38,0)").alias("sum_u2"),
+        F.first(F.expr(f"CAST({kdiv} AS BIGINT)")).alias("kk"),
+    )
+    sxxc = f"(({nD} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / {nD})"
+    sxyc = f"(({nD} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / {nD})"
+    syyc = f"(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / {nD})"
+    se_cl = (
+        f"(sqrt(CAST(sum_u2 AS DOUBLE)) * CAST(kk AS DOUBLE)"
+        f" / CAST(1000000 AS DOUBLE) / {sxxc})"
+    )
+    se_iid = (
+        f"sqrt(({syyc} - {beta} * {sxyc})"
+        f" / (({nD} - CAST(2 AS DOUBLE)) * {sxxc}))"
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("gcount").alias("n_clusters"),
+        F.expr(f"ROUND({beta} * CAST(1000000 AS DOUBLE), 6)").alias("beta_e6"),
+        F.expr(f"ROUND({se_iid} * CAST(1000000 AS DOUBLE), 6)").alias("se_iid_e6"),
+        F.expr(f"ROUND({se_cl} * CAST(1000000 AS DOUBLE), 6)").alias("se_cluster_e6"),
+        F.expr(f"ROUND({se_cl} / {se_iid}, 6)").alias("se_inflation"),
+    )
+
+
+def _clustered_se_sql() -> str:
+    nD = "CAST(n AS DOUBLE)"
+    beta = (
+        f"(({nD} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        f" / ({nD} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    )
+    xbar = f"(CAST(sx AS DOUBLE) / {nD})"
+    ybar = f"(CAST(sy AS DOUBLE) / {nD})"
+    u_g = (
+        f"((CAST(sxy_g AS DOUBLE) - {xbar} * CAST(sy_g AS DOUBLE)"
+        f" - {ybar} * CAST(sx_g AS DOUBLE) + CAST(ng AS DOUBLE) * {xbar} * {ybar})"
+        f" - {beta} * (CAST(sxx_g AS DOUBLE) - CAST(2 AS DOUBLE) * {xbar} * CAST(sx_g AS DOUBLE)"
+        f" + CAST(ng AS DOUBLE) * {xbar} * {xbar}))"
+    )
+    kdiv = "GREATEST(CAST(1 AS BIGINT), CAST(n AS BIGINT) // 10000000)"
+    sxxc = f"(({nD} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / {nD})"
+    sxyc = f"(({nD} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / {nD})"
+    syyc = f"(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / {nD})"
+    se_cl = (
+        f"(sqrt(CAST(sum_u2 AS DOUBLE)) * CAST(kk AS DOUBLE)"
+        f" / CAST(1000000 AS DOUBLE) / {sxxc})"
+    )
+    se_iid = (
+        f"sqrt(({syyc} - {beta} * {sxyc}) / (({nD} - CAST(2 AS DOUBLE)) * {sxxc}))"
+    )
+    return f"""
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y,
+         CAST(CAST(l.l_discount AS DECIMAL(5,2)) * 100 AS HUGEINT) AS x
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+g AS (
+  SELECT p_brand, CAST(COUNT(*) AS HUGEINT) AS ng,
+         SUM(x) AS sx_g, SUM(y) AS sy_g,
+         SUM(x * y) AS sxy_g, SUM(x * x) AS sxx_g, SUM(y * y) AS syy_g
+  FROM j GROUP BY 1
+),
+tot AS (
+  SELECT g.*, t.n, t.sx, t.sy, t.sxy, t.sxx, t.syy, t.gcount
+  FROM g, (SELECT CAST(SUM(ng) AS HUGEINT) AS n, CAST(SUM(sx_g) AS HUGEINT) AS sx,
+                  CAST(SUM(sy_g) AS HUGEINT) AS sy, CAST(SUM(sxy_g) AS HUGEINT) AS sxy,
+                  CAST(SUM(sxx_g) AS HUGEINT) AS sxx, CAST(SUM(syy_g) AS HUGEINT) AS syy,
+                  CAST(COUNT(*) AS BIGINT) AS gcount
+           FROM g) t
+),
+scaled AS (
+  SELECT *, CAST(ROUND({u_g} * CAST(1000000 AS DOUBLE)) AS HUGEINT)
+            // CAST({kdiv} AS HUGEINT) AS u_e6
+  FROM tot
+),
+agg AS (
+  SELECT MIN(n) AS n, MIN(sx) AS sx, MIN(sy) AS sy, MIN(sxy) AS sxy,
+         MIN(sxx) AS sxx, MIN(syy) AS syy, MIN(gcount) AS gcount,
+         CAST(SUM(u_e6 * u_e6) AS HUGEINT) AS sum_u2,
+         MIN(CAST({kdiv} AS BIGINT)) AS kk
+  FROM scaled
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       gcount AS n_clusters,
+       ROUND({beta} * CAST(1000000 AS DOUBLE), 6) AS beta_e6,
+       ROUND({se_iid} * CAST(1000000 AS DOUBLE), 6) AS se_iid_e6,
+       ROUND({se_cl} * CAST(1000000 AS DOUBLE), 6) AS se_cluster_e6,
+       ROUND({se_cl} / {se_iid}, 6) AS se_inflation
+FROM agg
+"""
+
+
+QUERIES["lineitem_clustered_se"] = lineitem_clustered_se
+ORACLE["lineitem_clustered_se"] = _clustered_se_sql()

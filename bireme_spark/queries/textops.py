@@ -1981,3 +1981,92 @@ LIMIT 20
 
 QUERIES["text_trending_terms"] = text_trending_terms
 ORACLE["text_trending_terms"] = TEXT_TRENDING_SQL
+
+
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary overlap: Jaccard of each source's
+    TOP-100 terms (by frequency, deterministic (count DESC, term)
+    tie-break) for every source pair — the provenance audit that
+    flags mirror/scrape duplicates between whole SOURCES (doc-level
+    dedup never sees them) and conversely surfaces outlier domains
+    whose vocabulary shares nothing with the rest. Top-10 most
+    overlapping pairs.
+
+    Engine-exact: top-100 membership is an integer rank window with
+    a total tie order; the pairwise intersection is an equi-join
+    count over the |sources|·100-row membership table (model-sized);
+    Jaccard is integer ppm via DIV on |A∪B| = 200 − |A∩B|.
+
+    Scale: one tokenize pass to (source, term) counts; everything
+    after runs on |sources|·100 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    # spread the one-row-group scan before the tokenize explode
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    freq = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "term")
+    top = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 100)
+        .select("source", "term")
+        .localCheckpoint(eager=True)
+    )
+    a = top.select(F.col("source").alias("s1"), "term")
+    b = top.select(F.col("source").alias("s2"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    wtop = Window.orderBy(F.desc("inter"), "s1", "s2")
+    return (
+        inter.withColumn(
+            "jaccard_ppm",
+            F.expr("CAST(inter * 1000000 DIV (200 - inter) AS BIGINT)"),
+        )
+        .withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 10)
+        .select(
+            F.col("rk").cast("int").alias("rank"),
+            F.col("s1").alias("source_a"),
+            F.col("s2").alias("source_b"),
+            F.col("inter").alias("shared_terms"),
+            "jaccard_ppm",
+        )
+        .orderBy("rank")
+    )
+
+
+TEXT_SOURCE_OVERLAP_SQL = """
+WITH freq AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY 1, 2
+),
+top AS (
+  SELECT source, term FROM (
+    SELECT source, term,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, term) AS rk
+    FROM freq
+  ) WHERE rk <= 100
+),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY inter DESC, s1, s2) AS INTEGER) AS rank,
+       s1 AS source_a, s2 AS source_b, inter AS shared_terms,
+       CAST(inter * 1000000 // (200 - inter) AS BIGINT) AS jaccard_ppm
+FROM inter
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+QUERIES["text_source_vocab_overlap"] = text_source_vocab_overlap
+ORACLE["text_source_vocab_overlap"] = TEXT_SOURCE_OVERLAP_SQL

@@ -130,6 +130,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_bullwhip_effect",
         "nations_complexity_proximity",
         "multimodal_image_ssim",
+        "text_source_vocab_overlap",
+        "lineitem_clustered_se",
     }
 )
 

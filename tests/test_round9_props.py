@@ -1502,3 +1502,51 @@ def test_ssim_self_similarity_and_bounds(spark, sf_dir):
             (2 * mx * mx + 6.5025) * (2 * vx + 58.5225)
         )
         assert self_ssim == 1.0
+
+
+def test_source_vocab_overlap_matches_counter_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from bireme_spark.queries.textops import text_source_vocab_overlap
+
+    rows = text_source_vocab_overlap(spark, sf_dir).collect()
+    docs = _pq(sf_dir, "documents")
+    tops = {}
+    for src, grp in docs.groupby("source"):
+        cnt = Counter(t for txt in grp["text"] for t in str(txt).split(" ") if t)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        tops[src] = {t for t, _ in ranked}
+    for r in rows:
+        inter = len(tops[r.source_a] & tops[r.source_b])
+        assert r.shared_terms == inter, (r.source_a, r.source_b)
+        assert r.jaccard_ppm == inter * 10**6 // (200 - inter)
+
+
+def test_clustered_se_matches_numpy_sandwich(spark, sf_dir):
+    import numpy as np
+
+    from bireme_spark.queries.relational import lineitem_clustered_se
+
+    row = lineitem_clustered_se(spark, sf_dir).collect()[0]
+    li = _pq(sf_dir, "lineitem")
+    p = _pq(sf_dir, "part")[["p_partkey", "p_brand"]]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    y = np.array([float(_money(v) * 100) for v in j["l_quantity"]])
+    x = np.array(
+        [float(Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100) for v in j["l_discount"]]
+    )
+    n = len(y)
+    xb, yb = x.mean(), y.mean()
+    beta = ((x - xb) * (y - yb)).sum() / ((x - xb) ** 2).sum()
+    e = (y - yb) - beta * (x - xb)
+    sxx_c = ((x - xb) ** 2).sum()
+    u2 = 0.0
+    for _, grp in pd.DataFrame({"b": j["p_brand"], "u": (x - xb) * e}).groupby("b"):
+        u2 += float(grp["u"].sum()) ** 2
+    se_cl = math.sqrt(u2) / sxx_c
+    se_iid = math.sqrt((e**2).sum() / ((n - 2) * sxx_c))
+    assert row.n_rows == n
+    assert abs(row.beta_e6 / 1e6 - beta) < 1e-6
+    assert abs(row.se_cluster_e6 / 1e6 - se_cl) < 1e-5
+    assert abs(row.se_iid_e6 / 1e6 - se_iid) < 1e-5
+    assert abs(row.se_inflation - se_cl / se_iid) < 1e-3
