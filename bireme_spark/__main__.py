@@ -6,6 +6,7 @@ launcher for a batch engine.
     python -m bireme_spark run q1_pricing_summary --sf-dir /root/testdata/sf0.01
     python -m bireme_spark sql "SELECT COUNT(*) AS n FROM lineitem" --sf-dir ...
     python -m bireme_spark oracle q1_pricing_summary   # print the SQL twin
+    python -m bireme_spark serve --config etc/config.properties   # CDC sync daemon
 """
 
 from __future__ import annotations
@@ -34,7 +35,23 @@ def main(argv: list[str] | None = None) -> int:
     p_or = sub.add_parser("oracle", help="print a query's ANSI-SQL oracle twin")
     p_or.add_argument("name")
 
+    p_srv = sub.add_parser(
+        "serve", help="run the CDC sync daemon (config.properties lifecycle)"
+    )
+    p_srv.add_argument("--config", required=True, help="path to config.properties")
+    p_srv.add_argument(
+        "--available-now", action="store_true", help="drain one sync pass, then exit"
+    )
+    p_srv.add_argument(
+        "--timeout", type=float, default=None, help="stop gracefully after N seconds"
+    )
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "serve":
+        from bireme_spark.serve import serve
+
+        return serve(args.config, available_now=args.available_now, timeout=args.timeout)
 
     if args.cmd == "list":
         from bireme_spark import registry

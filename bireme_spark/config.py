@@ -73,6 +73,12 @@ class PipelineConfig:
     # StateServer twin (state.server.addr/port in the reference etc)
     state_server_addr: str | None = None
     state_server_port: int | None = None
+    # `serve` daemon extras: the reference discovers the target schema
+    # from the live database (GetPrimaryKeys.java); a file/parquet
+    # deployment declares it in the properties instead —
+    # ``target.schema = k BIGINT, v STRING`` + ``target.key = k``.
+    target_schema_ddl: str | None = None
+    key_fields: tuple[str, ...] = ()
 
     @classmethod
     def from_properties(cls, props: dict[str, str]) -> "PipelineConfig":
@@ -122,6 +128,10 @@ class PipelineConfig:
             state_server_addr=props.get("state.server.addr"),
             state_server_port=(
                 int(props["state.server.port"]) if "state.server.port" in props else None
+            ),
+            target_schema_ddl=props.get("target.schema"),
+            key_fields=tuple(
+                k.strip() for k in props.get("target.key", "").split(",") if k.strip()
             ),
         )
 

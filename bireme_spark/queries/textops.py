@@ -1895,8 +1895,15 @@ def text_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit(11).cast("bigint").alias("m"),
             "text",
+            # cap mirrors the oracle's static series bound so both
+            # engines share the same replica count at EVERY SF (r9
+            # ADVICE: an uncapped Spark sequence vs the oracle's 1e6
+            # series silently diverges past ~20M docs)
             F.explode(
-                F.sequence(F.lit(1), F.expr("CAST(GREATEST(ndocs DIV 20, 1) AS INT)"))
+                F.sequence(
+                    F.lit(1),
+                    F.expr("CAST(LEAST(GREATEST(ndocs DIV 20, 1), 1000000) AS INT)"),
+                )
             ).alias("rep"),
         )
         .select("m", "text")
@@ -1948,11 +1955,12 @@ base AS (
 ),
 burst AS (
   -- DuckDB's generate_series rejects lateral column bounds: use a
-  -- static 1e6-row series filtered to the in-plan replica count
-  -- (covers any test tier; the Spark side has no such cap)
+  -- static 1e6-row series filtered to the in-plan replica count.
+  -- The Spark side applies the SAME LEAST(..., 1e6) cap so both
+  -- engines share one bound at every SF.
   SELECT CAST(11 AS BIGINT) AS m, d.text
   FROM documents d, nd, generate_series(1, 1000000) g(rep)
-  WHERE d.doc_id = nd.d0 AND g.rep <= GREATEST(nd.ndocs // 20, 1)
+  WHERE d.doc_id = nd.d0 AND g.rep <= LEAST(GREATEST(nd.ndocs // 20, 1), 1000000)
 ),
 toks AS (
   SELECT m, unnest(string_split(text, ' ')) AS term
@@ -1994,8 +2002,11 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-exact: top-100 membership is an integer rank window with
     a total tie order; the pairwise intersection is an equi-join
-    count over the |sources|·100-row membership table (model-sized);
-    Jaccard is integer ppm via DIV on |A∪B| = 200 − |A∩B|.
+    count over the ≤|sources|·100-row membership table (model-sized);
+    Jaccard is integer ppm via DIV on |A∪B| = |A| + |B| − |A∩B|,
+    carrying each source's ACTUAL top-list size (r9 ADVICE: a
+    literal 200 inflates Jaccard for a source with < 100 distinct
+    terms).
 
     Scale: one tokenize pass to (source, term) counts; everything
     after runs on |sources|·100 rows."""
@@ -2015,6 +2026,7 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term")
         .localCheckpoint(eager=True)
     )
+    sizes = top.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_top"))
     a = top.select(F.col("source").alias("s1"), "term")
     b = top.select(F.col("source").alias("s2"), "term")
     inter = (
@@ -2022,12 +2034,14 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+        .join(sizes.select(F.col("source").alias("s1"), F.col("n_top").alias("n1")), "s1")
+        .join(sizes.select(F.col("source").alias("s2"), F.col("n_top").alias("n2")), "s2")
     )
     wtop = Window.orderBy(F.desc("inter"), "s1", "s2")
     return (
         inter.withColumn(
             "jaccard_ppm",
-            F.expr("CAST(inter * 1000000 DIV (200 - inter) AS BIGINT)"),
+            F.expr("CAST(inter * 1000000 DIV (n1 + n2 - inter) AS BIGINT)"),
         )
         .withColumn("rk", F.row_number().over(wtop))
         .where(F.col("rk") <= 10)
@@ -2055,15 +2069,20 @@ top AS (
     FROM freq
   ) WHERE rk <= 100
 ),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_top FROM top GROUP BY 1
+),
 inter AS (
   SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS inter
   FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
   GROUP BY 1, 2
 )
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY inter DESC, s1, s2) AS INTEGER) AS rank,
-       s1 AS source_a, s2 AS source_b, inter AS shared_terms,
-       CAST(inter * 1000000 // (200 - inter) AS BIGINT) AS jaccard_ppm
-FROM inter
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY i.inter DESC, i.s1, i.s2) AS INTEGER) AS rank,
+       i.s1 AS source_a, i.s2 AS source_b, i.inter AS shared_terms,
+       CAST(i.inter * 1000000 // (sa.n_top + sb.n_top - i.inter) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.source = i.s1
+JOIN sizes sb ON sb.source = i.s2
 QUALIFY rank <= 10
 ORDER BY rank
 """

@@ -65,73 +65,11 @@ _SLOW = frozenset(
 # query, before the already-recorded ones.
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # (reset at round-9 open: the r8 cohort — 24 operators, the
-        # only never-recorded queries left — now ranks as plain
-        # never-recorded and heads round 9's bounded driver gate;
-        # ~26 remaining slots re-confirm the stalest green rows.
-        # Round-9 additions below rank after ALL of them so the
-        # driver-record debt drains to 379/379 first.)
-        "ann_incremental_index",
-        "text_readability",
-        "text_tokenizer_fertility",
-        "corpus_boilerplate_spans",
-        "embedding_lof",
-        "events_stickiness_ratio",
-        "events_absorption_profile",
-        "events_ewma_chart",
-        "events_fdr_screen",
-        "lineitem_tail_dependence",
-        "cdc_checksum_repair_plan",
-        "events_peak_concurrency",
-        "lineitem_rdd_discount",
-        "cdc_watermark_alignment",
-        "tokenizer_unigram_train",
-        "events_sprt_monitor",
-        "graph_betweenness_sample",
-        "text_yule_k",
-        "events_p_chart",
-        "events_sample_entropy",
-        "graph_modularity",
-        "ann_filtered_topk",
-        "embedding_triplet_eval",
-        "events_ams_f2_sketch",
-        "dedup_lsh_tuning",
-        "events_dfa_exponent",
-        "cdc_op_sequence_audit",
-        "multimodal_rle_compressibility",
-        "corpus_mix_waterfill",
-        "orders_theta_forecast",
-        "events_hawkes_declustering",
-        "events_western_electric_rules",
-        "cdc_partition_skew_report",
-        "parts_experience_curve",
-        "parts_demand_classification",
-        "text_char_entropy",
-        "graph_powerlaw_fit",
-        "ann_radius_search",
-        "customers_nelson_aalen",
-        "lineitem_iv_regression",
-        "orders_cochran_armitage",
-        "events_markov_attribution",
-        "orders_adstock_regression",
-        "cdc_consumer_rebalance_plan",
-        "graph_conductance",
-        "parts_price_stickiness",
-        "multimodal_audio_zcr",
-        "embedding_ari_partition_agreement",
-        "events_adwin_drift",
-        "text_trending_terms",
-        "cdc_schema_compat_check",
-        "orders_hierarchical_forecast",
-        "nations_matched_did",
-        "customers_competing_risks",
-        "embedding_mmd_test",
-        "parts_eoq_policy",
-        "orders_bullwhip_effect",
-        "nations_complexity_proximity",
-        "multimodal_image_ssim",
-        "text_source_vocab_overlap",
-        "lineitem_clustered_se",
+        # (reset at round-10 open: the 35 never-recorded r9
+        # continuation operators now rank as plain never-recorded and
+        # head round 10's bounded driver gate; the ~15 remaining slots
+        # re-confirm the stalest green rows. Round-10 additions below
+        # rank after ALL of them so the debt drains to 440/440 first.)
     }
 )
 

@@ -103,11 +103,22 @@ class JdbcMergeSink:
     properties: dict = field(default_factory=dict)
     op_col: str = "op"
     stage_write_mode: str = "overwrite"
+    # the reference's optimisticMode (ChangeLoader.java:212-222):
+    # insert-only workloads skip the delete scan until the first
+    # duplicate-key violation proves a key pre-exists, then the sink
+    # flips pessimistic ONCE and stays there (executeTask:274-289).
+    optimistic: bool = False
 
-    def merge_statements(self, staging: str) -> list[str]:
-        """The driver-side transaction, in order (pure; testable)."""
+    def merge_statements(self, staging: str, optimistic: bool = False) -> list[str]:
+        """The driver-side transaction, in order (pure; testable).
+        ``optimistic`` drops the delete phase (insert-only fast path)."""
+        delete = (
+            []
+            if optimistic
+            else [delete_sql(self.target_table, staging, self.key_cols)]
+        )
         return [
-            delete_sql(self.target_table, staging, self.key_cols),
+            *delete,
             insert_sql(self.target_table, staging, self.payload_cols, self.op_col),
             drop_sql(staging, if_exists="derby" not in self.url),
         ]
@@ -123,7 +134,21 @@ class JdbcMergeSink:
             .options(**self.properties)
             .jdbc(self.url, staging)
         )
-        self._execute_transaction(batch_df.sparkSession, self.merge_statements(staging))
+        spark = batch_df.sparkSession
+        try:
+            self._execute_transaction(
+                spark, self.merge_statements(staging, optimistic=self.optimistic)
+            )
+        except Exception as exc:
+            # Derby 23505 / Postgres 23505 both say "duplicate key
+            # value"; the rollback left the staging table in place, so
+            # the pessimistic redo reuses it (one-way flip + retry,
+            # ChangeLoader.java:283-290 "Chang to passimistic mode").
+            if self.optimistic and "duplicate key value" in str(exc):
+                self.optimistic = False
+                self._execute_transaction(spark, self.merge_statements(staging))
+            else:
+                raise
 
     def _execute_transaction(self, spark, statements: Sequence[str]) -> None:
         """Run the merge statements in one JDBC transaction via the
@@ -376,9 +401,8 @@ class CopyMergeSink(JdbcMergeSink):
     events. The Spark-parallel alternative stays available as the
     base class. Falls back to the base class automatically when
     psycopg2 is absent (``copy_backend() == 'jdbc'``), which keeps
-    Derby/test deployments working unchanged."""
-
-    optimistic: bool = False
+    Derby/test deployments working unchanged (``optimistic`` and its
+    one-way flip are inherited — both paths share the semantics)."""
 
     def copy_statements(self) -> dict:
         """The pure plan (testable without a DB): statement strings

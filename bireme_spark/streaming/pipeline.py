@@ -579,31 +579,42 @@ def run_cdc_pipeline(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        compacted = _compact_parsed(batch_df, payload_cols)
-        if config.target_jdbc_url:
-            # Greenplum/warehouse path: DELETE+COPY merge through the
-            # staged-key JDBC transaction (ChangeLoader semantics).
-            from bireme_spark.sinks.jdbc import JdbcMergeSink
+        # persist: the merge scans the micro-batch several times
+        # (compact fold, changed-bucket collect, per-bucket writes) —
+        # uncached, every scan re-reads the SOURCE (re-polls Kafka)
+        # and re-derives monotonically_increasing_id offsets, which
+        # must be stable within the batch (same pattern as
+        # multi_batch below)
+        batch_df = batch_df.persist()
+        try:
+            compacted = _compact_parsed(batch_df, payload_cols)
+            if config.target_jdbc_url:
+                # Greenplum/warehouse path: DELETE+COPY merge through
+                # the staged-key JDBC transaction (ChangeLoader
+                # semantics).
+                from bireme_spark.sinks.jdbc import JdbcMergeSink
 
-            sink = JdbcMergeSink(
-                url=config.target_jdbc_url,
-                target_table=config.target_table or "public.target",
-                key_cols=("key",),
-                payload_cols=("key", *payload_cols),
-                properties=config.jdbc_properties,
+                sink = JdbcMergeSink(
+                    url=config.target_jdbc_url,
+                    target_table=config.target_table or "public.target",
+                    key_cols=("key",),
+                    payload_cols=("key", *payload_cols),
+                    properties=config.jdbc_properties,
+                )
+                sink(compacted.withColumnRenamed("final_op", "op"), batch_id)
+                return
+            _merge_compacted_versioned(
+                batch_df.sparkSession,
+                config.target_dir,
+                compacted,
+                data_schema,
+                key_fields,
+                base_columns,
+                nb,
+                batch_id,
             )
-            sink(compacted.withColumnRenamed("final_op", "op"), batch_id)
-            return
-        _merge_compacted_versioned(
-            batch_df.sparkSession,
-            config.target_dir,
-            compacted,
-            data_schema,
-            key_fields,
-            base_columns,
-            nb,
-            batch_id,
-        )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         parsed.writeStream.foreachBatch(merge_batch)

@@ -2,7 +2,15 @@
 ``queries()`` entry from ``__spark_entry__.py`` against its
 ``oracle_sql()`` twin via DuckDB and reports per-query MATCH/MISMATCH.
 
-Usage: python scripts/driver_sim.py [sf_dir] [name_filter...]
+Usage:
+    python scripts/driver_sim.py [sf_dir] [name_filter...]
+    python scripts/driver_sim.py --tiers name [name...]   # three-tier gate
+
+``--tiers`` runs the named queries at sf0.01, sf0.1 AND the sf1
+replica (testdata_sf1) in ONE session — the at-commit default for
+every new operator (VERDICT r9 item 3: each tier has caught real
+boundaries the others passed: ROUND-tie splits at sf0.1, stride/
+overflow blowups at sf1).
 """
 
 from __future__ import annotations
@@ -10,6 +18,7 @@ from __future__ import annotations
 import importlib.util
 import math
 import sys
+import time
 
 import duckdb
 
@@ -19,6 +28,8 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
 
+TIERS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/root/repo/testdata_sf1")
+
 
 def norm(v):
     if isinstance(v, float):
@@ -26,36 +37,11 @@ def norm(v):
     return v
 
 
-def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-
-    # the tuned factory, not a bare builder: a default 1g driver heap
-    # survives sf0.01 but OOM-kills the JVM mid-run at sf0.1 (seen on
-    # the graph queries — every later query then reports
-    # "Connection refused")
-    import os
-
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
-    from bireme_spark.session import get_spark
-
-    spark = get_spark("driver-sim", shuffle_partitions=16)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    df = mod.entry(spark)
-    n = df.count()
-    print(f"entry(): {n} rows")
-    assert n > 0
-
+def run_gate(spark, mod, sf: str, only: set[str]) -> list[str]:
+    """One tier: every (filtered) queries() entry vs its oracle."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-
-    import time
 
     qs, osql = mod.queries(), mod.oracle_sql()
     fails = []
@@ -113,8 +99,53 @@ def main() -> int:
         else:
             print(f"{name}: MATCH ({len(sdf)} rows) [{dt:.2f}s]")
     print(f"TOTAL WALL: {time.monotonic() - t_total:.1f}s")
-    print("FAILED:", fails if fails else "none")
-    return 1 if fails else 0
+    con.close()
+    return fails
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    tiers_mode = "--tiers" in args
+    if tiers_mode:
+        args.remove("--tiers")
+        only = set(args)
+        if not only:
+            print("--tiers needs explicit query names (a full 3-tier sweep is a round-close job)")
+            return 2
+        sf_dirs = list(TIERS)
+    else:
+        sf_dirs = [args[0] if args else "/root/testdata/sf0.01"]
+        only = set(args[1:])
+
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # the tuned factory, not a bare builder: a default 1g driver heap
+    # survives sf0.01 but OOM-kills the JVM mid-run at sf0.1 (seen on
+    # the graph queries — every later query then reports
+    # "Connection refused")
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
+    from bireme_spark.session import get_spark
+
+    spark = get_spark("driver-sim", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = mod.entry(spark)
+    n = df.count()
+    print(f"entry(): {n} rows")
+    assert n > 0
+
+    all_fails: list[str] = []
+    for sf in sf_dirs:
+        if len(sf_dirs) > 1:
+            print(f"=== tier {sf} ===")
+        fails = run_gate(spark, mod, sf, only)
+        all_fails.extend(f"{f}@{sf.rsplit('/', 1)[-1]}" if len(sf_dirs) > 1 else f for f in fails)
+    print("FAILED:", all_fails if all_fails else "none")
+    return 1 if all_fails else 0
 
 
 if __name__ == "__main__":

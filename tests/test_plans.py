@@ -97,6 +97,13 @@ EAGER = {
     "streaming_cdc_pipeline",
     "streaming_sessionize",
     "ann_ivf_topk",
+    # r10 recall-audit conversions: the gate row is computed eagerly
+    # (counts vs in-plan brute force) and returns a local relation —
+    # cartesian assertions on it are vacuous
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_hnsw_topk",
+    "ann_incremental_index",
     # iterative eager builders: the returned plan is checkpoint scans,
     # so cartesian assertions on it are vacuous and construction is slow
     "embedding_knn_pagerank",

