@@ -243,20 +243,34 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the gate (bucket membership depends on hash seeds; the SAME
     seeds make the report deterministic run-to-run, and the ≥0.9
     floor is property-tested in tests/test_ann.py)."""
+    from bireme_spark.operators.ann import ivf_topk, pq_topk
+
     truth = (
         ann_bruteforce_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
     n_truth = truth.count()
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    c = _corpus(spark, sf_dir)
+    approxes = (
+        ("lsh", lsh_topk(c, q, "vec_id", "embedding", dim=EMBED_DIM, k=K, tables=8, bits=6)),
+        ("ivf", ivf_topk(c, q, "vec_id", "embedding", dim=EMBED_DIM, k=K, ncells=16, nprobe=4)),
+        (
+            "pq",
+            pq_topk(
+                c, q, "vec_id", "embedding", dim=EMBED_DIM, k=K, m=8, ksub=16, rerank=8
+            ),
+        ),
+    )
     rows = []
-    for method, fn in (
-        ("lsh", ann_lsh_topk),
-        ("ivf", ann_ivf_topk),
-        ("pq", ann_pq_topk),
-    ):
-        got = fn(spark, sf_dir).select("query_id", "neighbor_id")
-        hits = got.join(truth, ["query_id", "neighbor_id"]).count()
+    for method, got in approxes:
+        hits = (
+            got.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+        )
         rows.append((method, int(n_truth), int(hits), round(hits / n_truth, 6)))
     return spark.createDataFrame(
         rows, "method string, n_truth int, n_hits int, recall_at_k double"

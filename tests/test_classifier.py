@@ -65,12 +65,25 @@ class TestLogregTrain:
             df8.unpersist()
 
     def test_gate_query_shape(self, spark, sf_dir):
-        from bireme_spark.queries.textops import quality_classifier
+        """r10 shape: gate row = AUC audit; per-doc scores live in
+        quality_classifier_scores (with a BALANCED live-rule label —
+        the old full-Gopher label was constant-0 on this corpus)."""
+        from bireme_spark.queries.textops import (
+            quality_classifier,
+            quality_classifier_scores,
+        )
 
         out = quality_classifier(spark, sf_dir)
-        rows = out.collect()
+        audit = out.collect()[0]
+        assert out.columns == ["n_docs", "n_pos", "auc_floor_ppm", "auc_meets_floor"]
+        assert audit.n_docs == 500
+        assert 0 < audit.n_pos < audit.n_docs, "label must split the corpus"
+        assert audit.auc_meets_floor
+
+        scored = quality_classifier_scores(spark, sf_dir)
+        rows = scored.collect()
         assert len(rows) == 500
-        assert out.columns == ["doc_id", "label", "score", "pred"]
+        assert scored.columns == ["doc_id", "label", "score", "pred"]
         # scores are probabilities; predictions agree with the 0.5 cut
         assert all(0.0 <= r.score <= 1.0 for r in rows)
         assert all(r.pred == int(r.score >= 0.5) for r in rows)
