@@ -305,6 +305,10 @@ HEADLINE = [
     "multimodal_image_ssim",
     "text_source_vocab_overlap",
     "lineitem_clustered_se",
+    # round-10 additions — floors from interleaved min-of-3
+    "events_ddsketch_quantiles",
+    "orders_friedman_test",
+    "cdc_heartbeat_monitor",
 ]
 
 

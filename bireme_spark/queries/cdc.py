@@ -3848,3 +3848,90 @@ ORDER BY from_version
 
 QUERIES["cdc_schema_compat_check"] = cdc_schema_compat_check
 ORACLE["cdc_schema_compat_check"] = _schema_compat_sql()
+
+
+# ---------------------------------------------------------------------------
+# cdc_heartbeat_monitor — per-partition liveness / silence report (round 10)
+# ---------------------------------------------------------------------------
+
+
+def cdc_heartbeat_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition heartbeat/liveness monitor over the change
+    stream — the Debezium `heartbeat.interval.ms` idea turned into a
+    report (the reference has no heartbeats, so a silent partition is
+    indistinguishable from an idle table; `PipeLineStat`'s delay
+    metric only covers messages that DID arrive): per Kafka
+    partition, message count, last-seen time, END-OF-FEED SILENCE
+    (global max produce time − partition's max — how long the
+    partition has been quiet while others kept producing), the
+    maximum inter-message gap, and a stall flag (silence > 3× the
+    partition's own average gap — a partition whose silence exceeds
+    what its historical cadence explains).
+
+    Engine-exact: all integer ms arithmetic; average gap via DIV with
+    a GREATEST(·,1) denominator guard (ANSI mode). LAG needs no
+    payload here (the gap reads only the ordering key), but the ORDER
+    BY still carries the unique seq for the r9 tie rule.
+
+    Scale: one pass to per-partition aggregates (LAG window keyed by
+    partition — the stream's natural key, no skew by construction),
+    8 output rows."""
+    ch = build_changelog(spark, sf_dir)
+    w = Window.partitionBy("kafka_partition").orderBy("produce_time_ms", "seq")
+    gaps = ch.select(
+        "kafka_partition",
+        "produce_time_ms",
+        (F.col("produce_time_ms") - F.lag("produce_time_ms").over(w)).alias("gap_ms"),
+    )
+    per = gaps.groupBy("kafka_partition").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+        F.max("produce_time_ms").cast("bigint").alias("last_ms"),
+        F.max("gap_ms").cast("bigint").alias("max_gap_ms"),
+        F.sum("gap_ms").cast("bigint").alias("span_ms"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per.withColumn("feed_max_ms", F.max("last_ms").over(wall).cast("bigint"))
+        .select(
+            F.col("kafka_partition").cast("int").alias("kafka_partition"),
+            "n_msgs",
+            "last_ms",
+            (F.col("feed_max_ms") - F.col("last_ms")).cast("bigint").alias("silence_ms"),
+            "max_gap_ms",
+            F.expr("CAST(span_ms DIV GREATEST(n_msgs - 1, 1) AS BIGINT)").alias("avg_gap_ms"),
+            F.expr(
+                "feed_max_ms - last_ms > 3 * (span_ms DIV GREATEST(n_msgs - 1, 1))"
+            ).alias("stalled"),
+        )
+        .orderBy("kafka_partition")
+    )
+
+
+CDC_HEARTBEAT_SQL = f"""
+WITH {CHANGELOG_SQL},
+gaps AS (
+  SELECT kafka_partition, produce_time_ms,
+         produce_time_ms - LAG(produce_time_ms) OVER (
+             PARTITION BY kafka_partition ORDER BY produce_time_ms, seq) AS gap_ms
+  FROM changelog
+),
+per AS (
+  SELECT kafka_partition,
+         CAST(COUNT(*) AS BIGINT) AS n_msgs,
+         CAST(MAX(produce_time_ms) AS BIGINT) AS last_ms,
+         CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms,
+         CAST(SUM(gap_ms) AS BIGINT) AS span_ms
+  FROM gaps GROUP BY 1
+)
+SELECT CAST(kafka_partition AS INTEGER) AS kafka_partition,
+       n_msgs, last_ms,
+       CAST(MAX(last_ms) OVER () - last_ms AS BIGINT) AS silence_ms,
+       max_gap_ms,
+       CAST(span_ms // GREATEST(n_msgs - 1, 1) AS BIGINT) AS avg_gap_ms,
+       MAX(last_ms) OVER () - last_ms > 3 * (span_ms // GREATEST(n_msgs - 1, 1)) AS stalled
+FROM per
+ORDER BY kafka_partition
+"""
+
+QUERIES["cdc_heartbeat_monitor"] = cdc_heartbeat_monitor
+ORACLE["cdc_heartbeat_monitor"] = CDC_HEARTBEAT_SQL

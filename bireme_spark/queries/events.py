@@ -4567,3 +4567,130 @@ ORDER BY channel
 
 QUERIES["events_markov_attribution"] = events_markov_attribution
 ORACLE["events_markov_attribution"] = _attr_sql()
+
+
+# ---------------------------------------------------------------------------
+# events_ddsketch_quantiles — relative-error quantile sketch (round 10)
+# ---------------------------------------------------------------------------
+
+_DD_GAMMA = 1.02  # alpha = (gamma-1)/(gamma+1) ~ 0.99% relative error
+
+
+def events_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles per event type (Masson, Rim & Lee, VLDB'19:
+    "DDSketch: a fast and fully-mergeable quantile sketch with
+    relative-error guarantees"): values collapse onto logarithmic
+    buckets i = ⌊ln(x)/ln(γ)⌋ with γ = 1.02, so any quantile read
+    back as 2γ^{i+1}/(γ+1) (the error-minimizing midpoint of
+    [γ^i, γ^{i+1})) is within α = (γ−1)/(γ+1) ≈ 1% RELATIVE error — the
+    sketch a metrics pipeline keeps per series because, unlike KLL /
+    t-digest, it is deterministic, trivially mergeable (bucket-wise
+    sum), and its memory is O(log(max/min)/log γ) regardless of n.
+    Emits p50/p90/p95/p99 estimates per event type plus the bucket
+    count the sketch actually used.
+
+    Engine-exact: the ONLY transcendentals are the one-shot per-value
+    ln (6dp-rounded before FLOOR — the house discipline that absorbs
+    C-vs-Java ulp differences) and the one-shot γ^b readback (ROUND
+    6). Quantile positions are integer: pos_q = ⌈n·q/100⌉ via
+    (n·q + 99) DIV 100; bucket selection is MIN(bucket | cum ≥ pos).
+
+    Scale: one map-side bucket projection, ONE hash agg to the
+    (type, bucket) grain (~|types|·log₁.₀₂(max/min) ≈ a few hundred
+    cells at ANY corpus size), a histogram-sized CDF window, one
+    conditional agg — the sketch property means no raw-row sort ever
+    happens (the r5 histogram-CDF rule is structural here)."""
+    e = load_table(spark, sf_dir, "events")
+    lg = "CAST(1.02 AS DOUBLE)"
+    # DDSketch's zero bucket (paper §3.1): non-positive values get a
+    # sentinel below every real log bucket (NULL would order
+    # differently across engines); a quantile landing there reads 0.
+    b = e.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN value <= 0 THEN CAST(-1000000000 AS BIGINT) "
+            f"ELSE CAST(FLOOR(ROUND(LN(CAST(value AS DOUBLE)) / LN({lg}), 6)) AS BIGINT) END"
+        ).alias("bucket"),
+    )
+    hist = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcdf = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(wcdf).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_buckets"),
+    )
+    picks = [
+        F.min(F.when(F.col("cum") >= F.expr(f"(n * {q} + 99) DIV 100"), F.col("bucket"))).alias(
+            f"b{q}"
+        )
+        for q in (50, 90, 95, 99)
+    ]
+    agg = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.max("n_buckets").alias("n_buckets"), *picks
+    )
+    est = lambda c: F.expr(  # noqa: E731
+        f"CASE WHEN {c} = -1000000000 THEN CAST(0 AS DOUBLE) ELSE "
+        f"ROUND(CAST(2 AS DOUBLE) * POWER({lg}, {c} + 1) / (CAST(1.02 AS DOUBLE) + CAST(1 AS DOUBLE)), 6) END"
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_buckets",
+        est("b50").alias("p50_est"),
+        est("b90").alias("p90_est"),
+        est("b95").alias("p95_est"),
+        est("b99").alias("p99_est"),
+    ).orderBy("event_type")
+
+
+EVENTS_DDSKETCH_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value <= 0 THEN CAST(-1000000000 AS BIGINT)
+              ELSE CAST(FLOOR(ROUND(LN(CAST(value AS DOUBLE)) / LN(CAST(1.02 AS DOUBLE)), 6))
+                        AS BIGINT) END AS bucket
+  FROM events
+),
+hist AS (
+  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_buckets
+  FROM hist
+)
+SELECT event_type, MAX(n) AS n, MAX(n_buckets) AS n_buckets,
+       CASE WHEN MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END) = -1000000000
+            THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(CAST(2 AS DOUBLE) * POWER(CAST(1.02 AS DOUBLE),
+                 MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END) + 1)
+                 / (CAST(1.02 AS DOUBLE) + CAST(1 AS DOUBLE)), 6) END AS p50_est,
+       CASE WHEN MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bucket END) = -1000000000
+            THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(CAST(2 AS DOUBLE) * POWER(CAST(1.02 AS DOUBLE),
+                 MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bucket END) + 1)
+                 / (CAST(1.02 AS DOUBLE) + CAST(1 AS DOUBLE)), 6) END AS p90_est,
+       CASE WHEN MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bucket END) = -1000000000
+            THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(CAST(2 AS DOUBLE) * POWER(CAST(1.02 AS DOUBLE),
+                 MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bucket END) + 1)
+                 / (CAST(1.02 AS DOUBLE) + CAST(1 AS DOUBLE)), 6) END AS p95_est,
+       CASE WHEN MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END) = -1000000000
+            THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(CAST(2 AS DOUBLE) * POWER(CAST(1.02 AS DOUBLE),
+                 MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END) + 1)
+                 / (CAST(1.02 AS DOUBLE) + CAST(1 AS DOUBLE)), 6) END AS p99_est
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_ddsketch_quantiles"] = events_ddsketch_quantiles
+ORACLE["events_ddsketch_quantiles"] = EVENTS_DDSKETCH_SQL

@@ -7154,3 +7154,102 @@ FROM agg
 
 QUERIES["lineitem_clustered_se"] = lineitem_clustered_se
 ORACLE["lineitem_clustered_se"] = _clustered_se_sql()
+
+
+# ---------------------------------------------------------------------------
+# orders_friedman_test — nonparametric randomized-block test (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (Friedman 1937) for priority effects on
+    order value across month blocks: does o_orderpriority shift
+    spend, controlling for month? Each complete month-block ranks its
+    k = 5 priority cells; Q = 12/(n·k·(k+1))·ΣRⱼ² − 3·n·(k+1) is
+    χ²(k−1) under H₀ — the nonparametric ANOVA a reporting pipeline
+    uses when monthly spend is skewed enough that the F-test's
+    normality assumption is indefensible (kruskal_wallis is the
+    unblocked sibling).
+
+    Engine-exact: the per-cell metric is exact integer cents divided
+    once in IEEE (sum_e2·1.0/cnt — both operands exact integers, one
+    deterministic division), so the within-block rank order is
+    bit-identical cross-engine; ranks are then integers and
+    Q_ppm = 12e6·ΣRⱼ² DIV (n·k·(k+1)) − 3e6·n·(k+1) is pure integer
+    arithmetic. Incomplete months (missing a priority) are dropped —
+    Friedman requires complete blocks.
+
+    Scale: one hash agg to the (month, priority) grain (≤ 80·5
+    cells), window ranks on cell-sized data, one final agg."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("block"),
+            F.col("o_orderpriority").alias("treatment"),
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("cents"),
+        )
+        .groupBy("block", "treatment")
+        .agg(F.sum("cents").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    k = 5
+    complete = (
+        cells.withColumn("kk", F.count(F.lit(1)).over(Window.partitionBy("block")))
+        .where(F.col("kk") == k)
+        .drop("kk")
+    )
+    wb = Window.partitionBy("block").orderBy(F.expr("CAST(s AS DOUBLE) / c"), "treatment")
+    ranked = complete.withColumn("r", F.row_number().over(wb))
+    rsums = ranked.groupBy("treatment").agg(F.sum("r").cast("bigint").alias("rj"))
+    nb = ranked.agg(F.countDistinct("block").cast("bigint").alias("n_blocks"))
+    return (
+        rsums.agg(
+            F.count(F.lit(1)).cast("int").alias("k"),
+            F.sum(F.col("rj") * F.col("rj")).cast("bigint").alias("sum_rj2"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_blocks",
+            "k",
+            "sum_rj2",
+            F.expr(
+                "CAST(12 * sum_rj2 * 1000000 DIV (n_blocks * k * (k + 1))"
+                " - CAST(3000000 AS BIGINT) * n_blocks * (k + 1) AS BIGINT)"
+            ).alias("q_ppm"),
+        )
+    )
+
+
+FRIEDMAN_SQL = """
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INTEGER) AS block,
+         o_orderpriority AS treatment,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+complete AS (
+  SELECT * FROM (
+    SELECT cells.*, COUNT(*) OVER (PARTITION BY block) AS kk FROM cells
+  ) WHERE kk = 5
+),
+ranked AS (
+  SELECT block, treatment,
+         ROW_NUMBER() OVER (PARTITION BY block
+                            ORDER BY CAST(s AS DOUBLE) / c, treatment) AS r
+  FROM complete
+),
+rsums AS (
+  SELECT treatment, CAST(SUM(r) AS BIGINT) AS rj FROM ranked GROUP BY 1
+),
+nb AS (SELECT CAST(COUNT(DISTINCT block) AS BIGINT) AS n FROM ranked)
+SELECT nb.n AS n_blocks,
+       CAST(COUNT(*) AS INTEGER) AS k,
+       CAST(SUM(rj * rj) AS BIGINT) AS sum_rj2,
+       CAST(12 * CAST(SUM(rj * rj) AS BIGINT) * 1000000 // (nb.n * COUNT(*) * (COUNT(*) + 1))
+            - 3000000 * nb.n * (COUNT(*) + 1) AS BIGINT) AS q_ppm
+FROM rsums, nb
+GROUP BY nb.n
+"""
+
+QUERIES["orders_friedman_test"] = orders_friedman_test
+ORACLE["orders_friedman_test"] = FRIEDMAN_SQL

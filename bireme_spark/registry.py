@@ -70,6 +70,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # head round 10's bounded driver gate; the ~15 remaining slots
         # re-confirm the stalest green rows. Round-10 additions below
         # rank after ALL of them so the debt drains to 440/440 first.)
+        "events_ddsketch_quantiles",
+        "orders_friedman_test",
+        "cdc_heartbeat_monitor",
     }
 )
 

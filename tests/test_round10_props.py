@@ -1,0 +1,128 @@
+"""Round-10 absolute ground-truth recomputes: each new operator's
+result re-derived in pandas/numpy straight off the parquet — the
+guard the cross-engine hash gate cannot provide (shared-bug escapes:
+r6 HLL halving, r8 VaR boundary)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_DIR
+
+
+def _pq(table: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/{table}.parquet")
+
+
+class TestDDSketch:
+    def test_relative_error_guarantee_vs_exact(self, spark, sf_dir):
+        """The whole point of DDSketch: every emitted quantile is
+        within γ-relative error (2% + bucket-rounding slack) of the
+        EXACT order statistic."""
+        from bireme_spark.queries.events import events_ddsketch_quantiles
+
+        rows = {r.event_type: r for r in events_ddsketch_quantiles(spark, sf_dir).collect()}
+        ev = _pq("events")
+        for etype, g in ev.groupby("event_type"):
+            vals = np.sort(g["value"].to_numpy())
+            n = len(vals)
+            r = rows[etype]
+            assert r.n == n
+            for q, est in ((50, r.p50_est), (90, r.p90_est), (95, r.p95_est), (99, r.p99_est)):
+                pos = (n * q + 99) // 100  # ceil-rank order statistic
+                exact = vals[pos - 1]
+                if exact <= 0:
+                    assert est == 0.0
+                else:
+                    rel = abs(est - exact) / exact
+                    assert rel <= 0.0105, (etype, q, est, exact, rel)
+
+    def test_bucket_count_is_log_bounded(self, spark, sf_dir):
+        """Sketch memory: bucket count ≤ log_γ(max/min_positive) + 2
+        (+1 for the zero bucket) — the O(log range) guarantee that
+        makes the sketch safe at any corpus size."""
+        from bireme_spark.queries.events import events_ddsketch_quantiles
+
+        ev = _pq("events")
+        rows = events_ddsketch_quantiles(spark, sf_dir).collect()
+        for r in rows:
+            g = ev[ev["event_type"] == r.event_type]["value"]
+            pos = g[g > 0]
+            bound = np.log(pos.max() / pos.min()) / np.log(1.02) + 3
+            assert r.n_buckets <= bound, (r.event_type, r.n_buckets, bound)
+
+
+class TestFriedman:
+    def test_q_matches_numpy_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_friedman_test
+
+        out = orders_friedman_test(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        o["block"] = o["o_orderdate"].dt.year * 12 + o["o_orderdate"].dt.month
+        o["cents"] = (
+            o["o_totalprice"].astype("float64").round(2) * 100
+        ).round().astype("int64")
+        cells = (
+            o.groupby(["block", "o_orderpriority"])["cents"]
+            .agg(["sum", "count"])
+            .reset_index()
+        )
+        complete = cells.groupby("block").filter(lambda g: len(g) == 5)
+        complete["metric"] = complete["sum"].astype("float64") / complete["count"]
+        complete = complete.sort_values(["block", "metric", "o_orderpriority"])
+        complete["r"] = complete.groupby("block").cumcount() + 1
+        rj = complete.groupby("o_orderpriority")["r"].sum()
+        n, k = complete["block"].nunique(), 5
+        sum_rj2 = int((rj**2).sum())
+        q_ppm = 12 * sum_rj2 * 1_000_000 // (n * k * (k + 1)) - 3_000_000 * n * (k + 1)
+        assert out.n_blocks == n and out.k == k
+        assert out.sum_rj2 == sum_rj2
+        assert out.q_ppm == q_ppm
+        assert out.q_ppm >= 0  # Q is a nonneg chi-square statistic
+
+    def test_null_blocks_give_zero_q(self, spark):
+        """Sanity on the statistic itself: identical cell metrics in
+        every block → all rank sums equal → Q == 0 exactly."""
+        n, k = 6, 5
+        rj = [n * (k + 1) / 2] * k  # equal rank sums
+        sum_rj2 = sum(int(r) ** 2 for r in rj)
+        q_ppm = 12 * sum_rj2 * 1_000_000 // (n * k * (k + 1)) - 3_000_000 * n * (k + 1)
+        assert q_ppm == 0
+
+
+class TestHeartbeat:
+    def test_silence_and_gaps_match_pandas(self, spark, sf_dir):
+        from bireme_spark.queries.cdc import cdc_heartbeat_monitor
+
+        rows = {r.kafka_partition: r for r in cdc_heartbeat_monitor(spark, sf_dir).collect()}
+        o = _pq("orders")
+        base = (
+            o["o_orderdate"].astype("datetime64[ns]").astype("int64") // 1_000_000
+        ).astype("int64")  # ms (parquet µs arrives as datetime64[us] on pandas 2.x)
+        frames = [
+            pd.DataFrame(
+                {
+                    "part": (o["o_orderkey"] % 8).astype(int),
+                    "ms": base + shift * 86_400_000,
+                    "seq": o["o_orderkey"] * 10 + tag,
+                }
+            )[mask]
+            for shift, tag, mask in (
+                (0, 1, np.ones(len(o), dtype=bool)),
+                (1, 2, (o["o_orderkey"] % 3 == 0).to_numpy()),
+                (2, 3, (o["o_orderkey"] % 5 == 0).to_numpy()),
+            )
+        ]
+        ch = pd.concat(frames).sort_values(["part", "ms", "seq"])
+        feed_max = ch["ms"].max()
+        for part, g in ch.groupby("part"):
+            gaps = g["ms"].diff().dropna()
+            r = rows[part]
+            assert r.n_msgs == len(g)
+            assert r.last_ms == g["ms"].max()
+            assert r.silence_ms == feed_max - g["ms"].max()
+            assert r.max_gap_ms == int(gaps.max())
+            avg = int(gaps.sum()) // max(len(g) - 1, 1)
+            assert r.avg_gap_ms == avg
+            assert bool(r.stalled) == (feed_max - g["ms"].max() > 3 * avg)
