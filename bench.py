@@ -309,6 +309,9 @@ HEADLINE = [
     "events_ddsketch_quantiles",
     "orders_friedman_test",
     "cdc_heartbeat_monitor",
+    "events_spectral_entropy",
+    "events_wavelet_haar",
+    "orders_kalman_level",
 ]
 
 

@@ -1626,7 +1626,7 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = daily.select("day", "c").select("c", t)
     periods = spark.createDataFrame([(3,), (4,), (5,), (6,), (7,), (14,)], "period int")
     g = series.join(F.broadcast(periods), F.lit(True))
-    ang = F.expr(f"2 * {pi} * t / period")
+    ang = F.expr(f"CAST(2 AS DOUBLE) * CAST({pi} AS DOUBLE) * t / period")
     terms = g.select(
         "period",
         F.round(F.col("c") * F.cos(ang), 6).cast("decimal(28,6)").alias("ac"),
@@ -1658,9 +1658,9 @@ g AS (
 ),
 terms AS (
   SELECT period,
-         CAST(ROUND(c * COS(2 * 3.141592653589793 * t / period), 6)
+         CAST(ROUND(c * COS(CAST(2 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE) * t / period), 6)
               AS DECIMAL(28,6)) AS ac,
-         CAST(ROUND(c * SIN(2 * 3.141592653589793 * t / period), 6)
+         CAST(ROUND(c * SIN(CAST(2 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE) * t / period), 6)
               AS DECIMAL(28,6)) AS bs
   FROM g
 )
@@ -5963,3 +5963,335 @@ ORDER BY nation
 
 QUERIES["orders_hierarchical_forecast"] = orders_hierarchical_forecast
 ORACLE["orders_hierarchical_forecast"] = ORDERS_HIER_FC_SQL
+
+
+# ---------------------------------------------------------------------------
+# round 10: spectral entropy, Haar wavelet energy, Kalman local level
+# ---------------------------------------------------------------------------
+
+
+def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of the hourly event-rate series: Shannon
+    entropy of the normalized periodogram over the Fourier
+    frequencies k = 1..min(n/2, 256) — the single-number
+    "how forecastable is this series" score (white noise → 1.0,
+    a pure cycle → ~0) that forecasting pipelines (e.g. the
+    tsfeatures/M4 literature) use to route series between naive and
+    seasonal models. Complements events_periodogram (fixed candidate
+    periods) with the full-spectrum view.
+
+    Engine-exact: the series is DEMEANED IN INTEGERS (dev_num =
+    n·c_t − S, exact BIGINT; the /n happens once in IEEE inside each
+    trig term), each cos/sin term is 6dp-rounded and DECIMAL-summed
+    (periodogram discipline), per-frequency power is one IEEE
+    A²+B² ROUND 6, then quantized to integer e3 via FLOOR (identical
+    doubles → identical floor) so the TOTAL power is an exact integer
+    sum — never a float Σ across frequencies; p·ln p terms are
+    6dp-rounded DECIMALs (transcendental discipline) and the final
+    normalization is one IEEE division by ln(m).
+
+    Scale: the stream collapses to ≤|hours| cells first; the trig
+    grid is |hours|·min(n/2,256) rows on the COLLAPSED series —
+    corpus-size-independent (span², not rows)."""
+    pi = "3.141592653589793"
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    hourly = e.groupBy("hour").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    series = hourly.select(
+        (F.row_number().over(Window.orderBy("hour")) - 1).cast("bigint").alias("t"),
+        "c",
+        F.sum("c").over(wall).cast("bigint").alias("s"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    ks = series.select(
+        "t", "c", "s", "n", F.explode(F.expr("sequence(1, LEAST(n DIV 2, 256))")).alias("k")
+    )
+    ang = F.expr(f"CAST(2 AS DOUBLE) * CAST({pi} AS DOUBLE) * k * t / n")
+    terms = ks.select(
+        "k",
+        "n",
+        F.round(F.expr("CAST(n * c - s AS DOUBLE) / n") * F.cos(ang), 6)
+        .cast("decimal(28,6)")
+        .alias("a"),
+        F.round(F.expr("CAST(n * c - s AS DOUBLE) / n") * F.sin(ang), 6)
+        .cast("decimal(28,6)")
+        .alias("b"),
+    )
+    power = terms.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.expr(
+            "CAST(FLOOR(ROUND(POW(CAST(SUM(a) AS DOUBLE), 2)"
+            " + POW(CAST(SUM(b) AS DOUBLE), 2), 6) * 1000) AS BIGINT)"
+        ).alias("pe3"),
+    )
+    kept = power.where(F.col("pe3") > 0).select(
+        "k",
+        "n",
+        "pe3",
+        F.sum("pe3").over(wall).cast("bigint").alias("stot"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m_kept"),
+    )
+    contrib = kept.select(
+        "n",
+        "m_kept",
+        F.expr(
+            "CAST(ROUND(-(CAST(pe3 AS DOUBLE) / CAST(stot AS DOUBLE))"
+            " * LN(CAST(pe3 AS DOUBLE) / CAST(stot AS DOUBLE)), 6) AS DECIMAL(28,6))"
+        ).alias("h"),
+    )
+    return contrib.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_hours"),
+        F.max("m_kept").cast("bigint").alias("m_freqs"),
+        F.round(F.sum("h").cast("double"), 6).alias("entropy"),
+        F.expr(
+            "ROUND(CAST(SUM(h) AS DOUBLE) / LN(CAST(MAX(m_kept) AS DOUBLE)), 6)"
+        ).alias("entropy_norm"),
+    )
+
+
+SPECTRAL_ENTROPY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+series AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hour) AS BIGINT) - 1 AS t, c,
+         CAST(SUM(c) OVER () AS BIGINT) AS s,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM hourly
+),
+ks AS (
+  SELECT t, c, s, n, k
+  FROM series, LATERAL (SELECT unnest(generate_series(1, 256)) AS k) g
+  WHERE k <= n // 2
+),
+terms AS (
+  SELECT k, n,
+         CAST(ROUND(CAST(n * c - s AS DOUBLE) / n
+              * COS(CAST(2 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE) * k * t / n), 6) AS DECIMAL(28,6)) AS a,
+         CAST(ROUND(CAST(n * c - s AS DOUBLE) / n
+              * SIN(CAST(2 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE) * k * t / n), 6) AS DECIMAL(28,6)) AS b
+  FROM ks
+),
+power AS (
+  SELECT k, MAX(n) AS n,
+         CAST(FLOOR(ROUND(POW(CAST(SUM(a) AS DOUBLE), 2)
+              + POW(CAST(SUM(b) AS DOUBLE), 2), 6) * 1000) AS BIGINT) AS pe3
+  FROM terms GROUP BY 1
+),
+kept AS (
+  SELECT n, pe3,
+         CAST(SUM(pe3) OVER () AS BIGINT) AS stot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m_kept
+  FROM power WHERE pe3 > 0
+),
+contrib AS (
+  SELECT n, m_kept,
+         CAST(ROUND(-(CAST(pe3 AS DOUBLE) / CAST(stot AS DOUBLE))
+              * LN(CAST(pe3 AS DOUBLE) / CAST(stot AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS h
+  FROM kept
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_hours,
+       CAST(MAX(m_kept) AS BIGINT) AS m_freqs,
+       ROUND(CAST(SUM(h) AS DOUBLE), 6) AS entropy,
+       ROUND(CAST(SUM(h) AS DOUBLE) / LN(CAST(MAX(m_kept) AS DOUBLE)), 6) AS entropy_norm
+FROM contrib
+"""
+
+QUERIES["events_spectral_entropy"] = events_spectral_entropy
+ORACLE["events_spectral_entropy"] = SPECTRAL_ENTROPY_SQL
+
+
+def events_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar discrete-wavelet energy decomposition of the hourly
+    event-rate series, levels 1–6 (2h → 64h scales): detail
+    coefficient d_{j,k} = B_{j−1}(2k) − B_{j−1}(2k+1) where B_j(m)
+    sums counts over dyadic block m of width 2^j; per-level energy
+    Σd² localizes WHERE the variance lives in time-scale — the
+    multi-resolution complement to the periodogram (a daily cycle
+    concentrates at the 8–32h levels; bursty traffic loads the
+    finest level). The series truncates to the largest multiple of
+    2^6 so every level sees complete pairs.
+
+    Engine-exact: counts are integers, so block sums, details,
+    energies, and the ppm shares are PURE INTEGER arithmetic —
+    no float appears anywhere.
+
+    Scale: one hash agg to hourly cells, a 6-level explode of the
+    collapsed series (|hours|·6 rows), two integer aggs."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    hourly = e.groupBy("hour").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    series = hourly.select(
+        (F.row_number().over(Window.orderBy("hour")) - 1).cast("bigint").alias("t"),
+        "c",
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    ).where(F.expr("t < (n DIV 64) * 64"))
+    lv = series.select(
+        "c", "t", F.explode(F.expr("sequence(1, 6)")).alias("level")
+    ).select(
+        "level",
+        F.expr("t DIV CAST(POW(2, level - 1) AS BIGINT)").alias("hb"),
+        F.expr(
+            "CASE WHEN (t DIV CAST(POW(2, level - 1) AS BIGINT)) % 2 = 0"
+            " THEN c ELSE -c END"
+        ).alias("sc"),
+    )
+    details = lv.groupBy("level", F.expr("hb DIV 2").alias("pair")).agg(
+        F.sum("sc").cast("bigint").alias("d")
+    )
+    energy = details.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("energy"),
+    )
+    return energy.select(
+        F.col("level").cast("int").alias("level"),
+        "n_pairs",
+        "energy",
+        F.expr("CAST(energy * 1000000 DIV GREATEST(SUM(energy) OVER (), 1) AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    ).orderBy("level")
+
+
+WAVELET_HAAR_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+series AS (
+  SELECT * FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY hour) AS BIGINT) - 1 AS t, c,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM hourly
+  ) WHERE t < (n // 64) * 64
+),
+lv AS (
+  SELECT level,
+         t // CAST(POW(2, level - 1) AS BIGINT) AS hb,
+         CASE WHEN (t // CAST(POW(2, level - 1) AS BIGINT)) % 2 = 0
+              THEN c ELSE -c END AS sc
+  FROM series, LATERAL (SELECT unnest(generate_series(1, 6)) AS level) g
+),
+details AS (
+  SELECT level, hb // 2 AS pair, CAST(SUM(sc) AS BIGINT) AS d
+  FROM lv GROUP BY 1, 2
+),
+energy AS (
+  SELECT level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(d * d) AS BIGINT) AS energy
+  FROM details GROUP BY 1
+)
+SELECT CAST(level AS INTEGER) AS level, n_pairs, energy,
+       CAST(energy * 1000000 // GREATEST(SUM(energy) OVER (), 1) AS BIGINT) AS share_ppm
+FROM energy
+ORDER BY level
+"""
+
+QUERIES["events_wavelet_haar"] = events_wavelet_haar
+ORACLE["events_wavelet_haar"] = WAVELET_HAAR_SQL
+
+
+def orders_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter over the monthly order-count series
+    (state-space twin of simple exponential smoothing with a
+    PRINCIPLED, data-adaptive gain): level_t = level + K_t(y_t −
+    level), K_t = P⁻/(P⁻ + R), P⁻ = P + Q with Q = 25 (state noise),
+    R = 400 (observation noise), P₀ = 1000 — the steady-state gain
+    the filter converges to is the optimal smoothing constant the
+    Holt/EWMA family asks the user to guess. Emits the filtered
+    terminal state: one-step forecast (= level), error variance, and
+    converged gain.
+
+    Engine discipline (the Holt/adstock sequential-fold pattern):
+    Spark folds the recurrence in ONE Arrow batch over the
+    |months|-row series with exact Decimals; the gain is quantized
+    by FLOOR(x·1e6) of an IEEE division of identical doubles (the
+    r5 iterative rule — ROUND ties amplify over 80 steps, floor of
+    identical doubles cannot split), and level/variance updates
+    quantize HALF_UP 6dp (== DuckDB decimal ROUND). The oracle runs
+    the same recurrence as a recursive CTE.
+
+    Scale: the fact table collapses to ≤|months| cells map-side;
+    the sequential part touches a 3-number state, never data."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    )
+    monthly = o.groupBy("month").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("1e-6")
+        Q, R = Decimal(25), Decimal(400)
+        pdf = pdf.sort_values("month")
+        ys = [Decimal(int(v)) for v in pdf["y"]]
+        level, p = ys[0], Decimal(1000)
+        k = Decimal(0)
+        for y in ys[1:]:
+            p_pred = p + Q
+            k_e6 = int(math.floor(float(p_pred) / (float(p_pred) + float(R)) * 1_000_000))
+            k = Decimal(k_e6).scaleb(-6)
+            level = (level + k * (y - level)).quantize(q6, ROUND_HALF_UP)
+            p = ((Decimal(1) - k) * p_pred).quantize(q6, ROUND_HALF_UP)
+        return pd.DataFrame(
+            {
+                "n_months": [len(ys)],
+                "level": [float(level)],
+                "p_var": [float(p)],
+                "gain": [float(k)],
+            }
+        )
+
+    return (
+        monthly.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(fold, "n_months int, level double, p_var double, gain double")
+    )
+
+
+KALMAN_LEVEL_SQL = """
+WITH RECURSIVE
+monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month, CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+series AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY month) AS INTEGER) AS rn,
+         CAST(y AS DECIMAL(28,6)) AS y
+  FROM monthly
+),
+kal(rn, level, p, k) AS (
+  SELECT 1, (SELECT y FROM series WHERE rn = 1),
+         CAST(1000 AS DECIMAL(28,6)), CAST(0 AS DECIMAL(8,6))
+  UNION ALL
+  SELECT s.rn,
+         CAST(ROUND(kk.level + g.k2 * (s.y - kk.level), 6) AS DECIMAL(28,6)),
+         CAST(ROUND((1 - g.k2) * (kk.p + 25), 6) AS DECIMAL(28,6)),
+         g.k2
+  FROM kal kk
+  JOIN series s ON s.rn = kk.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT CAST(
+        CAST(FLOOR(CAST(kk.p + 25 AS DOUBLE)
+                   / (CAST(kk.p + 25 AS DOUBLE) + 400) * 1000000) AS BIGINT)
+        AS DECIMAL(14,0)) / 1000000 AS k2
+  ) g
+)
+SELECT CAST((SELECT MAX(rn) FROM kal) AS INTEGER) AS n_months,
+       CAST(level AS DOUBLE) AS level,
+       CAST(p AS DOUBLE) AS p_var,
+       CAST(k AS DOUBLE) AS gain
+FROM kal WHERE rn = (SELECT MAX(rn) FROM kal)
+"""
+
+QUERIES["orders_kalman_level"] = orders_kalman_level
+ORACLE["orders_kalman_level"] = KALMAN_LEVEL_SQL

@@ -73,6 +73,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_ddsketch_quantiles",
         "orders_friedman_test",
         "cdc_heartbeat_monitor",
+        "events_spectral_entropy",
+        "events_wavelet_haar",
+        "orders_kalman_level",
     }
 )
 

@@ -126,3 +126,124 @@ class TestHeartbeat:
             avg = int(gaps.sum()) // max(len(g) - 1, 1)
             assert r.avg_gap_ms == avg
             assert bool(r.stalled) == (feed_max - g["ms"].max() > 3 * avg)
+
+
+class TestSpectralEntropy:
+    def test_matches_numpy_periodogram_entropy(self, spark, sf_dir):
+        """Recompute from raw parquet with numpy FFT-free trig: the
+        engine result must match the float recompute to ~1e-3 (the
+        e3 power quantization) and sit in (0, 1] normalized."""
+        from bireme_spark.queries.timeseries import events_spectral_entropy
+
+        r = events_spectral_entropy(spark, sf_dir).collect()[0]
+        ev = _pq("events")
+        hours = ev["ts"].astype("datetime64[ns]").dt.floor("h")
+        c = hours.value_counts().sort_index().to_numpy().astype(float)
+        n = len(c)
+        assert r.n_hours == n
+        dev = c - c.mean()
+        t = np.arange(n)
+        m = min(n // 2, 256)
+        P = np.array(
+            [
+                (dev * np.cos(2 * np.pi * k * t / n)).sum() ** 2
+                + (dev * np.sin(2 * np.pi * k * t / n)).sum() ** 2
+                for k in range(1, m + 1)
+            ]
+        )
+        P = P[P > 1e-3]
+        p = P / P.sum()
+        H = float(-(p * np.log(p)).sum())
+        assert abs(r.entropy - H) < 1e-3, (r.entropy, H)
+        assert 0 < r.entropy_norm <= 1.0 + 1e-9
+
+    def test_pure_cycle_has_low_entropy_property(self):
+        """Statistic sanity: a single-frequency signal concentrates
+        all power → normalized entropy ~0; uniform power → 1."""
+        conc = np.zeros(16)
+        conc[3] = 1.0
+        p = conc / conc.sum()
+        nz = p[p > 0]
+        assert -(nz * np.log(nz)).sum() == 0.0
+        flat = np.full(16, 1 / 16)
+        assert abs(-(flat * np.log(flat)).sum() / np.log(16) - 1.0) < 1e-12
+
+
+class TestWaveletHaar:
+    def test_energy_matches_numpy_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import events_wavelet_haar
+
+        rows = {r.level: r for r in events_wavelet_haar(spark, sf_dir).collect()}
+        ev = _pq("events")
+        hours = ev["ts"].astype("datetime64[ns]").dt.floor("h")
+        c = hours.value_counts().sort_index().to_numpy().astype(np.int64)
+        n = (len(c) // 64) * 64
+        c = c[:n]
+        total = 0
+        expected = {}
+        for j in range(1, 7):
+            blocks = c.reshape(-1, 2 ** (j - 1)).sum(axis=1)
+            d = blocks[0::2] - blocks[1::2]
+            expected[j] = (len(d), int((d.astype(object) ** 2).sum()))
+            total += expected[j][1]
+        for j in range(1, 7):
+            np_pairs, np_energy = expected[j]
+            assert rows[j].n_pairs == np_pairs
+            assert rows[j].energy == np_energy
+            assert rows[j].share_ppm == np_energy * 1_000_000 // max(total, 1)
+
+    def test_parseval_partition(self, spark, sf_dir):
+        """Haar detail energies are an orthogonal partition: total
+        weighted detail energy + coarsest approximation energy equals
+        the raw signal energy (Parseval for the unnormalized
+        transform: Σ_j E_j/2^j + A_L²-term)."""
+        ev = _pq("events")
+        hours = ev["ts"].astype("datetime64[ns]").dt.floor("h")
+        c = hours.value_counts().sort_index().to_numpy().astype(np.int64)
+        n = (len(c) // 64) * 64
+        c = c[:n].astype(float)
+        total = float((c**2).sum())
+        acc = 0.0
+        for j in range(1, 7):
+            blocks = c.reshape(-1, 2 ** (j - 1)).sum(axis=1)
+            d = blocks[0::2] - blocks[1::2]
+            acc += float((d**2).sum()) / 2**j
+        approx = c.reshape(-1, 64).sum(axis=1)
+        acc += float((approx**2).sum()) / 64
+        assert abs(acc - total) / total < 1e-9
+
+
+class TestKalmanLevel:
+    def test_matches_python_recompute_and_sanity(self, spark, sf_dir):
+        from decimal import ROUND_HALF_UP, Decimal
+        import math
+
+        from bireme_spark.queries.timeseries import orders_kalman_level
+
+        r = orders_kalman_level(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        monthly = (
+            o.assign(m=o["o_orderdate"].astype("datetime64[ns]").dt.to_period("M"))
+            .groupby("m")
+            .size()
+            .sort_index()
+        )
+        q6 = Decimal("1e-6")
+        ys = [Decimal(int(v)) for v in monthly]
+        level, p, k = ys[0], Decimal(1000), Decimal(0)
+        for y in ys[1:]:
+            p_pred = p + 25
+            k_e6 = int(math.floor(float(p_pred) / (float(p_pred) + 400.0) * 1_000_000))
+            k = Decimal(k_e6).scaleb(-6)
+            level = (level + k * (y - level)).quantize(q6, ROUND_HALF_UP)
+            p = ((Decimal(1) - k) * p_pred).quantize(q6, ROUND_HALF_UP)
+        assert r.n_months == len(ys)
+        assert r.level == float(level)
+        assert r.p_var == float(p)
+        assert r.gain == float(k)
+        # steady state of the PREDICTED variance: P- = (1-K)P- + Q
+        # with K = P-/(P-+R) -> P- = (Q + sqrt(Q^2 + 4QR))/2,
+        # K* = P-/(P- + R)
+        pstar = (25 + math.sqrt(25**2 + 4 * 25 * 400)) / 2
+        kstar = pstar / (pstar + 400)
+        assert abs(float(k) - kstar) < 0.01, (float(k), kstar)
