@@ -312,6 +312,9 @@ HEADLINE = [
     "events_spectral_entropy",
     "events_wavelet_haar",
     "orders_kalman_level",
+    "tokenizer_wordpiece_train",
+    "events_cointegration_test",
+    "orders_erlang_staffing",
 ]
 
 

@@ -7253,3 +7253,138 @@ GROUP BY nb.n
 
 QUERIES["orders_friedman_test"] = orders_friedman_test
 ORACLE["orders_friedman_test"] = FRIEDMAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_erlang_staffing — Erlang-C staffing calculator (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_erlang_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing table from the order stream: peak daily
+    arrival rate λ (busiest day), per-agent service rate μ =
+    GREATEST(λ DIV 20, 1) (data-adaptive in-plan per the r9 rule —
+    offered load a = λ/μ stays ~20 erlangs at every SF), and the
+    MINIMUM agent count c* whose Erlang-C delay probability
+    C(c, a) = (a^c/c!)·c/(c−a) / (Σ_{k<c} a^k/k! + (a^c/c!)·c/(c−a))
+    drops to ≤ 20% — the queueing-theory staffing answer
+    (call-center/ops sizing; pairs with orders_little_law and
+    orders_peak_wip).
+
+    Engine-exact: a^k/k! is NEVER computed via factorial (Spark's
+    factorial() is LONG-only, k! overflows at 21) — each term is
+    exp(Σ_{j≤k} ln(a/j)) with the log increments FLOOR-quantized to
+    integer e6 (identical doubles → identical floor; exact integer
+    cumulative sums — the r10 'sum across groups' rule) and ONE
+    exp+ROUND per term; the Σ_{k<c} denominator is a DECIMAL
+    cumulative sum of the 6dp terms.
+
+    Scale: the fact table collapses to the daily-count agg; the
+    Erlang table is 80 static rows."""
+    o = load_table(spark, sf_dir, "orders")
+    lam = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).agg(F.max("c").cast("bigint").alias("lam"))
+    grid = lam.select(
+        "lam",
+        F.expr("CAST(GREATEST(lam DIV 20, 1) AS BIGINT)").alias("mu"),
+        F.explode(F.expr("sequence(1, 80)")).alias("k"),
+    ).select(
+        "lam",
+        "mu",
+        "k",
+        F.expr("CAST(lam AS DOUBLE) / mu").alias("a"),
+        F.expr(
+            "CAST(FLOOR(LN(CAST(lam AS DOUBLE) / mu / k) * 1000000) AS BIGINT)"
+        ).alias("dlog_e6"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    terms = grid.select(
+        "lam",
+        "mu",
+        "k",
+        "a",
+        F.expr("ROUND(EXP(CAST(SUM(dlog_e6) OVER (ORDER BY k) AS DOUBLE) / 1000000), 6)").alias(
+            "term"
+        ),
+    )
+    cum = terms.select(
+        "lam",
+        "mu",
+        "k",
+        "a",
+        "term",
+        (
+            F.lit(1)
+            + F.coalesce(
+                F.sum(F.col("term").cast("decimal(28,6)")).over(
+                    Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("decimal(28,6)")
+        ).alias("s_below"),  # 1 (= a^0/0!) + Σ_{0<j<k} term_j
+    )
+    ec = cum.where(F.expr("k > a")).select(
+        "lam",
+        "mu",
+        "k",
+        F.expr(
+            "ROUND(term * (k / (k - a))"
+            " / (CAST(s_below AS DOUBLE) + term * (k / (k - a))) * 1000000) "
+        ).alias("ec_ppm_raw"),
+    ).select(
+        "lam", "mu", "k", F.expr("CAST(ec_ppm_raw AS BIGINT)").alias("ec_ppm")
+    )
+    return ec.groupBy().agg(
+        F.max("lam").alias("lambda_peak"),
+        F.max("mu").alias("mu"),
+        F.min(F.when(F.col("ec_ppm") <= 200000, F.col("k"))).cast("int").alias("c_star"),
+        # EC decreases in k, so the MAX over qualifying rows is EC AT c*
+        F.max(F.when(F.col("ec_ppm") <= 200000, F.col("ec_ppm"))).alias("note_ec_ppm_at_first_k"),
+    ).select(
+        "lambda_peak",
+        "mu",
+        "c_star",
+        F.col("note_ec_ppm_at_first_k").cast("bigint").alias("erlang_c_ppm"),
+    )
+
+
+ERLANG_SQL = """
+WITH lam AS (
+  SELECT CAST(MAX(c) AS BIGINT) AS lam FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY CAST(o_orderdate AS DATE)
+  )
+),
+grid AS (
+  SELECT lam, CAST(GREATEST(lam // 20, 1) AS BIGINT) AS mu, k,
+         CAST(lam AS DOUBLE) / GREATEST(lam // 20, 1) AS a,
+         CAST(FLOOR(LN(CAST(lam AS DOUBLE) / GREATEST(lam // 20, 1) / k) * 1000000)
+              AS BIGINT) AS dlog_e6
+  FROM lam, LATERAL (SELECT unnest(generate_series(1, 80)) AS k) g
+),
+terms AS (
+  SELECT lam, mu, k, a,
+         ROUND(EXP(CAST(SUM(dlog_e6) OVER (ORDER BY k) AS DOUBLE) / 1000000), 6) AS term
+  FROM grid
+),
+cum AS (
+  SELECT lam, mu, k, a, term,
+         CAST(1 + COALESCE(SUM(CAST(term AS DECIMAL(28,6))) OVER (
+             ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DECIMAL(28,6)) AS s_below
+  FROM terms
+),
+ec AS (
+  SELECT lam, mu, k,
+         CAST(ROUND(term * (k / (k - a))
+              / (CAST(s_below AS DOUBLE) + term * (k / (k - a))) * 1000000) AS BIGINT) AS ec_ppm
+  FROM cum WHERE k > a
+)
+SELECT MAX(lam) AS lambda_peak, MAX(mu) AS mu,
+       CAST(MIN(CASE WHEN ec_ppm <= 200000 THEN k END) AS INTEGER) AS c_star,
+       CAST(MAX(CASE WHEN ec_ppm <= 200000 THEN ec_ppm END) AS BIGINT) AS erlang_c_ppm
+FROM ec
+"""
+
+QUERIES["orders_erlang_staffing"] = orders_erlang_staffing
+ORACLE["orders_erlang_staffing"] = ERLANG_SQL

@@ -407,7 +407,7 @@ def _bpe_round_sql(i: int) -> str:
     """One BPE round: pair counts p{i} over segmentation s{i-1}, top-1
     merge t{i}, next segmentation s{i}."""
     return f"""
-p{i} AS (
+p{i} AS MATERIALIZED (
   SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
     SELECT cnt,
            unnest(list_transform(generate_series(1, len(sp) - 1),
@@ -1707,3 +1707,172 @@ ORDER BY rank
 
 QUERIES["tokenizer_unigram_train"] = tokenizer_unigram_train
 ORACLE["tokenizer_unigram_train"] = _unigram_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_wordpiece_train — likelihood-scored merges (round 10)
+# ---------------------------------------------------------------------------
+
+_WP_ROUNDS = 3
+_WP_TOPK = 10
+
+
+def tokenizer_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece tokenizer training (Schuster & Nakajima
+    2012; the BERT tokenizer): same merge loop as BPE but candidates
+    are scored by LIKELIHOOD GAIN score(a,b) = count(ab) /
+    (count(a)·count(b)) — the pair whose merge most increases corpus
+    likelihood under a unigram model — instead of raw frequency, so
+    rare-but-strongly-bound pairs beat frequent-but-independent ones
+    (the practical difference between the two vocabularies). Three
+    rounds, top-10 candidates each, merge #1 applied between rounds.
+
+    Engine-exact: scores are integer parts-per-trillion —
+    count(ab)·10¹² DIV (count(a)·count(b)) with the product lifted to
+    DECIMAL(38,0)/HUGEINT before multiplying (r8 overflow rule) — so
+    ranking needs no float compare anywhere; tie-break on pair text.
+
+    Scale shape = tokenizer_bpe_pairs: ONE corpus token shuffle to
+    the word-frequency table; every round is vocab-sized (pair +
+    unigram counts over distinct-word segmentations); only the merge
+    table (one pair/round) crosses the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "seq",
+            F.concat_ws(
+                " ",
+                F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+            ),
+        )
+        .select("cnt", "seq")
+    )
+    base_words = words.persist()
+    words = base_words
+    try:
+        out = None
+        for rnd in range(1, _WP_ROUNDS + 1):
+            sp_all = words.select("cnt", F.split("seq", " ").alias("sp"))
+            unigrams = (
+                sp_all.select("cnt", F.explode("sp").alias("sym"))
+                .groupBy("sym")
+                .agg(F.sum("cnt").cast("bigint").alias("uc"))
+            )
+            sp = sp_all.where(F.size("sp") >= 2)
+            pairs = sp.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sp)-1), i -> concat(sp[i-1], ' ', sp[i]))"
+                    )
+                ).alias("pair"),
+            )
+            counted = pairs.groupBy("pair").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            scored = (
+                counted.withColumn("l", F.expr("split(pair, ' ')[0]"))
+                .withColumn("r", F.expr("split(pair, ' ')[1]"))
+                .join(unigrams.select(F.col("sym").alias("l"), F.col("uc").alias("lc")), "l")
+                .join(unigrams.select(F.col("sym").alias("r"), F.col("uc").alias("rc")), "r")
+                .withColumn(
+                    "score_ppt",
+                    F.expr(
+                        "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000000000"
+                        " DIV (CAST(lc AS DECIMAL(38,0)) * rc) AS BIGINT)"
+                    ),
+                )
+            )
+            w_rank = Window.orderBy(F.col("score_ppt").desc(), F.col("pair").asc())
+            top = (
+                scored.withColumn("rnk", F.row_number().over(w_rank))
+                .where(F.col("rnk") <= _WP_TOPK)
+                .select(
+                    F.lit(rnd).alias("rnd"),
+                    "pair",
+                    F.col("cnt").cast("bigint").alias("cnt"),
+                    "score_ppt",
+                    F.col("rnk").cast("int").alias("rnk"),
+                )
+            )
+            top = top.localCheckpoint(eager=True)  # BPE round discipline
+            out = top if out is None else out.unionByName(top)
+            if rnd < _WP_ROUNDS:
+                best = top.where(F.col("rnk") == 1).first()
+                merged = best["pair"].replace(" ", "")
+                words = words.select(
+                    "cnt",
+                    F.trim(
+                        F.replace(
+                            F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                            F.lit(" " + best["pair"] + " "),
+                            F.lit(" " + merged + " "),
+                        )
+                    ).alias("seq"),
+                )
+        return out.orderBy("rnd", "rnk")
+    finally:
+        base_words.unpersist()
+
+
+def _wp_round_sql(i: int) -> str:
+    return f"""
+u{i} AS MATERIALIZED (
+  SELECT sym, CAST(SUM(cnt) AS BIGINT) AS uc
+  FROM (SELECT cnt, unnest(string_split(seq, ' ')) AS sym FROM ws{i - 1})
+  GROUP BY 1
+),
+p{i} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT cnt,
+           unnest(list_transform(generate_series(1, len(sp) - 1),
+                                 j -> sp[j] || ' ' || sp[j+1])) AS pair
+    FROM (SELECT cnt, string_split(seq, ' ') AS sp FROM ws{i - 1})
+  ) GROUP BY 1
+),
+sc{i} AS MATERIALIZED (
+  SELECT p.pair, p.cnt,
+         CAST(CAST(p.cnt AS HUGEINT) * 1000000000000
+              // (CAST(ul.uc AS HUGEINT) * ur.uc) AS BIGINT) AS score_ppt
+  FROM p{i} p
+  JOIN u{i} ul ON ul.sym = string_split(p.pair, ' ')[1]
+  JOIN u{i} ur ON ur.sym = string_split(p.pair, ' ')[2]
+),
+t{i} AS MATERIALIZED (SELECT pair FROM sc{i} ORDER BY score_ppt DESC, pair LIMIT 1),
+ws{i} AS MATERIALIZED (
+  SELECT cnt,
+         trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT pair FROM t{i}) || ' ',
+                      ' ' || replace((SELECT pair FROM t{i}), ' ', '') || ' ')) AS seq
+  FROM ws{i - 1}
+)"""
+
+
+TOKENIZER_WP_SQL = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+ws0 AS MATERIALIZED (
+  SELECT cnt,
+         array_to_string(list_transform(generate_series(1, length(w)),
+                                        i -> substr(w, i, 1)), ' ') AS seq
+  FROM words
+),{",".join(_wp_round_sql(i) for i in range(1, _WP_ROUNDS + 1))}
+SELECT CAST(rnd AS INTEGER) AS rnd, pair, cnt, score_ppt, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  {" UNION ALL ".join(
+    f"SELECT {i} AS rnd, pair, cnt, score_ppt,"
+    f" ROW_NUMBER() OVER (ORDER BY score_ppt DESC, pair) AS rnk FROM sc{i}"
+    for i in range(1, _WP_ROUNDS + 1)
+  )}
+)
+WHERE rnk <= {_WP_TOPK}
+ORDER BY rnd, rnk
+"""
+
+QUERIES["tokenizer_wordpiece_train"] = tokenizer_wordpiece_train
+ORACLE["tokenizer_wordpiece_train"] = TOKENIZER_WP_SQL

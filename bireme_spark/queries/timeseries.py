@@ -6295,3 +6295,179 @@ FROM kal WHERE rn = (SELECT MAX(rn) FROM kal)
 
 QUERIES["orders_kalman_level"] = orders_kalman_level
 ORACLE["orders_kalman_level"] = KALMAN_LEVEL_SQL
+
+
+def events_cointegration_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle–Granger cointegration test between the hourly 'click'
+    and 'view' count series: stage 1 regresses view on click (exact
+    integer-sums OLS), stage 2 runs a lag-1 Dickey–Fuller regression
+    on the residuals (Δu_t = ρ·u_{t−1} + e); a strongly negative
+    ADF t-statistic means the two streams share a common stochastic
+    trend — the diagnostics a metrics platform runs before alerting
+    on one series using another as its baseline (a spurious
+    regression between two drifting-but-unrelated series is the
+    classic false-alarm generator; Engle & Granger 1987).
+
+    Engine-exact: stage-1 OLS is pure BIGINT sums with ONE IEEE
+    division per coefficient; residuals are then deterministic
+    doubles, and every stage-2 sum (Σu²_{t−1}, Σu_{t−1}Δu, Σe²)
+    follows the 6dp-per-term + DECIMAL-sum discipline; LAG orders by
+    the unique hour index (r9 tie rule is moot — t is unique).
+
+    Scale: two hash aggs collapse the streams to ≤|hours| cells;
+    everything after runs on the collapsed series."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    )
+    x = e.where(F.col("event_type") == "click").groupBy("hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    y = e.where(F.col("event_type") == "view").groupBy("hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    s = x.join(y, "hour")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ols = s.select(
+        "hour",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("x").over(wall).cast("bigint").alias("sx"),
+        F.sum("y").over(wall).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wall).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wall).cast("bigint").alias("sxx"),
+    ).select(
+        "hour",
+        "x",
+        "y",
+        "n",
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)").alias("b"),
+        F.expr(
+            "(CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (n * sxx - sx * sx) * sx) / n"
+        ).alias("a"),
+    )
+    resid = ols.select(
+        "n",
+        (F.row_number().over(Window.orderBy("hour"))).alias("t"),
+        (F.col("y") - F.col("a") - F.col("b") * F.col("x")).alias("u"),
+        F.first("b").over(wall).alias("beta"),
+    )
+    lagged = resid.select(
+        "n",
+        "beta",
+        F.lag("u").over(Window.orderBy("t")).alias("ul"),
+        "u",
+    ).where(F.col("ul").isNotNull())
+    terms = lagged.select(
+        "n",
+        "beta",
+        F.round(F.col("ul") * (F.col("u") - F.col("ul")), 6).cast("decimal(28,6)").alias("s1"),
+        F.round(F.col("ul") * F.col("ul"), 6).cast("decimal(28,6)").alias("s2"),
+        "ul",
+        "u",
+    )
+    rho = terms.select(
+        "n",
+        "beta",
+        "ul",
+        "u",
+        F.expr("CAST(SUM(s1) OVER () AS DOUBLE) / CAST(SUM(s2) OVER () AS DOUBLE)").alias("rho"),
+        F.expr("CAST(SUM(s2) OVER () AS DOUBLE)").alias("ss2"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"),
+    )
+    sse = rho.select(
+        "n",
+        "beta",
+        "rho",
+        "ss2",
+        "m",
+        F.round(
+            (F.col("u") - F.col("ul") - F.col("rho") * F.col("ul"))
+            * (F.col("u") - F.col("ul") - F.col("rho") * F.col("ul")),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("e2"),
+    )
+    return sse.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_hours"),
+        F.round(F.max("beta"), 6).alias("beta"),
+        F.round(F.max("rho"), 6).alias("rho"),
+        F.expr(
+            "ROUND(MAX(rho) / SQRT(CAST(SUM(e2) AS DOUBLE) / (MAX(m) - 1) / MAX(ss2)), 6)"
+        ).alias("adf_t"),
+        F.expr(
+            "MAX(rho) / SQRT(CAST(SUM(e2) AS DOUBLE) / (MAX(m) - 1) / MAX(ss2))"
+            " < CAST(-3.34 AS DOUBLE)"
+        ).alias("cointegrated_5pct"),
+    )
+
+
+COINTEGRATION_SQL = """
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+y AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s AS (SELECT x.hour, x.x, y.y FROM x JOIN y ON y.hour = x.hour),
+ols AS (
+  SELECT hour, x, y,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(x) OVER () AS BIGINT) AS sx,
+         CAST(SUM(y) OVER () AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER () AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER () AS BIGINT) AS sxx
+  FROM s
+),
+coef AS (
+  SELECT hour, x, y, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS b,
+         (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+          / (n * sxx - sx * sx) * sx) / n AS a
+  FROM ols
+),
+resid AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY hour) AS t,
+         y - a - b * x AS u,
+         FIRST_VALUE(b) OVER () AS beta
+  FROM coef
+),
+lagged AS (
+  SELECT * FROM (
+    SELECT n, beta, LAG(u) OVER (ORDER BY t) AS ul, u FROM resid
+  ) WHERE ul IS NOT NULL
+),
+terms AS (
+  SELECT n, beta, ul, u,
+         CAST(ROUND(ul * (u - ul), 6) AS DECIMAL(28,6)) AS s1,
+         CAST(ROUND(ul * ul, 6) AS DECIMAL(28,6)) AS s2
+  FROM lagged
+),
+rho AS (
+  SELECT n, beta, ul, u,
+         CAST(SUM(s1) OVER () AS DOUBLE) / CAST(SUM(s2) OVER () AS DOUBLE) AS rho,
+         CAST(SUM(s2) OVER () AS DOUBLE) AS ss2,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM terms
+),
+sse AS (
+  SELECT n, beta, rho, ss2, m,
+         CAST(ROUND((u - ul - rho * ul) * (u - ul - rho * ul), 6)
+              AS DECIMAL(28,6)) AS e2
+  FROM rho
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_hours,
+       ROUND(MAX(beta), 6) AS beta,
+       ROUND(MAX(rho), 6) AS rho,
+       ROUND(MAX(rho) / SQRT(CAST(SUM(e2) AS DOUBLE) / (MAX(m) - 1) / MAX(ss2)), 6) AS adf_t,
+       MAX(rho) / SQRT(CAST(SUM(e2) AS DOUBLE) / (MAX(m) - 1) / MAX(ss2))
+         < CAST(-3.34 AS DOUBLE) AS cointegrated_5pct
+FROM sse
+"""
+
+QUERIES["events_cointegration_test"] = events_cointegration_test
+ORACLE["events_cointegration_test"] = COINTEGRATION_SQL

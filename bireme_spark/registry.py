@@ -76,6 +76,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_spectral_entropy",
         "events_wavelet_haar",
         "orders_kalman_level",
+        "tokenizer_wordpiece_train",
+        "events_cointegration_test",
+        "orders_erlang_staffing",
     }
 )
 

@@ -247,3 +247,121 @@ class TestKalmanLevel:
         pstar = (25 + math.sqrt(25**2 + 4 * 25 * 400)) / 2
         kstar = pstar / (pstar + 400)
         assert abs(float(k) - kstar) < 0.01, (float(k), kstar)
+
+
+class TestWordPiece:
+    def test_scores_match_python_recompute(self, spark, sf_dir):
+        """Round-1 candidates re-derived in pure python: char-split
+        words, pair + unigram counts, likelihood score ppt."""
+        from collections import Counter
+
+        from bireme_spark.queries.terms import tokenizer_wordpiece_train
+
+        rows = [r for r in tokenizer_wordpiece_train(spark, sf_dir).collect() if r.rnd == 1]
+        docs = _pq("documents")
+        wc = Counter()
+        for text in docs["text"]:
+            for w in text.split(" "):
+                if w:
+                    wc[w] += 1
+        uni, pairs = Counter(), Counter()
+        for w, c in wc.items():
+            for ch in w:
+                uni[ch] += c
+            for a, b in zip(w, w[1:]):
+                pairs[(a, b)] += c
+        scored = sorted(
+            (
+                (-(cnt * 10**12 // (uni[a] * uni[b])), f"{a} {b}", cnt)
+                for (a, b), cnt in pairs.items()
+            )
+        )[:10]
+        for r, (neg_score, pair, cnt) in zip(sorted(rows, key=lambda r: r.rnk), scored):
+            assert r.pair == pair
+            assert r.cnt == cnt
+            assert r.score_ppt == -neg_score
+
+    def test_likelihood_beats_frequency_selection(self, spark, sf_dir):
+        """The point of WordPiece vs BPE: the top likelihood pick need
+        not be the top frequency pick — and the score ordering must be
+        genuinely different from the count ordering on this corpus
+        (if they coincide the query is indistinguishable from BPE)."""
+        from bireme_spark.queries.terms import tokenizer_wordpiece_train
+
+        rows = [r for r in tokenizer_wordpiece_train(spark, sf_dir).collect() if r.rnd == 1]
+        by_score = [r.pair for r in sorted(rows, key=lambda r: r.rnk)]
+        by_count = [r.pair for r in sorted(rows, key=lambda r: (-r.cnt, r.pair))]
+        assert by_score != by_count
+
+
+class TestCointegration:
+    def test_matches_numpy_two_stage_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import events_cointegration_test
+
+        r = events_cointegration_test(spark, sf_dir).collect()[0]
+        ev = _pq("events")
+        ev["hour"] = ev["ts"].astype("datetime64[ns]").dt.floor("h")
+        x = ev[ev["event_type"] == "click"].groupby("hour").size()
+        y = ev[ev["event_type"] == "view"].groupby("hour").size()
+        s = pd.concat([x.rename("x"), y.rename("y")], axis=1, join="inner").sort_index()
+        n = len(s)
+        assert r.n_hours == n
+        sx, sy = int(s.x.sum()), int(s.y.sum())
+        sxy, sxx = int((s.x * s.y).sum()), int((s.x * s.x).sum())
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        a = (sy - b * sx) / n
+        u = (s.y - a - b * s.x).to_numpy()
+        ul, du = u[:-1], np.diff(u)
+        rho = (ul * du).sum() / (ul * ul).sum()
+        e = du - rho * ul
+        se = np.sqrt((e @ e) / (len(du) - 1) / (ul @ ul))
+        assert abs(r.beta - b) < 1e-5
+        assert abs(r.rho - rho) < 1e-4
+        assert abs(r.adf_t - rho / se) < 1e-2
+        assert bool(r.cointegrated_5pct) == (rho / se < -3.34)
+
+    def test_stationary_residual_is_detected(self):
+        """Statistic sanity on planted data: y = 2x + stationary noise
+        → residual is white → rho ≈ −1 → hugely negative ADF t."""
+        rng = np.random.RandomState(7)
+        x = np.cumsum(rng.randn(500))  # a random walk
+        u = rng.randn(500)  # stationary residual
+        ul, du = u[:-1], np.diff(u)
+        rho = (ul * du).sum() / (ul * ul).sum()
+        e = du - rho * ul
+        se = np.sqrt((e @ e) / (len(du) - 1) / (ul @ ul))
+        assert rho / se < -3.34  # cointegration detected
+        # and the random walk ITSELF is not stationary:
+        ul2, du2 = x[:-1], np.diff(x)
+        rho2 = (ul2 * du2).sum() / (ul2 * ul2).sum()
+        e2 = du2 - rho2 * ul2
+        se2 = np.sqrt((e2 @ e2) / (len(du2) - 1) / (ul2 @ ul2))
+        assert rho2 / se2 > -3.34
+
+
+class TestErlangStaffing:
+    def test_matches_scipy_free_erlang_c(self, spark, sf_dir):
+        """c* re-derived with exact python floats (math.factorial
+        exact → float): the engine's c* must match, and its Erlang-C
+        at c* must agree to the e6-quantization tolerance."""
+        import math
+
+        from bireme_spark.queries.relational import orders_erlang_staffing
+
+        r = orders_erlang_staffing(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        lam = int(o.groupby(o["o_orderdate"].astype("datetime64[ns]").dt.date).size().max())
+        mu = max(lam // 20, 1)
+        a = lam / mu
+        assert r.lambda_peak == lam and r.mu == mu
+
+        def erlang_c(c: int) -> float:
+            top = (a**c / math.factorial(c)) * (c / (c - a))
+            s = sum(a**k / math.factorial(k) for k in range(c))
+            return top / (s + top)
+
+        c_star = next(c for c in range(int(a) + 1, 81) if erlang_c(c) <= 0.2)
+        assert r.c_star == c_star
+        assert abs(r.erlang_c_ppm / 1e6 - erlang_c(c_star)) < 1e-3
+        # monotone sanity: one agent fewer must miss the target
+        assert erlang_c(c_star - 1) > 0.2 or c_star == int(a) + 1
