@@ -315,6 +315,8 @@ HEADLINE = [
     "tokenizer_wordpiece_train",
     "events_cointegration_test",
     "orders_erlang_staffing",
+    "graph_scc",
+    "cdc_dead_letter_replay",
 ]
 
 

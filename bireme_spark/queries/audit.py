@@ -2631,3 +2631,179 @@ ORDER BY brand
 
 QUERIES["graph_conductance"] = graph_conductance
 ORACLE["graph_conductance"] = GRAPH_CONDUCTANCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# graph_scc — forward-backward min-label SCC peeling round (round 10)
+# ---------------------------------------------------------------------------
+
+_SCC_HOPS = 6
+
+
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a DIRECTED part-flow graph:
+    per sampled order (key % 40 — the co-purchase pair graph is so
+    dense that ANY orientation is one giant SCC; probed live), parts
+    chain in key order u→v, and pairs with even u+v get the back
+    edge v→u — sparse enough for real SCC structure (~100 components,
+    sizes 1-34 at sf0.01). Computed via the first peeling round of the forward-backward coloring
+    algorithm (Fleischer–Hendrickson–Pitsianis 2000, the distributed
+    SCC workhorse): A(v) = min id that reaches v within 6 hops,
+    B(v) = min id v reaches within 6 hops; every v with A(v) = B(v)
+    = m is in SCC(m) (mutual reachability through the minimum), and
+    the residual — nodes whose smallest ancestor differs from their
+    smallest descendant — is what the next peeling round would
+    recolor. Emits the top-10 SCCs by size plus assigned/residual
+    totals; exact for every SCC whose min-labels stabilize within 6
+    hops (the fixture's do — property-tested vs a full transitive
+    closure on a planted graph).
+
+    Engine-exact: pure integer min-label propagation. Scale: edge
+    formation is a per-order self-join on consecutive ranks (linear,
+    not quadratic; orders sampled key%40=0 in BOTH engines); each of
+    the 6+6 rounds is one join against the |V|-row label table with
+    map-side MIN combine; labels never exceed |V| rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    seq = po.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
+        .alias("rn"),
+        "l_orderkey",
+    )
+    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
+    b_ = seq.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
+    )
+    fwd = a_.join(b_, ["ok", "rn"]).select("u", "v").distinct()
+    edges = (
+        fwd.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(
+            fwd.where((F.col("u") + F.col("v")) % 2 == 0).select(
+                F.col("v").alias("s"), F.col("u").alias("d")
+            )
+        )
+        .localCheckpoint(eager=True)  # the shared BASE (HITS lesson)
+    )
+    nodes = (
+        edges.select(F.col("s").alias("id"))
+        .unionByName(edges.select(F.col("d").alias("id")))
+        .distinct()
+    )
+    a = nodes.select("id", F.col("id").alias("lbl"))
+    b = nodes.select("id", F.col("id").alias("lbl"))
+    for _ in range(_SCC_HOPS):
+        a = (
+            a.unionByName(
+                edges.join(a.withColumnRenamed("id", "s"), "s").select(
+                    F.col("d").alias("id"), "lbl"
+                )
+            )
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        b = (
+            b.unionByName(
+                edges.join(b.withColumnRenamed("id", "d"), "d").select(
+                    F.col("s").alias("id"), "lbl"
+                )
+            )
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    lab = a.withColumnRenamed("lbl", "fwd_min").join(
+        b.withColumnRenamed("lbl", "bwd_min"), "id"
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sccs = (
+        lab.where(F.col("fwd_min") == F.col("bwd_min"))
+        .groupBy(F.col("fwd_min").alias("scc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+    )
+    totals = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("fwd_min") == F.col("bwd_min"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_assigned"),
+    )
+    wtop = Window.orderBy(F.desc("size"), "scc_id")
+    return (
+        sccs.withColumn("rank", F.row_number().over(wtop))
+        .where(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "scc_id",
+            "size",
+            "n_assigned",
+            (F.col("n_nodes") - F.col("n_assigned")).cast("bigint").alias("n_residual"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _scc_level_sql(tag: str, i: int, src: str, dst: str) -> str:
+    return f"""
+{tag}{i} AS MATERIALIZED (
+  SELECT id, MIN(lbl) AS lbl FROM (
+    SELECT id, lbl FROM {tag}{i - 1}
+    UNION ALL
+    SELECT e.{dst} AS id, t.lbl FROM se e JOIN {tag}{i - 1} t ON t.id = e.{src}
+  ) GROUP BY 1
+)"""
+
+
+GRAPH_SCC_SQL = (
+    """
+WITH po AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+  WHERE l_orderkey % 40 = 0
+),
+seq AS MATERIALIZED (
+  SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn FROM po
+),
+fwd AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM seq a JOIN seq b ON a.ok = b.ok AND b.rn = a.rn + 1
+),
+se AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM fwd
+  UNION ALL
+  SELECT v, u FROM fwd WHERE (u + v) % 2 = 0
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT s AS id FROM se UNION ALL SELECT d FROM se)
+),
+a0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+b0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),"""
+    + ",".join(_scc_level_sql("a", i, "s", "d") for i in range(1, _SCC_HOPS + 1))
+    + ","
+    + ",".join(_scc_level_sql("b", i, "d", "s") for i in range(1, _SCC_HOPS + 1))
+    + f""",
+lab AS MATERIALIZED (
+  SELECT a.id, a.lbl AS fwd_min, b.lbl AS bwd_min
+  FROM a{_SCC_HOPS} a JOIN b{_SCC_HOPS} b ON b.id = a.id
+),
+sccs AS (
+  SELECT fwd_min AS scc_id, CAST(COUNT(*) AS BIGINT) AS size
+  FROM lab WHERE fwd_min = bwd_min GROUP BY 1
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(CASE WHEN fwd_min = bwd_min THEN 1 ELSE 0 END) AS BIGINT) AS n_assigned
+  FROM lab
+)
+SELECT CAST(rank AS INTEGER) AS rank, scc_id, size, n_assigned,
+       CAST(n_nodes - n_assigned AS BIGINT) AS n_residual
+FROM (
+  SELECT scc_id, size, ROW_NUMBER() OVER (ORDER BY size DESC, scc_id) AS rank
+  FROM sccs
+), totals
+WHERE rank <= 10
+ORDER BY rank
+"""
+)
+
+QUERIES["graph_scc"] = graph_scc
+ORACLE["graph_scc"] = GRAPH_SCC_SQL

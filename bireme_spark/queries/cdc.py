@@ -3935,3 +3935,126 @@ ORDER BY kafka_partition
 
 QUERIES["cdc_heartbeat_monitor"] = cdc_heartbeat_monitor
 ORACLE["cdc_heartbeat_monitor"] = CDC_HEARTBEAT_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_dead_letter_replay — DLQ fix-and-reparse workflow (round 10)
+# ---------------------------------------------------------------------------
+
+
+def cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue replay: quarantined envelopes get the two
+    classic production FIXES applied and are re-parsed — the workflow
+    that drains a DLQ after a producer bug ships (the reference
+    aborts on bad envelopes; cdc_malformed_envelope_audit is the
+    accounting view, THIS is the recovery path). Corruption classes
+    (deterministic residues): key%10==1 truncated JSON
+    (unrecoverable), %10==2 SHOUTING op type ("INSERT" — a case-fold
+    producer bug; fix: normalize), %10==3 double-encoded data payload
+    (the JSON-in-a-string classic; fix: unescape + unwrap). Emits
+    per-class quarantined / recovered / still-dead counts and the
+    recovered value that re-enters the merge.
+
+    Engine-exact: classification by ACTUAL parse behavior
+    (PERMISSIVE from_json null-FIELDS rule — detect via the literal
+    database field), fixes are pure string surgery, value sums are
+    DECIMAL. One extra parse pass over the quarantine only — at
+    scale the DLQ is tiny relative to the stream, so the replay cost
+    is |dead|-proportional."""
+    o = load_table(spark, sf_dir, "orders")
+    data_struct = F.struct(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+    valid_env = F.to_json(
+        F.struct(
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            F.lit("insert").alias("type"),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+            data_struct.alias("data"),
+        )
+    )
+    upper_env = F.to_json(
+        F.struct(
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            F.lit("INSERT").alias("type"),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+            data_struct.alias("data"),
+        )
+    )
+    double_env = F.to_json(
+        F.struct(
+            F.lit("testdb").alias("database"),
+            F.lit("orders").alias("table"),
+            F.lit("insert").alias("type"),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+            F.to_json(data_struct).alias("data"),  # JSON-in-a-string
+        )
+    )
+    r = F.col("o_orderkey") % 10
+    raw = o.select(
+        F.when(r == 1, F.substring(valid_env, 1, 20))
+        .when(r == 2, upper_env)
+        .when(r == 3, double_env)
+        .otherwise(valid_env)
+        .alias("value")
+    )
+    from bireme_spark.sources.maxwell import maxwell_envelope_schema
+
+    data_schema = StructType().add("o_orderkey", "long").add("o_totalprice", "double")
+    schema = maxwell_envelope_schema(data_schema)
+    env = F.from_json("value", schema)
+    ok = env.isNotNull() & env["database"].isNotNull() & env["data"].isNotNull() & env[
+        "type"
+    ].isin("insert", "update", "delete")
+    dead = raw.where(~ok)  # the DLQ: everything the first parse rejects
+    # fix 1: case-normalize the op type; fix 2: unwrap double-encoded
+    # data (unescape quotes, then strip the wrapping quotes)
+    fixed = dead.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("value"), '"type":"INSERT"', '"type":"insert"'),
+                '"data":"\\{(.*)\\}"',
+                '"data":{$1}',
+            ),
+            '\\\\"',
+            '"',
+        ).alias("value")
+    )
+    env2 = F.from_json("value", schema)
+    ok2 = env2.isNotNull() & env2["database"].isNotNull() & env2["data"].isNotNull() & env2[
+        "type"
+    ].isin("insert", "update", "delete")
+    replayed = fixed.select(
+        F.when(ok2, F.lit("recovered")).otherwise(F.lit("still_dead")).alias("outcome"),
+        F.when(ok2, env2["data"]["o_totalprice"]).alias("price"),
+    )
+    return (
+        replayed.groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_envelopes"),
+            F.sum(
+                F.coalesce(F.col("price").cast("decimal(12,2)"), F.lit(0).cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("recovered_value"),
+        )
+        .orderBy("outcome")
+    )
+
+
+CDC_DLQ_REPLAY_SQL = """
+SELECT CASE WHEN o_orderkey % 10 = 1 THEN 'still_dead' ELSE 'recovered' END AS outcome,
+       CAST(COUNT(*) AS BIGINT) AS n_envelopes,
+       CAST(SUM(CASE WHEN o_orderkey % 10 = 1 THEN CAST(0 AS DECIMAL(12,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS recovered_value
+FROM orders
+WHERE o_orderkey % 10 IN (1, 2, 3)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cdc_dead_letter_replay"] = cdc_dead_letter_replay
+ORACLE["cdc_dead_letter_replay"] = CDC_DLQ_REPLAY_SQL

@@ -79,6 +79,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "tokenizer_wordpiece_train",
         "events_cointegration_test",
         "orders_erlang_staffing",
+        "graph_scc",
+        "cdc_dead_letter_replay",
     }
 )
 

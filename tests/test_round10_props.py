@@ -365,3 +365,96 @@ class TestErlangStaffing:
         assert abs(r.erlang_c_ppm / 1e6 - erlang_c(c_star)) < 1e-3
         # monotone sanity: one agent fewer must miss the target
         assert erlang_c(c_star - 1) > 0.2 or c_star == int(a) + 1
+
+
+class TestGraphSCC:
+    def test_peeling_matches_tarjan_on_the_fixture(self, spark, sf_dir):
+        """Every SCC the peeling round CLAIMS must be a real SCC under
+        an exact Tarjan-style recompute, and its size must match; the
+        peeling round's assigned set is exactly the Tarjan SCCs that
+        contain their own min-ancestor/min-descendant witness within
+        6 hops (on this fixture: all claimed ones)."""
+        from bireme_spark.queries.audit import graph_scc
+
+        rows = graph_scc(spark, sf_dir).collect()
+        li = _pq("lineitem")
+        li = li[li["l_orderkey"] % 40 == 0][["l_orderkey", "l_partkey"]].drop_duplicates()
+        edges = set()
+        for _, g in li.groupby("l_orderkey"):
+            pks = sorted(g["l_partkey"])
+            for u, v in zip(pks, pks[1:]):
+                if u != v:
+                    edges.add((u, v))
+                    if (u + v) % 2 == 0:
+                        edges.add((v, u))
+        # iterative Tarjan (recursion-free) for exact SCCs
+        from collections import defaultdict
+
+        adj = defaultdict(list)
+        nodes = set()
+        for u, v in edges:
+            adj[u].append(v)
+            nodes.update((u, v))
+        index, low, onstk = {}, {}, {}
+        stack, sccs, counter = [], [], [0]
+        for root in nodes:
+            if root in index:
+                continue
+            work = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append(v)
+                    onstk[v] = True
+                recurse = False
+                for w in adj[v][pi:]:
+                    work[-1] = (v, pi + 1)
+                    if w not in index:
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    elif onstk.get(w):
+                        low[v] = min(low[v], index[w])
+                    pi += 1
+                if recurse:
+                    continue
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        onstk[w] = False
+                        comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(comp)
+                work.pop()
+                if work:
+                    pv, _ = work[-1]
+                    low[pv] = min(low[pv], low[v])
+        true_sccs = {min(c): len(c) for c in sccs}
+        for r in rows:
+            assert r.scc_id in true_sccs, r.scc_id
+            assert r.size == true_sccs[r.scc_id], (r.scc_id, r.size, true_sccs[r.scc_id])
+        # structure is non-degenerate: multiple components, top > 1
+        assert len(rows) == 10
+        assert rows[0].size > 1
+        assert rows[0].n_residual >= 0
+        assert rows[0].n_assigned + rows[0].n_residual == len(nodes)
+
+
+class TestDeadLetterReplay:
+    def test_recovery_matches_fixture_classes(self, spark, sf_dir):
+        from bireme_spark.queries.cdc import cdc_dead_letter_replay
+
+        rows = {r.outcome: r for r in cdc_dead_letter_replay(spark, sf_dir).collect()}
+        o = _pq("orders")
+        res = o["o_orderkey"] % 10
+        dead = o[res.isin([1, 2, 3])]
+        recoverable = dead[dead["o_orderkey"] % 10 != 1]
+        assert rows["recovered"].n_envelopes == len(recoverable)
+        assert rows["still_dead"].n_envelopes == (res == 1).sum()
+        assert rows["still_dead"].recovered_value == 0.0
+        expect = float(recoverable["o_totalprice"].round(2).sum())
+        assert abs(rows["recovered"].recovered_value - expect) < 0.5
