@@ -317,6 +317,9 @@ HEADLINE = [
     "orders_erlang_staffing",
     "graph_scc",
     "cdc_dead_letter_replay",
+    "multimodal_hu_moments",
+    "lineitem_oaxaca_blinder",
+    "graph_effective_diameter",
 ]
 
 

@@ -2807,3 +2807,193 @@ ORDER BY rank
 
 QUERIES["graph_scc"] = graph_scc
 ORACLE["graph_scc"] = GRAPH_SCC_SQL
+
+
+# ---------------------------------------------------------------------------
+# graph_effective_diameter — HyperANF neighborhood function (round 10)
+# ---------------------------------------------------------------------------
+
+_ANF_HOPS = 8
+# 16-register HLL: alpha_16 * m^2 * 2^49 (same scale discipline as
+# events_hll_distinct's 256-register constant — empties contribute
+# 2^49, occupied 2^(49-M))
+_ANF_C = repr(0.673 * 256.0 * float(1 << 49))
+_ANF_RHO_CASE = (
+    "CASE "
+    + " ".join(f"WHEN w >= {1 << (47 - k)} THEN {k + 1}" for k in range(48))
+    + " ELSE 49 END"
+)
+_ANF_W_DUCK = " + ".join(
+    f"CAST(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1 AS BIGINT) * {16 ** (13 - i)}"
+    for i in range(2, 14)
+)
+# per-node ball estimate from (n_regs, ssum): raw HLL with the
+# 16-register linear-counting branch (raw ≤ 2.5·m·1e4) — shared text
+_ANF_EST = (
+    f"CASE WHEN 16 - n_regs > 0 AND"
+    f" CAST(FLOOR({_ANF_C} / CAST(ssum + CAST(16 - n_regs AS BIGINT) * {1 << 49}"
+    f" AS DOUBLE) * 10000) AS BIGINT) <= 400000"
+    f" THEN CAST(FLOOR(16 * ROUND(LN(16.0 / (16 - n_regs)), 6) * 10000) AS BIGINT)"
+    f" ELSE CAST(FLOOR({_ANF_C} / CAST(ssum + CAST(16 - n_regs AS BIGINT) * {1 << 49}"
+    f" AS DOUBLE) * 10000) AS BIGINT) END"
+)
+
+
+def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter of the (undirected) sparse part-flow graph
+    via HyperANF (Boldi, Rosa & Vigna, WWW'11): every node carries a
+    16-register HLL sketch of its t-ball; one hop is a bucket-wise
+    register MAX over neighbors (HLL union is max — the property that
+    makes the neighborhood function N(t) = Σ_v |ball(v,t)| computable
+    in O(hops) linear passes instead of all-pairs BFS). Emits N(t)
+    for t = 0..8 (the fixture plateaus at t≈5; probed live) and flags the first t with N(t) ≥ 90% of N(8) — the
+    effective-diameter readout monitoring uses to see a graph
+    compacting (fraud rings closing) or fragmenting.
+
+    Engine-exact: registers from md5 nibbles (bucket = first nibble,
+    rho = leading zeros of the next 48 bits + 1 via the generated
+    comparison chain); per-node estimates are the house HLL integer
+    discipline (FLOOR(C/ssum·1e4), 6dp-rounded ln in the
+    linear-count branch) and N(t) is an exact integer sum of e4
+    estimates. Sketch-vs-exact accuracy is property-tested against a
+    full BFS recompute (the r6 lesson: cross-engine hashes can't see
+    a shared estimator bug).
+
+    Scale: |V|·16 register rows; each hop is one join against the
+    edge list + one MAX agg — never a pairs blowup; 7 output rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 0)
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    seq = po.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
+        .alias("rn"),
+        "l_orderkey",
+    )
+    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
+    b_ = seq.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
+    )
+    fwd = a_.join(b_, ["ok", "rn"]).select("u", "v").distinct()
+    edges = (
+        fwd.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(fwd.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("s").alias("id")).distinct()
+    reg = nodes.select(
+        "id",
+        F.md5(F.col("id").cast("string")).alias("h"),
+    ).select(
+        "id",
+        F.conv(F.substring("h", 1, 1), 16, 10).cast("int").alias("bucket"),
+        F.expr(
+            "CASE "
+            + _ANF_RHO_CASE.replace("w", "CAST(conv(substring(h, 2, 12), 16, 10) AS BIGINT)")[5:]
+        ).alias("m"),
+    )
+
+    def nfun(r: DataFrame, t: int) -> DataFrame:
+        agg = r.groupBy("id").agg(
+            F.count(F.lit(1)).cast("int").alias("n_regs"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - m)")).cast("bigint").alias("ssum"),
+        )
+        return agg.agg(
+            F.lit(t).cast("int").alias("t"),
+            F.sum(F.expr(_ANF_EST)).cast("bigint").alias("n_pairs_e4"),
+        )
+
+    # each register level is read TWICE (next hop + its N(t) agg) and
+    # the final union reads all nine — uncheckpointed, every reader
+    # re-derives the whole chain (O(hops²) recompute, measured 45s →
+    # ~7s at sf0.01); one eager checkpoint per level caps lineage
+    r = reg.localCheckpoint(eager=True)
+    out = nfun(r, 0)
+    for t in range(1, _ANF_HOPS + 1):
+        r = (
+            r.unionByName(
+                edges.join(r.withColumnRenamed("id", "s"), "s").select(
+                    F.col("d").alias("id"), "bucket", "m"
+                )
+            )
+            .groupBy("id", "bucket")
+            .agg(F.max("m").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(nfun(r, t))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return out.select(
+        "t",
+        "n_pairs_e4",
+        F.expr("CAST(CAST(n_pairs_e4 AS DECIMAL(38,0)) * 1000000 DIV MAX(n_pairs_e4) OVER () AS BIGINT)").alias(
+            "frac_ppm_of_final"
+        ),
+        F.expr("n_pairs_e4 * 10 >= MAX(n_pairs_e4) OVER () * 9").alias("reaches_90pct"),
+    ).orderBy("t")
+
+
+def _anf_level_sql(i: int) -> str:
+    return f"""
+r{i} AS MATERIALIZED (
+  SELECT id, bucket, MAX(m) AS m FROM (
+    SELECT id, bucket, m FROM r{i - 1}
+    UNION ALL
+    SELECT e.d AS id, t.bucket, t.m FROM ed e JOIN r{i - 1} t ON t.id = e.s
+  ) GROUP BY 1, 2
+)"""
+
+
+def _anf_nfun_sql(i: int) -> str:
+    return f"""
+SELECT {i} AS t, CAST(SUM({_ANF_EST}) AS BIGINT) AS n_pairs_e4 FROM (
+  SELECT id, CAST(COUNT(*) AS INTEGER) AS n_regs,
+         CAST(SUM(CAST(1 AS BIGINT) << (49 - m)) AS BIGINT) AS ssum
+  FROM r{i} GROUP BY 1
+)"""
+
+
+GRAPH_ANF_SQL = (
+    """
+WITH po AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+  WHERE l_orderkey % 4 = 0
+),
+seq AS MATERIALIZED (
+  SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn FROM po
+),
+fwd AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM seq a JOIN seq b ON a.ok = b.ok AND b.rn = a.rn + 1
+),
+ed AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM fwd UNION ALL SELECT v, u FROM fwd
+),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS id FROM ed),
+hs AS MATERIALIZED (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM nodes),
+bits AS (
+  SELECT id,
+         CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INTEGER) AS bucket,
+         """
+    + _ANF_W_DUCK
+    + """ AS w
+  FROM hs
+),
+r0 AS MATERIALIZED (
+  SELECT id, bucket, """
+    + _ANF_RHO_CASE
+    + """ AS m
+  FROM bits
+),"""
+    + ",".join(_anf_level_sql(i) for i in range(1, _ANF_HOPS + 1))
+    + f""",
+nf AS ({" UNION ALL ".join(_anf_nfun_sql(i) for i in range(_ANF_HOPS + 1))})
+SELECT CAST(t AS INTEGER) AS t, n_pairs_e4,
+       CAST(CAST(n_pairs_e4 AS HUGEINT) * 1000000 // MAX(n_pairs_e4) OVER () AS BIGINT) AS frac_ppm_of_final,
+       n_pairs_e4 * 10 >= MAX(n_pairs_e4) OVER () * 9 AS reaches_90pct
+FROM nf
+ORDER BY t
+"""
+)
+
+QUERIES["graph_effective_diameter"] = graph_effective_diameter
+ORACLE["graph_effective_diameter"] = GRAPH_ANF_SQL

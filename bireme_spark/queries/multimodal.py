@@ -1652,3 +1652,152 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_image_ssim"] = multimodal_image_ssim
 ORACLE["multimodal_image_ssim"] = MULTIMODAL_SSIM_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_hu_moments — shape-invariant image descriptors (round 10)
+# ---------------------------------------------------------------------------
+
+# Hu close over the ten integer raw moments — ONE expression string
+# shared verbatim by Spark and DuckDB (generate once, run twice).
+_HU_CLOSE = """
+  CAST(m00 AS DOUBLE) AS mu00,
+  ROUND((CAST(m20 AS DOUBLE) - CAST(m10 AS DOUBLE) / m00 * m10
+       + CAST(m02 AS DOUBLE) - CAST(m01 AS DOUBLE) / m00 * m01)
+       / (CAST(m00 AS DOUBLE) * m00), 6) AS hu1,
+  ROUND((POW((CAST(m20 AS DOUBLE) - CAST(m10 AS DOUBLE) / m00 * m10
+            - (CAST(m02 AS DOUBLE) - CAST(m01 AS DOUBLE) / m00 * m01)), 2)
+       + CAST(4 AS DOUBLE) * POW(CAST(m11 AS DOUBLE) - CAST(m10 AS DOUBLE) / m00 * m01, 2))
+       / POW(CAST(m00 AS DOUBLE) * m00, 2), 6) AS hu2,
+  ROUND((POW((CAST(m30 AS DOUBLE) - CAST(3 AS DOUBLE) * m10 / m00 * m20
+             + CAST(2 AS DOUBLE) * m10 / m00 * (CAST(m10 AS DOUBLE) / m00) * m10)
+           - CAST(3 AS DOUBLE) * (CAST(m12 AS DOUBLE)
+             - CAST(2 AS DOUBLE) * m01 / m00 * m11
+             - CAST(m10 AS DOUBLE) / m00 * m02
+             + CAST(2 AS DOUBLE) * m01 / m00 * (CAST(m01 AS DOUBLE) / m00) * m10), 2)
+       + POW(CAST(3 AS DOUBLE) * (CAST(m21 AS DOUBLE)
+             - CAST(2 AS DOUBLE) * m10 / m00 * m11
+             - CAST(m01 AS DOUBLE) / m00 * m20
+             + CAST(2 AS DOUBLE) * m10 / m00 * (CAST(m10 AS DOUBLE) / m00) * m01)
+           - (CAST(m03 AS DOUBLE) - CAST(3 AS DOUBLE) * m01 / m00 * m02
+             + CAST(2 AS DOUBLE) * m01 / m00 * (CAST(m01 AS DOUBLE) / m00) * m01), 2))
+       / POW(CAST(m00 AS DOUBLE) * m00 * SQRT(CAST(m00 AS DOUBLE)), 2), 6) AS hu3
+"""
+
+
+def multimodal_hu_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hu moment invariants (Hu 1962) per image class on the
+    deterministic BMP/PNG fixture — the classic translation/scale/
+    rotation-invariant shape descriptors a visual-dedup or
+    class-routing pipeline extracts when embeddings are overkill
+    (hu1 ≈ spread, hu2 ≈ anisotropy, hu3 ≈ third-order skew).
+
+    Determinism: the TEN raw moments M_pq = Σ xᵖyᑫ·g(x,y) (p+q ≤ 3)
+    are exact integers off the decoded pixels (bounded: 16³·255·256
+    < 2⁵³); central/normalized moments and the Hu closes are ONE
+    shared IEEE expression string evaluated by both engines (every
+    constant CAST AS DOUBLE — the SSIM bare-literal rule), one-shot
+    6dp ROUND. The oracle recomputes the moments symbolically from
+    the pixel formula — encoder, decoder, grayscale all on the hash
+    path.
+
+    Scale shape: one fused mapInPandas pass (per-class moments
+    memoized in-worker), close on 16 rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    NAMES = ["m00", "m10", "m01", "m20", "m11", "m02", "m30", "m21", "m12", "m03"]
+    PQ = [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2), (3, 0), (2, 1), (1, 2), (0, 3)]
+
+    def moments(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, list[int]] = {}
+
+        def mom(s: int) -> list[int]:
+            if s in cache:
+                return cache[s]
+            w = h = 16
+            pix = bytes(
+                (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+            dw, dh, dc, dpix, _f = decode_image(enc)
+            nch = min(dc, 3)
+            ms = [0] * len(PQ)
+            for y in range(dh):
+                for x in range(dw):
+                    g = sum(dpix[(y * dw + x) * dc + ch] for ch in range(nch)) // nch
+                    for i, (p, q) in enumerate(PQ):
+                        ms[i] += (x**p) * (y**q) * g
+            cache[s] = ms
+            return ms
+
+        for pdf in it:
+            out = {"doc_id": []}
+            for nm in NAMES:
+                out[nm] = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ms = mom(doc_id % 16)
+                out["doc_id"].append(doc_id)
+                for nm, v in zip(NAMES, ms):
+                    out[nm].append(v)
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"{nm} long" for nm in NAMES)
+    scored = d.mapInPandas(moments, schema=schema)
+    per_class = scored.groupBy((F.col("doc_id") % 16).alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        *[F.first(nm).cast("bigint").alias(nm) for nm in NAMES],
+    )
+    return per_class.selectExpr(
+        "canonical_doc", "n_images", *_HU_CLOSE.strip().split(",\n  ")
+    ).orderBy("canonical_doc")
+
+
+MULTIMODAL_HU_SQL = f"""
+WITH px AS (
+  SELECT s, x, y,
+         ((((x*x + 2*y + 5*s + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 37 + (s*x)//3) % 256)
+         + ((x*x + 2*y + 5*s + 74 + (s*x)//3) % 256)) // 3) AS g
+  FROM generate_series(0, 15) ts(s),
+       generate_series(0, 15) tx(x),
+       generate_series(0, 15) ty(y)
+),
+mom AS (
+  SELECT s,
+         CAST(SUM(g) AS BIGINT) AS m00,
+         CAST(SUM(x * g) AS BIGINT) AS m10,
+         CAST(SUM(y * g) AS BIGINT) AS m01,
+         CAST(SUM(x * x * g) AS BIGINT) AS m20,
+         CAST(SUM(x * y * g) AS BIGINT) AS m11,
+         CAST(SUM(y * y * g) AS BIGINT) AS m02,
+         CAST(SUM(x * x * x * g) AS BIGINT) AS m30,
+         CAST(SUM(x * x * y * g) AS BIGINT) AS m21,
+         CAST(SUM(x * y * y * g) AS BIGINT) AS m12,
+         CAST(SUM(y * y * y * g) AS BIGINT) AS m03
+  FROM px GROUP BY 1
+),
+cls AS (
+  SELECT doc_id % 16 AS s, CAST(COUNT(*) AS BIGINT) AS n_images,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT canonical_doc, n_images,
+{_HU_CLOSE}
+FROM cls JOIN mom USING (s)
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_hu_moments"] = multimodal_hu_moments
+ORACLE["multimodal_hu_moments"] = MULTIMODAL_HU_SQL

@@ -7388,3 +7388,103 @@ FROM ec
 
 QUERIES["orders_erlang_staffing"] = orders_erlang_staffing
 ORACLE["orders_erlang_staffing"] = ERLANG_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_oaxaca_blinder — wage-gap-style decomposition (round 10)
+# ---------------------------------------------------------------------------
+
+# Shared close over per-group exact-integer OLS sums (a = returned,
+# b = kept): beta/alpha per group, twofold decomposition at group-B
+# coefficients. One string, two engines.
+_OAXACA_CLOSE = """
+  ROUND(CAST(sy_a AS DOUBLE) / n_a / 100 - CAST(sy_b AS DOUBLE) / n_b / 100, 6) AS gap,
+  ROUND(CAST(CAST(n_b AS DECIMAL(38,0)) * sxy_b - CAST(sx_b AS DECIMAL(38,0)) * sy_b AS DOUBLE)
+        / CAST(CAST(n_b AS DECIMAL(38,0)) * sxx_b - CAST(sx_b AS DECIMAL(38,0)) * sx_b AS DOUBLE)
+        * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b) / 100, 6) AS explained,
+  ROUND((CAST(sy_a AS DOUBLE) / n_a / 100 - CAST(sy_b AS DOUBLE) / n_b / 100)
+        - CAST(CAST(n_b AS DECIMAL(38,0)) * sxy_b - CAST(sx_b AS DECIMAL(38,0)) * sy_b AS DOUBLE)
+        / CAST(CAST(n_b AS DECIMAL(38,0)) * sxx_b - CAST(sx_b AS DECIMAL(38,0)) * sx_b AS DOUBLE)
+        * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b) / 100, 6) AS unexplained,
+  ROUND(CAST(CAST(n_a AS DECIMAL(38,0)) * sxy_a - CAST(sx_a AS DECIMAL(38,0)) * sy_a AS DOUBLE)
+        / CAST(CAST(n_a AS DECIMAL(38,0)) * sxx_a - CAST(sx_a AS DECIMAL(38,0)) * sx_a AS DOUBLE), 6) AS beta_a,
+  ROUND(CAST(CAST(n_b AS DECIMAL(38,0)) * sxy_b - CAST(sx_b AS DECIMAL(38,0)) * sy_b AS DOUBLE)
+        / CAST(CAST(n_b AS DECIMAL(38,0)) * sxx_b - CAST(sx_b AS DECIMAL(38,0)) * sx_b AS DOUBLE), 6) AS beta_b
+"""
+
+
+def lineitem_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca–Blinder decomposition (Oaxaca 1973; Blinder 1973) of
+    the mean line-value gap between RETURNED (l_returnflag = 'R') and
+    kept line items, explained by quantity: gap = ȳ_R − ȳ_K splits
+    into the ENDOWMENT part β_K·(x̄_R − x̄_K) (returned lines simply
+    order different quantities) and the residual COEFFICIENT part
+    (returned lines are priced differently AT the same quantity) —
+    the canonical two-group audit for "is this segment different
+    because of its mix or its treatment" (pay-gap studies, churn-
+    cohort revenue, refund abuse).
+
+    Engine-exact: per-group OLS from integer-cents sums (products
+    lifted to DECIMAL(38,0) before n·Σxy — the r8 rule; scale-0
+    DECIMAL→DOUBLE is a plain int128 round-to-nearest on both
+    engines); the close is ONE shared IEEE expression string.
+
+    Scale: one two-group agg over the facts; close on 1 row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").alias("is_a"),
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("x"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("y"),
+    )
+    g = li.groupBy("is_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    a = g.where("is_a").select(
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+        F.col("sy").alias("sy_a"),
+        F.col("sxy").alias("sxy_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = g.where("NOT is_a").select(
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+        F.col("sy").alias("sy_b"),
+        F.col("sxy").alias("sxy_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    wide = a.crossJoin(b)
+    return wide.selectExpr(
+        "n_a", "n_b", *[e for e in _OAXACA_CLOSE.strip().split(",\n  ")]
+    )
+
+
+# Units: x, y are e2 integers (·100), so β = Δy_e2/Δx_e2 is already
+# $/unit-qty; the /100 in gap/explained converts cents → dollars
+# (β·Δx̄_e2 is in cents). The property test recomputes all five.
+OAXACA_SQL = f"""
+WITH li AS (
+  SELECT (l_returnflag = 'R') AS is_a,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT is_a, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx
+  FROM li GROUP BY 1
+),
+a AS (SELECT n AS n_a, sx AS sx_a, sy AS sy_a, sxy AS sxy_a, sxx AS sxx_a FROM g WHERE is_a),
+b AS (SELECT n AS n_b, sx AS sx_b, sy AS sy_b, sxy AS sxy_b, sxx AS sxx_b FROM g WHERE NOT is_a)
+SELECT n_a, n_b,
+{_OAXACA_CLOSE}
+FROM a, b
+"""
+
+QUERIES["lineitem_oaxaca_blinder"] = lineitem_oaxaca_blinder
+ORACLE["lineitem_oaxaca_blinder"] = OAXACA_SQL

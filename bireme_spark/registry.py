@@ -81,6 +81,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_erlang_staffing",
         "graph_scc",
         "cdc_dead_letter_replay",
+        "multimodal_hu_moments",
+        "lineitem_oaxaca_blinder",
+        "graph_effective_diameter",
     }
 )
 

@@ -458,3 +458,136 @@ class TestDeadLetterReplay:
         assert rows["still_dead"].recovered_value == 0.0
         expect = float(recoverable["o_totalprice"].round(2).sum())
         assert abs(rows["recovered"].recovered_value - expect) < 0.5
+
+
+class TestHuMoments:
+    def test_matches_direct_central_moment_recompute(self, spark, sf_dir):
+        """Hu values recomputed the DIRECT way (explicit centroid,
+        explicit central sums — not the raw-moment algebraic
+        expansion the query uses) off the same decoded pixels: the
+        two formula paths must agree at 6dp, and hu1/hu2 must be
+        positive (they are sums of squares / variances)."""
+        from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+        from bireme_spark.queries.multimodal import multimodal_hu_moments
+
+        rows = {r.canonical_doc % 16: r for r in multimodal_hu_moments(spark, sf_dir).collect()}
+        for s in range(16):
+            w = h = 16
+            pix = bytes(
+                (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+            dw, dh, dc, dpix, _f = decode_image(enc)
+            nch = min(dc, 3)
+            G = np.array(
+                [
+                    [
+                        sum(dpix[(y * dw + x) * dc + ch] for ch in range(nch)) // nch
+                        for x in range(dw)
+                    ]
+                    for y in range(dh)
+                ],
+                dtype=float,
+            )
+            ys, xs = np.mgrid[0:dh, 0:dw]
+            m00 = G.sum()
+            xb, yb = (xs * G).sum() / m00, (ys * G).sum() / m00
+            mu = {
+                (p, q): (((xs - xb) ** p) * ((ys - yb) ** q) * G).sum()
+                for p in range(4)
+                for q in range(4)
+                if p + q <= 3
+            }
+            n2, n3 = m00**2, m00**2.5
+            hu1 = (mu[(2, 0)] + mu[(0, 2)]) / n2
+            hu2 = ((mu[(2, 0)] - mu[(0, 2)]) ** 2 + 4 * mu[(1, 1)] ** 2) / n2**2
+            hu3 = (
+                (mu[(3, 0)] - 3 * mu[(1, 2)]) ** 2 + (3 * mu[(2, 1)] - mu[(0, 3)]) ** 2
+            ) / n3**2
+            r = rows[s]
+            assert abs(r.hu1 - hu1) < 2e-6, (s, r.hu1, hu1)
+            assert abs(r.hu2 - hu2) < 2e-6, (s, r.hu2, hu2)
+            assert abs(r.hu3 - hu3) < 2e-6, (s, r.hu3, hu3)
+            assert r.hu1 > 0 and r.hu2 >= 0
+
+
+class TestOaxaca:
+    def test_matches_numpy_two_group_ols(self, spark, sf_dir):
+        from bireme_spark.queries.relational import lineitem_oaxaca_blinder
+
+        r = lineitem_oaxaca_blinder(spark, sf_dir).collect()[0]
+        li = _pq("lineitem")
+        li["x"] = (li["l_quantity"].round(2) * 100).round().astype("int64")
+        li["y"] = (li["l_extendedprice"].round(2) * 100).round().astype("int64")
+        a, b = li[li["l_returnflag"] == "R"], li[li["l_returnflag"] != "R"]
+
+        def ols(g):
+            n = len(g)
+            sx, sy = int(g.x.sum()), int(g.y.sum())
+            sxy = int((g.x.astype(object) * g.y).sum())
+            sxx = int((g.x.astype(object) * g.x).sum())
+            beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            return n, sx / n, sy / n, beta
+
+        na, xa, ya, ba = ols(a)
+        nb, xb, yb, bb = ols(b)
+        gap = ya / 100 - yb / 100
+        explained = bb * (xa - xb) / 100
+        assert r.n_a == na and r.n_b == nb
+        assert abs(r.gap - gap) < 1e-4
+        assert abs(r.explained - explained) < 1e-4
+        assert abs(r.unexplained - (gap - explained)) < 1e-4
+        assert abs(r.beta_a - ba) < 1e-5 and abs(r.beta_b - bb) < 1e-5
+        # decomposition identity
+        assert abs(r.explained + r.unexplained - r.gap) < 2e-6
+
+
+class TestEffectiveDiameter:
+    def test_neighborhood_function_vs_exact_bfs(self, spark, sf_dir):
+        """HyperANF N(t) vs an exact all-pairs BFS on the fixture:
+        per-t relative error within the 16-register HLL band (~26%
+        rse; ball overlaps make per-node errors CORRELATED, so sums
+        don't cancel them — assert 25%, measured worst 16.7%),
+        N(t) monotone, and the 90%-crossing hop within ±1 of exact."""
+        from collections import defaultdict, deque
+
+        from bireme_spark.queries.audit import graph_effective_diameter
+
+        rows = sorted(graph_effective_diameter(spark, sf_dir).collect(), key=lambda r: r.t)
+        li = _pq("lineitem")
+        li = li[li["l_orderkey"] % 4 == 0][["l_orderkey", "l_partkey"]].drop_duplicates()
+        adj = defaultdict(set)
+        nodes = set()
+        for _, g in li.groupby("l_orderkey"):
+            pks = sorted(g["l_partkey"])
+            for u, v in zip(pks, pks[1:]):
+                if u != v:
+                    adj[u].add(v)
+                    adj[v].add(u)
+                    nodes.update((u, v))
+        hops = len(rows) - 1
+        N = [0] * (hops + 1)
+        for src in nodes:
+            dist = {src: 0}
+            dq = deque([src])
+            while dq:
+                v = dq.popleft()
+                if dist[v] >= hops:
+                    continue
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        dq.append(w)
+            for t in range(hops + 1):
+                N[t] += sum(1 for d in dist.values() if d <= t)
+        for r, exact in zip(rows, N):
+            rel = abs(r.n_pairs_e4 / 10000 - exact) / exact
+            assert rel < 0.25, (r.t, r.n_pairs_e4 / 10000, exact, rel)
+        ests = [r.n_pairs_e4 for r in rows]
+        assert all(a <= b for a, b in zip(ests, ests[1:]))
+        exact_d = next(t for t in range(hops + 1) if N[t] * 10 >= N[hops] * 9)
+        est_d = next(r.t for r in rows if r.reaches_90pct)
+        assert abs(est_d - exact_d) <= 1, (est_d, exact_d)
