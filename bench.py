@@ -320,6 +320,7 @@ HEADLINE = [
     "multimodal_hu_moments",
     "lineitem_oaxaca_blinder",
     "graph_effective_diameter",
+    "embedding_energy_distance",
 ]
 
 

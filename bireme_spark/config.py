@@ -77,8 +77,12 @@ class PipelineConfig:
     # from the live database (GetPrimaryKeys.java); a file/parquet
     # deployment declares it in the properties instead —
     # ``target.schema = k BIGINT, v STRING`` + ``target.key = k``.
+    # Multi-table deployments (one pipeline syncing a whole binlog
+    # topic) declare one pair PER MAPPED TARGET:
+    # ``table.public.orders.schema = ...`` / ``table.public.orders.key = ...``.
     target_schema_ddl: str | None = None
     key_fields: tuple[str, ...] = ()
+    table_schemas: dict[str, tuple[str, tuple[str, ...]]] = field(default_factory=dict)
 
     @classmethod
     def from_properties(cls, props: dict[str, str]) -> "PipelineConfig":
@@ -133,6 +137,21 @@ class PipelineConfig:
             key_fields=tuple(
                 k.strip() for k in props.get("target.key", "").split(",") if k.strip()
             ),
+            table_schemas={
+                t: (
+                    props[f"table.{t}.schema"],
+                    tuple(
+                        k.strip()
+                        for k in props.get(f"table.{t}.key", "").split(",")
+                        if k.strip()
+                    ),
+                )
+                for t in {
+                    k[len("table.") : -len(".schema")]
+                    for k in props
+                    if k.startswith("table.") and k.endswith(".schema")
+                }
+            },
         )
 
     @classmethod

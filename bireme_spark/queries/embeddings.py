@@ -2815,3 +2815,114 @@ SELECT
 
 QUERIES["embedding_mmd_test"] = embedding_mmd_test
 ORACLE["embedding_mmd_test"] = EMBEDDING_MMD_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_energy_distance — metric two-sample test (round 10)
+# ---------------------------------------------------------------------------
+
+
+def embedding_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-distance two-sample test (Székely & Rizzo 2004) between
+    label-0 and label-1 embeddings: E = 2·E‖x−y‖ − E‖x−x′‖ − E‖y−y′‖,
+    zero iff the distributions coincide — the kernel-free sibling of
+    embedding_mmd_test (no bandwidth to pick: where MMD's fixed-γ RBF
+    can saturate on far-apart clusters, the raw metric keeps
+    resolving), the second opinion a drift monitor wants before
+    paging on a distribution alarm.
+
+    Determinism: same discipline as MMD — in-plan stride sample
+    (vec_id % GREATEST(n DIV 400, 1) = 0) bounds every pair block at
+    ~400² at ANY corpus size; per-pair ‖x−y‖ is the float→double fold
+    + ONE sqrt, ROUND·1e6 to an integer PER TERM (transcendental
+    rule); block means are integer DIVs and the close is exact e6
+    arithmetic.
+
+    Scale: stride-filter → broadcast-size sample, three bounded
+    blocks, corpus scanned once."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    nrow = e.groupBy((F.col("label") % 2).alias("g")).agg(F.count(F.lit(1)).alias("c"))
+    stride = nrow.agg(F.expr("CAST(GREATEST(MAX(c) DIV 400, 1) AS BIGINT)").alias("k"))
+    s = (
+        e.crossJoin(F.broadcast(stride))
+        .where(F.expr("vec_id % k = 0"))
+        .select("vec_id", (F.col("label") % 2).alias("g"), F.col("embedding").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    d2 = (
+        "aggregate(zip_with(a.v, b.v, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    dist = f"CAST(ROUND(SQRT({d2}) * 1000000) AS BIGINT)"
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(b, F.expr("a.vec_id < b.vec_id") | (F.expr("a.g < b.g"))).where(
+        F.expr("a.vec_id <> b.vec_id")
+    )
+    blocks = pairs.select(
+        F.expr("a.g").alias("ga"),
+        F.expr("b.g").alias("gb"),
+        F.expr(dist).alias("d_e6"),
+    ).where(F.expr("ga <= gb"))
+    agg = blocks.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d_e6").cast("bigint").alias("s"),
+    )
+    piv = agg.select(
+        F.expr(
+            "CASE WHEN ga = 0 AND gb = 0 THEN 'xx' WHEN ga = 1 AND gb = 1 THEN 'yy'"
+            " ELSE 'xy' END"
+        ).alias("blk"),
+        "n",
+        "s",
+    )
+    wide = piv.groupBy().pivot("blk", ["xx", "yy", "xy"]).agg(
+        F.first("n").alias("n"), F.first("s").alias("s")
+    )
+    return wide.select(
+        F.col("xx_n").cast("bigint").alias("n_xx_pairs"),
+        F.col("yy_n").cast("bigint").alias("n_yy_pairs"),
+        F.col("xy_n").cast("bigint").alias("n_xy_pairs"),
+        F.expr(
+            "CAST(2 * (xy_s DIV xy_n) - xx_s DIV xx_n - yy_s DIV yy_n AS BIGINT)"
+        ).alias("energy_e6"),
+    )
+
+
+EMBEDDING_ENERGY_SQL = """
+WITH nrow AS (
+  SELECT CAST(GREATEST(MAX(c) // 400, 1) AS BIGINT) AS k
+  FROM (SELECT label % 2 AS g, COUNT(*) AS c FROM embeddings GROUP BY 1)
+),
+s AS (
+  SELECT vec_id, label % 2 AS g, embedding AS v
+  FROM embeddings, nrow WHERE vec_id % nrow.k = 0
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb,
+         CAST(ROUND(SQRT((
+           SELECT SUM((CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE))
+                      * (CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE)))
+           FROM (SELECT UNNEST(a.v) AS xa, UNNEST(b.v) AS xb)
+         )) * 1000000) AS BIGINT) AS d_e6
+  FROM s a JOIN s b
+    ON (a.vec_id < b.vec_id OR a.g < b.g) AND a.vec_id <> b.vec_id
+  WHERE a.g <= b.g
+),
+agg AS (
+  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d_e6) AS BIGINT) AS s
+  FROM pairs GROUP BY 1, 2
+)
+SELECT
+  (SELECT n FROM agg WHERE ga = 0 AND gb = 0) AS n_xx_pairs,
+  (SELECT n FROM agg WHERE ga = 1 AND gb = 1) AS n_yy_pairs,
+  (SELECT n FROM agg WHERE ga = 0 AND gb = 1) AS n_xy_pairs,
+  CAST(2 * ((SELECT s FROM agg WHERE ga = 0 AND gb = 1) // (SELECT n FROM agg WHERE ga = 0 AND gb = 1))
+       - (SELECT s FROM agg WHERE ga = 0 AND gb = 0) // (SELECT n FROM agg WHERE ga = 0 AND gb = 0)
+       - (SELECT s FROM agg WHERE ga = 1 AND gb = 1) // (SELECT n FROM agg WHERE ga = 1 AND gb = 1)
+       AS BIGINT) AS energy_e6
+"""
+
+QUERIES["embedding_energy_distance"] = embedding_energy_distance
+ORACLE["embedding_energy_distance"] = EMBEDDING_ENERGY_SQL

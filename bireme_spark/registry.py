@@ -84,6 +84,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "multimodal_hu_moments",
         "lineitem_oaxaca_blinder",
         "graph_effective_diameter",
+        "embedding_energy_distance",
     }
 )
 

@@ -49,18 +49,15 @@ def serve(
     if not cfg.sources:
         _print("serve: config declares no data_source", file=sys.stderr)
         return 2
-    if not cfg.target_schema_ddl or not cfg.key_fields:
+    multi = bool(cfg.table_schemas)
+    if not multi and (not cfg.target_schema_ddl or not cfg.key_fields):
         _print(
-            "serve: target.schema and target.key are required "
+            "serve: target.schema/target.key (or per-table "
+            "table.<target>.schema/.key) are required "
             "(the parquet sink has no live catalog to probe)",
             file=sys.stderr,
         )
         return 2
-
-    schema = _parse_datatype_string(f"struct<{cfg.target_schema_ddl}>")
-    base_columns = tuple(cfg.key_fields) + tuple(
-        f.name for f in schema.fields if f.name not in cfg.key_fields
-    )
 
     spark = get_spark(app_name="bireme-serve")
     listener = PipelineStatListener()
@@ -73,15 +70,40 @@ def serve(
         ).start()
         _print(f"serve: state endpoint on http://{cfg.state_server_addr or '127.0.0.1'}:{server.port}/")
 
-    query = run_cdc_pipeline(
-        spark,
-        cfg,
-        schema,
-        key_fields=tuple(cfg.key_fields),
-        base_columns=base_columns,
-        available_now=available_now,
-    )
-    _print(f"serve: pipeline started ({cfg.sources[0].name} → {cfg.target_dir or cfg.target_jdbc_url})")
+    if multi:
+        # one streaming query syncs EVERY mapped table of the source —
+        # bireme's deployment shape (a whole database binlog topic)
+        from bireme_spark.streaming.pipeline import TableSpec, run_multi_table_pipeline
+
+        tables = {}
+        for target, (ddl, keys) in cfg.table_schemas.items():
+            schema = _parse_datatype_string(f"struct<{ddl}>")
+            base_columns = tuple(keys) + tuple(
+                f.name for f in schema.fields if f.name not in keys
+            )
+            tables[target] = TableSpec(schema, keys, base_columns)
+        query = run_multi_table_pipeline(spark, cfg, tables, available_now=available_now)
+        _print(
+            f"serve: multi-table pipeline started ({cfg.sources[0].name} → "
+            f"{sorted(tables)} under {cfg.target_dir})"
+        )
+    else:
+        schema = _parse_datatype_string(f"struct<{cfg.target_schema_ddl}>")
+        base_columns = tuple(cfg.key_fields) + tuple(
+            f.name for f in schema.fields if f.name not in cfg.key_fields
+        )
+        query = run_cdc_pipeline(
+            spark,
+            cfg,
+            schema,
+            key_fields=tuple(cfg.key_fields),
+            base_columns=base_columns,
+            available_now=available_now,
+        )
+        _print(
+            f"serve: pipeline started ({cfg.sources[0].name} → "
+            f"{cfg.target_dir or cfg.target_jdbc_url})"
+        )
 
     stopping = False
 

@@ -591,3 +591,51 @@ class TestEffectiveDiameter:
         exact_d = next(t for t in range(hops + 1) if N[t] * 10 >= N[hops] * 9)
         est_d = next(r.t for r in rows if r.reaches_90pct)
         assert abs(est_d - exact_d) <= 1, (est_d, exact_d)
+
+
+class TestEnergyDistance:
+    def test_matches_numpy_recompute_and_nonneg(self, spark, sf_dir):
+        from bireme_spark.queries.embeddings import embedding_energy_distance
+
+        r = embedding_energy_distance(spark, sf_dir).collect()[0]
+        em = _pq("embeddings")
+        k = max(em.groupby(em["label"] % 2).size().max() // 400, 1)
+        s = em[em["vec_id"] % k == 0]
+        V = np.stack(s["embedding"].to_numpy()).astype(np.float64)
+        g = (s["label"] % 2).to_numpy()
+        X, Y = V[g == 0], V[g == 1]
+
+        def mean_d(A, B, same):
+            # e6-rounded per term, integer sums — mirror the engine
+            d = np.sqrt(((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2))
+            if same:
+                iu = np.triu_indices(len(A), k=1)
+                d = d[iu]
+            else:
+                d = d.ravel()
+            e6 = np.round(d * 1e6).astype(np.int64)
+            return int(e6.sum()) // len(e6), len(e6)
+
+        dxx, nxx = mean_d(X, X, True)
+        dyy, nyy = mean_d(Y, Y, True)
+        dxy, nxy = mean_d(X, Y, False)
+        assert (r.n_xx_pairs, r.n_yy_pairs, r.n_xy_pairs) == (nxx, nyy, nxy)
+        assert r.energy_e6 == 2 * dxy - dxx - dyy
+        # the U-statistic (self-pairs excluded) is UNBIASED, so on
+        # identically-distributed groups it hovers near zero and may
+        # dip slightly negative — the fixture's label split is such a
+        # null case (measured -0.0017); a real shift reads >> 0
+        assert r.energy_e6 > -10_000
+
+    def test_identical_distributions_give_zero(self):
+        """Statistic sanity: X == Y pooled from one distribution →
+        E ≈ 0 (small-sample noise only)."""
+        rng = np.random.RandomState(3)
+        Z = rng.randn(300, 8)
+        X, Y = Z[::2], Z[1::2]
+        dxx = np.sqrt(((X[:, None] - X[None]) ** 2).sum(-1))
+        dyy = np.sqrt(((Y[:, None] - Y[None]) ** 2).sum(-1))
+        dxy = np.sqrt(((X[:, None] - Y[None]) ** 2).sum(-1))
+        n = len(X)
+        e = 2 * dxy.mean() - dxx.sum() / (n * (n - 1)) - dyy.sum() / (n * (n - 1))
+        assert abs(e) < 0.05

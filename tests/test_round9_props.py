@@ -1518,8 +1518,10 @@ def test_source_vocab_overlap_matches_counter_recompute(spark, sf_dir):
         tops[src] = {t for t, _ in ranked}
     for r in rows:
         inter = len(tops[r.source_a] & tops[r.source_b])
+        union = len(tops[r.source_a]) + len(tops[r.source_b]) - inter
         assert r.shared_terms == inter, (r.source_a, r.source_b)
-        assert r.jaccard_ppm == inter * 10**6 // (200 - inter)
+        # r10 advice fix: TRUE union size, not a literal 200
+        assert r.jaccard_ppm == inter * 10**6 // union
 
 
 def test_clustered_se_matches_numpy_sandwich(spark, sf_dir):

@@ -111,3 +111,70 @@ def test_serve_rejects_missing_schema(tmp_path):
     cfg = tmp_path / "config.properties"
     cfg.write_text("data_source = mx\nmx.type = maxwell\nmx.path = /tmp/x\n")
     assert serve(str(cfg), _print=lambda *a, **k: None) == 2
+
+
+def test_serve_multi_table_lifecycle(spark, tmp_path):
+    """Multi-table serve: one config.properties + <source>.properties
+    pair (the reference deployment shape) syncs TWO mapped tables out
+    of one envelope stream, each into its own bucket-versioned target
+    under <target.dir>/<table>/."""
+    import json
+
+    from bireme_spark.serve import serve
+    from bireme_spark.streaming.pipeline import read_state
+    from bireme_spark.streaming.replay import stamp_batch_mtime
+
+    def env(table, data, op, ts):
+        return json.dumps(
+            {"database": "testdb", "table": table, "type": op, "ts": ts, "data": data}
+        )
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    seen: set[str] = set()
+    (input_dir / "b0.json").write_text(
+        "\n".join(
+            [env("orders", {"k": 1, "price": 10.0}, "insert", 1000),
+             env("orders", {"k": 2, "price": 20.0}, "insert", 1000),
+             env("custs", {"cid": 7, "name": "ann"}, "insert", 1000)]
+        )
+        + "\n"
+    )
+    stamp_batch_mtime(str(input_dir), 0, seen)
+    (input_dir / "b1.json").write_text(
+        env("orders", {"k": 2, "price": 21.0}, "update", 2000)
+        + "\n"
+        + env("custs", {"cid": 7, "name": "ann2"}, "update", 2000)
+        + "\n"
+    )
+    stamp_batch_mtime(str(input_dir), 1, seen)
+
+    target = tmp_path / "target"
+    (tmp_path / "mx.properties").write_text(
+        "testdb.orders = public.orders\ntestdb.custs = public.custs\n"
+    )
+    cfg_path = tmp_path / "config.properties"
+    cfg_path.write_text(
+        "\n".join(
+            [
+                "data_source = mx",
+                "mx.type = maxwell",
+                f"mx.path = {input_dir}",
+                f"target.dir = {target}",
+                f"checkpoint.dir = {tmp_path / 'ckpt'}",
+                "merge.batch.size = 1",
+                "target.buckets = 2",
+                "table.public.orders.schema = k BIGINT, price DOUBLE",
+                "table.public.orders.key = k",
+                "table.public.custs.schema = cid BIGINT, name STRING",
+                "table.public.custs.key = cid",
+            ]
+        )
+        + "\n"
+    )
+    rc = serve(str(cfg_path), available_now=True, _print=lambda *a, **k: None)
+    assert rc == 0
+    orders = {r.k: r.price for r in read_state(spark, f"{target}/public.orders").collect()}
+    custs = {r.cid: r.name for r in read_state(spark, f"{target}/public.custs").collect()}
+    assert orders == {1: 10.0, 2: 21.0}
+    assert custs == {7: "ann2"}
