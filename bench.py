@@ -321,6 +321,8 @@ HEADLINE = [
     "lineitem_oaxaca_blinder",
     "graph_effective_diameter",
     "embedding_energy_distance",
+    "corpus_rejection_sampling",
+    "multimodal_audio_onsets",
 ]
 
 

@@ -1857,3 +1857,123 @@ ORDER BY source
 
 QUERIES["corpus_mix_waterfill"] = corpus_mix_waterfill
 ORACLE["corpus_mix_waterfill"] = CORPUS_WATERFILL_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_rejection_sampling — distribution matching by rejection (round 10)
+# ---------------------------------------------------------------------------
+
+
+def corpus_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection sampling that reshapes the candidate pool's LENGTH
+    distribution to match a reference source ('src0') — the
+    distribution-matching primitive between DSIR (importance
+    weighting toward a target LM) and balanced_sample (per-class
+    caps): accept candidate docs with probability min(1, t(b)/s(b))
+    per length bucket b = n_chars DIV 100, so the surviving corpus
+    has the reference's length profile without ever reweighting
+    (e.g. matching a web crawl to wikipedia's document-length shape
+    before mixing).
+
+    Engine-exact: bucket shares are integer counts; the acceptance
+    probability is the integer cross-product LEAST(t_cnt·s_total,
+    s_cnt·t_total) and the coin is the first 5 md5 nibbles of the
+    doc id (20 bits) — accept iff coin·(s_cnt·t_total) <
+    1048576·(t_cnt·s_total)-capped — no float anywhere; the coin
+    depends only on doc_id, so the decision is reproducible at any
+    partitioning.
+
+    Scale: two count aggs (|buckets| cells) broadcast back over one
+    corpus scan; emitted per-bucket audit is bucket-sized."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr("CAST(n_chars DIV 100 AS INT)").alias("b")
+    )
+    tgt = d.where(F.col("source") == "src0").groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_cnt")
+    )
+    cand = d.where(F.col("source") != "src0")
+    src = cand.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("s_cnt"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rates = (
+        src.join(tgt, "b", "left")
+        .select(
+            "b",
+            "s_cnt",
+            F.coalesce("t_cnt", F.lit(0)).cast("bigint").alias("t_cnt"),
+            F.sum("s_cnt").over(wall).cast("bigint").alias("s_tot"),
+            F.sum(F.coalesce("t_cnt", F.lit(0))).over(wall).cast("bigint").alias("t_tot"),
+        )
+    )
+    coin = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 5), 16, 10) AS BIGINT)"
+    )
+    accepted = (
+        cand.join(F.broadcast(rates), "b")
+        .where(
+            F.expr(
+                f"{coin} * (s_cnt * t_tot)"
+                f" < 1048576 * LEAST(t_cnt * s_tot, s_cnt * t_tot)"
+            )
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("kept"))
+    )
+    return (
+        rates.join(accepted, "b", "left")
+        .select(
+            "b",
+            "s_cnt",
+            "t_cnt",
+            F.coalesce("kept", F.lit(0)).cast("bigint").alias("kept"),
+            F.expr("CAST(t_cnt * 1000000 DIV GREATEST(t_tot, 1) AS BIGINT)").alias(
+                "target_share_ppm"
+            ),
+            F.expr(
+                "CAST(COALESCE(kept, 0) * 1000000"
+                " DIV GREATEST(SUM(COALESCE(kept, 0)) OVER (), 1) AS BIGINT)"
+            ).alias("kept_share_ppm"),
+        )
+        .orderBy("b")
+    )
+
+
+CORPUS_REJECTION_SQL = """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars // 100 AS INTEGER) AS b FROM documents
+),
+tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS t_cnt FROM d WHERE source = 'src0' GROUP BY 1
+),
+src AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS s_cnt FROM d WHERE source <> 'src0' GROUP BY 1
+),
+rates AS (
+  SELECT s.b, s.s_cnt, CAST(COALESCE(t.t_cnt, 0) AS BIGINT) AS t_cnt,
+         CAST(SUM(s.s_cnt) OVER () AS BIGINT) AS s_tot,
+         CAST(SUM(COALESCE(t.t_cnt, 0)) OVER () AS BIGINT) AS t_tot
+  FROM src s LEFT JOIN tgt t ON t.b = s.b
+),
+accepted AS (
+  SELECT d.b, CAST(COUNT(*) AS BIGINT) AS kept
+  FROM d JOIN rates r ON r.b = d.b
+  WHERE d.source <> 'src0'
+    AND (16 * 16 * 16 * 16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+       + 16 * 16 * 16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+       + 16 * 16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+       + 16 * (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1))
+        * (r.s_cnt * r.t_tot)
+      < 1048576 * LEAST(r.t_cnt * r.s_tot, r.s_cnt * r.t_tot)
+  GROUP BY 1
+)
+SELECT r.b, r.s_cnt, r.t_cnt,
+       CAST(COALESCE(a.kept, 0) AS BIGINT) AS kept,
+       CAST(r.t_cnt * 1000000 // GREATEST(r.t_tot, 1) AS BIGINT) AS target_share_ppm,
+       CAST(COALESCE(a.kept, 0) * 1000000
+            // GREATEST(SUM(COALESCE(a.kept, 0)) OVER (), 1) AS BIGINT) AS kept_share_ppm
+FROM rates r LEFT JOIN accepted a ON a.b = r.b
+ORDER BY r.b
+"""
+
+QUERIES["corpus_rejection_sampling"] = corpus_rejection_sampling
+ORACLE["corpus_rejection_sampling"] = CORPUS_REJECTION_SQL

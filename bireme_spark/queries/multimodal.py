@@ -1801,3 +1801,120 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_hu_moments"] = multimodal_hu_moments
 ORACLE["multimodal_hu_moments"] = MULTIMODAL_HU_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_onsets — frame-energy onset detection (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_audio_onsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onset detection on the WAV fixture clips (s = doc_id % 64):
+    8-sample frame energies E_f = Σx², an onset fires where the
+    energy more than doubles frame-over-frame (E_f > 2·E_{f−1}) —
+    the attack detector an audio curation pass runs to segment
+    clips, reject silence-padded uploads, and estimate tempo-ish
+    density (pairs with multimodal_silence_trim / spectral_centroid
+    on the same fixture). Every clip round-trips encode_wav →
+    decode_wav so the codec stays on the hash path.
+
+    FULLY INTEGER: energies are integer sums of squares, the onset
+    predicate is one integer compare, and the emitted max jump is
+    the cross-multiplied ratio E_f·1000 DIV E_{f−1} — no float
+    anywhere.
+
+    Scale shape: ONE fused mapInPandas pass, 64-class memoization,
+    64-row rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def onsets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, tuple[int, int, int]] = {}
+
+        def klass(s: int) -> tuple[int, int, int]:
+            if s in cache:
+                return cache[s]
+            n = 48 + s % 16
+            tone = [(s * 13 + i * 11) % 1024 + 512 for i in range(n)]
+            _, _, back = decode_wav(encode_wav(16000, tone))
+            frames = [back[i : i + 8] for i in range(0, len(back) - len(back) % 8, 8)]
+            en = [sum(x * x for x in f) for f in frames]
+            n_on = sum(1 for a, b in zip(en, en[1:]) if b > 2 * a)
+            max_jump = max(
+                (b * 1000 // a for a, b in zip(en, en[1:]) if a > 0), default=0
+            )
+            cache[s] = (len(en), n_on, max_jump)
+            return cache[s]
+
+        for pdf in it:
+            out = {"doc_id": [], "n_frames": [], "n_onsets": [], "max_jump_x1000": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf, no, mj = klass(doc_id % 64)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["n_onsets"].append(no)
+                out["max_jump_x1000"].append(mj)
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        onsets, schema="doc_id long, n_frames long, n_onsets long, max_jump_x1000 long"
+    )
+    return (
+        scored.groupBy((F.col("doc_id") % 64).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.first("n_frames").cast("bigint").alias("n_frames"),
+            F.first("n_onsets").cast("bigint").alias("n_onsets"),
+            F.first("max_jump_x1000").cast("bigint").alias("max_jump_x1000"),
+        )
+        .select("canonical_doc", "n_clips", "n_frames", "n_onsets", "max_jump_x1000")
+        .orderBy("canonical_doc")
+    )
+
+
+MULTIMODAL_ONSETS_SQL = """
+WITH samp AS (
+  SELECT s, i, (s * 13 + i * 11) % 1024 + 512 AS x
+  FROM generate_series(0, 63) ts(s), generate_series(0, 63) ti(i)
+  WHERE i < 48 + s % 16
+),
+fr AS (
+  SELECT s, i // 8 AS f, CAST(SUM(x * x) AS BIGINT) AS en
+  FROM samp
+  WHERE i < ((48 + s % 16) // 8) * 8
+  GROUP BY 1, 2
+),
+jumps AS (
+  SELECT s, f, en,
+         LAG(en) OVER (PARTITION BY s ORDER BY f) AS prev
+  FROM fr
+),
+per AS (
+  SELECT s,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND en > 2 * prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_onsets,
+         CAST(COALESCE(MAX(CASE WHEN prev > 0 THEN en * 1000 // prev END), 0)
+              AS BIGINT) AS max_jump_x1000
+  FROM jumps GROUP BY 1
+),
+cls AS (
+  SELECT doc_id % 64 AS s, CAST(COUNT(*) AS BIGINT) AS n_clips,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT canonical_doc, n_clips, n_frames, n_onsets, max_jump_x1000
+FROM cls JOIN per USING (s)
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_audio_onsets"] = multimodal_audio_onsets
+ORACLE["multimodal_audio_onsets"] = MULTIMODAL_ONSETS_SQL

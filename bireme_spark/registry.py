@@ -85,6 +85,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "lineitem_oaxaca_blinder",
         "graph_effective_diameter",
         "embedding_energy_distance",
+        "corpus_rejection_sampling",
+        "multimodal_audio_onsets",
     }
 )
 

@@ -639,3 +639,62 @@ class TestEnergyDistance:
         n = len(X)
         e = 2 * dxy.mean() - dxx.sum() / (n * (n - 1)) - dyy.sum() / (n * (n - 1))
         assert abs(e) < 0.05
+
+
+class TestRejectionSampling:
+    def test_kept_profile_approaches_target(self, spark, sf_dir):
+        """The point of rejection sampling: the kept pool's bucket
+        shares must be closer to the target profile than the raw
+        candidate pool's were (total-variation distance shrinks),
+        and acceptance never exceeds availability."""
+        from bireme_spark.queries.corpus import corpus_rejection_sampling
+
+        rows = corpus_rejection_sampling(spark, sf_dir).collect()
+        s_tot = sum(r.s_cnt for r in rows)
+        k_tot = sum(r.kept for r in rows)
+        t_tot = sum(r.t_cnt for r in rows)
+        tv_before = sum(abs(r.s_cnt / s_tot - r.t_cnt / t_tot) for r in rows) / 2
+        tv_after = sum(abs(r.kept / k_tot - r.t_cnt / t_tot) for r in rows) / 2
+        assert tv_after <= tv_before + 1e-9, (tv_after, tv_before)
+        for r in rows:
+            assert 0 <= r.kept <= r.s_cnt
+            # zero-target buckets must be fully rejected
+            if r.t_cnt == 0:
+                assert r.kept == 0
+
+    def test_coin_is_partitioning_free(self, spark, sf_dir):
+        """The accept decision depends only on doc_id — identical
+        kept counts under a different shuffle layout."""
+        from bireme_spark.queries.corpus import corpus_rejection_sampling
+
+        a = {r.b: r.kept for r in corpus_rejection_sampling(spark, sf_dir).collect()}
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            b = {r.b: r.kept for r in corpus_rejection_sampling(spark, sf_dir).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b
+
+
+class TestAudioOnsets:
+    def test_matches_direct_recompute(self, spark, sf_dir):
+        from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+        from bireme_spark.queries.multimodal import multimodal_audio_onsets
+
+        rows = {r.canonical_doc % 64: r for r in multimodal_audio_onsets(spark, sf_dir).collect()}
+        for s in sorted(rows):
+            n = 48 + s % 16
+            tone = [(s * 13 + i * 11) % 1024 + 512 for i in range(n)]
+            _, _, back = decode_wav(encode_wav(16000, tone))
+            en = [
+                sum(x * x for x in back[i : i + 8])
+                for i in range(0, len(back) - len(back) % 8, 8)
+            ]
+            r = rows[s]
+            assert r.n_frames == len(en)
+            assert r.n_onsets == sum(1 for a, b in zip(en, en[1:]) if b > 2 * a)
+            assert r.max_jump_x1000 == max(
+                (b * 1000 // a for a, b in zip(en, en[1:]) if a > 0), default=0
+            )
+            assert r.n_onsets <= r.n_frames - 1
