@@ -323,6 +323,7 @@ HEADLINE = [
     "embedding_energy_distance",
     "corpus_rejection_sampling",
     "multimodal_audio_onsets",
+    "streaming_ddsketch_rollup",
 ]
 
 

@@ -4613,6 +4613,16 @@ def events_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     hist = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return ddsketch_readout(hist)
+
+
+def ddsketch_readout(hist: DataFrame) -> DataFrame:
+    """Quantile readout over a (event_type, bucket, c) DDSketch
+    histogram — shared by the batch query and the streaming rollup
+    (bucket counts are integers, so an incrementally merged state is
+    BIT-IDENTICAL to the one-shot histogram and both readouts
+    hash-match the same oracle)."""
+    lg = "CAST(1.02 AS DOUBLE)"
     wcdf = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -4646,6 +4656,13 @@ def events_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("b95").alias("p95_est"),
         est("b99").alias("p99_est"),
     ).orderBy("event_type")
+
+
+DDSKETCH_BUCKET_EXPR = (
+    "CASE WHEN value <= 0 THEN CAST(-1000000000 AS BIGINT) "
+    "ELSE CAST(FLOOR(ROUND(LN(CAST(value AS DOUBLE)) / LN(CAST(1.02 AS DOUBLE)), 6))"
+    " AS BIGINT) END"
+)
 
 
 EVENTS_DDSKETCH_SQL = """

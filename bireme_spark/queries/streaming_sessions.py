@@ -478,3 +478,69 @@ from bireme_spark.queries.events import EVENTS_CEP_SQL as _EVENTS_CEP_SQL  # noq
 
 QUERIES["streaming_cep_pattern"] = streaming_cep_pattern
 ORACLE["streaming_cep_pattern"] = _EVENTS_CEP_SQL
+
+
+def streaming_ddsketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DDSketch maintenance under Structured Streaming —
+    the streaming twin of ``events_ddsketch_quantiles`` and the
+    payoff of choosing DDSketch over KLL/t-digest: bucket counts are
+    plain integers, so per-micro-batch histograms SUM-merge into the
+    persisted state and the final readout is BIT-IDENTICAL to the
+    one-shot batch sketch — which is why this streaming query is
+    ORACLE-CHECKED by the very same SQL as its batch twin (the HLL
+    rollup's registers are engine-specific; these buckets are not).
+    After the replay, quantiles come from the STATE ONLY — the raw
+    stream is never rescanned.
+
+    Scale: per-batch work is one hash agg to (type, bucket); state
+    is O(|types|·log range) rows regardless of stream length."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from bireme_spark.queries.events import DDSKETCH_BUCKET_EXPR, ddsketch_readout
+    from bireme_spark.streaming.replay import read_replay, replay_to_files
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    work = _scratch("bireme_ddsk_")
+    src = f"{work}/in"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        replay_to_files(ev, "ts", src)
+        stream = read_replay(spark, src, "ts timestamp, event_type string, value double")
+        state = {"dir": None}
+
+        def fold(batch_df, batch_id: int) -> None:
+            inc = batch_df.select(
+                "event_type", F.expr(DDSKETCH_BUCKET_EXPR).alias("bucket")
+            ).groupBy("event_type", "bucket").agg(
+                F.count(F.lit(1)).cast("bigint").alias("c")
+            )
+            if state["dir"] is not None:
+                prev = spark.read.parquet(state["dir"])
+                inc = (
+                    prev.unionByName(inc)
+                    .groupBy("event_type", "bucket")
+                    .agg(F.sum("c").cast("bigint").alias("c"))
+                )
+            new_dir = f"{work}/state_v{batch_id}"
+            inc.write.mode("overwrite").parquet(new_dir)
+            state["dir"] = new_dir
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final = spark.read.parquet(state["dir"])
+        return ddsketch_readout(final)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+from bireme_spark.queries.events import EVENTS_DDSKETCH_SQL as _DDSK_SQL  # noqa: E402
+
+QUERIES["streaming_ddsketch_rollup"] = streaming_ddsketch_rollup
+# the WHOLE POINT: the incrementally merged state answers the same
+# oracle as the one-shot batch sketch
+ORACLE["streaming_ddsketch_rollup"] = _DDSK_SQL

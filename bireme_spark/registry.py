@@ -55,6 +55,7 @@ _SLOW = frozenset(
         "embedding_knn_pagerank",
         "streaming_sketch_rollup",
         "streaming_cep_pattern",
+        "streaming_ddsketch_rollup",
     }
 )
 
@@ -87,6 +88,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "embedding_energy_distance",
         "corpus_rejection_sampling",
         "multimodal_audio_onsets",
+        "streaming_ddsketch_rollup",
     }
 )
 

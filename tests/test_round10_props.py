@@ -698,3 +698,17 @@ class TestAudioOnsets:
                 (b * 1000 // a for a, b in zip(en, en[1:]) if a > 0), default=0
             )
             assert r.n_onsets <= r.n_frames - 1
+
+
+class TestStreamingDDSketch:
+    def test_incremental_state_equals_batch_sketch(self, spark, sf_dir):
+        """Mergeability end-to-end: the replayed 2-batch incremental
+        state must reproduce the one-shot batch sketch EXACTLY."""
+        from bireme_spark.queries.events import events_ddsketch_quantiles
+        from bireme_spark.queries.streaming_sessions import streaming_ddsketch_rollup
+
+        batch = {r.event_type: r for r in events_ddsketch_quantiles(spark, sf_dir).collect()}
+        stream = {r.event_type: r for r in streaming_ddsketch_rollup(spark, sf_dir).collect()}
+        assert batch.keys() == stream.keys()
+        for k in batch:
+            assert batch[k] == stream[k], k
