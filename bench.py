@@ -324,6 +324,9 @@ HEADLINE = [
     "corpus_rejection_sampling",
     "multimodal_audio_onsets",
     "streaming_ddsketch_rollup",
+    "orders_shift_share",
+    "lineitem_tukey_hsd",
+    "orders_vintage_analysis",
 ]
 
 

@@ -7488,3 +7488,346 @@ FROM a, b
 
 QUERIES["lineitem_oaxaca_blinder"] = lineitem_oaxaca_blinder
 ORACLE["lineitem_oaxaca_blinder"] = OAXACA_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_shift_share — shift-share growth decomposition (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of 1996→1999 revenue growth per
+    customer nation: each (nation, mktsegment) cell's growth splits
+    into a NATIONAL component (cell base revenue × economy-wide
+    growth), a MIX component (× segment growth minus economy growth —
+    was the nation in fast- or slow-growing segments?), and a
+    COMPETITIVE component (× cell growth minus segment growth — did
+    the nation out- or under-perform its segments?). The regional-
+    economics classic (Dunn 1960), and the bireme-warehouse answer to
+    "is this nation growing because of its portfolio or its
+    execution".
+
+    Engine-exact: period revenues are DECIMAL-exact o_totalprice
+    sums; the three growth rates are one IEEE division each of
+    exact-decimal doubles, and every per-cell component is
+    FLOOR-quantized to integer cents BEFORE the per-nation sum (Σ of
+    6dp doubles across shuffled cells is order-dependent; Σ of
+    integers is not — the round-10 per-frequency rule).
+
+    Scale: orders filtered to two years joins customer on custkey
+    (AQE-sized shuffle; customer scales with SF so no broadcast
+    hint), nation broadcast; everything after the first agg runs on
+    |nations|×|segments| ≤ 125 cells."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey"),
+            F.year("o_orderdate").alias("yr"),
+            money("o_totalprice").alias("rev"),
+        )
+        .where(F.col("yr").isin(1996, 1999))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("yr") == 1996, F.col("rev"))).alias("r0"),
+            F.sum(F.when(F.col("yr") == 1999, F.col("rev"))).alias("r1"),
+        )
+        .where(F.col("r0").isNotNull() & (F.col("r0") > 0) & F.col("r1").isNotNull())
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wseg = Window.partitionBy("c_mktsegment").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r0d = F.col("r0").cast("double")
+    r1d = F.col("r1").cast("double")
+    g_nat = (
+        F.sum("r1").over(wall).cast("double") - F.sum("r0").over(wall).cast("double")
+    ) / F.sum("r0").over(wall).cast("double")
+    g_seg = (
+        F.sum("r1").over(wseg).cast("double") - F.sum("r0").over(wseg).cast("double")
+    ) / F.sum("r0").over(wseg).cast("double")
+    g_cell = (r1d - r0d) / r0d
+    comp = cells.select(
+        "n_name",
+        F.col("r0"),
+        F.col("r1"),
+        F.floor(r0d * g_nat * F.lit(100)).cast("bigint").alias("nat_c2"),
+        F.floor(r0d * (g_seg - g_nat) * F.lit(100)).cast("bigint").alias("mix_c2"),
+        F.floor(r0d * (g_cell - g_seg) * F.lit(100)).cast("bigint").alias("comp_c2"),
+    )
+    return (
+        comp.groupBy("n_name")
+        .agg(
+            (F.sum("r0") * 100).cast("bigint").alias("rev_1996_cents"),
+            (F.sum("r1") * 100).cast("bigint").alias("rev_1999_cents"),
+            F.sum("nat_c2").cast("bigint").alias("national_cents"),
+            F.sum("mix_c2").cast("bigint").alias("segment_mix_cents"),
+            F.sum("comp_c2").cast("bigint").alias("competitive_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SHIFT_SHARE_SQL = """
+WITH cells AS (
+  SELECT n_name, c_mktsegment,
+         SUM(CASE WHEN CAST(year(o_orderdate) AS INTEGER) = 1996
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS r0,
+         SUM(CASE WHEN CAST(year(o_orderdate) AS INTEGER) = 1999
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS r1
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  WHERE CAST(year(o_orderdate) AS INTEGER) IN (1996, 1999)
+  GROUP BY 1, 2
+),
+f AS (
+  SELECT * FROM cells WHERE r0 IS NOT NULL AND r0 > 0 AND r1 IS NOT NULL
+),
+g AS (
+  SELECT n_name, c_mktsegment,
+         CAST(r0 AS DOUBLE) AS r0d, CAST(r1 AS DOUBLE) AS r1d, r0, r1,
+         (CAST(SUM(r1) OVER () AS DOUBLE) - CAST(SUM(r0) OVER () AS DOUBLE))
+           / CAST(SUM(r0) OVER () AS DOUBLE) AS g_nat,
+         (CAST(SUM(r1) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+          - CAST(SUM(r0) OVER (PARTITION BY c_mktsegment) AS DOUBLE))
+           / CAST(SUM(r0) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS g_seg
+  FROM f
+)
+SELECT n_name,
+       CAST(SUM(r0) * 100 AS BIGINT) AS rev_1996_cents,
+       CAST(SUM(r1) * 100 AS BIGINT) AS rev_1999_cents,
+       CAST(SUM(CAST(FLOOR(r0d * g_nat * 100) AS BIGINT)) AS BIGINT) AS national_cents,
+       CAST(SUM(CAST(FLOOR(r0d * (g_seg - g_nat) * 100) AS BIGINT)) AS BIGINT) AS segment_mix_cents,
+       CAST(SUM(CAST(FLOOR(r0d * ((r1d - r0d) / r0d - g_seg) * 100) AS BIGINT)) AS BIGINT) AS competitive_cents
+FROM g
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["orders_shift_share"] = orders_shift_share
+ORACLE["orders_shift_share"] = SHIFT_SHARE_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_tukey_hsd — Tukey-Kramer post-hoc pairwise comparisons (round 10)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD post-hoc pairwise comparisons of mean
+    l_quantity across the three l_returnflag groups — the step AFTER
+    lineitem_anova_f rejects "all equal": WHICH pairs differ, with
+    the studentized-range statistic q = |mean_i − mean_j| /
+    sqrt((MSW/2)(1/n_i + 1/n_j)) against the fixed k=3, df=∞, α=.05
+    critical value 3.314.
+
+    Engine-exact: per-group n/Σq/Σq² are DECIMAL-exact (quantity is
+    2dp-bounded); each group's within-SS collapses to an integer
+    (FLOOR·1e3) BEFORE the cross-group sum (order-independent per the
+    house per-group quantization rule), and the q statistic is one
+    IEEE chain of exact inputs with a single one-shot 6dp round
+    (smooth sqrt — measure-zero tie risk).
+
+    Scale: ONE map-side-combined agg over lineitem to 3 rows; the
+    pair formation is a 3×3 self-join on the driver-free 3-row
+    frame. Σq² stays under 2^53 scale-adjusted through sf1; beyond,
+    pre-downscale deviations per the Mahalanobis rule."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(9,2)").alias("q")
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+    )
+    nd = F.col("n").cast("double")
+    ssw_e3 = F.floor(
+        (
+            F.col("sq2").cast("double")
+            - F.col("sq").cast("double") * F.col("sq").cast("double") / nd
+        )
+        * F.lit(1000)
+    ).cast("bigint")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per = g.select(
+        "l_returnflag",
+        "n",
+        (F.col("sq").cast("double") / nd).alias("mean"),
+        F.sum(ssw_e3).over(wall).cast("bigint").alias("ssw_tot_e3"),
+        F.sum("n").over(wall).cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("k"),
+    )
+    a = per.select(
+        F.col("l_returnflag").alias("flag_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        "ssw_tot_e3",
+        "n_tot",
+        "k",
+    )
+    b = per.select(
+        F.col("l_returnflag").alias("flag_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+    )
+    msw = (
+        F.col("ssw_tot_e3").cast("double")
+        / F.lit(1000)
+        / (F.col("n_tot") - F.col("k")).cast("double")
+    )
+    q_stat = F.round(
+        F.abs(F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(
+            msw / F.lit(2)
+            * (F.lit(1) / F.col("n_a").cast("double") + F.lit(1) / F.col("n_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        a.join(b, F.col("flag_a") < F.col("flag_b"))
+        .select(
+            "flag_a",
+            "flag_b",
+            "n_a",
+            "n_b",
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            q_stat.alias("q_stat"),
+            (q_stat > F.expr("CAST(3.314 AS DOUBLE)")).cast("int").alias("significant"),
+        )
+        .orderBy("flag_a", "flag_b")
+    )
+
+
+TUKEY_HSD_SQL = """
+WITH li AS (
+  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(9,2)) AS q FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(q) AS sq, SUM(q * q) AS sq2
+  FROM li GROUP BY 1
+),
+per AS (
+  SELECT l_returnflag, n,
+         CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CAST(SUM(CAST(FLOOR((CAST(sq2 AS DOUBLE)
+               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) * 1000)
+             AS BIGINT)) OVER () AS BIGINT) AS ssw_tot_e3,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS k
+  FROM g
+),
+pairs AS (
+  SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+         a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+         a.ssw_tot_e3, a.n_tot, a.k
+  FROM per a JOIN per b ON a.l_returnflag < b.l_returnflag
+)
+SELECT flag_a, flag_b, n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+       ROUND(ABS(mean_a - mean_b)
+             / SQRT(CAST(ssw_tot_e3 AS DOUBLE) / 1000
+                    / CAST(n_tot - k AS DOUBLE) / 2
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS q_stat,
+       CAST(ROUND(ABS(mean_a - mean_b)
+             / SQRT(CAST(ssw_tot_e3 AS DOUBLE) / 1000
+                    / CAST(n_tot - k AS DOUBLE) / 2
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+            > CAST(3.314 AS DOUBLE) AS INTEGER) AS significant
+FROM pairs
+ORDER BY flag_a, flag_b
+"""
+
+QUERIES["lineitem_tukey_hsd"] = lineitem_tukey_hsd
+ORACLE["lineitem_tukey_hsd"] = TUKEY_HSD_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_vintage_analysis — cohort fill-rate curves (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_vintage_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vintage analysis of order fulfilment: for each order-month
+    cohort ("vintage"), the cumulative share of the cohort's
+    lineitems shipped by month-age — the loan-book vintage-curve
+    idiom applied to a warehouse ("are newer cohorts shipping
+    slower?"). Complements lineitem_shipping_sla (per-item lag
+    percentiles) with the cohort-maturation view.
+
+    Engine-exact: pure integer counts; the fill share is integer ppm
+    via DIV. Month age is calendar arithmetic on year()/month()
+    integers — no timestamp subtraction, no timezone exposure.
+
+    Scale: lineitem→orders joins on the natural l_orderkey (AQE
+    shuffle), collapses map-side to (vintage, age) cells — ≤ 80
+    months × handful of ages — then windows run cell-sized."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("vintage"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("om"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("sm"),
+    )
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("vintage", (F.col("sm") - F.col("om")).cast("int").alias("age"))
+        .groupBy("vintage", "age")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shipped"))
+    )
+    wv = Window.partitionBy("vintage").orderBy("age")
+    wtot = Window.partitionBy("vintage").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        cells.select(
+            "vintage",
+            "age",
+            "shipped",
+            F.sum("shipped").over(wv).cast("bigint").alias("cum_shipped"),
+            F.sum("shipped").over(wtot).cast("bigint").alias("cohort_total"),
+        )
+        .select(
+            "vintage",
+            "age",
+            "shipped",
+            "cum_shipped",
+            F.expr("CAST(cum_shipped * 1000000 DIV cohort_total AS BIGINT)").alias(
+                "fill_ppm"
+            ),
+        )
+        .orderBy("vintage", "age")
+    )
+
+
+VINTAGE_SQL = """
+WITH cells AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS vintage,
+         CAST((CAST(year(l_shipdate) AS INTEGER) * 12 + CAST(month(l_shipdate) AS INTEGER))
+            - (CAST(year(o_orderdate) AS INTEGER) * 12 + CAST(month(o_orderdate) AS INTEGER))
+            AS INTEGER) AS age,
+         CAST(COUNT(*) AS BIGINT) AS shipped
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)
+SELECT vintage, age, shipped,
+       CAST(SUM(shipped) OVER (PARTITION BY vintage ORDER BY age) AS BIGINT) AS cum_shipped,
+       CAST(CAST(SUM(shipped) OVER (PARTITION BY vintage ORDER BY age) AS BIGINT) * 1000000
+            // CAST(SUM(shipped) OVER (PARTITION BY vintage) AS BIGINT) AS BIGINT) AS fill_ppm
+FROM cells
+ORDER BY vintage, age
+"""
+
+QUERIES["orders_vintage_analysis"] = orders_vintage_analysis
+ORACLE["orders_vintage_analysis"] = VINTAGE_SQL

@@ -89,6 +89,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "corpus_rejection_sampling",
         "multimodal_audio_onsets",
         "streaming_ddsketch_rollup",
+        "orders_shift_share",
+        "lineitem_tukey_hsd",
+        "orders_vintage_analysis",
     }
 )
 

@@ -712,3 +712,92 @@ class TestStreamingDDSketch:
         assert batch.keys() == stream.keys()
         for k in batch:
             assert batch[k] == stream[k], k
+
+
+class TestShiftShare:
+    def test_components_bridge_the_growth(self, spark, sf_dir):
+        """Shift-share identity: per nation, national + mix +
+        competitive = r1 - r0 up to the per-cell FLOOR quantization
+        (≤ 1 cent per cell per component)."""
+        from bireme_spark.queries.relational import orders_shift_share
+
+        rows = orders_shift_share(spark, sf_dir).collect()
+        assert rows
+        o = _pq("orders")
+        c = _pq("customer")
+        for r in rows:
+            delta = r.rev_1999_cents - r.rev_1996_cents
+            bridged = r.national_cents + r.segment_mix_cents + r.competitive_cents
+            # ≤5 segments/nation × 3 components × 1 cent floor slack
+            assert abs(delta - bridged) <= 15, (r.n_name, delta, bridged)
+
+    def test_national_component_matches_pandas(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_shift_share
+
+        rows = {r.n_name: r for r in orders_shift_share(spark, sf_dir).collect()}
+        o = _pq("orders")
+        c = _pq("customer")
+        n = _pq("nation")
+        o = o[o["o_orderdate"].dt.year.isin([1996, 1999])].copy()
+        o["yr"] = o["o_orderdate"].dt.year
+        o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+        m = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+            n, left_on="c_nationkey", right_on="n_nationkey"
+        )
+        cell = m.pivot_table(
+            index=["n_name", "c_mktsegment"], columns="yr", values="cents", aggfunc="sum"
+        ).dropna()
+        cell = cell[cell[1996] > 0]
+        g_nat = (cell[1999].sum() - cell[1996].sum()) / cell[1996].sum()
+        nat = (
+            np.floor(cell[1996] / 100.0 * g_nat * 100)
+            .astype("int64")
+            .groupby(level="n_name")
+            .sum()
+        )
+        for name, r in rows.items():
+            assert r.national_cents == nat[name], name
+
+
+class TestTukeyHSD:
+    def test_q_stats_match_numpy(self, spark, sf_dir):
+        from bireme_spark.queries.relational import lineitem_tukey_hsd
+
+        rows = lineitem_tukey_hsd(spark, sf_dir).collect()
+        assert len(rows) == 3  # C(3,2) returnflag pairs
+        li = _pq("lineitem")
+        g = li.groupby("l_returnflag")["l_quantity"]
+        n = g.count()
+        mean = g.mean()
+        ssw = sum(((gr - gr.mean()) ** 2).sum() for _, gr in g)
+        msw = ssw / (len(li) - 3)
+        for r in rows:
+            q = abs(mean[r.flag_a] - mean[r.flag_b]) / np.sqrt(
+                msw / 2 * (1 / n[r.flag_a] + 1 / n[r.flag_b])
+            )
+            assert abs(r.q_stat - q) < 1e-4, (r.flag_a, r.flag_b, r.q_stat, q)
+            assert r.n_a == n[r.flag_a] and r.n_b == n[r.flag_b]
+
+
+class TestVintageAnalysis:
+    def test_fill_curve_monotone_and_complete(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_vintage_analysis
+
+        df = orders_vintage_analysis(spark, sf_dir).toPandas()
+        assert len(df) > 0
+        for v, g in df.groupby("vintage"):
+            g = g.sort_values("age")
+            assert (g["fill_ppm"].diff().dropna() >= 0).all(), v
+            assert g["fill_ppm"].iloc[-1] == 1_000_000, v
+            assert g["cum_shipped"].iloc[-1] == g["shipped"].sum(), v
+
+    def test_cohort_totals_match_parquet(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_vintage_analysis
+
+        df = orders_vintage_analysis(spark, sf_dir).toPandas()
+        li = _pq("lineitem")
+        o = _pq("orders")
+        m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        truth = m.groupby(m["o_orderdate"].dt.strftime("%Y-%m")).size()
+        got = df.groupby("vintage")["shipped"].sum()
+        assert got.to_dict() == truth.to_dict()
