@@ -327,6 +327,9 @@ HEADLINE = [
     "orders_shift_share",
     "lineitem_tukey_hsd",
     "orders_vintage_analysis",
+    "nations_meta_analysis",
+    "customers_cox_regression",
+    "multimodal_blockiness",
 ]
 
 

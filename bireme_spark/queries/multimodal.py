@@ -1918,3 +1918,150 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_audio_onsets"] = multimodal_audio_onsets
 ORACLE["multimodal_audio_onsets"] = MULTIMODAL_ONSETS_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_blockiness — JPEG-style 8x8 block-boundary artifact metric
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_blockiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-artifact screening for an image training corpus:
+    the blockiness metric compares the mean luminance gradient ACROSS
+    8x8 block boundaries to the mean gradient INSIDE blocks — a ratio
+    near 1 means no blocking; >>1 flags JPEG-style block artifacts
+    worth filtering/deweighting before training. The synthetic 16x16
+    fixtures carry REAL block structure (pixel formula has x//8, y//8
+    plateau terms), so the metric is exercised, not vacuous.
+
+    Engine-exact: the full path — encode (BMP even residue / PNG odd)
+    → decode → integer grayscale → boundary/interior absolute
+    gradients → integer-ppm ratio — is pure integer math, and the
+    oracle recomputes the same sums SYMBOLICALLY from the pixel
+    formula (generate_series grid + neighbor join), so a one-pixel
+    codec bug splits a residue class immediately.
+
+    Scale shape: generation+codec round-trip+gradients FUSED into ONE
+    Arrow-batched mapInPandas pass (round-5 fuse rule); the only
+    exchange is the 16-residue-class aggregate. Real corpora swap the
+    generator for the payload column; the gradient path is unchanged."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen_block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bnds, ints, ppms = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = doc_id % 16
+                w = h = 16
+                pix = bytes(
+                    ((x // 8) * 40 + (y // 8) * 24 + x + 2 * y + 5 * s + 37 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+                dw, dh, dc, dpix, _fmt = decode_image(enc)
+                gray = [
+                    [
+                        sum(dpix[(y * dw + x) * dc + ch] for ch in range(min(dc, 3)))
+                        // min(dc, 3)
+                        for x in range(dw)
+                    ]
+                    for y in range(dh)
+                ]
+                bnd = icnt = bsum = isum = 0
+                for y in range(dh):
+                    for x in range(dw - 1):
+                        g = abs(gray[y][x + 1] - gray[y][x])
+                        if (x + 1) % 8 == 0:
+                            bsum += g
+                            bnd += 1
+                        else:
+                            isum += g
+                            icnt += 1
+                for y in range(dh - 1):
+                    for x in range(dw):
+                        g = abs(gray[y + 1][x] - gray[y][x])
+                        if (y + 1) % 8 == 0:
+                            bsum += g
+                            bnd += 1
+                        else:
+                            isum += g
+                            icnt += 1
+                ids.append(doc_id)
+                bnds.append(bsum)
+                ints.append(isum)
+                ppms.append(bsum * icnt * 1_000_000 // max(isum * bnd, 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "boundary_grad": bnds,
+                    "interior_grad": ints,
+                    "blockiness_ppm": ppms,
+                }
+            )
+
+    scored = d.mapInPandas(
+        gen_block,
+        schema="doc_id long, boundary_grad long, interior_grad long, blockiness_ppm long",
+    )
+    return (
+        scored.groupBy("blockiness_ppm", "boundary_grad", "interior_grad")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        )
+        .orderBy("blockiness_ppm", "boundary_grad")
+    )
+
+
+MULTIMODAL_BLOCKINESS_SQL = """
+WITH px AS (
+  SELECT s, x, y,
+         (((x//8)*40 + (y//8)*24 + x + 2*y + 5*s) % 256
+          + ((x//8)*40 + (y//8)*24 + x + 2*y + 5*s + 37) % 256
+          + ((x//8)*40 + (y//8)*24 + x + 2*y + 5*s + 74) % 256) // 3 AS g
+  FROM generate_series(0, 15) ts(s),
+       generate_series(0, 15) tx(x),
+       generate_series(0, 15) ty(y)
+),
+hgrad AS (
+  SELECT c.s, ABS(n.g - c.g) AS gr, ((c.x + 1) % 8 = 0) AS is_b
+  FROM px c JOIN px n ON n.s = c.s AND n.y = c.y AND n.x = c.x + 1
+),
+vgrad AS (
+  SELECT c.s, ABS(n.g - c.g) AS gr, ((c.y + 1) % 8 = 0) AS is_b
+  FROM px c JOIN px n ON n.s = c.s AND n.x = c.x AND n.y = c.y + 1
+),
+allg AS (SELECT * FROM hgrad UNION ALL SELECT * FROM vgrad),
+met AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN is_b THEN gr ELSE 0 END) AS BIGINT) AS boundary_grad,
+         CAST(SUM(CASE WHEN NOT is_b THEN gr ELSE 0 END) AS BIGINT) AS interior_grad,
+         CAST(SUM(CASE WHEN is_b THEN gr ELSE 0 END)
+              * SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) * 1000000
+              // GREATEST(SUM(CASE WHEN NOT is_b THEN gr ELSE 0 END)
+                          * SUM(CASE WHEN is_b THEN 1 ELSE 0 END), 1) AS BIGINT)
+           AS blockiness_ppm
+  FROM allg GROUP BY 1
+),
+docs AS (SELECT doc_id, doc_id % 16 AS s FROM documents)
+SELECT m.blockiness_ppm, m.boundary_grad, m.interior_grad,
+       MIN(d.doc_id) AS canonical_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_images
+FROM docs d JOIN met m USING (s)
+GROUP BY 1, 2, 3
+ORDER BY blockiness_ppm, boundary_grad
+"""
+
+QUERIES["multimodal_blockiness"] = multimodal_blockiness
+ORACLE["multimodal_blockiness"] = MULTIMODAL_BLOCKINESS_SQL

@@ -7831,3 +7831,465 @@ ORDER BY vintage, age
 
 QUERIES["orders_vintage_analysis"] = orders_vintage_analysis
 ORACLE["orders_vintage_analysis"] = VINTAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# nations_meta_analysis — Cochran's Q / I² / DerSimonian-Laird τ² (round 10)
+# ---------------------------------------------------------------------------
+
+
+def nations_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-analysis of one per-nation "study" each: the effect is
+    the mean order-value gap between high-priority (1-URGENT/2-HIGH)
+    and low-priority orders, and the question is whether nations
+    agree — Cochran's Q heterogeneity test, the I² share of variance
+    that is BETWEEN-nation rather than sampling noise, and the
+    DerSimonian-Laird random-effects τ². The cross-entity
+    effect-pooling idiom (every experimentation platform's
+    "is the treatment effect consistent across markets").
+
+    Engine-exact: per-nation sufficient statistics are integer cents
+    and DECIMAL(38,0) cents² (variance via the (nΣx²−(Σx)²) DIV
+    (n(n−1)) integer quantization); inverse-variance weights are
+    FLOOR-quantized at 1e12 and effects at cents, so the pooled mean,
+    Q, I² and τ² are integer/DIV arithmetic with one IEEE close —
+    no order-dependent float sum anywhere. At 100 TB the cents²
+    products need the in-plan DIV-k downscale (Mahalanobis rule);
+    they hold through sf1 as-is.
+
+    Scale: one conditional agg over orders⋈customer (AQE shuffle) to
+    ≤25 nation rows; everything else is window math on those rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hi"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x18 = F.expr("CAST(cents AS DECIMAL(18,0))")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("bigint").alias("n_hi"),
+            F.sum(F.when(~F.col("hi"), 1).otherwise(0)).cast("bigint").alias("n_lo"),
+            F.sum(F.when(F.col("hi"), F.col("cents"))).cast("bigint").alias("sx_hi"),
+            F.sum(F.when(~F.col("hi"), F.col("cents"))).cast("bigint").alias("sx_lo"),
+            F.sum(F.when(F.col("hi"), x18 * x18)).cast("decimal(38,0)").alias("sxx_hi"),
+            F.sum(F.when(~F.col("hi"), x18 * x18)).cast("decimal(38,0)").alias("sxx_lo"),
+        )
+        .where((F.col("n_hi") > 1) & (F.col("n_lo") > 1))
+    )
+    per = g.select(
+        "n_name",
+        "n_hi",
+        "n_lo",
+        F.expr(
+            "(CAST(sx_hi AS DOUBLE) / CAST(n_hi AS DOUBLE)"
+            " - CAST(sx_lo AS DOUBLE) / CAST(n_lo AS DOUBLE)) / 100"
+        ).alias("theta_d"),
+        F.expr(
+            "CAST((CAST(n_hi AS DECIMAL(38,0)) * sxx_hi"
+            "  - CAST(sx_hi AS DECIMAL(38,0)) * CAST(sx_hi AS DECIMAL(38,0)))"
+            " DIV (CAST(n_hi AS DECIMAL(38,0)) * CAST(n_hi - 1 AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("s2hi_c4"),
+        F.expr(
+            "CAST((CAST(n_lo AS DECIMAL(38,0)) * sxx_lo"
+            "  - CAST(sx_lo AS DECIMAL(38,0)) * CAST(sx_lo AS DECIMAL(38,0)))"
+            " DIV (CAST(n_lo AS DECIMAL(38,0)) * CAST(n_lo - 1 AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("s2lo_c4"),
+    ).select(
+        "n_name",
+        "n_hi",
+        "n_lo",
+        "theta_d",
+        F.expr(
+            "CAST(s2hi_c4 AS DOUBLE) / 10000 / CAST(n_hi AS DOUBLE)"
+            " + CAST(s2lo_c4 AS DOUBLE) / 10000 / CAST(n_lo AS DOUBLE)"
+        ).alias("var_theta"),
+    ).select(
+        "n_name",
+        "n_hi",
+        "n_lo",
+        "theta_d",
+        "var_theta",
+        F.expr("CAST(FLOOR(1000000000000 / var_theta) AS BIGINT)").alias("w_e12"),
+        F.expr("CAST(FLOOR(theta_d * 100) AS BIGINT)").alias("th_c2"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sw = F.sum(F.expr("CAST(w_e12 AS DECIMAL(38,0))")).over(wall)
+    swt = F.sum(F.expr("CAST(w_e12 AS DECIMAL(38,0)) * CAST(th_c2 AS DECIMAL(38,0))")).over(wall)
+    sww = F.sum(
+        F.expr("CAST(w_e12 AS DECIMAL(38,0)) * CAST(w_e12 AS DECIMAL(38,0))")
+    ).over(wall)
+    k = F.count(F.lit(1)).over(wall).cast("bigint")
+    pooled = per.select(
+        "n_name",
+        "n_hi",
+        "n_lo",
+        F.round("theta_d", 6).alias("theta"),
+        F.round(F.sqrt("var_theta"), 6).alias("se_theta"),
+        F.expr("CAST(w_e12 AS DECIMAL(38,0))").alias("w38"),
+        "w_e12",
+        "th_c2",
+        sw.alias("sw"),
+        swt.alias("swt"),
+        sww.alias("sww"),
+        k.alias("k"),
+    ).select(
+        "n_name",
+        "n_hi",
+        "n_lo",
+        "theta",
+        "se_theta",
+        F.expr("CAST(w_e12 * 1000000 DIV CAST(sw AS BIGINT) AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+        "w38",
+        "th_c2",
+        "sw",
+        "sww",
+        "k",
+        F.expr("CAST(swt DIV sw AS BIGINT)").alias("thbar_c2"),
+    )
+    qterm = F.expr(
+        "w38 * CAST(th_c2 - thbar_c2 AS DECIMAL(38,0))"
+        " * CAST(th_c2 - thbar_c2 AS DECIMAL(38,0))"
+    )
+    q_e4 = F.expr("CAST(q_scaled DIV 1000000000000 AS BIGINT)")
+    final = pooled.withColumn("q_scaled", F.sum(qterm).over(wall)).withColumn(
+        "q_e4", q_e4
+    )
+    # DL denominator C = Σw − Σw²/Σw, in e12 units (integer)
+    c_e12 = F.expr("CAST(sw - sww DIV sw AS BIGINT)")
+    return final.select(
+        "n_name",
+        "n_hi",
+        "n_lo",
+        "theta",
+        "se_theta",
+        "weight_ppm",
+        F.expr("CAST(q_e4 AS DOUBLE) / 10000").alias("q_stat"),
+        F.expr(
+            "CAST(GREATEST(0, q_e4 - (k - 1) * 10000) * 1000000"
+            " DIV GREATEST(q_e4, 1) AS BIGINT)"
+        ).alias("i2_ppm"),
+        F.round(
+            F.expr("GREATEST(CAST(0 AS DOUBLE), CAST(q_e4 AS DOUBLE) / 10000"
+                   " - CAST(k - 1 AS DOUBLE))")
+            * F.lit(1000000000000).cast("double")
+            / c_e12.cast("double"),
+            6,
+        ).alias("tau2"),
+    ).orderBy("n_name")
+
+
+META_ANALYSIS_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
+  FROM orders
+),
+g AS (
+  SELECT n_name,
+         CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         CAST(SUM(CASE WHEN hi THEN cents END) AS BIGINT) AS sx_hi,
+         CAST(SUM(CASE WHEN NOT hi THEN cents END) AS BIGINT) AS sx_lo,
+         SUM(CASE WHEN hi THEN CAST(cents AS HUGEINT) * cents END) AS sxx_hi,
+         SUM(CASE WHEN NOT hi THEN CAST(cents AS HUGEINT) * cents END) AS sxx_lo
+  FROM o
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1
+  HAVING n_hi > 1 AND n_lo > 1
+),
+per AS (
+  SELECT n_name, n_hi, n_lo,
+         (CAST(sx_hi AS DOUBLE) / CAST(n_hi AS DOUBLE)
+          - CAST(sx_lo AS DOUBLE) / CAST(n_lo AS DOUBLE)) / 100 AS theta_d,
+         CAST((CAST(n_hi AS HUGEINT) * sxx_hi
+               - CAST(sx_hi AS HUGEINT) * sx_hi)
+              // (CAST(n_hi AS HUGEINT) * (n_hi - 1)) AS BIGINT) AS s2hi_c4,
+         CAST((CAST(n_lo AS HUGEINT) * sxx_lo
+               - CAST(sx_lo AS HUGEINT) * sx_lo)
+              // (CAST(n_lo AS HUGEINT) * (n_lo - 1)) AS BIGINT) AS s2lo_c4
+  FROM g
+),
+w AS (
+  SELECT n_name, n_hi, n_lo, theta_d,
+         CAST(s2hi_c4 AS DOUBLE) / 10000 / CAST(n_hi AS DOUBLE)
+         + CAST(s2lo_c4 AS DOUBLE) / 10000 / CAST(n_lo AS DOUBLE) AS var_theta
+  FROM per
+),
+qw AS (
+  SELECT n_name, n_hi, n_lo, theta_d, var_theta,
+         CAST(FLOOR(1000000000000 / var_theta) AS BIGINT) AS w_e12,
+         CAST(FLOOR(theta_d * 100) AS BIGINT) AS th_c2
+  FROM w
+),
+pooled AS (
+  SELECT n_name, n_hi, n_lo, theta_d, var_theta, w_e12, th_c2,
+         SUM(CAST(w_e12 AS HUGEINT)) OVER () AS sw,
+         SUM(CAST(w_e12 AS HUGEINT) * th_c2) OVER () AS swt,
+         SUM(CAST(w_e12 AS HUGEINT) * w_e12) OVER () AS sww,
+         CAST(COUNT(*) OVER () AS BIGINT) AS k
+  FROM qw
+),
+cent AS (
+  SELECT *, CAST(swt // sw AS BIGINT) AS thbar_c2 FROM pooled
+),
+fin AS (
+  SELECT *,
+         SUM(CAST(w_e12 AS HUGEINT)
+             * CAST(th_c2 - thbar_c2 AS HUGEINT)
+             * CAST(th_c2 - thbar_c2 AS HUGEINT)) OVER () AS q_scaled
+  FROM cent
+)
+SELECT n_name, n_hi, n_lo,
+       ROUND(theta_d, 6) AS theta,
+       ROUND(SQRT(var_theta), 6) AS se_theta,
+       CAST(w_e12 * 1000000 // CAST(sw AS BIGINT) AS BIGINT) AS weight_ppm,
+       CAST(CAST(q_scaled // 1000000000000 AS BIGINT) AS DOUBLE) / 10000 AS q_stat,
+       CAST(GREATEST(0, CAST(q_scaled // 1000000000000 AS BIGINT) - (k - 1) * 10000)
+            * 1000000 // GREATEST(CAST(q_scaled // 1000000000000 AS BIGINT), 1)
+            AS BIGINT) AS i2_ppm,
+       ROUND(GREATEST(CAST(0 AS DOUBLE),
+                      CAST(CAST(q_scaled // 1000000000000 AS BIGINT) AS DOUBLE) / 10000
+                      - CAST(k - 1 AS DOUBLE))
+             * CAST(1000000000000 AS DOUBLE)
+             / CAST(CAST(sw - sww // sw AS BIGINT) AS DOUBLE), 6) AS tau2
+FROM fin
+ORDER BY n_name
+"""
+
+QUERIES["nations_meta_analysis"] = nations_meta_analysis
+ORACLE["nations_meta_analysis"] = META_ANALYSIS_SQL
+
+
+# ---------------------------------------------------------------------------
+# customers_cox_regression — Cox proportional hazards, Newton on the
+# Breslow partial likelihood (round 10)
+# ---------------------------------------------------------------------------
+
+
+def customers_cox_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox (1972) proportional-hazards regression of the customer
+    repurchase hazard on a binary covariate (BUILDING market segment
+    vs rest), the survival-REGRESSION step beyond the repo's KM /
+    Nelson-Aalen / competing-risks curve estimators: β̂ maximizes the
+    Breslow partial likelihood; emits the hazard ratio e^β, its SE
+    from the observed information, and the Wald z. Durations are the
+    same repurchase spans as customers_survival_km (gap to next order
+    = event; gap to corpus end = censored).
+
+    Engine-exact: the likelihood collapses to the (t, x) duration
+    histogram (d_x events, a_x entries per day); risk sets are suffix
+    sums. Each Newton step's score/information terms are INTEGER
+    rationals in eb_e6 = FLOOR(exp(β)·1e6) — one transcendental per
+    iteration, quantized ONCE so per-term math cannot split — with
+    positive-operand integer division only (// vs DIV negative
+    semantics never reached); β is FLOOR-quantized at 1e9 per step.
+    Spark folds the 4 Newton steps over the histogram in ONE Arrow
+    batch with Python bigints (no overflow at any SF); the oracle
+    runs the same integers through chained MATERIALIZED CTEs in
+    HUGEINT. The I-term product d·n1·eb·n0·1e12 holds in HUGEINT
+    through sf1×100; beyond, downscale risk counts in-plan (DIV k).
+
+    Scale: the only data-sized work is the spans window (shuffle on
+    custkey) and the histogram agg; the sequential part touches a
+    ≤|days|×2 model frame, never rows."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_mktsegment") == "BUILDING").alias("x")
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    spans = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate")
+            ).otherwise(F.datediff("h", "o_orderdate")).alias("t"),
+            F.col("nxt").isNotNull().alias("is_event"),
+            "x",
+        )
+        .where(F.col("t") > 0)
+    )
+    hist = spans.groupBy("t", "x").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("a"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(["t", "x"])
+        ts = sorted(pdf["t"].unique())
+        d1 = {}; d0 = {}; a1 = {}; a0 = {}
+        for r in pdf.itertuples():
+            (d1 if r.x else d0)[r.t] = int(r.d)
+            (a1 if r.x else a0)[r.t] = int(r.a)
+        n1 = sum(a1.values()); n0 = sum(a0.values())
+        n1_total, n0_total = n1, n0
+        cells = []  # (d, d1, n1_at_risk, n0_at_risk) per event time
+        r1, r0 = n1, n0
+        for t in ts:
+            dd1, dd0 = d1.get(t, 0), d0.get(t, 0)
+            if dd1 + dd0 > 0:
+                cells.append((dd1 + dd0, dd1, r1, r0))
+            r1 -= a1.get(t, 0)
+            r0 -= a0.get(t, 0)
+        be9 = 0
+        u_e6 = i_e6 = 0
+        for _ in range(4):
+            eb = int(math.floor(math.exp(be9 / 1e9) * 1_000_000))
+            u_e6 = 0
+            i_e6 = 0
+            for d, dd1, rr1, rr0 in cells:
+                denom = rr1 * eb + rr0 * 1_000_000
+                u_e6 += dd1 * 1_000_000 - (d * rr1 * eb * 1_000_000) // denom
+                i_e6 += (d * rr1 * eb * rr0 * 1_000_000 * 1_000_000) // (
+                    denom * denom
+                )
+            be9 = int(math.floor((be9 / 1e9 + u_e6 / i_e6) * 1e9))
+        beta = be9 / 1e9
+        se = 1000.0 / math.sqrt(i_e6)
+        return pd.DataFrame(
+            {
+                "n_event_times": [len(cells)],
+                "n_events": [sum(c[0] for c in cells)],
+                "n_treated": [n1_total],
+                "n_control": [n0_total],
+                "beta": [beta],
+                "hazard_ratio": [round(math.exp(beta), 6)],
+                "se": [round(se, 6)],
+                "wald_z": [round(beta / se, 6)],
+            }
+        )
+
+    schema = (
+        "n_event_times bigint, n_events bigint, n_treated bigint,"
+        " n_control bigint, beta double, hazard_ratio double,"
+        " se double, wald_z double"
+    )
+    return hist.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(fold, schema)
+
+
+COX_REGRESSION_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS nxt
+  FROM orders
+),
+spans AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN datediff('day', o_orderdate, nxt)
+              ELSE datediff('day', o_orderdate, (SELECT MAX(o_orderdate) FROM orders)) END AS t,
+         nxt IS NOT NULL AS is_event,
+         c_mktsegment = 'BUILDING' AS x
+  FROM o JOIN customer ON c_custkey = o_custkey
+),
+spans_f AS (SELECT * FROM spans WHERE t > 0),
+hist AS (
+  SELECT t, x,
+         CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS a
+  FROM spans_f GROUP BY 1, 2
+),
+bytime AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN x THEN a ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN NOT x THEN a ELSE 0 END) AS BIGINT) AS a0,
+         CAST(SUM(CASE WHEN x THEN d ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(d) AS BIGINT) AS d
+  FROM hist GROUP BY 1
+),
+risk AS (
+  SELECT t, d, d1,
+         CAST(SUM(a1) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+         CAST(SUM(a0) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n0
+  FROM bytime
+),
+cells AS MATERIALIZED (SELECT * FROM risk WHERE d > 0),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(CASE WHEN x THEN a ELSE 0 END) AS BIGINT) AS n1_total,
+         CAST(SUM(CASE WHEN NOT x THEN a ELSE 0 END) AS BIGINT) AS n0_total
+  FROM hist
+),
+it0 AS (SELECT CAST(0 AS BIGINT) AS be9),
+eb1 AS (SELECT CAST(FLOOR(exp(CAST(be9 AS DOUBLE) / 1e9) * 1000000) AS BIGINT) AS eb, be9 FROM it0),
+s1 AS MATERIALIZED (
+  SELECT e.be9, e.eb,
+         SUM(d1 * 1000000
+             - (CAST(d AS HUGEINT) * n1 * e.eb * 1000000)
+               // (CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000)) AS u,
+         SUM((CAST(d AS HUGEINT) * n1 * e.eb * n0 * 1000000 * 1000000)
+             // ((CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000)
+                * (CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000))) AS i
+  FROM cells, eb1 e GROUP BY 1, 2
+),
+it1 AS (SELECT CAST(FLOOR((CAST(be9 AS DOUBLE) / 1e9 + CAST(u AS DOUBLE) / CAST(i AS DOUBLE)) * 1e9) AS BIGINT) AS be9 FROM s1),
+eb2 AS (SELECT CAST(FLOOR(exp(CAST(be9 AS DOUBLE) / 1e9) * 1000000) AS BIGINT) AS eb, be9 FROM it1),
+s2 AS MATERIALIZED (
+  SELECT e.be9, e.eb,
+         SUM(d1 * 1000000
+             - (CAST(d AS HUGEINT) * n1 * e.eb * 1000000)
+               // (CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000)) AS u,
+         SUM((CAST(d AS HUGEINT) * n1 * e.eb * n0 * 1000000 * 1000000)
+             // ((CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000)
+                * (CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000))) AS i
+  FROM cells, eb2 e GROUP BY 1, 2
+),
+it2 AS (SELECT CAST(FLOOR((CAST(be9 AS DOUBLE) / 1e9 + CAST(u AS DOUBLE) / CAST(i AS DOUBLE)) * 1e9) AS BIGINT) AS be9 FROM s2),
+eb3 AS (SELECT CAST(FLOOR(exp(CAST(be9 AS DOUBLE) / 1e9) * 1000000) AS BIGINT) AS eb, be9 FROM it2),
+s3 AS MATERIALIZED (
+  SELECT e.be9, e.eb,
+         SUM(d1 * 1000000
+             - (CAST(d AS HUGEINT) * n1 * e.eb * 1000000)
+               // (CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000)) AS u,
+         SUM((CAST(d AS HUGEINT) * n1 * e.eb * n0 * 1000000 * 1000000)
+             // ((CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000)
+                * (CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000))) AS i
+  FROM cells, eb3 e GROUP BY 1, 2
+),
+it3 AS (SELECT CAST(FLOOR((CAST(be9 AS DOUBLE) / 1e9 + CAST(u AS DOUBLE) / CAST(i AS DOUBLE)) * 1e9) AS BIGINT) AS be9 FROM s3),
+eb4 AS (SELECT CAST(FLOOR(exp(CAST(be9 AS DOUBLE) / 1e9) * 1000000) AS BIGINT) AS eb, be9 FROM it3),
+s4 AS MATERIALIZED (
+  SELECT e.be9, e.eb,
+         SUM(d1 * 1000000
+             - (CAST(d AS HUGEINT) * n1 * e.eb * 1000000)
+               // (CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000)) AS u,
+         SUM((CAST(d AS HUGEINT) * n1 * e.eb * n0 * 1000000 * 1000000)
+             // ((CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000)
+                * (CAST(n1 AS HUGEINT) * e.eb + CAST(n0 AS HUGEINT) * 1000000))) AS i
+  FROM cells, eb4 e GROUP BY 1, 2
+),
+it4 AS (SELECT CAST(FLOOR((CAST(be9 AS DOUBLE) / 1e9 + CAST(u AS DOUBLE) / CAST(i AS DOUBLE)) * 1e9) AS BIGINT) AS be9,
+               i AS i_e6 FROM s4)
+SELECT CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_event_times,
+       CAST((SELECT SUM(d) FROM cells) AS BIGINT) AS n_events,
+       t.n1_total AS n_treated,
+       t.n0_total AS n_control,
+       CAST(f.be9 AS DOUBLE) / 1e9 AS beta,
+       ROUND(exp(CAST(f.be9 AS DOUBLE) / 1e9), 6) AS hazard_ratio,
+       ROUND(1000.0 / SQRT(CAST(f.i_e6 AS DOUBLE)), 6) AS se,
+       ROUND((CAST(f.be9 AS DOUBLE) / 1e9)
+             / (1000.0 / SQRT(CAST(f.i_e6 AS DOUBLE))), 6) AS wald_z
+FROM it4 f, tot t
+"""
+
+QUERIES["customers_cox_regression"] = customers_cox_regression
+ORACLE["customers_cox_regression"] = COX_REGRESSION_SQL

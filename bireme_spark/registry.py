@@ -92,6 +92,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_shift_share",
         "lineitem_tukey_hsd",
         "orders_vintage_analysis",
+        "nations_meta_analysis",
+        "customers_cox_regression",
+        "multimodal_blockiness",
     }
 )
 

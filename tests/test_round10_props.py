@@ -801,3 +801,81 @@ class TestVintageAnalysis:
         truth = m.groupby(m["o_orderdate"].dt.strftime("%Y-%m")).size()
         got = df.groupby("vintage")["shipped"].sum()
         assert got.to_dict() == truth.to_dict()
+
+
+class TestMetaAnalysis:
+    def test_effects_and_pooling_match_pandas(self, spark, sf_dir):
+        from bireme_spark.queries.relational import nations_meta_analysis
+
+        df = nations_meta_analysis(spark, sf_dir).toPandas()
+        assert len(df) > 0
+        o = _pq("orders").merge(
+            _pq("customer"), left_on="o_custkey", right_on="c_custkey"
+        ).merge(_pq("nation"), left_on="c_nationkey", right_on="n_nationkey")
+        o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+        o["hi"] = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        for r in df.itertuples():
+            g = o[o["n_name"] == r.n_name]
+            hi, lo = g[g["hi"]]["cents"], g[~g["hi"]]["cents"]
+            theta = (hi.mean() - lo.mean()) / 100
+            assert abs(r.theta - theta) < 2e-4, r.n_name
+            var = hi.var(ddof=1) / len(hi) / 1e4 + lo.var(ddof=1) / len(lo) / 1e4
+            assert abs(r.se_theta - np.sqrt(var)) < 2e-3, r.n_name
+        # pooled diagnostics are shared columns: I2 consistent with Q
+        q = df["q_stat"].iloc[0]
+        k = len(df)
+        expect_i2 = max(0.0, (q - (k - 1)) / q) if q > 0 else 0.0
+        assert abs(df["i2_ppm"].iloc[0] / 1e6 - expect_i2) < 2e-3
+        assert abs(df["weight_ppm"].sum() - 1_000_000) <= k
+
+
+class TestCoxRegression:
+    def test_score_vanishes_at_estimate(self, spark, sf_dir):
+        """Newton converged ⇔ the Breslow partial-likelihood score
+        U(β̂) is ~0 — re-derived independently in pandas."""
+        from bireme_spark.queries.relational import customers_cox_regression
+
+        r = customers_cox_regression(spark, sf_dir).collect()[0]
+        o = _pq("orders").sort_values(["o_custkey", "o_orderdate"])
+        c = _pq("customer")
+        o = o.merge(c[["c_custkey", "c_mktsegment"]], left_on="o_custkey", right_on="c_custkey")
+        o["nxt"] = o.groupby("o_custkey")["o_orderdate"].shift(-1)
+        h = o["o_orderdate"].max()
+        o["t"] = np.where(
+            o["nxt"].notna(),
+            (o["nxt"] - o["o_orderdate"]).dt.days,
+            (h - o["o_orderdate"]).dt.days,
+        )
+        o["ev"] = o["nxt"].notna()
+        o["x"] = o["c_mktsegment"] == "BUILDING"
+        sp = o[o["t"] > 0]
+        assert r.n_treated == int(sp["x"].sum())
+        assert r.n_control == int((~sp["x"]).sum())
+        eb = np.exp(r.beta)
+        u = 0.0
+        agg = sp.groupby(["t", "x"]).agg(d=("ev", "sum"), a=("ev", "size")).reset_index()
+        ts = sorted(agg["t"].unique())
+        r1 = int(sp["x"].sum())
+        r0 = int((~sp["x"]).sum())
+        for t in ts:
+            rows = agg[agg["t"] == t]
+            d1 = int(rows[rows["x"]]["d"].sum())
+            d = int(rows["d"].sum())
+            if d > 0:
+                u += d1 - d * r1 * eb / (r1 * eb + r0)
+            r1 -= int(rows[rows["x"]]["a"].sum())
+            r0 -= int(rows[~rows["x"]]["a"].sum())
+        # score at the estimate, in SE units (I = 1/se² scaled)
+        i_nat = (1000.0 / r.se) ** 2 / 1e6
+        assert abs(u) / i_nat < 1e-3, (u, i_nat)
+        assert abs(r.hazard_ratio - round(float(np.exp(r.beta)), 6)) < 1e-9
+        assert r.se > 0
+
+
+class TestBlockiness:
+    def test_planted_block_structure_detected(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_blockiness
+
+        df = multimodal_blockiness(spark, sf_dir).toPandas()
+        assert (df["blockiness_ppm"] > 1_000_000).all()
+        assert df["n_images"].sum() == len(_pq("documents"))
