@@ -330,6 +330,9 @@ HEADLINE = [
     "nations_meta_analysis",
     "customers_cox_regression",
     "multimodal_blockiness",
+    "events_poisson_regression",
+    "lineitem_partial_correlation",
+    "multimodal_audio_clipping",
 ]
 
 

@@ -2065,3 +2065,145 @@ ORDER BY blockiness_ppm, boundary_grad
 
 QUERIES["multimodal_blockiness"] = multimodal_blockiness
 ORACLE["multimodal_blockiness"] = MULTIMODAL_BLOCKINESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_clipping — full-scale plateau (clipping) detection
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping screen for an audio training corpus: per clip, the
+    fraction of samples pinned at full scale and the longest
+    consecutive full-scale run — the two numbers an audio curation
+    pass thresholds to reject hard-clipped uploads (a high clip_ppm
+    with short runs is loud material; long runs are true clipping).
+    The synthetic fixture (s = doc_id % 64) PLANTS clipping: a
+    symmetric tone ((s*13 + i*29) % 4001) - 2000 hard-limited at
+    ±1500, so ~25% of samples sit on the rails in deterministic runs.
+    Every clip round-trips encode_wav → decode_wav (negative int16
+    path included) so the codec stays on the hash path.
+
+    FULLY INTEGER: the clip predicate is |x| >= ceiling, run lengths
+    are loop counters, and the emitted rate is integer ppm
+    (n_clipped*1e6 DIV n) — no float anywhere. The oracle recomputes
+    the same runs symbolically (gaps-and-islands over the sample
+    grid).
+
+    Scale shape: ONE fused mapInPandas pass (r5 fuse rule), 64-class
+    memoization, 64-row rollup; a real corpus swaps the generator for
+    the payload column and drops the memo."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def clipscan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, tuple[int, int, int, int]] = {}
+
+        def klass(s: int) -> tuple[int, int, int, int]:
+            if s in cache:
+                return cache[s]
+            n = 40 + (s * 7) % 24
+            tone = [
+                max(min((s * 13 + i * 29) % 4001 - 2000, 1500), -1500)
+                for i in range(n)
+            ]
+            _, _, back = decode_wav(encode_wav(16000, tone))
+            n_clipped = sum(1 for x in back if abs(x) >= 1500)
+            max_run = run = 0
+            for x in back:
+                run = run + 1 if abs(x) >= 1500 else 0
+                max_run = max(max_run, run)
+            cache[s] = (len(back), n_clipped, n_clipped * 1_000_000 // len(back), max_run)
+            return cache[s]
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "n_clipped": [],
+                "clip_ppm": [],
+                "max_clip_run": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ns, nc, ppm, mr = klass(doc_id % 64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(ns)
+                out["n_clipped"].append(nc)
+                out["clip_ppm"].append(ppm)
+                out["max_clip_run"].append(mr)
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        clipscan,
+        schema=(
+            "doc_id long, n_samples long, n_clipped long,"
+            " clip_ppm long, max_clip_run long"
+        ),
+    )
+    return (
+        scored.groupBy((F.col("doc_id") % 64).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.first("n_samples").cast("bigint").alias("n_samples"),
+            F.first("n_clipped").cast("bigint").alias("n_clipped"),
+            F.first("clip_ppm").cast("bigint").alias("clip_ppm"),
+            F.first("max_clip_run").cast("bigint").alias("max_clip_run"),
+        )
+        .select(
+            "canonical_doc", "n_clips", "n_samples", "n_clipped",
+            "clip_ppm", "max_clip_run",
+        )
+        .orderBy("canonical_doc")
+    )
+
+
+MULTIMODAL_CLIPPING_SQL = """
+WITH samp AS (
+  SELECT s, i,
+         GREATEST(LEAST((s * 13 + i * 29) % 4001 - 2000, 1500), -1500) AS x
+  FROM generate_series(0, 63) ts(s), generate_series(0, 62) ti(i)
+  WHERE i < 40 + (s * 7) % 24
+),
+fl AS (
+  SELECT s, i, (ABS(x) >= 1500) AS c FROM samp
+),
+grp AS (
+  SELECT s, c, COUNT(*) AS len
+  FROM (SELECT s, i, c,
+               i - ROW_NUMBER() OVER (PARTITION BY s, c ORDER BY i) AS g
+        FROM fl)
+  GROUP BY s, c, g
+),
+per AS (
+  SELECT f.s,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(CASE WHEN f.c THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+         CAST(SUM(CASE WHEN f.c THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+              AS BIGINT) AS clip_ppm
+  FROM fl f GROUP BY 1
+),
+runs AS (
+  SELECT s, CAST(COALESCE(MAX(CASE WHEN c THEN len END), 0) AS BIGINT) AS max_clip_run
+  FROM grp GROUP BY 1
+),
+cls AS (
+  SELECT doc_id % 64 AS s, CAST(COUNT(*) AS BIGINT) AS n_clips,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT canonical_doc, n_clips, n_samples, n_clipped, clip_ppm, max_clip_run
+FROM cls JOIN per USING (s) JOIN runs USING (s)
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_audio_clipping"] = multimodal_audio_clipping
+ORACLE["multimodal_audio_clipping"] = MULTIMODAL_CLIPPING_SQL

@@ -8293,3 +8293,158 @@ FROM it4 f, tot t
 
 QUERIES["customers_cox_regression"] = customers_cox_regression
 ORACLE["customers_cox_regression"] = COX_REGRESSION_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_partial_correlation — three-variable partial correlations
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlations among extended price (x), net revenue
+    y = round(x*(1-discount), 2) and discount (z) per return flag:
+    each pairwise Pearson r plus the three partials r_xy.z, r_xz.y,
+    r_yz.x. The classic SUPPRESSION demo on real money columns: the
+    raw revenue-discount correlation is ~0 (price variance swamps
+    it), but partialing price out exposes the near-deterministic
+    negative discount effect (pr_yz_x -> -0.87) — the screen that
+    separates a direct association from one masked by a confounder.
+    NOTE the 2dp revenue rounding: DuckDB's decimal->decimal CAST
+    TRUNCATES while Spark's rounds half-up — the oracle must spell
+    ROUND(x, 2) (half-up on both) or every .xx5 tie splits.
+
+    Engine-exact: sufficient statistics are SCALE-0 integers (cents
+    for x and the 2dp-DECIMAL-rounded revenue, percent for z) summed
+    as DECIMAL(38,0)/HUGEINT — a DECIMAL(38,4) sum here is the
+    documented engine split (DuckDB divides the int128 by 10^s in
+    binary, a double rounding that diverges 1 ulp from Java past
+    2^53 and flipped a ROUND boundary at sf0.1); integer->double
+    casts are single correctly-rounded conversions on BOTH engines
+    at any magnitude. The closed-form combination then runs on those
+    identical doubles with the identical expression shape; outputs
+    are FLOOR-e6 integers (this fixture lands pr_yz.x within 1e-16
+    of a .5e-6 ROUND tie at sf0.1 — the percent_rank lesson: ROUND
+    tie SEMANTICS differ across engines even on identical doubles,
+    FLOOR of identical doubles is bit-deterministic).
+
+    Scale: one map-side-combinable agg to |flags| rows; no joins, no
+    windows, no Python. Sums stay exact DECIMAL(38,0) through ~1e12
+    rows; beyond, downscale cents in-plan (ratio-preserving DIV-k)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    yc = F.expr(
+        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+        " AS DECIMAL(14,2)) * 100 AS BIGINT)"
+    )
+    zp = F.expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    b = li.select(
+        "l_returnflag", xc.alias("x"), yc.alias("y"), zp.alias("z")
+    )
+    x18 = F.expr("CAST(x AS DECIMAL(18,0))")
+    y18 = F.expr("CAST(y AS DECIMAL(18,0))")
+    z18 = F.expr("CAST(z AS DECIMAL(18,0))")
+    d38 = "decimal(38,0)"
+    stats = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("z").cast(d38)).alias("sz"),
+        F.sum(x18 * x18).cast(d38).alias("sxx"),
+        F.sum(y18 * y18).cast(d38).alias("syy"),
+        F.sum(z18 * z18).cast(d38).alias("szz"),
+        F.sum(x18 * y18).cast(d38).alias("sxy"),
+        F.sum(x18 * z18).cast(d38).alias("sxz"),
+        F.sum(y18 * z18).cast(d38).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sz = F.col("sz").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    szz = F.col("szz").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxz = F.col("sxz").cast("double")
+    syz = F.col("syz").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    vz = n * szz - sz * sz
+    rxy = (n * sxy - sx * sy) / F.sqrt(vx * vy)
+    rxz = (n * sxz - sx * sz) / F.sqrt(vx * vz)
+    ryz = (n * syz - sy * sz) / F.sqrt(vy * vz)
+    pr_xy_z = (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    pr_xz_y = (rxz - rxy * ryz) / F.sqrt((1 - rxy * rxy) * (1 - ryz * ryz))
+    pr_yz_x = (ryz - rxy * rxz) / F.sqrt((1 - rxy * rxy) * (1 - rxz * rxz))
+    e6 = F.lit(1000000.0)
+    return stats.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(rxy * e6).cast("bigint").alias("r_xy_e6"),
+        F.floor(rxz * e6).cast("bigint").alias("r_xz_e6"),
+        F.floor(ryz * e6).cast("bigint").alias("r_yz_e6"),
+        F.floor(pr_xy_z * e6).cast("bigint").alias("pr_xy_z_e6"),
+        F.floor(pr_xz_y * e6).cast("bigint").alias("pr_xz_y_e6"),
+        F.floor(pr_yz_x * e6).cast("bigint").alias("pr_yz_x_e6"),
+    ).orderBy("l_returnflag")
+
+
+PARTIAL_CORR_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         -- ROUND, not CAST: DuckDB's decimal->decimal CAST TRUNCATES
+         -- while Spark's rounds half-up; ROUND(x, 2) is half-up here too
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)
+              * 100 AS BIGINT) AS y,
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS z
+  FROM lineitem
+),
+stats AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(z AS HUGEINT)) AS sz,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(z AS HUGEINT) * z) AS szz,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * z) AS sxz,
+         SUM(CAST(y AS HUGEINT) * z) AS syz
+  FROM base GROUP BY 1
+),
+r AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+         (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+           / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+         (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+           / SQRT((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+  FROM stats
+)
+SELECT l_returnflag, n,
+       CAST(FLOOR(rxy * CAST(1000000 AS DOUBLE)) AS BIGINT) AS r_xy_e6,
+       CAST(FLOOR(rxz * CAST(1000000 AS DOUBLE)) AS BIGINT) AS r_xz_e6,
+       CAST(FLOOR(ryz * CAST(1000000 AS DOUBLE)) AS BIGINT) AS r_yz_e6,
+       CAST(FLOOR((rxy - rxz * ryz)
+             / SQRT((CAST(1 AS DOUBLE) - rxz * rxz) * (CAST(1 AS DOUBLE) - ryz * ryz))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS pr_xy_z_e6,
+       CAST(FLOOR((rxz - rxy * ryz)
+             / SQRT((CAST(1 AS DOUBLE) - rxy * rxy) * (CAST(1 AS DOUBLE) - ryz * ryz))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS pr_xz_y_e6,
+       CAST(FLOOR((ryz - rxy * rxz)
+             / SQRT((CAST(1 AS DOUBLE) - rxy * rxy) * (CAST(1 AS DOUBLE) - rxz * rxz))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS pr_yz_x_e6
+FROM r
+ORDER BY l_returnflag
+"""
+
+QUERIES["lineitem_partial_correlation"] = lineitem_partial_correlation
+ORACLE["lineitem_partial_correlation"] = PARTIAL_CORR_SQL

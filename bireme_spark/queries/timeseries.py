@@ -6471,3 +6471,288 @@ FROM sse
 
 QUERIES["events_cointegration_test"] = events_cointegration_test
 ORACLE["events_cointegration_test"] = COINTEGRATION_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_poisson_regression — Poisson GLM (log link) on the daily event
+# count series (round 10)
+# ---------------------------------------------------------------------------
+
+
+def events_poisson_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM with log link on the daily event-count series:
+    log mu_t = b0 + b1*t over the gap-filled day index, fit by 3 IRLS
+    (Fisher-scoring) steps — the canonical count-trend regression an
+    observability stack runs to ask "is event volume growing, and how
+    fast per day" with a variance model that is honest for counts
+    (reference parity: bireme exposes per-table row/op counters via its
+    state server, bireme_server/StateServer.java; this is the trend
+    model you fit on that series — studied, not copied).
+
+    Engine-exact iteration (the customers_cox_regression discipline):
+    the ONLY transcendentals are ln(mean) once and exp(b0), exp(b1)
+    once per IRLS step, each FLOOR-quantized (e6/e12) the instant it
+    is computed; mu_t then rolls SEQUENTIALLY as the integer
+    recurrence mu_t = mu_{t-1}*r_e12 DIV 1e12 (exact in both engines),
+    so weights, working responses z_t_e9, and the 2x2 normal-equation
+    solve are pure integer arithmetic — truncating division on both
+    sides (Python emulates trunc-toward-zero; DuckDB // truncates).
+    Weights are globally rescaled by k = max(e0 DIV 1e9, 1) — an
+    n-INDEPENDENT downscale (WLS solutions are invariant to weight
+    scale) that keeps every HUGEINT product under ~1e36 at any SF.
+
+    Scale: the data-sized work is one groupBy(day) count agg; the
+    sequential IRLS touches a |days|-row frame in ONE Arrow batch
+    (span is time-bounded, not SF-scaled). The oracle runs the same
+    integers through WITH RECURSIVE mu rolls, one per step."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    bounds = daily.agg(F.min("d").alias("dmin"))
+    cells = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("d", "dmin").cast("bigint").alias("t"), "y"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        ys = {int(r.t): int(r.y) for r in pdf.itertuples()}
+        T = max(ys) + 1
+        cells = [(t, ys.get(t, 0)) for t in range(T)]
+        nev = sum(y for _, y in cells)
+
+        def tdiv(a: int, b: int) -> int:
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        def roll(b0: int, b1: int):
+            e0 = int(math.floor(math.exp(b0 / 1e9) * 1e6))
+            r = int(math.floor(math.exp(b1 / 1e9) * 1e12))
+            kk = max(e0 // 10**9, 1)
+            m = e0
+            mus = []
+            for t in range(T):
+                if t:
+                    m = max(m * r // 10**12, 1)
+                mus.append(m)
+            return e0, r, kk, mus
+
+        b0 = int(math.floor(math.log(nev / T) * 1e9))
+        b1 = 0
+        for _ in range(3):
+            _, _, kk, mus = roll(b0, b1)
+            s0 = s1 = s2 = q0 = q1 = 0
+            for (t, y), mt in zip(cells, mus):
+                w = mt // kk
+                z = (b0 + b1 * t) + (y * 10**15) // mt - 10**9
+                s0 += w
+                s1 += w * t
+                s2 += w * t * t
+                q0 += w * z
+                q1 += w * z * t
+            det = s0 * s2 - s1 * s1
+            b0, b1 = tdiv(s2 * q0 - s1 * q1, det), tdiv(s0 * q1 - s1 * q0, det)
+        _, _, kk, mus = roll(b0, b1)
+        s0 = s1 = s2 = 0
+        for (t, _), mt in zip(cells, mus):
+            w = mt // kk
+            s0 += w
+            s1 += w * t
+            s2 += w * t * t
+        # double-cast each sum BEFORE combining — the oracle's SQRT
+        # expression works on individually-cast doubles, and an exact
+        # bigint det here would round differently
+        s0d, s1d, s2d = float(s0), float(s1), float(s2)
+        se = math.sqrt(s0d / (s0d * s2d - s1d * s1d) * 1e6 / float(kk))
+        return pd.DataFrame(
+            {
+                "n_days": [T],
+                "n_events": [nev],
+                "b0_e9": [b0],
+                "b1_e9": [b1],
+                "rate_ratio_per_day": [round(math.exp(b1 / 1e9), 6)],
+                "fitted_first_e6": [mus[0]],
+                "fitted_last_e6": [mus[-1]],
+                "se_beta1": [round(se, 6)],
+                "wald_z": [round(b1 / 1e9 / se, 6)],
+            }
+        )
+
+    schema = (
+        "n_days bigint, n_events bigint, b0_e9 bigint, b1_e9 bigint,"
+        " rate_ratio_per_day double, fitted_first_e6 bigint,"
+        " fitted_last_e6 bigint, se_beta1 double, wald_z double"
+    )
+    return cells.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(fold, schema)
+
+
+POISSON_REG_SQL = """
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+bounds AS MATERIALIZED (
+  SELECT MIN(d) AS dmin,
+         CAST(datediff('day', MIN(d), MAX(d)) AS BIGINT) AS maxt
+  FROM daily
+),
+cells AS MATERIALIZED (
+  -- static series + WHERE bound (DuckDB rejects lateral series
+  -- bounds); the span is the fixture's time RANGE, not SF-scaled
+  SELECT gs.t, COALESCE(dy.y, 0) AS y
+  FROM (SELECT CAST(i AS BIGINT) AS t FROM generate_series(0, 3650) g(i)) gs
+  CROSS JOIN bounds b
+  LEFT JOIN (SELECT datediff('day', (SELECT dmin FROM bounds), d) AS t, y
+             FROM daily) dy ON dy.t = gs.t
+  WHERE gs.t <= b.maxt
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(y) AS BIGINT) AS nev, CAST(COUNT(*) AS BIGINT) AS nd FROM cells
+),
+it0 AS (
+  SELECT CAST(FLOOR(ln(CAST(nev AS DOUBLE) / CAST(nd AS DOUBLE)) * 1e9) AS BIGINT) AS b0,
+         CAST(0 AS BIGINT) AS b1
+  FROM tot
+),
+p1 AS MATERIALIZED (
+  SELECT b0, b1,
+         CAST(FLOOR(exp(CAST(b0 AS DOUBLE) / 1e9) * 1e6) AS HUGEINT) AS e0,
+         CAST(FLOOR(exp(CAST(b1 AS DOUBLE) / 1e9) * 1e12) AS HUGEINT) AS r,
+         GREATEST(CAST(FLOOR(exp(CAST(b0 AS DOUBLE) / 1e9) * 1e6) AS HUGEINT)
+                  // 1000000000, 1) AS kk
+  FROM it0
+),
+mu1(t, m) AS (
+  SELECT CAST(0 AS BIGINT), (SELECT e0 FROM p1)
+  UNION ALL
+  SELECT t + 1, GREATEST(m * (SELECT r FROM p1) // 1000000000000, 1)
+  FROM mu1 WHERE t + 1 <= (SELECT maxt FROM bounds)
+),
+s1 AS MATERIALIZED (
+  SELECT b0p, b1p, kk,
+         SUM(w) AS s0, SUM(w * t) AS s1, SUM(w * t * t) AS s2,
+         SUM(w * z) AS q0, SUM(w * z * t) AS q1
+  FROM (
+    SELECT c.t, m.m // p.kk AS w,
+           (p.b0 + p.b1 * c.t)
+             + (CAST(c.y AS HUGEINT) * 1000000000000000) // m.m
+             - 1000000000 AS z,
+           p.b0 AS b0p, p.b1 AS b1p, p.kk AS kk
+    FROM cells c JOIN mu1 m ON m.t = c.t CROSS JOIN p1 p
+  ) GROUP BY 1, 2, 3
+),
+it1 AS (
+  SELECT CAST((s2 * q0 - s1 * q1) // (s0 * s2 - s1 * s1) AS BIGINT) AS b0,
+         CAST((s0 * q1 - s1 * q0) // (s0 * s2 - s1 * s1) AS BIGINT) AS b1
+  FROM s1
+),
+p2 AS MATERIALIZED (
+  SELECT b0, b1,
+         CAST(FLOOR(exp(CAST(b0 AS DOUBLE) / 1e9) * 1e6) AS HUGEINT) AS e0,
+         CAST(FLOOR(exp(CAST(b1 AS DOUBLE) / 1e9) * 1e12) AS HUGEINT) AS r,
+         GREATEST(CAST(FLOOR(exp(CAST(b0 AS DOUBLE) / 1e9) * 1e6) AS HUGEINT)
+                  // 1000000000, 1) AS kk
+  FROM it1
+),
+mu2(t, m) AS (
+  SELECT CAST(0 AS BIGINT), (SELECT e0 FROM p2)
+  UNION ALL
+  SELECT t + 1, GREATEST(m * (SELECT r FROM p2) // 1000000000000, 1)
+  FROM mu2 WHERE t + 1 <= (SELECT maxt FROM bounds)
+),
+s2i AS MATERIALIZED (
+  SELECT b0p, b1p, kk,
+         SUM(w) AS s0, SUM(w * t) AS s1, SUM(w * t * t) AS s2,
+         SUM(w * z) AS q0, SUM(w * z * t) AS q1
+  FROM (
+    SELECT c.t, m.m // p.kk AS w,
+           (p.b0 + p.b1 * c.t)
+             + (CAST(c.y AS HUGEINT) * 1000000000000000) // m.m
+             - 1000000000 AS z,
+           p.b0 AS b0p, p.b1 AS b1p, p.kk AS kk
+    FROM cells c JOIN mu2 m ON m.t = c.t CROSS JOIN p2 p
+  ) GROUP BY 1, 2, 3
+),
+it2 AS (
+  SELECT CAST((s2 * q0 - s1 * q1) // (s0 * s2 - s1 * s1) AS BIGINT) AS b0,
+         CAST((s0 * q1 - s1 * q0) // (s0 * s2 - s1 * s1) AS BIGINT) AS b1
+  FROM s2i
+),
+p3 AS MATERIALIZED (
+  SELECT b0, b1,
+         CAST(FLOOR(exp(CAST(b0 AS DOUBLE) / 1e9) * 1e6) AS HUGEINT) AS e0,
+         CAST(FLOOR(exp(CAST(b1 AS DOUBLE) / 1e9) * 1e12) AS HUGEINT) AS r,
+         GREATEST(CAST(FLOOR(exp(CAST(b0 AS DOUBLE) / 1e9) * 1e6) AS HUGEINT)
+                  // 1000000000, 1) AS kk
+  FROM it2
+),
+mu3(t, m) AS (
+  SELECT CAST(0 AS BIGINT), (SELECT e0 FROM p3)
+  UNION ALL
+  SELECT t + 1, GREATEST(m * (SELECT r FROM p3) // 1000000000000, 1)
+  FROM mu3 WHERE t + 1 <= (SELECT maxt FROM bounds)
+),
+s3i AS MATERIALIZED (
+  SELECT b0p, b1p, kk,
+         SUM(w) AS s0, SUM(w * t) AS s1, SUM(w * t * t) AS s2,
+         SUM(w * z) AS q0, SUM(w * z * t) AS q1
+  FROM (
+    SELECT c.t, m.m // p.kk AS w,
+           (p.b0 + p.b1 * c.t)
+             + (CAST(c.y AS HUGEINT) * 1000000000000000) // m.m
+             - 1000000000 AS z,
+           p.b0 AS b0p, p.b1 AS b1p, p.kk AS kk
+    FROM cells c JOIN mu3 m ON m.t = c.t CROSS JOIN p3 p
+  ) GROUP BY 1, 2, 3
+),
+it3 AS (
+  SELECT CAST((s2 * q0 - s1 * q1) // (s0 * s2 - s1 * s1) AS BIGINT) AS b0,
+         CAST((s0 * q1 - s1 * q0) // (s0 * s2 - s1 * s1) AS BIGINT) AS b1
+  FROM s3i
+),
+pF AS MATERIALIZED (
+  SELECT b0, b1,
+         CAST(FLOOR(exp(CAST(b0 AS DOUBLE) / 1e9) * 1e6) AS HUGEINT) AS e0,
+         CAST(FLOOR(exp(CAST(b1 AS DOUBLE) / 1e9) * 1e12) AS HUGEINT) AS r,
+         GREATEST(CAST(FLOOR(exp(CAST(b0 AS DOUBLE) / 1e9) * 1e6) AS HUGEINT)
+                  // 1000000000, 1) AS kk
+  FROM it3
+),
+muF(t, m) AS (
+  SELECT CAST(0 AS BIGINT), (SELECT e0 FROM pF)
+  UNION ALL
+  SELECT t + 1, GREATEST(m * (SELECT r FROM pF) // 1000000000000, 1)
+  FROM muF WHERE t + 1 <= (SELECT maxt FROM bounds)
+),
+muFm AS MATERIALIZED (SELECT t, m FROM muF),
+sF AS MATERIALIZED (
+  SELECT p.b0, p.b1, p.kk,
+         SUM(m.m // p.kk) AS s0,
+         SUM((m.m // p.kk) * m.t) AS s1,
+         SUM((m.m // p.kk) * m.t * m.t) AS s2
+  FROM muFm m CROSS JOIN pF p GROUP BY 1, 2, 3
+)
+SELECT t.nd AS n_days,
+       t.nev AS n_events,
+       f.b0 AS b0_e9,
+       f.b1 AS b1_e9,
+       ROUND(exp(CAST(f.b1 AS DOUBLE) / 1e9), 6) AS rate_ratio_per_day,
+       CAST((SELECT m FROM muFm WHERE t = 0) AS BIGINT) AS fitted_first_e6,
+       CAST((SELECT m FROM muFm WHERE t = (SELECT maxt FROM bounds)) AS BIGINT)
+         AS fitted_last_e6,
+       ROUND(SQRT(CAST(f.s0 AS DOUBLE)
+                  / (CAST(f.s0 AS DOUBLE) * CAST(f.s2 AS DOUBLE)
+                     - CAST(f.s1 AS DOUBLE) * CAST(f.s1 AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE) / CAST(f.kk AS DOUBLE)), 6) AS se_beta1,
+       ROUND((CAST(f.b1 AS DOUBLE) / 1e9)
+             / SQRT(CAST(f.s0 AS DOUBLE)
+                    / (CAST(f.s0 AS DOUBLE) * CAST(f.s2 AS DOUBLE)
+                       - CAST(f.s1 AS DOUBLE) * CAST(f.s1 AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE) / CAST(f.kk AS DOUBLE)), 6) AS wald_z
+FROM sF f, tot t
+"""
+
+QUERIES["events_poisson_regression"] = events_poisson_regression
+ORACLE["events_poisson_regression"] = POISSON_REG_SQL

@@ -95,6 +95,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "nations_meta_analysis",
         "customers_cox_regression",
         "multimodal_blockiness",
+        "events_poisson_regression",
+        "lineitem_partial_correlation",
+        "multimodal_audio_clipping",
     }
 )
 

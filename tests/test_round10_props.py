@@ -879,3 +879,90 @@ class TestBlockiness:
         df = multimodal_blockiness(spark, sf_dir).toPandas()
         assert (df["blockiness_ppm"] > 1_000_000).all()
         assert df["n_images"].sum() == len(_pq("documents"))
+
+
+class TestPoissonRegression:
+    def test_score_vanishes_at_estimate(self, spark, sf_dir):
+        """IRLS converged ⇔ the Poisson score equations Σ(y−μ)=0 and
+        Σt(y−μ)=0 hold at the fitted (b0, b1) — re-derived straight
+        off the parquet in pandas."""
+        from bireme_spark.queries.timeseries import events_poisson_regression
+
+        r = events_poisson_regression(spark, sf_dir).collect()[0]
+        ev = _pq("events")
+        days = ev["ts"].dt.floor("D")
+        daily = days.value_counts().sort_index()
+        t0 = daily.index.min()
+        t = ((daily.index - t0).days).to_numpy()
+        full_t = np.arange(t.max() + 1)
+        y = np.zeros(len(full_t))
+        y[t] = daily.to_numpy()
+        assert r.n_days == len(full_t)
+        assert r.n_events == int(y.sum())
+        b0, b1 = r.b0_e9 / 1e9, r.b1_e9 / 1e9
+        mu = np.exp(b0 + b1 * full_t)
+        # score in units of the response scale
+        assert abs((y - mu).sum()) / y.sum() < 1e-3
+        assert abs(((y - mu) * full_t).sum()) / (y * full_t).sum() < 1e-3
+        assert abs(r.rate_ratio_per_day - round(float(np.exp(b1)), 6)) < 1e-9
+        # fitted endpoints are the quantized mu sequence
+        assert abs(r.fitted_first_e6 / 1e6 - mu[0]) / mu[0] < 1e-3
+        assert abs(r.fitted_last_e6 / 1e6 - mu[-1]) / mu[-1] < 1e-3
+        assert r.se_beta1 > 0
+
+
+class TestPartialCorrelation:
+    def test_matches_numpy_partials(self, spark, sf_dir):
+        from bireme_spark.queries.relational import lineitem_partial_correlation
+
+        df = lineitem_partial_correlation(spark, sf_dir).toPandas()
+        li = _pq("lineitem")
+        assert df["n"].sum() == len(li)
+        for rec in df.itertuples():
+            g = li[li["l_returnflag"] == rec.l_returnflag]
+            x = g["l_extendedprice"].round(2).to_numpy()
+            z = g["l_discount"].round(2).to_numpy()
+            y = (x * (1 - z)).round(2)
+            c = np.corrcoef(np.vstack([x, y, z]))
+            rxy, rxz, ryz = c[0, 1], c[0, 2], c[1, 2]
+            assert abs(rec.r_xy_e6 / 1e6 - rxy) < 1e-4
+            assert abs(rec.r_xz_e6 / 1e6 - rxz) < 1e-4
+            assert abs(rec.r_yz_e6 / 1e6 - ryz) < 1e-4
+            exp_yz_x = (ryz - rxy * rxz) / np.sqrt((1 - rxy**2) * (1 - rxz**2))
+            assert abs(rec.pr_yz_x_e6 / 1e6 - exp_yz_x) < 1e-4
+            # raw revenue-discount r is masked by price variance...
+            assert abs(rec.r_yz_e6) < 300_000
+            # ...but partialing price out exposes the suppressed
+            # near-deterministic negative discount effect
+            assert rec.pr_yz_x_e6 < -700_000
+            assert rec.pr_xy_z_e6 > 900_000
+
+
+class TestAudioClipping:
+    def test_planted_clipping_detected_through_codec(self, spark, sf_dir):
+        """Re-derive one class's rail statistics from the tone formula
+        WITHOUT the codec — a codec that altered any sample would split
+        count, ppm, or the run structure."""
+        from bireme_spark.queries.multimodal import multimodal_audio_clipping
+
+        df = multimodal_audio_clipping(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        assert df["n_clips"].sum() == len(docs)
+        assert (df["n_clipped"] <= df["n_samples"]).all()
+        # planted contrast: some classes are hard-clipped, some clean
+        assert (df["clip_ppm"] > 250_000).any()
+        assert (df["clip_ppm"] == 0).any()
+        assert (df["max_clip_run"] >= 2).any()
+        for s in (0, 17, 63):
+            n = 40 + (s * 7) % 24
+            tone = [max(min((s * 13 + i * 29) % 4001 - 2000, 1500), -1500) for i in range(n)]
+            clipped = [abs(v) >= 1500 for v in tone]
+            max_run = run = 0
+            for c in clipped:
+                run = run + 1 if c else 0
+                max_run = max(max_run, run)
+            row = df[df["canonical_doc"] % 64 == s].iloc[0]
+            assert row["n_samples"] == n
+            assert row["n_clipped"] == sum(clipped)
+            assert row["clip_ppm"] == sum(clipped) * 1_000_000 // n
+            assert row["max_clip_run"] == max_run
