@@ -333,6 +333,9 @@ HEADLINE = [
     "events_poisson_regression",
     "lineitem_partial_correlation",
     "multimodal_audio_clipping",
+    "cdc_slot_retention_forecast",
+    "lineitem_heteroskedasticity_bp",
+    "corpus_dedup_cluster_sizes",
 ]
 
 

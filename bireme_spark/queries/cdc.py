@@ -4058,3 +4058,137 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["cdc_dead_letter_replay"] = cdc_dead_letter_replay
 ORACLE["cdc_dead_letter_replay"] = CDC_DLQ_REPLAY_SQL
+
+
+
+# ---------------------------------------------------------------------------
+# cdc_slot_retention_forecast — replication-slot / WAL retention forecast
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def cdc_slot_retention_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-slot retention forecast — the capacity-planning
+    question every CDC operator asks before the source database asks
+    it for them: given the producer's daily change volume and a
+    consumer that drains at a fixed budget, how big does the retained
+    log get and when does it breach the slot's capacity? (Reference
+    parity: bireme only reports current delay via PipeLineStat's
+    delay gauge, bireme_server/PipeLineStat.java — studied, not
+    copied; this adds the forward-looking forecast.)
+
+    Mechanics: daily produced bytes from the events feed (payload
+    length + fixed frame overhead); drain budget = 90% of the mean
+    daily rate computed IN-PLAN (self-calibrating — no magic
+    constants that zero out at another SF); the retained backlog is
+    Lindley's recursion b_d = max(0, b_{d-1} + x_d - drain), which
+    has the exact window closed form b_d = S_d - min(0, min_{k<=d}
+    S_k) over the unclamped cumulative sum — one window pass, no
+    sequential fold. The breach forecast is an integer OLS slope of
+    the backlog series (FLOOR-e6 bytes/day via DIV on positive
+    operands gated by a slope>0 CASE) extrapolated to a capacity of
+    20 drain-days.
+
+    Engine-exact: all BIGINT arithmetic; the only division is DIV.
+    Scale: one day-level agg (|days| rows), two windows on that tiny
+    frame; the events scan is the only data-sized work."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        (F.length("props") + F.lit(16)).cast("bigint").alias("bytes"),
+    )
+    daily = ev.groupBy("d").agg(F.sum("bytes").cast("bigint").alias("x"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily = daily.withColumn(
+        "drain",
+        F.expr("CAST(SUM(x) OVER () DIV COUNT(*) OVER () * 9 DIV 10 AS BIGINT)"),
+    ).withColumn("t", F.row_number().over(Window.orderBy("d")) - F.lit(1))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    b = (
+        daily.withColumn("s", F.sum(F.col("x") - F.col("drain")).over(wcum))
+        .withColumn("m", F.least(F.min("s").over(wcum), F.lit(0)))
+        .withColumn("backlog", (F.col("s") - F.col("m")).cast("bigint"))
+    )
+    agg = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("total_bytes"),
+        F.max("drain").cast("bigint").alias("drain_per_day"),
+        F.max("backlog").cast("bigint").alias("peak_backlog"),
+        F.max_by("backlog", "t").cast("bigint").alias("final_backlog"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * backlog")).alias("stb"),
+        F.sum("backlog").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("stt"),
+    )
+    return agg.select(
+        "n_days",
+        "total_bytes",
+        "drain_per_day",
+        "peak_backlog",
+        "final_backlog",
+        F.expr(
+            "CAST((n_days * stb - st * sb) * 1000000"
+            " DIV (n_days * stt - CAST(st AS DECIMAL(38,0)) * st) AS BIGINT)"
+        ).alias("slope_e6"),
+        F.expr("CAST(drain_per_day * 20 AS BIGINT)").alias("capacity_bytes"),
+        F.expr(
+            "CASE WHEN (n_days * stb - st * sb) * 1000000"
+            "          DIV (n_days * stt - CAST(st AS DECIMAL(38,0)) * st) > 0"
+            " THEN CAST(GREATEST(drain_per_day * 20 - final_backlog, 0) * 1000000"
+            "      DIV ((n_days * stb - st * sb) * 1000000"
+            "           DIV (n_days * stt - CAST(st AS DECIMAL(38,0)) * st))"
+            "      AS BIGINT)"
+            " ELSE CAST(-1 AS BIGINT) END"
+        ).alias("days_to_breach"),
+    )
+
+
+SLOT_RETENTION_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(length(props) + 16) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+cal AS (
+  SELECT d, x,
+         CAST(SUM(x) OVER () // COUNT(*) OVER () * 9 // 10 AS BIGINT) AS drain,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t
+  FROM daily
+),
+bl AS (
+  SELECT d, t, x, drain,
+         SUM(x - drain) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s
+  FROM cal
+),
+bb AS (
+  SELECT t, x, drain,
+         CAST(s - LEAST(MIN(s) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 0)
+              AS BIGINT) AS backlog
+  FROM bl
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS total_bytes,
+         CAST(MAX(drain) AS BIGINT) AS drain_per_day,
+         CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+         CAST(MAX_BY(backlog, t) AS BIGINT) AS final_backlog,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         CAST(SUM(CAST(t AS HUGEINT) * backlog) AS HUGEINT) AS stb,
+         CAST(SUM(backlog) AS HUGEINT) AS sb,
+         CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(COUNT(*) AS HUGEINT) AS nh
+  FROM bb
+)
+SELECT n_days, total_bytes, drain_per_day, peak_backlog, final_backlog,
+       CAST((nh * stb - st * sb) * 1000000
+            // (nh * stt - st * st) AS BIGINT) AS slope_e6,
+       CAST(drain_per_day * 20 AS BIGINT) AS capacity_bytes,
+       CASE WHEN (nh * stb - st * sb) * 1000000 // (nh * stt - st * st) > 0
+            THEN CAST(GREATEST(drain_per_day * 20 - final_backlog, 0) * 1000000
+                 // ((nh * stb - st * sb) * 1000000 // (nh * stt - st * st))
+                 AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS days_to_breach
+FROM agg
+"""
+
+QUERIES["cdc_slot_retention_forecast"] = cdc_slot_retention_forecast
+ORACLE["cdc_slot_retention_forecast"] = SLOT_RETENTION_SQL

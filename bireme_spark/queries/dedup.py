@@ -1006,3 +1006,100 @@ ORDER BY rows_r, bands_b
 
 QUERIES["dedup_lsh_tuning"] = dedup_lsh_tuning
 ORACLE["dedup_lsh_tuning"] = _lsh_tuning_sql()
+
+
+
+# ---------------------------------------------------------------------------
+# corpus_dedup_cluster_sizes — duplicate-cluster size distribution audit
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def corpus_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the audit a dedup run
+    reports before anyone deletes anything: how much of the corpus
+    sits in clusters of 2, of 4, in the single largest cluster, and
+    how many docs deduplication would actually remove (Σ(size−1)).
+    Web-scale corpora are dominated by a heavy duplicate tail;
+    training-mix decisions (hard-dedup vs soft-downweight, see
+    corpus_soft_dedup_weight) hinge on exactly this histogram.
+
+    Fixture plants a known cluster structure (stride-proof % keys,
+    r9 rule): every doc_id % 50 == 0 gains one clone and every
+    doc_id % 200 == 0 two more — sizes {1, 2, 4} with exact
+    expected masses at every SF.
+
+    Engine-exact: pure integer counts; corpus shares as integer ppm
+    via DIV. Scale: one shuffle on the content hash (md5 — never the
+    raw text) to cluster sizes, then a |distinct sizes|-row histogram;
+    removable/ppm math on that tiny frame."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        d.unionAll(
+            d.where(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % 200 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % 200 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    clusters = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    hist = clusters.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        hist.withColumn("n_docs", (F.col("size") * F.col("n_clusters")).cast("bigint"))
+        .withColumn("corpus_docs", F.sum("n_docs").over(wall).cast("bigint"))
+        .select(
+            F.col("size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV corpus_docs AS BIGINT)").alias("docs_ppm"),
+            F.expr("CAST((size - 1) * n_clusters AS BIGINT)").alias("removable_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 200 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 200 = 0
+),
+clusters AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS size
+  FROM corpus GROUP BY 1
+),
+hist AS (
+  SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM clusters GROUP BY 1
+)
+SELECT CAST(size AS BIGINT) AS cluster_size,
+       n_clusters,
+       CAST(size * n_clusters AS BIGINT) AS n_docs,
+       CAST(size * n_clusters * 1000000
+            // (SELECT SUM(size * n_clusters) FROM hist) AS BIGINT) AS docs_ppm,
+       CAST((size - 1) * n_clusters AS BIGINT) AS removable_docs
+FROM hist
+ORDER BY cluster_size
+"""
+
+QUERIES["corpus_dedup_cluster_sizes"] = corpus_dedup_cluster_sizes
+ORACLE["corpus_dedup_cluster_sizes"] = DEDUP_CLUSTER_SIZES_SQL

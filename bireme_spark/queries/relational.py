@@ -8448,3 +8448,180 @@ ORDER BY l_returnflag
 
 QUERIES["lineitem_partial_correlation"] = lineitem_partial_correlation
 ORACLE["lineitem_partial_correlation"] = PARTIAL_CORR_SQL
+
+
+
+# ---------------------------------------------------------------------------
+# lineitem_heteroskedasticity_bp — Breusch-Pagan LM test on the price~qty
+# OLS residuals (round 10)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_heteroskedasticity_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity screen on the net-revenue-
+    vs-discount regression (the diagnostic that tells you whether
+    plain OLS standard errors can be trusted, and
+    lineitem_clustered_se is needed): fit y=a+bx by OLS, regress the
+    squared residuals on x, LM = n*R²_aux ~ χ²(1). With
+    y = round(price*(1-disc), 2), the residual variance is
+    (1-z)²·var(price) — it SHRINKS with discount by construction
+    (LM ≈ 298 already at sf0.01, n-proportional), so the test fires
+    at every tier — real structure, not a null placeholder (the
+    price~qty pair is independent on this fixture; probed first,
+    r9 rule).
+
+    Engine-exact: stage 1 emits FLOOR-quantized integer coefficients
+    (b_e6 cents/unit, a_e6 cents — trunc-DIV on both engines,
+    negatives safe), broadcast back; each residual e_e6 = y*1e6 -
+    a_e6 - b_e6*x is then EXACT integer arithmetic, squared in
+    DECIMAL(38,0) and DIV-1e12 requantized to cents² before the aux
+    sums (the per-group S² DIV n discipline — no order-dependent
+    float anywhere). The aux R² closes on individually-double-cast
+    sums, identical shape both engines, FLOOR-e6 emission (ROUND-tie
+    immune). The χ² compare uses CAST(3.841 AS DOUBLE) (bare-literal
+    rule).
+
+    Scale: two data passes (stats agg, then residual agg with the
+    1-row model broadcast-joined); Σu² ≈ n·cents⁴ holds in
+    DECIMAL(38,0) through ~sf100; beyond, DIV-k downscale u in-plan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("x"),
+        F.expr(
+            "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)"
+            " * 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    x38 = F.expr("CAST(x AS DECIMAL(38,0))")
+    y38 = F.expr("CAST(y AS DECIMAL(38,0))")
+    s1 = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x38).cast(d38).alias("sx"),
+        F.sum(y38).cast(d38).alias("sy"),
+        F.sum(x38 * x38).cast(d38).alias("sxx"),
+        F.sum(x38 * y38).cast(d38).alias("sxy"),
+    ).select(
+        "n",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000 DIV (n * sxx - sx * sx)"
+            " AS DECIMAL(38,0))"
+        ).alias("b_e6"),
+        "sx",
+        "sy",
+    ).select(
+        "n",
+        "b_e6",
+        F.expr("CAST((sy * 1000000 - b_e6 * sx) DIV n AS DECIMAL(38,0))").alias("a_e6"),
+    )
+    r = li.crossJoin(F.broadcast(s1)).select(
+        "n",
+        "b_e6",
+        "a_e6",
+        F.expr("CAST(x AS DECIMAL(38,0))").alias("xd"),
+        F.expr(
+            "CAST(y AS DECIMAL(38,0)) * 1000000 - a_e6"
+            " - b_e6 * CAST(x AS DECIMAL(38,0))"
+        ).alias("e_e6"),
+    ).select(
+        "n",
+        "b_e6",
+        "a_e6",
+        "xd",
+        F.expr("CAST(e_e6 * e_e6 DIV 1000000000000 AS DECIMAL(38,0))").alias("u"),
+    )
+    aux = r.groupBy("n", "b_e6", "a_e6").agg(
+        F.sum("xd").cast(d38).alias("sx"),
+        F.sum("u").cast(d38).alias("su"),
+        F.sum(F.expr("xd * xd")).cast(d38).alias("sxx"),
+        F.sum(F.expr("xd * u")).cast(d38).alias("sxu"),
+        F.sum(F.expr("u * u")).cast(d38).alias("suu"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    su = F.col("su").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxu = F.col("sxu").cast("double")
+    suu = F.col("suu").cast("double")
+    cov = n * sxu - sx * su
+    vx = n * sxx - sx * sx
+    vu = n * suu - su * su
+    r2 = (cov * cov) / (vx * vu)
+    return aux.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(b_e6 AS BIGINT)").alias("b_e6"),
+        F.expr("CAST(a_e6 AS BIGINT)").alias("a_e6"),
+        F.floor(r2 * F.lit(1000000.0)).cast("bigint").alias("r2_aux_e6"),
+        F.floor(n * r2 * F.lit(1000000.0)).cast("bigint").alias("lm_e6"),
+        (n * r2 > F.expr("CAST(3.841 AS DOUBLE)")).alias("heteroskedastic_5pct"),
+    )
+
+
+BP_HETERO_SQL = """
+WITH li AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         -- ROUND, not CAST: DuckDB's decimal->decimal CAST truncates
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)
+              * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+s1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM li
+),
+coef AS (
+  SELECT n,
+         (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS b_e6,
+         sx, sy
+  FROM s1
+),
+coef2 AS (
+  SELECT n, b_e6, (sy * 1000000 - b_e6 * sx) // n AS a_e6 FROM coef
+),
+res AS (
+  SELECT c.n, c.b_e6, c.a_e6,
+         CAST(l.x AS HUGEINT) AS xd,
+         (CAST(l.y AS HUGEINT) * 1000000 - c.a_e6 - c.b_e6 * l.x)
+           * (CAST(l.y AS HUGEINT) * 1000000 - c.a_e6 - c.b_e6 * l.x)
+           // 1000000000000 AS u
+  FROM li l CROSS JOIN coef2 c
+),
+aux AS (
+  SELECT n, b_e6, a_e6,
+         CAST(SUM(xd) AS HUGEINT) AS sx,
+         CAST(SUM(u) AS HUGEINT) AS su,
+         CAST(SUM(xd * xd) AS HUGEINT) AS sxx,
+         CAST(SUM(xd * u) AS HUGEINT) AS sxu,
+         CAST(SUM(u * u) AS HUGEINT) AS suu
+  FROM res GROUP BY 1, 2, 3
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(b_e6 AS BIGINT) AS b_e6,
+       CAST(a_e6 AS BIGINT) AS a_e6,
+       CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE)))
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS r2_aux_e6,
+       CAST(FLOOR(CAST(n AS DOUBLE)
+                  * ((CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE)))
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lm_e6,
+       CAST(n AS DOUBLE)
+         * ((CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE)))
+         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))
+         > CAST(3.841 AS DOUBLE) AS heteroskedastic_5pct
+FROM aux
+"""
+
+QUERIES["lineitem_heteroskedasticity_bp"] = lineitem_heteroskedasticity_bp
+ORACLE["lineitem_heteroskedasticity_bp"] = BP_HETERO_SQL

@@ -98,6 +98,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_poisson_regression",
         "lineitem_partial_correlation",
         "multimodal_audio_clipping",
+        "cdc_slot_retention_forecast",
+        "lineitem_heteroskedasticity_bp",
+        "corpus_dedup_cluster_sizes",
     }
 )
 

@@ -966,3 +966,103 @@ class TestAudioClipping:
             assert row["n_clipped"] == sum(clipped)
             assert row["clip_ppm"] == sum(clipped) * 1_000_000 // n
             assert row["max_clip_run"] == max_run
+
+
+
+class TestSlotRetentionForecast:
+    def test_lindley_backlog_and_breach_match_pandas(self, spark, sf_dir):
+        from bireme_spark.queries.cdc import cdc_slot_retention_forecast
+
+        r = cdc_slot_retention_forecast(spark, sf_dir).collect()[0]
+        ev = _pq("events")
+        days = ev["ts"].dt.floor("D")
+        daily = (ev["props"].str.len() + 16).groupby(days).sum().sort_index()
+        x = daily.to_numpy().astype(np.int64)
+        assert r.n_days == len(x)
+        assert r.total_bytes == int(x.sum())
+        drain = int(x.sum()) // len(x) * 9 // 10
+        assert r.drain_per_day == drain
+        # Lindley recursion, sequentially
+        b = 0
+        peaks = []
+        for v in x:
+            b = max(0, b + int(v) - drain)
+            peaks.append(b)
+        assert r.final_backlog == peaks[-1]
+        assert r.peak_backlog == max(peaks)
+        # slope: integer OLS over the backlog series
+        t = np.arange(len(peaks), dtype=object)
+        bb = np.array(peaks, dtype=object)
+        n = len(peaks)
+        num = (n * int((t * bb).sum()) - int(t.sum()) * int(bb.sum())) * 1_000_000
+        den = n * int((t * t).sum()) - int(t.sum()) ** 2
+        slope = num // den if (num >= 0) == (den >= 0) else -((-num) // den)
+        assert r.slope_e6 == slope
+        assert r.capacity_bytes == drain * 20
+        if slope > 0:
+            assert r.days_to_breach == max(drain * 20 - peaks[-1], 0) * 1_000_000 // slope
+            # a 10%-of-drain growth rate must breach within the
+            # capacity horizon's order of magnitude
+            assert 0 <= r.days_to_breach < 10_000
+        else:
+            assert r.days_to_breach == -1
+
+
+class TestBreuschPagan:
+    def test_lm_matches_numpy_and_fires_on_planted_structure(self, spark, sf_dir):
+        """revenue = price*(1-disc) ⇒ residual variance shrinks with
+        discount ⇒ BP must reject homoskedasticity. Recompute the
+        whole statistic in numpy from the quantized coefficients
+        (trunc-div, matching both engines' DIV semantics)."""
+        from bireme_spark.queries.relational import lineitem_heteroskedasticity_bp
+
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        r = lineitem_heteroskedasticity_bp(spark, sf_dir).collect()[0]
+        li = _pq("lineitem")
+        x = (li["l_discount"].round(2) * 100).round().astype("int64").to_numpy()
+        pc = (li["l_extendedprice"].round(2) * 100).round().astype("int64").to_numpy()
+        # exact half-up cents: price_cents*(100-z) is an exact 1e4-scale
+        # integer; pandas .round is half-even and splits the .xx5 ties
+        y = (pc.astype(object) * (100 - x.astype(object)) + 50) // 100
+        y = np.array([int(v) for v in y], dtype="int64")
+        n = len(x)
+        assert r.n == n
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x.astype(object) * x).sum())
+        sxy = int((x.astype(object) * y).sum())
+        b_e6 = tdiv((n * sxy - sx * sy) * 1_000_000, (n * sxx - sx * sx))
+        assert r.b_e6 == b_e6
+        a_e6 = tdiv(sy * 1_000_000 - b_e6 * sx, n)
+        assert r.a_e6 == a_e6
+        e = y.astype(object) * 1_000_000 - a_e6 - b_e6 * x.astype(object)
+        u = np.array([int(v) * int(v) // 10**12 for v in e], dtype=float)
+        xf = x.astype(float)
+        c = np.corrcoef(xf, u)[0, 1]
+        lm = n * c * c
+        assert abs(r.r2_aux_e6 / 1e6 - c * c) < 1e-4
+        assert abs(r.lm_e6 / 1e6 - lm) / max(lm, 1.0) < 1e-3
+        assert bool(r.heteroskedastic_5pct) == (lm > 3.841)
+        assert bool(r.heteroskedastic_5pct)  # planted structure fires
+
+
+class TestDedupClusterSizes:
+    def test_planted_cluster_structure_exact(self, spark, sf_dir):
+        from bireme_spark.queries.dedup import corpus_dedup_cluster_sizes
+
+        df = corpus_dedup_cluster_sizes(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        ids = docs["doc_id"].to_numpy()
+        n200 = int((ids % 200 == 0).sum())
+        n50 = int((ids % 50 == 0).sum()) - n200
+        n1 = len(ids) - n50 - n200
+        expect = {1: n1, 2: n50, 4: n200}
+        got = dict(zip(df["cluster_size"], df["n_clusters"]))
+        assert got == {k: v for k, v in expect.items() if v}
+        total = int(df["n_docs"].sum())
+        assert total == n1 + 2 * n50 + 4 * n200
+        for rec in df.itertuples():
+            assert rec.docs_ppm == rec.n_docs * 1_000_000 // total
+            assert rec.removable_docs == (rec.cluster_size - 1) * rec.n_clusters
