@@ -336,6 +336,9 @@ HEADLINE = [
     "cdc_slot_retention_forecast",
     "lineitem_heteroskedasticity_bp",
     "corpus_dedup_cluster_sizes",
+    "cdc_transaction_size_distribution",
+    "lineitem_cusum_of_squares",
+    "corpus_context_length_budget",
 ]
 
 

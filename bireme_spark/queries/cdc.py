@@ -4192,3 +4192,115 @@ FROM agg
 
 QUERIES["cdc_slot_retention_forecast"] = cdc_slot_retention_forecast
 ORACLE["cdc_slot_retention_forecast"] = SLOT_RETENTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_transaction_size_distribution — change-batch size profile
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def cdc_transaction_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-size profile of the change feed — the audit that
+    answers "will one jumbo transaction blow the sync's batch memory"
+    before it does (the reference applies whole transactions
+    atomically, cdc_txn_boundary_apply; its RowSet pooling assumes
+    bounded batches — studied, not copied). Each source entity's
+    orders form one logical transaction (per-entity batching, sizes
+    1..~30 at every SF), profiled as: count, total changes, mean,
+    p50/p95/p99 via the histogram-CDF house pattern (never an ntile
+    global sort), max, and the jumbo share (size >= 2*p95) in both
+    transaction and change units.
+
+    Engine-exact: pure integer counts; ceil-rank percentile
+    predicates are cross-multiplied integer compares (cum*100 >=
+    q*n); mean emitted as x1000 DIV. Scale: one shuffle to per-txn
+    sizes, a |distinct sizes|-row CDF window, one closing agg."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    sizes = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    hist = sizes.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcdf = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdf = (
+        hist.withColumn("cum", F.sum("c").over(wcdf).cast("bigint"))
+        .withColumn("n", F.sum("c").over(wall).cast("bigint"))
+        .withColumn("changes", F.sum(F.col("s") * F.col("c")).over(wall).cast("bigint"))
+    )
+    pct = cdf.agg(
+        F.max("n").cast("bigint").alias("n_txns"),
+        F.max("changes").cast("bigint").alias("n_changes"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 50, F.col("s"))).alias("p50"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 95, F.col("s"))).alias("p95"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("s"))).alias("p99"),
+        F.max("s").cast("bigint").alias("max_size"),
+    )
+    jumbo = (
+        sizes.crossJoin(F.broadcast(pct))
+        .agg(
+            F.max("n_txns").alias("n_txns"),
+            F.max("n_changes").alias("n_changes"),
+            F.max("p50").alias("p50"),
+            F.max("p95").alias("p95"),
+            F.max("p99").alias("p99"),
+            F.max("max_size").alias("max_size"),
+            F.sum(F.when(F.col("s") >= 2 * F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("jumbo_txns"),
+            F.sum(F.when(F.col("s") >= 2 * F.col("p95"), F.col("s")).otherwise(0))
+            .cast("bigint")
+            .alias("jumbo_changes"),
+        )
+    )
+    return jumbo.select(
+        "n_txns",
+        "n_changes",
+        F.expr("CAST(n_changes * 1000 DIV n_txns AS BIGINT)").alias("mean_x1000"),
+        F.col("p50").cast("bigint").alias("p50"),
+        F.col("p95").cast("bigint").alias("p95"),
+        F.col("p99").cast("bigint").alias("p99"),
+        "max_size",
+        "jumbo_txns",
+        F.expr("CAST(jumbo_changes * 1000000 DIV n_changes AS BIGINT)").alias(
+            "jumbo_changes_ppm"
+        ),
+    )
+
+
+CDC_TXN_SIZE_SQL = """
+WITH sizes AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS s FROM orders GROUP BY 1
+),
+hist AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM sizes GROUP BY 1
+),
+cdf AS (
+  SELECT s, c,
+         CAST(SUM(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n,
+         CAST(SUM(s * c) OVER () AS BIGINT) AS changes
+  FROM hist
+),
+pct AS (
+  SELECT MAX(n) AS n_txns, MAX(changes) AS n_changes,
+         MIN(CASE WHEN cum * 100 >= n * 50 THEN s END) AS p50,
+         MIN(CASE WHEN cum * 100 >= n * 95 THEN s END) AS p95,
+         MIN(CASE WHEN cum * 100 >= n * 99 THEN s END) AS p99,
+         MAX(s) AS max_size
+  FROM cdf
+)
+SELECT CAST(p.n_txns AS BIGINT) AS n_txns,
+       CAST(p.n_changes AS BIGINT) AS n_changes,
+       CAST(p.n_changes * 1000 // p.n_txns AS BIGINT) AS mean_x1000,
+       CAST(p.p50 AS BIGINT) AS p50,
+       CAST(p.p95 AS BIGINT) AS p95,
+       CAST(p.p99 AS BIGINT) AS p99,
+       CAST(p.max_size AS BIGINT) AS max_size,
+       CAST(SUM(CASE WHEN z.s >= 2 * p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS jumbo_txns,
+       CAST(SUM(CASE WHEN z.s >= 2 * p.p95 THEN z.s ELSE 0 END) * 1000000
+            // p.n_changes AS BIGINT) AS jumbo_changes_ppm
+FROM sizes z CROSS JOIN pct p
+GROUP BY p.n_txns, p.n_changes, p.p50, p.p95, p.p99, p.max_size
+"""
+
+QUERIES["cdc_transaction_size_distribution"] = cdc_transaction_size_distribution
+ORACLE["cdc_transaction_size_distribution"] = CDC_TXN_SIZE_SQL

@@ -1977,3 +1977,129 @@ ORDER BY r.b
 
 QUERIES["corpus_rejection_sampling"] = corpus_rejection_sampling
 ORACLE["corpus_rejection_sampling"] = CORPUS_REJECTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_context_length_budget — context-window utilization planning
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def corpus_context_length_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget planning — the table a pretraining run
+    reads before fixing max_seq_len: for candidate windows W, what
+    share of documents fits whole, what share of tokens survives
+    truncation at one-doc-per-sequence, how much of each sequence is
+    padding, and how many sequences packing-free training would
+    consume (Σ ceil(len/W)). Candidate windows are SELF-CALIBRATED
+    in-plan to the corpus (p50, 2·p50, 4·p50 of whitespace-token
+    lengths via the histogram-CDF house pattern) — fixed windows
+    calibrated at one SF would degenerate at another (r9 0-row
+    lesson; here the length distribution is SF-invariant so the
+    windows are too).
+
+    Engine-exact: pure integer token counts, ppm via DIV, ceil as
+    (len + W - 1) DIV W. Scale: one token-count scan, a |distinct
+    lengths|-row CDF, a 3-window × corpus broadcast join folded to 3
+    rows."""
+    from bireme_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents").select(
+        T.token_count(F.col("text")).cast("bigint").alias("len")
+    )
+    hist = d.groupBy("len").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcdf = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdf = hist.withColumn("cum", F.sum("c").over(wcdf).cast("bigint")).withColumn(
+        "n", F.sum("c").over(wall).cast("bigint")
+    )
+    p50 = cdf.agg(
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 50, F.col("len"))).alias("p50")
+    )
+    wins = p50.select(
+        F.explode(
+            F.array(F.col("p50"), F.col("p50") * 2, F.col("p50") * 4)
+        ).alias("window_tokens")
+    )
+    j = hist.crossJoin(F.broadcast(wins))
+    return (
+        j.groupBy("window_tokens")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.sum(F.col("len") * F.col("c")).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("len") <= F.col("window_tokens"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("docs_fitting"),
+            F.sum(F.least(F.col("len"), F.col("window_tokens")) * F.col("c"))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(
+                F.expr("(len + window_tokens - 1) DIV window_tokens * c")
+            )
+            .cast("bigint")
+            .alias("sequences_needed"),
+        )
+        .select(
+            F.col("window_tokens").cast("bigint").alias("window_tokens"),
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(docs_fitting * 1000000 DIV n_docs AS BIGINT)").alias(
+                "docs_fitting_ppm"
+            ),
+            F.expr("CAST(tokens_kept * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "tokens_kept_ppm"
+            ),
+            F.expr(
+                "CAST((n_docs * window_tokens - tokens_kept) * 1000000"
+                " DIV (n_docs * window_tokens) AS BIGINT)"
+            ).alias("padding_waste_ppm"),
+            "sequences_needed",
+        )
+        .orderBy("window_tokens")
+    )
+
+
+CONTEXT_BUDGET_SQL = """
+WITH lens AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents
+),
+hist AS (
+  SELECT len, CAST(COUNT(*) AS BIGINT) AS c FROM lens GROUP BY 1
+),
+cdf AS (
+  SELECT len, c,
+         CAST(SUM(c) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM hist
+),
+p AS (
+  SELECT MIN(CASE WHEN cum * 100 >= n * 50 THEN len END) AS p50 FROM cdf
+),
+wins AS (
+  SELECT p50 * m AS window_tokens FROM p, (VALUES (1), (2), (4)) v(m)
+),
+agg AS (
+  SELECT w.window_tokens,
+         CAST(SUM(h.c) AS BIGINT) AS n_docs,
+         CAST(SUM(h.len * h.c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN h.len <= w.window_tokens THEN h.c ELSE 0 END)
+              AS BIGINT) AS docs_fitting,
+         CAST(SUM(LEAST(h.len, w.window_tokens) * h.c) AS BIGINT) AS tokens_kept,
+         CAST(SUM((h.len + w.window_tokens - 1) // w.window_tokens * h.c)
+              AS BIGINT) AS sequences_needed
+  FROM hist h CROSS JOIN wins w
+  GROUP BY 1
+)
+SELECT CAST(window_tokens AS BIGINT) AS window_tokens,
+       n_docs, n_tokens,
+       CAST(docs_fitting * 1000000 // n_docs AS BIGINT) AS docs_fitting_ppm,
+       CAST(tokens_kept * 1000000 // n_tokens AS BIGINT) AS tokens_kept_ppm,
+       CAST((n_docs * window_tokens - tokens_kept) * 1000000
+            // (n_docs * window_tokens) AS BIGINT) AS padding_waste_ppm,
+       sequences_needed
+FROM agg
+ORDER BY window_tokens
+"""
+
+QUERIES["corpus_context_length_budget"] = corpus_context_length_budget
+ORACLE["corpus_context_length_budget"] = CONTEXT_BUDGET_SQL

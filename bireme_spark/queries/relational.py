@@ -8625,3 +8625,120 @@ FROM aux
 
 QUERIES["lineitem_heteroskedasticity_bp"] = lineitem_heteroskedasticity_bp
 ORACLE["lineitem_heteroskedasticity_bp"] = BP_HETERO_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_cusum_of_squares — variance-stability structural break test
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_cusum_of_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-squares structural-break test on the daily revenue
+    series (Brown–Durbin–Evans): C_t = Σ_{i<=t} x_i² / Σx² should
+    track t/T under variance stability; the statistic is
+    D = max_t |C_t − t/T| with the break located at the argmax. The
+    variance sibling of orders_cusum_control (which watches the
+    MEAN) — a fleet monitor alarms on this when a fat-tailed day mix
+    appears even though the mean holds.
+
+    Engine-exact: x_t is the exact daily cents sum; the deviation
+    C_t − t/T is the cross-multiplied integer C_t_num·T − t·C_T
+    (DECIMAL(38,0) — cents² cumulative ~2.4e21·T at sf1, n-bounded
+    headroom to ~sf100, DIV-k beyond); max and argmax are integer
+    compares (argmax tie → earliest day, an integer MIN). One
+    closing double division + the Brown critical compare
+    D·√T > CAST(1.358 AS DOUBLE) (bare-literal rule).
+
+    Scale: one day agg (span-bounded ~2500 rows), one ordered window
+    on that tiny frame, one closing agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("d"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    daily = li.groupBy("d").agg(F.sum("cents").cast("bigint").alias("x"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    x38 = F.expr("CAST(x AS DECIMAL(38,0))")
+    c = (
+        daily.withColumn("t", F.row_number().over(Window.orderBy("d")).cast("bigint"))
+        .withColumn("csq", F.sum(x38 * x38).over(wcum))
+        .withColumn("ctot", F.sum(x38 * x38).over(wall))
+        .withColumn("bigt", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn(
+            "dev",
+            F.expr("CAST(csq * bigt - CAST(t AS DECIMAL(38,0)) * ctot AS DECIMAL(38,0))"),
+        )
+        .withColumn("absdev", F.expr("CAST(ABS(dev) AS DECIMAL(38,0))"))
+    )
+    # one pass: the max deviation is a window over the (tiny) day
+    # frame, so locating the argmax needs no second lineitem scan
+    out = (
+        c.withColumn("mx", F.max("absdev").over(wall))
+        .where(F.col("absdev") == F.col("mx"))
+        .agg(
+            F.max("bigt").alias("bigt"),
+            F.max("ctot").alias("ctot"),
+            F.max("absdev").alias("maxdev"),
+            F.min("d").alias("break_day"),
+            F.min("t").cast("bigint").alias("break_t"),
+        )
+    )
+    d_stat = F.expr(
+        "CAST(maxdev AS DOUBLE) / (CAST(ctot AS DOUBLE) * CAST(bigt AS DOUBLE))"
+    )
+    return out.select(
+        F.col("bigt").cast("bigint").alias("n_days"),
+        F.date_format("break_day", "yyyy-MM-dd").alias("break_day"),
+        "break_t",
+        F.floor(d_stat * F.lit(1000000.0)).cast("bigint").alias("d_stat_e6"),
+        (
+            d_stat * F.sqrt(F.col("bigt").cast("double"))
+            > F.expr("CAST(1.358 AS DOUBLE)")
+        ).alias("variance_break_5pct"),
+    )
+
+
+CUSUM_SQUARES_SQL = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT d,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+         SUM(CAST(x AS HUGEINT) * x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS csq,
+         SUM(CAST(x AS HUGEINT) * x) OVER () AS ctot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS bigt
+  FROM daily
+),
+cd AS (
+  SELECT d, t, csq, ctot, bigt,
+         ABS(csq * bigt - CAST(t AS HUGEINT) * ctot) AS absdev
+  FROM c
+),
+mx AS (
+  SELECT *, MAX(absdev) OVER () AS mx FROM cd
+),
+agg AS (
+  SELECT MAX(bigt) AS bigt, MAX(ctot) AS ctot, MAX(absdev) AS maxdev,
+         MIN(d) AS break_day, CAST(MIN(t) AS BIGINT) AS break_t
+  FROM mx WHERE absdev = mx
+)
+SELECT CAST(a.bigt AS BIGINT) AS n_days,
+       strftime(a.break_day, '%Y-%m-%d') AS break_day,
+       a.break_t,
+       CAST(FLOOR(CAST(a.maxdev AS DOUBLE)
+                  / (CAST(a.ctot AS DOUBLE) * CAST(a.bigt AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS d_stat_e6,
+       CAST(a.maxdev AS DOUBLE) / (CAST(a.ctot AS DOUBLE) * CAST(a.bigt AS DOUBLE))
+         * SQRT(CAST(a.bigt AS DOUBLE)) > CAST(1.358 AS DOUBLE) AS variance_break_5pct
+FROM agg a
+"""
+
+QUERIES["lineitem_cusum_of_squares"] = lineitem_cusum_of_squares
+ORACLE["lineitem_cusum_of_squares"] = CUSUM_SQUARES_SQL

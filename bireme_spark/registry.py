@@ -101,6 +101,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "cdc_slot_retention_forecast",
         "lineitem_heteroskedasticity_bp",
         "corpus_dedup_cluster_sizes",
+        "cdc_transaction_size_distribution",
+        "lineitem_cusum_of_squares",
+        "corpus_context_length_budget",
     }
 )
 

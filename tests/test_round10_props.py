@@ -1066,3 +1066,74 @@ class TestDedupClusterSizes:
         for rec in df.itertuples():
             assert rec.docs_ppm == rec.n_docs * 1_000_000 // total
             assert rec.removable_docs == (rec.cluster_size - 1) * rec.n_clusters
+
+
+class TestTxnSizeDistribution:
+    def test_percentiles_and_jumbo_match_pandas(self, spark, sf_dir):
+        from bireme_spark.queries.cdc import cdc_transaction_size_distribution
+
+        r = cdc_transaction_size_distribution(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        sizes = o.groupby("o_custkey").size().to_numpy()
+        n = len(sizes)
+        assert r.n_txns == n
+        assert r.n_changes == len(o)
+        assert r.mean_x1000 == len(o) * 1000 // n
+        s = np.sort(sizes)
+        for q, got in ((50, r.p50), (95, r.p95), (99, r.p99)):
+            pos = (n * q + 99) // 100  # ceil rank
+            assert got == s[pos - 1], (q, got, s[pos - 1])
+        assert r.max_size == s[-1]
+        jumbo = sizes[sizes >= 2 * r.p95]
+        assert r.jumbo_txns == len(jumbo)
+        assert r.jumbo_changes_ppm == int(jumbo.sum()) * 1_000_000 // len(o)
+
+
+class TestCusumOfSquares:
+    def test_statistic_matches_pandas_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import lineitem_cusum_of_squares
+
+        r = lineitem_cusum_of_squares(spark, sf_dir).collect()[0]
+        li = _pq("lineitem")
+        cents = (li["l_extendedprice"].round(2) * 100).round().astype("int64")
+        daily = cents.groupby(li["l_shipdate"].dt.floor("D")).sum().sort_index()
+        x = daily.to_numpy().astype(object)
+        T = len(x)
+        assert r.n_days == T
+        sq = np.cumsum(x * x)
+        tot = int(sq[-1])
+        dev = [abs(int(sq[t]) * T - (t + 1) * tot) for t in range(T)]
+        mx = max(dev)
+        k = dev.index(mx)
+        assert r.break_t == k + 1
+        assert r.break_day == daily.index[k].strftime("%Y-%m-%d")
+        d_stat = mx / (tot * T)
+        assert abs(r.d_stat_e6 / 1e6 - d_stat) < 2e-6
+        # homogeneous synthetic revenue: no variance break expected,
+        # but assert the flag is CONSISTENT with the statistic either way
+        assert bool(r.variance_break_5pct) == (d_stat * np.sqrt(T) > 1.358)
+
+
+class TestContextLengthBudget:
+    def test_budget_math_matches_pandas(self, spark, sf_dir):
+        from bireme_spark.queries.corpus import corpus_context_length_budget
+
+        df = corpus_context_length_budget(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        lens = docs["text"].str.split(" ").str.len().to_numpy().astype("int64")
+        n = len(lens)
+        s = np.sort(lens)
+        p50 = s[(n * 50 + 99) // 100 - 1]
+        assert list(df["window_tokens"]) == [p50, 2 * p50, 4 * p50]
+        for rec in df.itertuples():
+            w = rec.window_tokens
+            assert rec.n_docs == n
+            assert rec.n_tokens == int(lens.sum())
+            assert rec.docs_fitting_ppm == int((lens <= w).sum()) * 1_000_000 // n
+            kept = np.minimum(lens, w).sum()
+            assert rec.tokens_kept_ppm == int(kept) * 1_000_000 // int(lens.sum())
+            assert rec.padding_waste_ppm == (n * w - int(kept)) * 1_000_000 // (n * w)
+            assert rec.sequences_needed == int(((lens + w - 1) // w).sum())
+        # wider windows keep more tokens but waste more padding
+        assert df["tokens_kept_ppm"].is_monotonic_increasing
+        assert df["padding_waste_ppm"].is_monotonic_increasing
