@@ -339,6 +339,9 @@ HEADLINE = [
     "cdc_transaction_size_distribution",
     "lineitem_cusum_of_squares",
     "corpus_context_length_budget",
+    "cdc_ordering_violation_detector",
+    "orders_price_heaping_audit",
+    "multimodal_stereo_balance",
 ]
 
 

@@ -4304,3 +4304,114 @@ GROUP BY p.n_txns, p.n_changes, p.p50, p.p95, p.p99, p.max_size
 
 QUERIES["cdc_transaction_size_distribution"] = cdc_transaction_size_distribution
 ORACLE["cdc_transaction_size_distribution"] = CDC_TXN_SIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_ordering_violation_detector — late/out-of-order delivery audit
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def cdc_ordering_violation_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order delivery audit per Kafka partition: a change is an
+    ordering violation when it arrives (offset/seq order) with a
+    produce time EARLIER than something already seen for the same key
+    — exactly the condition that makes last-write-wins compaction
+    (cdc_compact's max_by on produce_time, seq) disagree with naive
+    replace-on-arrival, and the reason the reference orders batches
+    before applying them (RowBatchMerger semantics — studied, not
+    copied). Fixture plants violations: keys with key % 7 == 0 get
+    their INSERT/UPDATE seqs SWAPPED (the late-arriving-insert race),
+    so the true violation set is the %21 residue (keys that have
+    both ops), predicted exactly by the oracle.
+
+    Engine-exact: all integer ms/seq arithmetic; lateness is
+    prev-running-max minus produce time over a strictly-preceding
+    ROWS frame. Scale: one window keyed by (partition, key) — the
+    stream's natural key — then a per-partition rollup; no skew by
+    construction, no Python."""
+    ch = build_changelog(spark, sf_dir)
+    k = F.col("key").cast("bigint")
+    seq2 = (
+        F.when((k % 7 == 0) & (F.col("op") == "I"), k * 10 + 2)
+        .when((k % 7 == 0) & (F.col("op") == "U"), k * 10 + 1)
+        .otherwise(F.col("seq"))
+    )
+    w = (
+        Window.partitionBy("kafka_partition", "key")
+        .orderBy("seq2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        ch.withColumn("seq2", seq2)
+        .withColumn("prev_max_ms", F.max("produce_time_ms").over(w))
+        .withColumn(
+            "late_ms",
+            F.when(
+                F.col("prev_max_ms") > F.col("produce_time_ms"),
+                F.col("prev_max_ms") - F.col("produce_time_ms"),
+            ).otherwise(0),
+        )
+    )
+    return (
+        flagged.groupBy("kafka_partition")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+            F.countDistinct("key").cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("violations"),
+            F.countDistinct(F.when(F.col("late_ms") > 0, F.col("key")))
+            .cast("bigint")
+            .alias("violated_keys"),
+            F.max("late_ms").cast("bigint").alias("max_lateness_ms"),
+        )
+        .select(
+            F.col("kafka_partition").cast("int").alias("kafka_partition"),
+            "n_changes",
+            "n_keys",
+            "violations",
+            "violated_keys",
+            F.expr("CAST(violations * 1000000 DIV n_changes AS BIGINT)").alias(
+                "violation_ppm"
+            ),
+            "max_lateness_ms",
+        )
+        .orderBy("kafka_partition")
+    )
+
+
+CDC_ORDERING_SQL = f"""
+WITH {CHANGELOG_SQL.strip().removeprefix('"').strip()},
+s2 AS (
+  SELECT kafka_partition, key, op, produce_time_ms,
+         CASE WHEN CAST(key AS BIGINT) % 7 = 0 AND op = 'I'
+                THEN CAST(key AS BIGINT) * 10 + 2
+              WHEN CAST(key AS BIGINT) % 7 = 0 AND op = 'U'
+                THEN CAST(key AS BIGINT) * 10 + 1
+              ELSE seq END AS seq2
+  FROM changelog
+),
+fl AS (
+  SELECT kafka_partition, key, produce_time_ms,
+         GREATEST(COALESCE(MAX(produce_time_ms) OVER (
+             PARTITION BY kafka_partition, key ORDER BY seq2
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           - produce_time_ms, 0) AS late_ms
+  FROM s2
+)
+SELECT CAST(kafka_partition AS INTEGER) AS kafka_partition,
+       CAST(COUNT(*) AS BIGINT) AS n_changes,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       CAST(COUNT(DISTINCT CASE WHEN late_ms > 0 THEN key END) AS BIGINT) AS violated_keys,
+       CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS violation_ppm,
+       CAST(MAX(late_ms) AS BIGINT) AS max_lateness_ms
+FROM fl
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["cdc_ordering_violation_detector"] = cdc_ordering_violation_detector
+ORACLE["cdc_ordering_violation_detector"] = CDC_ORDERING_SQL

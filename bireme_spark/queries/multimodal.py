@@ -2207,3 +2207,149 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_audio_clipping"] = multimodal_audio_clipping
 ORACLE["multimodal_audio_clipping"] = MULTIMODAL_CLIPPING_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_stereo_balance — stereo channel balance / correlation screen
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_stereo_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo channel screen on 2-channel WAV fixtures (s = doc_id %
+    64): per clip the L/R energy balance (integer ppm of total energy
+    in the left channel), the dominant channel, and the sign of the
+    inter-channel zero-lag cross-correlation (in-phase vs anti-phase
+    — dual-mono uploads show balance ≈ 500000 with positive
+    correlation; a wiring fault shows anti-phase). This is the FIRST
+    query through the codec's n_channels=2 interleaved path — encode
+    and decode of stereo framing (block align, per-frame
+    interleaving) land on the hash gate here.
+
+    Fixture plants both phase classes: L_i = tone, R_i = tone shifted
+    by a per-class gain twist, NEGATED for s % 3 == 0 (anti-phase
+    plant). FULLY INTEGER: energies and the cross-product are exact
+    integer sums; balance is ppm DIV; correlation is emitted as its
+    SIGN (-1/0/1) — no float anywhere.
+
+    Scale shape: ONE fused mapInPandas pass, 64-class memoization,
+    64-row rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def stereo(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, tuple[int, int, int, int]] = {}
+
+        def klass(s: int) -> tuple[int, int, int, int]:
+            if s in cache:
+                return cache[s]
+            n = 32 + (s * 5) % 24
+            left = [((s * 11 + i * 23) % 2001) - 1000 for i in range(n)]
+            gain = 1 + s % 4
+            sign = -1 if s % 3 == 0 else 1
+
+            def tdiv4(a: int) -> int:
+                # trunc-toward-zero like SQL // — Python // floors
+                q = abs(a) // 4
+                return q if a >= 0 else -q
+
+            right = [sign * tdiv4(v * gain) for v in left]
+            inter = []
+            for a, b in zip(left, right):
+                inter.extend((a, b))
+            rate, nch, back = decode_wav(encode_wav(8000, inter, n_channels=2))
+            assert nch == 2
+            lb, rb = back[0::2], back[1::2]
+            el = sum(v * v for v in lb)
+            er = sum(v * v for v in rb)
+            xc = sum(a * b for a, b in zip(lb, rb))
+            bal = el * 1_000_000 // (el + er)
+            cache[s] = (len(lb), bal, (xc > 0) - (xc < 0), 1 if el >= er else 0)
+            return cache[s]
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "left_energy_ppm": [],
+                "corr_sign": [],
+                "left_dominant": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf, bal, cs, ld = klass(doc_id % 64)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["left_energy_ppm"].append(bal)
+                out["corr_sign"].append(cs)
+                out["left_dominant"].append(ld)
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        stereo,
+        schema=(
+            "doc_id long, n_frames long, left_energy_ppm long,"
+            " corr_sign long, left_dominant long"
+        ),
+    )
+    return (
+        scored.groupBy((F.col("doc_id") % 64).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.first("n_frames").cast("bigint").alias("n_frames"),
+            F.first("left_energy_ppm").cast("bigint").alias("left_energy_ppm"),
+            F.first("corr_sign").cast("bigint").alias("corr_sign"),
+            F.first("left_dominant").cast("bigint").alias("left_dominant"),
+        )
+        .select(
+            "canonical_doc", "n_clips", "n_frames", "left_energy_ppm",
+            "corr_sign", "left_dominant",
+        )
+        .orderBy("canonical_doc")
+    )
+
+
+MULTIMODAL_STEREO_SQL = """
+WITH samp AS (
+  SELECT s, i,
+         ((s * 11 + i * 23) % 2001) - 1000 AS l
+  FROM generate_series(0, 63) ts(s), generate_series(0, 55) ti(i)
+  WHERE i < 32 + (s * 5) % 24
+),
+ch AS (
+  SELECT s, i, l,
+         CASE WHEN s % 3 = 0
+              THEN -((l * (1 + s % 4)) // 4)
+              ELSE (l * (1 + s % 4)) // 4 END AS r
+  FROM samp
+),
+per AS (
+  SELECT s,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(CAST(l AS HUGEINT) * l) * 1000000
+              // (SUM(CAST(l AS HUGEINT) * l) + SUM(CAST(r AS HUGEINT) * r))
+              AS BIGINT) AS left_energy_ppm,
+         CAST(SIGN(SUM(CAST(l AS HUGEINT) * r)) AS BIGINT) AS corr_sign,
+         CAST(CASE WHEN SUM(CAST(l AS HUGEINT) * l) >= SUM(CAST(r AS HUGEINT) * r)
+                   THEN 1 ELSE 0 END AS BIGINT) AS left_dominant
+  FROM ch GROUP BY 1
+),
+cls AS (
+  SELECT doc_id % 64 AS s, CAST(COUNT(*) AS BIGINT) AS n_clips,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT canonical_doc, n_clips, n_frames, left_energy_ppm, corr_sign, left_dominant
+FROM cls JOIN per USING (s)
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_stereo_balance"] = multimodal_stereo_balance
+ORACLE["multimodal_stereo_balance"] = MULTIMODAL_STEREO_SQL

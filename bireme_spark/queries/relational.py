@@ -8742,3 +8742,129 @@ FROM agg a
 
 QUERIES["lineitem_cusum_of_squares"] = lineitem_cusum_of_squares
 ORACLE["lineitem_cusum_of_squares"] = CUSUM_SQUARES_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_price_heaping_audit — last-two-digit heaping / digit-preference
+# test (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_price_heaping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-preference (heaping) audit on the cents digits of order
+    totals — the forensic sibling of orders_benford_audit: human-
+    entered or post-processed amounts heap on round numbers (.00,
+    .50), which a uniformity χ²(99) over the last two digits exposes
+    even when first digits look Benford-clean. Two segments are
+    audited side by side: the ORGANIC feed, and a PLANTED segment
+    (orders with key % 10 == 0, amounts rounded to whole dollars
+    in-plan) where the test must fire — the audit demonstrates its
+    own power on data that can expose it (r10 quality_classifier
+    lesson: a screen whose input can never trip it is untested).
+
+    Engine-exact: integer digit-pair counts; χ² = Σ(o_i−e)²/e as the
+    integer Σ(100·o_i−n)² DIV'd once into a FLOOR-e6 emission —
+    cross-multiplied so no per-cell float; the df=99 critical value
+    rides CAST(123.225 AS DOUBLE). Scale: one conditional agg to
+    ≤200 (segment, digit-pair) cells, χ² on that tiny frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        (F.col("o_orderkey") % 10 == 0).alias("plantable"),
+    )
+    seg = o.select(
+        F.lit("organic").alias("segment"), (F.col("cents") % 100).alias("d2")
+    ).unionAll(
+        o.where("plantable").select(
+            F.lit("planted_rounded").alias("segment"),
+            F.expr("CAST((cents DIV 100) * 100 AS BIGINT) % 100").alias("d2"),
+        )
+    )
+    cells = seg.groupBy("segment", "d2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    wseg = Window.partitionBy("segment")
+    c = (
+        cells.withColumn("n", F.sum("o").over(wseg).cast("bigint"))
+        .withColumn("mxo", F.max("o").over(wseg).cast("bigint"))
+    )
+    agg = c.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("digit_pairs_seen"),
+        F.sum(
+            F.expr(
+                "CAST(100 * o - n AS DECIMAL(38,0)) * CAST(100 * o - n AS DECIMAL(38,0))"
+            )
+        ).alias("ssq"),
+        # deterministic tie-break: smallest digit pair among the modes
+        # (max_by ties are engine/shuffle-order dependent)
+        F.min(F.when(F.col("o") == F.col("mxo"), F.col("d2"))).cast("bigint").alias("top_pair"),
+        F.max("o").cast("bigint").alias("top_count"),
+    )
+    # chi2 = sum over ALL 100 cells of (o-n/100)^2/(n/100); absent
+    # cells contribute (n/100)^2/(n/100) = n/100 each:
+    # = ssq/(100*n) + (100-seen)*n/10000 — one closing double
+    chi2 = F.expr(
+        "CAST(ssq AS DOUBLE) / (CAST(100 AS DOUBLE) * CAST(n AS DOUBLE))"
+        " + CAST(100 - digit_pairs_seen AS DOUBLE) * CAST(n AS DOUBLE)"
+        " / CAST(10000 AS DOUBLE)"
+    )
+    return agg.select(
+        "segment",
+        "n",
+        "digit_pairs_seen",
+        F.floor(chi2 * F.lit(1000000.0)).cast("bigint").alias("chi2_e6"),
+        (chi2 > F.expr("CAST(123.225 AS DOUBLE)")).alias("heaping_rejected_5pct"),
+        "top_pair",
+        F.expr("CAST(top_count * 1000000 DIV n AS BIGINT)").alias("top_share_ppm"),
+    ).orderBy("segment")
+
+
+PRICE_HEAPING_SQL = """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey % 10 = 0 AS plantable
+  FROM orders
+),
+seg AS (
+  SELECT 'organic' AS segment, cents % 100 AS d2 FROM o
+  UNION ALL
+  SELECT 'planted_rounded', CAST((cents // 100) * 100 AS BIGINT) % 100
+  FROM o WHERE plantable
+),
+cells AS (
+  SELECT segment, d2, CAST(COUNT(*) AS BIGINT) AS o FROM seg GROUP BY 1, 2
+),
+c AS (
+  SELECT segment, d2, o,
+         CAST(SUM(o) OVER (PARTITION BY segment) AS BIGINT) AS n,
+         CAST(MAX(o) OVER (PARTITION BY segment) AS BIGINT) AS mxo
+  FROM cells
+),
+agg AS (
+  SELECT segment,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS digit_pairs_seen,
+         CAST(SUM(CAST(100 * o - n AS HUGEINT) * CAST(100 * o - n AS HUGEINT))
+              AS HUGEINT) AS ssq,
+         CAST(MIN(CASE WHEN o = mxo THEN d2 END) AS BIGINT) AS top_pair,
+         CAST(MAX(o) AS BIGINT) AS top_count
+  FROM c GROUP BY 1
+)
+SELECT segment, n, digit_pairs_seen,
+       CAST(FLOOR((CAST(ssq AS DOUBLE) / (CAST(100 AS DOUBLE) * CAST(n AS DOUBLE))
+                   + CAST(100 - digit_pairs_seen AS DOUBLE) * CAST(n AS DOUBLE)
+                     / CAST(10000 AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+            AS BIGINT) AS chi2_e6,
+       (CAST(ssq AS DOUBLE) / (CAST(100 AS DOUBLE) * CAST(n AS DOUBLE))
+        + CAST(100 - digit_pairs_seen AS DOUBLE) * CAST(n AS DOUBLE)
+          / CAST(10000 AS DOUBLE)) > CAST(123.225 AS DOUBLE) AS heaping_rejected_5pct,
+       top_pair,
+       CAST(top_count * 1000000 // n AS BIGINT) AS top_share_ppm
+FROM agg
+ORDER BY segment
+"""
+
+QUERIES["orders_price_heaping_audit"] = orders_price_heaping_audit
+ORACLE["orders_price_heaping_audit"] = PRICE_HEAPING_SQL

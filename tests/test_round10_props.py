@@ -1137,3 +1137,83 @@ class TestContextLengthBudget:
         # wider windows keep more tokens but waste more padding
         assert df["tokens_kept_ppm"].is_monotonic_increasing
         assert df["padding_waste_ppm"].is_monotonic_increasing
+
+
+class TestOrderingViolations:
+    def test_planted_swaps_are_exactly_detected(self, spark, sf_dir):
+        """The %7 I/U seq swap plants violations at exactly the keys
+        that have BOTH ops (%21 residue, when the swapped insert's
+        time is earlier than the update's) — predict the set from
+        first principles."""
+        from bireme_spark.queries.cdc import cdc_ordering_violation_detector
+
+        df = cdc_ordering_violation_detector(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        k = o["o_orderkey"].to_numpy()
+        # violation: key has I and U (%3==0 gives U), %7==0 swaps seqs;
+        # order by swapped seq => U (seq k*10+1) first at t+1d, then I
+        # (k*10+2) at t — the I arrives 1 day late. D (%5) rides seq
+        # k*10+3 and time t+2d — never late.
+        viol_keys = ((k % 21 == 0)).sum()
+        assert int(df["violations"].sum()) == viol_keys
+        assert int(df["violated_keys"].sum()) == viol_keys
+        if viol_keys:
+            assert int(df["max_lateness_ms"].max()) == 86_400_000
+        assert int(df["n_changes"].sum()) == len(k) + (k % 3 == 0).sum() + (k % 5 == 0).sum()
+
+
+class TestPriceHeaping:
+    def test_planted_segment_fires_organic_consistent(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_price_heaping_audit
+
+        df = orders_price_heaping_audit(spark, sf_dir).toPandas().set_index("segment")
+        o = _pq("orders")
+        cents = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+        d2 = (cents % 100).to_numpy()
+        org = df.loc["organic"]
+        assert org["n"] == len(o)
+        counts = np.bincount(d2, minlength=100)
+        n = len(d2)
+        chi2 = ((counts - n / 100.0) ** 2 / (n / 100.0)).sum()
+        assert abs(org["chi2_e6"] / 1e6 - chi2) < 1e-3
+        assert bool(org["heaping_rejected_5pct"]) == (chi2 > 123.225)
+        mode = counts.max()
+        assert org["top_pair"] == int(np.argmax(counts))  # argmax = first max = min d2
+        assert org["top_share_ppm"] == int(mode) * 1_000_000 // n
+        pl = df.loc["planted_rounded"]
+        # the planted segment is all .00 — chi2 must fire at ~99n
+        assert pl["top_pair"] == 0
+        assert pl["top_share_ppm"] == 1_000_000
+        assert bool(pl["heaping_rejected_5pct"])
+        assert pl["chi2_e6"] / 1e6 > 90 * pl["n"]
+
+
+class TestStereoBalance:
+    def test_planted_phase_and_gain_classes_through_codec(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_stereo_balance
+
+        df = multimodal_stereo_balance(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        assert int(df["n_clips"].sum()) == len(docs)
+        df["s"] = df["canonical_doc"] % 64
+        # anti-phase plant: s % 3 == 0 must carry negative correlation
+        anti = df[df["s"] % 3 == 0]
+        assert (anti["corr_sign"] == -1).all()
+        assert (df[df["s"] % 3 != 0]["corr_sign"] == 1).all()
+        # gain classes: gain//4 scales R; gain=4 (s%4==3) makes R ~= L
+        # in magnitude -> balance near 500000; gain=1 -> R tiny -> L dominant
+        low_gain = df[df["s"] % 4 == 0]
+        assert (low_gain["left_energy_ppm"] > 900_000).all()
+        assert (low_gain["left_dominant"] == 1).all()
+        # recompute one class rail-for-rail without the codec
+        for s in (5, 12):
+            n = 32 + (s * 5) % 24
+            left = [((s * 11 + i * 23) % 2001) - 1000 for i in range(n)]
+            gain = 1 + s % 4
+            sign = -1 if s % 3 == 0 else 1
+            right = [sign * (abs(v * gain) // 4 if v >= 0 else -(abs(v * gain) // 4)) for v in left]
+            el = sum(v * v for v in left)
+            er = sum(v * v for v in right)
+            row = df[df["s"] == s].iloc[0]
+            assert row["n_frames"] == n
+            assert row["left_energy_ppm"] == el * 1_000_000 // (el + er)
