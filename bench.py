@@ -342,6 +342,9 @@ HEADLINE = [
     "cdc_ordering_violation_detector",
     "orders_price_heaping_audit",
     "multimodal_stereo_balance",
+    "cdc_compaction_ratio_report",
+    "lineitem_twoway_anova",
+    "text_ocr_artifact_screen",
 ]
 
 

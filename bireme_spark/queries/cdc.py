@@ -4415,3 +4415,68 @@ ORDER BY 1
 
 QUERIES["cdc_ordering_violation_detector"] = cdc_ordering_violation_detector
 ORACLE["cdc_ordering_violation_detector"] = CDC_ORDERING_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_compaction_ratio_report — update-chain depth / compaction payoff audit
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def cdc_compaction_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction payoff audit: how deep are per-key update chains in
+    a batch, and how many rows does last-write-wins compaction
+    actually eliminate (the reference merges each batch through
+    RowBatchMerger before COPY precisely because chains collapse to
+    one row per key — studied, not copied; this measures the payoff).
+    Per chain depth: keys, rows in, rows surviving (1/key), rows
+    eliminated, plus each depth's share of the batch — the histogram
+    that justifies (or kills) the compact-before-apply stage at a
+    given source's write pattern.
+
+    Engine-exact: pure integer counts, ppm via DIV. Scale: one
+    shuffle on key to chain depths, a |depths|-row histogram."""
+    ch = build_changelog(spark, sf_dir)
+    depths = ch.groupBy("key").agg(F.count(F.lit(1)).cast("bigint").alias("depth"))
+    hist = depths.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        hist.withColumn("rows_in", (F.col("depth") * F.col("n_keys")).cast("bigint"))
+        .withColumn("total_rows", F.sum("rows_in").over(wall).cast("bigint"))
+        .select(
+            F.col("depth").cast("bigint").alias("chain_depth"),
+            "n_keys",
+            "rows_in",
+            F.col("n_keys").alias("rows_out"),
+            (F.col("rows_in") - F.col("n_keys")).cast("bigint").alias("rows_eliminated"),
+            F.expr("CAST(rows_in * 1000000 DIV total_rows AS BIGINT)").alias(
+                "batch_share_ppm"
+            ),
+        )
+        .orderBy("chain_depth")
+    )
+
+
+CDC_COMPACTION_RATIO_SQL = f"""
+WITH {CHANGELOG_SQL.strip()},
+depths AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS depth FROM changelog GROUP BY 1
+),
+hist AS (
+  SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_keys FROM depths GROUP BY 1
+)
+SELECT CAST(depth AS BIGINT) AS chain_depth,
+       n_keys,
+       CAST(depth * n_keys AS BIGINT) AS rows_in,
+       n_keys AS rows_out,
+       CAST(depth * n_keys - n_keys AS BIGINT) AS rows_eliminated,
+       CAST(depth * n_keys * 1000000
+            // (SELECT SUM(depth * n_keys) FROM hist) AS BIGINT) AS batch_share_ppm
+FROM hist
+ORDER BY chain_depth
+"""
+
+QUERIES["cdc_compaction_ratio_report"] = cdc_compaction_ratio_report
+ORACLE["cdc_compaction_ratio_report"] = CDC_COMPACTION_RATIO_SQL

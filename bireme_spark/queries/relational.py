@@ -8868,3 +8868,188 @@ ORDER BY segment
 
 QUERIES["orders_price_heaping_audit"] = orders_price_heaping_audit
 ORACLE["orders_price_heaping_audit"] = PRICE_HEAPING_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_twoway_anova — 2x2 factorial ANOVA with interaction
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 factorial ANOVA with interaction on net revenue — factor A
+    = returned line (l_returnflag = 'R'), factor B = deep discount
+    (l_discount >= 0.05): unweighted-means Type-III contrasts on the
+    four cell means (L_A = m11+m10-m01-m00 pattern), F = L² /
+    (MSE·Σ1/n_ij), the factorial step beyond lineitem_anova_f's
+    one-way F. By construction B fires hard (revenue = price·(1-z)),
+    A and the interaction are near-null — the property test asserts
+    exactly that asymmetry plus a full numpy recompute.
+
+    Engine-exact: per-cell sufficient statistics are integer cents /
+    DECIMAL(38,0) cents²; each cell's within-SS is the house
+    (nΣx²-(Σx)²) DIV n integer quantization (order-proof), summed as
+    DECIMAL(38,0); means and contrasts close in identically-shaped
+    doubles; F values FLOOR-e6, significance vs CAST(3.842 AS
+    DOUBLE) (F(1,∞) 5%). Scale: ONE map-side-combinable agg to 4
+    cells; everything else is on the 4-row frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").alias("a"),
+        F.expr("CAST(l_discount AS DECIMAL(12,2)) >= CAST(0.05 AS DECIMAL(12,2))").alias("b"),
+        F.expr(
+            "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)"
+            " * 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    y18 = F.expr("CAST(y AS DECIMAL(18,0))")
+    cells = li.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(y18 * y18).cast("decimal(38,0)").alias("ss"),
+    )
+    c = cells.select(
+        "a",
+        "b",
+        "n",
+        "s",
+        # quantize at DOLLARS² (DIV n*1e4): the cents² quotient is
+        # ~1.7e19 at sf1 — past Long.MAX, and Spark DIV returns LONG
+        # and silently WRAPS (r8 rule, quotient-itself edition; the
+        # sf1 tier caught the negative cell)
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * ss - s * s)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * 10000) AS DECIMAL(38,0))"
+        ).alias("wss_d2"),
+    )
+    g = c.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("wss_d2").alias("sse_d2"),
+        F.sum(F.expr("CASE WHEN a AND b THEN n END")).cast("bigint").alias("n11"),
+        F.sum(F.expr("CASE WHEN a AND NOT b THEN n END")).cast("bigint").alias("n10"),
+        F.sum(F.expr("CASE WHEN NOT a AND b THEN n END")).cast("bigint").alias("n01"),
+        F.sum(F.expr("CASE WHEN NOT a AND NOT b THEN n END")).cast("bigint").alias("n00"),
+        F.sum(F.expr("CASE WHEN a AND b THEN s END")).alias("s11"),
+        F.sum(F.expr("CASE WHEN a AND NOT b THEN s END")).alias("s10"),
+        F.sum(F.expr("CASE WHEN NOT a AND b THEN s END")).alias("s01"),
+        F.sum(F.expr("CASE WHEN NOT a AND NOT b THEN s END")).alias("s00"),
+    )
+    m = lambda s_, n_: (  # noqa: E731 — cell mean in dollars, identical shape
+        F.expr(f"CAST({s_} AS DOUBLE) / CAST({n_} AS DOUBLE) / CAST(100 AS DOUBLE)")
+    )
+    m11, m10, m01, m00 = m("s11", "n11"), m("s10", "n10"), m("s01", "n01"), m("s00", "n00")
+    mse = F.expr("CAST(sse_d2 AS DOUBLE) / CAST(n_total - 4 AS DOUBLE)")
+    hsum = F.expr(
+        "CAST(1 AS DOUBLE) / CAST(n11 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n10 AS DOUBLE)"
+        " + CAST(1 AS DOUBLE) / CAST(n01 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n00 AS DOUBLE)"
+    )
+    la = m11 + m10 - m01 - m00
+    lb = m11 - m10 + m01 - m00
+    li_ = m11 - m10 - m01 + m00
+    fa = la * la / (mse * hsum)
+    fb = lb * lb / (mse * hsum)
+    fi = li_ * li_ / (mse * hsum)
+    e6 = F.lit(1000000.0)
+    crit = F.expr("CAST(3.842 AS DOUBLE)")
+    return g.select(
+        F.col("n_total").alias("n"),
+        "n11", "n10", "n01", "n00",
+        F.floor(fa * e6).cast("bigint").alias("f_returned_e6"),
+        F.floor(fb * e6).cast("bigint").alias("f_discount_e6"),
+        F.floor(fi * e6).cast("bigint").alias("f_interaction_e6"),
+        (fa > crit).alias("returned_sig_5pct"),
+        (fb > crit).alias("discount_sig_5pct"),
+        (fi > crit).alias("interaction_sig_5pct"),
+    )
+
+
+TWOWAY_ANOVA_SQL = """
+WITH li AS (
+  SELECT l_returnflag = 'R' AS a,
+         CAST(l_discount AS DECIMAL(12,2)) >= CAST(0.05 AS DECIMAL(12,2)) AS b,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)
+              * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ss
+  FROM li GROUP BY 1, 2
+),
+c AS (
+  SELECT a, b, n, s,
+         (CAST(n AS HUGEINT) * ss - s * s) // (CAST(n AS HUGEINT) * 10000) AS wss_d2
+  FROM cells
+),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         SUM(wss_d2) AS sse_d2,
+         CAST(SUM(CASE WHEN a AND b THEN n END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN a AND NOT b THEN n END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN NOT a AND b THEN n END) AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN NOT a AND NOT b THEN n END) AS BIGINT) AS n00,
+         SUM(CASE WHEN a AND b THEN s END) AS s11,
+         SUM(CASE WHEN a AND NOT b THEN s END) AS s10,
+         SUM(CASE WHEN NOT a AND b THEN s END) AS s01,
+         SUM(CASE WHEN NOT a AND NOT b THEN s END) AS s00
+  FROM c
+)
+SELECT n_total AS n, n11, n10, n01, n00,
+       CAST(FLOOR(
+         POW(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / CAST(100 AS DOUBLE)
+             + CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / CAST(100 AS DOUBLE)
+             - CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / CAST(100 AS DOUBLE)
+             - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / CAST(100 AS DOUBLE), 2)
+         / (CAST(sse_d2 AS DOUBLE) / CAST(n_total - 4 AS DOUBLE)
+            * (CAST(1 AS DOUBLE) / CAST(n11 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n10 AS DOUBLE)
+               + CAST(1 AS DOUBLE) / CAST(n01 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+         * CAST(1000000 AS DOUBLE)) AS BIGINT) AS f_returned_e6,
+       CAST(FLOOR(
+         POW(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / CAST(100 AS DOUBLE)
+             - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / CAST(100 AS DOUBLE)
+             + CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / CAST(100 AS DOUBLE)
+             - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / CAST(100 AS DOUBLE), 2)
+         / (CAST(sse_d2 AS DOUBLE) / CAST(n_total - 4 AS DOUBLE)
+            * (CAST(1 AS DOUBLE) / CAST(n11 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n10 AS DOUBLE)
+               + CAST(1 AS DOUBLE) / CAST(n01 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+         * CAST(1000000 AS DOUBLE)) AS BIGINT) AS f_discount_e6,
+       CAST(FLOOR(
+         POW(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / CAST(100 AS DOUBLE)
+             - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / CAST(100 AS DOUBLE)
+             - CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / CAST(100 AS DOUBLE)
+             + CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / CAST(100 AS DOUBLE), 2)
+         / (CAST(sse_d2 AS DOUBLE) / CAST(n_total - 4 AS DOUBLE)
+            * (CAST(1 AS DOUBLE) / CAST(n11 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n10 AS DOUBLE)
+               + CAST(1 AS DOUBLE) / CAST(n01 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+         * CAST(1000000 AS DOUBLE)) AS BIGINT) AS f_interaction_e6,
+       POW(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / CAST(100 AS DOUBLE)
+           + CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / CAST(100 AS DOUBLE)
+           - CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / CAST(100 AS DOUBLE)
+           - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / CAST(100 AS DOUBLE), 2)
+       / (CAST(sse_d2 AS DOUBLE) / CAST(n_total - 4 AS DOUBLE)
+          * (CAST(1 AS DOUBLE) / CAST(n11 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n10 AS DOUBLE)
+             + CAST(1 AS DOUBLE) / CAST(n01 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+         > CAST(3.842 AS DOUBLE) AS returned_sig_5pct,
+       POW(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / CAST(100 AS DOUBLE)
+           - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / CAST(100 AS DOUBLE)
+           + CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / CAST(100 AS DOUBLE)
+           - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / CAST(100 AS DOUBLE), 2)
+       / (CAST(sse_d2 AS DOUBLE) / CAST(n_total - 4 AS DOUBLE)
+          * (CAST(1 AS DOUBLE) / CAST(n11 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n10 AS DOUBLE)
+             + CAST(1 AS DOUBLE) / CAST(n01 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+         > CAST(3.842 AS DOUBLE) AS discount_sig_5pct,
+       POW(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / CAST(100 AS DOUBLE)
+           - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / CAST(100 AS DOUBLE)
+           - CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / CAST(100 AS DOUBLE)
+           + CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / CAST(100 AS DOUBLE), 2)
+       / (CAST(sse_d2 AS DOUBLE) / CAST(n_total - 4 AS DOUBLE)
+          * (CAST(1 AS DOUBLE) / CAST(n11 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n10 AS DOUBLE)
+             + CAST(1 AS DOUBLE) / CAST(n01 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+         > CAST(3.842 AS DOUBLE) AS interaction_sig_5pct
+FROM g
+"""
+
+QUERIES["lineitem_twoway_anova"] = lineitem_twoway_anova
+ORACLE["lineitem_twoway_anova"] = TWOWAY_ANOVA_SQL

@@ -2187,3 +2187,107 @@ ORDER BY rank
 
 QUERIES["text_source_vocab_overlap"] = text_source_vocab_overlap
 ORACLE["text_source_vocab_overlap"] = TEXT_SOURCE_OVERLAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# text_ocr_artifact_screen — OCR-noise detection with a planted segment
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def text_ocr_artifact_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-artifact screen — the curation filter that catches scanned
+    /OCR'd uploads by their signature digit-for-letter substitutions
+    (l→1, o→0) inside otherwise-alphabetic words. The fixture corpus
+    is digit-free by construction (probed, r9 rule), so the screen's
+    power is demonstrated on an in-plan PLANTED segment: docs with
+    doc_id % 9 == 0 are re-ingested through a translate(l→1, o→0)
+    corruption, and detection must separate the segments EXACTLY —
+    zero false positives on the organic side, full recall on the
+    planted side (asserted in the property test).
+
+    Per segment: docs, docs flagged (≥1 mixed alnum token), flagged
+    ppm, mean mixed-token rate ppm, and the corpus-wide top offender
+    count. Pure integer: token counts via regexp arrays projected to
+    named columns BEFORE any reuse (r4 transform rule), ppm via DIV.
+
+    Scale: one pass per segment branch (a union of filtered scans —
+    the r5 lesson: branches projecting different transforms can beat
+    one exploded scan), |2|-row output."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    organic = d.select(F.lit("organic").alias("segment"), "doc_id", "text")
+    planted = d.where(F.col("doc_id") % 9 == 0).select(
+        F.lit("planted_ocr").alias("segment"),
+        "doc_id",
+        F.translate("text", "lo", "10").alias("text"),
+    )
+    seg = organic.unionAll(planted)
+    scored = seg.select(
+        "segment",
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]*[0-9][a-z0-9]*[a-z][a-z0-9]*|[a-z]+[0-9][a-z0-9]*', 0)")
+        )
+        .cast("bigint")
+        .alias("n_mixed"),
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_mixed") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_mixed").cast("bigint").alias("n_mixed"),
+            F.max("n_mixed").cast("bigint").alias("max_mixed_in_doc"),
+        )
+        .select(
+            "segment",
+            "n_docs",
+            "flagged_docs",
+            F.expr("CAST(flagged_docs * 1000000 DIV n_docs AS BIGINT)").alias(
+                "flagged_ppm"
+            ),
+            F.expr("CAST(n_mixed * 1000000 DIV GREATEST(n_tokens, 1) AS BIGINT)").alias(
+                "mixed_token_ppm"
+            ),
+            "max_mixed_in_doc",
+        )
+        .orderBy("segment")
+    )
+
+
+OCR_SCREEN_SQL = """
+WITH seg AS (
+  SELECT 'organic' AS segment, doc_id, text FROM documents
+  UNION ALL
+  SELECT 'planted_ocr', doc_id, translate(text, 'lo', '10')
+  FROM documents WHERE doc_id % 9 = 0
+),
+scored AS (
+  SELECT segment, doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text,
+              '[a-z]*[0-9][a-z0-9]*[a-z][a-z0-9]*|[a-z]+[0-9][a-z0-9]*'))
+              AS BIGINT) AS n_mixed
+  FROM seg
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_mixed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+       CAST(SUM(CASE WHEN n_mixed > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS flagged_ppm,
+       CAST(SUM(n_mixed) * 1000000 // GREATEST(SUM(n_tokens), 1) AS BIGINT)
+         AS mixed_token_ppm,
+       CAST(MAX(n_mixed) AS BIGINT) AS max_mixed_in_doc
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["text_ocr_artifact_screen"] = text_ocr_artifact_screen
+ORACLE["text_ocr_artifact_screen"] = OCR_SCREEN_SQL

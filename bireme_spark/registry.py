@@ -107,6 +107,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "cdc_ordering_violation_detector",
         "orders_price_heaping_audit",
         "multimodal_stereo_balance",
+        "cdc_compaction_ratio_report",
+        "lineitem_twoway_anova",
+        "text_ocr_artifact_screen",
     }
 )
 

@@ -1217,3 +1217,83 @@ class TestStereoBalance:
             row = df[df["s"] == s].iloc[0]
             assert row["n_frames"] == n
             assert row["left_energy_ppm"] == el * 1_000_000 // (el + er)
+
+
+class TestCompactionRatio:
+    def test_chain_depths_from_residue_arithmetic(self, spark, sf_dir):
+        """Chain depth per key is 1 + [k%3==0] + [k%5==0] — predict
+        the whole histogram from residues."""
+        from bireme_spark.queries.cdc import cdc_compaction_ratio_report
+
+        df = cdc_compaction_ratio_report(spark, sf_dir).toPandas().set_index("chain_depth")
+        o = _pq("orders")
+        k = o["o_orderkey"].to_numpy()
+        depth = 1 + (k % 3 == 0).astype(int) + (k % 5 == 0).astype(int)
+        total = int(depth.sum())
+        for d in sorted(set(depth)):
+            row = df.loc[d]
+            nk = int((depth == d).sum())
+            assert row["n_keys"] == nk
+            assert row["rows_in"] == d * nk
+            assert row["rows_out"] == nk
+            assert row["rows_eliminated"] == (d - 1) * nk
+            assert row["batch_share_ppm"] == d * nk * 1_000_000 // total
+        assert set(df.index) == set(int(x) for x in set(depth))
+
+
+class TestTwowayAnova:
+    def test_f_stats_match_numpy_and_only_discount_fires(self, spark, sf_dir):
+        from bireme_spark.queries.relational import lineitem_twoway_anova
+
+        r = lineitem_twoway_anova(spark, sf_dir).collect()[0]
+        li = _pq("lineitem")
+        a = (li["l_returnflag"] == "R").to_numpy()
+        z = li["l_discount"].round(2)
+        b = (z >= 0.05).to_numpy()
+        pc = (li["l_extendedprice"].round(2) * 100).round().astype("int64").to_numpy()
+        y = (pc.astype(object) * ((1 - z) * 100).round().astype("int64").to_numpy().astype(object) + 50) // 100
+        y = np.array([int(v) for v in y], dtype="float64") / 100.0
+        cells = {}
+        for ai in (False, True):
+            for bi in (False, True):
+                g = y[(a == ai) & (b == bi)]
+                cells[(ai, bi)] = g
+        assert r.n == len(y)
+        assert r.n11 == len(cells[(True, True)])
+        sse = sum(((g - g.mean()) ** 2).sum() for g in cells.values())
+        mse = sse / (len(y) - 4)
+        hsum = sum(1.0 / len(g) for g in cells.values())
+        m = {k: g.mean() for k, g in cells.items()}
+        la = m[(True, True)] + m[(True, False)] - m[(False, True)] - m[(False, False)]
+        lb = m[(True, True)] - m[(True, False)] + m[(False, True)] - m[(False, False)]
+        lint = m[(True, True)] - m[(True, False)] - m[(False, True)] + m[(False, False)]
+        for got_e6, expect in (
+            (r.f_returned_e6, la * la / (mse * hsum)),
+            (r.f_discount_e6, lb * lb / (mse * hsum)),
+            (r.f_interaction_e6, lint * lint / (mse * hsum)),
+        ):
+            assert abs(got_e6 / 1e6 - expect) / max(expect, 1.0) < 1e-3
+        # planted asymmetry: discount main effect fires, others don't
+        assert bool(r.discount_sig_5pct)
+        assert not bool(r.returned_sig_5pct)
+        assert not bool(r.interaction_sig_5pct)
+
+
+class TestOcrScreen:
+    def test_exact_segment_separation(self, spark, sf_dir):
+        from bireme_spark.queries.textops import text_ocr_artifact_screen
+
+        df = text_ocr_artifact_screen(spark, sf_dir).toPandas().set_index("segment")
+        docs = _pq("documents")
+        org = df.loc["organic"]
+        pl = df.loc["planted_ocr"]
+        assert org["n_docs"] == len(docs)
+        # digit-free corpus: zero false positives
+        assert org["flagged_docs"] == 0 and org["mixed_token_ppm"] == 0
+        n_planted = int((docs["doc_id"] % 9 == 0).sum())
+        assert pl["n_docs"] == n_planted
+        # every corrupted doc contains an l/o word => full recall
+        has_lo = docs[docs["doc_id"] % 9 == 0]["text"].str.contains("[lo]", regex=True)
+        assert pl["flagged_docs"] == int(has_lo.sum())
+        assert pl["flagged_ppm"] == int(has_lo.sum()) * 1_000_000 // n_planted
+        assert pl["mixed_token_ppm"] > 100_000
