@@ -345,6 +345,9 @@ HEADLINE = [
     "cdc_compaction_ratio_report",
     "lineitem_twoway_anova",
     "text_ocr_artifact_screen",
+    "orders_wilcoxon_signed_rank",
+    "orders_lognormal_fit",
+    "text_unicode_hygiene_screen",
 ]
 
 

@@ -9053,3 +9053,255 @@ FROM g
 
 QUERIES["lineitem_twoway_anova"] = lineitem_twoway_anova
 ORACLE["lineitem_twoway_anova"] = TWOWAY_ANOVA_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_wilcoxon_signed_rank — paired nonparametric first-vs-second-half
+# test (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-customer spend — did
+    each customer's average order value shift between the first and
+    second half of the history (split at 1998-06-01, the span
+    midpoint — orders run 1995..2001, r5 lesson: check ranges)? The
+    paired sibling of lineitem_mannwhitney_u / orders_friedman_test:
+    signs and ranks of within-customer differences, robust to the
+    heavy price tails.
+
+    Engine-exact: the pair difference is floor-mean cents (s DIV n
+    per half — deterministic quantization on both engines); |d|
+    ranks come from the histogram-CDF with the integer average-rank
+    trick (2·avg_rank = 2·cum_before + t + 1), so 2·W⁺, the tie
+    term Σ(t³−t) and n(n+1)(2n+1) are exact integers; one closing
+    double z-expression with every literal CAST AS DOUBLE.
+
+    Scale: one orders shuffle to (customer, half) cells, pairs via
+    the 2-row-per-customer agg, then a |distinct |d||-row CDF."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderdate") < F.lit("1998-06-01").cast("date")).alias("h1"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    halves = o.groupBy("o_custkey", "h1").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    pairs = (
+        halves.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nh"),
+            F.max(F.when(F.col("h1"), F.expr("s DIV n"))).alias("m1"),
+            F.max(F.when(~F.col("h1"), F.expr("s DIV n"))).alias("m2"),
+        )
+        .where(F.col("nh") == 2)
+        .select((F.col("m2") - F.col("m1")).cast("bigint").alias("d"))
+    )
+    nz = pairs.where(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"), (F.col("d") > 0).alias("pos")
+    )
+    hist = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("tp"),
+    )
+    wcdf = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(wcdf), F.lit(0)).cast("bigint")
+    )
+    agg = ranked.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.expr("tp * (2 * cum_before + t + 1)")).cast("bigint").alias("w2"),
+        F.sum(F.expr("t * t * t - t")).cast("bigint").alias("tc"),
+    )
+    total = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    out = agg.crossJoin(F.broadcast(total))
+    z = F.expr(
+        "(CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE)"
+        " - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / CAST(4 AS DOUBLE))"
+        " / SQRT(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) * CAST(2 * n + 1 AS DOUBLE)"
+        "        / CAST(24 AS DOUBLE) - CAST(tc AS DOUBLE) / CAST(48 AS DOUBLE))"
+    )
+    return out.select(
+        "n_pairs",
+        F.col("n").alias("n_nonzero"),
+        F.col("w2").alias("w_plus_x2"),
+        F.col("tc").alias("tie_term"),
+        F.floor(z * F.lit(1000000.0)).cast("bigint").alias("z_e6"),
+        (F.abs(z) > F.expr("CAST(1.96 AS DOUBLE)")).alias("shift_sig_5pct"),
+    )
+
+
+WILCOXON_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         o_orderdate < DATE '1998-06-01' AS h1,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+halves AS (
+  SELECT o_custkey, h1, CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM o GROUP BY 1, 2
+),
+pairs AS (
+  SELECT CAST(MAX(CASE WHEN NOT h1 THEN s // n END)
+              - MAX(CASE WHEN h1 THEN s // n END) AS BIGINT) AS d
+  FROM halves GROUP BY o_custkey HAVING COUNT(*) = 2
+),
+nz AS (
+  SELECT ABS(d) AS ad, d > 0 AS pos FROM pairs WHERE d <> 0
+),
+hist AS (
+  SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM nz GROUP BY 1
+),
+ranked AS (
+  SELECT ad, t, tp,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM hist
+),
+agg AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(tp * (2 * cum_before + t + 1)) AS BIGINT) AS w2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tc
+  FROM ranked
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+SELECT t.n_pairs,
+       a.n AS n_nonzero,
+       a.w2 AS w_plus_x2,
+       a.tc AS tie_term,
+       CAST(FLOOR((CAST(a.w2 AS DOUBLE) / CAST(2 AS DOUBLE)
+                   - CAST(a.n AS DOUBLE) * CAST(a.n + 1 AS DOUBLE) / CAST(4 AS DOUBLE))
+                  / SQRT(CAST(a.n AS DOUBLE) * CAST(a.n + 1 AS DOUBLE)
+                         * CAST(2 * a.n + 1 AS DOUBLE) / CAST(24 AS DOUBLE)
+                         - CAST(a.tc AS DOUBLE) / CAST(48 AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS z_e6,
+       ABS((CAST(a.w2 AS DOUBLE) / CAST(2 AS DOUBLE)
+            - CAST(a.n AS DOUBLE) * CAST(a.n + 1 AS DOUBLE) / CAST(4 AS DOUBLE))
+           / SQRT(CAST(a.n AS DOUBLE) * CAST(a.n + 1 AS DOUBLE)
+                  * CAST(2 * a.n + 1 AS DOUBLE) / CAST(24 AS DOUBLE)
+                  - CAST(a.tc AS DOUBLE) / CAST(48 AS DOUBLE)))
+         > CAST(1.96 AS DOUBLE) AS shift_sig_5pct
+FROM agg a, total t
+"""
+
+QUERIES["orders_wilcoxon_signed_rank"] = orders_wilcoxon_signed_rank
+ORACLE["orders_wilcoxon_signed_rank"] = WILCOXON_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_lognormal_fit — log-normal moment fit + back-transform check
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of the order-value distribution by log-moment
+    matching (μ̂ = mean ln x, σ̂² = var ln x) with the back-transform
+    reality check exp(μ̂+σ̂²/2) vs the actual mean — the distribution
+    every revenue simulator assumes for basket values, and the check
+    that tells you whether it holds here (the ratio IS the output;
+    a multiplicative process gives ≈1, the synthetic uniform-ish
+    fixture gives <1 — the finding). Complements orders_weibull_fit
+    (durations) and the Gumbel/Hill tail ops.
+
+    Engine-exact: each ln lands as the house per-term e6 integer
+    (ROUND(ln(x)·1e6) — C-vs-Java ulp absorbed, powerlaw spelling);
+    Σ and Σ² accumulate as BIGINT/DECIMAL(38,0) (order-proof);
+    variance via the (nΣl²−(Σl)²) DIV n quantization; one closing
+    double exp/ratio, FLOOR-e6 emission. Scale: one
+    map-side-combinable agg; ln is whole-stage-codegen JVM work."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(ROUND(ln(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+            " * 1000000) AS BIGINT)"
+        ).alias("l"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    l38 = F.expr("CAST(l AS DECIMAL(38,0))")
+    g = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l").cast("bigint").alias("sl"),
+        F.sum(l38 * l38).cast("decimal(38,0)").alias("sll"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sc"),
+    ).select(
+        "n",
+        "sl",
+        "sc",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sll - CAST(sl AS DECIMAL(38,0)) * sl)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("var_e6"),
+    )
+    mu = F.expr("CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)")
+    # var_e6 is n·Var·1e6 … no: (nΣl²−(Σl)²) DIV (n·1e6) = n·Var(l_e6)/1e6
+    # = n·Var(ln)·1e6, so Var(ln) = var_e6 / n / 1e6
+    sig2 = F.expr(
+        "CAST(var_e6 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    implied = F.exp(mu + sig2 / F.lit(2.0))
+    actual = F.expr("CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)")
+    return g.select(
+        "n",
+        F.floor(mu * F.lit(1000000.0)).cast("bigint").alias("mu_e6"),
+        F.floor(F.sqrt(sig2) * F.lit(1000000.0)).cast("bigint").alias("sigma_e6"),
+        F.floor(implied).cast("bigint").alias("implied_mean_cents"),
+        F.floor(actual).cast("bigint").alias("actual_mean_cents"),
+        F.floor(implied / actual * F.lit(1000000.0)).cast("bigint").alias(
+            "lognormality_ratio_e6"
+        ),
+    )
+
+
+LOGNORMAL_SQL = """
+WITH o AS (
+  SELECT CAST(ROUND(ln(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              * 1000000) AS BIGINT) AS l,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(l) AS BIGINT) AS sl,
+         CAST(SUM(CAST(l AS HUGEINT) * l) AS HUGEINT) AS sll,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sc
+  FROM o
+),
+q AS (
+  SELECT n, sl, sc,
+         CAST((CAST(n AS HUGEINT) * sll - CAST(sl AS HUGEINT) * sl)
+              // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS var_e6
+  FROM g
+)
+SELECT n,
+       CAST(FLOOR(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mu_e6,
+       CAST(FLOOR(SQRT(CAST(var_e6 AS DOUBLE) / CAST(n AS DOUBLE)
+                       / CAST(1000000 AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS sigma_e6,
+       CAST(FLOOR(EXP(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                      + CAST(var_e6 AS DOUBLE) / CAST(n AS DOUBLE)
+                        / CAST(1000000 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                        / CAST(2 AS DOUBLE))) AS BIGINT) AS implied_mean_cents,
+       CAST(FLOOR(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS actual_mean_cents,
+       CAST(FLOOR(EXP(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                      + CAST(var_e6 AS DOUBLE) / CAST(n AS DOUBLE)
+                        / CAST(1000000 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                        / CAST(2 AS DOUBLE))
+                  / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lognormality_ratio_e6
+FROM q
+"""
+
+QUERIES["orders_lognormal_fit"] = orders_lognormal_fit
+ORACLE["orders_lognormal_fit"] = LOGNORMAL_SQL

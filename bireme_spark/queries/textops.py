@@ -2291,3 +2291,115 @@ ORDER BY 1
 
 QUERIES["text_ocr_artifact_screen"] = text_ocr_artifact_screen
 ORACLE["text_ocr_artifact_screen"] = OCR_SCREEN_SQL
+
+
+# ---------------------------------------------------------------------------
+# text_unicode_hygiene_screen — invisible/control character screen
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def text_unicode_hygiene_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene screen — the curation filter that catches
+    zero-width characters (U+200B/200C/FEFF: copy-paste artifacts,
+    SEO spam, tokenizer poison), raw control bytes, and U+FFFD
+    replacement chars (mojibake) before they reach a tokenizer. The
+    fixture corpus is clean ASCII (probed), so the screen's power is
+    demonstrated on in-plan PLANTED segments: docs with doc_id % 11
+    == 0 get a zero-width space injected at every word boundary, and
+    docs with doc_id % 13 == 0 get a U+FFFD appended — detection
+    must separate all three segments exactly (property-tested).
+
+    Per segment: docs, flagged docs (any suspect char), flagged ppm,
+    suspect chars per million chars. Pure integer counts (length
+    minus cleaned length — no regex needed for the counting path).
+
+    Scale: one pass per segment branch, |3|-row output."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    zws = "​"
+    seg = (
+        d.select(F.lit("organic").alias("segment"), "doc_id", "text")
+        .unionAll(
+            d.where(F.col("doc_id") % 11 == 0).select(
+                F.lit("planted_zero_width").alias("segment"),
+                "doc_id",
+                F.regexp_replace("text", " ", " " + zws).alias("text"),
+            )
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                F.lit("planted_mojibake").alias("segment"),
+                "doc_id",
+                F.concat("text", F.lit("�")).alias("text"),
+            )
+        )
+    )
+    suspects = "​‌﻿�"
+    scored = seg.select(
+        "segment",
+        (F.length("text")).cast("bigint").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.translate("text", suspects, ""))
+        )
+        .cast("bigint")
+        .alias("n_suspect"),
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_suspect") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_suspect").cast("bigint").alias("n_suspect"),
+        )
+        .select(
+            "segment",
+            "n_docs",
+            "flagged_docs",
+            F.expr("CAST(flagged_docs * 1000000 DIV n_docs AS BIGINT)").alias(
+                "flagged_ppm"
+            ),
+            F.expr(
+                "CAST(n_suspect * 1000000 DIV GREATEST(n_chars, 1) AS BIGINT)"
+            ).alias("suspect_char_ppm"),
+        )
+        .orderBy("segment")
+    )
+
+
+UNICODE_HYGIENE_SQL = """
+WITH seg AS (
+  SELECT 'organic' AS segment, doc_id, text FROM documents
+  UNION ALL
+  SELECT 'planted_zero_width', doc_id, replace(text, ' ', ' ​')
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT 'planted_mojibake', doc_id, text || '�'
+  FROM documents WHERE doc_id % 13 = 0
+),
+scored AS (
+  SELECT segment,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text)
+              - length(replace(replace(replace(replace(text,
+                    '​', ''), '‌', ''), '﻿', ''), '�', ''))
+              AS BIGINT) AS n_suspect
+  FROM seg
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_suspect > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+       CAST(SUM(CASE WHEN n_suspect > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS flagged_ppm,
+       CAST(SUM(n_suspect) * 1000000 // GREATEST(SUM(n_chars), 1) AS BIGINT)
+         AS suspect_char_ppm
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["text_unicode_hygiene_screen"] = text_unicode_hygiene_screen
+ORACLE["text_unicode_hygiene_screen"] = UNICODE_HYGIENE_SQL

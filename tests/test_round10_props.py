@@ -1297,3 +1297,86 @@ class TestOcrScreen:
         assert pl["flagged_docs"] == int(has_lo.sum())
         assert pl["flagged_ppm"] == int(has_lo.sum()) * 1_000_000 // n_planted
         assert pl["mixed_token_ppm"] > 100_000
+
+
+class TestWilcoxonSignedRank:
+    def test_matches_scipy_free_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_wilcoxon_signed_rank
+
+        r = orders_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        cents = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+        h1 = o["o_orderdate"] < pd.Timestamp("1998-06-01")
+        g = pd.DataFrame({"c": o["o_custkey"], "h1": h1, "cents": cents})
+        agg = g.groupby(["c", "h1"])["cents"].agg(["sum", "size"]).reset_index()
+        agg["m"] = agg["sum"] // agg["size"]
+        piv = agg.pivot(index="c", columns="h1", values="m").dropna()
+        d = (piv[False] - piv[True]).astype("int64")
+        assert r.n_pairs == len(d)
+        nz = d[d != 0]
+        assert r.n_nonzero == len(nz)
+        ad = nz.abs().to_numpy()
+        pos = (nz > 0).to_numpy()
+        order = np.sort(np.unique(ad))
+        cum = 0
+        w2 = 0
+        tc = 0
+        for v in order:
+            t = int((ad == v).sum())
+            tp = int(((ad == v) & pos).sum())
+            w2 += tp * (2 * cum + t + 1)
+            tc += t**3 - t
+            cum += t
+        assert r.w_plus_x2 == w2
+        assert r.tie_term == tc
+        n = len(nz)
+        z = (w2 / 2 - n * (n + 1) / 4) / np.sqrt(
+            n * (n + 1) * (2 * n + 1) / 24 - tc / 48
+        )
+        assert abs(r.z_e6 / 1e6 - z) < 2e-6
+        assert bool(r.shift_sig_5pct) == (abs(z) > 1.96)
+
+
+class TestLognormalFit:
+    def test_moments_match_and_ratio_is_honest(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_lognormal_fit
+
+        r = orders_lognormal_fit(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        cents = (o["o_totalprice"].round(2) * 100).round().astype("int64").to_numpy()
+        le6 = np.round(np.log(cents.astype("float64")) * 1e6).astype("int64")
+        n = len(cents)
+        assert r.n == n
+        mu = le6.sum() / n / 1e6
+        var = (n * (le6.astype(object) ** 2).sum() - int(le6.sum()) ** 2) // (n * 10**6) / n / 1e12
+        assert abs(r.mu_e6 / 1e6 - mu) < 2e-6
+        assert abs(r.sigma_e6 / 1e6 - np.sqrt(var)) < 2e-6
+        implied = np.exp(mu + var / 2)
+        assert abs(r.implied_mean_cents - implied) < max(2, implied * 1e-6)
+        assert r.actual_mean_cents == int(cents.sum() // n)
+        # honest finding: the synthetic fixture is NOT lognormal —
+        # a log-moment fit overshoots the mean on bounded uniformish
+        # data; assert the ratio is consistent, not that it's 1
+        assert abs(r.lognormality_ratio_e6 / 1e6 - implied / (cents.sum() / n)) < 1e-4
+
+
+class TestUnicodeHygiene:
+    def test_exact_three_way_separation(self, spark, sf_dir):
+        from bireme_spark.queries.textops import text_unicode_hygiene_screen
+
+        df = text_unicode_hygiene_screen(spark, sf_dir).toPandas().set_index("segment")
+        docs = _pq("documents")
+        org = df.loc["organic"]
+        assert org["n_docs"] == len(docs)
+        assert org["flagged_docs"] == 0 and org["suspect_char_ppm"] == 0
+        zw = df.loc["planted_zero_width"]
+        n11 = int((docs["doc_id"] % 11 == 0).sum())
+        assert zw["n_docs"] == n11
+        assert zw["flagged_docs"] == n11 and zw["flagged_ppm"] == 1_000_000
+        mo = df.loc["planted_mojibake"]
+        n13 = int((docs["doc_id"] % 13 == 0).sum())
+        assert mo["n_docs"] == n13 and mo["flagged_docs"] == n13
+        # mojibake plants exactly ONE suspect char per doc
+        sub = docs[docs["doc_id"] % 13 == 0]
+        total_chars = int(sub["text"].str.len().sum()) + n13
+        assert mo["suspect_char_ppm"] == n13 * 1_000_000 // total_chars
