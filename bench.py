@@ -348,6 +348,9 @@ HEADLINE = [
     "orders_wilcoxon_signed_rank",
     "orders_lognormal_fit",
     "text_unicode_hygiene_screen",
+    "lineitem_intraclass_correlation",
+    "events_harmonic_regression",
+    "multimodal_caption_consistency",
 ]
 
 

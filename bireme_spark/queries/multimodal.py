@@ -2353,3 +2353,139 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_stereo_balance"] = multimodal_stereo_balance
 ORACLE["multimodal_stereo_balance"] = MULTIMODAL_STEREO_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_caption_consistency — image/caption agreement audit
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-image consistency audit for paired (image, text)
+    training data — the screen a VLM corpus runs to catch mislabeled
+    pairs before contrastive training: decode the image, predict its
+    class from PIXELS (mean-luma bucket — recoverable because the
+    class fixes the pixel formula), parse the class the CAPTION
+    declares (regexp over the text side), and report agreement. The
+    fixture PLANTS mislabels: pairs with doc_id % 17 == 0 carry a
+    caption declaring class (s+1) % 8 — detection must recover that
+    set exactly (property-tested), everything else must agree.
+
+    First op to couple the image codec and the text path in one
+    hash-gated plan. Engine-exact: the pixel→class map is integer
+    (mean luma DIV bucket width over the planted plateau formula,
+    symbolic in the oracle); caption parsing is regexp_extract on
+    both engines; counts/ppm integer.
+
+    Scale shape: image decode+classify in ONE fused mapInPandas
+    pass (8-class memoized); the caption side is pure JVM; one join
+    on doc_id; 8+1-row rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def classify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, int] = {}
+
+        def klass(s: int) -> int:
+            if s in cache:
+                return cache[s]
+            w = h = 8
+            # class-s plateau: luma = 40 + 20*s everywhere (+ a small
+            # deterministic texture that cannot cross bucket edges)
+            rgb = bytes(
+                min(40 + 20 * s + ((x + y) % 3), 255)
+                for y in range(h)
+                for x in range(w)
+                for _ in range(3)
+            )
+            _, _, _, px, _ = decode_image(encode_bmp(w, h, rgb))
+            mean_luma = sum(px) // len(px)
+            cache[s] = (mean_luma - 40) // 20
+            return cache[s]
+
+        for pdf in it:
+            out = {"doc_id": [], "pixel_class": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                out["doc_id"].append(doc_id)
+                out["pixel_class"].append(klass(doc_id % 8))
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(classify, schema="doc_id long, pixel_class long")
+    captions = d.select(
+        "doc_id",
+        F.expr(
+            "CONCAT('a photo of pattern class ',"
+            " CAST(CASE WHEN doc_id % 17 = 0 THEN (doc_id % 8 + 1) % 8"
+            "      ELSE doc_id % 8 END AS STRING),"
+            " ' with texture')"
+        ).alias("caption"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(regexp_extract(caption, 'class ([0-9]+)', 1) AS BIGINT)"
+        ).alias("caption_class"),
+    )
+    joined = img.join(captions, "doc_id")
+    return (
+        joined.groupBy("pixel_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("pixel_class") == F.col("caption_class"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_consistent"),
+            F.min(F.when(F.col("pixel_class") != F.col("caption_class"), F.col("doc_id")))
+            .cast("bigint")
+            .alias("first_mislabel_doc"),
+        )
+        .select(
+            "pixel_class",
+            "n_pairs",
+            "n_consistent",
+            (F.col("n_pairs") - F.col("n_consistent")).cast("bigint").alias("n_mislabeled"),
+            F.expr("CAST(n_consistent * 1000000 DIV n_pairs AS BIGINT)").alias(
+                "consistency_ppm"
+            ),
+            F.coalesce("first_mislabel_doc", F.lit(-1)).cast("bigint").alias(
+                "first_mislabel_doc"
+            ),
+        )
+        .orderBy("pixel_class")
+    )
+
+
+CAPTION_CONSISTENCY_SQL = """
+WITH pairs AS (
+  -- pixel class is symbolically recoverable: mean of the class-s
+  -- plateau 40+20s+((x+y)%3) over 8x8 is 40+20s (texture mean floors
+  -- away under // 20 after -40), so (mean-40)//20 = s
+  SELECT doc_id,
+         doc_id % 8 AS pixel_class,
+         CASE WHEN doc_id % 17 = 0 THEN (doc_id % 8 + 1) % 8
+              ELSE doc_id % 8 END AS caption_class
+  FROM documents
+)
+SELECT CAST(pixel_class AS BIGINT) AS pixel_class,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN pixel_class = caption_class THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_consistent,
+       CAST(SUM(CASE WHEN pixel_class <> caption_class THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mislabeled,
+       CAST(SUM(CASE WHEN pixel_class = caption_class THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS consistency_ppm,
+       CAST(COALESCE(MIN(CASE WHEN pixel_class <> caption_class THEN doc_id END), -1)
+            AS BIGINT) AS first_mislabel_doc
+FROM pairs
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["multimodal_caption_consistency"] = multimodal_caption_consistency
+ORACLE["multimodal_caption_consistency"] = CAPTION_CONSISTENCY_SQL

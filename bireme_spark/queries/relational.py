@@ -9305,3 +9305,139 @@ FROM q
 
 QUERIES["orders_lognormal_fit"] = orders_lognormal_fit
 ORACLE["orders_lognormal_fit"] = LOGNORMAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_intraclass_correlation — one-way random-effects ICC(1)
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_intraclass_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1) of line net revenue within
+    orders — the variance-components question behind
+    lineitem_clustered_se: how much of revenue variance lives BETWEEN
+    orders vs within them? One-way random-effects ANOVA: MSB/MSW from
+    group (order) sums, unbalanced k̄ = (N − Σn_g²/N)/(G−1), ICC =
+    (MSB−MSW)/(MSB+(k̄−1)·MSW). Near zero here (synthetic lines are
+    independent — the honest finding, property-asserted as
+    consistency); on real data this is the number that says whether
+    order-clustered errors are mandatory.
+
+    Engine-exact: per-order integer cents sums; SSW = Σ_g (n_g·Σx² −
+    (Σx)²) DIV (n_g·1e4) (dollars² — the twoway-ANOVA lesson: the
+    cents² quotient passes Long.MAX at sf1); SSB from group sums via
+    the same dollars² quantization; one closing double. Scale: one
+    shuffle to per-order cells (~N/4 groups — the natural key, no
+    skew), then one histogram-free agg; nothing driver-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)"
+            " * 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    y18 = F.expr("CAST(y AS DECIMAL(18,0))")
+    g = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sg"),
+        F.sum(y18 * y18).cast("decimal(38,0)").alias("ssg"),
+    )
+    per = g.select(
+        "ng",
+        "sg",
+        F.expr(
+            "CAST((CAST(ng AS DECIMAL(38,0)) * ssg - sg * sg)"
+            " DIV (CAST(ng AS DECIMAL(38,0)) * 10000) AS DECIMAL(38,0))"
+        ).alias("ssw_d2"),
+    )
+    agg = per.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("grp"),
+        F.sum(F.expr("CAST(ng AS DECIMAL(38,0)) * ng")).alias("sn2"),
+        F.sum("ssw_d2").alias("ssw_d2"),
+        F.sum("sg").alias("st"),
+        F.sum(F.expr("sg * sg DIV (CAST(ng AS DECIMAL(38,0)) * 10000)")).alias(
+            "sbterm_d2"
+        ),
+    )
+    # SSB_d2 = Σ sg²/ng − (Σsg)²/N, both terms dollars²-quantized
+    out = agg.select(
+        "n",
+        "grp",
+        F.expr(
+            "CAST(sbterm_d2 - st * st DIV (CAST(n AS DECIMAL(38,0)) * 10000)"
+            " AS DECIMAL(38,0))"
+        ).alias("ssb_d2"),
+        "ssw_d2",
+        "sn2",
+    )
+    msb = F.expr("CAST(ssb_d2 AS DOUBLE) / CAST(grp - 1 AS DOUBLE)")
+    msw = F.expr("CAST(ssw_d2 AS DOUBLE) / CAST(n - grp AS DOUBLE)")
+    kbar = F.expr(
+        "(CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / CAST(grp - 1 AS DOUBLE)"
+    )
+    icc = (msb - msw) / (msb + (kbar - F.lit(1.0)) * msw)
+    return out.select(
+        "n",
+        F.col("grp").alias("n_groups"),
+        F.floor(kbar * F.lit(1000.0)).cast("bigint").alias("kbar_x1000"),
+        F.floor(msb / msw * F.lit(1000000.0)).cast("bigint").alias("f_ratio_e6"),
+        F.floor(icc * F.lit(1000000.0)).cast("bigint").alias("icc_e6"),
+    )
+
+
+ICC_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)
+              * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sg,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ssg
+  FROM li GROUP BY 1
+),
+per AS (
+  SELECT ng, sg,
+         (CAST(ng AS HUGEINT) * ssg - sg * sg) // (CAST(ng AS HUGEINT) * 10000)
+           AS ssw_d2
+  FROM g
+),
+agg AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS grp,
+         CAST(SUM(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS sn2,
+         CAST(SUM(ssw_d2) AS HUGEINT) AS ssw_d2,
+         CAST(SUM(sg) AS HUGEINT) AS st,
+         CAST(SUM(sg * sg // (CAST(ng AS HUGEINT) * 10000)) AS HUGEINT) AS sbterm_d2
+  FROM per
+)
+SELECT n, grp AS n_groups,
+       CAST(FLOOR((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(grp - 1 AS DOUBLE) * CAST(1000 AS DOUBLE)) AS BIGINT)
+         AS kbar_x1000,
+       CAST(FLOOR((CAST(sbterm_d2 - st * st // (CAST(n AS HUGEINT) * 10000) AS DOUBLE)
+                   / CAST(grp - 1 AS DOUBLE))
+                  / (CAST(ssw_d2 AS DOUBLE) / CAST(n - grp AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS f_ratio_e6,
+       CAST(FLOOR((
+           (CAST(sbterm_d2 - st * st // (CAST(n AS HUGEINT) * 10000) AS DOUBLE)
+            / CAST(grp - 1 AS DOUBLE))
+           - (CAST(ssw_d2 AS DOUBLE) / CAST(n - grp AS DOUBLE)))
+         / ((CAST(sbterm_d2 - st * st // (CAST(n AS HUGEINT) * 10000) AS DOUBLE)
+             / CAST(grp - 1 AS DOUBLE))
+            + ((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(grp - 1 AS DOUBLE) - CAST(1 AS DOUBLE))
+              * (CAST(ssw_d2 AS DOUBLE) / CAST(n - grp AS DOUBLE)))
+         * CAST(1000000 AS DOUBLE)) AS BIGINT) AS icc_e6
+FROM agg
+"""
+
+QUERIES["lineitem_intraclass_correlation"] = lineitem_intraclass_correlation
+ORACLE["lineitem_intraclass_correlation"] = ICC_SQL

@@ -6756,3 +6756,172 @@ FROM sF f, tot t
 
 QUERIES["events_poisson_regression"] = events_poisson_regression
 ORACLE["events_poisson_regression"] = POISSON_REG_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_harmonic_regression — daily-cycle amplitude/phase via harmonic OLS
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def events_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic regression of the hourly event-count series on the
+    24h fundamental (cos/sin pair): amplitude, phase and R² of the
+    daily cycle — the parametric sibling of events_periodogram (which
+    scans frequencies; this FITS the known one, the load-shaping
+    question every capacity planner asks). The organic series is
+    diurnally flat (probed: ~2% amplitude), so a corpus-scaled
+    deterministic diurnal component M·(1e6+cos_e6) DIV 1e6 with
+    M = GREATEST(mean DIV 3, 2) is planted IN-PLAN (r9 trending-terms
+    precedent; the GREATEST floor keeps the plant RECOVERABLE at the
+    smallest tier, where hourly noise would swamp a unit amplitude)
+    — the property test asserts the estimator RECOVERS the planted
+    amplitude and phase.
+
+    Engine-exact: the regressors are per-term ROUND(trig·1e6)
+    integers (one cos/sin per hour-of-day, 24 transcendentals
+    total, memoized by h = hour mod 24 — identical values feed the
+    plant and the fit); the response is the n-scaled integer
+    deviation d_t = y_t·n − Σy (house changepoint trick — no float
+    mean); the 2×2 normal equations and determinant solve are exact
+    DECIMAL(38,0)/HUGEINT; amplitude/phase/R² close in identically-
+    shaped doubles (atan2 one-shot ROUND 6). Scale: one hour agg
+    (span-bounded ~720 cells), window + agg on that tiny frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    hourly = ev.groupBy("hr").agg(F.count(F.lit(1)).cast("bigint").alias("y0"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = (
+        hourly.withColumn("h", F.hour("hr").cast("bigint"))
+        .withColumn(
+            "c_e6",
+            F.expr(
+                "CAST(ROUND(cos(CAST(h AS DOUBLE) * 2 * acos(CAST(-1 AS DOUBLE)) / 24)"
+                " * 1000000) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "s_e6",
+            F.expr(
+                "CAST(ROUND(sin(CAST(h AS DOUBLE) * 2 * acos(CAST(-1 AS DOUBLE)) / 24)"
+                " * 1000000) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "m",
+            F.expr(
+                "CAST(GREATEST(SUM(y0) OVER () DIV COUNT(*) OVER () DIV 3, 2)"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn("y", F.expr("y0 + m * (1000000 + c_e6) DIV 1000000"))
+    )
+    cells = base.withColumn("n", F.count(F.lit(1)).over(wall).cast("bigint")).withColumn(
+        "sy", F.sum("y").over(wall).cast("bigint")
+    )
+    d38 = "decimal(38,0)"
+    stats = cells.select(
+        "n",
+        "m",
+        F.expr("CAST(y AS DECIMAL(38,0)) * n - sy").alias("d"),
+        F.expr("CAST(c_e6 AS DECIMAL(38,0))").alias("c"),
+        F.expr("CAST(s_e6 AS DECIMAL(38,0))").alias("s"),
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("m").cast("bigint").alias("planted_m"),
+        F.sum(F.expr("c * c")).cast(d38).alias("scc"),
+        F.sum(F.expr("s * s")).cast(d38).alias("sss"),
+        F.sum(F.expr("c * s")).cast(d38).alias("scs"),
+        F.sum(F.expr("c * d")).cast(d38).alias("scd"),
+        F.sum(F.expr("s * d")).cast(d38).alias("ssd"),
+        F.sum(F.expr("d * d")).cast(d38).alias("sdd"),
+    )
+    # a,b solve (response d = y·n − Σy, regressors e6-trig):
+    # a = (Sss·Scd − Scs·Ssd)/det, b = (Scc·Ssd − Scs·Scd)/det
+    # amplitude in count units = sqrt(a²+b²)·1e6 / n  (d carries ·n,
+    # trig carries ·1e-6)
+    a = F.expr(
+        "(CAST(sss AS DOUBLE) * CAST(scd AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(ssd AS DOUBLE))"
+        " / (CAST(scc AS DOUBLE) * CAST(sss AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scs AS DOUBLE))"
+    )
+    b = F.expr(
+        "(CAST(scc AS DOUBLE) * CAST(ssd AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scd AS DOUBLE))"
+        " / (CAST(scc AS DOUBLE) * CAST(sss AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scs AS DOUBLE))"
+    )
+    nn = F.expr("CAST(n AS DOUBLE)")
+    amp = F.sqrt(a * a + b * b) * F.lit(1000000.0) / nn
+    # R² = (a·Scd + b·Ssd) / Sdd  (explained SS over total, same units)
+    r2 = (
+        a * F.expr("CAST(scd AS DOUBLE)") + b * F.expr("CAST(ssd AS DOUBLE)")
+    ) / F.expr("CAST(sdd AS DOUBLE)")
+    phase = F.atan2(F.lit(-1.0) * b, a)
+    return stats.select(
+        F.col("n").cast("bigint").alias("n_hours"),
+        "planted_m",
+        F.floor(amp * F.lit(1000.0)).cast("bigint").alias("amplitude_x1000"),
+        F.round(phase, 6).alias("phase_rad"),
+        F.floor(r2 * F.lit(1000000.0)).cast("bigint").alias("r2_e6"),
+    )
+
+
+HARMONIC_REG_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS y0
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT hr, y0,
+         CAST(hour(hr) AS BIGINT) AS h,
+         CAST(ROUND(cos(CAST(hour(hr) AS DOUBLE) * 2 * acos(CAST(-1 AS DOUBLE)) / 24)
+              * 1000000) AS BIGINT) AS c_e6,
+         CAST(ROUND(sin(CAST(hour(hr) AS DOUBLE) * 2 * acos(CAST(-1 AS DOUBLE)) / 24)
+              * 1000000) AS BIGINT) AS s_e6,
+         CAST(GREATEST(SUM(y0) OVER () // COUNT(*) OVER () // 3, 2) AS BIGINT) AS m
+  FROM hourly
+),
+cells AS (
+  SELECT h, c_e6, s_e6, m,
+         y0 + m * (1000000 + c_e6) // 1000000 AS y,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(y0 + m * (1000000 + c_e6) // 1000000) OVER () AS BIGINT) AS sy
+  FROM base
+),
+stats AS (
+  SELECT MAX(n) AS n, CAST(MAX(m) AS BIGINT) AS planted_m,
+         CAST(SUM(CAST(c_e6 AS HUGEINT) * c_e6) AS HUGEINT) AS scc,
+         CAST(SUM(CAST(s_e6 AS HUGEINT) * s_e6) AS HUGEINT) AS sss,
+         CAST(SUM(CAST(c_e6 AS HUGEINT) * s_e6) AS HUGEINT) AS scs,
+         CAST(SUM(CAST(c_e6 AS HUGEINT) * (CAST(y AS HUGEINT) * n - sy)) AS HUGEINT) AS scd,
+         CAST(SUM(CAST(s_e6 AS HUGEINT) * (CAST(y AS HUGEINT) * n - sy)) AS HUGEINT) AS ssd,
+         CAST(SUM((CAST(y AS HUGEINT) * n - sy) * (CAST(y AS HUGEINT) * n - sy)) AS HUGEINT) AS sdd
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_hours,
+       planted_m,
+       CAST(FLOOR(SQRT(
+           POW((CAST(sss AS DOUBLE) * CAST(scd AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(ssd AS DOUBLE))
+               / (CAST(scc AS DOUBLE) * CAST(sss AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scs AS DOUBLE)), 2)
+           + POW((CAST(scc AS DOUBLE) * CAST(ssd AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scd AS DOUBLE))
+                 / (CAST(scc AS DOUBLE) * CAST(sss AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scs AS DOUBLE)), 2))
+         * CAST(1000000 AS DOUBLE) / CAST(n AS DOUBLE) * CAST(1000 AS DOUBLE)) AS BIGINT)
+         AS amplitude_x1000,
+       ROUND(atan2(CAST(-1 AS DOUBLE)
+                   * ((CAST(scc AS DOUBLE) * CAST(ssd AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scd AS DOUBLE))
+                      / (CAST(scc AS DOUBLE) * CAST(sss AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scs AS DOUBLE))),
+                   (CAST(sss AS DOUBLE) * CAST(scd AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(ssd AS DOUBLE))
+                   / (CAST(scc AS DOUBLE) * CAST(sss AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scs AS DOUBLE))), 6)
+         AS phase_rad,
+       CAST(FLOOR((
+           (CAST(sss AS DOUBLE) * CAST(scd AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(ssd AS DOUBLE))
+           / (CAST(scc AS DOUBLE) * CAST(sss AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scs AS DOUBLE))
+           * CAST(scd AS DOUBLE)
+           + (CAST(scc AS DOUBLE) * CAST(ssd AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scd AS DOUBLE))
+             / (CAST(scc AS DOUBLE) * CAST(sss AS DOUBLE) - CAST(scs AS DOUBLE) * CAST(scs AS DOUBLE))
+             * CAST(ssd AS DOUBLE))
+         / CAST(sdd AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS r2_e6
+FROM stats
+"""
+
+QUERIES["events_harmonic_regression"] = events_harmonic_regression
+ORACLE["events_harmonic_regression"] = HARMONIC_REG_SQL

@@ -113,6 +113,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_wilcoxon_signed_rank",
         "orders_lognormal_fit",
         "text_unicode_hygiene_screen",
+        "lineitem_intraclass_correlation",
+        "events_harmonic_regression",
+        "multimodal_caption_consistency",
     }
 )
 

@@ -1380,3 +1380,72 @@ class TestUnicodeHygiene:
         sub = docs[docs["doc_id"] % 13 == 0]
         total_chars = int(sub["text"].str.len().sum()) + n13
         assert mo["suspect_char_ppm"] == n13 * 1_000_000 // total_chars
+
+
+class TestIntraclassCorrelation:
+    def test_matches_anova_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import lineitem_intraclass_correlation
+
+        r = lineitem_intraclass_correlation(spark, sf_dir).collect()[0]
+        li = _pq("lineitem")
+        pc = (li["l_extendedprice"].round(2) * 100).round().astype("int64").to_numpy()
+        zq = (li["l_discount"].round(2) * 100).round().astype("int64").to_numpy()
+        y = (pc.astype(object) * (100 - zq.astype(object)) + 50) // 100
+        y = np.array([int(v) for v in y], dtype="float64") / 100.0
+        g = pd.DataFrame({"k": li["l_orderkey"], "y": y}).groupby("k")["y"]
+        n = len(y)
+        G = g.ngroups
+        assert r.n == n and r.n_groups == G
+        ssw = float(((y - g.transform("mean").to_numpy()) ** 2).sum())
+        means = g.mean()
+        sizes = g.size()
+        grand = y.mean()
+        ssb = float((sizes * (means - grand) ** 2).sum())
+        msb = ssb / (G - 1)
+        msw = ssw / (n - G)
+        kbar = (n - (sizes**2).sum() / n) / (G - 1)
+        icc = (msb - msw) / (msb + (kbar - 1) * msw)
+        assert abs(r.kbar_x1000 / 1e3 - kbar) < 2e-3
+        assert abs(r.f_ratio_e6 / 1e6 - msb / msw) / (msb / msw) < 1e-3
+        assert abs(r.icc_e6 / 1e6 - icc) < 1e-3
+        # synthetic lines are independent within orders: ICC ~ 0
+        assert abs(r.icc_e6) < 50_000
+
+
+class TestHarmonicRegression:
+    def test_recovers_planted_diurnal_component(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import events_harmonic_regression
+
+        r = events_harmonic_regression(spark, sf_dir).collect()[0]
+        ev = _pq("events")
+        hours = ev["ts"].astype("datetime64[ns]").dt.floor("h")
+        c = hours.value_counts().sort_index()
+        n = len(c)
+        assert r.n_hours == n
+        m = max(int(c.sum()) // n // 3, 2)
+        assert r.planted_m == m
+        # planted amplitude is m (the cos coefficient); estimator must
+        # recover it within the organic noise (~2% of mean)
+        assert abs(r.amplitude_x1000 / 1e3 - m) / m < 0.2
+        # planted phase is 0 (pure cosine, peak at hour 0)
+        assert abs(r.phase_rad) < 0.25
+        assert r.r2_e6 > 300_000  # the planted cycle dominates
+
+
+class TestCaptionConsistency:
+    def test_planted_mislabels_recovered_exactly(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_caption_consistency
+
+        df = multimodal_caption_consistency(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        ids = docs["doc_id"].to_numpy()
+        assert int(df["n_pairs"].sum()) == len(ids)
+        for rec in df.itertuples():
+            k = rec.pixel_class
+            cls_ids = ids[ids % 8 == k]
+            mis = cls_ids[cls_ids % 17 == 0]
+            assert rec.n_pairs == len(cls_ids)
+            assert rec.n_mislabeled == len(mis)
+            assert rec.n_consistent == len(cls_ids) - len(mis)
+            assert rec.first_mislabel_doc == (int(mis.min()) if len(mis) else -1)
+            assert rec.consistency_ppm == rec.n_consistent * 1_000_000 // rec.n_pairs
