@@ -351,6 +351,9 @@ HEADLINE = [
     "lineitem_intraclass_correlation",
     "events_harmonic_regression",
     "multimodal_caption_consistency",
+    "corpus_source_leakage_matrix",
+    "events_bimodality_coefficient",
+    "lineitem_taguchi_sn",
 ]
 
 

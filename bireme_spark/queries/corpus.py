@@ -2103,3 +2103,98 @@ ORDER BY window_tokens
 
 QUERIES["corpus_context_length_budget"] = corpus_context_length_budget
 ORACLE["corpus_context_length_budget"] = CONTEXT_BUDGET_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_source_leakage_matrix — cross-source 8-gram leakage provenance
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def corpus_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE 8-gram leakage matrix — the provenance question
+    behind corpus_validation_leakage, asked between every pair of
+    ingest sources: how many of source A's distinct shingles also
+    appear in source B (mirrors, syndication, scraper overlap)? The
+    source-granular form of text_crossdoc_spans; pairs whose leak
+    share is high get merged or deduped BEFORE mixing weights are
+    chosen. Natural signal on this corpus (probed: 76-137 shared
+    8-grams per source pair) — no plant needed.
+
+    Engine-exact: distinct (shingle, source) inverted index, one
+    equi-join on shingle (fan-out bounded by |sources|² per shingle
+    — never all-pairs over docs), integer counts and ppm DIV.
+
+    Scale: the index is one shuffle; the join key is the shingle
+    with per-source-distinct rows, so a hot shingle contributes at
+    most |sources| rows per side. Zero-leak pairs are emitted (the
+    audit must show clean pairs as clean) via the totals cross."""
+    from bireme_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingles(d, "doc_id", "text", n=8)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    leaked = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked"))
+    )
+    grid = (
+        totals.select(F.col("source").alias("src_a"), F.col("n_shingles").alias("shingles_a"))
+        .crossJoin(F.broadcast(totals.select(F.col("source").alias("src_b"))))
+        .where(F.col("src_a") != F.col("src_b"))
+    )
+    return (
+        grid.join(leaked, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "shingles_a",
+            F.coalesce("leaked", F.lit(0)).cast("bigint").alias("leaked"),
+            F.expr(
+                "CAST(COALESCE(leaked, 0) * 1000000 DIV shingles_a AS BIGINT)"
+            ).alias("leak_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_LEAKAGE_SQL = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, array_to_string(ws[i:i+7], ' ') AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i) t
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1
+),
+leaked AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS leaked
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT ta.source AS src_a, tb.source AS src_b,
+       ta.n_shingles AS shingles_a,
+       CAST(COALESCE(l.leaked, 0) AS BIGINT) AS leaked,
+       CAST(COALESCE(l.leaked, 0) * 1000000 // ta.n_shingles AS BIGINT) AS leak_ppm
+FROM totals ta
+CROSS JOIN totals tb
+LEFT JOIN leaked l ON l.src_a = ta.source AND l.src_b = tb.source
+WHERE ta.source <> tb.source
+ORDER BY 1, 2
+"""
+
+QUERIES["corpus_source_leakage_matrix"] = corpus_source_leakage_matrix
+ORACLE["corpus_source_leakage_matrix"] = SOURCE_LEAKAGE_SQL

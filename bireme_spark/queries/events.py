@@ -4711,3 +4711,120 @@ ORDER BY event_type
 
 QUERIES["events_ddsketch_quantiles"] = events_ddsketch_quantiles
 ORACLE["events_ddsketch_quantiles"] = EVENTS_DDSKETCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_bimodality_coefficient — SAS bimodality screen per event type
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def events_bimodality_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bimodality coefficient BC = (g1²+1)/(g2 + 3(n−1)²/((n−2)(n−3)))
+    per event type — the one-pass screen (SAS's heuristic) that flags
+    a metric whose distribution has split into modes (mixed
+    populations, a/b leakage, bot+human blends) BEFORE anyone fits a
+    mixture model (lineitem_em_mixture is the expensive follow-up).
+    BC > 0.555 (the uniform's value) suggests bimodality.
+
+    Engine-exact: values quantize to e3 integers once (ROUND(v·1e3),
+    measure-zero ties); Σx..Σx⁴ accumulate as DECIMAL(38,0)/HUGEINT
+    (scale-0 casts are correctly rounded at any magnitude — the
+    partial-correlation lesson); the central-moment expansion closes
+    in identically-shaped doubles; FLOOR-e6 emission and a
+    CAST(0.555 AS DOUBLE) threshold. Scale: ONE map-side-combinable
+    agg to |types| rows; Σx⁴ holds exactly through ~sf100 (DIV-k
+    beyond, documented)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 1000) AS BIGINT)").alias("x"),
+    )
+    x38 = F.expr("CAST(x AS DECIMAL(38,0))")
+    d38 = "decimal(38,0)"
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x38).cast(d38).alias("s1"),
+        F.sum(x38 * x38).cast(d38).alias("s2"),
+        F.sum(x38 * x38 * x38).cast(d38).alias("s3"),
+        F.sum(x38 * x38 * x38 * x38).cast(d38).alias("s4"),
+    )
+    n = F.expr("CAST(n AS DOUBLE)")
+    s1 = F.expr("CAST(s1 AS DOUBLE)")
+    s2 = F.expr("CAST(s2 AS DOUBLE)")
+    s3 = F.expr("CAST(s3 AS DOUBLE)")
+    s4 = F.expr("CAST(s4 AS DOUBLE)")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * s2 / n + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * s3 / n
+        + F.lit(6.0) * mu * mu * s2 / n
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    corr = F.lit(3.0) * (n - F.lit(1.0)) * (n - F.lit(1.0)) / (
+        (n - F.lit(2.0)) * (n - F.lit(3.0))
+    )
+    bc = (g1 * g1 + F.lit(1.0)) / (g2 + corr)
+    return g.select(
+        "event_type",
+        F.col("n").alias("n"),
+        F.floor(mu).cast("bigint").alias("mean_x1000"),
+        F.floor(g1 * F.lit(1000000.0)).cast("bigint").alias("skew_e6"),
+        F.floor(g2 * F.lit(1000000.0)).cast("bigint").alias("excess_kurtosis_e6"),
+        F.floor(bc * F.lit(1000000.0)).cast("bigint").alias("bc_e6"),
+        (bc > F.expr("CAST(0.555 AS DOUBLE)")).alias("bimodal_suspect"),
+    ).orderBy("event_type")
+
+
+BIMODALITY_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS x FROM events
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+         CAST(SUM(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+         CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+  FROM e GROUP BY 1
+),
+m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+           - CAST(3 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           + CAST(2 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+           - CAST(4 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+           + CAST(6 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - CAST(3 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m4
+  FROM g
+)
+SELECT event_type, n,
+       CAST(FLOOR(mu) AS BIGINT) AS mean_x1000,
+       CAST(FLOOR(m3 / (m2 * SQRT(m2)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS skew_e6,
+       CAST(FLOOR((m4 / (m2 * m2) - CAST(3 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+         AS excess_kurtosis_e6,
+       CAST(FLOOR(((m3 / (m2 * SQRT(m2))) * (m3 / (m2 * SQRT(m2))) + CAST(1 AS DOUBLE))
+                  / ((m4 / (m2 * m2) - CAST(3 AS DOUBLE))
+                     + CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))
+                       * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))
+                       / ((CAST(n AS DOUBLE) - CAST(2 AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(3 AS DOUBLE))))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS bc_e6,
+       ((m3 / (m2 * SQRT(m2))) * (m3 / (m2 * SQRT(m2))) + CAST(1 AS DOUBLE))
+         / ((m4 / (m2 * m2) - CAST(3 AS DOUBLE))
+            + CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))
+              * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))
+              / ((CAST(n AS DOUBLE) - CAST(2 AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(3 AS DOUBLE))))
+         > CAST(0.555 AS DOUBLE) AS bimodal_suspect
+FROM m
+ORDER BY event_type
+"""
+
+QUERIES["events_bimodality_coefficient"] = events_bimodality_coefficient
+ORACLE["events_bimodality_coefficient"] = BIMODALITY_SQL

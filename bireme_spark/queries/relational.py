@@ -9441,3 +9441,83 @@ FROM agg
 
 QUERIES["lineitem_intraclass_correlation"] = lineitem_intraclass_correlation
 ORACLE["lineitem_intraclass_correlation"] = ICC_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_taguchi_sn — Taguchi signal-to-noise ratios on fulfillment
+# latency (round 10)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_taguchi_sn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taguchi signal-to-noise ratios on order→ship latency per ship
+    year — the robust-design scorecard: smaller-is-better
+    SN_S = −10·log10(Σx²/n) penalizes BOTH slow mean and high
+    variance in one number (unlike the mean-only SLA view of
+    lineitem_shipping_sla), and larger-is-better SN_L =
+    −10·log10(Σ(1/x²)/n) applied to the same latencies exposes the
+    near-zero outliers. A year whose SN_S drifts down is getting
+    slower OR sloppier — the single-number trend a fleet review
+    wants.
+
+    Engine-exact: latency is integer days (datediff), Σx² integer
+    DECIMAL(38,0); the reciprocal sum is e12-quantized integer
+    (1e12 DIV x², x floored at 1) — both engines trunc; the two
+    log10 are ONE-SHOT transcendentals each, ROUND 6 (measure-zero
+    ties). Scale: one lineitem⋈orders join (orderkey — the natural
+    co-partition), one year agg."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.greatest(F.datediff("l_shipdate", "o_orderdate"), F.lit(1))
+        .cast("bigint")
+        .alias("x"),
+    )
+    x38 = F.expr("CAST(x AS DECIMAL(38,0))")
+    g = j.groupBy("ship_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(x38 * x38).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("1000000000000 DIV (x * x)")).cast("bigint").alias("srecip_e12"),
+    )
+    sn_s = F.expr(
+        "ROUND(-10 * log10(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+    )
+    sn_l = F.expr(
+        "ROUND(-10 * log10(CAST(srecip_e12 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / CAST(1000000000000 AS DOUBLE)), 6)"
+    )
+    return g.select(
+        "ship_year",
+        "n",
+        F.expr("CAST(sx * 1000 DIV n AS BIGINT)").alias("mean_days_x1000"),
+        sn_s.alias("sn_smaller_db"),
+        sn_l.alias("sn_larger_db"),
+    ).orderBy("ship_year")
+
+
+TAGUCHI_SQL = """
+WITH j AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         CAST(GREATEST(datediff('day', o_orderdate, l_shipdate), 1) AS BIGINT) AS x
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+g AS (
+  SELECT ship_year, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(1000000000000 // (x * x)) AS BIGINT) AS srecip_e12
+  FROM j GROUP BY 1
+)
+SELECT ship_year, n,
+       CAST(sx * 1000 // n AS BIGINT) AS mean_days_x1000,
+       ROUND(-10 * log10(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS sn_smaller_db,
+       ROUND(-10 * log10(CAST(srecip_e12 AS DOUBLE) / CAST(n AS DOUBLE)
+             / CAST(1000000000000 AS DOUBLE)), 6) AS sn_larger_db
+FROM g
+ORDER BY ship_year
+"""
+
+QUERIES["lineitem_taguchi_sn"] = lineitem_taguchi_sn
+ORACLE["lineitem_taguchi_sn"] = TAGUCHI_SQL

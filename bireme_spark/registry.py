@@ -116,6 +116,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "lineitem_intraclass_correlation",
         "events_harmonic_regression",
         "multimodal_caption_consistency",
+        "corpus_source_leakage_matrix",
+        "events_bimodality_coefficient",
+        "lineitem_taguchi_sn",
     }
 )
 

@@ -1449,3 +1449,76 @@ class TestCaptionConsistency:
             assert rec.n_consistent == len(cls_ids) - len(mis)
             assert rec.first_mislabel_doc == (int(mis.min()) if len(mis) else -1)
             assert rec.consistency_ppm == rec.n_consistent * 1_000_000 // rec.n_pairs
+
+
+class TestSourceLeakageMatrix:
+    def test_matches_pandas_shingle_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.corpus import corpus_source_leakage_matrix
+
+        df = corpus_source_leakage_matrix(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        per_src: dict[str, set] = {}
+        for rec in docs.itertuples():
+            ws = rec.text.split(" ")
+            sh = {" ".join(ws[i : i + 8]) for i in range(max(len(ws) - 7, 0))}
+            per_src.setdefault(rec.source, set()).update(sh)
+        srcs = sorted(per_src)
+        assert len(df) == len(srcs) * (len(srcs) - 1)
+        got = {(r.src_a, r.src_b): r for r in df.itertuples()}
+        import itertools
+        for a, b in itertools.permutations(srcs, 2):
+            r = got[(a, b)]
+            inter = len(per_src[a] & per_src[b])
+            assert r.shingles_a == len(per_src[a])
+            assert r.leaked == inter
+            assert r.leak_ppm == inter * 1_000_000 // len(per_src[a])
+        # natural signal: at least one pair leaks
+        assert df["leaked"].max() > 0
+
+
+class TestBimodalityCoefficient:
+    def test_matches_scipy_free_moments(self, spark, sf_dir):
+        from bireme_spark.queries.events import events_bimodality_coefficient
+
+        rows = {r.event_type: r for r in events_bimodality_coefficient(spark, sf_dir).collect()}
+        ev = _pq("events")
+        for etype, g in ev.groupby("event_type"):
+            x = np.round(g["value"].to_numpy() * 1000).astype("int64").astype("float64")
+            n = len(x)
+            r = rows[etype]
+            assert r.n == n
+            mu = x.mean()
+            m2 = ((x - mu) ** 2).mean()
+            m3 = ((x - mu) ** 3).mean()
+            m4 = ((x - mu) ** 4).mean()
+            g1 = m3 / m2**1.5
+            g2 = m4 / m2**2 - 3
+            bc = (g1**2 + 1) / (g2 + 3 * (n - 1) ** 2 / ((n - 2) * (n - 3)))
+            assert abs(r.skew_e6 / 1e6 - g1) < 1e-3
+            assert abs(r.excess_kurtosis_e6 / 1e6 - g2) < 1e-3
+            assert abs(r.bc_e6 / 1e6 - bc) < 1e-3
+            assert bool(r.bimodal_suspect) == (bc > 0.555)
+
+
+class TestTaguchiSN:
+    def test_matches_pandas_and_penalizes_variance(self, spark, sf_dir):
+        from bireme_spark.queries.relational import lineitem_taguchi_sn
+
+        df = lineitem_taguchi_sn(spark, sf_dir).toPandas()
+        li = _pq("lineitem")
+        o = _pq("orders")
+        j = li.merge(o[["o_orderkey", "o_orderdate"]], left_on="l_orderkey", right_on="o_orderkey")
+        x = np.maximum((j["l_shipdate"] - j["o_orderdate"]).dt.days.to_numpy(), 1)
+        yr = j["l_shipdate"].dt.year.to_numpy()
+        for rec in df.itertuples():
+            g = x[yr == rec.ship_year].astype("int64")
+            n = len(g)
+            assert rec.n == n
+            assert rec.mean_days_x1000 == int(g.sum()) * 1000 // n
+            sn_s = -10 * np.log10(float((g.astype(object) ** 2).sum()) / n)
+            assert abs(rec.sn_smaller_db - sn_s) < 1e-5
+            srec = sum(10**12 // (int(v) * int(v)) for v in g)
+            sn_l = -10 * np.log10(srec / n / 1e12)
+            assert abs(rec.sn_larger_db - sn_l) < 1e-5
+        # SN_S is a negative dB for multi-day latencies
+        assert (df["sn_smaller_db"] < 0).all()
