@@ -354,6 +354,9 @@ HEADLINE = [
     "corpus_source_leakage_matrix",
     "events_bimodality_coefficient",
     "lineitem_taguchi_sn",
+    "orders_quantile_treatment_effect",
+    "events_pot_gpd_tail",
+    "multimodal_av_sync_check",
 ]
 
 

@@ -2489,3 +2489,143 @@ ORDER BY 1
 
 QUERIES["multimodal_caption_consistency"] = multimodal_caption_consistency
 ORACLE["multimodal_caption_consistency"] = CAPTION_CONSISTENCY_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_av_sync_check — audio/video duration consistency audit
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_av_sync_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/V sync audit for paired audio+video training clips — the
+    screen a video-corpus pipeline runs before cutting clips into
+    training windows: decode BOTH tracks, compare durations
+    (frames/fps vs samples/rate), flag drift beyond half a frame.
+    The fixture pairs a Y4M track (10 fps via the F header, n =
+    10 + s % 5 frames)
+    with a PCM track (8000 Hz, nominally n·800 samples) and PLANTS
+    drift: classes with s % 7 == 0 carry one extra video frame
+    (+100 ms), s % 11 == 0 lose 800 audio samples (−100 ms, a full frame —
+    a plant ON the tolerance boundary is untestable). First op
+    to couple the audio AND video codecs in one hash-gated plan.
+
+    FULLY INTEGER: durations in exact ms (frames·1000 DIV fps,
+    samples·1000 DIV rate), drift and the half-frame tolerance
+    (1000 DIV (2·fps) = 50 ms) are integer compares. The oracle
+    predicts every class symbolically from the residues.
+
+    Scale shape: ONE fused mapInPandas pass (both codecs round-trip
+    inside), 64-class memoization, 64-row rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+    from bireme_spark.functions.videocodec import decode_y4m, encode_y4m
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def sync(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, tuple[int, int, int, int]] = {}
+
+        def klass(s: int) -> tuple[int, int, int, int]:
+            if s in cache:
+                return cache[s]
+            w, h = 8, 6
+            nf = 10 + s % 5 + (1 if s % 7 == 0 else 0)
+            clen = (w // 2) * (h // 2)
+            frames = [
+                (bytes([(20 + 3 * f) % 200] * (w * h)), bytes([128]) * clen, bytes([128]) * clen)
+                for f in range(nf)
+            ]
+            vid = encode_y4m(w, h, frames, fps=(10, 1))
+            _, _, (fn, fd), back_frames = decode_y4m(vid)
+            ns = (10 + s % 5) * 800 - (800 if s % 11 == 0 else 0)
+            tone = [((s * 7 + i * 13) % 1200) - 600 for i in range(ns)]
+            _, _, back = decode_wav(encode_wav(8000, tone))
+            v_ms = len(back_frames) * 1000 * fd // fn
+            a_ms = len(back) * 1000 // 8000
+            cache[s] = (len(back_frames), len(back), v_ms, a_ms)
+            return cache[s]
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "n_samples": [],
+                "video_ms": [],
+                "audio_ms": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf, ns, vms, ams = klass(doc_id % 64)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["n_samples"].append(ns)
+                out["video_ms"].append(vms)
+                out["audio_ms"].append(ams)
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        sync,
+        schema=(
+            "doc_id long, n_frames long, n_samples long,"
+            " video_ms long, audio_ms long"
+        ),
+    )
+    return (
+        scored.groupBy((F.col("doc_id") % 64).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.first("n_frames").cast("bigint").alias("n_frames"),
+            F.first("n_samples").cast("bigint").alias("n_samples"),
+            F.first("video_ms").cast("bigint").alias("video_ms"),
+            F.first("audio_ms").cast("bigint").alias("audio_ms"),
+        )
+        .select(
+            "canonical_doc",
+            "n_clips",
+            "n_frames",
+            "n_samples",
+            "video_ms",
+            "audio_ms",
+            (F.col("video_ms") - F.col("audio_ms")).cast("bigint").alias("drift_ms"),
+            (F.abs(F.col("video_ms") - F.col("audio_ms")) > F.lit(50)).alias(
+                "out_of_sync"
+            ),
+        )
+        .orderBy("canonical_doc")
+    )
+
+
+AV_SYNC_SQL = """
+WITH per AS (
+  SELECT s,
+         CAST(10 + s % 5 + CASE WHEN s % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_frames,
+         CAST((10 + s % 5) * 800 - CASE WHEN s % 11 = 0 THEN 800 ELSE 0 END AS BIGINT)
+           AS n_samples
+  FROM generate_series(0, 63) t(s)
+),
+ms AS (
+  SELECT s, n_frames, n_samples,
+         CAST(n_frames * 1000 // 10 AS BIGINT) AS video_ms,
+         CAST(n_samples * 1000 // 8000 AS BIGINT) AS audio_ms
+  FROM per
+),
+cls AS (
+  SELECT doc_id % 64 AS s, CAST(COUNT(*) AS BIGINT) AS n_clips,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT canonical_doc, n_clips, n_frames, n_samples, video_ms, audio_ms,
+       CAST(video_ms - audio_ms AS BIGINT) AS drift_ms,
+       ABS(video_ms - audio_ms) > 50 AS out_of_sync
+FROM cls JOIN ms USING (s)
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_av_sync_check"] = multimodal_av_sync_check
+ORACLE["multimodal_av_sync_check"] = AV_SYNC_SQL

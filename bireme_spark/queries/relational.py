@@ -9521,3 +9521,161 @@ ORDER BY ship_year
 
 QUERIES["lineitem_taguchi_sn"] = lineitem_taguchi_sn
 ORACLE["lineitem_taguchi_sn"] = TAGUCHI_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_quantile_treatment_effect — distributional effect at p25/p50/p75
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the distributional complement to
+    mean-effect ops (DiD/CUPED): at p25/p50/p75, how much does the
+    order-value distribution of the BUILDING segment differ from the
+    rest? A mean effect of zero can hide opposite-sign tail effects;
+    QTE is what an experimentation review reads next. Order-statistic
+    confidence bounds (Woodruff/binomial rank bounds at ~95%: rank ±
+    1.96·√(n·q·(1−q))) come free from the same CDF — no bootstrap.
+
+    Engine-exact: cents histogram per group, ceil-rank order
+    statistics and the rank bounds via cross-multiplied integer
+    predicates (the ±z√· bound is FLOOR-quantized from one double —
+    identical on both engines); effects are integer cents
+    differences. Scale: two |distinct cents|-sized CDFs (histogram-
+    CDF house pattern — never a global sort), 3-row output."""
+    o = load_table(spark, sf_dir, "orders").join(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    hist = o.groupBy("treated", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wg = Window.partitionBy("treated").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("treated")
+    cdf = hist.withColumn("cum", F.sum("c").over(wg).cast("bigint")).withColumn(
+        "n", F.sum("c").over(wall).cast("bigint")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("q")
+    )
+    j = cdf.crossJoin(F.broadcast(qs))
+    # ceil-rank target r = ceil(n*q/100) via cum*100 >= n*q; the ~95%
+    # rank bounds r ± 1.96*sqrt(n*(q/100)*(1-q/100)) floor-quantized
+    per = j.groupBy("treated", "q").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * F.col("q"), F.col("cents"))).alias(
+            "qv"
+        ),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(
+                    "CAST(CEIL(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) / 100"
+                    " - CAST(1.96 AS DOUBLE) * SQRT(CAST(n AS DOUBLE)"
+                    "   * (CAST(q AS DOUBLE) / 100)"
+                    "   * (CAST(1 AS DOUBLE) - CAST(q AS DOUBLE) / 100))) AS BIGINT)"
+                ),
+                F.col("cents"),
+            )
+        ).alias("qlo"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(
+                    "CAST(CEIL(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) / 100"
+                    " + CAST(1.96 AS DOUBLE) * SQRT(CAST(n AS DOUBLE)"
+                    "   * (CAST(q AS DOUBLE) / 100)"
+                    "   * (CAST(1 AS DOUBLE) - CAST(q AS DOUBLE) / 100))) AS BIGINT)"
+                ),
+                F.col("cents"),
+            )
+        ).alias("qhi"),
+    )
+    t = per.where("treated").select(
+        "q",
+        F.col("n").alias("n_treated"),
+        F.col("qv").alias("q_treated"),
+        F.col("qlo").alias("t_lo"),
+        F.col("qhi").alias("t_hi"),
+    )
+    c = per.where(~F.col("treated")).select(
+        "q",
+        F.col("n").alias("n_control"),
+        F.col("qv").alias("q_control"),
+        F.col("qlo").alias("c_lo"),
+        F.col("qhi").alias("c_hi"),
+    )
+    return (
+        t.join(c, "q")
+        .select(
+            F.col("q").cast("bigint").alias("quantile_pct"),
+            "n_treated",
+            "n_control",
+            "q_treated",
+            "q_control",
+            (F.col("q_treated") - F.col("q_control")).cast("bigint").alias("qte_cents"),
+            # conservative CI: effect bounds from opposite-side rank bounds
+            (F.col("t_lo") - F.col("c_hi")).cast("bigint").alias("qte_lo_cents"),
+            (F.col("t_hi") - F.col("c_lo")).cast("bigint").alias("qte_hi_cents"),
+        )
+        .orderBy("quantile_pct")
+    )
+
+
+QTE_SQL = """
+WITH o AS (
+  SELECT c_mktsegment = 'BUILDING' AS treated,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+hist AS (
+  SELECT treated, cents, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1, 2
+),
+cdf AS (
+  SELECT treated, cents, c,
+         CAST(SUM(c) OVER (PARTITION BY treated ORDER BY cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY treated) AS BIGINT) AS n
+  FROM hist
+),
+qs AS (SELECT q FROM (VALUES (25), (50), (75)) v(q)),
+per AS (
+  SELECT treated, q,
+         MAX(n) AS n,
+         MIN(CASE WHEN cum * 100 >= n * q THEN cents END) AS qv,
+         MIN(CASE WHEN cum >= CAST(CEIL(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) / 100
+                  - CAST(1.96 AS DOUBLE) * SQRT(CAST(n AS DOUBLE)
+                    * (CAST(q AS DOUBLE) / 100)
+                    * (CAST(1 AS DOUBLE) - CAST(q AS DOUBLE) / 100))) AS BIGINT)
+                  THEN cents END) AS qlo,
+         MIN(CASE WHEN cum >= CAST(CEIL(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) / 100
+                  + CAST(1.96 AS DOUBLE) * SQRT(CAST(n AS DOUBLE)
+                    * (CAST(q AS DOUBLE) / 100)
+                    * (CAST(1 AS DOUBLE) - CAST(q AS DOUBLE) / 100))) AS BIGINT)
+                  THEN cents END) AS qhi
+  FROM cdf CROSS JOIN qs
+  GROUP BY 1, 2
+)
+SELECT CAST(t.q AS BIGINT) AS quantile_pct,
+       t.n AS n_treated,
+       c.n AS n_control,
+       t.qv AS q_treated,
+       c.qv AS q_control,
+       CAST(t.qv - c.qv AS BIGINT) AS qte_cents,
+       CAST(t.qlo - c.qhi AS BIGINT) AS qte_lo_cents,
+       CAST(t.qhi - c.qlo AS BIGINT) AS qte_hi_cents
+FROM (SELECT * FROM per WHERE treated) t
+JOIN (SELECT * FROM per WHERE NOT treated) c USING (q)
+ORDER BY 1
+"""
+
+QUERIES["orders_quantile_treatment_effect"] = orders_quantile_treatment_effect
+ORACLE["orders_quantile_treatment_effect"] = QTE_SQL

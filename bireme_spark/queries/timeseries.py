@@ -6925,3 +6925,153 @@ FROM stats
 
 QUERIES["events_harmonic_regression"] = events_harmonic_regression
 ORACLE["events_harmonic_regression"] = HARMONIC_REG_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_pot_gpd_tail — peaks-over-threshold GPD tail fit (round 10)
+# ---------------------------------------------------------------------------
+
+
+def events_pot_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold Generalized Pareto fit of the event-value
+    tail — the third classical EVT estimator in the repo (Gumbel
+    block-maxima fits the max law, Hill assumes a pure power tail;
+    GPD-over-threshold is what an SRE capacity model actually uses
+    for "what does the p99.9 look like"): threshold u = in-plan p95
+    (histogram-CDF), method-of-moments σ̂ = ½·m̄·(m̄²/s²+1), ξ̂ =
+    ½·(1−m̄²/s²) on the excesses, plus the implied 100× return level
+    u + σ̂/ξ̂·((N/n_exc·0.01)^ξ̂ − 1) — and an honest exponentiality
+    verdict (ξ̂ ≈ 0 ⇒ the simpler exponential tail suffices).
+
+    Engine-exact: values e3-quantized once; the threshold is an
+    integer from cross-multiplied ceil-rank predicates; excess
+    moments are integer sums (the per-group S² DIV n quantization);
+    the MoM close and the one POW are one-shot doubles, FLOOR-e6.
+    Scale: one histogram-CDF (never a sort), one filtered agg."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ROUND(value * 1000) AS BIGINT)").alias("x")
+    )
+    hist = e.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdf = hist.withColumn("cum", F.sum("c").over(wc).cast("bigint")).withColumn(
+        "n", F.sum("c").over(wall).cast("bigint")
+    )
+    thr = cdf.agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 95, F.col("x"))).alias("u"),
+    )
+    exc = (
+        hist.crossJoin(F.broadcast(thr))
+        .where(F.col("x") > F.col("u"))
+        .select(
+            "n_total",
+            "u",
+            "c",
+            F.expr("CAST(x - u AS DECIMAL(38,0))").alias("y"),
+        )
+    )
+    g = exc.groupBy("n_total", "u").agg(
+        F.sum("c").cast("bigint").alias("n_exc"),
+        F.sum(F.expr("y * c")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("y * y * c")).cast("decimal(38,0)").alias("syy"),
+    ).select(
+        "n_total",
+        "u",
+        "n_exc",
+        "sy",
+        F.expr(
+            "CAST((CAST(n_exc AS DECIMAL(38,0)) * syy - sy * sy)"
+            " DIV CAST(n_exc AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        ).alias("nvar"),
+    )
+    m = F.expr("CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE)")
+    s2 = F.expr("CAST(nvar AS DOUBLE) / CAST(n_exc AS DOUBLE)")
+    ratio = m * m / s2
+    xi = (F.lit(1.0) - ratio) / F.lit(2.0)
+    sigma = m * (ratio + F.lit(1.0)) / F.lit(2.0)
+    # 100x return level: u + sigma/xi*((n_total/n_exc*0.01)^(-xi)-1)
+    # (exceedance prob 1%, i.e. the p99 of the FULL distribution
+    # implied by the tail model)
+    lvl = F.col("u").cast("double") + sigma / xi * (
+        F.pow(
+            F.expr("CAST(n_total AS DOUBLE) / CAST(n_exc AS DOUBLE)")
+            * F.expr("CAST(0.01 AS DOUBLE)"),
+            -xi,
+        )
+        - F.lit(1.0)
+    )
+    return g.select(
+        "n_total",
+        F.col("u").cast("bigint").alias("threshold_x1000"),
+        "n_exc",
+        F.floor(m * F.lit(1000.0)).cast("bigint").alias("mean_excess_e3x1000"),
+        F.floor(xi * F.lit(1000000.0)).cast("bigint").alias("xi_e6"),
+        F.floor(sigma * F.lit(1000.0)).cast("bigint").alias("sigma_x1000"),
+        F.floor(lvl).cast("bigint").alias("implied_p99_x1000"),
+        (F.abs(xi) < F.expr("CAST(0.05 AS DOUBLE)")).alias("exponential_tail_ok"),
+    )
+
+
+POT_GPD_SQL = """
+WITH e AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS x FROM events
+),
+hist AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1
+),
+cdf AS (
+  SELECT x, c,
+         CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM hist
+),
+thr AS (
+  SELECT MAX(n) AS n_total,
+         MIN(CASE WHEN cum * 100 >= n * 95 THEN x END) AS u
+  FROM cdf
+),
+g AS (
+  SELECT t.n_total, t.u,
+         CAST(SUM(h.c) AS BIGINT) AS n_exc,
+         CAST(SUM(CAST(h.x - t.u AS HUGEINT) * h.c) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(h.x - t.u AS HUGEINT) * (h.x - t.u) * h.c) AS HUGEINT) AS syy
+  FROM hist h CROSS JOIN thr t
+  WHERE h.x > t.u
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT n_total, u, n_exc, sy,
+         (CAST(n_exc AS HUGEINT) * syy - sy * sy) // CAST(n_exc AS HUGEINT) AS nvar
+  FROM g
+),
+d AS (
+  SELECT n_total, u, n_exc,
+         CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE) AS m,
+         (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))
+           * (CAST(sy AS DOUBLE) / CAST(n_exc AS DOUBLE))
+           / (CAST(nvar AS DOUBLE) / CAST(n_exc AS DOUBLE)) AS ratio
+  FROM q
+)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       CAST(u AS BIGINT) AS threshold_x1000,
+       n_exc,
+       CAST(FLOOR(m * CAST(1000 AS DOUBLE)) AS BIGINT) AS mean_excess_e3x1000,
+       CAST(FLOOR((CAST(1 AS DOUBLE) - ratio) / CAST(2 AS DOUBLE)
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xi_e6,
+       CAST(FLOOR(m * (ratio + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE)
+                  * CAST(1000 AS DOUBLE)) AS BIGINT) AS sigma_x1000,
+       CAST(FLOOR(CAST(u AS DOUBLE)
+                  + (m * (ratio + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE))
+                    / ((CAST(1 AS DOUBLE) - ratio) / CAST(2 AS DOUBLE))
+                    * (POW(CAST(n_total AS DOUBLE) / CAST(n_exc AS DOUBLE)
+                           * CAST(0.01 AS DOUBLE),
+                           -((CAST(1 AS DOUBLE) - ratio) / CAST(2 AS DOUBLE))) - CAST(1 AS DOUBLE)))
+            AS BIGINT) AS implied_p99_x1000,
+       ABS((CAST(1 AS DOUBLE) - ratio) / CAST(2 AS DOUBLE)) < CAST(0.05 AS DOUBLE)
+         AS exponential_tail_ok
+FROM d
+"""
+
+QUERIES["events_pot_gpd_tail"] = events_pot_gpd_tail
+ORACLE["events_pot_gpd_tail"] = POT_GPD_SQL

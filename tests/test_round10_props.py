@@ -1522,3 +1522,98 @@ class TestTaguchiSN:
             assert abs(rec.sn_larger_db - sn_l) < 1e-5
         # SN_S is a negative dB for multi-day latencies
         assert (df["sn_smaller_db"] < 0).all()
+
+
+class TestQuantileTreatmentEffect:
+    def test_order_statistics_match_numpy(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_quantile_treatment_effect
+
+        df = orders_quantile_treatment_effect(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        c = _pq("customer")
+        j = o.merge(c[["c_custkey", "c_mktsegment"]], left_on="o_custkey", right_on="c_custkey")
+        cents = (j["o_totalprice"].round(2) * 100).round().astype("int64")
+        t = np.sort(cents[j["c_mktsegment"] == "BUILDING"].to_numpy())
+        ct = np.sort(cents[j["c_mktsegment"] != "BUILDING"].to_numpy())
+
+        def ceil_rank(arr, q):
+            n = len(arr)
+            return arr[(n * q + 99) // 100 - 1]
+
+        for rec in df.itertuples():
+            q = rec.quantile_pct
+            assert rec.n_treated == len(t) and rec.n_control == len(ct)
+            assert rec.q_treated == ceil_rank(t, q)
+            assert rec.q_control == ceil_rank(ct, q)
+            assert rec.qte_cents == rec.q_treated - rec.q_control
+            # rank-bound CI brackets the point estimate
+            assert rec.qte_lo_cents <= rec.qte_cents <= rec.qte_hi_cents
+            # bound width sanity: ±1.96 rank band stays local
+            for n, arr, lo_pos in ((len(t), t, None),):
+                pass
+            import math
+            nlo = math.ceil(len(t) * q / 100 - 1.96 * math.sqrt(len(t) * q / 100 * (1 - q / 100)))
+            assert rec.qte_lo_cents == t[nlo - 1] - ceil_rank_hi(ct, q)
+
+
+def ceil_rank_hi(arr, q):
+    import math
+    n = len(arr)
+    pos = math.ceil(n * q / 100 + 1.96 * math.sqrt(n * q / 100 * (1 - q / 100)))
+    return arr[pos - 1]
+
+
+class TestPotGpdTail:
+    def test_mom_fit_matches_numpy_and_tail_is_sane(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import events_pot_gpd_tail
+
+        r = events_pot_gpd_tail(spark, sf_dir).collect()[0]
+        ev = _pq("events")
+        x = np.round(ev["value"].to_numpy() * 1000).astype("int64")
+        xs = np.sort(x)
+        n = len(x)
+        u = xs[(n * 95 + 99) // 100 - 1]
+        assert r.n_total == n
+        assert r.threshold_x1000 == u
+        y = (x[x > u] - u).astype("float64")
+        assert r.n_exc == len(y)
+        m = y.mean()
+        # engine variance is the integer (nSyy - Sy^2) DIV n quantization
+        sy = int(y.sum()); syy = int((y.astype("int64").astype(object) ** 2).sum())
+        s2 = ((len(y) * syy - sy * sy) // len(y)) / len(y)
+        ratio = m * m / s2
+        xi = (1 - ratio) / 2
+        sigma = m * (ratio + 1) / 2
+        assert abs(r.xi_e6 / 1e6 - xi) < 2e-3
+        assert abs(r.sigma_x1000 / 1e3 - sigma) / sigma < 1e-3
+        lvl = u + sigma / xi * ((n / len(y) * 0.01) ** (-xi) - 1)
+        assert abs(r.implied_p99_x1000 - lvl) / lvl < 1e-3
+        # the implied p99 must sit between the threshold (p95) and
+        # a generous multiple of the observed max
+        assert u < r.implied_p99_x1000 < 3 * xs[-1]
+
+
+class TestAvSyncCheck:
+    def test_planted_drift_classes_through_both_codecs(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_av_sync_check
+
+        df = multimodal_av_sync_check(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        assert int(df["n_clips"].sum()) == len(docs)
+        df["s"] = df["canonical_doc"] % 64
+        for rec in df.itertuples():
+            s = rec.s
+            nf = 10 + s % 5 + (1 if s % 7 == 0 else 0)
+            ns = (10 + s % 5) * 800 - (800 if s % 11 == 0 else 0)
+            assert rec.n_frames == nf
+            assert rec.n_samples == ns
+            assert rec.video_ms == nf * 100
+            assert rec.audio_ms == ns * 1000 // 8000
+            drift = nf * 100 - ns // 8
+            assert rec.drift_ms == drift
+            assert bool(rec.out_of_sync) == (abs(drift) > 50)
+        # both planted fault classes fire; clean classes stay in sync
+        assert df[df["s"] % 7 == 0]["out_of_sync"].all()
+        assert df[(df["s"] % 7 != 0) & (df["s"] % 11 == 0)]["out_of_sync"].all()
+        clean = df[(df["s"] % 7 != 0) & (df["s"] % 11 != 0)]
+        assert (~clean["out_of_sync"]).all()
