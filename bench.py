@@ -357,6 +357,9 @@ HEADLINE = [
     "orders_quantile_treatment_effect",
     "events_pot_gpd_tail",
     "multimodal_av_sync_check",
+    "lineitem_fwl_partialled_regression",
+    "multimodal_image_palette_audit",
+    "corpus_pack_contamination_audit",
 ]
 
 

@@ -2198,3 +2198,131 @@ ORDER BY 1, 2
 
 QUERIES["corpus_source_leakage_matrix"] = corpus_source_leakage_matrix
 ORACLE["corpus_source_leakage_matrix"] = SOURCE_LEAKAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_pack_contamination_audit — cross-doc attention contamination of
+# packed sequences (round 10)
+# ---------------------------------------------------------------------------
+
+
+def corpus_pack_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention contamination of the doc_packing
+    layout: causal attention without document masking lets tokens
+    attend across doc boundaries inside a packed sequence; the
+    contamination factor 1 − Σ_d seg_d² / L² per pack (share of
+    token PAIRS that cross a boundary) is the number that decides
+    whether packing needs attention masks or separator re-chunking.
+    Reported per source: packs, mean docs per pack, split-doc share,
+    and the token-pair contamination ppm.
+
+    Engine-exact: doc→pack segment lengths come from the SAME
+    per-source cumulative layout doc_packing emits (min/max clamp of
+    the cumsum against pack edges — exact integers); Σseg and Σseg²
+    per pack are integer sums; ppm via DIV. The final (ragged) pack
+    of each source is included with its true shorter length.
+
+    Scale: the pack explode is bounded by n_packs_spanned (≤
+    len/PACK+1 per doc); everything downstream is |packs|-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    lay = t.select(
+        "source",
+        "doc_id",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("lo"),
+        F.sum("n").over(w).alias("hi"),
+    )
+    segs = lay.select(
+        "source",
+        "doc_id",
+        F.expr(f"explode(sequence(CAST(lo DIV {_PACK_LEN} AS INT),"
+               f" CAST((hi - 1) DIV {_PACK_LEN} AS INT)))").alias("pack"),
+        "lo",
+        "hi",
+    ).select(
+        "source",
+        "doc_id",
+        "pack",
+        F.expr(
+            f"LEAST(hi, CAST(pack + 1 AS BIGINT) * {_PACK_LEN})"
+            f" - GREATEST(lo, CAST(pack AS BIGINT) * {_PACK_LEN})"
+        ).alias("seg"),
+    )
+    packs = segs.groupBy("source", "pack").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_in_pack"),
+        F.sum("seg").cast("bigint").alias("l"),
+        F.sum(F.expr("CAST(seg AS DECIMAL(38,0)) * seg")).alias("sseg2"),
+    )
+    return (
+        packs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+            F.sum("docs_in_pack").cast("bigint").alias("doc_slots"),
+            F.sum(F.when(F.col("docs_in_pack") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("shared_packs"),
+            F.sum(F.expr("CAST(l AS DECIMAL(38,0)) * l")).alias("sl2"),
+            F.sum("sseg2").alias("sseg2"),
+        )
+        .select(
+            "source",
+            "n_packs",
+            F.expr("CAST(doc_slots * 1000 DIV n_packs AS BIGINT)").alias(
+                "docs_per_pack_x1000"
+            ),
+            F.expr("CAST(shared_packs * 1000000 DIV n_packs AS BIGINT)").alias(
+                "shared_pack_ppm"
+            ),
+            F.expr(
+                "CAST((sl2 - sseg2) * 1000000 DIV sl2 AS BIGINT)"
+            ).alias("contamination_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+PACK_CONTAMINATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+lay AS (
+  SELECT source, doc_id, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS lo,
+         SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS hi
+  FROM t
+),
+segs AS (
+  SELECT source, doc_id, p.pack,
+         LEAST(hi, (p.pack + 1) * {_PACK_LEN})
+           - GREATEST(lo, p.pack * {_PACK_LEN}) AS seg
+  FROM lay, LATERAL (SELECT unnest(generate_series(CAST(lo // {_PACK_LEN} AS BIGINT),
+                                   CAST((hi - 1) // {_PACK_LEN} AS BIGINT))) AS pack) p
+),
+packs AS (
+  SELECT source, pack,
+         CAST(COUNT(*) AS BIGINT) AS docs_in_pack,
+         CAST(SUM(seg) AS BIGINT) AS l,
+         CAST(SUM(CAST(seg AS HUGEINT) * seg) AS HUGEINT) AS sseg2
+  FROM segs GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(docs_in_pack) * 1000 // COUNT(*) AS BIGINT) AS docs_per_pack_x1000,
+       CAST(SUM(CASE WHEN docs_in_pack > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS shared_pack_ppm,
+       CAST((SUM(CAST(l AS HUGEINT) * l) - SUM(sseg2)) * 1000000
+            // SUM(CAST(l AS HUGEINT) * l) AS BIGINT) AS contamination_ppm
+FROM packs
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["corpus_pack_contamination_audit"] = corpus_pack_contamination_audit
+ORACLE["corpus_pack_contamination_audit"] = PACK_CONTAMINATION_SQL

@@ -2629,3 +2629,132 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_av_sync_check"] = multimodal_av_sync_check
 ORACLE["multimodal_av_sync_check"] = AV_SYNC_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_palette_audit — distinct-color census / screenshot
+# detector (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_image_palette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette census through the codec: distinct RGB count and
+    color-distribution entropy per image class — the cheap screen
+    that separates flat synthetic/screenshot/chart images (tiny
+    palettes, low entropy) from photographic content before a
+    training mix over-weights UI scrapes. Fixture plants palette
+    sizes directly: class s paints vertical bands cycling through
+    1 + s % 6 colors — the census must read back EXACTLY that
+    through encode→decode (a lossy or channel-swapping codec bug
+    shifts the count).
+
+    Engine-exact: distinct counts are integers; entropy is the house
+    per-term pattern (count·ROUND(ln(n/cnt)·1e6) integer terms, one
+    closing DIV). The oracle reproduces the band structure
+    symbolically. Scale shape: ONE fused mapInPandas pass, 64-class
+    memoization, 64-row rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def census(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        cache: dict[int, tuple[int, int, int]] = {}
+
+        def klass(s: int) -> tuple[int, int, int]:
+            if s in cache:
+                return cache[s]
+            w = h = 8
+            k = 1 + s % 6
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    b = x % k
+                    px.extend((30 + 25 * b, (60 + 40 * b) % 256, (10 + 70 * b) % 256))
+            _, _, _, back, _ = decode_image(encode_png(w, h, bytes(px)))
+            counts: dict[bytes, int] = {}
+            for i in range(0, len(back), 3):
+                key = bytes(back[i : i + 3])
+                counts[key] = counts.get(key, 0) + 1
+            n = w * h
+            ent_e6 = sum(
+                c * int(math.floor(math.log(n / c) * 1_000_000 + 0.5))
+                for c in counts.values()
+            ) // n
+            cache[s] = (len(counts), ent_e6, n)
+            return cache[s]
+
+        for pdf in it:
+            out = {"doc_id": [], "palette_size": [], "entropy_e6": [], "n_pixels": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ps, ent, n = klass(doc_id % 64)
+                out["doc_id"].append(doc_id)
+                out["palette_size"].append(ps)
+                out["entropy_e6"].append(ent)
+                out["n_pixels"].append(n)
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        census,
+        schema="doc_id long, palette_size long, entropy_e6 long, n_pixels long",
+    )
+    return (
+        scored.groupBy((F.col("doc_id") % 64).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.first("palette_size").cast("bigint").alias("palette_size"),
+            F.first("entropy_e6").cast("bigint").alias("entropy_e6"),
+            F.first("n_pixels").cast("bigint").alias("n_pixels"),
+        )
+        .select(
+            "canonical_doc",
+            "n_images",
+            "n_pixels",
+            "palette_size",
+            "entropy_e6",
+            (F.col("palette_size") <= 2).alias("flat_image_suspect"),
+        )
+        .orderBy("canonical_doc")
+    )
+
+
+PALETTE_AUDIT_SQL = """
+WITH grid AS (
+  SELECT s, x, 1 + s % 6 AS k
+  FROM generate_series(0, 63) ts(s), generate_series(0, 7) tx(x)
+),
+-- column x carries color band x % k; each band covers the 8 rows,
+-- so band b appears 8 * (number of x in 0..7 with x % k = b) times
+bands AS (
+  SELECT s, x % k AS b, CAST(8 * COUNT(*) AS BIGINT) AS cnt
+  FROM grid GROUP BY s, x % k
+),
+per AS (
+  SELECT s,
+         CAST(COUNT(*) AS BIGINT) AS palette_size,
+         CAST(SUM(cnt * CAST(FLOOR(ln(CAST(64 AS DOUBLE) / cnt) * 1000000 + 0.5)
+                             AS BIGINT)) // 64 AS BIGINT) AS entropy_e6
+  FROM bands GROUP BY 1
+),
+cls AS (
+  SELECT doc_id % 64 AS s, CAST(COUNT(*) AS BIGINT) AS n_images,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT canonical_doc, n_images, CAST(64 AS BIGINT) AS n_pixels,
+       palette_size, entropy_e6,
+       palette_size <= 2 AS flat_image_suspect
+FROM cls JOIN per USING (s)
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_image_palette_audit"] = multimodal_image_palette_audit
+ORACLE["multimodal_image_palette_audit"] = PALETTE_AUDIT_SQL

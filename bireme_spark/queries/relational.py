@@ -9679,3 +9679,173 @@ ORDER BY 1
 
 QUERIES["orders_quantile_treatment_effect"] = orders_quantile_treatment_effect
 ORACLE["orders_quantile_treatment_effect"] = QTE_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_fwl_partialled_regression — Frisch-Waugh-Lovell two-stage
+# partialling (round 10)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_fwl_partialled_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frisch–Waugh–Lovell partialled regression — the double-ML
+    skeleton: the effect of discount on net revenue CONTROLLING for
+    quantity, computed by residualizing BOTH sides on the control and
+    regressing residual-on-residual (provably equal to the
+    multivariate OLS coefficient — the property test checks exactly
+    that against numpy's 2-regressor solve). The naive uncontrolled
+    slope is emitted beside it; on this fixture quantity is
+    independent of discount so the two agree — the honest null for
+    the confounding GAP, while the estimator itself is fully
+    exercised.
+
+    Engine-exact: stage-1 coefficients are FLOOR-e6/trunc-DIV
+    integers broadcast back (the BP discipline); residuals are exact
+    e6-scaled integers; the stage-2 slope is ONE integer division
+    (Σe_y·e_z·1e6 DIV Σe_z² — trunc on both engines, quotient
+    n-independent). Scale: two passes (stats agg + residual agg),
+    model-sized broadcast between."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT)").alias("q"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("z"),
+        F.expr(
+            "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)"
+            " * 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    q38 = F.expr("CAST(q AS DECIMAL(38,0))")
+    y38 = F.expr("CAST(y AS DECIMAL(38,0))")
+    z38 = F.expr("CAST(z AS DECIMAL(38,0))")
+    s1 = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q38).cast(d38).alias("sq"),
+        F.sum(y38).cast(d38).alias("sy"),
+        F.sum(z38).cast(d38).alias("sz"),
+        F.sum(q38 * q38).cast(d38).alias("sqq"),
+        F.sum(q38 * y38).cast(d38).alias("sqy"),
+        F.sum(q38 * z38).cast(d38).alias("sqz"),
+        F.sum(z38 * z38).cast(d38).alias("szz"),
+        F.sum(z38 * y38).cast(d38).alias("szy"),
+    ).select(
+        "n",
+        "sq",
+        "sy",
+        "sz",
+        "szz",
+        "szy",
+        F.expr(
+            "CAST((n * sqy - sq * sy) * 1000000 DIV (n * sqq - sq * sq)"
+            " AS DECIMAL(38,0))"
+        ).alias("byq_e6"),
+        F.expr(
+            "CAST((n * sqz - sq * sz) * 1000000 DIV (n * sqq - sq * sq)"
+            " AS DECIMAL(38,0))"
+        ).alias("bzq_e6"),
+    ).select(
+        "n",
+        "byq_e6",
+        "bzq_e6",
+        "szz",
+        "szy",
+        "sz",
+        "sy",
+        F.expr("CAST((sy * 1000000 - byq_e6 * sq) DIV n AS DECIMAL(38,0))").alias(
+            "ayq_e6"
+        ),
+        F.expr("CAST((sz * 1000000 - bzq_e6 * sq) DIV n AS DECIMAL(38,0))").alias(
+            "azq_e6"
+        ),
+    )
+    r = li.crossJoin(F.broadcast(s1)).select(
+        "n",
+        "byq_e6",
+        "bzq_e6",
+        "szz",
+        "szy",
+        "sz",
+        "sy",
+        F.expr(
+            "CAST(y AS DECIMAL(38,0)) * 1000000 - ayq_e6"
+            " - byq_e6 * CAST(q AS DECIMAL(38,0))"
+        ).alias("ey"),
+        F.expr(
+            "CAST(z AS DECIMAL(38,0)) * 1000000 - azq_e6"
+            " - bzq_e6 * CAST(q AS DECIMAL(38,0))"
+        ).alias("ez"),
+    )
+    agg = r.groupBy("n", "byq_e6", "bzq_e6", "szz", "szy", "sz", "sy").agg(
+        F.sum(F.expr("ey * ez DIV 1000000")).cast(d38).alias("seyz_e6"),
+        F.sum(F.expr("ez * ez DIV 1000000")).cast(d38).alias("sezz_e6"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(byq_e6 AS BIGINT)").alias("b_y_on_qty_e6"),
+        F.expr("CAST(bzq_e6 AS BIGINT)").alias("b_disc_on_qty_e6"),
+        F.expr("CAST(seyz_e6 * 1000000 DIV sezz_e6 AS BIGINT)").alias(
+            "partialled_effect_e6"
+        ),
+        F.expr(
+            "CAST((n * szy - sz * sy) * 1000000 DIV (n * szz - sz * sz) AS BIGINT)"
+        ).alias("naive_effect_e6"),
+    )
+
+
+FWL_SQL = """
+WITH li AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS q,
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS z,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))), 2)
+              * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+s1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS sq,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+         CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq,
+         CAST(SUM(CAST(q AS HUGEINT) * y) AS HUGEINT) AS sqy,
+         CAST(SUM(CAST(q AS HUGEINT) * z) AS HUGEINT) AS sqz,
+         CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+         CAST(SUM(CAST(z AS HUGEINT) * y) AS HUGEINT) AS szy
+  FROM li
+),
+coef AS (
+  SELECT n, sq, sy, sz, szz, szy,
+         (n * sqy - sq * sy) * 1000000 // (n * sqq - sq * sq) AS byq_e6,
+         (n * sqz - sq * sz) * 1000000 // (n * sqq - sq * sq) AS bzq_e6
+  FROM s1
+),
+coef2 AS (
+  SELECT n, byq_e6, bzq_e6, szz, szy, sz, sy,
+         (sy * 1000000 - byq_e6 * sq) // n AS ayq_e6,
+         (sz * 1000000 - bzq_e6 * sq) // n AS azq_e6,
+         sq
+  FROM coef
+),
+res AS (
+  SELECT c.n, c.byq_e6, c.bzq_e6, c.szz, c.szy, c.sz, c.sy,
+         (CAST(l.y AS HUGEINT) * 1000000 - c.ayq_e6 - c.byq_e6 * l.q) AS ey,
+         (CAST(l.z AS HUGEINT) * 1000000 - c.azq_e6 - c.bzq_e6 * l.q) AS ez
+  FROM li l CROSS JOIN coef2 c
+),
+agg AS (
+  SELECT n, byq_e6, bzq_e6, szz, szy, sz, sy,
+         CAST(SUM(ey * ez // 1000000) AS HUGEINT) AS seyz_e6,
+         CAST(SUM(ez * ez // 1000000) AS HUGEINT) AS sezz_e6
+  FROM res GROUP BY 1, 2, 3, 4, 5, 6, 7
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(byq_e6 AS BIGINT) AS b_y_on_qty_e6,
+       CAST(bzq_e6 AS BIGINT) AS b_disc_on_qty_e6,
+       CAST(seyz_e6 * 1000000 // sezz_e6 AS BIGINT) AS partialled_effect_e6,
+       CAST((n * szy - sz * sy) * 1000000 // (n * szz - sz * sz) AS BIGINT)
+         AS naive_effect_e6
+FROM agg
+"""
+
+QUERIES["lineitem_fwl_partialled_regression"] = lineitem_fwl_partialled_regression
+ORACLE["lineitem_fwl_partialled_regression"] = FWL_SQL

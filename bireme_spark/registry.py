@@ -122,6 +122,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_quantile_treatment_effect",
         "events_pot_gpd_tail",
         "multimodal_av_sync_check",
+        "lineitem_fwl_partialled_regression",
+        "multimodal_image_palette_audit",
+        "corpus_pack_contamination_audit",
     }
 )
 

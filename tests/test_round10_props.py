@@ -1617,3 +1617,86 @@ class TestAvSyncCheck:
         assert df[(df["s"] % 7 != 0) & (df["s"] % 11 == 0)]["out_of_sync"].all()
         clean = df[(df["s"] % 7 != 0) & (df["s"] % 11 != 0)]
         assert (~clean["out_of_sync"]).all()
+
+
+class TestFwlPartialling:
+    def test_equals_multivariate_ols_coefficient(self, spark, sf_dir):
+        """FWL theorem: the residual-on-residual slope equals the
+        2-regressor OLS coefficient on discount — checked against
+        numpy lstsq (tolerance covers the e6 coefficient
+        quantization)."""
+        from bireme_spark.queries.relational import lineitem_fwl_partialled_regression
+
+        r = lineitem_fwl_partialled_regression(spark, sf_dir).collect()[0]
+        li = _pq("lineitem")
+        q = li["l_quantity"].round(2).astype("int64").to_numpy().astype("float64")
+        z = (li["l_discount"].round(2) * 100).round().astype("int64").to_numpy().astype("float64")
+        pc = (li["l_extendedprice"].round(2) * 100).round().astype("int64").to_numpy()
+        zq = z.astype("int64")
+        y = (pc.astype(object) * (100 - zq.astype(object)) + 50) // 100
+        y = np.array([int(v) for v in y], dtype="float64")
+        assert r.n == len(y)
+        X = np.column_stack([np.ones_like(q), q, z])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        # partialled effect (cents per discount point)
+        assert abs(r.partialled_effect_e6 / 1e6 - beta[2]) / abs(beta[2]) < 1e-3
+        naive = np.polyfit(z, y, 1)[0]
+        assert abs(r.naive_effect_e6 / 1e6 - naive) / abs(naive) < 1e-3
+        # qty independent of discount on this fixture: naive ~ partialled
+        assert abs(r.naive_effect_e6 - r.partialled_effect_e6) < abs(r.partialled_effect_e6) * 0.05
+
+
+class TestPaletteAudit:
+    def test_planted_palette_sizes_read_back_exactly(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.multimodal import multimodal_image_palette_audit
+
+        df = multimodal_image_palette_audit(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        assert int(df["n_images"].sum()) == len(docs)
+        df["s"] = df["canonical_doc"] % 64
+        for rec in df.itertuples():
+            k = 1 + rec.s % 6
+            assert rec.palette_size == k
+            # symbolic entropy recompute: column x in 0..7 has band x%k
+            from collections import Counter
+            cnt = Counter(x % k for x in range(8))
+            ent = sum(
+                8 * c * int(math.floor(math.log(64 / (8 * c)) * 1e6 + 0.5))
+                for c in cnt.values()
+            ) // 64
+            assert rec.entropy_e6 == ent
+            assert bool(rec.flat_image_suspect) == (k <= 2)
+        assert df["flat_image_suspect"].any() and not df["flat_image_suspect"].all()
+
+
+class TestPackContamination:
+    def test_matches_sequential_pack_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.corpus import corpus_pack_contamination_audit
+        from bireme_spark.queries.corpus import _PACK_LEN
+
+        df = corpus_pack_contamination_audit(spark, sf_dir).toPandas().set_index("source")
+        docs = _pq("documents").sort_values("doc_id")
+        for src, g in docs.groupby("source"):
+            lens = g["text"].str.split(" ").str.len().to_numpy().astype("int64")
+            packs: dict[int, list[int]] = {}
+            pos = 0
+            for n in lens:
+                lo, hi = pos, pos + int(n)
+                for p in range(lo // _PACK_LEN, (hi - 1) // _PACK_LEN + 1):
+                    seg = min(hi, (p + 1) * _PACK_LEN) - max(lo, p * _PACK_LEN)
+                    packs.setdefault(p, []).append(seg)
+                pos = hi
+            r = df.loc[src]
+            n_packs = len(packs)
+            assert r["n_packs"] == n_packs
+            slots = sum(len(v) for v in packs.values())
+            assert r["docs_per_pack_x1000"] == slots * 1000 // n_packs
+            shared = sum(1 for v in packs.values() if len(v) > 1)
+            assert r["shared_pack_ppm"] == shared * 1_000_000 // n_packs
+            sl2 = sum(sum(v) ** 2 for v in packs.values())
+            sseg2 = sum(s * s for v in packs.values() for s in v)
+            assert r["contamination_ppm"] == (sl2 - sseg2) * 1_000_000 // sl2
+            # packing multiple docs per pack must contaminate
+            assert r["contamination_ppm"] > 0
