@@ -360,6 +360,9 @@ HEADLINE = [
     "lineitem_fwl_partialled_regression",
     "multimodal_image_palette_audit",
     "corpus_pack_contamination_audit",
+    "events_anderson_darling",
+    "orders_ljung_box",
+    "multimodal_thumbnail_integrity",
 ]
 
 

@@ -4828,3 +4828,149 @@ ORDER BY event_type
 
 QUERIES["events_bimodality_coefficient"] = events_bimodality_coefficient
 ORACLE["events_bimodality_coefficient"] = BIMODALITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_anderson_darling — two-sample AD test, fully integer (round 10)
+# ---------------------------------------------------------------------------
+
+
+def events_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling test between purchase and click
+    value distributions — the tail-weighted sibling of events_ks_test
+    (KS sees the biggest CDF gap; AD integrates ALL gaps with
+    1/(F(1−F)) tail emphasis, catching tail-only drift KS misses).
+    Pettitt's rank form on the pooled sample: A² = (1/(n·m)) ·
+    Σ_{i=1}^{N−1} (M_i·N − i·n)² / (i·(N−i)), M_i = count of sample-1
+    values among the smallest i.
+
+    FULLY INTEGER: the pooled histogram-CDF gives every distinct
+    value's rank block; within a block of tied values the summand is
+    constant per unit rank only at block edges — the exact
+    block-closed form Σ_{i=lo..hi} with constant M_i is evaluated
+    per-rank via an EXPLODED bounded rank walk? No — ties make M_i
+    interpolate; the standard discrete-tie treatment (Scholz–Stephens
+    midranks) is heavy, so this op uses the UNIQUE-RANK variant on
+    e3-quantized values where each pooled rank i carries the exact
+    integer term (M_i·N − i·n)²·1e9 DIV (i·(N−i)) accumulated over a
+    per-distinct-value SEQUENCE EXPLODE bounded by the block width —
+    every term integer, no float until the final 1e9/(n·m) close.
+
+    Scale: histogram-CDF (|distinct e3 values| rows) + a rank explode
+    bounded by Σ block widths = N… the explode is N rows TOTAL — one
+    linear pass, same cost class as a sort-free rank walk."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        (F.col("event_type") == "purchase").alias("is_a"),
+        F.expr("CAST(ROUND(value * 1000) AS BIGINT)").alias("x"),
+    )
+    hist = e.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("ta"),
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    blocks = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("t").over(wc), F.lit(0)).cast("bigint"))
+        .withColumn("ca_before", F.coalesce(F.sum("ta").over(wc), F.lit(0)).cast("bigint"))
+        .withColumn("nn", F.sum("t").over(wall).cast("bigint"))
+        .withColumn("na", F.sum("ta").over(wall).cast("bigint"))
+    )
+    # walk ranks i = cum_before+1 .. cum_before+t within each block;
+    # M_i interpolates linearly through the tie block in arrival
+    # order of the quantized values (deterministic: the e3 grid IS
+    # the order) — j-th rank of the block adds ta*j DIV t of sample A
+    ranks = blocks.select(
+        "nn",
+        "na",
+        "cum_before",
+        "ca_before",
+        "t",
+        "ta",
+        F.expr("explode(sequence(CAST(1 AS BIGINT), t))").alias("j"),
+    ).select(
+        "nn",
+        "na",
+        (F.col("cum_before") + F.col("j")).alias("i"),
+        (F.col("ca_before") + F.expr("ta * j DIV t")).alias("mi"),
+    ).where(F.col("i") < F.col("nn"))
+    terms = ranks.select(
+        "nn",
+        "na",
+        F.expr(
+            "(CAST(mi AS DECIMAL(38,0)) * nn - CAST(i AS DECIMAL(38,0)) * na)"
+            " * (CAST(mi AS DECIMAL(38,0)) * nn - CAST(i AS DECIMAL(38,0)) * na)"
+            " * 1000000000 DIV (CAST(i AS DECIMAL(38,0)) * (nn - i))"
+        ).alias("term_e9"),
+    )
+    agg = terms.groupBy("nn", "na").agg(
+        F.sum(F.expr("CAST(term_e9 AS DECIMAL(38,0))")).alias("s_e9")
+    )
+    a2 = F.expr(
+        "CAST(s_e9 AS DOUBLE) / CAST(1000000000 AS DOUBLE)"
+        " / (CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE))"
+    )
+    return agg.select(
+        F.col("nn").cast("bigint").alias("n_pooled"),
+        F.col("na").cast("bigint").alias("n_purchase"),
+        (F.col("nn") - F.col("na")).cast("bigint").alias("n_click"),
+        F.floor(a2 * F.lit(1000000.0)).cast("bigint").alias("a2_e6"),
+        (a2 > F.expr("CAST(2.492 AS DOUBLE)")).alias("distributions_differ_5pct"),
+    )
+
+
+ANDERSON_DARLING_SQL = """
+WITH e AS (
+  SELECT event_type = 'purchase' AS is_a,
+         CAST(ROUND(value * 1000) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+hist AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ta
+  FROM e GROUP BY 1
+),
+blocks AS (
+  SELECT x, t, ta,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         CAST(COALESCE(SUM(ta) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS ca_before,
+         CAST(SUM(t) OVER () AS BIGINT) AS nn,
+         CAST(SUM(ta) OVER () AS BIGINT) AS na
+  FROM hist
+),
+ranks AS (
+  SELECT nn, na,
+         cum_before + j.j AS i,
+         ca_before + ta * j.j // t AS mi
+  FROM blocks, LATERAL (SELECT unnest(generate_series(CAST(1 AS BIGINT), t)) AS j) j
+  WHERE cum_before + j.j < nn
+),
+terms AS (
+  SELECT nn, na,
+         (CAST(mi AS HUGEINT) * nn - CAST(i AS HUGEINT) * na)
+           * (CAST(mi AS HUGEINT) * nn - CAST(i AS HUGEINT) * na)
+           * 1000000000 // (CAST(i AS HUGEINT) * (nn - i)) AS term_e9
+  FROM ranks
+),
+agg AS (
+  SELECT nn, na, CAST(SUM(term_e9) AS HUGEINT) AS s_e9 FROM terms GROUP BY 1, 2
+)
+SELECT CAST(nn AS BIGINT) AS n_pooled,
+       CAST(na AS BIGINT) AS n_purchase,
+       CAST(nn - na AS BIGINT) AS n_click,
+       CAST(FLOOR(CAST(s_e9 AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+                  / (CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS a2_e6,
+       CAST(s_e9 AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE))
+         > CAST(2.492 AS DOUBLE) AS distributions_differ_5pct
+FROM agg
+"""
+
+QUERIES["events_anderson_darling"] = events_anderson_darling
+ORACLE["events_anderson_darling"] = ANDERSON_DARLING_SQL

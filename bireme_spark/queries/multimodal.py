@@ -2758,3 +2758,130 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_image_palette_audit"] = multimodal_image_palette_audit
 ORACLE["multimodal_image_palette_audit"] = PALETTE_AUDIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_thumbnail_integrity — thumbnail/master pairing audit
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_thumbnail_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/master pairing audit — the screen a multimodal
+    corpus runs over (master, thumbnail) asset pairs to catch
+    mis-paired thumbnails before captioning/training: the master
+    (8×8, class-plateau pixels) is decoded and NN-downsampled to
+    4×4; the STORED thumbnail is decoded independently; the pair is
+    consistent iff the two agree pixel-for-pixel. The fixture PLANTS
+    mispairings: classes with s % 13 == 0 store the thumbnail of
+    class (s+1) % 64 — the audit must flag exactly those (the sum of
+    absolute pixel deltas is the evidence column).
+
+    FULLY INTEGER: pixel compares and delta sums; the oracle
+    predicts consistency and the delta symbolically from the plateau
+    formula (class value 40 + 3·s: mismatch delta = 48·|Δclass·3|).
+    Exercises encode→decode and the integer NN downsample (the
+    multimodal_resize mapping xs = x·w_src DIV 4) twice in one plan. Scale shape: ONE fused mapInPandas pass, 64-class
+    memoization, 64-row rollup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, tuple[int, int]] = {}
+
+        def nn4(px: bytes, w: int, h: int) -> bytes:
+            out = bytearray()
+            for y in range(4):
+                ys = y * h // 4
+                for x in range(4):
+                    xs = x * w // 4
+                    i = (ys * w + xs) * 3
+                    out.extend(px[i : i + 3])
+            return bytes(out)
+
+        def master_thumb(s: int) -> bytes:
+            w = h = 8
+            rgb = bytes(
+                (40 + 3 * s) % 256
+                for _ in range(h)
+                for _ in range(w)
+                for _ in range(3)
+            )
+            _, _, _, px, _ = decode_image(encode_bmp(w, h, rgb))
+            return nn4(px, w, h)
+
+        def klass(s: int) -> tuple[int, int]:
+            if s in cache:
+                return cache[s]
+            expected = master_thumb(s)
+            stored_class = (s + 1) % 64 if s % 13 == 0 else s
+            stored = master_thumb(stored_class)
+            delta = sum(abs(a - b) for a, b in zip(expected, stored))
+            cache[s] = (delta, 1 if delta == 0 else 0)
+            return cache[s]
+
+        for pdf in it:
+            out = {"doc_id": [], "pixel_delta": [], "consistent": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                delta, ok = klass(doc_id % 64)
+                out["doc_id"].append(doc_id)
+                out["pixel_delta"].append(delta)
+                out["consistent"].append(ok)
+            yield pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        audit, schema="doc_id long, pixel_delta long, consistent long"
+    )
+    return (
+        scored.groupBy((F.col("doc_id") % 64).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.first("pixel_delta").cast("bigint").alias("pixel_delta"),
+            F.first("consistent").cast("bigint").alias("consistent"),
+        )
+        .select(
+            "canonical_doc",
+            "n_pairs",
+            "pixel_delta",
+            (F.col("consistent") == 1).alias("pair_consistent"),
+        )
+        .orderBy("canonical_doc")
+    )
+
+
+THUMBNAIL_INTEGRITY_SQL = """
+WITH per AS (
+  SELECT s,
+         CASE WHEN s % 13 = 0 THEN (s + 1) % 64 ELSE s END AS stored_class
+  FROM generate_series(0, 63) t(s)
+),
+-- plateau master value 40+3s (mod 256); the 4x4 thumbnail of a
+-- plateau is 48 identical subpixels, so the mismatch delta is
+-- 48 * |(40+3a) % 256 - (40+3b) % 256|
+d AS (
+  SELECT s,
+         CAST(48 * ABS((40 + 3 * s) % 256 - (40 + 3 * stored_class) % 256)
+              AS BIGINT) AS pixel_delta
+  FROM per
+),
+cls AS (
+  SELECT doc_id % 64 AS s, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT canonical_doc, n_pairs, pixel_delta,
+       pixel_delta = 0 AS pair_consistent
+FROM cls JOIN d USING (s)
+ORDER BY canonical_doc
+"""
+
+QUERIES["multimodal_thumbnail_integrity"] = multimodal_thumbnail_integrity
+ORACLE["multimodal_thumbnail_integrity"] = THUMBNAIL_INTEGRITY_SQL

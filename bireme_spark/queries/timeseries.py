@@ -7075,3 +7075,120 @@ FROM d
 
 QUERIES["events_pot_gpd_tail"] = events_pot_gpd_tail
 ORACLE["events_pot_gpd_tail"] = POT_GPD_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_ljung_box — portmanteau whiteness test on daily order counts
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on the daily order-count series —
+    the whiteness gate a forecasting pipeline runs BEFORE shipping a
+    model's residuals (here applied to the raw series: is there ANY
+    autocorrelation worth modelling at lags 1..10, or is order flow
+    white noise?). Q = n(n+2)·Σ_{k≤10} ρ̂_k²/(n−k) ~ χ²(10).
+
+    FULLY INTEGER: the events_autocorrelation machinery (gap-filled
+    grid, n-scaled integer deviations, exact integer N_k and D)
+    feeds ρ̂_k as the e9-trunc integer N_k·1e9 DIV D; per-lag terms
+    t_k² DIV (n−k) and the n(n+2) product stay DECIMAL(38,0), and
+    the χ²(10) 5% compare is the integer literal 18307·1e15 — no
+    float ANYWHERE in the statistic.
+
+    Scale: one day agg (span-bounded), a ×10 lag fan-out on the tiny
+    series, exact integer sums."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("day"))
+    daily = o.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    series = grid.join(daily, ["day"], "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    tot = series.agg(F.sum("x").alias("S"), F.count(F.lit(1)).alias("n"))
+    dev = series.crossJoin(F.broadcast(tot)).select(
+        "day", "n", (F.col("n") * F.col("x") - F.col("S")).alias("d")
+    ).localCheckpoint(eager=True)
+    denom = dev.groupBy("n").agg(
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("D")
+    )
+    lags = spark.range(1, 11).select(F.col("id").cast("int").alias("lag"))
+    lagged = dev.crossJoin(F.broadcast(lags)).select(
+        "lag", F.date_add("day", F.col("lag")).alias("day"), F.col("d").alias("d_prev")
+    )
+    pairs = dev.join(lagged, ["day"]).groupBy("lag").agg(
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d_prev")).alias("Nk")
+    )
+    rho = pairs.crossJoin(F.broadcast(denom)).select(
+        "lag",
+        "n",
+        F.expr("CAST(Nk * 1000000000 DIV D AS DECIMAL(38,0))").alias("t_e9"),
+    )
+    q = rho.groupBy("n").agg(
+        F.sum(
+            F.expr("CAST(t_e9 * t_e9 DIV (n - lag) AS DECIMAL(38,0))")
+        ).alias("s_e18")
+    ).select(
+        "n",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * (n + 2) * s_e18 AS DECIMAL(38,0))"
+        ).alias("q_e18x"),
+    )
+    return q.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.lit(10).cast("bigint").alias("max_lag"),
+        F.expr("CAST(q_e18x DIV 1000000000000 AS BIGINT)").alias("q_e6"),
+        F.expr(
+            "q_e18x > CAST(18307 AS DECIMAL(38,0)) * 1000000000000000"
+        ).alias("autocorrelated_5pct"),
+    )
+
+
+LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day, COUNT(*) AS c FROM orders GROUP BY 1
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+grid AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span
+),
+series AS (
+  SELECT g.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN daily d ON g.day = d.day
+),
+tot AS (SELECT CAST(SUM(x) AS BIGINT) AS S, CAST(COUNT(*) AS BIGINT) AS n FROM series),
+dev AS (
+  SELECT s.day, t.n, CAST(t.n * s.x - t.S AS HUGEINT) AS d
+  FROM series s CROSS JOIN tot t
+),
+denom AS (SELECT n, CAST(SUM(d * d) AS HUGEINT) AS D FROM dev GROUP BY 1),
+lags AS (SELECT CAST(k AS INTEGER) AS lag FROM generate_series(1, 10) g(k)),
+pairs AS (
+  SELECT l.lag, CAST(SUM(a.d * b.d) AS HUGEINT) AS Nk
+  FROM dev a
+  CROSS JOIN lags l
+  JOIN dev b ON b.day = a.day + CAST(l.lag AS BIGINT) * INTERVAL 1 DAY
+  GROUP BY 1
+),
+rho AS (
+  SELECT p.lag, d.n, Nk * 1000000000 // D AS t_e9
+  FROM pairs p CROSS JOIN denom d
+),
+q AS (
+  SELECT n,
+         CAST(SUM(t_e9 * t_e9 // (n - lag)) AS HUGEINT) AS s_e18
+  FROM rho GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(10 AS BIGINT) AS max_lag,
+       CAST(CAST(n AS HUGEINT) * (n + 2) * s_e18 // 1000000000000 AS BIGINT) AS q_e6,
+       CAST(n AS HUGEINT) * (n + 2) * s_e18
+         > CAST(18307 AS HUGEINT) * 1000000000000000 AS autocorrelated_5pct
+FROM q
+"""
+
+QUERIES["orders_ljung_box"] = orders_ljung_box
+ORACLE["orders_ljung_box"] = LJUNG_BOX_SQL

@@ -1700,3 +1700,80 @@ class TestPackContamination:
             assert r["contamination_ppm"] == (sl2 - sseg2) * 1_000_000 // sl2
             # packing multiple docs per pack must contaminate
             assert r["contamination_ppm"] > 0
+
+
+class TestAndersonDarling:
+    def test_matches_pettitt_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.events import events_anderson_darling
+
+        r = events_anderson_darling(spark, sf_dir).collect()[0]
+        ev = _pq("events")
+        ev = ev[ev["event_type"].isin(["purchase", "click"])]
+        x = np.round(ev["value"].to_numpy() * 1000).astype("int64")
+        isa = (ev["event_type"] == "purchase").to_numpy()
+        N = len(x); n = int(isa.sum()); m = N - n
+        assert r.n_pooled == N and r.n_purchase == n and r.n_click == m
+        # replicate the engine's tie walk: per distinct value block,
+        # M interpolates as ca_before + ta*j//t
+        order = np.argsort(x, kind="stable")
+        import collections
+        blocks = collections.OrderedDict()
+        for v, a in sorted(zip(x, isa)):
+            t, ta = blocks.get(v, (0, 0))
+            blocks[v] = (t + 1, ta + (1 if a else 0))
+        s_e9 = 0
+        cum = ca = 0
+        for v, (t, ta) in sorted(blocks.items()):
+            for j in range(1, t + 1):
+                i = cum + j
+                if i >= N:
+                    continue
+                mi = ca + ta * j // t
+                num = (mi * N - i * n) ** 2 * 10**9
+                s_e9 += num // (i * (N - i))
+            cum += t; ca += ta
+        a2 = s_e9 / 1e9 / (n * m)
+        assert r.a2_e6 == int(np.floor(a2 * 1e6))
+        assert bool(r.distributions_differ_5pct) == (a2 > 2.492)
+
+
+class TestLjungBox:
+    def test_matches_acf_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import orders_ljung_box
+
+        r = orders_ljung_box(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        daily = o.groupby(o["o_orderdate"].dt.floor("D")).size()
+        idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+        xs = daily.reindex(idx, fill_value=0).to_numpy().astype(object)
+        n = len(xs)
+        assert r.n_days == n
+        S = sum(xs)
+        d = [n * int(v) - S for v in xs]
+        D = sum(v * v for v in d)
+        q_sum = 0
+        for k in range(1, 11):
+            Nk = sum(d[t] * d[t - k] for t in range(k, n))
+            t_e9 = (Nk * 10**9) // D if (Nk >= 0) == (D >= 0) else -((-Nk * 10**9) // D)
+            q_sum += t_e9 * t_e9 // (n - k)
+        q_e18x = n * (n + 2) * q_sum
+        assert r.q_e6 == q_e18x // 10**12
+        assert bool(r.autocorrelated_5pct) == (q_e18x > 18307 * 10**15)
+
+
+class TestThumbnailIntegrity:
+    def test_planted_mispairings_exact(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_thumbnail_integrity
+
+        df = multimodal_thumbnail_integrity(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        assert int(df["n_pairs"].sum()) == len(docs)
+        df["s"] = df["canonical_doc"] % 64
+        for rec in df.itertuples():
+            s = rec.s
+            if s % 13 == 0:
+                delta = 48 * abs((40 + 3 * s) % 256 - (40 + 3 * ((s + 1) % 64)) % 256)
+                assert rec.pixel_delta == delta and delta > 0
+                assert not rec.pair_consistent
+            else:
+                assert rec.pixel_delta == 0 and rec.pair_consistent
