@@ -363,6 +363,8 @@ HEADLINE = [
     "events_anderson_darling",
     "orders_ljung_box",
     "multimodal_thumbnail_integrity",
+    "events_mean_residual_life",
+    "corpus_vocab_coverage_curve",
 ]
 
 

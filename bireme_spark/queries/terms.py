@@ -1876,3 +1876,111 @@ ORDER BY rnd, rnk
 
 QUERIES["tokenizer_wordpiece_train"] = tokenizer_wordpiece_train
 ORACLE["tokenizer_wordpiece_train"] = TOKENIZER_WP_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_vocab_coverage_curve — vocab-size planning anchors (round 10)
+# ---------------------------------------------------------------------------
+
+
+def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-size planning curve: how many word types (ranked by
+    frequency) cover 50 / 90 / 99 / 99.9% of all token occurrences,
+    and each tier's type-share of the full vocabulary — the table a
+    tokenizer-budget decision reads (vocab_coverage answers coverage
+    OF a given list; this finds the SIZE needed for a target).
+    Head/tail mass in one pass: the frequency histogram's CDF over
+    counts DESCENDING.
+
+    FULLY INTEGER: term counts, a (count value)-level histogram CDF
+    (types and tokens cumulated over distinct frequency values — the
+    rank boundary never splits a tie block ambiguously because the
+    answer is reported AT block granularity: the smallest type
+    count whose cumulative token mass reaches the target). Scale:
+    one tokenize shuffle to term counts, then a |distinct
+    frequencies|-row CDF."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    fhist = terms.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("types"))
+    wdesc = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdf = (
+        fhist.withColumn("cum_types", F.sum("types").over(wdesc).cast("bigint"))
+        .withColumn(
+            "cum_tokens", F.sum(F.expr("f * types")).over(wdesc).cast("bigint")
+        )
+        .withColumn("total_types", F.sum("types").over(wall).cast("bigint"))
+        .withColumn(
+            "total_tokens", F.sum(F.expr("f * types")).over(wall).cast("bigint")
+        )
+    )
+    targets = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(500), F.lit(900), F.lit(990), F.lit(999))
+        ).alias("pm")
+    )
+    j = cdf.crossJoin(F.broadcast(targets))
+    return (
+        j.groupBy("pm")
+        .agg(
+            F.max("total_types").alias("total_types"),
+            F.max("total_tokens").alias("total_tokens"),
+            F.min(
+                F.when(
+                    F.col("cum_tokens") * 1000 >= F.col("total_tokens") * F.col("pm"),
+                    F.col("cum_types"),
+                )
+            ).alias("types_needed"),
+        )
+        .select(
+            F.col("pm").cast("bigint").alias("coverage_permille"),
+            "total_types",
+            "total_tokens",
+            F.col("types_needed").cast("bigint").alias("types_needed"),
+            F.expr("CAST(types_needed * 1000000 DIV total_types AS BIGINT)").alias(
+                "vocab_share_ppm"
+            ),
+        )
+        .orderBy("coverage_permille")
+    )
+
+
+VOCAB_CURVE_SQL = """
+WITH terms AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+),
+fhist AS (
+  SELECT f, CAST(COUNT(*) AS BIGINT) AS types FROM terms GROUP BY 1
+),
+cdf AS (
+  SELECT f, types,
+         CAST(SUM(types) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_types,
+         CAST(SUM(f * types) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens,
+         CAST(SUM(types) OVER () AS BIGINT) AS total_types,
+         CAST(SUM(f * types) OVER () AS BIGINT) AS total_tokens
+  FROM fhist
+),
+targets AS (SELECT pm FROM (VALUES (500), (900), (990), (999)) v(pm))
+SELECT CAST(pm AS BIGINT) AS coverage_permille,
+       MAX(total_types) AS total_types,
+       MAX(total_tokens) AS total_tokens,
+       CAST(MIN(CASE WHEN cum_tokens * 1000 >= total_tokens * pm
+                THEN cum_types END) AS BIGINT) AS types_needed,
+       CAST(MIN(CASE WHEN cum_tokens * 1000 >= total_tokens * pm
+                THEN cum_types END) * 1000000 // MAX(total_types) AS BIGINT)
+         AS vocab_share_ppm
+FROM cdf CROSS JOIN targets
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["corpus_vocab_coverage_curve"] = corpus_vocab_coverage_curve
+ORACLE["corpus_vocab_coverage_curve"] = VOCAB_CURVE_SQL

@@ -7192,3 +7192,92 @@ FROM q
 
 QUERIES["orders_ljung_box"] = orders_ljung_box
 ORACLE["orders_ljung_box"] = LJUNG_BOX_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_mean_residual_life — MRL threshold diagnostic (round 10)
+# ---------------------------------------------------------------------------
+
+
+def events_mean_residual_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-residual-life curve e(u) = E[X−u | X>u] at the value
+    deciles — THE threshold-picking diagnostic for the
+    events_pot_gpd_tail fit (an MRL that is linear in u above some
+    u₀ certifies the GPD regime and its slope ξ/(1−ξ); a kinked MRL
+    says the chosen POT threshold is too low). Emitted per decile
+    threshold with exceedance counts, so the analyst reads the knee
+    directly.
+
+    FULLY INTEGER: thresholds are ceil-rank order statistics from
+    the histogram-CDF (cross-multiplied predicates); each e(u) is
+    the integer pair (Σ(x−u), count) emitted as mean ×1000 DIV —
+    the only emission division. Scale: ONE histogram-CDF + a
+    9-threshold broadcast join re-aggregated map-side."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ROUND(value * 1000) AS BIGINT)").alias("x")
+    )
+    hist = e.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdf = hist.withColumn("cum", F.sum("c").over(wc).cast("bigint")).withColumn(
+        "n", F.sum("c").over(wall).cast("bigint")
+    )
+    qs = spark.range(1, 10).select((F.col("id") * 10).cast("bigint").alias("q"))
+    thr = (
+        cdf.crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * F.col("q"), F.col("x"))
+            ).alias("u")
+        )
+    )
+    exc = hist.crossJoin(F.broadcast(thr)).where(F.col("x") > F.col("u"))
+    g = exc.groupBy("q", "u").agg(
+        F.sum("c").cast("bigint").alias("n_exc"),
+        F.sum(F.expr("CAST(x - u AS DECIMAL(38,0)) * c")).alias("sexc"),
+    )
+    return g.select(
+        F.col("q").alias("decile_pct"),
+        F.col("u").cast("bigint").alias("threshold_x1000"),
+        "n_exc",
+        F.expr("CAST(sexc * 1000 DIV n_exc AS BIGINT)").alias("mrl_x1000000"),
+    ).orderBy("decile_pct")
+
+
+MRL_SQL = """
+WITH e AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS x FROM events
+),
+hist AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1
+),
+cdf AS (
+  SELECT x, c,
+         CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM hist
+),
+qs AS (SELECT CAST(k * 10 AS BIGINT) AS q FROM generate_series(1, 9) g(k)),
+thr AS (
+  SELECT q, MIN(CASE WHEN cum * 100 >= n * q THEN x END) AS u
+  FROM cdf CROSS JOIN qs GROUP BY 1
+),
+g AS (
+  SELECT t.q, t.u,
+         CAST(SUM(h.c) AS BIGINT) AS n_exc,
+         CAST(SUM(CAST(h.x - t.u AS HUGEINT) * h.c) AS HUGEINT) AS sexc
+  FROM hist h CROSS JOIN thr t
+  WHERE h.x > t.u
+  GROUP BY 1, 2
+)
+SELECT q AS decile_pct,
+       CAST(u AS BIGINT) AS threshold_x1000,
+       n_exc,
+       CAST(sexc * 1000 // n_exc AS BIGINT) AS mrl_x1000000
+FROM g
+ORDER BY decile_pct
+"""
+
+QUERIES["events_mean_residual_life"] = events_mean_residual_life
+ORACLE["events_mean_residual_life"] = MRL_SQL

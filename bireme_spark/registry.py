@@ -128,6 +128,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_anderson_darling",
         "orders_ljung_box",
         "multimodal_thumbnail_integrity",
+        "events_mean_residual_life",
+        "corpus_vocab_coverage_curve",
     }
 )
 

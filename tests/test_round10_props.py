@@ -1777,3 +1777,60 @@ class TestThumbnailIntegrity:
                 assert not rec.pair_consistent
             else:
                 assert rec.pixel_delta == 0 and rec.pair_consistent
+
+
+class TestMeanResidualLife:
+    def test_matches_numpy_and_pairs_with_gpd(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import events_mean_residual_life
+
+        df = events_mean_residual_life(spark, sf_dir).toPandas()
+        ev = _pq("events")
+        x = np.round(ev["value"].to_numpy() * 1000).astype("int64")
+        xs = np.sort(x)
+        n = len(x)
+        assert len(df) == 9
+        for rec in df.itertuples():
+            q = rec.decile_pct
+            u = xs[(n * q + 99) // 100 - 1]
+            assert rec.threshold_x1000 == u
+            exc = x[x > u]
+            assert rec.n_exc == len(exc)
+            assert rec.mrl_x1000000 == int((exc - u).sum()) * 1000 // len(exc)
+        # MRL must shrink toward the bounded tail's endpoint
+        assert df["mrl_x1000000"].iloc[0] > df["mrl_x1000000"].iloc[-1]
+
+
+class TestVocabCoverageCurve:
+    def test_matches_pandas_rank_cdf(self, spark, sf_dir):
+        from bireme_spark.queries.terms import corpus_vocab_coverage_curve
+
+        df = corpus_vocab_coverage_curve(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        from collections import Counter
+        cnt = Counter(w for t in docs["text"] for w in t.split(" "))
+        freqs = sorted(cnt.values(), reverse=True)
+        total_tokens = sum(freqs)
+        total_types = len(freqs)
+        for rec in df.itertuples():
+            assert rec.total_types == total_types
+            assert rec.total_tokens == total_tokens
+            # block-granular answer: cumulate whole frequency tiers
+            cum_tokens = 0
+            cum_types = 0
+            i = 0
+            answer = None
+            while i < len(freqs):
+                f = freqs[i]
+                j = i
+                while j < len(freqs) and freqs[j] == f:
+                    j += 1
+                cum_tokens += f * (j - i)
+                cum_types += j - i
+                if cum_tokens * 1000 >= total_tokens * rec.coverage_permille:
+                    answer = cum_types
+                    break
+                i = j
+            assert rec.types_needed == answer
+            assert rec.vocab_share_ppm == answer * 1_000_000 // total_types
+        # the curve is monotone: more coverage needs more types
+        assert df["types_needed"].is_monotonic_increasing
