@@ -365,6 +365,9 @@ HEADLINE = [
     "multimodal_thumbnail_integrity",
     "events_mean_residual_life",
     "corpus_vocab_coverage_curve",
+    "orders_durbin_watson",
+    "events_jarque_bera",
+    "embedding_cka",
 ]
 
 

@@ -2926,3 +2926,149 @@ SELECT
 
 QUERIES["embedding_energy_distance"] = embedding_energy_distance
 ORACLE["embedding_energy_distance"] = EMBEDDING_ENERGY_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_cka — linear CKA between embedding halves (round 10)
+# ---------------------------------------------------------------------------
+
+# engine-portable first-byte hash of vec_id (two md5 nibbles via ANSI
+# position(); valid verbatim in Spark SQL and DuckDB) — the in-plan
+# stride-proof sampling coin (sf1 ids stride by 1e8, so `% k`
+# residues are NOT uniform there; a hash coin is).
+_CKA_BYTE = (
+    "(CAST(position(substr(md5(CAST(vec_id AS STRING)), 1, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT) * 16"
+    " + CAST(position(substr(md5(CAST(vec_id AS STRING)), 2, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT))"
+)
+_CKA_CAP = 2000  # expected sample rows at any corpus size
+
+
+def embedding_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered-kernel-alignment, Kornblith et al. 2019)
+    between the FIRST 32 and LAST 32 embedding dimensions:
+    CKA = ‖Cov(X,Y)‖²_F / (‖Cov(X,X)‖_F·‖Cov(Y,Y)‖_F). High CKA says
+    the two halves encode the same geometry — i.e. the vector is
+    redundant and the store can truncate to half width (the decision
+    metric behind embedding_truncation_recall; this measures WHY the
+    recall survives, not just whether).
+
+    Determinism: rows sample by an md5-byte coin with an in-plan
+    cross-multiplied threshold (byte·n < 256·2000 ⇒ ~2000 rows at ANY
+    corpus size, stride-proof vs the sf1 1e8 id strides); elements
+    quantize float→double→ROUND·1e6 to integers; each of the 64×64
+    cross-moment cells S_ij = mΣxy − ΣxΣy is an exact integer,
+    ratio-preservingly downscaled (DIV m·1000, re-CAST DECIMAL(38,0)
+    per the r8 DIV-returns-LONG rule) before squaring so the
+    Frobenius sums stay inside 38 digits; ONE double division + sqrt
+    at emission.
+
+    Scale: the corpus is scanned once for the count and once for the
+    coin filter; everything after runs on the ~2000-row checkpointed
+    sample (3 readers) fanned against a broadcast 4096-cell grid —
+    work is O(cap·d²) regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ntot = e.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tot"))
+    samp = (
+        e.crossJoin(F.broadcast(ntot))
+        .where(F.expr(f"{_CKA_BYTE} * n_tot < 256 * {_CKA_CAP}"))
+        .select("vec_id", "embedding")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    m = samp.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("m"))
+    grid = spark.range(0, 64 * 64).select(
+        F.expr("CAST(id DIV 64 AS INT) + 1").alias("i"),
+        F.expr("CAST(id % 64 AS INT) + 1").alias("j"),
+    )
+    qexpr = "CAST(ROUND(CAST(element_at(embedding, {p}) AS DOUBLE) * 1000000) AS BIGINT)"
+    prods = (
+        samp.crossJoin(F.broadcast(grid))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"CAST({qexpr.format(p='i')} AS DECIMAL(38,0)) * {qexpr.format(p='j')}"
+            ).alias("pxy"),
+        )
+        .groupBy("i", "j")
+        .agg(F.expr("CAST(SUM(pxy) AS DECIMAL(38,0))").alias("sxy"))
+    )
+    dims = spark.range(1, 65).select(F.expr("CAST(id AS INT)").alias("p"))
+    sums = (
+        samp.crossJoin(F.broadcast(dims))
+        .select("p", F.expr(qexpr.format(p="p")).alias("x"))
+        .groupBy("p")
+        .agg(F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("s"))
+    )
+    si = sums.select(F.col("p").alias("i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("p").alias("j"), F.col("s").alias("sj"))
+    cells = (
+        prods.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST((m * sxy - si * sj) DIV (m * 1000) AS DECIMAL(38,0))"
+            ).alias("q"),
+        )
+    )
+    h = cells.agg(
+        F.expr("SUM(CASE WHEN i <= 32 AND j <= 32 THEN q * q ELSE CAST(0 AS DECIMAL(38,0)) END)").alias("hxx"),
+        F.expr("SUM(CASE WHEN i <= 32 AND j > 32 THEN q * q ELSE CAST(0 AS DECIMAL(38,0)) END)").alias("hxy"),
+        F.expr("SUM(CASE WHEN i > 32 AND j > 32 THEN q * q ELSE CAST(0 AS DECIMAL(38,0)) END)").alias("hyy"),
+    )
+    return h.crossJoin(F.broadcast(m)).select(
+        F.col("m").alias("n_sample"),
+        F.lit(64).alias("dim"),
+        F.expr(
+            "ROUND(CAST(hxy AS DOUBLE) / SQRT(CAST(hxx AS DOUBLE) * CAST(hyy AS DOUBLE)), 6)"
+        ).alias("cka"),
+    )
+
+
+EMBEDDING_CKA_SQL = f"""
+WITH ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM embeddings),
+samp AS (
+  SELECT vec_id, embedding FROM embeddings, ntot
+  WHERE {_CKA_BYTE} * n_tot < 256 * {_CKA_CAP}
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM samp),
+grid AS (
+  SELECT CAST(gi.i AS INTEGER) AS i, CAST(gj.j AS INTEGER) AS j
+  FROM generate_series(1, 64) gi(i), generate_series(1, 64) gj(j)
+),
+prods AS (
+  SELECT i, j,
+         CAST(SUM(CAST(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS HUGEINT)
+                  * CAST(ROUND(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)) AS HUGEINT) AS sxy
+  FROM samp, grid GROUP BY 1, 2
+),
+sums AS (
+  SELECT CAST(g.p AS INTEGER) AS p,
+         CAST(SUM(CAST(CAST(ROUND(CAST(embedding[g.p] AS DOUBLE) * 1000000) AS BIGINT) AS HUGEINT)) AS HUGEINT) AS s
+  FROM samp, generate_series(1, 64) g(p) GROUP BY 1
+),
+cells AS (
+  SELECT p.i, p.j,
+         CAST((m.m * p.sxy - a.s * b.s) // (m.m * 1000) AS HUGEINT) AS q
+  FROM prods p, m, sums a, sums b
+  WHERE a.p = p.i AND b.p = p.j
+),
+h AS (
+  SELECT SUM(CASE WHEN i <= 32 AND j <= 32 THEN q * q ELSE CAST(0 AS HUGEINT) END) AS hxx,
+         SUM(CASE WHEN i <= 32 AND j > 32 THEN q * q ELSE CAST(0 AS HUGEINT) END) AS hxy,
+         SUM(CASE WHEN i > 32 AND j > 32 THEN q * q ELSE CAST(0 AS HUGEINT) END) AS hyy
+  FROM cells
+)
+SELECT m.m AS n_sample,
+       CAST(64 AS INTEGER) AS dim,
+       ROUND(CAST(h.hxy AS DOUBLE) / SQRT(CAST(h.hxx AS DOUBLE) * CAST(h.hyy AS DOUBLE)), 6) AS cka
+FROM h, m
+"""
+
+QUERIES["embedding_cka"] = embedding_cka
+ORACLE["embedding_cka"] = EMBEDDING_CKA_SQL

@@ -7281,3 +7281,230 @@ ORDER BY decile_pct
 
 QUERIES["events_mean_residual_life"] = events_mean_residual_life
 ORACLE["events_mean_residual_life"] = MRL_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_durbin_watson — serial-correlation diagnostic on the daily
+# revenue trend residuals (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic on the residuals of the OLS trend fit
+    of daily order revenue — THE first-order serial-correlation check
+    an analyst runs before trusting the trend regression's standard
+    errors (DW ≈ 2 ⇒ independent residuals; ≪2 ⇒ positive
+    autocorrelation ⇒ the OLS SEs are overconfident and a Newey-West
+    correction is due). Also emits the lag-1 residual autocorrelation
+    ρ̂₁ (DW ≈ 2(1−ρ̂₁)) and the fitted slope.
+
+    FULLY INTEGER until the two emission divisions: daily revenue is
+    exact cents; the residual is the cross-multiplied integer
+    Ê_t = n·D·y_t − n·Num·t − (D·Σy − Num·Σt)  (D = nΣt²−(Σt)²,
+    Num = nΣty−ΣtΣy), i.e. e_t scaled by the constant n·D — which
+    cancels in the DW ratio. Ê is then ratio-preservingly downscaled
+    in-plan (DIV k, k = GREATEST(1, max|Ê| DIV 1e13)) so squares stay
+    inside DECIMAL(38,0)/HUGEINT at ANY scale factor (the r8
+    n-independence rule), and DW/ρ̂₁ are integer-ppm DIVs.
+
+    Scale: one shuffle to ~2400 daily groups (the date span is fixed
+    by the data generator, not SF), every later frame is day-sized;
+    the day frame is eagerly checkpointed once (4 downstream readers
+    would each rescan orders)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.expr("CAST(SUM(cents) AS DECIMAL(38,0))").alias("y"))
+    mind = daily.agg(F.min("d").alias("d0"))
+    base = (
+        daily.crossJoin(F.broadcast(mind))
+        .select(F.expr("CAST(DATEDIFF(d, d0) AS BIGINT)").alias("t"), "y")
+        .localCheckpoint(eager=True)
+    )
+    stats = base.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(t) AS DECIMAL(38,0))").alias("st"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("CAST(SUM(t * t) AS DECIMAL(38,0))").alias("stt"),
+        F.expr("SUM(CAST(t AS DECIMAL(38,0)) * y)").alias("sty"),
+    ).select(
+        "n",
+        "st",
+        "sy",
+        F.expr("n * stt - st * st").alias("dd"),
+        F.expr("n * sty - st * sy").alias("num"),
+    )
+    resid = base.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.expr("n * dd * y - n * num * t - (dd * sy - num * st)").alias("eh"),
+    )
+    maxk = resid.agg(
+        F.expr("CAST(GREATEST(CAST(1 AS BIGINT), MAX(ABS(eh)) DIV 10000000000000) AS BIGINT)").alias("k")
+    )
+    scaled = resid.crossJoin(F.broadcast(maxk)).select(
+        "t", F.expr("CAST(eh DIV k AS DECIMAL(38,0))").alias("e")
+    )
+    w = Window.orderBy("t")
+    lagd = scaled.withColumn("ep", F.lag("e").over(w))
+    agg = lagd.agg(
+        F.expr("SUM(e * e)").alias("den"),
+        F.expr("SUM(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0)) ELSE (e - ep) * (e - ep) END)").alias("numq"),
+        F.expr("SUM(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0)) ELSE e * ep END)").alias("crs"),
+    )
+    return agg.crossJoin(F.broadcast(stats)).select(
+        F.expr("CAST(n AS BIGINT)").alias("n_days"),
+        F.expr("ROUND(CAST(num AS DOUBLE) / CAST(dd AS DOUBLE), 6)").alias("slope_cents_per_day"),
+        F.expr("CAST((numq * 1000000) DIV den AS BIGINT)").alias("dw_ppm"),
+        F.expr("CAST((crs * 1000000) DIV den AS BIGINT)").alias("rho1_ppm"),
+    )
+
+
+ORDERS_DW_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS y
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM daily), d) AS BIGINT) AS t, y
+  FROM daily
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         SUM(y) AS sy,
+         CAST(SUM(t * t) AS HUGEINT) AS stt,
+         SUM(CAST(t AS HUGEINT) * y) AS sty
+  FROM base
+),
+stats2 AS (
+  SELECT n, st, sy,
+         n * stt - st * st AS dd,
+         n * sty - st * sy AS num
+  FROM stats
+),
+resid AS (
+  SELECT t, s.n * s.dd * b.y - s.n * s.num * b.t - (s.dd * s.sy - s.num * s.st) AS eh
+  FROM base b, stats2 s
+),
+maxk AS (
+  SELECT GREATEST(CAST(1 AS HUGEINT), MAX(ABS(eh)) // 10000000000000) AS k FROM resid
+),
+scaled AS (
+  SELECT t, CAST(eh // k AS HUGEINT) AS e FROM resid, maxk
+),
+lagd AS (
+  SELECT e, LAG(e) OVER (ORDER BY t) AS ep FROM scaled
+),
+agg AS (
+  SELECT SUM(e * e) AS den,
+         SUM(CASE WHEN ep IS NULL THEN CAST(0 AS HUGEINT) ELSE (e - ep) * (e - ep) END) AS numq,
+         SUM(CASE WHEN ep IS NULL THEN CAST(0 AS HUGEINT) ELSE e * ep END) AS crs
+  FROM lagd
+)
+SELECT CAST(s.n AS BIGINT) AS n_days,
+       ROUND(CAST(s.num AS DOUBLE) / CAST(s.dd AS DOUBLE), 6) AS slope_cents_per_day,
+       CAST((a.numq * 1000000) // a.den AS BIGINT) AS dw_ppm,
+       CAST((a.crs * 1000000) // a.den AS BIGINT) AS rho1_ppm
+FROM agg a, stats2 s
+"""
+
+QUERIES["orders_durbin_watson"] = orders_durbin_watson
+ORACLE["orders_durbin_watson"] = ORDERS_DW_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_jarque_bera — moment-based normality test per event type
+# (round 10)
+# ---------------------------------------------------------------------------
+
+# closing algebra generated ONCE and embedded verbatim in BOTH engines
+# (house rule: shared expression text ⇒ identical IEEE trees). Every
+# literal is CAST AS DOUBLE (the SSIM bare-decimal-literal rule).
+_JB_MEAN = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_JB_R2 = "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+_JB_R3 = "(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+_JB_R4 = "(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))"
+_JB_M2 = f"({_JB_R2} - {_JB_MEAN} * {_JB_MEAN})"
+_JB_M3 = (
+    f"({_JB_R3} - CAST(3 AS DOUBLE) * {_JB_MEAN} * {_JB_R2}"
+    f" + CAST(2 AS DOUBLE) * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+_JB_M4 = (
+    f"({_JB_R4} - CAST(4 AS DOUBLE) * {_JB_MEAN} * {_JB_R3}"
+    f" + CAST(6 AS DOUBLE) * {_JB_MEAN} * {_JB_MEAN} * {_JB_R2}"
+    f" - CAST(3 AS DOUBLE) * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
+)
+_JB_SKEW = f"({_JB_M3} / ({_JB_M2} * SQRT({_JB_M2})))"
+_JB_EXK = f"({_JB_M4} / ({_JB_M2} * {_JB_M2}) - CAST(3 AS DOUBLE))"
+_JB_STAT = (
+    f"(CAST(n AS DOUBLE) * ({_JB_SKEW} * {_JB_SKEW}"
+    f" + {_JB_EXK} * {_JB_EXK} / CAST(4 AS DOUBLE)) / CAST(6 AS DOUBLE))"
+)
+
+
+def events_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per event type: JB =
+    n/6·(S² + K²/4) from the sample skewness S and excess kurtosis K
+    — the cheap moment-based screen (χ²₂ under H₀) that tells a
+    monitoring pipeline which value distributions are fat-tailed /
+    skewed BEFORE anyone fits a Gaussian control chart to them
+    (pairs with events_anderson_darling: AD compares two samples, JB
+    tests one sample against normality itself).
+
+    Determinism: values quantize to integer millis; the four power
+    sums Σx..Σx⁴ are exact DECIMAL(38,0)/HUGEINT integers (x⁴ ≤
+    6e22·n — inside 38 digits past 1e14 rows), so the shuffle order
+    can't move a bit. The closing skew/kurtosis algebra is ONE shared
+    expression string evaluated on scale-0 integer casts (single
+    correctly-rounded double conversions at any magnitude) with every
+    literal CAST AS DOUBLE; sqrt is IEEE-exact, no transcendentals.
+
+    Scale: one map-side-combinable groupBy over |event_type| groups;
+    the moments close per group — nothing beyond the agg ever sees
+    row counts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(ROUND(value * 1000) AS BIGINT)").alias("x")
+    )
+    agg = e.withColumn("x2", F.expr("x * x")).groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("sx"),
+        F.expr("CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("s2"),
+        F.expr("CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))").alias("s3"),
+        F.expr("CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0))").alias("s4"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.expr(f"ROUND({_JB_SKEW}, 6)").alias("skewness"),
+        F.expr(f"ROUND({_JB_EXK}, 6)").alias("excess_kurtosis"),
+        F.expr(f"ROUND({_JB_STAT}, 6)").alias("jb_stat"),
+    ).orderBy("event_type")
+
+
+EVENTS_JB_SQL = f"""
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS x,
+         CAST(ROUND(value * 1000) AS BIGINT) * CAST(ROUND(value * 1000) AS BIGINT) AS x2
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x) AS HUGEINT) AS s3,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s4
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND({_JB_SKEW}, 6) AS skewness,
+       ROUND({_JB_EXK}, 6) AS excess_kurtosis,
+       ROUND({_JB_STAT}, 6) AS jb_stat
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["events_jarque_bera"] = events_jarque_bera
+ORACLE["events_jarque_bera"] = EVENTS_JB_SQL

@@ -130,6 +130,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "multimodal_thumbnail_integrity",
         "events_mean_residual_life",
         "corpus_vocab_coverage_curve",
+        "orders_durbin_watson",
+        "events_jarque_bera",
+        "embedding_cka",
     }
 )
 

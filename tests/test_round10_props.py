@@ -1834,3 +1834,106 @@ class TestVocabCoverageCurve:
             assert rec.vocab_share_ppm == answer * 1_000_000 // total_types
         # the curve is monotone: more coverage needs more types
         assert df["types_needed"].is_monotonic_increasing
+
+
+class TestDurbinWatson:
+    def test_matches_exact_integer_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import orders_durbin_watson
+
+        rec = orders_durbin_watson(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        d = pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        cents = np.round(o["o_totalprice"].to_numpy() * 100).astype("int64")
+        daily = pd.DataFrame({"d": d, "y": cents}).groupby("d")["y"].sum().sort_index()
+        t = (daily.index - daily.index.min()).days.astype("int64")
+        y = [int(v) for v in daily.to_numpy()]
+        t = [int(v) for v in t]
+        n = len(y)
+        st, sy = sum(t), sum(y)
+        stt = sum(v * v for v in t)
+        sty = sum(a * b for a, b in zip(t, y))
+        dd = n * stt - st * st
+        num = n * sty - st * sy
+        eh = [n * dd * yi - n * num * ti - (dd * sy - num * st) for ti, yi in zip(t, y)]
+        k = max(1, max(abs(v) for v in eh) // 10**13)
+        # int() truncation toward zero == both engines' DIV on negatives
+        e = [int(v / k) if k > 1 else v for v in eh]
+        e = [(abs(v) // k) * (1 if v >= 0 else -1) for v in eh]
+        den = sum(v * v for v in e)
+        numq = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n))
+        crs = sum(e[i] * e[i - 1] for i in range(1, n))
+        assert rec.n_days == n
+        assert rec.dw_ppm == (numq * 10**6) // den
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        assert rec.rho1_ppm == tdiv(crs * 10**6, den)
+        # DW lives in (0, 4); identity DW ≈ 2(1 − ρ₁) up to end effects
+        assert 0 < rec.dw_ppm < 4_000_000
+        assert abs(rec.dw_ppm - (2_000_000 - 2 * rec.rho1_ppm)) < 100_000
+        assert abs(rec.slope_cents_per_day - round(num / dd, 6)) <= 1e-6
+
+
+class TestJarqueBera:
+    def test_matches_numpy_moments(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import events_jarque_bera
+
+        df = events_jarque_bera(spark, sf_dir).toPandas()
+        ev = _pq("events")
+        x = np.round(ev["value"].to_numpy() * 1000).astype("int64")
+        total = 0
+        for rec in df.itertuples():
+            g = x[(ev["event_type"] == rec.event_type).to_numpy()]
+            n = len(g)
+            total += n
+            assert rec.n == n
+            gf = g.astype("float64")
+            mean = float(sum(int(v) for v in g)) / n
+            m2 = float(sum(int(v) ** 2 for v in g)) / n - mean * mean
+            m3 = float(sum(int(v) ** 3 for v in g)) / n - 3 * mean * (
+                float(sum(int(v) ** 2 for v in g)) / n
+            ) + 2 * mean**3
+            m4 = (
+                float(sum(int(v) ** 4 for v in g)) / n
+                - 4 * mean * (float(sum(int(v) ** 3 for v in g)) / n)
+                + 6 * mean * mean * (float(sum(int(v) ** 2 for v in g)) / n)
+                - 3 * mean**4
+            )
+            skew = m3 / (m2 * np.sqrt(m2))
+            exk = m4 / (m2 * m2) - 3.0
+            jb = n * (skew * skew + exk * exk / 4.0) / 6.0
+            assert abs(rec.skewness - skew) <= 2e-6
+            assert abs(rec.excess_kurtosis - exk) <= 2e-6
+            assert abs(rec.jb_stat - jb) <= max(2e-6, abs(jb) * 1e-9)
+            assert rec.jb_stat >= 0
+        assert total == len(x)
+
+
+class TestEmbeddingCKA:
+    def test_matches_exact_integer_recompute_and_bounds(self, spark, sf_dir):
+        import hashlib
+        import math
+
+        from bireme_spark.queries.embeddings import _CKA_CAP, embedding_cka
+
+        rec = embedding_cka(spark, sf_dir).collect()[0]
+        emb = _pq("embeddings")
+        n_tot = len(emb)
+        rows = []
+        for vid, v in zip(emb["vec_id"], emb["embedding"]):
+            b = int(hashlib.md5(str(vid).encode()).hexdigest()[:2], 16)
+            if b * n_tot < 256 * _CKA_CAP:
+                rows.append(np.round(v.astype("float64") * 1_000_000).astype("int64"))
+        m = len(rows)
+        assert rec.n_sample == m and rec.dim == 64
+        X = np.stack(rows)  # m × 64 integer matrix
+        sxy = X.T.astype(object) @ X.astype(object)  # exact int cross-moments
+        si = X.sum(axis=0).astype(object)
+        k = m * 1000
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        q = [[tdiv(m * int(sxy[i][j]) - int(si[i]) * int(si[j]), k) for j in range(64)] for i in range(64)]
+        hxx = sum(q[i][j] ** 2 for i in range(32) for j in range(32))
+        hxy = sum(q[i][j] ** 2 for i in range(32) for j in range(32, 64))
+        hyy = sum(q[i][j] ** 2 for i in range(32, 64) for j in range(32, 64))
+        cka = float(hxy) / math.sqrt(float(hxx) * float(hyy))
+        assert abs(rec.cka - cka) <= 1.1e-6
+        # Cauchy-Schwarz bound (up to the deterministic DIV truncation)
+        assert 0.0 < rec.cka <= 1.0 + 1e-6
