@@ -368,6 +368,9 @@ HEADLINE = [
     "orders_durbin_watson",
     "events_jarque_bera",
     "embedding_cka",
+    "customers_log_rank_test",
+    "events_permutation_entropy",
+    "multimodal_aspect_ratio_bucketing",
 ]
 
 

@@ -2885,3 +2885,130 @@ ORDER BY canonical_doc
 
 QUERIES["multimodal_thumbnail_integrity"] = multimodal_thumbnail_integrity
 ORACLE["multimodal_thumbnail_integrity"] = THUMBNAIL_INTEGRITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_aspect_ratio_bucketing — training-batch geometry planner
+# (round 10)
+# ---------------------------------------------------------------------------
+
+# fixed aspect ladder (id, bucket_w, bucket_h, 144/bucket_h) — 144 =
+# lcm of the hb values, so score·(144/hb) compares the fractions
+# |w/h − wb/hb| exactly in integers
+_ARB_BUCKETS = [
+    (0, 12, 12),
+    (1, 16, 12),
+    (2, 12, 16),
+    (3, 16, 9),
+    (4, 9, 16),
+]
+
+
+def multimodal_aspect_ratio_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing plan over the synthesized image corpus
+    (dims w = 8 + doc_id%%8, h = 8 + doc_id%%5 — the same geometry
+    multimodal_image_decode round-trips through the real codecs):
+    assign every image to the nearest of five aspect buckets
+    (1:1, 4:3, 3:4, 16:9, 9:16) and report per-bucket load and the
+    mean letterbox padding waste — the planning step every
+    variable-aspect vision training pipeline (SDXL-style bucketing)
+    runs so batches share a shape without destructive center-crops.
+
+    Determinism: nearest-bucket is an exact integer argmin —
+    |w·hb − h·wb|·(144/hb) compares |w/h − wb/hb| with a common
+    denominator, ties break to the smallest bucket id via the
+    MIN(score·8 + id) encoding (the r10 MAX_BY-tie lesson); padding
+    is integer ppm (letterbox content share = min-fit cross ratio).
+
+    Scale: metadata-only — one scan, a 5-row broadcast ladder, a
+    5-group agg; no pixel ever moves."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("CAST(8 + doc_id % 8 AS BIGINT)").alias("w"),
+        F.expr("CAST(8 + doc_id % 5 AS BIGINT)").alias("h"),
+    )
+    ladder = spark.createDataFrame(
+        [(i, wb, hb, 144 // hb) for i, wb, hb in _ARB_BUCKETS],
+        "bucket_id INT, bucket_w BIGINT, bucket_h BIGINT, mden BIGINT",
+    )
+    scored = d.crossJoin(F.broadcast(ladder)).select(
+        "doc_id",
+        "w",
+        "h",
+        "bucket_id",
+        F.expr("ABS(w * bucket_h - h * bucket_w) * mden * 8 + bucket_id").alias("enc"),
+    )
+    best = scored.groupBy("doc_id", "w", "h").agg(F.expr("MIN(enc) % 8").alias("bucket_id"))
+    assigned = best.join(F.broadcast(ladder.select("bucket_id", "bucket_w", "bucket_h")), "bucket_id").select(
+        "bucket_id",
+        F.expr(
+            "CASE WHEN w * bucket_h >= h * bucket_w"
+            " THEN 1000000 - (h * bucket_w * 1000000) DIV (w * bucket_h)"
+            " ELSE 1000000 - (w * bucket_h * 1000000) DIV (h * bucket_w) END"
+        ).alias("pad_ppm"),
+    )
+    per = assigned.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.expr("CAST(SUM(pad_ppm) AS BIGINT)").alias("sum_pad"),
+    )
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        ladder.select("bucket_id", "bucket_w", "bucket_h")
+        .join(per, "bucket_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket_id",
+            "bucket_w",
+            "bucket_h",
+            F.expr("COALESCE(n_images, CAST(0 AS BIGINT))").alias("n_images"),
+            F.expr("COALESCE(n_images, 0) * 1000000 DIV total").alias("share_ppm"),
+            F.expr(
+                "COALESCE(sum_pad, CAST(0 AS BIGINT)) DIV GREATEST(COALESCE(n_images, 0), 1)"
+            ).alias("mean_pad_ppm"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+_ARB_LADDER_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS bucket_id, CAST({wb} AS BIGINT) AS bucket_w,"
+    f" CAST({hb} AS BIGINT) AS bucket_h, CAST({144 // hb} AS BIGINT) AS mden"
+    for i, wb, hb in _ARB_BUCKETS
+)
+
+MULTIMODAL_ARB_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, CAST(8 + doc_id % 8 AS BIGINT) AS w, CAST(8 + doc_id % 5 AS BIGINT) AS h
+  FROM documents
+),
+ladder AS ({_ARB_LADDER_SQL}),
+scored AS (
+  SELECT doc_id, w, h, bucket_id,
+         ABS(w * bucket_h - h * bucket_w) * mden * 8 + bucket_id AS enc
+  FROM dims, ladder
+),
+best AS (
+  SELECT doc_id, w, h, MIN(enc) % 8 AS bucket_id FROM scored GROUP BY 1, 2, 3
+),
+assigned AS (
+  SELECT b.bucket_id,
+         CASE WHEN b.w * l.bucket_h >= b.h * l.bucket_w
+              THEN 1000000 - (b.h * l.bucket_w * 1000000) // (b.w * l.bucket_h)
+              ELSE 1000000 - (b.w * l.bucket_h * 1000000) // (b.h * l.bucket_w) END AS pad_ppm
+  FROM best b JOIN ladder l ON b.bucket_id = l.bucket_id
+),
+per AS (
+  SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS n_images, CAST(SUM(pad_ppm) AS BIGINT) AS sum_pad
+  FROM assigned GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM dims)
+SELECT l.bucket_id, l.bucket_w, l.bucket_h,
+       COALESCE(p.n_images, CAST(0 AS BIGINT)) AS n_images,
+       CAST(COALESCE(p.n_images, 0) * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(COALESCE(p.sum_pad, CAST(0 AS BIGINT)) // GREATEST(COALESCE(p.n_images, 0), 1) AS BIGINT) AS mean_pad_ppm
+FROM ladder l LEFT JOIN per p ON l.bucket_id = p.bucket_id, total t
+ORDER BY l.bucket_id
+"""
+
+QUERIES["multimodal_aspect_ratio_bucketing"] = multimodal_aspect_ratio_bucketing
+ORACLE["multimodal_aspect_ratio_bucketing"] = MULTIMODAL_ARB_SQL

@@ -9849,3 +9849,166 @@ FROM agg
 
 QUERIES["lineitem_fwl_partialled_regression"] = lineitem_fwl_partialled_regression
 ORACLE["lineitem_fwl_partialled_regression"] = FWL_SQL
+
+
+# ---------------------------------------------------------------------------
+# customers_log_rank_test — two-group survival comparison (round 10)
+# ---------------------------------------------------------------------------
+
+
+def customers_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) test comparing the repurchase-interval
+    survival curves of the AUTOMOBILE vs BUILDING market segments —
+    the hypothesis test that belongs NEXT TO customers_survival_km:
+    KM draws the two curves, the log-rank statistic says whether the
+    gap between them is noise. Uses the exact same span derivation
+    (consecutive-order gaps are events, the tail to the corpus
+    horizon is right-censored).
+
+    Determinism: at each event time the hypergeometric terms
+    E₁ₜ = d·r₁/n and Vₜ = d·r₁·r₂·(n−d)/(n²(n−1)) are integer-DIV'd
+    at 1e9 scale per term (both engines truncate identically), all
+    sufficient statistics exact DECIMAL(38,0)/HUGEINT; ONE double
+    division at emission for χ². Denominators stay decimal so n²(n−1)
+    survives any corpus size.
+
+    Scale: one custkey-window pass over orders (+ a key join to
+    customer — no broadcast hint: the dim scales with SF, AQE
+    decides), then everything runs on the duration histogram."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = c.where(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")).select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(2).alias("g"),
+    )
+    oo = o.join(seg, o.o_custkey == seg.c_custkey).select("o_custkey", "o_orderdate", "g")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    spans = (
+        oo.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "g",
+            F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate"))
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .alias("t"),
+            F.col("nxt").isNotNull().alias("is_event"),
+        )
+        .where(F.col("t") > 0)
+    )
+    hist = spans.groupBy("t").agg(
+        F.expr("CAST(SUM(CASE WHEN g = 1 AND is_event THEN 1 ELSE 0 END) AS BIGINT)").alias("d1"),
+        F.expr("CAST(SUM(CASE WHEN g = 2 AND is_event THEN 1 ELSE 0 END) AS BIGINT)").alias("d2"),
+        F.expr("CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("tot1"),
+        F.expr("CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)").alias("tot2"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    risk = hist.select(
+        "t",
+        "d1",
+        "d2",
+        (F.sum("tot1").over(wall) - F.coalesce(F.sum("tot1").over(wcum), F.lit(0))).alias("r1"),
+        (F.sum("tot2").over(wall) - F.coalesce(F.sum("tot2").over(wcum), F.lit(0))).alias("r2"),
+    ).where((F.col("d1") + F.col("d2")) > 0)
+    terms = risk.select(
+        "d1",
+        F.expr(
+            "CAST((CAST(d1 + d2 AS DECIMAL(38,0)) * r1 * 1000000000)"
+            " DIV CAST(r1 + r2 AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("e1_e9"),
+        F.expr(
+            "CASE WHEN r1 + r2 > 1 THEN CAST("
+            "(CAST(d1 + d2 AS DECIMAL(38,0)) * r1 * r2 * (r1 + r2 - d1 - d2) * 1000000000)"
+            " DIV (CAST(r1 + r2 AS DECIMAL(38,0)) * (r1 + r2) * (r1 + r2 - 1)) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("v_e9"),
+    )
+    agg = terms.agg(
+        F.expr("CAST(SUM(d1) AS DECIMAL(38,0))").alias("o1"),
+        F.expr("CAST(SUM(e1_e9) AS DECIMAL(38,0))").alias("e1"),
+        F.expr("CAST(SUM(v_e9) AS DECIMAL(38,0))").alias("v"),
+    )
+    tots = spans.groupBy().agg(
+        F.expr("CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1_spans"),
+        F.expr("CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)").alias("n2_spans"),
+    )
+    return agg.crossJoin(F.broadcast(tots)).select(
+        "n1_spans",
+        "n2_spans",
+        F.expr("CAST(o1 AS BIGINT)").alias("observed_g1"),
+        F.expr("ROUND(CAST(e1 AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6)").alias("expected_g1"),
+        F.expr(
+            "ROUND((CAST(o1 * 1000000000 - e1 AS DOUBLE) / CAST(1000000000 AS DOUBLE))"
+            " * (CAST(o1 * 1000000000 - e1 AS DOUBLE) / CAST(1000000000 AS DOUBLE))"
+            " / (CAST(v AS DOUBLE) / CAST(1000000000 AS DOUBLE)), 6)"
+        ).alias("chi2"),
+        F.expr(
+            "CASE WHEN o1 * 1000000000 > e1 THEN 1 WHEN o1 * 1000000000 < e1 THEN -1 ELSE 0 END"
+        ).alias("direction_g1"),
+    )
+
+
+CUSTOMERS_LOGRANK_SQL = """
+WITH seg AS (
+  SELECT c_custkey, CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 2 END AS g
+  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+),
+oo AS (
+  SELECT o.o_custkey, o.o_orderdate, s.g
+  FROM orders o JOIN seg s ON o.o_custkey = s.c_custkey
+),
+spans AS (
+  SELECT g,
+         COALESCE(date_diff('day', o_orderdate, LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate)),
+                  date_diff('day', o_orderdate, (SELECT MAX(o_orderdate) FROM orders))) AS t,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) IS NOT NULL AS is_event
+  FROM oo
+),
+spans2 AS (SELECT * FROM spans WHERE t > 0),
+hist AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN g = 1 AND is_event THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN g = 2 AND is_event THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tot1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tot2
+  FROM spans2 GROUP BY 1
+),
+risk AS (
+  SELECT t, d1, d2,
+         SUM(tot1) OVER () - COALESCE(SUM(tot1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r1,
+         SUM(tot2) OVER () - COALESCE(SUM(tot2) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r2
+  FROM hist
+),
+terms AS (
+  SELECT d1,
+         CAST((CAST(d1 + d2 AS HUGEINT) * r1 * 1000000000) // CAST(r1 + r2 AS HUGEINT) AS BIGINT) AS e1_e9,
+         CASE WHEN r1 + r2 > 1 THEN CAST(
+           (CAST(d1 + d2 AS HUGEINT) * r1 * r2 * (r1 + r2 - d1 - d2) * 1000000000)
+           // (CAST(r1 + r2 AS HUGEINT) * (r1 + r2) * (r1 + r2 - 1)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS v_e9
+  FROM risk WHERE d1 + d2 > 0
+),
+agg AS (
+  SELECT CAST(SUM(d1) AS HUGEINT) AS o1,
+         CAST(SUM(e1_e9) AS HUGEINT) AS e1,
+         CAST(SUM(v_e9) AS HUGEINT) AS v
+  FROM terms
+),
+tots AS (
+  SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_spans,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2_spans
+  FROM spans2
+)
+SELECT t.n1_spans, t.n2_spans,
+       CAST(a.o1 AS BIGINT) AS observed_g1,
+       ROUND(CAST(a.e1 AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) AS expected_g1,
+       ROUND((CAST(a.o1 * 1000000000 - a.e1 AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+             * (CAST(a.o1 * 1000000000 - a.e1 AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+             / (CAST(a.v AS DOUBLE) / CAST(1000000000 AS DOUBLE)), 6) AS chi2,
+       CASE WHEN a.o1 * 1000000000 > a.e1 THEN 1 WHEN a.o1 * 1000000000 < a.e1 THEN -1 ELSE 0 END AS direction_g1
+FROM agg a, tots t
+"""
+
+QUERIES["customers_log_rank_test"] = customers_log_rank_test
+ORACLE["customers_log_rank_test"] = CUSTOMERS_LOGRANK_SQL

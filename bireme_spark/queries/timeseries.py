@@ -7508,3 +7508,119 @@ ORDER BY event_type
 
 QUERIES["events_jarque_bera"] = events_jarque_bera
 ORACLE["events_jarque_bera"] = EVENTS_JB_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_permutation_entropy — ordinal-pattern complexity (round 10)
+# ---------------------------------------------------------------------------
+
+# order-3 ordinal pattern of (a, b, c) with the POSITIONAL tie rule
+# (equal values rank by position, i.e. "x precedes y" ⇔ x <= y for x
+# earlier) — ONE shared CASE string so both engines classify
+# identically. Labels are the rank sequence of the three positions.
+_PE_PATTERN = (
+    "CASE WHEN a <= b THEN"
+    " (CASE WHEN b <= c THEN '012' WHEN a <= c THEN '021' ELSE '201' END)"
+    " ELSE"
+    " (CASE WHEN a <= c THEN '102' WHEN b <= c THEN '120' ELSE '210' END)"
+    " END"
+)
+# per-pattern entropy contribution −p·ln p, e6-quantized PER TERM
+# (transcendental rule) so the cross-pattern sum is integer
+_PE_TERM = (
+    "CAST(ROUND(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * LN(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def events_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002, order 3) of each
+    event type's hourly-count series — the model-free complexity
+    score that separates periodic (PE→0), chaotic (mid) and white
+    (PE→1 normalized) traffic; THE robust screen to run before
+    trusting a seasonality fit, because it sees only ORDER relations
+    and is immune to the value outliers that wreck spectral methods.
+
+    Determinism: ordinal patterns are pure integer comparisons with
+    a positional tie rule (one shared CASE string); the only floats
+    are the −p·ln p terms, e6-rounded PER TERM (transcendental rule)
+    and summed as integers; normalization divides once by ln 6.
+
+    Scale: one groupBy to the hourly grid (span is fixed by the
+    generator, so the grid is ~720 rows/type at ANY SF), per-type
+    lead windows on that tiny grid, entropy over ≤6 pattern rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    hourly = e.groupBy("event_type", "hr").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    trip = (
+        hourly.withColumn("b", F.lead("a", 1).over(w))
+        .withColumn("c", F.lead("a", 2).over(w))
+        .where(F.col("c").isNotNull())
+        .select("event_type", F.expr(_PE_PATTERN).alias("pat"))
+    )
+    pats = trip.groupBy("event_type", "pat").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    terms = pats.withColumn("n", F.sum("cnt").over(wt)).select(
+        "event_type", "n", F.expr(_PE_TERM).alias("term_e6")
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_triples"),
+            F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+            F.expr("CAST(SUM(term_e6) AS BIGINT)").alias("pe_nats_e6"),
+        )
+        .select(
+            "event_type",
+            "n_triples",
+            "n_patterns",
+            "pe_nats_e6",
+            F.expr(
+                "ROUND(CAST(pe_nats_e6 AS DOUBLE)"
+                " / (CAST(1000000 AS DOUBLE) * LN(CAST(6 AS DOUBLE))), 6)"
+            ).alias("pe_normalized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PE_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS a
+  FROM events GROUP BY 1, 2
+),
+trip AS (
+  SELECT event_type,
+         a,
+         LEAD(a, 1) OVER (PARTITION BY event_type ORDER BY hr) AS b,
+         LEAD(a, 2) OVER (PARTITION BY event_type ORDER BY hr) AS c
+  FROM hourly
+),
+pats AS (
+  SELECT event_type, {_PE_PATTERN} AS pat, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM trip WHERE c IS NOT NULL GROUP BY 1, 2
+),
+terms AS (
+  SELECT event_type, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM pats
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n_triples,
+         CAST(COUNT(*) AS BIGINT) AS n_patterns,
+         CAST(SUM({_PE_TERM}) AS BIGINT) AS pe_nats_e6
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n_triples, n_patterns, pe_nats_e6,
+       ROUND(CAST(pe_nats_e6 AS DOUBLE)
+             / (CAST(1000000 AS DOUBLE) * LN(CAST(6 AS DOUBLE))), 6) AS pe_normalized
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["events_permutation_entropy"] = events_permutation_entropy
+ORACLE["events_permutation_entropy"] = EVENTS_PE_SQL

@@ -133,6 +133,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_durbin_watson",
         "events_jarque_bera",
         "embedding_cka",
+        "customers_log_rank_test",
+        "events_permutation_entropy",
+        "multimodal_aspect_ratio_bucketing",
     }
 )
 

@@ -1937,3 +1937,116 @@ class TestEmbeddingCKA:
         assert abs(rec.cka - cka) <= 1.1e-6
         # Cauchy-Schwarz bound (up to the deterministic DIV truncation)
         assert 0.0 < rec.cka <= 1.0 + 1e-6
+
+
+class TestLogRankTest:
+    def test_matches_exact_integer_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import customers_log_rank_test
+
+        rec = customers_log_rank_test(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        c = _pq("customer")
+        seg = c[c["c_mktsegment"].isin(["AUTOMOBILE", "BUILDING"])].copy()
+        seg["g"] = np.where(seg["c_mktsegment"] == "AUTOMOBILE", 1, 2)
+        oo = o.merge(seg[["c_custkey", "g"]], left_on="o_custkey", right_on="c_custkey")
+        oo = oo.sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+        horizon = o["o_orderdate"].max()
+        spans = []
+        for (ck, g), grp in oo.groupby(["o_custkey", "g"]):
+            ds = list(grp["o_orderdate"])
+            for i, d0 in enumerate(ds):
+                nxt = ds[i + 1] if i + 1 < len(ds) else None
+                t = ((nxt if nxt is not None else horizon) - d0).days
+                if t > 0:
+                    spans.append((g, t, nxt is not None))
+        n1 = sum(1 for g, _, _ in spans if g == 1)
+        n2 = len(spans) - n1
+        assert (rec.n1_spans, rec.n2_spans) == (n1, n2)
+        times = sorted({t for _, t, _ in spans})
+        o1 = e1 = v = 0
+        r1 = n1
+        r2 = n2
+        for t in times:
+            d1 = sum(1 for g, tt, ev in spans if g == 1 and tt == t and ev)
+            d2 = sum(1 for g, tt, ev in spans if g == 2 and tt == t and ev)
+            if d1 + d2 > 0:
+                d, n = d1 + d2, r1 + r2
+                o1 += d1
+                e1 += (d * r1 * 10**9) // n
+                if n > 1:
+                    v += (d * r1 * r2 * (n - d) * 10**9) // (n * n * (n - 1))
+            r1 -= sum(1 for g, tt, _ in spans if g == 1 and tt == t)
+            r2 -= sum(1 for g, tt, _ in spans if g == 2 and tt == t)
+        assert rec.observed_g1 == o1
+        assert abs(rec.expected_g1 - round(e1 / 1e9, 6)) <= 1e-6
+        chi2 = ((o1 * 10**9 - e1) / 1e9) ** 2 / (v / 1e9)
+        assert abs(rec.chi2 - chi2) <= max(2e-6, chi2 * 1e-9)
+        assert rec.chi2 >= 0
+
+
+class TestPermutationEntropy:
+    def test_matches_pandas_recompute_and_bounds(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.timeseries import events_permutation_entropy
+
+        df = events_permutation_entropy(spark, sf_dir).toPandas()
+        ev = _pq("events")
+        ev["hr"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+        for rec in df.itertuples():
+            s = (
+                ev[ev["event_type"] == rec.event_type]
+                .groupby("hr")
+                .size()
+                .sort_index()
+                .to_numpy()
+            )
+            pats = {}
+            for i in range(len(s) - 2):
+                a, b, c = int(s[i]), int(s[i + 1]), int(s[i + 2])
+                if a <= b:
+                    p = "012" if b <= c else ("021" if a <= c else "201")
+                else:
+                    p = "102" if a <= c else ("120" if b <= c else "210")
+                pats[p] = pats.get(p, 0) + 1
+            n = sum(pats.values())
+            assert rec.n_triples == n and rec.n_patterns == len(pats)
+            pe = sum(
+                int(round(-(cnt / n) * math.log(cnt / n) * 1e6)) for cnt in pats.values()
+            )
+            assert rec.pe_nats_e6 == pe
+            assert 0.0 <= rec.pe_normalized <= 1.0 + 1e-9
+
+
+class TestAspectRatioBucketing:
+    def test_matches_argmin_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import (
+            _ARB_BUCKETS,
+            multimodal_aspect_ratio_bucketing,
+        )
+
+        df = multimodal_aspect_ratio_bucketing(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        n_docs = len(docs)
+        counts = {i: 0 for i, _, _ in _ARB_BUCKETS}
+        pads = {i: 0 for i, _, _ in _ARB_BUCKETS}
+        for doc_id in docs["doc_id"]:
+            w, h = 8 + int(doc_id) % 8, 8 + int(doc_id) % 5
+            best = min(
+                (abs(w * hb - h * wb) * (144 // hb), i) for i, wb, hb in _ARB_BUCKETS
+            )[1]
+            _, wb, hb = _ARB_BUCKETS[best]
+            if w * hb >= h * wb:
+                pad = 10**6 - (h * wb * 10**6) // (w * hb)
+            else:
+                pad = 10**6 - (w * hb * 10**6) // (h * wb)
+            counts[best] += 1
+            pads[best] += pad
+        assert df["n_images"].sum() == n_docs
+        nonempty = 0
+        for rec in df.itertuples():
+            assert rec.n_images == counts[rec.bucket_id]
+            assert rec.share_ppm == counts[rec.bucket_id] * 10**6 // n_docs
+            assert rec.mean_pad_ppm == pads[rec.bucket_id] // max(counts[rec.bucket_id], 1)
+            nonempty += 1 if rec.n_images else 0
+        assert nonempty >= 3
