@@ -2326,3 +2326,96 @@ ORDER BY 1
 
 QUERIES["corpus_pack_contamination_audit"] = corpus_pack_contamination_audit
 ORACLE["corpus_pack_contamination_audit"] = PACK_CONTAMINATION_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_epoch_repetition_plan — data-constrained epoch planner
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def corpus_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planner (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): split a training
+    budget of 8× the corpus's tokens UNIFORMLY across sources, and
+    for each source report how many epochs that implies and how many
+    tokens of it are still WORTH anything — repeated data decays with
+    the paper's fitted half-life R*≈15, so effective tokens are
+    U + U·R*·(1 − e^{−(E−1)/R*}). The utility/waste columns are what
+    a mixing planner reads before deciding to up-weight a small
+    source past its useful repetition ceiling (this is the epoch-axis
+    complement of corpus_mixing_temperature's weight axis).
+
+    Determinism: token counts and budget shares are exact integers;
+    epochs are integer ppm (DIV); the ONE transcendental (exp) is
+    evaluated once per source on a ppm-quantized argument with every
+    literal CAST AS DOUBLE and the result rounded to whole tokens —
+    measure-zero tie risk, engine-identical otherwise.
+
+    Scale: one tokenize-count scan + a |sources| agg; the plan math
+    runs on the |sources|-row frame."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("toks")
+    )
+    per = d.groupBy("source").agg(F.expr("CAST(SUM(toks) AS BIGINT)").alias("u"))
+    tot = per.agg(
+        F.expr("CAST(SUM(u) AS BIGINT)").alias("u_all"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_src"),
+    )
+    plan = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "u",
+        F.expr("(u_all * 8) DIV n_src").alias("budget_tokens"),
+        F.expr("CAST(CAST((u_all * 8) DIV n_src AS DECIMAL(38,0)) * 1000000 DIV u AS BIGINT)").alias("epochs_ppm"),
+    )
+    neff = (
+        "CASE WHEN epochs_ppm <= 1000000 THEN budget_tokens ELSE "
+        "CAST(ROUND(CAST(u AS DOUBLE) * (CAST(1 AS DOUBLE) + CAST(15 AS DOUBLE)"
+        " * (CAST(1 AS DOUBLE) - EXP(-(CAST(epochs_ppm AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        " - CAST(1 AS DOUBLE)) / CAST(15 AS DOUBLE))))) AS BIGINT) END"
+    )
+    return plan.select(
+        "source",
+        F.col("u").alias("source_tokens"),
+        "budget_tokens",
+        "epochs_ppm",
+        F.expr(neff).alias("effective_tokens"),
+        F.expr(f"CAST(CAST(({neff}) AS DECIMAL(38,0)) * 1000000 DIV budget_tokens AS BIGINT)").alias("utility_ppm"),
+        F.expr(f"budget_tokens - ({neff})").alias("wasted_tokens"),
+    ).orderBy("source")
+
+
+_CORPUS_EPOCH_NEFF = (
+    "CASE WHEN epochs_ppm <= 1000000 THEN budget_tokens ELSE "
+    "CAST(ROUND(CAST(u AS DOUBLE) * (CAST(1 AS DOUBLE) + CAST(15 AS DOUBLE)"
+    " * (CAST(1 AS DOUBLE) - EXP(-(CAST(epochs_ppm AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    " - CAST(1 AS DOUBLE)) / CAST(15 AS DOUBLE))))) AS BIGINT) END"
+)
+
+CORPUS_EPOCH_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS u
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(u) AS BIGINT) AS u_all, CAST(COUNT(*) AS BIGINT) AS n_src FROM per
+),
+plan AS (
+  SELECT source, u,
+         CAST((u_all * 8) // n_src AS BIGINT) AS budget_tokens,
+         CAST(CAST((u_all * 8) // n_src AS HUGEINT) * 1000000 // u AS BIGINT) AS epochs_ppm
+  FROM per, tot
+)
+SELECT source,
+       u AS source_tokens,
+       budget_tokens,
+       epochs_ppm,
+       {_CORPUS_EPOCH_NEFF} AS effective_tokens,
+       CAST(CAST(({_CORPUS_EPOCH_NEFF}) AS HUGEINT) * 1000000 // budget_tokens AS BIGINT) AS utility_ppm,
+       CAST(budget_tokens - ({_CORPUS_EPOCH_NEFF}) AS BIGINT) AS wasted_tokens
+FROM plan
+ORDER BY source
+"""
+
+QUERIES["corpus_epoch_repetition_plan"] = corpus_epoch_repetition_plan
+ORACLE["corpus_epoch_repetition_plan"] = CORPUS_EPOCH_SQL

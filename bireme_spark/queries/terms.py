@@ -1984,3 +1984,127 @@ ORDER BY 1
 
 QUERIES["corpus_vocab_coverage_curve"] = corpus_vocab_coverage_curve
 ORACLE["corpus_vocab_coverage_curve"] = VOCAB_CURVE_SQL
+
+
+# ---------------------------------------------------------------------------
+# text_mrr_eval — MRR / MAP@10 retrieval eval (round 10)
+# ---------------------------------------------------------------------------
+
+
+def text_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@10 for the same tf-density ranking and query set
+    as text_ndcg_eval, under BINARY relevance (relevant ⇔ tf ≥ 3,
+    the nDCG harness's high grade) — the rank-position half of the
+    retrieval eval suite: nDCG grades the whole list, MRR asks "how
+    deep is the first good hit", MAP averages precision at every
+    good hit. The relevance bar is deliberately STRICTER than the
+    retrieval predicate (tf ≥ 1), so rank 1 is not relevant by
+    construction and the metrics are informative.
+
+    All-integer: reciprocal rank is 1e6 DIV rank; AP@10 is the
+    integer mean of e6 precision terms (Σ(hits@k·1e6 DIV k) DIV
+    min(R,10) over relevant ranks k ≤ 10); recall@10 is ppm.
+
+    Scale: identical plan shape to text_ndcg_eval — one tokenize
+    pass, STACKed per-query candidates, per-query windows; the
+    rank-10 cut is a per-query TakeOrdered at index scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tf = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter("toks", (lambda term: lambda w: w == F.lit(term))(t))).alias(
+                f"tf_{t}"
+            )
+            for t in _NDCG_TERMS
+        ],
+    )
+    stack_expr = "stack({n}, {body}) AS (term, tf)".format(
+        n=len(_NDCG_TERMS),
+        body=", ".join(f"'{t}', tf_{t}" for t in _NDCG_TERMS),
+    )
+    long = tf.select("doc_id", "dl", F.expr(stack_expr)).where(F.col("tf") > 0)
+    scored = long.select(
+        "term",
+        "doc_id",
+        F.expr("tf * 1000000 DIV dl").alias("score_e6"),
+        F.expr("CASE WHEN tf >= 3 THEN 1 ELSE 0 END").alias("rel"),
+    )
+    w_rank = Window.partitionBy("term").orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    ranked = scored.select("term", "rel", F.row_number().over(w_rank).alias("rn"))
+    w_cum = (
+        Window.partitionBy("term").orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranked.withColumn("hits", F.sum("rel").over(w_cum))
+    agg = cum.groupBy("term").agg(
+        F.expr("CAST(SUM(rel) AS BIGINT)").alias("n_relevant"),
+        F.expr("CAST(MIN(CASE WHEN rel = 1 THEN rn END) AS BIGINT)").alias("first_rel_rank"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rel = 1 AND rn <= 10 THEN hits * 1000000 DIV rn ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("ap_num_e6"),
+        F.expr("CAST(SUM(CASE WHEN rel = 1 AND rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "hits_at_10"
+        ),
+    )
+    return agg.select(
+        "term",
+        "n_relevant",
+        "first_rel_rank",
+        F.expr("1000000 DIV first_rel_rank").alias("rr_e6"),
+        F.expr("ap_num_e6 DIV GREATEST(LEAST(n_relevant, 10), 1)").alias("ap_at_10_e6"),
+        F.expr("hits_at_10 * 1000000 DIV GREATEST(n_relevant, 1)").alias("recall_at_10_ppm"),
+    ).orderBy("term")
+
+
+def _mrr_sql() -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, dl, '{t}' AS term, tf_{t} AS tf FROM tf" for t in _NDCG_TERMS
+    )
+    cols = ",\n         ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf_{t}" for t in _NDCG_TERMS
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tf AS (
+  SELECT doc_id, len(toks) AS dl,
+         {cols}
+  FROM d
+),
+long AS ({unions}),
+scored AS (
+  SELECT term, doc_id, tf * 1000000 // dl AS score_e6,
+         CASE WHEN tf >= 3 THEN 1 ELSE 0 END AS rel
+  FROM long WHERE tf > 0
+),
+ranked AS (
+  SELECT term, rel,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY score_e6 DESC, doc_id) AS rn
+  FROM scored
+),
+cum AS (
+  SELECT term, rel, rn,
+         SUM(rel) OVER (PARTITION BY term ORDER BY rn ROWS UNBOUNDED PRECEDING) AS hits
+  FROM ranked
+),
+agg AS (
+  SELECT term,
+         CAST(SUM(rel) AS BIGINT) AS n_relevant,
+         CAST(MIN(CASE WHEN rel = 1 THEN rn END) AS BIGINT) AS first_rel_rank,
+         CAST(SUM(CASE WHEN rel = 1 AND rn <= 10 THEN hits * 1000000 // rn ELSE 0 END) AS BIGINT) AS ap_num_e6,
+         CAST(SUM(CASE WHEN rel = 1 AND rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10
+  FROM cum GROUP BY 1
+)
+SELECT term, n_relevant, first_rel_rank,
+       CAST(1000000 // first_rel_rank AS BIGINT) AS rr_e6,
+       CAST(ap_num_e6 // GREATEST(LEAST(n_relevant, 10), 1) AS BIGINT) AS ap_at_10_e6,
+       CAST(hits_at_10 * 1000000 // GREATEST(n_relevant, 1) AS BIGINT) AS recall_at_10_ppm
+FROM agg
+ORDER BY term
+"""
+
+
+QUERIES["text_mrr_eval"] = text_mrr_eval
+ORACLE["text_mrr_eval"] = _mrr_sql()

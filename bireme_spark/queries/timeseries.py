@@ -7624,3 +7624,129 @@ ORDER BY event_type
 
 QUERIES["events_permutation_entropy"] = events_permutation_entropy
 ORACLE["events_permutation_entropy"] = EVENTS_PE_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_variance_ratio_test — Lo–MacKinlay random-walk diagnostic
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test on the daily-revenue series:
+    VR(q) = Var(y_t − y_{t−q}) / (q·Var(y_t − y_{t−1})). A random
+    walk has VR = 1 at every horizon; VR > 1 says daily revenue
+    shocks TREND (positive serial correlation compounds), VR < 1
+    says they mean-revert — the horizon-resolved sibling of
+    orders_durbin_watson (DW sees only lag 1; VR(2/4/8) sees how far
+    the memory reaches).
+
+    FULLY INTEGER: deltas are exact cents, ratio-preservingly
+    downscaled by ONE shared in-plan k = GREATEST(1, max|d₁| DIV 1e8)
+    (the r8 n-independence rule — k > 1 already at the sf1 tier, so
+    the path is gate-exercised); each variance is the n-scaled
+    integer m·Σd² − (Σd)²; VR is one cross-multiplied integer-ppm
+    DIV. Gapped calendar days are handled as an observed-day series
+    (documented: VR on trading-day sequences is the standard form).
+
+    Scale: one shuffle to the fixed ~2400-day grid, ONE window pass
+    computes all four lags, everything after is a 4-group agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = (
+        o.groupBy("d")
+        .agg(F.expr("CAST(SUM(cents) AS DECIMAL(38,0))").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("d")
+    lags = daily.select(
+        "y",
+        *[F.lag("y", q).over(w).alias(f"l{q}") for q in (1, 2, 4, 8)],
+    )
+    stacked = lags.select(
+        F.expr(
+            "stack(4, 1, y - l1, 2, y - l2, 4, y - l4, 8, y - l8) AS (q, d)"
+        )
+    ).where(F.col("d").isNotNull())
+    kf = stacked.agg(
+        F.expr(
+            "CAST(GREATEST(CAST(1 AS BIGINT),"
+            " MAX(CASE WHEN q = 1 THEN ABS(d) END) DIV 100000000) AS BIGINT)"
+        ).alias("k")
+    )
+    sc = stacked.crossJoin(F.broadcast(kf)).select(
+        "q", F.expr("CAST(d DIV k AS BIGINT)").alias("dq")
+    )
+    per = sc.groupBy("q").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("m"),
+        F.expr("CAST(SUM(CAST(dq AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("s1"),
+        F.expr("CAST(SUM(CAST(dq AS DECIMAL(38,0)) * dq) AS DECIMAL(38,0))").alias("s2"),
+    ).select("q", "m", F.expr("m * s2 - s1 * s1").alias("v"))
+    base = per.where(F.col("q") == 1).select(
+        F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    return (
+        per.where(F.col("q") > 1)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.expr("CAST(q AS INT)").alias("q"),
+            F.expr("CAST(m AS BIGINT)").alias("n_deltas"),
+            F.expr(
+                "CAST((v * m1 * m1 * 1000000) DIV GREATEST(q * v1 * m * m,"
+                " CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("vr_ppm"),
+        )
+        .orderBy("q")
+    )
+
+
+ORDERS_VR_SQL = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+daily AS (
+  SELECT d, CAST(SUM(cents) AS HUGEINT) AS y FROM o GROUP BY 1
+),
+lags AS (
+  SELECT y,
+         LAG(y, 1) OVER (ORDER BY d) AS l1,
+         LAG(y, 2) OVER (ORDER BY d) AS l2,
+         LAG(y, 4) OVER (ORDER BY d) AS l4,
+         LAG(y, 8) OVER (ORDER BY d) AS l8
+  FROM daily
+),
+stacked AS (
+  SELECT 1 AS q, y - l1 AS dd FROM lags WHERE l1 IS NOT NULL
+  UNION ALL SELECT 2, y - l2 FROM lags WHERE l2 IS NOT NULL
+  UNION ALL SELECT 4, y - l4 FROM lags WHERE l4 IS NOT NULL
+  UNION ALL SELECT 8, y - l8 FROM lags WHERE l8 IS NOT NULL
+),
+kf AS (
+  SELECT GREATEST(CAST(1 AS HUGEINT), MAX(CASE WHEN q = 1 THEN ABS(dd) END) // 100000000) AS k
+  FROM stacked
+),
+sc AS (
+  SELECT q, CAST(dd // k AS HUGEINT) AS dq FROM stacked, kf
+),
+per AS (
+  SELECT q,
+         CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(dq) AS HUGEINT) AS s1,
+         CAST(SUM(dq * dq) AS HUGEINT) AS s2
+  FROM sc GROUP BY 1
+),
+per2 AS (SELECT q, m, m * s2 - s1 * s1 AS v FROM per),
+base AS (SELECT m AS m1, v AS v1 FROM per2 WHERE q = 1)
+SELECT CAST(p.q AS INTEGER) AS q,
+       CAST(p.m AS BIGINT) AS n_deltas,
+       CAST((p.v * b.m1 * b.m1 * 1000000) // GREATEST(p.q * b.v1 * p.m * p.m, CAST(1 AS HUGEINT)) AS BIGINT) AS vr_ppm
+FROM per2 p, base b
+WHERE p.q > 1
+ORDER BY p.q
+"""
+
+QUERIES["orders_variance_ratio_test"] = orders_variance_ratio_test
+ORACLE["orders_variance_ratio_test"] = ORDERS_VR_SQL

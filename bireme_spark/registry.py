@@ -136,6 +136,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "customers_log_rank_test",
         "events_permutation_entropy",
         "multimodal_aspect_ratio_bucketing",
+        "corpus_epoch_repetition_plan",
+        "text_mrr_eval",
+        "orders_variance_ratio_test",
     }
 )
 

@@ -2050,3 +2050,100 @@ class TestAspectRatioBucketing:
             assert rec.mean_pad_ppm == pads[rec.bucket_id] // max(counts[rec.bucket_id], 1)
             nonempty += 1 if rec.n_images else 0
         assert nonempty >= 3
+
+
+class TestEpochRepetitionPlan:
+    def test_matches_muennighoff_decay_recompute(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.corpus import corpus_epoch_repetition_plan
+
+        df = corpus_epoch_repetition_plan(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        toks = docs.assign(u=docs["text"].str.split(" ").str.len()).groupby("source")["u"].sum()
+        u_all, n_src = int(toks.sum()), len(toks)
+        budget = (u_all * 8) // n_src
+        assert len(df) == n_src
+        for rec in df.itertuples():
+            u = int(toks[rec.source])
+            assert rec.source_tokens == u
+            assert rec.budget_tokens == budget
+            e_ppm = budget * 10**6 // u
+            assert rec.epochs_ppm == e_ppm
+            if e_ppm <= 10**6:
+                neff = budget
+            else:
+                e = e_ppm / 1e6
+                neff = int(round(u * (1.0 + 15.0 * (1.0 - math.exp(-(e - 1.0) / 15.0)))))
+            assert rec.effective_tokens == neff
+            assert rec.utility_ppm == neff * 10**6 // budget
+            assert rec.wasted_tokens == budget - neff
+            # repetition never makes data worth MORE than fresh tokens
+            assert rec.effective_tokens <= rec.budget_tokens
+            assert rec.effective_tokens >= u  # first epoch is always full value
+
+
+class TestMrrEval:
+    def test_matches_rank_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.terms import _NDCG_TERMS, text_mrr_eval
+
+        df = text_mrr_eval(spark, sf_dir).toPandas().set_index("term")
+        docs = _pq("documents")
+        for term in _NDCG_TERMS:
+            cands = []
+            for doc_id, text in zip(docs["doc_id"], docs["text"]):
+                toks = text.split(" ")
+                tf = sum(1 for w in toks if w == term)
+                if tf > 0:
+                    cands.append((-(tf * 10**6 // len(toks)), int(doc_id), 1 if tf >= 3 else 0))
+            cands.sort()
+            rels = [r for _, _, r in cands]
+            n_rel = sum(rels)
+            rec = df.loc[term]
+            assert rec["n_relevant"] == n_rel
+            first = next((i + 1 for i, r in enumerate(rels) if r), None)
+            if first is None:
+                assert pd.isna(rec["first_rel_rank"])
+                continue
+            assert rec["first_rel_rank"] == first
+            assert rec["rr_e6"] == 10**6 // first
+            hits = 0
+            ap_num = 0
+            hits10 = 0
+            for k, r in enumerate(rels[:10], start=1):
+                hits += r
+                if r:
+                    ap_num += hits * 10**6 // k
+                    hits10 += 1
+            assert rec["ap_at_10_e6"] == ap_num // max(min(n_rel, 10), 1)
+            assert rec["recall_at_10_ppm"] == hits10 * 10**6 // max(n_rel, 1)
+            # the strict relevance bar must bite: rank 1 not auto-relevant
+            assert rec["rr_e6"] <= 10**6
+
+
+class TestVarianceRatio:
+    def test_matches_exact_integer_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import orders_variance_ratio_test
+
+        df = orders_variance_ratio_test(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        d = pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        cents = np.round(o["o_totalprice"].to_numpy() * 100).astype("int64")
+        y = [int(v) for v in pd.DataFrame({"d": d, "y": cents}).groupby("d")["y"].sum().sort_index()]
+        n = len(y)
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        d1 = [y[i] - y[i - 1] for i in range(1, n)]
+        k = max(1, max(abs(v) for v in d1) // 10**8)
+        stats = {}
+        for q in (1, 2, 4, 8):
+            dq = [tdiv(y[i] - y[i - q], k) for i in range(q, n)]
+            m = len(dq)
+            stats[q] = (m, m * sum(v * v for v in dq) - sum(dq) ** 2)
+        m1, v1 = stats[1]
+        assert len(df) == 3
+        for rec in df.itertuples():
+            m, v = stats[rec.q]
+            assert rec.n_deltas == m
+            assert rec.vr_ppm == (v * m1 * m1 * 10**6) // max(rec.q * v1 * m * m, 1)
+            # a revenue series is not explosive: VR stays in a sane band
+            assert 0 < rec.vr_ppm < 10_000_000
