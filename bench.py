@@ -374,6 +374,9 @@ HEADLINE = [
     "corpus_epoch_repetition_plan",
     "text_mrr_eval",
     "orders_variance_ratio_test",
+    "orders_newey_west",
+    "graph_bipartite_projection",
+    "embedding_label_knn_purity",
 ]
 
 

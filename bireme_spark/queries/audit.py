@@ -2997,3 +2997,135 @@ ORDER BY t
 
 QUERIES["graph_effective_diameter"] = graph_effective_diameter
 ORACLE["graph_effective_diameter"] = GRAPH_ANF_SQL
+
+
+# ---------------------------------------------------------------------------
+# graph_bipartite_projection — supplier co-supply projection census
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite part→supplier projection census: how connected is
+    the supplier co-supply graph (two suppliers linked iff they ship
+    the same part)? The TOTAL pair-incidence mass Σ_p C(s_p, 2) is
+    computed EXACTLY from the per-part degree histogram — no pair is
+    ever formed for it (the trap in naive projections: this fixture
+    already makes 8.7M pairs at sf0.1 and the blowup is quadratic).
+    The pair-level view (distinct co-supply edges, max/mean edge
+    weight) runs on a doubly-bounded sample: an md5 part coin keeps
+    ~1500 parts at ANY corpus size (cross-multiplied in-plan
+    threshold) and an md5-rank caps suppliers per part at 40, so
+    sampled pair work is ≤ 1500·C(40,2) regardless of SF.
+
+    Engine-portable determinism: both the coin and the per-part rank
+    are md5 of the key strings; weights/means are exact integers and
+    ppm DIVs. Scale: one distinct shuffle + one degree agg for the
+    exact half; bounded pair join for the sampled half."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    sp = li.distinct().localCheckpoint(eager=True)
+    deg = sp.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    exact = deg.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_parts"),
+        F.expr("CAST(SUM(s * (s - 1) DIV 2) AS BIGINT)").alias("total_copair_incidences"),
+        F.expr("CAST(MAX(s) AS BIGINT)").alias("max_suppliers_per_part"),
+    )
+    nsupp = sp.agg(F.expr("CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)").alias("n_suppliers"))
+    coin = (
+        "(CAST(position(substr(md5(concat('part:', CAST(l_partkey AS STRING))), 1, 1)"
+        " IN '0123456789abcdef') - 1 AS BIGINT) * 16"
+        " + CAST(position(substr(md5(concat('part:', CAST(l_partkey AS STRING))), 2, 1)"
+        " IN '0123456789abcdef') - 1 AS BIGINT))"
+    )
+    wr = Window.partitionBy("l_partkey").orderBy(
+        F.md5(F.concat(F.lit("rk:"), F.col("l_suppkey").cast("string"))), "l_suppkey"
+    )
+    samp = (
+        sp.crossJoin(F.broadcast(exact.select("n_parts")))
+        .where(F.expr(f"{coin} * n_parts < 256 * 1500"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 40)
+        .select("l_partkey", "l_suppkey")
+        .localCheckpoint(eager=True)
+    )
+    a = samp.alias("a")
+    b = samp.alias("b")
+    pairs = (
+        a.join(b, F.expr("a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey"))
+        .groupBy(F.expr("a.l_suppkey").alias("s1"), F.expr("b.l_suppkey").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wgt"))
+    )
+    sampled = pairs.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("sampled_copair_edges"),
+        F.expr("CAST(SUM(wgt) AS BIGINT)").alias("sampled_incidences"),
+        F.expr("CAST(MAX(wgt) AS BIGINT)").alias("max_edge_weight"),
+    )
+    nsp = samp.agg(F.expr("CAST(COUNT(DISTINCT l_partkey) AS BIGINT)").alias("n_parts_sampled"))
+    return (
+        exact.crossJoin(F.broadcast(nsupp))
+        .crossJoin(F.broadcast(nsp))
+        .crossJoin(F.broadcast(sampled))
+        .select(
+            "n_parts",
+            "n_suppliers",
+            "total_copair_incidences",
+            "max_suppliers_per_part",
+            "n_parts_sampled",
+            "sampled_copair_edges",
+            "sampled_incidences",
+            "max_edge_weight",
+            F.expr(
+                "CAST(sampled_incidences * 1000000"
+                " DIV GREATEST(sampled_copair_edges, 1) AS BIGINT)"
+            ).alias("mean_edge_weight_ppm"),
+        )
+    )
+
+
+GRAPH_BIPARTITE_SQL = """
+WITH sp AS MATERIALIZED (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+deg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM sp GROUP BY 1
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS total_copair_incidences,
+         CAST(MAX(s) AS BIGINT) AS max_suppliers_per_part
+  FROM deg
+),
+nsupp AS (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers FROM sp),
+samp AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey
+             ORDER BY md5(concat('rk:', CAST(l_suppkey AS VARCHAR))), l_suppkey) AS rn
+    FROM sp, exact
+    WHERE (CAST(position(substr(md5(concat('part:', CAST(l_partkey AS VARCHAR))), 1, 1)
+                IN '0123456789abcdef') - 1 AS BIGINT) * 16
+           + CAST(position(substr(md5(concat('part:', CAST(l_partkey AS VARCHAR))), 2, 1)
+                IN '0123456789abcdef') - 1 AS BIGINT)) * n_parts < 256 * 1500
+  ) WHERE rn <= 40
+),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, CAST(COUNT(*) AS BIGINT) AS wgt
+  FROM samp a JOIN samp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+sampled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sampled_copair_edges,
+         CAST(SUM(wgt) AS BIGINT) AS sampled_incidences,
+         CAST(MAX(wgt) AS BIGINT) AS max_edge_weight
+  FROM pairs
+),
+nsp AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_sampled FROM samp)
+SELECT e.n_parts, u.n_suppliers, e.total_copair_incidences, e.max_suppliers_per_part,
+       p.n_parts_sampled, s.sampled_copair_edges, s.sampled_incidences, s.max_edge_weight,
+       CAST(s.sampled_incidences * 1000000 // GREATEST(s.sampled_copair_edges, 1) AS BIGINT)
+         AS mean_edge_weight_ppm
+FROM exact e, nsupp u, nsp p, sampled s
+"""
+
+QUERIES["graph_bipartite_projection"] = graph_bipartite_projection
+ORACLE["graph_bipartite_projection"] = GRAPH_BIPARTITE_SQL

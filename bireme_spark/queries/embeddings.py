@@ -3072,3 +3072,138 @@ FROM h, m
 
 QUERIES["embedding_cka"] = embedding_cka
 ORACLE["embedding_cka"] = EMBEDDING_CKA_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_knn_purity — kNN label-agreement audit (round 10)
+# ---------------------------------------------------------------------------
+
+_KNN_Q_BYTE = _CKA_BYTE  # first md5 byte — query coin
+_KNN_C_BYTE = (
+    "(CAST(position(substr(md5(CAST(vec_id AS STRING)), 3, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT) * 16"
+    " + CAST(position(substr(md5(CAST(vec_id AS STRING)), 4, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT))"
+)
+_KNN_Q_CAP = 300
+_KNN_C_CAP = 1200
+
+
+def embedding_label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN label-agreement purity per label: for ~300 sampled query
+    vectors, find their 5 nearest neighbors in an independently
+    sampled ~1200-vector candidate pool and ask whether the majority
+    neighbor label matches the query's own — the CLASSIFICATION view
+    of embedding quality (silhouette/triplet measure geometry;
+    this measures whether the geometry actually predicts the label,
+    which is what a retrieval-augmented labeler will experience).
+
+    Determinism: two INDEPENDENT md5-byte coins (hex digits 1-2 vs
+    3-4 of the same hash) with in-plan cross-multiplied thresholds
+    bound the pair block at 300·1200 at ANY corpus size; per-pair
+    squared distance is the float→double fold rounded e6 per pair;
+    neighbor rank ties break on (d², vec_id); majority ties break to
+    the smallest label via a MIN((5−cnt)·16 + label) encoding (the
+    r10 MAX_BY-tie lesson).
+
+    Scale: corpus scanned twice for the two coin filters; everything
+    else runs on the checkpointed sample blocks."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    ntot = e.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tot"))
+    en = e.crossJoin(F.broadcast(ntot))
+    qs = (
+        en.where(F.expr(f"{_KNN_Q_BYTE} * n_tot < 256 * {_KNN_Q_CAP}"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlab"),
+            F.col("embedding").alias("qv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cs = (
+        en.where(F.expr(f"{_KNN_C_BYTE} * n_tot < 256 * {_KNN_C_CAP}"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clab"),
+            F.col("embedding").alias("cv"),
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    d2 = (
+        "CAST(ROUND(aggregate(zip_with(qv, cv, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) * 1000000) AS BIGINT)"
+    )
+    pairs = (
+        cs.crossJoin(F.broadcast(qs))
+        .where(F.expr("qid <> cid"))
+        .select("qid", "qlab", "clab", "cid", F.expr(d2).alias("d2_e6"))
+    )
+    wk = Window.partitionBy("qid").orderBy("d2_e6", "cid")
+    top = pairs.withColumn("rn", F.row_number().over(wk)).where(F.col("rn") <= 5)
+    votes = top.groupBy("qid", "qlab", "clab").agg(F.count(F.lit(1)).alias("cnt"))
+    pred = votes.groupBy("qid", "qlab").agg(
+        F.expr("MIN((5 - cnt) * 16 + clab) % 16").alias("pred_lab")
+    )
+    per = pred.groupBy(F.col("qlab").alias("label")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_queries"),
+        F.expr("CAST(SUM(CASE WHEN pred_lab = qlab THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_correct"
+        ),
+    )
+    return per.select(
+        "label",
+        "n_queries",
+        "n_correct",
+        F.expr("n_correct * 1000000 DIV GREATEST(n_queries, 1)").alias("purity_ppm"),
+    ).orderBy("label")
+
+
+EMBEDDING_KNN_PURITY_SQL = f"""
+WITH ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM embeddings),
+qs AS MATERIALIZED (
+  SELECT vec_id AS qid, label AS qlab, embedding AS qv FROM embeddings, ntot
+  WHERE {_KNN_Q_BYTE} * n_tot < 256 * {_KNN_Q_CAP}
+),
+cs AS MATERIALIZED (
+  SELECT vec_id AS cid, label AS clab, embedding AS cv FROM embeddings, ntot
+  WHERE {_KNN_C_BYTE} * n_tot < 256 * {_KNN_C_CAP}
+),
+pairs AS (
+  SELECT qid, qlab, clab, cid,
+         CAST(ROUND((
+           SELECT SUM((CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE))
+                      * (CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE)))
+           FROM (SELECT UNNEST(qv) AS xa, UNNEST(cv) AS xb)
+         ) * 1000000) AS BIGINT) AS d2_e6
+  FROM qs, cs WHERE qid <> cid
+),
+top AS (
+  SELECT * FROM (
+    SELECT qid, qlab, clab,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2_e6, cid) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT qid, qlab, clab, COUNT(*) AS cnt FROM top GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT qid, qlab, MIN((5 - cnt) * 16 + clab) % 16 AS pred_lab
+  FROM votes GROUP BY 1, 2
+),
+per AS (
+  SELECT qlab AS label,
+         CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(CASE WHEN pred_lab = qlab THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM pred GROUP BY 1
+)
+SELECT label, n_queries, n_correct,
+       CAST(n_correct * 1000000 // GREATEST(n_queries, 1) AS BIGINT) AS purity_ppm
+FROM per
+ORDER BY label
+"""
+
+QUERIES["embedding_label_knn_purity"] = embedding_label_knn_purity
+ORACLE["embedding_label_knn_purity"] = EMBEDDING_KNN_PURITY_SQL

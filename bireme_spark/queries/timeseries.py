@@ -7750,3 +7750,183 @@ ORDER BY p.q
 
 QUERIES["orders_variance_ratio_test"] = orders_variance_ratio_test
 ORACLE["orders_variance_ratio_test"] = ORDERS_VR_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_newey_west — HAC-corrected trend inference (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey–West (1987) HAC standard error and t-statistic for the
+    daily-revenue OLS trend slope, Bartlett kernel at bandwidth L=5 —
+    the CORRECTION orders_durbin_watson's diagnostic calls for: when
+    DW ≪ 2 the naive OLS SE is overconfident; this emits the
+    autocorrelation-robust one an analyst can actually put a CI on.
+
+    Integer discipline: residuals are the DW query's exact
+    cross-multiplied integers Ê = n·D·y − n·Num·t − C; the score
+    u_t = (n·t − Σt)·Ê_t gets TWO in-plan ratio-preserving downscales
+    (ê = Ê DIV k₁ off max|Ê|, u' = x̃·ê DIV k₂ off max|x̃·ê| — the r8
+    rule applied twice because the score is a product of two wide
+    integers); the Bartlett sum 6Γ₀ + 2Σ(6−l)Γ_l is exact
+    DECIMAL(38,0)/HUGEINT. Closing algebra (one sqrt, two divisions):
+    se = √(S₆/6)·k₁k₂/(n·D²), t = Num·n·D/(√(S₆/6)·k₁k₂) — every
+    scale factor reappears explicitly, nothing hides in a float.
+
+    Scale: same shape as orders_durbin_watson — one shuffle to the
+    fixed ~2400-day grid (n_days is generator-fixed, so n·t − Σt
+    stays ~5.8e6 at ANY SF), then day-sized frames only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.expr("CAST(SUM(cents) AS DECIMAL(38,0))").alias("y"))
+    mind = daily.agg(F.min("d").alias("d0"))
+    base = (
+        daily.crossJoin(F.broadcast(mind))
+        .select(F.expr("CAST(DATEDIFF(d, d0) AS BIGINT)").alias("t"), "y")
+        .localCheckpoint(eager=True)
+    )
+    stats = base.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(t) AS DECIMAL(38,0))").alias("st"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("CAST(SUM(t * t) AS DECIMAL(38,0))").alias("stt"),
+        F.expr("SUM(CAST(t AS DECIMAL(38,0)) * y)").alias("sty"),
+    ).select(
+        "n",
+        "st",
+        F.expr("n * stt - st * st").alias("dd"),
+        F.expr("n * sty - st * sy").alias("num"),
+        F.expr("(n * stt - st * st) * sy - (n * sty - st * sy) * st").alias("cc"),
+    )
+    resid = base.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.expr("n * dd * y - n * num * t - cc").alias("eh"),
+        F.expr("n * t - st").alias("xs"),
+    )
+    k1f = resid.agg(
+        F.expr(
+            "CAST(GREATEST(CAST(1 AS BIGINT), MAX(ABS(eh)) DIV 10000000000000) AS BIGINT)"
+        ).alias("k1")
+    )
+    sc1 = resid.crossJoin(F.broadcast(k1f)).select(
+        "t", "xs", F.expr("CAST(eh DIV k1 AS DECIMAL(38,0))").alias("e")
+    )
+    scored = sc1.select("t", F.expr("xs * e").alias("u")).localCheckpoint(eager=True)
+    k2f = scored.agg(
+        F.expr(
+            "CAST(GREATEST(CAST(1 AS BIGINT), MAX(ABS(u)) DIV 1000000000000000) AS BIGINT)"
+        ).alias("k2")
+    )
+    w = Window.orderBy("t")
+    lagged = (
+        scored.crossJoin(F.broadcast(k2f))
+        .select("t", F.expr("CAST(u DIV k2 AS DECIMAL(38,0))").alias("up"))
+        .select(
+            "up",
+            *[F.lag("up", lag).over(w).alias(f"l{lag}") for lag in range(1, 6)],
+        )
+    )
+    gam = lagged.agg(
+        F.expr("SUM(up * up)").alias("g0"),
+        *[
+            F.expr(
+                f"SUM(CASE WHEN l{lag} IS NULL THEN CAST(0 AS DECIMAL(38,0))"
+                f" ELSE up * l{lag} END)"
+            ).alias(f"g{lag}")
+            for lag in range(1, 6)
+        ],
+    ).select(
+        F.expr("6 * g0 + 2 * (5 * g1 + 4 * g2 + 3 * g3 + 2 * g4 + 1 * g5)").alias("s6")
+    )
+    close = (
+        "SQRT(CAST(s6 AS DOUBLE) / CAST(6 AS DOUBLE)) * CAST(k1 AS DOUBLE)"
+        " * CAST(k2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(dd AS DOUBLE)"
+        " * CAST(dd AS DOUBLE))"
+    )
+    return (
+        gam.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(k1f))
+        .crossJoin(F.broadcast(k2f))
+        .select(
+            F.expr("CAST(n AS BIGINT)").alias("n_days"),
+            F.expr("ROUND(CAST(num AS DOUBLE) / CAST(dd AS DOUBLE), 6)").alias(
+                "slope_cents_per_day"
+            ),
+            F.expr(f"ROUND({close}, 6)").alias("se_hac"),
+            F.expr(
+                f"ROUND(CAST(num AS DOUBLE) / CAST(dd AS DOUBLE) / ({close}), 6)"
+            ).alias("t_hac"),
+        )
+    )
+
+
+ORDERS_NW_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS y
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM daily), d) AS BIGINT) AS t, y
+  FROM daily
+),
+stats0 AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(t) AS HUGEINT) AS st, SUM(y) AS sy,
+         CAST(SUM(t * t) AS HUGEINT) AS stt, SUM(CAST(t AS HUGEINT) * y) AS sty
+  FROM base
+),
+stats AS (
+  SELECT n, st,
+         n * stt - st * st AS dd,
+         n * sty - st * sy AS num,
+         (n * stt - st * st) * sy - (n * sty - st * sy) * st AS cc
+  FROM stats0
+),
+resid AS (
+  SELECT t, s.n * s.dd * b.y - s.n * s.num * b.t - s.cc AS eh, s.n * b.t - s.st AS xs
+  FROM base b, stats s
+),
+k1f AS (
+  SELECT GREATEST(CAST(1 AS HUGEINT), MAX(ABS(eh)) // 10000000000000) AS k1 FROM resid
+),
+scored AS (
+  SELECT t, xs * CAST(eh // k1 AS HUGEINT) AS u FROM resid, k1f
+),
+k2f AS (
+  SELECT GREATEST(CAST(1 AS HUGEINT), MAX(ABS(u)) // 1000000000000000) AS k2 FROM scored
+),
+lagged AS (
+  SELECT CAST(u // k2 AS HUGEINT) AS up,
+         LAG(CAST(u // k2 AS HUGEINT), 1) OVER (ORDER BY t) AS l1,
+         LAG(CAST(u // k2 AS HUGEINT), 2) OVER (ORDER BY t) AS l2,
+         LAG(CAST(u // k2 AS HUGEINT), 3) OVER (ORDER BY t) AS l3,
+         LAG(CAST(u // k2 AS HUGEINT), 4) OVER (ORDER BY t) AS l4,
+         LAG(CAST(u // k2 AS HUGEINT), 5) OVER (ORDER BY t) AS l5
+  FROM scored, k2f
+),
+gam AS (
+  SELECT 6 * SUM(up * up)
+         + 2 * (5 * SUM(CASE WHEN l1 IS NULL THEN CAST(0 AS HUGEINT) ELSE up * l1 END)
+              + 4 * SUM(CASE WHEN l2 IS NULL THEN CAST(0 AS HUGEINT) ELSE up * l2 END)
+              + 3 * SUM(CASE WHEN l3 IS NULL THEN CAST(0 AS HUGEINT) ELSE up * l3 END)
+              + 2 * SUM(CASE WHEN l4 IS NULL THEN CAST(0 AS HUGEINT) ELSE up * l4 END)
+              + 1 * SUM(CASE WHEN l5 IS NULL THEN CAST(0 AS HUGEINT) ELSE up * l5 END)) AS s6
+  FROM lagged
+)
+SELECT CAST(s.n AS BIGINT) AS n_days,
+       ROUND(CAST(s.num AS DOUBLE) / CAST(s.dd AS DOUBLE), 6) AS slope_cents_per_day,
+       ROUND(SQRT(CAST(g.s6 AS DOUBLE) / CAST(6 AS DOUBLE)) * CAST(k1.k1 AS DOUBLE)
+             * CAST(k2.k2 AS DOUBLE) / (CAST(s.n AS DOUBLE) * CAST(s.dd AS DOUBLE)
+             * CAST(s.dd AS DOUBLE)), 6) AS se_hac,
+       ROUND(CAST(s.num AS DOUBLE) / CAST(s.dd AS DOUBLE)
+             / (SQRT(CAST(g.s6 AS DOUBLE) / CAST(6 AS DOUBLE)) * CAST(k1.k1 AS DOUBLE)
+                * CAST(k2.k2 AS DOUBLE) / (CAST(s.n AS DOUBLE) * CAST(s.dd AS DOUBLE)
+                * CAST(s.dd AS DOUBLE))), 6) AS t_hac
+FROM gam g, stats s, k1f k1, k2f k2
+"""
+
+QUERIES["orders_newey_west"] = orders_newey_west
+ORACLE["orders_newey_west"] = ORDERS_NW_SQL

@@ -139,6 +139,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "corpus_epoch_repetition_plan",
         "text_mrr_eval",
         "orders_variance_ratio_test",
+        "orders_newey_west",
+        "graph_bipartite_projection",
+        "embedding_label_knn_purity",
     }
 )
 

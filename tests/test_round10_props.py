@@ -2147,3 +2147,122 @@ class TestVarianceRatio:
             assert rec.vr_ppm == (v * m1 * m1 * 10**6) // max(rec.q * v1 * m * m, 1)
             # a revenue series is not explosive: VR stays in a sane band
             assert 0 < rec.vr_ppm < 10_000_000
+
+
+class TestNeweyWest:
+    def test_matches_exact_integer_recompute(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.timeseries import orders_newey_west
+
+        rec = orders_newey_west(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        d = pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        cents = np.round(o["o_totalprice"].to_numpy() * 100).astype("int64")
+        daily = pd.DataFrame({"d": d, "y": cents}).groupby("d")["y"].sum().sort_index()
+        t = [int(v) for v in (daily.index - daily.index.min()).days]
+        y = [int(v) for v in daily.to_numpy()]
+        n = len(y)
+        st, sy = sum(t), sum(y)
+        stt = sum(v * v for v in t)
+        sty = sum(a * b for a, b in zip(t, y))
+        dd = n * stt - st * st
+        num = n * sty - st * sy
+        cc = dd * sy - num * st
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        eh = [n * dd * yi - n * num * ti - cc for ti, yi in zip(t, y)]
+        k1 = max(1, max(abs(v) for v in eh) // 10**13)
+        u = [(n * ti - st) * tdiv(e, k1) for ti, e in zip(t, eh)]
+        k2 = max(1, max(abs(v) for v in u) // 10**15)
+        up = [tdiv(v, k2) for v in u]
+        g = [sum(up[i] * up[i - lag] for i in range(lag, n)) for lag in range(6)]
+        s6 = 6 * g[0] + 2 * sum((5 - lag + 1) * g[lag] for lag in range(1, 6))
+        assert rec.n_days == n
+        assert abs(rec.slope_cents_per_day - round(num / dd, 6)) <= 1e-6
+        se = math.sqrt(s6 / 6.0) * k1 * k2 / (n * float(dd) * float(dd))
+        assert abs(rec.se_hac - se) <= max(2e-6, se * 1e-9)
+        assert abs(rec.t_hac - (num / dd) / se) <= max(2e-6, abs(rec.t_hac) * 1e-9)
+        assert rec.se_hac > 0
+
+
+class TestBipartiteProjection:
+    def test_matches_sampled_recompute(self, spark, sf_dir):
+        import hashlib
+
+        from bireme_spark.queries.audit import graph_bipartite_projection
+
+        rec = graph_bipartite_projection(spark, sf_dir).collect()[0]
+        li = _pq("lineitem")
+        sp = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+        deg = sp.groupby("l_partkey").size()
+        n_parts = len(deg)
+        assert rec.n_parts == n_parts
+        assert rec.n_suppliers == sp["l_suppkey"].nunique()
+        assert rec.total_copair_incidences == int(sum(s * (s - 1) // 2 for s in deg))
+        assert rec.max_suppliers_per_part == int(deg.max())
+        byte = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+        kept_parts = {p for p in deg.index if byte(f"part:{p}") * n_parts < 256 * 1500}
+        pairs = {}
+        n_parts_sampled = 0
+        for p, grp in sp[sp["l_partkey"].isin(kept_parts)].groupby("l_partkey"):
+            n_parts_sampled += 1
+            sups = sorted(
+                grp["l_suppkey"],
+                key=lambda s: (hashlib.md5(f"rk:{s}".encode()).hexdigest(), s),
+            )[:40]
+            for i in range(len(sups)):
+                for j in range(i + 1, len(sups)):
+                    key = (min(sups[i], sups[j]), max(sups[i], sups[j]))
+                    pairs[key] = pairs.get(key, 0) + 1
+        assert rec.n_parts_sampled == n_parts_sampled
+        assert rec.sampled_copair_edges == len(pairs)
+        assert rec.sampled_incidences == sum(pairs.values())
+        assert rec.max_edge_weight == max(pairs.values())
+        assert rec.mean_edge_weight_ppm == sum(pairs.values()) * 10**6 // max(len(pairs), 1)
+
+
+class TestKnnLabelPurity:
+    def test_matches_exact_knn_recompute(self, spark, sf_dir):
+        import hashlib
+
+        from bireme_spark.queries.embeddings import (
+            _KNN_C_CAP,
+            _KNN_Q_CAP,
+            embedding_label_knn_purity,
+        )
+
+        df = embedding_label_knn_purity(spark, sf_dir).toPandas()
+        emb = _pq("embeddings")
+        n = len(emb)
+        hexd = {int(v): hashlib.md5(str(int(v)).encode()).hexdigest() for v in emb["vec_id"]}
+        qmask = [int(hexd[int(v)][:2], 16) * n < 256 * _KNN_Q_CAP for v in emb["vec_id"]]
+        cmask = [int(hexd[int(v)][2:4], 16) * n < 256 * _KNN_C_CAP for v in emb["vec_id"]]
+        Q = emb[qmask]
+        C = emb[cmask]
+        correct = {}
+        totals = {}
+        for qid, qlab, qv in zip(Q["vec_id"], Q["label"], Q["embedding"]):
+            cand = []
+            for cid, clab, cv in zip(C["vec_id"], C["label"], C["embedding"]):
+                if int(cid) == int(qid):
+                    continue
+                acc = 0.0
+                for x, y in zip(qv.astype("float64"), cv.astype("float64")):
+                    acc = acc + (x - y) * (x - y)
+                cand.append((int(round(acc * 1e6)), int(cid), int(clab)))
+            cand.sort()
+            top = cand[:5]
+            counts = {}
+            for _, _, lab in top:
+                counts[lab] = counts.get(lab, 0) + 1
+            pred = min((5 - c) * 16 + lab for lab, c in counts.items()) % 16
+            totals[int(qlab)] = totals.get(int(qlab), 0) + 1
+            if pred == int(qlab):
+                correct[int(qlab)] = correct.get(int(qlab), 0) + 1
+        assert df["n_queries"].sum() == len(Q)
+        for rec in df.itertuples():
+            assert rec.n_queries == totals.get(rec.label, 0)
+            assert rec.n_correct == correct.get(rec.label, 0)
+            assert rec.purity_ppm == correct.get(rec.label, 0) * 10**6 // max(
+                totals.get(rec.label, 0), 1
+            )
