@@ -377,6 +377,9 @@ HEADLINE = [
     "orders_newey_west",
     "graph_bipartite_projection",
     "embedding_label_knn_purity",
+    "cdc_batch_coalescing_report",
+    "embedding_label_centroid_confusion",
+    "orders_median_polish",
 ]
 
 

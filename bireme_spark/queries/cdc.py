@@ -4480,3 +4480,89 @@ ORDER BY chain_depth
 
 QUERIES["cdc_compaction_ratio_report"] = cdc_compaction_ratio_report
 ORACLE["cdc_compaction_ratio_report"] = CDC_COMPACTION_RATIO_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_batch_coalescing_report — trigger-interval write amplification
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def cdc_batch_coalescing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch coalescing payoff sweep: for trigger intervals of
+    1 / 7 / 30 days, how many upstream change events does last-write-
+    wins compaction absorb before the sink sees a row? Each source
+    entity's orders are repeated updates to one logical row (the
+    per-key batching the reference's ChangeSet compaction exploits —
+    studied, not copied); a batch window flushes ONE row per touched
+    key, so flushed = |distinct (key, window)| and the saved share is
+    the write amplification the interval buys. This is the number an
+    operator reads before widening a Structured Streaming trigger.
+
+    Engine-exact: pure integer day-bucket keys (epoch-day DIV w —
+    stride-proof: buckets come from the date, not the key), counts,
+    and ppm DIVs. Scale: one map-side bucket projection + three
+    count-distinct aggs over (key, bucket) — each a single shuffle,
+    grouped in ONE pass via a 3-row interval fan-out."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    mind = o.agg(F.min("d").alias("d0"))
+    ivals = spark.createDataFrame([(1,), (7,), (30,)], "w INT")
+    fan = (
+        o.crossJoin(F.broadcast(mind))
+        .crossJoin(F.broadcast(ivals))
+        .select("w", "k", F.expr("CAST(DATEDIFF(d, d0) AS BIGINT) DIV w").alias("b"))
+    )
+    per = fan.groupBy("w").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_ops"),
+        F.expr("CAST(COUNT(DISTINCT k, b) AS BIGINT)").alias("n_flushes"),
+    )
+    peak = (
+        fan.groupBy("w", "k", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("w")
+        .agg(F.expr("CAST(MAX(c) AS BIGINT)").alias("max_ops_per_flush"))
+    )
+    return (
+        per.join(peak, "w")
+        .select(
+            F.col("w").alias("window_days"),
+            "n_ops",
+            "n_flushes",
+            F.expr("(n_ops - n_flushes) * 1000000 DIV n_ops").alias("saved_ppm"),
+            "max_ops_per_flush",
+        )
+        .orderBy("window_days")
+    )
+
+
+CDC_COALESCE_SQL = """
+WITH o AS (
+  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+fan AS (
+  SELECT w, k,
+         CAST(date_diff('day', (SELECT MIN(d) FROM o), d) AS BIGINT) // w AS b
+  FROM o, (SELECT UNNEST([1, 7, 30]) AS w) i
+),
+per AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_ops,
+         CAST(COUNT(DISTINCT (k, b)) AS BIGINT) AS n_flushes
+  FROM fan GROUP BY 1
+),
+peak AS (
+  SELECT w, CAST(MAX(c) AS BIGINT) AS max_ops_per_flush
+  FROM (SELECT w, k, b, CAST(COUNT(*) AS BIGINT) AS c FROM fan GROUP BY 1, 2, 3)
+  GROUP BY 1
+)
+SELECT CAST(p.w AS INTEGER) AS window_days, p.n_ops, p.n_flushes,
+       CAST((p.n_ops - p.n_flushes) * 1000000 // p.n_ops AS BIGINT) AS saved_ppm,
+       k.max_ops_per_flush
+FROM per p JOIN peak k ON p.w = k.w
+ORDER BY window_days
+"""
+
+QUERIES["cdc_batch_coalescing_report"] = cdc_batch_coalescing_report
+ORACLE["cdc_batch_coalescing_report"] = CDC_COALESCE_SQL

@@ -3207,3 +3207,102 @@ ORDER BY label
 
 QUERIES["embedding_label_knn_purity"] = embedding_label_knn_purity
 ORACLE["embedding_label_knn_purity"] = EMBEDDING_KNN_PURITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_centroid_confusion — nearest-centroid classifier
+# audit (round 10)
+# ---------------------------------------------------------------------------
+
+
+def embedding_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification confusion matrix
+    over the labeled embeddings: every vector is classified to its
+    nearest label centroid and the (true, predicted) counts are
+    emitted — the PARAMETRIC sibling of embedding_label_knn_purity
+    (kNN sees local structure; the centroid sees whether classes are
+    linearly separated around their means — when kNN purity is high
+    but centroid accuracy is low, classes are multi-modal and a
+    per-class prototype index will misroute).
+
+    FULLY INTEGER, no sampling needed: the op is LINEAR in the
+    corpus (n·|labels| distances, never a pair join) — elements
+    quantize float→double→e6 integers, centroids are exact Σx_e6 DIV
+    n per dimension, distances are exact BIGINT Σ(x−c)² (≤ 64·4e12),
+    prediction ties break to the smallest label via MIN(d²·16+label).
+
+    Scale: one posexplode shuffle to (dim,label) cells for the
+    centroids (640 groups), one broadcast join back, one (vec,label)
+    agg of 10·64·n map-side rows — all whole-stage JVM."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    e = e.repartition(32)
+    pts = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.expr("CAST(ROUND(CAST(xf AS DOUBLE) * 1000000) AS BIGINT)").alias("x"),
+    )
+    cent = pts.groupBy(F.col("label").alias("clab"), "pos").agg(
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("c")
+    )
+    dists = (
+        pts.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clab")
+        .agg(F.expr("CAST(SUM((x - c) * (x - c)) AS BIGINT)").alias("d2"))
+    )
+    pred = dists.groupBy("vec_id", "label").agg(
+        F.expr("CAST(MIN(d2 * 16 + clab) % 16 AS INT)").alias("pred_label")
+    )
+    conf = pred.groupBy(F.col("label").alias("true_label"), "pred_label").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
+    )
+    wrow = Window.partitionBy("true_label")
+    return (
+        conf.withColumn("row_n", F.sum("n").over(wrow))
+        .select(
+            "true_label",
+            "pred_label",
+            "n",
+            F.expr("n * 1000000 DIV row_n").alias("row_share_ppm"),
+        )
+        .orderBy("true_label", "pred_label")
+    )
+
+
+EMBEDDING_CENTROID_CONF_SQL = """
+WITH pts AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS clab, pos, CAST(SUM(x) // COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2
+),
+dists AS (
+  SELECT p.vec_id, p.label, ct.clab,
+         CAST(SUM((p.x - ct.c) * (p.x - ct.c)) AS BIGINT) AS d2
+  FROM pts p JOIN cent ct ON p.pos = ct.pos
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, label, CAST(MIN(d2 * 16 + clab) % 16 AS INTEGER) AS pred_label
+  FROM dists GROUP BY 1, 2
+),
+conf AS (
+  SELECT label AS true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT true_label, pred_label, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY true_label) AS BIGINT) AS row_share_ppm
+FROM conf
+ORDER BY true_label, pred_label
+"""
+
+QUERIES["embedding_label_centroid_confusion"] = embedding_label_centroid_confusion
+ORACLE["embedding_label_centroid_confusion"] = EMBEDDING_CENTROID_CONF_SQL

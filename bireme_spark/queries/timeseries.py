@@ -7930,3 +7930,155 @@ FROM gam g, stats s, k1f k1, k2f k2
 
 QUERIES["orders_newey_west"] = orders_newey_west
 ORACLE["orders_newey_west"] = ORDERS_NW_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_median_polish — Tukey two-way robust decomposition (round 10)
+# ---------------------------------------------------------------------------
+
+# low-median (lower of the two middles) keeps every intermediate an
+# exact integer — the convention both engines share verbatim
+_MP_SPARK_MED = "element_at(array_sort(collect_list({x})), CAST((COUNT(*) + 1) DIV 2 AS INT))"
+_MP_DUCK_MED = "list_extract(list_sort(list({x})), CAST((COUNT(*) + 1) // 2 AS BIGINT))"
+
+
+def orders_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish (two full sweeps) of the week × day-of-week
+    matrix of daily order counts: overall + day-of-week effects +
+    residuals, fitted by MEDIANS — the robust answer to "what does
+    each weekday contribute" that a mean-based two-way ANOVA gets
+    wrong whenever a holiday spike contaminates a cell (the
+    exploratory sibling of lineitem_twoway_anova). Emits the 7
+    day-of-week effects with the overall level and residual-size
+    diagnostics.
+
+    Determinism: cells are integer counts; every median is the LOW
+    median (lower middle — stays integer, shared convention string);
+    week = epoch-day DIV 7 and dow = epoch-day % 7 (stride-proof
+    bucket keys from the date, no ISO-week edge cases). Each polish
+    level is eagerly checkpointed — every level is read twice (agg +
+    join-back), so an uncheckpointed 2-sweep chain re-executes
+    O(2^levels) (the r8 chained-CTE lesson; the oracle materializes
+    every level for the same reason).
+
+    Scale: one shuffle to the fixed ~2400-cell grid; all polish
+    levels are grid-sized or |weeks|/7-row frames."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderdate").cast("date").alias("d"))
+    mind = o.agg(F.min("d").alias("d0"))
+    cells = (
+        o.crossJoin(F.broadcast(mind))
+        .groupBy(
+            F.expr("CAST(DATEDIFF(d, d0) AS BIGINT) DIV 7").alias("w"),
+            F.expr("CAST(DATEDIFF(d, d0) AS BIGINT) % 7").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    med = _MP_SPARK_MED
+
+    def polish_rows(c):
+        rm = c.groupBy("w").agg(F.expr(med.format(x="v")).alias("m"))
+        out = (
+            c.join(rm, "w")
+            .select("w", "dow", F.expr("v - m").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        return out, rm
+
+    def polish_cols(c):
+        cm = c.groupBy("dow").agg(F.expr(med.format(x="v")).alias("m"))
+        out = (
+            c.join(cm, "dow")
+            .select("w", "dow", F.expr("v - m").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        return out, cm
+
+    # sweep 1
+    c1, rm1 = polish_rows(cells)
+    c2, cm1 = polish_cols(c1)
+    # sweep 2
+    c3, rm2 = polish_rows(c2)
+    c4, cm2 = polish_cols(c3)
+    # effects: rows r = rm1 + rm2, cols c = cm1 + cm2; re-center each
+    # by its own low median into the overall level (the polish's
+    # common-value extraction)
+    reff = (
+        rm1.select("w", F.col("m").alias("m1"))
+        .join(rm2.select("w", F.col("m").alias("m2")), "w")
+        .select("w", F.expr("m1 + m2").alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    ceff = (
+        cm1.select("dow", F.col("m").alias("m1"))
+        .join(cm2.select("dow", F.col("m").alias("m2")), "dow")
+        .select("dow", F.expr("m1 + m2").alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    gr = reff.agg(F.expr(med.format(x="e")).alias("gr"))
+    gc = ceff.agg(F.expr(med.format(x="e")).alias("gc"))
+    resid = c4.agg(
+        F.expr("CAST(MAX(ABS(v)) AS BIGINT)").alias("max_abs_resid"),
+        F.expr(med.format(x="ABS(v)")).alias("med_abs_resid"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cells"),
+    )
+    return (
+        ceff.crossJoin(F.broadcast(gr))
+        .crossJoin(F.broadcast(gc))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            F.expr("CAST(dow AS INT)").alias("dow"),
+            F.expr("CAST(e - gc AS BIGINT)").alias("dow_effect"),
+            F.expr("CAST(gr + gc AS BIGINT)").alias("overall"),
+            "n_cells",
+            "max_abs_resid",
+            F.expr("CAST(med_abs_resid AS BIGINT)").alias("med_abs_resid"),
+        )
+        .orderBy("dow")
+    )
+
+
+_MPD = _MP_DUCK_MED
+
+ORDERS_MEDIAN_POLISH_SQL = f"""
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+cells AS MATERIALIZED (
+  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM o), d) AS BIGINT) // 7 AS w,
+         CAST(date_diff('day', (SELECT MIN(d) FROM o), d) AS BIGINT) % 7 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM o GROUP BY 1, 2
+),
+rm1 AS MATERIALIZED (SELECT w, {_MPD.format(x='v')} AS m FROM cells GROUP BY w),
+c1 AS MATERIALIZED (SELECT c.w, c.dow, c.v - r.m AS v FROM cells c JOIN rm1 r ON c.w = r.w),
+cm1 AS MATERIALIZED (SELECT dow, {_MPD.format(x='v')} AS m FROM c1 GROUP BY dow),
+c2 AS MATERIALIZED (SELECT c.w, c.dow, c.v - r.m AS v FROM c1 c JOIN cm1 r ON c.dow = r.dow),
+rm2 AS MATERIALIZED (SELECT w, {_MPD.format(x='v')} AS m FROM c2 GROUP BY w),
+c3 AS MATERIALIZED (SELECT c.w, c.dow, c.v - r.m AS v FROM c2 c JOIN rm2 r ON c.w = r.w),
+cm2 AS MATERIALIZED (SELECT dow, {_MPD.format(x='v')} AS m FROM c3 GROUP BY dow),
+c4 AS MATERIALIZED (SELECT c.w, c.dow, c.v - r.m AS v FROM c3 c JOIN cm2 r ON c.dow = r.dow),
+reff AS MATERIALIZED (
+  SELECT a.w, a.m + b.m AS e FROM rm1 a JOIN rm2 b ON a.w = b.w
+),
+ceff AS MATERIALIZED (
+  SELECT a.dow, a.m + b.m AS e FROM cm1 a JOIN cm2 b ON a.dow = b.dow
+),
+gr AS (SELECT {_MPD.format(x='e')} AS gr FROM reff),
+gc AS (SELECT {_MPD.format(x='e')} AS gc FROM ceff),
+resid AS (
+  SELECT CAST(MAX(ABS(v)) AS BIGINT) AS max_abs_resid,
+         {_MPD.format(x='ABS(v)')} AS med_abs_resid,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM c4
+)
+SELECT CAST(ce.dow AS INTEGER) AS dow,
+       CAST(ce.e - gc.gc AS BIGINT) AS dow_effect,
+       CAST(gr.gr + gc.gc AS BIGINT) AS overall,
+       r.n_cells,
+       r.max_abs_resid,
+       CAST(r.med_abs_resid AS BIGINT) AS med_abs_resid
+FROM ceff ce, gr, gc, resid r
+ORDER BY dow
+"""
+
+QUERIES["orders_median_polish"] = orders_median_polish
+ORACLE["orders_median_polish"] = ORDERS_MEDIAN_POLISH_SQL

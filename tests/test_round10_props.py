@@ -2266,3 +2266,105 @@ class TestKnnLabelPurity:
             assert rec.purity_ppm == correct.get(rec.label, 0) * 10**6 // max(
                 totals.get(rec.label, 0), 1
             )
+
+
+class TestBatchCoalescing:
+    def test_matches_bucket_recompute_and_monotone(self, spark, sf_dir):
+        from bireme_spark.queries.cdc import cdc_batch_coalescing_report
+
+        df = cdc_batch_coalescing_report(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        d = pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        day = (d - d.min()).dt.days.to_numpy()
+        k = o["o_custkey"].to_numpy()
+        n_ops = len(o)
+        prev_saved = -1
+        for rec in df.itertuples():
+            b = day // rec.window_days
+            flushes = len(set(zip(k, b)))
+            assert rec.n_ops == n_ops
+            assert rec.n_flushes == flushes
+            assert rec.saved_ppm == (n_ops - flushes) * 10**6 // n_ops
+            counts = pd.DataFrame({"k": k, "b": b}).groupby(["k", "b"]).size()
+            assert rec.max_ops_per_flush == int(counts.max())
+            # wider windows can only coalesce MORE
+            assert rec.saved_ppm >= prev_saved
+            prev_saved = rec.saved_ppm
+
+
+class TestCentroidConfusion:
+    def test_matches_integer_rocchio_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.embeddings import embedding_label_centroid_confusion
+
+        df = embedding_label_centroid_confusion(spark, sf_dir).toPandas()
+        emb = _pq("embeddings")
+        X = np.stack([np.round(v.astype("float64") * 1e6).astype("int64") for v in emb["embedding"]])
+        labs = emb["label"].to_numpy()
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        cents = {}
+        for lab in sorted(set(labs)):
+            block = X[labs == lab]
+            cents[lab] = [tdiv(int(s), len(block)) for s in block.sum(axis=0)]
+        conf = {}
+        for row, lab in zip(X, labs):
+            best = min(
+                (sum((int(x) - c) ** 2 for x, c in zip(row, cv)) * 16 + cl)
+                for cl, cv in cents.items()
+            ) % 16
+            conf[(int(lab), best)] = conf.get((int(lab), best), 0) + 1
+        assert int(df["n"].sum()) == len(emb)
+        row_tot = {}
+        for (t, _), n in conf.items():
+            row_tot[t] = row_tot.get(t, 0) + n
+        for rec in df.itertuples():
+            assert rec.n == conf.get((rec.true_label, rec.pred_label), 0)
+            assert rec.row_share_ppm == rec.n * 10**6 // row_tot[rec.true_label]
+        # the classifier must beat chance on this clustered fixture
+        acc = sum(n for (t, p), n in conf.items() if t == p) / len(emb)
+        assert acc > 0.2
+
+
+class TestMedianPolish:
+    def test_matches_two_sweep_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import orders_median_polish
+
+        df = orders_median_polish(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        d = pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        day = (d - d.min()).dt.days
+        cells = (
+            pd.DataFrame({"w": day // 7, "dow": day % 7})
+            .groupby(["w", "dow"])
+            .size()
+            .to_dict()
+        )
+        lowmed = lambda xs: sorted(xs)[(len(xs) + 1) // 2 - 1]
+        resid = dict(cells)
+        rm_acc = {}
+        cm_acc = {}
+        for _ in range(2):
+            for w in {k[0] for k in resid}:
+                vals = [v for k, v in resid.items() if k[0] == w]
+                m = lowmed(vals)
+                rm_acc[w] = rm_acc.get(w, 0) + m
+                for k in list(resid):
+                    if k[0] == w:
+                        resid[k] -= m
+            for dw in {k[1] for k in resid}:
+                vals = [v for k, v in resid.items() if k[1] == dw]
+                m = lowmed(vals)
+                cm_acc[dw] = cm_acc.get(dw, 0) + m
+                for k in list(resid):
+                    if k[1] == dw:
+                        resid[k] -= m
+        gr = lowmed(list(rm_acc.values()))
+        gc = lowmed(list(cm_acc.values()))
+        assert len(df) == 7
+        for rec in df.itertuples():
+            assert rec.dow_effect == cm_acc[rec.dow] - gc
+            assert rec.overall == gr + gc
+            assert rec.n_cells == len(cells)
+            assert rec.max_abs_resid == max(abs(v) for v in resid.values())
+            assert rec.med_abs_resid == lowmed([abs(v) for v in resid.values()])
+        # effects must reconstruct: overall + effect ~ typical dow level
+        assert df["dow_effect"].abs().max() <= df["overall"].iloc[0] * 2 + 10
