@@ -380,6 +380,9 @@ HEADLINE = [
     "cdc_batch_coalescing_report",
     "embedding_label_centroid_confusion",
     "orders_median_polish",
+    "lineitem_benford_second_digit",
+    "events_kde_modes",
+    "embedding_sq8_distortion",
 ]
 
 

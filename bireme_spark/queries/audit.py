@@ -3129,3 +3129,90 @@ FROM exact e, nsupp u, nsp p, sampled s
 
 QUERIES["graph_bipartite_projection"] = graph_bipartite_projection
 ORACLE["graph_bipartite_projection"] = GRAPH_BIPARTITE_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_benford_second_digit — forensic follow-up screen (round 10)
+# ---------------------------------------------------------------------------
+
+# expected second-digit probability: P(d) = Σ_{d1=1..9} log10(1 + 1/(10·d1 + d)),
+# generated ONCE as a shared double-expression per digit (every
+# literal CAST AS DOUBLE; log10 engine-ulp absorbed by the one-shot
+# 6dp round, same discipline as orders_benford_audit)
+_B2_EXPECTED = {
+    d: " + ".join(
+        f"LOG10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST({10 * d1 + d} AS DOUBLE))"
+        for d1 in range(1, 10)
+    )
+    for d in range(10)
+}
+_B2_EXPECTED_CASE = (
+    "CASE CAST(digit AS INT) "
+    + " ".join(f"WHEN {d} THEN ({expr})" for d, expr in _B2_EXPECTED.items())
+    + " END"
+)
+
+
+def lineitem_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-digit audit of line-item extended prices — the
+    standard forensic follow-up when the first-digit screen
+    (orders_benford_audit) passes: fabricated or rounded-by-policy
+    values often survive the first digit but pile up on 0/5 in the
+    second (price-point clustering), and the second-digit law
+    P(d) = Σ log10(1 + 1/(10·d₁+d)) is flat enough to expose it.
+
+    Determinism: the digit is a map-side substring of the
+    DECIMAL-rendered value (no float log10 on the data path; values
+    < 10 are excluded, where no second digit exists); expectations
+    and per-digit χ² contributions close with one-shot 6dp rounds of
+    shared expression strings.
+
+    Scale: ONE 10-cell hash aggregate over a string projection."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        money("l_extendedprice").alias("p")
+    )
+    digits = li.where(F.col("p") >= 10).select(
+        F.substring(F.col("p").cast("string"), 2, 1).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST(digit AS INT)").alias("second_digit"),
+            "n",
+            F.expr("ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6)").alias("observed"),
+            F.expr(f"ROUND({_B2_EXPECTED_CASE}, 6)").alias("expected"),
+            F.expr(
+                f"ROUND(CAST(tot AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)"
+                f" - ({_B2_EXPECTED_CASE})) * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)"
+                f" - ({_B2_EXPECTED_CASE})) / ({_B2_EXPECTED_CASE}), 6)"
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("second_digit")
+    )
+
+
+LINEITEM_B2_SQL = f"""
+WITH digits AS (
+  SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), 2, 1) AS digit
+  FROM lineitem WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 10
+),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM counts)
+SELECT CAST(digit AS INTEGER) AS second_digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed,
+       ROUND({_B2_EXPECTED_CASE.replace("CAST(digit AS INT)", "CAST(digit AS INTEGER)")}, 6) AS expected,
+       ROUND(CAST(tot AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+             - ({_B2_EXPECTED_CASE.replace("CAST(digit AS INT)", "CAST(digit AS INTEGER)")}))
+             * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+             - ({_B2_EXPECTED_CASE.replace("CAST(digit AS INT)", "CAST(digit AS INTEGER)")}))
+             / ({_B2_EXPECTED_CASE.replace("CAST(digit AS INT)", "CAST(digit AS INTEGER)")}), 6) AS chi2_contrib
+FROM counts, tot
+ORDER BY second_digit
+"""
+
+QUERIES["lineitem_benford_second_digit"] = lineitem_benford_second_digit
+ORACLE["lineitem_benford_second_digit"] = LINEITEM_B2_SQL

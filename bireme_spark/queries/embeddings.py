@@ -3306,3 +3306,139 @@ ORDER BY true_label, pred_label
 
 QUERIES["embedding_label_centroid_confusion"] = embedding_label_centroid_confusion
 ORACLE["embedding_label_centroid_confusion"] = EMBEDDING_CENTROID_CONF_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_sq8_distortion — scalar-quantization round-trip audit
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def embedding_sq8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 round-trip distortion audit: quantize each vector with
+    the store's own scheme (embedding_quantize: per-vector scale =
+    max|x|/127, codes = round(x/scale)), reconstruct, and report the
+    corpus MSE / cosine-retention profile — the acceptance gate an
+    embedding store runs BEFORE flipping ANN serving to int8 codes
+    (embedding_quantize emits the codes; this measures what they
+    cost).
+
+    Determinism: per-vector folds are sequential array-order
+    aggregates (bit-identical both engines, the module's house
+    contract); MSE and cosine retention round ONCE per vector to
+    e9/e6 integers, corpus stats are integer sums/DIVs; the p95 is a
+    ceil-rank order statistic over the e3-bucketed MSE histogram
+    (bounded distinct values at any corpus size).
+
+    Scale: one scan, map-side per-vector math, one bounded-histogram
+    CDF — linear, shuffle-free except two tiny aggs."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.repartition(32)
+    per = e.select(
+        F.expr(
+            "GREATEST(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> GREATEST(a, ABS(CAST(x AS DOUBLE)))), CAST(1e-12 AS DOUBLE))"
+            " / CAST(127 AS DOUBLE)"
+        ).alias("scale"),
+        F.col("embedding").alias("v"),
+    ).select(
+        F.expr(
+            "CAST(ROUND(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) ->"
+            " a + (CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale) * scale)"
+            " * (CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale) * scale))"
+            " / CAST(64 AS DOUBLE) * CAST(1000000000 AS DOUBLE)) AS BIGINT)"
+        ).alias("mse_e9"),
+        F.expr(
+            "CAST(ROUND("
+            " aggregate(v, CAST(0.0 AS DOUBLE), (a, x) ->"
+            "  a + CAST(x AS DOUBLE) * (ROUND(CAST(x AS DOUBLE) / scale) * scale))"
+            " / (SQRT(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) ->"
+            "  a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            " * SQRT(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) ->"
+            "  a + (ROUND(CAST(x AS DOUBLE) / scale) * scale)"
+            "  * (ROUND(CAST(x AS DOUBLE) / scale) * scale))))"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        ).alias("cos_e6"),
+    ).localCheckpoint(eager=True)
+    hist = per.groupBy(F.expr("mse_e9 DIV 1000000").alias("bk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wc = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    p95 = (
+        hist.withColumn("cum", F.sum("c").over(wc).cast("bigint"))
+        .withColumn("n", F.sum("c").over(wall).cast("bigint"))
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * 95, F.col("bk"))
+            ).alias("p95_bucket")
+        )
+    )
+    agg = per.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vecs"),
+        F.expr("CAST(SUM(mse_e9) DIV COUNT(*) AS BIGINT)").alias("mean_mse_e9"),
+        F.expr("CAST(MAX(mse_e9) AS BIGINT)").alias("max_mse_e9"),
+        F.expr("CAST(SUM(cos_e6) DIV COUNT(*) AS BIGINT)").alias("mean_cos_retention_e6"),
+        F.expr("CAST(MIN(cos_e6) AS BIGINT)").alias("min_cos_retention_e6"),
+    )
+    return agg.crossJoin(F.broadcast(p95)).select(
+        "n_vecs",
+        "mean_mse_e9",
+        "max_mse_e9",
+        F.expr("CAST(p95_bucket AS BIGINT)").alias("p95_mse_bucket_e3"),
+        "mean_cos_retention_e6",
+        "min_cos_retention_e6",
+    )
+
+
+EMBEDDING_SQ8_SQL = """
+WITH per AS MATERIALIZED (
+  SELECT
+    CAST(ROUND((
+      SELECT SUM((CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / s.scale) * s.scale)
+                 * (CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / s.scale) * s.scale))
+      FROM (SELECT UNNEST(e.embedding) AS x)
+    ) / CAST(64 AS DOUBLE) * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS mse_e9,
+    CAST(ROUND((
+      SELECT SUM(CAST(x AS DOUBLE) * (ROUND(CAST(x AS DOUBLE) / s.scale) * s.scale))
+      FROM (SELECT UNNEST(e.embedding) AS x)
+    ) / (SQRT((
+      SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+      FROM (SELECT UNNEST(e.embedding) AS x)
+    )) * SQRT((
+      SELECT SUM((ROUND(CAST(x AS DOUBLE) / s.scale) * s.scale)
+                 * (ROUND(CAST(x AS DOUBLE) / s.scale) * s.scale))
+      FROM (SELECT UNNEST(e.embedding) AS x)
+    ))) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_e6
+  FROM embeddings e,
+       LATERAL (SELECT GREATEST((
+         SELECT MAX(ABS(CAST(x AS DOUBLE))) FROM (SELECT UNNEST(e.embedding) AS x)
+       ), CAST(1e-12 AS DOUBLE)) / CAST(127 AS DOUBLE) AS scale) s
+),
+hist AS (
+  SELECT mse_e9 // 1000000 AS bk, CAST(COUNT(*) AS BIGINT) AS c FROM per GROUP BY 1
+),
+cdf AS (
+  SELECT bk, CAST(SUM(c) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM hist
+),
+p95 AS (
+  SELECT MIN(CASE WHEN cum * 100 >= n * 95 THEN bk END) AS p95_bucket FROM cdf
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(mse_e9) // COUNT(*) AS BIGINT) AS mean_mse_e9,
+         CAST(MAX(mse_e9) AS BIGINT) AS max_mse_e9,
+         CAST(SUM(cos_e6) // COUNT(*) AS BIGINT) AS mean_cos_retention_e6,
+         CAST(MIN(cos_e6) AS BIGINT) AS min_cos_retention_e6
+  FROM per
+)
+SELECT a.n_vecs, a.mean_mse_e9, a.max_mse_e9,
+       CAST(p.p95_bucket AS BIGINT) AS p95_mse_bucket_e3,
+       a.mean_cos_retention_e6, a.min_cos_retention_e6
+FROM agg a, p95 p
+"""
+
+QUERIES["embedding_sq8_distortion"] = embedding_sq8_distortion
+ORACLE["embedding_sq8_distortion"] = EMBEDDING_SQ8_SQL

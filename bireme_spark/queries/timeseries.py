@@ -8082,3 +8082,160 @@ ORDER BY dow
 
 QUERIES["orders_median_polish"] = orders_median_polish
 ORACLE["orders_median_polish"] = ORDERS_MEDIAN_POLISH_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_kde_modes — smoothed-histogram mode census (round 10)
+# ---------------------------------------------------------------------------
+
+
+def events_kde_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode census of each event type's value distribution: unit-bin
+    histogram → 3 passes of the integer binomial [1,2,1] kernel
+    (a discrete Gaussian-ish KDE that stays EXACT — counts scale by
+    4³) → strict local maxima above a 0.1%-mass prominence guard.
+    The direct histogram answer to the question
+    events_bimodality_coefficient only screens for (BC is a moment
+    heuristic with known torn-uniform false positives; this one
+    NAMES the modes and their mass).
+
+    Determinism: everything is integer (bins = FLOOR(value), dense
+    grid via a broadcast sequence so missing bins are true zeros, not
+    window-neighbor gaps; asymmetric tie rule c[b−1] < c[b] ≥ c[b+1];
+    prominence cross-multiplied c·1000 > total·4³ per-mille); mode
+    ranking by MIN-encoded (−mass, bin).
+
+    Scale: one groupBy to ≤ ~500 bins/type (the value range is
+    generator-bounded), all smoothing on the 5×~500 dense grid."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(FLOOR(value) AS BIGINT)").alias("b")
+    )
+    hist = e.groupBy("event_type", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rng = hist.agg(F.expr("CAST(MAX(b) AS BIGINT)").alias("mx"))
+    types = hist.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(rng))
+        .select("event_type", F.expr("explode(sequence(CAST(0 AS BIGINT), mx))").alias("b"))
+        .join(hist, ["event_type", "b"], "left")
+        .select("event_type", "b", F.expr("COALESCE(c, CAST(0 AS BIGINT))").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    sm = grid
+    for _ in range(3):
+        sm = sm.select(
+            "event_type",
+            "b",
+            (
+                F.coalesce(F.lag("c").over(w), F.lit(0))
+                + 2 * F.col("c")
+                + F.coalesce(F.lead("c").over(w), F.lit(0))
+            ).alias("c"),
+        )
+    tot = grid.groupBy("event_type").agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("tot"))
+    peaks = (
+        sm.select(
+            "event_type",
+            "b",
+            "c",
+            F.coalesce(F.lag("c").over(w), F.lit(0)).alias("cl"),
+            F.coalesce(F.lead("c").over(w), F.lit(0)).alias("cr"),
+        )
+        .join(F.broadcast(tot), "event_type")
+        .where(
+            F.expr("cl < c AND c >= cr AND c * 1000 > tot * 64")
+        )
+    )
+    ranked = peaks.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_modes"),
+        F.expr("MIN(STRUCT(-c AS nc, b AS b))").alias("m1"),
+        F.expr("CAST(MAX(tot) AS BIGINT)").alias("tot"),
+    )
+    second = (
+        peaks.join(
+            ranked.select("event_type", F.expr("m1.b").alias("b1")), "event_type"
+        )
+        .where(F.col("b") != F.col("b1"))
+        .groupBy("event_type")
+        .agg(F.expr("MIN(STRUCT(-c AS nc, b AS b)).b").alias("mode2_bin"))
+    )
+    return (
+        ranked.join(second, "event_type", "left")
+        .select(
+            "event_type",
+            "n_modes",
+            F.expr("m1.b").alias("mode1_bin"),
+            F.expr("CAST((-m1.nc) * 1000000 DIV (tot * 64) AS BIGINT)").alias(
+                "mode1_mass_ppm"
+            ),
+            F.expr("CAST(mode2_bin AS BIGINT)").alias("mode2_bin"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_KDE_MODES_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS b FROM events
+),
+hist AS MATERIALIZED (
+  SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+),
+rng AS (SELECT CAST(MAX(b) AS BIGINT) AS mx FROM hist),
+grid AS MATERIALIZED (
+  SELECT t.event_type, g.b, COALESCE(h.c, CAST(0 AS BIGINT)) AS c
+  FROM (SELECT DISTINCT event_type FROM hist) t
+  CROSS JOIN (SELECT UNNEST(generate_series(0, (SELECT mx FROM rng))) AS b) g
+  LEFT JOIN hist h ON h.event_type = t.event_type AND h.b = g.b
+),
+s1 AS MATERIALIZED (
+  SELECT event_type, b,
+         COALESCE(LAG(c) OVER (PARTITION BY event_type ORDER BY b), 0) + 2 * c
+         + COALESCE(LEAD(c) OVER (PARTITION BY event_type ORDER BY b), 0) AS c
+  FROM grid
+),
+s2 AS MATERIALIZED (
+  SELECT event_type, b,
+         COALESCE(LAG(c) OVER (PARTITION BY event_type ORDER BY b), 0) + 2 * c
+         + COALESCE(LEAD(c) OVER (PARTITION BY event_type ORDER BY b), 0) AS c
+  FROM s1
+),
+s3 AS MATERIALIZED (
+  SELECT event_type, b,
+         COALESCE(LAG(c) OVER (PARTITION BY event_type ORDER BY b), 0) + 2 * c
+         + COALESCE(LEAD(c) OVER (PARTITION BY event_type ORDER BY b), 0) AS c
+  FROM s2
+),
+tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot FROM grid GROUP BY 1),
+peaks AS MATERIALIZED (
+  SELECT p.event_type, p.b, p.c, t.tot
+  FROM (
+    SELECT event_type, b, c,
+           COALESCE(LAG(c) OVER (PARTITION BY event_type ORDER BY b), 0) AS cl,
+           COALESCE(LEAD(c) OVER (PARTITION BY event_type ORDER BY b), 0) AS cr
+    FROM s3
+  ) p JOIN tot t ON p.event_type = t.event_type
+  WHERE p.cl < p.c AND p.c >= p.cr AND p.c * 1000 > t.tot * 64
+),
+ranked AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_modes,
+         MIN({'nc': -c, 'b': b}) AS m1, CAST(MAX(tot) AS BIGINT) AS tot
+  FROM peaks GROUP BY 1
+),
+second AS (
+  SELECT p.event_type, (MIN({'nc': -p.c, 'b': p.b})).b AS mode2_bin
+  FROM peaks p JOIN (SELECT event_type, (m1).b AS b1 FROM ranked) r
+    ON p.event_type = r.event_type
+  WHERE p.b <> r.b1
+  GROUP BY 1
+)
+SELECT r.event_type, r.n_modes,
+       (r.m1).b AS mode1_bin,
+       CAST((-(r.m1).nc) * 1000000 // (r.tot * 64) AS BIGINT) AS mode1_mass_ppm,
+       CAST(s.mode2_bin AS BIGINT) AS mode2_bin
+FROM ranked r LEFT JOIN second s ON r.event_type = s.event_type
+ORDER BY r.event_type
+"""
+
+QUERIES["events_kde_modes"] = events_kde_modes
+ORACLE["events_kde_modes"] = EVENTS_KDE_MODES_SQL

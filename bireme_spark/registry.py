@@ -145,6 +145,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "cdc_batch_coalescing_report",
         "embedding_label_centroid_confusion",
         "orders_median_polish",
+        "lineitem_benford_second_digit",
+        "events_kde_modes",
+        "embedding_sq8_distortion",
     }
 )
 

@@ -2368,3 +2368,108 @@ class TestMedianPolish:
             assert rec.med_abs_resid == lowmed([abs(v) for v in resid.values()])
         # effects must reconstruct: overall + effect ~ typical dow level
         assert df["dow_effect"].abs().max() <= df["overall"].iloc[0] * 2 + 10
+
+
+class TestBenfordSecondDigit:
+    def test_matches_recompute_and_law_sums_to_one(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.audit import lineitem_benford_second_digit
+
+        df = lineitem_benford_second_digit(spark, sf_dir).toPandas()
+        li = _pq("lineitem")
+        from decimal import ROUND_HALF_UP, Decimal
+
+        digs = []
+        for v in li["l_extendedprice"]:
+            dv = Decimal(float(v)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+            if dv >= 10:
+                digs.append(int(str(dv)[1]))
+        tot = len(digs)
+        exp = {
+            d: sum(math.log10(1 + 1 / (10 * d1 + d)) for d1 in range(1, 10))
+            for d in range(10)
+        }
+        assert abs(sum(exp.values()) - 1.0) < 1e-12
+        assert len(df) == 10 and int(df["n"].sum()) == tot
+        for rec in df.itertuples():
+            n = sum(1 for d in digs if d == rec.second_digit)
+            assert rec.n == n
+            assert abs(rec.observed - round(n / tot, 6)) <= 1e-6
+            assert abs(rec.expected - exp[rec.second_digit]) <= 1.1e-6
+            o, e = n / tot, exp[rec.second_digit]
+            assert abs(rec.chi2_contrib - tot * (o - e) ** 2 / e) <= 2e-5
+
+
+class TestKdeModes:
+    def test_matches_binomial_smoothing_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import events_kde_modes
+
+        df = events_kde_modes(spark, sf_dir).toPandas()
+        ev = _pq("events")
+        ev["b"] = np.floor(ev["value"]).astype("int64")
+        mx = int(ev["b"].max())
+        for rec in df.itertuples():
+            g = ev[ev["event_type"] == rec.event_type]
+            c = np.zeros(mx + 1, dtype="int64")
+            for b, n in g.groupby("b").size().items():
+                c[int(b)] = n
+            tot = int(c.sum())
+            for _ in range(3):
+                c = np.concatenate([[0], c[:-1]]) + 2 * c + np.concatenate([c[1:], [0]])
+            cl = np.concatenate([[0], c[:-1]])
+            cr = np.concatenate([c[1:], [0]])
+            peaks = [
+                (int(-c[b]), b)
+                for b in range(mx + 1)
+                if cl[b] < c[b] and c[b] >= cr[b] and int(c[b]) * 1000 > tot * 64
+            ]
+            peaks.sort()
+            assert rec.n_modes == len(peaks)
+            assert rec.mode1_bin == peaks[0][1]
+            assert rec.mode1_mass_ppm == (-peaks[0][0]) * 10**6 // (tot * 64)
+            if len(peaks) > 1:
+                rest = sorted(p for p in peaks if p[1] != peaks[0][1])
+                assert rec.mode2_bin == rest[0][1]
+            else:
+                assert pd.isna(rec.mode2_bin)
+            # a mode census must find at least ONE mode
+            assert rec.n_modes >= 1
+
+
+class TestSq8Distortion:
+    def test_matches_fold_recompute_and_bounds(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.embeddings import embedding_sq8_distortion
+
+        rec = embedding_sq8_distortion(spark, sf_dir).collect()[0]
+        emb = _pq("embeddings")
+        mses, coss = [], []
+        for v in emb["embedding"]:
+            x = v.astype("float64")
+            scale = max(float(np.abs(x).max()), 1e-12) / 127.0
+            acc_m = 0.0
+            acc_xy = 0.0
+            acc_xx = 0.0
+            acc_yy = 0.0
+            for xi in x:
+                # replicate SQL ROUND (half away from zero on a double)
+                q = math.floor(abs(xi) / scale + 0.5) * (1 if xi >= 0 else -1)
+                r = q * scale
+                acc_m = acc_m + (xi - r) * (xi - r)
+                acc_xy = acc_xy + xi * r
+                acc_xx = acc_xx + xi * xi
+                acc_yy = acc_yy + r * r
+            mses.append(int(round(acc_m / 64.0 * 1e9)))
+            coss.append(int(round(acc_xy / (math.sqrt(acc_xx) * math.sqrt(acc_yy)) * 1e6)))
+        n = len(mses)
+        assert rec.n_vecs == n
+        assert rec.mean_mse_e9 == sum(mses) // n
+        assert rec.max_mse_e9 == max(mses)
+        assert rec.mean_cos_retention_e6 == sum(coss) // n
+        assert rec.min_cos_retention_e6 == min(coss)
+        bks = sorted(m // 10**6 for m in mses)
+        assert rec.p95_mse_bucket_e3 == bks[(n * 95 + 99) // 100 - 1]
+        # SQ8 on unit-scale vectors must retain virtually all cosine
+        assert rec.mean_cos_retention_e6 >= 999_000
