@@ -383,6 +383,8 @@ HEADLINE = [
     "lineitem_benford_second_digit",
     "events_kde_modes",
     "embedding_sq8_distortion",
+    "customers_interpurchase_cv",
+    "tokenizer_oov_rate_matrix",
 ]
 
 

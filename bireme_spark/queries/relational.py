@@ -10012,3 +10012,85 @@ FROM agg a, tots t
 
 QUERIES["customers_log_rank_test"] = customers_log_rank_test
 ORACLE["customers_log_rank_test"] = CUSTOMERS_LOGRANK_SQL
+
+
+# ---------------------------------------------------------------------------
+# customers_interpurchase_cv — purchase-regularity classification
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def customers_interpurchase_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpurchase-time regularity per market segment: CV² of the
+    day gaps between a customer's consecutive orders classifies the
+    segment's buying process — CV² ≪ 1 is clockwork (replenishment),
+    ≈ 1 memoryless (Poisson), ≫ 1 bursty (promotion-driven) — the
+    one-number diagnostic that says whether the survival-analysis
+    machinery (customers_survival_km and friends) should model
+    renewal or clustering.
+
+    Engine-exact: gaps are integer days; CV² = (m·Σg² − (Σg)²)·1e6
+    DIV (Σg)² is one cross-multiplied integer-ppm form (BIGINT-safe
+    by construction: gaps partition a bounded span, so Σg² ≤
+    max_g·Σg — the r7 inter-arrival moment bound); the class label
+    is a CASE on the same integer.
+
+    Scale: one custkey-window pass + a |segments| agg."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("o_custkey", F.datediff("nxt", "o_orderdate").cast("bigint").alias("g"))
+        .where(F.col("g") > 0)
+    )
+    seg = gaps.join(c, gaps.o_custkey == c.c_custkey).groupBy("c_mktsegment").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("m"),
+        F.expr("CAST(SUM(g) AS DECIMAL(38,0))").alias("s1"),
+        F.expr("CAST(SUM(g * g) AS DECIMAL(38,0))").alias("s2"),
+    )
+    return seg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("m").alias("n_gaps"),
+        F.expr("CAST(s1 * 1000 DIV m AS BIGINT)").alias("mean_gap_days_x1000"),
+        F.expr("CAST((m * s2 - s1 * s1) * 1000000 DIV (s1 * s1) AS BIGINT)").alias(
+            "cv2_ppm"
+        ),
+        F.expr(
+            "CASE WHEN (m * s2 - s1 * s1) * 1000000 DIV (s1 * s1) < 700000"
+            " THEN 'regular' WHEN (m * s2 - s1 * s1) * 1000000 DIV (s1 * s1) <= 1300000"
+            " THEN 'poisson' ELSE 'bursty' END"
+        ).alias("regime"),
+    ).orderBy("segment")
+
+
+CUSTOMERS_IPCV_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', o_orderdate,
+              LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate)) AS BIGINT) AS g
+  FROM orders
+),
+gaps2 AS (SELECT * FROM gaps WHERE g > 0),
+seg AS (
+  SELECT c.c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(g) AS HUGEINT) AS s1,
+         CAST(SUM(g * g) AS HUGEINT) AS s2
+  FROM gaps2 g JOIN customer c ON g.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_mktsegment AS segment,
+       m AS n_gaps,
+       CAST(s1 * 1000 // m AS BIGINT) AS mean_gap_days_x1000,
+       CAST((m * s2 - s1 * s1) * 1000000 // (s1 * s1) AS BIGINT) AS cv2_ppm,
+       CASE WHEN (m * s2 - s1 * s1) * 1000000 // (s1 * s1) < 700000 THEN 'regular'
+            WHEN (m * s2 - s1 * s1) * 1000000 // (s1 * s1) <= 1300000 THEN 'poisson'
+            ELSE 'bursty' END AS regime
+FROM seg
+ORDER BY segment
+"""
+
+QUERIES["customers_interpurchase_cv"] = customers_interpurchase_cv
+ORACLE["customers_interpurchase_cv"] = CUSTOMERS_IPCV_SQL

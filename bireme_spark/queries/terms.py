@@ -2108,3 +2108,100 @@ ORDER BY term
 
 QUERIES["text_mrr_eval"] = text_mrr_eval
 ORACLE["text_mrr_eval"] = _mrr_sql()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_oov_rate_matrix — cross-source vocabulary transfer
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_oov_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source OOV transfer matrix: tokenize once, build each
+    source's top-500 term vocabulary, and measure every source's
+    out-of-vocabulary token share under every OTHER source's
+    vocabulary — the planning table for "can one tokenizer serve the
+    whole mix, and which source pays for it" (the pairwise sibling
+    of vocab_coverage; text_source_vocab_overlap compares the
+    vocabularies themselves, this measures the TOKEN MASS the
+    mismatch costs).
+
+    Engine-exact: term counts are integers; vocab rank ties break
+    (count DESC, term ASC); OOV is an integer-ppm DIV. Scale: ONE
+    tokenize shuffle to (source, term) counts; the vocab is a
+    window-rank over that vocab-sized frame; the transfer join fans
+    each (source, term) row out to ≤ |sources| vocab hits against a
+    broadcast ≤ |sources|·500-row vocab table."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tc = (
+        d.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    wv = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("term"))
+    vocab = (
+        tc.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= 500)
+        .select(F.col("source").alias("vocab_source"), "term")
+    )
+    totals = tc.groupBy("source").agg(F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total_tokens"))
+    covered = (
+        tc.join(F.broadcast(vocab), "term")
+        .groupBy("source", "vocab_source")
+        .agg(F.expr("CAST(SUM(cnt) AS BIGINT)").alias("covered_tokens"))
+    )
+    grid = totals.select("source", "total_tokens").crossJoin(
+        vocab.select("vocab_source").distinct()
+    )
+    return (
+        grid.join(covered, ["source", "vocab_source"], "left")
+        .select(
+            "source",
+            "vocab_source",
+            F.expr("COALESCE(covered_tokens, CAST(0 AS BIGINT))").alias("covered_tokens"),
+            "total_tokens",
+            F.expr(
+                "(total_tokens - COALESCE(covered_tokens, 0)) * 1000000 DIV total_tokens"
+            ).alias("oov_ppm"),
+        )
+        .orderBy("source", "vocab_source")
+    )
+
+
+TOKENIZER_OOV_SQL = """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tc AS MATERIALIZED (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2
+),
+vocab AS MATERIALIZED (
+  SELECT source AS vocab_source, term FROM (
+    SELECT source, term,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn
+    FROM tc
+  ) WHERE rn <= 500
+),
+totals AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM tc GROUP BY 1
+),
+covered AS (
+  SELECT t.source, v.vocab_source, CAST(SUM(t.cnt) AS BIGINT) AS covered_tokens
+  FROM tc t JOIN vocab v ON t.term = v.term
+  GROUP BY 1, 2
+)
+SELECT g.source, g.vocab_source,
+       COALESCE(c.covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens,
+       g.total_tokens,
+       CAST((g.total_tokens - COALESCE(c.covered_tokens, 0)) * 1000000 // g.total_tokens
+            AS BIGINT) AS oov_ppm
+FROM (SELECT t.source, t.total_tokens, v.vocab_source
+      FROM totals t CROSS JOIN (SELECT DISTINCT vocab_source FROM vocab) v) g
+LEFT JOIN covered c ON g.source = c.source AND g.vocab_source = c.vocab_source
+ORDER BY g.source, g.vocab_source
+"""
+
+QUERIES["tokenizer_oov_rate_matrix"] = tokenizer_oov_rate_matrix
+ORACLE["tokenizer_oov_rate_matrix"] = TOKENIZER_OOV_SQL

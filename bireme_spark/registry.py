@@ -148,6 +148,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "lineitem_benford_second_digit",
         "events_kde_modes",
         "embedding_sq8_distortion",
+        "customers_interpurchase_cv",
+        "tokenizer_oov_rate_matrix",
     }
 )
 

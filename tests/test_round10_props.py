@@ -2473,3 +2473,64 @@ class TestSq8Distortion:
         assert rec.p95_mse_bucket_e3 == bks[(n * 95 + 99) // 100 - 1]
         # SQ8 on unit-scale vectors must retain virtually all cosine
         assert rec.mean_cos_retention_e6 >= 999_000
+
+
+class TestInterpurchaseCV:
+    def test_matches_gap_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import customers_interpurchase_cv
+
+        df = customers_interpurchase_cv(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        c = _pq("customer")
+        oo = o.merge(c[["c_custkey", "c_mktsegment"]], left_on="o_custkey", right_on="c_custkey")
+        oo = oo.sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+        seg_gaps = {}
+        for (ck, seg), grp in oo.groupby(["o_custkey", "c_mktsegment"]):
+            ds = list(grp["o_orderdate"])
+            for a, b in zip(ds, ds[1:]):
+                g = (b - a).days
+                if g > 0:
+                    seg_gaps.setdefault(seg, []).append(g)
+        for rec in df.itertuples():
+            gs = seg_gaps[rec.segment]
+            m, s1, s2 = len(gs), sum(gs), sum(g * g for g in gs)
+            assert rec.n_gaps == m
+            assert rec.mean_gap_days_x1000 == s1 * 1000 // m
+            cv2 = (m * s2 - s1 * s1) * 10**6 // (s1 * s1)
+            assert rec.cv2_ppm == cv2
+            expect = "regular" if cv2 < 700000 else ("poisson" if cv2 <= 1300000 else "bursty")
+            assert rec.regime == expect
+
+
+class TestOovRateMatrix:
+    def test_matches_vocab_recompute_and_diag_best(self, spark, sf_dir):
+        from collections import Counter
+
+        from bireme_spark.queries.terms import tokenizer_oov_rate_matrix
+
+        df = tokenizer_oov_rate_matrix(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        tc = {}
+        for src, text in zip(docs["source"], docs["text"]):
+            tc.setdefault(src, Counter()).update(text.split(" "))
+        vocab = {
+            src: {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:500]}
+            for src, cnt in tc.items()
+        }
+        srcs = sorted(tc)
+        assert len(df) == len(srcs) ** 2
+        diag = {}
+        rows = {}
+        for rec in df.itertuples():
+            cnt = tc[rec.source]
+            total = sum(cnt.values())
+            covered = sum(c for t, c in cnt.items() if t in vocab[rec.vocab_source])
+            assert rec.total_tokens == total
+            assert rec.covered_tokens == covered
+            assert rec.oov_ppm == (total - covered) * 10**6 // total
+            rows.setdefault(rec.source, []).append(rec.oov_ppm)
+            if rec.source == rec.vocab_source:
+                diag[rec.source] = rec.oov_ppm
+        # a source's own vocabulary must beat the row average
+        for src in srcs:
+            assert diag[src] <= sum(rows[src]) / len(rows[src])
