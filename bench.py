@@ -385,6 +385,7 @@ HEADLINE = [
     "embedding_sq8_distortion",
     "customers_interpurchase_cv",
     "tokenizer_oov_rate_matrix",
+    "nations_correspondence_analysis",
 ]
 
 

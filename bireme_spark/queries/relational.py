@@ -10094,3 +10094,209 @@ ORDER BY segment
 
 QUERIES["customers_interpurchase_cv"] = customers_interpurchase_cv
 ORACLE["customers_interpurchase_cv"] = CUSTOMERS_IPCV_SQL
+
+
+# ---------------------------------------------------------------------------
+# nations_correspondence_analysis — contingency CA first axis
+# (round 10)
+# ---------------------------------------------------------------------------
+
+_CA_ITERS = 60
+
+
+def _ca_tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — matches Spark DIV and
+    DuckDB // on negatives (the house rule: never Python // in a
+    fold an oracle checks)."""
+    return abs(a) // b * (1 if a >= 0 else -1)
+
+
+def nations_correspondence_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correspondence analysis (first principal axis) of the
+    nation × order-priority contingency table: which priorities
+    load which way on the dominant association axis, how much of
+    the total inertia (χ²/N) that axis explains, and each
+    priority's mass — the dimensionality view that
+    orders_chi2_independence's single number can't give (χ² says
+    "dependent"; CA says HOW).
+
+    Determinism: standardized residuals A_ij = (N·n_ij − R_iC_j) /
+    (√N·√(R_iC_j)) are computed from exact integers in one shared
+    double expression and e6-rounded PER CELL; M = AᵀA is an exact
+    integer 5×5; the power iteration runs 60 steps of PURE INTEGER
+    ops (w = M·v; v' = w·1e6 DIV max|w|, truncation toward zero)
+    — the model-sized matrix crosses the driver (house contract:
+    corpus touched once, only the MODEL iterates), and the DuckDB
+    oracle replays the identical integer recursion as a recursive
+    CTE, so the gate checks the WHOLE pipeline including the
+    eigensolve. Sign fixed by the first nonzero coordinate.
+
+    Scale: one join+groupBy to 125 cells; everything after is
+    5×5-sized."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    wr = Window.partitionBy("c_nationkey")
+    wc = Window.partitionBy("o_orderpriority")
+    wall = Window.partitionBy()
+    wj = Window.orderBy("o_orderpriority")
+    a = cells.select(
+        "c_nationkey",
+        "o_orderpriority",
+        F.expr("CAST(SUM(n) OVER (PARTITION BY c_nationkey) AS BIGINT)").alias("ri"),
+        F.expr("CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)").alias("cj"),
+        F.expr("CAST(SUM(n) OVER () AS BIGINT)").alias("nn"),
+        "n",
+    ).select(
+        "c_nationkey",
+        "o_orderpriority",
+        "cj",
+        "nn",
+        F.expr(
+            "CAST(ROUND(CAST(nn * n - ri * cj AS DOUBLE)"
+            " / (SQRT(CAST(nn AS DOUBLE)) * SQRT(CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)))"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        ).alias("a_e6"),
+    )
+    jdx = (
+        a.select("o_orderpriority")
+        .distinct()
+        .select("o_orderpriority", F.row_number().over(wj).alias("j"))
+    )
+    aj = a.join(F.broadcast(jdx), "o_orderpriority")
+    m = (
+        aj.alias("x")
+        .join(aj.alias("y"), F.expr("x.c_nationkey = y.c_nationkey"))
+        .groupBy(F.expr("x.j").alias("j"), F.expr("y.j").alias("k"))
+        .agg(F.expr("CAST(SUM(x.a_e6 * y.a_e6) AS BIGINT)").alias("m"))
+    )
+    mrows = {(int(r["j"]), int(r["k"])): int(r["m"]) for r in m.collect()}
+    inertia_e6 = sum(v for (j, k), v in mrows.items() if j == k) // 10**6
+    masses = {
+        r["o_orderpriority"]: (int(r["j"]), int(r["cj"]), int(r["nn"]))
+        for r in aj.select("o_orderpriority", "j", "cj", "nn").distinct().collect()
+    }
+    dim = max(j for j, _, _ in masses.values())
+    v = [10**6] * dim
+    for _ in range(_CA_ITERS):
+        w = [sum(mrows.get((j + 1, k + 1), 0) * v[j] for j in range(dim)) for k in range(dim)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [_ca_tdiv(x * 10**6, mx) for x in w]
+    first = next(x for x in v if x != 0)
+    if first < 0:
+        v = [-x for x in v]
+    vmv = sum(v[j] * mrows.get((j + 1, k + 1), 0) * v[k] for j in range(dim) for k in range(dim))
+    vv = sum(x * x for x in v)
+    trace = sum(v2 for (j, k), v2 in mrows.items() if j == k)
+    # share = (vᵀMv)·1e6 DIV (vᵀv · trace) with full-precision ints
+    share_ppm = _ca_tdiv(vmv * 10**6, max(vv * trace, 1))
+    rows = [
+        (
+            prio,
+            j,
+            int(v[j - 1]),
+            cj * 10**6 // nn,
+            int(inertia_e6),
+            int(share_ppm),
+            int(nn),
+        )
+        for prio, (j, cj, nn) in sorted(masses.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "priority STRING, j INT, axis1_coord_e6 BIGINT, col_mass_ppm BIGINT,"
+        " total_inertia_e6 BIGINT, axis1_share_ppm BIGINT, n_orders BIGINT",
+    )
+
+
+_CA_W = lambda k, dim: " + ".join(f"mr.m{j}{k} * it.v{j}" for j in range(1, dim + 1))
+
+NATIONS_CA_SQL = f"""
+WITH RECURSIVE
+o2 AS (
+  SELECT c.c_nationkey, o.o_orderpriority
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS MATERIALIZED (
+  SELECT c_nationkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM o2 GROUP BY 1, 2
+),
+a AS MATERIALIZED (
+  SELECT c_nationkey, o_orderpriority, cj, nn,
+         CAST(ROUND(CAST(nn * n - ri * cj AS DOUBLE)
+              / (SQRT(CAST(nn AS DOUBLE)) * SQRT(CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)))
+              * CAST(1000000 AS DOUBLE)) AS BIGINT) AS a_e6
+  FROM (
+    SELECT c_nationkey, o_orderpriority, n,
+           CAST(SUM(n) OVER (PARTITION BY c_nationkey) AS BIGINT) AS ri,
+           CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS cj,
+           CAST(SUM(n) OVER () AS BIGINT) AS nn
+    FROM cells
+  )
+),
+jdx AS MATERIALIZED (
+  SELECT o_orderpriority, CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS INTEGER) AS j
+  FROM (SELECT DISTINCT o_orderpriority FROM a)
+),
+aj AS MATERIALIZED (
+  SELECT a.*, jdx.j FROM a JOIN jdx ON a.o_orderpriority = jdx.o_orderpriority
+),
+m AS MATERIALIZED (
+  SELECT x.j AS j, y.j AS k, CAST(SUM(x.a_e6 * y.a_e6) AS HUGEINT) AS m
+  FROM aj x JOIN aj y ON x.c_nationkey = y.c_nationkey
+  GROUP BY 1, 2
+),
+mr AS MATERIALIZED (
+  SELECT {", ".join(f"SUM(CASE WHEN j = {j} AND k = {k} THEN m ELSE CAST(0 AS HUGEINT) END) AS m{j}{k}" for j in range(1, 6) for k in range(1, 6))}
+  FROM m
+),
+it AS (
+  SELECT 0 AS step, {", ".join(f"CAST(1000000 AS HUGEINT) AS v{k}" for k in range(1, 6))}
+  UNION ALL
+  SELECT it.step + 1,
+         {", ".join(f"(({_CA_W(k, 5)}) * 1000000) // GREATEST(GREATEST({', '.join(f'ABS({_CA_W(kk, 5)})' for kk in range(1, 6))}), 1)" for k in range(1, 6))}
+  FROM it, mr WHERE it.step < {_CA_ITERS}
+),
+fin0 AS (SELECT * FROM it WHERE step = {_CA_ITERS}),
+fin AS (
+  SELECT {", ".join(f"CASE WHEN sgn < 0 THEN -v{k} ELSE v{k} END AS v{k}" for k in range(1, 6))}
+  FROM (
+    SELECT *, CASE WHEN v1 <> 0 THEN SIGN(v1) WHEN v2 <> 0 THEN SIGN(v2)
+                   WHEN v3 <> 0 THEN SIGN(v3) WHEN v4 <> 0 THEN SIGN(v4)
+                   ELSE SIGN(v5) END AS sgn
+    FROM fin0
+  )
+),
+stats AS (
+  SELECT
+    ({" + ".join(f"f.v{j} * mr.m{j}{k} * f.v{k}" for j in range(1, 6) for k in range(1, 6))}) AS vmv,
+    ({" + ".join(f"f.v{k} * f.v{k}" for k in range(1, 6))}) AS vv,
+    ({" + ".join(f"mr.m{k}{k}" for k in range(1, 6))}) AS trace
+  FROM fin f, mr
+),
+scal AS (
+  SELECT CAST((SELECT SUM(a_e6 * a_e6) FROM a) // 1000000 AS BIGINT) AS total_inertia_e6,
+         CAST(s.vmv * 1000000 // GREATEST(s.vv * s.trace, 1) AS BIGINT) AS axis1_share_ppm
+  FROM stats s
+)
+SELECT jd.o_orderpriority AS priority,
+       jd.j,
+       CAST(CASE jd.j {" ".join(f"WHEN {k} THEN f.v{k}" for k in range(1, 6))} END AS BIGINT) AS axis1_coord_e6,
+       CAST(mass.cj * 1000000 // mass.nn AS BIGINT) AS col_mass_ppm,
+       sc.total_inertia_e6,
+       sc.axis1_share_ppm,
+       CAST(mass.nn AS BIGINT) AS n_orders
+FROM jdx jd
+JOIN (SELECT DISTINCT o_orderpriority, cj, nn FROM a) mass
+  ON jd.o_orderpriority = mass.o_orderpriority,
+fin f, scal sc
+ORDER BY priority
+"""
+
+QUERIES["nations_correspondence_analysis"] = nations_correspondence_analysis
+ORACLE["nations_correspondence_analysis"] = NATIONS_CA_SQL

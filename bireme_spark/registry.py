@@ -150,6 +150,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "embedding_sq8_distortion",
         "customers_interpurchase_cv",
         "tokenizer_oov_rate_matrix",
+        "nations_correspondence_analysis",
     }
 )
 

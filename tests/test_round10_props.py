@@ -2534,3 +2534,64 @@ class TestOovRateMatrix:
         # a source's own vocabulary must beat the row average
         for src in srcs:
             assert diag[src] <= sum(rows[src]) / len(rows[src])
+
+
+class TestCorrespondenceAnalysis:
+    def test_matches_exact_pipeline_and_true_eigensolve(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.relational import (
+            _CA_ITERS,
+            _ca_tdiv,
+            nations_correspondence_analysis,
+        )
+
+        df = nations_correspondence_analysis(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        c = _pq("customer")
+        oo = o.merge(c[["c_custkey", "c_nationkey"]], left_on="o_custkey", right_on="c_custkey")
+        tab = oo.groupby(["c_nationkey", "o_orderpriority"]).size().unstack(fill_value=0)
+        tab = tab[sorted(tab.columns)]
+        N = int(tab.to_numpy().sum())
+        R = tab.sum(axis=1).to_numpy()
+        C = tab.sum(axis=0).to_numpy()
+        A = np.zeros(tab.shape, dtype="int64")
+        for i in range(tab.shape[0]):
+            for j in range(tab.shape[1]):
+                val = (N * int(tab.iat[i, j]) - int(R[i]) * int(C[j])) / (
+                    math.sqrt(N) * math.sqrt(int(R[i]) * int(C[j]))
+                )
+                A[i, j] = int(round(val * 1e6))
+        M = (A.T.astype(object) @ A.astype(object))
+        dim = tab.shape[1]
+        v = [10**6] * dim
+        for _ in range(_CA_ITERS):
+            w = [sum(int(M[j][k]) * v[j] for j in range(dim)) for k in range(dim)]
+            mx = max(max(abs(x) for x in w), 1)
+            v = [_ca_tdiv(x * 10**6, mx) for x in w]
+        if next(x for x in v if x != 0) < 0:
+            v = [-x for x in v]
+        vmv = sum(v[j] * int(M[j][k]) * v[k] for j in range(dim) for k in range(dim))
+        vv = sum(x * x for x in v)
+        trace = sum(int(M[k][k]) for k in range(dim))
+        share = _ca_tdiv(vmv * 10**6, max(vv * trace, 1))
+        inertia = sum(int(a) ** 2 for a in A.flatten()) // 10**6
+        assert len(df) == dim
+        for rec in df.itertuples():
+            jj = rec.j - 1
+            assert rec.axis1_coord_e6 == v[jj]
+            assert rec.total_inertia_e6 == inertia
+            assert rec.axis1_share_ppm == share
+            assert rec.n_orders == N
+            assert rec.col_mass_ppm == int(C[jj]) * 10**6 // N
+        # the integer power iteration must agree with a FLOAT eigensolve
+        Mf = np.array(M.tolist(), dtype="float64")
+        evals, evecs = np.linalg.eigh(Mf)
+        lam1 = evals[-1]
+        top = evecs[:, -1]
+        top = top / np.abs(top).max()
+        if next(x for x in top if abs(x) > 1e-12) < 0:
+            top = -top
+        got = np.array(v, dtype="float64") / 1e6
+        assert np.max(np.abs(got - top)) < 1e-3
+        assert abs(share / 1e6 - lam1 / Mf.trace()) < 1e-3
