@@ -4566,3 +4566,96 @@ ORDER BY window_days
 
 QUERIES["cdc_batch_coalescing_report"] = cdc_batch_coalescing_report
 ORACLE["cdc_batch_coalescing_report"] = CDC_COALESCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_gtid_gap_audit — GTID-set hole detection (round 10)
+# ---------------------------------------------------------------------------
+
+
+def cdc_gtid_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-set gap audit for a MySQL-flavored multi-source feed:
+    each source server's executed transaction ids are compacted into
+    consecutive-run islands (the `uuid:a-b:c-d` form a GTID set
+    serializes), and the HOLES between islands are exactly the
+    transactions a failover replica never received — the audit a
+    MySQL CDC operator runs before trusting auto-positioning
+    (the interval-algebra sibling of cdc_offset_gaps, which watches
+    Kafka's dense numeric offsets; GTID sets are sparse by design).
+
+    Fixture: executed txn id = o_orderkey DIV 4 per server uuid =
+    o_custkey % 3 (sparse, overlapping runs — DIV 4 keeps ~1/4 of
+    ids per server so real holes exist at every SF). Islands via the
+    classic id − DENSE_RANK constant-difference grouping; every
+    output is an exact integer.
+
+    Scale: one distinct + one window over (server, txn) — both
+    shuffle on the server key; islands aggregate map-side after."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(o_custkey % 3 AS INT)").alias("server"),
+        F.expr("CAST(o_orderkey DIV 4 AS BIGINT)").alias("txn"),
+    ).distinct()
+    w = Window.partitionBy("server").orderBy("txn")
+    isl = o.withColumn("grp", F.expr("txn") - F.dense_rank().over(w)).groupBy(
+        "server", "grp"
+    ).agg(
+        F.expr("CAST(MIN(txn) AS BIGINT)").alias("lo"),
+        F.expr("CAST(MAX(txn) AS BIGINT)").alias("hi"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+    )
+    wg = Window.partitionBy("server").orderBy("lo")
+    holes = isl.withColumn("next_lo", F.lead("lo").over(wg)).select(
+        "server",
+        "n",
+        F.expr("CASE WHEN next_lo IS NULL THEN CAST(0 AS BIGINT) ELSE next_lo - hi - 1 END").alias(
+            "hole"
+        ),
+    )
+    return (
+        holes.groupBy("server")
+        .agg(
+            F.expr("CAST(SUM(n) AS BIGINT)").alias("n_txns"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_islands"),
+            F.expr("CAST(SUM(CASE WHEN hole > 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_holes"),
+            F.expr("CAST(SUM(hole) AS BIGINT)").alias("missing_txns"),
+            F.expr("CAST(MAX(hole) AS BIGINT)").alias("largest_hole"),
+        )
+        .orderBy("server")
+    )
+
+
+CDC_GTID_SQL = """
+WITH o AS (
+  SELECT DISTINCT CAST(o_custkey % 3 AS INTEGER) AS server,
+                  CAST(o_orderkey // 4 AS BIGINT) AS txn
+  FROM orders
+),
+isl AS (
+  SELECT server, grp, CAST(MIN(txn) AS BIGINT) AS lo, CAST(MAX(txn) AS BIGINT) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT server, txn,
+           txn - DENSE_RANK() OVER (PARTITION BY server ORDER BY txn) AS grp
+    FROM o
+  ) GROUP BY 1, 2
+),
+holes AS (
+  SELECT server, n,
+         CASE WHEN LEAD(lo) OVER (PARTITION BY server ORDER BY lo) IS NULL
+              THEN CAST(0 AS BIGINT)
+              ELSE LEAD(lo) OVER (PARTITION BY server ORDER BY lo) - hi - 1 END AS hole
+  FROM isl
+)
+SELECT server,
+       CAST(SUM(n) AS BIGINT) AS n_txns,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(CASE WHEN hole > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_holes,
+       CAST(SUM(hole) AS BIGINT) AS missing_txns,
+       CAST(MAX(hole) AS BIGINT) AS largest_hole
+FROM holes
+GROUP BY 1
+ORDER BY server
+"""
+
+QUERIES["cdc_gtid_gap_audit"] = cdc_gtid_gap_audit
+ORACLE["cdc_gtid_gap_audit"] = CDC_GTID_SQL

@@ -4974,3 +4974,118 @@ FROM agg
 
 QUERIES["events_anderson_darling"] = events_anderson_darling
 ORACLE["events_anderson_darling"] = ANDERSON_DARLING_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_extremal_index — extreme-value clustering (round 10)
+# ---------------------------------------------------------------------------
+
+
+def events_extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs-declustering extremal index θ per event type: exceedances
+    above the type's p95 value arrive in CLUSTERS when extremes are
+    dependent, and θ̂ = clusters/exceedances (run gap 2h) measures it
+    — θ≈1 says extremes are isolated (the POT/GPD fit of
+    events_pot_gpd_tail can treat them i.i.d.), θ≪1 says one storm
+    is being counted many times and the return-level math must
+    decluster first. This is the missing prerequisite check of the
+    extreme-value family (Gumbel/GPD/MRL are all fitted here).
+
+    Engine-exact: the threshold is a ceil-rank order statistic from
+    the millis histogram-CDF (cross-multiplied); exceedance times
+    are integer µs; a cluster break is gap > 7200e6 µs; θ and the
+    mean cluster size are integer-ppm DIVs.
+
+    Scale: one histogram-CDF per type + ONE window over the
+    exceedance subset (5% of rows) — the full stream is never
+    sorted."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 1000) AS BIGINT)").alias("x"),
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    hist = e.groupBy("event_type", "x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = Window.partitionBy("event_type").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    thr = (
+        hist.withColumn("cum", F.sum("c").over(wc).cast("bigint"))
+        .withColumn("n", F.sum("c").over(wall).cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * 95, F.col("x"))).alias("u")
+        )
+    )
+    exc = e.join(F.broadcast(thr), "event_type").where(F.col("x") > F.col("u"))
+    wt = Window.partitionBy("event_type").orderBy("us")
+    runs = exc.withColumn("prev", F.lag("us").over(wt)).select(
+        "event_type",
+        "u",
+        F.expr(
+            "CASE WHEN prev IS NULL OR us - prev > 7200000000 THEN 1 ELSE 0 END"
+        ).alias("new_cluster"),
+    )
+    return (
+        runs.groupBy("event_type", "u")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_exceedances"),
+            F.expr("CAST(SUM(new_cluster) AS BIGINT)").alias("n_clusters"),
+        )
+        .select(
+            "event_type",
+            F.col("u").alias("threshold_x1000"),
+            "n_exceedances",
+            "n_clusters",
+            F.expr("n_clusters * 1000000 DIV n_exceedances").alias("theta_ppm"),
+            F.expr("n_exceedances * 1000000 DIV GREATEST(n_clusters, 1)").alias(
+                "mean_cluster_size_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_EXTREMAL_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS x, epoch_us(ts) AS us
+  FROM events
+),
+hist AS (
+  SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+),
+cdf AS (
+  SELECT event_type, x,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hist
+),
+thr AS (
+  SELECT event_type, MIN(CASE WHEN cum * 100 >= n * 95 THEN x END) AS u
+  FROM cdf GROUP BY 1
+),
+exc AS (
+  SELECT e.event_type, t.u, e.us
+  FROM e JOIN thr t ON e.event_type = t.event_type
+  WHERE e.x > t.u
+),
+runs AS (
+  SELECT event_type, u,
+         CASE WHEN LAG(us) OVER (PARTITION BY event_type ORDER BY us) IS NULL
+                   OR us - LAG(us) OVER (PARTITION BY event_type ORDER BY us) > 7200000000
+              THEN 1 ELSE 0 END AS new_cluster
+  FROM exc
+)
+SELECT event_type,
+       u AS threshold_x1000,
+       CAST(COUNT(*) AS BIGINT) AS n_exceedances,
+       CAST(SUM(new_cluster) AS BIGINT) AS n_clusters,
+       CAST(SUM(new_cluster) * 1000000 // COUNT(*) AS BIGINT) AS theta_ppm,
+       CAST(COUNT(*) * 1000000 // GREATEST(SUM(new_cluster), 1) AS BIGINT) AS mean_cluster_size_ppm
+FROM runs
+GROUP BY 1, 2
+ORDER BY event_type
+"""
+
+QUERIES["events_extremal_index"] = events_extremal_index
+ORACLE["events_extremal_index"] = EVENTS_EXTREMAL_SQL

@@ -3012,3 +3012,132 @@ ORDER BY l.bucket_id
 
 QUERIES["multimodal_aspect_ratio_bucketing"] = multimodal_aspect_ratio_bucketing
 ORACLE["multimodal_aspect_ratio_bucketing"] = MULTIMODAL_ARB_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_exposure_audit — clipping / contrast screen
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_image_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure screen over the synthesized image corpus: per image,
+    the highlight-clipping share (pixels ≥ 250), shadow-clipping
+    share (≤ 5), dynamic range and mean level, with a routing flag
+    ('clipped_high' / 'clipped_low' / 'low_contrast' / 'ok') — the
+    first-pass filter a vision-training pipeline runs to drop
+    blown-out or flat images before they cost decode+embed compute.
+
+    The Spark side round-trips REAL bytes through the pure-python
+    codecs (encode→decode in ONE fused mapInPandas pass — the r5
+    fusion rule) and computes the stats off the DECODED buffer, so
+    the audit exercises the codec path; the oracle predicts every
+    stat symbolically from the pixel formula (x+y+doc_id+37c) % 256
+    — if either side of the codec lies, the hash splits.
+
+    Engine-exact: counts and integer-ppm/x1000 DIVs only. Scale:
+    Arrow-batched linear pass, no shuffle (repartitioned first —
+    documents parquet arrives as one partition)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "clip_lo_ppm", "clip_hi_ppm", "dynamic_range", "mean_x1000")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                ys = np.arange(h)[:, None, None]
+                xs = np.arange(w)[None, :, None]
+                cs = (37 * np.arange(3))[None, None, :]
+                pix = ((ys + xs + cs + doc_id) % 256).astype(np.uint8).tobytes()
+                if doc_id % 2 == 0:
+                    _, _, _, buf = decode_bmp(encode_bmp(w, h, pix))
+                else:
+                    _, _, _, buf = decode_png(encode_png(w, h, pix))
+                arr = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+                npx = arr.size
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["clip_lo_ppm"].append(int((arr <= 5).sum()) * 10**6 // npx)
+                out["clip_hi_ppm"].append(int((arr >= 250).sum()) * 10**6 // npx)
+                out["dynamic_range"].append(int(arr.max()) - int(arr.min()))
+                out["mean_x1000"].append(int(arr.sum()) * 1000 // npx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "clip_lo_ppm": pd.Series(out["clip_lo_ppm"], dtype="int64"),
+                    "clip_hi_ppm": pd.Series(out["clip_hi_ppm"], dtype="int64"),
+                    "dynamic_range": pd.Series(out["dynamic_range"], dtype="int64"),
+                    "mean_x1000": pd.Series(out["mean_x1000"], dtype="int64"),
+                }
+            )
+
+    feats = d.mapInPandas(
+        audit,
+        schema="doc_id long, width int, height int, clip_lo_ppm long,"
+        " clip_hi_ppm long, dynamic_range long, mean_x1000 long",
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "clip_lo_ppm",
+        "clip_hi_ppm",
+        "dynamic_range",
+        "mean_x1000",
+        F.expr(
+            "CASE WHEN clip_hi_ppm > 20000 THEN 'clipped_high'"
+            " WHEN clip_lo_ppm > 20000 THEN 'clipped_low'"
+            " WHEN dynamic_range < 64 THEN 'low_contrast'"
+            " ELSE 'ok' END"
+        ).alias("exposure_flag"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_EXPOSURE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (x.x + y.y + d.doc_id + 37 * c.c) % 256 AS p
+  FROM dims d
+  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, d.w - 1)) AS x) x
+  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, d.h - 1)) AS y) y
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS c) c
+),
+agg AS (
+  SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         CAST(SUM(CASE WHEN p <= 5 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS clip_lo_ppm,
+         CAST(SUM(CASE WHEN p >= 250 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS clip_hi_ppm,
+         CAST(MAX(p) - MIN(p) AS BIGINT) AS dynamic_range,
+         CAST(SUM(p) * 1000 // COUNT(*) AS BIGINT) AS mean_x1000
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT doc_id, width, height, clip_lo_ppm, clip_hi_ppm, dynamic_range, mean_x1000,
+       CASE WHEN clip_hi_ppm > 20000 THEN 'clipped_high'
+            WHEN clip_lo_ppm > 20000 THEN 'clipped_low'
+            WHEN dynamic_range < 64 THEN 'low_contrast'
+            ELSE 'ok' END AS exposure_flag
+FROM agg
+ORDER BY doc_id
+"""
+
+QUERIES["multimodal_image_exposure_audit"] = multimodal_image_exposure_audit
+ORACLE["multimodal_image_exposure_audit"] = MULTIMODAL_EXPOSURE_SQL

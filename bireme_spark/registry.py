@@ -151,6 +151,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "customers_interpurchase_cv",
         "tokenizer_oov_rate_matrix",
         "nations_correspondence_analysis",
+        "cdc_gtid_gap_audit",
+        "events_extremal_index",
+        "multimodal_image_exposure_audit",
     }
 )
 

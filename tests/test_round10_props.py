@@ -2595,3 +2595,88 @@ class TestCorrespondenceAnalysis:
         got = np.array(v, dtype="float64") / 1e6
         assert np.max(np.abs(got - top)) < 1e-3
         assert abs(share / 1e6 - lam1 / Mf.trace()) < 1e-3
+
+
+class TestGtidGapAudit:
+    def test_matches_interval_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.cdc import cdc_gtid_gap_audit
+
+        df = cdc_gtid_gap_audit(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        per = {}
+        for ck, ok in zip(o["o_custkey"], o["o_orderkey"]):
+            per.setdefault(int(ck) % 3, set()).add(int(ok) // 4)
+        for rec in df.itertuples():
+            txns = sorted(per[rec.server])
+            islands = []
+            lo = prev = txns[0]
+            for t in txns[1:]:
+                if t == prev + 1:
+                    prev = t
+                else:
+                    islands.append((lo, prev))
+                    lo = prev = t
+            islands.append((lo, prev))
+            holes = [b[0] - a[1] - 1 for a, b in zip(islands, islands[1:])]
+            assert rec.n_txns == len(txns)
+            assert rec.n_islands == len(islands)
+            assert rec.n_holes == sum(1 for h in holes if h > 0)
+            assert rec.missing_txns == sum(holes)
+            assert rec.largest_hole == (max(holes) if holes else 0)
+            # conservation: txns + missing spans the full range
+            assert rec.n_txns + rec.missing_txns == txns[-1] - txns[0] + 1
+
+
+class TestExtremalIndex:
+    def test_matches_runs_recompute_and_bounds(self, spark, sf_dir):
+        from bireme_spark.queries.events import events_extremal_index
+
+        df = events_extremal_index(spark, sf_dir).toPandas()
+        ev = _pq("events")
+        ev["x"] = np.round(ev["value"].to_numpy() * 1000).astype("int64")
+        ev["us"] = pd.to_datetime(ev["ts"]).astype("datetime64[us]").astype("int64")
+        for rec in df.itertuples():
+            g = ev[ev["event_type"] == rec.event_type]
+            xs = np.sort(g["x"].to_numpy())
+            n = len(xs)
+            u = xs[(n * 95 + 99) // 100 - 1]
+            assert rec.threshold_x1000 == u
+            times = sorted(g[g["x"] > u]["us"])
+            clusters = 1 + sum(
+                1 for a, b in zip(times, times[1:]) if b - a > 7_200_000_000
+            )
+            assert rec.n_exceedances == len(times)
+            assert rec.n_clusters == clusters
+            assert rec.theta_ppm == clusters * 10**6 // len(times)
+            assert 0 < rec.theta_ppm <= 10**6
+
+
+class TestExposureAudit:
+    def test_matches_symbolic_pixels(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_image_exposure_audit
+
+        df = multimodal_image_exposure_audit(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        assert len(df) == len(docs)
+        flags = set()
+        for rec in df.itertuples():
+            doc_id = int(rec.doc_id)
+            w, h = 8 + doc_id % 8, 8 + doc_id % 5
+            pix = np.array(
+                [
+                    (x + y + doc_id + 37 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                ],
+                dtype="int64",
+            )
+            npx = pix.size
+            assert (rec.width, rec.height) == (w, h)
+            assert rec.clip_lo_ppm == int((pix <= 5).sum()) * 10**6 // npx
+            assert rec.clip_hi_ppm == int((pix >= 250).sum()) * 10**6 // npx
+            assert rec.dynamic_range == int(pix.max() - pix.min())
+            assert rec.mean_x1000 == int(pix.sum()) * 1000 // npx
+            flags.add(rec.exposure_flag)
+        # the synthetic ramp must produce BOTH clipped and ok images
+        assert "ok" in flags and len(flags) >= 2
