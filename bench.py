@@ -389,6 +389,9 @@ HEADLINE = [
     "cdc_gtid_gap_audit",
     "events_extremal_index",
     "multimodal_image_exposure_audit",
+    "lineitem_quantile_regression_profile",
+    "dedup_survivor_quality_audit",
+    "nations_product_diversity",
 ]
 
 

@@ -1103,3 +1103,159 @@ ORDER BY cluster_size
 
 QUERIES["corpus_dedup_cluster_sizes"] = corpus_dedup_cluster_sizes
 ORACLE["corpus_dedup_cluster_sizes"] = DEDUP_CLUSTER_SIZES_SQL
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivor_quality_audit — who should survive a cluster?
+# (round 10)
+# ---------------------------------------------------------------------------
+
+# stride-proof variant coins (md5 nibble — sf1 doc ids stride by 1e8,
+# so `% k` residues are degenerate there; a hash nibble is uniform)
+_SVQ_NIB = (
+    "(CAST(position(substr(md5(concat('sv:', CAST(doc_id AS STRING))), 1, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT))"
+)
+
+
+def dedup_survivor_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-selection audit for near-dup clusters: the naive
+    min-id rule every exact/LSH dedup here uses (canonical_id =
+    MIN(doc_id)) silently keeps the FIRST-crawled member, not the
+    BEST one. This audit builds clusters with planted non-identical
+    members — a DOUBLED variant (nibble < 2 of md5('sv:'‖id)) and a
+    TRUNCATED-to-half variant (nibble in [2,4)) — scores every
+    member with the house quality proxy (length term × stopword
+    purity, fully integer at e12), and reports per variant kind how
+    often min-id keeps a worse document and by how much. The planted
+    direction is known (doubling raises the sub-400-token length
+    term, truncation lowers it), so the property test can assert the
+    audit FIRES, not just that engines agree (the r10
+    quality_classifier constant-label lesson).
+
+    Scale: one union of map-side variant projections, one cluster
+    window, one 2-row agg — linear."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.where(F.expr(f"{_SVQ_NIB} < 2")).select(
+        F.col("doc_id").alias("cluster_id"),
+        F.expr("doc_id + 1000000").alias("member_id"),
+        F.expr("concat(text, ' ', text)").alias("text"),
+        F.lit("doubled").alias("variant_kind"),
+    )
+    truncated = d.where(F.expr(f"{_SVQ_NIB} >= 2 AND {_SVQ_NIB} < 4")).select(
+        F.col("doc_id").alias("cluster_id"),
+        F.expr("doc_id + 2000000").alias("member_id"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 1, CAST("
+            "GREATEST(CAST(size(split(text, ' ')) AS INT) DIV 2, 1) AS INT)), ' ')"
+        ).alias("text"),
+        F.lit("truncated").alias("variant_kind"),
+    )
+    originals = d.join(
+        doubled.select(F.col("cluster_id").alias("doc_id")).union(
+            truncated.select(F.col("cluster_id").alias("doc_id"))
+        ),
+        "doc_id",
+    ).select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("doc_id").alias("member_id"),
+        "text",
+        F.lit(None).cast("string").alias("variant_kind"),
+    )
+    members = originals.unionByName(doubled).unionByName(truncated)
+    q = members.select(
+        "cluster_id",
+        "member_id",
+        F.expr("COALESCE(variant_kind, 'original')").alias("vk"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("nt"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), w -> w IN ('a', 'the'))) AS BIGINT)"
+        ).alias("ns"),
+    ).select(
+        "cluster_id",
+        "member_id",
+        "vk",
+        F.expr(
+            "LEAST(CAST(1000000 AS BIGINT), nt * 2500)"
+            " * (1000000 - ns * 1000000 DIV nt)"
+        ).alias("q_e12"),
+    )
+    audit = q.select(
+        "cluster_id",
+        "vk",
+        "q_e12",
+        F.expr("MIN(member_id) OVER (PARTITION BY cluster_id)").alias("survivor_id"),
+        F.col("member_id"),
+        F.expr("MAX(q_e12) OVER (PARTITION BY cluster_id)").alias("q_max"),
+    )
+    surv = audit.where(F.col("member_id") == F.col("survivor_id"))
+    kinds = audit.where(F.col("vk") != "original").select(
+        "cluster_id", F.col("vk").alias("variant_kind")
+    )
+    return (
+        surv.join(kinds, "cluster_id")
+        .groupBy("variant_kind")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_clusters"),
+            F.expr("CAST(SUM(CASE WHEN q_e12 < q_max THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "n_suboptimal_survivor"
+            ),
+            F.expr("CAST(SUM(q_max - q_e12) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_quality_gap_e12"
+            ),
+            F.expr("CAST(MAX(q_max - q_e12) AS BIGINT)").alias("max_quality_gap_e12"),
+        )
+        .orderBy("variant_kind")
+    )
+
+
+DEDUP_SVQ_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+doubled AS (
+  SELECT doc_id AS cluster_id, doc_id + 1000000 AS member_id,
+         concat(text, ' ', text) AS text, 'doubled' AS vk
+  FROM d WHERE {_SVQ_NIB} < 2
+),
+truncated AS (
+  SELECT doc_id AS cluster_id, doc_id + 2000000 AS member_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           GREATEST(len(string_split(text, ' ')) // 2, 1)), ' ') AS text,
+         'truncated' AS vk
+  FROM d WHERE {_SVQ_NIB} >= 2 AND {_SVQ_NIB} < 4
+),
+originals AS (
+  SELECT d.doc_id AS cluster_id, d.doc_id AS member_id, d.text, 'original' AS vk
+  FROM d JOIN (SELECT cluster_id FROM doubled UNION ALL SELECT cluster_id FROM truncated) v
+    ON d.doc_id = v.cluster_id
+),
+members AS (
+  SELECT * FROM originals UNION ALL SELECT * FROM doubled UNION ALL SELECT * FROM truncated
+),
+q AS MATERIALIZED (
+  SELECT cluster_id, member_id, vk,
+         LEAST(CAST(1000000 AS BIGINT), CAST(len(string_split(text, ' ')) AS BIGINT) * 2500)
+         * (1000000 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) AS BIGINT)
+            * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)) AS q_e12
+  FROM members
+),
+audit AS (
+  SELECT cluster_id, vk, q_e12,
+         MIN(member_id) OVER (PARTITION BY cluster_id) AS survivor_id,
+         member_id,
+         MAX(q_e12) OVER (PARTITION BY cluster_id) AS q_max
+  FROM q
+),
+surv AS (SELECT * FROM audit WHERE member_id = survivor_id),
+kinds AS (SELECT cluster_id, vk AS variant_kind FROM audit WHERE vk <> 'original')
+SELECT k.variant_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN s.q_e12 < s.q_max THEN 1 ELSE 0 END) AS BIGINT) AS n_suboptimal_survivor,
+       CAST(SUM(s.q_max - s.q_e12) // COUNT(*) AS BIGINT) AS mean_quality_gap_e12,
+       CAST(MAX(s.q_max - s.q_e12) AS BIGINT) AS max_quality_gap_e12
+FROM surv s JOIN kinds k ON s.cluster_id = k.cluster_id
+GROUP BY 1
+ORDER BY k.variant_kind
+"""
+
+QUERIES["dedup_survivor_quality_audit"] = dedup_survivor_quality_audit
+ORACLE["dedup_survivor_quality_audit"] = DEDUP_SVQ_SQL

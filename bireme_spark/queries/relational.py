@@ -10300,3 +10300,251 @@ ORDER BY priority
 
 QUERIES["nations_correspondence_analysis"] = nations_correspondence_analysis
 ORACLE["nations_correspondence_analysis"] = NATIONS_CA_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_quantile_regression_profile — L1 trend via slope scan
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_quantile_regression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (τ=0.5) regression of daily revenue on time by a
+    deterministic profile scan: 21 integer slope candidates spread
+    ±100% around the OLS slope; for each, the L1-optimal intercept
+    is the LOW MEDIAN of the residuals (exact — that's the quantile
+    regression normal equation at fixed slope) and the loss is the
+    exact integer Σ|r − a|. The emitted loss profile is the robust
+    answer to "is the OLS trend dragged by outlier days" —
+    read the argmin against the OLS column (a displaced argmin =
+    heavy-tailed revenue days, exactly when orders_durbin_watson's
+    OLS machinery needs the robust cross-check).
+
+    Determinism: slopes/intercepts/losses are exact integers at the
+    cents·×1000 scale; argmin ties break to the smallest slope.
+
+    Scale: the fixed ~2400-day frame crossJoins a 21-row broadcast
+    grid; medians are per-candidate sorted 2400-arrays; one agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.expr("CAST(SUM(cents) AS DECIMAL(38,0))").alias("y"))
+    mind = daily.agg(F.min("d").alias("d0"))
+    base = (
+        daily.crossJoin(F.broadcast(mind))
+        .select(F.expr("CAST(DATEDIFF(d, d0) AS BIGINT)").alias("t"), "y")
+        .localCheckpoint(eager=True)
+    )
+    stats = base.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(t) AS DECIMAL(38,0))").alias("st"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("CAST(SUM(t * t) AS DECIMAL(38,0))").alias("stt"),
+        F.expr("SUM(CAST(t AS DECIMAL(38,0)) * y)").alias("sty"),
+    ).select(
+        F.expr(
+            "CAST((n * sty - st * sy) * 1000 DIV (n * stt - st * st) AS BIGINT)"
+        ).alias("b_ols_e3")
+    )
+    grid = spark.range(0, 21).select(F.expr("CAST(id AS INT)").alias("j"))
+    cand = (
+        stats.crossJoin(grid)
+        .select(
+            "j",
+            "b_ols_e3",
+            F.expr(
+                "b_ols_e3 + (j - 10) * GREATEST(ABS(b_ols_e3) DIV 10, CAST(1 AS BIGINT))"
+            ).alias("b_e3"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    resid = base.crossJoin(F.broadcast(cand)).select(
+        "j", "b_e3", "b_ols_e3", F.expr("y * 1000 - CAST(b_e3 AS DECIMAL(38,0)) * t").alias("r")
+    )
+    med = resid.groupBy("j", "b_e3", "b_ols_e3").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(r)), CAST((COUNT(*) + 1) DIV 2 AS INT))"
+        ).alias("a")
+    )
+    loss = (
+        resid.join(F.broadcast(med.select("j", "a")), "j")
+        .groupBy("j", "b_e3", "b_ols_e3")
+        .agg(F.expr("CAST(SUM(ABS(r - a)) AS DECIMAL(38,0))").alias("l1"))
+    )
+    wmin = Window.partitionBy()
+    return (
+        loss.join(F.broadcast(med.select("j", "a")), "j")
+        .withColumn("lmin", F.expr("MIN(l1) OVER ()"))
+        .withColumn("jbest", F.expr("MIN(CASE WHEN l1 = lmin THEN j END) OVER ()"))
+        .select(
+            "j",
+            F.col("b_e3").alias("slope_cents_per_day_x1000"),
+            F.col("b_ols_e3").alias("ols_slope_x1000"),
+            F.expr("CAST(a DIV 1000 AS BIGINT)").alias("intercept_cents"),
+            F.expr("CAST(l1 DIV 1000 AS BIGINT)").alias("l1_loss_cents"),
+            F.expr("CAST(CASE WHEN j = jbest THEN 1 ELSE 0 END AS INT)").alias("is_best"),
+        )
+        .orderBy("j")
+    )
+
+
+LINEITEM_QRP_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS y
+  FROM orders GROUP BY 1
+),
+base AS MATERIALIZED (
+  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM daily), d) AS BIGINT) AS t, y
+  FROM daily
+),
+stats AS (
+  SELECT CAST((n * sty - st * sy) * 1000 // (n * stt - st * st) AS BIGINT) AS b_ols_e3
+  FROM (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(t) AS HUGEINT) AS st, SUM(y) AS sy,
+           CAST(SUM(t * t) AS HUGEINT) AS stt, SUM(CAST(t AS HUGEINT) * y) AS sty
+    FROM base
+  )
+),
+cand AS MATERIALIZED (
+  SELECT CAST(g.j AS INTEGER) AS j, s.b_ols_e3,
+         s.b_ols_e3 + (g.j - 10) * GREATEST(ABS(s.b_ols_e3) // 10, 1) AS b_e3
+  FROM stats s, (SELECT UNNEST(generate_series(0, 20)) AS j) g
+),
+resid AS MATERIALIZED (
+  SELECT c.j, c.b_e3, c.b_ols_e3, b.y * 1000 - CAST(c.b_e3 AS HUGEINT) * b.t AS r
+  FROM base b, cand c
+),
+med AS MATERIALIZED (
+  SELECT j, b_e3, b_ols_e3,
+         list_extract(list_sort(list(r)), CAST((COUNT(*) + 1) // 2 AS BIGINT)) AS a
+  FROM resid GROUP BY 1, 2, 3
+),
+loss AS (
+  SELECT r.j, r.b_e3, r.b_ols_e3, m.a, CAST(SUM(ABS(r.r - m.a)) AS HUGEINT) AS l1
+  FROM resid r JOIN med m ON r.j = m.j
+  GROUP BY 1, 2, 3, 4
+)
+SELECT j,
+       CAST(b_e3 AS BIGINT) AS slope_cents_per_day_x1000,
+       CAST(b_ols_e3 AS BIGINT) AS ols_slope_x1000,
+       CAST(a // 1000 AS BIGINT) AS intercept_cents,
+       CAST(l1 // 1000 AS BIGINT) AS l1_loss_cents,
+       CAST(CASE WHEN j = (SELECT MIN(CASE WHEN l1 = m2 THEN j END)
+                           FROM loss, (SELECT MIN(l1) AS m2 FROM loss))
+            THEN 1 ELSE 0 END AS INTEGER) AS is_best
+FROM loss
+ORDER BY j
+"""
+
+QUERIES["lineitem_quantile_regression_profile"] = lineitem_quantile_regression_profile
+ORACLE["lineitem_quantile_regression_profile"] = LINEITEM_QRP_SQL
+
+
+# ---------------------------------------------------------------------------
+# nations_product_diversity — assortment diversity indices (round 10)
+# ---------------------------------------------------------------------------
+
+
+def nations_product_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-assortment diversity per supplier nation: Hurlbert's
+    PIE / Simpson diversity 1 − Σnₜ(nₜ−1)/(N(N−1)) (the probability
+    two random shipped items differ in part type — exact, no
+    plug-in bias) and Shannon entropy over part-type shares — the
+    assortment-breadth ranking a category planner reads next to
+    suppliers_hhi_concentration (HHI measures supplier dominance;
+    this measures what the nation actually ships).
+
+    Engine-exact: Simpson is one cross-multiplied integer-ppm form
+    in DECIMAL/HUGEINT (N² survives any SF); Shannon terms are
+    e6-rounded per type (transcendental rule) and integer-summed.
+
+    Scale: two key joins (supplier is NOT broadcast-hinted — it
+    scales with SF, AQE decides; nation is fixed-cardinality), one
+    (nation, type) agg, a |nations| close."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("s_nationkey", "p_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wn = Window.partitionBy("s_nationkey")
+    terms = cells.select(
+        "s_nationkey",
+        "c",
+        F.expr("CAST(SUM(c) OVER (PARTITION BY s_nationkey) AS BIGINT)").alias("nn"),
+    ).select(
+        "s_nationkey",
+        "nn",
+        F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)").alias("pair2"),
+        F.expr(
+            "CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))"
+            " * LN(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        ).alias("h_e6"),
+    )
+    agg = terms.groupBy("s_nationkey", "nn").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_types"),
+        F.expr("CAST(SUM(pair2) AS DECIMAL(38,0))").alias("same2"),
+        F.expr("CAST(SUM(h_e6) AS BIGINT)").alias("shannon_e6"),
+    )
+    return (
+        agg.join(F.broadcast(n), agg.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("nn").alias("n_items"),
+            "n_types",
+            F.expr(
+                "CAST((CAST(nn AS DECIMAL(38,0)) * (nn - 1) - same2) * 1000000"
+                " DIV (CAST(nn AS DECIMAL(38,0)) * (nn - 1)) AS BIGINT)"
+            ).alias("simpson_pie_ppm"),
+            "shannon_e6",
+        )
+        .orderBy("nation")
+    )
+
+
+NATIONS_DIVERSITY_SQL = """
+WITH cells AS (
+  SELECT s.s_nationkey, p.p_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT s_nationkey, nn,
+         CAST(c AS HUGEINT) * (c - 1) AS pair2,
+         CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+              * LN(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+              * CAST(1000000 AS DOUBLE)) AS BIGINT) AS h_e6
+  FROM (
+    SELECT s_nationkey, c,
+           CAST(SUM(c) OVER (PARTITION BY s_nationkey) AS BIGINT) AS nn
+    FROM cells
+  )
+),
+agg AS (
+  SELECT s_nationkey, nn,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(pair2) AS HUGEINT) AS same2,
+         CAST(SUM(h_e6) AS BIGINT) AS shannon_e6
+  FROM terms GROUP BY 1, 2
+)
+SELECT n.n_name AS nation,
+       a.nn AS n_items,
+       a.n_types,
+       CAST((CAST(a.nn AS HUGEINT) * (a.nn - 1) - a.same2) * 1000000
+            // (CAST(a.nn AS HUGEINT) * (a.nn - 1)) AS BIGINT) AS simpson_pie_ppm,
+       a.shannon_e6
+FROM agg a JOIN nation n ON a.s_nationkey = n.n_nationkey
+ORDER BY nation
+"""
+
+QUERIES["nations_product_diversity"] = nations_product_diversity
+ORACLE["nations_product_diversity"] = NATIONS_DIVERSITY_SQL

@@ -2680,3 +2680,115 @@ class TestExposureAudit:
             flags.add(rec.exposure_flag)
         # the synthetic ramp must produce BOTH clipped and ok images
         assert "ok" in flags and len(flags) >= 2
+
+
+class TestQuantileRegressionProfile:
+    def test_matches_pinball_scan_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import lineitem_quantile_regression_profile
+
+        df = lineitem_quantile_regression_profile(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        d = pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        cents = np.round(o["o_totalprice"].to_numpy() * 100).astype("int64")
+        daily = pd.DataFrame({"d": d, "y": cents}).groupby("d")["y"].sum().sort_index()
+        t = [int(v) for v in (daily.index - daily.index.min()).days]
+        y = [int(v) for v in daily.to_numpy()]
+        n = len(y)
+        st, sy = sum(t), sum(y)
+        stt = sum(v * v for v in t)
+        sty = sum(a * b for a, b in zip(t, y))
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        b_ols = tdiv((n * sty - st * sy) * 1000, n * stt - st * st)
+        step = max(abs(b_ols) // 10, 1)
+        losses = {}
+        for j in range(21):
+            b = b_ols + (j - 10) * step
+            r = sorted(yy * 1000 - b * tt for tt, yy in zip(t, y))
+            a = r[(n + 1) // 2 - 1]
+            losses[j] = (b, a, sum(abs(v - a) for v in r))
+        best_loss = min(l for _, _, l in losses.values())
+        jbest = min(j for j, (_, _, l) in losses.items() if l == best_loss)
+        assert len(df) == 21
+        for rec in df.itertuples():
+            b, a, l = losses[rec.j]
+            assert rec.slope_cents_per_day_x1000 == b
+            assert rec.ols_slope_x1000 == b_ols
+            assert rec.intercept_cents == tdiv(a, 1000)
+            assert rec.l1_loss_cents == l // 1000
+            assert rec.is_best == (1 if rec.j == jbest else 0)
+        # exactly one argmin flagged, and the profile is U-ish around it
+        assert int(df["is_best"].sum()) == 1
+
+
+class TestSurvivorQualityAudit:
+    def test_planted_directions_fire(self, spark, sf_dir):
+        import hashlib
+
+        from bireme_spark.queries.dedup import dedup_survivor_quality_audit
+
+        df = dedup_survivor_quality_audit(spark, sf_dir).toPandas().set_index("variant_kind")
+        docs = _pq("documents")
+
+        def q(text):
+            ws = text.split(" ")
+            nt = len(ws)
+            ns = sum(1 for w in ws if w in ("a", "the"))
+            return min(10**6, nt * 2500) * (10**6 - ns * 10**6 // nt)
+
+        stats = {"doubled": [], "truncated": []}
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            nib = int(hashlib.md5(f"sv:{int(doc_id)}".encode()).hexdigest()[0], 16)
+            if nib < 2:
+                variant = text + " " + text
+                kind = "doubled"
+            elif nib < 4:
+                ws = text.split(" ")
+                variant = " ".join(ws[: max(len(ws) // 2, 1)])
+                kind = "truncated"
+            else:
+                continue
+            qo, qv = q(text), q(variant)
+            qmax = max(qo, qv)
+            stats[kind].append((qo < qmax, qmax - qo))
+        for kind in ("doubled", "truncated"):
+            rec = df.loc[kind]
+            assert rec["n_clusters"] == len(stats[kind])
+            assert rec["n_suboptimal_survivor"] == sum(1 for s, _ in stats[kind] if s)
+            gaps = [g for _, g in stats[kind]]
+            assert rec["mean_quality_gap_e12"] == sum(gaps) // len(gaps)
+            assert rec["max_quality_gap_e12"] == max(gaps)
+        # the audit must FIRE where planted: doubling beats the original
+        assert df.loc["doubled"]["n_suboptimal_survivor"] > 0
+        # and min-id is fine against truncation
+        assert df.loc["truncated"]["n_suboptimal_survivor"] == 0
+
+
+class TestProductDiversity:
+    def test_matches_exact_simpson_and_shannon(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.relational import nations_product_diversity
+
+        df = nations_product_diversity(spark, sf_dir).toPandas()
+        li = _pq("lineitem")
+        s = _pq("supplier")
+        p = _pq("part")
+        nat = _pq("nation")
+        j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey").merge(
+            p, left_on="l_partkey", right_on="p_partkey"
+        )
+        names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+        for rec in df.itertuples():
+            key = next(k for k, v in names.items() if v == rec.nation)
+            g = j[j["s_nationkey"] == key]
+            counts = g.groupby("p_type").size()
+            N = int(counts.sum())
+            same2 = sum(int(c) * (int(c) - 1) for c in counts)
+            assert rec.n_items == N
+            assert rec.n_types == len(counts)
+            assert rec.simpson_pie_ppm == (N * (N - 1) - same2) * 10**6 // (N * (N - 1))
+            h = sum(
+                int(round(-(int(c) / N) * math.log(int(c) / N) * 1e6)) for c in counts
+            )
+            assert rec.shannon_e6 == h
+            assert 0 < rec.simpson_pie_ppm < 10**6
