@@ -3216,3 +3216,197 @@ ORDER BY second_digit
 
 QUERIES["lineitem_benford_second_digit"] = lineitem_benford_second_digit
 ORACLE["lineitem_benford_second_digit"] = LINEITEM_B2_SQL
+
+
+# ---------------------------------------------------------------------------
+# graph_spectral_bisection — Fiedler-vector partition (round 10)
+# ---------------------------------------------------------------------------
+
+_SB_ITERS = 24
+_SB_START = (
+    "(CAST(position(substr(md5(concat('sb:', CAST(node AS STRING))), 1, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT) * 16"
+    " + CAST(position(substr(md5(concat('sb:', CAST(node AS STRING))), 2, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT) - 128) * 7813"
+)
+
+
+def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral bisection of the undirected part-chain graph (the
+    graph_scc fixture, symmetrized): the sign pattern of the Fiedler
+    vector — the second-smallest Laplacian eigenvector — is the
+    classic sparsest-cut heuristic (Fiedler 1973), and this emits the
+    partition's cut size, conductance, and the Rayleigh λ₂ estimate;
+    graph_conductance SCORES a given community, this one FINDS the
+    global cut.
+
+    PURE INTEGER eigensolve, gate-checked end to end: power
+    iteration on cI − L (c = 2·max degree keeps it PSD) with the
+    constant eigenvector DEFLATED each step by integer mean
+    subtraction (w ← w − ΣwDIVn; the ≤1/entry truncation remainder
+    is re-projected every step, so the ones-component stays O(1)
+    against the 1e6-normalized signal), md5-byte start vector
+    (stride-proof, generically non-orthogonal to the Fiedler
+    direction), v' = w·1e6 DIV max|w|. The Spark side iterates a
+    checkpointed |V|-frame (each level has THREE readers — A·v join,
+    mean agg, max agg — the r10 HyperANF multi-reader lesson); the
+    oracle unrolls the identical 24 integer levels as MATERIALIZED
+    CTEs, so the gate hashes the eigensolve itself.
+
+    Scale: edge formation is the linear consecutive-rank chain join
+    (orders sampled key%%40 in BOTH engines); each iteration is one
+    |E|-row join + |V|-row aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    seq = po.select(
+        "l_partkey",
+        F.row_number().over(Window.partitionBy("l_orderkey").orderBy("l_partkey")).alias("rn"),
+        "l_orderkey",
+    )
+    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
+    b_ = seq.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
+    )
+    und = a_.join(b_, ["ok", "rn"]).select("u", "v").where("u <> v").distinct()
+    edges = (
+        und.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(und.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    cc = nodes.agg(F.expr("CAST(2 * MAX(deg) AS BIGINT)").alias("c"))
+    v = nodes.select("node", F.expr(_SB_START).alias("val")).localCheckpoint(eager=True)
+    for _ in range(_SB_ITERS):
+        av = (
+            edges.join(v, edges.s == v.node)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.expr("CAST(SUM(val) AS BIGINT)").alias("nbr"))
+        )
+        w = (
+            nodes.join(v, "node")
+            .join(av, "node", "left")
+            .crossJoin(F.broadcast(cc))
+            .select(
+                "node",
+                F.expr("(c - deg) * val + COALESCE(nbr, CAST(0 AS BIGINT))").alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats = w.agg(
+            F.expr("CAST(SUM(w) DIV COUNT(*) AS BIGINT)").alias("m"),
+        )
+        w2 = w.crossJoin(F.broadcast(stats)).select("node", F.expr("w - m").alias("w"))
+        mx = w2.agg(F.expr("CAST(GREATEST(MAX(ABS(w)), 1) AS BIGINT)").alias("mx"))
+        v = (
+            w2.crossJoin(F.broadcast(mx))
+            .select("node", F.expr("CAST(w * 1000000 DIV mx AS BIGINT)").alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    half = und.join(v.select(F.col("node").alias("u"), F.col("val").alias("vu")), "u").join(
+        v.select(F.col("node").alias("v"), F.col("val").alias("vv")), "v"
+    )
+    cutagg = half.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(SUM(CASE WHEN (vu >= 0) <> (vv >= 0) THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("cut_edges"),
+        F.expr("CAST(SUM(CAST((vu - vv) AS DECIMAL(38,0)) * (vu - vv)) AS DECIMAL(38,0))").alias("vlv"),
+    )
+    sides = nodes.join(v, "node").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_nodes"),
+        F.expr("CAST(SUM(CASE WHEN val >= 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("side_a_nodes"),
+        F.expr("CAST(SUM(CASE WHEN val < 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("side_b_nodes"),
+        F.expr("CAST(SUM(CASE WHEN val >= 0 THEN deg ELSE 0 END) AS BIGINT)").alias("vol_a"),
+        F.expr("CAST(SUM(CASE WHEN val < 0 THEN deg ELSE 0 END) AS BIGINT)").alias("vol_b"),
+        F.expr("CAST(SUM(CAST(val AS DECIMAL(38,0)) * val) AS DECIMAL(38,0))").alias("vv2"),
+    )
+    return cutagg.crossJoin(F.broadcast(sides)).select(
+        "n_nodes",
+        "n_edges",
+        "side_a_nodes",
+        "side_b_nodes",
+        "cut_edges",
+        F.expr(
+            "CAST(cut_edges * 1000000 DIV GREATEST(LEAST(vol_a, vol_b) DIV 2, 1) AS BIGINT)"
+        ).alias("conductance_ppm"),
+        F.expr("CAST((vlv * 1000000) DIV GREATEST(vv2, 1) AS BIGINT)").alias("lambda2_e6"),
+    )
+
+
+def _sb_sql() -> str:
+    lvls = []
+    prev = "lvl0"
+    for k in range(1, _SB_ITERS + 1):
+        lvls.append(f"""
+w{k} AS MATERIALIZED (
+  SELECT n.node, (cc.c - n.deg) * l.val + COALESCE(adj.nbr, CAST(0 AS BIGINT)) AS w
+  FROM nodes n
+  JOIN {prev} l ON n.node = l.node
+  LEFT JOIN (
+    SELECT e.d AS node, CAST(SUM(l2.val) AS BIGINT) AS nbr
+    FROM edges e JOIN {prev} l2 ON e.s = l2.node GROUP BY 1
+  ) adj ON n.node = adj.node, cc
+),
+m{k} AS (SELECT CAST(SUM(w) // COUNT(*) AS BIGINT) AS m FROM w{k}),
+x{k} AS MATERIALIZED (SELECT node, w - m AS w FROM w{k}, m{k}),
+mx{k} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM x{k}),
+lvl{k} AS MATERIALIZED (SELECT node, CAST(w * 1000000 // mx AS BIGINT) AS val FROM x{k}, mx{k})""")
+        prev = f"lvl{k}"
+    start = _SB_START.replace("node", "n.node")
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 40 = 0
+),
+po AS (SELECT DISTINCT l_orderkey, l_partkey FROM li),
+seq AS (
+  SELECT l_partkey, l_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+  FROM po
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM seq a JOIN seq b ON a.l_orderkey = b.l_orderkey AND a.rn = b.rn - 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+edges AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM und UNION SELECT v, u FROM und
+),
+nodes AS MATERIALIZED (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+),
+cc AS (SELECT CAST(2 * MAX(deg) AS BIGINT) AS c FROM nodes),
+lvl0 AS MATERIALIZED (
+  SELECT n.node, {start} AS val FROM nodes n
+),{",".join(lvls)},
+fin AS MATERIALIZED (SELECT node, val FROM lvl{_SB_ITERS}),
+half AS (
+  SELECT und.u, und.v, a.val AS vu, b.val AS vv
+  FROM und JOIN fin a ON und.u = a.node JOIN fin b ON und.v = b.node
+),
+cutagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN (vu >= 0) <> (vv >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+         CAST(SUM(CAST(vu - vv AS HUGEINT) * (vu - vv)) AS HUGEINT) AS vlv
+  FROM half
+),
+sides AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(CASE WHEN f.val >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS side_a_nodes,
+         CAST(SUM(CASE WHEN f.val < 0 THEN 1 ELSE 0 END) AS BIGINT) AS side_b_nodes,
+         CAST(SUM(CASE WHEN f.val >= 0 THEN n.deg ELSE 0 END) AS BIGINT) AS vol_a,
+         CAST(SUM(CASE WHEN f.val < 0 THEN n.deg ELSE 0 END) AS BIGINT) AS vol_b,
+         CAST(SUM(CAST(f.val AS HUGEINT) * f.val) AS HUGEINT) AS vv2
+  FROM nodes n JOIN fin f ON n.node = f.node
+)
+SELECT s.n_nodes, c.n_edges, s.side_a_nodes, s.side_b_nodes, c.cut_edges,
+       CAST(c.cut_edges * 1000000 // GREATEST(LEAST(s.vol_a, s.vol_b) // 2, 1) AS BIGINT) AS conductance_ppm,
+       CAST((c.vlv * 1000000) // GREATEST(s.vv2, 1) AS BIGINT) AS lambda2_e6
+FROM cutagg c, sides s
+"""
+
+
+QUERIES["graph_spectral_bisection"] = graph_spectral_bisection
+ORACLE["graph_spectral_bisection"] = _sb_sql()

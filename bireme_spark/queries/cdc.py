@@ -4659,3 +4659,120 @@ ORDER BY server
 
 QUERIES["cdc_gtid_gap_audit"] = cdc_gtid_gap_audit
 ORACLE["cdc_gtid_gap_audit"] = CDC_GTID_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_dedup_window_advisor — dedup state-TTL planning (round 10)
+# ---------------------------------------------------------------------------
+
+_DDW_NIB1 = (
+    "(CAST(position(substr(md5(concat('rd:', CAST(event_id AS STRING))), 1, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT))"
+)
+_DDW_NIB2 = (
+    "(CAST(position(substr(md5(concat('rd:', CAST(event_id AS STRING))), 2, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT))"
+)
+
+
+def cdc_dedup_window_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup state-TTL advisor: streaming_dedup keeps per-key state
+    for a watermark window — too short and redelivered messages slip
+    through, too long and state grows unbounded. This plans the
+    window from the redelivery-gap distribution: a deterministic
+    1/8 of events are redelivered (md5 nibble < 2) after
+    (1 + nibble₂) minutes, and the advisor reports, for candidate
+    windows of 1/5/15 minutes, how many duplicates each would catch,
+    plus the p50/p99 redelivery gap the choice should clear (the
+    same decision Kafka consumers make for idempotency caches —
+    reference semantics studied at KafkaPipeLine's commit handling,
+    not copied).
+
+    Engine-exact: gaps are integer milliseconds by construction;
+    percentiles are ceil-rank order statistics on the 16-value gap
+    histogram; coverage is cross-multiplied integer ppm.
+
+    Scale: one scan builds the redelivery set map-side; the advisor
+    runs on the |distinct gaps| histogram and a 3-row window grid."""
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    dupes = e.where(F.expr(f"{_DDW_NIB1} < 2")).select(
+        F.expr(f"(1 + {_DDW_NIB2}) * 60000").alias("gap_ms")
+    )
+    hist = dupes.groupBy("gap_ms").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = Window.orderBy("gap_ms").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdf = (
+        hist.withColumn("cum", F.sum("c").over(wc).cast("bigint"))
+        .withColumn("n", F.sum("c").over(wall).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    pct = cdf.agg(
+        F.expr("CAST(MAX(n) AS BIGINT)").alias("n_dupes"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 50, F.col("gap_ms"))).alias("p50_gap_ms"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("gap_ms"))).alias("p99_gap_ms"),
+    )
+    wins = spark.createDataFrame([(1,), (5,), (15,)], "window_min INT")
+    cov = (
+        cdf.crossJoin(F.broadcast(wins))
+        .groupBy("window_min")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN gap_ms <= window_min * 60000 THEN c ELSE 0 END) AS BIGINT)"
+            ).alias("caught")
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(pct))
+        .select(
+            "window_min",
+            "n_dupes",
+            "caught",
+            F.expr("caught * 1000000 DIV n_dupes").alias("caught_ppm"),
+            F.expr("CAST(p50_gap_ms AS BIGINT)").alias("p50_gap_ms"),
+            F.expr("CAST(p99_gap_ms AS BIGINT)").alias("p99_gap_ms"),
+            F.expr(
+                "CAST(CASE WHEN window_min * 60000 >= p99_gap_ms THEN 1 ELSE 0 END AS INT)"
+            ).alias("clears_p99"),
+        )
+        .orderBy("window_min")
+    )
+
+
+CDC_DDW_SQL = f"""
+WITH dupes AS (
+  SELECT (1 + {_DDW_NIB2}) * 60000 AS gap_ms
+  FROM events WHERE {_DDW_NIB1} < 2
+),
+hist AS (
+  SELECT gap_ms, CAST(COUNT(*) AS BIGINT) AS c FROM dupes GROUP BY 1
+),
+cdf AS MATERIALIZED (
+  SELECT gap_ms, c,
+         CAST(SUM(c) OVER (ORDER BY gap_ms ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM hist
+),
+pct AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_dupes,
+         MIN(CASE WHEN cum * 100 >= n * 50 THEN gap_ms END) AS p50_gap_ms,
+         MIN(CASE WHEN cum * 100 >= n * 99 THEN gap_ms END) AS p99_gap_ms
+  FROM cdf
+),
+cov AS (
+  SELECT w.window_min,
+         CAST(SUM(CASE WHEN cdf.gap_ms <= w.window_min * 60000 THEN cdf.c ELSE 0 END) AS BIGINT) AS caught
+  FROM cdf, (SELECT UNNEST([1, 5, 15]) AS window_min) w
+  GROUP BY 1
+)
+SELECT CAST(c.window_min AS INTEGER) AS window_min,
+       p.n_dupes, c.caught,
+       CAST(c.caught * 1000000 // p.n_dupes AS BIGINT) AS caught_ppm,
+       CAST(p.p50_gap_ms AS BIGINT) AS p50_gap_ms,
+       CAST(p.p99_gap_ms AS BIGINT) AS p99_gap_ms,
+       CAST(CASE WHEN c.window_min * 60000 >= p.p99_gap_ms THEN 1 ELSE 0 END AS INTEGER) AS clears_p99
+FROM cov c, pct p
+ORDER BY window_min
+"""
+
+QUERIES["cdc_dedup_window_advisor"] = cdc_dedup_window_advisor
+ORACLE["cdc_dedup_window_advisor"] = CDC_DDW_SQL

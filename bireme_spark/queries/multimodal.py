@@ -3141,3 +3141,105 @@ ORDER BY doc_id
 
 QUERIES["multimodal_image_exposure_audit"] = multimodal_image_exposure_audit
 ORACLE["multimodal_image_exposure_audit"] = MULTIMODAL_EXPOSURE_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_dynamic_range — crest factor / DC-offset screen
+# (round 10)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_audio_dynamic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dynamics screen over the synthesized PCM corpus: crest
+    factor (peak/RMS — compressed or clipped material reads low,
+    transient-rich material high), DC offset share, and full-scale
+    headroom per clip — the routing stats an audio-training pipeline
+    reads next to multimodal_audio_clipping before spending decode
+    and feature compute (clipping finds broken clips; this ranks the
+    healthy ones by dynamics).
+
+    The Spark side round-trips REAL RIFF/WAVE bytes through the
+    pure-python codec in ONE fused mapInPandas pass; the oracle
+    predicts every stat symbolically from the sample formula
+    (doc_id·31 + 7i) % 2048 − 1024. Integer sums throughout; the one
+    crest-factor division+sqrt is the same one-shot IEEE op both
+    sides, e6-rounded.
+
+    Scale: Arrow-batched linear pass, no shuffle."""
+    from collections.abc import Iterator
+
+    import math
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "n_samples", "peak", "crest_e6", "dc_offset_ppm", "headroom_ppm")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                samples = [(doc_id * 31 + i * 7) % 2048 - 1024 for i in range(n)]
+                _, _, back = decode_wav(encode_wav(8000 * (1 + doc_id % 3), samples))
+                nn = len(back)
+                s = sum(back)
+                ss = sum(v * v for v in back)
+                peak = max(abs(v) for v in back)
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(nn)
+                rows["peak"].append(peak)
+                rows["crest_e6"].append(
+                    int(round(peak / math.sqrt(ss / nn) * 10**6)) if ss else 0
+                )
+                rows["dc_offset_ppm"].append(abs(s) * 10**6 // (nn * 1024))
+                rows["headroom_ppm"].append((1024 - peak) * 10**6 // 1024)
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int32"),
+                    "peak": pd.Series(rows["peak"], dtype="int64"),
+                    "crest_e6": pd.Series(rows["crest_e6"], dtype="int64"),
+                    "dc_offset_ppm": pd.Series(rows["dc_offset_ppm"], dtype="int64"),
+                    "headroom_ppm": pd.Series(rows["headroom_ppm"], dtype="int64"),
+                }
+            )
+
+    feats = d.mapInPandas(
+        audit,
+        schema="doc_id long, n_samples int, peak long, crest_e6 long,"
+        " dc_offset_ppm long, headroom_ppm long",
+    )
+    return feats.orderBy("doc_id")
+
+
+MULTIMODAL_ADR_SQL = """
+WITH base AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+),
+samp AS (
+  SELECT b.doc_id, b.n, (b.doc_id * 31 + i.i * 7) % 2048 - 1024 AS v
+  FROM base b
+  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, b.n - 1)) AS i) i
+),
+agg AS (
+  SELECT doc_id, CAST(MAX(n) AS INTEGER) AS n_samples,
+         CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM samp GROUP BY 1
+)
+SELECT doc_id, n_samples, peak,
+       CASE WHEN ss > 0 THEN CAST(ROUND(peak / SQRT(CAST(ss AS DOUBLE) / n_samples) * 1000000) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS crest_e6,
+       CAST(ABS(s) * 1000000 // (n_samples * 1024) AS BIGINT) AS dc_offset_ppm,
+       CAST((1024 - peak) * 1000000 // 1024 AS BIGINT) AS headroom_ppm
+FROM agg
+ORDER BY doc_id
+"""
+
+QUERIES["multimodal_audio_dynamic_range"] = multimodal_audio_dynamic_range
+ORACLE["multimodal_audio_dynamic_range"] = MULTIMODAL_ADR_SQL

@@ -157,6 +157,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "lineitem_quantile_regression_profile",
         "dedup_survivor_quality_audit",
         "nations_product_diversity",
+        "cdc_dedup_window_advisor",
+        "multimodal_audio_dynamic_range",
+        "graph_spectral_bisection",
     }
 )
 

@@ -2792,3 +2792,116 @@ class TestProductDiversity:
             )
             assert rec.shannon_e6 == h
             assert 0 < rec.simpson_pie_ppm < 10**6
+
+
+class TestDedupWindowAdvisor:
+    def test_matches_gap_recompute_and_monotone(self, spark, sf_dir):
+        import hashlib
+
+        from bireme_spark.queries.cdc import cdc_dedup_window_advisor
+
+        df = cdc_dedup_window_advisor(spark, sf_dir).toPandas()
+        ev = _pq("events")
+        gaps = []
+        for eid in ev["event_id"]:
+            hx = hashlib.md5(f"rd:{int(eid)}".encode()).hexdigest()
+            if int(hx[0], 16) < 2:
+                gaps.append((1 + int(hx[1], 16)) * 60000)
+        gaps.sort()
+        n = len(gaps)
+        prev = -1
+        for rec in df.itertuples():
+            caught = sum(1 for g in gaps if g <= rec.window_min * 60000)
+            assert rec.n_dupes == n
+            assert rec.caught == caught
+            assert rec.caught_ppm == caught * 10**6 // n
+            assert rec.p50_gap_ms == gaps[(n * 50 + 99) // 100 - 1]
+            assert rec.p99_gap_ms == gaps[(n * 99 + 99) // 100 - 1]
+            assert rec.clears_p99 == (1 if rec.window_min * 60000 >= rec.p99_gap_ms else 0)
+            assert rec.caught_ppm >= prev
+            prev = rec.caught_ppm
+        # the 15-minute window must clear the p99 gap (gaps are 1..16 min)
+        assert df[df["window_min"] == 15]["caught_ppm"].iloc[0] >= 900_000
+
+
+class TestAudioDynamicRange:
+    def test_matches_symbolic_samples(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.multimodal import multimodal_audio_dynamic_range
+
+        df = multimodal_audio_dynamic_range(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        assert len(df) == len(docs)
+        for rec in df.itertuples():
+            doc_id = int(rec.doc_id)
+            n = 64 + doc_id % 64
+            samples = [(doc_id * 31 + i * 7) % 2048 - 1024 for i in range(n)]
+            s = sum(samples)
+            ss = sum(v * v for v in samples)
+            peak = max(abs(v) for v in samples)
+            assert rec.n_samples == n
+            assert rec.peak == peak
+            assert abs(rec.crest_e6 - peak / math.sqrt(ss / n) * 1e6) <= 1.1
+            assert rec.dc_offset_ppm == abs(s) * 10**6 // (n * 1024)
+            assert rec.headroom_ppm == (1024 - peak) * 10**6 // 1024
+            # a sawtooth-ish ramp has crest factor between 1 and ~2
+            assert 1_000_000 <= rec.crest_e6 <= 2_200_000
+
+
+class TestSpectralBisection:
+    def test_matches_integer_iteration_and_beats_parity_cut(self, spark, sf_dir):
+        import hashlib
+
+        from bireme_spark.queries.audit import _SB_ITERS, graph_spectral_bisection
+
+        rec = graph_spectral_bisection(spark, sf_dir).collect()[0]
+        li = _pq("lineitem")
+        li = li[li["l_orderkey"] % 40 == 0]
+        po = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+        und = set()
+        for _, grp in po.groupby("l_orderkey"):
+            ps = sorted(grp["l_partkey"])
+            for a, b in zip(ps, ps[1:]):
+                if a != b:
+                    und.add((int(a), int(b)))
+        edges = {}
+        for u, v in und:
+            edges.setdefault(u, set()).add(v)
+            edges.setdefault(v, set()).add(u)
+        nodes = sorted(edges)
+        deg = {u: len(vs) for u, vs in edges.items()}
+        c = 2 * max(deg.values())
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        val = {
+            u: (int(hashlib.md5(f"sb:{u}".encode()).hexdigest()[:2], 16) - 128) * 7813
+            for u in nodes
+        }
+        for _ in range(_SB_ITERS):
+            w = {
+                u: (c - deg[u]) * val[u] + sum(val[x] for x in edges[u]) for u in nodes
+            }
+            m = tdiv(sum(w.values()), len(nodes))
+            w = {u: x - m for u, x in w.items()}
+            mx = max(max(abs(x) for x in w.values()), 1)
+            val = {u: tdiv(x * 10**6, mx) for u, x in w.items()}
+        cut = sum(1 for u, v in und if (val[u] >= 0) != (val[v] >= 0))
+        vol_a = sum(deg[u] for u in nodes if val[u] >= 0)
+        vol_b = sum(deg[u] for u in nodes if val[u] < 0)
+        vlv = sum((val[u] - val[v]) ** 2 for u, v in und)
+        vv = sum(x * x for x in val.values())
+        assert rec.n_nodes == len(nodes)
+        assert rec.n_edges == len(und)
+        assert rec.side_a_nodes == sum(1 for u in nodes if val[u] >= 0)
+        assert rec.side_b_nodes == len(nodes) - rec.side_a_nodes
+        assert rec.cut_edges == cut
+        assert rec.conductance_ppm == cut * 10**6 // max(min(vol_a, vol_b) // 2, 1)
+        assert rec.lambda2_e6 == tdiv(vlv * 10**6, max(vv, 1))
+        # the spectral cut must beat a hash-parity cut on this graph
+        par = {u: int(hashlib.md5(f"p:{u}".encode()).hexdigest()[0], 16) % 2 for u in nodes}
+        pcut = sum(1 for u, v in und if par[u] != par[v])
+        pvol = min(
+            sum(deg[u] for u in nodes if par[u] == 0),
+            sum(deg[u] for u in nodes if par[u] == 1),
+        )
+        assert rec.conductance_ppm < pcut * 10**6 // max(pvol // 2, 1)
