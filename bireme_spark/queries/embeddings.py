@@ -3442,3 +3442,152 @@ FROM agg a, p95 p
 
 QUERIES["embedding_sq8_distortion"] = embedding_sq8_distortion
 ORACLE["embedding_sq8_distortion"] = EMBEDDING_SQ8_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_binary_sign_recall — 1-bit quantization retrieval eval
+# (round 10)
+# ---------------------------------------------------------------------------
+
+_BSR_Q_CAP = 100
+_BSR_C_CAP = 1200
+
+
+def embedding_binary_sign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization retrieval eval: rank candidates
+    by Hamming distance between sign patterns and measure recall@10
+    against the exact float-cosine top-10 — the acceptance test for
+    the 32×-compression binary index tier (embedding_sq8_distortion
+    answers the same question for int8; this is the 1-bit extreme,
+    and the recall histogram says whether it can serve as a coarse
+    pre-filter). Emits the full 11-bucket recall histogram, not just
+    the mean — binary quantization fails UNEVENLY.
+
+    Determinism: the same two independent md5-byte coins as
+    embedding_label_knn_purity bound the block at 100·1200; Hamming
+    distance is a pure integer sign-mismatch count (no packing
+    needed at d=64); cosine truth is the e6-rounded float→double
+    fold with (score, vec_id) rank ties; recall is integer counts.
+
+    Scale: bounded sample blocks, one rank window each — candidate
+    work is O(cap²), corpus-size-independent."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ntot = e.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tot"))
+    en = e.crossJoin(F.broadcast(ntot))
+    qs = (
+        en.where(F.expr(f"{_KNN_Q_BYTE} * n_tot < 256 * {_BSR_Q_CAP}"))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .localCheckpoint(eager=True)
+    )
+    cs = (
+        en.where(F.expr(f"{_KNN_C_BYTE} * n_tot < 256 * {_BSR_C_CAP}"))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    dot = (
+        "aggregate(zip_with(qv, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    ham = (
+        "aggregate(zip_with(qv, cv, (x, y) ->"
+        " CASE WHEN (x >= CAST(0 AS FLOAT)) = (y >= CAST(0 AS FLOAT))"
+        " THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    pairs = (
+        cs.crossJoin(F.broadcast(qs))
+        .where(F.expr("qid <> cid"))
+        .select(
+            "qid",
+            "cid",
+            F.expr(f"CAST(ROUND({dot} * 1000000) AS BIGINT)").alias("cos_e6"),
+            F.expr(ham).alias("hdist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wt = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), "cid")
+    wh = Window.partitionBy("qid").orderBy("hdist", "cid")
+    ranked = pairs.select(
+        "qid",
+        "cid",
+        F.row_number().over(wt).alias("rt"),
+        F.row_number().over(wh).alias("rh"),
+    )
+    rec = (
+        ranked.where(F.expr("rt <= 10"))
+        .groupBy("qid")
+        .agg(F.expr("CAST(SUM(CASE WHEN rh <= 10 THEN 1 ELSE 0 END) AS BIGINT)").alias("hits"))
+    )
+    grid = spark.range(0, 11).select(F.expr("CAST(id AS INT)").alias("hits_at_10"))
+    per = rec.groupBy(F.expr("CAST(hits AS INT)").alias("hits_at_10")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_queries")
+    )
+    tot = rec.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_total"),
+        F.expr("CAST(SUM(hits) AS BIGINT)").alias("total_hits"),
+    )
+    return (
+        grid.join(per, "hits_at_10", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "hits_at_10",
+            F.expr("COALESCE(n_queries, CAST(0 AS BIGINT))").alias("n_queries"),
+            "n_total",
+            F.expr("total_hits * 1000000 DIV (n_total * 10)").alias("mean_recall_ppm"),
+        )
+        .orderBy("hits_at_10")
+    )
+
+
+EMBEDDING_BSR_SQL = f"""
+WITH ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM embeddings),
+qs AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings, ntot
+  WHERE {_KNN_Q_BYTE} * n_tot < 256 * {_BSR_Q_CAP}
+),
+cs AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings, ntot
+  WHERE {_KNN_C_BYTE} * n_tot < 256 * {_BSR_C_CAP}
+),
+pairs AS MATERIALIZED (
+  SELECT qid, cid,
+         CAST(ROUND((
+           SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT UNNEST(qv) AS xa, UNNEST(cv) AS xb)
+         ) * 1000000) AS BIGINT) AS cos_e6,
+         (
+           SELECT CAST(SUM(CASE WHEN (xa >= 0) = (xb >= 0) THEN 0 ELSE 1 END) AS BIGINT)
+           FROM (SELECT UNNEST(qv) AS xa, UNNEST(cv) AS xb)
+         ) AS hdist
+  FROM qs, cs WHERE qid <> cid
+),
+ranked AS (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rt,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hdist, cid) AS rh
+  FROM pairs
+),
+rec AS (
+  SELECT qid, CAST(SUM(CASE WHEN rh <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM ranked WHERE rt <= 10 GROUP BY 1
+),
+per AS (
+  SELECT CAST(hits AS INTEGER) AS hits_at_10, CAST(COUNT(*) AS BIGINT) AS n_queries
+  FROM rec GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total, CAST(SUM(hits) AS BIGINT) AS total_hits
+  FROM rec
+)
+SELECT g.hits_at_10,
+       COALESCE(p.n_queries, CAST(0 AS BIGINT)) AS n_queries,
+       t.n_total,
+       CAST(t.total_hits * 1000000 // (t.n_total * 10) AS BIGINT) AS mean_recall_ppm
+FROM (SELECT CAST(UNNEST(generate_series(0, 10)) AS INTEGER) AS hits_at_10) g
+LEFT JOIN per p ON g.hits_at_10 = p.hits_at_10, tot t
+ORDER BY g.hits_at_10
+"""
+
+QUERIES["embedding_binary_sign_recall"] = embedding_binary_sign_recall
+ORACLE["embedding_binary_sign_recall"] = EMBEDDING_BSR_SQL

@@ -8239,3 +8239,124 @@ ORDER BY r.event_type
 
 QUERIES["events_kde_modes"] = events_kde_modes
 ORACLE["events_kde_modes"] = EVENTS_KDE_MODES_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_fano_factor_profile — windowed dispersion census (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_fano_factor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly Fano-factor (dispersion index Var/Mean) census of the
+    daily order-count process: F ≈ 1 is Poisson, F > 1 overdispersed
+    (bursty demand), F < 1 underdispersed (regularized/throttled) —
+    the windowed, localized sibling of events_poisson_rate_test
+    (which tests one global rate) and the count-process twin of
+    customers_interpurchase_cv. Emits the F histogram in coarse
+    bands plus the overdispersed-week share, so a capacity planner
+    sees WHERE the Poisson assumption breaks, not just whether.
+
+    Engine-exact: per complete week (7 observed days — partial weeks
+    excluded), F_ppm = (m·Σc² − (Σc)²)·1e6 DIV ((m−1)·Σc) is one
+    cross-multiplied integer form; bands are integer CASE cuts.
+
+    Scale: one shuffle to the fixed ~2400-day grid, a ~343-week agg,
+    a 4-band close."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderdate").cast("date").alias("d"))
+    mind = o.agg(F.min("d").alias("d0"))
+    daily = (
+        o.crossJoin(F.broadcast(mind))
+        .groupBy(
+            F.expr("CAST(DATEDIFF(d, d0) AS BIGINT) DIV 7").alias("w"),
+            F.expr("CAST(DATEDIFF(d, d0) AS BIGINT) % 7").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    weeks = (
+        daily.groupBy("w")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("m"),
+            F.expr("CAST(SUM(c) AS DECIMAL(38,0))").alias("s1"),
+            F.expr("CAST(SUM(c * c) AS DECIMAL(38,0))").alias("s2"),
+        )
+        .where(F.col("m") == 7)
+        .select(
+            "w",
+            F.expr("CAST((m * s2 - s1 * s1) * 1000000 DIV ((m - 1) * s1) AS BIGINT)").alias(
+                "f_ppm"
+            ),
+        )
+    )
+    banded = weeks.select(
+        F.expr(
+            "CASE WHEN f_ppm < 500000 THEN 'under_0.5' WHEN f_ppm < 1500000 THEN 'poisson_band'"
+            " WHEN f_ppm < 3000000 THEN 'over_1.5_3' ELSE 'over_3plus' END"
+        ).alias("band"),
+        "f_ppm",
+    )
+    tot = banded.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_weeks"),
+        F.expr("CAST(SUM(CASE WHEN f_ppm > 1500000 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_overdispersed"
+        ),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_weeks_band"),
+            F.expr("CAST(MIN(f_ppm) AS BIGINT)").alias("min_f_ppm"),
+            F.expr("CAST(MAX(f_ppm) AS BIGINT)").alias("max_f_ppm"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_weeks_band",
+            "min_f_ppm",
+            "max_f_ppm",
+            "n_weeks",
+            F.expr("n_overdispersed * 1000000 DIV n_weeks").alias("overdispersed_share_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+ORDERS_FANO_SQL = """
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+daily AS (
+  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM o), d) AS BIGINT) // 7 AS w,
+         CAST(date_diff('day', (SELECT MIN(d) FROM o), d) AS BIGINT) % 7 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM o GROUP BY 1, 2
+),
+weeks AS MATERIALIZED (
+  SELECT w, CAST((m * s2 - s1 * s1) * 1000000 // ((m - 1) * s1) AS BIGINT) AS f_ppm
+  FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(c) AS HUGEINT) AS s1, CAST(SUM(c * c) AS HUGEINT) AS s2
+    FROM daily GROUP BY 1
+  ) WHERE m = 7
+),
+banded AS MATERIALIZED (
+  SELECT CASE WHEN f_ppm < 500000 THEN 'under_0.5' WHEN f_ppm < 1500000 THEN 'poisson_band'
+              WHEN f_ppm < 3000000 THEN 'over_1.5_3' ELSE 'over_3plus' END AS band,
+         f_ppm
+  FROM weeks
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+         CAST(SUM(CASE WHEN f_ppm > 1500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_overdispersed
+  FROM banded
+)
+SELECT b.band,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks_band,
+       CAST(MIN(b.f_ppm) AS BIGINT) AS min_f_ppm,
+       CAST(MAX(b.f_ppm) AS BIGINT) AS max_f_ppm,
+       t.n_weeks,
+       CAST(t.n_overdispersed * 1000000 // t.n_weeks AS BIGINT) AS overdispersed_share_ppm
+FROM banded b, tot t
+GROUP BY b.band, t.n_weeks, t.n_overdispersed
+ORDER BY b.band
+"""
+
+QUERIES["orders_fano_factor_profile"] = orders_fano_factor_profile
+ORACLE["orders_fano_factor_profile"] = ORDERS_FANO_SQL

@@ -160,6 +160,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "cdc_dedup_window_advisor",
         "multimodal_audio_dynamic_range",
         "graph_spectral_bisection",
+        "embedding_binary_sign_recall",
+        "orders_fano_factor_profile",
     }
 )
 

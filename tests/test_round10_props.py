@@ -2905,3 +2905,85 @@ class TestSpectralBisection:
             sum(deg[u] for u in nodes if par[u] == 1),
         )
         assert rec.conductance_ppm < pcut * 10**6 // max(pvol // 2, 1)
+
+
+class TestBinarySignRecall:
+    def test_matches_rank_recompute(self, spark, sf_dir):
+        import hashlib
+
+        from bireme_spark.queries.embeddings import (
+            _BSR_C_CAP,
+            _BSR_Q_CAP,
+            embedding_binary_sign_recall,
+        )
+
+        df = embedding_binary_sign_recall(spark, sf_dir).toPandas()
+        emb = _pq("embeddings")
+        n = len(emb)
+        hexd = {int(v): hashlib.md5(str(int(v)).encode()).hexdigest() for v in emb["vec_id"]}
+        Q = emb[[int(hexd[int(v)][:2], 16) * n < 256 * _BSR_Q_CAP for v in emb["vec_id"]]]
+        C = emb[[int(hexd[int(v)][2:4], 16) * n < 256 * _BSR_C_CAP for v in emb["vec_id"]]]
+        hist = {h: 0 for h in range(11)}
+        total_hits = 0
+        for qid, qv in zip(Q["vec_id"], Q["embedding"]):
+            cands = []
+            for cid, cv in zip(C["vec_id"], C["embedding"]):
+                if int(cid) == int(qid):
+                    continue
+                acc = 0.0
+                ham = 0
+                for x, y in zip(qv.astype("float64"), cv.astype("float64")):
+                    acc = acc + x * y
+                    ham += 0 if (x >= 0) == (y >= 0) else 1
+                cands.append((int(round(acc * 1e6)), int(cid), ham))
+            truth = sorted(cands, key=lambda t: (-t[0], t[1]))[:10]
+            hamr = sorted(cands, key=lambda t: (t[2], t[1]))[:10]
+            hset = {cid for _, cid, _ in hamr}
+            hits = sum(1 for _, cid, _ in truth if cid in hset)
+            hist[hits] += 1
+            total_hits += hits
+        n_total = len(Q)
+        assert len(df) == 11
+        for rec in df.itertuples():
+            assert rec.n_queries == hist[rec.hits_at_10]
+            assert rec.n_total == n_total
+            assert rec.mean_recall_ppm == total_hits * 10**6 // (n_total * 10)
+        # sign bits must beat the random-ranking baseline 10/(|C|-1)
+        random_ppm = 10 * 10**6 // (len(C) - 1)
+        assert df["mean_recall_ppm"].iloc[0] > random_ppm
+
+
+class TestFanoProfile:
+    def test_matches_weekly_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import orders_fano_factor_profile
+
+        df = orders_fano_factor_profile(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        d = pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        day = (d - d.min()).dt.days
+        daily = pd.DataFrame({"w": day // 7, "dow": day % 7}).groupby(["w", "dow"]).size()
+        fs = []
+        for w, grp in daily.groupby(level=0):
+            if len(grp) != 7:
+                continue
+            m, s1 = 7, int(grp.sum())
+            s2 = int((grp**2).sum())
+            fs.append((m * s2 - s1 * s1) * 10**6 // ((m - 1) * s1))
+        band = lambda f: (
+            "under_0.5" if f < 500000 else
+            "poisson_band" if f < 1500000 else
+            "over_1.5_3" if f < 3000000 else "over_3plus"
+        )
+        n_weeks = len(fs)
+        n_over = sum(1 for f in fs if f > 1500000)
+        got_bands = {}
+        for f in fs:
+            got_bands.setdefault(band(f), []).append(f)
+        assert len(df) == len(got_bands)
+        for rec in df.itertuples():
+            vals = got_bands[rec.band]
+            assert rec.n_weeks_band == len(vals)
+            assert rec.min_f_ppm == min(vals)
+            assert rec.max_f_ppm == max(vals)
+            assert rec.n_weeks == n_weeks
+            assert rec.overdispersed_share_ppm == n_over * 10**6 // n_weeks
