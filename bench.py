@@ -397,6 +397,8 @@ HEADLINE = [
     "graph_spectral_bisection",
     "embedding_binary_sign_recall",
     "orders_fano_factor_profile",
+    "corpus_cluster_aware_split",
+    "customers_dormancy_reactivation",
 ]
 
 

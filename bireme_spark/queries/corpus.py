@@ -2419,3 +2419,146 @@ ORDER BY source
 
 QUERIES["corpus_epoch_repetition_plan"] = corpus_epoch_repetition_plan
 ORACLE["corpus_epoch_repetition_plan"] = CORPUS_EPOCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_cluster_aware_split — leakage-free train/val/test assignment
+# (round 10)
+# ---------------------------------------------------------------------------
+
+_CAS_CLONE_NIB = (
+    "(CAST(position(substr(md5(concat('cs:', CAST(doc_id AS STRING))), 1, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT))"
+)
+_CAS_SPLIT_NIB = (
+    "(CAST(position(substr(md5(concat('sp:', CAST(canonical_id AS STRING))), 1, 1)"
+    " IN '0123456789abcdef') - 1 AS BIGINT))"
+)
+
+
+def corpus_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test split: assign every
+    member of an exact-dup cluster to the SAME split by hashing the
+    cluster CANONICAL id (nibble < 13 → train ≈ 81%, = 13 → val,
+    ≥ 14 → test) — the construction that makes
+    corpus_validation_leakage's finding impossible by design, where
+    the naive per-member hash leaks every straddling cluster into
+    both sides of the eval. The corpus plants clones (md5 coin
+    'cs:', ~1/8 of docs, id + 1e6) so straddling is possible, and
+    the output carries BOTH counts: the naive split's straddling
+    clusters (what you'd have shipped) and the aware split's (zero,
+    computed — not asserted).
+
+    Determinism/scale notes: every coin and the split itself are
+    md5-nibble hashes (the sf1 1e8 id strides make `% 10` splits
+    degenerate — this is the stride-proof form); one content-hash
+    shuffle for canonicals, map-side split labels, one stats agg."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.where(F.expr(f"{_CAS_CLONE_NIB} < 2")).select(
+        F.expr("doc_id + 1000000").alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(clones)
+    wtxt = Window.partitionBy(F.md5("text"))
+    members = corpus.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.min("doc_id").over(wtxt).alias("canonical_id"),
+    )
+    labeled = members.select(
+        "doc_id",
+        "n_tokens",
+        "canonical_id",
+        F.expr(
+            f"CASE WHEN {_CAS_SPLIT_NIB} < 13 THEN 'train'"
+            f" WHEN {_CAS_SPLIT_NIB} = 13 THEN 'val' ELSE 'test' END"
+        ).alias("split"),
+        F.expr(
+            "CASE WHEN (CAST(position(substr(md5(concat('sp:', CAST(doc_id AS STRING))), 1, 1)"
+            " IN '0123456789abcdef') - 1 AS BIGINT)) < 13 THEN 'train'"
+            " WHEN (CAST(position(substr(md5(concat('sp:', CAST(doc_id AS STRING))), 1, 1)"
+            " IN '0123456789abcdef') - 1 AS BIGINT)) = 13 THEN 'val' ELSE 'test' END"
+        ).alias("naive_split"),
+    ).localCheckpoint(eager=True)
+    straddle = labeled.groupBy("canonical_id").agg(
+        F.expr("CAST(COUNT(DISTINCT split) AS BIGINT)").alias("aware_splits"),
+        F.expr("CAST(COUNT(DISTINCT naive_split) AS BIGINT)").alias("naive_splits"),
+    )
+    scal = straddle.agg(
+        F.expr("CAST(SUM(CASE WHEN aware_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "aware_straddling_clusters"
+        ),
+        F.expr("CAST(SUM(CASE WHEN naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "naive_straddling_clusters"
+        ),
+    )
+    tot = labeled.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_total"))
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("n_tokens"),
+            F.expr("CAST(COUNT(DISTINCT canonical_id) AS BIGINT)").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_clusters",
+            F.expr("n_docs * 1000000 DIV n_total").alias("doc_share_ppm"),
+            "naive_straddling_clusters",
+            "aware_straddling_clusters",
+        )
+        .orderBy("split")
+    )
+
+
+CORPUS_CAS_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+clones AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM d WHERE {_CAS_CLONE_NIB} < 2
+),
+corpus AS (SELECT * FROM d UNION ALL SELECT * FROM clones),
+members AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM corpus
+),
+labeled AS MATERIALIZED (
+  SELECT doc_id, n_tokens, canonical_id,
+         CASE WHEN {_CAS_SPLIT_NIB} < 13 THEN 'train'
+              WHEN {_CAS_SPLIT_NIB} = 13 THEN 'val' ELSE 'test' END AS split,
+         CASE WHEN (CAST(position(substr(md5(concat('sp:', CAST(doc_id AS VARCHAR))), 1, 1)
+              IN '0123456789abcdef') - 1 AS BIGINT)) < 13 THEN 'train'
+              WHEN (CAST(position(substr(md5(concat('sp:', CAST(doc_id AS VARCHAR))), 1, 1)
+              IN '0123456789abcdef') - 1 AS BIGINT)) = 13 THEN 'val' ELSE 'test' END AS naive_split
+  FROM members
+),
+straddle AS (
+  SELECT canonical_id,
+         CAST(COUNT(DISTINCT split) AS BIGINT) AS aware_splits,
+         CAST(COUNT(DISTINCT naive_split) AS BIGINT) AS naive_splits
+  FROM labeled GROUP BY 1
+),
+scal AS (
+  SELECT CAST(SUM(CASE WHEN aware_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS aware_straddling_clusters,
+         CAST(SUM(CASE WHEN naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS naive_straddling_clusters
+  FROM straddle
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM labeled)
+SELECT l.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(l.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT l.canonical_id) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * 1000000 // t.n_total AS BIGINT) AS doc_share_ppm,
+       s.naive_straddling_clusters,
+       s.aware_straddling_clusters
+FROM labeled l, tot t, scal s
+GROUP BY l.split, t.n_total, s.naive_straddling_clusters, s.aware_straddling_clusters
+ORDER BY l.split
+"""
+
+QUERIES["corpus_cluster_aware_split"] = corpus_cluster_aware_split
+ORACLE["corpus_cluster_aware_split"] = CORPUS_CAS_SQL

@@ -10548,3 +10548,127 @@ ORDER BY nation
 
 QUERIES["nations_product_diversity"] = nations_product_diversity
 ORACLE["nations_product_diversity"] = NATIONS_DIVERSITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# customers_dormancy_reactivation — win-back analytics (round 10)
+# ---------------------------------------------------------------------------
+
+
+def customers_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy/reactivation profile per market segment: a dormancy
+    spell is an interpurchase gap above the global p90 gap; every
+    closed spell IS a reactivation (the next order ends it), and the
+    censored tail (last order → horizon, > p90, no next order) is an
+    open dormancy — the win-back funnel numbers
+    (rate, typical overshoot) a retention team reads next to the
+    survival stack, which models time-to-event but not "how many
+    came back".
+
+    Engine-exact: the threshold is a ceil-rank order statistic from
+    the closed-gap histogram; rates are integer ppm; the mean
+    dormancy overshoot (gap − u) is an exact integer DIV ×1000.
+
+    Scale: one custkey window pass, one histogram-CDF, one segment
+    agg."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    spans = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate"))
+            .otherwise(F.datediff("h", "o_orderdate"))
+            .alias("t"),
+            F.col("nxt").isNotNull().alias("is_closed"),
+        )
+        .where(F.col("t") > 0)
+        .localCheckpoint(eager=True)
+    )
+    hist = spans.where("is_closed").groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    thr = (
+        hist.withColumn("cum", F.sum("cnt").over(wc).cast("bigint"))
+        .withColumn("n", F.sum("cnt").over(wall).cast("bigint"))
+        .agg(F.min(F.when(F.col("cum") * 100 >= F.col("n") * 90, F.col("t"))).alias("u"))
+    )
+    seg = (
+        spans.crossJoin(F.broadcast(thr))
+        .where(F.col("t") > F.col("u"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "u")
+        .agg(
+            F.expr("CAST(SUM(CASE WHEN is_closed THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "reactivated"
+            ),
+            F.expr("CAST(SUM(CASE WHEN is_closed THEN 0 ELSE 1 END) AS BIGINT)").alias(
+                "still_dormant"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN is_closed THEN CAST(t - u AS DECIMAL(38,0)) ELSE 0 END)"
+                " AS DECIMAL(38,0))"
+            ).alias("excess_sum"),
+        )
+    )
+    return seg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("u").cast("bigint").alias("dormancy_threshold_days"),
+        "reactivated",
+        "still_dormant",
+        F.expr("reactivated * 1000000 DIV (reactivated + still_dormant)").alias(
+            "reactivation_rate_ppm"
+        ),
+        F.expr("CAST(excess_sum * 1000 DIV GREATEST(reactivated, 1) AS BIGINT)").alias(
+            "mean_overshoot_days_x1000"
+        ),
+    ).orderBy("segment")
+
+
+CUSTOMERS_DORMANCY_SQL = """
+WITH spans AS MATERIALIZED (
+  SELECT o_custkey,
+         COALESCE(date_diff('day', o_orderdate,
+              LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate)),
+              date_diff('day', o_orderdate, (SELECT MAX(o_orderdate) FROM orders))) AS t,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) IS NOT NULL AS is_closed
+  FROM orders
+),
+spans2 AS MATERIALIZED (SELECT * FROM spans WHERE t > 0),
+hist AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM spans2 WHERE is_closed GROUP BY 1
+),
+cdf AS (
+  SELECT t, CAST(SUM(cnt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM hist
+),
+thr AS (SELECT MIN(CASE WHEN cum * 100 >= n * 90 THEN t END) AS u FROM cdf),
+seg AS (
+  SELECT c.c_mktsegment, thr.u,
+         CAST(SUM(CASE WHEN s.is_closed THEN 1 ELSE 0 END) AS BIGINT) AS reactivated,
+         CAST(SUM(CASE WHEN s.is_closed THEN 0 ELSE 1 END) AS BIGINT) AS still_dormant,
+         CAST(SUM(CASE WHEN s.is_closed THEN CAST(s.t - thr.u AS HUGEINT) ELSE 0 END) AS HUGEINT) AS excess_sum
+  FROM spans2 s
+  JOIN customer c ON s.o_custkey = c.c_custkey
+  CROSS JOIN thr
+  WHERE s.t > thr.u
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment AS segment,
+       CAST(u AS BIGINT) AS dormancy_threshold_days,
+       reactivated,
+       still_dormant,
+       CAST(reactivated * 1000000 // (reactivated + still_dormant) AS BIGINT) AS reactivation_rate_ppm,
+       CAST(excess_sum * 1000 // GREATEST(reactivated, 1) AS BIGINT) AS mean_overshoot_days_x1000
+FROM seg
+ORDER BY segment
+"""
+
+QUERIES["customers_dormancy_reactivation"] = customers_dormancy_reactivation
+ORACLE["customers_dormancy_reactivation"] = CUSTOMERS_DORMANCY_SQL

@@ -162,6 +162,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "graph_spectral_bisection",
         "embedding_binary_sign_recall",
         "orders_fano_factor_profile",
+        "corpus_cluster_aware_split",
+        "customers_dormancy_reactivation",
     }
 )
 

@@ -2987,3 +2987,89 @@ class TestFanoProfile:
             assert rec.max_f_ppm == max(vals)
             assert rec.n_weeks == n_weeks
             assert rec.overdispersed_share_ppm == n_over * 10**6 // n_weeks
+
+
+class TestClusterAwareSplit:
+    def test_aware_split_has_zero_leakage_and_naive_leaks(self, spark, sf_dir):
+        import hashlib
+
+        from bireme_spark.queries.corpus import corpus_cluster_aware_split
+
+        df = corpus_cluster_aware_split(spark, sf_dir).toPandas()
+        docs = _pq("documents")
+        nib = lambda pre, i: int(hashlib.md5(f"{pre}:{i}".encode()).hexdigest()[0], 16)
+        members = []
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            members.append((int(doc_id), text))
+            if nib("cs", int(doc_id)) < 2:
+                members.append((int(doc_id) + 1000000, text))
+        canon = {}
+        for did, text in members:
+            canon[text] = min(canon.get(text, did), did)
+        split_of = lambda i: (
+            "train" if nib("sp", i) < 13 else ("val" if nib("sp", i) == 13 else "test")
+        )
+        rows = {}
+        naive_leak = set()
+        toks = {}
+        clusters = {}
+        for did, text in members:
+            cid = canon[text]
+            sp = split_of(cid)
+            rows.setdefault(sp, []).append(did)
+            toks[sp] = toks.get(sp, 0) + len(text.split(" "))
+            clusters.setdefault(sp, set()).add(cid)
+            if split_of(did) != split_of(cid):
+                pass
+        # naive straddling: clusters whose members land in >1 naive split
+        by_cluster = {}
+        for did, text in members:
+            by_cluster.setdefault(canon[text], set()).add(split_of(did))
+        naive_straddle = sum(1 for s in by_cluster.values() if len(s) > 1)
+        total = len(members)
+        for rec in df.itertuples():
+            assert rec.n_docs == len(rows[rec.split])
+            assert rec.n_tokens == toks[rec.split]
+            assert rec.n_clusters == len(clusters[rec.split])
+            assert rec.doc_share_ppm == len(rows[rec.split]) * 10**6 // total
+            assert rec.aware_straddling_clusters == 0
+            assert rec.naive_straddling_clusters == naive_straddle
+        # the plant must make the naive split actually leak
+        assert df["naive_straddling_clusters"].iloc[0] > 0
+        # shares near 81/6/12 by the nibble design
+        tr = df.set_index("split").loc["train", "doc_share_ppm"]
+        assert 700_000 < tr < 900_000
+
+
+class TestDormancyReactivation:
+    def test_matches_span_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import customers_dormancy_reactivation
+
+        df = customers_dormancy_reactivation(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        c = _pq("customer")
+        seg_of = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+        horizon = o["o_orderdate"].max()
+        spans = []
+        oo = o.sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+        for ck, grp in oo.groupby("o_custkey"):
+            ds = list(grp["o_orderdate"])
+            for i, d0 in enumerate(ds):
+                nxt = ds[i + 1] if i + 1 < len(ds) else None
+                t = ((nxt if nxt is not None else horizon) - d0).days
+                if t > 0:
+                    spans.append((seg_of[ck], t, nxt is not None))
+        closed = sorted(t for _, t, cl in spans if cl)
+        n = len(closed)
+        u = closed[(n * 90 + 99) // 100 - 1]
+        for rec in df.itertuples():
+            dorm = [(t, cl) for sg, t, cl in spans if sg == rec.segment and t > u]
+            re_ = sum(1 for _, cl in dorm if cl)
+            op_ = len(dorm) - re_
+            assert rec.dormancy_threshold_days == u
+            assert rec.reactivated == re_
+            assert rec.still_dormant == op_
+            assert rec.reactivation_rate_ppm == re_ * 10**6 // (re_ + op_)
+            exc = sum(t - u for t, cl in dorm if cl)
+            assert rec.mean_overshoot_days_x1000 == exc * 1000 // max(re_, 1)
+            assert 0 < rec.reactivation_rate_ppm <= 10**6
