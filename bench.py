@@ -399,6 +399,7 @@ HEADLINE = [
     "orders_fano_factor_profile",
     "corpus_cluster_aware_split",
     "customers_dormancy_reactivation",
+    "orders_gini_yearly_trend",
 ]
 
 

@@ -10672,3 +10672,118 @@ ORDER BY segment
 
 QUERIES["customers_dormancy_reactivation"] = customers_dormancy_reactivation
 ORACLE["customers_dormancy_reactivation"] = CUSTOMERS_DORMANCY_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_gini_yearly_trend — inequality trajectory (round 10)
+# ---------------------------------------------------------------------------
+
+
+def orders_gini_yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-by-year Gini of order values plus the linear trend — is
+    revenue concentration rising? nation_revenue_gini is one static
+    snapshot; concentration POLICY questions are about the
+    derivative, and this emits the exact per-year coefficients with
+    an exact integer OLS slope over them.
+
+    Engine-exact: per year, Gini comes from the value histogram with
+    tie-block rank sums (Σ over a c-block at value v after cumlow =
+    v·(c·cumlow + c(c+1) DIV 2) — exact cents integers), closed as
+    the cross-multiplied ppm (2S − (n+1)T)·1e6 DIV (n·T); the trend
+    slope is the exact rational Num·1000 DIV D over (year, gini_ppm)
+    points.
+
+    Scale: one (year, value) histogram shuffle; the CDF windows run
+    per year on histogram-sized frames; the trend closes on ≤7
+    rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(year(o_orderdate) AS INT)").alias("yr"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("v"),
+    )
+    hist = o.groupBy("yr", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.partitionBy("yr").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.select(
+        "yr",
+        "v",
+        "c",
+        F.expr("COALESCE(SUM(c) OVER (PARTITION BY yr ORDER BY v"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)").alias("cumlow"),
+    )
+    per = ranked.groupBy("yr").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_orders"),
+        F.expr("CAST(SUM(CAST(v AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))").alias("t"),
+        F.expr(
+            "CAST(SUM(CAST(v AS DECIMAL(38,0)) * (c * cumlow + c * (c + 1) DIV 2))"
+            " AS DECIMAL(38,0))"
+        ).alias("s"),
+    ).select(
+        "yr",
+        "n_orders",
+        F.expr(
+            "CAST((2 * s - (n_orders + 1) * t) * 1000000"
+            " DIV (CAST(n_orders AS DECIMAL(38,0)) * t) AS BIGINT)"
+        ).alias("gini_ppm"),
+    ).localCheckpoint(eager=True)
+    trend = per.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("k"),
+        F.expr("CAST(SUM(yr) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(SUM(gini_ppm) AS DECIMAL(38,0))").alias("sg"),
+        F.expr("CAST(SUM(CAST(yr AS DECIMAL(38,0)) * yr) AS DECIMAL(38,0))").alias("syy"),
+        F.expr("CAST(SUM(CAST(yr AS DECIMAL(38,0)) * gini_ppm) AS DECIMAL(38,0))").alias("syg"),
+    ).select(
+        F.expr(
+            "CAST((k * syg - sy * sg) * 1000 DIV (k * syy - sy * sy) AS BIGINT)"
+        ).alias("gini_trend_ppm_per_year_x1000")
+    )
+    return (
+        per.crossJoin(F.broadcast(trend))
+        .select("yr", "n_orders", "gini_ppm", "gini_trend_ppm_per_year_x1000")
+        .orderBy("yr")
+    )
+
+
+ORDERS_GINI_TREND_SQL = """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+hist AS (
+  SELECT yr, v, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1, 2
+),
+ranked AS (
+  SELECT yr, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY yr ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlow
+  FROM hist
+),
+per AS MATERIALIZED (
+  SELECT yr,
+         CAST(SUM(c) AS BIGINT) AS n_orders,
+         CAST((2 * CAST(SUM(CAST(v AS HUGEINT) * (c * cumlow + c * (c + 1) // 2)) AS HUGEINT)
+               - (CAST(SUM(c) AS HUGEINT) + 1) * CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT))
+              * 1000000
+              // (CAST(SUM(c) AS HUGEINT) * CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT))
+              AS BIGINT) AS gini_ppm
+  FROM ranked GROUP BY 1
+),
+trend AS (
+  SELECT CAST((k * syg - sy * sg) * 1000 // (k * syy - sy * sy) AS BIGINT)
+           AS gini_trend_ppm_per_year_x1000
+  FROM (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS k, CAST(SUM(yr) AS HUGEINT) AS sy,
+           CAST(SUM(gini_ppm) AS HUGEINT) AS sg,
+           CAST(SUM(CAST(yr AS HUGEINT) * yr) AS HUGEINT) AS syy,
+           CAST(SUM(CAST(yr AS HUGEINT) * gini_ppm) AS HUGEINT) AS syg
+    FROM per
+  )
+)
+SELECT p.yr, p.n_orders, p.gini_ppm, t.gini_trend_ppm_per_year_x1000
+FROM per p, trend t
+ORDER BY p.yr
+"""
+
+QUERIES["orders_gini_yearly_trend"] = orders_gini_yearly_trend
+ORACLE["orders_gini_yearly_trend"] = ORDERS_GINI_TREND_SQL

@@ -164,6 +164,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_fano_factor_profile",
         "corpus_cluster_aware_split",
         "customers_dormancy_reactivation",
+        "orders_gini_yearly_trend",
     }
 )
 

@@ -3073,3 +3073,35 @@ class TestDormancyReactivation:
             exc = sum(t - u for t, cl in dorm if cl)
             assert rec.mean_overshoot_days_x1000 == exc * 1000 // max(re_, 1)
             assert 0 < rec.reactivation_rate_ppm <= 10**6
+
+
+class TestGiniYearlyTrend:
+    def test_matches_exact_gini_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_gini_yearly_trend
+
+        df = orders_gini_yearly_trend(spark, sf_dir).toPandas()
+        o = _pq("orders")
+        yrs = pd.to_datetime(o["o_orderdate"]).dt.year
+        cents = np.round(o["o_totalprice"].to_numpy() * 100).astype("int64")
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        pts = {}
+        for yr in sorted(set(yrs)):
+            xs = sorted(int(v) for v in cents[(yrs == yr).to_numpy()])
+            n = len(xs)
+            t = sum(xs)
+            s = sum((i + 1) * x for i, x in enumerate(xs))
+            pts[yr] = (n, (2 * s - (n + 1) * t) * 10**6 // (n * t))
+        k = len(pts)
+        sy = sum(pts)
+        sg = sum(g for _, g in pts.values())
+        syy = sum(y * y for y in pts)
+        syg = sum(y * g for y, (_, g) in pts.items())
+        slope = tdiv((k * syg - sy * sg) * 1000, k * syy - sy * sy)
+        assert len(df) == k
+        for rec in df.itertuples():
+            n, g = pts[rec.yr]
+            assert rec.n_orders == n
+            assert rec.gini_ppm == g
+            assert rec.gini_trend_ppm_per_year_x1000 == slope
+            # order values are genuinely unequal but not degenerate
+            assert 100_000 < rec.gini_ppm < 900_000
