@@ -3591,3 +3591,143 @@ ORDER BY g.hits_at_10
 
 QUERIES["embedding_binary_sign_recall"] = embedding_binary_sign_recall
 ORACLE["embedding_binary_sign_recall"] = EMBEDDING_BSR_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_participation_ratio — effective dimensionality of the
+# embedding cloud via the covariance participation ratio.
+
+
+def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio PR = (tr C)² / ‖C‖²_F = (Σλ)²/Σλ² of the
+    embedding covariance — the standard effective-dimensionality
+    estimate (how many principal directions carry the variance)
+    WITHOUT an eigensolve: trace and Frobenius norm are closed-form
+    covariance contractions. PR ≈ d says isotropic use of the space;
+    PR ≪ d says the store pays for dimensions it doesn't use (the
+    one-number companion to embedding_anisotropy/embedding_cka).
+
+    Determinism: the md5-first-byte coin caps the sample ~2000 rows
+    at ANY corpus size (cross-multiplied in-plan threshold,
+    stride-proof vs the sf1 1e8 id strides); elements quantize
+    float→double→ROUND·1e6; each covariance cell m·S_ij − s_i·s_j is
+    an exact integer, ratio-preservingly downscaled (DIV m·1000,
+    re-CAST DECIMAL(38,0) per the r8 rule) before the trace /
+    squared-Frobenius folds, which stay scale-0 integers (so the
+    closing DECIMAL→DOUBLE casts are single correctly-rounded
+    conversions at any magnitude); ONE IEEE division + 6dp round.
+
+    Scale: corpus scanned twice (count + coin filter); the 64×64
+    grid fan-out runs on the ~2000-row checkpointed sample — work is
+    O(cap·d²) regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ntot = e.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tot"))
+    samp = (
+        e.crossJoin(F.broadcast(ntot))
+        .where(F.expr(f"{_CKA_BYTE} * n_tot < 256 * {_CKA_CAP}"))
+        .select("vec_id", "embedding")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    m = samp.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("m"))
+    grid = spark.range(0, 64 * 64).select(
+        F.expr("CAST(id DIV 64 AS INT) + 1").alias("i"),
+        F.expr("CAST(id % 64 AS INT) + 1").alias("j"),
+    )
+    qexpr = "CAST(ROUND(CAST(element_at(embedding, {p}) AS DOUBLE) * 1000000) AS BIGINT)"
+    prods = (
+        samp.crossJoin(F.broadcast(grid))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"CAST({qexpr.format(p='i')} AS DECIMAL(38,0)) * {qexpr.format(p='j')}"
+            ).alias("pxy"),
+        )
+        .groupBy("i", "j")
+        .agg(F.expr("CAST(SUM(pxy) AS DECIMAL(38,0))").alias("sxy"))
+    )
+    dims = spark.range(1, 65).select(F.expr("CAST(id AS INT)").alias("p"))
+    sums = (
+        samp.crossJoin(F.broadcast(dims))
+        .select("p", F.expr(qexpr.format(p="p")).alias("x"))
+        .groupBy("p")
+        .agg(F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("s"))
+    )
+    si = sums.select(F.col("p").alias("i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("p").alias("j"), F.col("s").alias("sj"))
+    cells = (
+        prods.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST((m * sxy - si * sj) DIV (m * 1000) AS DECIMAL(38,0))"
+            ).alias("q"),
+        )
+    )
+    h = cells.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN i = j THEN q ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            " AS DECIMAL(38,0))"
+        ).alias("tr"),
+        F.expr("SUM(q * q)").alias("frob"),
+    )
+    return h.crossJoin(F.broadcast(m)).select(
+        F.col("m").alias("n_sample"),
+        F.lit(64).alias("dim"),
+        F.expr("CAST(tr AS BIGINT)").alias("trace_q"),
+        F.expr(
+            "ROUND(CAST(tr * tr AS DOUBLE) / CAST(frob AS DOUBLE), 6)"
+        ).alias("participation_ratio"),
+        F.expr(
+            "ROUND(CAST(tr * tr AS DOUBLE) / CAST(frob AS DOUBLE) / CAST(64 AS DOUBLE), 6)"
+        ).alias("effective_dim_frac"),
+    )
+
+
+EMBEDDING_PR_SQL = f"""
+WITH ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM embeddings),
+samp AS (
+  SELECT vec_id, embedding FROM embeddings, ntot
+  WHERE {_CKA_BYTE} * n_tot < 256 * {_CKA_CAP}
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM samp),
+grid AS (
+  SELECT CAST(gi.i AS INTEGER) AS i, CAST(gj.j AS INTEGER) AS j
+  FROM generate_series(1, 64) gi(i), generate_series(1, 64) gj(j)
+),
+prods AS (
+  SELECT i, j,
+         CAST(SUM(CAST(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS HUGEINT)
+                  * CAST(ROUND(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)) AS HUGEINT) AS sxy
+  FROM samp, grid GROUP BY 1, 2
+),
+sums AS (
+  SELECT CAST(g.p AS INTEGER) AS p,
+         CAST(SUM(CAST(CAST(ROUND(CAST(embedding[g.p] AS DOUBLE) * 1000000) AS BIGINT) AS HUGEINT)) AS HUGEINT) AS s
+  FROM samp, generate_series(1, 64) g(p) GROUP BY 1
+),
+cells AS (
+  SELECT p.i, p.j,
+         CAST((m.m * p.sxy - a.s * b.s) // (m.m * 1000) AS HUGEINT) AS q
+  FROM prods p, m, sums a, sums b
+  WHERE a.p = p.i AND b.p = p.j
+),
+h AS (
+  SELECT CAST(SUM(CASE WHEN i = j THEN q ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS tr,
+         SUM(q * q) AS frob
+  FROM cells
+)
+SELECT m.m AS n_sample,
+       CAST(64 AS INTEGER) AS dim,
+       CAST(h.tr AS BIGINT) AS trace_q,
+       ROUND(CAST(h.tr * h.tr AS DOUBLE) / CAST(h.frob AS DOUBLE), 6) AS participation_ratio,
+       ROUND(CAST(h.tr * h.tr AS DOUBLE) / CAST(h.frob AS DOUBLE) / CAST(64 AS DOUBLE), 6) AS effective_dim_frac
+FROM h, m
+"""
+
+QUERIES["embedding_participation_ratio"] = embedding_participation_ratio
+ORACLE["embedding_participation_ratio"] = EMBEDDING_PR_SQL

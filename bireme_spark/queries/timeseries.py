@@ -8360,3 +8360,322 @@ ORDER BY b.band
 
 QUERIES["orders_fano_factor_profile"] = orders_fano_factor_profile
 ORACLE["orders_fano_factor_profile"] = ORDERS_FANO_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_diebold_mariano — Diebold-Mariano equal-accuracy test between
+# the seasonal-naive and naive one-step forecasters on monthly counts.
+
+
+def orders_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold–Mariano (1995) test of equal forecast accuracy between
+    the two standard no-model baselines on the monthly order-count
+    series — seasonal naive (ŷ_t = y_{t−12}) vs naive (ŷ_t = y_{t−1})
+    — with the Newey–West (Bartlett, h=4) HAC long-run variance the
+    loss-differential autocorrelation demands. orders_forecast_backtest
+    ranks forecasters by point error; DM says whether the gap is
+    STATISTICALLY real — the missing inference step.
+
+    Determinism: counts are exact integers; residuals are
+    ratio-preservingly downscaled IN-PLAN (DIV k, k = GREATEST(1,
+    N DIV 2·10⁷) — above every gate tier, so recorded rounds stay
+    bit-identical while squared terms stay n-independent-bounded at
+    any scale, the r8 Mahalanobis rule) before squaring; the loss
+    differential d_t, its n-scaled deviations e_t = n·d_t − S, and
+    the Bartlett-weighted autocovariance fold Gw = 5·G₀ +
+    2·Σ_{k=1..4}(5−k)·G_k are all exact DECIMAL(38,0) integers
+    (both engines' DIV truncates toward zero on negatives); the DM
+    statistic S·n·√5/√Gw is ONE shared IEEE expression over scale-0
+    integers, 6dp-rounded.
+
+    Scale: one scan collapses orders to the ~80-row monthly frame;
+    every window (lags, leads, the HAC fold) runs on that frame."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate")
+    monthly = o.groupBy(
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate)").alias("mkey")
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("y"))
+    w = Window.orderBy("mkey")
+    wall = Window.partitionBy()
+    lagged = monthly.select(
+        "mkey",
+        "y",
+        F.expr("SUM(y) OVER ()").alias("ntot"),
+        F.lag("y", 12).over(w).alias("y12"),
+        F.lag("y", 1).over(w).alias("y1"),
+    ).where(F.col("y12").isNotNull() & F.col("y1").isNotNull())
+    d = lagged.select(
+        "mkey",
+        F.expr(
+            "(y - y12) DIV GREATEST(1, ntot DIV 20000000) AS ra"
+        ),
+        F.expr(
+            "(y - y1) DIV GREATEST(1, ntot DIV 20000000) AS rb"
+        ),
+    ).select("mkey", F.expr("ra * ra - rb * rb").alias("d"),
+             F.expr("ra * ra").alias("la"), F.expr("rb * rb").alias("lb"))
+    e = d.select(
+        "mkey",
+        "d",
+        "la",
+        "lb",
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(d) OVER () AS BIGINT)").alias("s"),
+    ).select(
+        "mkey",
+        "la",
+        "lb",
+        "n",
+        "s",
+        F.expr("CAST(n * d - s AS DECIMAL(38,0))").alias("e"),
+    )
+    wl = Window.orderBy("mkey")
+    led = e.select(
+        "la",
+        "lb",
+        "n",
+        "s",
+        "e",
+        *[F.lead("e", k).over(wl).alias(f"e{k}") for k in range(1, 5)],
+    )
+    agg = led.groupBy().agg(
+        F.expr("MAX(n)").alias("n_eff"),
+        F.expr("MAX(s)").alias("s_d"),
+        F.expr("CAST(SUM(la) AS BIGINT)").alias("sse_seasonal"),
+        F.expr("CAST(SUM(lb) AS BIGINT)").alias("sse_naive"),
+        F.expr("CAST(SUM(e * e) AS DECIMAL(38,0))").alias("g0"),
+        *[
+            F.expr(f"CAST(SUM(CASE WHEN e{k} IS NOT NULL THEN e * e{k} END) AS DECIMAL(38,0))").alias(f"g{k}")
+            for k in range(1, 5)
+        ],
+    )
+    return agg.select(
+        F.expr("CAST(n_eff AS BIGINT)").alias("n_eff"),
+        F.expr("CAST(s_d AS BIGINT)").alias("loss_diff_sum"),
+        "sse_seasonal",
+        "sse_naive",
+        F.expr("CAST(sse_seasonal * 1000000 DIV GREATEST(sse_naive, 1) AS BIGINT)").alias("mse_ratio_ppm"),
+        F.expr(
+            "ROUND(CAST(s_d * n_eff AS DOUBLE) * SQRT(CAST(5 AS DOUBLE))"
+            " / SQRT(CAST(GREATEST(5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + g4),"
+            " CAST(1 AS DECIMAL(38,0))) AS DOUBLE)), 6)"
+        ).alias("dm_stat"),
+    )
+
+
+ORDERS_DM_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT mkey, y,
+         SUM(y) OVER () AS ntot,
+         LAG(y, 12) OVER (ORDER BY mkey) AS y12,
+         LAG(y, 1) OVER (ORDER BY mkey) AS y1
+  FROM monthly
+),
+d AS (
+  SELECT mkey,
+         ((y - y12) // GREATEST(1, ntot // 20000000)) * ((y - y12) // GREATEST(1, ntot // 20000000))
+           - ((y - y1) // GREATEST(1, ntot // 20000000)) * ((y - y1) // GREATEST(1, ntot // 20000000)) AS d,
+         ((y - y12) // GREATEST(1, ntot // 20000000)) * ((y - y12) // GREATEST(1, ntot // 20000000)) AS la,
+         ((y - y1) // GREATEST(1, ntot // 20000000)) * ((y - y1) // GREATEST(1, ntot // 20000000)) AS lb
+  FROM lagged WHERE y12 IS NOT NULL AND y1 IS NOT NULL
+),
+e AS (
+  SELECT mkey, la, lb,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(d) OVER () AS BIGINT) AS s,
+         CAST(COUNT(*) OVER () AS HUGEINT) * d - CAST(SUM(d) OVER () AS HUGEINT) AS e
+  FROM d
+),
+led AS (
+  SELECT la, lb, n, s, e,
+         LEAD(e, 1) OVER (ORDER BY mkey) AS e1,
+         LEAD(e, 2) OVER (ORDER BY mkey) AS e2,
+         LEAD(e, 3) OVER (ORDER BY mkey) AS e3,
+         LEAD(e, 4) OVER (ORDER BY mkey) AS e4
+  FROM e
+),
+agg AS (
+  SELECT MAX(n) AS n_eff, MAX(s) AS s_d,
+         CAST(SUM(la) AS BIGINT) AS sse_seasonal,
+         CAST(SUM(lb) AS BIGINT) AS sse_naive,
+         CAST(SUM(e * e) AS HUGEINT) AS g0,
+         CAST(SUM(CASE WHEN e1 IS NOT NULL THEN e * e1 END) AS HUGEINT) AS g1,
+         CAST(SUM(CASE WHEN e2 IS NOT NULL THEN e * e2 END) AS HUGEINT) AS g2,
+         CAST(SUM(CASE WHEN e3 IS NOT NULL THEN e * e3 END) AS HUGEINT) AS g3,
+         CAST(SUM(CASE WHEN e4 IS NOT NULL THEN e * e4 END) AS HUGEINT) AS g4
+  FROM led
+)
+SELECT CAST(n_eff AS BIGINT) AS n_eff,
+       CAST(s_d AS BIGINT) AS loss_diff_sum,
+       sse_seasonal, sse_naive,
+       CAST(sse_seasonal * 1000000 // GREATEST(sse_naive, 1) AS BIGINT) AS mse_ratio_ppm,
+       ROUND(CAST(s_d * n_eff AS DOUBLE) * SQRT(CAST(5 AS DOUBLE))
+             / SQRT(CAST(GREATEST(5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + g4),
+                                  CAST(1 AS HUGEINT)) AS DOUBLE)), 6) AS dm_stat
+FROM agg
+"""
+
+QUERIES["orders_diebold_mariano"] = orders_diebold_mariano
+ORACLE["orders_diebold_mariano"] = ORDERS_DM_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_pacf_levinson — partial autocorrelation of the hourly event
+# stream via an integer Durbin-Levinson recursion.
+
+_PACF_K = 8
+
+
+def _pacf_tdiv(a: int, b: int) -> int:
+    return abs(a) // b * (1 if a >= 0 else -1)
+
+
+def events_pacf_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF of the hourly event-count series, lags 1..8, via the
+    Durbin–Levinson recursion on the ACF — the AR-order diagnostic
+    events_autocorrelation can't give (ACF of an AR(p) decays forever;
+    PACF CUTS OFF at p, which is what you read the order from).
+
+    Determinism: the ACF is the house n-scaled-deviation integer form
+    (u_t = n·c_t − S; R_k = G_k·1e6 DIV G₀ with every u product cast
+    DECIMAL(38,0) BEFORE multiplying); the recursion runs e6-quantized
+    PURE INTEGER steps — φ_kk = (R_k·1e6 − Σφ_j·R_{k−j})·1e6 DIV
+    (1e12 − Σφ_j·R_j), φ_{k,j} updated with a per-product
+    truncating DIV 1e6 — on the driver (model-sized: 8 integers
+    cross; the CA eigensolve contract), and the DuckDB oracle replays
+    the IDENTICAL integer recursion as 8 unrolled MATERIALIZED
+    levels, so the gate checks the recursion itself. Truncation
+    toward zero on negatives is engine-verified (DIV vs //).
+
+    Scale: one scan collapses events to the ~720-row hourly frame;
+    lags/folds are windows on that frame; gaps in the hourly grid are
+    treated as adjacent rows (row-number time) on BOTH engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("date_trunc('hour', ts)").alias("h")
+    )
+    hourly = ev.groupBy("h").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    w = Window.orderBy("h")
+    u = hourly.select(
+        "h",
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n"),
+        F.expr("CAST(CAST(COUNT(*) OVER () AS DECIMAL(38,0)) * c"
+               " - SUM(c) OVER () AS DECIMAL(38,0))").alias("u"),
+    )
+    led = u.select(
+        "n",
+        "u",
+        *[F.lead("u", k).over(w).alias(f"u{k}") for k in range(1, _PACF_K + 1)],
+    )
+    g = led.groupBy().agg(
+        F.expr("MAX(n)").alias("n_hours"),
+        F.expr("CAST(SUM(u * u) AS DECIMAL(38,0))").alias("g0"),
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN u{k} IS NOT NULL THEN u * u{k} END) AS DECIMAL(38,0))"
+            ).alias(f"g{k}")
+            for k in range(1, _PACF_K + 1)
+        ],
+    )
+    row = g.collect()[0]
+    n_hours = int(row["n_hours"])
+    g0 = int(row["g0"])
+    R = {k: _pacf_tdiv(int(row[f"g{k}"]) * 10**6, g0) for k in range(1, _PACF_K + 1)}
+    phi = {1: R[1]}
+    pacf = {1: R[1]}
+    for k in range(2, _PACF_K + 1):
+        num = 10**6 * R[k] - sum(phi[j] * R[k - j] for j in range(1, k))
+        den = max(10**12 - sum(phi[j] * R[j] for j in range(1, k)), 1)
+        pkk = _pacf_tdiv(num * 10**6, den)
+        phi = {j: phi[j] - _pacf_tdiv(pkk * phi[k - j], 10**6) for j in range(1, k)}
+        phi[k] = pkk
+        pacf[k] = pkk
+    rows = [(k, n_hours, R[k], pacf[k]) for k in range(1, _PACF_K + 1)]
+    return spark.createDataFrame(
+        rows, "lag INT, n_hours BIGINT, acf_ppm BIGINT, pacf_ppm BIGINT"
+    )
+
+
+def _pacf_oracle_sql(K: int = _PACF_K) -> str:
+    leads = ",\n         ".join(
+        f"LEAD(u, {k}) OVER (ORDER BY h) AS u{k}" for k in range(1, K + 1)
+    )
+    gs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN u{k} IS NOT NULL THEN u * u{k} END) AS HUGEINT) AS g{k}"
+        for k in range(1, K + 1)
+    )
+    rsel = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, g{k} * 1000000 // g0 AS r_ppm FROM g" for k in range(1, K + 1)
+    )
+    parts = [
+        "lvl1 AS MATERIALIZED (SELECT 1 AS j, (SELECT r_ppm FROM r WHERE k = 1) AS phi)"
+    ]
+    for k in range(2, K + 1):
+        prev = f"lvl{k - 1}"
+        num = (
+            f"(SELECT 1000000 * (SELECT r_ppm FROM r WHERE k = {k})"
+            f" - COALESCE(SUM(p.phi * (SELECT r_ppm FROM r WHERE r.k = {k} - p.j)), 0)"
+            f" FROM {prev} p)"
+        )
+        den = (
+            f"(SELECT GREATEST(1000000000000"
+            f" - COALESCE(SUM(p.phi * (SELECT r_ppm FROM r WHERE r.k = p.j)), 0), 1)"
+            f" FROM {prev} p)"
+        )
+        parts.append(
+            f"pk{k} AS MATERIALIZED (SELECT ({num}) * 1000000 // ({den}) AS pkk)"
+        )
+        parts.append(
+            f"lvl{k} AS MATERIALIZED ("
+            f"SELECT p.j, p.phi - ((SELECT pkk FROM pk{k}) * q.phi) // 1000000 AS phi"
+            f" FROM {prev} p JOIN {prev} q ON q.j = {k} - p.j"
+            f" UNION ALL SELECT {k} AS j, (SELECT pkk FROM pk{k}) AS phi)"
+        )
+    pac = "\n  UNION ALL ".join(
+        ["SELECT 1 AS lag, (SELECT phi FROM lvl1) AS pacf_ppm"]
+        + [f"SELECT {k} AS lag, (SELECT pkk FROM pk{k}) AS pacf_ppm" for k in range(2, K + 1)]
+    )
+    levels = ",\n".join(parts)
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+u AS (
+  SELECT h,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(COUNT(*) OVER () AS HUGEINT) * c - CAST(SUM(c) OVER () AS HUGEINT) AS u
+  FROM hourly
+),
+led AS (
+  SELECT h, n, u,
+         {leads}
+  FROM u
+),
+g AS MATERIALIZED (
+  SELECT MAX(n) AS n_hours,
+         CAST(SUM(u * u) AS HUGEINT) AS g0,
+         {gs}
+  FROM led
+),
+r AS MATERIALIZED (
+  {rsel}
+),
+{levels},
+pac AS (
+  {pac}
+)
+SELECT r.k AS lag,
+       (SELECT CAST(n_hours AS BIGINT) FROM g) AS n_hours,
+       CAST(r.r_ppm AS BIGINT) AS acf_ppm,
+       CAST(p.pacf_ppm AS BIGINT) AS pacf_ppm
+FROM r JOIN pac p ON p.lag = r.k
+ORDER BY lag
+"""
+
+
+QUERIES["events_pacf_levinson"] = events_pacf_levinson
+ORACLE["events_pacf_levinson"] = _pacf_oracle_sql()

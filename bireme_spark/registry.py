@@ -165,6 +165,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "corpus_cluster_aware_split",
         "customers_dormancy_reactivation",
         "orders_gini_yearly_trend",
+        "nations_dissimilarity_index",
+        "embedding_participation_ratio",
+        "orders_diebold_mariano",
+        "events_pacf_levinson",
     }
 )
 

@@ -3105,3 +3105,153 @@ class TestGiniYearlyTrend:
             assert rec.gini_trend_ppm_per_year_x1000 == slope
             # order values are genuinely unequal but not degenerate
             assert 100_000 < rec.gini_ppm < 900_000
+
+
+class TestDissimilarityIndex:
+    def test_matches_exact_integer_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import nations_dissimilarity_index
+
+        df = nations_dissimilarity_index(spark, sf_dir).toPandas()
+        li = _pq("lineitem")[["l_suppkey", "l_partkey"]]
+        su = _pq("supplier")[["s_suppkey", "s_nationkey"]]
+        pa = _pq("part")[["p_partkey", "p_type"]]
+        na = _pq("nation")[["n_nationkey", "n_name"]]
+        j = li.merge(su, left_on="l_suppkey", right_on="s_suppkey").merge(
+            pa, left_on="l_partkey", right_on="p_partkey"
+        )
+        cells = j.groupby(["s_nationkey", "p_type"]).size()
+        g_tot = int(cells.sum())
+        typ_tot = cells.groupby("p_type").sum()
+        nat_tot = cells.groupby("s_nationkey").sum()
+        got = {r.n_name: r for r in df.itertuples()}
+        assert len(df) == len(nat_tot)
+        for nk, cn in nat_tot.items():
+            cn = int(cn)
+            num = sum(
+                abs(int(cells.get((nk, t), 0)) * g_tot - int(gt) * cn)
+                for t, gt in typ_tot.items()
+            )
+            d = num * 500000 // (cn * g_tot)
+            name = na.set_index("n_nationkey").loc[nk, "n_name"]
+            rec = got[name]
+            assert rec.n_items == cn
+            assert rec.dissim_ppm == d
+            # a valid dissimilarity: inside [0, 1e6), and the mixes are
+            # genuinely non-identical but not disjoint on this fixture
+            assert 0 < rec.dissim_ppm < 500_000
+
+
+class TestParticipationRatio:
+    def test_matches_exact_integer_recompute_and_bounds(self, spark, sf_dir):
+        import hashlib
+
+        from bireme_spark.queries.embeddings import (
+            _CKA_CAP,
+            embedding_participation_ratio,
+        )
+
+        rec = embedding_participation_ratio(spark, sf_dir).collect()[0]
+        emb = _pq("embeddings")
+        n_tot = len(emb)
+        rows = []
+        for vid, v in zip(emb["vec_id"], emb["embedding"]):
+            b = int(hashlib.md5(str(vid).encode()).hexdigest()[:2], 16)
+            if b * n_tot < 256 * _CKA_CAP:
+                rows.append(np.round(v.astype("float64") * 1_000_000).astype("int64"))
+        m = len(rows)
+        assert rec.n_sample == m and rec.dim == 64
+        X = np.stack(rows)
+        sxy = X.T.astype(object) @ X.astype(object)
+        si = X.sum(axis=0).astype(object)
+        k = m * 1000
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        q = [
+            [tdiv(m * int(sxy[i][j]) - int(si[i]) * int(si[j]), k) for j in range(64)]
+            for i in range(64)
+        ]
+        tr = sum(q[i][i] for i in range(64))
+        frob = sum(q[i][j] ** 2 for i in range(64) for j in range(64))
+        pr = float(tr * tr) / float(frob)
+        assert rec.trace_q == tr
+        assert abs(rec.participation_ratio - pr) <= 1.1e-6
+        assert abs(rec.effective_dim_frac - pr / 64) <= 1.1e-6
+        # PR is bounded by [1, d]; on a real (non-degenerate, non-
+        # isotropic) cloud it sits strictly inside
+        assert 1.0 < rec.participation_ratio < 64.0
+
+
+class TestDieboldMariano:
+    def test_matches_exact_integer_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import orders_diebold_mariano
+
+        rec = orders_diebold_mariano(spark, sf_dir).collect()[0]
+        o = _pq("orders")
+        dt = pd.to_datetime(o["o_orderdate"])
+        mk = dt.dt.year * 12 + dt.dt.month
+        ys = mk.value_counts().sort_index()
+        keys = list(ys.index)
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        ntot = int(ys.sum())
+        k = max(1, ntot // 20_000_000)
+        la, lb, d = [], [], []
+        for i in range(12, len(keys)):
+            y = int(ys.iloc[i])
+            ra = tdiv(y - int(ys.iloc[i - 12]), k)
+            rb = tdiv(y - int(ys.iloc[i - 1]), k)
+            la.append(ra * ra)
+            lb.append(rb * rb)
+            d.append(ra * ra - rb * rb)
+        n = len(d)
+        s = sum(d)
+        e = [n * x - s for x in d]
+        g = [sum(e[t] * e[t + kk] for t in range(n - kk)) for kk in range(5)]
+        gw = max(5 * g[0] + 2 * (4 * g[1] + 3 * g[2] + 2 * g[3] + g[4]), 1)
+        import math
+
+        dm = float(s * n) * math.sqrt(5.0) / math.sqrt(float(gw))
+        assert rec.n_eff == n
+        assert rec.loss_diff_sum == s
+        assert rec.sse_seasonal == sum(la)
+        assert rec.sse_naive == sum(lb)
+        assert rec.mse_ratio_ppm == sum(la) * 10**6 // max(sum(lb), 1)
+        assert abs(rec.dm_stat - dm) <= 1.1e-6
+        # the monthly series must actually feed the test: a year of
+        # warmup dropped, a real (nonzero) loss differential left
+        assert n >= 24 and s != 0
+
+
+class TestPacfLevinson:
+    def test_matches_exact_integer_recompute_and_ar_semantics(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import _PACF_K, events_pacf_levinson
+
+        out = {r.lag: r for r in events_pacf_levinson(spark, sf_dir).collect()}
+        ev = _pq("events")
+        hours = pd.to_datetime(ev["ts"]).dt.floor("h")
+        cs = hours.value_counts().sort_index()
+        n = len(cs)
+        stot = int(cs.sum())
+        u = [n * int(c) - stot for c in cs]
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        g0 = sum(x * x for x in u)
+        R = {
+            kk: tdiv(sum(u[t] * u[t + kk] for t in range(n - kk)) * 10**6, g0)
+            for kk in range(1, _PACF_K + 1)
+        }
+        phi = {1: R[1]}
+        pacf = {1: R[1]}
+        for kk in range(2, _PACF_K + 1):
+            num = 10**6 * R[kk] - sum(phi[j] * R[kk - j] for j in range(1, kk))
+            den = max(10**12 - sum(phi[j] * R[j] for j in range(1, kk)), 1)
+            pkk = tdiv(num * 10**6, den)
+            phi = {j: phi[j] - tdiv(pkk * phi[kk - j], 10**6) for j in range(1, kk)}
+            phi[kk] = pkk
+            pacf[kk] = pkk
+        assert len(out) == _PACF_K
+        for kk in range(1, _PACF_K + 1):
+            assert out[kk].n_hours == n
+            assert out[kk].acf_ppm == R[kk]
+            assert out[kk].pacf_ppm == pacf[kk]
+        # lag-1 PACF equals lag-1 ACF by construction, and every
+        # partial autocorrelation is a correlation: |φ_kk| ≤ 1
+        assert out[1].pacf_ppm == out[1].acf_ppm
+        assert all(abs(out[kk].pacf_ppm) <= 10**6 for kk in out)
