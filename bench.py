@@ -404,6 +404,8 @@ HEADLINE = [
     "embedding_participation_ratio",
     "orders_diebold_mariano",
     "events_pacf_levinson",
+    "graph_random_walk_restart",
+    "embedding_hbos_outliers",
 ]
 
 

@@ -3410,3 +3410,173 @@ FROM cutagg c, sides s
 
 QUERIES["graph_spectral_bisection"] = graph_spectral_bisection
 ORACLE["graph_spectral_bisection"] = _sb_sql()
+
+
+# ---------------------------------------------------------------------------
+# graph_random_walk_restart — personalized PageRank (random walk with
+# restart) from a deterministic seed set over the part-flow graph.
+
+_RWR_ITERS = 6
+_RWR_D_E9 = 850_000_000  # restart probability 0.15 in e9 fixed point
+_RWR_ONE_E9 = 1_000_000_000
+_RWR_SEEDS = 10
+
+
+def graph_random_walk_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart (Tong et al.
+    2006) from a deterministic seed set (the 10 smallest part ids in
+    the node set) over the directed part-flow graph (the graph_scc
+    fixture: per sampled order key%40, parts chain u→v in key order,
+    even-sum pairs get the back edge — probed to carry real sparse
+    structure). Global PageRank says which nodes matter overall; RWR
+    says which matter RELATIVE TO a query set — the proximity
+    primitive behind recommendation and seed-expansion labeling.
+
+    Determinism: six synchronous supersteps in e9 fixed-point BIGINT
+    (per-edge contribution r DIV outdeg, per-node close teleport +
+    d·mass DIV 1e9 — truncating DIV on both engines); the teleport
+    mass lands ONLY on seeds. Dangling nodes leak mass by design
+    (classic unpatched semantics, deterministic on both engines).
+    Ranking key is (score DESC, part id) — no MAX_BY ties.
+
+    Scale: edge formation is a per-order consecutive-rank self-join
+    (linear); each superstep is one edge-sized join + node-sized agg
+    on the localCheckpointed edge base (single-reader iterate — no
+    per-round checkpoint, the HITS rule); node state never crosses
+    the driver. The oracle replays the identical integer recursion
+    as 6 unrolled MATERIALIZED levels."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    seq = po.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
+        .alias("rn"),
+        "l_orderkey",
+    )
+    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
+    b_ = seq.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
+    )
+    fwd = a_.join(b_, ["ok", "rn"]).select("u", "v").distinct()
+    edges = (
+        fwd.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(
+            fwd.where((F.col("u") + F.col("v")) % 2 == 0).select(
+                F.col("v").alias("s"), F.col("u").alias("d")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("s").alias("nk"))
+        .unionByName(edges.select(F.col("d").alias("nk")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("s").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("ow"))
+    seeds = nodes.orderBy("nk").limit(_RWR_SEEDS).select(F.col("nk").alias("sk"))
+    ns = seeds.count()  # <=10 by construction; model-sized driver scalar
+    init = _RWR_ONE_E9 // ns
+    tele = (_RWR_ONE_E9 - _RWR_D_E9) // ns
+    marked = nodes.join(F.broadcast(seeds), nodes.nk == seeds.sk, "left").select(
+        "nk", F.expr("CAST(sk IS NOT NULL AS BOOLEAN)").alias("is_seed")
+    ).localCheckpoint(eager=True)
+    rank = marked.select(
+        "nk", F.expr(f"CAST(CASE WHEN is_seed THEN {init} ELSE 0 END AS BIGINT)").alias("r")
+    )
+    for _ in range(_RWR_ITERS):
+        contrib = (
+            edges.join(outw, "s")
+            .join(rank, edges.s == rank.nk)
+            .select(F.col("d").alias("nk"), F.expr("r DIV ow").alias("m"))
+            .groupBy("nk")
+            .agg(F.expr("CAST(SUM(m) AS BIGINT)").alias("mass"))
+        )
+        rank = marked.join(contrib, "nk", "left").select(
+            "nk",
+            F.expr(
+                f"CAST(CASE WHEN is_seed THEN {tele} ELSE 0 END"
+                f" + ({_RWR_D_E9} * COALESCE(mass, 0)) DIV {_RWR_ONE_E9} AS BIGINT)"
+            ).alias("r"),
+        )
+    out = marked.join(rank.select("nk", "r"), "nk")
+    return (
+        out.orderBy(F.col("r").desc(), F.col("nk"))
+        .limit(20)
+        .select(
+            F.col("nk").alias("part_id"),
+            F.col("r").alias("ppr_e9"),
+            F.expr("CAST(is_seed AS INT)").alias("is_seed"),
+        )
+    )
+
+
+def _rwr_oracle_sql() -> str:
+    levels = []
+    prev = "r0"
+    for i in range(1, _RWR_ITERS + 1):
+        levels.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT e.d AS nk, CAST(SUM(r.r // o.ow) AS BIGINT) AS mass
+  FROM edges e JOIN outw o ON e.s = o.s JOIN {prev} r ON r.nk = e.s
+  GROUP BY 1
+),
+r{i} AS MATERIALIZED (
+  SELECT n.nk, n.is_seed,
+         CAST(CASE WHEN n.is_seed THEN ({_RWR_ONE_E9} - {_RWR_D_E9}) // ns.ns ELSE 0 END
+              + ({_RWR_D_E9} * COALESCE(m.mass, 0)) // {_RWR_ONE_E9} AS BIGINT) AS r
+  FROM marked n LEFT JOIN m{i} m ON m.nk = n.nk, ns
+)"""
+        )
+        prev = f"r{i}"
+    lvl = ",\n".join(levels)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 40 = 0
+),
+po AS (SELECT DISTINCT l_orderkey, l_partkey FROM li),
+seq AS (
+  SELECT l_orderkey AS ok, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+  FROM po
+),
+fwd AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM seq a JOIN seq b ON a.ok = b.ok AND b.rn = a.rn + 1
+),
+edges AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM fwd
+  UNION
+  SELECT v AS s, u AS d FROM fwd WHERE (u + v) % 2 = 0
+),
+nodes AS MATERIALIZED (
+  SELECT s AS nk FROM edges UNION SELECT d FROM edges
+),
+outw AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS ow FROM edges GROUP BY 1
+),
+seeds AS MATERIALIZED (
+  SELECT nk AS sk FROM nodes ORDER BY nk LIMIT {_RWR_SEEDS}
+),
+ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds),
+marked AS MATERIALIZED (
+  SELECT n.nk, (s.sk IS NOT NULL) AS is_seed
+  FROM nodes n LEFT JOIN seeds s ON s.sk = n.nk
+),
+r0 AS MATERIALIZED (
+  SELECT nk, is_seed,
+         CAST(CASE WHEN is_seed THEN {_RWR_ONE_E9} // ns.ns ELSE 0 END AS BIGINT) AS r
+  FROM marked, ns
+),
+{lvl}
+SELECT nk AS part_id, r AS ppr_e9, CAST(is_seed AS INTEGER) AS is_seed
+FROM r{_RWR_ITERS}
+ORDER BY r DESC, nk
+LIMIT 20
+"""
+
+
+QUERIES["graph_random_walk_restart"] = graph_random_walk_restart
+ORACLE["graph_random_walk_restart"] = _rwr_oracle_sql()

@@ -3731,3 +3731,117 @@ FROM h, m
 
 QUERIES["embedding_participation_ratio"] = embedding_participation_ratio
 ORACLE["embedding_participation_ratio"] = EMBEDDING_PR_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_hbos_outliers — histogram-based outlier score over the
+# leading embedding dimensions.
+
+_HBOS_DIMS = 8
+_HBOS_BINS = 16
+
+
+def embedding_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS (Goldstein & Dencker 2012) over the first 8 embedding
+    dimensions, 16 equal-width bins each: score(x) = Σ_d −ln(density
+    of x's bin in dim d) — the linear-time density-based outlier
+    screen (LOF ranks by NEIGHBORHOOD density at pairwise cost; HBOS
+    assumes feature independence and runs as pure histogram
+    arithmetic, the right first pass at corpus scale). Emits the
+    top-20 scores.
+
+    Determinism: elements quantize float→double→e6 integers; bin
+    index (x−min)·16 DIV (max−min+1) is pure integer (provably ≤15);
+    the −ln density term is computed ONCE PER HISTOGRAM CELL (≤128
+    cells — the collapse-to-histogram house rule, transcendentals
+    never touch row-sized frames), e6-rounded per term (the C-vs-Java
+    ulp discipline), and summed as exact BIGINTs per vector. Ranking
+    key (score DESC, vec_id) — no ties left to shuffle order.
+
+    Scale: ONE corpus scan fans ×8 against a broadcast dim list;
+    per-dim min/max is an 8-row agg broadcast back; the cell
+    histogram is ≤128 rows; the per-vector close is one groupBy.
+    No pairwise anything — O(n·d) flat."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = spark.range(1, _HBOS_DIMS + 1).select(F.expr("CAST(id AS INT)").alias("d"))
+    fan = e.crossJoin(F.broadcast(dims)).select(
+        "vec_id",
+        "d",
+        F.expr(
+            "CAST(ROUND(CAST(element_at(embedding, d) AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("x"),
+    )
+    stats = fan.groupBy("d").agg(
+        F.expr("CAST(MIN(x) AS BIGINT)").alias("mn"),
+        F.expr("CAST(MAX(x) AS BIGINT)").alias("mx"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+    )
+    binned = fan.join(F.broadcast(stats), "d").select(
+        "vec_id",
+        "d",
+        F.expr(f"CAST((x - mn) * {_HBOS_BINS} DIV (mx - mn + 1) AS INT)").alias("b"),
+        "n",
+    )
+    hist = binned.groupBy("d", "b").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt"),
+        F.expr("MAX(n)").alias("n"),
+    )
+    terms = hist.select(
+        "d",
+        "b",
+        F.expr(
+            "CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("term_e6"),
+    )
+    scored = (
+        binned.join(F.broadcast(terms), ["d", "b"])
+        .groupBy("vec_id")
+        .agg(F.expr("CAST(SUM(term_e6) AS BIGINT)").alias("hbos_e6"),
+             F.expr("MAX(n)").alias("n_vecs"))
+    )
+    return (
+        scored.orderBy(F.col("hbos_e6").desc(), F.col("vec_id"))
+        .limit(20)
+        .select("vec_id", "hbos_e6", F.expr("CAST(n_vecs AS BIGINT)").alias("n_vecs"))
+    )
+
+
+EMBEDDING_HBOS_SQL = f"""
+WITH fan AS (
+  SELECT vec_id, CAST(g.d AS INTEGER) AS d,
+         CAST(ROUND(CAST(embedding[g.d] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, {_HBOS_DIMS}) g(d)
+),
+stats AS (
+  SELECT d, CAST(MIN(x) AS BIGINT) AS mn, CAST(MAX(x) AS BIGINT) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM fan GROUP BY 1
+),
+binned AS (
+  SELECT f.vec_id, f.d,
+         CAST((f.x - s.mn) * {_HBOS_BINS} // (s.mx - s.mn + 1) AS INTEGER) AS b,
+         s.n
+  FROM fan f JOIN stats s ON f.d = s.d
+),
+hist AS (
+  SELECT d, b, CAST(COUNT(*) AS BIGINT) AS cnt, MAX(n) AS n
+  FROM binned GROUP BY 1, 2
+),
+terms AS (
+  SELECT d, b,
+         CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS term_e6
+  FROM hist
+),
+scored AS (
+  SELECT bn.vec_id, CAST(SUM(t.term_e6) AS BIGINT) AS hbos_e6, CAST(MAX(bn.n) AS BIGINT) AS n_vecs
+  FROM binned bn JOIN terms t ON bn.d = t.d AND bn.b = t.b
+  GROUP BY 1
+)
+SELECT vec_id, hbos_e6, n_vecs
+FROM scored
+ORDER BY hbos_e6 DESC, vec_id
+LIMIT 20
+"""
+
+QUERIES["embedding_hbos_outliers"] = embedding_hbos_outliers
+ORACLE["embedding_hbos_outliers"] = EMBEDDING_HBOS_SQL

@@ -169,6 +169,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "embedding_participation_ratio",
         "orders_diebold_mariano",
         "events_pacf_levinson",
+        "graph_random_walk_restart",
+        "embedding_hbos_outliers",
     }
 )
 

@@ -3255,3 +3255,89 @@ class TestPacfLevinson:
         # partial autocorrelation is a correlation: |φ_kk| ≤ 1
         assert out[1].pacf_ppm == out[1].acf_ppm
         assert all(abs(out[kk].pacf_ppm) <= 10**6 for kk in out)
+
+
+class TestRandomWalkRestart:
+    def test_matches_exact_integer_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.audit import (
+            _RWR_D_E9,
+            _RWR_ITERS,
+            _RWR_ONE_E9,
+            _RWR_SEEDS,
+            graph_random_walk_restart,
+        )
+
+        out = graph_random_walk_restart(spark, sf_dir).collect()
+        li = _pq("lineitem")
+        li = li[li["l_orderkey"] % 40 == 0][["l_orderkey", "l_partkey"]].drop_duplicates()
+        fwd = set()
+        for ok, grp in li.groupby("l_orderkey"):
+            ps = sorted(grp["l_partkey"])
+            for a, b in zip(ps, ps[1:]):
+                fwd.add((int(a), int(b)))
+        edges = set(fwd) | {(v, u) for u, v in fwd if (u + v) % 2 == 0}
+        nodes = sorted({x for e in edges for x in e})
+        seeds = set(nodes[:_RWR_SEEDS])
+        ns = len(seeds)
+        outd = {}
+        for s, _ in edges:
+            outd[s] = outd.get(s, 0) + 1
+        r = {nk: (_RWR_ONE_E9 // ns if nk in seeds else 0) for nk in nodes}
+        tele = (_RWR_ONE_E9 - _RWR_D_E9) // ns
+        for _ in range(_RWR_ITERS):
+            mass = dict.fromkeys(nodes, 0)
+            for s, d in edges:
+                mass[d] += r[s] // outd[s]
+            r = {
+                nk: (tele if nk in seeds else 0) + _RWR_D_E9 * mass[nk] // _RWR_ONE_E9
+                for nk in nodes
+            }
+        top = sorted(nodes, key=lambda nk: (-r[nk], nk))[:20]
+        assert [x.part_id for x in out] == top
+        for x in out:
+            assert x.ppr_e9 == r[x.part_id]
+            assert x.is_seed == int(x.part_id in seeds)
+        # restart semantics: seeds dominate their own neighborhood —
+        # the top-ranked node must be a seed, and scores are personal
+        # (total mass concentrated, not uniform)
+        assert out[0].is_seed == 1
+        assert out[0].ppr_e9 > out[-1].ppr_e9
+
+
+class TestHbosOutliers:
+    def test_matches_exact_recompute_and_density_semantics(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.embeddings import (
+            _HBOS_BINS,
+            _HBOS_DIMS,
+            embedding_hbos_outliers,
+        )
+
+        out = embedding_hbos_outliers(spark, sf_dir).collect()
+        emb = _pq("embeddings")
+        n = len(emb)
+        X = np.stack([np.round(v[:_HBOS_DIMS].astype("float64") * 1e6).astype("int64") for v in emb["embedding"]])
+        scores = {}
+        terms_by_dim = []
+        for d in range(_HBOS_DIMS):
+            col = X[:, d]
+            mn, mx = int(col.min()), int(col.max())
+            b = (col - mn) * _HBOS_BINS // (mx - mn + 1)
+            cnts = pd.Series(b).value_counts()
+            term = {
+                int(bb): int(round(-math.log(int(c) / n) * 1_000_000))
+                for bb, c in cnts.items()
+            }
+            terms_by_dim.append((b, term))
+        for i, vid in enumerate(emb["vec_id"]):
+            scores[int(vid)] = sum(term[int(b[i])] for b, term in terms_by_dim)
+        top = sorted(scores, key=lambda v: (-scores[v], v))[:20]
+        assert [x.vec_id for x in out] == top
+        for x in out:
+            assert x.hbos_e6 == scores[x.vec_id]
+            assert x.n_vecs == n
+        # density semantics: the reported outliers sit in genuinely
+        # rarer bins than the corpus median score
+        med = sorted(scores.values())[len(scores) // 2]
+        assert out[0].hbos_e6 > med
