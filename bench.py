@@ -406,6 +406,8 @@ HEADLINE = [
     "events_pacf_levinson",
     "graph_random_walk_restart",
     "embedding_hbos_outliers",
+    "multimodal_image_sharpness",
+    "corpus_sampling_ess_audit",
 ]
 
 

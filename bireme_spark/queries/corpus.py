@@ -2562,3 +2562,86 @@ ORDER BY l.split
 
 QUERIES["corpus_cluster_aware_split"] = corpus_cluster_aware_split
 ORACLE["corpus_cluster_aware_split"] = CORPUS_CAS_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_sampling_ess_audit — effective sample size of length-rebalance
+# importance weights, per source.
+
+
+def corpus_sampling_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size ESS = (Σw)²/Σw² (Kong 1992) of truncated
+    importance weights that rebalance the corpus toward a UNIFORM
+    length-bucket target — per source. DSIR/mix-sampling assign the
+    weights; ESS is the audit that says whether resampling will
+    DEGENERATE (a source whose docs sit in globally-rare buckets gets
+    a few huge weights — ESS collapses, and a sampled epoch is
+    effectively a handful of documents). ess_frac ≈ 1 ⇒ reweighting
+    is nearly free; ess_frac ≪ 1 ⇒ clip or re-bucket first.
+
+    Determinism: everything is exact integer arithmetic on the
+    (source × length-bucket) histogram — bucket = LEAST(n_chars DIV
+    50, 11); w_b = LEAST(N·1000 DIV c_b, 10⁶) (truncated IS, the
+    standard tail clip, which also keeps Σw² n-independent-bounded:
+    w ≤ 10⁶ ⇒ (Σw)²·10⁶ ≤ n²·10¹⁸ — inside DECIMAL(38,0) through
+    ~10⁹ docs per source); both ESS emissions are single truncating
+    integer DIVs. No doubles anywhere.
+
+    Scale: ONE documents scan (n_chars only — column-pruned) into
+    ≤|sources|·12 cells; weights, folds, and the ESS close are all
+    histogram-sized."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    cells = d.groupBy(
+        "source", F.expr("LEAST(n_chars DIV 50, 11)").alias("b")
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    wtd = cells.select(
+        "source",
+        "b",
+        "c",
+        F.expr(
+            "CAST(LEAST(SUM(c) OVER () * 1000 DIV SUM(c) OVER (PARTITION BY b),"
+            " 1000000) AS BIGINT)"
+        ).alias("w"),
+    )
+    agg = wtd.groupBy("source").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))").alias("s1"),
+        F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * w * w) AS DECIMAL(38,0))").alias("s2"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.expr("CAST(s1 * s1 * 1000 DIV s2 AS BIGINT)").alias("ess_x1000"),
+        F.expr("CAST(s1 * s1 * 1000000 DIV (n_docs * s2) AS BIGINT)").alias("ess_frac_ppm"),
+    ).orderBy("source")
+
+
+CORPUS_ESS_SQL = """
+WITH cells AS (
+  SELECT source, LEAST(n_chars // 50, 11) AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+wtd AS (
+  SELECT source, b, c,
+         CAST(LEAST(SUM(c) OVER () * 1000 // SUM(c) OVER (PARTITION BY b),
+                    1000000) AS BIGINT) AS w
+  FROM cells
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(c AS HUGEINT) * w) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * w * w) AS HUGEINT) AS s2
+  FROM wtd GROUP BY 1
+)
+SELECT source, n_docs,
+       CAST(s1 * s1 * 1000 // s2 AS BIGINT) AS ess_x1000,
+       CAST(s1 * s1 * 1000000 // (n_docs * s2) AS BIGINT) AS ess_frac_ppm
+FROM agg
+ORDER BY source
+"""
+
+QUERIES["corpus_sampling_ess_audit"] = corpus_sampling_ess_audit
+ORACLE["corpus_sampling_ess_audit"] = CORPUS_ESS_SQL

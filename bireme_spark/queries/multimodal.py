@@ -3243,3 +3243,167 @@ ORDER BY doc_id
 
 QUERIES["multimodal_audio_dynamic_range"] = multimodal_audio_dynamic_range
 ORACLE["multimodal_audio_dynamic_range"] = MULTIMODAL_ADR_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_sharpness — Laplacian-variance blur screen with a
+# planted box-blurred residue cohort.
+
+
+def multimodal_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplacian-variance sharpness screen (the standard blur
+    detector a vision-pretraining pipeline runs to drop out-of-focus
+    frames): per image, variance of the 4-neighbor Laplacian
+    L = 4g − g_left − g_right − g_up − g_down over the interior.
+    Residue classes s % 4 == 1 are PLANTED blurry — a 3×3 integer box
+    blur (per channel, interior pixels, //9) runs before encoding —
+    so the detector has real signal to separate: blur kills the
+    second derivative, sharp classes keep it.
+
+    Determinism: same deterministic synthetic corpus as
+    multimodal_edge_energy (pixel = f(doc_id % 16), BMP/PNG by
+    parity), encode→decode→gray→Laplacian all integer floor math;
+    variance is the exact integer form (m·ΣL² − (ΣL)²) DIV m² over
+    the fixed 12×12 interior (borders excluded so blurred and sharp
+    classes integrate the same region). The oracle recomputes
+    pixel→blur→gray→Laplacian→variance symbolically in SQL, so the
+    encoder, decoder, blur, and detector are ALL hash-checked.
+
+    Scale shape: generation+blur+encode+decode+Laplacian FUSED into
+    ONE Arrow-batched mapInPandas pass (r5 fuse rule); the only
+    exchange is the 16-class aggregate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen_lap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ss, vars_ = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = doc_id % 16
+                w = h = 16
+                base = [
+                    [
+                        [(x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256 for c in range(3)]
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                if s % 4 == 1:
+                    pix2 = [[list(base[y][x]) for x in range(w)] for y in range(h)]
+                    for y in range(1, h - 1):
+                        for x in range(1, w - 1):
+                            for c in range(3):
+                                pix2[y][x][c] = (
+                                    sum(
+                                        base[y + dy][x + dx][c]
+                                        for dy in (-1, 0, 1)
+                                        for dx in (-1, 0, 1)
+                                    )
+                                    // 9
+                                )
+                    base = pix2
+                pix = bytes(base[y][x][c] for y in range(h) for x in range(w) for c in range(3))
+                enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+                dw, dh, dc, dpix, _fmt = decode_image(enc)
+                gray = [
+                    [
+                        sum(dpix[(y * dw + x) * dc + ch] for ch in range(min(dc, 3)))
+                        // min(dc, 3)
+                        for x in range(dw)
+                    ]
+                    for y in range(dh)
+                ]
+                sl = sl2 = m = 0
+                for y in range(2, dh - 2):
+                    for x in range(2, dw - 2):
+                        lap = (
+                            4 * gray[y][x]
+                            - gray[y][x - 1]
+                            - gray[y][x + 1]
+                            - gray[y - 1][x]
+                            - gray[y + 1][x]
+                        )
+                        sl += lap
+                        sl2 += lap * lap
+                        m += 1
+                ids.append(doc_id)
+                ss.append(s)
+                vars_.append((m * sl2 - sl * sl) // (m * m))
+            yield pd.DataFrame({"doc_id": ids, "s": ss, "lap_var_q": vars_})
+
+    scored = d.mapInPandas(gen_lap, schema="doc_id long, s int, lap_var_q long")
+    return (
+        scored.groupBy("s")
+        .agg(
+            F.expr("CAST(MIN(doc_id) AS BIGINT)").alias("canonical_doc"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_images"),
+            F.expr("CAST(MAX(lap_var_q) AS BIGINT)").alias("lap_var_q"),
+        )
+        .select(
+            "s",
+            F.expr("CAST(s % 4 = 1 AS INT)").alias("is_blurred"),
+            "canonical_doc",
+            "n_images",
+            "lap_var_q",
+        )
+        .orderBy("s")
+    )
+
+
+MULTIMODAL_SHARPNESS_SQL = """
+WITH pxc AS (
+  SELECT s, x, y, c,
+         (x*x + 2*y + 5*s + 37*c + (s*x)//3) % 256 AS v
+  FROM generate_series(0, 15) ts(s),
+       generate_series(0, 15) tx(x),
+       generate_series(0, 15) ty(y),
+       generate_series(0, 2) tc(c)
+),
+blurred AS (
+  SELECT p.s, p.x, p.y, p.c,
+         CASE WHEN p.s % 4 = 1 AND p.x BETWEEN 1 AND 14 AND p.y BETWEEN 1 AND 14
+              THEN (SELECT SUM(n.v) FROM pxc n
+                    WHERE n.s = p.s AND n.c = p.c
+                      AND n.x BETWEEN p.x - 1 AND p.x + 1
+                      AND n.y BETWEEN p.y - 1 AND p.y + 1) // 9
+              ELSE p.v END AS v
+  FROM pxc p
+),
+gray AS (
+  SELECT s, x, y, CAST(SUM(v) // 3 AS BIGINT) AS g
+  FROM blurred GROUP BY 1, 2, 3
+),
+lap AS (
+  SELECT c.s, c.x, c.y,
+         4 * c.g
+         - (SELECT g FROM gray n WHERE n.s = c.s AND n.x = c.x - 1 AND n.y = c.y)
+         - (SELECT g FROM gray n WHERE n.s = c.s AND n.x = c.x + 1 AND n.y = c.y)
+         - (SELECT g FROM gray n WHERE n.s = c.s AND n.x = c.x AND n.y = c.y - 1)
+         - (SELECT g FROM gray n WHERE n.s = c.s AND n.x = c.x AND n.y = c.y + 1) AS l
+  FROM gray c
+  WHERE c.x BETWEEN 2 AND 13 AND c.y BETWEEN 2 AND 13
+),
+var_s AS (
+  SELECT s,
+         (COUNT(*) * SUM(l * l) - SUM(l) * SUM(l)) // (COUNT(*) * COUNT(*)) AS lap_var_q
+  FROM lap GROUP BY 1
+),
+docs AS (SELECT doc_id, doc_id % 16 AS s FROM documents)
+SELECT CAST(d.s AS INTEGER) AS s,
+       CAST(CASE WHEN d.s % 4 = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_blurred,
+       CAST(MIN(d.doc_id) AS BIGINT) AS canonical_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MAX(v.lap_var_q) AS BIGINT) AS lap_var_q
+FROM docs d JOIN var_s v ON v.s = d.s
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+QUERIES["multimodal_image_sharpness"] = multimodal_image_sharpness
+ORACLE["multimodal_image_sharpness"] = MULTIMODAL_SHARPNESS_SQL

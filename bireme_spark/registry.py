@@ -171,6 +171,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "events_pacf_levinson",
         "graph_random_walk_restart",
         "embedding_hbos_outliers",
+        "multimodal_image_sharpness",
+        "corpus_sampling_ess_audit",
     }
 )
 

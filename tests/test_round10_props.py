@@ -3341,3 +3341,78 @@ class TestHbosOutliers:
         # rarer bins than the corpus median score
         med = sorted(scores.values())[len(scores) // 2]
         assert out[0].hbos_e6 > med
+
+
+class TestImageSharpness:
+    def test_matches_exact_recompute_and_blur_separates(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_image_sharpness
+
+        out = {r.s: r for r in multimodal_image_sharpness(spark, sf_dir).collect()}
+        doc = _pq("documents")
+        classes = doc["doc_id"].astype("int64") % 16
+        # exact per-class recompute straight from the pixel formula
+        # (pre-codec: the query's value additionally round-trips the
+        # real encoder/decoder, so equality also checks the codecs)
+        exp = {}
+        for s in range(16):
+            base = [
+                [[(x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256 for c in range(3)] for x in range(16)]
+                for y in range(16)
+            ]
+            if s % 4 == 1:
+                blur = [[list(base[y][x]) for x in range(16)] for y in range(16)]
+                for y in range(1, 15):
+                    for x in range(1, 15):
+                        for c in range(3):
+                            blur[y][x][c] = sum(
+                                base[y + dy][x + dx][c] for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                            ) // 9
+                base = blur
+            gray = [[sum(base[y][x]) // 3 for x in range(16)] for y in range(16)]
+            sl = sl2 = m = 0
+            for y in range(2, 14):
+                for x in range(2, 14):
+                    lap = 4 * gray[y][x] - gray[y][x - 1] - gray[y][x + 1] - gray[y - 1][x] - gray[y + 1][x]
+                    sl += lap
+                    sl2 += lap * lap
+                    m += 1
+            exp[s] = (m * sl2 - sl * sl) // (m * m)
+        for s in range(16):
+            rec = out[s]
+            assert rec.lap_var_q == exp[s]
+            assert rec.is_blurred == int(s % 4 == 1)
+            assert rec.n_images == int((classes == s).sum())
+            assert rec.canonical_doc == int(doc["doc_id"][classes == s].min())
+        # the plant separates with margin: EVERY blurred class scores
+        # below EVERY sharp class (measured 131-301 vs 1163-3798 —
+        # nowhere near a detector boundary)
+        blurred = [out[s].lap_var_q for s in range(16) if s % 4 == 1]
+        sharp = [out[s].lap_var_q for s in range(16) if s % 4 != 1]
+        assert max(blurred) * 3 < min(sharp)
+
+
+class TestSamplingEss:
+    def test_matches_exact_recompute_and_kong_bounds(self, spark, sf_dir):
+        from bireme_spark.queries.corpus import corpus_sampling_ess_audit
+
+        out = {r.source: r for r in corpus_sampling_ess_audit(spark, sf_dir).collect()}
+        doc = _pq("documents")
+        b = np.minimum(doc["n_chars"].to_numpy() // 50, 11)
+        ntot = len(doc)
+        cb = pd.Series(b).value_counts()
+        w = {int(bb): min(ntot * 1000 // int(c), 1_000_000) for bb, c in cb.items()}
+        for src, grp in doc.groupby("source"):
+            ws = [w[int(bb)] for bb in np.minimum(grp["n_chars"].to_numpy() // 50, 11)]
+            s1, s2 = sum(ws), sum(x * x for x in ws)
+            rec = out[src]
+            assert rec.n_docs == len(ws)
+            assert rec.ess_x1000 == s1 * s1 * 1000 // s2
+            assert rec.ess_frac_ppm == s1 * s1 * 1_000_000 // (len(ws) * s2)
+            # Kong bounds: 1 <= ESS <= n (Cauchy-Schwarz)
+            assert 1000 <= rec.ess_x1000 <= len(ws) * 1000
+        # the audit must DISCRIMINATE on this fixture (not emit a
+        # constant — the quality_classifier lesson): sources holding
+        # the rare tail-bucket docs collapse (~8% ESS, the weight cap
+        # dominating), sources without them stay healthy (~99%)
+        fracs = [r.ess_frac_ppm for r in out.values()]
+        assert min(fracs) < 500_000 < max(fracs)
