@@ -408,6 +408,8 @@ HEADLINE = [
     "embedding_hbos_outliers",
     "multimodal_image_sharpness",
     "corpus_sampling_ess_audit",
+    "orders_crps_seasonal_eval",
+    "cdc_snapshot_chunk_planner",
 ]
 
 

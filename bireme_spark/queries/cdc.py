@@ -4776,3 +4776,108 @@ ORDER BY window_min
 
 QUERIES["cdc_dedup_window_advisor"] = cdc_dedup_window_advisor
 ORACLE["cdc_dedup_window_advisor"] = CDC_DDW_SQL
+
+
+# ---------------------------------------------------------------------------
+# cdc_snapshot_chunk_planner — DBLog-style equi-depth chunk plan for an
+# incremental snapshot, from a coarse PK histogram.
+
+
+def cdc_snapshot_chunk_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk plan for an incremental snapshot of `orders` (the DBLog /
+    Debezium watermark algorithm cdc_incremental_snapshot EXECUTES —
+    this is the PLANNER that sizes its chunks): equi-depth key ranges
+    from a coarse PK histogram, so every chunk copies ≈ the same row
+    count even when the keyspace is sparse or skewed. Naive fixed-key-
+    stride chunking (max−min)/k degrades to empty/jumbo chunks on
+    sparse keyspaces — the exact failure the bucket CDF avoids.
+    Reference semantics (studied, not copied): bireme snapshots tables
+    in one COPY (`ChangeLoader.java` full-table path); chunked
+    snapshotting is what replaces it at warehouse scale.
+
+    Determinism: all integer — bucket stride B = GREATEST((max−min+1)
+    DIV 4096, 1), per-bucket counts, running CDF window, chunk id =
+    (cum−1) DIV target with target = GREATEST(n DIV 16, 1000) rows
+    (scales in-plan: every SF tier sees the same formula). Key ranges
+    land on bucket edges — the planner's contract is ≈equi-depth, and
+    est_rows is EXACT per chunk.
+
+    Scale: ONE scan of the PK column (pruned) into ≤4096 bucket
+    counts; the CDF window and chunk fold run on those buckets. The
+    plan table (≤17 rows) is what the snapshot executor consumes."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    stats = o.agg(
+        F.expr("CAST(MIN(o_orderkey) AS BIGINT)").alias("mn"),
+        F.expr("CAST(MAX(o_orderkey) AS BIGINT)").alias("mx"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+    )
+    buckets = (
+        o.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.expr("(o_orderkey - mn) DIV GREATEST((mx - mn + 1) DIV 4096, 1)").alias("bk")
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    )
+    w = Window.orderBy("bk")
+    cdf = buckets.crossJoin(F.broadcast(stats)).select(
+        "bk",
+        "c",
+        "mn",
+        "mx",
+        "n",
+        F.expr("GREATEST((mx - mn + 1) DIV 4096, 1)").alias("b"),
+        F.expr("GREATEST(n DIV 16, 1000)").alias("target"),
+        F.sum("c").over(w).alias("cum"),
+    )
+    chunks = cdf.select(
+        F.expr("CAST((cum - 1) DIV target AS BIGINT)").alias("chunk_id"),
+        "bk",
+        "c",
+        "mn",
+        "b",
+        "target",
+    )
+    return (
+        chunks.groupBy("chunk_id")
+        .agg(
+            F.expr("CAST(MIN(mn + bk * b) AS BIGINT)").alias("lo_key"),
+            F.expr("CAST(MAX(mn + (bk + 1) * b - 1) AS BIGINT)").alias("hi_key"),
+            F.expr("CAST(SUM(c) AS BIGINT)").alias("est_rows"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_buckets"),
+            F.expr("CAST(MAX(target) AS BIGINT)").alias("target_rows"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+CDC_CHUNK_PLAN_SQL = """
+WITH stats AS (
+  SELECT CAST(MIN(o_orderkey) AS BIGINT) AS mn,
+         CAST(MAX(o_orderkey) AS BIGINT) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+),
+buckets AS (
+  SELECT (o_orderkey - s.mn) // GREATEST((s.mx - s.mn + 1) // 4096, 1) AS bk,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders, stats s GROUP BY 1
+),
+cdf AS (
+  SELECT b.bk, b.c, s.mn,
+         GREATEST((s.mx - s.mn + 1) // 4096, 1) AS bw,
+         GREATEST(s.n // 16, 1000) AS target,
+         SUM(b.c) OVER (ORDER BY b.bk) AS cum
+  FROM buckets b, stats s
+)
+SELECT CAST((cum - 1) // target AS BIGINT) AS chunk_id,
+       CAST(MIN(mn + bk * bw) AS BIGINT) AS lo_key,
+       CAST(MAX(mn + (bk + 1) * bw - 1) AS BIGINT) AS hi_key,
+       CAST(SUM(c) AS BIGINT) AS est_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(target) AS BIGINT) AS target_rows
+FROM cdf
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cdc_snapshot_chunk_planner"] = cdc_snapshot_chunk_planner
+ORACLE["cdc_snapshot_chunk_planner"] = CDC_CHUNK_PLAN_SQL

@@ -8679,3 +8679,117 @@ ORDER BY lag
 
 QUERIES["events_pacf_levinson"] = events_pacf_levinson
 ORACLE["events_pacf_levinson"] = _pacf_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# orders_crps_seasonal_eval — CRPS of the empirical seasonal-climatology
+# forecast, per calendar month.
+
+
+def orders_crps_seasonal_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRPS (continuous ranked probability score) of the empirical
+    seasonal-climatology forecast of monthly order counts: for each
+    month t, the forecast DISTRIBUTION is the same-calendar-month
+    counts of all strictly earlier years, and CRPS_t = E|X−y| −
+    ½E|X−X'| (the energy form) scores the whole distribution against
+    the realized count — the proper-scoring upgrade over
+    orders_pinball_eval's fixed-quantile loss (CRPS integrates the
+    pinball loss over ALL quantiles).
+
+    Determinism: counts are exact integers; per evaluated month the
+    exact rational (2k·Σ|x−y| − Σ_{i,j}|x_i−x_j|) / 2k² is quantized
+    with ONE truncating DIV to e3 units (k ≤ 6 so the numerator is
+    count-scaled — DECIMAL(38,0)/HUGEINT keeps it exact at any SF),
+    then averaged per calendar month with a second integer DIV. No
+    doubles anywhere.
+
+    Scale: one scan collapses orders to the ~80-row monthly frame;
+    the forecast-set and pair self-joins run on that frame (k ≤ 6 —
+    bounded fan-out), so the whole evaluation is ~80×6×6 rows."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate")
+    monthly = o.groupBy(
+        F.expr("year(o_orderdate)").alias("yr"),
+        F.expr("month(o_orderdate)").alias("mon"),
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("y"))
+    cur = monthly.select(
+        F.col("yr").alias("t_yr"), F.col("mon").alias("t_mon"), F.col("y").alias("t_y")
+    )
+    hist = monthly.select(
+        F.col("yr").alias("h_yr"), F.col("mon").alias("h_mon"), F.col("y").alias("h_y")
+    )
+    fset = cur.join(
+        hist,
+        (F.col("t_mon") == F.col("h_mon")) & (F.col("h_yr") < F.col("t_yr")),
+    )
+    term1 = fset.groupBy("t_yr", "t_mon", "t_y").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("k"),
+        F.expr("CAST(SUM(ABS(h_y - t_y)) AS DECIMAL(38,0))").alias("sad"),
+    )
+    h2 = monthly.select(
+        F.col("yr").alias("g_yr"), F.col("mon").alias("g_mon"), F.col("y").alias("g_y")
+    )
+    pairs = (
+        cur.join(
+            hist,
+            (F.col("t_mon") == F.col("h_mon")) & (F.col("h_yr") < F.col("t_yr")),
+        )
+        .join(
+            h2,
+            (F.col("t_mon") == F.col("g_mon")) & (F.col("g_yr") < F.col("t_yr")),
+        )
+        .groupBy("t_yr", "t_mon")
+        .agg(F.expr("CAST(SUM(ABS(h_y - g_y)) AS DECIMAL(38,0))").alias("spp"))
+    )
+    per_t = term1.join(pairs, ["t_yr", "t_mon"]).select(
+        "t_yr",
+        "t_mon",
+        F.expr(
+            "CAST((2 * k * sad - spp) * 1000 DIV (2 * k * k) AS BIGINT)"
+        ).alias("crps_x1000"),
+    )
+    return (
+        per_t.groupBy(F.col("t_mon").alias("calendar_month"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_evals"),
+            F.expr("CAST(SUM(crps_x1000) DIV COUNT(*) AS BIGINT)").alias("mean_crps_x1000"),
+        )
+        .orderBy("calendar_month")
+    )
+
+
+ORDERS_CRPS_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(month(o_orderdate) AS INTEGER) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+term1 AS (
+  SELECT t.yr AS t_yr, t.mon AS t_mon,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ABS(h.y - t.y)) AS HUGEINT) AS sad
+  FROM monthly t JOIN monthly h ON h.mon = t.mon AND h.yr < t.yr
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT t.yr AS t_yr, t.mon AS t_mon,
+         CAST(SUM(ABS(h.y - g.y)) AS HUGEINT) AS spp
+  FROM monthly t
+  JOIN monthly h ON h.mon = t.mon AND h.yr < t.yr
+  JOIN monthly g ON g.mon = t.mon AND g.yr < t.yr
+  GROUP BY 1, 2
+),
+per_t AS (
+  SELECT t1.t_yr, t1.t_mon,
+         CAST((2 * t1.k * t1.sad - p.spp) * 1000 // (2 * t1.k * t1.k) AS BIGINT) AS crps_x1000
+  FROM term1 t1 JOIN pairs p ON p.t_yr = t1.t_yr AND p.t_mon = t1.t_mon
+)
+SELECT t_mon AS calendar_month,
+       CAST(COUNT(*) AS BIGINT) AS n_evals,
+       CAST(SUM(crps_x1000) // COUNT(*) AS BIGINT) AS mean_crps_x1000
+FROM per_t
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_crps_seasonal_eval"] = orders_crps_seasonal_eval
+ORACLE["orders_crps_seasonal_eval"] = ORDERS_CRPS_SQL

@@ -173,6 +173,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "embedding_hbos_outliers",
         "multimodal_image_sharpness",
         "corpus_sampling_ess_audit",
+        "orders_crps_seasonal_eval",
+        "cdc_snapshot_chunk_planner",
     }
 )
 

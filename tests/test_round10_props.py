@@ -3416,3 +3416,69 @@ class TestSamplingEss:
         # dominating), sources without them stay healthy (~99%)
         fracs = [r.ess_frac_ppm for r in out.values()]
         assert min(fracs) < 500_000 < max(fracs)
+
+
+class TestCrpsSeasonalEval:
+    def test_matches_exact_recompute_and_proper_score(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import orders_crps_seasonal_eval
+
+        out = {r.calendar_month: r for r in orders_crps_seasonal_eval(spark, sf_dir).collect()}
+        o = _pq("orders")
+        dt = pd.to_datetime(o["o_orderdate"])
+        counts = o.groupby([dt.dt.year, dt.dt.month]).size()
+        per_mon = {}
+        for (yr, mon), y in counts.items():
+            hist = [int(counts.get((h, mon), 0)) for h in range(1995, yr) if (h, mon) in counts]
+            if not hist:
+                continue
+            k = len(hist)
+            sad = sum(abs(x - int(y)) for x in hist)
+            spp = sum(abs(a - b) for a in hist for b in hist)
+            crps = (2 * k * sad - spp) * 1000 // (2 * k * k)
+            per_mon.setdefault(mon, []).append(crps)
+        assert len(out) == len(per_mon)
+        for mon, vals in per_mon.items():
+            rec = out[mon]
+            assert rec.n_evals == len(vals)
+            assert rec.mean_crps_x1000 == sum(vals) // len(vals)
+            # CRPS is a PROPER score: nonnegative by the energy
+            # inequality, and strictly positive on a non-constant series
+            assert rec.mean_crps_x1000 >= 0
+        assert any(out[m].mean_crps_x1000 > 0 for m in out)
+
+
+class TestSnapshotChunkPlanner:
+    def test_matches_exact_recompute_and_chunk_contract(self, spark, sf_dir):
+        from bireme_spark.queries.cdc import cdc_snapshot_chunk_planner
+
+        out = cdc_snapshot_chunk_planner(spark, sf_dir).collect()
+        o = _pq("orders")
+        keys = o["o_orderkey"].to_numpy().astype("int64")
+        mn, mx, n = int(keys.min()), int(keys.max()), len(keys)
+        bw = max((mx - mn + 1) // 4096, 1)
+        target = max(n // 16, 1000)
+        cnt = pd.Series((keys - mn) // bw).value_counts().sort_index()
+        cum = 0
+        exp = {}
+        for bk, c in cnt.items():
+            cum += int(c)
+            cid = (cum - 1) // target
+            lo, hi, er, nb = exp.get(cid, (None, None, 0, 0))
+            lo = mn + int(bk) * bw if lo is None else min(lo, mn + int(bk) * bw)
+            hi = max(hi or 0, mn + (int(bk) + 1) * bw - 1)
+            exp[cid] = (lo, hi, er + int(c), nb + 1)
+        assert len(out) == len(exp)
+        total = 0
+        for rec in out:
+            lo, hi, er, nb = exp[rec.chunk_id]
+            assert (rec.lo_key, rec.hi_key, rec.est_rows, rec.n_buckets) == (lo, hi, er, nb)
+            assert rec.target_rows == target
+            total += rec.est_rows
+        # plan contract: chunks cover every row exactly once, ranges
+        # ascend without overlap, and no chunk exceeds target by more
+        # than one bucket's worth (equi-depth up to bucket resolution)
+        assert total == n
+        for a, b in zip(out, out[1:]):
+            assert a.hi_key < b.lo_key
+        maxbucket = int(cnt.max())
+        assert all(rec.est_rows <= target + maxbucket for rec in out)
