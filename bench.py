@@ -410,6 +410,8 @@ HEADLINE = [
     "corpus_sampling_ess_audit",
     "orders_crps_seasonal_eval",
     "cdc_snapshot_chunk_planner",
+    "events_cramers_v_matrix",
+    "multimodal_loudness_gate",
 ]
 
 

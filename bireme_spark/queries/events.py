@@ -5089,3 +5089,122 @@ ORDER BY event_type
 
 QUERIES["events_extremal_index"] = events_extremal_index
 ORACLE["events_extremal_index"] = EVENTS_EXTREMAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_cramers_v_matrix — Cramér's V effect-size matrix over the
+# categorical event attributes.
+
+
+def events_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for every pair of the three categorical event
+    attributes (event_type, weekday, 6-hour band): V = √(χ²/(n·(m−1)))
+    with m = min(rows, cols) — the EFFECT-SIZE matrix a χ² test alone
+    can't give (χ² grows with n; V is the [0,1] association strength
+    you can compare across pairs and across corpus sizes — the
+    screening step before building any type×time seasonal model).
+
+    Determinism: weekday is epoch-day % 7 (identical on both engines —
+    never dayofweek, whose origin differs); each χ² cell term
+    (n·o − r·c)²/(n·r·c) is computed from exact integers in ONE
+    shared double expression, e6-rounded PER CELL and BIGINT-summed
+    (the orders_chi2 discipline); the V close is one IEEE sqrt over
+    exact integers, 6dp.
+
+    Scale: ONE events scan collapses to the ≤|types|·7·4 cell cube;
+    all three pair contingencies are map-side re-aggregations of that
+    cell table (the lag-MI window-over-cells rule) — no second scan,
+    no row-sized transcendentals."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') % 7 AS INT)").alias("wd"),
+        F.expr("CAST(hour(ts) DIV 6 AS INT)").alias("hb"),
+    )
+    cube = ev.groupBy("t", "wd", "hb").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")
+    ).localCheckpoint(eager=True)
+
+    def pair_v(a: str, b: str, label: str) -> DataFrame:
+        cells = cube.groupBy(a, b).agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("o"))
+        wr = Window.partitionBy(a)
+        wc = Window.partitionBy(b)
+        wall = Window.partitionBy()
+        t = cells.select(
+            F.col(a),
+            F.col(b),
+            F.expr("CAST(SUM(o) OVER () AS BIGINT)").alias("n"),
+            F.sum("o").over(wr).alias("r"),
+            F.sum("o").over(wc).alias("cc"),
+            "o",
+        )
+        return t.groupBy().agg(
+            F.expr("MAX(n)").alias("n"),
+            F.expr(f"CAST((COUNT(DISTINCT {a}) - 1) * (COUNT(DISTINCT {b}) - 1) AS BIGINT)").alias("df"),
+            F.expr(f"CAST(LEAST(COUNT(DISTINCT {a}), COUNT(DISTINCT {b})) AS BIGINT)").alias("m"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND("
+                " CAST(n * o - r * cc AS DOUBLE) * CAST(n * o - r * cc AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))"
+                " * 1000000) AS BIGINT)) AS BIGINT)"
+            ).alias("chi2_e6"),
+        ).select(
+            F.lit(label).alias("pair"),
+            F.expr("CAST(n AS BIGINT)").alias("n"),
+            "df",
+            "chi2_e6",
+            F.expr(
+                "ROUND(SQRT(CAST(chi2_e6 AS DOUBLE)"
+                " / (CAST(1000000 AS DOUBLE) * n * (m - 1))), 6)"
+            ).alias("cramers_v"),
+        )
+
+    return (
+        pair_v("t", "wd", "type_x_weekday")
+        .unionByName(pair_v("t", "hb", "type_x_hourband"))
+        .unionByName(pair_v("wd", "hb", "weekday_x_hourband"))
+        .orderBy("pair")
+    )
+
+
+_CRAMERS_PAIR_SQL = """
+  SELECT '{label}' AS pair, n, df, chi2_e6,
+         ROUND(SQRT(CAST(chi2_e6 AS DOUBLE)
+               / (CAST(1000000 AS DOUBLE) * n * (m - 1))), 6) AS cramers_v
+  FROM (
+    SELECT MAX(n) AS n,
+           CAST((COUNT(DISTINCT {a}) - 1) * (COUNT(DISTINCT {b}) - 1) AS BIGINT) AS df,
+           CAST(LEAST(COUNT(DISTINCT {a}), COUNT(DISTINCT {b})) AS BIGINT) AS m,
+           CAST(SUM(CAST(ROUND(
+             CAST(n * o - r * cc AS DOUBLE) * CAST(n * o - r * cc AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))
+             * 1000000) AS BIGINT)) AS BIGINT) AS chi2_e6
+    FROM (
+      SELECT {a}, {b}, o,
+             CAST(SUM(o) OVER () AS BIGINT) AS n,
+             CAST(SUM(o) OVER (PARTITION BY {a}) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY {b}) AS BIGINT) AS cc
+      FROM (SELECT {a}, {b}, CAST(SUM(c) AS BIGINT) AS o FROM cube GROUP BY 1, 2)
+    )
+  )
+"""
+
+EVENTS_CRAMERS_SQL = (
+    """
+WITH cube AS MATERIALIZED (
+  SELECT event_type AS t,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS INTEGER) AS wd,
+         CAST(hour(ts) // 6 AS INTEGER) AS hb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+)
+"""
+    + _CRAMERS_PAIR_SQL.format(label="type_x_weekday", a="t", b="wd")
+    + "UNION ALL"
+    + _CRAMERS_PAIR_SQL.format(label="type_x_hourband", a="t", b="hb")
+    + "UNION ALL"
+    + _CRAMERS_PAIR_SQL.format(label="weekday_x_hourband", a="wd", b="hb")
+    + "ORDER BY pair"
+)
+
+QUERIES["events_cramers_v_matrix"] = events_cramers_v_matrix
+ORACLE["events_cramers_v_matrix"] = EVENTS_CRAMERS_SQL

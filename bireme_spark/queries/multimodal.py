@@ -3407,3 +3407,142 @@ GROUP BY 1, 2 ORDER BY 1
 
 QUERIES["multimodal_image_sharpness"] = multimodal_image_sharpness
 ORACLE["multimodal_image_sharpness"] = MULTIMODAL_SHARPNESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_loudness_gate — EBU R128-style two-stage gated loudness
+# with planted quiet-tail / attenuated-tail cohorts.
+
+
+def multimodal_loudness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EBU R128-style gated loudness (linear-power proxy) over the
+    synthesized PCM corpus: overlapping momentary blocks (32 samples,
+    hop 16), an ABSOLUTE gate (blocks below a fixed power floor are
+    silence — dropped), then a RELATIVE gate (blocks more than 10×
+    below the mean of the absolute-gated blocks are dropped), and the
+    program loudness is the mean power of what survives — the
+    standard loudness-normalization stat an audio pipeline computes
+    per clip before mixing sources. Plain RMS (audio_dynamic_range)
+    is dragged down by silence padding; gating is the fix, and the
+    fixture PLANTS two cohorts: clips doc_id % 8 == 3 carry a ÷32
+    quiet tail (absolute-gated: ~27% of their blocks drop vs ~2%
+    baseline), clips doc_id % 8 == 5 a ÷6 attenuated tail (~14%
+    drop, mostly at the relative gate). Because the synthetic wave's
+    218-wide sample window can sit near the zero crossing, individual
+    blocks of ANY class can land near either gate — that is fine for
+    the hash gate (both engines compare the SAME exact integers) and
+    the property test asserts the per-cohort ORDERING, not per-block
+    margins.
+
+    Determinism: pure integer throughout — block sum-of-squares,
+    cross-multiplied relative gate ssb·10·n_abs ≥ Σssb (no division
+    before the compare), truncating-DIV closes; tail attenuation uses
+    truncation toward zero on negatives (tdiv in Python, `//`/DIV
+    engine-verified). The Spark side round-trips REAL RIFF/WAVE bytes
+    through the codec in ONE fused mapInPandas pass; the oracle
+    predicts every stat symbolically from the sample formula.
+
+    Scale: Arrow-batched linear pass, no shuffle; per-doc state is
+    ≤7 blocks."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.audiocodec import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "n_blocks", "n_abs_kept", "n_rel_kept", "loudness_q", "gated_frac_ppm")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                att = 32 if doc_id % 8 == 3 else (6 if doc_id % 8 == 5 else 1)
+                samples = [
+                    tdiv((doc_id * 31 + i * 7) % 2048 - 1024, att) if i >= n // 2 else (doc_id * 31 + i * 7) % 2048 - 1024
+                    for i in range(n)
+                ]
+                _, _, back = decode_wav(encode_wav(8000 * (1 + doc_id % 3), samples))
+                nb = (len(back) - 32) // 16 + 1
+                ssbs = [sum(v * v for v in back[16 * b : 16 * b + 32]) for b in range(nb)]
+                absk = [s for s in ssbs if s >= 64000]
+                na = len(absk)
+                usum = sum(absk)
+                kept = [s for s in absk if s * 10 * na >= usum]
+                nk = len(kept)
+                rows["doc_id"].append(doc_id)
+                rows["n_blocks"].append(nb)
+                rows["n_abs_kept"].append(na)
+                rows["n_rel_kept"].append(nk)
+                rows["loudness_q"].append(sum(kept) // (max(nk, 1) * 32))
+                rows["gated_frac_ppm"].append((nb - nk) * 10**6 // nb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "n_blocks": pd.Series(rows["n_blocks"], dtype="int64"),
+                    "n_abs_kept": pd.Series(rows["n_abs_kept"], dtype="int64"),
+                    "n_rel_kept": pd.Series(rows["n_rel_kept"], dtype="int64"),
+                    "loudness_q": pd.Series(rows["loudness_q"], dtype="int64"),
+                    "gated_frac_ppm": pd.Series(rows["gated_frac_ppm"], dtype="int64"),
+                }
+            )
+
+    feats = d.mapInPandas(
+        audit,
+        schema="doc_id long, n_blocks long, n_abs_kept long, n_rel_kept long,"
+        " loudness_q long, gated_frac_ppm long",
+    )
+    return feats.orderBy("doc_id")
+
+
+MULTIMODAL_LOUDNESS_SQL = """
+WITH base AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n,
+         CASE WHEN doc_id % 8 = 3 THEN 32 WHEN doc_id % 8 = 5 THEN 6 ELSE 1 END AS att
+  FROM documents
+),
+blocks AS (
+  SELECT b.doc_id, b.n, b.att, bi.b
+  FROM base b
+  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, (b.n - 32) // 16)) AS b) bi
+),
+bsamp AS (
+  SELECT bl.doc_id, bl.b,
+         CASE WHEN 16 * bl.b + j.j >= bl.n // 2
+              THEN ((bl.doc_id * 31 + (16 * bl.b + j.j) * 7) % 2048 - 1024) // bl.att
+              ELSE (bl.doc_id * 31 + (16 * bl.b + j.j) * 7) % 2048 - 1024 END AS v
+  FROM blocks bl, generate_series(0, 31) j(j)
+),
+bstat AS (
+  SELECT doc_id, b, CAST(SUM(v * v) AS BIGINT) AS ssb
+  FROM bsamp GROUP BY 1, 2
+),
+gates AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(COUNT(*) FILTER (WHERE ssb >= 64000) AS BIGINT) AS n_abs,
+         CAST(COALESCE(SUM(ssb) FILTER (WHERE ssb >= 64000), 0) AS BIGINT) AS usum
+  FROM bstat GROUP BY 1
+),
+kept AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) FILTER (WHERE s.ssb >= 64000 AND s.ssb * 10 * g.n_abs >= g.usum) AS BIGINT) AS n_kept,
+         CAST(COALESCE(SUM(s.ssb) FILTER (WHERE s.ssb >= 64000 AND s.ssb * 10 * g.n_abs >= g.usum), 0) AS BIGINT) AS ksum
+  FROM bstat s JOIN gates g ON g.doc_id = s.doc_id
+  GROUP BY 1
+)
+SELECT g.doc_id,
+       g.n_blocks,
+       g.n_abs AS n_abs_kept,
+       k.n_kept AS n_rel_kept,
+       CAST(k.ksum // (GREATEST(k.n_kept, 1) * 32) AS BIGINT) AS loudness_q,
+       CAST((g.n_blocks - k.n_kept) * 1000000 // g.n_blocks AS BIGINT) AS gated_frac_ppm
+FROM gates g JOIN kept k ON k.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+QUERIES["multimodal_loudness_gate"] = multimodal_loudness_gate
+ORACLE["multimodal_loudness_gate"] = MULTIMODAL_LOUDNESS_SQL

@@ -175,6 +175,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "corpus_sampling_ess_audit",
         "orders_crps_seasonal_eval",
         "cdc_snapshot_chunk_planner",
+        "events_cramers_v_matrix",
+        "multimodal_loudness_gate",
     }
 )
 

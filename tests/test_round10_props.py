@@ -3482,3 +3482,80 @@ class TestSnapshotChunkPlanner:
             assert a.hi_key < b.lo_key
         maxbucket = int(cnt.max())
         assert all(rec.est_rows <= target + maxbucket for rec in out)
+
+
+class TestCramersVMatrix:
+    def test_matches_exact_recompute_and_bounds(self, spark, sf_dir):
+        from bireme_spark.queries.events import events_cramers_v_matrix
+
+        out = {r.pair: r for r in events_cramers_v_matrix(spark, sf_dir).collect()}
+        ev = _pq("events")
+        ts = pd.to_datetime(ev["ts"])
+        t = ev["event_type"]
+        wd = (ts.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days % 7
+        hb = ts.dt.hour // 6
+        frames = {"type_x_weekday": (t, wd), "type_x_hourband": (t, hb), "weekday_x_hourband": (wd, hb)}
+        import math
+
+        assert len(out) == 3
+        for name, (a, b) in frames.items():
+            tab = pd.crosstab(a, b)
+            n = int(tab.to_numpy().sum())
+            chi2_e6 = 0
+            for i in tab.index:
+                for j in tab.columns:
+                    o = int(tab.loc[i, j])
+                    r = int(tab.loc[i].sum())
+                    c = int(tab[j].sum())
+                    d = float(n * o - r * c)
+                    chi2_e6 += int(round(d * d / (float(n) * r * c) * 1e6))
+            m = min(len(tab.index), len(tab.columns))
+            v = math.sqrt(chi2_e6 / (1e6 * n * (m - 1)))
+            rec = out[name]
+            assert rec.n == n
+            assert rec.df == (len(tab.index) - 1) * (len(tab.columns) - 1)
+            assert rec.chi2_e6 == chi2_e6
+            assert abs(rec.cramers_v - v) <= 1.1e-6
+            # V is an effect size: bounded [0, 1]
+            assert 0.0 <= rec.cramers_v <= 1.0
+
+
+class TestLoudnessGate:
+    def test_matches_exact_recompute_and_cohort_ordering(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_loudness_gate
+
+        out = multimodal_loudness_gate(spark, sf_dir).toPandas()
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        # exact recompute for a deterministic sample of docs (pure
+        # formula replay, independent of codec and SQL)
+        for rec in out.itertuples():
+            if rec.doc_id % 97 != 0:
+                continue
+            n = 64 + rec.doc_id % 64
+            att = 32 if rec.doc_id % 8 == 3 else (6 if rec.doc_id % 8 == 5 else 1)
+            sam = [
+                tdiv((rec.doc_id * 31 + i * 7) % 2048 - 1024, att) if i >= n // 2
+                else (rec.doc_id * 31 + i * 7) % 2048 - 1024
+                for i in range(n)
+            ]
+            nb = (n - 32) // 16 + 1
+            ssbs = [sum(v * v for v in sam[16 * b : 16 * b + 32]) for b in range(nb)]
+            absk = [s for s in ssbs if s >= 64000]
+            na, usum = len(absk), sum(absk)
+            kept = [s for s in absk if s * 10 * na >= usum]
+            assert rec.n_blocks == nb
+            assert rec.n_abs_kept == na
+            assert rec.n_rel_kept == len(kept)
+            assert rec.loudness_q == sum(kept) // (max(len(kept), 1) * 32)
+            assert rec.gated_frac_ppm == (nb - len(kept)) * 10**6 // nb
+        # cohort semantics: the quiet-tail cohort gates hardest, the
+        # attenuated-tail cohort next, clean clips barely gate; both
+        # gate STAGES individually fire somewhere in the corpus
+        cls = out["doc_id"] % 8
+        gf = out.groupby(cls)["gated_frac_ppm"].mean()
+        clean = gf[[c for c in gf.index if c not in (3, 5)]].max()
+        assert gf[3] > gf[5] > clean
+        assert (out["n_blocks"] - out["n_abs_kept"]).sum() > 0
+        assert (out["n_abs_kept"] - out["n_rel_kept"]).sum() > 0
+        lq = out.groupby(cls)["loudness_q"].mean()
+        assert lq[3] < lq[[c for c in lq.index if c not in (3, 5)]].min()
