@@ -412,6 +412,8 @@ HEADLINE = [
     "cdc_snapshot_chunk_planner",
     "events_cramers_v_matrix",
     "multimodal_loudness_gate",
+    "graph_square_count",
+    "nations_trade_reciprocity",
 ]
 
 

@@ -3580,3 +3580,122 @@ LIMIT 20
 
 QUERIES["graph_random_walk_restart"] = graph_random_walk_restart
 ORACLE["graph_random_walk_restart"] = _rwr_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# graph_square_count — exact 4-cycle (square) census of the undirected
+# part-flow graph via wedge-pair closure.
+
+
+def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact square (4-cycle) census of the undirected part-flow
+    graph: squares = Σ_{u<v} C(W_uv, 2) where W_uv is the number of
+    common neighbors (wedge centers) of the pair — every square
+    u–c–v–c′–u is one unordered center pair {c, c′} of its diagonal
+    {u, v}. Triangles (graph_triangle_count) measure local closure;
+    squares are the bipartite-style closure that co-occurrence graphs
+    exhibit even when triangle-free — the complementary motif the
+    graph family lacked.
+
+    Determinism: pure integer counting; wedge formation enumerates
+    per-center neighbor pairs (the chain graph's degree is ~constant
+    in SF — per-node fan-out C(d,2) stays bounded, the triangle-count
+    precedent), and the diagonal aggregation is one shuffle on the
+    (u,v) pair key. squares_per_million_wedges closes with a single
+    truncating DIV.
+
+    Scale: edge formation is the linear per-order consecutive-rank
+    self-join (orders sampled key%40 in BOTH engines); wedges are
+    one self-join of the O(E) directed adjacency on the center;
+    everything after is pair-histogram sized."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    seq = po.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
+        .alias("rn"),
+        "l_orderkey",
+    )
+    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
+    b_ = seq.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
+    )
+    und = (
+        a_.join(b_, ["ok", "rn"])
+        .select(F.expr("LEAST(u, v)").alias("u"), F.expr("GREATEST(u, v)").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("u").alias("c"), F.col("v").alias("d")).unionByName(
+        und.select(F.col("v").alias("c"), F.col("u").alias("d"))
+    )
+    x = adj.alias("x")
+    y = adj.alias("y")
+    wedges = (
+        x.join(y, (F.expr("x.c = y.c")) & (F.expr("x.d < y.d")))
+        .groupBy(F.expr("x.d").alias("u"), F.expr("y.d").alias("v"))
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("w"))
+    )
+    stats = wedges.groupBy().agg(
+        F.expr("CAST(SUM(w) AS BIGINT)").alias("n_wedges"),
+        F.expr("CAST(SUM(w * (w - 1) DIV 2) AS BIGINT)").alias("n_squares"),
+    )
+    counts = und.groupBy().agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_edges"))
+    nodes = adj.select(F.col("c").alias("nk")).distinct().groupBy().agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_nodes")
+    )
+    return (
+        stats.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_squares",
+            F.expr(
+                "CAST(n_squares * 1000000 DIV GREATEST(n_wedges, 1) AS BIGINT)"
+            ).alias("squares_per_million_wedges"),
+        )
+    )
+
+
+GRAPH_SQUARES_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 40 = 0
+),
+po AS (SELECT DISTINCT l_orderkey, l_partkey FROM li),
+seq AS (
+  SELECT l_orderkey AS ok, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+  FROM po
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM seq a JOIN seq b ON a.ok = b.ok AND b.rn = a.rn + 1
+  WHERE a.l_partkey <> b.l_partkey
+),
+adj AS MATERIALIZED (
+  SELECT u AS c, v AS d FROM und UNION ALL SELECT v AS c, u AS d FROM und
+),
+wedges AS (
+  SELECT x.d AS u, y.d AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM adj x JOIN adj y ON x.c = y.c AND x.d < y.d
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS n_wedges,
+         CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS n_squares
+  FROM wedges
+),
+counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und),
+nodes AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_nodes FROM adj)
+SELECT n.n_nodes, c.n_edges, s.n_wedges, s.n_squares,
+       CAST(s.n_squares * 1000000 // GREATEST(s.n_wedges, 1) AS BIGINT) AS squares_per_million_wedges
+FROM stats s, counts c, nodes n
+"""
+
+QUERIES["graph_square_count"] = graph_square_count
+ORACLE["graph_square_count"] = GRAPH_SQUARES_SQL

@@ -177,6 +177,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "cdc_snapshot_chunk_planner",
         "events_cramers_v_matrix",
         "multimodal_loudness_gate",
+        "graph_square_count",
+        "nations_trade_reciprocity",
     }
 )
 

@@ -3559,3 +3559,77 @@ class TestLoudnessGate:
         assert (out["n_abs_kept"] - out["n_rel_kept"]).sum() > 0
         lq = out.groupby(cls)["loudness_q"].mean()
         assert lq[3] < lq[[c for c in lq.index if c not in (3, 5)]].min()
+
+
+class TestSquareCount:
+    def test_matches_exact_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.audit import graph_square_count
+
+        rec = graph_square_count(spark, sf_dir).collect()[0]
+        li = _pq("lineitem")
+        li = li[li["l_orderkey"] % 40 == 0][["l_orderkey", "l_partkey"]].drop_duplicates()
+        und = set()
+        for _, grp in li.groupby("l_orderkey"):
+            ps = sorted(grp["l_partkey"])
+            for a, b in zip(ps, ps[1:]):
+                if a != b:
+                    und.add((min(int(a), int(b)), max(int(a), int(b))))
+        adj = {}
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        wed = {}
+        for c, nb in adj.items():
+            nbs = sorted(nb)
+            for i in range(len(nbs)):
+                for j in range(i + 1, len(nbs)):
+                    wed[(nbs[i], nbs[j])] = wed.get((nbs[i], nbs[j]), 0) + 1
+        n_wedges = sum(wed.values())
+        n_squares = sum(w * (w - 1) // 2 for w in wed.values())
+        assert rec.n_nodes == len(adj)
+        assert rec.n_edges == len(und)
+        assert rec.n_wedges == n_wedges
+        assert rec.n_squares == n_squares
+        assert rec.squares_per_million_wedges == n_squares * 10**6 // max(n_wedges, 1)
+        # the fixture graph must actually exercise the motif counter
+        assert n_wedges > 0 and rec.n_edges > rec.n_nodes // 2
+
+
+class TestTradeReciprocity:
+    def test_matches_exact_recompute_and_bounds(self, spark, sf_dir):
+        from bireme_spark.queries.relational import nations_trade_reciprocity
+
+        rows = nations_trade_reciprocity(spark, sf_dir).collect()
+        li = _pq("lineitem")[["l_orderkey", "l_suppkey"]]
+        o = _pq("orders")[["o_orderkey", "o_custkey"]]
+        c = _pq("customer")[["c_custkey", "c_nationkey"]]
+        su = _pq("supplier")[["s_suppkey", "s_nationkey"]]
+        j = (
+            li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+            .merge(c, left_on="o_custkey", right_on="c_custkey")
+            .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+        )
+        j = j[j["c_nationkey"] != j["s_nationkey"]]
+        x = j.groupby(["c_nationkey", "s_nationkey"]).size().to_dict()
+        recip = sum(min(v, x.get((b, a), 0)) for (a, b), v in x.items())
+        tot = sum(x.values())
+        trow = [r for r in rows if r.cust_nation == "TOTAL"][0]
+        assert trow.volume == tot
+        assert trow.asymmetry == tot - recip
+        assert trow.metric_ppm == recip * 10**6 // tot
+        # reciprocity is a fraction; a dense random-ish trade matrix
+        # is substantially but not perfectly reciprocal
+        assert 0 < trow.metric_ppm < 10**6
+        # top pairs: recompute the asymmetry ranking
+        pair_asym = sorted(
+            (
+                (abs(v - x.get((b, a), 0)), a, b)
+                for (a, b), v in x.items()
+                if a < b
+            ),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )
+        top = [r for r in rows if r.cust_nation != "TOTAL"]
+        assert len(top) == 10
+        exp_asyms = [t[0] for t in pair_asym[:10]]
+        assert sorted((r.asymmetry for r in top), reverse=True) == exp_asyms
