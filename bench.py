@@ -414,6 +414,8 @@ HEADLINE = [
     "multimodal_loudness_gate",
     "graph_square_count",
     "nations_trade_reciprocity",
+    "lineitem_price_volume_bridge",
+    "orders_net_revenue_retention",
 ]
 
 

@@ -11024,3 +11024,192 @@ ORDER BY asymmetry DESC, cust_nation, supp_nation
 
 QUERIES["nations_trade_reciprocity"] = nations_trade_reciprocity
 ORACLE["nations_trade_reciprocity"] = NATIONS_RECIPROCITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_price_volume_bridge — FP&A price/volume bridge between two
+# fiscal years, per brand.
+
+
+def lineitem_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge (the standard FP&A revenue-change
+    decomposition) from fiscal 1996 to 1997, per part brand: Δrev =
+    PRICE effect (p₂−p₁)·q₂ + VOLUME effect (q₂−q₁)·p₁, where p_y is
+    the realized average unit price r_y/q_y — the "why did revenue
+    move" waterfall nations_revenue_decomposition gives for shares,
+    here in absolute currency per brand.
+
+    Determinism: revenue is DECIMAL-exact in e4 units (disc_price is
+    exactly 4dp — the r8 rule); quantities are integral doubles CAST
+    to BIGINT (exact). The rational effects are cross-multiplied to
+    the common denominator q₁ — price·q₁ = r₂·q₁ − r₁·q₂ and
+    volume·q₁ = (q₂−q₁)·r₁ are EXACT DECIMAL(38,0) integers — and
+    closed with one truncating DIV each (negatives truncate toward
+    zero on both engines), so price + volume may differ from Δrev by
+    ≤ 2 e4-units of truncation, never more (documented contract;
+    delta_e4 itself is exact).
+
+    Scale: ONE lineitem scan (shipdate-filtered, column-pruned)
+    joined to part on partkey and collapsed map-side to
+    |brands|×2 year cells; the bridge algebra runs on ≤25 rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.expr("year(l_shipdate)").alias("yr"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))"
+                " * 10000 AS DECIMAL(38,0))"
+            ).alias("r_e4"),
+            F.expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").alias("q"),
+        )
+    )
+    y1 = cells.where(F.col("yr") == 1996).select(
+        "p_brand", F.col("r_e4").alias("r1"), F.col("q").alias("q1")
+    )
+    y2 = cells.where(F.col("yr") == 1997).select(
+        "p_brand", F.col("r_e4").alias("r2"), F.col("q").alias("q2")
+    )
+    return (
+        y1.join(y2, "p_brand")
+        .select(
+            "p_brand",
+            F.expr("CAST(r1 AS BIGINT)").alias("rev_1996_e4"),
+            F.expr("CAST(r2 AS BIGINT)").alias("rev_1997_e4"),
+            F.expr("CAST(r2 - r1 AS BIGINT)").alias("delta_e4"),
+            F.expr("CAST((r2 * q1 - r1 * q2) DIV q1 AS BIGINT)").alias("price_effect_e4"),
+            F.expr("CAST((q2 - q1) * r1 DIV q1 AS BIGINT)").alias("volume_effect_e4"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+LINEITEM_PVB_SQL = """
+WITH cells AS (
+  SELECT p.p_brand, CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2))))
+              * 10000 AS HUGEINT) AS r_e4,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+  GROUP BY 1, 2
+)
+SELECT a.p_brand,
+       CAST(a.r_e4 AS BIGINT) AS rev_1996_e4,
+       CAST(b.r_e4 AS BIGINT) AS rev_1997_e4,
+       CAST(b.r_e4 - a.r_e4 AS BIGINT) AS delta_e4,
+       CAST((b.r_e4 * a.q - a.r_e4 * b.q) // a.q AS BIGINT) AS price_effect_e4,
+       CAST((b.q - a.q) * a.r_e4 // a.q AS BIGINT) AS volume_effect_e4
+FROM cells a JOIN cells b ON a.p_brand = b.p_brand AND a.yr = 1996 AND b.yr = 1997
+ORDER BY a.p_brand
+"""
+
+QUERIES["lineitem_price_volume_bridge"] = lineitem_price_volume_bridge
+ORACLE["lineitem_price_volume_bridge"] = LINEITEM_PVB_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_net_revenue_retention — NRR / GRR by base-year customer cohort.
+
+
+def orders_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net and gross revenue retention per adjacent year pair: take
+    every customer active in base year y, then NRR = (their year-y+1
+    revenue) / (their year-y revenue) — expansion included — and
+    GRR = Σ min(rev_y, rev_{y+1}) / Σ rev_y — expansion capped, so
+    churn and contraction can't be masked (the SaaS-standard pair;
+    customers_churn_setops counts heads, this weighs WALLETS).
+
+    Determinism: o_totalprice is 2dp — all revenue is exact integer
+    CENTS (DECIMAL-cast before ×100); the per-customer GRR cap
+    LEAST(rev_y, rev_{y+1}) and both ppm closes are pure integer
+    with truncating DIV. New-logo revenue in y+1 is excluded by
+    construction (left join from the base cohort).
+
+    Scale: ONE orders scan into (custkey, year) revenue cells — one
+    shuffle on the customer key; the adjacent-year self-join is
+    co-partitioned on that same key (no second shuffle of the fact
+    table); year-pair aggregation is the only other exchange, onto
+    ≤6 rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("year(o_orderdate)").alias("yr"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0))").alias("cents"),
+    )
+    cy = o.groupBy("o_custkey", "yr").agg(
+        F.expr("CAST(SUM(cents) AS DECIMAL(38,0))").alias("rev")
+    )
+    base = cy.select("o_custkey", F.col("yr").alias("base_year"), F.col("rev").alias("rev0"))
+    nxt = cy.select(
+        "o_custkey", F.expr("yr - 1").alias("base_year"), F.col("rev").alias("rev1")
+    )
+    paired = base.join(nxt, ["o_custkey", "base_year"], "left").select(
+        "base_year",
+        "rev0",
+        F.expr("COALESCE(rev1, CAST(0 AS DECIMAL(38,0)))").alias("rev1"),
+    )
+    agg = paired.groupBy("base_year").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_base_customers"),
+        F.expr("CAST(SUM(CASE WHEN rev1 > 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_retained"),
+        F.expr("CAST(SUM(rev0) AS DECIMAL(38,0))").alias("base_rev_cents"),
+        F.expr("CAST(SUM(rev1) AS DECIMAL(38,0))").alias("retained_rev_cents"),
+        F.expr("CAST(SUM(LEAST(rev0, rev1)) AS DECIMAL(38,0))").alias("capped_rev_cents"),
+    )
+    # the last data year has no y+1 — drop it (its NRR would read 0)
+    last = agg.agg(F.expr("MAX(base_year)").alias("maxy"))
+    return (
+        agg.crossJoin(F.broadcast(last))
+        .where(F.col("base_year") < F.col("maxy"))
+        .select(
+            "base_year",
+            "n_base_customers",
+            "n_retained",
+            F.expr("CAST(base_rev_cents AS BIGINT)").alias("base_rev_cents"),
+            F.expr("CAST(retained_rev_cents AS BIGINT)").alias("retained_rev_cents"),
+            F.expr("CAST(retained_rev_cents * 1000000 DIV base_rev_cents AS BIGINT)").alias("nrr_ppm"),
+            F.expr("CAST(capped_rev_cents * 1000000 DIV base_rev_cents AS BIGINT)").alias("grr_ppm"),
+        )
+        .orderBy("base_year")
+    )
+
+
+ORDERS_NRR_SQL = """
+WITH cy AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS HUGEINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+paired AS (
+  SELECT b.yr AS base_year, b.rev AS rev0,
+         COALESCE(n.rev, CAST(0 AS HUGEINT)) AS rev1
+  FROM cy b LEFT JOIN cy n ON n.o_custkey = b.o_custkey AND n.yr = b.yr + 1
+),
+agg AS (
+  SELECT base_year,
+         CAST(COUNT(*) AS BIGINT) AS n_base_customers,
+         CAST(SUM(CASE WHEN rev1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(SUM(rev0) AS HUGEINT) AS base_rev_cents,
+         CAST(SUM(rev1) AS HUGEINT) AS retained_rev_cents,
+         CAST(SUM(LEAST(rev0, rev1)) AS HUGEINT) AS capped_rev_cents
+  FROM paired GROUP BY 1
+)
+SELECT base_year, n_base_customers, n_retained,
+       CAST(base_rev_cents AS BIGINT) AS base_rev_cents,
+       CAST(retained_rev_cents AS BIGINT) AS retained_rev_cents,
+       CAST(retained_rev_cents * 1000000 // base_rev_cents AS BIGINT) AS nrr_ppm,
+       CAST(capped_rev_cents * 1000000 // base_rev_cents AS BIGINT) AS grr_ppm
+FROM agg
+WHERE base_year < (SELECT MAX(base_year) FROM agg)
+ORDER BY base_year
+"""
+
+QUERIES["orders_net_revenue_retention"] = orders_net_revenue_retention
+ORACLE["orders_net_revenue_retention"] = ORDERS_NRR_SQL

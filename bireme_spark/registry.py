@@ -179,6 +179,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "multimodal_loudness_gate",
         "graph_square_count",
         "nations_trade_reciprocity",
+        "lineitem_price_volume_bridge",
+        "orders_net_revenue_retention",
     }
 )
 

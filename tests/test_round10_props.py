@@ -3633,3 +3633,76 @@ class TestTradeReciprocity:
         assert len(top) == 10
         exp_asyms = [t[0] for t in pair_asym[:10]]
         assert sorted((r.asymmetry for r in top), reverse=True) == exp_asyms
+
+
+class TestPriceVolumeBridge:
+    def test_matches_exact_recompute_and_bridge_identity(self, spark, sf_dir):
+        from decimal import Decimal
+
+        from bireme_spark.queries.relational import lineitem_price_volume_bridge
+
+        out = {r.p_brand: r for r in lineitem_price_volume_bridge(spark, sf_dir).collect()}
+        li = _pq("lineitem")
+        pa = _pq("part")[["p_partkey", "p_brand"]]
+        sd = pd.to_datetime(li["l_shipdate"])
+        li = li[(sd >= "1996-01-01") & (sd <= "1997-12-31")].copy()
+        li["yr"] = pd.to_datetime(li["l_shipdate"]).dt.year
+        j = li.merge(pa, left_on="l_partkey", right_on="p_partkey")
+        tdiv = lambda a, b: abs(a) // b * (1 if a >= 0 else -1)
+        cells = {}
+        for (br, yr), g in j.groupby(["p_brand", "yr"]):
+            r_e4 = sum(
+                int(Decimal(str(round(ep, 2))) * 10000) * int(Decimal("1") * 100 - Decimal(str(round(d, 2))) * 100)
+                for ep, d in zip(g["l_extendedprice"], g["l_discount"])
+            ) // 100
+            q = int(g["l_quantity"].sum())
+            cells[(br, yr)] = (r_e4, q)
+        for br in sorted({b for b, _ in cells}):
+            if (br, 1996) not in cells or (br, 1997) not in cells:
+                assert br not in out
+                continue
+            r1, q1 = cells[(br, 1996)]
+            r2, q2 = cells[(br, 1997)]
+            rec = out[br]
+            assert rec.rev_1996_e4 == r1
+            assert rec.rev_1997_e4 == r2
+            assert rec.delta_e4 == r2 - r1
+            assert rec.price_effect_e4 == tdiv(r2 * q1 - r1 * q2, q1)
+            assert rec.volume_effect_e4 == tdiv((q2 - q1) * r1, q1)
+            # bridge identity up to the two documented truncations
+            assert abs(rec.price_effect_e4 + rec.volume_effect_e4 - rec.delta_e4) <= 2
+
+
+class TestNetRevenueRetention:
+    def test_matches_exact_recompute_and_grr_bounds(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_net_revenue_retention
+
+        rows = {r.base_year: r for r in orders_net_revenue_retention(spark, sf_dir).collect()}
+        o = _pq("orders")
+        o = o.assign(
+            yr=pd.to_datetime(o["o_orderdate"]).dt.year,
+            cents=np.round(o["o_totalprice"].to_numpy() * 100).astype("int64"),
+        )
+        cy = o.groupby(["o_custkey", "yr"])["cents"].sum()
+        years = sorted(o["yr"].unique())
+        assert set(rows) == set(years[:-1])
+        for y in years[:-1]:
+            base = cy[cy.index.get_level_values("yr") == y]
+            rev0 = int(base.sum())
+            rev1 = capped = 0
+            nret = 0
+            for (ck, _), r0 in base.items():
+                r1 = int(cy.get((ck, y + 1), 0))
+                rev1 += r1
+                capped += min(int(r0), r1)
+                nret += int(r1 > 0)
+            rec = rows[y]
+            assert rec.n_base_customers == len(base)
+            assert rec.n_retained == nret
+            assert rec.base_rev_cents == rev0
+            assert rec.retained_rev_cents == rev1
+            assert rec.nrr_ppm == rev1 * 10**6 // rev0
+            assert rec.grr_ppm == capped * 10**6 // rev0
+            # GRR can never exceed NRR or 100%; cohorts genuinely retain
+            assert rec.grr_ppm <= min(rec.nrr_ppm, 10**6)
+            assert 0 < rec.n_retained <= rec.n_base_customers
