@@ -416,6 +416,8 @@ HEADLINE = [
     "nations_trade_reciprocity",
     "lineitem_price_volume_bridge",
     "orders_net_revenue_retention",
+    "events_greenwood_uniformity",
+    "embedding_csls_rerank_eval",
 ]
 
 

@@ -3845,3 +3845,169 @@ LIMIT 20
 
 QUERIES["embedding_hbos_outliers"] = embedding_hbos_outliers
 ORACLE["embedding_hbos_outliers"] = EMBEDDING_HBOS_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_csls_rerank_eval — does CSLS hubness correction change
+# exact-cosine retrieval on this corpus?
+
+_CSLS_K = 10
+
+
+def embedding_csls_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSLS re-ranking evaluation (Conneau et al. 2018): CSLS(x,y) =
+    2·cos(x,y) − r_C(x) − r_Q(y), the hubness correction that
+    penalizes points whose neighborhoods are promiscuous —
+    embedding_hubness_audit DIAGNOSES hubs; this measures whether the
+    standard FIX actually changes retrieval here: per query, the
+    overlap between the exact-cosine top-10 and the CSLS top-10 over
+    the same candidate block (10 = unchanged ranking, low = hubness
+    was distorting raw cosine).
+
+    Determinism: the bounded md5-coin sample blocks of
+    embedding_binary_sign_recall (≈100 queries × ≈1200 candidates at
+    ANY corpus size); cosines are e6 integers via the float→double
+    zip_with discipline; the CSLS ranking key is scaled to 10·e6 —
+    m = 20·cos − Σtop10cos(x over C) − Σtop10cos(y over Q) — so it is
+    EXACT integer algebra with NO truncating division anywhere; all
+    ranks tie-break on the candidate id.
+
+    Scale: the pair block is coin-bounded (never corpus-quadratic);
+    two rank windows + one neighbor-sum window on that block; output
+    is the fixed 11-bucket overlap histogram."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ntot = e.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tot"))
+    qs = (
+        e.crossJoin(F.broadcast(ntot))
+        .where(F.expr(f"{_KNN_Q_BYTE} * n_tot < 256 * {_BSR_Q_CAP}"))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .localCheckpoint(eager=True)
+    )
+    cs = (
+        e.crossJoin(F.broadcast(ntot))
+        .where(F.expr(f"{_KNN_C_BYTE} * n_tot < 256 * {_BSR_C_CAP}"))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    dot = (
+        "aggregate(zip_with(qv, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    pairs = (
+        cs.crossJoin(F.broadcast(qs))
+        .where(F.expr("qid <> cid"))
+        .select(
+            "qid",
+            "cid",
+            F.expr(f"CAST(ROUND({dot} * 1000000) AS BIGINT)").alias("cos_e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), "cid")
+    wc = Window.partitionBy("cid").orderBy(F.col("cos_e6").desc(), "qid")
+    nb = pairs.select(
+        "qid",
+        "cid",
+        "cos_e6",
+        F.row_number().over(wq).alias("rq"),
+        F.row_number().over(wc).alias("rc"),
+    )
+    sq = nb.where(F.col("rq") <= _CSLS_K).groupBy("qid").agg(
+        F.expr("CAST(SUM(cos_e6) AS BIGINT)").alias("sqx")
+    )
+    sc = nb.where(F.col("rc") <= _CSLS_K).groupBy("cid").agg(
+        F.expr("CAST(SUM(cos_e6) AS BIGINT)").alias("scy")
+    )
+    scored = (
+        nb.join(F.broadcast(sq), "qid")
+        .join(F.broadcast(sc), "cid")
+        .select(
+            "qid",
+            "cid",
+            "rq",
+            F.expr("20 * cos_e6 - sqx - scy").alias("m"),
+        )
+    )
+    wm = Window.partitionBy("qid").orderBy(F.col("m").desc(), "cid")
+    ranked = scored.select("qid", "rq", F.row_number().over(wm).alias("rm"))
+    rec = (
+        ranked.where(F.expr("rq <= 10"))
+        .groupBy("qid")
+        .agg(F.expr("CAST(SUM(CASE WHEN rm <= 10 THEN 1 ELSE 0 END) AS BIGINT)").alias("hits"))
+    )
+    grid = spark.range(0, 11).select(F.expr("CAST(id AS INT)").alias("overlap_at_10"))
+    per = rec.groupBy(F.expr("CAST(hits AS INT)").alias("overlap_at_10")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_queries")
+    )
+    tot = rec.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("nt"),
+        F.expr("CAST(SUM(hits) AS BIGINT)").alias("th"),
+    )
+    return (
+        grid.join(per, "overlap_at_10", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "overlap_at_10",
+            F.expr("COALESCE(n_queries, CAST(0 AS BIGINT))").alias("n_queries"),
+            F.expr("CAST(th * 100000 DIV (nt * 10) AS BIGINT)").alias("mean_overlap_ppm_x10"),
+        )
+        .orderBy("overlap_at_10")
+    )
+
+
+EMBEDDING_CSLS_SQL = f"""
+WITH ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM embeddings),
+qs AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings, ntot
+  WHERE {_KNN_Q_BYTE} * n_tot < 256 * {_BSR_Q_CAP}
+),
+cs AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings, ntot
+  WHERE {_KNN_C_BYTE} * n_tot < 256 * {_BSR_C_CAP}
+),
+pairs AS MATERIALIZED (
+  SELECT qid, cid,
+         CAST(ROUND((
+           SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT UNNEST(qv) AS xa, UNNEST(cv) AS xb)
+         ) * 1000000) AS BIGINT) AS cos_e6
+  FROM qs, cs WHERE qid <> cid
+),
+nb AS MATERIALIZED (
+  SELECT qid, cid, cos_e6,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rq,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cos_e6 DESC, qid) AS rc
+  FROM pairs
+),
+sq AS MATERIALIZED (
+  SELECT qid, CAST(SUM(cos_e6) AS BIGINT) AS sqx FROM nb WHERE rq <= {_CSLS_K} GROUP BY 1
+),
+sc AS MATERIALIZED (
+  SELECT cid, CAST(SUM(cos_e6) AS BIGINT) AS scy FROM nb WHERE rc <= {_CSLS_K} GROUP BY 1
+),
+ranked AS MATERIALIZED (
+  SELECT n.qid, n.rq,
+         ROW_NUMBER() OVER (PARTITION BY n.qid
+                            ORDER BY 20 * n.cos_e6 - q.sqx - c.scy DESC, n.cid) AS rm
+  FROM nb n JOIN sq q ON q.qid = n.qid JOIN sc c ON c.cid = n.cid
+),
+rec AS MATERIALIZED (
+  SELECT qid, CAST(SUM(CASE WHEN rm <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM ranked WHERE rq <= 10 GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(hits) AS BIGINT) AS th FROM rec),
+grid AS (SELECT CAST(g.i AS INTEGER) AS overlap_at_10 FROM generate_series(0, 10) g(i)),
+per AS (
+  SELECT CAST(hits AS INTEGER) AS overlap_at_10, CAST(COUNT(*) AS BIGINT) AS n_queries
+  FROM rec GROUP BY 1
+)
+SELECT g.overlap_at_10,
+       COALESCE(p.n_queries, CAST(0 AS BIGINT)) AS n_queries,
+       CAST(t.th * 100000 // (t.nt * 10) AS BIGINT) AS mean_overlap_ppm_x10
+FROM grid g LEFT JOIN per p ON p.overlap_at_10 = g.overlap_at_10, tot t
+ORDER BY g.overlap_at_10
+"""
+
+QUERIES["embedding_csls_rerank_eval"] = embedding_csls_rerank_eval
+ORACLE["embedding_csls_rerank_eval"] = EMBEDDING_CSLS_SQL

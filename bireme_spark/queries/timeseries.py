@@ -8793,3 +8793,76 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["orders_crps_seasonal_eval"] = orders_crps_seasonal_eval
 ORACLE["orders_crps_seasonal_eval"] = ORDERS_CRPS_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_greenwood_uniformity — Greenwood spacing statistic per event
+# type: are arrivals uniform, or clustered?
+
+
+def events_greenwood_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwood (1946) spacing statistic per event type: G =
+    Σ τ_i² / (Σ τ_i)² over the inter-arrival gaps — the uniformity
+    test built from SPACINGS (KS tests the CDF; Greenwood is the
+    classic power against CLUSTERING: bursty arrivals inflate the
+    squared-gap sum). Under uniformity E[G] ≈ 2/(n+1); the emitted
+    ratio G/E[G] reads >1e6 ppm ⇒ clustered, <1e6 ⇒ regular.
+
+    Determinism: gaps are exact integer MICROSECONDS (unix_micros /
+    epoch_us; the µs house contract) ordered by the timestamp itself
+    (LAG reads only the ordering key — tie-safe); Στ² terms CAST
+    DECIMAL(38,0) BEFORE squaring (span² ~ 7e30 overflows BIGINT);
+    both closes are truncating integer DIVs. No doubles anywhere.
+
+    Scale: one scan, one per-type window for the gaps, one agg to
+    |types| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    w = Window.partitionBy("event_type").orderBy("us")
+    gaps = ev.select(
+        "event_type",
+        F.expr("us - LAG(us) OVER (PARTITION BY event_type ORDER BY us)").alias("tau"),
+    ).where(F.col("tau").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_gaps"),
+        F.expr("CAST(SUM(CAST(tau AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("st"),
+        F.expr("CAST(SUM(CAST(tau AS DECIMAL(38,0)) * tau) AS DECIMAL(38,0))").alias("st2"),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.expr("CAST(st2 * 1000000000 DIV (st * st) AS BIGINT)").alias("greenwood_e9"),
+        F.expr("CAST(2000000000 DIV (n_gaps + 1) AS BIGINT)").alias("uniform_null_e9"),
+        F.expr(
+            "CAST(st2 * 1000000000 DIV (st * st) * 1000000"
+            " DIV (2000000000 DIV (n_gaps + 1)) AS BIGINT)"
+        ).alias("clustering_ratio_ppm"),
+    ).orderBy("event_type")
+
+
+EVENTS_GREENWOOD_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS tau
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CAST(tau AS HUGEINT)) AS HUGEINT) AS st,
+         CAST(SUM(CAST(tau AS HUGEINT) * tau) AS HUGEINT) AS st2
+  FROM gaps WHERE tau IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       CAST(st2 * 1000000000 // (st * st) AS BIGINT) AS greenwood_e9,
+       CAST(2000000000 // (n_gaps + 1) AS BIGINT) AS uniform_null_e9,
+       CAST(st2 * 1000000000 // (st * st) * 1000000
+            // (2000000000 // (n_gaps + 1)) AS BIGINT) AS clustering_ratio_ppm
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["events_greenwood_uniformity"] = events_greenwood_uniformity
+ORACLE["events_greenwood_uniformity"] = EVENTS_GREENWOOD_SQL

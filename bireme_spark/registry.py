@@ -181,6 +181,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "nations_trade_reciprocity",
         "lineitem_price_volume_bridge",
         "orders_net_revenue_retention",
+        "events_greenwood_uniformity",
+        "embedding_csls_rerank_eval",
     }
 )
 

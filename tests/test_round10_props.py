@@ -3706,3 +3706,78 @@ class TestNetRevenueRetention:
             # GRR can never exceed NRR or 100%; cohorts genuinely retain
             assert rec.grr_ppm <= min(rec.nrr_ppm, 10**6)
             assert 0 < rec.n_retained <= rec.n_base_customers
+
+
+class TestGreenwoodUniformity:
+    def test_matches_exact_recompute_and_null_calibration(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import events_greenwood_uniformity
+
+        out = {r.event_type: r for r in events_greenwood_uniformity(spark, sf_dir).collect()}
+        ev = _pq("events")
+        us = pd.to_datetime(ev["ts"]).values.astype("datetime64[us]").astype("int64")
+        for etype, g in ev.assign(us=us).groupby("event_type"):
+            xs = np.sort(g["us"].to_numpy())
+            tau = np.diff(xs).astype(object)
+            st = int(tau.sum())
+            st2 = int(sum(int(t) * int(t) for t in tau))
+            n = len(tau)
+            gw = st2 * 10**9 // (st * st)
+            null = 2 * 10**9 // (n + 1)
+            rec = out[etype]
+            assert rec.n_gaps == n
+            assert rec.greenwood_e9 == gw
+            assert rec.uniform_null_e9 == null
+            assert rec.clustering_ratio_ppm == gw * 10**6 // null
+            # G is bounded [1/n, 1] (scaled e9), and a Poisson-ish
+            # stream reads near 2/(n+1), far from either bound
+            assert 10**9 // n <= rec.greenwood_e9 <= 10**9
+            assert 200_000 < rec.clustering_ratio_ppm < 5_000_000
+
+
+class TestCslsRerankEval:
+    def test_matches_exact_recompute(self, spark, sf_dir):
+        import hashlib
+
+        from bireme_spark.queries.embeddings import (
+            _BSR_C_CAP,
+            _BSR_Q_CAP,
+            _CSLS_K,
+            embedding_csls_rerank_eval,
+        )
+
+        out = {r.overlap_at_10: r for r in embedding_csls_rerank_eval(spark, sf_dir).collect()}
+        emb = _pq("embeddings")
+        n_tot = len(emb)
+        b1 = lambda v: int(hashlib.md5(str(int(v)).encode()).hexdigest()[:2], 16)
+        b2 = lambda v: int(hashlib.md5(str(int(v)).encode()).hexdigest()[2:4], 16)
+        qs = [(int(v), x) for v, x in zip(emb["vec_id"], emb["embedding"]) if b1(v) * n_tot < 256 * _BSR_Q_CAP]
+        cs = [(int(v), x) for v, x in zip(emb["vec_id"], emb["embedding"]) if b2(v) * n_tot < 256 * _BSR_C_CAP]
+        cos = {}
+        for qid, qv in qs:
+            qd = qv.astype("float64")
+            for cid, cv in cs:
+                if qid == cid:
+                    continue
+                d = float(np.dot(qd, cv.astype("float64")))
+                cos[(qid, cid)] = int(round(d * 1e6))
+        # per-query and per-candidate top-k neighbor sums
+        by_q, by_c = {}, {}
+        for (qid, cid), v in cos.items():
+            by_q.setdefault(qid, []).append((v, cid))
+            by_c.setdefault(cid, []).append((v, qid))
+        sqx = {q: sum(v for v, _ in sorted(l, key=lambda t: (-t[0], t[1]))[:_CSLS_K]) for q, l in by_q.items()}
+        scy = {c: sum(v for v, _ in sorted(l, key=lambda t: (-t[0], t[1]))[:_CSLS_K]) for c, l in by_c.items()}
+        hist = dict.fromkeys(range(11), 0)
+        th = 0
+        for qid, l in by_q.items():
+            raw = [cid for _, cid in sorted(l, key=lambda t: (-t[0], t[1]))[:10]]
+            csls = sorted(l, key=lambda t: (-(20 * t[0] - sqx[qid] - scy[t[1]]), t[1]))[:10]
+            csls_ids = {cid for _, cid in csls}
+            hits = sum(1 for cid in raw if cid in csls_ids)
+            hist[hits] += 1
+            th += hits
+        for k in range(11):
+            assert out[k].n_queries == hist[k], (k, out[k].n_queries, hist[k])
+            assert out[k].mean_overlap_ppm_x10 == th * 100000 // (len(by_q) * 10)
+        # the eval is non-degenerate: some queries agree highly
+        assert hist[10] + hist[9] + hist[8] > 0
