@@ -418,6 +418,8 @@ HEADLINE = [
     "orders_net_revenue_retention",
     "events_greenwood_uniformity",
     "embedding_csls_rerank_eval",
+    "orders_trading_day_adjustment",
+    "embedding_ood_mahalanobis",
 ]
 
 

@@ -4011,3 +4011,146 @@ ORDER BY g.overlap_at_10
 
 QUERIES["embedding_csls_rerank_eval"] = embedding_csls_rerank_eval
 ORACLE["embedding_csls_rerank_eval"] = EMBEDDING_CSLS_SQL
+
+
+# ---------------------------------------------------------------------------
+# embedding_ood_mahalanobis — per-class diagonal-Mahalanobis OOD score.
+
+
+def embedding_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution score via the minimum per-class
+    diagonal Mahalanobis distance (Lee et al. 2018's Mahalanobis OOD
+    detector, diagonal-covariance form): score(x) = min_c Σ_d
+    (x_d − μ_cd)²/σ_d² with class means and the POOLED per-dimension
+    variance — low min-distance means x sits inside some class's
+    ellipsoid; the top-20 scores are the candidate outliers/ mislabeled
+    rows. embedding_centroid_outliers ranks by raw distance to the
+    global centroid; this is the class-conditional, scale-normalized
+    upgrade (a dimension with natural spread no longer dominates).
+
+    Determinism: elements quantize to e6 integers; class-mean
+    numerators S_cd and counts n_c stay EXACT (the per-dim deviation
+    is cross-multiplied: dx = x·n_c − S_cd, its square divided by
+    n_c² inline), the pooled variance is the exact integer
+    (n·ΣX² − (ΣX)²) DIV n² per dim (GREATEST 1); each of the 64
+    per-dim terms closes with ONE truncating DIV to e3 units and the
+    rest is integer sums/MIN. Ties break on class id, then vec_id.
+
+    Scale: one scan fans ×64 against the broadcast dim list; class
+    stats are a 10×64 agg broadcast back; per-row scoring joins the
+    640-cell model table map-side — O(n·d·c) flat, no pairwise."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    dims = spark.range(1, 65).select(F.expr("CAST(id AS INT)").alias("d"))
+    fan = e.crossJoin(F.broadcast(dims)).select(
+        "vec_id",
+        "label",
+        "d",
+        F.expr(
+            "CAST(ROUND(CAST(element_at(embedding, d) AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("x"),
+    )
+    cls = fan.groupBy("label", "d").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("nc"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("s"),
+    )
+    pooled = fan.groupBy("d").agg(
+        F.expr(
+            "CAST(GREATEST((COUNT(*) * SUM(CAST(x AS DECIMAL(38,0)) * x)"
+            " - SUM(CAST(x AS DECIMAL(38,0))) * SUM(CAST(x AS DECIMAL(38,0))))"
+            " DIV (CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*)),"
+            " CAST(1 AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("var_e12")
+    )
+    terms = (
+        fan.join(F.broadcast(cls.select(F.col("label").alias("c"), "d", "nc", "s")), "d")
+        .select(
+            "vec_id",
+            "label",
+            "c",
+            "d",
+            F.expr(
+                "CAST((CAST(x AS DECIMAL(38,0)) * nc - s)"
+                " * (CAST(x AS DECIMAL(38,0)) * nc - s)"
+                " DIV (CAST(nc AS DECIMAL(38,0)) * nc) AS DECIMAL(38,0))"
+            ).alias("dx2_e12"),
+        )
+        .join(F.broadcast(pooled), "d")
+        .groupBy("vec_id", "label", "c")
+        .agg(F.expr("CAST(SUM(dx2_e12 * 1000 DIV var_e12) AS BIGINT)").alias("dist_x1000"))
+    )
+    best = terms.groupBy("vec_id", "label").agg(
+        F.expr("MIN(dist_x1000)").alias("score_x1000")
+    )
+    argmin = (
+        terms.alias("t")
+        .join(
+            best.select("vec_id", "score_x1000").alias("b"),
+            (F.expr("t.vec_id = b.vec_id")) & (F.expr("t.dist_x1000 = b.score_x1000")),
+        )
+        .groupBy(F.expr("t.vec_id").alias("vec_id"))
+        .agg(
+            F.expr("MIN(t.c)").alias("nearest_class"),
+            F.expr("MAX(t.label)").alias("label"),
+            F.expr("MAX(t.dist_x1000)").alias("score_x1000"),
+        )
+    )
+    return (
+        argmin.orderBy(F.col("score_x1000").desc(), "vec_id")
+        .limit(20)
+        .select(
+            "vec_id",
+            F.expr("CAST(label AS INT)").alias("label"),
+            F.expr("CAST(nearest_class AS INT)").alias("nearest_class"),
+            "score_x1000",
+        )
+    )
+
+
+EMBEDDING_OOD_SQL = """
+WITH fan AS (
+  SELECT vec_id, label, CAST(g.d AS INTEGER) AS d,
+         CAST(ROUND(CAST(embedding[g.d] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, 64) g(d)
+),
+cls AS (
+  SELECT label AS c, d, CAST(COUNT(*) AS BIGINT) AS nc,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s
+  FROM fan GROUP BY 1, 2
+),
+pooled AS (
+  SELECT d,
+         GREATEST((COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                   - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)))
+                  // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)),
+                  CAST(1 AS HUGEINT)) AS var_e12
+  FROM fan GROUP BY 1
+),
+terms AS (
+  SELECT f.vec_id, f.label, c.c,
+         CAST(SUM((CAST(f.x AS HUGEINT) * c.nc - c.s)
+                  * (CAST(f.x AS HUGEINT) * c.nc - c.s)
+                  // (CAST(c.nc AS HUGEINT) * c.nc)
+                  * 1000 // p.var_e12) AS BIGINT) AS dist_x1000
+  FROM fan f
+  JOIN cls c ON c.d = f.d
+  JOIN pooled p ON p.d = f.d
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, MIN(dist_x1000) AS score_x1000 FROM terms GROUP BY 1
+),
+argmin AS (
+  SELECT t.vec_id, MIN(t.c) AS nearest_class, MAX(t.label) AS label,
+         MAX(t.dist_x1000) AS score_x1000
+  FROM terms t JOIN best b ON b.vec_id = t.vec_id AND t.dist_x1000 = b.score_x1000
+  GROUP BY 1
+)
+SELECT vec_id, CAST(label AS INTEGER) AS label,
+       CAST(nearest_class AS INTEGER) AS nearest_class, score_x1000
+FROM argmin
+ORDER BY score_x1000 DESC, vec_id
+LIMIT 20
+"""
+
+QUERIES["embedding_ood_mahalanobis"] = embedding_ood_mahalanobis
+ORACLE["embedding_ood_mahalanobis"] = EMBEDDING_OOD_SQL

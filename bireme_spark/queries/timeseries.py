@@ -8866,3 +8866,110 @@ ORDER BY event_type
 
 QUERIES["events_greenwood_uniformity"] = events_greenwood_uniformity
 ORACLE["events_greenwood_uniformity"] = EVENTS_GREENWOOD_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_trading_day_adjustment — working-day-adjusted monthly revenue
+# growth (the official-statistics calendar adjustment).
+
+
+def orders_trading_day_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trading-day (working-day) adjustment of monthly revenue growth:
+    months differ by up to 3 weekdays, so raw month-over-month growth
+    confounds calendar composition with demand — the standard
+    official-statistics fix divides by the month's weekday count
+    before differencing. Emits raw and adjusted MoM growth side by
+    side; the gap between them IS the calendar effect.
+
+    Determinism: revenue is exact integer cents; the weekday count
+    comes from an in-plan generated calendar (epoch-day % 7 with
+    1970-01-01 = Thursday ⇒ weekday residues {0,1,4,5,6} — never
+    dayofweek, whose origin differs per engine); rev-per-day and both
+    growth closes are truncating integer DIVs on exact integers.
+
+    Scale: one orders scan to ~80 monthly cells; the calendar
+    (≤2,500 generated rows) aggregates to the same months and joins
+    on the month key. All windows run on the 80-row frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate)").alias("mkey"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0))").alias("cents"),
+    )
+    monthly = o.groupBy("mkey").agg(
+        F.expr("CAST(SUM(cents) AS DECIMAL(38,0))").alias("rev")
+    )
+    cal = (
+        spark.sql(
+            "SELECT explode(sequence(DATE'1995-01-01', DATE'2001-08-31',"
+            " INTERVAL 1 DAY)) AS d"
+        )
+        .select(
+            F.expr("year(d) * 12 + month(d)").alias("mkey"),
+            F.expr("CAST(datediff(d, DATE'1970-01-01') % 7 AS INT)").alias("r"),
+        )
+        .groupBy("mkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN r IN (0, 1, 4, 5, 6) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("wdays")
+        )
+    )
+    m = monthly.join(F.broadcast(cal), "mkey").select(
+        "mkey",
+        F.expr("CAST(rev AS BIGINT)").alias("rev_cents"),
+        "wdays",
+        F.expr("CAST(rev DIV wdays AS BIGINT)").alias("rev_per_wday_cents"),
+    )
+    w = Window.orderBy("mkey")
+    g = m.select(
+        "mkey",
+        "rev_cents",
+        "wdays",
+        "rev_per_wday_cents",
+        F.lag("rev_cents").over(w).alias("prev_rev"),
+        F.lag("rev_per_wday_cents").over(w).alias("prev_rpd"),
+    ).where(F.col("prev_rev").isNotNull())
+    return g.select(
+        "mkey",
+        "rev_cents",
+        "wdays",
+        "rev_per_wday_cents",
+        F.expr("CAST(rev_cents * 1000000 DIV prev_rev - 1000000 AS BIGINT)").alias("raw_growth_ppm"),
+        F.expr(
+            "CAST(rev_per_wday_cents * 1000000 DIV prev_rpd - 1000000 AS BIGINT)"
+        ).alias("adjusted_growth_ppm"),
+    ).orderBy("mkey")
+
+
+ORDERS_TDA_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS HUGEINT) AS rev
+  FROM orders GROUP BY 1
+),
+cal AS (
+  SELECT CAST(year(d.d) * 12 + month(d.d) AS BIGINT) AS mkey,
+         CAST(SUM(CASE WHEN date_diff('day', DATE '1970-01-01', d.d) % 7 IN (0, 1, 4, 5, 6)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS wdays
+  FROM (SELECT UNNEST(generate_series(DATE '1995-01-01', DATE '2001-08-31', INTERVAL 1 DAY)) AS d) d
+  GROUP BY 1
+),
+m AS (
+  SELECT mo.mkey, CAST(mo.rev AS BIGINT) AS rev_cents, c.wdays,
+         CAST(mo.rev // c.wdays AS BIGINT) AS rev_per_wday_cents
+  FROM monthly mo JOIN cal c ON c.mkey = mo.mkey
+),
+g AS (
+  SELECT mkey, rev_cents, wdays, rev_per_wday_cents,
+         LAG(rev_cents) OVER (ORDER BY mkey) AS prev_rev,
+         LAG(rev_per_wday_cents) OVER (ORDER BY mkey) AS prev_rpd
+  FROM m
+)
+SELECT mkey, rev_cents, wdays, rev_per_wday_cents,
+       CAST(rev_cents * 1000000 // prev_rev - 1000000 AS BIGINT) AS raw_growth_ppm,
+       CAST(rev_per_wday_cents * 1000000 // prev_rpd - 1000000 AS BIGINT) AS adjusted_growth_ppm
+FROM g WHERE prev_rev IS NOT NULL
+ORDER BY mkey
+"""
+
+QUERIES["orders_trading_day_adjustment"] = orders_trading_day_adjustment
+ORACLE["orders_trading_day_adjustment"] = ORDERS_TDA_SQL

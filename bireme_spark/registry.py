@@ -183,6 +183,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orders_net_revenue_retention",
         "events_greenwood_uniformity",
         "embedding_csls_rerank_eval",
+        "orders_trading_day_adjustment",
+        "embedding_ood_mahalanobis",
     }
 )
 

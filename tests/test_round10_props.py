@@ -3781,3 +3781,84 @@ class TestCslsRerankEval:
             assert out[k].mean_overlap_ppm_x10 == th * 100000 // (len(by_q) * 10)
         # the eval is non-degenerate: some queries agree highly
         assert hist[10] + hist[9] + hist[8] > 0
+
+
+class TestTradingDayAdjustment:
+    def test_matches_exact_recompute_and_calendar_effect(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import orders_trading_day_adjustment
+
+        out = {r.mkey: r for r in orders_trading_day_adjustment(spark, sf_dir).collect()}
+        o = _pq("orders")
+        dt = pd.to_datetime(o["o_orderdate"])
+        cents = np.round(o["o_totalprice"].to_numpy() * 100).astype("int64")
+        rev = pd.Series(cents).groupby(dt.dt.year * 12 + dt.dt.month).sum()
+        days = pd.date_range("1995-01-01", "2001-08-31", freq="D")
+        wd = pd.Series(
+            ((days - pd.Timestamp("1970-01-01")).days % 7), index=days
+        ).isin([0, 1, 4, 5, 6])
+        wdays = wd.groupby(days.year * 12 + days.month).sum()
+        keys = sorted(rev.index)
+        for prev, cur in zip(keys, keys[1:]):
+            r0, r1 = int(rev[prev]), int(rev[cur])
+            rpd0 = r0 // int(wdays[prev])
+            rpd1 = r1 // int(wdays[cur])
+            rec = out[cur]
+            assert rec.rev_cents == r1
+            assert rec.wdays == int(wdays[cur])
+            assert rec.rev_per_wday_cents == rpd1
+            assert rec.raw_growth_ppm == r1 * 10**6 // r0 - 10**6
+            assert rec.adjusted_growth_ppm == rpd1 * 10**6 // rpd0 - 10**6
+        # the adjustment must actually DO something: some month's raw
+        # and adjusted growth differ by more than 1% (22 vs 20 weekday
+        # months exist in any span this long)
+        assert any(
+            abs(r.raw_growth_ppm - r.adjusted_growth_ppm) > 10_000 for r in out.values()
+        )
+
+
+class TestOodMahalanobis:
+    def test_matches_exact_recompute_and_class_semantics(self, spark, sf_dir):
+        from bireme_spark.queries.embeddings import embedding_ood_mahalanobis
+
+        out = embedding_ood_mahalanobis(spark, sf_dir).collect()
+        emb = _pq("embeddings")
+        X = np.stack([np.round(v.astype("float64") * 1e6).astype("int64") for v in emb["embedding"]])
+        labels = emb["label"].to_numpy()
+        vids = emb["vec_id"].to_numpy()
+        n = len(X)
+        classes = sorted(set(int(l) for l in labels))
+        S = {c: X[labels == c].astype(object).sum(axis=0) for c in classes}
+        NC = {c: int((labels == c).sum()) for c in classes}
+        sx = X.astype(object).sum(axis=0)
+        sxx = (X.astype(object) * X.astype(object)).sum(axis=0)
+        var = [max((n * int(sxx[d]) - int(sx[d]) ** 2) // (n * n), 1) for d in range(64)]
+        scores = {}
+        for i in range(n):
+            best, bestc = None, None
+            for c in classes:
+                tot = 0
+                for d in range(64):
+                    dx = int(X[i, d]) * NC[c] - int(S[c][d])
+                    tot += dx * dx // (NC[c] * NC[c]) * 1000 // var[d]
+                if best is None or tot < best or (tot == best and c < bestc):
+                    best, bestc = tot, c
+            scores[int(vids[i])] = (best, bestc, int(labels[i]))
+        top = sorted(scores, key=lambda v: (-scores[v][0], v))[:20]
+        assert [r.vec_id for r in out] == top
+        for r in out:
+            sc, nc, lb = scores[r.vec_id]
+            assert r.score_x1000 == sc
+            assert r.nearest_class == nc
+            assert r.label == lb
+        # this synthetic corpus is fully in-distribution (no planted
+        # outliers): the top score sits only slightly above the median
+        # - assert the ordering is real but DON'T demand separation
+        # the fixture doesn't contain; most rows' nearest class is
+        # their own label (sanity of the class model)
+        med = sorted(s for s, _, _ in scores.values())[len(scores) // 2]
+        assert out[0].score_x1000 > med
+        # labels carry moderate geometric signal on this fixture
+        # (~36% own-class vs the 10% random baseline; same order as
+        # embedding_label_knn_purity measures)
+        own = sum(1 for s, c, l in scores.values() if c == l)
+        assert own > len(scores) // 5
