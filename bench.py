@@ -420,6 +420,8 @@ HEADLINE = [
     "embedding_csls_rerank_eval",
     "orders_trading_day_adjustment",
     "embedding_ood_mahalanobis",
+    "multimodal_image_noise_estimate",
+    "corpus_chunk_boundary_audit",
 ]
 
 

@@ -2645,3 +2645,95 @@ ORDER BY source
 
 QUERIES["corpus_sampling_ess_audit"] = corpus_sampling_ess_audit
 ORACLE["corpus_sampling_ess_audit"] = CORPUS_ESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus_chunk_boundary_audit — how often fixed-size chunking cuts
+# mid-word / mid-sentence, per chunk size.
+
+
+def corpus_chunk_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-boundary quality audit for fixed-size character chunking
+    (the doc_chunking strategy): for chunk sizes {128, 256, 512},
+    what fraction of interior chunk boundaries land on a CLEAN break
+    (the char ending the chunk or the one starting the next is a
+    space or sentence-final punctuation) vs cutting mid-word —
+    the retrieval-quality number that decides whether a RAG pipeline
+    needs sentence-aware chunking or can keep cheap fixed windows.
+
+    Determinism: pure integer/string — boundary positions are
+    multiples of the chunk size strictly inside the doc (1-indexed
+    substr on both engines), the clean-break predicate is an IN-list
+    over one-char substrings, counts close with one truncating DIV.
+
+    Scale: ONE documents scan fanned by ≤ len/128 ≤ a few boundary
+    probes per doc against a broadcast 3-row size list; each probe is
+    two substr(text, pos, 1) lookups — no tokenization, no explode of
+    content; the aggregate is 3 rows."""
+    d = load_table(spark, sf_dir, "documents").select("text", "n_chars")
+    sizes = spark.range(0, 3).select(
+        F.expr("CAST(element_at(array(128, 256, 512), CAST(id + 1 AS INT)) AS INT)").alias("k")
+    )
+    probes = (
+        d.crossJoin(F.broadcast(sizes))
+        .select(
+            "k",
+            F.expr("CAST(n_chars DIV k AS INT)").alias("nb"),
+            "text",
+            "n_chars",
+        )
+        .where(F.col("nb") >= 1)
+        .select(
+            "k",
+            F.explode(F.expr("sequence(1, nb)")).alias("b"),
+            "text",
+            "n_chars",
+        )
+        .where(F.expr("b * k < n_chars"))
+        .select(
+            "k",
+            F.expr(
+                "CASE WHEN substr(text, b * k, 1) IN (' ', '.', '!', '?', CHR(10))"
+                " OR substr(text, b * k + 1, 1) IN (' ', '.', '!', '?', CHR(10))"
+                " THEN 1 ELSE 0 END"
+            ).alias("clean"),
+        )
+    )
+    return (
+        probes.groupBy(F.col("k").alias("chunk_size"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_boundaries"),
+            F.expr("CAST(SUM(clean) AS BIGINT)").alias("n_clean"),
+        )
+        .select(
+            "chunk_size",
+            "n_boundaries",
+            "n_clean",
+            F.expr("CAST(n_clean * 1000000 DIV n_boundaries AS BIGINT)").alias("clean_break_ppm"),
+        )
+        .orderBy("chunk_size")
+    )
+
+
+CORPUS_CHUNK_BOUNDARY_SQL = """
+WITH sizes AS (SELECT UNNEST([128, 256, 512]) AS k),
+probes AS (
+  SELECT s.k,
+         CASE WHEN substr(d.text, b.b * s.k, 1) IN (' ', '.', '!', '?', CHR(10))
+              OR substr(d.text, b.b * s.k + 1, 1) IN (' ', '.', '!', '?', CHR(10))
+              THEN 1 ELSE 0 END AS clean
+  FROM documents d
+  JOIN sizes s ON d.n_chars >= s.k
+  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(1, CAST(d.n_chars // s.k AS INTEGER))) AS b) b
+  WHERE b.b * s.k < d.n_chars
+)
+SELECT CAST(k AS INTEGER) AS chunk_size,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+       CAST(SUM(clean) AS BIGINT) AS n_clean,
+       CAST(SUM(clean) * 1000000 // COUNT(*) AS BIGINT) AS clean_break_ppm
+FROM probes
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["corpus_chunk_boundary_audit"] = corpus_chunk_boundary_audit
+ORACLE["corpus_chunk_boundary_audit"] = CORPUS_CHUNK_BOUNDARY_SQL

@@ -3546,3 +3546,150 @@ ORDER BY g.doc_id
 
 QUERIES["multimodal_loudness_gate"] = multimodal_loudness_gate
 ORACLE["multimodal_loudness_gate"] = MULTIMODAL_LOUDNESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_noise_estimate — Immerkaer fast noise-variance
+# estimate with a planted noisy cohort.
+
+
+def multimodal_image_noise_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Immerkaer (1996) fast noise estimate: convolve the grayscale
+    with the noise kernel [1 -2 1; -2 4 -2; 1 -2 1] (a double
+    Laplacian that annihilates locally-linear image structure, so
+    what survives is mostly NOISE), and sigma ~ sqrt(pi/2)·Σ|N| /
+    (6·m) over m interior pixels — the standard one-pass camera/codec
+    noise screen, complementing multimodal_image_sharpness (blur
+    kills structure; noise adds false structure — a pipeline wants
+    both). Residue classes s % 4 == 2 are PLANTED noisy: deterministic
+    pseudo-noise ((x·7 + y·13 + c·29 + s) % 5) − 2 added per channel
+    pre-encode (clamped to [0,255]).
+
+    Determinism: encode→decode→gray→convolution all integer floor
+    math; Σ|N| is an exact integer per class; the ONE sigma close is
+    a shared IEEE expression (SQRT(PI()/2) on an exact integer),
+    e6-rounded one-shot. The oracle recomputes
+    pixel→noise→clamp→gray→kernel symbolically.
+
+    Scale shape: ONE fused Arrow mapInPandas pass; the only exchange
+    is the 16-class aggregate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen_noise(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ss, sals = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = doc_id % 16
+                w = h = 16
+                base = [
+                    [[(x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256 for c in range(3)] for x in range(w)]
+                    for y in range(h)
+                ]
+                if s % 4 == 2:
+                    for y in range(h):
+                        for x in range(w):
+                            for c in range(3):
+                                v = base[y][x][c] + (x * 7 + y * 13 + c * 29 + s) % 5 - 2
+                                base[y][x][c] = min(max(v, 0), 255)
+                pix = bytes(base[y][x][c] for y in range(h) for x in range(w) for c in range(3))
+                enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
+                dw, dh, dc, dpix, _fmt = decode_image(enc)
+                gray = [
+                    [
+                        sum(dpix[(y * dw + x) * dc + ch] for ch in range(min(dc, 3)))
+                        // min(dc, 3)
+                        for x in range(dw)
+                    ]
+                    for y in range(dh)
+                ]
+                sal = 0
+                for y in range(1, dh - 1):
+                    for x in range(1, dw - 1):
+                        nv = (
+                            gray[y - 1][x - 1] - 2 * gray[y - 1][x] + gray[y - 1][x + 1]
+                            - 2 * gray[y][x - 1] + 4 * gray[y][x] - 2 * gray[y][x + 1]
+                            + gray[y + 1][x - 1] - 2 * gray[y + 1][x] + gray[y + 1][x + 1]
+                        )
+                        sal += abs(nv)
+                ids.append(doc_id)
+                ss.append(s)
+                sals.append(sal)
+            yield pd.DataFrame({"doc_id": ids, "s": ss, "sum_abs_n": sals})
+
+    scored = d.mapInPandas(gen_noise, schema="doc_id long, s int, sum_abs_n long")
+    return (
+        scored.groupBy("s")
+        .agg(
+            F.expr("CAST(MIN(doc_id) AS BIGINT)").alias("canonical_doc"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_images"),
+            F.expr("CAST(MAX(sum_abs_n) AS BIGINT)").alias("sum_abs_n"),
+        )
+        .select(
+            "s",
+            F.expr("CAST(s % 4 = 2 AS INT)").alias("is_noisy"),
+            "canonical_doc",
+            "n_images",
+            "sum_abs_n",
+            F.expr(
+                "CAST(ROUND(CAST(sum_abs_n AS DOUBLE) * SQRT(PI() / CAST(2 AS DOUBLE))"
+                " / CAST(1176 AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ).alias("sigma_e6"),
+        )
+        .orderBy("s")
+    )
+
+
+MULTIMODAL_NOISE_SQL = """
+WITH pxc AS (
+  SELECT s, x, y, c,
+         CASE WHEN s % 4 = 2
+              THEN LEAST(GREATEST((x*x + 2*y + 5*s + 37*c + (s*x)//3) % 256
+                                  + (x*7 + y*13 + c*29 + s) % 5 - 2, 0), 255)
+              ELSE (x*x + 2*y + 5*s + 37*c + (s*x)//3) % 256 END AS v
+  FROM generate_series(0, 15) ts(s),
+       generate_series(0, 15) tx(x),
+       generate_series(0, 15) ty(y),
+       generate_series(0, 2) tc(c)
+),
+gray AS (
+  SELECT s, x, y, CAST(SUM(v) // 3 AS BIGINT) AS g
+  FROM pxc GROUP BY 1, 2, 3
+),
+conv AS (
+  SELECT cpx.s, cpx.x, cpx.y,
+         ABS(SUM(CASE
+              WHEN ABS(n.x - cpx.x) = 1 AND ABS(n.y - cpx.y) = 1 THEN n.g
+              WHEN ABS(n.x - cpx.x) + ABS(n.y - cpx.y) = 1 THEN -2 * n.g
+              WHEN n.x = cpx.x AND n.y = cpx.y THEN 4 * n.g
+              ELSE 0 END)) AS an
+  FROM gray cpx
+  JOIN gray n ON n.s = cpx.s AND n.x BETWEEN cpx.x - 1 AND cpx.x + 1
+                            AND n.y BETWEEN cpx.y - 1 AND cpx.y + 1
+  WHERE cpx.x BETWEEN 1 AND 14 AND cpx.y BETWEEN 1 AND 14
+  GROUP BY 1, 2, 3
+),
+per_s AS (
+  SELECT s, CAST(SUM(an) AS BIGINT) AS sum_abs_n FROM conv GROUP BY 1
+),
+docs AS (SELECT doc_id, doc_id % 16 AS s FROM documents)
+SELECT CAST(d.s AS INTEGER) AS s,
+       CAST(CASE WHEN d.s % 4 = 2 THEN 1 ELSE 0 END AS INTEGER) AS is_noisy,
+       CAST(MIN(d.doc_id) AS BIGINT) AS canonical_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MAX(p.sum_abs_n) AS BIGINT) AS sum_abs_n,
+       CAST(ROUND(CAST(MAX(p.sum_abs_n) AS DOUBLE) * SQRT(PI() / CAST(2 AS DOUBLE))
+            / CAST(1176 AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS sigma_e6
+FROM docs d JOIN per_s p ON p.s = d.s
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+QUERIES["multimodal_image_noise_estimate"] = multimodal_image_noise_estimate
+ORACLE["multimodal_image_noise_estimate"] = MULTIMODAL_NOISE_SQL

@@ -185,6 +185,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "embedding_csls_rerank_eval",
         "orders_trading_day_adjustment",
         "embedding_ood_mahalanobis",
+        "multimodal_image_noise_estimate",
+        "corpus_chunk_boundary_audit",
     }
 )
 

@@ -3862,3 +3862,75 @@ class TestOodMahalanobis:
         # embedding_label_knn_purity measures)
         own = sum(1 for s, c, l in scores.values() if c == l)
         assert own > len(scores) // 5
+
+
+class TestImageNoiseEstimate:
+    def test_matches_exact_recompute_and_plant_separates(self, spark, sf_dir):
+        import math
+
+        from bireme_spark.queries.multimodal import multimodal_image_noise_estimate
+
+        out = {r.s: r for r in multimodal_image_noise_estimate(spark, sf_dir).collect()}
+        doc = _pq("documents")
+        classes = doc["doc_id"].astype("int64") % 16
+        exp = {}
+        for s in range(16):
+            base = [
+                [[(x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256 for c in range(3)] for x in range(16)]
+                for y in range(16)
+            ]
+            if s % 4 == 2:
+                for y in range(16):
+                    for x in range(16):
+                        for c in range(3):
+                            v = base[y][x][c] + (x * 7 + y * 13 + c * 29 + s) % 5 - 2
+                            base[y][x][c] = min(max(v, 0), 255)
+            gray = [[sum(base[y][x]) // 3 for x in range(16)] for y in range(16)]
+            sal = 0
+            for y in range(1, 15):
+                for x in range(1, 15):
+                    nv = (
+                        gray[y - 1][x - 1] - 2 * gray[y - 1][x] + gray[y - 1][x + 1]
+                        - 2 * gray[y][x - 1] + 4 * gray[y][x] - 2 * gray[y][x + 1]
+                        + gray[y + 1][x - 1] - 2 * gray[y + 1][x] + gray[y + 1][x + 1]
+                    )
+                    sal += abs(nv)
+            exp[s] = sal
+        for s in range(16):
+            rec = out[s]
+            assert rec.sum_abs_n == exp[s]
+            assert rec.is_noisy == int(s % 4 == 2)
+            assert rec.n_images == int((classes == s).sum())
+            sigma = int(round(exp[s] * math.sqrt(math.pi / 2.0) / 1176.0 * 1e6))
+            assert rec.sigma_e6 == sigma
+        # the plant separates: every noisy class reads above every
+        # clean class (measured 2996-4226 vs 1198-2736; the per-class
+        # values are formula-determined, hence SF-independent)
+        noisy = [out[s].sum_abs_n for s in range(16) if s % 4 == 2]
+        clean = [out[s].sum_abs_n for s in range(16) if s % 4 != 2]
+        assert min(noisy) > max(clean)
+
+
+class TestChunkBoundaryAudit:
+    def test_matches_exact_recompute_and_discriminates(self, spark, sf_dir):
+        from bireme_spark.queries.corpus import corpus_chunk_boundary_audit
+
+        out = {r.chunk_size: r for r in corpus_chunk_boundary_audit(spark, sf_dir).collect()}
+        doc = _pq("documents")
+        breaks = set(" .!?\n")
+        for k in (128, 256, 512):
+            nb = ncl = 0
+            for text in doc["text"]:
+                n = len(text)
+                for b in range(1, n // k + 1):
+                    if b * k >= n:
+                        continue
+                    nb += 1
+                    if text[b * k - 1] in breaks or text[b * k] in breaks:
+                        ncl += 1
+            rec = out[k]
+            assert rec.n_boundaries == nb
+            assert rec.n_clean == ncl
+            assert rec.clean_break_ppm == ncl * 10**6 // nb
+            # real prose: some boundaries are clean, most are not
+            assert 0 < rec.n_clean < rec.n_boundaries
