@@ -422,6 +422,8 @@ HEADLINE = [
     "embedding_ood_mahalanobis",
     "multimodal_image_noise_estimate",
     "corpus_chunk_boundary_audit",
+    "orders_otif_rate",
+    "graph_bowtie_decomposition",
 ]
 
 

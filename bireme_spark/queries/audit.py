@@ -3699,3 +3699,226 @@ FROM stats s, counts c, nodes n
 
 QUERIES["graph_square_count"] = graph_square_count
 ORACLE["graph_square_count"] = GRAPH_SQUARES_SQL
+
+
+# ---------------------------------------------------------------------------
+# graph_bowtie_decomposition — bow-tie census (CORE / IN / OUT /
+# BRIDGE / OTHER) of the directed part-flow graph.
+
+_BT_HOPS = 6  # SCC label rounds (matches graph_scc)
+_BT_REACH = 4  # core-reachability rounds
+
+
+def graph_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder et al. 2000) of the directed
+    part-flow graph: find the largest SCC (the CORE) via the same
+    6-hop forward/backward min-label peeling as graph_scc, then
+    classify every node by bounded-hop core reachability — IN
+    (reaches the core within 4 hops), OUT (reached by the core),
+    BRIDGE (both, without being in the core — path-through nodes the
+    hop bound hasn't merged), OTHER (neither). The web-graph census
+    that says whether a flow graph is one navigable mass or
+    fragmented islands; graph_scc lists components, this SHAPES them.
+
+    Determinism: pure integer min-label and set propagation; both
+    hop bounds are fixed constants replayed identically by the
+    oracle's unrolled MATERIALIZED levels, so the gate checks the
+    whole peeling + reachability pipeline. Class precedence CORE >
+    BRIDGE > IN > OUT > OTHER is total — no ties anywhere.
+
+    Scale: each round is one edge-sized join + node-sized
+    distinct/MIN agg against the localCheckpointed edge base (the
+    HITS single-reader rule: checkpoint the base only); node state
+    never crosses the driver."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    seq = po.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
+        .alias("rn"),
+        "l_orderkey",
+    )
+    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
+    b_ = seq.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
+    )
+    fwd = a_.join(b_, ["ok", "rn"]).select("u", "v").distinct()
+    edges = (
+        fwd.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(
+            fwd.where((F.col("u") + F.col("v")) % 2 == 0).select(
+                F.col("v").alias("s"), F.col("u").alias("d")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("s").alias("id"))
+        .unionByName(edges.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = nodes.select("id", F.col("id").alias("lbl"))
+    b = nodes.select("id", F.col("id").alias("lbl"))
+    for _ in range(_BT_HOPS):
+        a = (
+            a.unionByName(
+                edges.join(a.withColumnRenamed("id", "s"), "s").select(
+                    F.col("d").alias("id"), "lbl"
+                )
+            )
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        b = (
+            b.unionByName(
+                edges.join(b.withColumnRenamed("id", "d"), "d").select(
+                    F.col("s").alias("id"), "lbl"
+                )
+            )
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    lab = (
+        a.withColumnRenamed("lbl", "fwd_min")
+        .join(b.withColumnRenamed("lbl", "bwd_min"), "id")
+        .localCheckpoint(eager=True)
+    )
+    sccs = (
+        lab.where(F.col("fwd_min") == F.col("bwd_min"))
+        .groupBy(F.col("fwd_min").alias("scc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+    )
+    wtop = Window.orderBy(F.desc("size"), "scc_id")
+    core_id = (
+        sccs.withColumn("rank", F.row_number().over(wtop))
+        .where(F.col("rank") == 1)
+        .select(F.col("scc_id").alias("core_id"))
+    )
+    core = (
+        lab.crossJoin(F.broadcast(core_id))
+        .where(F.expr("fwd_min = bwd_min AND fwd_min = core_id"))
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    rc = core
+    fc = core
+    for _ in range(_BT_REACH):
+        rc = (
+            rc.unionByName(
+                edges.join(rc.withColumnRenamed("id", "d"), "d").select(F.col("s").alias("id"))
+            )
+            .distinct()
+        )
+        fc = (
+            fc.unionByName(
+                edges.join(fc.withColumnRenamed("id", "s"), "s").select(F.col("d").alias("id"))
+            )
+            .distinct()
+        )
+    cls = (
+        nodes.join(core.select("id", F.lit(1).alias("in_core")), "id", "left")
+        .join(rc.select("id", F.lit(1).alias("rch")).distinct(), "id", "left")
+        .join(fc.select("id", F.lit(1).alias("fch")).distinct(), "id", "left")
+        .select(
+            F.expr(
+                "CASE WHEN in_core = 1 THEN 'CORE'"
+                " WHEN rch = 1 AND fch = 1 THEN 'BRIDGE'"
+                " WHEN rch = 1 THEN 'IN'"
+                " WHEN fch = 1 THEN 'OUT'"
+                " ELSE 'OTHER' END"
+            ).alias("component")
+        )
+    )
+    tot = nodes.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_total"))
+    return (
+        cls.groupBy("component")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_nodes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "component",
+            "n_nodes",
+            F.expr("CAST(n_nodes * 1000000 DIV n_total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("component")
+    )
+
+
+def _bt_reach_sql(tag: str, i: int, src: str, dst: str) -> str:
+    return f"""
+{tag}{i} AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM {tag}{i - 1}
+    UNION ALL
+    SELECT e.{src} AS id FROM se e JOIN {tag}{i - 1} t ON t.id = e.{dst}
+  )
+)"""
+
+
+def _bowtie_oracle_sql() -> str:
+    a_levels = "".join("," + _scc_level_sql("a", i, "s", "d") for i in range(1, _BT_HOPS + 1))
+    b_levels = "".join("," + _scc_level_sql("b", i, "d", "s") for i in range(1, _BT_HOPS + 1))
+    rc_levels = "".join("," + _bt_reach_sql("rc", i, "s", "d") for i in range(1, _BT_REACH + 1))
+    fc_levels = "".join("," + _bt_reach_sql("fc", i, "d", "s") for i in range(1, _BT_REACH + 1))
+    return f"""
+WITH po AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+  WHERE l_orderkey % 40 = 0
+),
+seq AS MATERIALIZED (
+  SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS rn FROM po
+),
+fwd AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM seq a JOIN seq b ON a.ok = b.ok AND b.rn = a.rn + 1
+),
+se AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM fwd
+  UNION
+  SELECT v AS s, u AS d FROM fwd WHERE (u + v) % 2 = 0
+),
+nodes AS MATERIALIZED (
+  SELECT s AS id FROM se UNION SELECT d FROM se
+),
+a0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+b0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes)
+{a_levels}
+{b_levels},
+lab AS MATERIALIZED (
+  SELECT a.id, a.lbl AS fwd_min, b.lbl AS bwd_min
+  FROM a{_BT_HOPS} a JOIN b{_BT_HOPS} b ON b.id = a.id
+),
+core_id AS MATERIALIZED (
+  SELECT fwd_min AS core_id FROM lab WHERE fwd_min = bwd_min
+  GROUP BY 1 ORDER BY COUNT(*) DESC, fwd_min LIMIT 1
+),
+rc0 AS MATERIALIZED (
+  SELECT id FROM lab, core_id
+  WHERE fwd_min = bwd_min AND fwd_min = core_id
+),
+fc0 AS MATERIALIZED (SELECT id FROM rc0)
+{rc_levels}
+{fc_levels},
+cls AS (
+  SELECT CASE WHEN c.id IS NOT NULL THEN 'CORE'
+              WHEN r.id IS NOT NULL AND f.id IS NOT NULL THEN 'BRIDGE'
+              WHEN r.id IS NOT NULL THEN 'IN'
+              WHEN f.id IS NOT NULL THEN 'OUT'
+              ELSE 'OTHER' END AS component
+  FROM nodes n
+  LEFT JOIN rc0 c ON c.id = n.id
+  LEFT JOIN rc{_BT_REACH} r ON r.id = n.id
+  LEFT JOIN fc{_BT_REACH} f ON f.id = n.id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM nodes)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) * 1000000 // t.n_total AS BIGINT) AS share_ppm
+FROM cls, tot t
+GROUP BY 1, t.n_total ORDER BY 1
+"""
+
+
+QUERIES["graph_bowtie_decomposition"] = graph_bowtie_decomposition
+ORACLE["graph_bowtie_decomposition"] = _bowtie_oracle_sql()

@@ -11213,3 +11213,86 @@ ORDER BY base_year
 
 QUERIES["orders_net_revenue_retention"] = orders_net_revenue_retention
 ORACLE["orders_net_revenue_retention"] = ORDERS_NRR_SQL
+
+
+# ---------------------------------------------------------------------------
+# orders_otif_rate — on-time-in-full rate per priority class.
+
+
+def orders_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTIF (on-time-in-full) per order priority: an order counts
+    ONLY if EVERY line shipped within the 90-day SLA of the order
+    date — the all-or-nothing per-ORDER service metric retailers
+    contract on (lineitem_shipping_sla scores lines independently;
+    one late line there dilutes into an average instead of failing
+    the order). Also emits the partial rate (≥1 on-time line) so the
+    gap between the two reads as the multi-line coordination cost.
+
+    Determinism: pure integer — per-order MIN/MAX of the ship delay
+    in days (datediff/date_diff, exact), flags folded with
+    conditional counts, one truncating-DIV ppm close per rate.
+
+    Scale: one lineitem scan joined to orders on the orderkey (the
+    natural co-partition), collapsed FIRST to one row per order
+    (max/min delay) — the per-priority agg then touches |orders|
+    rows, and output is |priorities|."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.expr(
+                "CAST(MAX(datediff(CAST(l_shipdate AS DATE), o_orderdate)) AS BIGINT)"
+            ).alias("max_delay"),
+            F.expr(
+                "CAST(MIN(datediff(CAST(l_shipdate AS DATE), o_orderdate)) AS BIGINT)"
+            ).alias("min_delay"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        )
+    )
+    return (
+        per_order.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"),
+            F.expr("CAST(SUM(CASE WHEN max_delay <= 90 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_otif"),
+            F.expr("CAST(SUM(CASE WHEN min_delay <= 90 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_partial"),
+            F.expr("CAST(SUM(n_lines) AS BIGINT)").alias("n_lines"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            "n_otif",
+            "n_partial",
+            "n_lines",
+            F.expr("CAST(n_otif * 1000000 DIV n_orders AS BIGINT)").alias("otif_ppm"),
+            F.expr("CAST(n_partial * 1000000 DIV n_orders AS BIGINT)").alias("partial_ppm"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORDERS_OTIF_SQL = """
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         CAST(MAX(date_diff('day', o.o_orderdate, CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_delay,
+         CAST(MIN(date_diff('day', o.o_orderdate, CAST(l.l_shipdate AS DATE))) AS BIGINT) AS min_delay,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN max_delay <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_otif,
+       CAST(SUM(CASE WHEN min_delay <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN max_delay <= 90 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS otif_ppm,
+       CAST(SUM(CASE WHEN min_delay <= 90 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS partial_ppm
+FROM per_order
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_otif_rate"] = orders_otif_rate
+ORACLE["orders_otif_rate"] = ORDERS_OTIF_SQL

@@ -187,6 +187,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "embedding_ood_mahalanobis",
         "multimodal_image_noise_estimate",
         "corpus_chunk_boundary_audit",
+        "orders_otif_rate",
+        "graph_bowtie_decomposition",
     }
 )
 

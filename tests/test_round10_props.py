@@ -3934,3 +3934,100 @@ class TestChunkBoundaryAudit:
             assert rec.clean_break_ppm == ncl * 10**6 // nb
             # real prose: some boundaries are clean, most are not
             assert 0 < rec.n_clean < rec.n_boundaries
+
+
+class TestOtifRate:
+    def test_matches_exact_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import orders_otif_rate
+
+        out = {r.priority: r for r in orders_otif_rate(spark, sf_dir).collect()}
+        li = _pq("lineitem")[["l_orderkey", "l_shipdate"]]
+        o = _pq("orders")[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        delay = (
+            pd.to_datetime(j["l_shipdate"]).dt.normalize()
+            - pd.to_datetime(j["o_orderdate"])
+        ).dt.days
+        j = j.assign(delay=delay)
+        per = j.groupby(["o_orderkey", "o_orderpriority"])["delay"].agg(["max", "min", "count"])
+        for prio, g in per.groupby(level="o_orderpriority"):
+            rec = out[prio]
+            n = len(g)
+            otif = int((g["max"] <= 90).sum())
+            partial = int((g["min"] <= 90).sum())
+            assert rec.n_orders == n
+            assert rec.n_otif == otif
+            assert rec.n_partial == partial
+            assert rec.n_lines == int(g["count"].sum())
+            assert rec.otif_ppm == otif * 10**6 // n
+            assert rec.partial_ppm == partial * 10**6 // n
+            # all-or-nothing is strictly harder than at-least-one, and
+            # both gates genuinely bind on this fixture
+            assert 0 < rec.n_otif <= rec.n_partial < rec.n_orders
+
+
+class TestBowtieDecomposition:
+    def test_matches_exact_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.audit import (
+            _BT_HOPS,
+            _BT_REACH,
+            graph_bowtie_decomposition,
+        )
+
+        out = {r.component: r for r in graph_bowtie_decomposition(spark, sf_dir).collect()}
+        li = _pq("lineitem")
+        li = li[li["l_orderkey"] % 40 == 0][["l_orderkey", "l_partkey"]].drop_duplicates()
+        fwd = set()
+        for _, grp in li.groupby("l_orderkey"):
+            ps = sorted(grp["l_partkey"])
+            for x, y in zip(ps, ps[1:]):
+                fwd.add((int(x), int(y)))
+        edges = set(fwd) | {(v, u) for u, v in fwd if (u + v) % 2 == 0}
+        nodes = sorted({x for e in edges for x in e})
+        out_adj, in_adj = {}, {}
+        for s, d in edges:
+            out_adj.setdefault(s, []).append(d)
+            in_adj.setdefault(d, []).append(s)
+        A = {v: v for v in nodes}  # min label reaching v (fwd prop)
+        B = {v: v for v in nodes}  # min label v reaches (bwd prop)
+        for _ in range(_BT_HOPS):
+            A2, B2 = dict(A), dict(B)
+            for s, d in edges:
+                if A[s] < A2[d]:
+                    A2[d] = min(A2[d], A[s])
+                if B[d] < B2[s]:
+                    B2[s] = min(B2[s], B[d])
+            A, B = A2, B2
+        sccs = {}
+        for v in nodes:
+            if A[v] == B[v]:
+                sccs.setdefault(A[v], []).append(v)
+        core_id = min(sorted(sccs), key=lambda c: (-len(sccs[c]), c))
+        core = set(sccs[core_id])
+        rc, fc = set(core), set(core)
+        for _ in range(_BT_REACH):
+            rc |= {s for s in nodes for d in out_adj.get(s, []) if d in rc}
+            fc |= {d for s in fc for d in out_adj.get(s, [])}
+        counts = {"CORE": 0, "BRIDGE": 0, "IN": 0, "OUT": 0, "OTHER": 0}
+        for v in nodes:
+            if v in core:
+                counts["CORE"] += 1
+            elif v in rc and v in fc:
+                counts["BRIDGE"] += 1
+            elif v in rc:
+                counts["IN"] += 1
+            elif v in fc:
+                counts["OUT"] += 1
+            else:
+                counts["OTHER"] += 1
+        n = len(nodes)
+        for comp, c in counts.items():
+            if c == 0:
+                assert comp not in out
+                continue
+            assert out[comp].n_nodes == c
+            assert out[comp].share_ppm == c * 10**6 // n
+        # the fixture graph has real bow-tie structure: a core exists
+        # and at least two other classes are populated
+        assert counts["CORE"] > 1
+        assert sum(1 for c in counts.values() if c > 0) >= 3
