@@ -424,6 +424,8 @@ HEADLINE = [
     "corpus_chunk_boundary_audit",
     "orders_otif_rate",
     "graph_bowtie_decomposition",
+    "events_load_duration_curve",
+    "lineitem_shipment_consolidation",
 ]
 
 

@@ -11296,3 +11296,81 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["orders_otif_rate"] = orders_otif_rate
 ORACLE["orders_otif_rate"] = ORDERS_OTIF_SQL
+
+
+# ---------------------------------------------------------------------------
+# lineitem_shipment_consolidation — how fragmented is order
+# fulfilment, per priority?
+
+
+def lineitem_shipment_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipment-consolidation audit per order priority: an order's
+    lines ship on k distinct dates — every extra date is an extra
+    shipment (pick, pack, freight). Emits lines/order, distinct
+    ship-dates/order, the single-shipment rate, and the consolidation
+    ratio extra-shipments/extra-opportunities = Σ(k−1)/Σ(lines−1) —
+    0 ⇒ perfectly consolidated, 1e6 ⇒ every line ships alone (the
+    ops waterfall orders_otif_rate's service view doesn't cover:
+    OTIF asks was it on time, this asks what it COST).
+
+    Determinism: pure integer — per-order COUNT/COUNT DISTINCT
+    collapse first (the ship date is exact), conditional counts,
+    truncating-DIV ppm closes with a GREATEST(·,1) guard on the
+    single-line-orders denominator.
+
+    Scale: one lineitem⋈orders co-partitioned join, one per-order
+    collapse, |priorities|-row output."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+            F.expr("CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)").alias("n_ships"),
+        )
+    )
+    return (
+        per_order.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"),
+            F.expr("CAST(SUM(n_lines) AS BIGINT)").alias("n_lines"),
+            F.expr("CAST(SUM(n_ships) AS BIGINT)").alias("n_shipments"),
+            F.expr("CAST(SUM(CASE WHEN n_ships = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_single"),
+            F.expr("CAST(SUM(n_ships - 1) AS BIGINT)").alias("extra_ships"),
+            F.expr("CAST(SUM(n_lines - 1) AS BIGINT)").alias("extra_opps"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            "n_lines",
+            "n_shipments",
+            F.expr("CAST(n_single * 1000000 DIV n_orders AS BIGINT)").alias("single_shipment_ppm"),
+            F.expr(
+                "CAST(extra_ships * 1000000 DIV GREATEST(extra_opps, 1) AS BIGINT)"
+            ).alias("fragmentation_ppm"),
+        )
+        .orderBy("priority")
+    )
+
+
+LINEITEM_CONSOL_SQL = """
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(DISTINCT CAST(l.l_shipdate AS DATE)) AS BIGINT) AS n_ships
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_ships) AS BIGINT) AS n_shipments,
+       CAST(SUM(CASE WHEN n_ships = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS single_shipment_ppm,
+       CAST(SUM(n_ships - 1) * 1000000 // GREATEST(SUM(n_lines - 1), 1) AS BIGINT) AS fragmentation_ppm
+FROM per_order
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["lineitem_shipment_consolidation"] = lineitem_shipment_consolidation
+ORACLE["lineitem_shipment_consolidation"] = LINEITEM_CONSOL_SQL

@@ -8973,3 +8973,97 @@ ORDER BY mkey
 
 QUERIES["orders_trading_day_adjustment"] = orders_trading_day_adjustment
 ORACLE["orders_trading_day_adjustment"] = ORDERS_TDA_SQL
+
+
+# ---------------------------------------------------------------------------
+# events_load_duration_curve — utility-style exceedance curve + load
+# factor of the hourly event load.
+
+
+def events_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve of the hourly event stream (the
+    power-systems capacity view): the load exceeded 1%, 5%, 10%,
+    25%, 50% of hours, plus peak and the LOAD FACTOR mean/peak —
+    the sizing numbers a capacity planner reads (provision for the
+    p1 exceedance, judge utilization by the load factor;
+    events_peak_concurrency gives the instant peak, this gives the
+    whole tail you'd shave).
+
+    Determinism: the house histogram-CDF pattern — hourly counts
+    collapse to a (load, n_hours) histogram, the exceedance boundary
+    is the SMALLEST load whose ≥-load cumulative hour count is ≤ the
+    exceedance budget FLOOR(q·H DIV 100)… computed as MIN(load WHERE
+    cum_ge <= budget) with the all-integer descending cumulative
+    (the r8 VaR boundary rule: with a DESCENDING cumulative every
+    cell past the boundary satisfies the predicate — take the
+    MIN-load cell that still fits the budget, never a MAX). Load
+    factor closes with one truncating DIV to ppm.
+
+    Scale: one scan → ~720 hourly cells → ≤720-row histogram; the
+    CDF window and the 5 exceedance probes run on that histogram."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("date_trunc('hour', ts)").alias("h")
+    )
+    hourly = ev.groupBy("h").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    hist = hourly.groupBy(F.col("c").alias("load")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("nh")
+    )
+    w = Window.orderBy(F.col("load").desc())
+    cdf = hist.select(
+        "load",
+        F.expr("CAST(SUM(nh) OVER () AS BIGINT)").alias("hours"),
+        F.sum("nh").over(w).alias("cum_ge"),
+        F.expr("CAST(SUM(load * nh) OVER () AS BIGINT)").alias("total_load"),
+        F.expr("CAST(MAX(load) OVER () AS BIGINT)").alias("peak"),
+    )
+    qs = spark.range(0, 5).select(
+        F.expr("element_at(array(1, 5, 10, 25, 50), CAST(id + 1 AS INT))").alias("exceed_pct")
+    )
+    probes = (
+        cdf.crossJoin(F.broadcast(qs))
+        .where(F.expr("cum_ge <= GREATEST(exceed_pct * hours DIV 100, 1)"))
+        .groupBy("exceed_pct")
+        .agg(
+            F.expr("CAST(MIN(load) AS BIGINT)").alias("load_exceeded"),
+            F.expr("MAX(hours)").alias("hours"),
+            F.expr("MAX(peak)").alias("peak"),
+            F.expr("MAX(total_load)").alias("total_load"),
+        )
+    )
+    return probes.select(
+        F.expr("CAST(exceed_pct AS INT)").alias("exceed_pct"),
+        "load_exceeded",
+        "peak",
+        F.expr("CAST(hours AS BIGINT)").alias("n_hours"),
+        F.expr("CAST(total_load * 1000000 DIV (hours * peak) AS BIGINT)").alias("load_factor_ppm"),
+    ).orderBy("exceed_pct")
+
+
+EVENTS_LDC_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+hist AS (
+  SELECT c AS load, CAST(COUNT(*) AS BIGINT) AS nh FROM hourly GROUP BY 1
+),
+cdf AS (
+  SELECT load,
+         CAST(SUM(nh) OVER () AS BIGINT) AS hours,
+         CAST(SUM(nh) OVER (ORDER BY load DESC) AS BIGINT) AS cum_ge,
+         CAST(SUM(load * nh) OVER () AS BIGINT) AS total_load,
+         CAST(MAX(load) OVER () AS BIGINT) AS peak
+  FROM hist
+),
+qs AS (SELECT UNNEST([1, 5, 10, 25, 50]) AS exceed_pct)
+SELECT CAST(q.exceed_pct AS INTEGER) AS exceed_pct,
+       CAST(MIN(c.load) AS BIGINT) AS load_exceeded,
+       CAST(MAX(c.peak) AS BIGINT) AS peak,
+       CAST(MAX(c.hours) AS BIGINT) AS n_hours,
+       CAST(MAX(c.total_load) * 1000000 // (MAX(c.hours) * MAX(c.peak)) AS BIGINT) AS load_factor_ppm
+FROM cdf c JOIN qs q ON c.cum_ge <= GREATEST(q.exceed_pct * c.hours // 100, 1)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_load_duration_curve"] = events_load_duration_curve
+ORACLE["events_load_duration_curve"] = EVENTS_LDC_SQL

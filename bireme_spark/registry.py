@@ -189,6 +189,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "corpus_chunk_boundary_audit",
         "orders_otif_rate",
         "graph_bowtie_decomposition",
+        "events_load_duration_curve",
+        "lineitem_shipment_consolidation",
     }
 )
 

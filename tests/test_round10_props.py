@@ -4031,3 +4031,61 @@ class TestBowtieDecomposition:
         # and at least two other classes are populated
         assert counts["CORE"] > 1
         assert sum(1 for c in counts.values() if c > 0) >= 3
+
+
+class TestLoadDurationCurve:
+    def test_matches_exact_recompute_and_curve_shape(self, spark, sf_dir):
+        from bireme_spark.queries.timeseries import events_load_duration_curve
+
+        out = {r.exceed_pct: r for r in events_load_duration_curve(spark, sf_dir).collect()}
+        ev = _pq("events")
+        hours = pd.to_datetime(ev["ts"]).dt.floor("h")
+        loads = np.sort(hours.value_counts().to_numpy())[::-1]
+        H = len(loads)
+        peak = int(loads[0])
+        total = int(loads.sum())
+        for pct in (1, 5, 10, 25, 50):
+            budget = max(pct * H // 100, 1)
+            # smallest load whose >=-load hour count fits the budget
+            cands = []
+            for lv in sorted(set(int(x) for x in loads)):
+                cum_ge = int((loads >= lv).sum())
+                if cum_ge <= budget:
+                    cands.append(lv)
+            exp = min(cands)
+            rec = out[pct]
+            assert rec.load_exceeded == exp
+            assert rec.peak == peak
+            assert rec.n_hours == H
+            assert rec.load_factor_ppm == total * 10**6 // (H * peak)
+        # curve is monotone: tighter exceedance => higher load, and
+        # the p50 level sits at or below the mean-ish band
+        assert out[1].load_exceeded >= out[5].load_exceeded >= out[50].load_exceeded
+        assert 0 < out[50].load_factor_ppm <= 10**6
+
+
+class TestShipmentConsolidation:
+    def test_matches_exact_recompute(self, spark, sf_dir):
+        from bireme_spark.queries.relational import lineitem_shipment_consolidation
+
+        out = {r.priority: r for r in lineitem_shipment_consolidation(spark, sf_dir).collect()}
+        li = _pq("lineitem")[["l_orderkey", "l_shipdate"]]
+        o = _pq("orders")[["o_orderkey", "o_orderpriority"]]
+        j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        j["d"] = pd.to_datetime(j["l_shipdate"]).dt.date
+        per = j.groupby(["o_orderkey", "o_orderpriority"]).agg(
+            n_lines=("d", "size"), n_ships=("d", "nunique")
+        )
+        for prio, g in per.groupby(level="o_orderpriority"):
+            rec = out[prio]
+            n = len(g)
+            assert rec.n_orders == n
+            assert rec.n_lines == int(g["n_lines"].sum())
+            assert rec.n_shipments == int(g["n_ships"].sum())
+            single = int((g["n_ships"] == 1).sum())
+            assert rec.single_shipment_ppm == single * 10**6 // n
+            extra_s = int((g["n_ships"] - 1).sum())
+            extra_o = max(int((g["n_lines"] - 1).sum()), 1)
+            assert rec.fragmentation_ppm == extra_s * 10**6 // extra_o
+            # fulfilment is genuinely fragmented but not maximally
+            assert 0 < rec.fragmentation_ppm < 10**6
