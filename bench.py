@@ -429,6 +429,26 @@ HEADLINE = [
 ]
 
 
+def _drop_rdd_blocks(spark) -> None:
+    """Unpersist every cached/locally-checkpointed RDD between timed
+    runs. ``clearCache()`` only drops SQL-cached relations; the
+    checkpoint-heavy queries (graph/iterative family) otherwise leak
+    storage blocks across the 401×3 runs until the shared JVM
+    GC-thrashes (r10 opt round: observed 44 GB RSS and a 6× slowdown
+    after ~30 such runs in one session). Dropping them between runs
+    keeps every query measured on a clean executor — the same
+    conditions the BASELINE.md floors were measured under
+    (single-query quiet sessions)."""
+    import gc
+
+    gc.collect()
+    jsc = spark.sparkContext._jsc.sc()
+    for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+        jsc.getPersistentRDDs()
+    ).values():
+        rdd.unpersist(False)
+
+
 def _baseline_floors() -> dict[str, float]:
     """Per-query floors from BASELINE.md's markdown table."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
@@ -475,6 +495,7 @@ def main() -> int:
             # cross-run cache hits, no executor-memory pressure from
             # stale blocks).
             spark.catalog.clearCache()
+            _drop_rdd_blocks(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -492,6 +513,7 @@ def main() -> int:
         extra = 0
         while floor is not None and best > 2.0 * floor and extra < max_extra:
             spark.catalog.clearCache()
+            _drop_rdd_blocks(spark)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

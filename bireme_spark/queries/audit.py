@@ -298,19 +298,68 @@ def _copurchase_edges(
     so the big dedup shuffle shrinks with it (measured 13.0s → 9.7s
     for the DOULION twin at sf0.1 — the remaining floor is the
     per-order pair formation, which no edge-key filter can cut)."""
+    pairs = _order_pairs(spark, sf_dir, node_filter=node_filter)
+    if pre_distinct_filter is not None:
+        pairs = pairs.where(pre_distinct_filter)
+    return pairs.distinct()
+
+
+def _order_pairs(spark: SparkSession, sf_dir: str, node_filter=None) -> DataFrame:
+    """RAW per-order co-purchase pair stream (u < v; one row per
+    (order, pair), so pairs repeat across orders). ONE order-keyed
+    exchange builds the per-basket part sets — the (ok, pk) distinct
+    folds into ``collect_set`` and the u < v pair enumeration is a
+    map-side generator over the sorted array (r10 opt: replaces the
+    distinct → self-join build — 3 exchanges + a sort-merge join →
+    1 exchange; fan-out stays ≤ C(|basket|, 2))."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     if node_filter is not None:
         # node-level sampling prunes BEFORE pair formation — the one
         # place an edge-key filter can't reach (colorful counting:
         # the pair join and its dedup both shrink quadratically)
         li = li.where(node_filter)
-    in_order = li.select("l_orderkey", "l_partkey").distinct()
-    a = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    pairs = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
-    if pre_distinct_filter is not None:
-        pairs = pairs.where(pre_distinct_filter)
-    return pairs.distinct()
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("arr")
+    )
+    return arrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(arr, (x, i) ->"
+                " transform(slice(arr, i + 2, size(arr) - i - 1),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+
+
+def _chain_edges(spark: SparkSession, sf_dir: str, order_mod: int) -> DataFrame:
+    """Per-order consecutive-rank chain pairs (u = k-th smallest
+    distinct part of the order, v = (k+1)-th; u < v by construction)
+    for the sampled part-flow graph fixtures. Built map-side from ONE
+    ``groupBy(l_orderkey)`` — ``sort_array(collect_set)`` replaces
+    the distinct → row_number window → (ok, rn) self-join build
+    (3 exchanges + a sort-merge join → 1 exchange; r10 opt). The
+    emitted pair stream is row-identical, so every downstream edge
+    op and oracle is unchanged. NOT deduplicated across orders —
+    call sites keep their own ``.distinct()``."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % order_mod == 0)
+    arrs = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
+    )
+    return (
+        arrs.where(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> struct(arr[i - 1] AS u, arr[i] AS v))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+    )
 
 
 def _count_triangles(edges: DataFrame) -> tuple[int, int, int]:
@@ -671,6 +720,12 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round checkpoint); the recursive CTE is the concise form for
     shallow neighborhoods.
     """
+    # keeps the self-join edge build (NOT _copurchase_edges): the
+    # recursive CTE re-executes the un-checkpointed base per hop, and
+    # re-running the collect_set array build each hop measured SLOWER
+    # than re-running the join (r10 opt A/B: old 8.1s vs new 12.6s
+    # min-of-3, quiet box) — the map-side build only pays off when the
+    # pair stream is consumed once or checkpointed.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     po = li.distinct().select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
     a = po.select("ok", F.col("pk").alias("u"))
@@ -722,11 +777,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     simple id orientation — per-node counts are orientation-invariant.
     Top-20 is TakeOrdered by (degree desc, id).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    po = li.distinct().select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    a = po.select("ok", F.col("pk").alias("u"))
-    b = po.select("ok", F.col("pk").alias("v"))
-    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    edges = _copurchase_edges(spark, sf_dir)
     edges = edges.persist()
     try:
         deg = (
@@ -1660,14 +1711,8 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is one min-edge agg keyed by component + a
     constant number of label-table self-joins (Pregel supersteps);
     the edge list checkpoints once."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    li = li.where(F.col("l_orderkey") % 8 == 0)
-    in_order = li.distinct()
-    a = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = in_order.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = (
-        a.join(b, "ok")
-        .where(F.col("u") < F.col("v"))
+        _order_pairs(spark, sf_dir, node_filter=F.col("l_orderkey") % 8 == 0)
         .groupBy("u", "v")
         .agg((F.lit(1000000) - F.count(F.lit(1))).alias("d"))
     )
@@ -2000,15 +2045,19 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated rows <= sources x nodes x hops (Spark's 1M recursion
     cap holds at sf0.1), MIN(hop) restores BFS distance, identical
     SQL text runs on both engines."""
+    # checkpoint the edge base ONCE (the HITS/k-core lesson): the
+    # directed view, the seed subquery and the node count all re-read
+    # it, and without the cut each pays the pair build again.
+    # keeps the self-join edge build (NOT _copurchase_edges): with the
+    # recursion dominating, the checkpointed collect_set build A/B-LOST
+    # (r10 opt: old 6.98 vs new 8.66 min-of-3, same pattern as
+    # graph_betweenness_sample / graph_reachability_bfs)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     po = li.distinct().select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
     a = po.select("ok", F.col("pk").alias("u"))
     b = po.select("ok", F.col("pk").alias("v"))
-    # checkpoint the edge base ONCE (the HITS/k-core lesson): the
-    # directed view, the seed subquery and the node count all re-read
-    # it, and without the cut each pays the wedge self-join again
     e = (
         a.join(b, "ok")
         .where(F.col("u") < F.col("v"))
@@ -2161,6 +2210,10 @@ def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources ride ONE frontier relation with a src column, so
     sampling more pivots widens rows, not passes. The oracle replays
     the identical algebra as chained MATERIALIZED CTEs."""
+    # keeps the self-join edge build (NOT _copurchase_edges): the
+    # checkpointed collect_set build A/B-LOST here (r10 opt: old
+    # 10.14 vs new 11.91 min-of-3 — same pattern as
+    # graph_closeness_sample / graph_reachability_bfs)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     po = li.distinct().select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -2172,8 +2225,8 @@ def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=True)  # shared base: both directions + seeds
-    )
+        .localCheckpoint(eager=True)
+    )  # shared base: both directions + seeds
     d = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     seeds = (
         e.select(F.col("u").alias("node"))
@@ -2663,20 +2716,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     not quadratic; orders sampled key%40=0 in BOTH engines); each of
     the 6+6 rounds is one join against the |V|-row label table with
     map-side MIN combine; labels never exceed |V| rows."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    seq = po.select(
-        "l_partkey",
-        F.row_number()
-        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
-        .alias("rn"),
-        "l_orderkey",
-    )
-    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
-    b_ = seq.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
-    )
-    fwd = a_.join(b_, ["ok", "rn"]).select("u", "v").distinct()
+    fwd = _chain_edges(spark, sf_dir, 40).distinct()
     edges = (
         fwd.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(
@@ -2861,20 +2901,7 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: |V|·16 register rows; each hop is one join against the
     edge list + one MAX agg — never a pairs blowup; 7 output rows."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 0)
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    seq = po.select(
-        "l_partkey",
-        F.row_number()
-        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
-        .alias("rn"),
-        "l_orderkey",
-    )
-    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
-    b_ = seq.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
-    )
-    fwd = a_.join(b_, ["ok", "rn"]).select("u", "v").distinct()
+    fwd = _chain_edges(spark, sf_dir, 4).distinct()
     edges = (
         fwd.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(fwd.select(F.col("v").alias("s"), F.col("u").alias("d")))
@@ -3256,54 +3283,61 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edge formation is the linear consecutive-rank chain join
     (orders sampled key%%40 in BOTH engines); each iteration is one
     |E|-row join + |V|-row aggregates."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    seq = po.select(
-        "l_partkey",
-        F.row_number().over(Window.partitionBy("l_orderkey").orderBy("l_partkey")).alias("rn"),
-        "l_orderkey",
-    )
-    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
-    b_ = seq.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
-    )
-    und = a_.join(b_, ["ok", "rn"]).select("u", "v").where("u <> v").distinct()
+    # r10 opt: the loop's scalars (c once; per-step m, mx) collect to
+    # the driver (model-sized traffic, the kcenter/BPE precedent) and
+    # inline as literals; each step then needs ONE eager checkpoint
+    # (w) + one tiny agg on it instead of two checkpoints + two
+    # broadcast-agg sub-jobs (≈4 jobs/step → 2, and the 2nd is a
+    # scan of the just-checkpointed |V| frame). und/nodes checkpoint
+    # once so the closing cut/sides aggregates re-read frames, not
+    # the whole edge build. Values are bit-identical: same integer
+    # exprs, and MAX(ABS(w-m)) ≡ GREATEST(MAX(w)-m, m-MIN(w)).
+    und = _chain_edges(spark, sf_dir, 40).distinct().localCheckpoint(eager=True)
     edges = (
         und.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(und.select(F.col("v").alias("s"), F.col("u").alias("d")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = edges.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
+    nodes = (
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=True)
     )
-    cc = nodes.agg(F.expr("CAST(2 * MAX(deg) AS BIGINT)").alias("c"))
-    v = nodes.select("node", F.expr(_SB_START).alias("val")).localCheckpoint(eager=True)
+    c_lit = int(nodes.agg(F.expr("CAST(2 * MAX(deg) AS BIGINT)").alias("c")).collect()[0]["c"])
+    v = nodes.select("node", F.expr(_SB_START).alias("val"))
     for _ in range(_SB_ITERS):
         av = (
-            edges.join(v, edges.s == v.node)
+            edges.join(v, edges["s"] == v["node"])
             .groupBy(F.col("d").alias("node"))
             .agg(F.expr("CAST(SUM(val) AS BIGINT)").alias("nbr"))
         )
         w = (
             nodes.join(v, "node")
             .join(av, "node", "left")
-            .crossJoin(F.broadcast(cc))
             .select(
                 "node",
-                F.expr("(c - deg) * val + COALESCE(nbr, CAST(0 AS BIGINT))").alias("w"),
+                F.expr(
+                    f"(CAST({c_lit} AS BIGINT) - deg) * val"
+                    " + COALESCE(nbr, CAST(0 AS BIGINT))"
+                ).alias("w"),
             )
             .localCheckpoint(eager=True)
         )
-        stats = w.agg(
+        srow = w.agg(
             F.expr("CAST(SUM(w) DIV COUNT(*) AS BIGINT)").alias("m"),
-        )
-        w2 = w.crossJoin(F.broadcast(stats)).select("node", F.expr("w - m").alias("w"))
-        mx = w2.agg(F.expr("CAST(GREATEST(MAX(ABS(w)), 1) AS BIGINT)").alias("mx"))
-        v = (
-            w2.crossJoin(F.broadcast(mx))
-            .select("node", F.expr("CAST(w * 1000000 DIV mx AS BIGINT)").alias("val"))
-            .localCheckpoint(eager=True)
+            F.expr(
+                "CAST(GREATEST(MAX(w) - SUM(w) DIV COUNT(*),"
+                " SUM(w) DIV COUNT(*) - MIN(w), 1) AS BIGINT)"
+            ).alias("mx"),
+        ).collect()[0]
+        m_lit, mx_lit = int(srow["m"]), int(srow["mx"])
+        v = w.select(
+            "node",
+            F.expr(
+                f"CAST((w - CAST({m_lit} AS BIGINT)) * 1000000"
+                f" DIV CAST({mx_lit} AS BIGINT) AS BIGINT)"
+            ).alias("val"),
         )
     half = und.join(v.select(F.col("node").alias("u"), F.col("val").alias("vu")), "u").join(
         v.select(F.col("node").alias("v"), F.col("val").alias("vv")), "v"
@@ -3445,20 +3479,7 @@ def graph_random_walk_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round checkpoint, the HITS rule); node state never crosses
     the driver. The oracle replays the identical integer recursion
     as 6 unrolled MATERIALIZED levels."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    seq = po.select(
-        "l_partkey",
-        F.row_number()
-        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
-        .alias("rn"),
-        "l_orderkey",
-    )
-    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
-    b_ = seq.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
-    )
-    fwd = a_.join(b_, ["ok", "rn"]).select("u", "v").distinct()
+    fwd = _chain_edges(spark, sf_dir, 40).distinct()
     edges = (
         fwd.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(
@@ -3608,26 +3629,9 @@ def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (orders sampled key%40 in BOTH engines); wedges are
     one self-join of the O(E) directed adjacency on the center;
     everything after is pair-histogram sized."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    seq = po.select(
-        "l_partkey",
-        F.row_number()
-        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
-        .alias("rn"),
-        "l_orderkey",
-    )
-    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
-    b_ = seq.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
-    )
-    und = (
-        a_.join(b_, ["ok", "rn"])
-        .select(F.expr("LEAST(u, v)").alias("u"), F.expr("GREATEST(u, v)").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # chain pairs arrive u < v (sorted distinct set) — the old
+    # LEAST/GREATEST canonicalization is a no-op on this stream
+    und = _chain_edges(spark, sf_dir, 40).distinct().localCheckpoint(eager=True)
     adj = und.select(F.col("u").alias("c"), F.col("v").alias("d")).unionByName(
         und.select(F.col("v").alias("c"), F.col("u").alias("d"))
     )
@@ -3730,20 +3734,7 @@ def graph_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct/MIN agg against the localCheckpointed edge base (the
     HITS single-reader rule: checkpoint the base only); node state
     never crosses the driver."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    seq = po.select(
-        "l_partkey",
-        F.row_number()
-        .over(Window.partitionBy("l_orderkey").orderBy("l_partkey"))
-        .alias("rn"),
-        "l_orderkey",
-    )
-    a_ = seq.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"), "rn")
-    b_ = seq.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"), (F.col("rn") - 1).alias("rn")
-    )
-    fwd = a_.join(b_, ["ok", "rn"]).select("u", "v").distinct()
+    fwd = _chain_edges(spark, sf_dir, 40).distinct()
     edges = (
         fwd.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(

@@ -124,20 +124,37 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final selection is TakeOrdered. A hot part never explodes:
     pairs form per-basket, not per-part."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # the distinct basket-item frame feeds the pair self-join (both
-    # sides) AND the support table: checkpoint so lineitem collapses
-    # once (plan audit: 4 scans; A/B at sf0.1 1.89 vs 2.35s)
-    items = li.distinct().localCheckpoint(eager=True)
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pk_a"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pk_b"))
+    # ONE order-keyed exchange (r10 opt): the (ok, pk) distinct folds
+    # into collect_set, and BOTH the u < v pair stream and the
+    # per-part support explode map-side from the same checkpointed
+    # basket arrays — replaces the former distinct + pair self-join
+    # (the checkpointed frame is |orders|-sized, not |items|-sized,
+    # and the sort-merge join on l_orderkey disappears outright).
+    arrs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
+        .localCheckpoint(eager=True)
+    )
     pair_counts = (
-        a.join(b, "l_orderkey")
-        .where(F.col("pk_a") < F.col("pk_b"))
+        arrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr) - i - 1),"
+                    " y -> struct(x AS pk_a, y AS pk_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pk_a", "p.pk_b")
         .groupBy("pk_a", "pk_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= _BASKET_MIN_SUPPORT)
     )
-    support = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    support = (
+        arrs.select(F.explode("arr").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     n_orders = load_table(spark, sf_dir, "orders").agg(
         F.count(F.lit(1)).alias("N")
     )
@@ -1859,6 +1876,10 @@ def suppliers_similar_portfolios(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair table (pair-sized, not stream-sized). A df=1 part
     (single-supplier) can never produce a pair and is pruned free by
     the self-join itself."""
+    # keeps the distinct + p-keyed self-join build: the checkpointed
+    # collect_set/explode pair enumeration A/B-LOST here (r10 opt:
+    # old 3.65 vs new 5.00 min-of-3, consistent reps — each part has
+    # few suppliers, so the array build pays more than the join saves)
     sp = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
@@ -3237,7 +3258,14 @@ def lineitem_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("x")
     )
-    hist = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    # r10 opt: EVERY downstream read (CDF quantiles, moments, both EM
+    # E-steps) depends on x alone, so the whole fit folds onto the
+    # value histogram — lineitem is scanned ONCE (was 4 scans: hist +
+    # moments + 2 EM passes). Per-x weighting by c is exact-DECIMAL
+    # identical to the per-row sums (equal x ⇒ identical 6dp terms).
+    hist = hist_ck = (
+        li.groupBy("x").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    )
     wcdf = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     cdf = hist.select(
         "x",
@@ -3248,10 +3276,15 @@ def lineitem_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q25 = cdf.where(F.col("cum") * 4 >= F.col("n")).agg(F.min("x").alias("mu1"))
     q75 = cdf.where(F.col("cum") * 4 >= F.col("n") * 3).agg(F.min("x").alias("mu2"))
-    mom = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s"),
-        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("q"),
+    # weighted moments off the histogram; narrow lossless recasts
+    # (x ≤ 12, x² ≤ 150) keep the c-products inside DECIMAL(38)
+    # without scale loss, so every sum equals the former per-row sum
+    mom = hist_ck.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(8,6)) * CAST(c AS DECIMAL(20,0))")).alias("s"),
+        F.round(
+            F.sum(F.expr("CAST(x * x AS DECIMAL(15,12)) * CAST(c AS DECIMAL(20,0))")), 6
+        ).alias("q"),
     )
     base = (
         mom.crossJoin(F.broadcast(q25))
@@ -3272,7 +3305,7 @@ def lineitem_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = []
     for it in (1, 2):
-        p = li.crossJoin(F.broadcast(state))
+        p = hist_ck.crossJoin(F.broadcast(state))
         l_expr = (
             "CAST(ROUND(LN(CAST(w2 AS DOUBLE)) - LN(1.0 - CAST(w2 AS DOUBLE))"
             " + ((CAST(x AS DOUBLE) - CAST(mu1 AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(mu1 AS DOUBLE))"
@@ -3281,16 +3314,20 @@ def lineitem_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         r_expr = f"CAST(ROUND(1.0 / (1.0 + EXP(-({l_expr}))), 6) AS DECIMAL(18,6))"
         scored = p.select(
-            "n", "v", "x", F.expr(r_expr).alias("r")
+            "n", "v", "x", "c", F.expr(r_expr).alias("r")
         )
         agg = scored.agg(
             F.max("n").alias("n"),
             F.max("v").alias("v"),
-            F.sum("r").alias("n2"),
-            F.sum(F.expr("CAST(ROUND(CAST(r AS DOUBLE) * CAST(x AS DOUBLE), 6)"
-                         " AS DECIMAL(18,6))")).alias("sx2"),
-            F.sum(F.expr("CAST(ROUND((1.0 - CAST(r AS DOUBLE)) * CAST(x AS DOUBLE), 6)"
-                         " AS DECIMAL(18,6))")).alias("sx1"),
+            F.sum(
+                F.expr("CAST(r AS DECIMAL(7,6)) * CAST(c AS DECIMAL(20,0))")
+            ).alias("n2"),
+            F.sum(F.expr("CAST(CAST(ROUND(CAST(r AS DOUBLE) * CAST(x AS DOUBLE), 6)"
+                         " AS DECIMAL(18,6)) AS DECIMAL(8,6))"
+                         " * CAST(c AS DECIMAL(20,0))")).alias("sx2"),
+            F.sum(F.expr("CAST(CAST(ROUND((1.0 - CAST(r AS DOUBLE)) * CAST(x AS DOUBLE), 6)"
+                         " AS DECIMAL(18,6)) AS DECIMAL(8,6))"
+                         " * CAST(c AS DECIMAL(20,0))")).alias("sx1"),
         )
         state = agg.select(
             "n",

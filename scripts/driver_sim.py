@@ -50,6 +50,16 @@ def run_gate(spark, mod, sf: str, only: set[str]) -> list[str]:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # drop leaked checkpoint/persist blocks between queries — over
+        # a 560-query sweep they otherwise pile up tens of GB in the
+        # shared JVM and GC drag inflates the whole gate (r10 opt)
+        import gc
+
+        gc.collect()
+        for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+            spark.sparkContext._jsc.sc().getPersistentRDDs()
+        ).values():
+            rdd.unpersist(False)
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf).toPandas()

@@ -1,0 +1,88 @@
+"""Dump `.explain("formatted")` for queries, before (a git rev's
+module source) and after (working tree), into plans/<tag>/.
+
+Usage:
+    python scripts/dump_plans.py --tag r10 [--rev HEAD] [--sf DIR] \
+        --module bireme_spark/queries/audit.py name [name ...]
+
+Writes plans/<tag>/<name>_before.txt and _after.txt. Only the plan is
+computed (no execution) — safe to run alongside nothing else.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import types
+
+sys.path.insert(0, "/root/repo")
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    rev = "HEAD"
+    tag = "r10"
+    module_path = "bireme_spark/queries/audit.py"
+    names: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            sf_dir = args[i + 1]
+            i += 2
+        elif args[i] == "--rev":
+            rev = args[i + 1]
+            i += 2
+        elif args[i] == "--tag":
+            tag = args[i + 1]
+            i += 2
+        elif args[i] == "--module":
+            module_path = args[i + 1]
+            i += 2
+        else:
+            names.append(args[i])
+            i += 1
+    if not names:
+        print("need query names")
+        return 2
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from bireme_spark import registry
+    from bireme_spark.session import get_spark
+
+    spark = get_spark("dump-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    new_qs = registry.queries()
+
+    old_src = subprocess.run(
+        ["git", "-C", "/root/repo", "show", f"{rev}:{module_path}"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    old_mod = types.ModuleType("_plans_old_module")
+    old_mod.__file__ = f"<{rev}:{module_path}>"
+    exec(compile(old_src, old_mod.__file__, "exec"), old_mod.__dict__)
+    old_qs = old_mod.QUERIES
+
+    out_dir = os.path.join("/root/repo/plans", tag)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        for arm, qs in (("before", old_qs), ("after", new_qs)):
+            df = qs[name](spark, sf_dir)
+            path = os.path.join(out_dir, f"{name}_{arm}.txt")
+            with open(path, "w") as f:
+                f.write(_formatted(df))
+            print("wrote", path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
