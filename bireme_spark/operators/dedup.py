@@ -45,6 +45,29 @@ def release_persisted(df: DataFrame) -> None:
         h.unpersist()
 
 
+def bucket_pairs(
+    bk: DataFrame, id_col: str, keys: list[str], out_a: str = "id_a", out_b: str = "id_b"
+) -> DataFrame:
+    """All ``u < v`` id pairs within each bucket, enumerated map-side
+    from ONE bucket-keyed exchange: ``groupBy(keys).collect_set(id)``
+    then a nested ``transform`` over the sorted array (r10 opt — the
+    same rewrite as the graph co-purchase builds: replaces the id-only
+    bucket self-join's 2 per-side exchanges + join with 1 exchange +
+    Generate; the emitted pair stream is row-identical, fan-out stays
+    Σ C(bucket, 2)). NOT deduplicated across buckets — callers keep
+    their own ``.distinct()``."""
+    arrs = bk.groupBy(*keys).agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+    return arrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ids, (x, i) ->"
+                " transform(slice(__ids, i + 2, size(__ids) - i - 1),"
+                f" y -> struct(x AS {out_a}, y AS {out_b}))))"
+            )
+        ).alias("__p")
+    ).select(f"__p.{out_a}", f"__p.{out_b}")
+
+
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Canonical-id assignment per exact content hash (sha256).
 
@@ -297,7 +320,11 @@ def minhash_lsh_pairs(
     )
     # Bucket join carries only ids — the 64-element arrays join back
     # after the pair-distinct, keeping the wide rows out of the
-    # candidate shuffle.
+    # candidate shuffle. (r10 opt: the bucket_pairs map-side
+    # enumeration A/B-LOST here — 6-rep quiet-box old 4.31/3.45 vs
+    # new 4.27/5.65 for dedup_minhash_lsh/corpus_fuzzy_dedup_pipeline
+    # — LSH bands have few ids per bucket, so the array build pays
+    # more than the join saves; contrast embedding_cosine_pairs_lsh.)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand = (
@@ -369,6 +396,10 @@ def simhash_pairs(
             )
         ).alias("band", "band_val"),
     )
+    # banded self-join kept: the bucket_pairs struct-carrying
+    # enumeration A/B-LOST here (r10 opt, 6-rep quiet box: old 3.33
+    # vs new 3.84 — 16-bit bands are near-unique, so buckets hold
+    # 1-2 docs and the array build is pure overhead)
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val")
     cand = (
@@ -443,12 +474,8 @@ def embedding_cosine_pairs_lsh(
     bk = lsh_bucketed(df, id_col, vec_col, dim, tables, bits, seed).select(
         F.col(id_col), "table_id", "bucket"
     )
-    a = bk.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
-    b = bk.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
     cand = (
-        a.join(b, ["table_id", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bucket_pairs(bk, id_col, ["table_id", "bucket"])
         .distinct()
         .join(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a")
         .join(df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b")

@@ -1073,7 +1073,12 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits = bits.distinct()
 
         train = sh.where(~is_bench)
-        probe = train.select("doc_id", "shingle")
+        # r10 opt: probe the filter on the DISTINCT-shingle histogram
+        # (the parts_fuzzy_match house pattern) — the 3 md5 position
+        # hashes and the 3 broadcast position joins run per distinct
+        # shingle, not per (doc, shingle) row; doc membership joins
+        # back once on the (small) flagged-shingle set
+        probe = train.select("shingle").distinct()
         for i, salt in enumerate(_BLOOM_SALTS):
             probe = probe.withColumn(f"p{i}", _bloom_pos(salt, F.col("shingle")))
         flagged = probe
@@ -1086,8 +1091,12 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(len(_BLOOM_SALTS)):
             c = F.col(f"h{i}").isNotNull()
             all_hit = c if all_hit is None else (all_hit & c)
-        bloom_docs = flagged.where(all_hit).select("doc_id").distinct().withColumn(
-            "bloom", F.lit(1)
+        bloom_sh = flagged.where(all_hit).select("shingle")
+        bloom_docs = (
+            train.join(bloom_sh, "shingle")  # size-based broadcast via AQE
+            .select("doc_id")
+            .distinct()
+            .withColumn("bloom", F.lit(1))
         )
         exact_docs = (
             train.join(F.broadcast(bench), "shingle")

@@ -933,14 +933,25 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = und.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("wt"))
     wdeg = edges.groupBy("w1").agg(F.sum("wt").alias("wdeg"))
-    e = edges.join(wdeg, "w1").select(
-        F.col("w1").alias("src"), F.col("w2").alias("dst"), "wt", "wdeg"
+    # r10 opt: checkpoint the edge base ONCE — the 5-iteration loop
+    # reads e (and nodes, derived from it) every superstep, and the
+    # lazy plan re-derived the full corpus bigram shuffle per reader
+    # (the HyperANF multi-reader rule). n crosses the driver as one
+    # scalar literal (the spectral_bisection precedent) — the
+    # per-iteration broadcast crossJoins fold away; ROUND(1/n) on the
+    # literal is the identical double.
+    e = (
+        edges.join(wdeg, "w1")
+        .select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "wt", "wdeg")
+        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("src").alias("w")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
+    n_lit = nodes.count()
+    pr = nodes.select(
         "w",
-        F.expr("CAST(ROUND(1.0 / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6))").alias("pr"),
+        F.expr(
+            f"CAST(ROUND(1.0 / CAST({n_lit} AS DOUBLE), 6) AS DECIMAL(18,6))"
+        ).alias("pr"),
     )
     for _ in range(5):
         contrib = (
@@ -954,17 +965,13 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("w")
             .agg(F.sum("c").alias("inflow"))
         )
-        pr = (
-            nodes.join(contrib, "w", "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "w",
-                F.expr(
-                    "CAST(ROUND(0.15 / CAST(n AS DOUBLE)"
-                    " + 0.85 * CAST(COALESCE(inflow, 0) AS DOUBLE), 6)"
-                    " AS DECIMAL(18,6))"
-                ).alias("pr"),
-            )
+        pr = nodes.join(contrib, "w", "left").select(
+            "w",
+            F.expr(
+                f"CAST(ROUND(0.15 / CAST({n_lit} AS DOUBLE)"
+                " + 0.85 * CAST(COALESCE(inflow, 0) AS DOUBLE), 6)"
+                " AS DECIMAL(18,6))"
+            ).alias("pr"),
         )
     return (
         pr.select("w", F.col("pr").cast("double").alias("textrank"))

@@ -3865,9 +3865,10 @@ def events_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("dist2_e6"),
     )
-    nn = d.groupBy("i").agg(F.min("dist2_e6").alias("nn_dist2_e6"))
+    # window-min argmax over the tiny pair frame (r10 opt: the
+    # agg+join-back re-executed the whole 175×151 fold fan-out twice)
     out = (
-        d.join(nn, "i")
+        d.withColumn("nn_dist2_e6", F.min("dist2_e6").over(Window.partitionBy("i")))
         .where(F.col("dist2_e6") == F.col("nn_dist2_e6"))
         .groupBy("i", "nn_dist2_e6")
         .agg(F.min("j").alias("nn_j"))
