@@ -797,17 +797,20 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
             )
         )
-        w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-        w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-        wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
-        closing = e.select(F.least("lo", "hi").alias("e1"), F.greatest("lo", "hi").alias("e2"))
-        tri = wedges.join(
-            closing, (F.col("b") == F.col("e1")) & (F.col("c") == F.col("e2"))
-        ).select("a", "b", "c")
+        # r10 opt: sorted-adjacency intersection (the _count_triangles
+        # plan) instead of the exploded wedge join + closing-edge join —
+        # each oriented edge (lo, hi) yields its triangles map-side as
+        # the common out-neighbors w, so the wedge fan-out never hits a
+        # shuffle; the (lo, hi, w) stream enumerates each triangle
+        # exactly once and per-node counts are orientation-invariant.
+        adj = e.groupBy("lo").agg(F.sort_array(F.collect_set("hi")).alias("nbrs"))
+        tri = (
+            e.join(adj.withColumnRenamed("nbrs", "n_lo"), "lo")
+            .join(adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi")), "hi")
+            .select("lo", "hi", F.explode(F.array_intersect("n_lo", "n_hi")).alias("w"))
+        )
         tri_per_node = (
-            tri.select(F.col("a").alias("x"))
-            .unionAll(tri.select(F.col("b").alias("x")))
-            .unionAll(tri.select(F.col("c").alias("x")))
+            tri.select(F.explode(F.array("lo", "hi", "w")).alias("x"))
             .groupBy("x")
             .agg(F.count(F.lit(1)).alias("n_triangles"))
         )

@@ -31,10 +31,14 @@ def main() -> int:
     rev = "HEAD"
     tag = "r10"
     module_path = "bireme_spark/queries/audit.py"
+    no_ckpt = False
     names: list[str] = []
     i = 0
     while i < len(args):
-        if args[i] == "--sf":
+        if args[i] == "--no-ckpt":
+            no_ckpt = True
+            i += 1
+        elif args[i] == "--sf":
             sf_dir = args[i + 1]
             i += 2
         elif args[i] == "--rev":
@@ -56,6 +60,22 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from bireme_spark import registry
     from bireme_spark.session import get_spark
+
+    if no_ckpt:
+        # Show the FULL logical plan for builders that return a
+        # localCheckpoint'd frame (whose own plan is just Scan
+        # ExistingRDD): patch checkpointing to identity so the
+        # pre-checkpoint lineage reaches the explain. Plan-shape
+        # inspection only — execution behavior is NOT representative.
+        from pyspark.sql import DataFrame as _DF
+
+        _DF.localCheckpoint = lambda self, eager=True: self
+        try:  # Spark 4.x concrete subclass overrides the method
+            from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+            _CDF.localCheckpoint = lambda self, eager=True: self
+        except ImportError:
+            pass
 
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
