@@ -1614,6 +1614,10 @@ def cdc_bootstrap_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     PK-hash shuffle (max_by over (ts, rank)) — identical shape to
     cdc_snapshot, so a 100 TB backfill costs one shuffle of the
     changed partition set, not a pipeline restart."""
+    # one-partition scan kept AS-IS: the pre-encode repartition
+    # A/B-LOST here (r10 opt, 3.05 old vs 3.76 new min-of-3 — THREE
+    # envelope branches each re-derive scan+exchange, unlike the
+    # single-branch dead-letter/malformed twins where it won)
     o = load_table(spark, sf_dir, "orders")
     data = F.struct(
         F.col("o_orderkey").alias("o_orderkey"),
@@ -1980,7 +1984,10 @@ def cdc_malformed_envelope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one codegen projection classifies every row (no Python, no
     extra scan — the CASE branches share the single from_json); one
     5-group agg."""
-    o = load_table(spark, sf_dir, "orders")
+    # r10 opt: one-partition scan → spread before the JSON codec work
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     valid_env = F.to_json(
         F.struct(
             F.lit("testdb").alias("database"),
@@ -2726,7 +2733,10 @@ def cdc_format_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object probes per record, no shuffle); each slice then
     pays exactly its own parser. The final rollup is the only
     shuffle."""
-    o = load_table(spark, sf_dir, "orders")
+    # r10 opt: one-partition scan → spread before the JSON codec work
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fmt = F.col("o_orderkey") % 3
     op_m = (
         F.when(F.col("o_orderkey") % 5 == 0, "delete")
@@ -3961,7 +3971,12 @@ def cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL. One extra parse pass over the quarantine only — at
     scale the DLQ is tiny relative to the stream, so the replay cost
     is |dead|-proportional."""
-    o = load_table(spark, sf_dir, "orders")
+    # r10 opt: the sf parquet scans as ONE partition — spread before
+    # the per-row JSON codec work (column pruning stays below the
+    # exchange, and the DECIMAL value sum is shuffle-order-proof)
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     data_struct = F.struct(
         F.col("o_orderkey").alias("o_orderkey"),
         F.col("o_totalprice").alias("o_totalprice"),
