@@ -394,9 +394,12 @@ def _count_triangles(edges: DataFrame) -> tuple[int, int, int]:
         )
     )
     adj = e.groupBy("lo").agg(F.sort_array(F.collect_set("hi")).alias("nbrs"))
-    j = e.join(adj.withColumnRenamed("nbrs", "n_lo"), "lo").join(
-        adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi")), "hi"
-    )
+    # e ⋈ adj on lo is adj itself re-exploded (every oriented edge is
+    # one (lo, nbrs[i]) element) — deriving it map-side from adj saves
+    # a full sort-merge join of the edge stream (r10 opt)
+    j = adj.select(
+        "lo", F.explode("nbrs").alias("hi"), F.col("nbrs").alias("n_lo")
+    ).join(adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi")), "hi")
     tri = (
         j.select(F.size(F.array_intersect("n_lo", "n_hi")).alias("c"))
         .agg(F.sum("c").alias("t"))
@@ -804,8 +807,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle; the (lo, hi, w) stream enumerates each triangle
         # exactly once and per-node counts are orientation-invariant.
         adj = e.groupBy("lo").agg(F.sort_array(F.collect_set("hi")).alias("nbrs"))
+        # e ⋈ adj on lo == adj re-exploded map-side (see _count_triangles)
         tri = (
-            e.join(adj.withColumnRenamed("nbrs", "n_lo"), "lo")
+            adj.select("lo", F.explode("nbrs").alias("hi"), F.col("nbrs").alias("n_lo"))
             .join(adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi")), "hi")
             .select("lo", "hi", F.explode(F.array_intersect("n_lo", "n_hi")).alias("w"))
         )
