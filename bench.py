@@ -429,24 +429,7 @@ HEADLINE = [
 ]
 
 
-def _drop_rdd_blocks(spark) -> None:
-    """Unpersist every cached/locally-checkpointed RDD between timed
-    runs. ``clearCache()`` only drops SQL-cached relations; the
-    checkpoint-heavy queries (graph/iterative family) otherwise leak
-    storage blocks across the 401×3 runs until the shared JVM
-    GC-thrashes (r10 opt round: observed 44 GB RSS and a 6× slowdown
-    after ~30 such runs in one session). Dropping them between runs
-    keeps every query measured on a clean executor — the same
-    conditions the BASELINE.md floors were measured under
-    (single-query quiet sessions)."""
-    import gc
-
-    gc.collect()
-    jsc = spark.sparkContext._jsc.sc()
-    for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
-        jsc.getPersistentRDDs()
-    ).values():
-        rdd.unpersist(False)
+from bireme_spark.util import drop_persisted_blocks as _drop_rdd_blocks  # noqa: E402
 
 
 def _baseline_floors() -> dict[str, float]:
@@ -467,6 +450,68 @@ def _baseline_floors() -> dict[str, float]:
     return floors
 
 
+def _emit(timings: dict[str, float], sf_dir: str, cpus: str, partial: bool) -> None:
+    """Print the result JSON and write BENCH_FULL.json.
+
+    Two stdout lines, full-then-compact (r11): the driver's capture
+    holds only a ~2000-char TAIL of the output, which a 401-entry
+    per-query map cannot fit (the r5 lesson — BENCH_r05 lost the
+    headline total when the big line outgrew the tail). The FULL
+    contract line (with ``queries``) goes out first for any consumer
+    that reads the whole stream; the compact line goes out LAST so
+    the tail always ends with a parseable summary. Methodology
+    (min-of-N wall to .count()) is unchanged.
+    """
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    floors = _baseline_floors()
+    # Floors were measured at 32 cores on a quiet box; at any other
+    # core count every query legitimately reads above them (the r10
+    # 8-core run flagged 21 false "regressions") — suppress the flags
+    # rather than scale them (scaling exponents are query-dependent).
+    flag_floors = int(cpus) == 32
+    regressions = {
+        name: {"now": t, "floor": floors[name]}
+        for name, t in timings.items()
+        if flag_floors and name in floors and t > 2.0 * floors[name]
+    }
+    for name, r in regressions.items():
+        print(f"# REGRESSION {name}: {r['now']}s > 2x floor {r['floor']}s", file=sys.stderr)
+    full = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "regressions": regressions,
+    }
+    compact = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": full["sf"],
+        "cpus": int(cpus),
+        "regressions": regressions,
+        "queries_file": "BENCH_FULL.json",
+    }
+    if partial:
+        full["partial"] = compact["partial"] = True
+    if not flag_floors:
+        compact["floor_flags_suppressed"] = "floors are 32-core values"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: keep the line output
+        print(f"# BENCH_FULL.json not written: {exc}", file=sys.stderr)
+    print(json.dumps(full))
+    print(json.dumps(compact))
+    sys.stdout.flush()
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -475,22 +520,73 @@ def main() -> int:
     from bireme_spark import registry
     from bireme_spark.session import get_spark
 
-    spark = get_spark("bireme-bench")
+    spark = get_spark(
+        "bireme-bench",
+        # keep stderr clean for the driver's tail capture — progress
+        # bars were most of the captured BENCH_r10 output
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
+
+    timings: dict[str, float] = {}
+
+    # If the driver's budget expires it SIGTERMs us: flush whatever
+    # completed as a partial result instead of dying silently
+    # (BENCH_r10: rc 124, parsed null, nothing usable).
+    import signal
+
+    def _flush(signum, frame):  # pragma: no cover - driver-timeout path
+        _emit(timings, sf_dir, cpus, partial=True)
+        raise SystemExit(124)
+
+    signal.signal(signal.SIGTERM, _flush)
 
     # warmup (codegen, parquet footer cache)
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    # 3 repeats: the box is shared and external load is bursty — the
-    # min over three spaced attempts lands in a quiet window far more
-    # often than min-of-2 (observed 2-4x swings with no code change).
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    floors = _baseline_floors()
+    # Repeat budget (r11): the 401-query HEADLINE x min-of-3 no longer
+    # fits the driver's 32-core budget (BENCH_r10 rc 124). Floors are
+    # quiet-box mins, so a run that already lands within 30% of its
+    # floor cannot improve meaningfully — stop repeating it; queries
+    # with no floor yet (or at non-32-core counts, where floors don't
+    # apply) keep the old min-of-3. SPARK_GRAFT_BENCH_REPEATS forces a
+    # fixed repeat count for floor-measurement sessions.
+    forced = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "0"))
+    floors_apply = int(cpus) == 32
+    # Soft wall budget: once the harness itself has been running this
+    # long (external load, slower box), degrade to min-of-1 with no
+    # retries so the run COMPLETES and prints its JSON — a completed
+    # noisy measurement beats a timeout with none (BENCH_r10 rc 124).
+    soft_budget = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_BUDGET_SEC", "1200"))
+    # Global retry budget: floors are SINGLE-query quiet-session mins,
+    # and a 401-query marathon session runs ~2x above them (JVM/GC
+    # state — measured r11 open, load ~0; the old per-query retry
+    # policy of up to +4 reps then multiplied the whole wall by ~5
+    # and is what actually blew the r10 driver budget, not the query
+    # costs). A bounded pool keeps retries for the few genuinely
+    # flagged queries without letting them own the wall.
+    retry_pool = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_POOL", "60"))
+    t_start = time.perf_counter()
     for name in HEADLINE:
         fn = qs[name]
+        over_budget = time.perf_counter() - t_start > soft_budget
+        floor = floors.get(name) if floors_apply else None
+        if forced:
+            reps = forced
+        elif over_budget:
+            reps = 1
+        elif floor is None:
+            reps = 3
+        else:
+            # min-of-2: rep 1 pays per-query codegen (cold), rep 2 is
+            # the honest warm number; more reps only help under noise
+            # bursts, which the bounded retry pool below covers
+            reps = 2
         best = None
-        for _ in range(repeats):
+        n = -1
+        for _ in range(reps):
             # Drop persisted intermediates so each run is isolated (no
             # cross-run cache hits, no executor-memory pressure from
             # stale blocks).
@@ -501,73 +597,37 @@ def main() -> int:
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            if not forced and floor is not None and best <= 1.3 * floor:
+                break  # already at the quiet-box floor; a repeat is noise
         # min over repeats: the box is shared, so single runs carry
         # multi-second external noise; the min is the real cost.
         # Adaptive retry: a floor-flagged query gets up to 2 extra
-        # attempts — a real regression stays flagged, a noise burst
-        # (observed 2-4x with no code change) usually clears.
-        floor = _baseline_floors().get(name)
-        # Sub-second queries are the most noise-fragile (one scheduler
-        # hiccup is 3x their floor): give them a deeper retry budget.
-        max_extra = 4 if (floor or 1.0) < 1.0 else 2
+        # attempts from the shared pool — a real regression stays
+        # flagged, a noise burst (observed 2-4x with no code change)
+        # usually clears.
+        max_extra = 0 if over_budget else 2
         extra = 0
-        while floor is not None and best > 2.0 * floor and extra < max_extra:
+        while (
+            floor is not None
+            and best > 2.0 * floor
+            and extra < max_extra
+            and retry_pool > 0
+        ):
             spark.catalog.clearCache()
             _drop_rdd_blocks(spark)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
             extra += 1
+            retry_pool -= 1
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-
-    total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # regression check vs the BASELINE.md floor (min-of-N already
-    # absorbs most shared-box noise; 2x is the gate's own threshold)
-    floors = _baseline_floors()
-    regressions = {
-        name: {"now": t, "floor": floors[name]}
-        for name, t in timings.items()
-        if name in floors and t > 2.0 * floors[name]
-    }
-    for name, r in regressions.items():
-        print(f"# REGRESSION {name}: {r['now']}s > 2x floor {r['floor']}s", file=sys.stderr)
-    # The driver captures only the TAIL of stdout; at 141 queries the
-    # per-query dict outgrew it and BENCH_r05.json lost the headline
-    # total (parsed: null). Emit a compact single line the capture
-    # always holds, and write the full per-query map to a committed
-    # side file the driver never needs to capture.
-    full = {
-        "metric": "headline_queries_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cpus": int(cpus),
-        "regressions": regressions,
-    }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    try:
-        with open(full_path, "w") as fh:
-            json.dump(full, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError as exc:  # read-only checkout: keep the line output
-        print(f"# BENCH_FULL.json not written: {exc}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "sf": full["sf"],
-                "cpus": int(cpus),
-                "regressions": regressions,
-                "queries_file": "BENCH_FULL.json",
-            }
+        print(
+            f"# {name}: {timings[name]}s ({n} rows)"
+            f" [wall {round(time.perf_counter() - t_start, 1)}]",
+            file=sys.stderr,
         )
-    )
+
+    _emit(timings, sf_dir, cpus, partial=False)
     return 0
 
 

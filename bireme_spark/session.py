@@ -14,7 +14,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "bireme-spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "bireme-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) * 2, 32)
@@ -39,6 +43,8 @@ def get_spark(app_name: str = "bireme-spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

@@ -22,19 +22,7 @@ import types
 sys.path.insert(0, "/root/repo")
 
 
-def _drop_rdd_blocks(spark) -> None:
-    """Unpersist every cached/locally-checkpointed RDD: clearCache()
-    only drops SQL-cached relations, and 30+ checkpoint-heavy runs in
-    one session otherwise accumulate tens of GB of storage blocks
-    until the JVM GC-thrashes (observed: 44 GB RSS, 6× slowdown)."""
-    import gc
-
-    gc.collect()  # release PySpark-side RDD handles first
-    jsc = spark.sparkContext._jsc.sc()
-    for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
-        jsc.getPersistentRDDs()
-    ).values():
-        rdd.unpersist(False)
+from bireme_spark.util import drop_persisted_blocks as _drop_rdd_blocks  # noqa: E402
 
 
 def _hash_df(df) -> str:

@@ -24,6 +24,8 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from bireme_spark.util import drop_persisted_blocks  # noqa: E402
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
@@ -53,13 +55,7 @@ def run_gate(spark, mod, sf: str, only: set[str]) -> list[str]:
         # drop leaked checkpoint/persist blocks between queries — over
         # a 560-query sweep they otherwise pile up tens of GB in the
         # shared JVM and GC drag inflates the whole gate (r10 opt)
-        import gc
-
-        gc.collect()
-        for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
-            spark.sparkContext._jsc.sc().getPersistentRDDs()
-        ).values():
-            rdd.unpersist(False)
+        drop_persisted_blocks(spark)
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf).toPandas()

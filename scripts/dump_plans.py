@@ -3,7 +3,13 @@ module source) and after (working tree), into plans/<tag>/.
 
 Usage:
     python scripts/dump_plans.py --tag r10 [--rev HEAD] [--sf DIR] \
-        --module bireme_spark/queries/audit.py name [name ...]
+        --module bireme_spark/queries/audit.py \
+        [--ops bireme_spark/operators/ann.py[,...]] name [name ...]
+
+``--ops``: ALSO exec the given operator modules at the rev and install
+them into sys.modules around the before-arm plan build (the ab_op.py
+discipline) — without it an operator-level change leaks the NEW
+operator into the "before" plan.
 
 Writes plans/<tag>/<name>_before.txt and _after.txt. Only the plan is
 computed (no execution) — safe to run alongside nothing else.
@@ -31,6 +37,7 @@ def main() -> int:
     rev = "HEAD"
     tag = "r10"
     module_path = "bireme_spark/queries/audit.py"
+    op_paths: list[str] = []
     no_ckpt = False
     names: list[str] = []
     i = 0
@@ -49,6 +56,9 @@ def main() -> int:
             i += 2
         elif args[i] == "--module":
             module_path = args[i + 1]
+            i += 2
+        elif args[i] == "--ops":
+            op_paths = [p for p in args[i + 1].split(",") if p]
             i += 2
         else:
             names.append(args[i])
@@ -81,22 +91,50 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     new_qs = registry.queries()
 
-    old_src = subprocess.run(
-        ["git", "-C", "/root/repo", "show", f"{rev}:{module_path}"],
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout
-    old_mod = types.ModuleType("_plans_old_module")
-    old_mod.__file__ = f"<{rev}:{module_path}>"
-    exec(compile(old_src, old_mod.__file__, "exec"), old_mod.__dict__)
+    def _exec_rev(path: str, modname: str) -> types.ModuleType:
+        src = subprocess.run(
+            ["git", "-C", "/root/repo", "show", f"{rev}:{path}"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        mod = types.ModuleType(modname)
+        mod.__file__ = f"<{rev}:{path}>"
+        exec(compile(src, mod.__file__, "exec"), mod.__dict__)
+        return mod
+
+    old_ops = {}
+    for op in op_paths:
+        modname = op.replace("/", ".").removesuffix(".py")
+        old_ops[modname] = _exec_rev(op, modname)
+
+    def _with_ops(fn, *a):
+        if not old_ops:
+            return fn(*a)
+        saved = {}
+        for modname, mod in old_ops.items():
+            saved[modname] = sys.modules.get(modname)
+            sys.modules[modname] = mod
+        try:
+            return fn(*a)
+        finally:
+            for modname, prev in saved.items():
+                if prev is None:
+                    del sys.modules[modname]
+                else:
+                    sys.modules[modname] = prev
+
+    old_mod = _with_ops(_exec_rev, module_path, "_plans_old_module")
     old_qs = old_mod.QUERIES
 
     out_dir = os.path.join("/root/repo/plans", tag)
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         for arm, qs in (("before", old_qs), ("after", new_qs)):
-            df = qs[name](spark, sf_dir)
+            if arm == "before":
+                df = _with_ops(qs[name], spark, sf_dir)
+            else:
+                df = qs[name](spark, sf_dir)
             path = os.path.join(out_dir, f"{name}_{arm}.txt")
             with open(path, "w") as f:
                 f.write(_formatted(df))

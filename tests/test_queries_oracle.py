@@ -1,5 +1,11 @@
 """Every registered query vs its DuckDB oracle — the same gate the
-driver runs (row count + schema + order-insensitive values)."""
+driver runs (row count + schema + order-insensitive values).
+
+Marked slow (deselected by default, see pytest.ini): 560 parametrized
+cases dominate the suite wall and the driver's pytest budget; the
+identical gate runs standalone via scripts/driver_sim.py and at every
+round close. Run with `pytest -m slow tests/test_queries_oracle.py`.
+"""
 
 from __future__ import annotations
 
@@ -7,6 +13,8 @@ import pytest
 
 from bireme_spark import registry
 from tests.oracle_util import compare, duck_con
+
+pytestmark = pytest.mark.slow
 
 
 def _cases():
