@@ -56,13 +56,19 @@ def bucket_pairs(
     Generate; the emitted pair stream is row-identical, fan-out stays
     Σ C(bucket, 2)). NOT deduplicated across buckets — callers keep
     their own ``.distinct()``."""
+    # out_a/out_b are interpolated into SQL text — restrict them to
+    # plain identifiers so a funny name can't break/inject the expr
+    # (ADVICE r10; all internal callers pass simple names).
+    for ident in (out_a, out_b):
+        if not ident.isidentifier():
+            raise ValueError(f"bucket_pairs output column must be an identifier: {ident!r}")
     arrs = bk.groupBy(*keys).agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
     return arrs.select(
         F.explode(
             F.expr(
                 "flatten(transform(__ids, (x, i) ->"
                 " transform(slice(__ids, i + 2, size(__ids) - i - 1),"
-                f" y -> struct(x AS {out_a}, y AS {out_b}))))"
+                f" y -> struct(x AS `{out_a}`, y AS `{out_b}`))))"
             )
         ).alias("__p")
     ).select(f"__p.{out_a}", f"__p.{out_b}")
@@ -417,17 +423,16 @@ def simhash_pairs(
 
 
 def cosine(vec_a, vec_b):
-    """Exact cosine of two array<numeric> columns — JVM zip_with +
-    aggregate folds (deterministic left-to-right double math)."""
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    """Exact cosine of two array<numeric> columns — deterministic
+    left-to-right double math (zip_with + aggregate fold; an r11
+    attempt to unroll it into a literal 64-term chain LOST badly —
+    the giant expression fails whole-stage codegen compilation and
+    the entire stage falls back to interpreted eval: kcenter 4.8→48s,
+    ann_pq 8.5→84s at sf0.01 — keep the fold)."""
+    from bireme_spark.operators.ann import _dot
 
-    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
-    return dot(vec_a, vec_b) / (norm(vec_a) * norm(vec_b))
+    norm = lambda v: F.sqrt(_dot(v, v))  # noqa: E731
+    return _dot(vec_a, vec_b) / (norm(vec_a) * norm(vec_b))
 
 
 def embedding_cosine_pairs(
@@ -771,6 +776,11 @@ def semantic_dedup(
     from bireme_spark.operators.ann import ivf_index
 
     _, assigned = ivf_index(df, id_col, vec_col, dim, ncells=ncells)
+    # r11 opt (VERDICT #6): both sides of the cell self-join read
+    # `assigned`, so the Arrow cell-assignment UDF otherwise executes
+    # once PER SIDE (py_boundary sweep flagged ×6 ArrowEvalPython for
+    # dedup_semantic); the lazy checkpoint runs it once.
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
     )

@@ -92,14 +92,35 @@ def _recall_audit(spark: SparkSession, sf_dir: str, method: str, approx: DataFra
     """One gate row: does `approx`'s (query_id, neighbor_id) set reach
     the planted recall floor vs the exact brute-force top-k? The
     counts are model-sized driver scalars (|queries|·k rows); the
-    floor comparison is integer ppm (no float ties)."""
+    floor comparison is integer ppm (no float ties).
+
+    r11 opt: n_truth and hits fold into ONE left-join agg (truth rows
+    with an approx-match indicator), replacing truth.count() +
+    inner-join count — one action instead of two (guide §5; both
+    sides' pairs are unique so the indicator count equals the old
+    intersection count). The eager truth checkpoint STAYS: without it
+    the fused single job plans the brute-force crossJoin and the
+    approx search as one DAG and ann_hnsw_topk regressed 8.6→13.8s
+    (A/B r11) — materializing truth first keeps the two heavy
+    subtrees in separate jobs."""
     truth = (
         ann_bruteforce_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    n_truth = truth.count()
-    hits = approx.select("query_id", "neighbor_id").join(truth, ["query_id", "neighbor_id"]).count()
+    row = (
+        truth.join(
+            approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("__hit").alias("hits"),
+        )
+        .collect()[0]
+    )
+    n_truth, hits = int(row["n_truth"]), int(row["hits"])
     floor = RECALL_FLOOR_PPM[method]
     meets = (hits * 1_000_000) // n_truth >= floor
     return spark.createDataFrame(
@@ -335,17 +356,29 @@ def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned = ivf_index(standing, "vec_id", "embedding", dim=EMBED_DIM, ncells=16)
     index = ivf_incremental_add(cents, assigned, batch, "embedding")
     _, incremental = index
+    # r11 opt (VERDICT #6 twin): the incremental inverted lists are
+    # read by BOTH the ≡-check below and the ivf_topk search — without
+    # the cut each reader re-runs the standing-corpus Arrow assignment
+    # (py_boundary sweep: repeated ArrowEvalPython). Lazy checkpoint:
+    # the mismatch agg materializes it, the search reuses it.
+    incremental = incremental.localCheckpoint(eager=False)
+    index = (cents, incremental)
 
     # (a) incremental inverted lists ≡ assigning the union corpus
-    # from scratch under the SAME frozen centroid model
+    # from scratch under the SAME frozen centroid model. One full-outer
+    # agg replaces full_outer.count() − scr_cells.count(): tot =
+    # |inc ∪ scr| keys, ns = |scr| (one cell per vec ⇒ unique keys),
+    # so tot − ns is the old mismatch count with scratch's Arrow pass
+    # executed ONCE instead of twice (guide §4/§5).
     scratch = e.withColumn("cell", _nearest_cell_udf(cents)(F.col("embedding")))
     inc_cells = incremental.select("vec_id", "cell")
-    scr_cells = scratch.select("vec_id", "cell")
-    n_mismatch = (
+    scr_cells = scratch.select("vec_id", "cell").withColumn("__s", F.lit(1))
+    mrow = (
         inc_cells.join(scr_cells, ["vec_id", "cell"], "full_outer")
-        .count()
-        - scr_cells.count()
+        .agg(F.count(F.lit(1)).alias("tot"), F.count("__s").alias("ns"))
+        .collect()[0]
     )
+    n_mismatch = int(mrow["tot"]) - int(mrow["ns"])
 
     # (b) search recall over the incremental index vs brute force
     q = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)

@@ -405,7 +405,13 @@ def _count_triangles(edges: DataFrame) -> tuple[int, int, int]:
         .agg(F.sum("c").alias("t"))
         .collect()[0]["t"]
     )
-    return int(deg.count()), int(edges.count()), int(tri or 0)
+    # r11 opt: n_nodes and n_edges from ONE agg over deg — every edge
+    # contributes exactly 1 to each endpoint's degree, so
+    # SUM(deg) = 2·|edges|; replaces two separate count jobs.
+    drow = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("deg").alias("twom")
+    ).collect()[0]
+    return int(drow["n"]), int(drow["twom"] or 0) // 2, int(tri or 0)
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,12 +739,55 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     po = li.distinct().select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
     a = po.select("ok", F.col("pk").alias("u"))
     b = po.select("ok", F.col("pk").alias("v"))
-    e = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
-    e.createOrReplaceTempView("bireme_bfs_e")
-    e.selectExpr("u", "v").unionAll(e.selectExpr("v AS u", "u AS v")).createOrReplaceTempView(
-        "bireme_bfs_d"
+    # r11 opt (VERDICT #4): eager checkpoint on the edge base — the
+    # recursive CTE re-executes the referenced views per hop, so the
+    # distinct+self-join+distinct edge build otherwise re-runs 3x
+    # (graph_closeness_sample already cut this in r10; reachability
+    # only ever A/B'd the edge-BUILD swap, not the lineage cut).
+    e = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    return spark.sql(_BFS_SQL_BODY.format(e="bireme_bfs_e", d="bireme_bfs_d"))
+    # r11 opt (VERDICT #4): persisted iterative BFS replaces the
+    # recursive CTE on the SPARK side only (oracle text unchanged).
+    # Equivalence: the CTE's working table revisits nodes and the
+    # closing MIN(hop) keeps each pk's FIRST hop — exactly what an
+    # anti-join-pruned frontier emits directly, so `m` is row-identical
+    # by construction. The CTE paid ~2s/iteration of planning plus a
+    # full frontier⋈d re-expansion of already-seen nodes per hop; the
+    # loop's frontier only carries NEW nodes. Closing rollup stays the
+    # letter-identical SQL text (type/rounding parity with the oracle).
+    d = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    srow = e.agg(F.min("u").alias("s")).collect()[0]
+    src = srow["s"]  # None on an empty edge list == the CTE's NULL seed
+    lvl = spark.createDataFrame([(src, 0)], "pk bigint, hop int").localCheckpoint(
+        eager=True
+    )
+    levels = [lvl]
+    seen = lvl.select("pk")
+    for h in range(1, 4):
+        lvl = (
+            d.join(lvl.select(F.col("pk").alias("u")), "u")
+            .select(F.col("v").alias("pk"))
+            .distinct()
+            .join(seen, "pk", "left_anti")
+            .select("pk", F.lit(h).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(lvl)
+        seen = seen.unionByName(lvl.select("pk"))
+    m = levels[0]
+    for nxt in levels[1:]:
+        m = m.unionByName(nxt)
+    m.createOrReplaceTempView("bireme_bfs_m")
+    return spark.sql(
+        "SELECT hop, COUNT(*) AS n_parts,"
+        " MIN(pk) AS min_partkey, MAX(pk) AS max_partkey"
+        " FROM bireme_bfs_m GROUP BY hop ORDER BY hop"
+    )
 
 
 GRAPH_BFS_SQL = (
@@ -982,6 +1031,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics are symmetric: Σd_u+d_v, Σd_u², Σd_u·d_v —
     ALL exact integers (degrees are ints); r is one closing IEEE
     expression, identical on both engines."""
+    # r11: a node-moment rewrite (deg join once onto the directed view,
+    # closing agg over |V| rows: s1 = Σdx², s2 = Σdx³, sp2 = Σdx·sd_x)
+    # A/B-LOST here: old 6.488 / new 7.365 min-of-3 — the doubled
+    # directed-view join + extra groupBy costs more than the second
+    # |E| join it removes. Keep the two-join form.
     edges = _copurchase_edges(spark, sf_dir).persist()
     try:
         deg = (
@@ -2072,11 +2126,61 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e.createOrReplaceTempView("bireme_clo_e")
-    e.selectExpr("u", "v").unionAll(
-        e.selectExpr("v AS u", "u AS v")
-    ).createOrReplaceTempView("bireme_clo_d")
-    return spark.sql(_CLOSENESS_SQL_BODY.format(e="bireme_clo_e", d="bireme_clo_d"))
+    # r11 opt (VERDICT #4): persisted iterative multi-source BFS
+    # replaces the recursive CTE on the SPARK side only (oracle text
+    # unchanged). Equivalence: the CTE revisits nodes and the closing
+    # MIN(hop) keeps each (src, pk)'s FIRST hop — exactly what the
+    # anti-join-pruned frontier emits, so `m` is row-identical by
+    # construction; the closing rollup keeps the letter-identical SQL
+    # text (1000000.0 decimal-literal semantics included) with the
+    # same COUNT(DISTINCT u) node count over the directed view.
+    d = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    d.createOrReplaceTempView("bireme_clo_d")
+    lvl = (
+        e.select("u")
+        .distinct()
+        .orderBy("u")
+        .limit(4)
+        .select(
+            F.col("u").alias("src"),
+            F.col("u").alias("pk"),
+            F.lit(0).cast("int").alias("hop"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl]
+    seen = lvl.select("src", "pk")
+    for h in range(1, 4):
+        lvl = (
+            d.join(lvl.select("src", F.col("pk").alias("u")), "u")
+            .select("src", F.col("v").alias("pk"))
+            .distinct()
+            .join(seen, ["src", "pk"], "left_anti")
+            .select("src", "pk", F.lit(h).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(lvl)
+        seen = seen.unionByName(lvl.select("src", "pk"))
+    m = levels[0]
+    for nxt in levels[1:]:
+        m = m.unionByName(nxt)
+    m.createOrReplaceTempView("bireme_clo_m")
+    return spark.sql(
+        """
+WITH m AS (SELECT src, pk, MIN(hop) AS dist FROM bireme_clo_m GROUP BY src, pk),
+nn AS (SELECT COUNT(DISTINCT u) AS n_nodes FROM bireme_clo_d),
+agg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         CAST(SUM(dist) AS BIGINT) AS sum_dist
+  FROM m GROUP BY src
+)
+SELECT src, n_reached, sum_dist,
+       CAST(FLOOR((n_reached - 1) * (n_reached - 1) * 1000000.0
+                  / ((n_nodes - 1) * sum_dist)) AS BIGINT) AS closeness_e6
+FROM agg, nn
+ORDER BY src
+"""
+    )
 
 
 GRAPH_CLOSENESS_SQL = (
@@ -2740,6 +2844,11 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = nodes.select("id", F.col("id").alias("lbl"))
     b = nodes.select("id", F.col("id").alias("lbl"))
+    # r11 opt: per-level eager checkpoints — each level is read TWICE
+    # by the next one (the union branch AND the edge join), so the
+    # uncheckpointed 6-round recursion re-derived O(2^t) subtrees (the
+    # r10 HyperANF multi-reader rule; "checkpoint only the base" is
+    # for single-reader iterates).
     for _ in range(_SCC_HOPS):
         a = (
             a.unionByName(
@@ -2749,6 +2858,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
         b = (
             b.unionByName(
@@ -2758,6 +2868,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
     lab = a.withColumnRenamed("lbl", "fwd_min").join(
         b.withColumnRenamed("lbl", "bwd_min"), "id"
@@ -2940,8 +3051,12 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each register level is read TWICE (next hop + its N(t) agg) and
     # the final union reads all nine — uncheckpointed, every reader
     # re-derives the whole chain (O(hops²) recompute, measured 45s →
-    # ~7s at sf0.01); one eager checkpoint per level caps lineage
-    r = reg.localCheckpoint(eager=True)
+    # ~7s at sf0.01); one checkpoint per level caps lineage. r11: LAZY
+    # per-level checkpoints (r7 three-arm discipline) — the LogicalRDD
+    # swap alone dedups the readers, and the single closing action
+    # materializes all nine levels in one job cascade instead of nine
+    # blocking jobs; A/B numbers in OPTIMIZATION_r11.md.
+    r = reg.localCheckpoint(eager=False)
     out = nfun(r, 0)
     for t in range(1, _ANF_HOPS + 1):
         r = (
@@ -2952,7 +3067,7 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("id", "bucket")
             .agg(F.max("m").alias("m"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(nfun(r, t))
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -3311,7 +3426,12 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         .localCheckpoint(eager=True)
     )
-    c_lit = int(nodes.agg(F.expr("CAST(2 * MAX(deg) AS BIGINT)").alias("c")).collect()[0]["c"])
+    # guard the collected scalars (ADVICE r10): on an EMPTY edge list
+    # every agg below returns NULL — neutral literals (c=0, m=0, mx=1)
+    # keep the plan valid and the closing aggregates still emit the
+    # same degenerate row the old broadcast-crossJoin form produced.
+    crow = nodes.agg(F.expr("CAST(2 * MAX(deg) AS BIGINT)").alias("c")).collect()[0]
+    c_lit = int(crow["c"]) if crow["c"] is not None else 0
     v = nodes.select("node", F.expr(_SB_START).alias("val"))
     for _ in range(_SB_ITERS):
         av = (
@@ -3338,7 +3458,8 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " SUM(w) DIV COUNT(*) - MIN(w), 1) AS BIGINT)"
             ).alias("mx"),
         ).collect()[0]
-        m_lit, mx_lit = int(srow["m"]), int(srow["mx"])
+        m_lit = int(srow["m"]) if srow["m"] is not None else 0
+        mx_lit = int(srow["mx"]) if srow["mx"] is not None else 1
         v = w.select(
             "node",
             F.expr(
@@ -3504,6 +3625,11 @@ def graph_random_walk_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     outw = edges.groupBy("s").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("ow"))
+    # r11 opt: edges⋈outw is superstep-INVARIANT but was re-derived
+    # inside all 6 contrib joins (6 degree aggs + 6 joins); checkpoint
+    # the weighted adjacency once — each step becomes one ew⋈rank join
+    # + agg (the cached-weighted-adjacency PageRank shape, guide §2.1).
+    ew = edges.join(outw, "s").select("s", "d", "ow").localCheckpoint(eager=True)
     seeds = nodes.orderBy("nk").limit(_RWR_SEEDS).select(F.col("nk").alias("sk"))
     ns = seeds.count()  # <=10 by construction; model-sized driver scalar
     init = _RWR_ONE_E9 // ns
@@ -3516,8 +3642,7 @@ def graph_random_walk_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_RWR_ITERS):
         contrib = (
-            edges.join(outw, "s")
-            .join(rank, edges.s == rank.nk)
+            ew.join(rank, ew.s == rank.nk)
             .select(F.col("d").alias("nk"), F.expr("r DIV ow").alias("m"))
             .groupBy("nk")
             .agg(F.expr("CAST(SUM(m) AS BIGINT)").alias("mass"))
@@ -3760,6 +3885,9 @@ def graph_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = nodes.select("id", F.col("id").alias("lbl"))
     b = nodes.select("id", F.col("id").alias("lbl"))
+    # r11 opt: per-level eager checkpoints (each level read twice by
+    # the next — union + join; the graph_scc/HyperANF multi-reader
+    # rule, which "checkpoint the base only" above understated)
     for _ in range(_BT_HOPS):
         a = (
             a.unionByName(
@@ -3769,6 +3897,7 @@ def graph_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
         b = (
             b.unionByName(
@@ -3778,6 +3907,7 @@ def graph_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
     lab = (
         a.withColumnRenamed("lbl", "fwd_min")
@@ -3809,12 +3939,14 @@ def graph_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 edges.join(rc.withColumnRenamed("id", "d"), "d").select(F.col("s").alias("id"))
             )
             .distinct()
+            .localCheckpoint(eager=True)
         )
         fc = (
             fc.unionByName(
                 edges.join(fc.withColumnRenamed("id", "s"), "s").select(F.col("d").alias("id"))
             )
             .distinct()
+            .localCheckpoint(eager=True)
         )
     cls = (
         nodes.join(core.select("id", F.lit(1).alias("in_core")), "id", "left")

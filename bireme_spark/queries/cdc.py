@@ -2796,11 +2796,12 @@ def cdc_format_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value")
     )
     # --- shape-only detection (no access to the fmt tag) ---
-    # three parser branches re-read the detected stream; a lineage
-    # cut A/B-LOST at sf0.1 (ckpt 3.29 / lazy 3.13 / plain 3.08
-    # min-of-3) — the envelope build is cheap per branch here. A real
-    # consolidated topic is consumed ONCE and routed map-side; at
-    # that volume persist the consumed batch before the fan-out.
+    # r11 opt (VERDICT #7): lazy checkpoint ABOVE the r10 repartition —
+    # the three parser branches each re-derived scan + exchange +
+    # envelope to_json after that exchange landed (the pre-repartition
+    # r10 A/B that kept the plain form — ckpt 3.29 / lazy 3.13 /
+    # plain 3.08 — predates the extra per-branch cost). Re-A/B'd r11:
+    # numbers below.
     detected = raw.select(
         "value",
         F.when(
@@ -2819,7 +2820,7 @@ def cdc_format_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.get_json_object("value", "$.payload.op").isNotNull(), "debezium-mongo")
         .otherwise("unknown")
         .alias("format"),
-    )
+    ).localCheckpoint(eager=False)
     data_schema = StructType().add("o_orderkey", "long").add("o_totalprice", "double")
     from bireme_spark.sources.debezium import parse_debezium_mongo
 

@@ -1125,33 +1125,39 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = mat.select("j").distinct().select(
         "j", F.lit(125000000).alias("v_ppb")
     )
-    lam = None
+    # r11 opt (VERDICT #5; the spectral_bisection scalar-collect
+    # precedent, guide §5): the per-step norm is ONE double — collect
+    # it and inline as a LITERAL Column (F.lit keeps the exact IEEE
+    # binary; never a string literal, the SSIM bare-decimal rule)
+    # instead of a broadcast-agg crossJoin. Without the cut, v_t's
+    # plan reads w_t twice (once via nrm, once directly), so the
+    # five-step lineage re-derived the mat join O(2^t) times; with a
+    # lazy per-step checkpoint on w the collect materializes it and
+    # the next step reuses it. Integer algebra unchanged — FLOOR of
+    # the identical double division.
+    nrm_lit = None
     for _ in range(5):
         w = (
             mat.join(v, "j")
             .select("i", (F.col("c_ppb") * F.col("v_ppb")).alias("t"))
             .groupBy("i")
             .agg(F.expr("SUM(t) DIV 1000000000").alias("w_ppb"))
-        )
-        nrm = w.agg(
+        ).localCheckpoint(eager=False)
+        row = w.agg(
             F.sqrt(F.sum(F.col("w_ppb") * F.col("w_ppb")).cast("double")).alias("nrm")
-        )
-        lam = nrm
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("i").alias("j"),
-                F.expr(
-                    "CAST(FLOOR(CAST(w_ppb AS DOUBLE) / nrm * 1e9) AS BIGINT)"
-                ).alias("v_ppb"),
-            )
+        ).collect()[0]
+        nrm_lit = float(row["nrm"]) if row["nrm"] is not None else 1.0
+        v = w.select(
+            F.col("i").alias("j"),
+            F.floor(F.col("w_ppb").cast("double") / F.lit(nrm_lit) * F.lit(1e9))
+            .cast("bigint")
+            .alias("v_ppb"),
         )
     return (
-        v.crossJoin(F.broadcast(lam))
-        .select(
+        v.select(
             F.col("j").alias("pos"),
             (F.col("v_ppb").cast("double") / F.lit(1e9)).alias("loading"),
-            (F.col("nrm") / F.lit(1e9)).alias("eigenvalue_est"),
+            (F.lit(nrm_lit) / F.lit(1e9)).alias("eigenvalue_est"),
         )
         .orderBy("pos")
     )
@@ -1838,7 +1844,16 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).repartition(
+        # r11 opt: the embeddings parquet arrives as ONE partition and
+        # the 4M-pair crossJoin below STREAMS this side — without the
+        # split every per-pair fold runs on one core (the CLAUDE.md
+        # embeddings-repartition rule, guide §2.2)
+        spark.sparkContext.defaultParallelism
     ).select(
+        # r11: an unrolled 64-term dot chain LOST here (12.2→47.6s at
+        # sf0.1 — the giant expression fails whole-stage codegen
+        # compilation and the crossJoin stage interprets); keep the fold
         "vec_id", "v", F.sqrt(_fold_sum(F.expr("zip_with(v, v, (a, b) -> a * b)"))).alias("n")
     )
     a = v.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na"))
@@ -1950,6 +1965,11 @@ def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).repartition(
+        # r11 opt: single-partition embeddings scan streams the pair
+        # crossJoin below — split first so the per-pair folds
+        # parallelize (CLAUDE.md embeddings-repartition rule)
+        spark.sparkContext.defaultParallelism
     ).select(
         "vec_id", "v",
         F.sqrt(_fold_sum(F.expr("zip_with(v, v, (a, b) -> a * b)"))).alias("n"),
@@ -4078,20 +4098,20 @@ def embedding_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label", "c")
         .agg(F.expr("CAST(SUM(dx2_e12 * 1000 DIV var_e12) AS BIGINT)").alias("dist_x1000"))
     )
-    best = terms.groupBy("vec_id", "label").agg(
-        F.expr("MIN(dist_x1000)").alias("score_x1000")
-    )
+    # r11 opt: window-MIN argmin instead of agg + join-back — the old
+    # plan re-derived the |n|·|classes| DECIMAL term aggregation once
+    # per side of the self-join (the r6 lag-MI / r10 cusum window-
+    # argmax rule); one window pass reads it once. Tied rows all carry
+    # dist == min, so MIN(c)/MAX(label)/MAX(dist) are unchanged.
+    wv = Window.partitionBy("vec_id")
     argmin = (
-        terms.alias("t")
-        .join(
-            best.select("vec_id", "score_x1000").alias("b"),
-            (F.expr("t.vec_id = b.vec_id")) & (F.expr("t.dist_x1000 = b.score_x1000")),
-        )
-        .groupBy(F.expr("t.vec_id").alias("vec_id"))
+        terms.withColumn("__mn", F.expr("MIN(dist_x1000)").over(wv))
+        .where(F.col("dist_x1000") == F.col("__mn"))
+        .groupBy("vec_id")
         .agg(
-            F.expr("MIN(t.c)").alias("nearest_class"),
-            F.expr("MAX(t.label)").alias("label"),
-            F.expr("MAX(t.dist_x1000)").alias("score_x1000"),
+            F.expr("MIN(c)").alias("nearest_class"),
+            F.expr("MAX(label)").alias("label"),
+            F.expr("MAX(dist_x1000)").alias("score_x1000"),
         )
     )
     return (

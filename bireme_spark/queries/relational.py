@@ -3021,11 +3021,20 @@ def orders_peak_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     done = li.groupBy("l_orderkey").agg(F.max("ship").alias("finish"))
     span = o.join(done, o["o_orderkey"] == done["l_orderkey"])
+    # r11 opt: the union of two selects over `span` re-executed the
+    # orders⋈done join once per branch; one map-side explode emits
+    # both boundary rows per order from a single pass (same (day, d)
+    # stream, same integer agg — guide §2.4).
     deltas = (
-        span.select(F.col("start").alias("day"), F.lit(1).alias("d"))
-        .unionByName(
-            span.select(F.date_add("finish", 1).alias("day"), F.lit(-1).alias("d"))
+        span.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("start").alias("day"), F.lit(1).alias("d")),
+                    F.struct(F.date_add("finish", 1).alias("day"), F.lit(-1).alias("d")),
+                )
+            ).alias("x")
         )
+        .select("x.day", "x.d")
         .groupBy("day")
         .agg(F.sum("d").alias("delta"))
     )
@@ -3263,7 +3272,7 @@ def lineitem_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value histogram — lineitem is scanned ONCE (was 4 scans: hist +
     # moments + 2 EM passes). Per-x weighting by c is exact-DECIMAL
     # identical to the per-row sums (equal x ⇒ identical 6dp terms).
-    hist = hist_ck = (
+    hist = (
         li.groupBy("x").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     )
     wcdf = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
@@ -3279,7 +3288,7 @@ def lineitem_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weighted moments off the histogram; narrow lossless recasts
     # (x ≤ 12, x² ≤ 150) keep the c-products inside DECIMAL(38)
     # without scale loss, so every sum equals the former per-row sum
-    mom = hist_ck.agg(
+    mom = hist.agg(
         F.sum("c").cast("long").alias("n"),
         F.sum(F.expr("CAST(x AS DECIMAL(8,6)) * CAST(c AS DECIMAL(20,0))")).alias("s"),
         F.round(
@@ -3305,7 +3314,7 @@ def lineitem_em_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = []
     for it in (1, 2):
-        p = hist_ck.crossJoin(F.broadcast(state))
+        p = hist.crossJoin(F.broadcast(state))
         l_expr = (
             "CAST(ROUND(LN(CAST(w2 AS DOUBLE)) - LN(1.0 - CAST(w2 AS DOUBLE))"
             " + ((CAST(x AS DOUBLE) - CAST(mu1 AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(mu1 AS DOUBLE))"
@@ -9636,6 +9645,11 @@ def orders_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFr
             )
         ).alias("qhi"),
     )
+    # r11 opt: `per` (6 rows) is read by BOTH the treated and control
+    # branches of the closing self-join — without a cut each branch
+    # re-executes the orders⋈customer join + histogram-CDF (guide
+    # §2.1; lazy per the r7 minhash_eval precedent for tiny frames).
+    per = per.localCheckpoint(eager=False)
     t = per.where("treated").select(
         "q",
         F.col("n").alias("n_treated"),
