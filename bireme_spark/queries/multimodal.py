@@ -385,9 +385,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder, decoder, or hash (any collision/split among the 16
     contents) breaks the match.
 
-    Scale shape: encode/decode/hash run in ONE Arrow-batched
-    mapInPandas pass (partition-parallel, no shuffle); the only
-    exchange is the 16-group hash aggregate.
+    Scale shape (r11): image CONTENT is a pure function of the class
+    s = doc_id % 16 — by the query's own generator, at any scale —
+    so encode+hash collapse onto the 16-row class table (the r5
+    distinct-value-histogram rule): one JVM agg rolls docs up to
+    (s, min/max/count), the Python encode→aHash pipeline runs 16
+    times total, and a broadcast join maps classes back onto the doc
+    stats. Groups (and any hash collisions across classes) are
+    IDENTICAL to the per-doc form: every doc's ahash is a function
+    of its class.
     """
     from collections.abc import Iterator
 
@@ -397,14 +403,17 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bireme_spark.operators.multimodal import perceptual_hash
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    cls = d.groupBy((F.col("doc_id") % 16).alias("s")).agg(
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads = [], []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                s = doc_id % 16
+            for s in pdf["doc_id"]:
+                s = int(s)
                 w = h = 16
                 pix = bytes(
                     (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
@@ -413,18 +422,21 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for c in range(3)
                 )
                 enc = encode_bmp(w, h, pix) if s % 2 == 0 else encode_png(w, h, pix)
-                ids.append(doc_id)
+                ids.append(s)
                 payloads.append(enc)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
-    hashed = perceptual_hash(packed)
+    packed = cls.select(F.col("s").alias("doc_id")).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    hashed = perceptual_hash(packed).select(F.col("doc_id").alias("s"), "ahash")
     return (
-        hashed.groupBy("ahash")
+        hashed.join(F.broadcast(cls), "s")
+        .groupBy("ahash")
         .agg(
-            F.min("doc_id").alias("canonical_doc"),
-            F.count(F.lit(1)).alias("n_images"),
-            F.max("doc_id").alias("max_doc"),
+            F.min("min_doc").alias("canonical_doc"),
+            F.sum("n").alias("n_images"),
+            F.max("max_doc").alias("max_doc"),
         )
         .select("canonical_doc", "n_images", "max_doc")
         .orderBy("canonical_doc")
@@ -453,8 +465,12 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     form without ever seeing a fingerprint, so a codec bug or a
     fingerprint collision among the 12 signals breaks the match.
 
-    Scale shape: encode→decode→fingerprint is ONE partition-parallel
-    mapInPandas pass; the only exchange is the 12-group agg.
+    Scale shape (r11): clip CONTENT is a pure function of the class
+    s = doc_id % 12 (by the query's own generator), so encode→decode→
+    fingerprint collapse onto the 12-row class table (distinct-value-
+    histogram rule); one JVM agg keeps the doc stats, a broadcast
+    join maps fingerprints back. Groups identical to the per-doc
+    form (afp is a function of the class).
     """
     from collections.abc import Iterator
 
@@ -464,14 +480,17 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bireme_spark.operators.multimodal import audio_fingerprint
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    cls = d.groupBy((F.col("doc_id") % 12).alias("s")).agg(
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads = [], []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                s = doc_id % 12
+            for s in pdf["doc_id"]:
+                s = int(s)
                 n = 96
                 # band b (12 samples each) is LOUD iff bit b of
                 # (s+1) is set — 12 distinct 8-band energy patterns,
@@ -481,18 +500,21 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (800 if (mask >> (i * 8 // n)) & 1 else 50) * (1 if i % 2 == 0 else -1)
                     for i in range(n)
                 ]
-                ids.append(doc_id)
+                ids.append(s)
                 payloads.append(encode_wav(8000, samples))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
-    printed = audio_fingerprint(packed)
+    packed = cls.select(F.col("s").alias("doc_id")).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    printed = audio_fingerprint(packed).select(F.col("doc_id").alias("s"), "afp")
     return (
-        printed.groupBy("afp")
+        printed.join(F.broadcast(cls), "s")
+        .groupBy("afp")
         .agg(
-            F.min("doc_id").alias("canonical_doc"),
-            F.count(F.lit(1)).alias("n_clips"),
-            F.max("doc_id").alias("max_doc"),
+            F.min("min_doc").alias("canonical_doc"),
+            F.sum("n").alias("n_clips"),
+            F.max("max_doc").alias("max_doc"),
         )
         .select("canonical_doc", "n_clips", "max_doc")
         .orderBy("canonical_doc")
@@ -521,8 +543,12 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     in closed form (n_cuts == doc_id % 3), so an encoder, decoder, or
     differencing bug breaks the match.
 
-    Scale shape: ONE partition-parallel mapInPandas pass; the only
-    exchange is the final per-cut-count rollup.
+    Scale shape (r11): clip CONTENT is a pure function of the class
+    s = doc_id % 3 (by the query's own generator), so encode→decode→
+    detect collapse onto the 3-row class table (distinct-value-
+    histogram rule); one JVM agg keeps the doc stats, a broadcast
+    join maps detected cut counts back. Output identical (n_cuts is
+    a function of the class).
     """
     from collections.abc import Iterator
 
@@ -532,15 +558,18 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bireme_spark.operators.multimodal import detect_scene_cuts
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    cls = d.groupBy((F.col("doc_id") % 3).alias("s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+    )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads = [], []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
+            for s in pdf["doc_id"]:
+                s = int(s)
                 w, h = 8, 6
-                n_cuts = doc_id % 3
+                n_cuts = s % 3
                 n_frames = 7
                 # cuts after frames 2 and 4 (as many as n_cuts)
                 cut_after = {2, 4}
@@ -556,15 +585,20 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     frames.append(
                         (bytes([base % 200] * (w * h)), bytes([128]) * clen, bytes([128]) * clen)
                     )
-                ids.append(doc_id)
+                ids.append(s)
                 payloads.append(encode_y4m(w, h, frames))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    packed = d.mapInPandas(gen, schema="doc_id long, payload binary")
-    cuts = detect_scene_cuts(packed, threshold=40)
+    packed = cls.select(F.col("s").alias("doc_id")).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    cuts = detect_scene_cuts(packed, threshold=40).select(
+        F.col("doc_id").alias("s"), "n_cuts"
+    )
     return (
-        cuts.groupBy("n_cuts")
-        .agg(F.count(F.lit(1)).alias("n_videos"), F.min("doc_id").alias("min_doc"))
+        cuts.join(F.broadcast(cls), "s")
+        .groupBy("n_cuts")
+        .agg(F.sum("n").alias("n_videos"), F.min("min_doc").alias("min_doc"))
         .orderBy("n_cuts")
     )
 
@@ -750,14 +784,20 @@ def multimodal_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # r11: energy is a pure function of the class s = doc_id % 16 (by
+    # this query's own generator) — collapse the Python pipeline onto
+    # the 16-row class table (distinct-value-histogram rule), keep doc
+    # stats in one JVM agg, broadcast-join back. Output identical.
+    cls = d.groupBy((F.col("doc_id") % 16).alias("s")).agg(
+        F.min("doc_id").alias("min_doc"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
     def gen_sobel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, energies = [], []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                s = doc_id % 16
+            for s in pdf["doc_id"]:
+                s = int(s)
                 w = h = 16
                 pix = bytes(
                     (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
@@ -787,16 +827,21 @@ def multimodal_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - gray[y - 1][x - 1] - 2 * gray[y - 1][x] - gray[y - 1][x + 1]
                         )
                         e += abs(gx) + abs(gy)
-                ids.append(doc_id)
+                ids.append(s)
                 energies.append(e)
             yield pd.DataFrame({"doc_id": ids, "edge_energy": energies})
 
-    scored = d.mapInPandas(gen_sobel, schema="doc_id long, edge_energy long")
+    scored = (
+        cls.select(F.col("s").alias("doc_id"))
+        .mapInPandas(gen_sobel, schema="doc_id long, edge_energy long")
+        .select(F.col("doc_id").alias("s"), "edge_energy")
+    )
     return (
-        scored.groupBy("edge_energy")
+        scored.join(F.broadcast(cls), "s")
+        .groupBy("edge_energy")
         .agg(
-            F.min("doc_id").alias("canonical_doc"),
-            F.count(F.lit(1)).alias("n_images"),
+            F.min("min_doc").alias("canonical_doc"),
+            F.sum("n").alias("n_images"),
         )
         .orderBy("edge_energy")
     )
@@ -862,11 +907,18 @@ def multimodal_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     window → integer remap join), so encoder, decoder, grayscale,
     histogram, and remap are all hash-checked.
 
-    Scale shape: generate→encode→decode→histogram→equalize FUSED in
-    ONE Arrow-batched mapInPandas pass (round-5 fuse rule: no
-    JVM↔Python hop between Python stages); the only exchange is the
-    16-class rollup. The histogram-CDF remap is the house exact-
-    quantile pattern applied per image."""
+    Scale shape (r11): the image CONTENT is a pure function of the
+    residue class s = doc_id % 16 — the query's own generator makes
+    that true at ANY scale, not just on this fixture — so the whole
+    encode→decode→histogram→equalize pipeline collapses onto the
+    16-row class table (the r5 distinct-value-histogram rule: per-doc
+    Python work → per-CLASS Python work). One JVM agg rolls the doc
+    scan up to (s, n_images, canonical_doc); the fused mapInPandas
+    pass (round-5 fuse rule) then runs the codec pipeline 16 times
+    total instead of once per document, and the per-class metrics
+    ride the same 16 rows out — output rows identical (every doc in a
+    class produced the SAME metrics, so the old per-doc MAX equals
+    the class value)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -874,14 +926,28 @@ def multimodal_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bireme_spark.functions.imagecodec import decode_image, encode_bmp, encode_png
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    cls = d.groupBy((F.col("doc_id") % 16).alias("s")).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
 
     def gen_eq(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in ("doc_id", "c_before", "c_after", "abs_shift")}
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                s = doc_id % 16
+            out = {
+                k: []
+                for k in (
+                    "s",
+                    "n_images",
+                    "canonical_doc",
+                    "c_before",
+                    "c_after",
+                    "abs_shift",
+                )
+            }
+            for s, n_images, canonical_doc in zip(
+                pdf["s"], pdf["n_images"], pdf["canonical_doc"]
+            ):
+                s = int(s)
                 w = h = 16
                 pix = bytes(
                     (x * x + 2 * y + 5 * s + 37 * c + (s * x) // 3) % 256
@@ -912,30 +978,25 @@ def multimodal_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for v in range(256)
                 ]
                 occ = [v for v in range(256) if hist[v] > 0]
-                out["doc_id"].append(doc_id)
+                out["s"].append(s)
+                out["n_images"].append(int(n_images))
+                out["canonical_doc"].append(int(canonical_doc))
                 out["c_before"].append(max(occ) - min(occ))
                 out["c_after"].append(max(eq[v] for v in occ) - min(eq[v] for v in occ))
                 out["abs_shift"].append(sum(abs(eq[g] - g) for g in gray))
             yield pd.DataFrame(out)
 
-    scored = d.mapInPandas(
-        gen_eq, schema="doc_id long, c_before long, c_after long, abs_shift long"
+    scored = cls.mapInPandas(
+        gen_eq,
+        schema="s long, n_images long, canonical_doc long, "
+        "c_before long, c_after long, abs_shift long",
     )
-    # roll up per residue class (the generator's own key), then drop
-    # the key: two classes with identical metrics must stay separate
-    # rows, as the oracle emits one row per class
-    return (
-        scored.groupBy((F.col("doc_id") % 16).alias("s"))
-        .agg(
-            F.max("c_before").alias("c_before"),
-            F.max("c_after").alias("c_after"),
-            F.max("abs_shift").alias("abs_shift"),
-            F.count(F.lit(1)).alias("n_images"),
-            F.min("doc_id").alias("canonical_doc"),
-        )
-        .select("c_before", "c_after", "abs_shift", "n_images", "canonical_doc")
-        .orderBy("abs_shift", "c_before")
-    )
+    # one row per residue class (the generator's own key), key dropped:
+    # two classes with identical metrics stay separate rows, as the
+    # oracle emits one row per class
+    return scored.select(
+        "c_before", "c_after", "abs_shift", "n_images", "canonical_doc"
+    ).orderBy("abs_shift", "c_before")
 
 
 MULTIMODAL_HIST_EQ_SQL = """
