@@ -376,41 +376,53 @@ def _count_triangles(edges: DataFrame) -> tuple[int, int, int]:
     has no out-neighbors — they contribute zero, so the prune is
     free. Caller provides a persisted frame if reuse matters; this
     executes eagerly."""
+    # r11 opt: deg persisted — the |V|-row degree table is otherwise
+    # computed TWICE (once inside the triangle DAG's orientation
+    # joins, once for the closing n_nodes/n_edges agg), and each
+    # computation reads the persisted edge stream twice (profiled
+    # ~2.4 s/computation at sf0.1 vs a 20k-row cache).
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    e = (
-        edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
-        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    try:
+        lo_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
         )
-    )
-    adj = e.groupBy("lo").agg(F.sort_array(F.collect_set("hi")).alias("nbrs"))
-    # e ⋈ adj on lo is adj itself re-exploded (every oriented edge is
-    # one (lo, nbrs[i]) element) — deriving it map-side from adj saves
-    # a full sort-merge join of the edge stream (r10 opt)
-    j = adj.select(
-        "lo", F.explode("nbrs").alias("hi"), F.col("nbrs").alias("n_lo")
-    ).join(adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi")), "hi")
-    tri = (
-        j.select(F.size(F.array_intersect("n_lo", "n_hi")).alias("c"))
-        .agg(F.sum("c").alias("t"))
-        .collect()[0]["t"]
-    )
-    # r11 opt: n_nodes and n_edges from ONE agg over deg — every edge
-    # contributes exactly 1 to each endpoint's degree, so
-    # SUM(deg) = 2·|edges|; replaces two separate count jobs.
-    drow = deg.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("deg").alias("twom")
-    ).collect()[0]
+        e = (
+            edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
+            .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+            .select(
+                F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+                F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            )
+        )
+        adj = e.groupBy("lo").agg(F.sort_array(F.collect_set("hi")).alias("nbrs"))
+        # e ⋈ adj on lo is adj itself re-exploded (every oriented edge is
+        # one (lo, nbrs[i]) element) — deriving it map-side from adj saves
+        # a full sort-merge join of the edge stream (r10 opt)
+        j = adj.select(
+            "lo", F.explode("nbrs").alias("hi"), F.col("nbrs").alias("n_lo")
+        ).join(adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi")), "hi")
+        # r11 opt: n_nodes and n_edges from ONE agg over deg — every
+        # edge contributes exactly 1 to each endpoint's degree, so
+        # SUM(deg) = 2·|edges|; replaces two separate count jobs.
+        # Collected FIRST so the deg cache is materialized by the
+        # cheap job and the triangle DAG's two orientation joins read
+        # it warm.
+        drow = deg.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("deg").alias("twom")
+        ).collect()[0]
+        tri = (
+            j.select(F.size(F.array_intersect("n_lo", "n_hi")).alias("c"))
+            .agg(F.sum("c").alias("t"))
+            .collect()[0]["t"]
+        )
+    finally:
+        deg.unpersist()
     return int(drow["n"]), int(drow["twom"] or 0) // 2, int(tri or 0)
 
 
@@ -763,8 +775,12 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     srow = e.agg(F.min("u").alias("s")).collect()[0]
     src = srow["s"]  # None on an empty edge list == the CTE's NULL seed
+    # r11: per-hop checkpoints LAZY (the graph_effective_diameter
+    # lesson) — the LogicalRDD swap alone dedups the two readers of
+    # each hop (next frontier + final union); one closing action
+    # materializes the whole cascade instead of a blocking job per hop.
     lvl = spark.createDataFrame([(src, 0)], "pk bigint, hop int").localCheckpoint(
-        eager=True
+        eager=False
     )
     levels = [lvl]
     seen = lvl.select("pk")
@@ -775,7 +791,7 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(seen, "pk", "left_anti")
             .select("pk", F.lit(h).cast("int").alias("hop"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         levels.append(lvl)
         seen = seen.unionByName(lvl.select("pk"))
@@ -832,11 +848,16 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
     edges = edges.persist()
     try:
+        # r11 opt: deg persisted — the |V|-row table feeds BOTH
+        # orientation joins AND the closing top-20 join, so its agg
+        # subtree otherwise executes 3× in one DAG (the
+        # _count_triangles profile: ~2.4 s/computation at sf0.1).
         deg = (
             edges.select(F.col("u").alias("x"))
             .unionAll(edges.select(F.col("v").alias("x")))
             .groupBy("x")
             .agg(F.count(F.lit(1)).alias("deg"))
+            .persist()
         )
         lo_first = (F.col("du") < F.col("dv")) | (
             (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -885,6 +906,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.localCheckpoint(eager=True)
     finally:
+        deg.unpersist()
         edges.unpersist()
     return out
 
@@ -1352,6 +1374,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep.select(F.col("n").alias("u")), "u")
             .join(keep.select(F.col("n").alias("v")), "v")
             .select("u", "v")
+            # r11: the eager→LAZY flip (graph_effective_diameter
+            # lesson) A/B'd tie then OLD-WINS (5.569 vs 5.894
+            # min-of-3 HASH-EQ on the re-run) — unlike graph_scc,
+            # each round here feeds a census broadcast that re-enters
+            # the lazy cascade mid-job. Keep EAGER.
             .localCheckpoint(eager=True)
         )
         nodes = e.select(F.col("u").alias("n")).unionByName(
@@ -2146,6 +2173,11 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("pk"),
             F.lit(0).cast("int").alias("hop"),
         )
+        # r11: the eager→LAZY per-hop flip A/B'd tie then OLD-WINS
+        # (8.356 vs 9.957 min-of-3 HASH-EQ on the re-run; the
+        # reachability twin KEPT lazy — its seed is a 1-row
+        # createDataFrame, this one is a limit-4 sort the eager job
+        # materializes while the box is otherwise idle). Keep EAGER.
         .localCheckpoint(eager=True)
     )
     levels = [lvl]
@@ -2849,6 +2881,9 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncheckpointed 6-round recursion re-derived O(2^t) subtrees (the
     # r10 HyperANF multi-reader rule; "checkpoint only the base" is
     # for single-reader iterates).
+    # (r11 second pass: LAZY — the graph_effective_diameter lesson;
+    # the LogicalRDD swap dedups readers, one closing action
+    # materializes all levels in one cascade)
     for _ in range(_SCC_HOPS):
         a = (
             a.unionByName(
@@ -2858,7 +2893,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         b = (
             b.unionByName(
@@ -2868,7 +2903,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     lab = a.withColumnRenamed("lbl", "fwd_min").join(
         b.withColumnRenamed("lbl", "bwd_min"), "id"
@@ -3888,6 +3923,11 @@ def graph_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 opt: per-level eager checkpoints (each level read twice by
     # the next — union + join; the graph_scc/HyperANF multi-reader
     # rule, which "checkpoint the base only" above understated)
+    # (r11 second pass: LAZY per level A/B-LOST here — old 5.147 /
+    # new 5.567 min-of-3 HASH-EQ, unlike the identical graph_scc shape
+    # where lazy won 4.52→4.21: bowtie's core_id broadcast + two reach
+    # chains re-enter the lazy cascade mid-job and the blocking eager
+    # materialization wins. Keep EAGER.)
     for _ in range(_BT_HOPS):
         a = (
             a.unionByName(
