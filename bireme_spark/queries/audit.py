@@ -1060,11 +1060,16 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |E| join it removes. Keep the two-join form.
     edges = _copurchase_edges(spark, sf_dir).persist()
     try:
+        # r11 opt: deg persisted — its agg subtree otherwise executes
+        # once per orientation join in the same DAG (the triangle-
+        # family lesson: exchange reuse does not fire across
+        # AQE-replanned subtrees). A/B in OPTIMIZATION_r11.md.
         deg = (
             edges.select(F.col("u").alias("x"))
             .unionAll(edges.select(F.col("v").alias("x")))
             .groupBy("x")
             .agg(F.count(F.lit(1)).alias("deg"))
+            .persist()
         )
         e = edges.join(
             deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u"
@@ -1079,6 +1084,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("du") * F.col("dv")).cast("long").alias("sp"),
         ).collect()[0]
     finally:
+        deg.unpersist()
         edges.unpersist()
     m2 = 2 * stats["m"]  # directed pair count
     raw = spark.createDataFrame(
@@ -1261,6 +1267,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket sample are the standard scale mitigation (the wedge
     stream shrinks quadratically with degree), and the oracle mirrors
     the same sample, so the metric stays exact on the subgraph."""
+    # r11: an eager edge checkpoint A/B-LOST here (old 3.711 / new
+    # 4.420 min-of-3 HASH-EQ) even though the twin rewrite won on
+    # graph_label_propagation/assortativity/powerlaw — this sampled
+    # 1/8 edge build is cheap enough that the blocking checkpoint
+    # job + cache scans cost more than the duplicate derivations.
     edges = _copurchase_edges(
         spark, sf_dir, node_filter=F.col("l_orderkey") % 8 == 0
     )
@@ -1446,6 +1457,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE (u,v) groupBy, anti-join on the same key); the weight join
     adds one node-dimension-sized lookup on the wedge root. At
     100 TB cap super-hub roots before pairing, as documented there."""
+    # r11: an eager edge checkpoint A/B'd a TIE here (old 4.372 / new
+    # 4.504 min-of-3 HASH-EQ; the graph_link_prediction loss's twin)
+    # — keep the simpler uncheckpointed form.
     edges = _copurchase_edges(spark, sf_dir, node_filter=F.col("l_orderkey") % 8 == 0)
     adj = edges.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionByName(
         edges.select(F.col("v").alias("n"), F.col("u").alias("nb"))
@@ -1522,7 +1536,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node, label) map-side-combined agg — the synchronous
     Pregel-superstep plan; 3 unrolled rounds, no driver loop, no
     lineage blow-up (the frames are joins, not recursion)."""
-    edges = _copurchase_edges(spark, sf_dir, node_filter=F.col("l_orderkey") % 8 == 0)
+    # r11 opt: eager checkpoint — each of the 3 label rounds re-joins
+    # adj, which otherwise re-derives the whole edge build per round
+    # inside one DAG (the graph_link_prediction twin). A/B numbers in
+    # OPTIMIZATION_r11.md.
+    edges = _copurchase_edges(
+        spark, sf_dir, node_filter=F.col("l_orderkey") % 8 == 0
+    ).localCheckpoint(eager=True)
     adj = edges.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionByName(
         edges.select(F.col("v").alias("n"), F.col("u").alias("nb"))
     )
@@ -2660,7 +2680,10 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: edge list → node-degree agg → |distinct degrees| histogram;
     the quantile never sorts raw nodes."""
-    edges = _copurchase_edges(spark, sf_dir)
+    # r11 opt: eager checkpoint — the degree union's two branches
+    # otherwise re-derive the whole edge build twice in one DAG
+    # (triangle-family lesson). A/B numbers in OPTIMIZATION_r11.md.
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))

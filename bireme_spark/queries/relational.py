@@ -1880,10 +1880,16 @@ def suppliers_similar_portfolios(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set/explode pair enumeration A/B-LOST here (r10 opt:
     # old 3.65 vs new 5.00 min-of-3, consistent reps — each part has
     # few suppliers, so the array build pays more than the join saves)
+    # r11 opt: eager checkpoint — sp feeds 4 readers in one DAG (the
+    # inverted-index self-join's two sides + the sizes agg twice), so
+    # the lineitem scan + distinct otherwise re-executes per reader
+    # (the triangle-family exchange-reuse lesson). A/B numbers in
+    # OPTIMIZATION_r11.md.
     sp = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sp.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
     a = sp.select(F.col("s").alias("s_a"), "p")
