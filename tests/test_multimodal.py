@@ -395,3 +395,48 @@ class TestPerceptualHash:
         a = lambda x, y, c: x * 16
         b = lambda x, y, c: y * 16
         assert self._hash_of(spark, a) != self._hash_of(spark, b)
+
+
+class TestClassCollapseAccounting:
+    """r11: the per-CLASS collapse (payload = f(doc_id % k) by each
+    query's own generator) must preserve doc-level accounting — group
+    counts sum to the corpus size and canonical ids are real class
+    minima. The cross-engine gate pins exact values; this pins the
+    collapse INVARIANT at the query level."""
+
+    def _docs(self, spark, sf_dir):
+        from bireme_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        ids = [r.doc_id for r in d.collect()]
+        return ids
+
+    def test_phash_dedup_accounting(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_phash_dedup
+
+        ids = self._docs(spark, sf_dir)
+        rows = multimodal_phash_dedup(spark, sf_dir).collect()
+        assert sum(r.n_images for r in rows) == len(ids)
+        # canonical docs are the true minima of their residue classes
+        mins = {}
+        for i in ids:
+            mins[i % 16] = min(mins.get(i % 16, i), i)
+        assert {r.canonical_doc for r in rows} <= set(mins.values())
+
+    def test_hist_equalization_accounting(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_hist_equalization
+
+        ids = self._docs(spark, sf_dir)
+        rows = multimodal_hist_equalization(spark, sf_dir).collect()
+        n_classes = len({i % 16 for i in ids})
+        assert len(rows) == n_classes
+        assert sum(r.n_images for r in rows) == len(ids)
+
+    def test_scene_cuts_accounting(self, spark, sf_dir):
+        from bireme_spark.queries.multimodal import multimodal_scene_cuts
+
+        ids = self._docs(spark, sf_dir)
+        rows = multimodal_scene_cuts(spark, sf_dir).collect()
+        assert sum(r.n_videos for r in rows) == len(ids)
+        # detector must recover n_cuts == class for every present class
+        assert {r.n_cuts for r in rows} == {i % 3 for i in ids}
