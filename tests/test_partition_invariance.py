@@ -13,6 +13,10 @@ import pytest
 from bireme_spark.registry import queries
 from tests.conftest import SF_DIR
 
+# r11 (VERDICT #2): deep recompute / e2e tier — deselected from the
+# driver's default pytest path; round close runs `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 # A cross-section of aggregation styles: DECIMAL money sums (q1),
 # double-division stats (winsorized/RFM), rounded-term LM sums
 # (unigram), histogram-CDF boundaries (perplexity filter), iterative

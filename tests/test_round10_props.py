@@ -9,6 +9,11 @@ import numpy as np
 import pandas as pd
 
 from tests.conftest import SF_DIR
+import pytest
+
+# r11 (VERDICT #2): deep recompute / e2e tier — deselected from the
+# driver's default pytest path; round close runs `pytest -m ""`.
+pytestmark = pytest.mark.slow
 
 
 def _pq(table: str) -> pd.DataFrame:

@@ -3,6 +3,11 @@ that hold at ANY scale factor, complementing the exact DuckDB oracle
 compare in tests/test_queries_oracle.py."""
 
 from __future__ import annotations
+import pytest
+
+# r11 (VERDICT #2): deep recompute / e2e tier — deselected from the
+# driver's default pytest path; round close runs `pytest -m ""`.
+pytestmark = pytest.mark.slow
 
 
 def test_hll_estimate_within_sketch_error(spark, sf_dir):

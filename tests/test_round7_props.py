@@ -5,6 +5,11 @@ compare in tests/test_queries_oracle.py."""
 from __future__ import annotations
 
 import math
+import pytest
+
+# r11 (VERDICT #2): deep recompute / e2e tier — deselected from the
+# driver's default pytest path; round close runs `pytest -m ""`.
+pytestmark = pytest.mark.slow
 
 
 def test_pagerank_mass_and_floor(spark, sf_dir):

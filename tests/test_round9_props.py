@@ -13,6 +13,11 @@ import math
 from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
+import pytest
+
+# r11 (VERDICT #2): deep recompute / e2e tier — deselected from the
+# driver's default pytest path; round close runs `pytest -m ""`.
+pytestmark = pytest.mark.slow
 
 
 def _money(x) -> Decimal:

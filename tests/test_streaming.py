@@ -9,6 +9,11 @@ from pyspark.sql import functions as F
 from bireme_spark.queries.streaming import streaming_cdc_pipeline
 from bireme_spark.sources.tables import load_table
 from bireme_spark.streaming.stats import PipelineStatListener
+import pytest
+
+# r11 (VERDICT #2): deep recompute / e2e tier — deselected from the
+# driver's default pytest path; round close runs `pytest -m ""`.
+pytestmark = pytest.mark.slow
 
 
 def test_streaming_equals_batch_snapshot(spark, sf_dir):
